@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (TESTDATA.md). Reads are lazy parquet scans so Catalyst can push
+  * filters/projections down to the scan — at 100 TB the scan must only
+  * read the columns/row-groups a query touches, so we never cache or
+  * materialize here.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads only as a
+    // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
+    // session we build). Rebuild a proper microsecond timestamp; `div`
+    // floor-truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view (for the spark.sql surface —
+    * lagoon's `/sql` endpoint analog; SURVEY.md §3.2). Idempotent.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** One named operator-query (SURVEY.md §2 inventory) plus its DuckDB
+  * oracle SQL where SQL-expressible. Column names/aliases MUST match
+  * between the Spark result and the oracle result (the driver sorts
+  * columns by name before hashing).
+  */
+final case class NamedQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{NamedQuery, Tables}
+
+/** Family-C relational operators (SURVEY.md §2.C, Q1–Q26): the SQL
+  * surface lagoon exposes via `/sql` — the exact set of Postgres plan
+  * nodes its authorizer accepts
+  * (reference: src/backend/src/Lagoon/Util/PostgreSQL/QueryPlan.hs:144-177).
+  * Each query is declared with the DataFrame/Dataset API (or spark.sql
+  * where the construct IS the SQL surface: CTEs, subqueries, VALUES) so
+  * Catalyst plans pushdown/pruning/join strategy; results are made
+  * deterministic (unique ORDER BY keys) and doubles are rounded so the
+  * DuckDB-oracle hash compare is stable.
+  *
+  * Scale notes (100 TB): filters go before joins so parquet scans prune;
+  * genuinely tiny inputs (region/nation/inline VALUES) are broadcast
+  * explicitly; everything else is left to Catalyst/AQE (sort-merge vs
+  * broadcast-hash decided from runtime stats). Pre-aggregation happens
+  * before joins where semantics allow (map-side combine shrinks the
+  * shuffle).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** spark.sql over registered views — the `/sql` endpoint analog. */
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, d) => { Tables.registerAll(s, d); s.sql(q) }
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // Q1: SeqScan — full scan + projection (QueryPlan.hs:169)
+    NamedQuery("q01_scan",
+      (s, d) => t(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // Q2: Index/BitmapScan analog — filter pushed to the parquet scan
+    NamedQuery("q02_filter_pushdown",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_shipdate").cast("date").as("ship_date"),
+                round(col("l_quantity"), 2).as("qty"))
+        // lineitem has no unique key: order by every output column so the
+        // result order is total (only fully-identical rows can tie)
+        .orderBy("l_orderkey", "l_linenumber", "ship_date", "qty"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+             round(l_quantity, 2) AS qty
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+               AND l_quantity < 10
+             ORDER BY l_orderkey, l_linenumber, ship_date, qty""")),
+
+    // Q3: Result/projection — scalar expressions + casts (DB/Typed.hs:89-105 analog)
+    NamedQuery("q03_project_expr",
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+          col("l_quantity").cast("int").as("qty_int"),
+          concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge", "qty_int", "flag"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+             round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+             CAST(l_quantity AS INT) AS qty_int,
+             l_returnflag || '/' || l_linestatus AS flag
+             FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge, qty_int, flag""")),
+
+    // Q4: predicates incl. ILIKE (lagoon: lower(...) LIKE, DB/SourceInfo.hs:238-279)
+    NamedQuery("q04_filter_like",
+      (s, d) => t(s, d, "part")
+        .filter(lower(col("p_name")).like("%widget%") &&
+                col("p_type").isin("ECONOMY", "PROMO") &&
+                col("p_size").between(10, 40))
+        .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type, p_size FROM part
+             WHERE lower(p_name) LIKE '%widget%' AND p_type IN ('ECONOMY','PROMO')
+               AND p_size BETWEEN 10 AND 40
+             ORDER BY p_partkey""")),
+
+    // Q5: HashJoin inner (QueryPlan.hs:157) — AQE picks broadcast vs SMJ from stats
+    NamedQuery("q05_join_inner",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+                col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS total, c_name, c_mktsegment
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             ORDER BY o_orderkey""")),
+
+    // Q5b: left outer join — pre-aggregate the fact side BEFORE the join so
+    // the shuffle carries one row per customer, not one per order (scale:
+    // map-side combine collapses the 100 TB side first).
+    NamedQuery("q06_join_left",
+      (s, d) => {
+        val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("tot"))
+        t(s, d, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            round(coalesce(col("tot"), lit(0.0)), 2).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             COALESCE(n_orders, 0) AS n_orders,
+             round(COALESCE(tot, 0), 2) AS total_spent
+             FROM customer LEFT JOIN (
+               SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS tot
+               FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+             ORDER BY c_custkey""")),
+
+    // Q5c: full outer join of two aggregates
+    NamedQuery("q07_join_full",
+      (s, d) => {
+        val su = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        val cu = t(s, d, "customer").groupBy(col("c_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("n_cust"))
+        su.join(cu, col("nk") === col("nk2"), "full")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(nk, nk2) AS nationkey,
+             CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp,
+             CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust
+             FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+             FULL JOIN (SELECT c_nationkey AS nk2, count(*) AS n_cust FROM customer GROUP BY 1)
+               ON nk = nk2
+             ORDER BY nationkey""")),
+
+    // Q7: NestedLoop — genuine non-equi theta join (QueryPlan.hs:166).
+    // Both sides tiny → BroadcastNestedLoopJoin; at scale a theta join
+    // over big inputs would need banding/range-bucketing first.
+    NamedQuery("q08_theta_join",
+      (s, d) => {
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("k1"), col("n_name").as("name_a"))
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("k2"), col("n_name").as("name_b"))
+        n1.join(broadcast(n2), col("k1") < col("k2"))
+          .select(col("name_a"), col("name_b"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""SELECT n1.n_name AS name_a, n2.n_name AS name_b
+             FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+             ORDER BY name_a, name_b""")),
+
+    // Q8: semi join (IN/EXISTS; JoinSemi QueryPlan.hs:241)
+    NamedQuery("q09_semi_join",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 50000)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+             ORDER BY c_custkey""")),
+
+    // Q9: anti join (NOT EXISTS; JoinAnti QueryPlan.hs:242)
+    NamedQuery("q10_anti_join",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 50000)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+             ORDER BY c_custkey""")),
+
+    // Q10: AggregatePlain — global aggregate, no GROUP BY (QueryPlan.hs:181)
+    NamedQuery("q11_agg_plain",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        min(col("l_shipdate").cast("date")).as("min_ship"),
+        max(col("l_shipdate").cast("date")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             CAST(min(l_shipdate) AS DATE) AS min_ship,
+             CAST(max(l_shipdate) AS DATE) AS max_ship,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             FROM lineitem""")),
+
+    // Q11: hashed/grouped aggregate — TPC-H Q1 pricing summary
+    NamedQuery("q12_agg_group",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // Q12: DISTINCT / Unique (QueryPlan.hs:174)
+    NamedQuery("q13_distinct",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // Q13: exact count-distinct per group (expands to two-phase agg)
+    NamedQuery("q14_count_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             CAST(count(*) AS BIGINT) AS n_rows
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Q13b: approximate count-distinct (HLL) — no cross-engine oracle
+    // (sketch implementations differ); driver records rows>0.
+    NamedQuery("q15_approx_count_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Q14: WindowAgg — ranking (QueryPlan.hs:176)
+    NamedQuery("q16_window_rank",
+      (s, d) => {
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val byDateOnly = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(byDate))
+          .withColumn("rk", rank().over(byDateOnly))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  col("o_orderdate").cast("date").as("order_date"),
+                  col("rn"), col("rk"))
+          .orderBy("o_custkey", "rn", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, rn, rk
+             FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+                     CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rk
+                   FROM orders)
+             WHERE rn <= 2 ORDER BY o_custkey, rn, o_orderkey""")),
+
+    // Q14b: WindowAgg — running frame + lag/lead analytics. Ordered over
+    // (o_orderdate, o_orderkey): the window sort key MUST be unique or
+    // lag/lead values are nondeterministic (lineitem has no unique key).
+    NamedQuery("q17_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("running_total",
+            sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_total", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_total", lead(col("o_totalprice"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("running_total"), 2).as("running_total"),
+            round(col("prev_total"), 2).as("prev_total"),
+            round(col("next_total"), 2).as("next_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER w, 2) AS running_total,
+             round(lag(o_totalprice, 1) OVER w, 2) AS prev_total,
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_total
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // Q15: Sort — multi-column, mixed direction (QueryPlan.hs:171)
+    NamedQuery("q18_sort_multi",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_orderpriority").desc, col("order_date").asc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS order_date
+             FROM orders
+             ORDER BY o_orderpriority DESC, order_date ASC, o_orderkey ASC""")),
+
+    // Q16: Limit / top-k — Spark plans TakeOrderedAndProject (no full sort)
+    NamedQuery("q19_topk",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+             ORDER BY total DESC, o_orderkey ASC LIMIT 100""")),
+
+    // Q16b: offset paging (catalog S1 uses the same primitive)
+    NamedQuery("q20_limit_offset",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+        .offset(20).limit(10),
+      Some("""SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 10 OFFSET 20""")),
+
+    // Q17: Append / UNION ALL (QueryPlan.hs:147)
+    NamedQuery("q21_union_all",
+      (s, d) => {
+        val a = t(s, d, "customer").select(col("c_custkey").as("key"), lit("customer").as("src"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("key"), lit("bigorder").as("src"))
+        a.unionByName(b).orderBy("key", "src")
+      },
+      Some("""SELECT * FROM (
+               SELECT c_custkey AS key, 'customer' AS src FROM customer
+               UNION ALL
+               SELECT o_custkey AS key, 'bigorder' AS src FROM orders WHERE o_totalprice > 150000)
+             ORDER BY key, src""")),
+
+    // Q18: SetOp INTERSECT/EXCEPT (+ALL multiset variants; QueryPlan.hs:170,186-190)
+    NamedQuery("q22_intersect",
+      (s, d) => {
+        val y95 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val y96 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        y95.intersect(y96).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+             ORDER BY o_custkey""")),
+
+    NamedQuery("q23_except",
+      (s, d) => {
+        val y95 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val y96 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        y95.except(y96).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+             ORDER BY o_custkey""")),
+
+    NamedQuery("q24_except_all",
+      (s, d) => {
+        val r = t(s, d, "lineitem").filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        val a = t(s, d, "lineitem").filter(col("l_returnflag") === "A").select(col("l_partkey"))
+        r.exceptAll(a).groupBy(col("l_partkey")).agg(count(lit(1)).as("multiplicity"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+               EXCEPT ALL
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+             GROUP BY l_partkey ORDER BY l_partkey"""))
+  )
+}

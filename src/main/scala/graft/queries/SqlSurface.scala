@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{NamedQuery, Tables}
+
+/** Family-C continued: the constructs that ARE the `/sql` surface —
+  * CTEs, subqueries (scalar + correlated), inline VALUES, recursive
+  * CTEs, grouping sets, and the scalar function library (SURVEY.md
+  * Q19–Q26; reference QueryPlan.hs:152,172,175,177 + Q25 list).
+  * Declared through spark.sql over temp views so parse → analyze →
+  * optimize → physical all run through Catalyst, exactly as user SQL
+  * would arrive at lagoon's `/sql` endpoint.
+  */
+object SqlSurface {
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, d) => { Tables.registerAll(s, d); s.sql(q) }
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // Q19: CTE (CTEScan) — per-supplier revenue, top 10
+    NamedQuery("q25_cte",
+      sql("""WITH rev AS (
+               SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+               FROM lineitem GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, total_rev
+             FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             ORDER BY total_rev DESC, s_suppkey LIMIT 10"""),
+      Some("""WITH rev AS (
+               SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+               FROM lineitem GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, total_rev
+             FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             ORDER BY total_rev DESC, s_suppkey LIMIT 10""")),
+
+    // Q20: scalar (uncorrelated) subquery — InitPlan analog
+    NamedQuery("q26_subquery_scalar",
+      sql("""SELECT o_orderkey, round(o_totalprice, 2) AS total
+             FROM orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+             ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS total
+             FROM orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+             ORDER BY o_orderkey""")),
+
+    // Q20b: correlated subquery — Catalyst decorrelates to agg + join
+    NamedQuery("q27_subquery_correlated",
+      sql("""SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+             FROM lineitem l
+             WHERE l_quantity > (SELECT avg(l2.l_quantity) * 1.8 FROM lineitem l2
+                                 WHERE l2.l_partkey = l.l_partkey)
+             ORDER BY l_orderkey, l_linenumber, qty"""),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+             FROM lineitem l
+             WHERE l_quantity > (SELECT avg(l2.l_quantity) * 1.8 FROM lineitem l2
+                                 WHERE l2.l_partkey = l.l_partkey)
+             ORDER BY l_orderkey, l_linenumber, qty""")),
+
+    // Q21: ValuesScan — inline VALUES joined to a table
+    NamedQuery("q28_values",
+      sql("""SELECT v.label, CAST(count(*) AS BIGINT) AS n
+             FROM orders JOIN VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending')
+               AS v(code, label) ON o_orderstatus = v.code
+             GROUP BY v.label ORDER BY v.label"""),
+      Some("""SELECT v.label, CAST(count(*) AS BIGINT) AS n
+             FROM orders JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+               v(code, label) ON o_orderstatus = v.code
+             GROUP BY v.label ORDER BY v.label""")),
+
+    // Q19b: RecursiveUnion (WorkTableScan) — Spark 4 WITH RECURSIVE
+    NamedQuery("q29_recursive_cte",
+      sql("""WITH RECURSIVE seq(n, fib, prev) AS (
+               SELECT 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+               UNION ALL
+               SELECT n + 1, fib + prev, fib FROM seq WHERE n < 30)
+             SELECT n, fib FROM seq ORDER BY n"""),
+      Some("""WITH RECURSIVE seq(n, fib, prev) AS (
+               SELECT 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+               UNION ALL
+               SELECT n + 1, fib + prev, fib FROM seq WHERE n < 30)
+             SELECT n, fib FROM seq ORDER BY n""")),
+
+    // Q11-ext: ROLLUP (multi-level aggregate; Postgres GroupingSets nodes)
+    NamedQuery("q30_rollup",
+      sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                    COALESCE(l_linestatus, 'ALL') AS linestatus,
+                    round(sum(l_quantity), 2) AS sum_qty,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM lineitem
+             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY returnflag, linestatus"""),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                    COALESCE(l_linestatus, 'ALL') AS linestatus,
+                    round(sum(l_quantity), 2) AS sum_qty,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM lineitem
+             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY returnflag, linestatus""")),
+
+    // Q25: scalar function library — strings (lower/upper/substr/trim/
+    // replace/length/concat; lagoon emits lower(), DB/Schema.hs:587)
+    NamedQuery("q31_string_funcs",
+      sql("""SELECT s_suppkey,
+                    lower(s_name) AS lo, upper(s_name) AS up,
+                    substr(s_name, 1, 4) AS pre,
+                    replace(s_name, 'Supplier', 'S') AS repl,
+                    CAST(length(s_name) AS INT) AS len,
+                    trim('  ' || s_name || ' ') AS trimmed,
+                    lpad(CAST(s_suppkey AS STRING), 6, '0') AS padded
+             FROM supplier ORDER BY s_suppkey"""),
+      Some("""SELECT s_suppkey,
+                    lower(s_name) AS lo, upper(s_name) AS up,
+                    substr(s_name, 1, 4) AS pre,
+                    replace(s_name, 'Supplier', 'S') AS repl,
+                    CAST(length(s_name) AS INT) AS len,
+                    trim('  ' || s_name || ' ') AS trimmed,
+                    lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS padded
+             FROM supplier ORDER BY s_suppkey""")),
+
+    // Q25: date/math functions
+    NamedQuery("q32_date_math_funcs",
+      sql("""SELECT o_orderkey,
+                    CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+                    CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+                    CAST(extract(day FROM o_orderdate) AS INT) AS dy,
+                    CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
+                    round(abs(o_totalprice - 100000), 2) AS dist_100k,
+                    CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket_k,
+                    CAST(ceil(o_totalprice / 1000) AS BIGINT) AS bucket_k_up,
+                    round(sqrt(o_totalprice), 4) AS root,
+                    round(ln(o_totalprice + 1), 4) AS log_e,
+                    CAST(o_orderkey % 7 AS BIGINT) AS mod7
+             FROM orders ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey,
+                    CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+                    CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+                    CAST(extract(day FROM o_orderdate) AS INT) AS dy,
+                    CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                    round(abs(o_totalprice - 100000), 2) AS dist_100k,
+                    CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket_k,
+                    CAST(ceil(o_totalprice / 1000) AS BIGINT) AS bucket_k_up,
+                    round(sqrt(o_totalprice), 4) AS root,
+                    round(ln(o_totalprice + 1), 4) AS log_e,
+                    CAST(o_orderkey % 7 AS BIGINT) AS mod7
+             FROM orders ORDER BY o_orderkey""")),
+
+    // Q25: CASE / conditional logic
+    NamedQuery("q33_case_when",
+      sql("""SELECT o_orderkey,
+                    CASE WHEN o_totalprice >= 200000 THEN 'high'
+                         WHEN o_totalprice >= 100000 THEN 'mid'
+                         ELSE 'low' END AS price_band,
+                    CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END AS status_code
+             FROM orders ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey,
+                    CASE WHEN o_totalprice >= 200000 THEN 'high'
+                         WHEN o_totalprice >= 100000 THEN 'mid'
+                         ELSE 'low' END AS price_band,
+                    CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END AS status_code
+             FROM orders ORDER BY o_orderkey""")),
+
+    // Q25: array functions over the embeddings list column
+    NamedQuery("q34_array_funcs",
+      sql("""SELECT vec_id,
+                    CAST(size(embedding) AS INT) AS dim,
+                    round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_val,
+                    round(CAST(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS DOUBLE), 4) AS total,
+                    round(CAST(array_max(embedding) AS DOUBLE), 4) AS max_val,
+                    round(CAST(array_min(embedding) AS DOUBLE), 4) AS min_val
+             FROM embeddings ORDER BY vec_id"""),
+      Some("""SELECT vec_id,
+                    CAST(len(embedding) AS INT) AS dim,
+                    round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                    round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS total,
+                    round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+                    round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val
+             FROM embeddings ORDER BY vec_id""")),
+
+    // Q26: JSONB access analog — JSON extraction from the events.props
+    // column (lagoon stores ingested JSON as JSONB, DataFormat.hs:229-232)
+    NamedQuery("q35_json_access",
+      sql("""SELECT event_id,
+                    CAST(get_json_object(props, '$.k') AS INT) AS k_val
+             FROM events
+             WHERE get_json_object(props, '$.k') IS NOT NULL
+             ORDER BY event_id"""),
+      Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k_val
+             FROM events
+             WHERE json_extract_string(props, '$.k') IS NOT NULL
+             ORDER BY event_id""")),
+
+    // Q26b: JSON-derived aggregate
+    NamedQuery("q36_json_agg",
+      sql("""SELECT event_type,
+                    round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY event_type ORDER BY event_type"""),
+      Some("""SELECT event_type,
+                    round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySmokeSpec extends AnyFunSuite {
+
+  test("entry flagship returns rows on sf0.001") {
+    val spark = TestSpark.spark
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length > 0, "entry must return >0 rows")
+    assert(df.columns.contains("revenue"))
+  }
+
+  test("every query name has distinct registry entry and oracle keys subset") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-time oracle self-check mimicking the driver's correctness gate:
+run graft.Verify output vs DuckDB oracle on the same parquet tables.
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails, passes, skips = [], [], []
+    for name in sorted(oracle):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            fails.append((name, "no spark output")); continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        exp = con.execute(oracle[name]).fetch_arrow_table()
+        gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+        if gcols != ecols:
+            fails.append((name, f"columns differ: spark={gcols} oracle={ecols}"))
+            continue
+        g = got.select(gcols).to_pylist()
+        e = exp.select(ecols).to_pylist()
+        if len(g) != len(e):
+            fails.append((name, f"row count: spark={len(g)} oracle={len(e)}"))
+            continue
+        key = lambda r: tuple(str(r[c]) for c in gcols)
+        g.sort(key=key); e.sort(key=key)
+        bad = None
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            for c in gcols:
+                a, b = norm(rg[c]), norm(re_[c])
+                if a != b:
+                    close = (isinstance(a, float) and isinstance(b, float)
+                             and abs(a-b) <= 1e-9 * max(1, abs(a), abs(b)))
+                    bad = (i, c, a, b, "CLOSE" if close else "DIFF")
+                    break
+            if bad: break
+        if bad:
+            fails.append((name, f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r} [{bad[4]}]"))
+        else:
+            passes.append(name)
+    # queries without oracle: rows-only check
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name in oracle: continue
+        files = glob.glob(f"{d}/*.parquet")
+        n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+        (passes if n > 0 else fails).append((name + " [rows-only]", f"{n} rows")[0:1][0] if n > 0 else (name, "0 rows / missing"))
+    print(f"PASS {len(passes)}: {' '.join(p if isinstance(p,str) else p[0] for p in passes)}")
+    if fails:
+        print(f"FAIL {len(fails)}:")
+        for n, why in fails:
+            print(f"  {n}: {why}")
+        sys.exit(1)
+    print("ALL OK")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
