@@ -1,0 +1,235 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Versioned, tagged, searchable dataset catalog (SURVEY.md §1.4, §2
+  * I11/I14/I15/I18/I19).
+  *
+  * Reference: sourcenames/sources/sourcecolumns tables
+  * (src/backend/src/Lagoon/DB/Schema.hs:136-219) + version bookkeeping
+  * (DB/Sources.hs:62-188). The trigger-maintained `cached_*` columns of
+  * the reference are plain computed columns here.
+  *
+  * Storage: one parquet dir per source version under
+  * `<warehouse>/data/<name>_v<N>/{untyped,typed}`, plus a small
+  * parquet-backed catalog table at `<warehouse>/catalog`. Catalog
+  * operations are driver-local (the catalog is tiny); data stays
+  * distributed.
+  */
+final case class SourceEntry(
+    ix: Long,                    // global source id (sources.ix analog)
+    name: String,
+    version: Int,
+    created: String,             // ISO-8601 UTC
+    addedBy: String,
+    description: String,
+    deprecated: Boolean,
+    tags: Seq[String],
+    kind: String,                // "csv" | "json"
+    untypedPath: String,
+    typedPath: String,
+    headers: Seq[String],        // raw headers ("" if none)
+    friendlyNames: Seq[String],
+    colTypes: Seq[String],       // ColumnType.displayName per column
+    jsonType: String,            // rendered JsonType for JSON sources ("" otherwise)
+    rowCount: Long,
+    compactedPath: String) {     // "" unless this version lives in a compacted table
+  def viewName: String = s"${name}_v$version"
+}
+
+class Catalog(val spark: SparkSession, val warehouse: String) {
+  import spark.implicits._
+
+  private def catalogPath = s"$warehouse/catalog"
+
+  def entries: Seq[SourceEntry] =
+    try spark.read.parquet(catalogPath).as[SourceEntry].collect().toSeq
+    catch { case _: Throwable => Seq.empty }
+
+  // write-then-swap: never read+overwrite the catalog in place
+  private def commit(es: Seq[SourceEntry]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(catalogPath + "_tmp")
+    val dst = new org.apache.hadoop.fs.Path(catalogPath)
+    es.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** The catalog as a DataFrame (for the search operators S1–S9). */
+  def df: DataFrame =
+    try spark.read.parquet(catalogPath)
+    catch { case _: Throwable =>
+      Seq.empty[SourceEntry].toDS().toDF()
+    }
+
+  /** Ingest a prepared dataset as a new version of `name` (I14): version
+    * = max+1, older versions auto-deprecated (DB/Sources.hs:80-85).
+    * `sourceIdent` implements idempotent ingest (I15): if a version
+    * already carries the tag SUID:<ident>, ingest is a no-op.
+    */
+  def ingest(
+      name: String,
+      ingested: Ingest.Ingested,
+      kind: String,
+      addedBy: String = "root",
+      description: String = "",
+      sourceIdent: Option[String] = None,
+      created: Option[String] = None): SourceEntry = {
+
+    val es = entries
+    sourceIdent.map(id => s"SUID:$id").foreach { suid =>
+      es.find(e => e.name == name && e.tags.contains(suid)) match {
+        case Some(existing) => return existing
+        case None => ()
+      }
+    }
+
+    val version = es.filter(_.name == name).map(_.version).maxOption.getOrElse(0) + 1
+    val ix = es.map(_.ix).maxOption.getOrElse(0L) + 1
+    val dir = s"$warehouse/data/${name}_v$version"
+    val untypedPath = s"$dir/untyped"
+    val typedPath = s"$dir/typed"
+    ingested.untyped.write.mode(SaveMode.Overwrite).parquet(untypedPath)
+    ingested.typed.write.mode(SaveMode.Overwrite).parquet(typedPath)
+    val rowCount = spark.read.parquet(untypedPath).count()
+
+    val jsonType = ingested.colTypes match {
+      case Seq(ColumnType.ColJSON(Some(t))) => JsonType.render(t)
+      case _ => ""
+    }
+    val entry = SourceEntry(
+      ix = ix,
+      name = name,
+      version = version,
+      created = created.getOrElse(java.time.Instant.now().toString),
+      addedBy = addedBy,
+      description = description,
+      deprecated = false,
+      tags = sourceIdent.map(id => s"SUID:$id").toSeq,
+      kind = kind,
+      untypedPath = untypedPath,
+      typedPath = typedPath,
+      headers = ingested.headers.map(_.getOrElse("")),
+      friendlyNames = ingested.friendlyNames,
+      colTypes = ingested.colTypes.map(_.displayName),
+      jsonType = jsonType,
+      rowCount = rowCount,
+      compactedPath = "")
+
+    val updated = es.map(e =>
+      if (e.name == name) e.copy(deprecated = true) else e) :+ entry
+    commit(updated)
+    entry
+  }
+
+  /** Friendly-named typed DataFrame of one version (the `<name>_vN` view). */
+  def view(name: String, version: Int): DataFrame = {
+    val e = entries.find(x => x.name == name && x.version == version)
+      .getOrElse(throw new NoSuchElementException(s"$name v$version"))
+    if (e.compactedPath.nonEmpty) {
+      // the compacted table stores untyped text; re-apply this version's casts
+      val raw = spark.read.parquet(e.compactedPath)
+        .filter(array_contains(col("ixs"), version))
+      val typedCols = e.colTypes.zipWithIndex.map { case (t, i) =>
+        Ingest.castTo(col(s"c${i + 1}"), ColumnType.fromDisplay(t)).as(s"c${i + 1}")
+      }
+      raw.select(col("ix") +: typedCols: _*)
+        .toDF("ix" +: e.friendlyNames: _*)
+    } else
+      spark.read.parquet(e.typedPath).toDF("ix" +: e.friendlyNames: _*)
+  }
+
+  /** Latest (non-deprecated if any) version's view. */
+  def view(name: String): DataFrame = {
+    val v = entries.filter(_.name == name).map(_.version).max
+    view(name, v)
+  }
+
+  /** Register `<name>_vN` (+ `_typed`) temp views for the SQL surface. */
+  def registerViews(): Unit = entries.foreach { e =>
+    view(e.name, e.version).createOrReplaceTempView(e.viewName)
+    if (!entries.exists(x => x.name == e.name && x.version > e.version))
+      view(e.name, e.version).createOrReplaceTempView(e.name) // bare name = latest
+  }
+
+  /** Tag / untag (I19; DB/Tags.hs). */
+  def tag(name: String, version: Int, t: String): Unit =
+    commit(entries.map(e =>
+      if (e.name == name && e.version == version && !e.tags.contains(t))
+        e.copy(tags = e.tags :+ t) else e))
+
+  def untag(name: String, version: Int, t: String): Unit =
+    commit(entries.map(e =>
+      if (e.name == name && e.version == version)
+        e.copy(tags = e.tags.filterNot(_ == t)) else e))
+
+  /** Delete one version or a whole source (I18); re-ingest after delete
+    * restores identical state (runtests.sh:121-158).
+    */
+  def delete(name: String, version: Option[Int] = None): Unit = {
+    val (dead, alive) = entries.partition(e =>
+      e.name == name && version.forall(_ == e.version))
+    dead.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$warehouse/data/${e.name}_v${e.version}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    commit(alive)
+  }
+
+  /** Compaction (I11; Ingest.hs:342-428): merge all versions of `name`
+    * into one table with an `ixs int[]` version-membership column.
+    * Rows identical in content AND original position across versions
+    * merge into one row (the reference's round-robin aligned merge);
+    * a fresh global `ix` numbering preserves each version's row order,
+    * so per-version views (filter array_contains(ixs, v)) round-trip
+    * byte-identically (runcompactiontests.sh:48-62).
+    */
+  def compact(name: String): Unit = {
+    val vs = entries.filter(_.name == name).sortBy(_.version)
+    require(vs.nonEmpty, s"no such source: $name")
+    val width = vs.map(_.colTypes.length).max
+
+    val unioned = vs.map { e =>
+      val df = spark.read.parquet(e.untypedPath)
+      val padded = (1 to width).map { i =>
+        if (df.columns.contains(s"c$i")) col(s"c$i") else lit(null).cast("string").as(s"c$i")
+      }
+      df.select(col("ix").as("orig_ix") +: padded :+ lit(e.version).as("srcver"): _*)
+    }.reduce(_ unionByName _)
+
+    val dataCols = (1 to width).map(i => col(s"c$i"))
+    val grouped = unioned
+      .groupBy(col("orig_ix") +: dataCols: _*)
+      .agg(sort_array(collect_set(col("srcver"))).as("ixs"))
+      // distributed range-partitioned sort + zipWithIndex: a global
+      // row_number() window would collapse to one partition at 100 TB
+      .orderBy(col("orig_ix") +: dataCols.map(_.asc_nulls_first): _*)
+    val fieldNames = grouped.schema.fieldNames // plain array: safe to capture
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ix", org.apache.spark.sql.types.LongType, false) +:
+      grouped.schema.fields.filter(_.name != "orig_ix"))
+    val withIx = grouped.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        (i + 1L) +: r.toSeq.zip(fieldNames).collect {
+          case (v, n) if n != "orig_ix" => v
+        })
+    }
+    val merged = spark.createDataFrame(withIx, outSchema)
+
+    val compactedPath = s"$warehouse/data/${name}_compacted"
+    merged.write.mode(SaveMode.Overwrite).parquet(compactedPath + "_new")
+    val fs = new org.apache.hadoop.fs.Path(compactedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(compactedPath)))
+      fs.delete(new org.apache.hadoop.fs.Path(compactedPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(compactedPath + "_new"),
+              new org.apache.hadoop.fs.Path(compactedPath))
+
+    commit(entries.map(e =>
+      if (e.name == name) e.copy(compactedPath = compactedPath) else e))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Download/export (SURVEY.md I16/I17): CSV with an RFC-4180-escaped
+  * header row (reference Download.hs:47-139, CopyTo.hs:79-103) and JSON
+  * (ROW_TO_JSON wrap, DB/UserQuery.hs:40-47; raw multi-value passthrough
+  * for JSON sources, Download.hs:94-113).
+  */
+object Export {
+
+  /** Distributed CSV export — quoting only where needed, like COPY CSV. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** Driver-side CSV string (the HTTP-download analog; for tests and
+    * small results only — streams via toLocalIterator, never collect).
+    */
+  def csvString(df: DataFrame): String = {
+    val sb = new StringBuilder
+    def escape(s: String): String =
+      if (s == null) ""
+      else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    sb.append(df.columns.map(escape).mkString(",")).append('\n')
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      sb.append((0 until r.length).map(i =>
+        escape(if (r.isNullAt(i)) null else r.get(i).toString)).mkString(","))
+        .append('\n')
+    }
+    sb.toString
+  }
+
+  /** JSON-lines export (one object per row). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Raw multi-value JSON passthrough for JSON sources: the stored c1
+    * strings, newline-joined in ix order (byte-roundtrip property,
+    * runtests.sh:160-168).
+    */
+  def jsonRaw(df: DataFrame): String = {
+    val it = df.orderBy("ix").select("c1").toLocalIterator()
+    val sb = new StringBuilder
+    while (it.hasNext) { sb.append(it.next().getString(0)).append('\n') }
+    sb.toString
+  }
+}

@@ -1,0 +1,120 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Field-level type lexer + distributed column-type inference.
+  *
+  * The lexer is a regex port of the reference's alex rules
+  * (src/backend/src/Lagoon/Ingest/Tabular/InferFieldType.x:23-127):
+  *  - bool literals t/true/y/yes/on/1/f/false/n/no/off/0 (case-insensitive)
+  *  - ints: sign + 1..9 digits → I4, 10..18 digits → I8, more → text
+  *  - reals: Postgres float syntax, exponent marker lowercase 'e' only,
+  *    at most 3 exponent digits (out-of-range floats like 11e1111 must
+  *    NOT infer as real — fixture 013)
+  *  - leading/trailing ASCII whitespace is allowed around the token;
+  *    anything else (including any non-ASCII char) → text
+  *
+  * Inference over a whole column is the lattice fold of
+  * Tabular/TypeInference.hs:29-116 — over ALL rows, never a sample.
+  * The reference folds sequentially on one node; the lattice join is
+  * commutative + associative, so we fold per partition and merge with
+  * `ColumnType.join` via treeAggregate — same fixpoint, no driver
+  * bottleneck at 100 TB.
+  */
+object Infer {
+
+  // $white in alex = space \t \n \v \f \r
+  private def isWhite(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val BoolRe = "(?i)(t|true|y|yes|on|1|f|false|n|no|off|0)".r
+  private val IntRe  = "[+-]?[0-9]{1,18}".r
+  // digits e[sign]exp | digits.[digits][e] | [digits].digits[e]
+  private val RealRe =
+    ("[+-]?(" +
+      "[0-9]+e[+-]?[0-9]{1,3}" + "|" +
+      "[0-9]+\\.[0-9]*(e[+-]?[0-9]{1,3})?" + "|" +
+      "[0-9]*\\.[0-9]+(e[+-]?[0-9]{1,3})?" +
+      ")").r
+
+  /** Lex one raw field (inferFieldType, InferFieldType.x:106-127). */
+  def inferFieldType(raw: String): InferredType = {
+    var i = 0
+    var j = raw.length
+    while (i < j && isWhite(raw.charAt(i))) i += 1
+    while (j > i && isWhite(raw.charAt(j - 1))) j -= 1
+    val s = raw.substring(i, j)
+    if (s.isEmpty) InferredType.InfText
+    else if (BoolRe.matches(s)) InferredType.InfBool
+    else if (IntRe.matches(s)) {
+      // sign excluded from digit count (the alex rule counts digits only)
+      val digits = s.length - (if (s.charAt(0) == '+' || s.charAt(0) == '-') 1 else 0)
+      if (digits <= 9) InferredType.InfInt(IntWidth.I4)
+      else InferredType.InfInt(IntWidth.I8)
+    }
+    else if (RealRe.matches(s)) InferredType.InfReal
+    else InferredType.InfText
+  }
+
+  /** Column type of a single field (used for first-row seeding). */
+  def fieldColumnType(raw: String): ColumnType =
+    ColumnType.fromInferred(raw, inferFieldType(raw))
+
+  /** Sequential fold over rows (reference-exact; used in unit tests and
+    * as the per-partition step). null fields (absent in a ragged row)
+    * leave the column guess untouched.
+    */
+  def inferRows(rows: Iterator[Seq[String]]): Vector[ColumnType] = {
+    var guess = Vector.empty[ColumnType]
+    rows.foreach { r =>
+      // widen if this row has more fields (DataFormat.hs:251-271 analog)
+      if (r.length > guess.length)
+        guess = guess ++ r.drop(guess.length).map(f =>
+          if (f == null) ColumnType.ColText else fieldColumnType(f))
+      var i = 0
+      while (i < guess.length && i < r.length) {
+        val f = r(i)
+        if (f != null) guess = guess.updated(i, ColumnType.updateWith(guess(i), f, inferFieldType(f)))
+        i += 1
+      }
+    }
+    guess
+  }
+
+  /** Distributed inference over an untyped DataFrame whose columns are all
+    * strings (c1..cN). Runs one pass over all rows: per-partition lattice
+    * fold, then a tree merge of the (tiny) per-partition vectors.
+    */
+  def inferColumns(untyped: DataFrame): Vector[ColumnType] = {
+    val n = untyped.schema.fields.length
+    val rows: Dataset[Seq[String]] = {
+      import untyped.sparkSession.implicits._
+      untyped.map(r => (0 until n).map(i => if (r.isNullAt(i)) null else r.getString(i)))
+    }
+    rows.rdd.treeAggregate(Vector.empty[ColumnType])(
+      seqOp = (acc, r) => {
+        var guess = acc
+        if (r.length > guess.length)
+          guess = guess ++ r.drop(guess.length).map(f =>
+            if (f == null) ColumnType.ColText else fieldColumnType(f))
+        var i = 0
+        while (i < guess.length && i < r.length) {
+          val f = r(i)
+          if (f != null) guess = guess.updated(i, ColumnType.updateWith(guess(i), f, inferFieldType(f)))
+          i += 1
+        }
+        guess
+      },
+      combOp = (a, b) => {
+        val len = math.max(a.length, b.length)
+        Vector.tabulate(len) { i =>
+          (a.lift(i), b.lift(i)) match {
+            case (Some(x), Some(y)) => ColumnType.join(x, y)
+            case (Some(x), None)    => x
+            case (None, Some(y))    => y
+            case _                  => ColumnType.ColText
+          }
+        }
+      })
+  }
+}

@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest pipelines (SURVEY.md §2.A, I1–I9):
+  * CSV/TSV/JSON file → untyped DataFrame (all-string c1..cN + ix row
+  * number from 1 in file order) → inferred schema → typed DataFrame →
+  * friendly-named view.
+  *
+  * Reference: src/backend/src/Lagoon/Ingest.hs:82-129 (dispatch),
+  * 179-200 (tabular pipeline), 231-255 (JSON pipeline);
+  * row numbering Ingest.hs:188,243; typed cast DB/Typed.hs:74-105.
+  *
+  * Scale design: the default CSV path reads with spark.read.text (fully
+  * splittable — a 100 TB file parallelizes by HDFS block), parses fields
+  * per-partition, and numbers rows with zipWithIndex (order = file
+  * order, no global sort). Inference is one distributed lattice fold
+  * (Infer.inferColumns). The multiLine/whole-file paths exist for small
+  * files with embedded newlines / multi-value JSON, mirroring the
+  * reference's conduit semantics.
+  */
+object Ingest {
+
+  final case class CsvOptions(
+      delimiter: Option[Char] = None,     // default: ',' or '\t' by extension
+      hasHeaders: Boolean = true,
+      quoting: Boolean = true,            // disableQuoteChar => false
+      multiLine: Boolean = false,         // embedded newlines (small files)
+      encoding: String = "UTF-8",
+      typeInference: Boolean = true)      // noTypeInference => all TEXT
+
+  final case class Ingested(
+      untyped: DataFrame,                 // ix :: long, c1..cN :: string
+      headers: Seq[Option[String]],       // raw header per column (if any)
+      friendlyNames: Seq[String],         // sanitized + deduped
+      colTypes: Seq[ColumnType]) {
+
+    /** Typed projection (I9, DB/Typed.hs:74-105): per-column CAST of the
+      * untyped strings; bool accepts the full lagoon literal set.
+      */
+    def typed: DataFrame = {
+      val cols = colTypes.zipWithIndex.map { case (t, i) =>
+        val c = col(s"c${i + 1}")
+        Ingest.castTo(c, t).as(s"c${i + 1}")
+      }
+      untyped.select(col("ix") +: cols: _*)
+    }
+
+    /** Friendly-named view of the typed data (I12, DB/ColumnSpec.hs:102-113). */
+    def view: DataFrame =
+      typed.toDF("ix" +: friendlyNames: _*)
+  }
+
+  /** CAST one untyped string column to its inferred type. Bool uses the
+    * lexer's literal set (InferFieldType.x:28-36); numeric casts trim
+    * whitespace like the untyped→typed INSERT..SELECT CAST does.
+    */
+  def castTo(c: org.apache.spark.sql.Column, t: ColumnType): org.apache.spark.sql.Column = t match {
+    case ColumnType.ColBool =>
+      val v = lower(trim(c))
+      when(v.isin("t", "true", "y", "yes", "on", "1"), lit(true))
+        .when(v.isin("f", "false", "n", "no", "off", "0"), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    case ColumnType.ColInt(IntWidth.I4) => trim(c).cast(IntegerType)
+    case ColumnType.ColInt(IntWidth.I8) => trim(c).cast(LongType)
+    case ColumnType.ColReal             => trim(c).cast(DoubleType)
+    case _                              => c // Text / Document / JSON stay raw
+  }
+
+  private def delimiterFor(path: String, opts: CsvOptions): Char =
+    opts.delimiter.getOrElse(
+      if (path.endsWith(".txt") || path.endsWith(".tsv")) '\t' else ',')
+
+  /** CSV/TSV → Ingested. */
+  def csv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): Ingested = {
+    val popts = CsvParser.Options(delimiterFor(path, opts),
+      if (opts.quoting) Some('"') else None)
+
+    // raw records in file order
+    val records =
+      if (opts.multiLine) {
+        spark.sparkContext.wholeTextFiles(path)
+          .flatMap { case (_, content) => CsvParser.splitRecords(content, popts) }
+      } else {
+        val enc = opts.encoding
+        if (enc.equalsIgnoreCase("UTF-8"))
+          spark.read.textFile(path).rdd.map(CsvParser.splitLine(_, popts))
+        else
+          spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+            val s = new String(pds.toArray(), java.nio.charset.Charset.forName(enc))
+            s.split("\n", -1).iterator.filter(_.nonEmpty)
+          }.map(CsvParser.splitLine(_, popts))
+      }
+
+    val header: Option[Array[String]] =
+      if (opts.hasHeaders) Some(records.first()) else None
+
+    // drop the header row (it is always the first record of the file),
+    // then number data rows 1..N in file order (I6, Ingest.hs:188)
+    val indexed = records.zipWithIndex()
+    val dataRows = header match {
+      case Some(_) => indexed.filter(_._2 > 0).map { case (r, i) => (r, i) }      // ix = i (1-based already)
+      case None    => indexed.map { case (r, i) => (r, i + 1) }
+    }
+
+    // dynamic schema widening (I7): width = max fields over all rows
+    val headerWidth = header.map(_.length).getOrElse(0)
+    val width = math.max(headerWidth,
+      if (dataRows.isEmpty()) 0 else dataRows.map(_._1.length).max())
+
+    val schema = StructType(
+      StructField("ix", LongType, nullable = false) +:
+      (1 to width).map(i => StructField(s"c$i", StringType, nullable = true)))
+    val rows = dataRows.map { case (fields, ix) =>
+      Row.fromSeq(ix +: (0 until width).map(i => if (i < fields.length) fields(i) else null))
+    }
+    val untyped = spark.createDataFrame(rows, schema)
+
+    val colTypes: Seq[ColumnType] =
+      if (!opts.typeInference) Vector.fill(width)(ColumnType.ColText)
+      else {
+        val inferred = Infer.inferColumns(untyped.drop("ix"))
+        // columns that only ever saw padding nulls default to Text
+        inferred.padTo(width, ColumnType.ColText)
+      }
+
+    val headers: Seq[Option[String]] = (0 until width).map { i =>
+      header.flatMap(h => if (i < h.length) Some(h(i)) else None)
+    }
+    val friendly = Names.dedup(headers.zipWithIndex.map {
+      case (Some(h), _) => h
+      case (None, i)    => s"c${i + 1}"
+    })
+    Ingested(untyped, headers, friendly, colTypes)
+  }
+
+  final case class JsonOptions(
+      path: String = "_",          // JsonPath: which sub-values become rows
+      lineMode: Boolean = false)   // JSONL fast path (one value per line)
+
+  /** JSON file → Ingested: one row per selected top-level value, stored
+    * raw (the JSONB analog, DataFormat.hs:229-232); the inferred JsonType
+    * is carried in the single ColJSON column type.
+    */
+  def json(spark: SparkSession, path: String, opts: JsonOptions = JsonOptions()): Ingested = {
+    val jpath = JsonInfer.parsePath(opts.path)
+    val values =
+      if (opts.lineMode)
+        spark.read.textFile(path).rdd
+          .filter(_.trim.nonEmpty)
+          .flatMap(v => JsonInfer.select(v.trim, jpath))
+      else
+        spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
+          JsonInfer.splitTopLevel(content).flatMap(JsonInfer.select(_, jpath))
+        }
+
+    val rows = values.zipWithIndex().map { case (v, i) => Row(i + 1L, v) }
+    val schema = StructType(Seq(
+      StructField("ix", LongType, nullable = false),
+      StructField("c1", StringType, nullable = true)))
+    val untyped = spark.createDataFrame(rows, schema)
+
+    // cross-row unification (I5): per-partition fold, tree merge
+    val jtype = untyped.rdd.treeAggregate(JsonType.JUnknown: JsonType)(
+      (acc, r) => JsonType.unify(acc, JsonInfer.inferValue(r.getString(1))),
+      JsonType.unify)
+
+    Ingested(untyped, Seq(None), Seq("json"), Seq(ColumnType.ColJSON(Some(jtype))))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.engine
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+
+/** JSON ingest-side machinery:
+  *  - split a file of multiple top-level JSON values into one string per
+  *    value (reference: Util/JSON/TopLevel.hs:50-101 — one JSONB row per
+  *    top-level value)
+  *  - JsonPath subset: `_` (whole value), `[p]` (each array element),
+  *    `{"k":p}` (value under key k) — Interface/JsonPath.hs:41-50
+  *  - per-value JsonType inference (Ingest/JSON/TypeInference.hs:30-134):
+  *    a token walk building the same unification results as the
+  *    reference's stack machine
+  *
+  * Uses Jackson streaming (already on Spark's classpath) — constant
+  * memory per value, no tree materialization for inference.
+  */
+object JsonInfer {
+
+  private val factory = new JsonFactory()
+
+  /** JsonPath ADT (P_ | PA p | PO k p). */
+  sealed trait Path
+  case object PAny extends Path
+  final case class PArr(inner: Path) extends Path
+  final case class PObj(key: String, inner: Path) extends Path
+
+  /** Parse the cmdline path syntax: `_`, `[_]`, `{"k":[_]}`, … */
+  def parsePath(s: String): Path = {
+    val t = s.trim
+    if (t == "_") PAny
+    else if (t.startsWith("[") && t.endsWith("]")) PArr(parsePath(t.substring(1, t.length - 1)))
+    else if (t.startsWith("{") && t.endsWith("}")) {
+      val body = t.substring(1, t.length - 1).trim
+      val colon = body.indexOf(':')
+      require(colon > 0, s"bad json path: $s")
+      val key = body.substring(0, colon).trim.stripPrefix("\"").stripSuffix("\"")
+      PObj(key, parsePath(body.substring(colon + 1)))
+    } else throw new IllegalArgumentException(s"bad json path: $s")
+  }
+
+  /** Split a character stream of consecutive top-level JSON values into
+    * the raw text of each value.
+    */
+  def splitTopLevel(content: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val p = factory.createParser(content)
+    p.enable(JsonParser.Feature.AUTO_CLOSE_SOURCE)
+    var tok = p.nextToken()
+    while (tok != null) {
+      val start = p.currentTokenLocation().getCharOffset.toInt
+      p.skipChildren() // no-op for scalars; consumes to matching end otherwise
+      val end = p.currentLocation().getCharOffset.toInt
+      out += content.substring(start, end).trim
+      tok = p.nextToken()
+    }
+    p.close()
+    out.result()
+  }
+
+  /** Apply a JsonPath to one parsed value, yielding the selected
+    * sub-values as raw JSON strings (each becomes one row).
+    */
+  def select(value: String, path: Path): Vector[String] = path match {
+    case PAny => Vector(value)
+    case PArr(inner) =>
+      elementsOf(value).flatMap(select(_, inner))
+    case PObj(key, inner) =>
+      fieldOf(value, key).toVector.flatMap(select(_, inner))
+  }
+
+  private def elementsOf(value: String): Vector[String] = {
+    val p = factory.createParser(value)
+    val out = Vector.newBuilder[String]
+    if (p.nextToken() == JsonToken.START_ARRAY) {
+      var tok = p.nextToken()
+      while (tok != null && tok != JsonToken.END_ARRAY) {
+        val start = p.currentTokenLocation().getCharOffset.toInt
+        p.skipChildren()
+        val end = p.currentLocation().getCharOffset.toInt
+        out += value.substring(start, end).trim
+        tok = p.nextToken()
+      }
+    }
+    p.close()
+    out.result()
+  }
+
+  private def fieldOf(value: String, key: String): Option[String] = {
+    val p = factory.createParser(value)
+    var res: Option[String] = None
+    if (p.nextToken() == JsonToken.START_OBJECT) {
+      var tok = p.nextToken()
+      while (tok != null && tok != JsonToken.END_OBJECT && res.isEmpty) {
+        val name = p.currentName()
+        p.nextToken()
+        if (name == key) {
+          val start = p.currentTokenLocation().getCharOffset.toInt
+          p.skipChildren()
+          val end = p.currentLocation().getCharOffset.toInt
+          res = Some(value.substring(start, end).trim)
+        } else p.skipChildren()
+        tok = p.nextToken()
+      }
+    }
+    p.close()
+    res
+  }
+
+  /** Infer the JsonType of one JSON value. Mirrors the reference's stack
+    * machine: array element types unify starting from Unknown; object
+    * values are (required) elems; null → Nullable Unknown. Throws on
+    * malformed JSON (fixture 023: ingest aborts).
+    */
+  def inferValue(json: String): JsonType = {
+    val p = factory.createParser(json)
+    val t = walk(p, p.nextToken())
+    // reject trailing garbage within a single value
+    p.close()
+    t
+  }
+
+  private def walk(p: JsonParser, tok: JsonToken): JsonType = tok match {
+    case null => JsonType.JUnknown
+    case JsonToken.VALUE_STRING => JsonType.JString
+    case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT => JsonType.JNumber
+    case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => JsonType.JBool
+    case JsonToken.VALUE_NULL => JsonType.JNullable(JsonType.JUnknown)
+    case JsonToken.START_ARRAY =>
+      var elem: JsonType = JsonType.JUnknown
+      var t = p.nextToken()
+      while (t != JsonToken.END_ARRAY) {
+        elem = JsonType.unify(elem, walk(p, t))
+        t = p.nextToken()
+      }
+      JsonType.JArray(elem)
+    case JsonToken.START_OBJECT =>
+      val fields = Map.newBuilder[String, (Boolean, JsonType)]
+      var t = p.nextToken()
+      while (t != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        val vt = walk(p, p.nextToken())
+        fields += name -> ((false, vt))
+        t = p.nextToken()
+      }
+      JsonType.JObject(fields.result())
+    case other => throw new IllegalArgumentException(s"unexpected JSON token $other")
+  }
+
+  /** Unify the types of many values (cross-row unification, fixture 058). */
+  def inferAll(values: Iterator[String]): JsonType =
+    values.map(inferValue).foldLeft(JsonType.JUnknown: JsonType)(JsonType.unify)
+}

@@ -1,0 +1,61 @@
+package graft.engine
+
+/** Friendly-name sanitation + case-insensitive dedup, mirroring
+  * src/backend/src/Lagoon/DB/SensibleNames.hs:50-92 and
+  * Util/PostgreSQL/Keywords.hs:42-73:
+  *  - first char must be a letter or '_' (else '_' is prepended)
+  *  - subsequent chars: letter / digit / '_' (else replaced by '_')
+  *  - capitalization preserved; no keyword avoidance (names are quoted)
+  *  - truncation to maxIdLen never cuts the suffix
+  *  - duplicates (case-insensitive, after sanitation) get "_1", "_2", …
+  *    inserted before the suffix (fixtures 009/010: foo,foo → foo, foo_1;
+  *    foo,Foo → foo, Foo_1)
+  */
+object Names {
+
+  /** Postgres default max identifier length; we keep it as the default
+    * so golden names match the reference's fixtures (008: two 67-char
+    * headers truncate without colliding).
+    */
+  val DefaultMaxIdLen = 63
+
+  def avoidSpecialChars(s: String): String = {
+    if (s.isEmpty) "_"
+    else {
+      val head = s.charAt(0)
+      val sb = new StringBuilder
+      if (head.isLetter || head == '_') sb.append(head)
+      else { sb.append('_'); sb.append(conformChar(head)) }
+      var i = 1
+      while (i < s.length) { sb.append(conformChar(s.charAt(i))); i += 1 }
+      sb.toString
+    }
+  }
+
+  private def conformChar(c: Char): Char =
+    if (c.isLetter || c.isDigit || c == '_') c else '_'
+
+  /** sanitize (SensibleNames.hs:50-53): truncate the name so that
+    * name+suffix fits in maxIdLen; the suffix survives whole.
+    */
+  def sanitize(name: String, suffix: String, maxIdLen: Int = DefaultMaxIdLen): String =
+    avoidSpecialChars(name).take(math.max(0, maxIdLen - suffix.length)) + suffix
+
+  /** noDupNames (SensibleNames.hs:55-86): assign each preferred name a
+    * unique sanitized identifier; dedup detection is case-insensitive on
+    * the sanitized result; collision n gets suffix "_n".
+    */
+  def dedup(names: Seq[String], maxIdLen: Int = DefaultMaxIdLen): Seq[String] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    names.map { nm =>
+      var v = 0
+      var out = sanitize(nm, "", maxIdLen)
+      while (used.contains(out.toLowerCase)) {
+        v += 1
+        out = sanitize(nm, "_" + v, maxIdLen)
+      }
+      used += out.toLowerCase
+      out
+    }
+  }
+}

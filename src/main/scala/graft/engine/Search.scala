@@ -1,0 +1,230 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Catalog search (SURVEY.md §2.B, S1–S9).
+  *
+  * `SourcesSpec` mirrors src/interface/src/Lagoon/Interface/SourceInfo.hs:178-226;
+  * the filter semantics mirror DB/SourceInfo.hs:214-331 (substring filters
+  * are case-insensitive contains; users OR-fold, tags/columns AND-fold;
+  * date range on `created`; deprecated excluded by default).
+  *
+  * TsQuery is lagoon's tiny full-text query language
+  * (Interface/TsQuery.hs:42-199): lexemes with prefix-match semantics,
+  * `|` / `&` / juxtaposition-as-AND / `!` / `label:term`, precedence
+  * | < & < juxt < ! < :, parentheses, and local error recovery (any
+  * string parses; unparseable pieces vanish). Labels pick the field
+  * (name/tag/column/description/user — Schema.hs:560-573); we compile
+  * straight to a boolean Column over the catalog DataFrame instead of a
+  * Postgres tsquery.
+  */
+object Search {
+
+  // ---------------- TsQuery AST + parser ----------------
+
+  sealed trait Ts
+  final case class TsLexeme(s: String) extends Ts
+  final case class TsOr(a: Ts, b: Ts) extends Ts
+  final case class TsAnd(a: Ts, b: Ts) extends Ts
+  final case class TsNot(a: Ts) extends Ts
+  final case class TsLabel(label: String, q: Ts) extends Ts
+  case object TsError extends Ts // internal recovery marker
+
+  /** Error-recovering recursive-descent parser (parseExpr,
+    * TsQuery.hs:135-190). Returns TsLexeme("") for wholly-empty input,
+    * like tsQueryFromString.
+    */
+  def parse(input: String): Ts = {
+    val p = new Parser(input)
+    p.skipWs()
+    val q = p.parseP1(inParens = false)
+    collapse(q).getOrElse(TsLexeme(""))
+  }
+
+  /** Drop error terms, keeping whatever parsed (ignoreError, TsQuery.hs:103-125). */
+  private def collapse(q: Ts): Option[Ts] = q match {
+    case TsError        => None
+    case l: TsLexeme    => Some(l)
+    case TsOr(a, b)     => binop(TsOr, a, b)
+    case TsAnd(a, b)    => binop(TsAnd, a, b)
+    case TsNot(a)       => collapse(a).map(TsNot)
+    case TsLabel(l, a)  => collapse(a).map(TsLabel(l, _))
+  }
+  private def binop(f: (Ts, Ts) => Ts, a: Ts, b: Ts): Option[Ts] =
+    (collapse(a), collapse(b)) match {
+      case (Some(x), Some(y)) => Some(f(x, y))
+      case (Some(x), None)    => Some(x)
+      case (None, Some(y))    => Some(y)
+      case (None, None)       => None
+    }
+
+  private final class Parser(s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def peek: Char = s.charAt(i)
+    def skipWs(): Unit = { while (!eof && peek.isWhitespace) i += 1 }
+    private def lexemeChar(c: Char) = c.isLetterOrDigit
+
+    def parseIdent(): Option[String] = {
+      val start = i
+      while (!eof && lexemeChar(peek)) i += 1
+      if (i == start) None
+      else { val r = s.substring(start, i); skipWs(); Some(r) }
+    }
+
+    // P1: '|' alternatives
+    def parseP1(inParens: Boolean): Ts = {
+      var acc = parseP2(inParens)
+      while (!eof && peek == '|') { i += 1; skipWs(); acc = TsOr(acc, parseP2(inParens)) }
+      acc
+    }
+    // P2: '&'
+    def parseP2(inParens: Boolean): Ts = {
+      var acc = parseP3(inParens)
+      while (!eof && peek == '&') { i += 1; skipWs(); acc = TsAnd(acc, parseP3(inParens)) }
+      acc
+    }
+    // P3: juxtaposition = AND (one or more P4 terms)
+    def parseP3(inParens: Boolean): Ts = {
+      var acc = parseP4(inParens)
+      var continue = true
+      while (continue && !eof && peek != '|' && peek != '&' && !(inParens && peek == ')')) {
+        val before = i
+        val nxt = parseP4(inParens)
+        if (i == before) continue = false // no progress: stop
+        else acc = TsAnd(acc, nxt)
+      }
+      acc
+    }
+    // P4: '!'
+    def parseP4(inParens: Boolean): Ts =
+      if (!eof && peek == '!') { i += 1; skipWs(); TsNot(parseP5(inParens)) }
+      else parseP5(inParens)
+    // P5: label ':' term
+    def parseP5(inParens: Boolean): Ts = {
+      val save = i
+      parseIdent() match {
+        case Some(id) if !eof && peek == ':' =>
+          i += 1; skipWs(); TsLabel(id, parseTerm(inParens))
+        case Some(id) => TsLexeme(id)
+        case None => parseTerm(inParens)
+      }
+    }
+    def parseTerm(inParens: Boolean): Ts = {
+      if (eof) TsError
+      else if (peek == '(') {
+        i += 1; skipWs()
+        val q = parseP1(inParens = true)
+        if (!eof && peek == ')') { i += 1; skipWs() } // closing paren optional
+        q
+      } else parseIdent() match {
+        case Some(id) => TsLexeme(id)
+        case None =>
+          // unknown char: consume one and recover (TsQuery.hs:176-177)
+          if (!eof && !"&|!(".contains(peek) && !(inParens && peek == ')')) { i += 1; skipWs() }
+          TsError
+      }
+    }
+  }
+
+  // ---------------- TsQuery → Column compiler ----------------
+
+  /** Fields searched per label (fulltextWeights, Schema.hs:560-573 —
+    * weights only select fields; no ranking is consumed). Unlabeled
+    * lexemes match ANY field.
+    */
+  private def fieldTokens(label: Option[String]): Column = {
+    def toks(c: Column): Column = split(lower(c), "[^a-zA-Z0-9]+")
+    val name = toks(col("name"))
+    val desc = toks(col("description"))
+    val user = toks(col("addedBy"))
+    val tags = split(lower(concat_ws(" ", col("tags"))), "[^a-zA-Z0-9]+")
+    val cols = split(lower(concat_ws(" ", col("friendlyNames"))), "[^a-zA-Z0-9]+")
+    label match {
+      case Some("name")        => name
+      case Some("description") => desc
+      case Some("user")        => user
+      case Some("tag")         => tags
+      case Some("column")      => cols
+      case _ => concat(name, desc, user, tags, cols)
+    }
+  }
+
+  /** Compile to a boolean Column; lexemes are prefix matches (`:*`,
+    * Util/PostgreSQL/TsQuery.hs:50).
+    */
+  def compile(q: Ts, label: Option[String] = None): Column = q match {
+    case TsLexeme("") => lit(true)
+    case TsLexeme(l) =>
+      exists(fieldTokens(label), t => t.startsWith(lit(l.toLowerCase)))
+    case TsOr(a, b)  => compile(a, label) || compile(b, label)
+    case TsAnd(a, b) => compile(a, label) && compile(b, label)
+    case TsNot(a)    => !compile(a, label)
+    case TsLabel(l, a) => compile(a, Some(l))
+    case TsError     => lit(true)
+  }
+
+  // ---------------- SourcesSpec ----------------
+
+  /** Dataset-search spec (SourceInfo.hs:178-226). */
+  final case class SourcesSpec(
+      offset: Option[Int] = None,
+      limit: Option[Int] = None,
+      sortBy: Seq[(String, Boolean)] = Seq.empty, // (column, ascending)
+      filterIx: Option[Long] = None,
+      filterName: Option[String] = None,
+      filterDescription: Option[String] = None,
+      filterCreatedAfter: Option[String] = None,
+      filterCreatedBefore: Option[String] = None,
+      filterUsers: Seq[String] = Seq.empty,       // OR
+      filterTags: Seq[String] = Seq.empty,        // AND
+      filterColumns: Seq[String] = Seq.empty,     // AND
+      searchQuery: Option[String] = None,         // TsQuery string
+      includeDeprecated: Boolean = false,
+      readableBy: Option[String] = None)
+
+  private def icontains(c: Column, x: String): Column =
+    lower(c).contains(x.toLowerCase)
+
+  /** Apply a spec to the catalog DataFrame (S1–S8). */
+  def apply(catalog: DataFrame, spec: SourcesSpec,
+            canRead: Option[DataFrame] = None): DataFrame = {
+    var df = catalog
+    spec.filterIx.foreach(x => df = df.filter(col("ix") === x))
+    spec.filterName.foreach(x => df = df.filter(icontains(col("name"), x)))
+    spec.filterDescription.foreach(x => df = df.filter(icontains(col("description"), x)))
+    spec.filterCreatedAfter.foreach(x => df = df.filter(col("created") >= x))
+    spec.filterCreatedBefore.foreach(x => df = df.filter(col("created") <= x))
+    if (spec.filterUsers.nonEmpty)
+      df = df.filter(spec.filterUsers.map(u => icontains(col("addedBy"), u)).reduce(_ || _))
+    if (spec.filterTags.nonEmpty)
+      df = df.filter(spec.filterTags.map(t =>
+        icontains(concat_ws(" ", col("tags")), t)).reduce(_ && _))
+    if (spec.filterColumns.nonEmpty)
+      df = df.filter(spec.filterColumns.map(c =>
+        icontains(concat_ws(" ", col("friendlyNames")), c)).reduce(_ && _))
+    spec.searchQuery.foreach(q => df = df.filter(compile(parse(q))))
+    if (!spec.includeDeprecated) df = df.filter(!col("deprecated"))
+    (spec.readableBy, canRead) match {
+      case (Some(user), Some(acl)) =>
+        // ACL semi-join (S8; cachedcanread, Schema.hs:468-493)
+        df = df.join(
+          broadcast(acl.filter(col("usr") === user).select(col("sourcename"))),
+          df("name") === col("sourcename"), "left_semi")
+      case _ => ()
+    }
+    if (spec.sortBy.nonEmpty)
+      df = df.orderBy(spec.sortBy.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    spec.offset.foreach(o => df = df.offset(o))
+    spec.limit.foreach(l => df = df.limit(l))
+    df
+  }
+
+  /** S9: count with the same WHERE (X-Total-Count). */
+  def count(catalog: DataFrame, spec: SourcesSpec,
+            canRead: Option[DataFrame] = None): Long =
+    apply(catalog, spec.copy(offset = None, limit = None, sortBy = Seq.empty),
+      canRead).count()
+}

@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** The `/sql` endpoint analog: run arbitrary user SQL over registered
+  * dataset views, after plan-walk authorization.
+  *
+  * Reference: verifyUserQuery (src/backend/src/Lagoon/Verified.hs:794-855)
+  * EXPLAINs the query and walks the Postgres plan tree, denying writes,
+  * unknown plan nodes, function scans (QueryPlan.hs:339-340), and reads
+  * of tables the user cannot access. Our analog walks Catalyst's PARSED
+  * plan (the exact analog of Summary.summaryReads, before any inlining
+  * hides the referenced view names).
+  */
+object SqlGate {
+
+  final case class Denied(reason: String) extends RuntimeException(reason)
+
+  final case class Summary(reads: Set[String])
+
+  /** Collect read relations + reject write/DDL/function-scan plans. */
+  def summarize(spark: SparkSession, sql: String): Summary = {
+    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+
+    plan.foreach {
+      case _: Command             => throw Denied("user SQL is read-only (ModifyTable denied)")
+      case _: InsertIntoStatement => throw Denied("user SQL is read-only (ModifyTable denied)")
+      case _: UnresolvedTableValuedFunction =>
+        throw Denied("function scans are not authorized") // QueryPlan.hs:340
+      case _ => ()
+    }
+
+    // CTE definition bodies are innerChildren (not walked by collect):
+    // gather them explicitly; their names are not real reads
+    val ctes = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith => w.cteRelations
+    }.flatten
+    val cteNames: Set[String] = ctes.map(_._1.toLowerCase).toSet
+
+    def relations(p: LogicalPlan): Seq[String] = p.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".").toLowerCase
+    }
+
+    val reads = (relations(plan) ++ ctes.flatMap(c => relations(c._2))).toSet -- cteNames
+
+    Summary(reads)
+  }
+
+  /** Authorize + execute: every read relation must be a registered view
+    * the user can read (CanReadDataset ACL, Verified.hs:834-854).
+    */
+  def execute(
+      spark: SparkSession,
+      sql: String,
+      knownTables: Set[String],
+      canRead: String => Boolean = _ => true): DataFrame = {
+    val s = summarize(spark, sql)
+    s.reads.foreach { t =>
+      if (!knownTables.contains(t)) throw Denied(s"unknown table: $t")
+      if (!canRead(t)) throw Denied(s"permission denied: $t")
+    }
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.Files
+
+/** Versioning / idempotency / delete / tags / compaction roundtrip
+  * (I11, I14, I15, I18, I19; runtests.sh:70-158, runcompactiontests.sh).
+  */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def res(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+  private def freshCatalog(): Catalog =
+    new Catalog(spark, Files.createTempDirectory("graft-wh").toString)
+
+  test("ingest bumps version and deprecates older (I14)") {
+    val cat = freshCatalog()
+    val e1 = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(e1.version == 1 && !e1.deprecated)
+    val e2 = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(e2.version == 2)
+    val es = cat.entries.sortBy(_.version)
+    assert(es.map(_.deprecated) == Seq(true, false))
+    assert(cat.view("t", 1).count() == 4)
+    assert(cat.view("t").columns.contains("bool"))
+  }
+
+  test("idempotent ingest via source identifier (I15)") {
+    val cat = freshCatalog()
+    val e1 = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv",
+      sourceIdent = Some("sha-abc"))
+    val e2 = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv",
+      sourceIdent = Some("sha-abc"))
+    assert(e1.version == e2.version)
+    assert(cat.entries.size == 1)
+  }
+
+  test("delete one version / whole source; re-ingest restores state (I18)") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    cat.ingest("t", Ingest.csv(spark, res("ragged.csv")), "csv")
+    cat.delete("t", Some(2))
+    assert(cat.entries.map(_.version) == Seq(1))
+    cat.delete("t")
+    assert(cat.entries.isEmpty)
+    val e = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(e.version == 1)
+  }
+
+  test("tag / untag maintains cached tags (I19)") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    cat.tag("t", 1, "alpha"); cat.tag("t", 1, "beta"); cat.tag("t", 1, "alpha")
+    assert(cat.entries.head.tags == Seq("alpha", "beta"))
+    cat.untag("t", 1, "alpha")
+    assert(cat.entries.head.tags == Seq("beta"))
+  }
+
+  test("compaction roundtrip: per-version download identical pre/post (I11)") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv") // identical v2
+    val before1 = Export.csvString(cat.view("t", 1).orderBy("ix"))
+    val before2 = Export.csvString(cat.view("t", 2).orderBy("ix"))
+    cat.compact("t")
+    val after1 = Export.csvString(cat.view("t", 1).orderBy("ix"))
+    val after2 = Export.csvString(cat.view("t", 2).orderBy("ix"))
+    assert(after1 == before1)
+    assert(after2 == before2)
+    // identical versions share rows: compacted table has 4 rows, ixs=[1,2]
+    val compacted = spark.read.parquet(cat.entries.head.compactedPath)
+    assert(compacted.count() == 4)
+    import org.apache.spark.sql.functions._
+    assert(compacted.select(min(size(col("ixs")))).head.getInt(0) == 2)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import InferredType._
+import IntWidth._
+import ColumnType._
+
+/** Lexer + lattice semantics from the reference fixture corpus
+  * (FIXTURES.md A: 001, 011-013, 078-080; InferFieldType.x rules).
+  */
+class InferSpec extends AnyFunSuite {
+  private def lex(s: String) = Infer.inferFieldType(s)
+
+  test("bool literals, case-insensitive (InferFieldType.x:28-36)") {
+    for (s <- Seq("t", "T", "true", "TRUE", "True", "y", "yes", "YES", "on", "ON",
+                  "1", "f", "F", "false", "n", "no", "off", "0"))
+      assert(lex(s) == InfBool, s)
+  }
+
+  test("surrounding whitespace allowed") {
+    assert(lex("  true \t") == InfBool)
+    assert(lex(" 42 ") == InfInt(I4))
+  }
+
+  test("int widths: 1-9 digits I4, 10-18 I8, >18 text") {
+    assert(lex("2") == InfInt(I4))          // note "1"/"0" are bool
+    assert(lex("123456789") == InfInt(I4))
+    assert(lex("+123456789") == InfInt(I4)) // sign not counted
+    assert(lex("1234567890") == InfInt(I8))
+    assert(lex("-123456789012345678") == InfInt(I8))
+    assert(lex("1234567890123456789") == InfText)
+  }
+
+  test("real syntax: postgres float shapes, exponent <= 3 digits") {
+    for (s <- Seq("3.5", "-3.5", "1.", ".5", "1e5", "1e-4", "2.3e+55", "1.25e100"))
+      assert(lex(s) == InfReal, s)
+    // fixture 013: out-of-range exponents must NOT be real
+    for (s <- Seq("11e1111", "11e-4444", "22.33e1111")) assert(lex(s) == InfText, s)
+    for (s <- Seq(".", "e5", "1E5" /* uppercase E not in lexer */, "1e", "--1.0"))
+      assert(lex(s) == InfText, s)
+  }
+
+  test("non-ascii and mixed → text (fixture 078)") {
+    for (s <- Seq("3a", "foo", "１２３", "", "nan", "abc1")) {
+      val t = lex(s)
+      assert(t == InfText || (s == "nan" && t == InfText), s)
+    }
+    assert(lex("no2") == InfText)
+  }
+
+  test("column fold: fixture 011 lattice joins") {
+    // bool column: 0/1/t/f/true/false stays bool
+    assert(Infer.inferRows(Iterator(Seq("0"), Seq("1"), Seq("t"), Seq("false"))) ==
+      Vector(ColBool))
+    // bool ⊔ int = int (1/0 are bool until a wider int appears)
+    assert(Infer.inferRows(Iterator(Seq("1"), Seq("7"))) == Vector(ColInt(I4)))
+    // I4 ⊔ I8 = I8
+    assert(Infer.inferRows(Iterator(Seq("7"), Seq("1234567890"))) == Vector(ColInt(I8)))
+    // int ⊔ real = real; bool ⊔ real = real
+    assert(Infer.inferRows(Iterator(Seq("7"), Seq("3.5"))) == Vector(ColReal))
+    assert(Infer.inferRows(Iterator(Seq("1"), Seq("3.5"))) == Vector(ColReal))
+    // anything ⊔ text = text
+    assert(Infer.inferRows(Iterator(Seq("7"), Seq("abc"))) == Vector(ColText))
+    // fixture 001: single value "1" → BOOLEAN
+    assert(Infer.inferRows(Iterator(Seq("1"))) == Vector(ColBool))
+  }
+
+  test("document promotion at 4096 chars (fixtures 079-080)") {
+    val long = "x" * 4097
+    val ok = "x" * 4096
+    assert(Infer.inferRows(Iterator(Seq(long))) == Vector(ColDocument))
+    assert(Infer.inferRows(Iterator(Seq(ok))) == Vector(ColText))
+    // once document, always document
+    assert(Infer.inferRows(Iterator(Seq(long), Seq("5"))) == Vector(ColDocument))
+    // text column promoted later by a long field
+    assert(Infer.inferRows(Iterator(Seq("abc"), Seq(long))) == Vector(ColDocument))
+  }
+
+  test("ragged rows widen the schema (fixture 006)") {
+    val got = Infer.inferRows(Iterator(
+      Seq("5"), Seq("5", "abc"), Seq("5", "abc", "3.5")))
+    assert(got == Vector(ColInt(I4), ColText, ColReal))
+  }
+
+  test("lattice join is commutative and associative (distributed fold safety)") {
+    val types = Seq(ColBool, ColInt(I4), ColInt(I8), ColReal, ColText, ColDocument)
+    for (a <- types; b <- types)
+      assert(ColumnType.join(a, b) == ColumnType.join(b, a), s"$a $b")
+    for (a <- types; b <- types; c <- types)
+      assert(ColumnType.join(ColumnType.join(a, b), c) ==
+             ColumnType.join(a, ColumnType.join(b, c)), s"$a $b $c")
+  }
+}

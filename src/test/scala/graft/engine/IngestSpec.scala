@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import ColumnType._
+import IntWidth._
+
+/** End-to-end ingest semantics over regenerated fixture equivalents
+  * (FIXTURES.md A — content recreated, not copied).
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def res(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("CSV ingest: inference + ix numbering + typed cast (011 semantics)") {
+    val ing = Ingest.csv(spark, res("typeinfer.csv"))
+    assert(ing.colTypes == Seq(ColBool, ColInt(I4), ColInt(I8), ColReal, ColText))
+    assert(ing.friendlyNames == Seq("bool", "int", "bigint", "real", "text"))
+    val rows = ing.untyped.orderBy("ix").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L)) // ix from 1, file order
+    assert(rows(0).getString(1) == "0")
+    val typed = ing.typed.orderBy("ix").collect()
+    assert(typed(0).getBoolean(1) == false && typed(1).getBoolean(1) == true)
+    assert(typed(0).getInt(2) == 2)
+    assert(typed(0).getLong(3) == 1234567890L)
+    assert(typed(1).getDouble(4) == 1e-4)
+    val view = ing.view
+    assert(view.columns.toSeq == Seq("ix", "bool", "int", "bigint", "real", "text"))
+  }
+
+  test("ragged rows widen schema; missing fields NULL (006)") {
+    val ing = Ingest.csv(spark, res("ragged.csv"))
+    assert(ing.colTypes.length == 5)
+    val r1 = ing.untyped.orderBy("ix").collect()(0)
+    assert(r1.getString(1) == "1" && r1.isNullAt(2) && r1.isNullAt(5))
+  }
+
+  test("quoted fields: embedded separator, escaped quote, newline (002-005)") {
+    val ing = Ingest.csv(spark, res("quoted.csv"), Ingest.CsvOptions(multiLine = true))
+    val rows = ing.untyped.orderBy("ix").collect()
+    assert(rows(0).getString(1) == "smith, john")
+    assert(rows(0).getString(2) == "he said \"hi\"")
+    assert(rows(1).getString(1) == "multi\nline")
+  }
+
+  test("disableQuoteChar keeps quotes literal") {
+    val ing = Ingest.csv(spark, res("dups.csv"), Ingest.CsvOptions(quoting = false))
+    assert(ing.untyped.count() == 1)
+  }
+
+  test("duplicate headers deduped case-insensitively (009/010)") {
+    val ing = Ingest.csv(spark, res("dups.csv"))
+    assert(ing.friendlyNames == Seq("foo", "foo_1", "bar", "baz", "bar_1", "baz_1"))
+  }
+
+  test(".txt means tab delimiter; bool column via lexer literals") {
+    val ing = Ingest.csv(spark, res("tabbed.txt"))
+    assert(ing.colTypes == Seq(ColInt(I4), ColBool))
+    assert(ing.friendlyNames == Seq("lotsavalues", "x"))
+  }
+
+  test("CRLF stripped (088)") {
+    val ing = Ingest.csv(spark, res("crlf.csv"))
+    val rows = ing.untyped.orderBy("ix").collect()
+    assert(rows(0).getString(2) == "x") // no trailing \r
+    assert(ing.colTypes == Seq(ColInt(I4), ColText)) // 1(bool) ⊔ 2(int) = int
+  }
+
+  test("out-of-range floats stay TEXT (013)") {
+    val ing = Ingest.csv(spark, res("outofrange.csv"), Ingest.CsvOptions(hasHeaders = false))
+    assert(ing.colTypes(0) == ColText)
+    assert(ing.friendlyNames(0) == "c1") // no headers → generated names
+  }
+
+  test("noTypeInference → all TEXT") {
+    val ing = Ingest.csv(spark, res("typeinfer.csv"),
+      Ingest.CsvOptions(typeInference = false))
+    assert(ing.colTypes.forall(_ == ColText))
+  }
+
+  test("JSON ingest: one row per top-level value, unified type (014/021)") {
+    val ing = Ingest.json(spark, res("objs.json"))
+    assert(ing.untyped.count() == 3)
+    val ColJSON(Some(t)) = ing.colTypes.head
+    assert(t == JsonType.JObject(Map(
+      "id" -> ((false, JsonType.JNumber)),
+      "name" -> ((true, JsonType.JNullable(JsonType.JString))))))
+  }
+
+  test("JSON path [_]: 1 array value → N rows (large-json-array semantics)") {
+    val ing = Ingest.json(spark, res("arr.json"), Ingest.JsonOptions(path = "[_]"))
+    assert(ing.untyped.count() == 4)
+    val rows = ing.untyped.orderBy("ix").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("10", "20", "30", "40"))
+    val ColJSON(Some(t)) = ing.colTypes.head
+    assert(t == JsonType.JNumber)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import JsonType._
+
+/** JSON type-inference unit semantics (reference fixtures 040-077:
+  * arrays, objects, scalars, multi-value unification).
+  */
+class JsonTypeSpec extends AnyFunSuite {
+  private def infer(s: String) = JsonInfer.inferValue(s)
+
+  test("scalars (074-077)") {
+    assert(infer("1") == JNumber)
+    assert(infer("1.5") == JNumber)
+    assert(infer("\"a\"") == JString)
+    assert(infer("true") == JBool)
+    assert(infer("null") == JNullable(JUnknown))
+  }
+
+  test("arrays (040-057): empty, homogeneous, nested, mixed") {
+    assert(infer("[]") == JArray(JUnknown))
+    assert(infer("[1,2,3]") == JArray(JNumber))
+    assert(infer("[[1],[2]]") == JArray(JArray(JNumber)))
+    assert(infer("[1,\"a\"]") == JArray(JMixed))
+    assert(infer("[1,null]") == JArray(JNullable(JNumber)))
+    assert(infer("[null,1]") == JArray(JNullable(JNumber)))
+  }
+
+  test("objects (059-073): key-wise unify, optional keys") {
+    assert(infer("""{"id":1}""") == JObject(Map("id" -> ((false, JNumber)))))
+    // fixture 021: {"id":1} then {"id":2,"name":"test"} → name optional
+    val u = unify(infer("""{"id":1}"""), infer("""{"id":2,"name":"test"}"""))
+    assert(u == JObject(Map(
+      "id" -> ((false, JNumber)),
+      "name" -> ((true, JString)))))
+    // nested object
+    assert(infer("""{"a":{"b":true}}""") ==
+      JObject(Map("a" -> ((false, JObject(Map("b" -> ((false, JBool)))))))))
+  }
+
+  test("cross-row unification (058): mismatched scalars → mixed") {
+    assert(unify(JNumber, JString) == JMixed)
+    assert(unify(JArray(JNumber), JNumber) == JMixed)
+    assert(JsonInfer.inferAll(Iterator("1", "2.5")) == JNumber)
+    assert(JsonInfer.inferAll(Iterator("1", "\"a\"")) == JMixed)
+  }
+
+  test("unknown is identity, mixed absorbs") {
+    assert(unify(JUnknown, JNumber) == JNumber)
+    assert(unify(JNumber, JUnknown) == JNumber)
+    assert(unify(JMixed, JNumber) == JMixed)
+    assert(unify(JNullable(JUnknown), JNumber) == JNullable(JNumber))
+  }
+
+  test("malformed JSON throws (fixture 023: ingest aborts)") {
+    intercept[Exception] { infer("""{"a": """) }
+    intercept[Exception] { infer("""[1,""") }
+  }
+
+  test("top-level splitter: one row per value (014)") {
+    val vals = JsonInfer.splitTopLevel("""{"name":"John"} {"name":"Jane"} 3 [1,2]""")
+    assert(vals == Vector("""{"name":"John"}""", """{"name":"Jane"}""", "3", "[1,2]"))
+  }
+
+  test("json path [_] explodes array elements (large-json-array semantics)") {
+    val p = JsonInfer.parsePath("[_]")
+    assert(JsonInfer.select("[1,2,3]", p) == Vector("1", "2", "3"))
+    val po = JsonInfer.parsePath("""{"k":[_]}""")
+    assert(JsonInfer.select("""{"k":[4,5],"other":1}""", po) == Vector("4", "5"))
+  }
+
+  test("render is stable for catalog golden output") {
+    assert(render(infer("""{"id":1,"tags":["a"]}""")) ==
+      """{"id": number, "tags": [string]}""")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Name sanitation/dedup semantics (fixtures 007-010, 087;
+  * SensibleNames.hs:50-92, Keywords.hs:42-73).
+  */
+class NamesSpec extends AnyFunSuite {
+
+  test("special chars replaced, first char letter/underscore") {
+    assert(Names.avoidSpecialChars("foo bar") == "foo_bar")
+    assert(Names.avoidSpecialChars(">$x") == "__$x".replace("$", "_"))
+    assert(Names.avoidSpecialChars("9lives") == "_9lives")
+    assert(Names.avoidSpecialChars("") == "_")
+    assert(Names.avoidSpecialChars("_ok") == "_ok")
+  }
+
+  test("unicode letters survive (fixture 007: CJK, Hebrew headers)") {
+    assert(Names.avoidSpecialChars("中文字") == "中文字")
+    assert(Names.avoidSpecialChars("שלום") == "שלום")
+  }
+
+  test("keywords NOT avoided, capitalization preserved (quoted names)") {
+    assert(Names.avoidSpecialChars("create") == "create")
+    assert(Names.avoidSpecialChars("Table") == "Table")
+  }
+
+  test("dedup: foo,foo,bar,baz,bar,baz → _1 suffixes (fixture 009)") {
+    assert(Names.dedup(Seq("foo", "foo", "bar", "baz", "bar", "baz")) ==
+      Seq("foo", "foo_1", "bar", "baz", "bar_1", "baz_1"))
+  }
+
+  test("dedup is case-insensitive, original case kept (fixture 010)") {
+    assert(Names.dedup(Seq("foo", "Foo", "bar", "baz", "BAR", "baZ")) ==
+      Seq("foo", "Foo_1", "bar", "baz", "BAR_1", "baZ_1"))
+  }
+
+  test("truncation to max id len never cuts the suffix (fixture 008)") {
+    val a = "longA123456789B123456789C123456789D123456789EB123456789F123456789-A"
+    val b = "longA123456789B123456789C123456789D123456789EB123456789F123456789-B"
+    val out = Names.dedup(Seq(a, b))
+    assert(out.forall(_.length <= 63))
+    assert(out.distinct.size == 2)
+    assert(out(1).endsWith("_1"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Search._
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TsQuery parser: precedence | < & < juxt < ! < :") {
+    assert(parse("a b") == TsAnd(TsLexeme("a"), TsLexeme("b")))
+    assert(parse("a & b | c") ==
+      TsOr(TsAnd(TsLexeme("a"), TsLexeme("b")), TsLexeme("c")))
+    assert(parse("!a b") == TsAnd(TsNot(TsLexeme("a")), TsLexeme("b")))
+    assert(parse("name:foo") == TsLabel("name", TsLexeme("foo")))
+    assert(parse("a | b | c") ==
+      TsOr(TsOr(TsLexeme("a"), TsLexeme("b")), TsLexeme("c")))
+    assert(parse("(a | b) c") ==
+      TsAnd(TsOr(TsLexeme("a"), TsLexeme("b")), TsLexeme("c")))
+  }
+
+  test("TsQuery parser: error recovery — any string parses") {
+    assert(parse("") == TsLexeme(""))
+    assert(parse("a &") == TsLexeme("a"))       // dangling op recovered
+    assert(parse("| a") == TsLexeme("a"))
+    assert(parse("(a") == TsLexeme("a"))        // unclosed paren ok
+    assert(parse("a @@ b") == TsAnd(TsLexeme("a"), TsLexeme("b"))) // junk dropped
+  }
+
+  private def catalogDf = Seq(
+    (1L, "sales_data", "alice", "quarterly sales", Seq("finance", "q1"), Seq("region", "amount"), false, "2024-01-15T00:00:00Z"),
+    (2L, "weather", "bob", "temperature readings", Seq("science"), Seq("city", "temp"), false, "2024-03-01T00:00:00Z"),
+    (3L, "sales_old", "alice", "old sales", Seq("finance"), Seq("region", "total"), true, "2023-06-01T00:00:00Z")
+  ).toDF("ix", "name", "addedBy", "description", "tags", "friendlyNames", "deprecated", "created")
+
+  test("S3/S4/S5/S7: filters") {
+    val spec = SourcesSpec(filterName = Some("SALES"))
+    assert(Search.apply(catalogDf, spec).count() == 1) // deprecated excluded
+    assert(Search.apply(catalogDf, spec.copy(includeDeprecated = true)).count() == 2)
+    assert(Search.apply(catalogDf, SourcesSpec(filterIx = Some(2))).count() == 1)
+    assert(Search.apply(catalogDf, SourcesSpec(
+      filterCreatedAfter = Some("2024-02-01T00:00:00Z"))).count() == 1)
+    assert(Search.apply(catalogDf, SourcesSpec(filterTags = Seq("finance", "q1"))).count() == 1)
+    assert(Search.apply(catalogDf, SourcesSpec(filterUsers = Seq("ALICE", "bob"),
+      includeDeprecated = true)).count() == 3)
+    assert(Search.apply(catalogDf, SourcesSpec(filterColumns = Seq("region", "amount"))).count() == 1)
+  }
+
+  test("S1/S2: paging + multi-column sort") {
+    val got = Search.apply(catalogDf, SourcesSpec(
+      sortBy = Seq(("addedBy", true), ("name", false)),
+      includeDeprecated = true, offset = Some(1), limit = Some(1)))
+      .select("name").as[String].collect()
+    assert(got.toSeq == Seq("sales_data"))
+  }
+
+  test("S6: tsquery search with labels and prefix match") {
+    def q(s: String) =
+      Search.apply(catalogDf, SourcesSpec(searchQuery = Some(s), includeDeprecated = true))
+        .select("name").as[String].collect().toSet
+    assert(q("sales") == Set("sales_data", "sales_old"))       // prefix on name
+    assert(q("name:weather") == Set("weather"))
+    assert(q("tag:finance & !column:amount") == Set("sales_old"))
+    assert(q("temp | quarterly") == Set("weather", "sales_data"))
+    assert(q("user:alice column:region") == Set("sales_data", "sales_old"))
+  }
+
+  test("S8/S9: ACL semi-join + count") {
+    val acl = Seq(("alice", "sales_data"), ("alice", "weather")).toDF("usr", "sourcename")
+    val spec = SourcesSpec(readableBy = Some("alice"), includeDeprecated = true)
+    assert(Search.count(catalogDf, spec, Some(acl)) == 2)
+  }
+}

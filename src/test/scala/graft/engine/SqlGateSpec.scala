@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SqlGateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("summarize collects read relations; CTE names excluded (Q19/Q20)") {
+    val s = SqlGate.summarize(spark,
+      "WITH x AS (SELECT * FROM t1) SELECT * FROM x JOIN t2 ON x.a = t2.a")
+    assert(s.reads == Set("t1", "t2"))
+  }
+
+  test("writes denied (Q24: user SQL is read-only, Verified.hs:807-808)") {
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "INSERT INTO t1 VALUES (1)")
+    }
+    intercept[SqlGate.Denied] { SqlGate.summarize(spark, "DROP TABLE t1") }
+    intercept[SqlGate.Denied] { SqlGate.summarize(spark, "CREATE TABLE t1 (a INT)") }
+    intercept[SqlGate.Denied] { SqlGate.summarize(spark, "DELETE FROM t1 WHERE a = 1") }
+  }
+
+  test("function scans denied (Q23, QueryPlan.hs:340)") {
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "SELECT * FROM range(10)")
+    }
+  }
+
+  test("unknown tables and ACL enforced at execute") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("known")
+    val df = SqlGate.execute(spark, "SELECT k FROM known", Set("known"))
+    assert(df.count() == 1)
+    intercept[SqlGate.Denied] {
+      SqlGate.execute(spark, "SELECT * FROM mystery", Set("known"))
+    }
+    intercept[SqlGate.Denied] {
+      SqlGate.execute(spark, "SELECT k FROM known", Set("known"), _ => false)
+    }
+  }
+}
