@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each built as
+  * the scalable Spark pattern:
+  *
+  *  - exact: hash-groupBy — one shuffle on the content hash.
+  *  - MinHash + LSH: shingle → K minhash signatures → band keys →
+  *    candidate pairs via an equi-join on (band, key). Never compares
+  *    all N² pairs; the only joins are on band buckets, which is the
+  *    standard 100 TB-scale near-dup design (banding keeps bucket
+  *    sizes bounded; skewed buckets can be salted).
+  *  - SimHash: per-token hash bits summed into a compact bit string;
+  *    half-signature blocking for candidate pairs + exact hamming check.
+  *  - n-gram Jaccard: exact verification on blocked candidates via
+  *    token-set intersection counts (explode + groupBy, no N²).
+  *
+  * Hashes are md5-derived so results are deterministic and engine-
+  * portable (the DuckDB oracles reproduce them bit-for-bit).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: one survivor (min id) per
+    * distinct text; dup_count for observability.
+    */
+  def exact(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.groupBy(md5(lower(trim(text))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    // element_at + concat_ws(skip-null) instead of slice(): no per-shingle
+    // array allocation; out-of-range positions yield NULL and vanish
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** Per-document minhash signature as ONE row with an array column:
+    * hash j of a doc = lexical min over shingles of md5(j || '#' ||
+    * shingle). One explode + one groupBy with numHashes min-aggregates —
+    * a single shuffle regardless of numHashes (vs. exploding ×numHashes).
+    */
+  def minhashSignatures(df: DataFrame, text: Column = col("text"),
+                        numHashes: Int = 12, k: Int = 3): DataFrame = {
+    val ex = df.select(col("doc_id"), explode(shingles(text, k)).as("g"))
+    val minCols = (0 until numHashes).map(j =>
+      min(md5(concat(lit(j.toString), lit("#"), col("g")))).as(s"h$j"))
+    ex.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with estimated Jaccard.
+    * Signature arrays travel WITH the band keys, so candidate pairs can
+    * score agreement locally — two shuffles total (signature groupBy +
+    * bucket join), independent of numHashes/bands.
+    */
+  def minhashLsh(df: DataFrame, text: Column = col("text"),
+                 numHashes: Int = 12, bands: Int = 4,
+                 threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, text, numHashes, k)
+
+    // per-band key: md5 of the band's signature slice, joined with '|'
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws("|", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*))): _*)).as(Seq("band", "band_key")))
+
+    val agree = aggregate(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => (a === b).cast("double")),
+      lit(0.0), (acc, v) => acc + v) / numHashes
+
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        round(agree, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document: bit b of md5(token) votes ±1; the
+    * sign of each bit-position sum forms the signature (as a '0'/'1'
+    * string). Bit b of a token = high bit of hex nibble b.
+    */
+  def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(split(text, " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // 32 sum-aggregates, one per bit position — single shuffle, no ×32
+    // row explosion. Hex nibble >= 8 <=> its high bit set.
+    val voteCols = (0 until 32).map { b =>
+      sum(when(col("h").substr(b + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$b")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(b =>
+          (col(s"v$b") > 0).cast("int").cast("string")): _*).as("simhash"),
+        // integer form (bit b = 1<<b): hamming via bit_count(xor), which
+        // codegens to two instructions instead of 32 substr compares
+        (0 until 32).map(b =>
+          (col(s"v$b") > 0).cast("long") * (1L << b)).reduce(_ + _).as("simhash_int"))
+  }
+
+  /** SimHash near-dup pairs: block on each 16-bit half (a pair within
+    * hamming ≤ maxHamming very likely agrees on one half), then verify
+    * exact hamming distance on candidates.
+    */
+  def simhashPairs(df: DataFrame, text: Column = col("text"),
+                   maxHamming: Int = 4): DataFrame = {
+    val sh = simhash(df, text)
+    val halves = sh.select(col("doc_id"), col("simhash_int"),
+        explode(array(
+          concat(lit("L"), substring(col("simhash"), 1, 16)),
+          concat(lit("R"), substring(col("simhash"), 17, 16)))).as("half"))
+    halves.as("x").join(halves.as("y"),
+        col("x.half") === col("y.half") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash_int").bitwiseXOR(col("y.simhash_int")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard on blocked candidates: block by set
+    * fingerprint prefix (cheap recall filter), then compute
+    * |A∩B| / |A∪B| via exploded token-set join — never N².
+    */
+  def ngramJaccard(df: DataFrame, text: Column = col("text"),
+                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col("doc_id"), shingles(text, k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .withColumn("block", substring(md5(element_at(sort_array(col("sh")), 1)), 1, 8))
+    // force a sort-merge self-join: both sides then need identical
+    // exchanges on (g, block), which Spark plans as one exchange +
+    // ReusedExchange — the expensive shingle explode runs ONCE. (AQE
+    // would otherwise broadcast one side and recompute it per side.)
+    val ex = sets.select(col("doc_id"), col("sz"), col("block"), explode(col("sh")).as("g"))
+      .hint("MERGE")
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.block") === col("y.block") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

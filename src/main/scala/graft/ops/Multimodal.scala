@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in batches via
+  * mapPartitions (the Scala analog of mapInPandas batch processing —
+  * one decoder instantiation per partition, bounded memory per batch).
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): `fakeDecode` produces a deterministic "decoded frame"
+  * from the bytes, so the Spark-side plumbing — schema, batching,
+  * partitioning, UDF signature — is real and tested while the decoder
+  * body is swappable for a real codec.
+  */
+object Multimodal {
+
+  /** Cheap metadata over a binary payload column — pure column
+    * expressions, no decode: byte length, content hash, magic-number
+    * prefix (what a format sniffer reads).
+    */
+  def binaryMeta(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col("payload")).cast("int").as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      lower(hex(substring(col("payload"), 1, 8))).as("magic_prefix"))
+
+  /** The decoded-frame record produced per payload. */
+  final case class DecodedMeta(
+      doc_id: Long, width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** STUB decoder: deterministic fake dimensions derived from the
+    * payload bytes. A real implementation would decode image headers
+    * (PNG IHDR / JPEG SOF) here; everything around it stays identical.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val n = payload.length
+    val checksum = payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+    (256 + (math.abs(checksum) % 512).toInt, 256 + (n % 512), 3, checksum)
+  }
+
+  /** Batched decode over (doc_id, payload) rows: mapPartitions so any
+    * per-decoder setup cost is paid once per partition, mirroring the
+    * mapInPandas/Arrow-batch execution shape at scale.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real decoder would process a
+          // columnar Arrow batch / GPU batch at once
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, c, sum) = fakeDecode(bytes)
+            DecodedMeta(id, w, h, c, sum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic frame sampling plumbing for "video" payloads: emit
+    * every `stride`-th chunk of the payload as a frame row (the real
+    * version would seek keyframes).
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 1024, stride: Int = 4): DataFrame =
+    df.select(col("doc_id"),
+        posexplode(split_part_bytes(col("payload"), frameBytes)).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0)
+
+  /** Chunk a binary column into fixed-size pieces (helper expression). */
+  private def split_part_bytes(payload: org.apache.spark.sql.Column, size: Int) =
+    transform(
+      sequence(lit(0), ((length(payload) - 1) / size).cast("int")),
+      i => payload.substr((i * size + 1).cast("int"), lit(size)))
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * - Brute-force cosine top-k: the exact baseline — a broadcast of the
+  *   (small) query set against the full corpus; one pass, no N² when
+  *   |queries| ≪ |corpus|. Dot products are pure column expressions
+  *   (zip_with + aggregate → whole-stage codegen, no UDFs).
+  * - LSH-bucketed ANN (random-hyperplane sign bits): the scale path —
+  *   candidates come from an equi-join on the bucket key, so the
+  *   comparison count is bounded by bucket sizes, not corpus².
+  *   At 100 TB the bucket join shuffles on the key; multiple hash
+  *   tables (offsets) trade recall for cost.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (float products, double
+    * accumulation, array order — matched exactly by the oracles).
+    */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+
+  /** cos(a, b) as a column expression over two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+
+  /** Cosine with precomputed norms: one dot per pair instead of three
+    * (the per-vector norms are computed once per ROW, not once per
+    * PAIR — same arithmetic, so results are bit-identical).
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / normA / normB
+
+  /** Exact top-k neighbors for each query vector (excluding itself).
+    * Ranking happens on the ROUNDED similarity with id tie-breaks so
+    * results are stable across engines and runs.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("embedding"), col("q_norm"), col("n_norm")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane bucket key: the sign bits of `nBits` fixed
+    * pseudo-random hyperplanes. Hyperplane h's coefficient for
+    * dimension d is derived from md5("h:d") — deterministic, engine-
+    * portable, no stored model.
+    */
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+    val bits = (0 until nBits).map { h =>
+      val coefs = (0 until dim).map { d =>
+        // coefficient in [-0.5, 0.5): first 6 hex chars of md5("h:d")
+        (java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$d").substring(0, 6), 16)
+          .toDouble / 0xFFFFFF.toDouble) - 0.5
+      }
+      // zip_with against a literal coefficient array: one compact
+      // expression per hyperplane (vs dim explicit terms — keeps
+      // codegen small and the dot product loop-shaped)
+      val proj = aggregate(
+        zip_with(emb, array(coefs.map(lit): _*), (a, c) => a * c),
+        lit(0.0d), (acc, v) => acc + v)
+      (proj >= 0).cast("int").cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN via LSH buckets: neighbors searched only within the query's
+    * bucket; exact cosine re-ranking inside the bucket.
+    */
+  def lshTopK(corpus: DataFrame, dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    val pairs = bucketed.as("q").join(bucketed.as("n"),
+        col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        round(cosinePre(col("q.embedding"), col("n.embedding"),
+          col("q.norm"), col("n.norm")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ),
+    * blocked by LSH bucket so the pair join is bucket-local.
+    */
+  def cosineDups(corpus: DataFrame, dim: Int, threshold: Double,
+                 nBits: Int = 4): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(cosinePre(col("x.embedding"), col("y.embedding"),
+          col("x.norm"), col("y.norm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

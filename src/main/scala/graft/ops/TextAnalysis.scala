@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language heuristics, and
+  * document fingerprinting. All pure column expressions (whole-stage
+  * codegen, no UDFs) — they run at scan speed and scale linearly; the
+  * only shuffles are the callers' aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword count: runs of letters, digits, or single
+    * punctuation marks (the common pre-tokenizer regex family).
+    */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Token statistics: counts + average token length. */
+  def tokenStats(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    df.select(
+      col("doc_id"),
+      size(toks).cast("int").as("n_tokens"),
+      size(array_distinct(toks)).cast("int").as("n_distinct"),
+      bpeishCount(text).cast("int").as("n_subwords"),
+      length(text).cast("int").as("n_chars"),
+      round(
+        aggregate(transform(toks, t => length(t).cast("double")),
+          lit(0.0), (acc, x) => acc + x) / size(toks), 4).as("avg_token_len"))
+  }
+
+  /** Quality-scoring heuristics: length, punctuation ratio, stopword
+    * ratio, repetition (distinct/total tokens). score in [0,1].
+    */
+  def quality(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val punctCnt = (length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lengthOk = (length(text) >= 50 && length(text) <= 10000).cast("double")
+    df.select(
+      col("doc_id"),
+      round(stopCnt / nTok, 4).as("stopword_ratio"),
+      round(punctCnt / length(text).cast("double"), 4).as("punct_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      round((distinctRatio * lit(0.5) + lengthOk * lit(0.3) +
+        least(stopCnt / nTok * 5, lit(1.0)) * lit(0.2)), 4).as("quality_score"))
+  }
+
+  /** Character-n-gram language heuristic: deterministic scores from
+    * marker n-gram frequencies (the classic stopword/char-class
+    * approach). Returns the scores and the argmax label.
+    */
+  def langid(df: DataFrame, text: Column = col("text")): DataFrame = {
+    def ngramCount(t: Column, g: String): Column =
+      ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), ""))) /
+        g.length).cast("double")
+    val lowered = lower(text)
+    val len = length(lowered).cast("double")
+    val enScore = (ngramCount(lowered, "th") + ngramCount(lowered, " the ") * 2 +
+      ngramCount(lowered, "ing")) / len
+    val romScore = (ngramCount(lowered, " de ") * 2 + ngramCount(lowered, " la ") * 2 +
+      ngramCount(lowered, "ción") * 3 + ngramCount(lowered, " le ") * 2) / len
+    val deScore = (ngramCount(lowered, "sch") * 2 + ngramCount(lowered, " der ") * 2 +
+      ngramCount(lowered, " und ") * 3) / len
+    val cjkScore = (length(lowered) -
+      length(regexp_replace(lowered, "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") / len
+    df.select(
+      col("doc_id"),
+      round(enScore, 6).as("score_en"),
+      round(romScore, 6).as("score_rom"),
+      round(deScore, 6).as("score_de"),
+      round(cjkScore, 6).as("score_cjk"),
+      when(cjkScore > 0.05, "zh")
+        .when(deScore >= enScore && deScore >= romScore, "de")
+        .when(romScore > enScore, "rom")
+        .otherwise("en").as("predicted"))
+  }
+
+  /** Canonical document fingerprint: hash of the sorted distinct token
+    * set (near-dup key invariant to word order), plus a positional
+    * rolling-style prefix hash.
+    */
+  def fingerprint(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    df.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("set_fingerprint"),
+      md5(concat_ws(" ", slice(toks, 1, 8))).as("prefix_fingerprint"))
+  }
+}

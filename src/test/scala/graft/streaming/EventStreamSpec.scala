@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming windowed counts equal the batch query on static data") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, dir, "events")
+    // streaming source needs a plain parquet dir with a declared schema;
+    // rewrite the (nanos-fixed) events to a temp dir first
+    val tmp = java.nio.file.Files.createTempDirectory("events-stream").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+
+    val streamed = EventStream.runOnce(spark, tmp, batchEvents.schema)
+      .orderBy("window_start", "event_type").collect()
+    val batch = batchEvents
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+}
