@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[NamedQuery] =
     _root_.graft.queries.Relational.queries ++
     _root_.graft.queries.SqlSurface.queries ++
-    _root_.graft.queries.PipelineOps.queries
+    _root_.graft.queries.PipelineOps.queries ++
+    _root_.graft.queries.EngineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-style shipping-priority join+agg: orders x customer x

@@ -1,0 +1,92 @@
+package graft.engine
+
+/** Users / groups / dataset-access-level security model (SURVEY.md S8;
+  * reference: Interface/Security.hs:90-103 access-level lattice,
+  * DB/Schema.hs:339-493 tables users/groups/membership/
+  * datasetuseraccess/datasetgroupaccess/cancreate*, DB/Security.hs
+  * public group semantics, cachedcanread rebuild Schema.hs:468-493).
+  *
+  * The effective level of a user on a dataset = max of their direct
+  * grant and every grant to a group they belong to; new datasets give
+  * their creator Manage; members of the "public" group can read
+  * public datasets. `canReadDf` materializes the (usr, sourcename)
+  * read-cache the search semi-join consumes — the analog of the
+  * trigger-maintained cachedcanread table, recomputed on change.
+  */
+object Acl {
+
+  sealed abstract class Level(val rank: Int, val display: String)
+      extends Ordered[Level] {
+    def compare(that: Level): Int = rank.compareTo(that.rank)
+  }
+  case object LevelNone extends Level(0, "no access")
+  case object LevelRead extends Level(1, "READ")
+  case object LevelUpdate extends Level(2, "UPDATE")
+  case object LevelManage extends Level(3, "MANAGE")
+
+  val PublicGroup = "public"
+
+  final case class State(
+      users: Set[String] = Set.empty,
+      groups: Set[String] = Set(PublicGroup),
+      membership: Set[(String, String)] = Set.empty,          // (user, group)
+      userAccess: Map[(String, String), Level] = Map.empty,   // (user, source) -> level
+      groupAccess: Map[(String, String), Level] = Map.empty,  // (group, source) -> level
+      canCreate: Set[String] = Set.empty,
+      canCreateGroup: Set[String] = Set.empty,
+      canManageGroup: Set[(String, String)] = Set.empty) {    // (user, group)
+
+    def addUser(u: String): State =
+      copy(users = users + u, membership = membership + ((u, PublicGroup)))
+
+    def createGroup(byUser: String, g: String): State = {
+      require(canCreateGroup.contains(byUser), s"$byUser cannot create groups")
+      copy(groups = groups + g, canManageGroup = canManageGroup + ((byUser, g)))
+    }
+
+    def addToGroup(byUser: String, u: String, g: String): State = {
+      require(canManageGroup.contains((byUser, g)), s"$byUser cannot manage $g")
+      copy(membership = membership + ((u, g)))
+    }
+
+    /** Grant by a user holding Manage on the source. */
+    def grantUser(byUser: String, u: String, source: String, l: Level): State = {
+      require(level(byUser, source) == LevelManage, s"$byUser cannot manage $source")
+      copy(userAccess = userAccess + ((u, source) -> l))
+    }
+
+    def grantGroup(byUser: String, g: String, source: String, l: Level): State = {
+      require(level(byUser, source) == LevelManage, s"$byUser cannot manage $source")
+      copy(groupAccess = groupAccess + ((g, source) -> l))
+    }
+
+    /** Creator gets Manage (DB/Sources.hs newSource semantics). */
+    def onCreate(creator: String, source: String): State =
+      copy(userAccess = userAccess + ((creator, source) -> LevelManage))
+
+    /** Public datasets: grant the public group Read. */
+    def makePublic(byUser: String, source: String): State =
+      grantGroup(byUser, PublicGroup, source, LevelRead)
+
+    /** Effective level: max over direct + group grants. */
+    def level(u: String, source: String): Level = {
+      val direct = userAccess.getOrElse((u, source), LevelNone)
+      val viaGroups = membership.collect {
+        case (`u`, g) => groupAccess.getOrElse((g, source), LevelNone)
+      }
+      (viaGroups.toSeq :+ direct).max
+    }
+
+    def canRead(u: String, source: String): Boolean = level(u, source) >= LevelRead
+
+    /** The cachedcanread analog: one (usr, sourcename) row per readable
+      * pair, for the search semi-join (Search.apply readableBy).
+      */
+    def canReadDf(spark: org.apache.spark.sql.SparkSession,
+                  sources: Seq[String]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      (for { u <- users.toSeq; s <- sources if canRead(u, s) } yield (u, s))
+        .toDF("usr", "sourcename")
+    }
+  }
+}

@@ -66,6 +66,7 @@ object Ingest {
     case ColumnType.ColInt(IntWidth.I4) => trim(c).cast(IntegerType)
     case ColumnType.ColInt(IntWidth.I8) => trim(c).cast(LongType)
     case ColumnType.ColReal             => trim(c).cast(DoubleType)
+    case ColumnType.ColForeign(_, _)    => trim(c).cast(LongType)
     case _                              => c // Text / Document / JSON stay raw
   }
 
@@ -134,6 +135,65 @@ object Ingest {
       case (None, i)    => s"c${i + 1}"
     })
     Ingested(untyped, headers, friendly, colTypes)
+  }
+
+  /** Extra-data ingest (I10; Ingest.hs:267-340, DataFormat.hs:134-172):
+    * a wide file whose HEADERS match row values of an existing metadata
+    * source is melted into long form. Each header either equals a value
+    * in `metaField` of `meta` (→ it references that row's ix) or is a
+    * plain data column. Every input row yields one output row per
+    * referencing column: (ix, foreign_ix, value, <data columns>).
+    *
+    * The header→ix lookup is driver-side (headers are one small row —
+    * same as the reference's in-memory `lookupRowIx`); the melt itself
+    * is a distributed posexplode, so the wide fact file can be 100 TB.
+    */
+  def extraData(spark: SparkSession, widePath: String,
+                meta: DataFrame, metaField: String,
+                opts: CsvOptions = CsvOptions()): Ingested = {
+    val wide = csv(spark, widePath, opts)
+    val headerToIx: Map[String, Long] =
+      meta.select(trim(col(metaField)).cast("string"), col("ix").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headers = wide.headers.map(_.getOrElse(""))
+    val refCols: Seq[(Int, Long)] = headers.zipWithIndex.collect {
+      case (h, i) if headerToIx.contains(h.trim) => (i, headerToIx(h.trim))
+    }
+    val dataCols: Seq[(Int, String)] = headers.zipWithIndex.collect {
+      case (h, i) if !headerToIx.contains(h.trim) => (i, h)
+    }
+
+    // one output row per (input row, referencing column), file order
+    val pairs = array(refCols.map { case (i, fix) =>
+      struct(lit(fix).as("fix"), col(s"c${i + 1}").as("v"))
+    }: _*)
+    val melted = wide.untyped
+      .select(col("ix").as("src_ix"), posexplode(pairs).as(Seq("pos", "p")),
+        struct(dataCols.map { case (i, _) => col(s"c${i + 1}") }: _*).as("d"))
+      .select(Seq(col("src_ix"), col("pos"), col("p.fix").as("c1"), col("p.v").as("c2")) ++
+        dataCols.zipWithIndex.map { case ((i, _), o) =>
+          col(s"d.c${i + 1}").as(s"c${o + 3}") }: _*)
+
+    // renumber 1..N in (source row, column) order without a global sort
+    // collapse: range-partition + per-partition index
+    val ordered = melted.orderBy("src_ix", "pos").drop("src_ix", "pos")
+    val fields = ordered.schema.fields
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ix", org.apache.spark.sql.types.LongType, false) +: fields)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    val untyped = spark.createDataFrame(rows, outSchema)
+      .withColumn("c1", col("c1").cast("string")) // untyped table is all-text
+
+    val valueAndData = untyped.select(
+      (2 to (2 + dataCols.length)).map(i => col(s"c$i")): _*)
+    val inferred = Infer.inferColumns(valueAndData)
+    val colTypes = ColumnType.ColForeign("meta", "ix") +: inferred
+    Ingested(untyped,
+      None +: None +: dataCols.map(c => Some(c._2)),
+      Names.dedup("foreign_ix" +: "value" +: dataCols.map(_._2)),
+      colTypes)
   }
 
   final case class JsonOptions(

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Files
+import graft.NamedQuery
+import graft.engine._
+
+/** Family A/B engine operators surfaced through the driver's
+  * correctness gate. These don't read the TPC-H tables — each runs an
+  * engine flow (ingest/inference/naming/versioning/compaction/search/
+  * authorization) on embedded deterministic input and emits its result
+  * as rows; the DuckDB oracle is the expected output as a VALUES
+  * literal, so the hash compare pins exact reference semantics
+  * (types inferred, names assigned, versions flagged, plans denied).
+  */
+object EngineOps {
+
+  private def tmpFile(content: String, suffix: String): String = {
+    val p = Files.createTempFile("graft-eng", suffix)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private def rowsDf(s: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = rows.headOption.map(_.zip(cols).map {
+      case (_: Int, n)     => StructField(n, IntegerType)
+      case (_: Long, n)    => StructField(n, LongType)
+      case (_: Boolean, n) => StructField(n, BooleanType)
+      case (_, n)          => StructField(n, StringType)
+    }).getOrElse(cols.map(StructField(_, StringType)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava,
+      StructType(fields))
+  }
+
+  // fixture contents (regenerated equivalents of the reference corpus)
+  private val inferCsv =
+    "bool,int,bigint,real,text\n0,2,1234567890,3.5,hello\n1,7,9876543210,1e-4,world\nt,-42,42,2.5,abc\n"
+  private val raggedCsv = "a,b\n1\n1,2,3,4\n1,2\n"
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // I1+I4+I6+I7+I12: CSV ingest — inferred schema snapshot (the
+    // dbinfo.expected golden-output analog)
+    NamedQuery("im01_infer_csv",
+      (s, _) => {
+        val ing = Ingest.csv(s, tmpFile(inferCsv, ".csv"))
+        rowsDf(s, Seq("col_index", "name", "col_type"),
+          ing.friendlyNames.zip(ing.colTypes).zipWithIndex.map {
+            case ((n, t), i) => Seq(i + 1, n, t.displayName)
+          })
+      },
+      Some("""SELECT * FROM (VALUES
+             (1, 'bool', 'BOOLEAN'), (2, 'int', 'INTEGER'), (3, 'bigint', 'BIGINT'),
+             (4, 'real', 'DOUBLE PRECISION'), (5, 'text', 'TEXT'))
+             t(col_index, name, col_type) ORDER BY col_index""")),
+
+    // I7: ragged-row widening + row numbering
+    NamedQuery("im02_ragged_widen",
+      (s, _) => {
+        val ing = Ingest.csv(s, tmpFile(raggedCsv, ".csv"))
+        rowsDf(s, Seq("n_cols", "n_rows", "names"),
+          Seq(Seq(ing.colTypes.length, ing.untyped.count().toInt,
+            ing.friendlyNames.mkString(","))))
+      },
+      Some("""SELECT * FROM (VALUES (4, 3, 'a,b,c3,c4')) t(n_cols, n_rows, names)""")),
+
+    // I12: name sanitation + case-insensitive dedup
+    NamedQuery("im03_names_dedup",
+      (s, _) => {
+        val in = Seq("foo", "Foo", "bar baz", "create", "9x", "bar_baz")
+        rowsDf(s, Seq("pos", "name"),
+          Names.dedup(in).zipWithIndex.map { case (n, i) => Seq(i + 1, n) })
+      },
+      Some("""SELECT * FROM (VALUES
+             (1, 'foo'), (2, 'Foo_1'), (3, 'bar_baz'), (4, 'create'),
+             (5, '_9x'), (6, 'bar_baz_1')) t(pos, name) ORDER BY pos""")),
+
+    // I5: JSON type unification across rows
+    NamedQuery("im04_json_infer",
+      (s, _) => {
+        val cases = Seq(
+          "1" -> Seq("1", "2.5"),
+          "2" -> Seq("""{"id":1}""", """{"id":2,"name":"x"}"""),
+          "3" -> Seq("[1,2]", "[]", "[null]"),
+          "4" -> Seq("1", "\"a\""))
+        rowsDf(s, Seq("case_id", "unified"),
+          cases.map { case (id, vals) =>
+            Seq(id, JsonType.render(JsonInfer.inferAll(vals.iterator)))
+          })
+      },
+      Some("""SELECT * FROM (VALUES
+             ('1', 'number'),
+             ('2', '{"id": number, "name"?: string}'),
+             ('3', '[nullable(number)]'),
+             ('4', 'mixed')) t(case_id, unified) ORDER BY case_id""")),
+
+    // S6: TsQuery parser (precedence + recovery), rendered canonically
+    NamedQuery("im05_tsquery_parse",
+      (s, _) => {
+        def render(t: Search.Ts): String = t match {
+          case Search.TsLexeme(l)   => l
+          case Search.TsOr(a, b)    => s"(${render(a)}|${render(b)})"
+          case Search.TsAnd(a, b)   => s"(${render(a)}&${render(b)})"
+          case Search.TsNot(a)      => s"!${render(a)}"
+          case Search.TsLabel(l, q) => s"$l:${render(q)}"
+          case Search.TsError       => "<err>"
+        }
+        val cases = Seq("a b", "a & b | c", "!a b", "name:foo tag:bar", "a @@ b", "(a | b) c")
+        rowsDf(s, Seq("query", "parsed"),
+          cases.map(q => Seq(q, render(Search.parse(q)))))
+      },
+      Some("""SELECT * FROM (VALUES
+             ('a b', '(a&b)'),
+             ('a & b | c', '((a&b)|c)'),
+             ('!a b', '(!a&b)'),
+             ('name:foo tag:bar', '(name:foo&tag:bar)'),
+             ('a @@ b', '(a&b)'),
+             ('(a | b) c', '((a|b)&c)')) t(query, parsed) ORDER BY query""")),
+
+    // I14+I15+I19: versioning, auto-deprecation, idempotent re-ingest
+    NamedQuery("im06_versioning",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        cat.ingest("ds", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          created = Some("2024-01-01T00:00:00Z"))
+        cat.ingest("ds", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          created = Some("2024-01-02T00:00:00Z"))
+        cat.ingest("ds", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          sourceIdent = Some("same-sha"), created = Some("2024-01-03T00:00:00Z"))
+        cat.ingest("ds", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          sourceIdent = Some("same-sha"), created = Some("2024-01-04T00:00:00Z")) // no-op
+        cat.tag("ds", 1, "archived")
+        rowsDf(s, Seq("version", "deprecated", "n_rows", "tags"),
+          cat.entries.sortBy(_.version).map(e =>
+            Seq(e.version, e.deprecated, e.rowCount.toInt, e.tags.mkString(","))))
+      },
+      Some("""SELECT * FROM (VALUES
+             (1, true, 3, 'archived'),
+             (2, true, 3, ''),
+             (3, false, 3, 'SUID:same-sha')) t(version, deprecated, n_rows, tags)
+             ORDER BY version""")),
+
+    // I11: compaction — identical versions share rows (ixs membership)
+    NamedQuery("im07_compaction",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        val f = tmpFile(inferCsv, ".csv")
+        cat.ingest("ds", Ingest.csv(s, f), "csv")
+        cat.ingest("ds", Ingest.csv(s, f), "csv")
+        val before = Export.csvString(cat.view("ds", 1).orderBy("ix"))
+        cat.compact("ds")
+        val after = Export.csvString(cat.view("ds", 1).orderBy("ix"))
+        val compacted = s.read.parquet(cat.entries.head.compactedPath)
+        rowsDf(s, Seq("compacted_rows", "roundtrip_ok", "all_shared"),
+          Seq(Seq(compacted.count().toInt, before == after,
+            compacted.selectExpr("min(size(ixs))").head.getInt(0) == 2)))
+      },
+      Some("""SELECT * FROM (VALUES (3, true, true)) t(compacted_rows, roundtrip_ok, all_shared)""")),
+
+    // Q23/Q24 + ACL: the authorizer verdict matrix
+    NamedQuery("im08_sqlgate",
+      (s, _) => {
+        def verdict(sql: String): String =
+          try { SqlGate.summarize(s, sql).reads.toSeq.sorted.mkString(",") match {
+            case "" => "ok:"
+            case r  => s"ok:$r"
+          } } catch { case SqlGate.Denied(_) => "denied" }
+        val cases = Seq(
+          ("1", "SELECT * FROM t1 JOIN t2 ON t1.a = t2.a"),
+          ("2", "WITH x AS (SELECT * FROM t3) SELECT * FROM x"),
+          ("3", "INSERT INTO t1 VALUES (1)"),
+          ("4", "DROP TABLE t1"),
+          ("5", "SELECT * FROM range(10)"),
+          ("6", "SELECT 1"))
+        rowsDf(s, Seq("case_id", "verdict"),
+          cases.map { case (id, sql) => Seq(id, verdict(sql)) })
+      },
+      Some("""SELECT * FROM (VALUES
+             ('1', 'ok:t1,t2'), ('2', 'ok:t3'), ('3', 'denied'),
+             ('4', 'denied'), ('5', 'denied'), ('6', 'ok:')) t(case_id, verdict)
+             ORDER BY case_id""")),
+
+    // S8 + security model: effective access levels
+    NamedQuery("im09_acl_levels",
+      (s, _) => {
+        var st = Acl.State(canCreateGroup = Set("admin"))
+          .addUser("admin").addUser("alice").addUser("bob").addUser("carol")
+        st = st.onCreate("alice", "ds1")
+        st = st.createGroup("admin", "team")
+        st = st.addToGroup("admin", "bob", "team")
+        st = st.grantGroup("alice", "team", "ds1", Acl.LevelUpdate)
+        st = st.makePublic("alice", "ds1")
+        rowsDf(s, Seq("usr", "level"),
+          Seq("alice", "bob", "carol").map(u => Seq(u, st.level(u, "ds1").display)))
+      },
+      Some("""SELECT * FROM (VALUES
+             ('alice', 'MANAGE'), ('bob', 'UPDATE'), ('carol', 'READ'))
+             t(usr, level) ORDER BY usr""")),
+
+    // I10: extra-data unpivot ingest with FK
+    NamedQuery("im10_extra_data",
+      (s, _) => {
+        val metaF = tmpFile("pid,info\nSRP1,a\nSRP2,b\n", ".csv")
+        val wideF = tmpFile("gene,SRP1,SRP2\ng1,1.5,2.5\ng2,3.5,4.5\n", ".csv")
+        val meta = Ingest.csv(s, metaF).view
+        val ing = Ingest.extraData(s, wideF, meta, "pid")
+        import org.apache.spark.sql.functions.col
+        ing.view.select(col("ix").cast("int").as("ix"),
+          col("foreign_ix").cast("int").as("foreign_ix"),
+          col("value"), col("gene")).orderBy("ix")
+      },
+      Some("""SELECT * FROM (VALUES
+             (1, 1, CAST(1.5 AS DOUBLE), 'g1'), (2, 2, CAST(2.5 AS DOUBLE), 'g1'),
+             (3, 1, CAST(3.5 AS DOUBLE), 'g2'), (4, 2, CAST(4.5 AS DOUBLE), 'g2'))
+             t(ix, foreign_ix, value, gene) ORDER BY ix""")),
+
+    // I16/I17: export round-trip invariants
+    NamedQuery("im11_export_roundtrip",
+      (s, _) => {
+        val ing = Ingest.csv(s, tmpFile(inferCsv, ".csv"))
+        val csvOut = Export.csvString(ing.view.orderBy("ix"))
+        val jsonIng = Ingest.json(s, tmpFile("{\"a\":1} {\"a\":2}", ".json"))
+        val raw = Export.jsonRaw(jsonIng.untyped)
+        rowsDf(s, Seq("csv_lines", "csv_header", "json_roundtrip"),
+          Seq(Seq(csvOut.split("\n").length,
+            csvOut.split("\n").head,
+            raw == "{\"a\":1}\n{\"a\":2}\n")))
+      },
+      Some("""SELECT * FROM (VALUES (4, 'ix,bool,int,bigint,real,text', true))
+             t(csv_lines, csv_header, json_roundtrip)"""))
+  )
+}

@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Acl._
+
+/** Security model semantics (runsecuritytests.sh scenario style). */
+class AclSpec extends AnyFunSuite {
+
+  private val base = State(canCreateGroup = Set("admin"))
+    .addUser("admin").addUser("alice").addUser("bob").addUser("carol")
+
+  test("creator gets manage; others none") {
+    val s = base.onCreate("alice", "ds1")
+    assert(s.level("alice", "ds1") == LevelManage)
+    assert(s.level("bob", "ds1") == LevelNone)
+    assert(!s.canRead("bob", "ds1"))
+  }
+
+  test("direct grant and revoke-by-downgrade") {
+    var s = base.onCreate("alice", "ds1")
+    s = s.grantUser("alice", "bob", "ds1", LevelRead)
+    assert(s.canRead("bob", "ds1") && s.level("bob", "ds1") == LevelRead)
+    s = s.grantUser("alice", "bob", "ds1", LevelNone)
+    assert(!s.canRead("bob", "ds1"))
+    intercept[IllegalArgumentException] {
+      s.grantUser("bob", "carol", "ds1", LevelRead) // bob can't manage
+    }
+  }
+
+  test("group grants: effective level is max over memberships") {
+    var s = base.onCreate("alice", "ds1")
+    s = s.createGroup("admin", "team")
+    s = s.addToGroup("admin", "bob", "team")
+    s = s.grantGroup("alice", "team", "ds1", LevelUpdate)
+    assert(s.level("bob", "ds1") == LevelUpdate)
+    s = s.grantUser("alice", "bob", "ds1", LevelRead)
+    assert(s.level("bob", "ds1") == LevelUpdate) // max wins
+  }
+
+  test("public datasets readable by everyone via the public group") {
+    var s = base.onCreate("alice", "ds1")
+    assert(!s.canRead("carol", "ds1"))
+    s = s.makePublic("alice", "ds1")
+    assert(s.canRead("carol", "ds1"))
+  }
+
+  test("canReadDf feeds the search semi-join") {
+    val spark = TestSpark.spark
+    var s = base.onCreate("alice", "ds1").onCreate("bob", "ds2")
+    s = s.makePublic("alice", "ds1")
+    val df = s.canReadDf(spark, Seq("ds1", "ds2"))
+    import spark.implicits._
+    val pairs = df.as[(String, String)].collect().toSet
+    assert(pairs.contains(("carol", "ds1")))
+    assert(!pairs.contains(("carol", "ds2")))
+    assert(pairs.contains(("bob", "ds2")))
+  }
+}

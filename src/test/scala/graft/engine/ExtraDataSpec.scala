@@ -1,0 +1,35 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** I10 extra-data unpivot ingest (projects-md/projects-data fixture
+  * semantics, gen-test-data:63-91 + Ingest.hs:267-340).
+  */
+class ExtraDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def res(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("wide file melts into (foreign_ix, value, data cols) rows with FK") {
+    val meta = Ingest.csv(spark, res("projects_md.csv"))
+    val metaView = meta.view // ix, project-id (sanitized), metadata
+    val ing = Ingest.extraData(spark, res("projects_data.csv"),
+      metaView, metaView.columns(1))
+
+    // 2 data rows × 2 referencing headers (SRP1, SRP2) = 4 rows
+    assert(ing.untyped.count() == 4)
+    assert(ing.friendlyNames == Seq("foreign_ix", "value", "gene", "desc"))
+    assert(ing.colTypes.head == ColumnType.ColForeign("meta", "ix"))
+    assert(ing.colTypes(1) == ColumnType.ColReal) // values 1.5/2.5/3.5/4.5
+
+    val rows = ing.view.orderBy("ix").collect()
+    // row 1: gene g1, SRP1 (meta ix 1), value 1.5
+    assert(rows(0).getLong(1) == 1L && rows(0).getDouble(2) == 1.5)
+    assert(rows(0).getString(3) == "g1" && rows(0).getString(4) == "first")
+    // row 2: gene g1, SRP2 (meta ix 2), value 2.5
+    assert(rows(1).getLong(1) == 2L && rows(1).getDouble(2) == 2.5)
+    // row 4: gene g2, SRP2
+    assert(rows(3).getLong(1) == 2L && rows(3).getDouble(2) == 4.5)
+  }
+}
