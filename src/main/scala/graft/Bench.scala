@@ -14,11 +14,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // headline queries only: the im* entries are engine-flow correctness
+    // artifacts (tiny embedded inputs + temp-warehouse writes), not
+    // data-path performance. Warm the JVM/codegen first so per-query
+    // numbers measure the query, not session startup.
+    val headline = SparkEntry.queries.filterNot(_._1.startsWith("im"))
+    try headline.get("q01_scan").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
+    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

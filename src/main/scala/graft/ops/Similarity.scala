@@ -20,9 +20,19 @@ object Similarity {
 
   /** Dot product of two float-array columns (float products, double
     * accumulation, array order — matched exactly by the oracles).
+    * Uses the native codegen FloatDotProduct expression; call sites
+    * register it on their session (registerOn). The composed
+    * zip_with/aggregate fallback computes the identical value.
     */
   def dot(x: Column, y: Column): Column =
+    graft.functions.VectorFunctions.float_dot(x, y)
+
+  /** Composed higher-order-function form (no custom expression). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+
+  private def registerOn(df: DataFrame): Unit =
+    graft.functions.VectorFunctions.register(df.sparkSession)
 
   /** cos(a, b) as a column expression over two float-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -40,6 +50,7 @@ object Similarity {
     * results are stable across engines and runs.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    registerOn(corpus)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
@@ -83,6 +94,7 @@ object Similarity {
     * bucket; exact cosine re-ranking inside the bucket.
     */
   def lshTopK(corpus: DataFrame, dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+    registerOn(corpus)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
       lshBucket(col("embedding"), dim, nBits).as("bucket"))
@@ -103,6 +115,7 @@ object Similarity {
     */
   def cosineDups(corpus: DataFrame, dim: Int, threshold: Double,
                  nBits: Int = 4): DataFrame = {
+    registerOn(corpus)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
       lshBucket(col("embedding"), dim, nBits).as("bucket"))

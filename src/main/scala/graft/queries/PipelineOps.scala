@@ -17,10 +17,20 @@ import graft.ops.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineOps {
 
+  // documents/embeddings arrive as ONE parquet file — without a fan-out
+  // the CPU-heavy transforms (shingling, hashing, dot products) run on a
+  // single core. Repartitioning the small raw rows first costs one cheap
+  // shuffle and parallelizes everything downstream; at real scale the
+  // input already has many partitions and the same loader would skip this
+  // (guarded on the scan's partition count).
+  private def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+  }
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+    fanOut(Tables.load(s, d, "documents"))
   private def embs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "embeddings")
+    fanOut(Tables.load(s, d, "embeddings"))
 
   // shared DuckDB fragments
   private val duckToks = "string_split(text, ' ')"
