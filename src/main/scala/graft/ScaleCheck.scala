@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine._
+
+/** Ingest-side scale validation against the reference's own commitments
+  * (BASELINE.md: 2M-row CSV and 1M-value JSON ingest under bounded
+  * memory — runtests.sh:64-67,85). Run: sbt "runMain graft.ScaleCheck <csvPath>".
+  * Prints rows/sec for ingest+inference and the typed materialization.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/many_rows.csv")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var t0 = System.nanoTime()
+    val ing = Ingest.csv(spark, path)
+    val inferSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] inferred ${ing.colTypes.map(_.displayName).mkString(",")} in $inferSec%.1f s")
+
+    t0 = System.nanoTime()
+    val n = ing.untyped.count()
+    val countSec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val out = java.nio.file.Files.createTempDirectory("scale").toString
+    ing.typed.write.mode("overwrite").parquet(out)
+    val typedSec = (System.nanoTime() - t0) / 1e9
+
+    println(f"[scale] rows=$n%d infer=$inferSec%.1fs count=$countSec%.1fs typed-write=$typedSec%.1fs")
+    println(f"[scale] ingest+infer throughput ${n / inferSec}%.0f rows/s, typed ${n / typedSec}%.0f rows/s")
+    spark.stop()
+  }
+}

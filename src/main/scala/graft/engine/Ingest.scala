@@ -28,7 +28,7 @@ object Ingest {
       hasHeaders: Boolean = true,
       quoting: Boolean = true,            // disableQuoteChar => false
       multiLine: Boolean = false,         // embedded newlines (small files)
-      encoding: String = "UTF-8",
+      encoding: String = "auto",
       typeInference: Boolean = true)      // noTypeInference => all TEXT
 
   final case class Ingested(
@@ -79,13 +79,20 @@ object Ingest {
     val popts = CsvParser.Options(delimiterFor(path, opts),
       if (opts.quoting) Some('"') else None)
 
+    // UTF-8 with Latin-1 fallback (I1; reference Ingest.hs:138-148):
+    // "auto" probes for replacement chars from invalid UTF-8 and, if
+    // found, re-reads as ISO-8859-1 (which decodes any byte sequence)
+    val enc =
+      if (!opts.encoding.equalsIgnoreCase("auto")) opts.encoding
+      else if (spark.read.textFile(path).filter(_.contains('�')).isEmpty) "UTF-8"
+      else "ISO-8859-1"
+
     // raw records in file order
     val records =
       if (opts.multiLine) {
         spark.sparkContext.wholeTextFiles(path)
           .flatMap { case (_, content) => CsvParser.splitRecords(content, popts) }
       } else {
-        val enc = opts.encoding
         if (enc.equalsIgnoreCase("UTF-8"))
           spark.read.textFile(path).rdd.map(CsvParser.splitLine(_, popts))
         else

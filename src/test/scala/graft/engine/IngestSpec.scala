@@ -88,6 +88,18 @@ class IngestSpec extends AnyFunSuite {
       "name" -> ((true, JsonType.JNullable(JsonType.JString))))))
   }
 
+  test("latin-1 fallback: auto encoding decodes invalid UTF-8 bytes (081)") {
+    val ing = Ingest.csv(spark, res("latin1.csv"),
+      Ingest.CsvOptions(encoding = "auto"))
+    val rows = ing.untyped.orderBy("ix").collect()
+    assert(rows(0).getString(1) == "café")
+    assert(rows(0).getString(2) == "Zürich")
+    // and a clean UTF-8 file stays UTF-8 under auto
+    val clean = Ingest.csv(spark, res("typeinfer.csv"),
+      Ingest.CsvOptions(encoding = "auto"))
+    assert(clean.untyped.count() == 4)
+  }
+
   test("JSON path [_]: 1 array value → N rows (large-json-array semantics)") {
     val ing = Ingest.json(spark, res("arr.json"), Ingest.JsonOptions(path = "[_]"))
     assert(ing.untyped.count() == 4)
