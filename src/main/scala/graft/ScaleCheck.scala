@@ -36,6 +36,15 @@ object ScaleCheck {
 
     println(f"[scale] rows=$n%d infer=$inferSec%.1fs count=$countSec%.1fs typed-write=$typedSec%.1fs")
     println(f"[scale] ingest+infer throughput ${n / inferSec}%.0f rows/s, typed ${n / typedSec}%.0f rows/s")
+
+    // JSON scale commitment: 1M top-level values (many-json-numbers shape)
+    args.drop(1).headOption.foreach { jsonPath =>
+      t0 = System.nanoTime()
+      val jing = Ingest.json(spark, jsonPath)
+      val jn = jing.untyped.count()
+      val jSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] json values=$jn%d in $jSec%.1fs (${jn / jSec}%.0f values/s), type=${jing.colTypes.head.displayName}")
+    }
     spark.stop()
   }
 }

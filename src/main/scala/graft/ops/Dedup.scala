@@ -72,15 +72,26 @@ object Dedup {
         md5(concat_ws("|", (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*))): _*)).as(Seq("band", "band_key")))
 
+    // group-collect instead of a self-join: one shuffle on the bucket
+    // key, pairs generated inside each (bounded-size) bucket — the
+    // signature stage is computed exactly once and nothing is joined.
+    // At scale, a skewed bucket (pathological band collisions) would be
+    // salted/limited; LSH banding keeps buckets small by construction.
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("m"))
+      .filter(size(col("m")) > 1)
+
     val agree = aggregate(
-      zip_with(col("x.sig"), col("y.sig"), (a, b) => (a === b).cast("double")),
+      zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
       lit(0.0), (acc, v) => acc + v) / numHashes
 
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+    buckets
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a("doc_id") < b("doc_id"), struct(a.as("a"), b.as("b")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         round(agree, 4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
@@ -121,11 +132,20 @@ object Dedup {
         explode(array(
           concat(lit("L"), substring(col("simhash"), 1, 16)),
           concat(lit("R"), substring(col("simhash"), 17, 16)))).as("half"))
-    halves.as("x").join(halves.as("y"),
-        col("x.half") === col("y.half") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash_int").bitwiseXOR(col("y.simhash_int")))
-          .cast("int").as("hamming"))
+    // group-collect: pairs form inside each half-signature bucket
+    // (no self-join → the simhash aggregation runs once)
+    halves
+      .groupBy(col("half"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash_int"))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a("doc_id") < b("doc_id"),
+            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
+              bit_count(a("simhash_int").bitwiseXOR(b("simhash_int")))
+                .cast("int").as("hamming")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.*"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -139,17 +159,24 @@ object Dedup {
     val sets = df.select(col("doc_id"), shingles(text, k).as("sh"))
       .withColumn("sz", size(col("sh")))
       .withColumn("block", substring(md5(element_at(sort_array(col("sh")), 1)), 1, 8))
-    // force a sort-merge self-join: both sides then need identical
-    // exchanges on (g, block), which Spark plans as one exchange +
-    // ReusedExchange — the expensive shingle explode runs ONCE. (AQE
-    // would otherwise broadcast one side and recompute it per side.)
+    // group-collect instead of a self-join: each (shingle, block) group
+    // holds the few docs sharing that shingle; pairs are generated
+    // inside the group, so the expensive shingle explode runs ONCE and
+    // there is no join at all (a self-join recomputes the explode per
+    // side — Spark's exchange reuse does not fire across AQE stages).
     val ex = sets.select(col("doc_id"), col("sz"), col("block"), explode(col("sh")).as("g"))
-      .hint("MERGE")
-    val inter = ex.as("x").join(ex.as("y"),
-        col("x.g") === col("y.g") && col("x.block") === col("y.block") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+    val inter = ex
+      .groupBy(col("g"), col("block"))
+      .agg(collect_set(struct(col("doc_id"), col("sz"))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a("doc_id") < b("doc_id"),
+            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
+                   a("sz").as("sz_a"), b("sz").as("sz_b")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter.withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality guards: these assert the SHAPE of the plans
+  * (pushdown, pruning, partial aggregation, join strategy, exchange
+  * reuse) so a future refactor that silently degrades a plan — e.g.
+  * loses filter pushdown or recomputes a self-join side — fails CI,
+  * not the 100 TB run.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters pushed to the parquet scan, columns pruned") {
+    val p = planOf("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    // 4 of 11 lineitem columns read
+    val readSchema = p.split("ReadSchema: ").last.split("\n").head
+    assert(readSchema.count(_ == ',') <= 3, s"scan reads too many columns: $readSchema")
+  }
+
+  test("q12: aggregation is two-phase (map-side partial before shuffle)") {
+    val p = planOf("q12_agg_group")
+    assert(p.contains("partial_sum"), "no partial aggregation found")
+  }
+
+  test("q09: semi join planned as hash join, not nested loop") {
+    val p = planOf("q09_semi_join")
+    assert(p.contains("LeftSemi"), p.take(300))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q19: top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q19_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
+
+  test("dd04: group-collect pair generation — no self-join, shingles computed once") {
+    val df = ops.Dedup.ngramJaccard(Tables.load(spark, dir, "documents"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "expected join-free bucket pair generation")
+    // exactly one shingle explode in the whole plan
+    assert("Generate explode\\(sh".r.findAllIn(p).length == 1, "shingle explode duplicated")
+  }
+
+  test("sim01: query side broadcast, no shuffle of the corpus") {
+    val df = ops.Similarity.bruteForceTopK(
+      Tables.load(spark, dir, "embeddings"),
+      Tables.load(spark, dir, "embeddings").limit(5), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(400))
+  }
+
+  test("native dot product appears in similarity plans (no interpreted HOF)") {
+    val df = ops.Similarity.cosineDups(
+      Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)
+    val p = df.queryExecution.analyzed.toString
+    assert(p.contains("floatdotproduct") || p.contains("FloatDotProduct") ||
+           p.toLowerCase.contains("float_dot"), p.take(400))
+  }
+}
