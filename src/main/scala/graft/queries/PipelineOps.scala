@@ -200,12 +200,12 @@ object PipelineOps {
              SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
              WHERE rk <= 5 ORDER BY query_id, rk""")),
 
-    // LSH ANN: rows-only here (bucket recall asserted against brute force
-    // in SimilaritySpec); at scale this is the join-on-bucket path
+    // LSH ANN: bucket-local candidates, exact re-rank inside the bucket;
+    // oracle reproduces the md5-derived hyperplanes + in-bucket ranking
     NamedQuery("sim02_lsh_topk",
       (s, d) => Similarity.lshTopK(embs(s, d), dim = 64, k = 3, nBits = 4)
         .orderBy("query_id", "rk"),
-      None),
+      Some(lshTopKOracle(dim = 64, k = 3, nBits = 4))),
 
     // ---------------- multimodal plumbing ----------------
 
@@ -265,5 +265,39 @@ object PipelineOps {
            ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        WHERE cos_sim >= $threshold
        ORDER BY id_a, id_b"""
+  }
+  /** DuckDB oracle for lshTopK: same hyperplane constants as
+    * cosineDupsOracle, with row_number re-ranking inside each bucket
+    * (rank on the ROUNDED cosine + id tie-break, like the Spark side).
+    */
+  private def lshTopKOracle(dim: Int, k: Int, nBits: Int): String = {
+    val planes = (for (h <- 0 until nBits; dd <- 0 until dim) yield {
+      val coef = (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$dd").substring(0, 6), 16)
+        .toDouble / 0xFFFFFF.toDouble) - 0.5
+      s"($h, ${dd + 1}, $coef)"
+    }).mkString(", ")
+    s"""WITH planes(h, d, coef) AS (VALUES $planes),
+       expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       proj AS (SELECT vec_id, h, sum(v * coef) AS s
+                FROM expl JOIN planes USING (d) GROUP BY vec_id, h),
+       bucketed AS (SELECT vec_id,
+                      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+                    FROM proj GROUP BY vec_id),
+       withemb AS (SELECT b.vec_id, b.bucket, e.embedding
+                   FROM bucketed b JOIN embeddings e USING (vec_id)),
+       pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
+         FROM withemb q JOIN withemb n
+           ON q.bucket = n.bucket AND q.vec_id != n.vec_id),
+       ranked AS (SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+         FROM pairs)
+       SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
+       WHERE rk <= $k ORDER BY query_id, rk"""
   }
 }
