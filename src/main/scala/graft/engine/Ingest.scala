@@ -89,7 +89,23 @@ object Ingest {
 
     // raw records in file order
     val records =
-      if (opts.multiLine) {
+      if (path.endsWith(".zip")) {
+        // single-entry zip decompression (I3; Ingest.hs:566-690 guesses
+        // the method from the extension). Zip is not splittable, so this
+        // reads per-file — for 100 TB inputs use many zip parts or a
+        // splittable codec upstream.
+        spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+          val zin = new java.util.zip.ZipInputStream(pds.open())
+          val entry = zin.getNextEntry
+          if (entry == null) Iterator.empty
+          else {
+            val content = new String(zin.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            zin.close()
+            CsvParser.splitRecords(content, popts)
+          }
+        }
+      } else if (opts.multiLine) {
         spark.sparkContext.wholeTextFiles(path)
           .flatMap { case (_, content) => CsvParser.splitRecords(content, popts) }
       } else {

@@ -100,6 +100,13 @@ class IngestSpec extends AnyFunSuite {
     assert(clean.untyped.count() == 4)
   }
 
+  test("zip ingest: single-entry decompression (I3)") {
+    val ing = Ingest.csv(spark, res("zipped.csv.zip"))
+    assert(ing.untyped.count() == 2)
+    assert(ing.friendlyNames == Seq("a", "b"))
+    assert(ing.colTypes == Seq(ColInt(I4), ColText))
+  }
+
   test("JSON path [_]: 1 array value → N rows (large-json-array semantics)") {
     val ing = Ingest.json(spark, res("arr.json"), Ingest.JsonOptions(path = "[_]"))
     assert(ing.untyped.count() == 4)
