@@ -16,19 +16,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // headline queries only: the im* entries are engine-flow correctness
     // artifacts (tiny embedded inputs + temp-warehouse writes), not
-    // data-path performance. Warm the JVM/codegen first so per-query
-    // numbers measure the query, not session startup.
-    val headline = SparkEntry.queries.filterNot(_._1.startsWith("im"))
-    try headline.get("q01_scan").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
-    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // data-path performance. Run the whole set TWICE and report the
+    // second (warm) pass: the first pass absorbs JVM/JIT/codegen-cache/
+    // page-cache warm-up, which otherwise dominates per-query times at
+    // this scale and makes run-to-run comparison noise, not signal.
+    val headline = SparkEntry.queries.filterNot(_._1.startsWith("im")).toSeq.sortBy(_._1)
+    def runPass(): Map[String, Double] = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    val cold = runPass()
+    val results = runPass()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

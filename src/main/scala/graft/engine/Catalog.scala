@@ -44,9 +44,17 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
 
   private def catalogPath = s"$warehouse/catalog"
 
+  // missing catalog = empty; any OTHER read failure (corruption, IO)
+  // must propagate — swallowing it would make the next commit()
+  // overwrite the real catalog with an empty one
+  private def catalogExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(catalogPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def entries: Seq[SourceEntry] =
-    try spark.read.parquet(catalogPath).as[SourceEntry].collect().toSeq
-    catch { case _: Throwable => Seq.empty }
+    if (!catalogExists) Seq.empty
+    else spark.read.parquet(catalogPath).as[SourceEntry].collect().toSeq
 
   // write-then-swap: never read+overwrite the catalog in place
   private def commit(es: Seq[SourceEntry]): Unit = {
@@ -60,10 +68,8 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** The catalog as a DataFrame (for the search operators S1–S9). */
   def df: DataFrame =
-    try spark.read.parquet(catalogPath)
-    catch { case _: Throwable =>
-      Seq.empty[SourceEntry].toDS().toDF()
-    }
+    if (!catalogExists) Seq.empty[SourceEntry].toDS().toDF()
+    else spark.read.parquet(catalogPath)
 
   /** Ingest a prepared dataset as a new version of `name` (I14): version
     * = max+1, older versions auto-deprecated (DB/Sources.hs:80-85).

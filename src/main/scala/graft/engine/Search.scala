@@ -212,6 +212,11 @@ object Search {
         df = df.join(
           broadcast(acl.filter(col("usr") === user).select(col("sourcename"))),
           df("name") === col("sourcename"), "left_semi")
+      case (Some(user), None) =>
+        // fail CLOSED: a readability filter without an ACL table must
+        // never silently return everything
+        throw new IllegalArgumentException(
+          s"readableBy=$user requires an ACL table (canRead); refusing to fail open")
       case _ => ()
     }
     if (spec.sortBy.nonEmpty)

@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
 /** The `/sql` endpoint analog: run arbitrary user SQL over registered
   * dataset views, after plan-walk authorization.
@@ -20,30 +21,48 @@ object SqlGate {
 
   final case class Summary(reads: Set[String])
 
-  /** Collect read relations + reject write/DDL/function-scan plans. */
+  /** Collect read relations + reject write/DDL/function-scan plans.
+    *
+    * Subquery expressions (IN / EXISTS / scalar / lateral) carry their
+    * own plans INSIDE expressions, and CTE definition bodies are
+    * innerChildren — neither is walked by a plain plan traversal. Both
+    * are part of the authorized surface (the reference EXPLAINs the
+    * whole query; Postgres plans include subplans, Verified.hs:794-855),
+    * so we expand to the transitive closure of all embedded plans
+    * before collecting reads or applying denials. Without this,
+    * `SELECT * FROM pub WHERE x IN (SELECT y FROM secret)` would report
+    * reads={pub} and execute against `secret` unchecked.
+    */
   def summarize(spark: SparkSession, sql: String): Summary = {
-    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    val root: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
 
-    plan.foreach {
+    def ctesOf(p: LogicalPlan): Seq[(String, LogicalPlan)] = p.collect {
+      case w: UnresolvedWith => w.cteRelations.map(c => (c._1, c._2: LogicalPlan))
+    }.flatten
+
+    def subplansOf(p: LogicalPlan): Seq[LogicalPlan] =
+      p.flatMap(n => n.expressions.flatMap(_.collect {
+        case se: SubqueryExpression => se.plan
+      })).toSeq
+
+    def expand(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: (ctesOf(p).map(_._2) ++ subplansOf(p)).flatMap(expand)
+
+    val plans = expand(root)
+
+    plans.foreach(_.foreach {
       case _: Command             => throw Denied("user SQL is read-only (ModifyTable denied)")
       case _: InsertIntoStatement => throw Denied("user SQL is read-only (ModifyTable denied)")
       case _: UnresolvedTableValuedFunction =>
         throw Denied("function scans are not authorized") // QueryPlan.hs:340
       case _ => ()
-    }
+    })
 
-    // CTE definition bodies are innerChildren (not walked by collect):
-    // gather them explicitly; their names are not real reads
-    val ctes = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith => w.cteRelations
-    }.flatten
-    val cteNames: Set[String] = ctes.map(_._1.toLowerCase).toSet
+    val cteNames: Set[String] = plans.flatMap(ctesOf).map(_._1.toLowerCase).toSet
 
-    def relations(p: LogicalPlan): Seq[String] = p.collect {
+    val reads = plans.flatMap(_.collect {
       case r: UnresolvedRelation => r.multipartIdentifier.mkString(".").toLowerCase
-    }
-
-    val reads = (relations(plan) ++ ctes.flatMap(c => relations(c._2))).toSet -- cteNames
+    }).toSet -- cteNames
 
     Summary(reads)
   }

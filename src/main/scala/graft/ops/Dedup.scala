@@ -32,11 +32,14 @@ object Dedup {
   /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
-    // element_at + concat_ws(skip-null) instead of slice(): no per-shingle
-    // array allocation; out-of-range positions yield NULL and vanish
+    // try_element_at + concat_ws(skip-null) instead of slice(): no
+    // per-shingle array allocation; out-of-range positions (docs with
+    // < k tokens) yield NULL and vanish — try_ is required because
+    // plain element_at THROWS on out-of-range under ANSI mode
+    // (Spark 4 default)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+        i => concat_ws(" ", (0 until k).map(o => try_element_at(toks, i + o)): _*)))
   }
 
   /** Per-document minhash signature as ONE row with an array column:

@@ -174,14 +174,22 @@ object EngineOps {
           ("3", "INSERT INTO t1 VALUES (1)"),
           ("4", "DROP TABLE t1"),
           ("5", "SELECT * FROM range(10)"),
-          ("6", "SELECT 1"))
+          ("6", "SELECT 1"),
+          // subquery plans are part of the authorized surface
+          // (Verified.hs:794-855 walks subplans): reads inside IN /
+          // EXISTS / scalar subqueries must be collected, and denials
+          // (TVF here) must apply inside them too
+          ("7", "SELECT * FROM t1 WHERE a IN (SELECT b FROM t9)"),
+          ("8", "SELECT (SELECT max(x) FROM t7) AS m FROM t1"),
+          ("9", "SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM range(5))"))
         rowsDf(s, Seq("case_id", "verdict"),
           cases.map { case (id, sql) => Seq(id, verdict(sql)) })
       },
       Some("""SELECT * FROM (VALUES
              ('1', 'ok:t1,t2'), ('2', 'ok:t3'), ('3', 'denied'),
-             ('4', 'denied'), ('5', 'denied'), ('6', 'ok:')) t(case_id, verdict)
-             ORDER BY case_id""")),
+             ('4', 'denied'), ('5', 'denied'), ('6', 'ok:'),
+             ('7', 'ok:t1,t9'), ('8', 'ok:t1,t7'), ('9', 'denied'))
+             t(case_id, verdict) ORDER BY case_id""")),
 
     // S8 + security model: effective access levels
     NamedQuery("im09_acl_levels",

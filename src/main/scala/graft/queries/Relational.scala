@@ -249,14 +249,23 @@ object Relational {
              CAST(count(*) AS BIGINT) AS n_rows
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // Q13b: approximate count-distinct (HLL) — no cross-engine oracle
-    // (sketch implementations differ); driver records rows>0.
+    // Q13b: approximate count-distinct (HLL, rsd 0.02). Sketch
+    // implementations differ across engines, so the oracle checks the
+    // BOUND, not the estimate: Spark emits the exact count plus whether
+    // its own HLL estimate lands within ±3·rsd of it; the oracle is the
+    // exact count with within_bounds=true.
     NamedQuery("q15_approx_count_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+             countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx") - col("n_parts")) <= col("n_parts") * 0.06).as("within_bounds"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             true AS within_bounds
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Q14: WindowAgg — ranking (QueryPlan.hs:176)
     NamedQuery("q16_window_rank",

@@ -57,6 +57,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.entries.head.tags == Seq("beta"))
   }
 
+  test("corrupt catalog raises instead of silently wiping") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(cat.entries.length == 1)
+    // corrupt the committed catalog: a non-parquet part file. The read
+    // must PROPAGATE the failure — the old catch-all returned Seq.empty,
+    // and the next commit() would overwrite the real catalog with it.
+    val dir = new java.io.File(s"${cat.warehouse}/catalog")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.writeString(f.toPath, "this is not parquet")
+    }
+    intercept[Exception] { cat.entries }
+    // a genuinely MISSING catalog is still just empty
+    val empty = freshCatalog()
+    assert(empty.entries.isEmpty)
+  }
+
   test("compaction roundtrip: per-version download identical pre/post (I11)") {
     val cat = freshCatalog()
     cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")

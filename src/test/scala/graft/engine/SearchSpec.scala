@@ -71,4 +71,11 @@ class SearchSpec extends AnyFunSuite {
     val spec = SourcesSpec(readableBy = Some("alice"), includeDeprecated = true)
     assert(Search.count(catalogDf, spec, Some(acl)) == 2)
   }
+
+  test("readableBy without an ACL table fails CLOSED") {
+    val spec = SourcesSpec(readableBy = Some("alice"), includeDeprecated = true)
+    intercept[IllegalArgumentException] {
+      Search.apply(catalogDf, spec, canRead = None)
+    }
+  }
 }

@@ -27,6 +27,44 @@ class SqlGateSpec extends AnyFunSuite {
     }
   }
 
+  test("subquery reads are collected (IN / EXISTS / scalar / nested)") {
+    assert(SqlGate.summarize(spark,
+      "SELECT * FROM pub WHERE x IN (SELECT y FROM secret)").reads == Set("pub", "secret"))
+    assert(SqlGate.summarize(spark,
+      "SELECT * FROM pub WHERE EXISTS (SELECT 1 FROM secret WHERE secret.k = pub.k)")
+      .reads == Set("pub", "secret"))
+    assert(SqlGate.summarize(spark,
+      "SELECT (SELECT max(v) FROM secret) AS m FROM pub").reads == Set("pub", "secret"))
+    // nested subquery-in-subquery and subquery inside a CTE body
+    assert(SqlGate.summarize(spark,
+      "SELECT * FROM a WHERE x IN (SELECT y FROM b WHERE z IN (SELECT w FROM c))")
+      .reads == Set("a", "b", "c"))
+    assert(SqlGate.summarize(spark,
+      "WITH x AS (SELECT * FROM t1 WHERE k IN (SELECT k FROM t2)) SELECT * FROM x")
+      .reads == Set("t1", "t2"))
+  }
+
+  test("denials apply inside subqueries (TVF in EXISTS)") {
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM range(5))")
+    }
+  }
+
+  test("subquery reads enforced at execute (no authorization bypass)") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("pub2")
+    Seq((1, "s")).toDF("k", "v").createOrReplaceTempView("secret2")
+    intercept[SqlGate.Denied] {
+      SqlGate.execute(spark,
+        "SELECT * FROM pub2 WHERE k IN (SELECT k FROM secret2)", Set("pub2"))
+    }
+    intercept[SqlGate.Denied] {
+      SqlGate.execute(spark,
+        "SELECT * FROM pub2 WHERE k IN (SELECT k FROM secret2)",
+        Set("pub2", "secret2"), t => t != "secret2")
+    }
+  }
+
   test("unknown tables and ACL enforced at execute") {
     import spark.implicits._
     Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("known")

@@ -109,6 +109,21 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("short docs (< k tokens) survive ANSI mode and still dedup") {
+    // element_at would THROW under ANSI (Spark 4 default) for any doc
+    // with < 3 tokens; shingles() must pad with try_element_at instead
+    val shortDocs = Seq(
+      (1L, "hello"), (2L, "hello"), (3L, "hi there"), (4L, "hi there"),
+      (5L, ""), (6L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(shortDocs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)) && mh.contains((3L, 4L)), s"short-doc dups missed: $mh")
+    val nj = Dedup.ngramJaccard(shortDocs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nj.contains((1L, 2L)) && nj.contains((3L, 4L)), s"short-doc dups missed: $nj")
+  }
+
   test("langid predicts en for english-ish text") {
     val r = TextAnalysis.langid(docs).filter($"doc_id" === 1)
       .select("predicted").as[String].head()
