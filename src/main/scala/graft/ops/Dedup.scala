@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, each built as
   * the scalable Spark pattern:
@@ -42,14 +43,32 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(o => try_element_at(toks, i + o)): _*)))
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf`: a shingle
+    * shared by millions of documents (boilerplate, templates) carries
+    * no near-dup signal but creates the one unbounded bucket that OOMs
+    * a 100 TB run. Implemented as a count window over the shingle —
+    * keeps the explode single (a groupBy+join-back would rescan the
+    * lineage and re-explode) and turns the would-be quadratic bucket
+    * into one linear counting pass that then discards the viral rows.
+    */
+  private def dfCapped(ex: DataFrame, maxDf: Int): DataFrame =
+    ex.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+
   /** Per-document minhash signature as ONE row with an array column:
     * hash j of a doc = lexical min over shingles of md5(j || '#' ||
     * shingle). One explode + one groupBy with numHashes min-aggregates —
     * a single shuffle regardless of numHashes (vs. exploding ×numHashes).
+    * Shingles above `maxShingleDf` are dropped first (see dfCapped) —
+    * run exact dedup before minhash so giant exact-dup clusters don't
+    * hit the cap.
     */
   def minhashSignatures(df: DataFrame, text: Column = col("text"),
-                        numHashes: Int = 12, k: Int = 3): DataFrame = {
-    val ex = df.select(col("doc_id"), explode(shingles(text, k)).as("g"))
+                        numHashes: Int = 12, k: Int = 3,
+                        maxShingleDf: Int = 1000): DataFrame = {
+    val ex = dfCapped(df.select(col("doc_id"), explode(shingles(text, k)).as("g")),
+      maxShingleDf)
     val minCols = (0 until numHashes).map(j =>
       min(md5(concat(lit(j.toString), lit("#"), col("g")))).as(s"h$j"))
     ex.groupBy(col("doc_id"))
@@ -64,10 +83,11 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, text: Column = col("text"),
                  numHashes: Int = 12, bands: Int = 4,
-                 threshold: Double = 0.5, k: Int = 3): DataFrame = {
+                 threshold: Double = 0.5, k: Int = 3,
+                 maxShingleDf: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, text, numHashes, k)
+    val sigs = minhashSignatures(df, text, numHashes, k, maxShingleDf)
 
     // per-band key: md5 of the band's signature slice, joined with '|'
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -158,7 +178,8 @@ object Dedup {
     * |A∩B| / |A∪B| via exploded token-set join — never N².
     */
   def ngramJaccard(df: DataFrame, text: Column = col("text"),
-                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Int = 1000): DataFrame = {
     val sets = df.select(col("doc_id"), shingles(text, k).as("sh"))
       .withColumn("sz", size(col("sh")))
       .withColumn("block", substring(md5(element_at(sort_array(col("sh")), 1)), 1, 8))
@@ -167,7 +188,13 @@ object Dedup {
     // inside the group, so the expensive shingle explode runs ONCE and
     // there is no join at all (a self-join recomputes the explode per
     // side — Spark's exchange reuse does not fire across AQE stages).
-    val ex = sets.select(col("doc_id"), col("sz"), col("block"), explode(col("sh")).as("g"))
+    // The DF cap drops viral shingles BEFORE the collect_set, which is
+    // what bounds the bucket row (jaccard then counts intersections
+    // over the surviving shingles only — boilerplate n-grams stop
+    // contributing to similarity, by design).
+    val ex = dfCapped(
+      sets.select(col("doc_id"), col("sz"), col("block"), explode(col("sh")).as("g")),
+      maxShingleDf)
     val inter = ex
       .groupBy(col("g"), col("block"))
       .agg(collect_set(struct(col("doc_id"), col("sz"))).as("m"))

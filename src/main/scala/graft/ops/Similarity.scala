@@ -10,11 +10,17 @@ import org.apache.spark.sql.expressions.Window
   *   (small) query set against the full corpus; one pass, no N² when
   *   |queries| ≪ |corpus|. Dot products are pure column expressions
   *   (zip_with + aggregate → whole-stage codegen, no UDFs).
-  * - LSH-bucketed ANN (random-hyperplane sign bits): the scale path —
-  *   candidates come from an equi-join on the bucket key, so the
-  *   comparison count is bounded by bucket sizes, not corpus².
-  *   At 100 TB the bucket join shuffles on the key; multiple hash
-  *   tables (offsets) trade recall for cost.
+  * - LSH ANN (random-hyperplane sign bits): the scale path. The bit
+  *   count is derived from the corpus size (`bitsFor`) so expected
+  *   bucket population stays ~constant as the corpus grows — a FIXED
+  *   bit count is a quadratic trap (16 buckets over a billion vectors
+  *   degenerates to all-pairs/16). Multiple independent hash tables
+  *   recover the recall that more bits cost. Candidates are generated
+  *   with the same group-collect pattern Dedup uses: one shuffle on
+  *   (table, bucket), pairs exploded inside each bounded bucket —
+  *   bucketing and norms are computed ONCE (a self-join would recompute
+  *   both sides; Spark's exchange reuse does not fire across AQE
+  *   stages).
   */
 object Similarity {
 
@@ -45,6 +51,15 @@ object Similarity {
   def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / normA / normB
 
+  /** Scale-safe hyperplane count: enough bits that the EXPECTED bucket
+    * population is ~targetBucket (2^bits ≈ n / targetBucket), clamped
+    * to [4, 24]. At n=500 this is 4 bits; at 10⁹ vectors it is 24 —
+    * the in-bucket pair count stays bounded instead of growing O(n²).
+    */
+  def bitsFor(n: Long, targetBucket: Int = 32): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+
   /** Exact top-k neighbors for each query vector (excluding itself).
     * Ranking happens on the ROUNDED similarity with id tie-breaks so
     * results are stable across engines and runs.
@@ -66,17 +81,17 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Random-hyperplane bucket key: the sign bits of `nBits` fixed
-    * pseudo-random hyperplanes. Hyperplane h's coefficient for
-    * dimension d is derived from md5("h:d") — deterministic, engine-
-    * portable, no stored model.
+  /** Random-hyperplane bucket key for one hash table: the sign bits of
+    * `nBits` fixed pseudo-random hyperplanes. Hyperplane h's
+    * coefficient for dimension d in table t is derived from
+    * md5("t:h:d") — deterministic, engine-portable, no stored model.
     */
-  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+  def lshBucket(emb: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
     val bits = (0 until nBits).map { h =>
       val coefs = (0 until dim).map { d =>
-        // coefficient in [-0.5, 0.5): first 6 hex chars of md5("h:d")
+        // coefficient in [-0.5, 0.5): first 6 hex chars of md5("t:h:d")
         (java.lang.Long.parseLong(
-          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$d").substring(0, 6), 16)
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$table:$h:$d").substring(0, 6), 16)
           .toDouble / 0xFFFFFF.toDouble) - 0.5
       }
       // zip_with against a literal coefficient array: one compact
@@ -90,40 +105,66 @@ object Similarity {
     concat(bits: _*)
   }
 
-  /** ANN via LSH buckets: neighbors searched only within the query's
-    * bucket; exact cosine re-ranking inside the bucket.
+  /** One row per (vector, hash table): vec_id, embedding, norm, tbl,
+    * bucket. Norms and bucket keys are computed in this single
+    * projection — everything downstream reuses them.
     */
-  def lshTopK(corpus: DataFrame, dim: Int, k: Int, nBits: Int = 8): DataFrame = {
-    registerOn(corpus)
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+  private def bucketized(corpus: DataFrame, dim: Int, bits: Int, tables: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
-      lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    val pairs = bucketed.as("q").join(bucketed.as("n"),
-        col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
-        round(cosinePre(col("q.embedding"), col("n.embedding"),
-          col("q.norm"), col("n.norm")), 4).as("cos_sim"))
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+
+  /** Group-collect candidate scoring: one shuffle on (tbl, bucket),
+    * pairs generated and scored inside each bucket. `pair` builds the
+    * output struct for an (a, b) member pair or null to skip it.
+    */
+  private def bucketCandidates(bucketed: DataFrame,
+                               pair: (Column, Column) => Column): DataFrame =
+    bucketed
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b => pair(a, b)), x => x.isNotNull)))).as("p"))
+      .select(col("p.*"))
+
+  /** ANN via LSH buckets: candidates searched only within the query's
+    * buckets (`tables` independent hash tables for recall), exact
+    * cosine re-ranking on the candidates. nBits = 0 (default) derives
+    * the bucket count from the corpus size.
+    */
+  def lshTopK(corpus: DataFrame, dim: Int, k: Int, nBits: Int = 0,
+              tables: Int = 2): DataFrame = {
+    registerOn(corpus)
+    val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
+    val cand0 = bucketCandidates(bucketized(corpus, dim, bits, tables),
+      (a, b) => when(a("vec_id") =!= b("vec_id"),
+        struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
+    // the same pair can surface from several hash tables; its rounded
+    // cosine is deterministic, so distinct collapses the duplicates
+    val cand = if (tables > 1) cand0.distinct() else cand0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ),
-    * blocked by LSH bucket so the pair join is bucket-local.
+    * LSH-blocked with corpus-scaled bucket counts (nBits = 0 → auto)
+    * and multi-table probing for recall.
     */
   def cosineDups(corpus: DataFrame, dim: Int, threshold: Double,
-                 nBits: Int = 4): DataFrame = {
+                 nBits: Int = 0, tables: Int = 2): DataFrame = {
     registerOn(corpus)
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
-      lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    bucketed.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(cosinePre(col("x.embedding"), col("y.embedding"),
-          col("x.norm"), col("y.norm")), 4).as("cos_sim"))
+    val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
+    val pairs = bucketCandidates(bucketized(corpus, dim, bits, tables),
+      (a, b) => when(a("vec_id") < b("vec_id"),
+        struct(a("vec_id").as("id_a"), b("vec_id").as("id_b"),
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
       .filter(col("cos_sim") >= threshold)
+    if (tables > 1) pairs.distinct() else pairs
   }
 }

@@ -116,10 +116,16 @@ object PipelineOps {
              min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
              FROM documents GROUP BY 1 ORDER BY content_hash""")),
 
+    // maxShingleDf=1000 is ACTIVE (the DF-cap window runs; max df in
+    // this corpus is 25, so results are unchanged while the skew guard
+    // is exercised end-to-end)
     NamedQuery("dd02_minhash_lsh",
       (s, d) => Dedup.minhashLsh(docs(s, d)).orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS sset FROM documents),
-              shx AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+              shx0 AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+              shx AS (SELECT doc_id, g FROM
+                        (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM shx0)
+                      WHERE df <= 1000),
               sig0 AS (SELECT doc_id, j, min(md5(j::VARCHAR || '#' || g)) AS mh
                        FROM shx, range(12) r(j) GROUP BY doc_id, j),
               sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig0 GROUP BY doc_id),
@@ -161,7 +167,10 @@ object PipelineOps {
       Some(s"""WITH sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
               keyed AS (SELECT doc_id, len(sh) AS sz,
                           substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
-              ex AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex0 AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex AS (SELECT doc_id, sz, block, g FROM
+                       (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 1000),
               inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                           x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
                         FROM ex x JOIN ex y
@@ -173,12 +182,14 @@ object PipelineOps {
               WHERE inter / (sz_a + sz_b - inter) >= 0.5
               ORDER BY id_a, id_b""")),
 
-    // embedding-cosine near-dup pairs, LSH-blocked; oracle reproduces the
-    // md5-derived hyperplanes as literal constants
+    // embedding-cosine near-dup pairs, LSH-blocked; bits auto-derived
+    // from corpus size (bitsFor(500) = 4 here, more at scale), 2 hash
+    // tables for recall. Oracle reproduces the md5-derived hyperplanes
+    // for the sf0.01 bit count as literal constants.
     NamedQuery("dd05_cosine_dups",
-      (s, d) => Similarity.cosineDups(embs(s, d), dim = 64, threshold = 0.3, nBits = 4)
+      (s, d) => Similarity.cosineDups(embs(s, d), dim = 64, threshold = 0.3)
         .orderBy("id_a", "id_b"),
-      Some(cosineDupsOracle(dim = 64, threshold = 0.3, nBits = 4))),
+      Some(cosineDupsOracle(dim = 64, threshold = 0.3, nBits = 4, tables = 2))),
 
     // ---------------- similarity search ----------------
 
@@ -200,12 +211,13 @@ object PipelineOps {
              SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
              WHERE rk <= 5 ORDER BY query_id, rk""")),
 
-    // LSH ANN: bucket-local candidates, exact re-rank inside the bucket;
-    // oracle reproduces the md5-derived hyperplanes + in-bucket ranking
+    // LSH ANN: bucket-local candidates from 2 hash tables (corpus-scaled
+    // bit count), exact re-rank on the deduped candidate set; oracle
+    // reproduces the md5-derived hyperplanes + ranking
     NamedQuery("sim02_lsh_topk",
-      (s, d) => Similarity.lshTopK(embs(s, d), dim = 64, k = 3, nBits = 4)
+      (s, d) => Similarity.lshTopK(embs(s, d), dim = 64, k = 3)
         .orderBy("query_id", "rk"),
-      Some(lshTopKOracle(dim = 64, k = 3, nBits = 4))),
+      Some(lshTopKOracle(dim = 64, k = 3, nBits = 4, tables = 2))),
 
     // ---------------- multimodal plumbing ----------------
 
@@ -236,68 +248,61 @@ object PipelineOps {
              FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
   )
 
-  /** DuckDB oracle for cosineDups: embeds the md5-derived hyperplane
-    * coefficients (identical to Similarity.lshBucket) as a VALUES list.
+  /** Hyperplane coefficients as a (table, plane, dim) VALUES list —
+    * identical derivation to Similarity.lshBucket (md5("t:h:d")).
     */
-  private def cosineDupsOracle(dim: Int, threshold: Double, nBits: Int): String = {
-    val planes = (for (h <- 0 until nBits; dd <- 0 until dim) yield {
+  private def planesValues(dim: Int, nBits: Int, tables: Int): String =
+    (for (t <- 0 until tables; h <- 0 until nBits; dd <- 0 until dim) yield {
       val coef = (java.lang.Long.parseLong(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$dd").substring(0, 6), 16)
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$t:$h:$dd").substring(0, 6), 16)
         .toDouble / 0xFFFFFF.toDouble) - 0.5
-      s"($h, ${dd + 1}, $coef)"
+      s"($t, $h, ${dd + 1}, $coef)"
     }).mkString(", ")
-    s"""WITH planes(h, d, coef) AS (VALUES $planes),
+
+  /** Shared oracle prelude: per-(vector, table) bucket keys. */
+  private def bucketsCte(dim: Int, nBits: Int, tables: Int): String =
+    s"""WITH planes(t, h, d, coef) AS (VALUES ${planesValues(dim, nBits, tables)}),
        expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
                   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-       proj AS (SELECT vec_id, h, sum(v * coef) AS s
-                FROM expl JOIN planes USING (d) GROUP BY vec_id, h),
-       bucketed AS (SELECT vec_id,
+       proj AS (SELECT vec_id, t, h, sum(v * coef) AS s
+                FROM expl JOIN planes USING (d) GROUP BY vec_id, t, h),
+       bucketed AS (SELECT vec_id, t,
                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-                    FROM proj GROUP BY vec_id),
-       withemb AS (SELECT b.vec_id, b.bucket, e.embedding
-                   FROM bucketed b JOIN embeddings e USING (vec_id))
-       SELECT id_a, id_b, cos_sim FROM (
+                    FROM proj GROUP BY vec_id, t),
+       withemb AS (SELECT b.vec_id, b.t, b.bucket, e.embedding
+                   FROM bucketed b JOIN embeddings e USING (vec_id))"""
+
+  /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
+    * DISTINCT across tables (the rounded cosine is deterministic).
+    */
+  private def cosineDupsOracle(dim: Int, threshold: Double, nBits: Int, tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables)}
+       SELECT DISTINCT id_a, id_b, cos_sim FROM (
          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            round((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(y.embedding) AS b))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(x.embedding) AS b)))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(y.embedding) AS a, unnest(y.embedding) AS b))), 4) AS cos_sim
          FROM withemb x JOIN withemb y
-           ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
        WHERE cos_sim >= $threshold
        ORDER BY id_a, id_b"""
-  }
-  /** DuckDB oracle for lshTopK: same hyperplane constants as
-    * cosineDupsOracle, with row_number re-ranking inside each bucket
-    * (rank on the ROUNDED cosine + id tie-break, like the Spark side).
+
+  /** DuckDB oracle for lshTopK: DISTINCT multi-table candidates, then
+    * row_number re-ranking (on the ROUNDED cosine + id tie-break, like
+    * the Spark side).
     */
-  private def lshTopKOracle(dim: Int, k: Int, nBits: Int): String = {
-    val planes = (for (h <- 0 until nBits; dd <- 0 until dim) yield {
-      val coef = (java.lang.Long.parseLong(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$h:$dd").substring(0, 6), 16)
-        .toDouble / 0xFFFFFF.toDouble) - 0.5
-      s"($h, ${dd + 1}, $coef)"
-    }).mkString(", ")
-    s"""WITH planes(h, d, coef) AS (VALUES $planes),
-       expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-       proj AS (SELECT vec_id, h, sum(v * coef) AS s
-                FROM expl JOIN planes USING (d) GROUP BY vec_id, h),
-       bucketed AS (SELECT vec_id,
-                      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-                    FROM proj GROUP BY vec_id),
-       withemb AS (SELECT b.vec_id, b.bucket, e.embedding
-                   FROM bucketed b JOIN embeddings e USING (vec_id)),
-       pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+  private def lshTopKOracle(dim: Int, k: Int, nBits: Int, tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables)},
+       pairs AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
            round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
          FROM withemb q JOIN withemb n
-           ON q.bucket = n.bucket AND q.vec_id != n.vec_id),
+           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id),
        ranked AS (SELECT query_id, neighbor_id, cos_sim,
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
          FROM pairs)
        SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
        WHERE rk <= $k ORDER BY query_id, rk"""
-  }
 }

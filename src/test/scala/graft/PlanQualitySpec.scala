@@ -47,6 +47,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Generate explode\\(sh".r.findAllIn(p).length == 1, "shingle explode duplicated")
   }
 
+  test("sim02/dd05: group-collect LSH — no self-join, embeddings scanned once") {
+    for (df <- Seq(
+        ops.Similarity.lshTopK(Tables.load(spark, dir, "embeddings"), dim = 64, k = 3, nBits = 4),
+        ops.Similarity.cosineDups(Tables.load(spark, dir, "embeddings"), dim = 64,
+          threshold = 0.3, nBits = 4))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), "expected join-free bucket candidate generation")
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        "embeddings scanned more than once — bucketing/norms recomputed")
+    }
+  }
+
   test("sim01: query side broadcast, no shuffle of the corpus") {
     val df = ops.Similarity.bruteForceTopK(
       Tables.load(spark, dir, "embeddings"),

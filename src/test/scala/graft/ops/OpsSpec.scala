@@ -109,6 +109,30 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("viral shingles are DF-capped: skewed corpus bounded, real dups survive") {
+    // 100 docs share the templated shingle "t t t" (df=100 > cap=50):
+    // without the cap that one (shingle, block) bucket holds all 100
+    // docs and pair generation inside it is quadratic. With the cap the
+    // viral shingle is dropped, while the planted near-dup pair —
+    // which shares RARE shingles — is still found.
+    // (1,2): identical docs — a planted dup whose shingles are rare
+    // (df=2), so it MUST survive the cap; LSH banding finds identical
+    // signatures deterministically
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val skewed = (Seq((1L, near), (2L, near)) ++
+      (3 to 102).map(i => (i.toLong, s"t t t t t u$i v$i w$i"))).toDF("doc_id", "text")
+    val nj = Dedup.ngramJaccard(skewed, maxShingleDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nj.contains((1L, 2L)), s"planted dup missed: $nj")
+    assert(nj.forall { case (a, b) => a <= 2 && b <= 2 },
+      s"pairs leaked through the viral shingle: $nj")
+    val mh = Dedup.minhashLsh(skewed, maxShingleDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)), s"planted dup missed: $mh")
+    assert(mh.forall { case (a, b) => a <= 2 && b <= 2 },
+      s"pairs leaked through the viral shingle: $mh")
+  }
+
   test("short docs (< k tokens) survive ANSI mode and still dedup") {
     // element_at would THROW under ANSI (Spark 4 default) for any doc
     // with < 3 tokens; shingles() must pad with try_element_at instead
