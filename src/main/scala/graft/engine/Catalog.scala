@@ -161,6 +161,40 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       view(e.name, e.version).createOrReplaceTempView(e.name) // bare name = latest
   }
 
+  /** Column-type override + re-type (reference DB/ColumnSpec.hs:182-189,
+    * Interface/API.hs:304-311): when inference guessed wrong, set the
+    * column's type explicitly and rebuild the typed materialization
+    * from the untyped (all-text) table. Values that don't parse as the
+    * new type become NULL (try_cast) rather than failing the whole
+    * re-type; overriding to TEXT always restores the raw strings.
+    */
+  def setColumnType(name: String, version: Int, colIx: Int, t: ColumnType): SourceEntry = {
+    val e = entries.find(x => x.name == name && x.version == version)
+      .getOrElse(throw new NoSuchElementException(s"$name v$version"))
+    require(colIx >= 1 && colIx <= e.colTypes.length,
+      s"no column $colIx in $name v$version (${e.colTypes.length} columns)")
+    val newTypes = e.colTypes.updated(colIx - 1, t.displayName)
+
+    val untyped = spark.read.parquet(e.untypedPath)
+    val cols = newTypes.zipWithIndex.map { case (tn, i) =>
+      Ingest.castTo(col(s"c${i + 1}"), ColumnType.fromDisplay(tn), lenient = true)
+        .as(s"c${i + 1}")
+    }
+    val typed = untyped.select(col("ix") +: cols: _*)
+    // write-then-swap, like commit(): never overwrite typed in place
+    val tmp = new org.apache.hadoop.fs.Path(e.typedPath + "_retype")
+    val dst = new org.apache.hadoop.fs.Path(e.typedPath)
+    typed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+
+    val updated = e.copy(colTypes = newTypes)
+    commit(entries.map(x =>
+      if (x.name == name && x.version == version) updated else x))
+    updated
+  }
+
   /** Tag / untag (I19; DB/Tags.hs). */
   def tag(name: String, version: Int, t: String): Unit =
     commit(entries.map(e =>

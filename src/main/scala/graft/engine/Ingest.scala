@@ -56,27 +56,69 @@ object Ingest {
   /** CAST one untyped string column to its inferred type. Bool uses the
     * lexer's literal set (InferFieldType.x:28-36); numeric casts trim
     * whitespace like the untyped→typed INSERT..SELECT CAST does.
+    * `lenient` uses try_cast (null on parse failure) — for user type
+    * OVERRIDES, where the values are not inference-approved and an
+    * ANSI cast would fail the whole re-type on one bad row.
     */
-  def castTo(c: org.apache.spark.sql.Column, t: ColumnType): org.apache.spark.sql.Column = t match {
-    case ColumnType.ColBool =>
-      val v = lower(trim(c))
-      when(v.isin("t", "true", "y", "yes", "on", "1"), lit(true))
-        .when(v.isin("f", "false", "n", "no", "off", "0"), lit(false))
-        .otherwise(lit(null).cast(BooleanType))
-    case ColumnType.ColInt(IntWidth.I4) => trim(c).cast(IntegerType)
-    case ColumnType.ColInt(IntWidth.I8) => trim(c).cast(LongType)
-    case ColumnType.ColReal             => trim(c).cast(DoubleType)
-    case ColumnType.ColForeign(_, _)    => trim(c).cast(LongType)
-    case _                              => c // Text / Document / JSON stay raw
+  def castTo(c: org.apache.spark.sql.Column, t: ColumnType,
+             lenient: Boolean = false): org.apache.spark.sql.Column = {
+    def num(dt: org.apache.spark.sql.types.DataType) =
+      if (lenient) trim(c).try_cast(dt) else trim(c).cast(dt)
+    t match {
+      case ColumnType.ColBool =>
+        val v = lower(trim(c))
+        when(v.isin("t", "true", "y", "yes", "on", "1"), lit(true))
+          .when(v.isin("f", "false", "n", "no", "off", "0"), lit(false))
+          .otherwise(lit(null).cast(BooleanType))
+      case ColumnType.ColInt(IntWidth.I4) => num(IntegerType)
+      case ColumnType.ColInt(IntWidth.I8) => num(LongType)
+      case ColumnType.ColReal             => num(DoubleType)
+      case ColumnType.ColForeign(_, _)    => num(LongType)
+      case _                              => c // Text / Document / JSON stay raw
+    }
   }
 
   private def delimiterFor(path: String, opts: CsvOptions): Char =
     opts.delimiter.getOrElse(
       if (path.endsWith(".txt") || path.endsWith(".tsv")) '\t' else ',')
 
-  /** CSV/TSV → Ingested. */
-  def csv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): Ingested = {
-    val popts = CsvParser.Options(delimiterFor(path, opts),
+  /** Stream an http(s) URL to a local temp file, preserving the
+    * extension (so .tsv/.zip dispatch still works), and return its
+    * path. The reference ingests URLs the same way — a single driver-
+    * side stream (Ingest.hs:566-690); HTTP is not a splittable source,
+    * so at 100 TB the data should land on HDFS/S3 first and be read
+    * there (those URIs pass straight through to the Hadoop FS layer).
+    */
+  private[engine] def fetchToLocal(url: String): String = {
+    val uri = java.net.URI.create(url)
+    val p = Option(uri.getPath).getOrElse("")
+    val suffix = p.lastIndexOf('.') match {
+      case -1 => ".dat"
+      case i  => p.substring(i)
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft-fetch", suffix)
+    val conn = uri.toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    val in = conn.getInputStream
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toString
+  }
+
+  private def localize(path: String): String =
+    if (path.startsWith("http://") || path.startsWith("https://")) fetchToLocal(path)
+    else path
+
+  /** CSV/TSV → Ingested. Accepts local paths, Hadoop-FS URIs, and
+    * http(s) URLs (I3; fetched driver-side, see fetchToLocal).
+    */
+  def csv(spark: SparkSession, rawPath: String, opts: CsvOptions = CsvOptions()): Ingested = {
+    // options dispatch on the ORIGINAL name (extension survives the
+    // fetch, but a query string would confuse endsWith)
+    val path = localize(rawPath)
+    val popts = CsvParser.Options(delimiterFor(rawPath, opts),
       if (opts.quoting) Some('"') else None)
 
     // UTF-8 with Latin-1 fallback (I1; reference Ingest.hs:138-148):
@@ -225,9 +267,11 @@ object Ingest {
 
   /** JSON file → Ingested: one row per selected top-level value, stored
     * raw (the JSONB analog, DataFormat.hs:229-232); the inferred JsonType
-    * is carried in the single ColJSON column type.
+    * is carried in the single ColJSON column type. Accepts http(s)
+    * URLs like csv().
     */
-  def json(spark: SparkSession, path: String, opts: JsonOptions = JsonOptions()): Ingested = {
+  def json(spark: SparkSession, rawPath: String, opts: JsonOptions = JsonOptions()): Ingested = {
+    val path = localize(rawPath)
     val jpath = JsonInfer.parsePath(opts.path)
     val values =
       if (opts.lineMode)

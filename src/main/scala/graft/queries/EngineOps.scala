@@ -225,6 +225,33 @@ object EngineOps {
              (3, 1, CAST(3.5 AS DOUBLE), 'g2'), (4, 2, CAST(4.5 AS DOUBLE), 'g2'))
              t(ix, foreign_ix, value, gene) ORDER BY ix""")),
 
+    // Column-type override + re-type (DB/ColumnSpec.hs:182-189,
+    // API.hs:304-311): widen int→bigint, demote real→TEXT (raw strings
+    // restored), force text→INTEGER (unparseable values become NULL via
+    // try_cast rather than failing the re-type)
+    NamedQuery("im12_set_column_type",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        cat.ingest("ds", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv")
+        cat.setColumnType("ds", 1, 2, ColumnType.ColInt(IntWidth.I8))
+        cat.setColumnType("ds", 1, 4, ColumnType.ColText)
+        cat.setColumnType("ds", 1, 5, ColumnType.ColInt(IntWidth.I4))
+        val e = cat.entries.head
+        val v = cat.view("ds", 1).orderBy("ix")
+        import org.apache.spark.sql.functions.col
+        val realVals = v.select(col("real")).collect().map(_.getString(0)).mkString("|")
+        val textNulls = v.filter(col("text").isNull).count().toInt
+        rowsDf(s, Seq("col_types", "spark_types", "real_vals", "text_nulls"),
+          Seq(Seq(e.colTypes.mkString(","),
+            v.schema.fields.drop(1).map(_.dataType.simpleString).mkString(","),
+            realVals, textNulls)))
+      },
+      Some("""SELECT * FROM (VALUES
+             ('BOOLEAN,BIGINT,BIGINT,TEXT,INTEGER',
+              'boolean,bigint,bigint,string,int',
+              '3.5|1e-4|2.5', 3))
+             t(col_types, spark_types, real_vals, text_nulls)""")),
+
     // I16/I17: export round-trip invariants
     NamedQuery("im11_export_roundtrip",
       (s, _) => {

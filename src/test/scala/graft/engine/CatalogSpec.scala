@@ -57,6 +57,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.entries.head.tags == Seq("beta"))
   }
 
+  test("column-type override + re-type roundtrip (ColumnSpec.hs:182-189)") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(cat.entries.head.colTypes(1) == "INTEGER")
+    // override int -> TEXT: typed view now returns the raw strings
+    cat.setColumnType("t", 1, 2, ColumnType.ColText)
+    assert(cat.entries.head.colTypes(1) == "TEXT")
+    val asText = cat.view("t", 1).orderBy("ix")
+    assert(asText.schema("int").dataType == org.apache.spark.sql.types.StringType)
+    assert(asText.select("int").collect().map(_.getString(0)).toSeq ==
+      Seq("2", "7", "-42", "123456789"))
+    // override back to INTEGER: values and schema fully restored
+    cat.setColumnType("t", 1, 2, ColumnType.ColInt(IntWidth.I4))
+    val restored = cat.view("t", 1).orderBy("ix")
+    assert(restored.schema("int").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(restored.select("int").collect().map(_.getInt(0)).toSeq ==
+      Seq(2, 7, -42, 123456789))
+    // unparseable override goes NULL per value, not whole-re-type failure
+    cat.setColumnType("t", 1, 5, ColumnType.ColInt(IntWidth.I4))
+    assert(cat.view("t", 1).filter(org.apache.spark.sql.functions.col("text").isNull)
+      .count() == 4)
+  }
+
   test("corrupt catalog raises instead of silently wiping") {
     val cat = freshCatalog()
     cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
