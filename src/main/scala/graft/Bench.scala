@@ -12,6 +12,11 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 49 distinct queries × 2 passes thrash the default 100-entry
+      // janino cache: heavyweight projections (LSH hyperplanes, minhash
+      // aggregates) get evicted between passes and re-pay multi-second
+      // compiles, measuring the cache, not the query
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // headline queries only: the im* entries are engine-flow correctness

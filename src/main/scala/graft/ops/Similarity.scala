@@ -94,11 +94,15 @@ object Similarity {
           org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$table:$h:$d").substring(0, 6), 16)
           .toDouble / 0xFFFFFF.toDouble) - 0.5
       }
-      // zip_with against a literal coefficient array: one compact
-      // expression per hyperplane (vs dim explicit terms — keeps
-      // codegen small and the dot product loop-shaped)
+      // zip_with against ONE array literal (typedlit): a single constant
+      // ArrayData the generated code references by handle. Building it
+      // as array(lit, lit, ...) instead unrolls `dim` literal children
+      // into every generated projection — with tables × nBits
+      // hyperplanes that is thousands of statements and ~10 s of janino
+      // compile per fresh plan (re-paid whenever the 100-entry codegen
+      // cache evicts it).
       val proj = aggregate(
-        zip_with(emb, array(coefs.map(lit): _*), (a, c) => a * c),
+        zip_with(emb, typedlit(coefs), (a, c) => a * c),
         lit(0.0d), (acc, v) => acc + v)
       (proj >= 0).cast("int").cast("string")
     }
