@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** JSON-lines ingest progress (reference ProgressOr + logEvery,
+  * src/interface/src/Lagoon/Interface/Ingest.hs:324-454): one
+  * `{"progress":...}` line per `logEvery` records read, plus a final
+  * `{"done":...}` line.
+  *
+  * Spark-first: record counts come from task input metrics via a
+  * SparkListener — no per-row driver involvement and zero overhead on
+  * the distributed read path. The reference counts rows inside its
+  * conduit stream; a 100 TB ingest here is tens of thousands of tasks,
+  * each reporting once at completion, so the driver sees a steady
+  * stream of increments at task granularity.
+  *
+  * Counts cover ALL records read by the session's jobs while attached
+  * (probe passes, header reads, inference included) — it is a progress
+  * indicator, not an exact row count.
+  */
+final class Progress(spark: SparkSession, label: String,
+                     sink: String => Unit = Console.err.println,
+                     logEvery: Long = 100000L) extends SparkListener {
+  private val records = new AtomicLong()
+  private val logged = new AtomicLong()
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val n = Option(e.taskMetrics).map(_.inputMetrics.recordsRead).getOrElse(0L)
+    if (n > 0) {
+      val total = records.addAndGet(n)
+      val last = logged.get()
+      if (total - last >= logEvery && logged.compareAndSet(last, total))
+        sink(s"""{"progress":"$label","records":$total}""")
+    }
+  }
+
+  def start(): this.type = {
+    spark.sparkContext.addSparkListener(this)
+    this
+  }
+
+  def recordsRead: Long = records.get()
+
+  /** Emit the final line and detach. The listener bus is asynchronous,
+    * so wait (bounded) for the count to settle first.
+    */
+  def finish(): Unit = {
+    var prev = -1L
+    var cur = records.get()
+    val deadline = System.nanoTime() + 2000000000L
+    while (cur != prev && System.nanoTime() < deadline) {
+      prev = cur
+      Thread.sleep(50)
+      cur = records.get()
+    }
+    sink(s"""{"done":"$label","records":$cur}""")
+    spark.sparkContext.removeSparkListener(this)
+  }
+}
+
+object Progress {
+  /** Run `body` with progress reporting attached, detaching after. */
+  def watch[A](spark: SparkSession, label: String,
+               sink: String => Unit = Console.err.println,
+               logEvery: Long = 100000L)(body: => A): A = {
+    val p = new Progress(spark, label, sink, logEvery).start()
+    try body finally p.finish()
+  }
+}

@@ -252,6 +252,104 @@ object EngineOps {
               '3.5|1e-4|2.5', 3))
              t(col_types, spark_types, real_vals, text_nulls)""")),
 
+    // S1-S9 catalog search matrix — pins the spec-only rows (S3 ix
+    // filter, S5 date range, S7 deprecated, S9 count) to driver-checked
+    // output (DB/SourceInfo.hs:214-331 semantics)
+    NamedQuery("im13_search_spec",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        cat.ingest("alpha", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          created = Some("2024-01-01T00:00:00Z"))
+        cat.ingest("alpha", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          created = Some("2024-02-01T00:00:00Z"))
+        cat.ingest("beta", Ingest.csv(s, tmpFile(raggedCsv, ".csv")), "csv",
+          addedBy = "bob", created = Some("2024-03-01T00:00:00Z"))
+        val df = cat.df
+        def names(spec: Search.SourcesSpec): String =
+          Search.apply(df, spec).orderBy("name", "version").collect()
+            .map(r => s"${r.getAs[String]("name")}_v${r.getAs[Int]("version")}")
+            .mkString(",")
+        val cases = Seq(
+          ("1_ix", names(Search.SourcesSpec(filterIx = Some(1), includeDeprecated = true))),
+          ("2_daterange", names(Search.SourcesSpec(
+            filterCreatedAfter = Some("2024-01-15"),
+            filterCreatedBefore = Some("2024-02-15"), includeDeprecated = true))),
+          ("3_default_hides_deprecated", names(Search.SourcesSpec())),
+          ("4_include_deprecated", names(Search.SourcesSpec(includeDeprecated = true))),
+          ("5_count", Search.count(df, Search.SourcesSpec(includeDeprecated = true)).toString),
+          ("6_user_or", names(Search.SourcesSpec(filterUsers = Seq("bob"),
+            includeDeprecated = true))))
+        rowsDf(s, Seq("case_id", "result"), cases.map { case (i, r) => Seq(i, r) })
+      },
+      Some("""SELECT * FROM (VALUES
+             ('1_ix', 'alpha_v1'),
+             ('2_daterange', 'alpha_v2'),
+             ('3_default_hides_deprecated', 'alpha_v2,beta_v1'),
+             ('4_include_deprecated', 'alpha_v1,alpha_v2,beta_v1'),
+             ('5_count', '3'),
+             ('6_user_or', 'beta_v1')) t(case_id, result) ORDER BY case_id""")),
+
+    // I18 delete + I8 untyped load: delete one version, re-ingest
+    // restores the version counter (runtests.sh:121-158); ingest with
+    // typeInference=false keeps every column TEXT with raw values
+    NamedQuery("im14_delete_untyped",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        cat.ingest("t", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv")
+        cat.ingest("t", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv")
+        cat.delete("t", Some(2))
+        val afterDelete = cat.entries.map(_.version).mkString(",")
+        val re = cat.ingest("t", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv")
+        val untyped = Ingest.csv(s, tmpFile(inferCsv, ".csv"),
+          Ingest.CsvOptions(typeInference = false))
+        import org.apache.spark.sql.functions.col
+        val rawBool = untyped.view.orderBy("ix").select(col("bool"))
+          .collect().map(_.getString(0)).mkString(",")
+        rowsDf(s, Seq("after_delete", "reingest_version", "untyped_types", "raw_bool"),
+          Seq(Seq(afterDelete, re.version,
+            untyped.colTypes.map(_.displayName).mkString(","), rawBool)))
+      },
+      Some("""SELECT * FROM (VALUES ('1', 2, 'TEXT,TEXT,TEXT,TEXT,TEXT', '0,1,t'))
+             t(after_delete, reingest_version, untyped_types, raw_bool)""")),
+
+    // I3 remote ingest: CSV and zip fetched over HTTP (loopback server;
+    // the sandbox has no egress) — same inference as the local path
+    NamedQuery("im15_http_ingest",
+      (s, _) => {
+        val csvBody = "a,b\n1,x\n2,y\n3,z\n"
+        val zipBytes = {
+          val baos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(baos)
+          z.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+          z.write(csvBody.getBytes("UTF-8")); z.closeEntry(); z.close()
+          baos.toByteArray
+        }
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        def serve(route: String, bytes: Array[Byte]): Unit =
+          server.createContext(route, (ex: com.sun.net.httpserver.HttpExchange) => {
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes); ex.close()
+          })
+        serve("/data.csv", csvBody.getBytes("UTF-8"))
+        serve("/data.zip", zipBytes)
+        server.start()
+        try {
+          val port = server.getAddress.getPort
+          val csv = Ingest.csv(s, s"http://127.0.0.1:$port/data.csv")
+          val zip = Ingest.csv(s, s"http://127.0.0.1:$port/data.zip")
+          rowsDf(s, Seq("src", "n_rows", "names", "col_types"), Seq(
+            Seq("csv", csv.untyped.count().toInt, csv.friendlyNames.mkString(","),
+              csv.colTypes.map(_.displayName).mkString(",")),
+            Seq("zip", zip.untyped.count().toInt, zip.friendlyNames.mkString(","),
+              zip.colTypes.map(_.displayName).mkString(","))))
+        } finally server.stop(0)
+      },
+      Some("""SELECT * FROM (VALUES
+             ('csv', 3, 'a,b', 'INTEGER,TEXT'),
+             ('zip', 3, 'a,b', 'INTEGER,TEXT')) t(src, n_rows, names, col_types)
+             ORDER BY src""")),
+
     // I16/I17: export round-trip invariants
     NamedQuery("im11_export_roundtrip",
       (s, _) => {

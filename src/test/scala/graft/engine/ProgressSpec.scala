@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.Files
+
+/** Progress streaming during ingest (ProgressOr / logEvery analog). */
+class ProgressSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ingest under Progress.watch emits progress and done JSON lines") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val csv = "a,b\n" + (1 to 500).map(i => s"$i,x$i").mkString("\n") + "\n"
+    val f = Files.createTempFile("graft-prog", ".csv")
+    Files.writeString(f, csv)
+
+    val n = Progress.watch(spark, "ingest-test", lines.add(_), logEvery = 100) {
+      Ingest.csv(spark, f.toString).untyped.count()
+    }
+    assert(n == 500)
+    import scala.jdk.CollectionConverters._
+    val out = lines.asScala.toSeq
+    assert(out.exists(_.startsWith("""{"progress":"ingest-test"""")),
+      s"no progress line in: $out")
+    val done = out.filter(_.startsWith("""{"done":"ingest-test""""))
+    assert(done.size == 1, s"expected one done line: $out")
+    // the done count covers every record the ingest's jobs read
+    // (probe + header + data passes), so it is at least the row count
+    val doneRecords = "\"records\":(\\d+)".r.findFirstMatchIn(done.head).get.group(1).toLong
+    assert(doneRecords >= 500, s"done records $doneRecords < 500")
+  }
+}
