@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for word k-shingles — the hot loop of
+  * the text-dedup family (minhash signatures, n-gram Jaccard).
+  *
+  * The SQL-composable form (`array_distinct(transform(sequence(...),
+  * i -> concat_ws(' ', try_element_at(toks, i), ...)))`) evaluates
+  * three interpreted lambdas per shingle (Spark higher-order functions
+  * have no codegen) and re-walks the token array per element; on a
+  * document corpus that one projection dominates the whole dedup
+  * pipeline. This expression computes the identical result in one
+  * native pass per row:
+  *  - tokens = text.split(" ", -1)  (same regex split, keeps empties)
+  *  - n = max(#tokens - k + 1, 1) shingle starts
+  *  - shingle i = tokens[i ..< min(i+k, #tokens)] joined with ' '
+  *    (short tails mirror concat_ws skipping nulls)
+  *  - distinct, first-occurrence order (array_distinct)
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects (string, k >= 1), got ${child.dataType}, k=$k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(t: UTF8String): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    val m = toks.length
+    val n = math.max(m - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + k, m)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Register `graft_shingles` (registry + call_function is the public
+    * route to a custom Expression in Spark 4). Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+
+  /** Column API: word k-shingles of a string column. Requires
+    * `register(spark)` on the session first.
+    */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingles",
+      text, org.apache.spark.sql.functions.lit(k))
+}

@@ -30,18 +30,30 @@ object Dedup {
     df.groupBy(md5(lower(trim(text))).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Word k-shingles of a text column (k consecutive tokens, space-
+    * joined). Backed by the native WordShingles expression — the
+    * composed HOF form below computes the identical value but pays
+    * three interpreted lambdas per shingle, which dominates the whole
+    * dedup pipeline (see TextExpressions.scala). Callers must
+    * register the function on the session (Dedup entry points do).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.TextFunctions.shingles(text, k)
+
+  /** Composed higher-order-function form (no custom expression); kept
+    * as the parity reference for WordShingles. try_element_at (not
+    * element_at) because out-of-range THROWS under ANSI mode (Spark 4
+    * default) for docs with < k tokens; concat_ws skips the NULLs.
+    */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
-    // try_element_at + concat_ws(skip-null) instead of slice(): no
-    // per-shingle array allocation; out-of-range positions (docs with
-    // < k tokens) yield NULL and vanish — try_ is required because
-    // plain element_at THROWS on out-of-range under ANSI mode
-    // (Spark 4 default)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
         i => concat_ws(" ", (0 until k).map(o => try_element_at(toks, i + o)): _*)))
   }
+
+  private def registerOn(df: DataFrame): Unit =
+    graft.functions.TextFunctions.register(df.sparkSession)
 
   /** Drop shingles whose document frequency exceeds `maxDf`: a shingle
     * shared by millions of documents (boilerplate, templates) carries
@@ -67,6 +79,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, text: Column = col("text"),
                         numHashes: Int = 12, k: Int = 3,
                         maxShingleDf: Int = 1000): DataFrame = {
+    registerOn(df)
     val ex = dfCapped(df.select(col("doc_id"), explode(shingles(text, k)).as("g")),
       maxShingleDf)
     val minCols = (0 until numHashes).map(j =>
@@ -180,6 +193,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, text: Column = col("text"),
                    k: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Int = 1000): DataFrame = {
+    registerOn(df)
     val sets = df.select(col("doc_id"), shingles(text, k).as("sh"))
       .withColumn("sz", size(col("sh")))
       .withColumn("block", substring(md5(element_at(sort_array(col("sh")), 1)), 1, 8))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** WordShingles must be bit-identical to the composed HOF form on
+  * every input shape (the DuckDB oracles mirror that form).
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def compare(texts: Seq[String], k: Int): Unit = {
+    TextFunctions.register(spark)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(
+      graft.ops.Dedup.shingles($"text", k).as("native"),
+      graft.ops.Dedup.shinglesHof($"text", k).as("hof")).collect()
+    both.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for '$t' k=$k")
+    }
+  }
+
+  test("native shingles == HOF shingles on edge shapes") {
+    val fixtures = Seq(
+      "the quick brown fox jumps",
+      "one two",           // < k tokens
+      "one",               // single token
+      "",                  // empty string
+      "a  b   c",          // repeated spaces → empty tokens kept
+      " leading and trailing ",
+      "dup dup dup dup",   // distinct collapses repeats
+      "naïve café übung",  // non-ascii
+      "tab\tand\nnewline stay intact")
+    compare(fixtures, 3)
+    compare(fixtures, 1)
+    compare(fixtures, 5)
+  }
+
+  test("native shingles == HOF shingles on the documents corpus") {
+    TextFunctions.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+        graft.ops.Dedup.shingles(col("text")).as("native"),
+        graft.ops.Dedup.shinglesHof(col("text")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null text yields null (HOF form degenerates to [\"\"] instead)") {
+    // split(null) is null, but greatest() SKIPS nulls, so the HOF form
+    // still builds one all-null shingle that concat_ws turns into "".
+    // The native expression propagates null — the saner contract; no
+    // oracle corpus contains null text, so the forms only diverge here.
+    TextFunctions.register(spark)
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
+    val r = df.orderBy("id").select(graft.ops.Dedup.shingles($"text").as("n"),
+      graft.ops.Dedup.shinglesHof($"text").as("h")).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(0).getSeq[String](1) == Seq(""))
+    assert(!r(1).isNullAt(0) && r(1).getSeq[String](0) == r(1).getSeq[String](1))
+  }
+}
