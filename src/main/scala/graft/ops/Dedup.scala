@@ -97,7 +97,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, text: Column = col("text"),
                  numHashes: Int = 12, bands: Int = 4,
                  threshold: Double = 0.5, k: Int = 3,
-                 maxShingleDf: Int = 1000): DataFrame = {
+                 maxShingleDf: Int = 1000, maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, text, numHashes, k, maxShingleDf)
@@ -111,12 +111,15 @@ object Dedup {
     // group-collect instead of a self-join: one shuffle on the bucket
     // key, pairs generated inside each (bounded-size) bucket — the
     // signature stage is computed exactly once and nothing is joined.
-    // At scale, a skewed bucket (pathological band collisions) would be
-    // salted/limited; LSH banding keeps buckets small by construction.
+    // LSH banding keeps buckets small by construction and the DF cap
+    // removes template-driven collisions; maxBucket is the hard guard:
+    // a pathological band bucket larger than it is dropped outright
+    // rather than exploding quadratically (run exact dedup first so
+    // giant exact-dup clusters never reach this stage).
     val buckets = banded
       .groupBy(col("band"), col("band_key"))
       .agg(collect_set(struct(col("doc_id"), col("sig"))).as("m"))
-      .filter(size(col("m")) > 1)
+      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
 
     val agree = aggregate(
       zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
@@ -162,18 +165,22 @@ object Dedup {
     * exact hamming distance on candidates.
     */
   def simhashPairs(df: DataFrame, text: Column = col("text"),
-                   maxHamming: Int = 4): DataFrame = {
+                   maxHamming: Int = 4, maxBucket: Int = 10000): DataFrame = {
     val sh = simhash(df, text)
     val halves = sh.select(col("doc_id"), col("simhash_int"),
         explode(array(
           concat(lit("L"), substring(col("simhash"), 1, 16)),
           concat(lit("R"), substring(col("simhash"), 17, 16)))).as("half"))
     // group-collect: pairs form inside each half-signature bucket
-    // (no self-join → the simhash aggregation runs once)
+    // (no self-join → the simhash aggregation runs once). Half-
+    // signature blocking has a FIXED 2x65536 bucket universe, so
+    // bucket population grows O(N) with the corpus: maxBucket drops
+    // over-full buckets before the quadratic in-bucket pair explosion
+    // (at billions of docs, block on more/narrower bit slices instead)
     halves
       .groupBy(col("half"))
       .agg(collect_set(struct(col("doc_id"), col("simhash_int"))).as("m"))
-      .filter(size(col("m")) > 1)
+      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
       .select(explode(flatten(transform(col("m"), a =>
         filter(transform(col("m"), b =>
           when(a("doc_id") < b("doc_id"),

@@ -122,13 +122,17 @@ object Similarity {
   /** Group-collect candidate scoring: one shuffle on (tbl, bucket),
     * pairs generated and scored inside each bucket. `pair` builds the
     * output struct for an (a, b) member pair or null to skip it.
+    * bitsFor keeps EXPECTED bucket sizes constant; `maxBucket` is the
+    * hard guard against a pathological bucket (e.g. a giant cluster of
+    * identical embeddings), which is dropped rather than exploded
+    * quadratically — exact dedup should run before near-dup search.
     */
-  private def bucketCandidates(bucketed: DataFrame,
+  private def bucketCandidates(bucketed: DataFrame, maxBucket: Int,
                                pair: (Column, Column) => Column): DataFrame =
     bucketed
       .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("m"))
-      .filter(size(col("m")) > 1)
+      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
       .select(explode(flatten(transform(col("m"), a =>
         filter(transform(col("m"), b => pair(a, b)), x => x.isNotNull)))).as("p"))
       .select(col("p.*"))
@@ -139,10 +143,10 @@ object Similarity {
     * the bucket count from the corpus size.
     */
   def lshTopK(corpus: DataFrame, dim: Int, k: Int, nBits: Int = 0,
-              tables: Int = 2): DataFrame = {
+              tables: Int = 2, maxBucket: Int = 10000): DataFrame = {
     registerOn(corpus)
     val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
-    val cand0 = bucketCandidates(bucketized(corpus, dim, bits, tables),
+    val cand0 = bucketCandidates(bucketized(corpus, dim, bits, tables), maxBucket,
       (a, b) => when(a("vec_id") =!= b("vec_id"),
         struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
           round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
@@ -161,10 +165,10 @@ object Similarity {
     * and multi-table probing for recall.
     */
   def cosineDups(corpus: DataFrame, dim: Int, threshold: Double,
-                 nBits: Int = 0, tables: Int = 2): DataFrame = {
+                 nBits: Int = 0, tables: Int = 2, maxBucket: Int = 10000): DataFrame = {
     registerOn(corpus)
     val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
-    val pairs = bucketCandidates(bucketized(corpus, dim, bits, tables),
+    val pairs = bucketCandidates(bucketized(corpus, dim, bits, tables), maxBucket,
       (a, b) => when(a("vec_id") < b("vec_id"),
         struct(a("vec_id").as("id_a"), b("vec_id").as("id_b"),
           round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))

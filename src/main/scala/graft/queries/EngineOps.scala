@@ -350,6 +350,28 @@ object EngineOps {
              ('zip', 3, 'a,b', 'INTEGER,TEXT')) t(src, n_rows, names, col_types)
              ORDER BY src""")),
 
+    // Progress streaming (ProgressOr / logEvery, Interface/Ingest.hs:
+    // 324-454): ingest under Progress.watch must emit at least one
+    // {"progress":...} line and a final {"done":...} covering the rows
+    NamedQuery("im16_progress",
+      (s, _) => {
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val csv = "a,b\n" + (1 to 500).map(i => s"$i,x$i").mkString("\n") + "\n"
+        val n = Progress.watch(s, "gate", lines.add(_), logEvery = 100) {
+          Ingest.csv(s, tmpFile(csv, ".csv")).untyped.count()
+        }
+        import scala.jdk.CollectionConverters._
+        val out = lines.asScala.toSeq
+        val doneRecords = out.filter(_.startsWith("""{"done":"gate""""))
+          .flatMap(l => "\"records\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong))
+        rowsDf(s, Seq("ingested", "has_progress", "done_ge_rows"),
+          Seq(Seq(n.toInt,
+            out.exists(_.startsWith("""{"progress":"gate"""")),
+            doneRecords.exists(_ >= 500))))
+      },
+      Some("""SELECT * FROM (VALUES (500, true, true))
+             t(ingested, has_progress, done_ge_rows)""")),
+
     // I16/I17: export round-trip invariants
     NamedQuery("im11_export_roundtrip",
       (s, _) => {

@@ -129,14 +129,17 @@ object PipelineOps {
               sig0 AS (SELECT doc_id, j, min(md5(j::VARCHAR || '#' || g)) AS mh
                        FROM shx, range(12) r(j) GROUP BY doc_id, j),
               sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig0 GROUP BY doc_id),
-              banded AS (SELECT doc_id, sig, b AS band,
+              banded0 AS (SELECT doc_id, sig, b AS band,
                            md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
-                         FROM sig, range(4) r(b))
+                         FROM sig, range(4) r(b)),
+              banded AS (SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bc
+                         FROM banded0)
               SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                 round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4)
                   AS est_jaccard
               FROM banded x JOIN banded y
                 ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+                   AND x.bc <= 10000
               WHERE round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4) >= 0.5
               ORDER BY id_a, id_b""")),
 
@@ -152,13 +155,14 @@ object PipelineOps {
                       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash,
                       sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS si
                     FROM votes GROUP BY doc_id),
-             halves AS (SELECT doc_id, si, unnest([
+             halves0 AS (SELECT doc_id, si, unnest([
                           'L' || substr(simhash, 1, 16),
-                          'R' || substr(simhash, 17, 16)]) AS half FROM sh)
+                          'R' || substr(simhash, 17, 16)]) AS half FROM sh),
+             halves AS (SELECT *, count(*) OVER (PARTITION BY half) AS bc FROM halves0)
              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                CAST(bit_count(xor(x.si, y.si)) AS INT) AS hamming
              FROM halves x JOIN halves y
-               ON x.half = y.half AND x.doc_id < y.doc_id
+               ON x.half = y.half AND x.doc_id < y.doc_id AND x.bc <= 10000
              WHERE bit_count(xor(x.si, y.si)) <= 4
              ORDER BY id_a, id_b""")),
 
@@ -269,7 +273,8 @@ object PipelineOps {
        bucketed AS (SELECT vec_id, t,
                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
                     FROM proj GROUP BY vec_id, t),
-       withemb AS (SELECT b.vec_id, b.t, b.bucket, e.embedding
+       withemb AS (SELECT b.vec_id, b.t, b.bucket, e.embedding,
+                     count(*) OVER (PARTITION BY b.t, b.bucket) AS bc
                    FROM bucketed b JOIN embeddings e USING (vec_id))"""
 
   /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
@@ -283,7 +288,8 @@ object PipelineOps {
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(x.embedding) AS b)))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(y.embedding) AS a, unnest(y.embedding) AS b))), 4) AS cos_sim
          FROM withemb x JOIN withemb y
-           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+              AND x.bc <= 10000)
        WHERE cos_sim >= $threshold
        ORDER BY id_a, id_b"""
 
@@ -298,7 +304,8 @@ object PipelineOps {
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
                  / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
          FROM withemb q JOIN withemb n
-           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id),
+           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id
+              AND q.bc <= 10000),
        ranked AS (SELECT query_id, neighbor_id, cos_sim,
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk

@@ -133,6 +133,24 @@ class OpsSpec extends AnyFunSuite {
       s"pairs leaked through the viral shingle: $mh")
   }
 
+  test("maxBucket hard guard drops pathological buckets instead of exploding") {
+    // 12 identical docs land in one half-signature / band bucket;
+    // with maxBucket below that, the bucket is dropped (callers run
+    // exact dedup first), with the default it pairs normally
+    val clones = (1 to 12).map(i =>
+      (i.toLong, "same exact text repeated across every single document here")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(clones, maxBucket = 5).count() == 0)
+    assert(Dedup.simhashPairs(clones).count() == 12 * 11 / 2)
+    assert(Dedup.minhashLsh(clones, maxBucket = 5).count() == 0)
+    assert(Dedup.minhashLsh(clones).count() == 12 * 11 / 2)
+    val cloneEmb = (1 to 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (d + 1).toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.cosineDups(cloneEmb, dim = 8, threshold = 0.5,
+      nBits = 4, maxBucket = 5).count() == 0)
+    assert(Similarity.cosineDups(cloneEmb, dim = 8, threshold = 0.5,
+      nBits = 4).count() == 12 * 11 / 2)
+  }
+
   test("short docs (< k tokens) survive ANSI mode and still dedup") {
     // element_at would THROW under ANSI (Spark 4 default) for any doc
     // with < 3 tokens; shingles() must pad with try_element_at instead
