@@ -237,6 +237,27 @@ object PipelineOps {
 
     // ---------------- streaming (batch-equivalent form) ----------------
 
+    // gap-based sessionization, batch form (the streaming form is the
+    // same semantics via flatMapGroupsWithState — EventStreamSpec
+    // proves batch/stream equivalence on a fixture)
+    NamedQuery("st02_sessionize",
+      (s, d) => graft.streaming.EventStream
+        .sessionizeBatch(Tables.load(s, d, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_no"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+             g AS (SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM f),
+             h AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_no FROM g)
+             SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+             FROM h GROUP BY user_id, session_no
+             ORDER BY user_id, session_no""")),
+
     NamedQuery("st01_event_window",
       (s, d) => Tables.load(s, d, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface over the events table shape.
@@ -34,6 +36,83 @@ object EventStream {
   /** Open a file-based stream with the events schema (parquet dir). */
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  // ---------------- gap-based sessionization ----------------
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessState(start: Long, end: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Streaming sessionizer: per-user sessions that close after `gap`
+    * of event-time inactivity, built on flatMapGroupsWithState with an
+    * event-time timeout. State is one small record per OPEN session
+    * per user — partitioned by the group key and bounded by the
+    * watermark, so it scales to any user cardinality. Closed sessions
+    * emit in Append mode (when a later event exceeds the gap, or the
+    * watermark passes end+gap and the timeout fires).
+    */
+  def sessionize(events: Dataset[SessEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) => {
+        def emit(s: SessState) = Session(user,
+          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.sum)
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(emit(s))
+        } else {
+          // micro-batch iterators are unordered: sort this batch's
+          // events (per-group, in memory — one user's batch slice)
+          val evs = it.toArray.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += emit(s)
+                cur = Some(SessState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.end + gapMs)
+          }
+          out.iterator
+        }
+      })
+  }
+
+  /** Batch form of the same sessionization (the st02 gate): session
+    * boundary where the per-user time since the previous event exceeds
+    * the gap; session id = running count of boundaries. Tied
+    * timestamps always co-session (gap 0), so the result is order-
+    * deterministic even though events has no unique key.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+         unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L)
+          .cast("long"))
+      .withColumn("session_no", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
 
   /** Run a streaming query over static parquet via the memory sink —
     * drives the streaming plan end-to-end synchronously (used by tests

@@ -26,4 +26,54 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("streaming sessionize equals batch sessionize once the watermark closes sessions") {
+    import spark.implicits._
+    val gapMin = 30
+    // day 1, not epoch 0: the initial watermark is 0 and the late-row
+    // filter drops rows AT the watermark, so an epoch-0 event vanishes
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val fixture = Seq(
+      // user 1: two sessions (gap 45 min between min 20 and 65)
+      EventStream.SessEvent(1L, ts(0), 1.0), EventStream.SessEvent(1L, ts(10), 2.0),
+      EventStream.SessEvent(1L, ts(20), 3.0), EventStream.SessEvent(1L, ts(65), 4.0),
+      // user 2: one session, tied timestamps co-session
+      EventStream.SessEvent(2L, ts(5), 1.5), EventStream.SessEvent(2L, ts(5), 2.5),
+      EventStream.SessEvent(2L, ts(30), 1.0))
+
+    val dir = java.nio.file.Files.createTempDirectory("sess-stream").toString
+    // one file → one micro-batch, so no event is late w.r.t. a
+    // watermark advanced by an earlier batch
+    fixture.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream
+      .schema(fixture.toDF("user_id", "ts", "value").schema).parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .as[EventStream.SessEvent]
+    val q = EventStream.sessionize(src, gapMin * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    // open sessions sit in state until the watermark passes end+gap:
+    // append a far-future sentinel event to advance it, firing timeouts
+    Seq(EventStream.SessEvent(99L, ts(100000), 0.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("e"),
+        $"n_events", round($"sum_value", 4).as("v"))
+      .orderBy("user_id", "s").collect().toSeq
+
+    val batch = EventStream.sessionizeBatch(
+        fixture.toDF("user_id", "ts", "value"), gapMin)
+      .select($"user_id", $"session_start".as("s"), $"session_end".as("e"),
+        $"n_events", $"sum_value".as("v"))
+      .orderBy("user_id", "s").collect().toSeq
+
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 3) // 2 sessions for user 1, 1 for user 2
+  }
 }
