@@ -235,6 +235,32 @@ object PipelineOps {
              lower(substr(to_hex(encode(text)), 1, 16)) AS magic_prefix
              FROM documents ORDER BY doc_id""")),
 
+    // batched decode plumbing: row preservation, batch-size invariance,
+    // dup-payload checksum equality (the decode itself is the disclosed
+    // deterministic stub — structure is what this gate pins)
+    NamedQuery("mm02_decode_batched",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val bin = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val small = graft.ops.Multimodal.decodeBatched(bin, batchSize = 2)
+        val large = graft.ops.Multimodal.decodeBatched(bin, batchSize = 512)
+        val n = bin.count()
+        val sameRows = small.count() == n && large.count() == n
+        val batchInvariant = small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty
+        // identical payloads (same content_md5) must decode to the
+        // same checksum regardless of which batch/partition they hit
+        val dupAligned = small
+          .join(graft.ops.Multimodal.binaryMeta(bin), "doc_id")
+          .groupBy(col("content_md5"))
+          .agg(org.apache.spark.sql.functions.countDistinct(col("checksum")).as("k"))
+          .filter(col("k") > 1).isEmpty
+        import s.implicits._
+        Seq((sameRows, batchInvariant, dupAligned))
+          .toDF("same_rows", "batch_invariant", "dup_checksums_align")
+      },
+      Some("""SELECT * FROM (VALUES (true, true, true))
+             t(same_rows, batch_invariant, dup_checksums_align)""")),
+
     // ---------------- streaming (batch-equivalent form) ----------------
 
     // gap-based sessionization, batch form (the streaming form is the
