@@ -44,15 +44,17 @@ final class Progress(spark: SparkSession, label: String,
   def recordsRead: Long = records.get()
 
   /** Emit the final line and detach. The listener bus is asynchronous,
-    * so wait (bounded) for the count to settle first.
+    * so wait (bounded, 5 s) for the count to become nonzero and settle
+    * — under driver load task-end events arrive in bursts, so a single
+    * quiet poll isn't proof the bus drained.
     */
   def finish(): Unit = {
     var prev = -1L
     var cur = records.get()
-    val deadline = System.nanoTime() + 2000000000L
-    while (cur != prev && System.nanoTime() < deadline) {
+    val deadline = System.nanoTime() + 5000000000L
+    while ((cur != prev || cur == 0) && System.nanoTime() < deadline) {
       prev = cur
-      Thread.sleep(50)
+      Thread.sleep(150)
       cur = records.get()
     }
     sink(s"""{"done":"$label","records":$cur}""")
