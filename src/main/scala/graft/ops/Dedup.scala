@@ -90,9 +90,10 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard.
-    * Signature arrays travel WITH the band keys, so candidate pairs can
-    * score agreement locally — two shuffles total (signature groupBy +
-    * bucket join), independent of numHashes/bands.
+    * Signature arrays travel WITH the band keys, so candidate pairs
+    * score agreement locally — three shuffles total (shingle DF-cap
+    * window, signature groupBy, band-bucket groupBy), independent of
+    * numHashes/bands, with no join anywhere.
     */
   def minhashLsh(df: DataFrame, text: Column = col("text"),
                  numHashes: Int = 12, bands: Int = 4,

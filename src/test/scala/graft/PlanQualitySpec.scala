@@ -47,6 +47,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Generate explode\\(sh".r.findAllIn(p).length == 1, "shingle explode duplicated")
   }
 
+  test("dd02/dd03: group-collect pair generation — join-free, documents scanned once") {
+    for (df <- Seq(
+        ops.Dedup.minhashLsh(Tables.load(spark, dir, "documents")),
+        ops.Dedup.simhashPairs(Tables.load(spark, dir, "documents")))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), "expected join-free bucket pair generation")
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        "documents scanned more than once — signature stage recomputed")
+    }
+  }
+
+  test("st02: sessionize reuses the user_id partitioning (one exchange)") {
+    val df = streaming.EventStream.sessionizeBatch(Tables.load(spark, dir, "events"))
+    val p = df.queryExecution.executedPlan.toString
+    // window partitions by user_id; the (user_id, session_no) groupBy
+    // is satisfied by that clustering — a second exchange would mean
+    // the whole events table reshuffles for nothing
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange:\n${p.take(1200)}")
+  }
+
   test("sim02/dd05: group-collect LSH — no self-join, embeddings scanned once") {
     for (df <- Seq(
         ops.Similarity.lshTopK(Tables.load(spark, dir, "embeddings"), dim = 64, k = 3, nBits = 4),
