@@ -160,6 +160,48 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; neighbors are searched only within the
+    * cell, with exact cosine re-ranking (probe=1 flat IVF). Centroids
+    * here are the deterministic first `numCells` corpus vectors — a
+    * real deployment would k-means them, which changes WHERE the cell
+    * boundaries fall but not the operator's shape. Scale design: the
+    * N×C scoring broadcast-joins the (small) centroid set and shuffles
+    * only (vec_id, cent_id, sim) — the embedding payload is joined
+    * back AFTER the argmin, so it never travels C times; cell pair
+    * generation reuses the group-collect machinery with the maxBucket
+    * guard.
+    */
+  def ivfTopK(corpus: DataFrame, dim: Int, k: Int, numCells: Int = 64,
+              maxBucket: Int = 10000): DataFrame = {
+    registerOn(corpus)
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val cents = broadcast(base.filter(col("vec_id") < numCells).select(
+      col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+      col("norm").as("cent_norm")))
+    val scored = base.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("embedding"), col("cent_emb"), col("norm"), col("cent_norm")).as("sim"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val cells = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val bucketed = base.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        lit(0).as("tbl"), col("cell").cast("string").as("bucket"))
+    val cand = bucketCandidates(bucketed, maxBucket,
+      (a, b) => when(a("vec_id") =!= b("vec_id"),
+        struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ),
     * LSH-blocked with corpus-scaled bucket counts (nBits = 0 → auto)
     * and multi-table probing for recall.

@@ -223,6 +223,71 @@ object PipelineOps {
         .orderBy("query_id", "rk"),
       Some(lshTopKOracle(dim = 64, k = 3, nBits = 4, tables = 2))),
 
+    // IVF-style ANN (probe=1 flat IVF): nearest-centroid cell
+    // assignment, in-cell exact rerank; oracle mirrors the assignment
+    // argmin (raw-sim order, centroid-id tie-break) and rerank
+    NamedQuery("sim03_ivf_topk",
+      (s, d) => Similarity.ivfTopK(embs(s, d), dim = 64, k = 3, numCells = 16)
+        .orderBy("query_id", "rk"),
+      Some(ivfTopKOracle(k = 3, numCells = 16))),
+
+    // end-to-end cleaning pipeline: exact-dedup survivors -> quality
+    // >= 0.5 -> language = en -> exact integer aggregates (sums of
+    // ints / of 1e4-scaled rounded scores, so no float-order drift)
+    NamedQuery("pp01_clean_corpus",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ds = docs(s, d)
+        val keep = Dedup.exact(ds).select(col("keep_id").as("doc_id"))
+        val q = TextAnalysis.quality(ds).select(col("doc_id"), col("quality_score"))
+        val lang = TextAnalysis.langid(ds).select(col("doc_id"), col("predicted"))
+        val tok = TextAnalysis.tokenStats(ds).select(col("doc_id"), col("n_tokens"))
+        keep.join(q, "doc_id").join(lang, "doc_id").join(tok, "doc_id")
+          .filter(col("predicted") === "en" && col("quality_score") >= 0.5)
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).cast("long").as("sum_tokens"),
+               sum(round(col("quality_score") * 10000, 0).cast("long")).as("quality_milli"))
+      },
+      Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                            GROUP BY md5(lower(trim(text)))),
+             q AS (SELECT doc_id,
+               round(distinct_ratio * 0.5 + length_ok * 0.3 +
+                     least(stop_cnt / n_tok * 5, 1.0) * 0.2, 4) AS quality_score
+               FROM (SELECT doc_id,
+                 CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tok,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+                 CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                   / len(string_split_regex(text, '\s+')) AS distinct_ratio,
+                 CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+                 FROM documents)),
+             lang AS (SELECT doc_id,
+               CASE WHEN cjk_score > 0.05 THEN 'zh'
+                    WHEN de_score >= en_score AND de_score >= rom_score THEN 'de'
+                    WHEN rom_score > en_score THEN 'rom'
+                    ELSE 'en' END AS predicted
+               FROM (SELECT doc_id,
+                 (CAST(length(t) - length(replace(t, 'th', '')) AS DOUBLE) / 2
+                  + CAST(length(t) - length(replace(t, ' the ', '')) AS DOUBLE) / 5 * 2
+                  + CAST(length(t) - length(replace(t, 'ing', '')) AS DOUBLE) / 3) / length(t) AS en_score,
+                 (CAST(length(t) - length(replace(t, ' de ', '')) AS DOUBLE) / 4 * 2
+                  + CAST(length(t) - length(replace(t, ' la ', '')) AS DOUBLE) / 4 * 2
+                  + CAST(length(t) - length(replace(t, 'ción', '')) AS DOUBLE) / 4 * 3
+                  + CAST(length(t) - length(replace(t, ' le ', '')) AS DOUBLE) / 4 * 2) / length(t) AS rom_score,
+                 (CAST(length(t) - length(replace(t, 'sch', '')) AS DOUBLE) / 3 * 2
+                  + CAST(length(t) - length(replace(t, ' der ', '')) AS DOUBLE) / 5 * 2
+                  + CAST(length(t) - length(replace(t, ' und ', '')) AS DOUBLE) / 5 * 3) / length(t) AS de_score,
+                 CAST(length(t) - length(regexp_replace(t, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+                   / length(t) AS cjk_score
+                 FROM (SELECT doc_id, lower(text) AS t FROM documents))),
+             tok AS (SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens FROM documents)
+             SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS quality_milli
+             FROM keep JOIN q USING (doc_id) JOIN lang USING (doc_id) JOIN tok USING (doc_id)
+             WHERE predicted = 'en' AND quality_score >= 0.5""")),
+
     // ---------------- multimodal plumbing ----------------
 
     NamedQuery("mm01_binary_meta",
@@ -323,6 +388,37 @@ object PipelineOps {
        withemb AS (SELECT b.vec_id, b.t, b.bucket, e.embedding,
                      count(*) OVER (PARTITION BY b.t, b.bucket) AS bc
                    FROM bucketed b JOIN embeddings e USING (vec_id))"""
+
+  /** DuckDB oracle for ivfTopK: same deterministic centroid choice
+    * (vec_id < numCells), argmin assignment on the RAW similarity
+    * (bit-identical across engines) with centroid-id tie-break, then
+    * in-cell pairs and rounded-cosine rerank.
+    */
+  private def ivfTopKOracle(k: Int, numCells: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM embeddings WHERE vec_id < $numCells),
+       scored AS (SELECT e.vec_id, c.cent_id,
+           (SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(c.cent_emb) AS b))
+           / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b)))
+           / sqrt((SELECT sum(a * b) FROM (SELECT unnest(c.cent_emb) AS a, unnest(c.cent_emb) AS b))) AS sim
+         FROM embeddings e CROSS JOIN cents c),
+       cells AS (SELECT vec_id, cent_id AS cell FROM
+           (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cent_id ASC) AS rn FROM scored)
+         WHERE rn = 1),
+       mem AS (SELECT e.vec_id, c.cell, e.embedding
+               FROM embeddings e JOIN cells c USING (vec_id)),
+       pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
+         FROM mem q JOIN mem n ON q.cell = n.cell AND q.vec_id != n.vec_id),
+       ranked AS (SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+         FROM pairs)
+       SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
+       WHERE rk <= $k ORDER BY query_id, rk"""
 
   /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
     * DISTINCT across tables (the rounded cosine is deterministic).

@@ -90,6 +90,19 @@ class OpsSpec extends AnyFunSuite {
     assert(hits > 0, "LSH should recover at least some exact top-1s")
   }
 
+  test("IVF ANN: every vector assigned to one cell, answers are real neighbors") {
+    val embs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 17 + d * 3).toFloat))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(embs, dim = 16, k = 2, numCells = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n) => q != n })
+    val bf = Similarity.bruteForceTopK(embs, embs, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = ivf.count { case (q, n) => bf.get(q).contains(n) }
+    assert(hits > 0, "IVF should recover some exact top-1s")
+  }
+
   test("multimodal: batched fake decode preserves rows and is deterministic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val d1 = Multimodal.decodeBatched(bin, batchSize = 2).orderBy("doc_id").collect()
