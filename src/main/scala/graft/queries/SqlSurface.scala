@@ -81,6 +81,64 @@ object SqlSurface {
                SELECT n + 1, fib + prev, fib FROM seq WHERE n < 30)
              SELECT n, fib FROM seq ORDER BY n""")),
 
+    // Q11-ext: GROUPING SETS (the general Postgres GroupingSets node)
+    NamedQuery("q37_grouping_sets",
+      sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                    COALESCE(o_orderpriority, 'ALL') AS priority,
+                    CAST(count(*) AS BIGINT) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY status, priority"""),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                    COALESCE(o_orderpriority, 'ALL') AS priority,
+                    CAST(count(*) AS BIGINT) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY status, priority""")),
+
+    // Q11-ext: CUBE
+    NamedQuery("q38_cube",
+      sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                    COALESCE(o_orderpriority, 'ALL') AS priority,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM orders
+             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY status, priority"""),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                    COALESCE(o_orderpriority, 'ALL') AS priority,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM orders
+             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY status, priority""")),
+
+    // Q14-ext: explicit ROWS frame + lag/lead/ntile (orders has the
+    // unique key, so every window order is total)
+    NamedQuery("q39_window_frames",
+      sql("""SELECT o_orderkey,
+                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum3,
+                    lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS prev_key,
+                    lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS next_key,
+                    CAST(ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+             FROM orders ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey,
+                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum3,
+                    lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS prev_key,
+                    lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS next_key,
+                    CAST(ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+             FROM orders ORDER BY o_orderkey""")),
+
     // Q11-ext: ROLLUP (multi-level aggregate; Postgres GroupingSets nodes)
     NamedQuery("q30_rollup",
       sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
