@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants for the pure engine kernels (no Spark
+  * session): CSV parse/render inversion, TsQuery parser totality,
+  * JsonType lattice laws, name-dedup laws.
+  */
+object EngineProps extends Properties("engine") {
+
+  // ---------------- CsvParser ----------------
+
+  private val fieldChar = Gen.frequency(
+    8 -> Gen.alphaNumChar, 1 -> Gen.const(','), 1 -> Gen.const('"'),
+    1 -> Gen.const('\r'), 1 -> Gen.const(' '), 1 -> Gen.const('\t'))
+  private val field = Gen.listOf(fieldChar).map(_.mkString)
+  private val row = Gen.nonEmptyListOf(field).map(_.toArray)
+
+  private def render(fields: Array[String], delim: Char): String =
+    fields.map { f =>
+      if (f.exists(c => c == delim || c == '"' || c == '\r' || c == '\n'))
+        "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    }.mkString(delim.toString)
+
+  property("splitLine inverts RFC-4180 render (comma)") = forAll(row) { r =>
+    CsvParser.splitLine(render(r, ','), CsvParser.Options())
+      .sameElements(r)
+  }
+
+  property("splitLine inverts RFC-4180 render (tab)") = forAll(row) { r =>
+    CsvParser.splitLine(render(r, '\t'), CsvParser.Options(delimiter = '\t'))
+      .sameElements(r)
+  }
+
+  // ---------------- TsQuery ----------------
+
+  property("tsquery parser is total (error recovery, never throws)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val q = Search.parse(s)
+      Search.compile(q) != null // compiles to a Column without a session
+    }
+
+  // ---------------- JsonType lattice ----------------
+
+  private def genJson(depth: Int): Gen[JsonType] =
+    if (depth == 0)
+      Gen.oneOf(JsonType.JMixed, JsonType.JUnknown, JsonType.JString,
+        JsonType.JNumber, JsonType.JBool)
+    else Gen.frequency(
+      5 -> genJson(0),
+      1 -> Gen.lzy(genJson(depth - 1).map(JsonType.JNullable(_))),
+      1 -> Gen.lzy(genJson(depth - 1).map(JsonType.JArray(_))),
+      2 -> Gen.lzy(Gen.listOfN(2,
+          Gen.zip(Gen.oneOf("a", "b", "c"),
+            Gen.zip(Gen.oneOf(true, false), genJson(depth - 1))))
+        .map(l => JsonType.JObject(l.toMap))))
+
+  property("unify is commutative") =
+    forAll(genJson(2), genJson(2)) { (a, b) =>
+      JsonType.unify(a, b) == JsonType.unify(b, a)
+    }
+
+  property("JUnknown is the identity") = forAll(genJson(2)) { t =>
+    JsonType.unify(t, JsonType.JUnknown) == t &&
+    JsonType.unify(JsonType.JUnknown, t) == t
+  }
+
+  property("JMixed absorbs") = forAll(genJson(2)) { t =>
+    JsonType.unify(t, JsonType.JMixed) == JsonType.JMixed &&
+    JsonType.unify(JsonType.JMixed, t) == JsonType.JMixed
+  }
+
+  // ---------------- Names ----------------
+
+  private val rawName = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '-', '.', '_'))).map(_.mkString)
+
+  property("dedup keeps arity and is case-insensitively distinct") =
+    forAll(Gen.listOf(rawName)) { xs =>
+      val out = Names.dedup(xs)
+      out.length == xs.length &&
+      out.map(_.toLowerCase).distinct.length == out.length
+    }
+
+  property("dedup is idempotent") = forAll(Gen.listOf(rawName)) { xs =>
+    val out = Names.dedup(xs)
+    Names.dedup(out) == out
+  }
+}

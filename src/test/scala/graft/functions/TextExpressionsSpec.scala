@@ -38,6 +38,19 @@ class TextExpressionsSpec extends AnyFunSuite {
     compare(fixtures, 5)
   }
 
+  test("native shingles == HOF shingles on generated strings (fuzz)") {
+    import org.scalacheck.Gen
+    val tokenChar = Gen.frequency(6 -> Gen.alphaNumChar,
+      1 -> Gen.const('é'), 1 -> Gen.const('.'), 1 -> Gen.const('#'))
+    val token = Gen.listOf(tokenChar).map(_.mkString) // may be empty
+    val text = Gen.listOf(token).map(_.mkString(" "))
+    val seed = org.scalacheck.rng.Seed(42L)
+    val samples = Iterator.iterate(seed)(_.next)
+      .take(120).flatMap(s => text.apply(Gen.Parameters.default, s)).toSeq
+    compare(samples, 3)
+    compare(samples, 2)
+  }
+
   test("native shingles == HOF shingles on the documents corpus") {
     TextFunctions.register(spark)
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
