@@ -64,6 +64,34 @@ object Demo {
     println("[demo] post-compaction v1 download:\n" +
       Export.csvString(cat.view("cities", 1).orderBy("ix")))
 
+    // 7. column-type override + re-type (inference guessed DOUBLE for
+    // avg_temp; the user wants the raw strings back)
+    cat.setColumnType("cities", 2, 3, ColumnType.ColText)
+    println("[demo] after override, v2 avg_temp type = " +
+      cat.view("cities", 2).schema("avg_temp").dataType.simpleString)
+
+    // 8. HTTP ingest (loopback server standing in for a remote URL)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "id,score\n1,0.5\n2,0.8\n".getBytes("UTF-8")
+    server.createContext("/remote.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val eh = cat.ingest("remote",
+        Ingest.csv(spark, s"http://127.0.0.1:${server.getAddress.getPort}/remote.csv"), "csv")
+      println(s"[demo] http ingest rows=${eh.rowCount} cols=${eh.friendlyNames.mkString(",")}")
+    } finally server.stop(0)
+
+    // 9. ingest with JSON-lines progress reporting
+    val n = Progress.watch(spark, "demo-ingest", line => println(s"[demo] $line"),
+      logEvery = 2) {
+      Ingest.csv(spark, csvPath.toString).untyped.count()
+    }
+    println(s"[demo] progress-watched ingest counted $n rows")
+
     spark.stop()
   }
 }
