@@ -70,16 +70,117 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The `numHashes` minhash basis hashes of one shingle in one native
+  * pass: element j = md5Hex("j#" + shingle) — identical bytes to the
+  * composed `md5(concat(lit(j), lit("#"), g))`, but with ONE reused
+  * MessageDigest and no per-hash string concat (the built-in Md5
+  * allocates a fresh digest per call; ×numHashes×rows that dominates
+  * the signature stage).
+  */
+case class MinhashHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && numHashes >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_hashes expects (string, n >= 1), got ${child.dataType}, n=$numHashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(j => s"$j#".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(g: UTF8String): ArrayData = {
+    val gBytes = g.getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      md.reset()
+      md.update(prefixes(j))
+      md.update(gBytes)
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+        hex(2 * i + 1) = hexDigits(d(i) & 0xF)
+        i += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(g: Any): Any = compute(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashHashes", this, classOf[MinhashHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashHashes =
+    copy(child = newChild)
+}
+
+/** SimHash vote bits of one token packed into an int: bit b = the high
+  * bit of hex nibble b of md5(token) — exactly `md5(tok).substr(b+1,1)
+  * IN ('8'..'f')`, without 32 substring+membership tests per token.
+  */
+case class SimhashVotePack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_pack expects string, got ${child.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  def compute(t: UTF8String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes)
+    var bits = 0
+    var b = 0
+    while (b < 32) {
+      // hex char b = high (b even) or low nibble of byte b/2
+      val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xF else d(b >> 1) & 0xF
+      if ((nibble & 8) != 0) bits |= (1 << b)
+      b += 1
+    }
+    bits
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashPack", this, classOf[SimhashVotePack].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashVotePack =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register `graft_shingles` (registry + call_function is the public
     * route to a custom Expression in Spark 4). Idempotent.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_hashes",
+      exprs => MinhashHashes(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_pack",
+      exprs => SimhashVotePack(exprs(0)),
+      "built-in")
+  }
 
   /** Column API: word k-shingles of a string column. Requires
     * `register(spark)` on the session first.
@@ -87,4 +188,13 @@ object TextFunctions {
   def shingles(text: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles",
       text, org.apache.spark.sql.functions.lit(k))
+
+  /** Column API: the numHashes minhash basis hashes of a shingle. */
+  def minhash_hashes(g: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash_hashes",
+      g, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Column API: packed simhash vote bits of a token. */
+  def simhash_pack(tok: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash_pack", tok)
 }

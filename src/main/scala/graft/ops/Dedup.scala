@@ -82,9 +82,14 @@ object Dedup {
     registerOn(df)
     val ex = dfCapped(df.select(col("doc_id"), explode(shingles(text, k)).as("g")),
       maxShingleDf)
+    // native MinhashHashes: one reused digest per row for all
+    // numHashes basis hashes (bit-identical to
+    // md5(concat(lit(j), lit("#"), g)) which allocates per call)
+    val hashed = ex.select(col("doc_id"),
+      graft.functions.TextFunctions.minhash_hashes(col("g"), numHashes).as("hs"))
     val minCols = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit("#"), col("g")))).as(s"h$j"))
-    ex.groupBy(col("doc_id"))
+      min(element_at(col("hs"), j + 1)).as(s"h$j"))
+    hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
@@ -142,13 +147,15 @@ object Dedup {
     * string). Bit b of a token = high bit of hex nibble b.
     */
   def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
+    registerOn(df)
     val toks = df.select(col("doc_id"), explode(split(text, " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("h", graft.functions.TextFunctions.simhash_pack(col("tok")))
     // 32 sum-aggregates, one per bit position — single shuffle, no ×32
-    // row explosion. Hex nibble >= 8 <=> its high bit set.
+    // row explosion. The native SimhashVotePack puts hex-nibble high
+    // bits in an int, so each vote is two bit ops instead of a
+    // substring + 8-way membership test.
     val voteCols = (0 until 32).map { b =>
-      sum(when(col("h").substr(b + 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$b")
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
     }
     toks.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)

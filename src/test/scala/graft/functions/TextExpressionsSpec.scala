@@ -62,6 +62,30 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("minhash_hashes == composed md5(concat(j,'#',g)) bit-for-bit") {
+    TextFunctions.register(spark)
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.ops.Dedup.shingles(col("text"))).as("g"))
+    val n = 12
+    val composed = array((0 until n).map(j =>
+      md5(concat(lit(j.toString), lit("#"), col("g")))): _*)
+    val diff = df.select(TextFunctions.minhash_hashes(col("g"), n).as("native"),
+        composed.as("hof"))
+      .filter(not(col("native") === col("hof"))).count()
+    assert(diff == 0)
+  }
+
+  test("simhash_pack bit b == md5 hex nibble b high bit") {
+    TextFunctions.register(spark)
+    val df = Seq("alpha", "beta", "gamma délta", "", "x").toDF("tok")
+    val checks = (0 until 32).map(b =>
+      (shiftright(TextFunctions.simhash_pack(col("tok")), b).bitwiseAND(lit(1)) === 1) ===
+      md5(col("tok")).substr(b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
+    val allOk = df.select(checks.reduce(_ && _).as("ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(allOk)
+  }
+
   test("null text yields null (HOF form degenerates to [\"\"] instead)") {
     // split(null) is null, but greatest() SKIPS nulls, so the HOF form
     // still builds one all-null shingle that concat_ws turns into "".
