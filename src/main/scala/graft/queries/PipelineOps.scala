@@ -25,7 +25,10 @@ object PipelineOps {
   // (guarded on the scan's partition count).
   private def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+    // file count proxies the scan's parallelism; df.rdd would answer
+    // precisely but forces full physical planning per call (measurable
+    // per-query driver cost in the bench harness)
+    if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
   }
   private def docs(s: SparkSession, d: String): DataFrame =
     fanOut(Tables.load(s, d, "documents"))
