@@ -139,8 +139,12 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       // the compacted table stores untyped text; re-apply this version's casts
       val raw = spark.read.parquet(e.compactedPath)
         .filter(array_contains(col("ixs"), version))
+      // lenient like setColumnType's re-materialization: an overridden
+      // type with unparseable values must read as NULL here too, not
+      // throw under ANSI at view time
       val typedCols = e.colTypes.zipWithIndex.map { case (t, i) =>
-        Ingest.castTo(col(s"c${i + 1}"), ColumnType.fromDisplay(t)).as(s"c${i + 1}")
+        Ingest.castTo(col(s"c${i + 1}"), ColumnType.fromDisplay(t), lenient = true)
+          .as(s"c${i + 1}")
       }
       raw.select(col("ix") +: typedCols: _*)
         .toDF("ix" +: e.friendlyNames: _*)

@@ -78,6 +78,10 @@ class CatalogSpec extends AnyFunSuite {
     cat.setColumnType("t", 1, 5, ColumnType.ColInt(IntWidth.I4))
     assert(cat.view("t", 1).filter(org.apache.spark.sql.functions.col("text").isNull)
       .count() == 4)
+    // same contract through the compacted read path (re-cast at view time)
+    cat.compact("t")
+    assert(cat.view("t", 1).filter(org.apache.spark.sql.functions.col("text").isNull)
+      .count() == 4)
   }
 
   test("corrupt catalog raises instead of silently wiping") {
