@@ -161,9 +161,25 @@ object JsonType {
   /** key → (optional?, type) */
   final case class JObject(fields: Map[String, (Boolean, JsonType)]) extends JsonType
 
-  /** Unification (Ingest/JSON/TypeInference.hs:104-134). Clause order
-    * matters and is preserved exactly (e.g. Unknown is absorbed before
-    * the Nullable clauses fire).
+  /** Normalizing Nullable constructor: Nullable is idempotent, and
+    * Mixed (the lattice top — "any JSON value") already includes null.
+    * Without this, `unify` is neither commutative nor associative on
+    * nested nullables (e.g. Nullable(Unknown) ⊔ Nullable(Mixed)
+    * double-wraps in one order only) — and our cross-row unification
+    * is a `treeAggregate`, whose combine ORDER is nondeterministic, so
+    * the inferred type of a corpus could vary run to run. The
+    * reference folds rows sequentially (TypeInference.hs:104-134), so
+    * its clause order never faced reassociation; normalization keeps
+    * its sequential results while making the fold order-independent.
+    */
+  private def nullable(t: JsonType): JsonType = t match {
+    case JMixed       => JMixed
+    case JNullable(_) => t
+    case _            => JNullable(t)
+  }
+
+  /** Unification (Ingest/JSON/TypeInference.hs:104-134); commutative
+    * and associative (EngineProps), safe for distributed folds.
     */
   def unify(a: JsonType, b: JsonType): JsonType = (a, b) match {
     case (JMixed, _) => JMixed
@@ -173,8 +189,8 @@ object JsonType {
     case (JString, JString) => JString
     case (JNumber, JNumber) => JNumber
     case (JBool, JBool)     => JBool
-    case (JNullable(t), t2) => JNullable(unify(t, t2))
-    case (t, JNullable(t2)) => JNullable(unify(t, t2))
+    case (JNullable(t), t2) => nullable(unify(t, t2))
+    case (t, JNullable(t2)) => nullable(unify(t, t2))
     case (JArray(t), JArray(t2)) => JArray(unify(t, t2))
     case (JObject(f1), JObject(f2)) =>
       val keys = f1.keySet ++ f2.keySet

@@ -62,6 +62,14 @@ object EngineProps extends Properties("engine") {
       JsonType.unify(a, b) == JsonType.unify(b, a)
     }
 
+  // treeAggregate reassociates the fold arbitrarily, so associativity
+  // is a CORRECTNESS requirement, not a nicety
+  property("unify is associative") =
+    forAll(genJson(2), genJson(2), genJson(2)) { (a, b, c) =>
+      JsonType.unify(JsonType.unify(a, b), c) ==
+        JsonType.unify(a, JsonType.unify(b, c))
+    }
+
   property("JUnknown is the identity") = forAll(genJson(2)) { t =>
     JsonType.unify(t, JsonType.JUnknown) == t &&
     JsonType.unify(JsonType.JUnknown, t) == t
