@@ -60,26 +60,55 @@ object Infer {
   def fieldColumnType(raw: String): ColumnType =
     ColumnType.fromInferred(raw, inferFieldType(raw))
 
-  /** Sequential fold over rows (reference-exact; used in unit tests and
-    * as the per-partition step). null fields (absent in a ragged row)
-    * leave the column guess untouched.
+  /** Fold one row into the per-column guesses. `None` = the column has
+    * not seen a value yet — a null field (missing in a ragged row, or
+    * genuinely absent) contributes NOTHING. This is the identity the
+    * lattice needs: seeding nulls as ColText instead would make the
+    * result depend on which value a partition happens to see FIRST
+    * (null-first → Text forever; value-first → the real type), i.e. on
+    * partition boundaries.
     */
-  def inferRows(rows: Iterator[Seq[String]]): Vector[ColumnType] = {
-    var guess = Vector.empty[ColumnType]
-    rows.foreach { r =>
-      // widen if this row has more fields (DataFormat.hs:251-271 analog)
-      if (r.length > guess.length)
-        guess = guess ++ r.drop(guess.length).map(f =>
-          if (f == null) ColumnType.ColText else fieldColumnType(f))
-      var i = 0
-      while (i < guess.length && i < r.length) {
-        val f = r(i)
-        if (f != null) guess = guess.updated(i, ColumnType.updateWith(guess(i), f, inferFieldType(f)))
-        i += 1
+  def rowStep(acc: Vector[Option[ColumnType]], r: Seq[String]): Vector[Option[ColumnType]] = {
+    var guess = acc
+    // widen if this row has more fields (DataFormat.hs:251-271 analog)
+    if (r.length > guess.length)
+      guess = guess ++ r.drop(guess.length).map(_ => Option.empty[ColumnType])
+    var i = 0
+    while (i < guess.length && i < r.length) {
+      val f = r(i)
+      if (f != null) {
+        val t = inferFieldType(f)
+        guess = guess.updated(i, Some(guess(i) match {
+          case Some(cur) => ColumnType.updateWith(cur, f, t)
+          case None      => ColumnType.fromInferred(f, t)
+        }))
       }
+      i += 1
     }
     guess
   }
+
+  /** Merge two partition folds (the treeAggregate combOp; public so the
+    * distributed==sequential property can exercise it directly).
+    */
+  def merge(a: Vector[Option[ColumnType]],
+            b: Vector[Option[ColumnType]]): Vector[Option[ColumnType]] =
+    Vector.tabulate(math.max(a.length, b.length)) { i =>
+      (a.lift(i).flatten, b.lift(i).flatten) match {
+        case (Some(x), Some(y)) => Some(ColumnType.join(x, y))
+        case (x, y)             => x.orElse(y)
+      }
+    }
+
+  /** Sequential fold over rows (reference-exact; used in unit tests and
+    * as the per-partition step). A column that never saw a value is
+    * TEXT, like the reference's all-null column default.
+    */
+  def inferRowsOpt(rows: Iterator[Seq[String]]): Vector[Option[ColumnType]] =
+    rows.foldLeft(Vector.empty[Option[ColumnType]])(rowStep)
+
+  def inferRows(rows: Iterator[Seq[String]]): Vector[ColumnType] =
+    inferRowsOpt(rows).map(_.getOrElse(ColumnType.ColText))
 
   /** Distributed inference over an untyped DataFrame whose columns are all
     * strings (c1..cN). Runs one pass over all rows: per-partition lattice
@@ -91,30 +120,7 @@ object Infer {
       import untyped.sparkSession.implicits._
       untyped.map(r => (0 until n).map(i => if (r.isNullAt(i)) null else r.getString(i)))
     }
-    rows.rdd.treeAggregate(Vector.empty[ColumnType])(
-      seqOp = (acc, r) => {
-        var guess = acc
-        if (r.length > guess.length)
-          guess = guess ++ r.drop(guess.length).map(f =>
-            if (f == null) ColumnType.ColText else fieldColumnType(f))
-        var i = 0
-        while (i < guess.length && i < r.length) {
-          val f = r(i)
-          if (f != null) guess = guess.updated(i, ColumnType.updateWith(guess(i), f, inferFieldType(f)))
-          i += 1
-        }
-        guess
-      },
-      combOp = (a, b) => {
-        val len = math.max(a.length, b.length)
-        Vector.tabulate(len) { i =>
-          (a.lift(i), b.lift(i)) match {
-            case (Some(x), Some(y)) => ColumnType.join(x, y)
-            case (Some(x), None)    => x
-            case (None, Some(y))    => y
-            case _                  => ColumnType.ColText
-          }
-        }
-      })
+    rows.rdd.treeAggregate(Vector.empty[Option[ColumnType]])(rowStep _, merge _)
+      .map(_.getOrElse(ColumnType.ColText))
   }
 }

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property-based invariants for the pure engine kernels (no Spark
   * session): CSV parse/render inversion, TsQuery parser totality,
@@ -79,6 +79,49 @@ object EngineProps extends Properties("engine") {
     JsonType.unify(t, JsonType.JMixed) == JsonType.JMixed &&
     JsonType.unify(JsonType.JMixed, t) == JsonType.JMixed
   }
+
+  // ---------------- tabular inference lattice ----------------
+
+  private val longText = "x" * (ColumnType.MaxTextLen + 10)
+  private val fieldVal: Gen[String] = Gen.frequency(
+    3 -> Gen.oneOf("0", "1", "t", "TRUE", "no", "off"),
+    3 -> Gen.oneOf("42", "-7", "+123456789", "9999999999", "123456789012345678"),
+    3 -> Gen.oneOf("1.5", "-0.25", "3e10", "1e-3", "11e1111", ".5", "2."),
+    3 -> Gen.oneOf("hello", "", " 7 ", "a b", "näive"),
+    1 -> Gen.const(longText),
+    1 -> Gen.const(null: String))
+  private val inferRow: Gen[Seq[String]] = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, fieldVal))
+  private val inferRows: Gen[List[Seq[String]]] = Gen.listOf(inferRow)
+
+
+  property("column join is commutative") = forAll(fieldVal, fieldVal) { (f, g) =>
+    (f != null && g != null) ==> {
+      val a = Infer.fieldColumnType(f)
+      val b = Infer.fieldColumnType(g)
+      ColumnType.join(a, b) == ColumnType.join(b, a)
+    }
+  }
+
+  property("column join is associative") =
+    forAll(fieldVal, fieldVal, fieldVal) { (f, g, h) =>
+      (f != null && g != null && h != null) ==> {
+        val (a, b, c) = (Infer.fieldColumnType(f), Infer.fieldColumnType(g),
+          Infer.fieldColumnType(h))
+        ColumnType.join(ColumnType.join(a, b), c) ==
+          ColumnType.join(a, ColumnType.join(b, c))
+      }
+    }
+
+  // THE distributed-correctness theorem for I4: a per-partition fold
+  // merged with join equals the reference's sequential fold, wherever
+  // the partition boundary lands
+  property("partitioned inference == sequential inference at any split") =
+    org.scalacheck.Prop.forAllNoShrink(inferRows, Gen.choose(0, 1000)) { (rows, cut0) =>
+      val cut = if (rows.isEmpty) 0 else cut0 % (rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      Infer.merge(Infer.inferRowsOpt(l.iterator), Infer.inferRowsOpt(r.iterator)) ==
+        Infer.inferRowsOpt(rows.iterator)
+    }
 
   // ---------------- Names ----------------
 
