@@ -43,19 +43,26 @@ object JsonInfer {
     * the raw text of each value.
     */
   def splitTopLevel(content: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
+    // slice between consecutive top-level token START offsets: Jackson
+    // parses scalar strings lazily, so the parser's END location after
+    // nextToken() can sit one char past the OPENING quote — a stream
+    // of top-level strings would split as bare `"` marks. Start
+    // offsets are always exact.
     val p = factory.createParser(content)
     p.enable(JsonParser.Feature.AUTO_CLOSE_SOURCE)
+    val starts = Vector.newBuilder[Int]
     var tok = p.nextToken()
     while (tok != null) {
-      val start = p.currentTokenLocation().getCharOffset.toInt
+      starts += p.currentTokenLocation().getCharOffset.toInt
       p.skipChildren() // no-op for scalars; consumes to matching end otherwise
-      val end = p.currentLocation().getCharOffset.toInt
-      out += content.substring(start, end).trim
       tok = p.nextToken()
     }
     p.close()
-    out.result()
+    val ss = starts.result()
+    ss.zipWithIndex.map { case (s, i) =>
+      val e = if (i + 1 < ss.length) ss(i + 1) else content.length
+      content.substring(s, e).trim
+    }
   }
 
   /** Apply a JsonPath to one parsed value, yielding the selected

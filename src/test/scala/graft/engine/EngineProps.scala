@@ -123,6 +123,28 @@ object EngineProps extends Properties("engine") {
         Infer.inferRowsOpt(rows.iterator)
     }
 
+  // ---------------- JSON splitter / inference ----------------
+
+  private val jsonValue: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(-1000, 1000).map(_.toString),
+    Gen.oneOf("true", "false", "null"),
+    Gen.alphaNumStr.map(s => "\"" + s + "\""),
+    Gen.const("\"quote\\\"and\\\\slash\""),
+    Gen.listOf(Gen.chooseNum(0, 9)).map(_.mkString("[", ",", "]")),
+    Gen.alphaNumStr.map(s => s"""{"k":"$s","n":1}"""))
+
+  property("splitTopLevel inverts whitespace-joined value streams") =
+    org.scalacheck.Prop.forAllNoShrink(
+      Gen.listOf(jsonValue), Gen.oneOf(" ", "\n", "  \n ")) { (vals, sep) =>
+      JsonInfer.splitTopLevel(vals.mkString(sep)) == vals.toVector
+    }
+
+  property("inferAll is order-independent (fold laws end-to-end)") =
+    forAll(Gen.listOf(jsonValue)) { vals =>
+      JsonInfer.inferAll(vals.iterator) ==
+        JsonInfer.inferAll(vals.reverse.iterator)
+    }
+
   // ---------------- Names ----------------
 
   private val rawName = Gen.listOf(Gen.frequency(
