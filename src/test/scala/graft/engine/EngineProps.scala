@@ -145,6 +145,54 @@ object EngineProps extends Properties("engine") {
         JsonInfer.inferAll(vals.reverse.iterator)
     }
 
+  // ---------------- ACL lattice ----------------
+
+  private val aclOps: Gen[List[Int]] = Gen.listOf(Gen.choose(0, 4))
+
+  /** Deterministically replay a small op-stream into an Acl.State with
+    * two users, one group, one source.
+    */
+  private def replay(ops: List[Int]): Acl.State = {
+    var st = Acl.State(canCreateGroup = Set("admin"))
+      .addUser("admin").addUser("alice").addUser("bob")
+      .onCreate("admin", "ds")
+    st = st.createGroup("admin", "team")
+    ops.foreach {
+      case 0 => st = st.addToGroup("admin", "bob", "team")
+      case 1 => st = st.grantUser("admin", "alice", "ds", Acl.LevelRead)
+      case 2 => st = st.grantGroup("admin", "team", "ds", Acl.LevelUpdate)
+      case 3 => st = st.makePublic("admin", "ds")
+      case 4 => st = st.grantUser("admin", "alice", "ds", Acl.LevelManage)
+    }
+    st
+  }
+
+  // NOT all ops are monotone: re-granting a user a lower level is an
+  // intentional downgrade (set-semantics, like the reference). But
+  // ADDITIVE ops — joining a group, making a dataset public — must
+  // never lower anyone's effective level.
+  property("membership and public grants never lower a level") =
+    forAll(aclOps, Gen.oneOf(0, 3)) { (ops, extra) =>
+      val before = replay(ops)
+      val after = replay(ops :+ extra)
+      Seq("admin", "alice", "bob").forall(u =>
+        after.level(u, "ds") >= before.level(u, "ds"))
+    }
+
+  property("effective level >= any group grant the user belongs to") =
+    forAll(aclOps) { ops =>
+      val st = replay(ops)
+      st.membership.forall { case (u, g) =>
+        st.level(u, "ds") >= st.groupAccess.getOrElse((g, "ds"), Acl.LevelNone)
+      }
+    }
+
+  property("public datasets are readable by every user") =
+    forAll(aclOps) { ops =>
+      val st = replay(ops :+ 3)
+      st.users.forall(u => st.canRead(u, "ds"))
+    }
+
   // ---------------- Names ----------------
 
   private val rawName = Gen.listOf(Gen.frequency(
