@@ -96,4 +96,18 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("set_fingerprint"),
       md5(concat_ws(" ", slice(toks, 1, 8))).as("prefix_fingerprint"))
   }
+
+  /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
+    * of a tokenizer pipeline. One explode + one count groupBy (map-side
+    * partial combine collapses frequent tokens per partition, so the
+    * shuffle carries distinct tokens, not token instances); ranking is
+    * total (count desc, token asc) for determinism.
+    */
+  def vocab(df: DataFrame, k: Int = 50, text: Column = col("text")): DataFrame =
+    df.select(explode(split(text, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
 }

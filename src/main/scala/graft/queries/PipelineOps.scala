@@ -111,6 +111,13 @@ object PipelineOps {
               md5(array_to_string((string_split_regex(text, '\\s+'))[1:8], ' ')) AS prefix_fingerprint
               FROM documents ORDER BY doc_id""")),
 
+    NamedQuery("tx05_vocab",
+      (s, d) => TextAnalysis.vocab(docs(s, d), k = 50),
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+             WHERE tok != ''
+             GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")),
+
     // ---------------- dedup ----------------
 
     NamedQuery("dd01_exact_dedup",

@@ -139,6 +139,25 @@ object SqlSurface {
                       ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
              FROM orders ORDER BY o_orderkey""")),
 
+    // Q20-ext: correlated LATERAL subquery — top-3 orders per nation
+    // (the Postgres NestedLoop + SubqueryScan shape; Catalyst plans a
+    // lateral join and decorrelates the per-row limit)
+    NamedQuery("q40_lateral",
+      sql("""SELECT n_name, o.o_orderkey, o.total
+             FROM nation n,
+             LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+             ORDER BY n_name, total DESC, o_orderkey"""),
+      Some("""SELECT n_name, o.o_orderkey, o.total
+             FROM nation n,
+             LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+             ORDER BY n_name, total DESC, o_orderkey""")),
+
     // Q11-ext: ROLLUP (multi-level aggregate; Postgres GroupingSets nodes)
     NamedQuery("q30_rollup",
       sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
