@@ -81,6 +81,23 @@ object SqlSurface {
                SELECT n + 1, fib + prev, fib FROM seq WHERE n < 30)
              SELECT n, fib FROM seq ORDER BY n""")),
 
+    // Q6: MergeJoin pinned explicitly (the MERGE hint forces
+    // sort-merge; DuckDB reads the hint as a comment) — q05-q07 let
+    // Catalyst choose, this one asserts the strategy is reachable
+    NamedQuery("q41_merge_join",
+      sql("""SELECT /*+ MERGE(lineitem) */ o_orderkey,
+                    CAST(count(*) AS BIGINT) AS n_lines,
+                    round(sum(l_quantity), 2) AS qty
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE o_orderstatus = 'F'
+             GROUP BY o_orderkey ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey,
+                    CAST(count(*) AS BIGINT) AS n_lines,
+                    round(sum(l_quantity), 2) AS qty
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE o_orderstatus = 'F'
+             GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     // Q11-ext: GROUPING SETS (the general Postgres GroupingSets node)
     NamedQuery("q37_grouping_sets",
       sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,

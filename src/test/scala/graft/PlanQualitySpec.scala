@@ -28,6 +28,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "no partial aggregation found")
   }
 
+  test("q41: MERGE hint plans a sort-merge join") {
+    val p = planOf("q41_merge_join")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+  }
+
   test("q09: semi join planned as hash join, not nested loop") {
     val p = planOf("q09_semi_join")
     assert(p.contains("LeftSemi"), p.take(300))
