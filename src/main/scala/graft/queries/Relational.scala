@@ -143,6 +143,18 @@ object Relational {
                ON nk = nk2
              ORDER BY nationkey""")),
 
+    // Q5d: RIGHT outer join (the one Q5 variant q05-q07 don't cover):
+    // orders on the right keeps customers with no orders as NULL rows
+    NamedQuery("q42_join_right",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+             FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_custkey ORDER BY c_custkey""")),
+
     // Q7: NestedLoop — genuine non-equi theta join (QueryPlan.hs:166).
     // Both sides tiny → BroadcastNestedLoopJoin; at scale a theta join
     // over big inputs would need banding/range-bucketing first.

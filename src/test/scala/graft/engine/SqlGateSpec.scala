@@ -44,6 +44,14 @@ class SqlGateSpec extends AnyFunSuite {
       .reads == Set("t1", "t2"))
   }
 
+  test("set operations collect reads from every branch") {
+    assert(SqlGate.summarize(spark,
+      "SELECT a FROM t1 UNION SELECT b FROM t2 EXCEPT SELECT c FROM t3")
+      .reads == Set("t1", "t2", "t3"))
+    assert(SqlGate.summarize(spark,
+      "SELECT a FROM t1 INTERSECT ALL SELECT b FROM t2").reads == Set("t1", "t2"))
+  }
+
   test("denials apply inside subqueries (TVF in EXISTS)") {
     intercept[SqlGate.Denied] {
       SqlGate.summarize(spark, "SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM range(5))")
