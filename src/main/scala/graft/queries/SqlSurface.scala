@@ -81,6 +81,21 @@ object SqlSurface {
                SELECT n + 1, fib + prev, fib FROM seq WHERE n < 30)
              SELECT n, fib FROM seq ORDER BY n""")),
 
+    // Q25-ext: exact percentiles (sort-based, so engine-deterministic
+    // unlike sum-order-dependent moments; DuckDB quantile_cont uses the
+    // same linear interpolation)
+    NamedQuery("q43_percentile",
+      sql("""SELECT l_returnflag,
+                    round(percentile(l_quantity, 0.5), 4) AS median_qty,
+                    round(percentile(l_quantity, 0.9), 4) AS p90_qty,
+                    round(percentile(l_extendedprice, 0.25), 4) AS p25_price
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+                    round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                    round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                    round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Q6: MergeJoin pinned explicitly (the MERGE hint forces
     // sort-merge; DuckDB reads the hint as a comment) — q05-q07 let
     // Catalyst choose, this one asserts the strategy is reachable
