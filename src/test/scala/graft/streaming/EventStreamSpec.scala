@@ -27,6 +27,25 @@ class EventStreamSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    // at-least-once delivery: the same (user_id, ts) arrives twice
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(0), 1.0), (1L, ts(10), 2.0),
+      (2L, ts(5), 3.0), (2L, ts(5), 3.0), (2L, ts(5), 3.0))
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    events.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream
+      .schema(events.toDF("user_id", "ts", "value").schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").count() == 3)
+  }
+
   test("streaming sessionize equals batch sessionize once the watermark closes sessions") {
     import spark.implicits._
     val gapMin = 30
