@@ -83,7 +83,10 @@ object SqlSurface {
 
     // Q25-ext: exact percentiles (sort-based, so engine-deterministic
     // unlike sum-order-dependent moments; DuckDB quantile_cont uses the
-    // same linear interpolation)
+    // same linear interpolation). NOTE exact percentile buffers each
+    // group's values — parity with Postgres percentile_cont through
+    // /sql; at 100 TB per-group scale use approx_percentile (t-digest,
+    // mergeable partial agg) instead.
     NamedQuery("q43_percentile",
       sql("""SELECT l_returnflag,
                     round(percentile(l_quantity, 0.5), 4) AS median_qty,
