@@ -9,6 +9,43 @@ import graft.engine._
   * Prints rows/sec for ingest+inference and the typed materialization.
   */
 object ScaleCheck {
+
+  /** Dedup scaling probe (`runMain graft.ScaleCheck dedup`): grow the
+    * sf0.1 documents corpus ×5 and ×20 (25k / 100k docs) with
+    * replica-DISTINCT text (a replica token woven between words shifts
+    * every shingle), so the dup structure per replica stays constant
+    * and the probe measures the SLOPE: candidate generation must grow
+    * ~linearly with corpus size — bucket-local pairs, no N² anywhere.
+    * (Replicating the text verbatim instead makes every doc a 20-way
+    * exact-dup clone, where quadratic OUTPUT is inherent — that shape
+    * is what exact dedup removes first, per the operator docs.)
+    */
+  private def dedupScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] dedup x$mult ($n%d docs) $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
+      // shingle-based ops only: the woven replica token isolates
+      // replicas at the SHINGLE level, but makes their token
+      // DISTRIBUTIONS near-identical, which is adversarial input for
+      // simhash (whose guard against that shape is maxBucket, already
+      // spec-covered) — including it here would measure the probe's
+      // artifact, not the slope
+      time("exact")(graft.ops.Dedup.exact(docs).count())
+      time("minhashLsh")(graft.ops.Dedup.minhashLsh(docs).count())
+      time("ngramJaccard")(graft.ops.Dedup.ngramJaccard(docs).count())
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -19,6 +56,12 @@ object ScaleCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (path == "dedup") {
+      dedupScale(spark)
+      spark.stop()
+      return
+    }
 
     var t0 = System.nanoTime()
     val ing = Ingest.csv(spark, path)
