@@ -94,6 +94,20 @@ object EngineProps extends Properties("engine") {
   private val inferRows: Gen[List[Seq[String]]] = Gen.listOf(inferRow)
 
 
+  property("field lexer: surrounding ASCII whitespace never changes the type") =
+    forAll(fieldVal, Gen.oneOf("", " ", "\t", "  \t")) { (f, ws) =>
+      f == null || Infer.inferFieldType(ws + f + ws) == Infer.inferFieldType(f)
+    }
+
+  property("field lexer: digit strings split I4/I8/TEXT at 9 and 18 digits") =
+    forAll(Gen.choose(1, 25)) { len =>
+      val s = "7" * len // not "1": single "1"/"0" lex as BOOL literals
+      Infer.inferFieldType(s) == (
+        if (len <= 9) InferredType.InfInt(IntWidth.I4)
+        else if (len <= 18) InferredType.InfInt(IntWidth.I8)
+        else InferredType.InfText)
+    }
+
   property("column join is commutative") = forAll(fieldVal, fieldVal) { (f, g) =>
     (f != null && g != null) ==> {
       val a = Infer.fieldColumnType(f)
