@@ -35,36 +35,45 @@ object SqlGate {
     */
   def summarize(spark: SparkSession, sql: String): Summary = {
     val root: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    val reads = scala.collection.mutable.Set.empty[String]
 
-    def ctesOf(p: LogicalPlan): Seq[(String, LogicalPlan)] = p.collect {
-      case w: UnresolvedWith => w.cteRelations.map(c => (c._1, c._2: LogicalPlan))
-    }.flatten
+    def exprSubplans(p: LogicalPlan): Seq[LogicalPlan] =
+      p.expressions.flatMap(_.collect { case se: SubqueryExpression => se.plan })
 
-    def subplansOf(p: LogicalPlan): Seq[LogicalPlan] =
-      p.flatMap(n => n.expressions.flatMap(_.collect {
-        case se: SubqueryExpression => se.plan
-      })).toSeq
+    // CTE-name discounting is LEXICAL: a name only masks relation
+    // references in scopes where that CTE is actually visible. Spark's
+    // CTESubstitution resolves definitions in order (a body sees only
+    // earlier siblings; its own name only under WITH RECURSIVE), and a
+    // CTE defined inside a subquery is invisible outside it — so
+    // `SELECT * FROM secret WHERE EXISTS (WITH secret AS (SELECT 1) ...)`
+    // must still report a read of the real `secret`.
+    def walk(p: LogicalPlan, visible: Set[String]): Unit = {
+      p match {
+        case _: Command             => throw Denied("user SQL is read-only (ModifyTable denied)")
+        case _: InsertIntoStatement => throw Denied("user SQL is read-only (ModifyTable denied)")
+        case _: UnresolvedTableValuedFunction =>
+          throw Denied("function scans are not authorized") // QueryPlan.hs:340
+        case w: UnresolvedWith =>
+          var vis = visible
+          w.cteRelations.foreach { cte =>
+            val name = cte._1.toLowerCase
+            walk(cte._2, if (w.allowRecursion) vis + name else vis)
+            vis += name
+          }
+          walk(w.child, vis)
+          exprSubplans(w).foreach(walk(_, vis))
+          return
+        case r: UnresolvedRelation =>
+          val name = r.multipartIdentifier.mkString(".").toLowerCase
+          if (!visible.contains(name)) reads += name
+        case _ => ()
+      }
+      p.children.foreach(walk(_, visible))
+      exprSubplans(p).foreach(walk(_, visible))
+    }
 
-    def expand(p: LogicalPlan): Seq[LogicalPlan] =
-      p +: (ctesOf(p).map(_._2) ++ subplansOf(p)).flatMap(expand)
-
-    val plans = expand(root)
-
-    plans.foreach(_.foreach {
-      case _: Command             => throw Denied("user SQL is read-only (ModifyTable denied)")
-      case _: InsertIntoStatement => throw Denied("user SQL is read-only (ModifyTable denied)")
-      case _: UnresolvedTableValuedFunction =>
-        throw Denied("function scans are not authorized") // QueryPlan.hs:340
-      case _ => ()
-    })
-
-    val cteNames: Set[String] = plans.flatMap(ctesOf).map(_._1.toLowerCase).toSet
-
-    val reads = plans.flatMap(_.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".").toLowerCase
-    }).toSet -- cteNames
-
-    Summary(reads)
+    walk(root, Set.empty)
+    Summary(reads.toSet)
   }
 
   /** Authorize + execute: every read relation must be a registered view

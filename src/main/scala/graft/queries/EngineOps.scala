@@ -181,14 +181,20 @@ object EngineOps {
           // (TVF here) must apply inside them too
           ("7", "SELECT * FROM t1 WHERE a IN (SELECT b FROM t9)"),
           ("8", "SELECT (SELECT max(x) FROM t7) AS m FROM t1"),
-          ("9", "SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM range(5))"))
+          ("9", "SELECT * FROM t1 WHERE EXISTS (SELECT 1 FROM range(5))"),
+          // CTE names are scoped LEXICALLY: a nested CTE sharing a real
+          // table's name must not mask the outer read (round-3 ADVICE),
+          // and a body sees only earlier siblings (in-order resolution)
+          ("a", "SELECT * FROM t1 WHERE EXISTS (WITH t1 AS (SELECT 1 AS k) SELECT k FROM t1)"),
+          ("b", "WITH a AS (SELECT * FROM t5), t5 AS (SELECT 1 AS x) SELECT * FROM a"))
         rowsDf(s, Seq("case_id", "verdict"),
           cases.map { case (id, sql) => Seq(id, verdict(sql)) })
       },
       Some("""SELECT * FROM (VALUES
              ('1', 'ok:t1,t2'), ('2', 'ok:t3'), ('3', 'denied'),
              ('4', 'denied'), ('5', 'denied'), ('6', 'ok:'),
-             ('7', 'ok:t1,t9'), ('8', 'ok:t1,t7'), ('9', 'denied'))
+             ('7', 'ok:t1,t9'), ('8', 'ok:t1,t7'), ('9', 'denied'),
+             ('a', 'ok:t1'), ('b', 'ok:t5'))
              t(case_id, verdict) ORDER BY case_id""")),
 
     // S8 + security model: effective access levels

@@ -58,6 +58,42 @@ class SqlGateSpec extends AnyFunSuite {
     }
   }
 
+  test("CTE names are scoped lexically: shadowing cannot mask outer reads") {
+    // a CTE named like a real table, defined inside a subquery, must not
+    // discount the OUTER read of that table (round-3 ADVICE repro)
+    assert(SqlGate.summarize(spark,
+      "SELECT * FROM secret3 WHERE EXISTS (WITH secret3 AS (SELECT 1 AS k) SELECT k FROM secret3)")
+      .reads == Set("secret3"))
+    // in-order resolution: a body sees only EARLIER siblings, so `a`'s
+    // reference to `b` is the real table, not the later CTE
+    assert(SqlGate.summarize(spark,
+      "WITH a AS (SELECT * FROM b), b AS (SELECT 1 AS x) SELECT * FROM a")
+      .reads == Set("b"))
+    // self-reference without RECURSIVE resolves to the real table
+    assert(SqlGate.summarize(spark,
+      "WITH t AS (SELECT * FROM t) SELECT * FROM t").reads == Set("t"))
+    // under WITH RECURSIVE the self-reference IS the CTE (allowRecursion)
+    assert(SqlGate.summarize(spark,
+      "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r")
+      .reads == Set.empty[String])
+    // a CTE IS discounted everywhere it is genuinely visible, including
+    // subquery expressions in the main body
+    assert(SqlGate.summarize(spark,
+      "WITH x AS (SELECT * FROM t1) SELECT * FROM x WHERE x.a IN (SELECT a FROM x)")
+      .reads == Set("t1"))
+  }
+
+  test("CTE shadowing cannot bypass the ACL at execute (ADVICE r3 high)") {
+    import spark.implicits._
+    Seq((1, "p")).toDF("k", "v").createOrReplaceTempView("pub3")
+    Seq((1, "s")).toDF("k", "v").createOrReplaceTempView("secret3")
+    intercept[SqlGate.Denied] {
+      SqlGate.execute(spark,
+        "SELECT * FROM secret3 WHERE EXISTS (WITH secret3 AS (SELECT 1 AS k) SELECT k FROM secret3)",
+        Set("pub3", "secret3"), t => t != "secret3")
+    }
+  }
+
   test("subquery reads enforced at execute (no authorization bypass)") {
     import spark.implicits._
     Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("pub2")
