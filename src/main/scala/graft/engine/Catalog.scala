@@ -100,6 +100,7 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     val typedPath = s"$dir/typed"
     ingested.untyped.write.mode(SaveMode.Overwrite).parquet(untypedPath)
     ingested.typed.write.mode(SaveMode.Overwrite).parquet(typedPath)
+    ingested.unpersist() // both materializations done; drop the parse cache
     val rowCount = spark.read.parquet(untypedPath).count()
 
     val jsonType = ingested.colTypes match {
@@ -185,17 +186,25 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
         .as(s"c${i + 1}")
     }
     val typed = untyped.select(col("ix") +: cols: _*)
-    // write-then-swap, like commit(): never overwrite typed in place
+    // write-then-swap, like commit(): never overwrite typed in place.
+    // The old copy is renamed ASIDE (not deleted) before the new one
+    // moves in, so a crash anywhere in the window leaves either the old
+    // data at typedPath or restorable at typedPath_old — the catalog
+    // (committed last, still holding the old colTypes until then) never
+    // points at deleted data.
     val tmp = new org.apache.hadoop.fs.Path(e.typedPath + "_retype")
     val dst = new org.apache.hadoop.fs.Path(e.typedPath)
+    val old = new org.apache.hadoop.fs.Path(e.typedPath + "_old")
     typed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)
 
     val updated = e.copy(colTypes = newTypes)
     commit(entries.map(x =>
       if (x.name == name && x.version == version) updated else x))
+    fs.delete(old, true) // commit durable; drop the aside copy
     updated
   }
 

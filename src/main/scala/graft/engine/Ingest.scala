@@ -35,7 +35,14 @@ object Ingest {
       untyped: DataFrame,                 // ix :: long, c1..cN :: string
       headers: Seq[Option[String]],       // raw header per column (if any)
       friendlyNames: Seq[String],         // sanitized + deduped
-      colTypes: Seq[ColumnType]) {
+      colTypes: Seq[ColumnType],
+      cached: Option[org.apache.spark.rdd.RDD[_]] = None) {
+
+    /** Release the parsed-records cache backing `untyped` (safe any
+      * time: later actions transparently re-read the input). Call
+      * after materializing — Catalog.ingest does.
+      */
+    def unpersist(): Unit = cached.foreach(_.unpersist(blocking = false))
 
     /** Typed projection (I9, DB/Typed.hs:74-105): per-column CAST of the
       * untyped strings; bool accepts the full lagoon literal set.
@@ -82,12 +89,25 @@ object Ingest {
     opts.delimiter.getOrElse(
       if (path.endsWith(".txt") || path.endsWith(".tsv")) '\t' else ',')
 
+  /** Extension-dispatch name for a raw input: for http(s) URLs the URI
+    * PATH (a query string like `data.tsv?sig=...` must not defeat the
+    * endsWith checks), otherwise the path as given.
+    */
+  private def dispatchName(rawPath: String): String =
+    if (rawPath.startsWith("http://") || rawPath.startsWith("https://"))
+      Option(java.net.URI.create(rawPath).getPath).getOrElse(rawPath)
+    else rawPath
+
   /** Stream an http(s) URL to a local temp file, preserving the
     * extension (so .tsv/.zip dispatch still works), and return its
     * path. The reference ingests URLs the same way — a single driver-
-    * side stream (Ingest.hs:566-690); HTTP is not a splittable source,
-    * so at 100 TB the data should land on HDFS/S3 first and be read
-    * there (those URIs pass straight through to the Hadoop FS layer).
+    * side stream (Ingest.hs:566-690). LIMITATION: the temp file lives
+    * on the DRIVER's local disk, so http(s) ingest only works with a
+    * local master (executors on other nodes cannot read it); it is
+    * removed at JVM exit (deleteOnExit). HTTP is not a splittable
+    * source regardless — at 100 TB the data should land on HDFS/S3
+    * first and be read there (those URIs pass straight through to the
+    * Hadoop FS layer and never take this path).
     */
   private[engine] def fetchToLocal(url: String): String = {
     val uri = java.net.URI.create(url)
@@ -97,6 +117,7 @@ object Ingest {
       case i  => p.substring(i)
     }
     val tmp = java.nio.file.Files.createTempFile("graft-fetch", suffix)
+    tmp.toFile.deleteOnExit()
     val conn = uri.toURL.openConnection()
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
@@ -111,26 +132,85 @@ object Ingest {
     if (path.startsWith("http://") || path.startsWith("https://")) fetchToLocal(path)
     else path
 
+  /** Bounded UTF-8 validity probe for `encoding = "auto"` (I1;
+    * reference Ingest.hs:138-148 streams the whole file through its
+    * decoder). Strictly decodes up to `maxBytes` of the input —
+    * driver-side, via the Hadoop FS layer, across the first files of a
+    * directory — so the probe is O(1) even at 100 TB, instead of the
+    * full extra scan a distributed replacement-char search would cost.
+    * A lone invalid byte beyond the prefix would be decoded as U+FFFD
+    * by the UTF-8 read path (same result the reference's lenient
+    * decoder produces); pass `encoding` explicitly for exact control.
+    */
+  private[engine] def looksUtf8(spark: SparkSession, path: String,
+                                maxBytes: Long = 4L << 20): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    val files = roots.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.sortBy(_.getPath.toString)
+    var budget = maxBytes
+    var ok = true
+    val it = files.iterator
+    while (ok && budget > 0 && it.hasNext) {
+      val st = it.next()
+      val take = math.min(budget, st.getLen)
+      if (take > 0) {
+        val buf = new Array[Byte](take.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0L, buf) finally in.close()
+        ok = utf8Valid(buf, truncated = take < st.getLen)
+        budget -= take
+      }
+    }
+    ok
+  }
+
+  /** Strict UTF-8 decode; a malformed sequence within 4 bytes of a
+    * TRUNCATED buffer's end is a split multi-byte char, not evidence
+    * of another encoding.
+    */
+  private def utf8Valid(bytes: Array[Byte], truncated: Boolean): Boolean = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val res = dec.decode(bb, java.nio.CharBuffer.allocate(bytes.length), true)
+    res.isUnderflow || (truncated && bytes.length - bb.position() <= 4)
+  }
+
   /** CSV/TSV → Ingested. Accepts local paths, Hadoop-FS URIs, and
     * http(s) URLs (I3; fetched driver-side, see fetchToLocal).
+    *
+    * Single-pass design: the raw input is read and parsed ONCE. The
+    * parsed records RDD is persisted (memory, spilling to disk), so
+    * the header probe, row numbering, the fused width+inference
+    * aggregate, and the caller's materialization all reuse the one
+    * parse instead of re-reading the file 4-6×; the encoding probe
+    * reads a bounded driver-side prefix, not a full scan. At 100 TB
+    * that is the difference between 1× and ~6× the input I/O. The
+    * cache is released by Ingested.unpersist() (or LRU/GC).
     */
   def csv(spark: SparkSession, rawPath: String, opts: CsvOptions = CsvOptions()): Ingested = {
     // options dispatch on the ORIGINAL name (extension survives the
-    // fetch, but a query string would confuse endsWith)
+    // fetch; query strings are stripped by dispatchName)
     val path = localize(rawPath)
-    val popts = CsvParser.Options(delimiterFor(rawPath, opts),
+    val dname = dispatchName(rawPath)
+    val popts = CsvParser.Options(delimiterFor(dname, opts),
       if (opts.quoting) Some('"') else None)
 
     // UTF-8 with Latin-1 fallback (I1; reference Ingest.hs:138-148):
-    // "auto" probes for replacement chars from invalid UTF-8 and, if
-    // found, re-reads as ISO-8859-1 (which decodes any byte sequence)
+    // "auto" probes a bounded prefix for invalid UTF-8 and, if found,
+    // re-reads as ISO-8859-1 (which decodes any byte sequence)
     val enc =
       if (!opts.encoding.equalsIgnoreCase("auto")) opts.encoding
-      else if (spark.read.textFile(path).filter(_.contains('�')).isEmpty) "UTF-8"
+      else if (looksUtf8(spark, path)) "UTF-8"
       else "ISO-8859-1"
 
     // raw records in file order
-    val records =
+    val records0 =
       if (path.endsWith(".zip")) {
         // single-entry zip decompression (I3; Ingest.hs:566-690 guesses
         // the method from the extension). Zip is not splittable, so this
@@ -160,6 +240,10 @@ object Ingest {
           }.map(CsvParser.splitLine(_, popts))
       }
 
+    // one parse of the input, reused by every downstream action
+    val records = records0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val header: Option[Array[String]] =
       if (opts.hasHeaders) Some(records.first()) else None
 
@@ -171,10 +255,22 @@ object Ingest {
       case None    => indexed.map { case (r, i) => (r, i + 1) }
     }
 
-    // dynamic schema widening (I7): width = max fields over all rows
+    // ONE fused aggregate computes dynamic width (I7: max fields over
+    // all rows) AND the inference lattice (I4) — the reference does
+    // both in its single conduit pass (Ingest.hs:179-200); Infer's
+    // rowStep already widens as it folds, so the pair shares a
+    // treeAggregate over the cached parse
     val headerWidth = header.map(_.length).getOrElse(0)
-    val width = math.max(headerWidth,
-      if (dataRows.isEmpty()) 0 else dataRows.map(_._1.length).max())
+    val (dataWidth, lattice) =
+      if (!opts.typeInference)
+        (if (dataRows.isEmpty()) 0 else dataRows.map(_._1.length).max(),
+         Vector.empty[Option[ColumnType]])
+      else
+        dataRows.treeAggregate((0, Vector.empty[Option[ColumnType]]))(
+          (acc, r) => (math.max(acc._1, r._1.length),
+            Infer.rowStep(acc._2, scala.collection.immutable.ArraySeq.unsafeWrapArray(r._1))),
+          (a, b) => (math.max(a._1, b._1), Infer.merge(a._2, b._2)))
+    val width = math.max(headerWidth, dataWidth)
 
     val schema = StructType(
       StructField("ix", LongType, nullable = false) +:
@@ -186,11 +282,9 @@ object Ingest {
 
     val colTypes: Seq[ColumnType] =
       if (!opts.typeInference) Vector.fill(width)(ColumnType.ColText)
-      else {
-        val inferred = Infer.inferColumns(untyped.drop("ix"))
+      else
         // columns that only ever saw padding nulls default to Text
-        inferred.padTo(width, ColumnType.ColText)
-      }
+        lattice.map(_.getOrElse(ColumnType.ColText)).padTo(width, ColumnType.ColText)
 
     val headers: Seq[Option[String]] = (0 until width).map { i =>
       header.flatMap(h => if (i < h.length) Some(h(i)) else None)
@@ -199,7 +293,7 @@ object Ingest {
       case (Some(h), _) => h
       case (None, i)    => s"c${i + 1}"
     })
-    Ingested(untyped, headers, friendly, colTypes)
+    Ingested(untyped, headers, friendly, colTypes, cached = Some(records))
   }
 
   /** Extra-data ingest (I10; Ingest.hs:267-340, DataFormat.hs:134-172):
@@ -258,7 +352,8 @@ object Ingest {
     Ingested(untyped,
       None +: None +: dataCols.map(c => Some(c._2)),
       Names.dedup("foreign_ix" +: "value" +: dataCols.map(_._2)),
-      colTypes)
+      colTypes,
+      cached = wide.cached) // the wide parse backs every downstream action
   }
 
   final case class JsonOptions(
@@ -273,15 +368,17 @@ object Ingest {
   def json(spark: SparkSession, rawPath: String, opts: JsonOptions = JsonOptions()): Ingested = {
     val path = localize(rawPath)
     val jpath = JsonInfer.parsePath(opts.path)
+    // persisted like csv(): numbering, unification, and the caller's
+    // materialization reuse one parse of the input
     val values =
-      if (opts.lineMode)
+      (if (opts.lineMode)
         spark.read.textFile(path).rdd
           .filter(_.trim.nonEmpty)
           .flatMap(v => JsonInfer.select(v.trim, jpath))
       else
         spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
           JsonInfer.splitTopLevel(content).flatMap(JsonInfer.select(_, jpath))
-        }
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val rows = values.zipWithIndex().map { case (v, i) => Row(i + 1L, v) }
     val schema = StructType(Seq(
@@ -294,6 +391,7 @@ object Ingest {
       (acc, r) => JsonType.unify(acc, JsonInfer.inferValue(r.getString(1))),
       JsonType.unify)
 
-    Ingested(untyped, Seq(None), Seq("json"), Seq(ColumnType.ColJSON(Some(jtype))))
+    Ingested(untyped, Seq(None), Seq("json"), Seq(ColumnType.ColJSON(Some(jtype))),
+      cached = Some(values))
   }
 }

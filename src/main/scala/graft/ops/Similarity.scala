@@ -177,7 +177,10 @@ object Similarity {
     registerOn(corpus)
     val base = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val cents = broadcast(base.filter(col("vec_id") < numCells).select(
+    // rank-based pick (first numCells in vec_id order), NOT vec_id <
+    // numCells: ids may be sparse or not start at 0, which would
+    // silently yield few/zero cells and an empty result
+    val cents = broadcast(base.orderBy(col("vec_id")).limit(numCells).select(
       col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
       col("norm").as("cent_norm")))
     val scored = base.crossJoin(cents)

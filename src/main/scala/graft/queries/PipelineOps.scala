@@ -406,7 +406,7 @@ object PipelineOps {
     */
   private def ivfTopKOracle(k: Int, numCells: Int): String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-                       FROM embeddings WHERE vec_id < $numCells),
+                       FROM embeddings ORDER BY vec_id LIMIT $numCells),
        scored AS (SELECT e.vec_id, c.cent_id,
            (SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(c.cent_emb) AS b))
            / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b)))

@@ -74,7 +74,11 @@ object EventStream {
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.end <= gapMs =>
-                cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                // min() the start too: a cross-batch late event (still
+                // above the watermark) with t < s.start must extend the
+                // session downward, matching sessionizeBatch's min(ts)
+                cur = Some(SessState(math.min(s.start, t), math.max(s.end, t),
+                  s.n + 1, s.sum + e.value))
               case Some(s) =>
                 out += emit(s)
                 cur = Some(SessState(t, t, 1, e.value))

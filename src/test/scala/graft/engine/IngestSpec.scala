@@ -115,4 +115,31 @@ class IngestSpec extends AnyFunSuite {
     val ColJSON(Some(t)) = ing.colTypes.head
     assert(t == JsonType.JNumber)
   }
+
+  test("single-pass: one CSV ingest + materialization reads the input once") {
+    // header probe, numbering, fused width+inference, and two
+    // materializations must reuse the persisted parse — the round-3
+    // multi-pass lineage cost 4-6× the input I/O. Local-FS byte
+    // counters (all executors share this JVM in local mode) bound the
+    // physical reads: ≤ ~2× the file (1 full scan + encoding-probe
+    // prefix + read-ahead slack) instead of ≥ 4×.
+    val f = java.nio.file.Files.createTempFile("graft-singlepass", ".csv")
+    val body = "a,b,c\n" + (1 to 50000).map(i => s"$i,v$i,${i % 97}").mkString("\n") + "\n"
+    java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+    val size = java.nio.file.Files.size(f)
+
+    def localBytesRead: Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.stream()
+        .filter(_.getScheme == "file").mapToLong(_.getBytesRead).sum()
+
+    val before = localBytesRead
+    val ing = Ingest.csv(spark, f.toString)
+    ing.view.count()  // caller materialization
+    ing.typed.count() // second consumer still hits the cache
+    val read = localBytesRead - before
+    ing.unpersist()
+    java.nio.file.Files.delete(f)
+    assert(read >= size, s"read=$read < size=$size — counter not capturing")
+    assert(read <= size * 5 / 2, s"read=$read vs size=$size: input scanned more than ~once")
+  }
 }
