@@ -99,6 +99,24 @@ object SqlSurface {
                     round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Q25-ext scale path: approx_percentile is the 100 TB form of q43
+    // (mergeable partial-agg sketch, constant memory per group — no
+    // per-group value buffering). Gated q15-style: the oracle pins the
+    // EXACT quantiles and asserts the approximation lands within
+    // bounds (1% of the exact value at accuracy 10000 — loose enough
+    // for any merge order, tight enough to catch a wrong sketch).
+    NamedQuery("q44_approx_percentile",
+      sql("""SELECT l_returnflag,
+                    round(percentile(l_extendedprice, 0.5), 4) AS exact_median,
+                    (abs(approx_percentile(l_extendedprice, 0.5, 10000)
+                         - percentile(l_extendedprice, 0.5))
+                       <= greatest(percentile(l_extendedprice, 0.5) * 0.01, 1.0)) AS within_bounds
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+                    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+                    true AS within_bounds
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Q6: MergeJoin pinned explicitly (the MERGE hint forces
     // sort-merge; DuckDB reads the hint as a comment) — q05-q07 let
     // Catalyst choose, this one asserts the strategy is reachable
