@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.functions._
+object Scratch {
+  def names(p: org.apache.spark.sql.execution.SparkPlan, d: Int, sb: StringBuilder): Unit = {
+    sb.append("  "*d + p.getClass.getSimpleName + "\n")
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => names(a.executedPlan, d+1, sb)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => names(q.plan, d+1, sb)
+      case c: org.apache.spark.sql.execution.CollectMetricsExec =>
+        sb.append("  "*(d+1) + "-> collected: " + c.collectedMetrics + "\n")
+        c.children.foreach(names(_, d+1, sb))
+      case o => o.children.foreach(names(_, d+1, sb))
+    }
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.shuffle.partitions","4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, dur: Long): Unit = {
+        val sb = new StringBuilder(s"DEBUG listener f=$f\n")
+        try names(qe.executedPlan, 0, sb) catch { case e: Throwable => sb.append("EX: " + e + "\n") }
+        println(sb)
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    val clones = (1 to 12).map(i =>
+      (i.toLong, "same exact text repeated across every single document here")).toDF("doc_id", "text")
+    println("count=" + graft.ops.Dedup.simhashPairs(clones, maxBucket = 5).count())
+    Thread.sleep(3000)
+    spark.stop()
+  }
+}

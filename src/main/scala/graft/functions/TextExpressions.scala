@@ -124,9 +124,13 @@ case class MinhashHashes(child: Expression, numHashes: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
-/** SimHash vote bits of one token packed into an int: bit b = the high
-  * bit of hex nibble b of md5(token) — exactly `md5(tok).substr(b+1,1)
-  * IN ('8'..'f')`, without 32 substring+membership tests per token.
+/** SimHash vote bits of one token packed into a 64-bit long: bit b
+  * (b < 32) = the HIGH bit of hex nibble b of md5(token) — exactly
+  * `md5(tok).substr(b+1,1) IN ('8'..'f')` — and bit 32+b = nibble b's
+  * SECOND bit (`IN ('4'-'7','c'-'f')`), without 64 substring+
+  * membership tests per token. 64 independent bits give the simhash
+  * blocking a 2× wider universe per slice width than the round-3
+  * 32-bit pack.
   */
 case class SimhashVotePack(child: Expression) extends UnaryExpression {
 
@@ -135,16 +139,17 @@ case class SimhashVotePack(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"graft_simhash_pack expects string, got ${child.dataType}")
 
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
 
-  def compute(t: UTF8String): Int = {
+  def compute(t: UTF8String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes)
-    var bits = 0
+    var bits = 0L
     var b = 0
     while (b < 32) {
       // hex char b = high (b even) or low nibble of byte b/2
       val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xF else d(b >> 1) & 0xF
-      if ((nibble & 8) != 0) bits |= (1 << b)
+      if ((nibble & 8) != 0) bits |= (1L << b)
+      if ((nibble & 4) != 0) bits |= (1L << (b + 32))
       b += 1
     }
     bits

@@ -121,11 +121,13 @@ object Dedup {
     // removes template-driven collisions; maxBucket is the hard guard:
     // a pathological band bucket larger than it is dropped outright
     // rather than exploding quadratically (run exact dedup first so
-    // giant exact-dup clusters never reach this stage).
-    val buckets = banded
-      .groupBy(col("band"), col("band_key"))
-      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("m"))
-      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
+    // giant exact-dup clusters never reach this stage). Drops are
+    // counted via the `graft.minhash.drops` observed metric.
+    val buckets = OpsMetrics.guarded(
+      banded
+        .groupBy(col("band"), col("band_key"))
+        .agg(collect_set(struct(col("doc_id"), col("sig"))).as("m")),
+      maxBucket, "graft.minhash.drops")
 
     val agree = aggregate(
       zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
@@ -142,53 +144,68 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash per document: bit b of md5(token) votes ±1; the
+  /** 64-bit SimHash per document: bit b of md5(token) votes ±1; the
     * sign of each bit-position sum forms the signature (as a '0'/'1'
-    * string). Bit b of a token = high bit of hex nibble b.
+    * string). Bits 0..31 of a token = the high bit of hex nibble b;
+    * bits 32..63 = nibble b's second bit (SimhashVotePack).
     */
   def simhash(df: DataFrame, text: Column = col("text")): DataFrame = {
     registerOn(df)
     val toks = df.select(col("doc_id"), explode(split(text, " ")).as("tok"))
       .withColumn("h", graft.functions.TextFunctions.simhash_pack(col("tok")))
-    // 32 sum-aggregates, one per bit position — single shuffle, no ×32
-    // row explosion. The native SimhashVotePack puts hex-nibble high
-    // bits in an int, so each vote is two bit ops instead of a
-    // substring + 8-way membership test.
-    val voteCols = (0 until 32).map { b =>
+    // 64 sum-aggregates, one per bit position — single shuffle, no ×64
+    // row explosion. The native SimhashVotePack packs the nibble bits
+    // in a long, so each vote is two bit ops instead of a substring +
+    // 8-way membership test.
+    val voteCols = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
     }
     toks.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        concat((0 until 32).map(b =>
+        concat((0 until 64).map(b =>
           (col(s"v$b") > 0).cast("int").cast("string")): _*).as("simhash"),
-        // integer form (bit b = 1<<b): hamming via bit_count(xor), which
-        // codegens to two instructions instead of 32 substr compares
-        (0 until 32).map(b =>
-          (col(s"v$b") > 0).cast("long") * (1L << b)).reduce(_ + _).as("simhash_int"))
+        // integer form (bit b = 1<<b; bit 63 is the sign bit, added
+        // LAST so the ANSI-mode running sum never leaves Long range):
+        // hamming via bit_count(xor), two instructions per pair
+        (0 until 64).map(b =>
+          (col(s"v$b") > 0).cast("long") *
+            lit(if (b == 63) Long.MinValue else 1L << b)).reduce(_ + _)
+          .as("simhash_int"))
   }
 
-  /** SimHash near-dup pairs: block on each 16-bit half (a pair within
-    * hamming ≤ maxHamming very likely agrees on one half), then verify
-    * exact hamming distance on candidates.
+  /** SimHash near-dup pairs: block on `numSlices` equal bit-slices of
+    * the 64-bit signature, then verify exact hamming distance on
+    * candidates. Pigeonhole: a pair within hamming ≤ numSlices-1 is
+    * GUARANTEED to agree on at least one slice, so with the default
+    * 4×16-bit slices and maxHamming = 3 this operator is EXACT (the
+    * 64-bit/k=3/4-block design of Manku et al., WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling") — not the round-3 heuristic.
+    * Raise maxHamming past numSlices-1 for heuristic extra recall, or
+    * numSlices for exactness at higher distances (8 slices → exact
+    * ≤ 7, at 2^8-bucket universe cost). The bucket universe is
+    * numSlices × 2^(64/numSlices): at billions of docs use
+    * numSlices = 2 (2 × 2^32 buckets, exact ≤ 1) — the round-3 fixed
+    * 2×65,536 universe is gone. Over-`maxBucket` buckets are dropped
+    * (quadratic guard) and COUNTED via the observed metric
+    * `graft.simhash.drops` (OpsMetrics).
     */
   def simhashPairs(df: DataFrame, text: Column = col("text"),
-                   maxHamming: Int = 4, maxBucket: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000,
+                   numSlices: Int = 4): DataFrame = {
+    require(numSlices > 0 && 64 % numSlices == 0, "numSlices must divide 64")
+    val w = 64 / numSlices
     val sh = simhash(df, text)
-    val halves = sh.select(col("doc_id"), col("simhash_int"),
-        explode(array(
-          concat(lit("L"), substring(col("simhash"), 1, 16)),
-          concat(lit("R"), substring(col("simhash"), 17, 16)))).as("half"))
-    // group-collect: pairs form inside each half-signature bucket
-    // (no self-join → the simhash aggregation runs once). Half-
-    // signature blocking has a FIXED 2x65536 bucket universe, so
-    // bucket population grows O(N) with the corpus: maxBucket drops
-    // over-full buckets before the quadratic in-bucket pair explosion
-    // (at billions of docs, block on more/narrower bit slices instead)
-    halves
-      .groupBy(col("half"))
-      .agg(collect_set(struct(col("doc_id"), col("simhash_int"))).as("m"))
-      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
+    val sliced = sh.select(col("doc_id"), col("simhash_int"),
+        explode(array((0 until numSlices).map(i =>
+          concat(lit(s"S$i|"), substring(col("simhash"), i * w + 1, w))): _*)).as("slice"))
+    // group-collect: pairs form inside each slice bucket (no self-join
+    // → the simhash aggregation runs once)
+    OpsMetrics.guarded(
+      sliced
+        .groupBy(col("slice"))
+        .agg(collect_set(struct(col("doc_id"), col("simhash_int"))).as("m")),
+      maxBucket, "graft.simhash.drops")
       .select(explode(flatten(transform(col("m"), a =>
         filter(transform(col("m"), b =>
           when(a("doc_id") < b("doc_id"),

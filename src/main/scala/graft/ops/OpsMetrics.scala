@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Observability for the dedup/ANN bucket guards.
+  *
+  * `maxBucket` bounds memory by DROPPING pathological buckets — which
+  * used to be silent recall loss (round-3 What's-wrong #3: "bounded
+  * memory, good; unobservable data loss, bad"). `guarded` applies the
+  * same size filter as before, but through a tiny predicate that
+  * feeds two named LongAccumulators counting the dropped buckets and
+  * the member rows inside them.
+  *
+  * Why accumulators and not `Dataset.observe`: the natural
+  * CollectMetrics node is DISCARDED by AQE's empty-relation
+  * propagation — when a guard drops every bucket, the runtime replans
+  * the downstream stages as EmptyRelation and the metric disappears
+  * from the executed plan, i.e. the signal vanishes exactly when all
+  * the data was dropped. Accumulators are updated by the stage that
+  * actually ran and survive any replanning; they also surface in the
+  * Spark UI under the metric name. The predicate runs once per BUCKET
+  * (post group-collect), so the non-codegen UDF costs nothing next to
+  * the shuffle it follows. Caveat inherent to accumulators in
+  * transformations: a retried/speculated task can double-count — fine
+  * for an observability signal (zero means zero; nonzero means real
+  * drops happened).
+  */
+object OpsMetrics {
+
+  private final case class Guard(buckets: LongAccumulator, rows: LongAccumulator)
+
+  /** Newest guard per metric name (re-registered on each operator
+    * invocation, so values are per-invocation, not cumulative).
+    */
+  private val guards = new ConcurrentHashMap[String, Guard]()
+  private val warnedAt = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** (dropped buckets, rows inside them) for the metric's most recent
+    * operator invocation, as of the actions run so far.
+    */
+  def lastDrops(metric: String): Option[(Long, Long)] =
+    Option(guards.get(metric)).map(g => (g.buckets.value, g.rows.value))
+
+  /** Logs a warning after any action during which a guard dropped
+    * buckets (value changed since the last warning).
+    */
+  private def install(spark: SparkSession): Unit =
+    if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          guards.forEach { (name, g) =>
+            val b = g.buckets.value
+            if (b > 0 && warnedAt.getOrDefault(name, 0L) != b) {
+              warnedAt.put(name, b)
+              System.err.println(
+                s"[graft] WARN $name: dropped $b over-maxBucket bucket(s) " +
+                s"holding ${g.rows.value} row(s) — near-dup recall is reduced; " +
+                "run exact dedup first or raise maxBucket")
+            }
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
+  /** Bucket-size guard over a group-collect result with an `m` array
+    * column: keeps buckets of size 2..maxBucket (as before), counts
+    * what the upper bound drops.
+    */
+  private[ops] def guarded(grouped: DataFrame, maxBucket: Int, metric: String): DataFrame = {
+    val spark = grouped.sparkSession
+    val g = Guard(
+      spark.sparkContext.longAccumulator(s"$metric.dropped_buckets"),
+      spark.sparkContext.longAccumulator(s"$metric.dropped_rows"))
+    guards.put(metric, g)
+    warnedAt.remove(metric)
+    install(spark)
+    val keep = udf { (sz: Int) =>
+      if (sz > maxBucket) { g.buckets.add(1L); g.rows.add(sz.toLong); false }
+      else sz > 1
+    }
+    grouped.filter(keep(size(col("m"))))
+  }
+}

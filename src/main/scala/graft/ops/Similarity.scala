@@ -126,13 +126,16 @@ object Similarity {
     * hard guard against a pathological bucket (e.g. a giant cluster of
     * identical embeddings), which is dropped rather than exploded
     * quadratically — exact dedup should run before near-dup search.
+    * Drops are counted via the `metric` observed metric (OpsMetrics).
     */
   private def bucketCandidates(bucketed: DataFrame, maxBucket: Int,
-                               pair: (Column, Column) => Column): DataFrame =
-    bucketed
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("m"))
-      .filter(size(col("m")) > 1 && size(col("m")) <= maxBucket)
+                               pair: (Column, Column) => Column,
+                               metric: String): DataFrame =
+    OpsMetrics.guarded(
+      bucketed
+        .groupBy(col("tbl"), col("bucket"))
+        .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("m")),
+      maxBucket, metric)
       .select(explode(flatten(transform(col("m"), a =>
         filter(transform(col("m"), b => pair(a, b)), x => x.isNotNull)))).as("p"))
       .select(col("p.*"))
@@ -149,7 +152,8 @@ object Similarity {
     val cand0 = bucketCandidates(bucketized(corpus, dim, bits, tables), maxBucket,
       (a, b) => when(a("vec_id") =!= b("vec_id"),
         struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
-          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))),
+      "graft.lsh_topk.drops")
     // the same pair can surface from several hash tables; its rounded
     // cosine is deterministic, so distinct collapses the duplicates
     val cand = if (tables > 1) cand0.distinct() else cand0
@@ -197,7 +201,8 @@ object Similarity {
     val cand = bucketCandidates(bucketed, maxBucket,
       (a, b) => when(a("vec_id") =!= b("vec_id"),
         struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
-          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))),
+      "graft.ivf_topk.drops")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cand.withColumn("rk", row_number().over(w))
@@ -216,7 +221,8 @@ object Similarity {
     val pairs = bucketCandidates(bucketized(corpus, dim, bits, tables), maxBucket,
       (a, b) => when(a("vec_id") < b("vec_id"),
         struct(a("vec_id").as("id_a"), b("vec_id").as("id_b"),
-          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))))
+          round(cosinePre(a("embedding"), b("embedding"), a("norm"), b("norm")), 4).as("cos_sim"))),
+      "graft.cosine_dups.drops")
       .filter(col("cos_sim") >= threshold)
     if (tables > 1) pairs.distinct() else pairs
   }

@@ -158,22 +158,29 @@ object PipelineOps {
       Some("""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
                            FROM documents),
              votes AS (SELECT doc_id, b,
-                         sum(CASE WHEN strpos('89abcdef', substr(h, b + 1, 1)) > 0
+                         sum(CASE WHEN strpos(
+                               CASE WHEN b < 32 THEN '89abcdef' ELSE '4567cdef' END,
+                               substr(h, (b % 32) + 1, 1)) > 0
                              THEN 1 ELSE -1 END) AS vote
-                       FROM tok, range(32) r(b) GROUP BY doc_id, b),
+                       FROM tok, range(64) r(b) GROUP BY doc_id, b),
              sh AS (SELECT doc_id,
                       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash,
-                      sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS si
+                      CAST(sum(CASE WHEN vote > 0 THEN
+                        (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << b) END)
+                        ELSE 0 END) AS BIGINT) AS si
                     FROM votes GROUP BY doc_id),
-             halves0 AS (SELECT doc_id, si, unnest([
-                          'L' || substr(simhash, 1, 16),
-                          'R' || substr(simhash, 17, 16)]) AS half FROM sh),
-             halves AS (SELECT *, count(*) OVER (PARTITION BY half) AS bc FROM halves0)
+             slices0 AS (SELECT doc_id, si, unnest([
+                          'S0|' || substr(simhash,  1, 16),
+                          'S1|' || substr(simhash, 17, 16),
+                          'S2|' || substr(simhash, 33, 16),
+                          'S3|' || substr(simhash, 49, 16)]) AS slice FROM sh),
+             slices AS (SELECT *, count(*) OVER (PARTITION BY slice) AS bc FROM slices0)
              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                CAST(bit_count(xor(x.si, y.si)) AS INT) AS hamming
-             FROM halves x JOIN halves y
-               ON x.half = y.half AND x.doc_id < y.doc_id AND x.bc <= 10000
-             WHERE bit_count(xor(x.si, y.si)) <= 4
+             FROM slices x JOIN slices y
+               ON x.slice = y.slice AND x.doc_id < y.doc_id AND x.bc <= 10000
+             WHERE bit_count(xor(x.si, y.si)) <= 3
              ORDER BY id_a, id_b""")),
 
     NamedQuery("dd04_ngram_jaccard",

@@ -75,13 +75,16 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
-  test("simhash_pack bit b == md5 hex nibble b high bit") {
+  test("simhash_pack bit b == md5 nibble high bit; bit 32+b == second bit") {
     TextFunctions.register(spark)
     val df = Seq("alpha", "beta", "gamma délta", "", "x").toDF("tok")
-    val checks = (0 until 32).map(b =>
+    val hi = (0 until 32).map(b =>
       (shiftright(TextFunctions.simhash_pack(col("tok")), b).bitwiseAND(lit(1)) === 1) ===
       md5(col("tok")).substr(b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
-    val allOk = df.select(checks.reduce(_ && _).as("ok"))
+    val second = (0 until 32).map(b =>
+      (shiftright(TextFunctions.simhash_pack(col("tok")), b + 32).bitwiseAND(lit(1)) === 1) ===
+      md5(col("tok")).substr(b + 1, 1).isin("4", "5", "6", "7", "c", "d", "e", "f"))
+    val allOk = df.select((hi ++ second).reduce(_ && _).as("ok"))
       .collect().forall(_.getBoolean(0))
     assert(allOk)
   }

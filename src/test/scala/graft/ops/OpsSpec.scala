@@ -45,12 +45,21 @@ class OpsSpec extends AnyFunSuite {
   test("simhash: identical docs have identical signatures, near-dups close") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sh(1L) == sh(4L))
-    assert(sh.values.forall(_.length == 32))
+    assert(sh.values.forall(_.length == 64))
     def hamming(a: String, b: String) = a.zip(b).count(x => x._1 != x._2)
-    assert(hamming(sh(1L), sh(2L)) <= 4, s"near-dup hamming ${hamming(sh(1L), sh(2L))}")
-    assert(hamming(sh(1L), sh(3L)) > 4)
-    val pairs = Dedup.simhashPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 4L)))
+    // one changed token out of 14 lands at hamming 5 on the 64-bit
+    // signature; unrelated docs sit far away
+    assert(hamming(sh(1L), sh(2L)) <= 8, s"near-dup hamming ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(3L)) > 8)
+    // default (4 slices, maxHamming 3) is EXACT: finds the identical
+    // pair, not the hamming-5 near-dup
+    val strict = Dedup.simhashPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 4L)))
+    // 8 slices are exact through hamming 7: the near-dup pair appears
+    val loose = Dedup.simhashPairs(docs, maxHamming = 7, numSlices = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 2L)) && loose.contains((1L, 4L)) && loose.contains((2L, 4L)))
+    assert(!loose.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("ngram jaccard: exact dup = 1.0; blocked pairs only") {
@@ -162,6 +171,35 @@ class OpsSpec extends AnyFunSuite {
       nBits = 4, maxBucket = 5).count() == 0)
     assert(Similarity.cosineDups(cloneEmb, dim = 8, threshold = 0.5,
       nBits = 4).count() == 12 * 11 / 2)
+  }
+
+  test("dropped buckets are OBSERVABLE: metrics count what maxBucket discards") {
+    // round-3 What's-wrong #3: over-full buckets were dropped with no
+    // signal. The observe() metric rides the same action (no extra
+    // pass) and reports (buckets, member rows) dropped.
+    val clones = (1 to 12).map(i =>
+      (i.toLong, "same exact text repeated across every single document here")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(clones, maxBucket = 5).count() == 0)
+    eventually(OpsMetrics.lastDrops("graft.simhash.drops"),
+      // all 4 slice buckets hold the full 12-doc clone set
+      Some((4L, 48L)))
+    assert(Dedup.minhashLsh(clones, maxBucket = 5).count() == 0)
+    eventually(OpsMetrics.lastDrops("graft.minhash.drops"),
+      // 4 band buckets of 12 docs each
+      Some((4L, 48L)))
+    // and a clean run reports zero drops
+    assert(Dedup.simhashPairs(clones).count() == 12 * 11 / 2)
+    eventually(OpsMetrics.lastDrops("graft.simhash.drops"), Some((0L, 0L)))
+  }
+
+  /** QueryExecutionListener delivery is async: poll briefly. */
+  private def eventually[A](probe: => A, expected: A, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: A = probe
+    while (last != expected && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50); last = probe
+    }
+    assert(last == expected, s"observed metric $last != $expected")
   }
 
   test("short docs (< k tokens) survive ANSI mode and still dedup") {
