@@ -237,9 +237,9 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     * into one table with an `ixs int[]` version-membership column.
     * Rows identical in content AND original position across versions
     * merge into one row (the reference's round-robin aligned merge);
-    * a fresh global `ix` numbering preserves each version's row order,
-    * so per-version views (filter array_contains(ixs, v)) round-trip
-    * byte-identically (runcompactiontests.sh:48-62).
+    * `ix` keeps the original row position, so per-version views
+    * (filter array_contains(ixs, v)) round-trip byte-identically even
+    * when versions share only some rows (runcompactiontests.sh:48-62).
     */
   def compact(name: String): Unit = {
     val vs = entries.filter(_.name == name).sortBy(_.version)
@@ -254,24 +254,21 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       df.select(col("ix").as("orig_ix") +: padded :+ lit(e.version).as("srcver"): _*)
     }.reduce(_ unionByName _)
 
+    // merge key = (original position, content): rows identical in BOTH
+    // collapse to one physical row listing their versions. ix stays the
+    // ORIGINAL row position — it is unique per version (what views
+    // need), so no global renumbering: a fresh numbering would
+    // interleave v2-only rows into v1's sequence and break the
+    // per-version byte-identical roundtrip as soon as versions differ
+    // (the reference aligns by position the same way,
+    // runcompactiontests.sh:48-62). This also deletes a full
+    // global sort + zipWithIndex from the old design — at 100 TB the
+    // compaction is now one shuffle (the groupBy), nothing else.
     val dataCols = (1 to width).map(i => col(s"c$i"))
-    val grouped = unioned
+    val merged = unioned
       .groupBy(col("orig_ix") +: dataCols: _*)
       .agg(sort_array(collect_set(col("srcver"))).as("ixs"))
-      // distributed range-partitioned sort + zipWithIndex: a global
-      // row_number() window would collapse to one partition at 100 TB
-      .orderBy(col("orig_ix") +: dataCols.map(_.asc_nulls_first): _*)
-    val fieldNames = grouped.schema.fieldNames // plain array: safe to capture
-    val outSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("ix", org.apache.spark.sql.types.LongType, false) +:
-      grouped.schema.fields.filter(_.name != "orig_ix"))
-    val withIx = grouped.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(
-        (i + 1L) +: r.toSeq.zip(fieldNames).collect {
-          case (v, n) if n != "orig_ix" => v
-        })
-    }
-    val merged = spark.createDataFrame(withIx, outSchema)
+      .select(col("orig_ix").as("ix") +: dataCols :+ col("ixs"): _*)
 
     val compactedPath = s"$warehouse/data/${name}_compacted"
     merged.write.mode(SaveMode.Overwrite).parquet(compactedPath + "_new")

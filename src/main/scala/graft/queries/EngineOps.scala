@@ -160,6 +160,44 @@ object EngineOps {
       },
       Some("""SELECT * FROM (VALUES (3, true, true)) t(compacted_rows, roundtrip_ok, all_shared)""")),
 
+    // I11 hard case (runcompactiontests.sh:48-62 semantics): versions
+    // that genuinely DIFFER — v2 keeps rows 1,3, CHANGES row 2, adds
+    // row 4, and is RAGGED (an extra column v1 lacks). Pins that the
+    // (orig_ix, content) merge key aligns partially-overlapping
+    // versions: shared rows carry ixs=[1,2], changed/new rows are
+    // single-version, and BOTH versions round-trip byte-identically
+    // (including their original ix sequence and column widths).
+    NamedQuery("im18_compaction_diff",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        val v1 = "a,b\n1,x\n2,y\n3,z\n"                    // baseline
+        val v2 = "a,b\n1,x\n2,CHANGED\n3,z\n4,w\n"         // changed row 2, added row 4
+        val v3 = "a,b,c\n1,x,p\n"                          // RAGGED: extra column
+        Seq(v1, v2, v3).foreach(v =>
+          cat.ingest("ds", Ingest.csv(s, tmpFile(v, ".csv")), "csv"))
+        val pre = Seq(1, 2, 3).map(v => Export.csvString(cat.view("ds", v).orderBy("ix")))
+        cat.compact("ds")
+        val post = Seq(1, 2, 3).map(v => Export.csvString(cat.view("ds", v).orderBy("ix")))
+        val compacted = s.read.parquet(cat.entries.head.compactedPath)
+        import org.apache.spark.sql.functions.{array_contains, col, size}
+        def only(v: Int) = compacted
+          .filter(array_contains(col("ixs"), v) && size(col("ixs")) === 1).count().toInt
+        rowsDf(s,
+          Seq("compacted_rows", "shared_rows", "v1_only", "v2_only", "v3_only",
+              "roundtrips_ok"),
+          Seq(Seq(
+            // groups on (position, content): rows 1,3 merge across
+            // v1+v2 (ixs=[1,2]); v2's changed row 2 and new row 4 are
+            // v2-only; v3's row 1 has a real c3 value where v1/v2 pad
+            // null, so it stays v3-only — 6 physical rows for 8 logical
+            compacted.count().toInt,
+            compacted.filter(size(col("ixs")) === 2).count().toInt,
+            only(1), only(2), only(3),
+            pre == post)))
+      },
+      Some("""SELECT * FROM (VALUES (6, 2, 1, 2, 1, true))
+             t(compacted_rows, shared_rows, v1_only, v2_only, v3_only, roundtrips_ok)""")),
+
     // Q23/Q24 + ACL: the authorizer verdict matrix
     NamedQuery("im08_sqlgate",
       (s, _) => {

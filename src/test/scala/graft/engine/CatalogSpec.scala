@@ -118,4 +118,31 @@ class CatalogSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     assert(compacted.select(min(size(col("ixs")))).head.getInt(0) == 2)
   }
+
+  test("compaction with DIFFERING versions: partial overlap aligns by position") {
+    // runcompactiontests.sh:48-62 semantics — v2 changes a row, adds a
+    // row, and v3 is ragged-wider; each version must still round-trip
+    // byte-identically and ixs must split by (position, content)
+    val cat = freshCatalog()
+    def ing(content: String): Unit = {
+      val p = java.nio.file.Files.createTempFile("graft-cmp", ".csv")
+      java.nio.file.Files.writeString(p, content)
+      cat.ingest("t", Ingest.csv(spark, p.toString), "csv")
+    }
+    ing("a,b\n1,x\n2,y\n3,z\n")
+    ing("a,b\n1,x\n2,CHANGED\n3,z\n4,w\n")
+    ing("a,b,c\n1,x,p\n")
+    val pre = Seq(1, 2, 3).map(v => Export.csvString(cat.view("t", v).orderBy("ix")))
+    cat.compact("t")
+    val post = Seq(1, 2, 3).map(v => Export.csvString(cat.view("t", v).orderBy("ix")))
+    assert(pre == post)
+    val compacted = spark.read.parquet(cat.entries.head.compactedPath)
+    import org.apache.spark.sql.functions._
+    assert(compacted.count() == 6)
+    assert(compacted.filter(size(col("ixs")) === 2).count() == 2)   // rows 1,3 of v1+v2
+    // per-version ix sequences are the ORIGINAL positions
+    assert(cat.view("t", 2).orderBy("ix").select("ix")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(cat.view("t", 3).columns.toSeq == Seq("ix", "a", "b", "c"))
+  }
 }
