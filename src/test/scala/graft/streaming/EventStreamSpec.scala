@@ -46,6 +46,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == 3)
   }
 
+  test("streaming sessionize == batch on the driver-gated events fixture (st02)") {
+    // executes EventStream.sessionize end-to-end (memory sink) on the
+    // SAME fixture st02 gates for sessionizeBatch, and asserts the two
+    // produce identical sessions once the watermark closes them all
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("sess-fixture").toString
+    events.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    val src = spark.readStream.schema(events.schema).parquet(tmp)
+      .withWatermark("ts", "2 hours")
+      .as[EventStream.SessEvent]
+    val q = EventStream.sessionize(src, 30 * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_fixture").start()
+    q.processAllAvailable()
+    // sentinel far past max(ts) advances the watermark → all timeouts fire
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    Seq(EventStream.SessEvent(-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 86400000L), 0.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_fixture").filter($"user_id" =!= -1L)
+      .select($"user_id",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        $"n_events", round($"sum_value", 4).as("sum_value"))
+    val batch = EventStream.sessionizeBatch(events, gapMinutes = 30)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+    val n = batch.count()
+    assert(streamed.count() == n && n > 0)
+    assert(streamed.exceptAll(batch).isEmpty, "streamed sessions not in batch")
+    assert(batch.exceptAll(streamed).isEmpty, "batch sessions not in stream")
+  }
+
   test("streaming sessionize equals batch sessionize once the watermark closes sessions") {
     import spark.implicits._
     val gapMin = 30
