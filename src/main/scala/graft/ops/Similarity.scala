@@ -164,29 +164,89 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Deterministic k-means (Lloyd) centroids over a rank-ordered
+    * driver-side sample: init = `k` evenly-spaced vectors of the first
+    * `sampleN` (vec_id order), fixed iteration count, cosine
+    * assignment with lowest-cell tie-break — no RNG anywhere, so runs
+    * (and oracles/recall specs) reproduce exactly. The sample is a few
+    * thousand vectors regardless of corpus size (k-means quality needs
+    * a representative sample, not the population), so the driver-side
+    * cost is O(sampleN × k × dim × iters) and constant at 100 TB.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
+                      sampleN: Int = 0): Array[Array[Float]] = {
+    val n = if (sampleN > 0) sampleN else math.min(4096, math.max(k * 32, 256))
+    val sample: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(n)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val kk = math.min(k, sample.length)
+    val dim = sample(0).length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -2.0 else d / math.sqrt(na) / math.sqrt(nb)
+    }
+    var cents = Array.tabulate(kk)(i => sample(i * sample.length / kk).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        var best = 0; var bestSim = cos(v, cents(0)); var c = 1
+        while (c < kk) {
+          val s = cos(v, cents(c))
+          if (s > bestSim) { best = c; bestSim = s }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
+    }
+    cents
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid cell; neighbors are searched only within the
     * cell, with exact cosine re-ranking (probe=1 flat IVF). Centroids
-    * here are the deterministic first `numCells` corpus vectors — a
-    * real deployment would k-means them, which changes WHERE the cell
-    * boundaries fall but not the operator's shape. Scale design: the
-    * N×C scoring broadcast-joins the (small) centroid set and shuffles
-    * only (vec_id, cent_id, sim) — the embedding payload is joined
-    * back AFTER the argmin, so it never travels C times; cell pair
+    * default to the deterministic first `numCells` corpus vectors
+    * (engine-portable: the DuckDB oracle reproduces them); pass
+    * `kmeansIters > 0` for Lloyd centroids (kmeansCentroids), which
+    * place cell boundaries where the data is — better recall on
+    * clustered corpora (gated by the sim04 recall bound + the
+    * clustered-corpus spec). Scale design: the N×C scoring
+    * broadcast-joins the (small) centroid set and shuffles only
+    * (vec_id, cent_id, sim) — the embedding payload is joined back
+    * AFTER the argmin, so it never travels C times; cell pair
     * generation reuses the group-collect machinery with the maxBucket
     * guard.
     */
   def ivfTopK(corpus: DataFrame, dim: Int, k: Int, numCells: Int = 64,
-              maxBucket: Int = 10000): DataFrame = {
+              maxBucket: Int = 10000, kmeansIters: Int = 0): DataFrame = {
     registerOn(corpus)
+    val spark = corpus.sparkSession
     val base = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // rank-based pick (first numCells in vec_id order), NOT vec_id <
     // numCells: ids may be sparse or not start at 0, which would
     // silently yield few/zero cells and an empty result
-    val cents = broadcast(base.orderBy(col("vec_id")).limit(numCells).select(
-      col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-      col("norm").as("cent_norm")))
+    val rawCents =
+      if (kmeansIters > 0) {
+        import spark.implicits._
+        kmeansCentroids(corpus, numCells, kmeansIters).zipWithIndex.toSeq
+          .map { case (emb, i) => (i.toLong, emb) }
+          .toDF("cent_id", "cent_emb")
+          .select(col("cent_id"), col("cent_emb"),
+            sqrt(dot(col("cent_emb"), col("cent_emb"))).as("cent_norm"))
+      } else
+        base.orderBy(col("vec_id")).limit(numCells).select(
+          col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+          col("norm").as("cent_norm"))
+    val cents = broadcast(rawCents)
     val scored = base.crossJoin(cents)
       .select(col("vec_id"), col("cent_id"),
         cosinePre(col("embedding"), col("cent_emb"), col("norm"), col("cent_norm")).as("sim"))

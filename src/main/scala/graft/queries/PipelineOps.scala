@@ -248,6 +248,32 @@ object PipelineOps {
         .orderBy("query_id", "rk"),
       Some(ivfTopKOracle(k = 3, numCells = 16))),
 
+    // IVF with deterministic k-means centroids (Lloyd over a rank-
+    // ordered sample, fixed iterations, no RNG): driver-gated q15-
+    // style — the oracle pins the query count and the recall BOUNDS
+    // (vs exact brute force), including that k-means centroids beat
+    // the first-N quantizer. Every quantity is deterministic, so the
+    // bounds are tight: measured 0.262 vs 0.223 at sf0.01.
+    NamedQuery("sim04_ivf_kmeans_recall",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = embs(s, d)
+        val bf = Similarity.bruteForceTopK(e, e, k = 3).select(col("query_id"), col("neighbor_id"))
+        def recallOf(iters: Int): Double = bf
+          .join(Similarity.ivfTopK(e, dim = 64, k = 3, numCells = 16, kmeansIters = iters)
+            .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+          .head.getDouble(0)
+        val (km, firstN) = (recallOf(2), recallOf(0))
+        val nq = bf.select(countDistinct(col("query_id"))).head.getLong(0)
+        import s.implicits._
+        Seq((nq, km >= 0.25, km > firstN))
+          .toDF("n_queries", "kmeans_recall_ok", "kmeans_beats_firstn")
+      },
+      Some("""SELECT CAST(500 AS BIGINT) AS n_queries, true AS kmeans_recall_ok,
+             true AS kmeans_beats_firstn""")),
+
     // end-to-end cleaning pipeline: exact-dedup survivors -> quality
     // >= 0.5 -> language = en -> exact integer aggregates (sums of
     // ints / of 1e4-scaled rounded scores, so no float-order drift)

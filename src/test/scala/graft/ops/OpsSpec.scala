@@ -173,6 +173,34 @@ class OpsSpec extends AnyFunSuite {
       nBits = 4).count() == 12 * 11 / 2)
   }
 
+  test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
+    // 8 clusters sharing a dominant direction, separated by a cluster
+    // dim, plus a tiny noise dim cycling with i%4. The first-N
+    // centroids are all cluster-0 vectors differing only in noise, so
+    // assignment splits EVERY cluster across cells by i%4 and top-3
+    // neighbors (the lowest ids, by rounded-cosine tie-break) mostly
+    // land elsewhere; k-means recovers one cell per cluster
+    val vecs = for {
+      c <- 0 until 8; i <- 0 until 30
+    } yield {
+      val v = new Array[Float](16)
+      v(0) = 10f              // shared direction
+      v(1 + c) = 5f           // cluster direction
+      v(9 + (i % 4)) = 0.01f  // noise: drives first-N cell splits
+      ((c * 30 + i).toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(df, df, 3).select("query_id", "neighbor_id")
+    def recall(iters: Int): Double = bf
+      .join(Similarity.ivfTopK(df, dim = 16, k = 3, numCells = 8, kmeansIters = iters)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r")).head.getDouble(0)
+    val (km, firstN) = (recall(2), recall(0))
+    assert(km > firstN, s"kmeans recall $km should beat first-N $firstN")
+    assert(km >= 0.9, s"kmeans recall on separable clusters was only $km")
+  }
+
   test("dropped buckets are OBSERVABLE: metrics count what maxBucket discards") {
     // round-3 What's-wrong #3: over-full buckets were dropped with no
     // signal. The observe() metric rides the same action (no extra
