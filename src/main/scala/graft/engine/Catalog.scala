@@ -159,6 +159,34 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     view(name, v)
   }
 
+  /** Render the whole catalog as deterministic dbinfo text — the
+    * `dump-db-info` analog (reference runtests.sh:110-117 ingests the
+    * full fixture corpus and diffs this shape against a 1,384-line
+    * golden file). Stable order, no wall-clock fields unless the
+    * caller pinned `created`, so the output is golden-snapshot-able.
+    */
+  def dbInfo: String = {
+    val sb = new StringBuilder
+    entries.sortBy(e => (e.name, e.version)).foreach { e =>
+      sb.append(s"${e.name} (version ${e.version})\n")
+      sb.append(s"  description ${if (e.description.isEmpty) "(none)" else e.description}\n")
+      sb.append(s"  tags        ${if (e.tags.isEmpty) "(no tags)" else e.tags.mkString(", ")}\n")
+      sb.append(s"  created     ${e.created}\n")
+      sb.append(s"  added by    ${e.addedBy}\n")
+      sb.append(s"  deprecated  ${if (e.deprecated) "True" else "False"}\n")
+      sb.append(s"  kind        ${e.kind}\n")
+      sb.append(s"  row count   ${e.rowCount}\n")
+      sb.append("  columns\n")
+      e.colTypes.zipWithIndex.foreach { case (t, i) =>
+        val shown = if (t == "JSON" && e.jsonType.nonEmpty) s"JSON (${e.jsonType})" else t
+        val header = e.headers.lift(i).filter(_.nonEmpty)
+          .map(h => s" ($h)").getOrElse("")
+        sb.append(s"    c${i + 1}\t$shown\t${e.friendlyNames(i)}$header\n")
+      }
+    }
+    sb.toString
+  }
+
   /** Register `<name>_vN` (+ `_typed`) temp views for the SQL surface. */
   def registerViews(): Unit = entries.foreach { e =>
     view(e.name, e.version).createOrReplaceTempView(e.viewName)

@@ -160,6 +160,122 @@ object EngineOps {
       },
       Some("""SELECT * FROM (VALUES (3, true, true)) t(compacted_rows, roundtrip_ok, all_shared)""")),
 
+    // The dump-db-info analog (runtests.sh:110-117): a multi-source
+    // golden catalog snapshot — seven mixed ingests (inference CSV,
+    // ragged CSV, TSV, two JSON shapes, a re-ingested version, an
+    // untyped load) rendered by Catalog.dbInfo and pinned line-by-line
+    // in the oracle, like the reference's 1,384-line dbinfo.expected.
+    NamedQuery("im19_dbinfo_golden",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        def c(day: Int) = Some(f"2024-02-0${day}T00:00:00Z")
+        cat.ingest("infer", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          addedBy = "edsko", created = c(1))
+        cat.ingest("ragged", Ingest.csv(s, tmpFile(raggedCsv, ".csv")), "csv",
+          created = c(2))
+        cat.ingest("tabs", Ingest.csv(s, tmpFile("x\ty\n1\thello\n", ".txt")), "csv",
+          created = c(3))
+        cat.ingest("multi_json", Ingest.json(s,
+          tmpFile("{\"id\": 1}\n{\"id\": 2, \"name\": \"test\"}", ".json")), "json",
+          created = c(4))
+        cat.ingest("nested_json", Ingest.json(s,
+          tmpFile("""{"a":"hi","b":[1,2,3],"c":{"ca":4}}""", ".json")), "json",
+          created = c(5))
+        cat.ingest("infer", Ingest.csv(s, tmpFile(inferCsv, ".csv")), "csv",
+          description = "second revision", created = c(6))
+        cat.ingest("raw", Ingest.csv(s, tmpFile("a,b\n1,x\n", ".csv"),
+          Ingest.CsvOptions(typeInference = false)), "csv", created = c(7))
+        cat.tag("infer", 2, "golden")
+        rowsDf(s, Seq("line_no", "line"),
+          cat.dbInfo.split("\n").toSeq.zipWithIndex.map {
+            case (l, i) => Seq(i + 1, l) })
+      },
+      Some("""SELECT * FROM (VALUES
+             (1, 'infer (version 1)'),
+             (2, '  description (none)'),
+             (3, '  tags        (no tags)'),
+             (4, '  created     2024-02-01T00:00:00Z'),
+             (5, '  added by    edsko'),
+             (6, '  deprecated  True'),
+             (7, '  kind        csv'),
+             (8, '  row count   3'),
+             (9, '  columns'),
+             (10, '    c1	BOOLEAN	bool (bool)'),
+             (11, '    c2	INTEGER	int (int)'),
+             (12, '    c3	BIGINT	bigint (bigint)'),
+             (13, '    c4	DOUBLE PRECISION	real (real)'),
+             (14, '    c5	TEXT	text (text)'),
+             (15, 'infer (version 2)'),
+             (16, '  description second revision'),
+             (17, '  tags        golden'),
+             (18, '  created     2024-02-06T00:00:00Z'),
+             (19, '  added by    root'),
+             (20, '  deprecated  False'),
+             (21, '  kind        csv'),
+             (22, '  row count   3'),
+             (23, '  columns'),
+             (24, '    c1	BOOLEAN	bool (bool)'),
+             (25, '    c2	INTEGER	int (int)'),
+             (26, '    c3	BIGINT	bigint (bigint)'),
+             (27, '    c4	DOUBLE PRECISION	real (real)'),
+             (28, '    c5	TEXT	text (text)'),
+             (29, 'multi_json (version 1)'),
+             (30, '  description (none)'),
+             (31, '  tags        (no tags)'),
+             (32, '  created     2024-02-04T00:00:00Z'),
+             (33, '  added by    root'),
+             (34, '  deprecated  False'),
+             (35, '  kind        json'),
+             (36, '  row count   2'),
+             (37, '  columns'),
+             (38, '    c1	JSON ({"id": number, "name"?: string})	json'),
+             (39, 'nested_json (version 1)'),
+             (40, '  description (none)'),
+             (41, '  tags        (no tags)'),
+             (42, '  created     2024-02-05T00:00:00Z'),
+             (43, '  added by    root'),
+             (44, '  deprecated  False'),
+             (45, '  kind        json'),
+             (46, '  row count   1'),
+             (47, '  columns'),
+             (48, '    c1	JSON ({"a": string, "b": [number], "c": {"ca": number}})	json'),
+             (49, 'ragged (version 1)'),
+             (50, '  description (none)'),
+             (51, '  tags        (no tags)'),
+             (52, '  created     2024-02-02T00:00:00Z'),
+             (53, '  added by    root'),
+             (54, '  deprecated  False'),
+             (55, '  kind        csv'),
+             (56, '  row count   3'),
+             (57, '  columns'),
+             (58, '    c1	BOOLEAN	a (a)'),
+             (59, '    c2	INTEGER	b (b)'),
+             (60, '    c3	INTEGER	c3'),
+             (61, '    c4	INTEGER	c4'),
+             (62, 'raw (version 1)'),
+             (63, '  description (none)'),
+             (64, '  tags        (no tags)'),
+             (65, '  created     2024-02-07T00:00:00Z'),
+             (66, '  added by    root'),
+             (67, '  deprecated  False'),
+             (68, '  kind        csv'),
+             (69, '  row count   1'),
+             (70, '  columns'),
+             (71, '    c1	TEXT	a (a)'),
+             (72, '    c2	TEXT	b (b)'),
+             (73, 'tabs (version 1)'),
+             (74, '  description (none)'),
+             (75, '  tags        (no tags)'),
+             (76, '  created     2024-02-03T00:00:00Z'),
+             (77, '  added by    root'),
+             (78, '  deprecated  False'),
+             (79, '  kind        csv'),
+             (80, '  row count   1'),
+             (81, '  columns'),
+             (82, '    c1	BOOLEAN	x (x)'),
+             (83, '    c2	TEXT	y (y)'))
+             t(line_no, line) ORDER BY line_no""")),
+
     // I11 hard case (runcompactiontests.sh:48-62 semantics): versions
     // that genuinely DIFFER — v2 keeps rows 1,3, CHANGES row 2, adds
     // row 4, and is RAGGED (an extra column v1 lacks). Pins that the

@@ -73,4 +73,78 @@ class JsonTypeSpec extends AnyFunSuite {
     assert(render(infer("""{"id":1,"tags":["a"]}""")) ==
       """{"id": number, "tags": [string]}""")
   }
+
+  test("full 040-077 corpus: every reference lattice case, expected type pinned") {
+    // the complete typ-* fixture corpus (test-cases/tests/040-077),
+    // expected types transcribed from the reference's golden dbinfo
+    // (dbinfo.expected: JSON ([mixed]), JSON ({"a":number, ...}), ...)
+    def ofFile(content: String): JsonType =
+      JsonInfer.inferAll(JsonInfer.splitTopLevel(content).iterator)
+    def obj(fs: (String, (Boolean, JsonType))*) = JObject(fs.toMap)
+    def req(t: JsonType) = (false, t)
+    def opt(t: JsonType) = (true, t)
+    val cases: Seq[(String, String, JsonType)] = Seq(
+      ("040_typ-arr-00", "[]", JArray(JUnknown)),
+      ("041_typ-arr-01a", "[1]", JArray(JNumber)),
+      ("042_typ-arr-01b", "[1,2,3]", JArray(JNumber)),
+      ("043_typ-arr-02", """["hi"]""", JArray(JString)),
+      ("044_typ-arr-03", "[true]", JArray(JBool)),
+      ("045_typ-arr-04", "[null]", JArray(JNullable(JUnknown))),
+      ("046_typ-arr-05", "[1,null]", JArray(JNullable(JNumber))),
+      ("047_typ-arr-06", """[1,"true"]""", JArray(JMixed)),
+      ("048_typ-arr-07", "[[1],[2,3]]", JArray(JArray(JNumber))),
+      ("049_typ-arr-08", "[[1],[null]]", JArray(JArray(JNullable(JNumber)))),
+      ("050_typ-arr-09", "[[1],null]", JArray(JNullable(JArray(JNumber)))),
+      ("051_typ-arr-10", "[[1],[null],null]",
+        JArray(JNullable(JArray(JNullable(JNumber))))),
+      ("052_typ-arr-11", "[[1],[true]]", JArray(JArray(JMixed))),
+      ("053_typ-arr-12", "[[1],true]", JArray(JMixed)),
+      ("054_typ-arr-13a", "[true,[1]]", JArray(JMixed)),
+      ("055_typ-arr-13b", """[1,["John","Doe"]]""", JArray(JMixed)),
+      ("056_typ-arr-14", """[[1],[true],["hi"]]""", JArray(JArray(JMixed))),
+      ("057_typ-arr-15", """[[1],[true],["hi"],true]""", JArray(JMixed)),
+      ("058_typ-multiple-01", "{\"id\": 1}\n{\"id\": 2, \"name\": \"test\"}",
+        obj("id" -> req(JNumber), "name" -> opt(JString))),
+      ("059_typ-obj-00", "{}", obj()),
+      ("060_typ-obj-01a", """{"a": true}""", obj("a" -> req(JBool))),
+      ("061_typ-obj-01b", """{"a": {"b": 1}}""",
+        obj("a" -> req(obj("b" -> req(JNumber))))),
+      ("062_typ-obj-02a", """{"a": true, "b": 1}""",
+        obj("a" -> req(JBool), "b" -> req(JNumber))),
+      ("063_typ-obj-02b", "{\"a\": 1\n,\"b\": 2\n,\"c\": 3\n}",
+        obj("a" -> req(JNumber), "b" -> req(JNumber), "c" -> req(JNumber))),
+      ("064_typ-obj-02c", "{\"a\": 1\n,\"b\": true\n,\"c\": \"hi\"\n,\"d\": null\n}",
+        obj("a" -> req(JNumber), "b" -> req(JBool), "c" -> req(JString),
+            "d" -> req(JNullable(JUnknown)))),
+      ("065_typ-obj-03",
+        """{"id": 1, "name": {"firstName": "John", "lastName": "Doe"}}""",
+        obj("id" -> req(JNumber),
+            "name" -> req(obj("firstName" -> req(JString), "lastName" -> req(JString))))),
+      ("066_typ-obj-04", """{"a": 1, "b": [2,3], "c": 4}""",
+        obj("a" -> req(JNumber), "b" -> req(JArray(JNumber)), "c" -> req(JNumber))),
+      ("067_typ-obj-05", """[1,{"a":2},3]""", JArray(JMixed)),
+      ("068_typ-obj-06",
+        "{\"a\": \"hi\"\n,\"b\": [1,2,3]\n,\"c\": \n {\"ca\": 4\n ,\"cb\": [5,6,7]\n ,\"cc\": [8, {\"cca\": 9}]\n }\n}",
+        obj("a" -> req(JString), "b" -> req(JArray(JNumber)),
+            "c" -> req(obj("ca" -> req(JNumber), "cb" -> req(JArray(JNumber)),
+                           "cc" -> req(JArray(JMixed)))))),
+      ("069_typ-obj-07", """[{"a":1},{"a":2}]""",
+        JArray(obj("a" -> req(JNumber)))),
+      ("070_typ-obj-08", """[{"a":1},{"a":true}]""",
+        JArray(obj("a" -> req(JMixed)))),
+      ("071_typ-obj-09a", """[{"a":1},{"b":true}]""",
+        JArray(obj("a" -> opt(JNumber), "b" -> opt(JBool)))),
+      ("072_typ-obj-09b", """[{"b":true},{"a":1}]""",
+        JArray(obj("a" -> opt(JNumber), "b" -> opt(JBool)))),
+      ("073_typ-obj-10", """[{"a":1},{"a":2,"b":true}]""",
+        JArray(obj("a" -> req(JNumber), "b" -> opt(JBool)))),
+      ("074_typ-scalar-1", "1", JNumber),
+      ("075_typ-scalar-2", """"hi"""", JString),
+      ("076_typ-scalar-3", "true", JBool),
+      ("077_typ-scalar-4", "null", JNullable(JUnknown)))
+    cases.foreach { case (name, content, expected) =>
+      val got = ofFile(content)
+      assert(got == expected, s"$name: inferred $got, expected $expected")
+    }
+  }
 }
