@@ -194,8 +194,13 @@ object Search {
     spec.filterIx.foreach(x => df = df.filter(col("ix") === x))
     spec.filterName.foreach(x => df = df.filter(icontains(col("name"), x)))
     spec.filterDescription.foreach(x => df = df.filter(icontains(col("description"), x)))
-    spec.filterCreatedAfter.foreach(x => df = df.filter(col("created") >= x))
-    spec.filterCreatedBefore.foreach(x => df = df.filter(col("created") <= x))
+    // compare as TIMESTAMPS, not strings: catalog `created` values mix
+    // precision ("...T00:00:00Z" vs Instant.now's "...T00:00:00.123Z"),
+    // and lexicographically ".123Z" sorts BEFORE "Z" while being later
+    spec.filterCreatedAfter.foreach(x =>
+      df = df.filter(col("created").cast("timestamp") >= lit(x).cast("timestamp")))
+    spec.filterCreatedBefore.foreach(x =>
+      df = df.filter(col("created").cast("timestamp") <= lit(x).cast("timestamp")))
     if (spec.filterUsers.nonEmpty)
       df = df.filter(spec.filterUsers.map(u => icontains(col("addedBy"), u)).reduce(_ || _))
     if (spec.filterTags.nonEmpty)

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.analysis.{PlanWithUnresolvedIdentifier, UnresolvedExecuteImmediate, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
@@ -53,6 +53,16 @@ object SqlGate {
         case _: InsertIntoStatement => throw Denied("user SQL is read-only (ModifyTable denied)")
         case _: UnresolvedTableValuedFunction =>
           throw Denied("function scans are not authorized") // QueryPlan.hs:340
+        // Dynamic-resolution nodes decide WHAT they read during
+        // ANALYSIS, after this parsed-plan walk — authorizing them
+        // here would let `EXECUTE IMMEDIATE '...'` or
+        // `FROM IDENTIFIER('secret')` reach tables the read-set never
+        // mentions. Deny, like the reference denies unknown plan
+        // nodes (Verified.hs:794-855 fail-closed default).
+        case _: UnresolvedExecuteImmediate =>
+          throw Denied("EXECUTE IMMEDIATE is not authorized (dynamic SQL)")
+        case _: PlanWithUnresolvedIdentifier =>
+          throw Denied("IDENTIFIER() relations are not authorized (dynamic name)")
         case w: UnresolvedWith =>
           var vis = visible
           w.cteRelations.foreach { cte =>

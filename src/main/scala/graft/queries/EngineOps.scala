@@ -340,7 +340,11 @@ object EngineOps {
           // table's name must not mask the outer read (round-3 ADVICE),
           // and a body sees only earlier siblings (in-order resolution)
           ("a", "SELECT * FROM t1 WHERE EXISTS (WITH t1 AS (SELECT 1 AS k) SELECT k FROM t1)"),
-          ("b", "WITH a AS (SELECT * FROM t5), t5 AS (SELECT 1 AS x) SELECT * FROM a"))
+          ("b", "WITH a AS (SELECT * FROM t5), t5 AS (SELECT 1 AS x) SELECT * FROM a"),
+          // dynamic-resolution nodes resolve their reads during
+          // ANALYSIS, invisible to the parsed-plan read set → denied
+          ("c", "EXECUTE IMMEDIATE 'SELECT * FROM t1'"),
+          ("d", "SELECT * FROM IDENTIFIER('t1')"))
         rowsDf(s, Seq("case_id", "verdict"),
           cases.map { case (id, sql) => Seq(id, verdict(sql)) })
       },
@@ -348,7 +352,7 @@ object EngineOps {
              ('1', 'ok:t1,t2'), ('2', 'ok:t3'), ('3', 'denied'),
              ('4', 'denied'), ('5', 'denied'), ('6', 'ok:'),
              ('7', 'ok:t1,t9'), ('8', 'ok:t1,t7'), ('9', 'denied'),
-             ('a', 'ok:t1'), ('b', 'ok:t5'))
+             ('a', 'ok:t1'), ('b', 'ok:t5'), ('c', 'denied'), ('d', 'denied'))
              t(case_id, verdict) ORDER BY case_id""")),
 
     // S8 + security model: effective access levels

@@ -94,6 +94,26 @@ class SqlGateSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic-resolution nodes denied: EXECUTE IMMEDIATE and IDENTIFIER()") {
+    // both decide what they read during ANALYSIS — after the parsed-
+    // plan walk — so an allow would bypass the read-set entirely
+    // (summarize used to report reads=Set() while the query executed)
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "EXECUTE IMMEDIATE 'SELECT * FROM secret4'")
+    }
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "SELECT * FROM IDENTIFIER('secret4')")
+    }
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark, "SELECT * FROM IDENTIFIER('sec' || 'ret4')")
+    }
+    // and inside a subquery
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark,
+        "SELECT * FROM pub WHERE x IN (SELECT y FROM IDENTIFIER('secret4'))")
+    }
+  }
+
   test("subquery reads enforced at execute (no authorization bypass)") {
     import spark.implicits._
     Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("pub2")
