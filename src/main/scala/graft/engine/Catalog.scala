@@ -253,12 +253,15 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
   def delete(name: String, version: Option[Int] = None): Unit = {
     val (dead, alive) = entries.partition(e =>
       e.name == name && version.forall(_ == e.version))
+    // commit FIRST, delete data after: a crash between the two leaves
+    // orphaned (harmless, re-collectable) data, never a catalog
+    // pointing at deleted paths
+    commit(alive)
     dead.foreach { e =>
       val p = new org.apache.hadoop.fs.Path(s"$warehouse/data/${e.name}_v${e.version}")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    commit(alive)
   }
 
   /** Compaction (I11; Ingest.hs:342-428): merge all versions of `name`
@@ -298,16 +301,21 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       .agg(sort_array(collect_set(col("srcver"))).as("ixs"))
       .select(col("orig_ix").as("ix") +: dataCols :+ col("ixs"): _*)
 
+    // rename-aside swap (same invariant as setColumnType): the old
+    // compacted copy — which committed entries may already point at —
+    // is never deleted inside the swap window
     val compactedPath = s"$warehouse/data/${name}_compacted"
-    merged.write.mode(SaveMode.Overwrite).parquet(compactedPath + "_new")
-    val fs = new org.apache.hadoop.fs.Path(compactedPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(compactedPath)))
-      fs.delete(new org.apache.hadoop.fs.Path(compactedPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(compactedPath + "_new"),
-              new org.apache.hadoop.fs.Path(compactedPath))
+    val dst = new org.apache.hadoop.fs.Path(compactedPath)
+    val tmp = new org.apache.hadoop.fs.Path(compactedPath + "_new")
+    val old = new org.apache.hadoop.fs.Path(compactedPath + "_old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
 
     commit(entries.map(e =>
       if (e.name == name) e.copy(compactedPath = compactedPath) else e))
+    fs.delete(old, true) // commit durable; drop the aside copy
   }
 }
