@@ -369,6 +369,74 @@ object PipelineOps {
       Some("""SELECT * FROM (VALUES (true, true, true))
              t(same_rows, batch_invariant, dup_checksums_align)""")),
 
+    // REAL image decode: binary netpbm needs no libraries, so the
+    // decoder is genuine (header parse + per-channel means), not the
+    // stub. Fixtures are solid-color / known-pixel images whose means
+    // are exact by construction; a JPEG-magic payload must be skipped.
+    NamedQuery("mm03_ppm_decode",
+      (s, _) => {
+        def p6(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          head ++ px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+        }
+        def p5(w: Int, h: Int, v: Int): Array[Byte] =
+          s"P5\n# comment\n$w $h\n255\n".getBytes("US-ASCII") ++
+            Array.fill(w * h)(v.toByte)
+        import s.implicits._
+        val payloads = Seq(
+          (1L, p6(4, 3, Seq.fill(12)((200, 30, 60)))),
+          (2L, p5(5, 2, 128)),
+          (3L, p6(2, 2, Seq((10, 0, 0), (20, 0, 0), (30, 40, 0), (40, 80, 120)))),
+          (4L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))) // JPEG magic: skipped
+        val df = payloads.toDF("doc_id", "payload")
+        graft.ops.Multimodal.decodeImages(df)
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            round(col("mean_r"), 2).as("mean_r"), round(col("mean_g"), 2).as("mean_g"),
+            round(col("mean_b"), 2).as("mean_b"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 4, 3, 3, CAST(200.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(60.0 AS DOUBLE)),
+             (CAST(2 AS BIGINT), 5, 2, 1, CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE)),
+             (CAST(3 AS BIGINT), 2, 2, 3, CAST(25.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(30.0 AS DOUBLE)))
+             t(doc_id, width, height, channels, mean_r, mean_g, mean_b)
+             ORDER BY doc_id""")),
+
+    // REAL audio decode: 16-bit PCM WAV (RIFF chunk walk + RMS).
+    // Square wave ±1000 → RMS exactly 1000; silence → 0; durations
+    // follow from sample counts. A non-WAV payload is skipped.
+    NamedQuery("mm04_wav_decode",
+      (s, _) => {
+        def wav(channels: Int, rate: Int, samples: Seq[Int]): Array[Byte] = {
+          val data = samples.flatMap(v =>
+            Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+            .putShort(channels.toShort).putInt(rate)
+            .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+            .putShort(16.toShort)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          bb.array()
+        }
+        import s.implicits._
+        val square = (0 until 1600).map(i => if (i % 2 == 0) 1000 else -1000)
+        val payloads = Seq(
+          (1L, wav(1, 8000, square)),                      // 200 ms, RMS 1000
+          (2L, wav(2, 4000, Seq.fill(1600)(0))),           // stereo silence, 200 ms
+          (3L, "not audio at all".getBytes("US-ASCII")))   // skipped
+        graft.ops.Multimodal.decodeAudio(payloads.toDF("doc_id", "payload"))
+          .select(col("doc_id"), col("channels"), col("sample_rate"), col("n_samples"),
+            round(col("duration_ms"), 2).as("duration_ms"), round(col("rms"), 2).as("rms"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 1, 8000, CAST(1600 AS BIGINT), CAST(200.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+             (CAST(2 AS BIGINT), 2, 4000, CAST(800 AS BIGINT), CAST(200.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+             t(doc_id, channels, sample_rate, n_samples, duration_ms, rms)
+             ORDER BY doc_id""")),
+
     // ---------------- streaming (batch-equivalent form) ----------------
 
     // gap-based sessionization, batch form (the streaming form is the

@@ -124,6 +124,36 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(1L) == byId(4L))
   }
 
+  test("real PPM/WAV decoders: headers, comments, truncation, chunk walk") {
+    import graft.ops.Multimodal.{decodePpm, decodeWav}
+    // P6 with comment, exact means
+    val ppm = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 50, 60, 70)
+    assert(decodePpm(ppm) == Some((2, 1, 3, 30.0, 40.0, 50.0)))
+    // truncated payload → None, not garbage
+    assert(decodePpm(ppm.dropRight(1)) == None)
+    // non-netpbm magic → None
+    assert(decodePpm("JFIF....".getBytes) == None)
+    // P5 grayscale: all three means equal the gray mean
+    val pgm = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 100, 50)
+    assert(decodePpm(pgm) == Some((3, 1, 1, 50.0, 50.0, 50.0)))
+
+    // WAV with an EXTRA chunk before data (LIST) exercises the walk
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes).putInt(body.length).put(body).array()
+    }
+    val fmt = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16).array()
+    val data = Array[Byte](0xE8.toByte, 0x03, 0x18, 0xFC.toByte) // +1000, -1000
+    val body = chunk("fmt ", fmt) ++ chunk("LIST", "info".getBytes) ++ chunk("data", data)
+    val riff = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(4 + body.length).put("WAVE".getBytes).array() ++ body
+    assert(decodeWav(riff) == Some((1, 8000, 2L, 0.25, 1000.0)))
+    assert(decodeWav("RIFFxxxx".getBytes) == None)
+  }
+
   test("frame sampling plumbing: stride filters chunk rows") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val frames = Multimodal.sampleFrames(bin, frameBytes = 16, stride = 2).collect()
