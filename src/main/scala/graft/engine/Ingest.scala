@@ -228,8 +228,16 @@ object Ingest {
           }
         }
       } else if (opts.multiLine) {
-        spark.sparkContext.wholeTextFiles(path)
-          .flatMap { case (_, content) => CsvParser.splitRecords(content, popts) }
+        // decode with the PROBED encoding (wholeTextFiles is UTF-8
+        // only — a Latin-1 multiLine file would mojibake)
+        if (enc.equalsIgnoreCase("UTF-8"))
+          spark.sparkContext.wholeTextFiles(path)
+            .flatMap { case (_, content) => CsvParser.splitRecords(content, popts) }
+        else
+          spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+            CsvParser.splitRecords(
+              new String(pds.toArray(), java.nio.charset.Charset.forName(enc)), popts)
+          }
       } else {
         if (enc.equalsIgnoreCase("UTF-8"))
           spark.read.textFile(path).rdd.map(CsvParser.splitLine(_, popts))

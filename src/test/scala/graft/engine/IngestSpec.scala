@@ -100,6 +100,18 @@ class IngestSpec extends AnyFunSuite {
     assert(clean.untyped.count() == 4)
   }
 
+  test("latin-1 + multiLine: probed encoding reaches the whole-file parser") {
+    val f = java.nio.file.Files.createTempFile("graft-l1ml", ".csv")
+    // café in Latin-1 (0xE9), with a quoted embedded newline
+    java.nio.file.Files.write(f,
+      "a,b\n\"line1\nline2\",café\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val ing = Ingest.csv(spark, f.toString, Ingest.CsvOptions(multiLine = true))
+    val r = ing.untyped.orderBy("ix").collect()(0)
+    assert(r.getString(1) == "line1\nline2")
+    assert(r.getString(2) == "café")
+    java.nio.file.Files.delete(f)
+  }
+
   test("zip ingest: single-entry decompression (I3)") {
     val ing = Ingest.csv(spark, res("zipped.csv.zip"))
     assert(ing.untyped.count() == 2)
