@@ -117,6 +117,55 @@ object SqlSurface {
                     true AS within_bounds
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Composite: TPC-H Q5 shape — six-way join (customer⋈orders⋈
+    // lineitem⋈supplier⋈nation⋈region) with the local-supplier
+    // condition, exercising join reordering + AQE end-to-end. Revenue
+    // is ×10^4 and CAST BIGINT: every term is an exact integer in
+    // double (2-dec × 2-dec), so the sum is order-independent and
+    // hash-stable across engines — no float rounding coin-flips.
+    NamedQuery("q45_join_six_way",
+      sql("""SELECT n_name,
+                    CAST(round(sum(l_extendedprice * (1 - l_discount) * 10000), 0) AS BIGINT) AS revenue_e4
+             FROM customer
+               JOIN orders    ON c_custkey = o_custkey
+               JOIN lineitem  ON l_orderkey = o_orderkey
+               JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation    ON s_nationkey = n_nationkey
+               JOIN region    ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1995-01-01'
+               AND o_orderdate < DATE '1997-01-01'
+             GROUP BY n_name ORDER BY revenue_e4 DESC, n_name"""),
+      Some("""SELECT n_name,
+                    CAST(round(sum(l_extendedprice * (1 - l_discount) * 10000), 0) AS BIGINT) AS revenue_e4
+             FROM customer
+               JOIN orders    ON c_custkey = o_custkey
+               JOIN lineitem  ON l_orderkey = o_orderkey
+               JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation    ON s_nationkey = n_nationkey
+               JOIN region    ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1995-01-01'
+               AND o_orderdate < DATE '1997-01-01'
+             GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""")),
+
+    // Composite: TPC-H Q18 shape — HAVING over a grouped subquery
+    // joined back to orders/customer (large-volume customers).
+    // Integer quantities keep the compare exact.
+    NamedQuery("q46_having_join_back",
+      sql("""SELECT c_custkey, o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_c,
+                    CAST(qty AS BIGINT) AS qty
+             FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+                   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+               JOIN orders   ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+             ORDER BY c_custkey, o_orderkey"""),
+      Some("""SELECT c_custkey, o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_c,
+                    CAST(qty AS BIGINT) AS qty
+             FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+                   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+               JOIN orders   ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+             ORDER BY c_custkey, o_orderkey""")),
+
     // Q6: MergeJoin pinned explicitly (the MERGE hint forces
     // sort-merge; DuckDB reads the hint as a comment) — q05-q07 let
     // Catalyst choose, this one asserts the strategy is reachable

@@ -44,6 +44,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(300))
   }
 
+  test("q45: six-way join broadcasts the small dims, no cartesian product") {
+    val p = planOf("q45_join_six_way")
+    assert(p.contains("BroadcastHashJoin"), "small dims should broadcast")
+    assert(!p.contains("CartesianProduct"), "six-way join produced a cartesian")
+    // the date filter must reach the orders scan, not sit above a join
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+           p.contains("GreaterThanOrEqual(o_orderdate"), p.take(800))
+  }
+
   test("dd04: group-collect pair generation — no self-join, shingles computed once") {
     val df = ops.Dedup.ngramJaccard(Tables.load(spark, dir, "documents"))
     val p = df.queryExecution.executedPlan.toString
