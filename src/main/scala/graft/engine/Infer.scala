@@ -37,8 +37,10 @@ object Infer {
       "[0-9]*\\.[0-9]+(e[+-]?[0-9]{1,3})?" +
       ")").r
 
-  /** Lex one raw field (inferFieldType, InferFieldType.x:106-127). */
-  def inferFieldType(raw: String): InferredType = {
+  /** Regex form of the lexer — the executable spec the hand-rolled
+    * scanner below is fuzz-checked against (InferLexerParitySpec).
+    */
+  private[engine] def inferFieldTypeRef(raw: String): InferredType = {
     var i = 0
     var j = raw.length
     while (i < j && isWhite(raw.charAt(i))) i += 1
@@ -54,6 +56,85 @@ object Infer {
     }
     else if (RealRe.matches(s)) InferredType.InfReal
     else InferredType.InfText
+  }
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Lex one raw field (inferFieldType, InferFieldType.x:106-127).
+    * Hand-rolled single scan — this runs once per FIELD of the whole
+    * input (the ingest hot loop), and the regex form pays three
+    * engine matches plus a substring per field. Behavior is pinned to
+    * inferFieldTypeRef by a fuzz parity spec.
+    */
+  def inferFieldType(raw: String): InferredType = {
+    var i = 0
+    var j = raw.length
+    while (i < j && isWhite(raw.charAt(i))) i += 1
+    while (j > i && isWhite(raw.charAt(j - 1))) j -= 1
+    val len = j - i
+    if (len == 0) return InferredType.InfText
+
+    // bool literal set: t true y yes on 1 f false n no off 0 (case-insens.)
+    if (len <= 5) {
+      val c0 = Character.toLowerCase(raw.charAt(i))
+      val isBool = len match {
+        case 1 => c0 == 't' || c0 == 'y' || c0 == '1' || c0 == 'f' || c0 == 'n' || c0 == '0'
+        case 2 =>
+          val c1 = Character.toLowerCase(raw.charAt(i + 1))
+          (c0 == 'o' && c1 == 'n') || (c0 == 'n' && c1 == 'o')
+        case 3 =>
+          val c1 = Character.toLowerCase(raw.charAt(i + 1))
+          val c2 = Character.toLowerCase(raw.charAt(i + 2))
+          (c0 == 'y' && c1 == 'e' && c2 == 's') || (c0 == 'o' && c1 == 'f' && c2 == 'f')
+        case 4 =>
+          val c1 = Character.toLowerCase(raw.charAt(i + 1))
+          val c2 = Character.toLowerCase(raw.charAt(i + 2))
+          val c3 = Character.toLowerCase(raw.charAt(i + 3))
+          c0 == 't' && c1 == 'r' && c2 == 'u' && c3 == 'e'
+        case _ =>
+          val c1 = Character.toLowerCase(raw.charAt(i + 1))
+          val c2 = Character.toLowerCase(raw.charAt(i + 2))
+          val c3 = Character.toLowerCase(raw.charAt(i + 3))
+          val c4 = Character.toLowerCase(raw.charAt(i + 4))
+          c0 == 'f' && c1 == 'a' && c2 == 'l' && c3 == 's' && c4 == 'e'
+      }
+      if (isBool) return InferredType.InfBool
+    }
+
+    // numeric scan: [sign] digits [. digits] [e [sign] 1-3 digits]
+    var p = i
+    val signed = raw.charAt(p) == '+' || raw.charAt(p) == '-'
+    if (signed) p += 1
+    var d1 = 0
+    while (p < j && isDigit(raw.charAt(p))) { d1 += 1; p += 1 }
+    if (p == j) {
+      // pure integer: 1-9 digits I4, 10-18 I8, longer is text
+      if (d1 == 0) return InferredType.InfText
+      if (d1 <= 9) return InferredType.InfInt(IntWidth.I4)
+      if (d1 <= 18) return InferredType.InfInt(IntWidth.I8)
+      return InferredType.InfText
+    }
+    // real forms: need '.' (with ≥1 digit on either side) or, with no
+    // dot, d1>0 followed directly by an exponent
+    var real = false
+    if (raw.charAt(p) == '.') {
+      p += 1
+      var d2 = 0
+      while (p < j && isDigit(raw.charAt(p))) { d2 += 1; p += 1 }
+      real = d1 > 0 || d2 > 0
+    }
+    if (!real && d1 == 0) return InferredType.InfText
+    if (p < j) {
+      // exponent: lowercase e, optional sign, 1-3 digits, then end
+      if (raw.charAt(p) != 'e') return InferredType.InfText
+      p += 1
+      if (p < j && (raw.charAt(p) == '+' || raw.charAt(p) == '-')) p += 1
+      var de = 0
+      while (p < j && isDigit(raw.charAt(p))) { de += 1; p += 1 }
+      if (de < 1 || de > 3 || p != j) return InferredType.InfText
+      real = true
+    }
+    if (real) InferredType.InfReal else InferredType.InfText
   }
 
   /** Column type of a single field (used for first-row seeding). */
@@ -110,6 +191,60 @@ object Infer {
   def inferRows(rows: Iterator[Seq[String]]): Vector[ColumnType] =
     inferRowsOpt(rows).map(_.getOrElse(ColumnType.ColText))
 
+  /** Mutable per-partition accumulator for the inference fold (+ the
+    * fused max-width, so Ingest's single pass computes both). Each
+    * treeAggregate task deserializes its own copy of the zero, so
+    * in-place mutation is safe — and avoids rowStep's per-row
+    * Vector.updated allocations in the loop that runs once per ROW of
+    * the entire input. `null` guess = "no value seen" (the lattice
+    * identity rowStep models with None). Equivalence with the
+    * immutable fold is property-tested.
+    */
+  final class ColAcc(var width: Int, var guesses: Array[ColumnType])
+      extends Serializable
+  def emptyAcc: ColAcc = new ColAcc(0, Array.empty)
+
+  def accStep(acc: ColAcc, r: scala.collection.Seq[String]): ColAcc = {
+    val len = r.length
+    if (len > acc.width) acc.width = len
+    if (len > acc.guesses.length) {
+      val g = new Array[ColumnType](len)
+      System.arraycopy(acc.guesses, 0, g, 0, acc.guesses.length)
+      acc.guesses = g
+    }
+    var i = 0
+    while (i < len) {
+      val f = r(i)
+      if (f != null) {
+        val t = inferFieldType(f)
+        val cur = acc.guesses(i)
+        acc.guesses(i) =
+          if (cur == null) ColumnType.fromInferred(f, t)
+          else ColumnType.updateWith(cur, f, t)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  def accMerge(a: ColAcc, b: ColAcc): ColAcc = {
+    val n = math.max(a.guesses.length, b.guesses.length)
+    val g = new Array[ColumnType](n)
+    var i = 0
+    while (i < n) {
+      val x = if (i < a.guesses.length) a.guesses(i) else null
+      val y = if (i < b.guesses.length) b.guesses(i) else null
+      g(i) = if (x == null) y else if (y == null) x else ColumnType.join(x, y)
+      i += 1
+    }
+    a.width = math.max(a.width, b.width)
+    a.guesses = g
+    a
+  }
+
+  def accGuesses(acc: ColAcc): Vector[Option[ColumnType]] =
+    acc.guesses.toVector.map(Option(_))
+
   /** Distributed inference over an untyped DataFrame whose columns are all
     * strings (c1..cN). Runs one pass over all rows: per-partition lattice
     * fold, then a tree merge of the (tiny) per-partition vectors.
@@ -120,7 +255,7 @@ object Infer {
       import untyped.sparkSession.implicits._
       untyped.map(r => (0 until n).map(i => if (r.isNullAt(i)) null else r.getString(i)))
     }
-    rows.rdd.treeAggregate(Vector.empty[Option[ColumnType]])(rowStep _, merge _)
+    accGuesses(rows.rdd.treeAggregate(emptyAcc)(accStep _, accMerge _))
       .map(_.getOrElse(ColumnType.ColText))
   }
 }

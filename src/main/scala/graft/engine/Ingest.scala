@@ -273,11 +273,13 @@ object Ingest {
       if (!opts.typeInference)
         (if (dataRows.isEmpty()) 0 else dataRows.map(_._1.length).max(),
          Vector.empty[Option[ColumnType]])
-      else
-        dataRows.treeAggregate((0, Vector.empty[Option[ColumnType]]))(
-          (acc, r) => (math.max(acc._1, r._1.length),
-            Infer.rowStep(acc._2, scala.collection.immutable.ArraySeq.unsafeWrapArray(r._1))),
-          (a, b) => (math.max(a._1, b._1), Infer.merge(a._2, b._2)))
+      else {
+        val acc = dataRows.treeAggregate(Infer.emptyAcc)(
+          (a, r) => Infer.accStep(a,
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(r._1)),
+          Infer.accMerge _)
+        (acc.width, Infer.accGuesses(acc))
+      }
     val width = math.max(headerWidth, dataWidth)
 
     val schema = StructType(

@@ -94,6 +94,21 @@ object EngineProps extends Properties("engine") {
   private val inferRows: Gen[List[Seq[String]]] = Gen.listOf(inferRow)
 
 
+  // adversarial numeric-ish strings stress every branch of the
+  // hand-rolled scanner: signs, dots, lowercase/uppercase exponents,
+  // wide digit runs, trailing junk
+  private val numericish: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.numChar, 2 -> Gen.oneOf('.', 'e', 'E', '+', '-'),
+      1 -> Gen.oneOf('x', ' ', 'f', 't')))
+  } yield cs.mkString
+
+  property("field lexer: hand-rolled scanner == regex reference (fuzz)") =
+    forAll(Gen.oneOf(fieldVal.filter(_ != null), numericish)) { f =>
+      Infer.inferFieldType(f) == Infer.inferFieldTypeRef(f)
+    }
+
   property("field lexer: surrounding ASCII whitespace never changes the type") =
     forAll(fieldVal, Gen.oneOf("", " ", "\t", "  \t")) { (f, ws) =>
       f == null || Infer.inferFieldType(ws + f + ws) == Infer.inferFieldType(f)
@@ -129,6 +144,19 @@ object EngineProps extends Properties("engine") {
   // THE distributed-correctness theorem for I4: a per-partition fold
   // merged with join equals the reference's sequential fold, wherever
   // the partition boundary lands
+  property("mutable accStep/accMerge fold == immutable rowStep/merge fold") =
+    org.scalacheck.Prop.forAllNoShrink(inferRows, Gen.choose(0, 1000)) { (rows, cut0) =>
+      val cut = if (rows.isEmpty) 0 else cut0 % (rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      def accOf(rs: List[Seq[String]]) =
+        rs.foldLeft(Infer.emptyAcc)((a, row) => Infer.accStep(a, row))
+      val merged = Infer.accMerge(accOf(l), accOf(r))
+      val viaAcc = (merged.width, Infer.accGuesses(merged))
+      val viaVec = rows.foldLeft(Vector.empty[Option[ColumnType]])(Infer.rowStep)
+      viaAcc._2 == viaVec &&
+        viaAcc._1 == rows.foldLeft(0)((w, row) => math.max(w, row.length))
+    }
+
   property("partitioned inference == sequential inference at any split") =
     org.scalacheck.Prop.forAllNoShrink(inferRows, Gen.choose(0, 1000)) { (rows, cut0) =>
       val cut = if (rows.isEmpty) 0 else cut0 % (rows.length + 1)
