@@ -19,6 +19,29 @@ object CsvParser {
 
   /** Split one record that contains no embedded (unquoted) newlines. */
   def splitLine(line: String, opts: Options): Array[String] = {
+    // fast path: no quote char in the line (the overwhelmingly common
+    // case) → delimiter scan with substring slices, no per-char
+    // StringBuilder appends. CR still stripped to match the slow path.
+    if (!opts.quote.exists(line.indexOf(_) >= 0)) {
+      val n = line.length
+      val fast = ArrayBuffer.empty[String]
+      var start = 0
+      var i = 0
+      var hasCr = false
+      while (i < n) {
+        val c = line.charAt(i)
+        if (c == opts.delimiter) {
+          val f = line.substring(start, i)
+          fast += (if (hasCr) f.replace("\r", "") else f)
+          start = i + 1
+          hasCr = false
+        } else if (c == '\r') hasCr = true
+        i += 1
+      }
+      val last = line.substring(start, n)
+      fast += (if (hasCr) last.replace("\r", "") else last)
+      return fast.toArray
+    }
     val fields = ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var i = 0

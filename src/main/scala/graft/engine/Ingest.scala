@@ -282,13 +282,18 @@ object Ingest {
       }
     val width = math.max(headerWidth, dataWidth)
 
-    val schema = StructType(
-      StructField("ix", LongType, nullable = false) +:
-      (1 to width).map(i => StructField(s"c$i", StringType, nullable = true)))
-    val rows = dataRows.map { case (fields, ix) =>
-      Row.fromSeq(ix +: (0 until width).map(i => if (i < fields.length) fields(i) else null))
+    // materialize via the codegen'd product encoder + a column
+    // projection (try_element_at pads ragged rows with null), NOT
+    // Row.fromSeq + createDataFrame(RDD[Row]) — the Row path converts
+    // every value through interpreted CatalystTypeConverters, which is
+    // the slowest part of the old ingest at scale
+    val untyped = {
+      import spark.implicits._
+      spark.createDataset(dataRows)
+        .toDF("fields", "ix")
+        .select(col("ix") +:
+          (1 to width).map(i => try_element_at(col("fields"), lit(i)).as(s"c$i")): _*)
     }
-    val untyped = spark.createDataFrame(rows, schema)
 
     val colTypes: Seq[ColumnType] =
       if (!opts.typeInference) Vector.fill(width)(ColumnType.ColText)
