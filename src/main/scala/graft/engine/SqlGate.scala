@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{PlanWithUnresolvedIdentifier, UnresolvedExecuteImmediate, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ScriptTransformation, UnresolvedWith}
 
 /** The `/sql` endpoint analog: run arbitrary user SQL over registered
   * dataset views, after plan-walk authorization.
@@ -59,6 +59,13 @@ object SqlGate {
         // `FROM IDENTIFIER('secret')` reach tables the read-set never
         // mentions. Deny, like the reference denies unknown plan
         // nodes (Verified.hs:794-855 fail-closed default).
+        case _: ScriptTransformation =>
+          // TRANSFORM ... USING '<cmd>' launches an ARBITRARY PROCESS
+          // on the executors — it authorized cleanly (reads collect
+          // fine) and executed a shell command in the repro. The
+          // reference's authorizer denies any node it doesn't know;
+          // this one is remote code execution, not a query operator.
+          throw Denied("script transforms are not authorized (arbitrary process execution)")
         case _: UnresolvedExecuteImmediate =>
           throw Denied("EXECUTE IMMEDIATE is not authorized (dynamic SQL)")
         case _: PlanWithUnresolvedIdentifier =>

@@ -344,7 +344,10 @@ object EngineOps {
           // dynamic-resolution nodes resolve their reads during
           // ANALYSIS, invisible to the parsed-plan read set → denied
           ("c", "EXECUTE IMMEDIATE 'SELECT * FROM t1'"),
-          ("d", "SELECT * FROM IDENTIFIER('t1')"))
+          ("d", "SELECT * FROM IDENTIFIER('t1')"),
+          // TRANSFORM runs an arbitrary process on the executors —
+          // reads authorize cleanly, so it needs its own denial
+          ("e", "SELECT TRANSFORM(a) USING 'cat' AS (o STRING) FROM t1"))
         rowsDf(s, Seq("case_id", "verdict"),
           cases.map { case (id, sql) => Seq(id, verdict(sql)) })
       },
@@ -352,7 +355,8 @@ object EngineOps {
              ('1', 'ok:t1,t2'), ('2', 'ok:t3'), ('3', 'denied'),
              ('4', 'denied'), ('5', 'denied'), ('6', 'ok:'),
              ('7', 'ok:t1,t9'), ('8', 'ok:t1,t7'), ('9', 'denied'),
-             ('a', 'ok:t1'), ('b', 'ok:t5'), ('c', 'denied'), ('d', 'denied'))
+             ('a', 'ok:t1'), ('b', 'ok:t5'), ('c', 'denied'), ('d', 'denied'),
+             ('e', 'denied'))
              t(case_id, verdict) ORDER BY case_id""")),
 
     // S8 + security model: effective access levels

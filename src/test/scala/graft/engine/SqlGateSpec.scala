@@ -94,6 +94,18 @@ class SqlGateSpec extends AnyFunSuite {
     }
   }
 
+  test("script transforms denied (TRANSFORM ... USING runs arbitrary processes)") {
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark,
+        "SELECT TRANSFORM(k) USING 'touch /tmp/x' AS (out STRING) FROM t1")
+    }
+    // and inside a subquery / CTE body
+    intercept[SqlGate.Denied] {
+      SqlGate.summarize(spark,
+        "WITH x AS (SELECT TRANSFORM(k) USING 'id' AS (o STRING) FROM t1) SELECT * FROM x")
+    }
+  }
+
   test("dynamic-resolution nodes denied: EXECUTE IMMEDIATE and IDENTIFIER()") {
     // both decide what they read during ANALYSIS — after the parsed-
     // plan walk — so an allow would bypass the read-set entirely
