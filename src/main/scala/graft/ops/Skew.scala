@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB toolbox.
+  *
+  * AQE's skew-join split handles MOST skew at runtime; salting is the
+  * explicit fallback for the cases AQE can't rewrite (e.g. a
+  * broadcast-ineligible small side, or aggregations keyed on a hot
+  * value). `saltedJoin` spreads each hot key's rows across `salts`
+  * reducer partitions by appending a deterministic salt to the big
+  * side's key and REPLICATING the small side once per salt value —
+  * results are identical to the plain join (driver-gated against it),
+  * only the shuffle layout changes.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on bigKey == smallKey with the big side
+    * salted. The salt is a deterministic hash of the big side's whole
+    * row (any distribution works — the salt never affects the result,
+    * only which reducer gets the row). Small side is replicated
+    * `salts` times, so keep it genuinely small (dimension-sized).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 salts: Int = 8): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+        saltedBig("_salt") === saltedSmall("_salt"))
+      .drop("_salt")
+  }
+}

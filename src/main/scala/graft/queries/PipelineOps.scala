@@ -460,6 +460,39 @@ object PipelineOps {
              FROM h GROUP BY user_id, session_no
              ORDER BY user_id, session_no""")),
 
+    // Streaming exact dedup EXECUTED end-to-end: the events fixture is
+    // replayed (unioned with itself — the at-least-once delivery
+    // shape), streamed through dropDuplicatesWithinWatermark on the
+    // full row identity, and aggregated per user. The oracle is
+    // DISTINCT over the original single copy — dedup must erase the
+    // replay exactly, with state bounded by the watermark.
+    NamedQuery("st03_dedup_stream",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("st03-replay").toString
+        // one file → one micro-batch: nothing is late w.r.t. a
+        // watermark advanced by an earlier batch
+        ev.union(ev).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val q = graft.streaming.EventStream
+          .dedupStream(s.readStream.schema(ev.schema).parquet(tmp),
+            Seq("user_id", "ts", "event_type", "value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("st03_dedup").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("st03_dedup")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH dist AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            event_type, value FROM events)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                    round(sum(value), 4) AS sum_value
+             FROM dist GROUP BY user_id ORDER BY user_id""")),
+
     NamedQuery("st01_event_window",
       (s, d) => Tables.load(s, d, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),

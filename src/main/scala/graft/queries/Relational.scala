@@ -402,6 +402,23 @@ object Relational {
                SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
                EXCEPT ALL
                SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
-             GROUP BY l_partkey ORDER BY l_partkey"""))
+             GROUP BY l_partkey ORDER BY l_partkey""")),
+
+    // Skew tool: salted join — big side's key salted deterministically,
+    // small side replicated per salt, so one hot key spreads across
+    // `salts` reducers. The ORACLE is the PLAIN join: salting must be
+    // result-invariant (only the shuffle layout changes).
+    NamedQuery("q47_salted_join",
+      (s, d) => graft.ops.Skew
+        .saltedJoin(t(s, d, "lineitem"), t(s, d, "supplier"),
+          "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 0).cast("long").as("qty"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n,
+                    CAST(round(sum(l_quantity), 0) AS BIGINT) AS qty
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
   )
 }

@@ -118,6 +118,19 @@ object EventStream {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Streaming exact dedup: at-least-once sources (Kafka replays,
+    * task retries) deliver duplicates; dropDuplicatesWithinWatermark
+    * on the content identity removes them with state BOUNDED by the
+    * watermark (an unbounded dropDuplicates would grow state forever
+    * on an infinite stream). Batch equivalence: distinct on the same
+    * identity columns.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Run a streaming query over static parquet via the memory sink —
     * drives the streaming plan end-to-end synchronously (used by tests
     * and local verification; swap source/sink for Kafka in production).

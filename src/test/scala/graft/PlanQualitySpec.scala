@@ -53,6 +53,14 @@ class PlanQualitySpec extends AnyFunSuite {
            p.contains("GreaterThanOrEqual(o_orderdate"), p.take(800))
   }
 
+  test("q47: salted join actually shuffles on (key, salt), not key alone") {
+    val p = planOf("q47_salted_join")
+    // the salt must be part of the join keys — that IS the skew spread;
+    // a regression that drops it would still return correct results
+    // (the gate can't see it) but put every hot-key row on one reducer
+    assert(p.contains("_salt"), p.take(600))
+  }
+
   test("dd04: group-collect pair generation — no self-join, shingles computed once") {
     val df = ops.Dedup.ngramJaccard(Tables.load(spark, dir, "documents"))
     val p = df.queryExecution.executedPlan.toString
