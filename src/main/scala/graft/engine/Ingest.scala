@@ -29,7 +29,8 @@ object Ingest {
       quoting: Boolean = true,            // disableQuoteChar => false
       multiLine: Boolean = false,         // embedded newlines (small files)
       encoding: String = "auto",
-      typeInference: Boolean = true)      // noTypeInference => all TEXT
+      typeInference: Boolean = true,      // noTypeInference => all TEXT
+      probeBytes: Long = 4L << 20)        // "auto" probe budget; MaxValue = full scan
 
   final case class Ingested(
       untyped: DataFrame,                 // ix :: long, c1..cN :: string
@@ -134,13 +135,18 @@ object Ingest {
 
   /** Bounded UTF-8 validity probe for `encoding = "auto"` (I1;
     * reference Ingest.hs:138-148 streams the whole file through its
-    * decoder). Strictly decodes up to `maxBytes` of the input —
-    * driver-side, via the Hadoop FS layer, across the first files of a
-    * directory — so the probe is O(1) even at 100 TB, instead of the
-    * full extra scan a distributed replacement-char search would cost.
-    * A lone invalid byte beyond the prefix would be decoded as U+FFFD
-    * by the UTF-8 read path (same result the reference's lenient
-    * decoder produces); pass `encoding` explicitly for exact control.
+    * decoder). Driver-side via the Hadoop FS layer, so the probe is
+    * O(1) even at 100 TB, instead of the full extra scan a distributed
+    * replacement-char search would cost. If the whole input fits in
+    * `maxBytes` it is decoded in full (exactly the reference's
+    * semantics); otherwise windows are sampled at the head/middle/tail
+    * of the FIRST and LAST files within the same byte budget, so a
+    * file whose first invalid byte lies past the head (mixed or
+    * late-Latin-1 content) is still detected. A lone invalid byte that
+    * dodges every window would be decoded as U+FFFD by the UTF-8 read
+    * path; pass `encoding` explicitly — or raise
+    * `CsvOptions.probeBytes` (Long.MaxValue = always-full probe) — for
+    * exact control.
     */
   private[engine] def looksUtf8(spark: SparkSession, path: String,
                                 maxBytes: Long = 4L << 20): Boolean = {
@@ -150,35 +156,53 @@ object Ingest {
     val files = roots.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
       else Array(st)
-    }.sortBy(_.getPath.toString)
-    var budget = maxBytes
-    var ok = true
-    val it = files.iterator
-    while (ok && budget > 0 && it.hasNext) {
-      val st = it.next()
-      val take = math.min(budget, st.getLen)
-      if (take > 0) {
-        val buf = new Array[Byte](take.toInt)
-        val in = fs.open(st.getPath)
-        try in.readFully(0L, buf) finally in.close()
-        ok = utf8Valid(buf, truncated = take < st.getLen)
-        budget -= take
+    }.sortBy(_.getPath.toString).filter(_.getLen > 0)
+    if (files.isEmpty) return true
+
+    def window(st: org.apache.hadoop.fs.FileStatus, off: Long, len: Long): Boolean = {
+      val take = math.min(len, st.getLen - off)
+      if (take <= 0) return true
+      val buf = new Array[Byte](take.toInt)
+      val in = fs.open(st.getPath)
+      try in.readFully(off, buf) finally in.close()
+      utf8Valid(buf, headTruncated = off > 0,
+                tailTruncated = off + take < st.getLen)
+    }
+
+    if (files.map(_.getLen).sum <= maxBytes)
+      files.forall(st => window(st, 0L, st.getLen)) // full probe
+    else {
+      // spread sampling: ≤3 windows × ≤2 files within the budget
+      val sampled = if (files.length == 1) Seq(files.head)
+                    else Seq(files.head, files.last)
+      val win = math.max(64L << 10, maxBytes / (3 * sampled.length))
+      sampled.forall { st =>
+        val offs = Seq(0L, math.max(0L, st.getLen / 2 - win / 2),
+                       math.max(0L, st.getLen - win))
+          .distinct.filter(_ < st.getLen)
+        offs.forall(o => window(st, o, win))
       }
     }
-    ok
   }
 
-  /** Strict UTF-8 decode; a malformed sequence within 4 bytes of a
-    * TRUNCATED buffer's end is a split multi-byte char, not evidence
-    * of another encoding.
+  /** Strict UTF-8 decode of a sampled window. A malformed sequence
+    * within 4 bytes of a tail-truncated buffer's end is a split
+    * multi-byte char, not evidence of another encoding; likewise a
+    * head-truncated window may OPEN mid-char, so up to 3 leading
+    * continuation bytes are skipped.
     */
-  private def utf8Valid(bytes: Array[Byte], truncated: Boolean): Boolean = {
+  private def utf8Valid(bytes: Array[Byte], headTruncated: Boolean,
+                        tailTruncated: Boolean): Boolean = {
+    var start = 0
+    if (headTruncated)
+      while (start < bytes.length && start < 3 && (bytes(start) & 0xC0) == 0x80)
+        start += 1
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes, start, bytes.length - start)
     val res = dec.decode(bb, java.nio.CharBuffer.allocate(bytes.length), true)
-    res.isUnderflow || (truncated && bytes.length - bb.position() <= 4)
+    res.isUnderflow || (tailTruncated && bytes.length - bb.position() <= 4)
   }
 
   /** CSV/TSV → Ingested. Accepts local paths, Hadoop-FS URIs, and
@@ -206,7 +230,7 @@ object Ingest {
     // re-reads as ISO-8859-1 (which decodes any byte sequence)
     val enc =
       if (!opts.encoding.equalsIgnoreCase("auto")) opts.encoding
-      else if (looksUtf8(spark, path)) "UTF-8"
+      else if (looksUtf8(spark, path, opts.probeBytes)) "UTF-8"
       else "ISO-8859-1"
 
     // raw records in file order

@@ -130,10 +130,22 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0L
     while (o + 8 <= b.length) {
       val id = new String(b, o, 4, "US-ASCII")
-      val sz = u32(o + 4)
-      if (id == "fmt ") { channels = u16(o + 10); rate = u32(o + 12).toInt; bits = u16(o + 22) }
+      val sz = u32(o + 4) // u32 ∈ [0, 2^32): never negative, but may exceed Int
+      // a chunk whose declared body overruns the payload is malformed —
+      // bail to None rather than read garbage (or loop: sz drives the
+      // advance below, so it must be validated BEFORE use)
+      if (o.toLong + 8 + sz > b.length) return None
+      if (id == "fmt ") {
+        // canonical PCM fmt body is 16 bytes; reading channels/rate/bits
+        // needs the first 16 present (fields end at o+24)
+        if (sz < 16) return None
+        channels = u16(o + 10); rate = u32(o + 12).toInt; bits = u16(o + 22)
+      }
       else if (id == "data") { dataOff = o + 8; dataLen = sz }
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // chunks are word-aligned; a final odd-sized chunk may omit its
+      // pad byte. next > o always (sz >= 0), so the walk terminates.
+      val next = o.toLong + 8 + sz + (sz & 1)
+      o = math.min(next, b.length.toLong).toInt
     }
     if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0 ||
         dataOff + dataLen > b.length) return None

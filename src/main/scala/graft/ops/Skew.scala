@@ -17,22 +17,36 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on bigKey == smallKey with the big side
-    * salted. The salt is a deterministic hash of the big side's whole
-    * row (any distribution works — the salt never affects the result,
-    * only which reducer gets the row). Small side is replicated
-    * `salts` times, so keep it genuinely small (dimension-sized).
+    * salted. The salt mixes the row's content hash with a PER-ROW
+    * physical component (partition id + monotonically increasing id):
+    * hashing the row alone would send byte-identical duplicate rows —
+    * common in at-least-once/replayed data, exactly when a key runs
+    * hot — all to the same reducer, defeating the mitigation. The salt
+    * never affects the RESULT (the small side carries every salt
+    * value; even a task retry that re-draws salts joins each big row
+    * to exactly one replica), only which reducer gets the row. Small
+    * side is replicated `salts` times, so keep it genuinely small
+    * (dimension-sized).
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
                  salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedBig = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
-    val saltedSmall = small.withColumn("_salt",
+    // collision-resistant internal name: never silently clobber a
+    // user column on either input
+    var saltCol = "__graft_salt"
+    while (big.columns.contains(saltCol) || small.columns.contains(saltCol))
+      saltCol += "_"
+    val saltedBig = big.withColumn(saltCol,
+      pmod(hash(big.columns.map(col): _*) +
+             spark_partition_id().cast("long") * lit(2654435761L) +
+             monotonically_increasing_id(),
+           lit(salts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn(saltCol,
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall,
         saltedBig(bigKey) === saltedSmall(smallKey) &&
-        saltedBig("_salt") === saltedSmall("_salt"))
-      .drop("_salt")
+        saltedBig(saltCol) === saltedSmall(saltCol))
+      .drop(saltCol)
   }
 }

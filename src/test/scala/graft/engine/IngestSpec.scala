@@ -100,6 +100,32 @@ class IngestSpec extends AnyFunSuite {
     assert(clean.untyped.count() == 4)
   }
 
+  test("auto-encoding probe samples head/middle/tail: late Latin-1 detected past budget") {
+    // 300 KB of clean ASCII, then a Latin-1 byte near the END — far
+    // past a 64 KB probe budget. Prefix-only probing (the round-4
+    // behavior) calls this UTF-8 and mojibakes the tail; spread
+    // sampling must see the tail window and fall back to ISO-8859-1.
+    val f = java.nio.file.Files.createTempFile("graft-late-l1", ".csv")
+    val sb = new StringBuilder("a,b\n")
+    for (i <- 1 to 20000) sb.append(i).append(",x").append(i).append('\n')
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      "99999,café\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(f, bytes)
+    assert(!Ingest.looksUtf8(spark, f.toString, maxBytes = 64L << 10))
+    val ing = Ingest.csv(spark, f.toString,
+      Ingest.CsvOptions(encoding = "auto", probeBytes = 64L << 10))
+    val last = ing.untyped.orderBy(org.apache.spark.sql.functions.desc("ix")).limit(1).collect()(0)
+    assert(last.getString(2) == "café")
+    // and a clean multi-MB ASCII file stays UTF-8 under the same budget
+    // even when windows open at unaligned offsets
+    val g = java.nio.file.Files.createTempFile("graft-clean", ".csv")
+    val utf = ("a,b\n" + ("café,zürich\n" * 40000))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(g, utf)
+    assert(Ingest.looksUtf8(spark, g.toString, maxBytes = 64L << 10))
+    java.nio.file.Files.delete(f); java.nio.file.Files.delete(g)
+  }
+
   test("latin-1 + multiLine: probed encoding reaches the whole-file parser") {
     val f = java.nio.file.Files.createTempFile("graft-l1ml", ".csv")
     // café in Latin-1 (0xE9), with a quoted embedded newline

@@ -152,6 +152,27 @@ class OpsSpec extends AnyFunSuite {
       .put("RIFF".getBytes).putInt(4 + body.length).put("WAVE".getBytes).array() ++ body
     assert(decodeWav(riff) == Some((1, 8000, 2L, 0.25, 1000.0)))
     assert(decodeWav("RIFFxxxx".getBytes) == None)
+
+    // malformed chunk sizes must yield None, not hang/crash the walk
+    def withSize(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + 32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+        .put("junk".getBytes).putInt(sz.toInt).array()
+    }
+    // sz whose .toInt is -8 made the old walk advance by ZERO (hang)
+    assert(decodeWav(withSize(0xFFFFFFF8L)) == None)
+    // more-negative sz drove the offset negative (crash)
+    assert(decodeWav(withSize(0xFFFF0000L)) == None)
+    // declared body overruns the payload (truncated trailing chunk)
+    assert(decodeWav(withSize(1 << 20)) == None)
+    // fmt chunk too short for its fixed fields (old code read past it)
+    val shortFmt = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(4).putInt(0)
+      .put("data".getBytes).putInt(0).array()
+    assert(decodeWav(shortFmt ++ new Array[Byte](8)) == None)
   }
 
   test("frame sampling plumbing: stride filters chunk rows") {
@@ -279,5 +300,37 @@ class OpsSpec extends AnyFunSuite {
     val r = TextAnalysis.langid(docs).filter($"doc_id" === 1)
       .select("predicted").as[String].head()
     assert(r == "en")
+  }
+
+  test("saltedJoin spreads byte-identical duplicate rows across salts") {
+    // replayed/at-least-once data: ONE hot key, every row identical.
+    // A content-only salt (hash of the row) sends all of them to a
+    // single reducer — the per-row physical component must spread them.
+    val big = Seq.fill(2000)((7, "payload")).toDF("k", "v")
+      .repartition(4) // several input partitions, like a real scan
+    val small = Seq((7, "dim7"), (8, "dim8")).toDF("sk", "sv")
+    val salts = 8
+    // result invariance (the q47 gate checks this against DuckDB too)
+    val joined = Skew.saltedJoin(big, small, "k", "sk", salts)
+    assert(joined.count() == 2000)
+    assert(joined.columns.toSeq == Seq("k", "v", "sk", "sv"))
+    // distribution: recompute the salt expression the way saltedJoin
+    // does and count distinct values over the identical rows
+    val distinctSalts = big.withColumn("s",
+        pmod(hash(col("k"), col("v")) +
+               spark_partition_id().cast("long") * lit(2654435761L) +
+               monotonically_increasing_id(),
+             lit(salts.toLong)))
+      .select(countDistinct("s")).as[Long].head()
+    assert(distinctSalts >= salts / 2,
+      s"identical rows landed on only $distinctSalts/$salts salts")
+  }
+
+  test("saltedJoin never clobbers a user column named like the salt") {
+    val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
+    val small = Seq((1, "x")).toDF("sk", "sv")
+    val r = Skew.saltedJoin(big, small, "k", "sk", salts = 4)
+    assert(r.columns.count(_ == "__graft_salt") == 1) // user column intact
+    assert(r.select("__graft_salt").as[String].collect().toSeq == Seq("a"))
   }
 }
