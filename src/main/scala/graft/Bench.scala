@@ -43,11 +43,11 @@ object Bench {
     }.toMap
     val cold = runPass()
     val results = runPass()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def dict(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"cold_total":$coldTotal,"cold_queries":${dict(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -259,4 +259,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Connected components over near-dup pairs: the transitive-closure
+    * stage every real dedup pipeline needs (pair relations are NOT
+    * transitive — A~B and B~C does not imply the pair A~C was emitted,
+    * yet all three are one duplicate cluster).
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * its own id; each round, a node takes the min label over itself
+    * and its neighbors (one equi-join edges⋈labels + one min-groupBy —
+    * two bounded shuffles per round). Converges to the component-min
+    * label in at most `diameter` rounds; dup clusters are near-cliques,
+    * so a handful of rounds suffices (maxIter is a runaway bound, not
+    * a tuning knob). Each round's result is localCheckpoint-ed: the
+    * loop REPLACES lineage instead of nesting it, so round N's plan is
+    * flat, not 3^N deep — on a real cluster prefer
+    * `spark.sparkContext.setCheckpointDir` + reliable checkpoints for
+    * fault tolerance at very large N.
+    *
+    * Output: (node, cluster_id) for every node that appears in a pair,
+    * cluster_id = min doc id of the component. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("cluster_id"))
+      val next = labels.select("node", "cluster_id").union(prop)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "node")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full dup-cluster resolution: pairs → components → one canonical
+    * document per cluster. The canonical pick is QUALITY-based (the
+    * longest text wins, min doc_id tie-break), not min-id — in a
+    * training corpus the longest near-duplicate usually carries the
+    * most content. Docs with no near-dup pair are their own singleton
+    * cluster (left join, coalesce). Output one row per input doc:
+    * (doc_id, cluster_id, keep_id, is_canonical).
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  text: Column = col("text")): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val member = docs
+      .select(col("doc_id").cast("long").as("doc_id"), length(text).as("len"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val canon = member.groupBy("cluster_id")
+      .agg(max(struct(col("len").as("l"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nid")).cast("long").as("keep_id"))
+    member.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+              (col("doc_id") === col("keep_id")).as("is_canonical"))
+  }
 }

@@ -212,6 +212,53 @@ object PipelineOps {
         .orderBy("id_a", "id_b"),
       Some(cosineDupsOracle(dim = 64, threshold = 0.3, nBits = 4, tables = 2))),
 
+    // dup-CLUSTER resolution: n-gram pairs → connected components
+    // (min-label propagation; pair relations aren't transitive) → one
+    // quality-canonical doc per cluster. The oracle replays the dd04
+    // pair generation, then computes exact components with a recursive
+    // CTE (min label reachable from each node) and the same
+    // longest-text/min-id canonical pick.
+    NamedQuery("dd06_dup_clusters",
+      (s, d) => {
+        val dcs = docs(s, d)
+        Dedup.dupClusters(dcs, Dedup.ngramJaccard(dcs)).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              keyed AS (SELECT doc_id, len(sh) AS sz,
+                          substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
+              ex0 AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex AS (SELECT doc_id, sz, block, g FROM
+                       (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 1000),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.block = y.block AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4),
+              pairs AS (SELECT id_a, id_b FROM inter
+                        WHERE inter / (sz_a + sz_b - inter) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lab) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+              cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+              member AS (SELECT d.doc_id,
+                           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                           length(d.text) AS len
+                         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+              canon AS (SELECT cluster_id, doc_id AS keep_id FROM
+                          (SELECT cluster_id, doc_id,
+                             row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY len DESC, doc_id ASC) AS rk
+                           FROM member) WHERE rk = 1)
+             SELECT m.doc_id, m.cluster_id, c.keep_id,
+                    m.doc_id = c.keep_id AS is_canonical
+             FROM member m JOIN canon c USING (cluster_id)
+             ORDER BY m.doc_id""")),
+
     // ---------------- similarity search ----------------
 
     NamedQuery("sim01_cosine_topk",

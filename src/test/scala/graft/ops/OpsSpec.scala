@@ -302,6 +302,34 @@ class OpsSpec extends AnyFunSuite {
     assert(r == "en")
   }
 
+  test("connected components: chains merge transitively, components stay apart") {
+    // path 1-2-3-4-5 (pairwise only!) + separate pair 10-11 + triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"path not merged: $cc") // diameter 4 > 1 round
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("dupClusters: longest doc wins canonical, singletons kept") {
+    val d = Seq(
+      (1L, "short"), (2L, "the much longer version of this document"),
+      (3L, "medium length text"), (9L, "alone")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.dupClusters(d, pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, false),  // cluster 1 = {1,2,3}, doc 2 is longest
+      (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false),
+      (9L, 9L, 9L, true)))  // singleton: own cluster, canonical
+  }
+
   test("saltedJoin spreads byte-identical duplicate rows across salts") {
     // replayed/at-least-once data: ONE hot key, every row identical.
     // A content-only salt (hash of the row) sends all of them to a
