@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the DataFrame API lacks as primitives:
+  * point-in-time (as-of) joins and bounded-window range joins. Both are
+  * built from shuffle-minimal compositions rather than custom physical
+  * operators — the plans Catalyst produces are exactly the ones a
+  * hand-written SparkPlan would aim for.
+  *
+  *  - asofJoin: the classic "latest right row at or before each left
+  *    row" lookup (market data, slowly-changing dimensions, feature
+  *    stores). NOT expressible as an equi-join; a naive theta-join
+  *    (r.ts <= l.ts) is a per-key cross product, and Spark plans it as
+  *    BroadcastNestedLoop at 100 TB death. Implemented instead as
+  *    union + window: tag both sides, union them, sort each key group
+  *    once by (ts, side), and carry the right payload forward with
+  *    last(ignoreNulls). ONE shuffle on the key columns, no join node
+  *    at all, any key cardinality (state per row is O(payload)).
+  *  - rangeJoin: pairs within |l.ts - r.ts| <= window. The equi-join
+  *    trick: bucket time into window-sized bands; a qualifying pair is
+  *    always in the same or adjacent buckets, so replicating ONE side
+  *    ×3 (bucket -1/0/+1) turns the range predicate into an equi-join
+  *    on the bucket key + a residual filter — a shuffle hash join, not
+  *    a cartesian. (Flink's interval join and DuckDB's IEJoin solve
+  *    the same shape; this is the Spark-native composition.)
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach `payload` columns from the
+    * latest right row with the same `keys` and `right.timeCol <=
+    * left.timeCol` (inclusive — an exactly-simultaneous right row
+    * matches, like DuckDB/kdb ASOF). Left rows with no prior right row
+    * keep null payloads (left-outer semantics). Right payload columns
+    * are emitted as `prefix + name`, plus `prefix + timeCol` = the
+    * matched right timestamp.
+    *
+    * Right rows should be unique per (keys, timeCol); among exact
+    * right-side ties the winner is unspecified (pre-aggregate ties
+    * away if that matters — the same caveat every ASOF implementation
+    * carries).
+    *
+    * Scale shape: one Exchange on `keys`, one sort per partition, zero
+    * join nodes (PlanQualitySpec asserts this). Skewed keys behave
+    * like any window: a single hot key serializes — salt upstream if a
+    * key holds a significant fraction of all rows.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val side = "__asof_side"
+    require(!left.columns.contains(side) && !right.columns.contains(side),
+      s"column $side would be clobbered")
+    val outPayload = (timeCol +: payload).map(prefix + _)
+    require(outPayload.forall(p => !left.columns.contains(p)),
+      s"asof output columns $outPayload collide with left columns")
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(timeCol), col(timeCol).as(prefix + timeCol)) ++
+        payload.map(p => col(p).as(prefix + p)): _*)
+      .withColumn(side, lit(0))
+    val l = left.withColumn(side, lit(1))
+    // union by name: each side's missing columns become nulls on the
+    // other (left's own columns are null on right rows and vice versa —
+    // they only exist to ride the window and are resolved after it)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outPayload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(side) === 1).drop(side)
+  }
+
+  /** Range join: every (left, right) pair with the same bucket-band
+    * time proximity |unix_micros(l.timeCol) - unix_micros(r.timeCol)|
+    * <= windowSec, optionally restricted by `residual` (applied after
+    * the band equi-join, e.g. a key mismatch or extra predicate).
+    * Left/right must not share column names (project+alias first).
+    *
+    * The right side is replicated into its own and both adjacent
+    * window-sized buckets, turning the range predicate into an
+    * equi-join on the bucket id. Output size is the true pair count —
+    * inherently quadratic in per-window density, so compose with an
+    * aggregation or additional equi-keys (put them in `extraKeys`,
+    * which joins (bucket, extraKeys...) and keeps hot buckets
+    * partitioned finer).
+    */
+  def rangeJoin(left: DataFrame, leftTime: String,
+                right: DataFrame, rightTime: String,
+                windowSec: Long,
+                residual: Column = lit(true),
+                extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    val bucket = "__rj_bucket"
+    require(!left.columns.contains(bucket) && !right.columns.contains(bucket),
+      s"column $bucket would be clobbered")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "rangeJoin sides must not share column names (alias first)")
+    val wUs = windowSec * 1000000L
+    val lb = left.withColumn(bucket, floor(unix_micros(col(leftTime)) / wUs))
+    val rb = right.withColumn(bucket,
+      explode(array(Seq(-1L, 0L, 1L).map(d =>
+        floor(unix_micros(col(rightTime)) / wUs) + d): _*)))
+    val cond = (0 until extraKeys.length)
+      .map(i => lb(extraKeys(i)._1) === rb(extraKeys(i)._2))
+      .foldLeft(lb(bucket) === rb(bucket))(_ && _)
+    lb.join(rb, cond)
+      .filter(abs(unix_micros(col(leftTime)) - unix_micros(col(rightTime))) <= wUs)
+      .filter(residual)
+      .drop(bucket)
+  }
+}
