@@ -57,10 +57,21 @@ object Temporal {
     val outPayload = (timeCol +: payload).map(prefix + _)
     require(outPayload.forall(p => !left.columns.contains(p)),
       s"asof output columns $outPayload collide with left columns")
-    val r = right.select(
-      keys.map(col) ++
-        Seq(col(timeCol), col(timeCol).as(prefix + timeCol)) ++
-        payload.map(p => col(p).as(prefix + p)): _*)
+    val pack = "__asof_pack"
+    // the matched right row travels as ONE struct, so last(ignoreNulls)
+    // either carries a whole right row or nothing — filling each payload
+    // column independently would mix columns from different right rows
+    // whenever a newer row holds a genuine NULL (torn-row bug)
+    val r = right
+      // a right row with no timestamp is not an observation at any
+      // point in time; under nulls-first ordering it would otherwise
+      // masquerade as the earliest row and leak into every left row
+      .filter(col(timeCol).isNotNull)
+      .select(
+        keys.map(col) :+
+          col(timeCol) :+
+          struct(col(timeCol).as(prefix + timeCol) +:
+                 payload.map(p => col(p).as(prefix + p)): _*).as(pack): _*)
       .withColumn(side, lit(0))
     val l = left.withColumn(side, lit(1))
     // union by name: each side's missing columns become nulls on the
@@ -72,10 +83,11 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outPayload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+    val unpacked = outPayload.foldLeft(filled) { (df, p) =>
+      df.withColumn(p, col(pack).getField(p))
     }
-    filled.filter(col(side) === 1).drop(side)
+    unpacked.filter(col(side) === 1).drop(side, pack)
   }
 
   /** Range join: every (left, right) pair with the same bucket-band
