@@ -52,12 +52,13 @@ object Temporal {
                prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val side = "__asof_side"
-    require(!left.columns.contains(side) && !right.columns.contains(side),
-      s"column $side would be clobbered")
+    val pack = "__asof_pack"
+    for (internal <- Seq(side, pack))
+      require(!left.columns.contains(internal) && !right.columns.contains(internal),
+        s"column $internal would be clobbered")
     val outPayload = (timeCol +: payload).map(prefix + _)
     require(outPayload.forall(p => !left.columns.contains(p)),
       s"asof output columns $outPayload collide with left columns")
-    val pack = "__asof_pack"
     // the matched right row travels as ONE struct, so last(ignoreNulls)
     // either carries a whole right row or nothing — filling each payload
     // column independently would mix columns from different right rows
@@ -109,6 +110,9 @@ object Temporal {
                 windowSec: Long,
                 residual: Column = lit(true),
                 extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(windowSec > 0,
+      s"rangeJoin windowSec must be positive, got $windowSec " +
+        "(zero would divide the bucket key by zero and silently match nothing)")
     val bucket = "__rj_bucket"
     require(!left.columns.contains(bucket) && !right.columns.contains(bucket),
       s"column $bucket would be clobbered")

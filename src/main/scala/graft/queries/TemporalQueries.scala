@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.Temporal
+
+/** Driver-verified gates for the temporal join operators
+  * (ops/Temporal.scala) over the `events` table. DuckDB's native
+  * `ASOF JOIN` (inclusive, latest-at-or-before — the same semantics as
+  * kdb and our asofJoin) is the tp01 oracle; tp02's bounded-window
+  * pair join is plain inequality SQL DuckDB plans as an IEJoin.
+  *
+  * Both queries format timestamps to second strings and round doubles
+  * so the driver's hash compare is engine-portable, and order by the
+  * unique event ids so row order is deterministic.
+  */
+object TemporalQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // as-of join: every click gets the latest prior (or simultaneous)
+    // purchase by the same user. The right side is pre-aggregated to
+    // one row per (user_id, ts) — asof ties among identical right
+    // timestamps are unspecified in every ASOF implementation, so the
+    // gate removes them rather than depending on a winner.
+    NamedQuery("tp01_asof_join",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("r_value"))
+        Temporal.asofJoin(clicks, purchases,
+            keys = Seq("user_id"), timeCol = "ts", payload = Seq("r_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), fmt).as("ts"),
+            round(col("value"), 4).as("value"),
+            date_format(col("asof_ts"), fmt).as("asof_ts"),
+            round(col("asof_r_value"), 4).as("asof_r_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |            FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS r_value
+             |            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id,
+             |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |       round(l.value, 4) AS value,
+             |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+             |       round(r.r_value, 4) AS asof_r_value
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""")),
+
+    // range join: (click, purchase) pairs by the same user within one
+    // hour, either direction, inclusive. delta_us is exact integer
+    // microseconds so the hash compare has no float order sensitivity.
+    NamedQuery("tp02_range_join",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+            col("ts").as("l_ts"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+            col("ts").as("r_ts"))
+        Temporal.rangeJoin(l, "l_ts", r, "r_ts", windowSec = 3600,
+            extraKeys = Seq(("l_user", "r_user")))
+          .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+            date_format(col("l_ts"), fmt).as("l_ts"),
+            date_format(col("r_ts"), fmt).as("r_ts"),
+            (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
+          .orderBy("l_id", "r_id")
+      },
+      Some("""WITH l AS (SELECT event_id AS l_id, user_id AS l_user,
+             |             CAST(ts AS TIMESTAMP) AS lt FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT event_id AS r_id, user_id AS r_user,
+             |             CAST(ts AS TIMESTAMP) AS rt FROM events WHERE event_type = 'purchase')
+             |SELECT l_id, r_id, l_user AS user_id,
+             |       strftime(lt, '%Y-%m-%d %H:%M:%S') AS l_ts,
+             |       strftime(rt, '%Y-%m-%d %H:%M:%S') AS r_ts,
+             |       CAST(epoch_us(rt) - epoch_us(lt) AS BIGINT) AS delta_us
+             |FROM l JOIN r ON l_user = r_user
+             |  AND abs(epoch_us(lt) - epoch_us(rt)) <= CAST(3600 AS BIGINT) * 1000000
+             |ORDER BY l_id, r_id"""))
+  )
+}

@@ -111,6 +111,23 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(400))
   }
 
+  test("tp01: asof join plans as union+window — zero join nodes, one exchange") {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purch = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val df = ops.Temporal.asofJoin(clicks, purch, Seq("user_id"), "ts", Seq("value"),
+      prefix = "p_")
+    val p = df.queryExecution.executedPlan.toString
+    // a theta-join formulation would appear as BroadcastNestedLoopJoin
+    // (per-key cross product — 100 TB death); the union+window form has
+    // NO join at all and exactly one hash exchange on the keys
+    assert(!p.contains("Join"), s"asof join must be join-free:\n${p.take(800)}")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange:\n${p.take(1200)}")
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)

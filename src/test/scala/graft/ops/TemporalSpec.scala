@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the temporal joins — in particular the round-6
+  * torn-row regression (the matched right row must travel as ONE
+  * struct: a genuine NULL in the newest right row must be carried as
+  * that NULL, never backfilled from an older right row) and the
+  * null-timestamp exclusion. The driver gates (tp01/tp02) pin the
+  * end-to-end results against DuckDB; these pin the edge semantics on
+  * adversarial fixtures the events table doesn't contain.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof: torn-row — NULL payload in the newest right row is carried whole") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00")))
+      .toDF("k", "ts")
+    // older right row has a price; the NEWEST right row has price=NULL
+    // but a fresh qty. The left row must see (NULL, 20) — the newest
+    // whole row — not the torn mix (9.5, 20).
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(9.5), Some(10L)),
+      (1L, ts("2024-01-01 09:30:00"), None, Some(20L))
+    ).toDF("k", "ts", "price", "qty")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price", "qty"))
+      .select("asof_ts", "asof_price", "asof_qty").head()
+    assert(r.getTimestamp(0) == ts("2024-01-01 09:30:00"))
+    assert(r.isNullAt(1), s"torn row: stale price ${r.get(1)} backfilled into newest match")
+    assert(r.getLong(2) == 20L)
+  }
+
+  test("asof: NULL right timestamps are not observations (never match)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, Option.empty[java.sql.Timestamp], Some(1.0)) // no ts: must not leak
+    ).toDF("k", "ts", "price")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price"))
+      .select("asof_ts", "asof_price").head()
+    assert(r.isNullAt(0) && r.isNullAt(1), s"null-ts right row matched: $r")
+  }
+
+  test("asof: inclusive tie + left-outer nulls + key isolation") {
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // simultaneous right row matches
+      (1L, ts("2024-01-01 08:00:00")), // before any right row → nulls
+      (2L, ts("2024-01-01 12:00:00"))  // other key: only ITS right rows
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 2.0)
+    ).toDF("k", "ts", "price")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price"))
+      .select($"k", $"ts", $"asof_price").as[(Long, java.sql.Timestamp, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, ts("2024-01-01 09:00:00"), Some(1.0)),
+      (1L, ts("2024-01-01 08:00:00"), None),
+      (2L, ts("2024-01-01 12:00:00"), Some(2.0))))
+  }
+
+  test("asof: internal column names are clobber-guarded") {
+    val l = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("k", "ts")
+    val r = Seq((1L, ts("2024-01-01 08:00:00"), 1.0)).toDF("k", "ts", "v")
+    for (bad <- Seq("__asof_side", "__asof_pack")) {
+      val e = intercept[IllegalArgumentException] {
+        Temporal.asofJoin(l.withColumn(bad, lit(1)), r, Seq("k"), "ts", Seq("v"))
+      }
+      assert(e.getMessage.contains(bad))
+      val e2 = intercept[IllegalArgumentException] {
+        Temporal.asofJoin(l, r.withColumn(bad, lit(1)), Seq("k"), "ts", Seq("v"))
+      }
+      assert(e2.getMessage.contains(bad))
+    }
+  }
+
+  test("range: inclusive window bounds, both directions, key-scoped") {
+    val l = Seq((10L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("l_id", "l_ts", "l_k")
+    val r = Seq(
+      (20L, ts("2024-01-01 10:01:00"), 1L),  // +60s: exactly at bound → in
+      (21L, ts("2024-01-01 09:59:00"), 1L),  // -60s: exactly at bound → in
+      (22L, ts("2024-01-01 10:01:01"), 1L),  // +61s → out
+      (23L, ts("2024-01-01 10:00:30"), 2L)   // wrong key → out
+    ).toDF("r_id", "r_ts", "r_k")
+    val got = Temporal.rangeJoin(l, "l_ts", r, "r_ts", windowSec = 60,
+        extraKeys = Seq(("l_k", "r_k")))
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(20L, 21L))
+  }
+
+  test("range: windowSec = 0 is rejected, not a silent empty result") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("l_id", "l_ts")
+    val r = Seq((2L, ts("2024-01-01 10:00:00"))).toDF("r_id", "r_ts")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(l, "l_ts", r, "r_ts", windowSec = 0)
+    }
+    assert(e.getMessage.contains("windowSec"))
+  }
+}
