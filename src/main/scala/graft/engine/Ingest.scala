@@ -149,7 +149,9 @@ object Ingest {
     * exact control.
     */
   private[engine] def looksUtf8(spark: SparkSession, path: String,
-                                maxBytes: Long = 4L << 20): Boolean = {
+                                maxBytes: Long = 4L << 20,
+                                chunkBytes: Int = 64 << 20): Boolean = {
+    require(chunkBytes >= 8, s"chunkBytes too small: $chunkBytes")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = Option(fs.globStatus(hp)).getOrElse(Array.empty)
@@ -159,14 +161,31 @@ object Ingest {
     }.sortBy(_.getPath.toString).filter(_.getLen > 0)
     if (files.isEmpty) return true
 
+    // Constant-space streaming decode (like the reference): a window —
+    // which with probeBytes = Long.MaxValue is the WHOLE file, any
+    // size — is validated in ≤ chunkBytes slices, never materialized
+    // at once (a whole-window Array[Byte] would cap files at 2 GiB via
+    // Int and buffer multi-GB inputs on the driver). Each inner slice
+    // boundary is a truncation point: the slice may open or close
+    // mid-character, exactly the case utf8Valid's headTruncated /
+    // tailTruncated flags already model for sampled windows.
     def window(st: org.apache.hadoop.fs.FileStatus, off: Long, len: Long): Boolean = {
       val take = math.min(len, st.getLen - off)
       if (take <= 0) return true
-      val buf = new Array[Byte](take.toInt)
       val in = fs.open(st.getPath)
-      try in.readFully(off, buf) finally in.close()
-      utf8Valid(buf, headTruncated = off > 0,
-                tailTruncated = off + take < st.getLen)
+      try {
+        var pos = 0L
+        var ok = true
+        while (ok && pos < take) {
+          val n = math.min(chunkBytes.toLong, take - pos).toInt
+          val buf = new Array[Byte](n)
+          in.readFully(off + pos, buf, 0, n)
+          ok = utf8Valid(buf, headTruncated = off + pos > 0,
+                         tailTruncated = off + pos + n < st.getLen)
+          pos += n
+        }
+        ok
+      } finally in.close()
     }
 
     if (files.map(_.getLen).sum <= maxBytes)

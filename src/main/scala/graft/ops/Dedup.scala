@@ -279,6 +279,14 @@ object Dedup {
     *
     * Output: (node, cluster_id) for every node that appears in a pair,
     * cluster_id = min doc id of the component. Deterministic.
+    *
+    * If `maxIter` is exhausted while labels are still changing, the
+    * result would be silently WRONG (partially-propagated labels split
+    * one true component into several — catastrophic when chained
+    * boilerplate links clusters), so this THROWS instead of returning.
+    * Convergence is observable either way via
+    * OpsMetrics.lastConvergence("graft.cc.convergence") = (rounds run,
+    * rows still changing — 0 means clean).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
@@ -306,6 +314,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    OpsMetrics.recordConvergence("graft.cc.convergence", i, changed)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge: $changed label(s) still " +
+        s"changing after $maxIter rounds — a component has diameter > " +
+        s"$maxIter; raise maxIter (labels would be silently wrong)")
     labels
   }
 

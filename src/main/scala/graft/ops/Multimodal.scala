@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * mapPartitions (the Scala analog of mapInPandas batch processing —
   * one decoder instantiation per partition, bounded memory per batch).
   *
-  * Formats decodable in pure JVM code are decoded for REAL: binary
-  * netpbm images (PPM P6 / PGM P5 — header + raw samples) and 16-bit
-  * PCM WAV audio (RIFF chunk walk + RMS), see decodeImages /
-  * decodeAudio. Compressed codecs (PNG/JPEG/MP3/H.264) have no
-  * libraries in this environment, so `fakeDecode` remains as the
-  * disclosed deterministic stand-in for them — the batching plumbing
-  * is identical either way and a real codec slots into the same
-  * mapPartitions body.
+  * Real decoders, pure JVM: binary netpbm images (PPM P6 / PGM P5 —
+  * header + raw samples) and 16-bit PCM WAV audio (RIFF chunk walk +
+  * RMS), see decodeImages / decodeAudio; and header-level metadata
+  * (format, dimensions, channels) for PNG / JPEG / GIF / BMP / netpbm
+  * via decodeImageHeader — the 30-line IHDR/SOF/descriptor parses a
+  * format sniffer actually runs at scale (full pixel decode of a
+  * compressed codec costs 100× the metadata and usually isn't what a
+  * pipeline stage needs). `fakeDecode` remains ONLY as the
+  * deterministic stand-in the batching-structure gate (mm02) runs on
+  * arbitrary payloads, and for codecs with no header parser here
+  * (MP3/H.264) — a real codec slots into the same mapPartitions body.
   */
 object Multimodal {
 
@@ -36,8 +39,10 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int, channels: Int, checksum: Long)
 
   /** STUB decoder: deterministic fake dimensions derived from the
-    * payload bytes. A real implementation would decode image headers
-    * (PNG IHDR / JPEG SOF) here; everything around it stays identical.
+    * payload bytes — exercised by the mm02 batching-structure gate on
+    * arbitrary (non-image) payloads. For real image metadata use
+    * decodeImageHeader / imageHeaderMeta; for full netpbm/WAV decode
+    * use decodeImages / decodeAudio.
     */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
     val n = payload.length
@@ -68,6 +73,88 @@ object Multimodal {
   }
 
   // ---------------- real decoders (pure JVM, no native libs) ----------------
+
+  /** Image-header metadata record. */
+  final case class ImageHeader(doc_id: Long, format: String, width: Int,
+                               height: Int, channels: Int)
+
+  /** Parse (format, width, height, channels) from an image payload's
+    * HEADER — no pixel decode. Supports the formats whose headers are
+    * fixed-layout or a short marker walk: PNG (IHDR), JPEG (SOF),
+    * GIF (logical screen descriptor), BMP (BITMAPINFOHEADER), and
+    * netpbm P5/P6. None for anything unrecognized or truncated.
+    */
+  def decodeImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(o: Int) = b(o) & 0xFF
+    def be16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    def be32(o: Int) = (u8(o).toLong << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
+    def le16(o: Int) = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int) = u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+    def ok(w: Long, h: Long) = w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue
+
+    if (b.length >= 26 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      val (w, h) = (be32(16), be32(20))
+      // color type → sample channels: gray, rgb, palette (decodes to
+      // rgb), gray+alpha, rgba
+      val ch = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (ok(w, h)) Some(("png", w.toInt, h.toInt, ch)) else None
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG marker walk to the first SOFn (frame header): every
+      // non-SOF segment carries a big-endian length to skip by.
+      var o = 2
+      while (o + 4 <= b.length) {
+        if (u8(o) != 0xFF) return None // desynced: not a marker
+        var m = u8(o + 1)
+        if (m == 0xFF) { o += 1 } // fill byte
+        else if ((m >= 0xD0 && m <= 0xD9) || m == 0x01) { o += 2 } // standalone
+        else {
+          val len = be16(o + 2)
+          if (len < 2) return None
+          val sof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (sof) {
+            if (o + 9 >= b.length) return None
+            val (h, w, ch) = (be16(o + 5), be16(o + 7), u8(o + 9))
+            return if (ok(w, h) && ch > 0) Some(("jpeg", w, h, ch)) else None
+          }
+          o += 2 + len
+        }
+      }
+      None
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+               b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val (w, h) = (le16(6), le16(8))
+      if (ok(w, h)) Some(("gif", w, h, 3)) else None // palette → rgb
+    } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && le32(14) >= 40) {
+      val (w, h) = (le32(18).toInt, math.abs(le32(22).toInt)) // height < 0 = top-down
+      val bpp = le16(28)
+      if (ok(w, h) && bpp >= 8 && bpp % 8 == 0)
+        Some(("bmp", w, h, math.min(bpp / 8, 4))) else None
+    } else if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      decodePpm(b).map { case (w, h, ch, _, _, _) =>
+        (if (ch == 1) "pgm" else "ppm", w, h, ch) }
+    } else None
+  }
+
+  /** Batched image-header metadata: the same mapPartitions shape as
+    * decodeBatched, emitting real (format, width, height, channels)
+    * for recognized payloads; unrecognized payloads are dropped
+    * (callers sniff magic with binaryMeta first).
+    */
+  def imageHeaderMeta(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, bytes) => decodeImageHeader(bytes).map {
+          case (fmt, w, h, c) => ImageHeader(id, fmt, w, h, c) }
+      }))
+      .toDF()
+  }
 
   /** Decoded image record: binary PPM (P6, RGB) / PGM (P5, gray). */
   final case class ImageMeta(doc_id: Long, width: Int, height: Int,

@@ -48,6 +48,21 @@ object OpsMetrics {
   def lastDrops(metric: String): Option[(Long, Long)] =
     Option(guards.get(metric)).map(g => (g.buckets.value, g.rows.value))
 
+  private val convergences =
+    new ConcurrentHashMap[String, (Int, Long)]()
+
+  /** (rounds executed, rows still changing when the loop exited) for
+    * the named iterative operator's most recent invocation — 0 still
+    * changing means clean convergence. Pipelines chaining e.g. dup-
+    * cluster resolution can assert this instead of trusting the loop.
+    */
+  def lastConvergence(metric: String): Option[(Int, Long)] =
+    Option(convergences.get(metric))
+
+  private[ops] def recordConvergence(metric: String, rounds: Int,
+                                     stillChanging: Long): Unit =
+    convergences.put(metric, (rounds, stillChanging))
+
   /** Logs a warning after any action during which a guard dropped
     * buckets (value changed since the last warning).
     */

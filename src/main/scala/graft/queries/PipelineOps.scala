@@ -484,6 +484,46 @@ object PipelineOps {
              t(doc_id, channels, sample_rate, n_samples, duration_ms, rms)
              ORDER BY doc_id""")),
 
+    // REAL compressed-image metadata: fixtures are generated by the
+    // JDK's own encoders (javax.imageio — PNG/JPEG/GIF/BMP ship with
+    // the JVM), then decoded by OUR pure header parse (IHDR / SOF
+    // marker walk / screen descriptor / BITMAPINFOHEADER). Known
+    // dimensions + color models make every output exact; a junk
+    // payload must be dropped.
+    NamedQuery("mm05_image_headers",
+      (s, _) => {
+        import java.awt.image.BufferedImage
+        def img(w: Int, h: Int, typ: Int, fmt: String): Array[Byte] = {
+          val im = new BufferedImage(w, h, typ)
+          val g = im.createGraphics()
+          g.fillRect(0, 0, w, h); g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+          bos.toByteArray
+        }
+        val ppm = s"P6\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(36)(7.toByte)
+        import s.implicits._
+        val payloads = Seq(
+          (1L, img(37, 21, BufferedImage.TYPE_INT_RGB, "png")),
+          (2L, img(5, 9, BufferedImage.TYPE_BYTE_GRAY, "png")),
+          (3L, img(64, 48, BufferedImage.TYPE_INT_RGB, "jpg")),
+          (4L, img(12, 7, BufferedImage.TYPE_INT_RGB, "gif")),
+          (5L, img(33, 14, BufferedImage.TYPE_3BYTE_BGR, "bmp")),
+          (6L, ppm),
+          (7L, "not an image".getBytes("US-ASCII"))) // dropped
+        graft.ops.Multimodal.imageHeaderMeta(payloads.toDF("doc_id", "payload"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 'png', 37, 21, 3),
+             (CAST(2 AS BIGINT), 'png', 5, 9, 1),
+             (CAST(3 AS BIGINT), 'jpeg', 64, 48, 3),
+             (CAST(4 AS BIGINT), 'gif', 12, 7, 3),
+             (CAST(5 AS BIGINT), 'bmp', 33, 14, 3),
+             (CAST(6 AS BIGINT), 'ppm', 4, 3, 3))
+             t(doc_id, format, width, height, channels)
+             ORDER BY doc_id""")),
+
     // ---------------- streaming (batch-equivalent form) ----------------
 
     // gap-based sessionization, batch form (the streaming form is the

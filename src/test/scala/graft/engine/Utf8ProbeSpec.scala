@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.{Files, Path}
+
+/** The encoding probe's chunked decode: correctness across chunk
+  * boundaries (split multi-byte chars), invalid-byte detection with
+  * tiny chunks, and the >2 GiB full-probe path that used to throw
+  * NegativeArraySizeException from a whole-file Array[Byte] (round-6
+  * What's-wrong #2).
+  */
+class Utf8ProbeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempFile(prefix, ".txt")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("chunked full probe: 3-byte chars straddling every chunk boundary") {
+    val p = tmp("utf8-euro")
+    Files.write(p, "€".repeat(100).getBytes("UTF-8")) // 300 bytes of E2 82 AC
+    // chunkBytes = 8 puts a boundary INSIDE a character over and over
+    assert(Ingest.looksUtf8(spark, p.toString, maxBytes = Long.MaxValue, chunkBytes = 8))
+  }
+
+  test("chunked full probe: an invalid byte mid-file is still detected") {
+    val p = tmp("latin1")
+    val bytes = ("a" * 100).getBytes("UTF-8")
+    bytes(50) = 0xE9.toByte // Latin-1 'é', invalid alone in UTF-8
+    Files.write(p, bytes)
+    assert(!Ingest.looksUtf8(spark, p.toString, maxBytes = Long.MaxValue, chunkBytes = 8))
+  }
+
+  test("sampled windows are chunk-decoded too (no whole-window buffer)") {
+    val p = tmp("sampled")
+    val bytes = ("x" * 4096).getBytes("UTF-8")
+    bytes(2048) = 0xFF.toByte // invalid in the middle window
+    Files.write(p, bytes)
+    // maxBytes below file size forces the head/middle/tail sampling path
+    assert(!Ingest.looksUtf8(spark, p.toString, maxBytes = 1024, chunkBytes = 16))
+  }
+
+  test(">2 GiB full probe: no Int overflow, invalid byte past 2 GiB detected") {
+    val size = (Int.MaxValue.toLong + (64L << 20)) // ~2.06 GiB, > Int.MaxValue
+    val p = tmp("huge-sparse")
+    val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+    try {
+      raf.setLength(size) // sparse zeros — all valid UTF-8
+      // an invalid byte ABOVE the old Int limit, > 4 bytes from EOF so
+      // the tail-truncation tolerance cannot mask it
+      raf.seek(size - 64)
+      raf.write(0xFF)
+    } finally raf.close()
+    // old code: new Array[Byte](take.toInt) → NegativeArraySizeException
+    // before ever reaching the invalid byte
+    assert(!Ingest.looksUtf8(spark, p.toString, maxBytes = Long.MaxValue))
+    Files.delete(p)
+  }
+}

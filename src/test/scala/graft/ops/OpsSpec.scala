@@ -175,6 +175,42 @@ class OpsSpec extends AnyFunSuite {
     assert(decodeWav(shortFmt ++ new Array[Byte](8)) == None)
   }
 
+  test("image header parse: adversarial payloads return None, never garbage") {
+    import Multimodal.decodeImageHeader
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    // truncated PNG: signature but no full IHDR
+    assert(decodeImageHeader(pngSig ++ Array.fill(10)(0.toByte)).isEmpty)
+    // JPEG SOI then garbage (no marker alignment)
+    assert(decodeImageHeader(Array(0xFF, 0xD8, 0x12, 0x34).map(_.toByte)).isEmpty)
+    // JPEG with APP0 + comment segments BEFORE the SOF must walk to it
+    val jfif = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def put(xs: Int*) = xs.foreach(bos.write)
+      put(0xFF, 0xD8)                      // SOI
+      put(0xFF, 0xE0, 0x00, 0x04, 1, 2)    // APP0, len 4
+      put(0xFF, 0xFE, 0x00, 0x05, 'h', 'i', '!') // COM, len 5
+      put(0xFF, 0xC0, 0x00, 0x0B, 8)       // SOF0, len 11, precision 8
+      put(0x00, 0x30, 0x00, 0x40, 3)       // h=48, w=64, 3 components
+      put(0, 0, 0, 0, 0, 0)                // per-component bytes
+      bos.toByteArray
+    }
+    assert(decodeImageHeader(jfif).contains(("jpeg", 64, 48, 3)))
+    // BMP top-down (negative height) reports positive height
+    val bmp = {
+      val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      bb.putInt(40).putInt(17).putInt(-9).putShort(1).putShort(24)
+      bb.array()
+    }
+    assert(decodeImageHeader(bmp).contains(("bmp", 17, 9, 3)))
+    // zero-dimension PNG rejected
+    val zeroPng = pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 5, 8, 2, 0, 0, 0)
+    assert(decodeImageHeader(zeroPng).isEmpty)
+    assert(decodeImageHeader(Array[Byte]()).isEmpty)
+    assert(decodeImageHeader("plain text".getBytes).isEmpty)
+  }
+
   test("frame sampling plumbing: stride filters chunk rows") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val frames = Multimodal.sampleFrames(bin, frameBytes = 16, stride = 2).collect()
@@ -312,6 +348,24 @@ class OpsSpec extends AnyFunSuite {
     assert((1L to 5L).forall(cc(_) == 1L), s"path not merged: $cc") // diameter 4 > 1 round
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("connected components: exhausting maxIter on a long path THROWS, not wrong labels") {
+    // path 1-2-3-...-8: diameter 7, needs more than 2 rounds of
+    // min-label propagation — with maxIter=2 the labels are only
+    // partially propagated, which must be an ERROR, never a result
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    // the convergence record shows the hot exit (2 rounds, changes pending)
+    val (rounds, changing) = OpsMetrics.lastConvergence("graft.cc.convergence").get
+    assert(rounds == 2 && changing > 0, s"($rounds, $changing)")
+    // same graph with enough rounds: converges and records clean
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(cc(_) == 1L))
+    assert(OpsMetrics.lastConvergence("graft.cc.convergence").get._2 == 0L)
   }
 
   test("dupClusters: longest doc wins canonical, singletons kept") {
