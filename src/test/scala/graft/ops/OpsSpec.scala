@@ -408,6 +408,66 @@ class OpsSpec extends AnyFunSuite {
       s"identical rows landed on only $distinctSalts/$salts salts")
   }
 
+  test("saltedJoin result parity when salts are re-drawn (task-retry simulation)") {
+    // The salt mixes spark_partition_id + monotonically_increasing_id,
+    // both of which a task retry (or any physical re-layout) re-draws.
+    // The docstring argues the RESULT is invariant because the small
+    // side carries every salt value; prove it: the same logical input
+    // under two different physical layouts — which provably draw
+    // different salts — must produce the identical multiset, equal to
+    // the plain join.
+    val big = (Seq.fill(500)((7, "hot")) ++
+      (1 to 50).map(i => (i % 5, s"row$i")) ++
+      Seq((99, "unmatched"))).toDF("k", "v")
+    val small = Seq((7, "dim7"), (0, "dim0"), (1, "dim1"),
+      (2, "dim2"), (3, "dim3"), (4, "dim4")).toDF("sk", "sv")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, String, Int, String)].collect().sorted.toSeq
+    val layoutA = multiset(Skew.saltedJoin(big.repartition(4), small, "k", "sk"))
+    val layoutB = multiset(Skew.saltedJoin(
+      big.repartition(13, col("v")), small, "k", "sk"))
+    // the two layouts really did draw different salts for shared rows
+    def salts(df: org.apache.spark.sql.DataFrame) = df.withColumn("s",
+        pmod(hash(col("k"), col("v")) +
+               spark_partition_id().cast("long") * lit(2654435761L) +
+               monotonically_increasing_id(), lit(8L)))
+      .groupBy("k", "v").agg(sort_array(collect_list("s")).as("ss"))
+    def saltMap(df: org.apache.spark.sql.DataFrame) =
+      salts(df).as[(Int, String, Seq[Long])].collect()
+        .map { case (k, v, ss) => ((k, v), ss) }.toSet
+    val differing = saltMap(big.repartition(4))
+      .diff(saltMap(big.repartition(13, col("v"))))
+    assert(differing.nonEmpty, "layouts drew identical salts; retry not simulated")
+    val plain = multiset(big.join(small, big("k") === small("sk")))
+    assert(layoutA == plain && layoutB == plain)
+  }
+
+  test("kmeans empty cells keep their centroid: no NaN, no collapse") {
+    // Two point masses, k=4: init centroids land A,A,B,B (quartiles of
+    // the sorted sample); ties assign to the LOWEST cell, so cells 1
+    // and 3 get zero points. sums/counts division would make them NaN;
+    // the empty-cell guard must keep the initial centroid instead.
+    val a = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val b = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val df = ((1 to 8).map(i => (i.toLong, a)) ++
+      (9 to 16).map(i => (i.toLong, b))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 4, iters = 3)
+    assert(cents.length == 4)
+    assert(cents.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+    assert(cents(1).toSeq == a.toSeq, "empty cell 1 lost its centroid")
+    assert(cents(3).toSeq == b.toSeq, "empty cell 3 lost its centroid")
+    assert(cents(0).toSeq == a.toSeq && cents(2).toSeq == b.toSeq)
+    // k > sample size clamps to the sample, still NaN-free
+    val clamped = Similarity.kmeansCentroids(df, k = 100, iters = 2)
+    assert(clamped.length == 16)
+    assert(clamped.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+    // an all-zero vector (cos undefined) must not poison any centroid
+    val withZero = (df.as[(Long, Array[Float])].collect() :+
+      (17L, new Array[Float](8))).toSeq.toDF("vec_id", "embedding")
+    assert(Similarity.kmeansCentroids(withZero, k = 4, iters = 3)
+      .forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
