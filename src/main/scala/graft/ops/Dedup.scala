@@ -265,17 +265,23 @@ object Dedup {
     * transitive — A~B and B~C does not imply the pair A~C was emitted,
     * yet all three are one duplicate cluster).
     *
-    * Distributed min-label propagation: every node starts labeled with
-    * its own id; each round, a node takes the min label over itself
-    * and its neighbors (one equi-join edges⋈labels + one min-groupBy —
-    * two bounded shuffles per round). Converges to the component-min
-    * label in at most `diameter` rounds; dup clusters are near-cliques,
-    * so a handful of rounds suffices (maxIter is a runaway bound, not
-    * a tuning knob). Each round's result is localCheckpoint-ed: the
-    * loop REPLACES lineage instead of nesting it, so round N's plan is
-    * flat, not 3^N deep — on a real cluster prefer
-    * `spark.sparkContext.setCheckpointDir` + reliable checkpoints for
-    * fault tolerance at very large N.
+    * Distributed min-label propagation WITH pointer jumping
+    * (Shiloach–Vishkin-style hook + shortcut): every node starts
+    * labeled with its own id; each round, (1) HOOK — a node takes the
+    * min label over itself and its neighbors (equi-join edges⋈labels
+    * + min-groupBy), then (2) SHORTCUT — label' = label(label(node)),
+    * a self-join that halves every pointer chain. A label is always
+    * the id of some node in the same component (a min of node ids),
+    * so the shortcut join is total, monotone (label(x) ≤ x), and
+    * preserves the fixed point: labels constant per component =
+    * component min. Shortcutting turns the round bound from
+    * O(diameter) into O(log diameter) — a 1M-node chain (pathological
+    * boilerplate linking at 100 TB) converges in ~25 rounds instead
+    * of 1M; maxIter=50 covers diameter ≈ 2^50. Each round's result is
+    * localCheckpoint-ed: the loop REPLACES lineage instead of nesting
+    * it, so round N's plan is flat, not 3^N deep — on a real cluster
+    * prefer `spark.sparkContext.setCheckpointDir` + reliable
+    * checkpoints for fault tolerance at very large N.
     *
     * Output: (node, cluster_id) for every node that appears in a pair,
     * cluster_id = min doc id of the component. Deterministic.
@@ -304,8 +310,15 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("cluster_id"))
-      val next = labels.select("node", "cluster_id").union(prop)
+      val hooked = labels.select("node", "cluster_id").union(prop)
         .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true) // reused by both shortcut-join sides
+      // pointer jumping: label' = label(label(node)). Inner join is
+      // total because every cluster_id IS a labeled node's id.
+      val next = hooked
+        .join(hooked.select(col("node").as("cluster_id"),
+                            col("cluster_id").as("jumped")), "cluster_id")
+        .select(col("node"), col("jumped").as("cluster_id"))
         .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "node")

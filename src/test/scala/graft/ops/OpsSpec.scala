@@ -368,6 +368,19 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastConvergence("graft.cc.convergence").get._2 == 0L)
   }
 
+  test("connected components: 300-node chain converges in O(log d) rounds") {
+    // pointer jumping must make rounds logarithmic in diameter: a
+    // 300-long path (diameter 299) has to finish well inside 20
+    // rounds — plain 1-hop propagation would need 300
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 300 && (1L to 300L).forall(cc(_) == 1L))
+    val (rounds, changing) = OpsMetrics.lastConvergence("graft.cc.convergence").get
+    assert(changing == 0L)
+    assert(rounds <= 12, s"expected ~log2(300) rounds, took $rounds")
+  }
+
   test("dupClusters: longest doc wins canonical, singletons kept") {
     val d = Seq(
       (1L, "short"), (2L, "the much longer version of this document"),
