@@ -46,6 +46,36 @@ object ScaleCheck {
     }
   }
 
+  /** Connected-components scaling probe (`runMain graft.ScaleCheck cc`):
+    * a 1M-node CHAIN is the worst case for label propagation (diameter
+    * 10⁶ — plain 1-hop propagation would need 10⁶ rounds); pointer
+    * jumping must close it in ~log2(10⁶) ≈ 20 rounds. Also probes a
+    * 1M-node forest of 100k 10-cliques (the realistic dedup shape).
+    */
+  private def ccScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def probe(label: String, pairs: org.apache.spark.sql.DataFrame,
+              expectClusters: Long): Unit = {
+      val t0 = System.nanoTime()
+      val cc = graft.ops.Dedup.connectedComponents(pairs, maxIter = 50)
+      val clusters = cc.select("cluster_id").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (rounds, changing) =
+        graft.ops.OpsMetrics.lastConvergence("graft.cc.convergence").get
+      println(f"[scale] cc $label clusters=$clusters%d (expect $expectClusters%d) " +
+        f"rounds=$rounds%d stillChanging=$changing%d sec=$sec%.1f")
+      assert(clusters == expectClusters && changing == 0L)
+    }
+    val n = 1000000L
+    probe("chain-1M",
+      spark.range(1, n).select(col("id").as("id_a"), (col("id") + 1).as("id_b")),
+      expectClusters = 1L)
+    probe("cliques-100kx10",
+      spark.range(n).select((col("id") - col("id") % 10).as("id_a"), col("id").as("id_b"))
+        .filter(col("id_a") =!= col("id_b")),
+      expectClusters = n / 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -59,6 +89,11 @@ object ScaleCheck {
 
     if (path == "dedup") {
       dedupScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "cc") {
+      ccScale(spark)
       spark.stop()
       return
     }

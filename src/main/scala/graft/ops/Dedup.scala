@@ -278,10 +278,12 @@ object Dedup {
     * O(diameter) into O(log diameter) — a 1M-node chain (pathological
     * boilerplate linking at 100 TB) converges in ~25 rounds instead
     * of 1M; maxIter=50 covers diameter ≈ 2^50. Each round's result is
-    * localCheckpoint-ed: the loop REPLACES lineage instead of nesting
-    * it, so round N's plan is flat, not 3^N deep — on a real cluster
-    * prefer `spark.sparkContext.setCheckpointDir` + reliable
-    * checkpoints for fault tolerance at very large N.
+    * checkpointed: the loop REPLACES lineage instead of nesting it,
+    * so round N's plan is flat, not 3^N deep. If
+    * `spark.sparkContext.setCheckpointDir` is set, rounds use RELIABLE
+    * checkpoints (survive executor loss — set it on a real cluster);
+    * otherwise localCheckpoint (fine single-node, where executor loss
+    * is process death anyway).
     *
     * Output: (node, cluster_id) for every node that appears in a pair,
     * cluster_id = min doc id of the component. Deterministic.
@@ -295,6 +297,11 @@ object Dedup {
     * rows still changing — 0 means clean).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // reliable checkpoint when a dir is configured, local otherwise
+    def flat(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
@@ -303,7 +310,7 @@ object Dedup {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("cluster_id", col("node"))
-      .localCheckpoint(true)
+      .transform(flat)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -312,14 +319,14 @@ object Dedup {
         .select(col("dst").as("node"), col("cluster_id"))
       val hooked = labels.select("node", "cluster_id").union(prop)
         .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true) // reused by both shortcut-join sides
+        .transform(flat) // reused by both shortcut-join sides
       // pointer jumping: label' = label(label(node)). Inner join is
       // total because every cluster_id IS a labeled node's id.
       val next = hooked
         .join(hooked.select(col("node").as("cluster_id"),
                             col("cluster_id").as("jumped")), "cluster_id")
         .select(col("node"), col("jumped").as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(flat)
       changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "node")
         .filter(col("cluster_id") =!= col("prev")).count()

@@ -368,6 +368,20 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastConvergence("graft.cc.convergence").get._2 == 0L)
   }
 
+  test("connected components: reliable-checkpoint path (checkpoint dir set)") {
+    // with a checkpoint dir configured, rounds use fault-tolerant
+    // df.checkpoint instead of localCheckpoint — same results
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // checkpoint files actually landed in the reliable dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connected components: 300-node chain converges in O(log d) rounds") {
     // pointer jumping must make rounds logarithmic in diameter: a
     // 300-long path (diameter 299) has to finish well inside 20
