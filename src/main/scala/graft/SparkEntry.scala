@@ -14,6 +14,7 @@ object SparkEntry {
     _root_.graft.queries.Relational.queries ++
     _root_.graft.queries.SqlSurface.queries ++
     _root_.graft.queries.PipelineOps.queries ++
+    _root_.graft.queries.CurationOps.queries ++
     _root_.graft.queries.TemporalQueries.queries ++
     _root_.graft.queries.EngineOps.queries
 

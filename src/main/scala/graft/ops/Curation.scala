@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup: eval-set decontamination, deterministic
+  * sampling, reproducible corpus shuffling, and sequence packing.
+  *
+  * Shared design rule: NO RNG anywhere. Every operator keys its
+  * "randomness" off md5 of stable row keys, so results are identical
+  * across runs, engines (the DuckDB oracles reproduce them
+  * bit-for-bit), task retries, and partition layouts — the property
+  * that matters when a 100 TB job loses an executor mid-stage
+  * (`rand()` re-draws on retry and silently changes the sample).
+  */
+object Curation {
+
+  private def registerOn(df: DataFrame): Unit =
+    graft.functions.TextFunctions.register(df.sparkSession)
+
+  /** Train/eval contamination check: for every training doc sharing at
+    * least one word n-gram with the eval corpus, emit
+    * (doc_id, shared_grams = distinct overlapping n-grams).
+    *
+    * Scale shape: eval sets are tiny (KBs–MBs of benchmark text)
+    * against a 100 TB train side, so the distinct eval grams are
+    * BROADCAST — the train side is never shuffled; the only exchange
+    * is the per-doc count aggregation over the (rare) matching rows.
+    * n = 13 is the common LLM decontamination window (long enough
+    * that chance collisions are negligible, short enough to catch
+    * paraphrase-free inclusions).
+    */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 13,
+                    text: Column = col("text")): DataFrame = {
+    registerOn(train)
+    val evalGrams = eval
+      .select(explode(graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .distinct()
+    train
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams")) // grams pre-distinct per doc
+  }
+
+  /** The decontaminated corpus: training docs that share NO word
+    * n-gram with the eval set (left-anti join against the broadcast
+    * contamination list).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                    text: Column = col("text")): DataFrame =
+    train.join(broadcast(contamination(train, eval, n, text)
+      .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+
+  /** First 8 hex chars of md5(key) — a uniform 32-bit draw that is
+    * identical in Spark and DuckDB (both emit lowercase hex, so
+    * string order == numeric order at fixed width).
+    */
+  private def hexDraw(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    if (rate >= 1.0) "g" // sorts above every hex digit: keep all
+    else f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
+  }
+
+  /** Deterministic hash sample: keep a row iff md5(key) falls below
+    * the rate threshold. A pure filter — no shuffle, no RNG, stable
+    * under retries and re-runs, and REPEATABLE: the same key set is
+    * kept at every scale, so a pipeline can sample 1% for a dry run
+    * and know the 10% run contains it (thresholds nest).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hexDraw(key) < lit(hexThreshold(rate)))
+
+  /** Per-stratum deterministic sampling: rates by stratum value (e.g.
+    * language → keep-rate for corpus rebalancing), `defaultRate` for
+    * unlisted strata. Same pure-filter shape as hashSample — the
+    * stratum column only selects the threshold constant.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(stratum === lit(value), lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hexDraw(key) < threshold)
+  }
+
+  /** Deterministic global shuffle: a reproducible training-order
+    * permutation. Rows are totally ordered by (md5(seed # key), key)
+    * — one range-partitioned distributed sort, Spark's native
+    * large-scale sort shape — then numbered 1..N via zipWithIndex
+    * (per-partition offsets, no single-partition window; the same
+    * machinery as ingest row numbering). Re-shuffling with a new seed
+    * is just a new seed string — no state, no RNG.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column,
+                           seed: String): DataFrame = {
+    val spark = df.sparkSession
+    val hashed = df
+      .withColumn("__shuffle_h",
+        md5(concat_ws("#", lit(seed), key.cast("string"))))
+      .orderBy(col("__shuffle_h"), key.cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        hashed.schema.fields)
+    val numbered = spark.createDataFrame(
+      hashed.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq) },
+      schema)
+    numbered.drop("__shuffle_h")
+  }
+
+  /** Shard-local sequence packing: concatenate a shard's docs in
+    * doc_id order into one token stream and chunk it every `window`
+    * tokens — each doc reports the pack its FIRST token lands in and
+    * its offset inside that pack (pack crossing allowed, the
+    * concatenate-then-chunk scheme LLM pretraining uses).
+    *
+    * The window runs PER SHARD (partitionBy), so packing a 100 TB
+    * corpus parallelizes across shards — shard by input file, date,
+    * or hash bucket; there is no global sequential dependency.
+    */
+  def packSequences(df: DataFrame, shard: Column, window: Int,
+                    tokens: Column = size(split(col("text"), " "))
+                      .cast("long")): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col("doc_id"), shard.as("shard"), tokens.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("start_tok") / window).cast("long").as("pack_id"),
+        (col("start_tok") % window).as("offset_in_pack"))
+  }
+}

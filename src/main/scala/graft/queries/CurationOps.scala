@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.Curation
+
+/** Corpus-curation operators as driver-verified queries: eval-set
+  * decontamination, deterministic (stratified) sampling, reproducible
+  * corpus shuffle, and sequence packing — the post-dedup stages of a
+  * training-data pipeline. Every oracle reproduces the md5-keyed
+  * determinism bit-for-bit (both engines emit lowercase hex md5, so
+  * fixed-width hex string order == numeric order).
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.load(s, d, "documents")
+    val cores = s.sparkContext.defaultParallelism
+    if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
+  }
+
+  // DuckDB word n-grams mirroring graft.functions.WordShingles for
+  // k = 13: split on single space (empties kept), grams i..min(i+k,m),
+  // short docs collapse to one whole-text gram, per-doc distinct.
+  private val duckGrams13 =
+    """list_distinct(list_transform(
+         range(1, greatest(len(string_split(text, ' ')) - 12, 1) + 1),
+         i -> array_to_string((string_split(text, ' '))[i:i+12], ' ')))"""
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // contamination: train = documents, eval = every 97th doc (a
+    // deterministic benchmark-set stand-in, doc_ids 0,97,...,485).
+    // Eval docs are contaminated by construction (they ARE in train);
+    // near-dup neighbors sharing a 13-gram get flagged too.
+    NamedQuery("dc01_decontaminate",
+      (s, d) => {
+        val train = docs(s, d)
+        val eval = train.filter(col("doc_id") % 97 === 0)
+        Curation.contamination(train, eval, n = 13).orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS (SELECT doc_id, unnest($duckGrams13) AS g
+                              FROM documents),
+              eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+              SELECT doc_id, count(*) AS shared_grams
+              FROM grams WHERE g IN (SELECT g FROM eval_grams)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // stratified deterministic sampling: per-language keep rates keyed
+    // on md5(doc_id) — no RNG, so the oracle reproduces the exact
+    // sample. Also exercises the plain hashSample threshold math (the
+    // 'de' rate of 1.0 keeps every German doc via the 'g' sentinel).
+    NamedQuery("sp01_stratified_sample",
+      (s, d) => Curation.stratifiedSample(docs(s, d), col("lang"),
+          col("doc_id"), Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
+        .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               CASE lang WHEN 'en' THEN '40000000'
+                         WHEN 'de' THEN 'g'
+                         WHEN 'fr' THEN '80000000'
+                         ELSE '00000000' END
+             ORDER BY doc_id""")),
+
+    // deterministic corpus shuffle: a reproducible training-order
+    // permutation (sort by md5(seed # doc_id), number 1..N via
+    // zipWithIndex — no single-partition window). The oracle replays
+    // the order with row_number.
+    NamedQuery("sh01_det_shuffle",
+      (s, d) => Curation.deterministicShuffle(docs(s, d),
+          col("doc_id"), seed = "round7")
+        .select(col("pos"), col("doc_id"), col("lang")).orderBy("pos"),
+      Some("""SELECT row_number() OVER (
+                ORDER BY md5('round7#' || CAST(doc_id AS VARCHAR)),
+                         CAST(doc_id AS VARCHAR)) AS pos,
+                doc_id, lang
+             FROM documents ORDER BY pos""")),
+
+    // sequence packing: 8 hash shards, 256-token context windows;
+    // each doc's pack id + offset in the shard's concatenated token
+    // stream (crossing allowed — concatenate-then-chunk).
+    NamedQuery("pk01_pack_sequences",
+      (s, d) => Curation.packSequences(docs(s, d), pmod(col("doc_id"), lit(8)),
+          window = 256).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+              c AS (SELECT doc_id, shard, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_tok
+                  FROM t)
+              SELECT doc_id, shard, n_tokens,
+                CAST(start_tok // 256 AS BIGINT) AS pack_id,
+                CAST(start_tok % 256 AS BIGINT) AS offset_in_pack
+              FROM c ORDER BY doc_id"""))
+  )
+}

@@ -128,6 +128,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one exchange:\n${p.take(1200)}")
   }
 
+  test("dc01: eval grams broadcast — the train side is never shuffled for the join") {
+    val train = Tables.load(spark, dir, "documents")
+    val eval = train.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+    val p = ops.Curation.contamination(train, eval)
+      .queryExecution.executedPlan.toString
+    // a SortMergeJoin here would shuffle every train gram (100 TB of
+    // exploded 13-grams) to match KBs of eval grams
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "train grams got shuffled for the join")
+  }
+
+  test("sp01: deterministic sampling is a pure filter — zero exchanges") {
+    val p = ops.Curation.stratifiedSample(Tables.load(spark, dir, "documents"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("doc_id"), Map("en" -> 0.25))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n${p.take(600)}")
+  }
+
+  test("pk01: packing windows run per shard, partitioned on the shard key") {
+    val p = ops.Curation.packSequences(Tables.load(spark, dir, "documents"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(8)), window = 256)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange (hash by shard) and a partitioned window —
+    // a global (unpartitioned) window would single-thread the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("Window"), p.take(400))
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)

@@ -495,6 +495,86 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.forall(f => !f.isNaN && !f.isInfinite)))
   }
 
+  test("contamination flags only docs sharing an n-gram with eval; decontaminate removes them") {
+    val w13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"prefix $w13 suffix"),        // contains the eval 13-gram
+      (2L, "totally unrelated words that overlap with nothing at all"),
+      (3L, w13),                          // the eval text itself
+      (4L, "short doc")                   // < 13 tokens, no overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, w13)).toDF("doc_id", "text")
+    val flagged = Curation.contamination(train, eval)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(1L, 3L), s"flagged: $flagged")
+    assert(flagged(3L) == 1L) // exact copy: the one whole-text gram
+    val clean = Curation.decontaminate(train, eval)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+    // a short eval doc contaminates via its whole-text gram
+    val shortEval = Seq((101L, "short doc")).toDF("doc_id", "text")
+    assert(Curation.contamination(train, shortEval)
+      .select("doc_id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("hashSample: deterministic, rate-accurate, and NESTED across rates") {
+    val ids = spark.range(2000).select(col("id").as("doc_id"))
+    assert(Curation.hashSample(ids, col("doc_id"), 0.0).count() == 0)
+    assert(Curation.hashSample(ids, col("doc_id"), 1.0).count() == 2000)
+    val s20 = Curation.hashSample(ids, col("doc_id"), 0.2)
+      .as[Long].collect().toSet
+    val s60 = Curation.hashSample(ids, col("doc_id"), 0.6)
+      .as[Long].collect().toSet
+    assert(s20.subsetOf(s60), "thresholds must nest: 20% sample inside 60%")
+    assert(math.abs(s20.size / 2000.0 - 0.2) < 0.05, s"20% drew ${s20.size}")
+    assert(math.abs(s60.size / 2000.0 - 0.6) < 0.05, s"60% drew ${s60.size}")
+    // same keys kept regardless of physical layout
+    val again = Curation.hashSample(ids.repartition(7), col("doc_id"), 0.2)
+      .as[Long].collect().toSet
+    assert(again == s20)
+  }
+
+  test("stratifiedSample: per-stratum rates exact at 0 and 1, default drops") {
+    val df = spark.range(300).select(col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("xx")),
+        (col("id") % 3 + 1).cast("int")).as("lang"))
+    val kept = Curation.stratifiedSample(df, col("lang"), col("doc_id"),
+      Map("en" -> 1.0, "de" -> 0.0)).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("en", 0L) == 100L) // rate 1.0: every en doc
+    assert(!kept.contains("de"))             // rate 0.0
+    assert(!kept.contains("xx"))             // defaultRate 0.0
+  }
+
+  test("deterministicShuffle: a reproducible permutation, seed changes order") {
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(seed: String, input: org.apache.spark.sql.DataFrame) =
+      Curation.deterministicShuffle(input, col("doc_id"), seed)
+        .select("pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run("s1", df)
+    assert(a.map(_._1) == (1L to 500L), "pos must be exactly 1..N")
+    assert(a.map(_._2).toSet == (1L to 500L).toSet, "a permutation of the corpus")
+    assert(a.map(_._2) != (1L to 500L), "order must actually change")
+    assert(run("s1", df.repartition(13)) == a, "layout-independent")
+    assert(run("s2", df) != a, "a new seed draws a new permutation")
+  }
+
+  test("packSequences: running token offsets chunk shard streams at the window") {
+    // one shard: docs of 10, 250, 10, 300 tokens, window 256:
+    // starts 0, 10, 260, 270 → packs 0, 0, 1, 1; offsets 0, 10, 4, 14
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = Seq((1L, doc(10)), (2L, doc(250)), (3L, doc(10)), (4L, doc(300)))
+      .toDF("doc_id", "text")
+    val r = Curation.packSequences(df, lit(0), window = 256)
+      .select("doc_id", "n_tokens", "pack_id", "offset_in_pack")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 10L, 0L, 0L), (2L, 250L, 0L, 10L),
+      (3L, 10L, 1L, 4L), (4L, 300L, 1L, 14L)))
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, lit(0), window = 0)
+    }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
