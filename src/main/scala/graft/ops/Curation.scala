@@ -92,6 +92,37 @@ object Curation {
     df.filter(hexDraw(key) < threshold)
   }
 
+  /** Apply a target domain mixture: repeat each row `weight(stratum)`
+    * times — the integer part exactly, the fractional part as a
+    * deterministic hashSample draw (weight 2.5 → every doc twice, and
+    * a reproducible half of them a third time). Weights < 1 subsample,
+    * > 1 upsample; the `copy` column (1..n) disambiguates replicas so
+    * a downstream deterministicShuffle can interleave them. This is
+    * static mixture application (DoReMi-style domain weights resolved
+    * to per-domain rates) as one explode — no joins, no RNG, no
+    * driver-side loop.
+    */
+  def mixCorpus(df: DataFrame, stratum: Column, key: Column,
+                weights: Map[String, Double],
+                defaultWeight: Double = 1.0): DataFrame = {
+    weights.values.foreach(w => require(w >= 0, s"negative weight: $w"))
+    require(defaultWeight >= 0, s"negative weight: $defaultWeight")
+    def copies(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      // fractional extra copy iff the md5 draw falls under frac(w)
+      when(hexDraw(key) < lit(hexThreshold(w - whole)), lit(whole + 1))
+        .otherwise(lit(whole))
+    }
+    val n = weights.foldLeft(copies(defaultWeight)) {
+      case (acc, (value, w)) => when(stratum === lit(value), copies(w)).otherwise(acc)
+    }
+    // n = 0 → empty array → explode drops the row outright (bare
+    // sequence(1, 0) would DESCEND — Spark infers step -1)
+    df.withColumn("copy", explode(
+      when(n >= 1, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Deterministic global shuffle: a reproducible training-order
     * permutation. Rows are totally ordered by (md5(seed # key), key)
     * — one range-partitioned distributed sort, Spark's native

@@ -37,6 +37,13 @@ object Temporal {
     * are emitted as `prefix + name`, plus `prefix + timeCol` = the
     * matched right timestamp.
     *
+    * `direction = "forward"` flips the lookup to the EARLIEST right
+    * row at or after the left row (the next-event join: next fill
+    * after an order, next error after a deploy). `toleranceSec` bounds
+    * staleness like pandas merge_asof: a match further than the
+    * tolerance (in seconds; timeCol must be a timestamp) is nulled —
+    * the standard guard against joining a quote from last Tuesday.
+    *
     * Right rows should be unique per (keys, timeCol); among exact
     * right-side ties the winner is unspecified (pre-aggregate ties
     * away if that matters — the same caveat every ASOF implementation
@@ -49,8 +56,13 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, payload: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward",
+               toleranceSec: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward': $direction")
+    toleranceSec.foreach(t => require(t >= 0, s"negative tolerance: $t"))
     val side = "__asof_side"
     val pack = "__asof_pack"
     for (internal <- Seq(side, pack))
@@ -73,22 +85,43 @@ object Temporal {
           col(timeCol) :+
           struct(col(timeCol).as(prefix + timeCol) +:
                  payload.map(p => col(p).as(prefix + p)): _*).as(pack): _*)
-      .withColumn(side, lit(0))
-    val l = left.withColumn(side, lit(1))
+      .withColumn(side, lit(if (direction == "backward") 0 else 1))
+    val leftSide = if (direction == "backward") 1 else 0
+    val l = left.withColumn(side, lit(leftSide))
     // union by name: each side's missing columns become nulls on the
     // other (left's own columns are null on right rows and vice versa —
     // they only exist to ride the window and are resolved after it)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
-    // exactly-simultaneous right row is visible to the left row
+    // at equal ts the right row must be VISIBLE to the left row
+    // (inclusive bound): backward frames look back, so right sorts
+    // before left (side 0 < 1); forward frames look ahead, so right
+    // sorts after left (left 0 < right 1)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
-    val unpacked = outPayload.foldLeft(filled) { (df, p) =>
+    val filled =
+      if (direction == "backward")
+        unioned.withColumn(pack, last(col(pack), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else
+        unioned.withColumn(pack, first(col(pack), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // a left row with NULL ts matches nothing (it sorts nulls-first,
+    // where a forward frame would otherwise see every right row); a
+    // match beyond the tolerance is nulled whole (the pack is still
+    // one right row — never a column mix)
+    val matchTs = col(pack).getField(prefix + timeCol)
+    val staleness =
+      if (direction == "backward") unix_micros(col(timeCol)) - unix_micros(matchTs)
+      else unix_micros(matchTs) - unix_micros(col(timeCol))
+    val guarded = toleranceSec.foldLeft(
+        filled.withColumn(pack, when(col(timeCol).isNotNull, col(pack)))) {
+      (df, tol) => df.withColumn(pack,
+        when(staleness <= tol * 1000000L, col(pack)))
+    }
+    val unpacked = outPayload.foldLeft(guarded) { (df, p) =>
       df.withColumn(p, col(pack).getField(p))
     }
-    unpacked.filter(col(side) === 1).drop(side, pack)
+    unpacked.filter(col(side) === leftSide).drop(side, pack)
   }
 
   /** Range join: every (left, right) pair with the same bucket-band

@@ -77,6 +77,28 @@ object CurationOps {
                 doc_id, lang
              FROM documents ORDER BY pos""")),
 
+    // domain-mixture application: weight en down to 0.4 (too dominant
+    // at 218/500 docs), zh up to 2.5 (2 full copies + a deterministic
+    // half), de stays 1.0, default 1.0 covers es/fr. The `copy` index
+    // disambiguates replicas for downstream shuffling.
+    NamedQuery("mx01_mix_corpus",
+      (s, d) => Curation.mixCorpus(docs(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 0.4, "zh" -> 2.5, "de" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy"),
+      Some("""WITH n AS (SELECT doc_id, lang,
+                CASE lang
+                  WHEN 'en' THEN
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              < '66666666' THEN 1 ELSE 0 END
+                  WHEN 'zh' THEN
+                    2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              < '80000000' THEN 1 ELSE 0 END
+                  ELSE 1 END AS copies
+              FROM documents)
+              SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM n ORDER BY doc_id, copy""")),
+
     // sequence packing: 8 hash shards, 256-token context windows;
     // each doc's pack id + offset in the shard's concatenated token
     // stream (crossing allowed — concatenate-then-chunk).

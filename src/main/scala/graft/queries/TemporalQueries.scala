@@ -84,6 +84,45 @@ object TemporalQueries {
              |       CAST(epoch_us(rt) - epoch_us(lt) AS BIGINT) AS delta_us
              |FROM l JOIN r ON l_user = r_user
              |  AND abs(epoch_us(lt) - epoch_us(rt)) <= CAST(3600 AS BIGINT) * 1000000
-             |ORDER BY l_id, r_id"""))
+             |ORDER BY l_id, r_id""")),
+
+    // FORWARD as-of with a staleness tolerance: every click gets the
+    // next purchase by the same user, nulled when it is more than 2
+    // hours ahead. The oracle is a LATERAL first-row-at-or-after
+    // lookup with the tolerance as the window bound — equivalent
+    // because the first row >= ts is the minimum, so "nearest then
+    // null if beyond" = "nearest within the bound".
+    NamedQuery("tp03_asof_forward",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("r_value"))
+        Temporal.asofJoin(clicks, purchases,
+            keys = Seq("user_id"), timeCol = "ts", payload = Seq("r_value"),
+            prefix = "next_", direction = "forward",
+            toleranceSec = Some(7200L))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), fmt).as("ts"),
+            date_format(col("next_ts"), fmt).as("next_ts"),
+            round(col("next_r_value"), 4).as("next_r_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |            FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS r_value
+             |            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id,
+             |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |       strftime(nx.nts, '%Y-%m-%d %H:%M:%S') AS next_ts,
+             |       round(nx.nval, 4) AS next_r_value
+             |FROM l LEFT JOIN LATERAL (
+             |  SELECT r.ts AS nts, r.r_value AS nval FROM r
+             |  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+             |    AND r.ts <= l.ts + INTERVAL 7200 SECOND
+             |  ORDER BY r.ts LIMIT 1) nx ON TRUE
+             |ORDER BY l.event_id"""))
   )
 }

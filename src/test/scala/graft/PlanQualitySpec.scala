@@ -117,15 +117,19 @@ class PlanQualitySpec extends AnyFunSuite {
       .select("event_id", "user_id", "ts", "value")
     val purch = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
       .select("user_id", "ts", "value")
-    val df = ops.Temporal.asofJoin(clicks, purch, Seq("user_id"), "ts", Seq("value"),
-      prefix = "p_")
-    val p = df.queryExecution.executedPlan.toString
-    // a theta-join formulation would appear as BroadcastNestedLoopJoin
-    // (per-key cross product — 100 TB death); the union+window form has
-    // NO join at all and exactly one hash exchange on the keys
-    assert(!p.contains("Join"), s"asof join must be join-free:\n${p.take(800)}")
-    assert("Exchange".r.findAllIn(p).length == 1,
-      s"expected exactly one exchange:\n${p.take(1200)}")
+    for (dir <- Seq("backward", "forward")) {
+      val df = ops.Temporal.asofJoin(clicks, purch, Seq("user_id"), "ts", Seq("value"),
+        prefix = "p_", direction = dir,
+        toleranceSec = if (dir == "forward") Some(3600L) else None)
+      val p = df.queryExecution.executedPlan.toString
+      // a theta-join formulation would appear as BroadcastNestedLoopJoin
+      // (per-key cross product — 100 TB death); the union+window form has
+      // NO join at all and exactly one hash exchange on the keys,
+      // in BOTH directions, tolerance or not
+      assert(!p.contains("Join"), s"$dir asof join must be join-free:\n${p.take(800)}")
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"$dir: expected exactly one exchange:\n${p.take(1200)}")
+    }
   }
 
   test("dc01: eval grams broadcast — the train side is never shuffled for the join") {

@@ -546,6 +546,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!kept.contains("xx"))             // defaultRate 0.0
   }
 
+  test("mixCorpus: integer weights exact, fractional part a nested deterministic draw") {
+    val df = spark.range(900).select(col("id").as("doc_id"),
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("lang"))
+    val mixed = Curation.mixCorpus(df, col("lang"), col("doc_id"),
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultWeight = 1.0)
+    val byLang = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("a") == 600L, s"weight 2.0 must duplicate exactly: $byLang")
+    assert(!byLang.contains("c"), "weight 0.0 must drop the stratum")
+    assert(math.abs(byLang("b") - 150L) < 40, s"weight 0.5 drew ${byLang("b")}")
+    // every 'a' doc appears with copies 1 AND 2
+    assert(mixed.filter(col("lang") === "a").groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() == 0)
+    // the fractional draw is the SAME draw as hashSample (nested rates):
+    // docs kept by weight 0.5's extra-copy draw == hashSample(0.5) keys
+    val bDocs = df.filter(col("lang") === "b")
+    val extra = Curation.mixCorpus(bDocs, col("lang"), col("doc_id"),
+      Map("b" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    val sampled = Curation.hashSample(bDocs, col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(extra == sampled)
+    // determinism across layouts
+    val again = Curation.mixCorpus(df.repartition(11), col("lang"), col("doc_id"),
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultWeight = 1.0)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(again == mixed.select("doc_id", "copy").as[(Long, Long)].collect().toSet)
+  }
+
   test("deterministicShuffle: a reproducible permutation, seed changes order") {
     val df = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def run(seed: String, input: org.apache.spark.sql.DataFrame) =

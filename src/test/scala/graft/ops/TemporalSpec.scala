@@ -94,6 +94,61 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set(20L, 21L))
   }
 
+  test("asof forward: earliest at-or-after match, inclusive tie, trailing nulls") {
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // simultaneous right row matches
+      (1L, ts("2024-01-01 09:30:00")), // between rights → next one
+      (1L, ts("2024-01-01 12:00:00"))  // after every right row → nulls
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 2.0)
+    ).toDF("k", "ts", "price")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price"),
+        direction = "forward")
+      .select($"ts", $"asof_price").as[(java.sql.Timestamp, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (ts("2024-01-01 09:00:00"), Some(1.0)),
+      (ts("2024-01-01 09:30:00"), Some(2.0)),
+      (ts("2024-01-01 12:00:00"), None)))
+  }
+
+  test("asof tolerance: a match beyond toleranceSec is nulled WHOLE") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // prior right 1h ago: within 2h
+      (2L, ts("2024-01-01 10:00:00"))  // prior right 3h ago: too stale
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (2L, ts("2024-01-01 07:00:00"), 2.0)
+    ).toDF("k", "ts", "price")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price"),
+        toleranceSec = Some(7200L))
+      .select($"k", $"asof_ts", $"asof_price")
+      .as[(Long, Option[java.sql.Timestamp], Option[Double])].collect().toSet
+    // the stale match nulls BOTH emitted columns, not just one
+    assert(out == Set(
+      (1L, Some(ts("2024-01-01 09:00:00")), Some(1.0)),
+      (2L, None, None)))
+    // exactly AT the tolerance is still a match (inclusive, like the bound)
+    val at = Temporal.asofJoin(left.filter($"k" === 2L), right, Seq("k"), "ts",
+        Seq("price"), toleranceSec = Some(10800L))
+      .select("asof_price").head()
+    assert(at.getDouble(0) == 2.0)
+  }
+
+  test("asof forward: a left row with NULL ts matches nothing") {
+    // nulls sort FIRST under asc — without the guard a forward frame
+    // from a null-ts left row would see every right row and match the
+    // earliest one
+    val left = Seq((1L, Option.empty[java.sql.Timestamp])).toDF("k", "ts")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "price")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("price"),
+        direction = "forward").select("asof_ts", "asof_price").head()
+    assert(r.isNullAt(0) && r.isNullAt(1), s"null-ts left row matched: $r")
+  }
+
   test("range: windowSec = 0 is rejected, not a silent empty result") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("l_id", "l_ts")
     val r = Seq((2L, ts("2024-01-01 10:00:00"))).toDF("r_id", "r_ts")
