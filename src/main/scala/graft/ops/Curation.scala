@@ -62,7 +62,7 @@ object Curation {
   private def hexDraw(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
-  private def hexThreshold(rate: Double): String = {
+  private[graft] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
     if (rate >= 1.0) "g" // sorts above every hex digit: keep all
     else f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
@@ -90,6 +90,30 @@ object Curation {
         when(stratum === lit(value), lit(hexThreshold(rate))).otherwise(acc)
     }
     df.filter(hexDraw(key) < threshold)
+  }
+
+  /** Leakage-safe train/valid/test split: the md5 draw is keyed on a
+    * GROUP column (dedup cluster id, source domain, url host...), so
+    * every row of a group lands on the same side — the guard against
+    * near-duplicate leakage across the split, where a test doc's
+    * near-twin in train silently inflates eval. Row-keyed splitting
+    * (`group = row key`) degrades to the plain per-row split.
+    *
+    * Deterministic and seed-repeatable like everything here: a pure
+    * filter-free projection, no shuffle, stable under retries, and the
+    * assignment is identical at every corpus scale (adding docs to a
+    * group never moves the group).
+    */
+  def groupSplit(df: DataFrame, group: Column,
+                 trainFrac: Double, validFrac: Double,
+                 seed: String = "split", out: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && validFrac >= 0 && trainFrac + validFrac <= 1.0,
+      s"fractions must be >= 0 and sum <= 1: train=$trainFrac valid=$validFrac")
+    val draw = hexDraw(concat_ws("#", lit(seed), group.cast("string")))
+    df.withColumn(out,
+      when(draw < lit(hexThreshold(trainFrac)), "train")
+        .when(draw < lit(hexThreshold(trainFrac + validFrac)), "valid")
+        .otherwise("test"))
   }
 
   /** Apply a target domain mixture: repeat each row `weight(stratum)`

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding storage/compression operators. At 100 TB an embedding
+  * column is often the single largest column in the table (a 768-dim
+  * float32 vector is 3 KB/row — bigger than most document texts);
+  * int8 quantization cuts that 4× and is the standard first step
+  * toward product-quantized ANN indexes (IVF-PQ). Everything here is
+  * pure higher-order column expressions — per-row, no shuffle, no
+  * UDFs — so quantization runs at scan speed and parallelizes
+  * trivially across any number of executors.
+  */
+object Embeddings {
+
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_i = round(x_i / scale) ∈ [-127, 127], reconstruction
+    * x̂_i = q_i * scale. Per-vector (not per-corpus) scaling needs no
+    * global pass and is robust to outlier vectors — the trade every
+    * serving stack (faiss scalar quantizer et al.) makes first.
+    *
+    * Returns the quantized vector plus audit columns: the scale, the
+    * max absolute reconstruction error (bounded by scale/2 ≈
+    * max|x|/254 — asserted in EmbeddingsSpec), and the exact integer
+    * L2² of the quantized vector (int math survives hash comparison
+    * across engines, unlike float sums). Zero vectors quantize to
+    * zeros with scale 0 rather than dividing by it.
+    */
+  def quantizeInt8(df: DataFrame, emb: Column = col("embedding"),
+                   out: String = "q_embedding"): DataFrame = {
+    val v = transform(emb, x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val q = when(scale > 0,
+        transform(v, x => round(x / scale).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    val err = when(scale > 0,
+        array_max(zip_with(v, q, (x, qi) => abs(x - qi.cast("double") * scale))))
+      .otherwise(lit(0.0))
+    val l2sq = aggregate(q, lit(0L), (acc, qi) =>
+      acc + qi.cast("long") * qi.cast("long"))
+    df.withColumn(out, q)
+      .withColumn("q_scale", scale)
+      .withColumn("q_max_err", err)
+      .withColumn("q_l2sq", l2sq)
+  }
+}

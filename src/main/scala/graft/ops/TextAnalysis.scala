@@ -97,6 +97,35 @@ object TextAnalysis {
       md5(concat_ws(" ", slice(toks, 1, 8))).as("prefix_fingerprint"))
   }
 
+  /** Within-document repetition metrics (the Gopher/MassiveText
+    * repetition filters): the fraction of duplicated words and
+    * duplicated word 2-grams inside each document. Word-soup spam,
+    * keyword-stuffed SEO pages, and templated boilerplate score high;
+    * natural prose scores low — a standard pre-training quality gate
+    * applied as a pure scan-speed column expression (no shuffle at
+    * all; filtering on the output is a pushdown-able predicate).
+    *
+    * Docs with fewer than 2 tokens have no 2-grams; their
+    * dup_2gram_frac is 0 by definition rather than a 0/0 null.
+    */
+  def repetition(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    // 2-grams positionally: try_element_at past the end yields null and
+    // concat_ws skips it, but the n >= 2 guard below means short docs
+    // never read these anyway
+    val grams2 = transform(sequence(lit(1), greatest(n - 1, lit(1))),
+      i => concat_ws(" ", try_element_at(toks, i), try_element_at(toks, i + 1)))
+    df.select(
+      col("doc_id"),
+      n.cast("int").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
+        .as("dup_word_frac"),
+      when(n >= 2,
+        round(lit(1.0) - size(array_distinct(grams2)).cast("double") / (n - 1), 4))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
+
   /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
     * of a tokenizer pipeline. One explode + one count groupBy (map-side
     * partial combine collapses frequent tokens per partition, so the

@@ -63,6 +63,23 @@ object CurationOps {
                          ELSE '00000000' END
              ORDER BY doc_id""")),
 
+    // leakage-safe split: keyed on `source`, so every doc from a
+    // domain lands on one side — near-dups inside a domain can never
+    // straddle train/test. The oracle replays the same md5 draw and
+    // thresholds (interpolated from the identical hexThreshold math).
+    NamedQuery("sp02_group_split",
+      (s, d) => Curation.groupSplit(docs(s, d), col("source"),
+          trainFrac = 0.6, validFrac = 0.2)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source,
+               CASE WHEN substr(md5('split#' || source), 1, 8)
+                      < '${Curation.hexThreshold(0.6)}' THEN 'train'
+                    WHEN substr(md5('split#' || source), 1, 8)
+                      < '${Curation.hexThreshold(0.8)}' THEN 'valid'
+                    ELSE 'test' END AS split
+              FROM documents ORDER BY doc_id""")),
+
     // deterministic corpus shuffle: a reproducible training-order
     // permutation (sort by md5(seed # doc_id), number 1..N via
     // zipWithIndex — no single-partition window). The oracle replays

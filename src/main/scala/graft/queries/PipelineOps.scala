@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{NamedQuery, Tables}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-verified queries over the
   * `documents` / `embeddings` / `events` tables: dedup (exact, MinHash-
@@ -117,6 +117,52 @@ object PipelineOps {
              FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
              WHERE tok != ''
              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")),
+
+    // Gopher-style within-doc repetition fractions. The synthetic
+    // word-soup corpus repeats heavily (vocab ~31 words), so both
+    // fractions carry real signal here — and the oracle pins the
+    // n < 2 degenerate branch too.
+    NamedQuery("tx06_repetition",
+      (s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                 AS dup_word_frac,
+               CASE WHEN len(toks) >= 2 THEN
+                 round(1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(toks)),
+                     i -> concat_ws(' ', toks[i], toks[i+1])))) AS DOUBLE)
+                   / (len(toks) - 1), 4)
+               ELSE 0.0 END AS dup_2gram_frac
+             FROM t ORDER BY doc_id""")),
+
+    // ---------------- embedding compression ----------------
+
+    // int8 symmetric quantization with audit columns; q_l2sq is exact
+    // integer math, so the hash compare is float-order-insensitive,
+    // and the rounded scale/max-err pin the reconstruction bound.
+    NamedQuery("em01_quantize",
+      (s, d) => Embeddings.quantizeInt8(embs(s, d))
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          round(col("q_max_err"), 6).as("q_max_err"), col("q_l2sq"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+              s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+              q AS (SELECT vec_id, v, scale,
+                    CASE WHEN scale > 0
+                      THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+                      ELSE list_transform(v, x -> 0) END AS qv FROM s)
+             SELECT vec_id, round(scale, 6) AS q_scale,
+               CASE WHEN scale > 0 THEN
+                 round(list_max(list_transform(range(1, len(v) + 1),
+                   i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale))), 6)
+               ELSE 0.0 END AS q_max_err,
+               CAST(list_sum(list_transform(qv,
+                 x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS q_l2sq
+             FROM q ORDER BY vec_id""")),
 
     // ---------------- dedup ----------------
 
@@ -579,6 +625,51 @@ object PipelineOps {
              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                     round(sum(value), 4) AS sum_value
              FROM dist GROUP BY user_id ORDER BY user_id""")),
+
+    // Stream-stream interval join EXECUTED end-to-end: clicks and
+    // purchases stream from separate parquet sources, join on user
+    // within ±1 h of event time (watermarks on both sides bound the
+    // join state), then the pairs are aggregated per user. The oracle
+    // is the same interval join as plain batch SQL — the streaming
+    // execution must produce exactly the batch pair set. Sums are
+    // exact integer microseconds, so the hash compare has no float
+    // sensitivity.
+    NamedQuery("st04_interval_join",
+      (s, d) => {
+        val ev = graft.Tables.load(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+            col("ts").as("l_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+            col("ts").as("r_ts"))
+        val tmp = java.nio.file.Files.createTempDirectory("st04-join").toString
+        clicks.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l")
+        purchases.coalesce(1).write.mode("overwrite").parquet(s"$tmp/r")
+        val q = graft.streaming.EventStream.intervalJoin(
+            s.readStream.schema(clicks.schema).parquet(s"$tmp/l"),
+            s.readStream.schema(purchases.schema).parquet(s"$tmp/r"),
+            windowSec = 3600)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("st04_pairs").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("st04_pairs")
+          .groupBy(col("l_user").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(unix_micros(col("l_ts")) - unix_micros(col("r_ts"))))
+              .as("sum_abs_delta_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id AS l_user, CAST(ts AS TIMESTAMP) AS lt
+                          FROM events WHERE event_type = 'click'),
+                   r AS (SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS rt
+                          FROM events WHERE event_type = 'purchase')
+             SELECT l_user AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(abs(epoch_us(lt) - epoch_us(rt))) AS BIGINT) AS sum_abs_delta_us
+             FROM l JOIN r ON l_user = r_user
+               AND abs(epoch_us(lt) - epoch_us(rt)) <= CAST(3600 AS BIGINT) * 1000000
+             GROUP BY 1 ORDER BY user_id""")),
 
     NamedQuery("st01_event_window",
       (s, d) => Tables.load(s, d, "events")

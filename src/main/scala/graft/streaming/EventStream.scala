@@ -131,6 +131,30 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: pair every left event with right
+    * events by the same user within `windowSec` seconds either way.
+    * BOTH sides carry watermarks and the join condition bounds event
+    * time in BOTH directions — the two requirements Structured
+    * Streaming imposes so each side's buffered state is evictable
+    * (state per side ≈ watermark-window of rows per user, partitioned
+    * by the equi-key; without the time bound state grows forever and
+    * the query is rejected). Batch equivalence: Temporal.rangeJoin
+    * with the same key and window (the st04 gate proves it).
+    *
+    * Columns must be pre-renamed so the sides share only the join
+    * semantics, not names (same rule as rangeJoin).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSec: Long,
+                   watermark: String = "2 hours"): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val l = left.withWatermark("l_ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user = r_user AND
+          r_ts BETWEEN l_ts - INTERVAL $windowSec SECONDS
+                   AND l_ts + INTERVAL $windowSec SECONDS"""))
+  }
+
   /** Run a streaming query over static parquet via the memory sink —
     * drives the streaming plan end-to-end synchronously (used by tests
     * and local verification; swap source/sink for Kafka in production).

@@ -111,6 +111,21 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(400))
   }
 
+  test("tx06/em01/sp02: scan-speed column ops — zero exchanges, zero joins") {
+    // repetition metrics, int8 quantization, and group split are pure
+    // per-row projections; any Exchange appearing here means someone
+    // turned a scan-speed op into a shuffle
+    for (df <- Seq(
+        ops.TextAnalysis.repetition(Tables.load(spark, dir, "documents")),
+        ops.Embeddings.quantizeInt8(Tables.load(spark, dir, "embeddings")),
+        ops.Curation.groupSplit(Tables.load(spark, dir, "documents"),
+          org.apache.spark.sql.functions.col("source"), 0.6, 0.2))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(600)}")
+      assert(!p.contains("Join"), s"unexpected join:\n${p.take(600)}")
+    }
+  }
+
   test("tp01: asof join plans as union+window — zero join nodes, one exchange") {
     val ev = Tables.load(spark, dir, "events")
     val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")

@@ -603,6 +603,67 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: duplicated word/2-gram fractions, degenerate short docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // 1 distinct of 4 words; 1 distinct of 3 2-grams
+      (2L, "a b c d"),          // all unique
+      (3L, "a b a b a"),        // words 2/5 dup frac .6; 2-grams {a b, b a} of 4 → .5
+      (4L, "x")                 // no 2-grams: frac defined as 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df)
+      .select("doc_id", "n_tokens", "dup_word_frac", "dup_2gram_frac")
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 4, 0.75, 0.6667), // 1 - 1/3 rounded
+      (2L, 4, 0.0, 0.0),
+      (3L, 5, 0.6, 0.5),
+      (4L, 1, 0.0, 0.0)))
+  }
+
+  test("quantizeInt8: error bounded by scale/2, ints in [-127,127], zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.127f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector: no divide
+      (3L, Seq(127.0f, -127.0f, 1.0f, 0.004f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.quantizeInt8(df)
+      .select("vec_id", "q_embedding", "q_scale", "q_max_err", "q_l2sq")
+      .as[(Long, Seq[Int], Double, Double, Long)].collect().sortBy(_._1)
+    r.foreach { case (id, q, scale, err, l2) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range: $q")
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err exceeds scale/2 ${scale / 2}")
+      assert(l2 == q.map(v => v.toLong * v).sum)
+    }
+    val zero = r.find(_._1 == 2L).get
+    assert(zero._2 == Seq(0, 0, 0, 0) && zero._3 == 0.0 && zero._4 == 0.0)
+    // max element always reconstructs exactly (it defines the scale)
+    val v3 = r.find(_._1 == 3L).get
+    assert(v3._2.take(2) == Seq(127, -127))
+  }
+
+  test("groupSplit: whole group on one side, fractions valid, bad fractions rejected") {
+    val df = (1 to 400).map(i => (i.toLong, s"grp${i % 40}")).toDF("doc_id", "grp")
+    val r = Curation.groupSplit(df, $"grp", trainFrac = 0.6, validFrac = 0.2)
+      .select("grp", "split").as[(String, String)].collect()
+    // every group maps to exactly one split value
+    val byGroup = r.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byGroup.values.forall(_.length == 1),
+      s"split straddles a group: ${byGroup.filter(_._2.length > 1)}")
+    val splits = r.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    // deterministic across invocations
+    val again = Curation.groupSplit(df, $"grp", 0.6, 0.2)
+      .select("grp", "split").as[(String, String)].collect()
+    assert(r.sorted.toSeq == again.sorted.toSeq)
+    // seed changes assignments (40 groups: astronomically unlikely equal)
+    val reseeded = Curation.groupSplit(df, $"grp", 0.6, 0.2, seed = "other")
+      .select("grp", "split").as[(String, String)].collect()
+    assert(r.sorted.toSeq != reseeded.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.groupSplit(df, $"grp", 0.9, 0.2) // sums past 1
+    }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")

@@ -132,4 +132,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(streamed.size == 3) // 2 sessions for user 1, 1 for user 2
   }
+
+  test("streaming interval join equals batch rangeJoin on the events fixture") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("ij-stream").toString
+    clicks.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l")
+    purchases.coalesce(1).write.mode("overwrite").parquet(s"$tmp/r")
+    val q = EventStream.intervalJoin(
+        spark.readStream.schema(clicks.schema).parquet(s"$tmp/l"),
+        spark.readStream.schema(purchases.schema).parquet(s"$tmp/r"),
+        windowSec = 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_pairs").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ij_pairs")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    val batch = graft.ops.Temporal.rangeJoin(
+        clicks, "l_ts", purchases, "r_ts", windowSec = 3600,
+        extraKeys = Seq(("l_user", "r_user")))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(batch.nonEmpty, "fixture produced no pairs — test is vacuous")
+    intercept[IllegalArgumentException] {
+      EventStream.intervalJoin(clicks, purchases, windowSec = 0)
+    }
+  }
 }
