@@ -28,14 +28,15 @@ object Bench {
     // excluded: entries whose OUTPUT is a pass/fail verdict rather than
     // data (engine-flow im* gates and the mm02 batch-invariance gate,
     // which runs its operator 3x + exceptAll just to self-validate)
-    // ... same category: sim04 runs THREE pipelines (two IVF variants
-    // + brute force) to emit recall-bound booleans, and st03/st04 spend
-    // their time writing fixture copies to tmp parquet before streaming
-    // them — all correctness verdicts, not data-path throughput
+    // ... same category: sim04/em02 run MULTIPLE pipelines (IVF / PQ
+    // variants + brute force) to emit recall-bound booleans, and
+    // st03/st04 spend their time writing fixture copies to tmp parquet
+    // before streaming them — all correctness verdicts, not data-path
+    // throughput
     val headline = SparkEntry.queries
       .filterNot(q => q._1.startsWith("im") || q._1 == "mm02_decode_batched"
         || q._1 == "sim04_ivf_kmeans_recall" || q._1 == "st03_dedup_stream"
-        || q._1 == "st04_interval_join")
+        || q._1 == "st04_interval_join" || q._1 == "em02_pq_recall")
       .toSeq.sortBy(_._1)
     def runPass(): Map[String, Double] = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()

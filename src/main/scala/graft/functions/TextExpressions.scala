@@ -166,6 +166,46 @@ case class SimhashVotePack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization + optional casefold in one native pass — the
+  * canonical first step of any text-dedup/curation pipeline (the same
+  * logical doc arrives NFC from one crawl and NFD from another; CJK
+  * corpora mix full-width and half-width ASCII, which only NFKC
+  * unifies). Spark has no normalizer built-in; the naive route is a
+  * Scala UDF, which loses codegen and null-handling. This expression
+  * wraps `java.text.Normalizer` (JDK, no dependency) with the same
+  * compute-object codegen shape as WordShingles. `form` is one of
+  * NFC/NFD/NFKC/NFKD; casefold applies ROOT-locale lowercasing AFTER
+  * normalization (the order matters for decomposed uppercase).
+  */
+case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
+    extends UnaryExpression {
+
+  private val normForm = java.text.Normalizer.Form.valueOf(form)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_unorm expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  def compute(t: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(t.toString, normForm)
+    UTF8String.fromString(
+      if (casefold) s.toLowerCase(java.util.Locale.ROOT) else s)
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unorm", this, classOf[UnicodeNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register `graft_shingles` (registry + call_function is the public
     * route to a custom Expression in Spark 4). Idempotent.
@@ -185,6 +225,12 @@ object TextFunctions {
       "graft_simhash_pack",
       exprs => SimhashVotePack(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unorm",
+      exprs => UnicodeNormalize(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString,
+        exprs(2).eval(null).asInstanceOf[Boolean]),
+      "built-in")
   }
 
   /** Column API: word k-shingles of a string column. Requires
@@ -202,4 +248,13 @@ object TextFunctions {
   /** Column API: packed simhash vote bits of a token. */
   def simhash_pack(tok: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash_pack", tok)
+
+  /** Column API: Unicode-normalize (+ optional ROOT casefold) a string
+    * column. form ∈ NFC/NFD/NFKC/NFKD.
+    */
+  def unicode_normalize(text: Column, form: String = "NFC",
+                        casefold: Boolean = false): Column =
+    org.apache.spark.sql.functions.call_function("graft_unorm",
+      text, org.apache.spark.sql.functions.lit(form),
+      org.apache.spark.sql.functions.lit(casefold))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding storage/compression operators. At 100 TB an embedding
@@ -43,5 +44,176 @@ object Embeddings {
       .withColumn("q_scale", scale)
       .withColumn("q_max_err", err)
       .withColumn("q_l2sq", l2sq)
+  }
+
+  /** Per-dimension winsorization: clip every embedding coordinate to
+    * its corpus-wide [lo, hi] quantile band — the standard guard
+    * against corrupt/outlier vectors (a single 1e30 coordinate
+    * poisons every dot product it touches) before indexing or
+    * distance math.
+    *
+    * Two-pass shape that holds at 100 TB: pass 1 computes the 2·dim
+    * exact quantiles via ONE posexplode + per-dimension aggregate
+    * (shuffles (dim, value) pairs, partial-combined); the dim-sized
+    * bound table is collected (bounded: 2 doubles per dimension) and
+    * folded back as literal arrays, so pass 2 is a pure scan-speed
+    * projection with no join. Returns the input plus the clipped
+    * vector and the exact count of clipped coordinates.
+    */
+  def winsorize(df: DataFrame, lo: Double = 0.01, hi: Double = 0.99,
+                emb: Column = col("embedding"),
+                out: String = "w_embedding"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val bounds = df
+      .select(posexplode(emb).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(percentile(col("v"), lit(lo)).as("lo"),
+           percentile(col("v"), lit(hi)).as("hi"))
+      .orderBy("d")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val loArr = array(bounds.map(b => lit(b._1.toFloat)): _*)
+    val hiArr = array(bounds.map(b => lit(b._2.toFloat)): _*)
+    val clipped = zip_with(emb, sequence(lit(0), lit(bounds.length - 1)),
+      (x, i) => least(greatest(x, element_at(loArr, i + 1)),
+        element_at(hiArr, i + 1)))
+    val nClipped = aggregate(
+      zip_with(emb, sequence(lit(0), lit(bounds.length - 1)),
+        (x, i) => (x < element_at(loArr, i + 1) ||
+                   x > element_at(hiArr, i + 1)).cast("int")),
+      lit(0), (acc, c) => acc + c)
+    df.withColumn(out, clipped).withColumn("n_clipped", nClipped)
+  }
+
+  // ---------------- product quantization (Jégou et al., TPAMI 2011) ----------------
+
+  /** Train product-quantization codebooks: the vector is split into
+    * `m` contiguous subvectors and each subspace gets its own `k`-way
+    * codebook via deterministic Lloyd iterations (L2 metric — the PQ
+    * standard) on a bounded corpus sample. Like kmeansCentroids, the
+    * sample is a few thousand vectors REGARDLESS of corpus size
+    * (codebook quality needs representativeness, not population), the
+    * init is evenly-spaced sample points, assignment ties break on the
+    * lowest code — no RNG, so codebooks reproduce bit-for-bit across
+    * runs and engines. Returns codebooks(subspace)(code) = centroid.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 3,
+                  sampleN: Int = 0): Array[Array[Array[Float]]] = {
+    require(m > 0 && k > 0 && k <= 256, s"need 0 < k <= 256 codes (one byte), got m=$m k=$k")
+    val n = if (sampleN > 0) sampleN else math.min(4096, math.max(k * 32, 256))
+    val sample: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(n)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      val kk = math.min(k, slice.length)
+      def l2sq(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+        d
+      }
+      var cents = Array.tabulate(kk)(i => slice(i * slice.length / kk).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val counts = new Array[Long](kk)
+        slice.foreach { v =>
+          var best = 0; var bestD = l2sq(v, cents(0)); var c = 1
+          while (c < kk) {
+            val d = l2sq(v, cents(c))
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat))
+      }
+      cents
+    }
+  }
+
+  /** Encode every vector into `m` codes (its nearest centroid per
+    * subspace): a 768-dim float32 embedding becomes m bytes — a
+    * 96–384× compression, the representation IVF-PQ indexes serve ANN
+    * from at billion-vector scale.
+    *
+    * Scale shape: the codebook (m·k tiny subvectors) is BROADCAST
+    * against the corpus; the per-subspace argmin shuffles only
+    * (vec_id, subspace, dist, code) tuples with map-side min combine,
+    * and the final per-vector assembly shuffles (vec_id, subspace,
+    * code) — the embedding payload itself never travels. Same design
+    * as ivfTopK's N×C scoring.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+               out: String = "codes"): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cb = broadcast(
+      (for (s <- 0 until m; c <- codebooks(s).indices)
+        yield (s, c, codebooks(s)(c).toSeq)).toDF("sub_id", "code", "cent"))
+    // subvectors via posexplode of the m slices (slice is 1-indexed)
+    val subs = corpus.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * sub + 1, sub)): _*)).as(Seq("sub_id", "subvec")))
+    val dist = // ||a-b||² = a·a - 2a·b + b·b, one codegen dot each
+      graft.ops.Similarity.dot(col("subvec"), col("subvec")) -
+        lit(2.0) * graft.ops.Similarity.dot(col("subvec"), col("cent")) +
+        graft.ops.Similarity.dot(col("cent"), col("cent"))
+    val assigned = subs.join(cb, "sub_id")
+      .select(col("vec_id"), col("sub_id"), struct(dist.as("d"), col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(col("dc")).getField("code").as("code")) // ties → lowest code
+    assigned.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as(out))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: for each query, a lookup table
+    * LUT[s][c] = ||query_sub_s - codebook_s_c||² is computed driver-
+    * side (queries are few, the LUT is m·k doubles) and broadcast; a
+    * row's approximate distance is then m array lookups summed —
+    * no float arithmetic against the original embeddings at all,
+    * which is the point: search runs on the m-byte codes. Exact
+    * re-ranking of the short ADC candidate list (standard IVF-PQ
+    * practice) composes downstream via a join back to the embeddings.
+    */
+  def pqAdcTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+                queries: Seq[(Long, Array[Float])], k: Int,
+                codesCol: String = "codes"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val lut: Seq[(Long, Seq[Seq[Double]])] = queries.map { case (qid, q) =>
+      qid -> (0 until m).map { s =>
+        codebooks(s).toSeq.map { cent =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = q(s * sub + i).toDouble - cent(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }
+    val qdf = broadcast(lut.toDF("query_id", "lut"))
+    val adc = aggregate(
+      zip_with(col(codesCol), col("lut"), (code, row) => element_at(row, code + 1)),
+      lit(0.0d), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    encoded.crossJoin(qdf)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 }

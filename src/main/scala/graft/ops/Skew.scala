@@ -49,4 +49,26 @@ object Skew {
         saltedBig(saltCol) === saltedSmall(saltCol))
       .drop(saltCol)
   }
+
+  /** Skew diagnosis — the measurement that decides whether saltedJoin
+    * (or AQE alone) is needed at all: the `topK` heaviest values of a
+    * prospective join/groupBy key with their share of all rows and the
+    * ratio to a perfectly uniform key (`x_uniform`; a key is a shuffle
+    * problem when its single reducer would receive many multiples of
+    * the average partition). One partial-aggregated groupBy + a
+    * TakeOrdered on k rows — profiling a 100 TB key costs one shuffle
+    * of (key, count) pairs, nothing else.
+    */
+  def keyProfile(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val total = df.count()
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val nKeys = counts.count()
+    counts
+      .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
+      .withColumn("x_uniform",
+        round(col("cnt") * lit(nKeys.toDouble) / lit(total.toDouble), 4))
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(topK)
+  }
 }

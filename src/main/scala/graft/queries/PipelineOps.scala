@@ -35,6 +35,17 @@ object PipelineOps {
   private def embs(s: SparkSession, d: String): DataFrame =
     fanOut(Tables.load(s, d, "embeddings"))
 
+  // tx07 fixture — explicit \u-escaped literals so source-encoding
+  // drift is impossible; the SAME strings are interpolated into the
+  // oracle's VALUES list, so both engines normalize byte-identical
+  // inputs. Decomposed, precomposed, combining-mark and case rows.
+  private val unicodeFixture: Seq[(Long, String)] = Seq(
+    1L -> "Cafe\u0301",                      // decomposed: e + combining acute
+    2L -> "\u00C5ngstr\u00F6m",             // precomposed A-ring / o-umlaut
+    3L -> "A\u030Angstro\u0308m",           // same word, fully decomposed
+    4L -> "nai\u0308ve MIXED Case",          // combining mark + case noise
+    5L -> "plain ascii")
+
   // shared DuckDB fragments
   private val duckToks = "string_split(text, ' ')"
   private val duckShingles = // word 3-grams, distinct (Dedup.shingles mirror)
@@ -136,6 +147,30 @@ object PipelineOps {
                ELSE 0.0 END AS dup_2gram_frac
              FROM t ORDER BY doc_id""")),
 
+    // Unicode normalization (native UnicodeNormalize expression) on an
+    // embedded fixture: the documents corpus is pure ASCII (zero
+    // signal), so the gate carries its own decomposed/precomposed/
+    // mixed-case rows — the same VALUES-oracle pattern as mm05. DuckDB
+    // nfc_normalize + lower replay the NFC + ROOT-casefold semantics.
+    NamedQuery("tx07_unicode_normalize",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        import s.implicits._
+        val fx = unicodeFixture.toDF("id", "raw")
+        val nfc = graft.functions.TextFunctions.unicode_normalize(col("raw"), "NFC")
+        fx.select(col("id"), nfc.as("nfc"),
+            graft.functions.TextFunctions
+              .unicode_normalize(col("raw"), "NFC", casefold = true).as("folded"),
+            length(nfc).cast("int").as("n_chars"))
+          .orderBy("id")
+      },
+      Some(s"""SELECT id, nfc_normalize(raw) AS nfc,
+                lower(nfc_normalize(raw)) AS folded,
+                CAST(length(nfc_normalize(raw)) AS INT) AS n_chars
+              FROM (VALUES ${unicodeFixture.map { case (i, t) =>
+                  s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")}) t(id, raw)
+              ORDER BY id""")),
+
     // ---------------- embedding compression ----------------
 
     // int8 symmetric quantization with audit columns; q_l2sq is exact
@@ -163,6 +198,86 @@ object PipelineOps {
                CAST(list_sum(list_transform(qv,
                  x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS q_l2sq
              FROM q ORDER BY vec_id""")),
+
+    // Per-dimension winsorization: exact [p01, p99] bands per
+    // coordinate (one posexplode aggregate), clip + exact clipped-
+    // coordinate counts; w_sum pins the clipped values themselves at
+    // a non-tie rounding.
+    NamedQuery("em03_winsorize",
+      (s, d) => Embeddings.winsorize(embs(s, d), lo = 0.01, hi = 0.99)
+        .select(col("vec_id"), col("n_clipped"),
+          round(aggregate(col("w_embedding"), lit(0.0d),
+            (acc, x) => acc + x), 4).as("w_sum"))
+        .orderBy("vec_id"),
+      Some("""WITH expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+              b AS (SELECT d, CAST(quantile_cont(v, 0.01) AS FLOAT) AS lo,
+                      CAST(quantile_cont(v, 0.99) AS FLOAT) AS hi
+                    FROM expl GROUP BY d),
+              c AS (SELECT e.vec_id,
+                      CASE WHEN e.v < b.lo OR e.v > b.hi THEN 1 ELSE 0 END AS clip,
+                      least(greatest(e.v, CAST(b.lo AS DOUBLE)), CAST(b.hi AS DOUBLE)) AS cv
+                    FROM expl e JOIN b USING (d))
+             SELECT vec_id, CAST(sum(clip) AS INT) AS n_clipped,
+               round(sum(cv), 4) AS w_sum
+             FROM c GROUP BY vec_id ORDER BY vec_id""")),
+
+    // Join/groupBy-key skew diagnosis over the events stream: the 20
+    // heaviest user_ids with row share and the multiple of a uniform
+    // key's load — the measurement that picks between AQE, broadcast,
+    // and saltedJoin.
+    NamedQuery("sk01_key_profile",
+      (s, d) => graft.ops.Skew.keyProfile(
+        Tables.load(s, d, "events"), "user_id", topK = 20),
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                         FROM events GROUP BY 1),
+                   t AS (SELECT count(*) AS nk, sum(cnt) AS tot FROM c)
+             SELECT user_id, cnt,
+               round(cnt / CAST(tot AS DOUBLE), 6) AS share,
+               round(cnt * CAST(nk AS DOUBLE) / tot, 4) AS x_uniform
+             FROM c, t ORDER BY cnt DESC, user_id ASC LIMIT 20""")),
+
+    // Product quantization: 16 subspaces × 16 codes over the 64-dim
+    // corpus (256 bytes → 16 nibbles, 32×), ADC top-10 for the first
+    // 20 vectors as queries, gated sim04-style: codes all in range AND
+    // ADC recall@10 vs exact L2 clears a bound PQ at this compression
+    // must meet. (Codebooks/encoding/search are all deterministic, but
+    // the recall VALUE depends on float k-means details too fragile
+    // for a hash oracle — the bound is the stable contract.)
+    NamedQuery("em02_pq_recall",
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val cbs = Embeddings.pqCodebooks(e, m = 16, k = 16)
+        val enc = Embeddings.pqEncode(e, cbs)
+        val queries = e.orderBy("vec_id").limit(20).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        import s.implicits._
+        val qdf = broadcast(queries.map { case (id, v) => (id, v.toSeq) }
+          .toSeq.toDF("query_id", "q_emb"))
+        val l2 = Similarity.dot(col("embedding"), col("embedding")) -
+          lit(2.0) * Similarity.dot(col("embedding"), col("q_emb")) +
+          Similarity.dot(col("q_emb"), col("q_emb"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d").asc, col("neighbor_id").asc)
+        val exact = e.crossJoin(qdf)
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), l2.as("d"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val adc = Embeddings.pqAdcTopK(enc, cbs, queries.toSeq, k = 10)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        val recall = exact.join(adc, Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+          .head.getDouble(0)
+        val codesOk = enc.agg(min(forall(col("codes"),
+          c => c >= 0 && c < 16)).as("ok")).head.getBoolean(0)
+        val nv = enc.count()
+        // measured 0.405 at sf0.01 (64-bit codes for 64 floats, 32×
+        // compression; chance is ~0.02) — 0.3 is the regression bound
+        Seq((nv, codesOk, recall >= 0.3)).toDF("n_vectors", "codes_ok", "recall_ok")
+      },
+      Some("""SELECT CAST(500 AS BIGINT) AS n_vectors, true AS codes_ok,
+             true AS recall_ok""")),
 
     // ---------------- dedup ----------------
 

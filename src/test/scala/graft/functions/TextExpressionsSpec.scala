@@ -102,4 +102,30 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r(0).getSeq[String](1) == Seq(""))
     assert(!r(1).isNullAt(0) && r(1).getSeq[String](0) == r(1).getSeq[String](1))
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility, null propagates") {
+    TextFunctions.register(spark)
+    val df = Seq(
+      (1L, Some("Cafe\u0301")),             // decomposed acute
+      (2L, Some("\uFF21\uFF22\u3000x")),    // full-width A, B, ideographic space
+      (3L, Some("\u00C5")),                 // precomposed A-ring: NFC fixpoint
+      (4L, Option.empty[String])
+    ).toDF("id", "raw")
+    val r = df.orderBy("id").select(
+      TextFunctions.unicode_normalize($"raw", "NFC").as("nfc"),
+      TextFunctions.unicode_normalize($"raw", "NFKC").as("nfkc"),
+      TextFunctions.unicode_normalize($"raw", "NFC", casefold = true).as("folded"))
+      .collect()
+    assert(r(0).getString(0) == "Caf\u00E9")  // composed é, 4 chars
+    assert(r(0).getString(2) == "caf\u00E9")
+    // NFC leaves compatibility chars; NFKC maps them to ASCII/space
+    assert(r(1).getString(0) == "\uFF21\uFF22\u3000x")
+    assert(r(1).getString(1) == "AB x")
+    assert(r(2).getString(0) == "\u00C5")
+    assert(r(3).isNullAt(0) && r(3).isNullAt(1) && r(3).isNullAt(2))
+    // bad form rejected at construction
+    intercept[Exception] {
+      df.select(TextFunctions.unicode_normalize($"raw", "NOPE")).collect()
+    }
+  }
 }

@@ -664,6 +664,84 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("product quantization: deterministic codebooks, exact on planted clusters") {
+    // 3 well-separated clusters in 8 dims; 30 vectors
+    def vec(base: Float, jitter: Float) =
+      Array.tabulate(8)(i => base + (if (i % 2 == 0) jitter else -jitter))
+    val rows = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, vec(c * 10.0f, (i / 3) * 0.01f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // k = 3 matches the planted cluster count: the evenly-spaced init
+    // lands one centroid per cluster, so codes and clusters align 1:1
+    // (k > clusters would legitimately split a cluster across codes)
+    val cb1 = Embeddings.pqCodebooks(df, m = 2, k = 3, iters = 3)
+    val cb2 = Embeddings.pqCodebooks(df, m = 2, k = 3, iters = 3)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must be deterministic")
+    val enc = Embeddings.pqEncode(df, cb1)
+    val codes = enc.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 30 && codes.values.forall(_.length == 2))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 3)))
+    // same-cluster vectors share codes (jitter << cluster separation)
+    for (c <- 0 until 3) {
+      val cluster = (0 until 30).filter(_ % 3 == c).map(i => codes(i.toLong))
+      assert(cluster.distinct.length == 1, s"cluster $c split: ${cluster.distinct}")
+    }
+    // ADC: query near cluster 0 must rank cluster-0 vectors first
+    val q = Seq((1000L, vec(0.0f, 0.05f)))
+    val top = Embeddings.pqAdcTopK(enc, cb1, q, k = 10)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.length == 10 && top.forall(_ % 3 == 0),
+      s"ADC pulled non-cluster-0 neighbors: ${top.toSeq}")
+    // dim not divisible by m rejected
+    intercept[IllegalArgumentException] {
+      Embeddings.pqCodebooks(df, m = 3, k = 4)
+    }
+  }
+
+  test("winsorize: planted outlier clipped, inliers untouched, exact counts") {
+    // 99 well-behaved vectors + one with a huge coordinate
+    val rows = (0 until 99).map(i =>
+      (i.toLong, Seq(i / 100.0f, -i / 100.0f))) :+ (99L, Seq(1e30f, 0.5f))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val r = Embeddings.winsorize(df, lo = 0.01, hi = 0.99)
+      .select("vec_id", "w_embedding", "n_clipped")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val outlier = r.last
+    assert(outlier._1 == 99L)
+    assert(outlier._2.head < 1e29f, s"outlier not clipped: ${outlier._2}")
+    assert(outlier._3 >= 1)
+    // median vectors untouched
+    val mid = r(50)
+    assert(mid._3 == 0 && mid._2 == Seq(0.5f, -0.5f))
+    // total clipped coordinates ≈ 2% per dim (p01/p99 band, 100 rows)
+    val totalClipped = r.map(_._3).sum
+    assert(totalClipped >= 2 && totalClipped <= 8, s"clip count off: $totalClipped")
+    intercept[IllegalArgumentException] {
+      Embeddings.winsorize(df, lo = 0.5, hi = 0.5)
+    }
+  }
+
+  test("keyProfile: hot key surfaces with exact count, share, and uniform multiple") {
+    // key "hot" holds 60 of 100 rows; 40 keys of 1 row fill the rest
+    val rows = (0 until 60).map(i => (i.toLong, "hot")) ++
+      (0 until 40).map(i => (100L + i, s"cold$i"))
+    val df = rows.toDF("id", "k")
+    val top = Skew.keyProfile(df, "k", topK = 3)
+      .as[(String, Long, Double, Double)].collect()
+    assert(top.length == 3)
+    assert(top.head._1 == "hot" && top.head._2 == 60L)
+    assert(top.head._3 == 0.6) // share of 100 rows
+    // 41 distinct keys, uniform load = 100/41 rows; hot is 60/(100/41)
+    assert(math.abs(top.head._4 - 60.0 * 41 / 100) < 0.001)
+    assert(top(1)._2 == 1L) // next keys are singletons, tie-broken by key
+    assert(top(1)._1 == "cold0" && top(2)._1 == "cold1")
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
