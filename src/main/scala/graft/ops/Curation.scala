@@ -173,6 +173,30 @@ object Curation {
     numbered.drop("__shuffle_h")
   }
 
+  /** Length-quantile bucketing: assign every doc to one of `nBuckets`
+    * token-length bands with (near-)equal populations — batching docs
+    * of similar length minimizes padding waste in training batches
+    * (the standard bucketed-batching trick). Scale shape mirrors
+    * winsorize: ONE aggregate computes the nBuckets-1 exact quantile
+    * cut points, which fold back as literals, so assignment is a pure
+    * scan-speed projection — no global sort, no single-partition
+    * window (ntile would serialize the corpus through one task).
+    * bucket = #cuts strictly below the doc's token count ∈ [0, n).
+    */
+  def lengthBuckets(df: DataFrame, nBuckets: Int = 8,
+                    tokens: Column = size(split(col("text"), " "))
+                      .cast("long")): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val withN = df.select(col("doc_id"), tokens.as("n_tokens"))
+    val cuts = withN.select(percentile(col("n_tokens"),
+        array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)).as("c"))
+      .head.getSeq[Double](0)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + (col("n_tokens") > lit(c)).cast("int")
+    }
+    withN.withColumn("bucket", bucket)
+  }
+
   /** Shard-local sequence packing: concatenate a shard's docs in
     * doc_id order into one token stream and chunk it every `window`
     * tokens — each doc reports the pack its FIRST token lands in and

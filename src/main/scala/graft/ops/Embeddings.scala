@@ -46,6 +46,29 @@ object Embeddings {
       .withColumn("q_l2sq", l2sq)
   }
 
+  /** Per-label centroids (class prototypes): the element-wise mean
+    * embedding of every label — prototype classifiers, cluster
+    * drift monitoring, and the init for supervised coarse quantizers.
+    * One posexplode + (label, dim) average (partial-combined, so the
+    * shuffle carries one partial sum per (label, dim) per task — at
+    * 100 TB the shuffle is labels × dims rows, not corpus-sized),
+    * then per-label assembly via sorted collect_list of the dim-sized
+    * group. Means are rounded to `roundAt` decimals so the result is
+    * stable under float-sum reordering across partitionings/engines.
+    */
+  def labelCentroids(df: DataFrame, roundAt: Int = 4,
+                     label: Column = col("label"),
+                     emb: Column = col("embedding")): DataFrame = {
+    val dims = df.select(label.as("label"), posexplode(emb).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(round(avg(col("v")), roundAt).as("m"), count(lit(1)).as("n"))
+    dims.groupBy(col("label"))
+      .agg(
+        first(col("n")).as("n_vectors"), // every dim counts the same rows
+        transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+  }
+
   /** Per-dimension winsorization: clip every embedding coordinate to
     * its corpus-wide [lo, hi] quantile band — the standard guard
     * against corrupt/outlier vectors (a single 1e30 coordinate

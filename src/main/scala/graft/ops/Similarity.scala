@@ -81,6 +81,36 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive/metric-learning pipelines:
+    * each query's top-k most-similar corpus vectors whose `label`
+    * DIFFERS from the query's — the near-miss negatives that make
+    * triplet/InfoNCE training converge (easy random negatives carry
+    * no gradient). Identical scale shape to bruteForceTopK: the query
+    * side broadcasts, the corpus is scanned once, never shuffled; for
+    * full-corpus mining swap the query side for an ANN candidate set
+    * (sim02/sim03) and reuse the same label filter.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    registerOn(corpus)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+      .join(q, col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        round(cosinePre(col("q_emb"), col("embedding"),
+          col("q_norm"), col("n_norm")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("n_label"), col("cos_sim"))
+  }
+
   /** Random-hyperplane bucket key for one hash table: the sign bits of
     * `nBits` fixed pseudo-random hyperplanes. Hyperplane h's
     * coefficient for dimension d in table t is derived from

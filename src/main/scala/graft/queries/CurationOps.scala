@@ -30,6 +30,24 @@ object CurationOps {
 
   val queries: Seq[NamedQuery] = Seq(
 
+    // length-quantile bucketing for padding-efficient batching: 8
+    // near-equal bands from one exact-percentile aggregate, assignment
+    // as a literal-folded scan (no ntile: a global ntile window would
+    // serialize the corpus through a single task). The oracle replays
+    // the same cut points via quantile_cont (exact binary fractions at
+    // nBuckets = 8, so the literals round-trip exactly).
+    NamedQuery("pk02_length_buckets",
+      (s, d) => Curation.lengthBuckets(docs(s, d), nBuckets = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+              c AS (SELECT quantile_cont(n_tokens,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts FROM t)
+             SELECT doc_id, n_tokens,
+               CAST(len(list_filter(c.cuts, x -> n_tokens > x)) AS INT) AS bucket
+             FROM t, c ORDER BY doc_id""")),
+
     // contamination: train = documents, eval = every 97th doc (a
     // deterministic benchmark-set stand-in, doc_ids 0,97,...,485).
     // Eval docs are contaminated by construction (they ARE in train);

@@ -237,6 +237,40 @@ object PipelineOps {
                round(cnt * CAST(nk AS DOUBLE) / tot, 4) AS x_uniform
              FROM c, t ORDER BY cnt DESC, user_id ASC LIMIT 20""")),
 
+    // Per-label mean embeddings (class prototypes); rounding at 4
+    // makes the float-sum order irrelevant to the hash compare.
+    NamedQuery("em04_label_centroids",
+      (s, d) => Embeddings.labelCentroids(embs(s, d)).orderBy("label"),
+      Some("""WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS d,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+              m AS (SELECT label, d, round(avg(v), 4) AS m,
+                      CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+             SELECT label, any_value(n) AS n_vectors,
+               list(m ORDER BY d) AS centroid
+             FROM m GROUP BY label ORDER BY label""")),
+
+    // Hard negatives: top-5 most-similar vectors with a DIFFERENT
+    // label for the first 10 queries — the contrastive-training
+    // near-miss miner; same broadcast shape as sim01 plus the label
+    // disequality in the join.
+    NamedQuery("hn01_hard_negatives",
+      (s, d) => Similarity.hardNegatives(
+          embs(s, d), embs(s, d).filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rk"),
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+                         FROM embeddings WHERE vec_id < 10),
+             scored AS (SELECT query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+                 round((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(e.embedding) AS b))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(q_emb) AS b)))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b))), 4) AS cos_sim
+               FROM embeddings e JOIN q ON e.vec_id != q.query_id AND e.label != q.q_label),
+             ranked AS (SELECT query_id, neighbor_id, n_label, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+               FROM scored)
+             SELECT query_id, rk, neighbor_id, n_label, cos_sim FROM ranked
+             WHERE rk <= 5 ORDER BY query_id, rk""")),
+
     // Product quantization: 16 subspaces × 16 codes over the 64-dim
     // corpus (256 bytes → 16 nibbles, 32×), ADC top-10 for the first
     // 20 vectors as queries, gated sim04-style: codes all in range AND

@@ -742,6 +742,58 @@ class OpsSpec extends AnyFunSuite {
     assert(top(1)._1 == "cold0" && top(2)._1 == "cold1")
   }
 
+  test("hardNegatives: same-label twins excluded, ranking honors similarity") {
+    // pairs of near-identical vectors with alternating labels: each
+    // query's most similar vector SHARES its label (the twin) and must
+    // be skipped; the best different-label vector wins rank 1
+    val embs = (0 until 20).map { i =>
+      val base = (i / 2).toFloat
+      (i.toLong, Array.tabulate(4)(d => base + d + (i % 2) * 0.001f).toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val r = Similarity.hardNegatives(embs, embs.filter($"vec_id" < 4), k = 3)
+      .select("query_id", "rk", "neighbor_id", "n_label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(r.length == 12) // 4 queries × 3
+    r.foreach { case (q, _, n, nl) =>
+      assert(n != q)
+      assert(nl == (1 - q % 2), s"query $q got same-label negative $n")
+    }
+  }
+
+  test("labelCentroids: exact means per label, counts right") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val r = Embeddings.labelCentroids(df)
+      .select("label", "n_vectors", "centroid")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0, 2L, Seq(2.0, 4.0)), (1, 1L, Seq(10.0, 20.0))))
+  }
+
+  test("lengthBuckets: near-equal bands, monotone in length, no global sort") {
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = (1 to 160).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val r = Curation.lengthBuckets(df, nBuckets = 8)
+      .select("doc_id", "n_tokens", "bucket")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(r.map(_._3).distinct.sorted.toSeq == (0 to 7))
+    // monotone: longer docs never land in a lower bucket
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"bucket dropped: $a -> $b")
+    }
+    // balanced: 160 docs / 8 buckets = 20 each (exact here: unique lengths)
+    val sizes = r.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(s => s >= 18 && s <= 22), s"unbalanced: $sizes")
+    // plan of the assignment pass is shuffle-free (bounds are literals)
+    val plan = Curation.lengthBuckets(df, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket assignment shuffled:\n${plan.take(400)}")
+    intercept[IllegalArgumentException] { Curation.lengthBuckets(df, 1) }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
