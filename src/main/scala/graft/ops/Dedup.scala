@@ -30,6 +30,38 @@ object Dedup {
     df.groupBy(md5(lower(trim(text))).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental-batch dedup — the daily-ingest shape: drop rows of
+    * `newBatch` that duplicate the EXISTING corpus, either exactly
+    * (md5 of the normalized text) or as a token-set permutation
+    * (order-invariant set fingerprint, same derivation as
+    * TextAnalysis.fingerprint). Within-batch duplicates are the
+    * caller's choice (compose with `exact` first).
+    *
+    * Scale shape: the base side collapses to DISTINCT 32-byte hashes
+    * before either anti-join — at 100 TB the base's hash set still
+    * shuffle-joins (it exceeds broadcast range), but the join carries
+    * hashes, never document payloads, and Spark plans both as hash
+    * anti-joins on the batch side.
+    */
+  def incrementalDedup(newBatch: DataFrame, base: DataFrame,
+                       text: Column = col("text")): DataFrame = {
+    def contentHash(t: Column) = md5(lower(trim(t)))
+    def setFp(t: Column) =
+      md5(concat_ws(" ", array_sort(array_distinct(split(t, "\\s+")))))
+    val ch = "__dd_content_hash"
+    val fp = "__dd_set_fp"
+    require(!newBatch.columns.exists(c => c == ch || c == fp),
+      s"columns $ch/$fp would be clobbered")
+    val baseCh = base.select(contentHash(text).as(ch)).distinct()
+    val baseFp = base.select(setFp(text).as(fp)).distinct()
+    newBatch
+      .withColumn(ch, contentHash(text))
+      .withColumn(fp, setFp(text))
+      .join(baseCh, Seq(ch), "left_anti")
+      .join(baseFp, Seq(fp), "left_anti")
+      .drop(ch, fp)
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-
     * joined). Backed by the native WordShingles expression — the
     * composed HOF form below computes the identical value but pays

@@ -126,6 +126,39 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_2gram_frac"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms (Robertson/Okapi, the classic probabilistic ranking
+    * function; idf uses the +1 smoothing variant Lucene adopted so
+    * common terms never go negative). Corpus-curation use: score docs
+    * against a topic seed list and keep/weight the relevant slice.
+    *
+    * Scale shape: two tiny corpus aggregates (average doc length; one
+    * document-frequency count per query term — |terms| longs) fold
+    * back as literals, so the scoring pass is a pure scan-speed
+    * projection: no shuffle, no join, no per-row UDF. tf counts exact
+    * whitespace-token matches (the same tokenization as tokenStats).
+    */
+  def bm25(df: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, text: Column = col("text")): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = split(text, " ")
+    def tf(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("double")
+    val stats = df.agg(count(lit(1)).as("n"),
+      avg(size(toks)).as("avgdl") +:
+        terms.map(t => sum((tf(t) > 0).cast("long")).as(s"df_$t")): _*).head
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = stats.getLong(2 + i).toDouble
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf(t) * (k1 + 1.0) /
+        (tf(t) + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    df.select(col("doc_id"), round(score, 4).as("bm25"))
+  }
+
   /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
     * of a tokenizer pipeline. One explode + one count groupBy (map-side
     * partial combine collapses frequent tokens per partition, so the

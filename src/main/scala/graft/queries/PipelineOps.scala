@@ -147,6 +147,33 @@ object PipelineOps {
                ELSE 0.0 END AS dup_2gram_frac
              FROM t ORDER BY doc_id""")),
 
+    // BM25 against a 3-term topic seed; df/avgdl fold back as literals
+    // so the oracle interpolates NOTHING — it recomputes df and avgdl
+    // itself and must land on the same rounded scores. ln(+1)-smoothed
+    // idf (Lucene variant), k1 = 1.2, b = 0.75.
+    NamedQuery("tx08_bm25",
+      (s, d) => TextAnalysis.bm25(docs(s, d),
+          terms = Seq("spark", "query", "table")).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+              tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+                       CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_query,
+                       CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_table
+                     FROM t),
+              df AS (SELECT sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                       sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query,
+                       sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table
+                     FROM tf)
+             SELECT doc_id,
+               round(ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * tf_spark * 2.2
+                       / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n - df_query + 0.5) / (df_query + 0.5) + 1.0) * tf_query * 2.2
+                       / (tf_query + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n - df_table + 0.5) / (df_table + 0.5) + 1.0) * tf_table * 2.2
+                       / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+             FROM tf, stats, df ORDER BY doc_id""")),
+
     // Unicode normalization (native UnicodeNormalize expression) on an
     // embedded fixture: the documents corpus is pure ASCII (zero
     // signal), so the gate carries its own decomposed/precomposed/
@@ -320,6 +347,27 @@ object PipelineOps {
       Some("""SELECT md5(lower(trim(text))) AS content_hash,
              min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
              FROM documents GROUP BY 1 ORDER BY content_hash""")),
+
+    // incremental-batch dedup: docs >= 400 are "today's ingest", the
+    // rest the standing corpus; survivors share neither an exact
+    // normalized-text hash nor an order-invariant token-set
+    // fingerprint with the base. Emits the surviving ids + lang.
+    NamedQuery("dd07_incremental_dedup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.incrementalDedup(
+            all.filter(col("doc_id") >= 400), all.filter(col("doc_id") < 400))
+          .select(col("doc_id"), col("lang")).orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id, lang, md5(lower(trim(text))) AS ch,
+                      md5(array_to_string(list_sort(list_distinct(
+                        string_split_regex(text, '\s+'))), ' ')) AS fp
+                    FROM documents)
+             SELECT n.doc_id, n.lang FROM k n
+             WHERE n.doc_id >= 400
+               AND NOT EXISTS (SELECT 1 FROM k b WHERE b.doc_id < 400 AND b.ch = n.ch)
+               AND NOT EXISTS (SELECT 1 FROM k b WHERE b.doc_id < 400 AND b.fp = n.fp)
+             ORDER BY n.doc_id""")),
 
     // maxShingleDf=1000 is ACTIVE (the DF-cap window runs; max df in
     // this corpus is 25, so results are unchanged while the skew guard

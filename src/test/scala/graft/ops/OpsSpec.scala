@@ -794,6 +794,41 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Curation.lengthBuckets(df, 1) }
   }
 
+  test("bm25: hits outrank misses, tf saturates, length normalization bites") {
+    val df = Seq(
+      (1L, "spark spark spark spark is here"),     // high tf, short
+      (2L, "spark on a much longer document " + ("pad " * 20).trim), // tf 1, long
+      (3L, "spark is here"),                       // tf 1, short
+      (4L, "nothing relevant at all")              // tf 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(df, terms = Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(4L) == 0.0)
+    assert(r(1L) > r(3L), "more occurrences must score higher")
+    assert(r(3L) > r(2L), "same tf in a longer doc must score lower")
+    // k1 saturation: 4 occurrences is nowhere near 4x one occurrence
+    assert(r(1L) < r(3L) * 4)
+    intercept[IllegalArgumentException] { TextAnalysis.bm25(df, Seq.empty) }
+  }
+
+  test("incrementalDedup: exact and permuted dups dropped, fresh docs survive") {
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),     // exact dup of 1
+      (11L, "gamma beta alpha"),     // permutation of 1 → set-fp dup
+      (12L, "Alpha Beta Gamma"),     // case-normalized exact dup of 1
+      (13L, "totally new content")   // fresh
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r == Set(13L), s"survivors: $r")
+    // schema passes through untouched (no internal columns leak)
+    assert(Dedup.incrementalDedup(batch, base).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
