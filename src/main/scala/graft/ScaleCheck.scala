@@ -76,6 +76,43 @@ object ScaleCheck {
       expectClusters = n / 10)
   }
 
+  /** PQ scaling probe (`runMain graft.ScaleCheck pq`): grow the sf0.1
+    * embeddings ×25 and ×100 (50k / 200k vectors, jittered so replicas
+    * are distinct points) and measure encode + ADC-search wall time.
+    * Codebook training stays CONSTANT (bounded sample); encode must
+    * grow ~linearly (broadcast codebook, per-row argmin, shuffle of
+    * id/code tuples only); ADC search is a scan of the codes.
+    */
+  private def pqScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    for (mult <- Seq(25, 100)) {
+      val corpus = (0 until mult).map(i =>
+          base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + lit(i * 0.001f)).cast("float")).as("embedding")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = corpus.count()
+      var t0 = System.nanoTime()
+      val cb = graft.ops.Embeddings.pqCodebooks(corpus, m = 16, k = 16)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val enc = graft.ops.Embeddings.pqEncode(corpus, cb).cache()
+      val nEnc = enc.count()
+      val encodeSec = (System.nanoTime() - t0) / 1e9
+      val queries = base.orderBy("vec_id").limit(10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      t0 = System.nanoTime()
+      val found = graft.ops.Embeddings.pqAdcTopK(enc, cb, queries, k = 10).count()
+      val searchSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] pq x$mult n=$n%d encoded=$nEnc%d train=$trainSec%.1fs " +
+        f"encode=$encodeSec%.1fs (${n / encodeSec}%.0f vec/s) " +
+        f"adc-top10x10=$searchSec%.1fs found=$found%d")
+      assert(nEnc == n && found == 100)
+      corpus.unpersist(); enc.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -94,6 +131,11 @@ object ScaleCheck {
     }
     if (path == "cc") {
       ccScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "pq") {
+      pqScale(spark)
       spark.stop()
       return
     }

@@ -180,17 +180,23 @@ object Embeddings {
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // centroid self-products ride the broadcast precomputed; the
+    // query-side a·a is constant across a subspace's candidates, so
+    // argmin(||a-b||²) == argmin(b·b - 2a·b) — one codegen dot per
+    // candidate instead of three (ties unchanged: constant shift)
     val cb = broadcast(
-      (for (s <- 0 until m; c <- codebooks(s).indices)
-        yield (s, c, codebooks(s)(c).toSeq)).toDF("sub_id", "code", "cent"))
+      (for (s <- 0 until m; c <- codebooks(s).indices) yield {
+        val cent = codebooks(s)(c)
+        var sq = 0.0; var i = 0
+        while (i < sub) { sq += cent(i).toDouble * cent(i); i += 1 }
+        (s, c, cent.toSeq, sq)
+      }).toDF("sub_id", "code", "cent", "cent_sq"))
     // subvectors via posexplode of the m slices (slice is 1-indexed)
     val subs = corpus.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("embedding"), s * sub + 1, sub)): _*)).as(Seq("sub_id", "subvec")))
-    val dist = // ||a-b||² = a·a - 2a·b + b·b, one codegen dot each
-      graft.ops.Similarity.dot(col("subvec"), col("subvec")) -
-        lit(2.0) * graft.ops.Similarity.dot(col("subvec"), col("cent")) +
-        graft.ops.Similarity.dot(col("cent"), col("cent"))
+    val dist =
+      col("cent_sq") - lit(2.0) * graft.ops.Similarity.dot(col("subvec"), col("cent"))
     val assigned = subs.join(cb, "sub_id")
       .select(col("vec_id"), col("sub_id"), struct(dist.as("d"), col("code")).as("dc"))
       .groupBy(col("vec_id"), col("sub_id"))

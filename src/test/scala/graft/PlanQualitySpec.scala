@@ -119,7 +119,10 @@ class PlanQualitySpec extends AnyFunSuite {
         ops.TextAnalysis.repetition(Tables.load(spark, dir, "documents")),
         ops.Embeddings.quantizeInt8(Tables.load(spark, dir, "embeddings")),
         ops.Curation.groupSplit(Tables.load(spark, dir, "documents"),
-          org.apache.spark.sql.functions.col("source"), 0.6, 0.2))) {
+          org.apache.spark.sql.functions.col("source"), 0.6, 0.2),
+        // winsorize's RETURNED plan: the quantile pass already ran at
+        // construction; the clip itself must stay a pure projection
+        ops.Embeddings.winsorize(Tables.load(spark, dir, "embeddings")))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(600)}")
       assert(!p.contains("Join"), s"unexpected join:\n${p.take(600)}")
