@@ -111,6 +111,32 @@ object Similarity {
         col("n_label"), col("cos_sim"))
   }
 
+  /** kNN label-agreement — mislabeled-sample detection: for every
+    * vector, the fraction of its k nearest neighbors (cosine,
+    * self-excluded) that share its label. Agreement near 0 flags
+    * probable label noise (confident-learning style); per-class mean
+    * agreement measures class separability before training.
+    *
+    * Gate-scale implementation ranks against the full corpus (the
+    * query side is the corpus itself — fine to a few thousand rows);
+    * at 100 TB swap the exact ranking for ANN candidates (ivfTopK /
+    * lshTopK) and keep the same label join + aggregate, which shuffle
+    * only (vec_id, label) pairs.
+    */
+  def labelAgreement(corpus: DataFrame, k: Int = 5,
+                     queries: Option[DataFrame] = None): DataFrame = {
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val topk = bruteForceTopK(corpus, queries.getOrElse(corpus), k)
+    topk
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy(col("query_id").as("vec_id"), col("q_label").as("label"))
+      .agg(round(sum((col("q_label") === col("n_label")).cast("int")) /
+        count(lit(1)).cast("double"), 4).as("agreement"))
+  }
+
   /** Random-hyperplane bucket key for one hash table: the sign bits of
     * `nBits` fixed pseudo-random hyperplanes. Hyperplane h's
     * coefficient for dimension d in table t is derived from

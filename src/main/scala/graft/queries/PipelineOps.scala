@@ -564,6 +564,33 @@ object PipelineOps {
       Some("""SELECT CAST(500 AS BIGINT) AS n_queries, true AS kmeans_recall_ok,
              true AS kmeans_beats_firstn""")),
 
+    // kNN label-agreement (mislabeled-sample detection) for the first
+    // 100 vectors: fraction of the 5 nearest cosine neighbors sharing
+    // the query's label; ranking replays sim01's rounded-sim ordering.
+    NamedQuery("ml01_label_noise",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.labelAgreement(e, k = 5,
+            queries = Some(e.filter(col("vec_id") < 100)))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+                         FROM embeddings WHERE vec_id < 100),
+             scored AS (SELECT query_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+                 round((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(e.embedding) AS b))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(q_emb) AS b)))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b))), 4) AS cos_sim
+               FROM embeddings e JOIN q ON e.vec_id != q.query_id),
+             ranked AS (SELECT query_id, q_label, n_label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+               FROM scored)
+             SELECT query_id AS vec_id, q_label AS label,
+               round(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS agreement
+             FROM ranked WHERE rk <= 5
+             GROUP BY 1, 2 ORDER BY vec_id""")),
+
     // end-to-end cleaning pipeline: exact-dedup survivors -> quality
     // >= 0.5 -> language = en -> exact integer aggregates (sums of
     // ints / of 1e4-scaled rounded scores, so no float-order drift)
@@ -866,6 +893,52 @@ object PipelineOps {
                CAST(sum(abs(epoch_us(lt) - epoch_us(rt))) AS BIGINT) AS sum_abs_delta_us
              FROM l JOIN r ON l_user = r_user
                AND abs(epoch_us(lt) - epoch_us(rt)) <= CAST(3600 AS BIGINT) * 1000000
+             GROUP BY 1 ORDER BY user_id""")),
+
+    // Stream-STATIC enrichment join, executed end-to-end: the click
+    // stream joins a batch-computed per-user purchase profile. Unlike
+    // stream-stream (st04) this is STATELESS — no watermark, no join
+    // state, the static side is just a broadcast/shuffle lookup per
+    // micro-batch — the cheapest and most common production join
+    // shape (enrich events with a dimension/feature table).
+    NamedQuery("st05_stream_enrich",
+      (s, d) => {
+        val ev = graft.Tables.load(s, d, "events")
+        // profile carries SUM + COUNT, not avg: rounding an average
+        // hits genuine .xxxx5 decimal ties where Spark (HALF_UP) and
+        // DuckDB (binary nearbyint) disagree; sums of the 4-decimal
+        // generator values are tie-free at round 4 (st01 precedent)
+        val profile = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value")), 4).as("purchase_value"),
+            count(lit(1)).as("n_purchases"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("st05-enrich").toString
+        clicks.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val q = s.readStream.schema(clicks.schema).parquet(tmp)
+          .join(profile, "user_id")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("st05_enriched").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("st05_enriched")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum(col("value")), 4).as("click_value"),
+            first(col("purchase_value")).as("purchase_value"),
+            first(col("n_purchases")).as("n_purchases"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, round(sum(value), 4) AS purchase_value,
+                           CAST(count(*) AS BIGINT) AS n_purchases
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+                   c AS (SELECT user_id, value FROM events WHERE event_type = 'click')
+             SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+               round(sum(c.value), 4) AS click_value,
+               any_value(p.purchase_value) AS purchase_value,
+               any_value(p.n_purchases) AS n_purchases
+             FROM c JOIN p USING (user_id)
              GROUP BY 1 ORDER BY user_id""")),
 
     NamedQuery("st01_event_window",

@@ -829,6 +829,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.incrementalDedup(batch, base).columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("labelAgreement: planted mislabel scores 0, clean points score 1") {
+    // two tight clusters; vector 19 sits in cluster 0 but wears label 1
+    val embs = (0 until 20).map { i =>
+      val c = if (i == 19) 0 else i % 2
+      val lab = if (i == 19) 1 else c
+      (i.toLong, Array.tabulate(4)(d => c * 10.0f + d + i * 0.001f).toSeq, lab)
+    }.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val r = Similarity.labelAgreement(embs, k = 5)
+      .select("vec_id", "label", "agreement")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val planted = r.find(_._1 == 19L).get
+    assert(planted._3 == 0.0, s"mislabeled point not flagged: $planted")
+    // clean points: neighbors are their own cluster (the lone intruder
+    // can appear among 5 of 9 same-cluster neighbors at most once)
+    r.filter(_._1 != 19L).foreach { case (id, _, a) =>
+      assert(a >= 0.8, s"clean point $id suspicious: $a")
+    }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
