@@ -20,6 +20,27 @@ object CurationOps {
     if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
   }
 
+  // End-to-end training-data preparation: exact-dedup keepers →
+  // eval-set decontamination (13-gram vs every-97th doc) → per-lang
+  // stratified sampling → leakage-safe split by source → per
+  // (lang, split) doc/token counts. Every stage reuses an operator
+  // already gated on its own (dd01/dc01/sp01/sp02), so the oracle is
+  // a composition of proven fragments; outputs are exact integers.
+  private def pp02(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val keep = graft.ops.Dedup.exact(ds).select(col("keep_id").as("doc_id"))
+    val deduped = ds.join(keep, "doc_id")
+    val eval = ds.filter(col("doc_id") % 97 === 0)
+    val clean = graft.ops.Curation.decontaminate(deduped, eval, n = 13)
+    val sampled = graft.ops.Curation.stratifiedSample(clean, col("lang"),
+      col("doc_id"), Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+    graft.ops.Curation.groupSplit(sampled, col("source"), 0.6, 0.2)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
   // DuckDB word n-grams mirroring graft.functions.WordShingles for
   // k = 13: split on single space (empties kept), grams i..min(i+k,m),
   // short docs collapse to one whole-text gram, per-doc distinct.
@@ -29,6 +50,35 @@ object CurationOps {
          i -> array_to_string((string_split(text, ' '))[i:i+12], ' ')))"""
 
   val queries: Seq[NamedQuery] = Seq(
+
+    NamedQuery("pp02_training_pipeline",
+      (s, d) => pp02(s, d),
+      Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                             GROUP BY md5(lower(trim(text)))),
+              ded AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+              grams AS (SELECT doc_id, unnest($duckGrams13) AS g FROM ded),
+              eval_grams AS (SELECT DISTINCT g FROM (
+                  SELECT doc_id, unnest($duckGrams13) AS g FROM documents)
+                WHERE doc_id % 97 = 0),
+              contaminated AS (SELECT DISTINCT doc_id FROM grams
+                WHERE g IN (SELECT g FROM eval_grams)),
+              clean AS (SELECT * FROM ded
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              sampled AS (SELECT * FROM clean
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '${Curation.hexThreshold(0.5)}'
+                            WHEN 'zh' THEN '${Curation.hexThreshold(1.0)}'
+                            ELSE '${Curation.hexThreshold(0.25)}' END),
+              splitted AS (SELECT lang, text,
+                  CASE WHEN substr(md5('split#' || source), 1, 8)
+                         < '${Curation.hexThreshold(0.6)}' THEN 'train'
+                       WHEN substr(md5('split#' || source), 1, 8)
+                         < '${Curation.hexThreshold(0.8)}' THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM sampled)
+             SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM splitted GROUP BY 1, 2 ORDER BY lang, split""")),
 
     // length-quantile bucketing for padding-efficient batching: 8
     // near-equal bands from one exact-percentile aggregate, assignment
