@@ -159,6 +159,70 @@ object TextAnalysis {
     df.select(col("doc_id"), round(score, 4).as("bm25"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
+    * `numMerges` byte-pair merges from the corpus. The corpus-scale
+    * work — building the (word, count) vocabulary — is ONE
+    * explode+groupBy over all text; the merge loop then runs against
+    * that vocabulary table, which is distinct-words-sized (still a
+    * DataFrame: web-scale corpora have 10⁸ distinct words). Each
+    * round is one shuffle of weighted adjacent-symbol pairs with
+    * map-side partial sums + a 1-row argmax collect, then a pure
+    * column-expression rewrite of the symbol arrays — the standard
+    * distributed-BPE shape.
+    *
+    * Deterministic: ties break lexicographically on the pair, and
+    * merging replays greedy left-to-right (an overlapping run like
+    * "a a a a" merges to "aa aa", never "a aa a"). Returns the merge
+    * table (rank, left, right, weighted pair count).
+    */
+  def bpeTrain(df: DataFrame, numMerges: Int,
+               text: Column = col("text")): Seq[(Int, String, String, Long)] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val sep = " " // cannot appear in split-derived symbols
+    var vocab = df.select(explode(split(text, "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // symbol sequence: characters plus the end-of-word marker
+      .select(col("cnt"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .cache()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to numMerges) {
+      val top = vocab
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => concat_ws(sep, a, b))).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("p").asc)
+        .limit(1).collect()
+      if (top.nonEmpty && merges.length < numMerges) {
+        val parts = top(0).getString(0).split(sep, 2)
+        val (l, r) = (parts(0), parts(1))
+        val pc = top(0).getLong(1)
+        merges += ((rank, l, r, pc))
+        val lr = l + r
+        // greedy left-to-right merge: fold symbols, fusing when the
+        // accumulated tail is `l` and the next symbol is `r` (the
+        // fused token can itself be the left side of a later fuse in
+        // the SAME pass only if it equals l — exactly BPE's rule)
+        val next = vocab.select(col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                 element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(lr))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
   /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
     * of a tokenizer pipeline. One explode + one count groupBy (map-side
     * partial combine collapses frequent tokens per partition, so the

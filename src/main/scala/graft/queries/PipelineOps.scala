@@ -129,6 +129,36 @@ object PipelineOps {
              WHERE tok != ''
              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")),
 
+    // Distributed BPE merge training: 12 merges learned from the
+    // corpus, pinned against a golden merge table (im19-style literal
+    // oracle — DuckDB can't replay the iterative argmax loop, but the
+    // exact merge sequence + weighted pair counts pin every stage:
+    // vocab counts, pair weighting, lexicographic tie-breaks, greedy
+    // remerge). OpsSpec proves the algorithm on the classic Sennrich
+    // corpus; this gate pins it on real data.
+    NamedQuery("tk01_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.bpeTrain(docs(s, d), numMerges = 12)
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+          .orderBy("rank")
+      },
+      Some("""SELECT * FROM (VALUES
+               (1, 'e', 'r', CAST(4568 AS BIGINT)),
+               (2, 'e', '</w>', CAST(4473 AS BIGINT)),
+               (3, 'n', '</w>', CAST(2834 AS BIGINT)),
+               (4, 'er', '</w>', CAST(2779 AS BIGINT)),
+               (5, 'o', 'w', CAST(2747 AS BIGINT)),
+               (6, 'ow', '</w>', CAST(2747 AS BIGINT)),
+               (7, 'o', 'r', CAST(2696 AS BIGINT)),
+               (8, 's', 't', CAST(2676 AS BIGINT)),
+               (9, 'h', '</w>', CAST(1884 AS BIGINT)),
+               (10, 'a', 't', CAST(1845 AS BIGINT)),
+               (11, 'l', 'u', CAST(1831 AS BIGINT)),
+               (12, 'i', 'n', CAST(1796 AS BIGINT)))
+               t(rank, left_sym, right_sym, pair_count)
+             ORDER BY rank""")),
+
     // Gopher-style within-doc repetition fractions. The synthetic
     // word-soup corpus repeats heavily (vocab ~31 words), so both
     // fractions carry real signal here — and the oracle pins the

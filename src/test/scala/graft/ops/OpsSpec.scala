@@ -849,6 +849,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: classic corpus learns (e,s)(es,t)(est,</w>), overlaps merge greedily") {
+    // Sennrich et al.'s worked example: low x5, lower x2, newest x6, widest x3
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, numMerges = 3)
+    assert(merges.map(m => (m._2, m._3, m._4)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)), s"got $merges")
+    // greedy left-to-right: "aaaa" merges (a,a) into "aa aa", never "a aa a";
+    // the follow-up pair set proves the representation is right
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(runs, numMerges = 2)
+    assert(m2.map(m => (m._2, m._3)) == Seq(("a", "a"), ("aa", "</w>")), s"got $m2")
+    // deterministic across invocations
+    assert(TextAnalysis.bpeTrain(corpus, 3) == merges)
+    intercept[IllegalArgumentException] { TextAnalysis.bpeTrain(corpus, 0) }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
