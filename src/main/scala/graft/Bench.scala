@@ -40,7 +40,7 @@ object Bench {
         || q._1 == "em02_pq_recall"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
-        || q._1 == "tk01_bpe_merges")
+        || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode")
       .toSeq.sortBy(_._1)
     def runPass(): Map[String, Double] = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -166,6 +166,88 @@ case class SimhashVotePack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE encoding in one native pass: tokenize a document with a learned
+  * merge table (the inference side of TextAnalysis.bpeTrain). Each
+  * whitespace word becomes characters + "</w>", then merges apply in
+  * PRIORITY order (the classic encoder loop: repeatedly find the
+  * lowest-rank adjacent pair present and fuse every occurrence, left
+  * to right). A per-word O(symbols × merges) loop is hopeless as a
+  * composed column expression (merges are data, not structure) and
+  * slow as a Scala UDF; this is the canonical case for a native
+  * compute-object expression. `merges` arrives packed one pair per
+  * line ("l r\nl2 r2") so the registry lambda can thread it through
+  * a single string literal (symbols never contain spaces/newlines —
+  * they come from whitespace-split words).
+  */
+case class BpeEncode(child: Expression, packedMerges: String)
+    extends UnaryExpression {
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    if (packedMerges.nonEmpty)
+      packedMerges.split('\n').zipWithIndex.foreach { case (p, i) =>
+        m.put(p, i) // key stays packed "l r"
+      }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(t: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    t.toString.split(" ", -1).foreach { w =>
+      var syms = new Array[String](w.length + 1)
+      var i = 0
+      while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+      syms(w.length) = "</w>"
+      var more = true
+      while (more && syms.length > 1) {
+        // lowest-rank pair present anywhere in the word
+        var bestRank = Int.MaxValue
+        var bestKey: String = null
+        i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestKey = syms(i) + " " + syms(i + 1) }
+          i += 1
+        }
+        if (bestKey == null) more = false
+        else {
+          val sepIdx = bestKey.indexOf(' ')
+          val l = bestKey.substring(0, sepIdx)
+          val r = bestKey.substring(sepIdx + 1)
+          val fused = l + r
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              next += fused; i += 2 // left-to-right, no overlap reuse
+            } else { next += syms(i); i += 1 }
+          }
+          syms = next.toArray
+        }
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Unicode normalization + optional casefold in one native pass — the
   * canonical first step of any text-dedup/curation pipeline (the same
   * logical doc arrives NFC from one crawl and NFD from another; CJK
@@ -226,6 +308,11 @@ object TextFunctions {
       exprs => SimhashVotePack(exprs(0)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      exprs => BpeEncode(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unorm",
       exprs => UnicodeNormalize(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString,
@@ -248,6 +335,15 @@ object TextFunctions {
   /** Column API: packed simhash vote bits of a token. */
   def simhash_pack(tok: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash_pack", tok)
+
+  /** Column API: BPE-tokenize a string column with a learned merge
+    * table (priority = list order, e.g. straight from
+    * TextAnalysis.bpeTrain's output).
+    */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_encode",
+      text, org.apache.spark.sql.functions.lit(
+        merges.map { case (l, r) => s"$l $r" }.mkString("\n")))
 
   /** Column API: Unicode-normalize (+ optional ROOT casefold) a string
     * column. form ∈ NFC/NFD/NFKC/NFKD.

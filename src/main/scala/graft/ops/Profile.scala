@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ANALYZE/summary pass a catalog runs after
+  * ingest: per-column row/null/distinct counts in ONE aggregate job.
+  *
+  * Scale shape: a single wide aggregation computes 3 counters per
+  * column in one scan (count-distincts expand to Spark's internal
+  * expand+partial-agg, still one shuffle); the per-column rows are
+  * then unpivoted from the 1-row result ON THE DRIVER (it is one row
+  * of longs — no second job, no per-column scans). Counts are exact;
+  * for 100 TB profiling swap count_distinct for
+  * approx_count_distinct at the call site (the engine's q15 HLL path)
+  * — exact is the oracle-able default.
+  */
+object Profile {
+
+  def columnStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head
+    val nRows = row.getLong(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      val nonNull = row.getLong(1 + i * 2)
+      val distinct = row.getLong(2 + i * 2)
+      (c, nRows, nRows - nonNull, distinct)
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct")
+  }
+}

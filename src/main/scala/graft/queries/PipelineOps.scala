@@ -129,6 +129,28 @@ object PipelineOps {
              WHERE tok != ''
              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")),
 
+    // Table profiling (the post-ingest ANALYZE pass): exact row/null/
+    // distinct counters for every orders column in ONE aggregate job;
+    // the oracle recomputes each column's counters independently.
+    NamedQuery("dp01_profile",
+      (s, d) => graft.ops.Profile.columnStats(Tables.load(s, d, "orders"))
+        .orderBy("column"),
+      Some("""SELECT * FROM (
+               SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+               UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                 count(DISTINCT o_custkey) FROM orders
+               UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                 count(DISTINCT o_orderstatus) FROM orders
+               UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                 count(DISTINCT o_totalprice) FROM orders
+               UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                 count(DISTINCT o_orderdate) FROM orders
+               UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                 count(DISTINCT o_orderpriority) FROM orders)
+             ORDER BY 1""")),
+
     // Distributed BPE merge training: 12 merges learned from the
     // corpus, pinned against a golden merge table (im19-style literal
     // oracle — DuckDB can't replay the iterative argmax loop, but the
@@ -158,6 +180,38 @@ object PipelineOps {
                (12, 'i', 'n', CAST(1796 AS BIGINT)))
                t(rank, left_sym, right_sym, pair_count)
              ORDER BY rank""")),
+
+    // BPE ENCODING with the learned merges (native BpeEncode
+    // expression): train 12 merges, tokenize the whole corpus at scan
+    // speed, pin the top-10 subword frequencies + total token count.
+    // Train + encode in one gate proves the two halves agree on the
+    // merge-table format.
+    NamedQuery("tk02_bpe_encode",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val merges = TextAnalysis.bpeTrain(docs(s, d), numMerges = 12)
+          .map(m => (m._2, m._3))
+        val toks = docs(s, d).select(explode(
+          graft.functions.TextFunctions.bpe_encode(col("text"), merges)).as("tok"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(10)
+        top.unionByName(toks.agg(count(lit(1)).as("n"))
+            .select(lit("__total__").as("tok"), col("n")))
+          .orderBy("tok")
+      },
+      Some("""SELECT * FROM (VALUES
+               ('</w>', CAST(12448 AS BIGINT)),
+               ('__total__', CAST(116798 AS BIGINT)),
+               ('a', CAST(10805 AS BIGINT)),
+               ('c', CAST(4653 AS BIGINT)),
+               ('e</w>', CAST(4473 AS BIGINT)),
+               ('g', CAST(4474 AS BIGINT)),
+               ('l', CAST(5525 AS BIGINT)),
+               ('m', CAST(4602 AS BIGINT)),
+               ('r', CAST(4467 AS BIGINT)),
+               ('s', CAST(5481 AS BIGINT)),
+               ('t', CAST(5343 AS BIGINT)))
+               t(tok, n) ORDER BY tok""")),
 
     // Gopher-style within-doc repetition fractions. The synthetic
     // word-soup corpus repeats heavily (vocab ~31 words), so both

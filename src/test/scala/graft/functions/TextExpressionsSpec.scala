@@ -128,4 +128,35 @@ class TextExpressionsSpec extends AnyFunSuite {
       df.select(TextFunctions.unicode_normalize($"raw", "NOPE")).collect()
     }
   }
+
+  test("bpe_encode: priority order, overlap handling, multi-word, no merges") {
+    TextFunctions.register(spark)
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val df = Seq(
+      (1L, "newest"),
+      (2L, "aaaa tes"),
+      (3L, "")
+    ).toDF("id", "text")
+    val enc = df.orderBy("id")
+      .select(TextFunctions.bpe_encode($"text", merges).as("toks")).collect()
+    // (e,s) fuses first, then (es,t); (est,</w>) was never learned
+    assert(enc(0).getSeq[String](0) == Seq("n", "e", "w", "est", "</w>"))
+    // second word: "t es</w>"? no — es fuses, then es+t needs t BEFORE es;
+    // "tes" = t e s </w> → t es </w> (es+t is (es,t), t precedes es here)
+    assert(enc(1).getSeq[String](0) ==
+      Seq("a", "a", "a", "a", "</w>", "t", "es", "</w>"))
+    // empty text: one empty word → just the end marker
+    assert(enc(2).getSeq[String](0) == Seq("</w>"))
+    // overlap: merge (a,a) fuses left-to-right without reusing output
+    val runs = Seq((1L, "aaaa")).toDF("id", "text")
+    val r = runs.select(TextFunctions.bpe_encode($"text", Seq(("a", "a"))).as("t"))
+      .head.getSeq[String](0)
+    assert(r == Seq("aa", "aa", "</w>"))
+    // encoder tokens reproduce training: count with the learned merges
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val learned = graft.ops.TextAnalysis.bpeTrain(docs, 5).map(m => (m._2, m._3))
+    val n = docs.select(explode(TextFunctions.bpe_encode(col("text"), learned)).as("t"))
+      .count()
+    assert(n > 0)
+  }
 }
