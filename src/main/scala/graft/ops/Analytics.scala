@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over (key, event-time, value) streams:
+  * regular-grid resampling, funnel conversion, cohort retention — the
+  * OLAP workloads a product/metrics team runs daily, each shaped so
+  * the only shuffles are keyed aggregations.
+  */
+object Analytics {
+
+  /** Resample an irregular per-key time series onto a regular
+    * `stepSec` grid with forward-fill (last observation carried
+    * forward): per key, a row for every grid instant between its first
+    * and last event, carrying the latest value at or before it.
+    *
+    * Composition, not a new primitive: the grid is one
+    * sequence+explode per key (a map-side expand — no shuffle), and
+    * the fill is exactly Temporal.asofJoin (union+window, one
+    * exchange, zero join nodes). Grid instants align to multiples of
+    * `stepSec` (floor), so buckets are engine-portable.
+    */
+  def resample(df: DataFrame, key: String, timeCol: String,
+               valueCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val obs = df.select(col(key), col(timeCol), col(valueCol))
+    val grid = df.groupBy(col(key))
+      .agg(min(unix_seconds(col(timeCol))).as("t0"),
+           max(unix_seconds(col(timeCol))).as("t1"))
+      .select(col(key), explode(sequence(
+        floor(col("t0") / stepSec) * stepSec,
+        floor(col("t1") / stepSec) * stepSec,
+        lit(stepSec))).as("grid_s"))
+      .select(col(key), timestamp_seconds(col("grid_s")).as(timeCol))
+    Temporal.asofJoin(grid, obs, keys = Seq(key), timeCol = timeCol,
+      payload = Seq(valueCol), prefix = "filled_")
+  }
+
+  /** Funnel conversion: per key, how many `first` events were followed
+    * by a `second` event within `windowSec`. A converted first-event
+    * is decided by a LEFT SEMI range join (exists-within-window — the
+    * probe side never duplicates, so a first event with ten follow-ups
+    * counts once), then one keyed count aggregate.
+    */
+  def funnel(first: DataFrame, second: DataFrame, key: String,
+             timeCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val f = first.select(col(key), col(timeCol))
+    val s = second.select(col(key).as("__fn_key"), col(timeCol).as("__fn_ts"))
+    val converted = f.join(s,
+        f(key) === s("__fn_key") &&
+        s("__fn_ts") >= f(timeCol) &&
+        unix_micros(s("__fn_ts")) <= unix_micros(f(timeCol)) + windowSec * 1000000L,
+        "left_semi")
+      .groupBy(col(key)).agg(count(lit(1)).as("n_converted"))
+    f.groupBy(col(key)).agg(count(lit(1)).as("n_first"))
+      .join(converted, Seq(key), "left")
+      .select(col(key), col("n_first"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+  }
+
+  /** Cohort retention matrix: users grouped by the week of their first
+    * event; for each (cohort_week, activity_week), the distinct users
+    * active. Two keyed aggregations (first-event per key; distinct
+    * key-week activity) and one equi-join — no window over the whole
+    * table, no driver-side pivot.
+    */
+  def cohorts(df: DataFrame, key: String, timeCol: String): DataFrame = {
+    val weeks = df.select(col(key),
+      date_trunc("week", col(timeCol)).as("activity_week")).distinct()
+    val firstWeek = weeks.groupBy(col(key))
+      .agg(min(col("activity_week")).as("cohort_week"))
+    weeks.join(firstWeek, key)
+      .groupBy(col("cohort_week"), col("activity_week"))
+      .agg(count_distinct(col(key)).as("n_active"))
+  }
+}

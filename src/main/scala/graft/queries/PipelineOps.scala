@@ -878,6 +878,83 @@ object PipelineOps {
              t(doc_id, format, width, height, channels)
              ORDER BY doc_id""")),
 
+    // ---------------- event analytics ----------------
+
+    // daily-grid resample of each user's purchase series with forward
+    // fill — grid from one sequence+explode, fill via the asof join
+    // (DuckDB's native ASOF replays it exactly)
+    NamedQuery("rs01_resample",
+      (s, d) => {
+        val p = Tables.load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.ops.Analytics.resample(p, "user_id", "ts", "value", stepSec = 86400L)
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            date_format(col("filled_ts"), "yyyy-MM-dd HH:mm:ss").as("filled_ts"),
+            round(col("filled_value"), 4).as("filled_value"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events WHERE event_type = 'purchase'),
+              b AS (SELECT user_id,
+                      (epoch_us(min(ts)) // 1000000 // 86400) * 86400 AS t0,
+                      (epoch_us(max(ts)) // 1000000 // 86400) * 86400 AS t1
+                    FROM p GROUP BY 1),
+              g AS (SELECT user_id,
+                      to_timestamp(unnest(generate_series(t0, t1, 86400))) AS ts
+                    FROM b)
+             SELECT g.user_id, strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               strftime(p2.ts, '%Y-%m-%d %H:%M:%S') AS filled_ts,
+               round(p2.value, 4) AS filled_value
+             FROM g ASOF LEFT JOIN p p2
+               ON g.user_id = p2.user_id AND g.ts >= p2.ts
+             ORDER BY g.user_id, g.ts""")),
+
+    // click→purchase conversion within 2 h: converted clicks counted
+    // by a LEFT SEMI range join (each click once, however many
+    // purchases follow)
+    NamedQuery("fn01_funnel",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        graft.ops.Analytics.funnel(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "user_id", "ts", windowSec = 7200L)
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+              conv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_converted
+                       FROM c WHERE EXISTS (SELECT 1 FROM p
+                         WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                           AND epoch_us(p.ts) <= epoch_us(c.ts) + CAST(7200 AS BIGINT) * 1000000)
+                       GROUP BY 1),
+              f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_first FROM c GROUP BY 1)
+             SELECT f.user_id, f.n_first,
+               CAST(coalesce(conv.n_converted, 0) AS BIGINT) AS n_converted
+             FROM f LEFT JOIN conv USING (user_id) ORDER BY user_id""")),
+
+    // weekly cohort retention matrix over all events
+    NamedQuery("co01_cohorts",
+      (s, d) => graft.ops.Analytics.cohorts(
+          Tables.load(s, d, "events"), "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          date_format(col("activity_week"), "yyyy-MM-dd").as("activity_week"),
+          col("n_active"))
+        .orderBy("cohort_week", "activity_week"),
+      Some("""WITH w AS (SELECT DISTINCT user_id,
+                      date_trunc('week', CAST(ts AS TIMESTAMP)) AS activity_week
+                    FROM events),
+              fw AS (SELECT user_id, min(activity_week) AS cohort_week
+                     FROM w GROUP BY 1)
+             SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               strftime(activity_week, '%Y-%m-%d') AS activity_week,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+             FROM w JOIN fw USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---------------- streaming (batch-equivalent form) ----------------
 
     // gap-based sessionization, batch form (the streaming form is the

@@ -868,6 +868,51 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.bpeTrain(corpus, 0) }
   }
 
+  test("resample: aligned daily grid, forward fill, nulls before first obs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 5.0),
+      (1L, ts("2024-01-04 09:00:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val r = Analytics.resample(df, "user_id", "ts", "value", stepSec = 86400L)
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm").as("g"),
+        $"filled_value".as("v"))
+      .as[(String, Option[Double])].collect().sortBy(_._1).toSeq
+    // grid: Jan 2 00:00 (before the 10:00 obs → null), Jan 3 (carries 5.0), Jan 4 00:00 (still 5.0)
+    assert(r == Seq(
+      ("2024-01-02 00:00", None),
+      ("2024-01-03 00:00", Some(5.0)),
+      ("2024-01-04 00:00", Some(5.0))))
+  }
+
+  test("funnel: a click with many follow-ups converts once; outside window not at all") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 20:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00")), (1L, ts("2024-01-01 10:45:00")), // both inside click 1's window
+      (2L, ts("2024-01-01 13:00:00"))                                    // 3h later: outside 2h window
+    ).toDF("user_id", "ts")
+    val r = Analytics.funnel(clicks, purchases, "user_id", "ts", windowSec = 7200L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, 1L), (2L, 1L, 0L)), s"got $r")
+  }
+
+  test("cohorts: users counted in their first week and every active week") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")), // weeks 1 and 2
+      (2L, ts("2024-01-02 10:00:00")),                                  // week 1 only
+      (3L, ts("2024-01-10 10:00:00"))                                   // joins in week 2
+    ).toDF("user_id", "ts")
+    val r = Analytics.cohorts(df, "user_id", "ts")
+      .select(date_format($"cohort_week", "MM-dd").as("c"),
+        date_format($"activity_week", "MM-dd").as("a"), $"n_active")
+      .as[(String, String, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(("01-01", "01-01", 2L), ("01-01", "01-08", 1L),
+      ("01-08", "01-08", 1L)), s"got $r")
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
