@@ -33,4 +33,29 @@ object Profile {
       (c, nRows, nRows - nonNull, distinct)
     }.toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
+
+  /** Equal-width histogram of a numeric column: one min/max aggregate
+    * fixes the range, then one groupBy over the computed bucket index
+    * — two scans, one tiny shuffle of (bucket, count) pairs. Values at
+    * the upper edge land in the last bucket (closed right edge, the
+    * width_bucket convention clamped); constant columns collapse to
+    * one bucket. Empty buckets are omitted (dense output would need a
+    * grid join; callers wanting zeros can left-join a range).
+    */
+  def histogram(df: DataFrame, column: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val mm = df.agg(min(col(column)).as("lo"), max(col(column)).as("hi")).head
+    val (lo, hi) = (mm.getAs[Number](0).doubleValue(), mm.getAs[Number](1).doubleValue())
+    val width = (hi - lo) / nBuckets
+    val bucket =
+      if (width == 0) lit(0)
+      else least(floor((col(column) - lo) / width).cast("int"), lit(nBuckets - 1))
+    df.filter(col(column).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * width, 4).as("lo_edge"),
+        round(lit(lo) + (col("bucket") + 1) * width, 4).as("hi_edge"),
+        col("n"))
+  }
 }

@@ -151,6 +151,24 @@ object PipelineOps {
                  count(DISTINCT o_orderpriority) FROM orders)
              ORDER BY 1""")),
 
+    // Equal-width histogram of order totals (20 buckets, clamped right
+    // edge); the oracle replays the same two-pass min/max → bucket
+    // arithmetic.
+    NamedQuery("dp02_histogram",
+      (s, d) => graft.ops.Profile.histogram(
+          Tables.load(s, d, "orders"), "o_totalprice", nBuckets = 20)
+        .orderBy("bucket"),
+      Some("""WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                          FROM orders),
+              b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS bucket,
+                      lo, hi
+                    FROM orders, mm WHERE o_totalprice IS NOT NULL)
+             SELECT bucket,
+               round(lo + bucket * ((hi - lo) / 20), 4) AS lo_edge,
+               round(lo + (bucket + 1) * ((hi - lo) / 20), 4) AS hi_edge,
+               CAST(count(*) AS BIGINT) AS n
+             FROM b GROUP BY bucket, lo, hi ORDER BY bucket""")),
+
     // Distributed BPE merge training: 12 merges learned from the
     // corpus, pinned against a golden merge table (im19-style literal
     // oracle — DuckDB can't replay the iterative argmax loop, but the

@@ -913,6 +913,22 @@ class OpsSpec extends AnyFunSuite {
       ("01-08", "01-08", 1L)), s"got $r")
   }
 
+  test("histogram: max clamps into last bucket, constant column collapses, nulls dropped") {
+    val df = (Seq.tabulate(100)(i => Option(i.toDouble)) :+ None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val h = Profile.histogram(df, "x", nBuckets = 10)
+      .select("bucket", "n").as[(Int, Long)].collect().toMap
+    assert(h.keys.toSeq.sorted == (0 to 9))
+    assert(h.values.sum == 100L) // null row dropped
+    // range [0, 99], width 9.9: bucket 9 holds [89.1, 99] = 10 values incl. the max
+    assert(h(9) == 10L, s"got $h")
+    val const = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "x")
+    val hc = Profile.histogram(const, "x", 10).select("bucket", "n")
+      .as[(Int, Long)].collect().toSeq
+    assert(hc == Seq((0, 2L)))
+    intercept[IllegalArgumentException] { Profile.histogram(df, "x", 0) }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
