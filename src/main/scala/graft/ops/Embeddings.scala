@@ -23,7 +23,7 @@ object Embeddings {
     *
     * Returns the quantized vector plus audit columns: the scale, the
     * max absolute reconstruction error (bounded by scale/2 ≈
-    * max|x|/254 — asserted in EmbeddingsSpec), and the exact integer
+    * max|x|/254 — asserted in OpsSpec), and the exact integer
     * L2² of the quantized vector (int math survives hash comparison
     * across engines, unlike float sums). Zero vectors quantize to
     * zeros with scale 0 rather than dividing by it.
