@@ -40,7 +40,10 @@ object Bench {
         || q._1 == "em02_pq_recall"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
-        || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode")
+        || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
+        // bb01 spends its time WRITING the bucketed tables (the point
+        // is the zero-exchange read plan, asserted in PlanQualitySpec)
+        || q._1 == "bb01_bucketed_join")
       .toSeq.sortBy(_._1)
     def runPass(): Map[String, Double] = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()

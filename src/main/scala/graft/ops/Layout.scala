@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout tools for shuffle elimination: bucketed tables
+  * co-locate join keys at WRITE time, so every later join/aggregation
+  * on the bucket key skips its Exchange entirely — the standard way a
+  * 100 TB warehouse amortizes one shuffle across thousands of
+  * downstream queries (pay it once when the fact table lands, never
+  * again). Spark-native: `bucketBy` + `sortBy` parquet tables; the
+  * reader recovers the hash-distribution from catalog metadata and
+  * Catalyst plans SortMergeJoin with zero Exchange (PlanQualitySpec
+  * asserts exactly that).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table at
+    * `path`, registered as `table` (external — the path owns the
+    * data; re-running overwrites). `buckets` must match between
+    * tables meant to co-join.
+    */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+                    key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket keys — plans with
+    * no Exchange on either side when bucket counts match.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+}

@@ -896,6 +896,34 @@ object PipelineOps {
              t(doc_id, format, width, height, channels)
              ORDER BY doc_id""")),
 
+    // Bucketed-layout co-located join: lineitem and orders land as
+    // 8-bucket tables hashed on the order key, then join and
+    // aggregate. Correctness gated here (same result as the plain
+    // join); the POINT — zero Exchange in the join plan — is asserted
+    // in PlanQualitySpec (bb01 test).
+    NamedQuery("bb01_bucketed_join",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("bb01").toString
+        graft.ops.Layout.writeBucketed(Tables.load(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          s"$tmp/li", "bb01_li", "l_orderkey", buckets = 8)
+        graft.ops.Layout.writeBucketed(Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus")),
+          s"$tmp/ord", "bb01_ord", "o_orderkey", buckets = 8)
+        graft.ops.Layout.bucketedJoin(s, "bb01_li", "bb01_ord",
+            "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---------------- event analytics ----------------
 
     // daily-grid resample of each user's purchase series with forward

@@ -129,6 +129,28 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bb01: same-bucketed tables join with ZERO exchanges (co-located SMJ)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bb01-plan").toString
+    ops.Layout.writeBucketed(Tables.load(spark, dir, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_quantity")),
+      s"$tmp/li", "bb01_plan_li", "l_orderkey", buckets = 4)
+    ops.Layout.writeBucketed(Tables.load(spark, dir, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderkey")),
+      s"$tmp/ord", "bb01_plan_ord", "o_orderkey", buckets = 4)
+    // force the SMJ path (broadcast would hide the bucketing win)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = ops.Layout.bucketedJoin(spark, "bb01_plan_li", "bb01_plan_ord",
+          "l_orderkey", "o_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(500))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${p.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("tp01: asof join plans as union+window — zero join nodes, one exchange") {
     val ev = Tables.load(spark, dir, "events")
     val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
