@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: apply a batch of keyed changes
+  * (insert/update/delete with full rows) onto a snapshot — the MERGE
+  * INTO / upsert primitive every incremental pipeline needs to land
+  * CDC feeds without a table format that provides it.
+  *
+  * Scale shape: one window over the CHANGE BATCH (keyed, batch-sized
+  * — not snapshot-sized) picks each key's latest change by sequence
+  * number; one shuffle anti-join removes touched keys from the
+  * snapshot; survivors union with the upserts. The snapshot is never
+  * windowed and never shuffled beyond the single key join — at 100 TB
+  * that join is the floor for any keyed merge (or zero with a
+  * Layout.writeBucketed snapshot, since the anti-join then co-locates).
+  */
+object Cdc {
+
+  /** `changes` must carry `opCol` ("I" | "U" | "D"), `seqCol` (total
+    * order within the batch per key — later wins), and the snapshot's
+    * full schema. Deletes drop the key; inserts and updates both
+    * upsert (an update for an absent key inserts — the tolerant
+    * semantics CDC replays need, since a snapshot may predate the
+    * stream).
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
+                   opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val rn = "__cdc_rn"
+    require(!changes.columns.contains(rn), s"column $rn would be clobbered")
+    // op validation rides the main pass (raise_error inside the plan —
+    // no extra scan of the change batch just to validate)
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol)))))
+    val latest = checked
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col(rn) === 1)
+      .drop(rn)
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    snapshot
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+}

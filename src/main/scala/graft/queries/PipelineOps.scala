@@ -896,6 +896,62 @@ object PipelineOps {
              t(doc_id, format, width, height, channels)
              ORDER BY doc_id""")),
 
+    // CDC apply: a deterministic change batch over orders — every
+    // key%10==0 deleted, %10==1 updated (doubled total, TWO competing
+    // updates where key%100==1 so last-write-wins is exercised),
+    // %10==2 re-inserted under a shifted key. The oracle replays the
+    // same batch in SQL. Output pins the full merged table.
+    NamedQuery("cd01_apply_changes",
+      (s, d) => {
+        val snap = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val dels = snap.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit("D").as("op"), lit(1L).as("seq"))
+        val upd1 = snap.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq"))
+        // competing later update on a subset: price*3 must win there
+        val upd2 = snap.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 3).as("o_totalprice"),
+            lit("U").as("op"), lit(2L).as("seq"))
+        val ins = snap.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+        val changes = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+        graft.ops.Cdc.applyChanges(snap, changes, "o_orderkey")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 4).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                            FROM orders),
+              changes AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       'D' AS op, 1 AS seq FROM snap WHERE o_orderkey % 10 = 0
+                UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 2, 'U', 1 FROM snap WHERE o_orderkey % 10 = 1
+                UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 3, 'U', 2 FROM snap WHERE o_orderkey % 100 = 1
+                UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N',
+                       o_totalprice, 'I', 1 FROM snap WHERE o_orderkey % 10 = 2),
+              latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+                           PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+                         FROM changes) WHERE rn = 1)
+             SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 4) AS o_totalprice
+             FROM (SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+                   FROM snap s WHERE NOT EXISTS
+                     (SELECT 1 FROM latest l WHERE l.o_orderkey = s.o_orderkey)
+                   UNION ALL
+                   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                   FROM latest WHERE op != 'D')
+             ORDER BY o_orderkey""")),
+
     // Bucketed-layout co-located join: lineitem and orders land as
     // 8-bucket tables hashed on the order key, then join and
     // aggregate. Correctness gated here (same result as the plain

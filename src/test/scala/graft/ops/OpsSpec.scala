@@ -929,6 +929,21 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Profile.histogram(df, "x", 0) }
   }
 
+  test("applyChanges: delete/update/insert, last-write-wins, unknown op throws") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "x", "U", 1L), (1L, "y", "U", 2L),  // conflict: seq 2 wins
+      (2L, "b", "D", 1L),                      // delete
+      (9L, "new", "I", 1L),                    // insert
+      (7L, "late", "U", 1L)                    // update of absent key upserts
+    ).toDF("k", "v", "op", "seq")
+    val r = Cdc.applyChanges(snap, changes, "k")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, "y"), (3L, "c"), (7L, "late"), (9L, "new")), s"got $r")
+    val bad = Seq((1L, "x", "Z", 1L)).toDF("k", "v", "op", "seq")
+    intercept[Exception] { Cdc.applyChanges(snap, bad, "k").collect() }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
