@@ -45,4 +45,21 @@ object Cdc {
       .join(latest.select(col(key)), Seq(key), "left_anti")
       .unionByName(upserts)
   }
+
+  /** Slowly-changing-dimension Type 2: turn a keyed change log into
+    * validity intervals — each change is valid from its own timestamp
+    * until the key's next change (`valid_to` null = current row).
+    * One keyed window (lead), nothing else; the natural mate of
+    * Temporal.asofJoin, which answers the same point-in-time question
+    * without materializing intervals. Change rows should be unique
+    * per (key, timeCol) — pre-aggregate ties away first, as with any
+    * SCD feed.
+    */
+  def scd2(changes: DataFrame, key: String, timeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(timeCol))
+    changes
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -944,6 +944,23 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Cdc.applyChanges(snap, bad, "k").collect() }
   }
 
+  test("scd2: intervals chain per key, last row is current") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-05 00:00:00"), "b"),
+      (2L, ts("2024-01-03 00:00:00"), "x")
+    ).toDF("k", "ts", "v")
+    val r = Cdc.scd2(ch, "k", "ts")
+      .select($"k", $"v", date_format($"valid_to", "MM-dd").as("to"), $"is_current")
+      .as[(Long, String, Option[String], Boolean)].collect()
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      (1L, "a", Some("01-05"), false), // superseded by b at Jan 5
+      (1L, "b", None, true),
+      (2L, "x", None, true)), s"got $r")
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
