@@ -159,6 +159,33 @@ object TextAnalysis {
     df.select(col("doc_id"), round(score, 4).as("bm25"))
   }
 
+  /** Vocabulary normalization: lowercase, drop stopwords, and strip
+    * one inflectional suffix per token (ing/ed/es/s, longest first,
+    * guarded by minimum stem length — a deterministic "stemming-lite",
+    * not a full Porter stemmer, chosen because every rule is exactly
+    * mirrorable in the SQL oracle). Emits per-doc kept-token counts,
+    * distinct-stem counts, and an order-preserving stem fingerprint.
+    * Pure column expressions — scan-speed like the rest of the family.
+    */
+  def stemLite(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    def stem(t: Column): Column =
+      when(length(t) >= 5 && t.endsWith("ing"), t.substr(lit(1), length(t) - 3))
+        .when(length(t) >= 4 && t.endsWith("ed"), t.substr(lit(1), length(t) - 2))
+        .when(length(t) >= 4 && t.endsWith("es"), t.substr(lit(1), length(t) - 2))
+        .when(length(t) >= 4 && t.endsWith("s"), t.substr(lit(1), length(t) - 1))
+        .otherwise(t)
+    val stems = transform(
+      filter(split(lower(text), " "),
+        t => !t.isin(stopwords.map(lit): _*) && t =!= ""),
+      t => stem(t))
+    df.select(
+      col("doc_id"),
+      size(stems).cast("int").as("n_kept"),
+      size(array_distinct(stems)).cast("int").as("n_stems"),
+      md5(concat_ws(" ", stems)).as("stem_fingerprint"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
     * `numMerges` byte-pair merges from the corpus. The corpus-scale
     * work — building the (word, count) vocabulary — is ONE

@@ -300,6 +300,27 @@ object PipelineOps {
                   s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")}) t(id, raw)
               ORDER BY id""")),
 
+    // stemming-lite vocabulary normalization; every stripping rule is
+    // mirrored as a CASE in the oracle, so the md5 fingerprint pins
+    // rule order, guards, and stopword filtering exactly
+    NamedQuery("tx09_stem_normalize",
+      (s, d) => TextAnalysis.stemLite(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                    list_transform(
+                      list_filter(string_split(lower(text), ' '),
+                        x -> x != '' AND x NOT IN ('the','a','of','and','to','in','is','it')),
+                      x -> CASE
+                        WHEN length(x) >= 5 AND x LIKE '%ing' THEN substr(x, 1, length(x) - 3)
+                        WHEN length(x) >= 4 AND x LIKE '%ed' THEN substr(x, 1, length(x) - 2)
+                        WHEN length(x) >= 4 AND x LIKE '%es' THEN substr(x, 1, length(x) - 2)
+                        WHEN length(x) >= 4 AND x LIKE '%s' THEN substr(x, 1, length(x) - 1)
+                        ELSE x END) AS stems
+                  FROM documents)
+             SELECT doc_id, CAST(len(stems) AS INT) AS n_kept,
+               CAST(len(list_distinct(stems)) AS INT) AS n_stems,
+               md5(array_to_string(stems, ' ')) AS stem_fingerprint
+             FROM t ORDER BY doc_id""")),
+
     // ---------------- embedding compression ----------------
 
     // int8 symmetric quantization with audit columns; q_l2sq is exact
@@ -1229,6 +1250,53 @@ object PipelineOps {
                any_value(p.n_purchases) AS n_purchases
              FROM c JOIN p USING (user_id)
              GROUP BY 1 ORDER BY user_id""")),
+
+    // HOPPING (sliding) windows: 2-hour windows advancing hourly —
+    // every event lands in exactly two. Spark's window(slide) TVF vs
+    // an explicit two-start unnest in the oracle.
+    NamedQuery("hw01_hopping_window",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+             FROM (SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+                     event_type, value
+                   FROM events)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // event-time RANGE frame: each event's rolling trailing-1h sum and
+    // count per user — RANGE BETWEEN on seconds, which is tie-safe
+    // (same-second rows see each other symmetrically), unlike ROWS
+    // frames over a table with no unique order.
+    NamedQuery("rw01_rolling_range",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_seconds(col("ts")))
+          .rangeBetween(-3599, org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            count(lit(1)).over(w).as("n_trailing_1h"),
+            round(sum(col("value")).over(w), 4).as("sum_trailing_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+               round(sum(value) OVER w, 4) AS sum_trailing_1h
+             FROM events
+             WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
 
     NamedQuery("st01_event_window",
       (s, d) => Tables.load(s, d, "events")

@@ -961,6 +961,20 @@ class OpsSpec extends AnyFunSuite {
       (2L, "x", None, true)), s"got $r")
   }
 
+  test("stemLite: suffix rules in order, guards protect short words, stopwords gone") {
+    val df = Seq((1L, "the running cats pushes dogs is sing a red")).toDF("doc_id", "text")
+    // running→runn (ing), cats→cat (s), pushes→push (es), dogs→dog (s),
+    // sing stays (len 4 < 5 for ing... but matches '%s'? no — endsWith ing
+    // checked first needs len>=5; then 's' rule: sing endsWith g), red stays
+    val r = TextAnalysis.stemLite(df).select("n_kept", "n_stems").as[(Int, Int)].head()
+    assert(r == ((6, 6)))
+    val fp1 = TextAnalysis.stemLite(df).select("stem_fingerprint").as[String].head()
+    val expected = Seq("runn", "cat", "push", "dog", "sing", "red").mkString(" ")
+    val fp2 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp1 == fp2, s"fingerprint mismatch (expected stems: $expected)")
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
