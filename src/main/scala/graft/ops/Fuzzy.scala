@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching for entity resolution: pairs within a
+  * bounded edit distance, found WITHOUT a cartesian product.
+  *
+  * Blocking: edit distance ≥ length difference, so a pair with
+  * lev ≤ k always lies within a k-length band — replicating one side
+  * into its 2k+1 candidate lengths turns the band into an EQUI-join
+  * on length (the same trick as Temporal.rangeJoin's time buckets),
+  * and the blocking is COMPLETE: no qualifying pair is missed. Within
+  * a band the verifier is the exact levenshtein (codegen built-in).
+  * At web scale, length bands alone leave hot bands (most strings are
+  * average-length); compose with additional equi-blocks (first
+  * q-gram, PassJoin-style segments) via `extraBlock` — completeness
+  * then depends on the chosen block, which is the standard
+  * recall/cost dial every ER system exposes.
+  */
+object Fuzzy {
+
+  /** Distinct-value self-join: pairs (a < b) of `column` values with
+    * levenshtein(a, b) <= maxDist. `extraBlock` optionally adds an
+    * equi-block expression evaluated on the value (e.g.
+    * `substring(_, 1, 1)`) to subdivide hot bands.
+    */
+  def fuzzyPairs(df: DataFrame, column: String, maxDist: Int,
+                 extraBlock: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    val names = df.select(col(column).as("__fz_val")).filter(col("__fz_val").isNotNull).distinct()
+    def blocked(side: String, banded: Boolean) = {
+      val v = col("__fz_val").as(side)
+      val base = names.select(v)
+      val withLen =
+        if (banded) base.withColumn("__fz_len",
+          explode(sequence(length(col(side)) - maxDist, length(col(side)) + maxDist)))
+        else base.withColumn("__fz_len", length(col(side)))
+      extraBlock.foldLeft(withLen)((d, f) => d.withColumn("__fz_blk", f(col(side))))
+    }
+    val a = blocked("name_a", banded = true)
+    val b = blocked("name_b", banded = false)
+    val joinKeys = "__fz_len" +: extraBlock.map(_ => "__fz_blk").toSeq
+    a.join(b, joinKeys)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+  }
+}

@@ -917,6 +917,21 @@ object PipelineOps {
              t(doc_id, format, width, height, channels)
              ORDER BY doc_id""")),
 
+    // blocked fuzzy self-join over part names: pairs within edit
+    // distance 2, length-band equi-blocked (complete: lev >= length
+    // diff). The oracle verifies with a plain inequality join — the
+    // band must lose nothing.
+    NamedQuery("fz01_fuzzy_pairs",
+      (s, d) => graft.ops.Fuzzy.fuzzyPairs(
+          Tables.load(s, d, "part"), "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b"),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+             SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+             FROM n a JOIN n b ON a.p_name < b.p_name
+               AND levenshtein(a.p_name, b.p_name) <= 2
+             ORDER BY name_a, name_b""")),
+
     // CDC apply: a deterministic change batch over orders — every
     // key%10==0 deleted, %10==1 updated (doubled total, TWO competing
     // updates where key%100==1 so last-write-wins is exercised),

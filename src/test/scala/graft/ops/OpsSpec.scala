@@ -975,6 +975,31 @@ class OpsSpec extends AnyFunSuite {
     assert(fp1 == fp2, s"fingerprint mismatch (expected stems: $expected)")
   }
 
+  test("fuzzyPairs: band blocking loses nothing, extraBlock trades recall for cost") {
+    val df = Seq("kitten", "sitten", "sittin", "sitting", "bolt", "belt", "unrelated")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "name")
+    val pairs = Fuzzy.fuzzyPairs(df, "name", maxDist = 2)
+      .select("name_a", "name_b", "dist").as[(String, String, Int)].collect().toSet
+    // kitten-sitten 1, sitten-sittin 1, sittin-sitting 1 (length band ±1!),
+    // kitten-sittin 2, sitten-sitting 2, bolt-belt 1
+    assert(pairs == Set(
+      ("kitten", "sitten", 1), ("sitten", "sittin", 1), ("sittin", "sitting", 1),
+      ("kitten", "sittin", 2), ("sitten", "sitting", 2), ("belt", "bolt", 1)),
+      s"got $pairs")
+    // brute force parity: band blocking must equal the unblocked join
+    val names = df.select($"name").distinct().as[String].collect()
+    val brute = (for { a <- names; b <- names if a < b
+      if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(a, b) <= 2 } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)) == brute)
+    // extraBlock on first char: belt-bolt survives (same 'b'), cross-letter dies
+    val blocked = Fuzzy.fuzzyPairs(df, "name", 2,
+        Some(c => substring(c, 1, 1)))
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(blocked.contains(("belt", "bolt")))
+    assert(!blocked.contains(("kitten", "sitten"))) // k vs s blocks apart
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
