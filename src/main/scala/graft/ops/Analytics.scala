@@ -60,6 +60,28 @@ object Analytics {
         coalesce(col("n_converted"), lit(0L)).as("n_converted"))
   }
 
+  /** A/B experiment readout with DETERMINISTIC assignment: users land
+    * in variants by an md5 draw on (salt # user) — the same no-RNG
+    * discipline as Curation.hashSample, so assignment is reproducible
+    * across runs, engines, and retries, and a user never flips
+    * variants mid-experiment. Conversion = at least one `second`
+    * event within `windowSec` after a `first` event (the funnel
+    * predicate). Returns per-variant user/conversion counts and rate.
+    */
+  def abReadout(first: DataFrame, second: DataFrame, key: String,
+                timeCol: String, windowSec: Long,
+                salt: String = "exp1"): DataFrame = {
+    val assigned = funnel(first, second, key, timeCol, windowSec)
+      .withColumn("variant",
+        when(substring(md5(concat_ws("#", lit(salt), col(key).cast("string"))), 1, 8)
+          < lit(Curation.hexThreshold(0.5)), "A").otherwise("B"))
+    assigned.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("n_converted") > 0).cast("long")).as("n_converted_users"),
+        round(sum((col("n_converted") > 0).cast("long")) /
+          count(lit(1)).cast("double"), 4).as("conv_rate"))
+  }
+
   /** Cohort retention matrix: users grouped by the week of their first
     * event; for each (cohort_week, activity_week), the distinct users
     * active. Two keyed aggregations (first-event per key; distinct

@@ -186,6 +186,35 @@ object TextAnalysis {
       md5(concat_ws(" ", stems)).as("stem_fingerprint"))
   }
 
+  /** Per-document top-k terms by smoothed TF-IDF (sklearn's
+    * ln((N+1)/(df+1)) + 1 — never negative, never divides by zero):
+    * the keyword-extraction / doc-representation classic. One explode
+    * + (doc, term) count, a term-level document-frequency aggregate
+    * (vocabulary-sized — broadcast or shuffle join, both tiny relative
+    * to the corpus), and a per-doc top-k window. Ranking uses the
+    * ROUNDED score with a term tie-break so results are stable across
+    * engines and partitionings.
+    */
+  def tfidfTop(df: DataFrame, k: Int = 3,
+               text: Column = col("text")): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = df.count()
+    val tf = df.select(col("doc_id"), explode(split(text, " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dfn"))
+    val scored = tf.join(broadcast(dft), "term")
+      .withColumn("score", round(col("tf") *
+        (log(lit(n + 1.0) / (col("dfn") + 1.0)) + 1.0), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
     * `numMerges` byte-pair merges from the corpus. The corpus-scale
     * work — building the (word, count) vocabulary — is ONE

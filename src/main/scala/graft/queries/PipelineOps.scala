@@ -300,6 +300,25 @@ object PipelineOps {
                   s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")}) t(id, raw)
               ORDER BY id""")),
 
+    // per-doc top-3 TF-IDF terms; ranking on the rounded score with a
+    // term tie-break keeps the window deterministic cross-engine
+    NamedQuery("tx10_tfidf",
+      (s, d) => TextAnalysis.tfidfTop(docs(s, d), k = 3)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                            FROM documents),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM toks WHERE term != '' GROUP BY 1, 2),
+              dft AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              s AS (SELECT doc_id, term,
+                      round(tf * (ln((n + 1.0) / (dfn + 1.0)) + 1.0), 4) AS score
+                    FROM tf JOIN dft USING (term), n),
+              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS INT) AS rk FROM s)
+             SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+             ORDER BY doc_id, rk""")),
+
     // stemming-lite vocabulary normalization; every stripping rule is
     // mirrored as a CASE in the oracle, so the md5 fingerprint pins
     // rule order, guards, and stopword filtering exactly
@@ -1099,6 +1118,41 @@ object PipelineOps {
              SELECT f.user_id, f.n_first,
                CAST(coalesce(conv.n_converted, 0) AS BIGINT) AS n_converted
              FROM f LEFT JOIN conv USING (user_id) ORDER BY user_id""")),
+
+    // A/B readout with deterministic md5 assignment (salt "exp1",
+    // 50/50): per-variant click→purchase conversion within 2 h. The
+    // oracle replays assignment and funnel; integer-over-integer rate
+    // division is bit-identical cross-engine (single IEEE divide).
+    NamedQuery("ab01_experiment",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        graft.ops.Analytics.abReadout(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "user_id", "ts", windowSec = 7200L)
+          .orderBy("variant")
+      },
+      Some(s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                          FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+              conv AS (SELECT user_id, count(*) AS n_converted
+                       FROM c WHERE EXISTS (SELECT 1 FROM p
+                         WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                           AND epoch_us(p.ts) <= epoch_us(c.ts) + CAST(7200 AS BIGINT) * 1000000)
+                       GROUP BY 1),
+              f AS (SELECT user_id FROM c GROUP BY user_id),
+              u AS (SELECT f.user_id,
+                      CASE WHEN substr(md5('exp1#' || CAST(f.user_id AS VARCHAR)), 1, 8)
+                             < '${graft.ops.Curation.hexThreshold(0.5)}'
+                        THEN 'A' ELSE 'B' END AS variant,
+                      coalesce(conv.n_converted, 0) AS n_converted
+                    FROM f LEFT JOIN conv USING (user_id))
+             SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN n_converted > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_users,
+               round(sum(CASE WHEN n_converted > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS conv_rate
+             FROM u GROUP BY variant ORDER BY variant""")),
 
     // weekly cohort retention matrix over all events
     NamedQuery("co01_cohorts",

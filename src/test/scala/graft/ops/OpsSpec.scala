@@ -1000,6 +1000,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!blocked.contains(("kitten", "sitten"))) // k vs s blocks apart
   }
 
+  test("tfidfTop: rare terms outrank common ones, ties break on term") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common zebra common"),
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTop(df, k = 2)
+      .select("doc_id", "rk", "term").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: tf(common)=3 but df=3 (idf=1); rare1 tf=1 df=1 (idf=ln(2)+1≈1.69)
+    // 3*1.0 = 3.0 beats 1.69 → common first, rare1 second
+    assert(r(1L) == Seq("common", "rare1"), s"got ${r(1L)}")
+    assert(r(2L) == Seq("common", "zebra"))
+    assert(r(3L) == Seq("common")) // only one distinct term
+    intercept[IllegalArgumentException] { TextAnalysis.tfidfTop(df, 0) }
+  }
+
+  test("abReadout: assignment deterministic and exhaustive, rates consistent") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = (1 to 40).map(u => (u.toLong, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val purchases = (1 to 40).filter(_ % 4 == 0)
+      .map(u => (u.toLong, ts("2024-01-01 10:30:00"))).toDF("user_id", "ts")
+    val r = Analytics.abReadout(clicks, purchases, "user_id", "ts", 7200L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq("A", "B"))
+    assert(r.map(_._2).sum == 40L) // every user lands somewhere
+    r.foreach { case (_, users, conv, rate) =>
+      assert(conv <= users && rate == math.rint(conv.toDouble / users * 10000) / 10000)
+    }
+    // rerun: identical assignment (no RNG)
+    val again = Analytics.abReadout(clicks, purchases, "user_id", "ts", 7200L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(again == r)
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
