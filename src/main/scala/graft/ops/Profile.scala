@@ -34,6 +34,31 @@ object Profile {
     }.toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Declarative data-quality checks (the Deequ-style expectation
+    * pass a pipeline runs before publishing a table): each rule is a
+    * named row-level predicate; the report counts violations per rule
+    * in ONE aggregate scan (rules become sum-of-failures columns —
+    * adding a rule adds a counter, never a pass). Uniqueness is not a
+    * row predicate — express it as `columnStats` n_rows == n_distinct,
+    * or a groupBy at the call site.
+    */
+  def qualityReport(df: DataFrame,
+                    rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "qualityReport needs at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = rules.map { case (name, pred) =>
+      // null predicate result counts as a violation (fail closed)
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"viol_$name")
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head
+    val nRows = row.getLong(0)
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = row.getLong(1 + i)
+      (name, nRows, v, v == 0L)
+    }.toDF("rule", "n_rows", "n_violations", "passed")
+  }
+
   /** Equal-width histogram of a numeric column: one min/max aggregate
     * fixes the range, then one groupBy over the computed bucket index
     * — two scans, one tiny shuffle of (bucket, count) pairs. Values at

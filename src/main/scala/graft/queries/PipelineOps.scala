@@ -151,6 +151,35 @@ object PipelineOps {
                  count(DISTINCT o_orderpriority) FROM orders)
              ORDER BY 1""")),
 
+    // declarative data-quality report over lineitem: one scan counts
+    // violations for every named expectation (fail-closed on null
+    // predicates — the discount BETWEEN rule exercises real failures
+    // if any row strays)
+    NamedQuery("dq01_quality_report",
+      (s, d) => graft.ops.Profile.qualityReport(
+          Tables.load(s, d, "lineitem"), Seq(
+            "orderkey_not_null" -> col("l_orderkey").isNotNull,
+            "quantity_positive" -> (col("l_quantity") > 0),
+            "discount_in_range" -> col("l_discount").between(0.0, 0.1),
+            "price_positive" -> (col("l_extendedprice") > 0),
+            "ship_not_future" -> (col("l_shipdate") <= lit("2030-01-01"))))
+        .orderBy("rule"),
+      Some("""WITH v AS (SELECT
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+                CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+                CAST(sum(CASE WHEN l_shipdate <= '2030-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS v5
+              FROM lineitem)
+             SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+               SELECT 'orderkey_not_null' AS rule, n_rows, v1 AS n_violations FROM v
+               UNION ALL SELECT 'quantity_positive', n_rows, v2 FROM v
+               UNION ALL SELECT 'discount_in_range', n_rows, v3 FROM v
+               UNION ALL SELECT 'price_positive', n_rows, v4 FROM v
+               UNION ALL SELECT 'ship_not_future', n_rows, v5 FROM v)
+             ORDER BY rule""")),
+
     // Equal-width histogram of order totals (20 buckets, clamped right
     // edge); the oracle replays the same two-pass min/max → bucket
     // arithmetic.

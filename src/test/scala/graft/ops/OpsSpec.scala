@@ -1036,6 +1036,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again == r)
   }
 
+  test("qualityReport: violations counted, null predicate fails closed") {
+    val df = Seq(
+      (Some(1L), 5.0), (Some(2L), -1.0), (None, 3.0)
+    ).toDF("k", "v")
+    val r = Profile.qualityReport(df, Seq(
+        "k_not_null" -> $"k".isNotNull,
+        "v_positive" -> ($"v" > 0),
+        // predicate is NULL for the null-k row → counts as violation
+        "k_small" -> ($"k" < 10)))
+      .select("rule", "n_violations", "passed")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      ("k_not_null", 1L, false),
+      ("k_small", 1L, false), // null k fails closed
+      ("v_positive", 1L, false)), s"got $r")
+    intercept[IllegalArgumentException] { Profile.qualityReport(df, Seq.empty) }
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
