@@ -92,6 +92,27 @@ object Curation {
     df.filter(hexDraw(key) < threshold)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES), deterministic like everything here: the uniform draw u is
+    * the md5 hex of (seed # key) — no RNG — and each row's sort key is
+    * ln(u)/weight (the log-monotone form of u^(1/w); larger weight →
+    * key closer to 0 → more likely in the top-k). Selecting the k
+    * largest keys IS a weighted sample without replacement, as one
+    * TakeOrdered — no shuffle of the corpus, no sequential pass, and
+    * repeatable across runs/engines/retries. Ranking uses the ROUNDED
+    * key with an id tie-break for cross-engine stability.
+    */
+  def weightedSample(df: DataFrame, weight: Column, key: Column, k: Int,
+                     seed: String = "ws1"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat_ws("#", lit(seed), key.cast("string"))), 1, 8),
+      16, 10).cast("long") + 1) / lit(4294967296.0)
+    df.withColumn("es_key",
+        round(log(u) / weight, 6))
+      .orderBy(col("es_key").desc, key.asc)
+      .limit(k)
+  }
+
   /** Leakage-safe train/valid/test split: the md5 draw is keyed on a
     * GROUP column (dedup cluster id, source domain, url host...), so
     * every row of a group lands on the same side — the guard against

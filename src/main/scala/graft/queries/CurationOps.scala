@@ -131,6 +131,21 @@ object CurationOps {
                          ELSE '00000000' END
              ORDER BY doc_id""")),
 
+    // weighted sample without replacement: top-20 docs by the
+    // Efraimidis–Spirakis key ln(u)/n_chars, u from the md5 draw —
+    // longer docs proportionally more likely, zero RNG, one
+    // TakeOrdered
+    NamedQuery("ws01_weighted_sample",
+      (s, d) => Curation.weightedSample(docs(s, d), col("n_chars"),
+          col("doc_id"), k = 20)
+        .select(col("doc_id"), col("n_chars"), col("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+               round(ln((CAST('0x' || substr(md5('ws1#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 1) / 4294967296.0) / n_chars, 6) AS es_key
+             FROM documents
+             ORDER BY es_key DESC, doc_id LIMIT 20""")),
+
     // leakage-safe split: keyed on `source`, so every doc from a
     // domain lands on one side — near-dups inside a domain can never
     // straddle train/test. The oracle replays the same md5 draw and

@@ -1054,6 +1054,30 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Profile.qualityReport(df, Seq.empty) }
   }
 
+  test("weightedSample: heavy rows dominate, deterministic, plan is TakeOrdered") {
+    // 100 heavy rows (w=50) among 900 light (w=1): a 50-sample should
+    // be mostly heavy (each heavy row ~50x more likely than light)
+    val df = (0 until 1000).map(i =>
+      (i.toLong, if (i < 100) 50.0 else 1.0)).toDF("doc_id", "w")
+    val s1 = Curation.weightedSample(df, $"w", $"doc_id", k = 50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.length == 50)
+    val heavy = s1.count(_ < 100)
+    assert(heavy >= 35, s"heavy rows underrepresented: $heavy/50")
+    // deterministic
+    val s2 = Curation.weightedSample(df, $"w", $"doc_id", 50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2)
+    // different seed → different sample
+    val s3 = Curation.weightedSample(df, $"w", $"doc_id", 50, seed = "other")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 != s3)
+    // top-k plans as TakeOrderedAndProject, not a global sort
+    val p = Curation.weightedSample(df, $"w", $"doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
   test("saltedJoin never clobbers a user column named like the salt") {
     val big = Seq((1, "a"), (2, "b")).toDF("k", "__graft_salt")
     val small = Seq((1, "x")).toDF("sk", "sv")
