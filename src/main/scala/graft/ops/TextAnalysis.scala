@@ -215,6 +215,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
 
+  /** Unigram perplexity proxy — the statistical member of the quality
+    * filter family (CCNet/Gopher filter on LM perplexity; a unigram
+    * model is its cheapest deterministic stand-in): score each doc by
+    * the average negative log-likelihood of its tokens under the
+    * corpus' own MLE unigram distribution. Templated/duplicated docs
+    * made of frequent tokens score LOW (predictable); docs of rare
+    * junk tokens score HIGH — both tails are filter candidates.
+    *
+    * Scale shape: one vocabulary count aggregate (the tx05 pass),
+    * broadcast back (vocabularies are small relative to any corpus
+    * worth filtering; swap for a shuffle join if not), then a
+    * scan-speed per-doc average. No smoothing needed: every token is
+    * in the vocabulary by construction (same corpus).
+    */
+  def unigramLogppl(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(split(text, " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).head.getLong(0)
+    toks.join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / lit(total.toDouble))), 4).as("avg_neg_logp"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
     * `numMerges` byte-pair merges from the corpus. The corpus-scale
     * work — building the (word, count) vocabulary — is ONE

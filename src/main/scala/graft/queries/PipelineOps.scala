@@ -329,6 +329,21 @@ object PipelineOps {
                   s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")}) t(id, raw)
               ORDER BY id""")),
 
+    // unigram perplexity proxy: per-doc average -ln p(token) under the
+    // corpus MLE unigram model (the cheap deterministic stand-in for
+    // LM-perplexity quality filtering)
+    NamedQuery("tx11_unigram_ppl",
+      (s, d) => TextAnalysis.unigramLogppl(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+              t AS (SELECT doc_id, term FROM t2 WHERE term != ''),
+              v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+              tot AS (SELECT sum(cnt) AS total FROM v)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(cnt / CAST(total AS DOUBLE))), 4) AS avg_neg_logp
+             FROM t JOIN v USING (term), tot
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // per-doc top-3 TF-IDF terms; ranking on the rounded score with a
     // term tie-break keeps the window deterministic cross-engine
     NamedQuery("tx10_tfidf",

@@ -159,4 +159,54 @@ class TextExpressionsSpec extends AnyFunSuite {
       .count()
     assert(n > 0)
   }
+
+  test("bpe_encode == independent reference encoder on generated inputs (fuzz)") {
+    // straight-line reference: per word, repeatedly apply the
+    // HIGHEST-priority pair present (immutable-list rebuild — written
+    // differently from the expression's array loop on purpose)
+    def reference(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      text.split(" ", -1).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toList :+ "</w>"
+        var go = true
+        while (go) {
+          val present = syms.zip(syms.drop(1)).filter(rank.contains).sortBy(rank)
+          present.headOption match {
+            case None => go = false
+            case Some(best @ (l, r)) =>
+              val out = scala.collection.mutable.ListBuffer.empty[String]
+              var rest = syms
+              while (rest.nonEmpty) rest match {
+                case a :: b :: tail if (a, b) == best =>
+                  out += (l + r); rest = tail
+                case a :: tail => out += a; rest = tail
+                case Nil => ()
+              }
+              syms = out.toList
+          }
+        }
+        syms
+      }
+    }
+    import org.scalacheck.Gen
+    val sym = Gen.oneOf("a", "b", "c", "d")
+    val word = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, sym).map(_.mkString))
+    val text = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val pair = for { l <- sym; r <- sym } yield (l, r)
+    val mergesGen = Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, pair).map(_.distinct))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val cases = Iterator.iterate(seed)(_.next).take(80).flatMap { s =>
+      for { t <- text.apply(Gen.Parameters.default, s)
+            m <- mergesGen.apply(Gen.Parameters.default, s.next) } yield (t, m)
+    }.toSeq
+    TextFunctions.register(spark)
+    cases.foreach { case (t, merges) =>
+      val got = Seq((1L, t)).toDF("id", "text")
+        .select(TextFunctions.bpe_encode($"text", merges).as("toks"))
+        .head.getSeq[String](0)
+      val want = reference(t, merges)
+      assert(got == want, s"text='$t' merges=$merges got=$got want=$want")
+    }
+  }
 }
