@@ -647,6 +647,53 @@ object PipelineOps {
     // pair generation, then computes exact components with a recursive
     // CTE (min label reachable from each node) and the same
     // longest-text/min-id canonical pick.
+    // THE near-dup leakage guard end-to-end: split keyed on the dup
+    // CLUSTER id (dd06's connected components), so a test doc's
+    // near-twin can never land in train. Oracle = dd06's proven
+    // cluster CTEs + sp02's md5 threshold replay; emits every doc's
+    // cluster and side.
+    NamedQuery("sp03_cluster_split",
+      (s, d) => {
+        val dcs = docs(s, d)
+        val clusters = Dedup.dupClusters(dcs, Dedup.ngramJaccard(dcs))
+          .select(col("doc_id"), col("cluster_id"))
+        graft.ops.Curation.groupSplit(clusters, col("cluster_id"),
+            trainFrac = 0.8, validFrac = 0.1)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              keyed AS (SELECT doc_id, len(sh) AS sz,
+                          substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
+              ex0 AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex AS (SELECT doc_id, sz, block, g FROM
+                       (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 1000),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.block = y.block AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4),
+              pairs AS (SELECT id_a, id_b FROM inter
+                        WHERE inter / (sz_a + sz_b - inter) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lab) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+              cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+              member AS (SELECT d.doc_id,
+                           coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+                         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+             SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5('split#' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                      < '${graft.ops.Curation.hexThreshold(0.8)}' THEN 'train'
+                    WHEN substr(md5('split#' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                      < '${graft.ops.Curation.hexThreshold(0.9)}' THEN 'valid'
+                    ELSE 'test' END AS split
+             FROM member ORDER BY doc_id""")),
+
     NamedQuery("dd06_dup_clusters",
       (s, d) => {
         val dcs = docs(s, d)
