@@ -56,7 +56,16 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"cold_total":$coldTotal,"cold_queries":${dict(cold)},"sf":"$sfDir"}""")
+    // Detail line first (cold dict, then warm dict), COMPACT summary
+    // line LAST: the driver keeps only the final ~2000 chars of
+    // stdout, so the line it can always capture and parse whole must
+    // be the small one carrying the warm/cold totals and the slowest
+    // warm queries — that is what makes the ≤2x-of-baseline gate
+    // independently verifiable from the driver artifact.
+    println(s"""{"detail":"full","cold_queries":${dict(cold)},"warm_queries":${dict(results)}}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -200,7 +200,11 @@ case class BpeEncode(child: Expression, packedMerges: String)
 
   def compute(t: UTF8String): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    t.toString.split(" ", -1).foreach { w =>
+    // Same tokenizer as bpeTrain (TextAnalysis.scala): split on any
+    // whitespace run and drop empty words — tabs/newlines/repeated
+    // spaces must produce the words the trainer saw, never a spurious
+    // bare "</w>" token.
+    t.toString.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
       var syms = new Array[String](w.length + 1)
       var i = 0
       while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }

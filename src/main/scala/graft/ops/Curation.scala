@@ -107,7 +107,13 @@ object Curation {
     require(k > 0, s"k must be positive: $k")
     val u = (conv(substring(md5(concat_ws("#", lit(seed), key.cast("string"))), 1, 8),
       16, 10).cast("long") + 1) / lit(4294967296.0)
-    df.withColumn("es_key",
+    // A-ES is only defined for positive weights: weight 0 makes
+    // ln(u)/w null/-inf and a negative weight INVERTS the ranking
+    // (least-weighted rows become most likely). Rows with w <= 0 have
+    // zero selection probability by definition, so filter them out
+    // rather than let them corrupt the top-k silently.
+    df.filter(weight > 0)
+      .withColumn("es_key",
         round(log(u) / weight, 6))
       .orderBy(col("es_key").desc, key.asc)
       .limit(k)

@@ -46,8 +46,10 @@ object Dedup {
   def incrementalDedup(newBatch: DataFrame, base: DataFrame,
                        text: Column = col("text")): DataFrame = {
     def contentHash(t: Column) = md5(lower(trim(t)))
+    // same normalization as the exact hash: a case-variant
+    // permutation of a base doc must hit this guard too
     def setFp(t: Column) =
-      md5(concat_ws(" ", array_sort(array_distinct(split(t, "\\s+")))))
+      md5(concat_ws(" ", array_sort(array_distinct(split(lower(trim(t)), "\\s+")))))
     val ch = "__dd_content_hash"
     val fp = "__dd_set_fp"
     require(!newBatch.columns.exists(c => c == ch || c == fp),

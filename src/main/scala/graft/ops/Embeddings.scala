@@ -123,9 +123,22 @@ object Embeddings {
                   sampleN: Int = 0): Array[Array[Array[Float]]] = {
     require(m > 0 && k > 0 && k <= 256, s"need 0 < k <= 256 codes (one byte), got m=$m k=$k")
     val n = if (sampleN > 0) sampleN else math.min(4096, math.max(k * 32, 256))
-    val sample: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(n)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    // Deterministic but decorrelated from storage order: ranking by a
+    // hash of vec_id is a repeatable pseudo-random draw (the
+    // hashSample/hexDraw pattern), so a corpus sorted by label/source/
+    // time still yields representative codebooks — taking the first n
+    // by raw vec_id would train on one biased slice. The DRAW picks
+    // which rows; the drawn sample is then re-sorted by vec_id so the
+    // evenly-spaced init is stable under the draw's arbitrary order
+    // (and identical to the pre-draw behavior when n covers the
+    // corpus).
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(md5(concat_ws("#", lit("pqsample"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(n)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "pqCodebooks: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")

@@ -451,16 +451,22 @@ object PipelineOps {
              FROM c, t ORDER BY cnt DESC, user_id ASC LIMIT 20""")),
 
     // Per-label mean embeddings (class prototypes); rounding at 4
-    // makes the float-sum order irrelevant to the hash compare.
+    // makes the float-sum order irrelevant to the hash compare. The
+    // operator returns one array per label; the GATE explodes it to
+    // (label, d, m) scalars because the oracle comparator hashes cell
+    // values and cannot hash an array cell.
     NamedQuery("em04_label_centroids",
-      (s, d) => Embeddings.labelCentroids(embs(s, d)).orderBy("label"),
-      Some("""WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS d,
-                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-              m AS (SELECT label, d, round(avg(v), 4) AS m,
-                      CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
-             SELECT label, any_value(n) AS n_vectors,
-               list(m ORDER BY d) AS centroid
-             FROM m GROUP BY label ORDER BY label""")),
+      (s, d) => Embeddings.labelCentroids(embs(s, d))
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("d0", "m")))
+        .select(col("label"), col("n_vectors"),
+          (col("d0") + 1).cast("int").as("d"), col("m"))
+        .orderBy("label", "d"),
+      Some("""WITH e AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS d,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+             SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, d,
+               round(avg(v), 4) AS m
+             FROM e GROUP BY label, d ORDER BY label, d""")),
 
     // Hard negatives: top-5 most-similar vectors with a DIFFERENT
     // label for the first 10 queries — the contrastive-training
@@ -547,7 +553,7 @@ object PipelineOps {
       },
       Some("""WITH k AS (SELECT doc_id, lang, md5(lower(trim(text))) AS ch,
                       md5(array_to_string(list_sort(list_distinct(
-                        string_split_regex(text, '\s+'))), ' ')) AS fp
+                        string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
                     FROM documents)
              SELECT n.doc_id, n.lang FROM k n
              WHERE n.doc_id >= 400

@@ -145,8 +145,9 @@ class TextExpressionsSpec extends AnyFunSuite {
     // "tes" = t e s </w> → t es </w> (es+t is (es,t), t precedes es here)
     assert(enc(1).getSeq[String](0) ==
       Seq("a", "a", "a", "a", "</w>", "t", "es", "</w>"))
-    // empty text: one empty word → just the end marker
-    assert(enc(2).getSeq[String](0) == Seq("</w>"))
+    // empty text: no words (same tokenizer as bpeTrain, which filters
+    // empties) → no tokens, not a spurious bare end marker
+    assert(enc(2).getSeq[String](0) == Seq.empty[String])
     // overlap: merge (a,a) fuses left-to-right without reusing output
     val runs = Seq((1L, "aaaa")).toDF("id", "text")
     val r = runs.select(TextFunctions.bpe_encode($"text", Seq(("a", "a"))).as("t"))
@@ -166,7 +167,9 @@ class TextExpressionsSpec extends AnyFunSuite {
     // differently from the expression's array loop on purpose)
     def reference(text: String, merges: Seq[(String, String)]): Seq[String] = {
       val rank = merges.zipWithIndex.toMap
-      text.split(" ", -1).toSeq.flatMap { w =>
+      // same tokenizer contract as bpeTrain/BpeEncode: \s+ split,
+      // empty words dropped
+      text.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
         var syms = w.map(_.toString).toList :+ "</w>"
         var go = true
         while (go) {
@@ -191,7 +194,14 @@ class TextExpressionsSpec extends AnyFunSuite {
     import org.scalacheck.Gen
     val sym = Gen.oneOf("a", "b", "c", "d")
     val word = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, sym).map(_.mkString))
-    val text = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    // separators cover the whole tokenizer contract: runs of spaces,
+    // tabs, newlines — not just single spaces
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text = for {
+      n <- Gen.choose(1, 5)
+      sep <- ws
+      words <- Gen.listOfN(n, word)
+    } yield words.mkString(sep)
     val pair = for { l <- sym; r <- sym } yield (l, r)
     val mergesGen = Gen.choose(0, 4).flatMap(n =>
       Gen.listOfN(n, pair).map(_.distinct))
