@@ -113,6 +113,36 @@ object ScaleCheck {
     }
   }
 
+  /** ml01 ANN scaling probe (`runMain graft.ScaleCheck ml`): grow the
+    * sf0.1 embeddings ×5 and ×20 (jittered replicas, labels kept) and
+    * run full-corpus labelAgreement with annThreshold = 0, forcing the
+    * LSH candidate path. The brute-force default this replaced is
+    * O(N²) — ×4 corpus → ×16 work; the bucketed path must show ~linear
+    * slope (bitsFor scales the bucket count with the corpus, so
+    * expected bucket population — and pairs per vector — stays
+    * constant).
+    */
+  private def mlScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    for (mult <- Seq(5, 20)) {
+      val corpus = (0 until mult).map(i =>
+          base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + lit(i * 0.001f)).cast("float")).as("embedding"),
+            col("label")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Similarity
+        .labelAgreement(corpus, k = 5, annThreshold = 0).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ml x$mult n=$n%d agreementRows=$rows%d sec=$sec%.1f " +
+        f"(${n / sec}%.0f vec/s)")
+      corpus.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -136,6 +166,11 @@ object ScaleCheck {
     }
     if (path == "pq") {
       pqScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "ml") {
+      mlScale(spark)
       spark.stop()
       return
     }

@@ -24,10 +24,20 @@ object Fuzzy {
     * levenshtein(a, b) <= maxDist. `extraBlock` optionally adds an
     * equi-block expression evaluated on the value (e.g.
     * `substring(_, 1, 1)`) to subdivide hot bands.
+    *
+    * `maxBucket` is the quadratic guard (same contract as the Dedup/
+    * Similarity family): a (length[, block]) bucket holding more than
+    * maxBucket distinct values on the UNBANDED side is dropped whole
+    * — its pairs would cost O(bucket²) — and the drop is counted via
+    * the `graft.fuzzy_pairs.drops` observed metric, never silent.
+    * Only the unbanded side is filtered: the within-bucket pairs (the
+    * quadratic cost) all verify against a b-row of the hot length, so
+    * they are all eliminated, while a hot-bucket VALUE still pairs
+    * across bands whenever its partner's length bucket is cold.
     */
   def fuzzyPairs(df: DataFrame, column: String, maxDist: Int,
-                 extraBlock: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
-      : DataFrame = {
+                 extraBlock: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+                 maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
     val names = df.select(col(column).as("__fz_val")).filter(col("__fz_val").isNotNull).distinct()
     def blocked(side: String, banded: Boolean) = {
@@ -39,9 +49,10 @@ object Fuzzy {
         else base.withColumn("__fz_len", length(col(side)))
       extraBlock.foldLeft(withLen)((d, f) => d.withColumn("__fz_blk", f(col(side))))
     }
-    val a = blocked("name_a", banded = true)
-    val b = blocked("name_b", banded = false)
     val joinKeys = "__fz_len" +: extraBlock.map(_ => "__fz_blk").toSeq
+    val a = blocked("name_a", banded = true)
+    val b = OpsMetrics.rowGuarded(blocked("name_b", banded = false),
+      joinKeys, maxBucket, "graft.fuzzy_pairs.drops")
     a.join(b, joinKeys)
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))

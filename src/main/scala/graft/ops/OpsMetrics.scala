@@ -88,6 +88,36 @@ object OpsMetrics {
       })
     }
 
+  /** Row-level bucket guard for join-shaped operators (no
+    * group-collect `m` array): drops every row of a (keys)-bucket
+    * holding more than maxBucket rows, counting dropped buckets and
+    * rows like `guarded`. Unlike `guarded` it KEEPS singleton buckets
+    * — in a band-blocked join a lone member still pairs with rows
+    * from other bands, so size-1 is not skippable there. One window
+    * shuffle on the bucket keys, no collect.
+    */
+  private[ops] def rowGuarded(df: DataFrame, keys: Seq[String], maxBucket: Int,
+                              metric: String): DataFrame = {
+    val spark = df.sparkSession
+    val g = Guard(
+      spark.sparkContext.longAccumulator(s"$metric.dropped_buckets"),
+      spark.sparkContext.longAccumulator(s"$metric.dropped_rows"))
+    guards.put(metric, g)
+    warnedAt.remove(metric)
+    install(spark)
+    val keep = udf { (n: Long, rn: Int) =>
+      if (n > maxBucket) { if (rn == 1) g.buckets.add(1L); g.rows.add(1L); false }
+      else true
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__g_n", count(lit(1)).over(w))
+      // any total order works: rn==1 just nominates one row per
+      // bucket to count the bucket itself
+      .withColumn("__g_rn", row_number().over(w.orderBy(keys.map(col): _*)))
+      .filter(keep(col("__g_n"), col("__g_rn")))
+      .drop("__g_n", "__g_rn")
+  }
+
   /** Bucket-size guard over a group-collect result with an `m` array
     * column: keeps buckets of size 2..maxBucket (as before), counts
     * what the upper bound drops.

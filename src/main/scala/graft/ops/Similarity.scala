@@ -117,16 +117,37 @@ object Similarity {
     * probable label noise (confident-learning style); per-class mean
     * agreement measures class separability before training.
     *
-    * Gate-scale implementation ranks against the full corpus (the
-    * query side is the corpus itself — fine to a few thousand rows);
-    * at 100 TB swap the exact ranking for ANN candidates (ivfTopK /
-    * lshTopK) and keep the same label join + aggregate, which shuffle
-    * only (vec_id, label) pairs.
+    * Scale shape: with an explicit (small) `queries` set the exact
+    * broadcast ranking runs. In full-corpus mode (`queries = None`)
+    * the query side IS the corpus, and broadcasting it is O(N²) — so
+    * above `annThreshold` rows the ranking automatically switches to
+    * LSH candidates (lshTopK: bucketed, corpus-scaled bit count,
+    * maxBucket-guarded — never all-pairs) and keeps the same label
+    * join + aggregate, which shuffle only (vec_id, label) pairs.
+    * The ANN path is approximate two ways: neighbors come from shared
+    * buckets only, and a vector whose buckets hold no other member
+    * gets no row (no neighbors to agree with) — both standard for
+    * confident-learning screens, which need agreement STATISTICS, not
+    * exact neighbor sets. Keep `annThreshold` at the largest size the
+    * exact path can afford; force either path in tests by setting it
+    * to 0 / Long.MaxValue.
     */
   def labelAgreement(corpus: DataFrame, k: Int = 5,
-                     queries: Option[DataFrame] = None): DataFrame = {
+                     queries: Option[DataFrame] = None,
+                     annThreshold: Long = 50000,
+                     annTables: Int = 4): DataFrame = {
     val labels = corpus.select(col("vec_id"), col("label"))
-    val topk = bruteForceTopK(corpus, queries.getOrElse(corpus), k)
+    val topk = queries match {
+      case Some(q) => bruteForceTopK(corpus, q, k)
+      case None =>
+        val n = corpus.count()
+        if (n <= annThreshold) bruteForceTopK(corpus, corpus, k)
+        else {
+          // dim from one row — bounded driver action, same as count
+          val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+          lshTopK(corpus, dim, k, tables = annTables)
+        }
+    }
     topk
       .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")),
         "query_id")

@@ -849,6 +849,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelAgreement: ANN path engages above threshold and still flags the planted mislabel") {
+    // same planted clusters as the exact-path test; annThreshold = 0
+    // forces the full-corpus mode onto LSH candidates (the 100 TB path)
+    val embs = (0 until 20).map { i =>
+      val c = if (i == 19) 0 else i % 2
+      val lab = if (i == 19) 1 else c
+      (i.toLong, Array.tabulate(4)(d => c * 10.0f + d + i * 0.001f).toSeq, lab)
+    }.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val ann = Similarity.labelAgreement(embs, k = 5, annThreshold = 0)
+      .select("vec_id", "label", "agreement")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    // tight clusters share hyperplane sign patterns, so the intruder
+    // must surface with its cluster and disagree with every neighbor
+    val planted = ann.find(_._1 == 19L)
+    assert(planted.isDefined, s"planted point missing from ANN agreement: ${ann.toSeq}")
+    assert(planted.get._3 == 0.0, s"mislabeled point not flagged: ${planted.get}")
+    // vectors the buckets do surface must still look clean
+    ann.filter(_._1 != 19L).foreach { case (id, _, a) =>
+      assert(a >= 0.8, s"clean point $id suspicious via ANN: $a")
+    }
+  }
+
   test("bpeTrain: classic corpus learns (e,s)(es,t)(est,</w>), overlaps merge greedily") {
     // Sennrich et al.'s worked example: low x5, lower x2, newest x6, widest x3
     val corpus = (
@@ -998,6 +1021,23 @@ class OpsSpec extends AnyFunSuite {
       .select("name_a", "name_b").as[(String, String)].collect().toSet
     assert(blocked.contains(("belt", "bolt")))
     assert(!blocked.contains(("kitten", "sitten"))) // k vs s blocks apart
+  }
+
+  test("fuzzyPairs: over-maxBucket length band drops whole and is counted") {
+    // 12 length-5 values (one hot band) + a cold length-4 pair
+    val hot = (0 until 12).map(i => f"hot$i%02d")
+    val df = (hot ++ Seq("belt", "bolt")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "name")
+    val pairs = Fuzzy.fuzzyPairs(df, "name", maxDist = 2, maxBucket = 10)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    // the hot band's quadratic pairs are gone; the cold band survives
+    assert(pairs == Set(("belt", "bolt")), s"got $pairs")
+    assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((1L, 12L)),
+      s"drop metric: ${OpsMetrics.lastDrops("graft.fuzzy_pairs.drops")}")
+    // under the limit nothing drops and the hot pairs come back
+    val free = Fuzzy.fuzzyPairs(df, "name", maxDist = 2, maxBucket = 1000)
+    assert(free.count() > 1)
+    assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((0L, 0L)))
   }
 
   test("tfidfTop: rare terms outrank common ones, ties break on term") {
