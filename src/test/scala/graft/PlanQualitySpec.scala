@@ -28,6 +28,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "no partial aggregation found")
   }
 
+  test("q44 scale path: approx_percentile plans ObjectHashAggregate with a partial sketch") {
+    // the q43 docstring promises this as the 100 TB percentile form:
+    // a mergeable t-digest-style sketch, combined map-side BEFORE the
+    // shuffle (constant memory per group, no per-group value buffers).
+    // The q44 GATE query adds the exact percentile alongside for its
+    // oracle bound, so assert on the pure scale-path aggregate.
+    import org.apache.spark.sql.functions.{col, expr}
+    val p = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(p.contains("partial_approx_percentile"),
+      s"no map-side partial sketch: ${p.take(600)}")
+  }
+
   test("q41: MERGE hint plans a sort-merge join") {
     val p = planOf("q41_merge_join")
     assert(p.contains("SortMergeJoin"), p.take(400))

@@ -100,6 +100,26 @@ class IngestSpec extends AnyFunSuite {
     assert(clean.untyped.count() == 4)
   }
 
+  test("URI dispatch: scheme-qualified paths route to the Hadoop-FS layer (I3, runs3tests.sh analog)") {
+    // file:// is the offline stand-in for s3a://bucket/key — both are
+    // scheme-qualified URIs that must pass straight through to the
+    // Hadoop FS read path (no http temp-file fetch, no local special
+    // case). A full s3a read needs credentials + network, untestable
+    // here; the reference covers it in runs3tests.sh against minio.
+    val ing = Ingest.csv(spark, "file://" + res("typeinfer.csv"))
+    assert(ing.untyped.count() == 4)
+    // s3a also routes to Hadoop FS: with no s3a implementation on the
+    // offline classpath, the failure mode NAMES the scheme — proof the
+    // URI reached the FS layer rather than some path-string fallback
+    val e = intercept[Exception] {
+      Ingest.csv(spark, "s3a://bucket/key.csv").untyped.count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.toLowerCase.contains("s3")),
+      s"expected an s3-scheme FS error, got: ${chain(e).mkString(" <- ")}")
+  }
+
   test("auto-encoding probe samples head/middle/tail: late Latin-1 detected past budget") {
     // 300 KB of clean ASCII, then a Latin-1 byte near the END — far
     // past a 64 KB probe budget. Prefix-only probing (the round-4
