@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Cross-check the RefCorpusSpec golden against the reference's own
+dbinfo.expected: per fixture source, compare row count and the inferred
+column-type list (normalized). Cosmetic renderer differences (friendly
+names, table ids, whitespace and `nullable(x)` vs `nullable x` spelling
+inside JSON type strings) are out of scope — the INFERENCE is the
+contract. Deliberate, documented behavior divergences are listed in
+KNOWN below and reported without failing.
+
+Usage: python3 tools/crosscheck_refcorpus.py [ours] [theirs]
+  ours   default src/test/resources/refcorpus_dbinfo.golden
+  theirs default /root/reference/clients/cmdline/test-cases/dbinfo.expected
+"""
+import re, sys
+
+# fixture -> why our result legitimately differs (documented FIXTURES.md A)
+KNOWN = {
+    "023_invalid-01.json":
+        "invalid JSON is rejected loudly; the reference half-ingests a "
+        "0-row source with a partial inferred type",
+    "004_quotes3.csv":
+        "unterminated mid-file quote: the reference's parser swallows to "
+        "EOF and silently DROPS the record (1 row, BOOLEAN/INTEGER); this "
+        "engine keeps the malformed row as literal text (2 rows, TEXT) — "
+        "no silent data loss",
+    "005_quotes4.csv":
+        "same unterminated-quote shape on the final record (theirs 4 "
+        "rows, ours 5)",
+}
+
+def strip_fn_parens(s):
+    """nullable(X) / optional(X) -> nullableX / optionalX (balanced)."""
+    while True:
+        m = re.search(r"(nullable|optional)\(", s)
+        if not m: return s
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            depth += {"(": 1, ")": -1}.get(s[i], 0)
+            i += 1
+        if depth: return s  # unbalanced — leave as-is
+        s = s[:m.end() - 1] + s[m.end():i - 1] + s[i:]
+
+def norm_type(t):
+    t = re.sub(r"\s+", "", t)
+    # our optional-key spelling "k"?:T == their "k":optionalT
+    t = re.sub(r'("([^"]|\\")*")\?:', r"\1:optional", t)
+    return strip_fn_parens(t)
+
+def parse(path, only_tests=False):
+    """{source-name: (rowcount, [types])} from a dbinfo-style dump.
+    Long JSON types wrap over continuation lines in the reference's
+    renderer; they are folded back into the column's type."""
+    out, name, rows, types = {}, None, None, []
+    in_columns = False
+    for line in open(path, encoding="utf-8"):
+        m = re.match(r"^(\S.*) \(version (\d+)\)", line)
+        if m:
+            if name: out[name] = (rows, types)
+            name, rows, types, in_columns = m.group(1), None, [], False
+            continue
+        if re.match(r"^\s+columns\s*$", line):
+            in_columns = True
+            continue
+        m = re.match(r"^\s+row count\s+(\d+)", line)
+        if m: rows = int(m.group(1)); continue
+        m = re.match(r"^\s+c\d+\t([^\t]+)(\t|$)", line)
+        if m:
+            types.append(m.group(1).rstrip("\n"))
+            continue
+        # continuation of a wrapped type: deep-indented, no tab-led cN
+        m = re.match(r"^\s{8,}(\S.*)$", line)
+        if m and in_columns and types:
+            cont = m.group(1)
+            cont = cont.split("\t")[0]  # drop the trailing name cell
+            types[-1] += cont
+    if name: out[name] = (rows, types)
+    for k in out:
+        out[k] = (out[k][0], [norm_type(t) for t in out[k][1]])
+    if only_tests:  # theirs also records gen/ scale sources; keep tests/ only
+        out = {k: v for k, v in out.items() if re.match(r"^\d{3}_", k)}
+    return out
+
+def main(ours_path, theirs_path):
+    ours = parse(ours_path)
+    theirs = parse(theirs_path, only_tests=True)
+    diffs = []
+    for name in sorted(theirs):
+        if name not in ours:
+            diffs.append((name, "missing from ours (rejected?)"))
+            continue
+        (orows, otypes), (trows, ttypes) = ours[name], theirs[name]
+        if orows != trows:
+            diffs.append((name, f"row count ours={orows} theirs={trows}"))
+        if otypes != ttypes:
+            diffs.append((name, f"types ours={otypes} theirs={ttypes}"))
+    for name in sorted(set(ours) - set(theirs)):
+        diffs.append((name, "extra in ours"))
+    real = []
+    for name, d in diffs:
+        if name in KNOWN:
+            print(f"KNOWN-DIVERGENCE {name}: {d}\n    reason: {KNOWN[name]}")
+        else:
+            real.append(f"{name}: {d}")
+    if real:
+        print(f"DIVERGES ({len(real)}):")
+        for d in real: print(" ", d)
+        sys.exit(1)
+    agree = len([n for n in theirs if n not in KNOWN])
+    print(f"MATCH: {agree} sources agree on row count + inferred types "
+          f"({len(KNOWN)} documented divergences)")
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         "src/test/resources/refcorpus_dbinfo.golden",
+         sys.argv[2] if len(sys.argv) > 2 else
+         "/root/reference/clients/cmdline/test-cases/dbinfo.expected")
