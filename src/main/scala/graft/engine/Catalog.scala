@@ -36,7 +36,12 @@ final case class SourceEntry(
     jsonType: String,            // rendered JsonType for JSON sources ("" otherwise)
     rowCount: Long,
     compactedPath: String) {     // "" unless this version lives in a compacted table
-  def viewName: String = s"${name}_v$version"
+  /** SQL-registrable view name, sanitized like the reference's
+    * `_001_simple_csv_v1` views (SensibleNames; a raw `people.csv_v1`
+    * is not a valid temp-view identifier). The version suffix survives
+    * truncation whole.
+    */
+  def viewName: String = Names.sanitize(name, s"_v$version")
 }
 
 class Catalog(val spark: SparkSession, val warehouse: String) {
@@ -187,11 +192,15 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     sb.toString
   }
 
-  /** Register `<name>_vN` (+ `_typed`) temp views for the SQL surface. */
+  /** Register `<name>_vN` (+ bare latest) temp views for the SQL
+    * surface; both names pass Names.sanitize so any ingested source
+    * name (dots, spaces, leading digits) is queryable.
+    */
   def registerViews(): Unit = entries.foreach { e =>
     view(e.name, e.version).createOrReplaceTempView(e.viewName)
     if (!entries.exists(x => x.name == e.name && x.version > e.version))
-      view(e.name, e.version).createOrReplaceTempView(e.name) // bare name = latest
+      view(e.name, e.version) // bare name = latest
+        .createOrReplaceTempView(Names.sanitize(e.name, ""))
   }
 
   /** Column-type override + re-type (reference DB/ColumnSpec.hs:182-189,
@@ -237,6 +246,18 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Tag / untag (I19; DB/Tags.hs). */
+  /** Manual deprecation toggle (reference API SourceSetDeprecated,
+    * Interface/API.hs:202-207); ingest still auto-deprecates older
+    * versions independently.
+    */
+  def setDeprecated(name: String, version: Int, flag: Boolean): Unit = {
+    val es = entries
+    require(es.exists(e => e.name == name && e.version == version),
+      s"no source $name v$version")
+    commit(es.map(e =>
+      if (e.name == name && e.version == version) e.copy(deprecated = flag) else e))
+  }
+
   def tag(name: String, version: Int, t: String): Unit =
     commit(entries.map(e =>
       if (e.name == name && e.version == version && !e.tags.contains(t))

@@ -16,26 +16,29 @@ object Export {
       .option("emptyValue", "")
       .csv(path)
 
-  /** Driver-side CSV string (the HTTP-download analog; for tests and
-    * small results only — streams via toLocalIterator, never collect).
+  private def escape(s: String): String =
+    if (s == null) ""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** CSV record lines (header first), one partition in driver memory at
+    * a time via toLocalIterator — the streaming-response shape: an HTTP
+    * handler writes each line out as it is produced instead of
+    * buffering the result (reference Server/Servant/Conduit.hs).
     */
-  def csvString(df: DataFrame): String = {
-    val sb = new StringBuilder
-    def escape(s: String): String =
-      if (s == null) ""
-      else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-        "\"" + s.replace("\"", "\"\"") + "\""
-      else s
-    sb.append(df.columns.map(escape).mkString(",")).append('\n')
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      sb.append((0 until r.length).map(i =>
-        escape(if (r.isNullAt(i)) null else r.get(i).toString)).mkString(","))
-        .append('\n')
-    }
-    sb.toString
+  def csvLines(df: DataFrame): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    Iterator.single(df.columns.map(escape).mkString(",")) ++
+      df.toLocalIterator().asScala.map { r =>
+        (0 until r.length).map(i =>
+          escape(if (r.isNullAt(i)) null else r.get(i).toString)).mkString(",")
+      }
   }
+
+  /** Driver-side CSV string (for tests and small results). */
+  def csvString(df: DataFrame): String =
+    csvLines(df).mkString("", "\n", "\n")
 
   /** JSON-lines export (one object per row). */
   def json(df: DataFrame, path: String): Unit =

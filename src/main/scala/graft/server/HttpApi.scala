@@ -1,0 +1,330 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.engine._
+
+/** REST facade over the engine — the reference's servant API
+  * (server/src/Lagoon/Server/API.hs, route tree Interface/API.hs:113-121)
+  * re-expressed over the JDK's built-in HttpServer: zero dependencies,
+  * handler bodies are one-line delegations to the library surfaces the
+  * engine already gates (Catalog / Search / SqlGate / Export / Acl).
+  *
+  * Routes (reference analog in parens):
+  *   POST   /user/login?user=U            (UserLogin; token in JSON)
+  *   POST   /user/logout                  (UserLogout; X-Token header)
+  *   POST   /users?name=U                 (UsersCreate)
+  *   POST   /groups?name=G                (GroupsCreate, by session user)
+  *   POST   /group/{G}/users              (GroupAddUser; body = username)
+  *   GET    /sources?...                  (SourcesGet; SourcesSpec params,
+  *                                         X-Total-Count header)
+  *   POST   /sources?name=N&kind=csv|json (SourcesPost; body = data)
+  *   POST   /sources/compact?name=N       (SourcesCompact)
+  *   GET    /source/name/{N}              (SourceByName; latest version)
+  *   GET    /source/{N}/{v}               (SourceGet)
+  *   DELETE /source/{N}[/{v}]             (SourceDelete)
+  *   POST   /source/{N}/{v}/tags          (SourceTagsPost; body = JSON array)
+  *   DELETE /source/{N}/{v}/tag/{T}       (SourceTagDelete)
+  *   GET    /source/{N}/{v}/download      (SourceDownload; CSV stream, raw
+  *                                         JSON passthrough for JSON sources)
+  *   POST   /source/{N}/{v}/deprecated    (SourceSetDeprecated; body bool)
+  *   POST   /source/{N}/{v}/column/{i}/type (ColumnSetType; body = type name)
+  *   POST   /source/{N}/public            (SourceSetPublic; body bool)
+  *   POST   /source/{N}/userAccessLevel/{U}  (body READ|UPDATE|MANAGE)
+  *   POST   /source/{N}/groupAccessLevel/{G} (body READ|UPDATE|MANAGE)
+  *   POST   /sql                          (SQL; body = query, Accept picks
+  *                                         text/csv vs application/json)
+  *   GET    /dbinfo                       (dump-db-info analog)
+  *
+  * Scale notes: /sql and /download write the response with
+  * Export.csvLines (toLocalIterator — one partition in driver memory
+  * at a time, the Conduit.hs streaming analog), never a collect.
+  * Session/ACL state is in-memory (the reference keeps it in Postgres
+  * tables); catalog mutations serialize on one lock, reads are
+  * lock-free against the parquet-backed catalog.
+  */
+class HttpApi(val cat: Catalog) {
+
+  private val spark = cat.spark
+  private val lock = new Object
+  // bootstrap admin: may create users/groups (reference's initial
+  // lagoonadmin); everything else is granted per-source via the ACL
+  private val acl = new AtomicReference(
+    Acl.State(canCreate = Set("root"), canCreateGroup = Set("root"))
+      .addUser("root"))
+  private val sessions = new ConcurrentHashMap[String, String]() // token -> user
+
+  private var server: HttpServer = _
+
+  /** Bind (port 0 = ephemeral) and start; returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---------------- tiny JSON rendering (no deps) ----------------
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def sourceJson(e: SourceEntry): String = {
+    val cols = e.colTypes.indices.map { i =>
+      s"""{"ix":${i + 1},"name":${jstr(e.friendlyNames(i))},""" +
+        s""""type":${jstr(e.colTypes(i))},"header":${jstr(e.headers.lift(i).getOrElse(""))}}"""
+    }.mkString("[", ",", "]")
+    s"""{"ix":${e.ix},"name":${jstr(e.name)},"version":${e.version},""" +
+      s""""created":${jstr(e.created)},"addedBy":${jstr(e.addedBy)},""" +
+      s""""description":${jstr(e.description)},"deprecated":${e.deprecated},""" +
+      s""""tags":${e.tags.map(jstr).mkString("[", ",", "]")},""" +
+      s""""kind":${jstr(e.kind)},"rowCount":${e.rowCount},"columns":$cols}"""
+  }
+
+  // ---------------- request plumbing ----------------
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (URLDecoder.decode(kv, UTF_8), "")
+        else (URLDecoder.decode(kv.take(i), UTF_8),
+              URLDecoder.decode(kv.drop(i + 1), UTF_8))
+      }.groupMap(_._1)(_._2)
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def send(ex: HttpExchange, code: Int, content: String,
+                   cType: String = "application/json",
+                   headers: Map[String, String] = Map.empty): Unit = {
+    val bytes = content.getBytes(UTF_8)
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.getResponseHeaders.set("Content-Type", cType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Chunked streaming response fed line-by-line (Conduit.hs analog). */
+  private def stream(ex: HttpExchange, lines: Iterator[String],
+                     cType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", cType)
+    ex.sendResponseHeaders(200, 0) // 0 = chunked
+    val out = ex.getResponseBody
+    lines.foreach { l => out.write(l.getBytes(UTF_8)); out.write('\n') }
+    out.close()
+    ex.close()
+  }
+
+  private def sessionUser(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Token"))
+      .flatMap(t => Option(sessions.get(t)))
+      .getOrElse("root")
+
+  private def parseLevel(s: String): Acl.Level = s.trim.toUpperCase match {
+    case "READ" => Acl.LevelRead
+    case "UPDATE" => Acl.LevelUpdate
+    case "MANAGE" => Acl.LevelManage
+    case "NONE" => Acl.LevelNone
+    case other => throw new IllegalArgumentException(s"unknown level: $other")
+  }
+
+  private def entry(name: String, version: Int): SourceEntry =
+    cat.entries.find(e => e.name == name && e.version == version)
+      .getOrElse(throw new NoSuchElementException(s"$name v$version"))
+
+  // ---------------- routing ----------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case SqlGate.Denied(r) => send(ex, 403, s"""{"error":${jstr(r)}}""")
+      case e: NoSuchElementException =>
+        send(ex, 404, s"""{"error":${jstr(Option(e.getMessage).getOrElse("not found"))}}""")
+      case e @ (_: IllegalArgumentException | _: UnsupportedOperationException) =>
+        send(ex, 400, s"""{"error":${jstr(Option(e.getMessage).getOrElse("bad request"))}}""")
+      case e: Exception =>
+        send(ex, 500, s"""{"error":${jstr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""")
+    }
+
+  private def route(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.split('/').toSeq
+      .filter(_.nonEmpty).map(URLDecoder.decode(_, UTF_8))
+    val method = ex.getRequestMethod.toUpperCase
+    val p = params(ex)
+    def p1(k: String): Option[String] = p.get(k).flatMap(_.headOption)
+    val user = sessionUser(ex)
+
+    (method, segs) match {
+      // ---- sessions & principals ----
+      case ("POST", Seq("user", "login")) =>
+        val u = p1("user").getOrElse(throw new IllegalArgumentException("user required"))
+        require(acl.get.users.contains(u), s"unknown user: $u")
+        val token = java.util.UUID.randomUUID().toString
+        sessions.put(token, u)
+        send(ex, 200, s"""{"token":${jstr(token)},"user":${jstr(u)}}""")
+      case ("POST", Seq("user", "logout")) =>
+        Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(sessions.remove)
+        send(ex, 204, "")
+      case ("POST", Seq("users")) =>
+        val u = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        require(acl.get.canCreate.contains(user), s"$user cannot create users")
+        acl.updateAndGet(_.addUser(u))
+        send(ex, 204, "")
+      case ("POST", Seq("groups")) =>
+        val g = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        acl.updateAndGet(_.createGroup(user, g))
+        send(ex, 204, "")
+      case ("POST", Seq("group", g, "users")) =>
+        acl.updateAndGet(_.addToGroup(user, body(ex).trim, g))
+        send(ex, 204, "")
+
+      // ---- /sources ----
+      case ("GET", Seq("sources")) =>
+        val spec = Search.SourcesSpec(
+          offset = p1("offset").map(_.toInt),
+          limit = p1("limit").map(_.toInt),
+          sortBy = p.getOrElse("sortBy", Seq.empty).map { s =>
+            val (c, dir) = s.span(_ != ':')
+            (c, dir != ":desc")
+          },
+          filterIx = p1("ix").map(_.toLong),
+          filterName = p1("name"),
+          filterDescription = p1("description"),
+          filterCreatedAfter = p1("createdAfter"),
+          filterCreatedBefore = p1("createdBefore"),
+          filterUsers = p.getOrElse("user", Seq.empty),
+          filterTags = p.getOrElse("tag", Seq.empty),
+          filterColumns = p.getOrElse("column", Seq.empty),
+          searchQuery = p1("q"),
+          includeDeprecated = p1("includeDeprecated").contains("true"),
+          readableBy = Some(user))
+        val names = cat.entries.map(_.name).distinct
+        val aclDf = acl.get.canReadDf(spark, names)
+        val total = Search.count(cat.df, spec, Some(aclDf))
+        val ixs = Search(cat.df, spec, Some(aclDf))
+          .select("ix").collect().map(_.getLong(0)).toSet
+        val es = cat.entries.filter(e => ixs.contains(e.ix))
+          .map(sourceJson).mkString("[", ",", "]")
+        send(ex, 200, es, headers = Map("X-Total-Count" -> total.toString))
+
+      case ("POST", Seq("sources", "compact")) => lock.synchronized {
+        val name = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        cat.compact(name)
+        send(ex, 204, "")
+      }
+
+      case ("POST", Seq("sources")) => lock.synchronized {
+        val name = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        val kind = p1("kind").getOrElse(
+          if (name.endsWith(".json")) "json" else "csv")
+        // extension drives the CSV delimiter dispatch (.txt/.tsv = tab)
+        val ext = name.lastIndexOf('.') match {
+          case -1 => if (kind == "json") ".json" else ".csv"
+          case i  => name.substring(i)
+        }
+        val tmp = java.nio.file.Files.createTempFile("graft-upload", ext)
+        try {
+          java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
+          val ing =
+            if (kind == "json") Ingest.json(spark, tmp.toString)
+            else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(encoding = "auto"))
+          val e = cat.ingest(name, ing, kind, addedBy = user,
+            description = p1("description").getOrElse(""),
+            sourceIdent = p1("sourceIdent"),
+            created = p1("created"))
+          acl.updateAndGet(_.onCreate(user, e.name))
+          send(ex, 201, sourceJson(e))
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+
+      // ---- /source ----
+      case ("GET", Seq("source", "name", n)) =>
+        val e = cat.entries.filter(_.name == n).sortBy(_.version).lastOption
+          .getOrElse(throw new NoSuchElementException(s"no source $n"))
+        send(ex, 200, sourceJson(e))
+      case ("GET", Seq("source", n, v, "download")) =>
+        if (!acl.get.canRead(user, n)) throw SqlGate.Denied(s"permission denied: $n")
+        val e = entry(n, v.toInt)
+        if (e.kind == "json")
+          stream(ex, Export.jsonRaw(cat.view(n, v.toInt)).linesIterator,
+            "application/json")
+        else stream(ex, Export.csvLines(cat.view(n, v.toInt)), "text/csv")
+      case ("GET", Seq("source", n, v)) =>
+        send(ex, 200, sourceJson(entry(n, v.toInt)))
+      case ("DELETE", Seq("source", n)) => lock.synchronized {
+        cat.delete(n); send(ex, 204, "")
+      }
+      case ("DELETE", Seq("source", n, v)) => lock.synchronized {
+        cat.delete(n, Some(v.toInt)); send(ex, 204, "")
+      }
+      case ("POST", Seq("source", n, v, "tags")) => lock.synchronized {
+        // body: JSON array of tag names (minimal parse: quoted strings)
+        val tags = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body(ex))
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+        require(tags.nonEmpty, "no tags in body")
+        tags.foreach(cat.tag(n, v.toInt, _))
+        send(ex, 204, "")
+      }
+      case ("DELETE", Seq("source", n, v, "tag", t)) => lock.synchronized {
+        cat.untag(n, v.toInt, t); send(ex, 204, "")
+      }
+      case ("POST", Seq("source", n, v, "deprecated")) => lock.synchronized {
+        cat.setDeprecated(n, v.toInt, body(ex).trim.toBoolean)
+        send(ex, 204, "")
+      }
+      case ("POST", Seq("source", n, v, "column", i, "type")) => lock.synchronized {
+        cat.setColumnType(n, v.toInt, i.toInt, ColumnType.fromDisplay(body(ex).trim))
+        send(ex, 204, "")
+      }
+      case ("POST", Seq("source", n, "public")) =>
+        if (body(ex).trim.toBoolean) acl.updateAndGet(_.makePublic(user, n))
+        send(ex, 204, "")
+      case ("POST", Seq("source", n, "userAccessLevel", u)) =>
+        acl.updateAndGet(_.grantUser(user, u, n, parseLevel(body(ex))))
+        send(ex, 204, "")
+      case ("POST", Seq("source", n, "groupAccessLevel", g)) =>
+        acl.updateAndGet(_.grantGroup(user, g, n, parseLevel(body(ex))))
+        send(ex, 204, "")
+
+      // ---- /sql ----
+      case ("POST", Seq("sql")) =>
+        cat.registerViews()
+        // registered table name -> owning SOURCE name, for the ACL
+        // check (view names are sanitized; the ACL keys on source)
+        val owner: Map[String, String] = cat.entries.flatMap(e =>
+          Seq(e.viewName -> e.name, Names.sanitize(e.name, "") -> e.name)).toMap
+        val df = SqlGate.execute(spark, body(ex), owner.keySet,
+          canRead = t => acl.get.canRead(user, owner.getOrElse(t, t)))
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        if (accept.contains("application/json")) {
+          import scala.jdk.CollectionConverters._
+          stream(ex, df.toJSON.toLocalIterator().asScala, "application/json")
+        } else stream(ex, Export.csvLines(df), "text/csv")
+
+      // ---- diagnostics ----
+      case ("GET", Seq("dbinfo")) =>
+        send(ex, 200, cat.dbInfo, cType = "text/plain")
+
+      case _ =>
+        send(ex, 404, s"""{"error":"no route: $method /${segs.mkString("/")}"}""")
+    }
+  }
+}

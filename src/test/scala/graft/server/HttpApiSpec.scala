@@ -1,0 +1,144 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** End-to-end HTTP facade test: boots HttpApi on an ephemeral port and
+  * drives the reference's API flows (runtests.sh command sequences) as
+  * real HTTP round-trips — ingest, search with X-Total-Count, info,
+  * typed download, gated /sql (including denial), tags, deprecation,
+  * column re-type, ACL visibility between two users, delete.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val api = {
+    val a = new HttpApi(new Catalog(spark,
+      Files.createTempDirectory("graft-http-wh").toString))
+    sys.addShutdownHook(a.stop())
+    a
+  }
+  private lazy val port = api.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: String = "",
+                  headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                      else HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("ingest → search → info → download → sql → retype → tag → deprecate → delete") {
+    // POST /sources (SourcesPost): upload a small CSV as root
+    val up = req("POST", "/sources?name=people.csv",
+      "name,age\nAlice,34\nBob,28\n")
+    assert(up.statusCode == 201, up.body)
+    assert(up.body.contains("\"name\":\"people.csv\"") &&
+           up.body.contains("\"version\":1") &&
+           up.body.contains("\"rowCount\":2"), up.body)
+    assert(up.body.contains("\"type\":\"TEXT\"") &&
+           up.body.contains("\"type\":\"INTEGER\""), up.body)
+
+    // GET /sources (SourcesGet) with X-Total-Count
+    val list = req("GET", "/sources?name=people")
+    assert(list.statusCode == 200)
+    assert(list.headers.firstValue("X-Total-Count").orElse("0") == "1")
+    assert(list.body.contains("\"people.csv\""))
+
+    // GET /source/name/{n} + /source/{n}/{v} (SourceByName / SourceGet)
+    assert(req("GET", "/source/name/people.csv").body.contains("\"version\":1"))
+    assert(req("GET", "/source/people.csv/1").statusCode == 200)
+    assert(req("GET", "/source/people.csv/9").statusCode == 404)
+
+    // GET download (SourceDownload): typed CSV round-trips
+    val dl = req("GET", "/source/people.csv/1/download")
+    assert(dl.statusCode == 200)
+    assert(dl.body.contains("Alice,34") && dl.body.contains("Bob,28"), dl.body)
+
+    // POST /sql (SQL): gated query over the sanitized view names
+    // (people.csv -> people_csv_v1, like the reference's
+    // _001_simple_csv_v1 views)
+    val sql = req("POST", "/sql",
+      "SELECT name, age FROM people_csv_v1 WHERE age > 30")
+    assert(sql.statusCode == 200, s"${sql.statusCode} ${sql.body}")
+    assert(sql.body.contains("Alice"), sql.body)
+    assert(!sql.body.contains("Bob"), sql.body)
+    // JSON via Accept header
+    val js = req("POST", "/sql", "SELECT name FROM people_csv_v1 ORDER BY name",
+      headers = Map("Accept" -> "application/json"))
+    assert(js.statusCode == 200 && js.body.contains("""{"name":"Alice"}"""), js.body)
+
+    // /sql denial paths: unknown table 403, DML 403 (ModifyTable REJECT)
+    assert(req("POST", "/sql", "SELECT * FROM no_such_table").statusCode == 403)
+    assert(req("POST", "/sql",
+      "INSERT INTO people_csv_v1 VALUES ('x', 'y', 1)").statusCode == 403)
+
+    // ColumnSetType: re-type age (data column 2; ix is not a column) to
+    // TEXT and back — INTEGER must vanish from the info while TEXT
+    assert(req("POST", "/source/people.csv/1/column/2/type", "TEXT").statusCode == 204)
+    assert(!req("GET", "/source/people.csv/1").body.contains("\"type\":\"INTEGER\""))
+    assert(req("POST", "/source/people.csv/1/column/2/type", "INTEGER").statusCode == 204)
+    assert(req("GET", "/source/people.csv/1").body.contains("\"type\":\"INTEGER\""))
+
+    // tags (SourceTagsPost / SourceTagDelete)
+    assert(req("POST", "/source/people.csv/1/tags", """["hr","golden"]""").statusCode == 204)
+    assert(req("GET", "/source/people.csv/1").body.contains("\"hr\""))
+    assert(req("DELETE", "/source/people.csv/1/tag/hr").statusCode == 204)
+    assert(!req("GET", "/source/people.csv/1").body.contains("\"hr\""))
+
+    // deprecation (SourceSetDeprecated): hidden from default search
+    assert(req("POST", "/source/people.csv/1/deprecated", "true").statusCode == 204)
+    assert(req("GET", "/sources?name=people").headers
+      .firstValue("X-Total-Count").orElse("") == "0")
+    assert(req("GET", "/sources?name=people&includeDeprecated=true").headers
+      .firstValue("X-Total-Count").orElse("") == "1")
+    assert(req("POST", "/source/people.csv/1/deprecated", "false").statusCode == 204)
+
+    // delete (SourceDelete): gone from info and search
+    assert(req("DELETE", "/source/people.csv").statusCode == 204)
+    assert(req("GET", "/source/name/people.csv").statusCode == 404)
+  }
+
+  test("sessions and ACL: private until made public; grants open access") {
+    // root ingests a private dataset
+    assert(req("POST", "/sources?name=secrets.csv", "k,v\na,1\n").statusCode == 201)
+
+    // create a second user + login (UserLogin)
+    assert(req("POST", "/users?name=guest").statusCode == 204)
+    val login = req("POST", "/user/login?user=guest")
+    assert(login.statusCode == 200, login.body)
+    val token = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(login.body).get.group(1)
+    val asGuest = Map("X-Token" -> token)
+
+    // invisible to guest in search; download + sql denied
+    assert(req("GET", "/sources?name=secrets", headers = asGuest).headers
+      .firstValue("X-Total-Count").orElse("") == "0")
+    assert(req("GET", "/source/secrets.csv/1/download", headers = asGuest)
+      .statusCode == 403)
+    assert(req("POST", "/sql", "SELECT * FROM secrets_csv_v1",
+      headers = asGuest).statusCode == 403)
+
+    // root sees it (creator Manage)
+    assert(req("GET", "/sources?name=secrets").headers
+      .firstValue("X-Total-Count").orElse("") == "1")
+
+    // make public (SourceSetPublic): guest can now search + read
+    assert(req("POST", "/source/secrets.csv/public", "true").statusCode == 204)
+    assert(req("GET", "/sources?name=secrets", headers = asGuest).headers
+      .firstValue("X-Total-Count").orElse("") == "1")
+    assert(req("POST", "/sql", "SELECT count(*) AS n FROM secrets_csv_v1",
+      headers = asGuest).statusCode == 200)
+
+    // logout invalidates the token → falls back to root (which can read)
+    assert(req("POST", "/user/logout", headers = asGuest).statusCode == 204)
+
+    // unknown user can't log in
+    assert(req("POST", "/user/login?user=nobody").statusCode == 400)
+    req("DELETE", "/source/secrets.csv")
+  }
+}
