@@ -830,6 +830,16 @@ object PipelineOps {
              FROM ranked WHERE rk <= 5
              GROUP BY 1, 2 ORDER BY vec_id""")),
 
+    // the 100 TB label-noise path, oracle-gated end-to-end: full-corpus
+    // labelAgreement forced onto LSH candidates (annThreshold = 0); the
+    // oracle replays the hyperplane buckets (sim02's CTEs), the top-k
+    // rerank, and the agreement aggregate in DuckDB
+    NamedQuery("ml02_label_noise_ann",
+      (s, d) => Similarity.labelAgreement(embs(s, d), k = 5,
+          annThreshold = 0, annTables = 2)
+        .orderBy("vec_id"),
+      Some(annLabelAgreementOracle(dim = 64, k = 5, nBits = 4, tables = 2))),
+
     // end-to-end cleaning pipeline: exact-dedup survivors -> quality
     // >= 0.5 -> language = en -> exact integer aggregates (sums of
     // ints / of 1e4-scaled rounded scores, so no float-order drift)
@@ -1570,4 +1580,31 @@ object PipelineOps {
          FROM pairs)
        SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
        WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** DuckDB oracle for the ANN (LSH-candidate) labelAgreement path:
+    * lshTopKOracle's bucket + rerank CTEs, then the label join and
+    * per-query agreement fraction.
+    */
+  private def annLabelAgreementOracle(dim: Int, k: Int, nBits: Int,
+                                      tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables)},
+       pairs AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
+         FROM withemb q JOIN withemb n
+           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id
+              AND q.bc <= 10000),
+       ranked AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         FROM pairs)
+       SELECT r.query_id AS vec_id, ql.label,
+         round(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE), 4) AS agreement
+       FROM ranked r
+       JOIN embeddings ql ON ql.vec_id = r.query_id
+       JOIN embeddings nl ON nl.vec_id = r.neighbor_id
+       WHERE r.rk <= $k
+       GROUP BY 1, 2 ORDER BY vec_id"""
 }
