@@ -246,4 +246,62 @@ object Curation {
         (col("start_tok") / window).cast("long").as("pack_id"),
         (col("start_tok") % window).as("offset_in_pack"))
   }
+
+  // ---------------- PII redaction ----------------
+
+  /** Email pattern: local@domain.tld. Shared between the counts and
+    * the replace so they can never drift; written in the common
+    * Java-regex/RE2 subset so the DuckDB oracle replays it verbatim.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded). */
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-prefix phone: +CC NNN-NNNN (keep deliberately tight
+    * — a loose phone regex eats dates and quantities; widen per-corpus).
+    */
+  val PiiPhone = "\\+\\d{1,2} \\d{3}-\\d{4}"
+
+  /** PII scrubbing — the standard pre-training redaction pass: count
+    * then replace emails / IPv4 addresses / phone numbers with typed
+    * placeholder tokens. Pure scan-speed projection (regexp_count +
+    * chained regexp_replace, all codegen built-ins): zero shuffles,
+    * zero joins, linear at any corpus size. Counts are per-pattern
+    * over the ORIGINAL text; replacement order (email, ip, phone) is
+    * fixed and placeholders never re-match a later pattern.
+    */
+  def redactPii(df: DataFrame, text: Column = col("text"),
+                out: String = "redacted"): DataFrame = {
+    require(!df.columns.contains(out), s"column $out would be clobbered")
+    df.withColumn("n_email", regexp_count(text, lit(PiiEmail)))
+      .withColumn("n_ip", regexp_count(text, lit(PiiIp)))
+      .withColumn("n_phone", regexp_count(text, lit(PiiPhone)))
+      .withColumn(out,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, PiiEmail, "<EMAIL>"),
+            PiiIp, "<IP>"),
+          PiiPhone, "<PHONE>"))
+  }
+
+  // ---------------- domain mix report ----------------
+
+  /** Per-registrable-domain corpus composition — the report every
+    * web-scale curation pipeline starts from (domain mixing decisions,
+    * spam-host blocklists). Host comes from Spark's native parse_url,
+    * a leading `www.` is folded into the registrable domain, and the
+    * share denominator is computed with a window over the AGGREGATED
+    * frame (cardinality = #domains, far smaller than the corpus — the
+    * single-partition window never sees row-level data).
+    */
+  def domainProfile(df: DataFrame, url: Column): DataFrame = {
+    val host = regexp_replace(parse_url(url, lit("HOST")), "^www\\.", "")
+    val byHost = df.select(host.as("host"))
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+    byHost.select(col("host"),
+      regexp_extract(col("host"), "\\.([a-z]+)$", 1).as("tld"),
+      col("n_docs"),
+      round(col("n_docs") / sum(col("n_docs")).over(), 6).as("share"))
+  }
 }

@@ -146,6 +146,73 @@ object CurationOps {
              FROM documents
              ORDER BY es_key DESC, doc_id LIMIT 20""")),
 
+    // PII redaction: the corpus has no PII by construction, so the
+    // gate WEAVES deterministic emails/phones/IPs (derived from
+    // doc_id) into every doc on BOTH engines, then compares counts
+    // and the md5 of the redacted text — the regex pipeline itself is
+    // what's hash-compared (patterns live in the common Java/RE2
+    // subset; Curation.Pii* constants are replayed verbatim in SQL)
+    NamedQuery("pii01_redact",
+      (s, d) => {
+        val withPii = docs(s, d).withColumn("text", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call +1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+        Curation.redactPii(withPii)
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+            md5(col("redacted")).as("red_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@mail.example.com or call +1 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                   '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '${Curation.PiiEmail}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '${Curation.PiiIp}')) AS INT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '${Curation.PiiPhone}')) AS INT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '${Curation.PiiEmail}', '<EMAIL>', 'g'),
+                 '${Curation.PiiIp}', '<IP>', 'g'),
+                 '${Curation.PiiPhone}', '<PHONE>', 'g')) AS red_hash
+             FROM t ORDER BY doc_id""")),
+
+    // domain mix report over synthesized (deterministic) URLs: host
+    // via Spark's native parse_url with www-folding, per-registrable-
+    // domain doc counts and corpus share — the oracle rebuilds the
+    // same URLs and parses with regexp (no parse_url in DuckDB)
+    NamedQuery("url01_domains",
+      (s, d) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          lit("host"), (col("doc_id") % 50).cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+            (col("doc_id") % 4).cast("int") + 1),
+          lit("/p/"), col("doc_id").cast("string"))
+        Curation.domainProfile(docs(s, d).withColumn("url", url), col("url"))
+          .orderBy("host")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+                   'host' || CAST(doc_id % 50 AS VARCHAR) || '.' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                        WHEN 2 THEN 'net' ELSE 'io' END ||
+                   '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+              h AS (SELECT regexp_replace(regexp_extract(url, '://([^/]+)', 1),
+                      '^www\.', '') AS host FROM u),
+              g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM h GROUP BY 1),
+              t AS (SELECT sum(n_docs) AS tot FROM g)
+             SELECT host, regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+               n_docs, round(n_docs / CAST(tot AS DOUBLE), 6) AS share
+             FROM g, t ORDER BY host""")),
+
     // leakage-safe split: keyed on `source`, so every doc from a
     // domain lands on one side — near-dups inside a domain can never
     // straddle train/test. The oracle replays the same md5 draw and

@@ -1040,6 +1040,45 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((0L, 0L)))
   }
 
+  test("redactPii: counts match, placeholders land, clean text untouched") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e-f.org twice"),
+      (2L, "server 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "call +1 555-0099 now"),
+      (4L, "nothing sensitive here"),
+      (5L, "mix x@y.io at 8.8.8.8 call +44 123-4567")
+    ).toDF("doc_id", "text")
+    val r = Curation.redactPii(df)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2, 0, 0, "mail <EMAIL> and <EMAIL> twice")))
+    assert(r(1) == ((2L, 0, 2, 0, "server <IP> and <IP> up")))
+    assert(r(2) == ((3L, 0, 0, 1, "call <PHONE> now")))
+    assert(r(3) == ((4L, 0, 0, 0, "nothing sensitive here")))
+    assert(r(4) == ((5L, 1, 1, 1, "mix <EMAIL> at <IP> call <PHONE>")))
+    // output column clobber guard
+    intercept[IllegalArgumentException] {
+      Curation.redactPii(df.withColumn("redacted", lit("x")))
+    }
+  }
+
+  test("domainProfile: www folds into the registrable domain, shares sum to 1") {
+    val df = Seq(
+      (1L, "https://www.alpha.com/x"),
+      (2L, "https://alpha.com/y"),
+      (3L, "https://beta.org/z"),
+      (4L, "http://beta.org/w?q=1"),
+      (5L, "https://gamma.io/v"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val r = Curation.domainProfile(df, col("url"))
+      .select("host", "tld", "n_docs", "share")
+      .as[(String, String, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("alpha.com", "com", 2L), ("beta.org", "org", 2L), ("gamma.io", "io", 1L)))
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-6, s"shares: ${r.toSeq}")
+  }
+
   test("tfidfTop: rare terms outrank common ones, ties break on term") {
     val df = Seq(
       (1L, "common rare1 common common"),
