@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Event-analytics operators over (key, event-time, value) streams:
   * regular-grid resampling, funnel conversion, cohort retention — the
@@ -96,5 +97,25 @@ object Analytics {
     weeks.join(firstWeek, key)
       .groupBy(col("cohort_week"), col("activity_week"))
       .agg(count_distinct(col(key)).as("n_active"))
+  }
+
+  /** Batch sessionization: events more than `gapSec` apart start a new
+    * session; session_id numbers a user's sessions 1..k in time order.
+    * The lag + running-sum pair runs inside ONE window partitioning
+    * (a single shuffle on the user key, like the streaming st02
+    * operator's state keying); `tieBreak` makes the in-user order
+    * total when timestamps collide (events carry a unique event_id).
+    */
+  def sessionize(df: DataFrame, user: Column, ts: Column, gapSec: Long,
+                 tieBreak: Column): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    val w = Window.partitionBy(user).orderBy(ts, tieBreak)
+    val prev = lag(ts, 1).over(w)
+    // gap compared in exact integer MICROseconds: a seconds-floor cast
+    // flips borderline gaps and diverges from any exact-epoch engine
+    val isNew = when(prev.isNull ||
+      unix_micros(ts) - unix_micros(prev) > gapSec * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 }

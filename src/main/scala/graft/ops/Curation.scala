@@ -247,6 +247,24 @@ object Curation {
         (col("start_tok") % window).as("offset_in_pack"))
   }
 
+  /** Deterministic N-per-group sample: each group keeps its `n`
+    * lowest-md5 members — a repeatable per-stratum cap (balanced eval
+    * subsets, per-domain quotas) with zero RNG, same draw discipline
+    * as hexDraw/weightedSample. One window shuffle on the group key;
+    * no global sort, no collect.
+    */
+  def samplePerGroup(df: DataFrame, group: Column, key: Column, n: Int,
+                     seed: String = "spg"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val rankCol = "__spg_rank"
+    require(!df.columns.contains(rankCol), s"column $rankCol would be clobbered")
+    val w = Window.partitionBy(group)
+      .orderBy(md5(concat_ws("#", lit(seed), key.cast("string"))), key)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+      .drop(rankCol)
+  }
+
   // ---------------- PII redaction ----------------
 
   /** Email pattern: local@domain.tld. Shared between the counts and

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE/summary pass a catalog runs after
@@ -82,5 +82,30 @@ object Profile {
         round(lit(lo) + col("bucket") * width, 4).as("lo_edge"),
         round(lit(lo) + (col("bucket") + 1) * width, 4).as("hi_edge"),
         col("n"))
+  }
+
+  /** Tukey-fence outlier flags per group: a value outside
+    * [q1 - k·IQR, q3 + k·IQR] of ITS GROUP is flagged — the standard
+    * robust screen for corrupt numerics (truncated docs, unit errors)
+    * before stats or training. One per-group exact-percentile
+    * aggregate (group cardinality rows), broadcast back onto the
+    * corpus: the data-proportional side sees one shuffle-free join +
+    * a pure projection. The q43 docstring's caveat applies to the
+    * AGGREGATE only: exact percentile buffers per GROUP-KEY, fine for
+    * the usual few-thousand-group screen; swap approx_percentile for
+    * millions of groups.
+    */
+  def iqrOutliers(df: DataFrame, value: Column, group: Column,
+                  k: Double = 1.5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val bounds = df.groupBy(group.as("__iqr_g"))
+      .agg(percentile(value, lit(0.25)).as("__q1"),
+           percentile(value, lit(0.75)).as("__q3"))
+      .select(col("__iqr_g"),
+        (col("__q1") - (col("__q3") - col("__q1")) * k).as("__lo"),
+        (col("__q3") + (col("__q3") - col("__q1")) * k).as("__hi"))
+    df.join(broadcast(bounds), group === col("__iqr_g"))
+      .withColumn("is_outlier", value < col("__lo") || value > col("__hi"))
+      .drop("__iqr_g", "__lo", "__hi")
   }
 }

@@ -146,6 +146,18 @@ object CurationOps {
              FROM documents
              ORDER BY es_key DESC, doc_id LIMIT 20""")),
 
+    // deterministic N-per-group cap: 10 docs per language by lowest
+    // md5 draw — balanced subsets with zero RNG, oracle replays the
+    // identical ranking
+    NamedQuery("sp04_sample_per_group",
+      (s, d) => Curation.samplePerGroup(docs(s, d), col("lang"),
+          col("doc_id"), n = 10)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+               SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('spg#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents) WHERE rk <= 10 ORDER BY doc_id""")),
+
     // PII redaction: the corpus has no PII by construction, so the
     // gate WEAVES deterministic emails/phones/IPs (derived from
     // doc_id) into every doc on BOTH engines, then compares counts

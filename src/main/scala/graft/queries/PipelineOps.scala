@@ -198,6 +198,43 @@ object PipelineOps {
                CAST(count(*) AS BIGINT) AS n
              FROM b GROUP BY bucket, lo, hi ORDER BY bucket""")),
 
+    // Tukey-fence outlier screen per language: per-group exact
+    // quartiles broadcast back onto the corpus (parity with
+    // quantile_cont proven by q43); flags only, no rows dropped —
+    // the caller decides
+    NamedQuery("dq02_iqr_outliers",
+      (s, d) => graft.ops.Profile.iqrOutliers(
+          docs(s, d), col("n_chars"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("is_outlier"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+                      quantile_cont(n_chars, 0.75) AS q3
+                    FROM documents GROUP BY 1)
+             SELECT doc_id, lang, n_chars,
+               (n_chars < q1 - 1.5 * (q3 - q1) OR
+                n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
+             FROM documents JOIN b USING (lang) ORDER BY doc_id""")),
+
+    // Batch sessionization of the event stream: >15 min of silence
+    // starts a new session; one window partitioning (one shuffle on
+    // user_id), microsecond-exact gap compare, event_id tie-break
+    NamedQuery("se01_sessionize_batch",
+      (s, d) => graft.ops.Analytics.sessionize(
+          Tables.load(s, d, "events"), col("user_id"), col("ts"),
+          gapSec = 900, tieBreak = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 900000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_us
+                   FROM events)
+             ORDER BY event_id""")),
+
     // Distributed BPE merge training: 12 merges learned from the
     // corpus, pinned against a golden merge table (im19-style literal
     // oracle — DuckDB can't replay the iterative argmax loop, but the

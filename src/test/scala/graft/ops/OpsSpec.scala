@@ -1040,6 +1040,55 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((0L, 0L)))
   }
 
+  test("sessionize: gap splits exactly, equal-gap stays, tie-break totalizes") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, 7L, t(0)),    // u7 s1
+      (2L, 7L, t(100)),  // u7 s1 (gap 100 <= 900)
+      (3L, 7L, t(1000)), // u7 s1 (gap 900 exactly: strict >, same session)
+      (4L, 7L, t(1901)), // u7 s2 (gap 901 > 900)
+      (5L, 9L, t(50)),   // u9 s1 — other user unaffected
+      (6L, 7L, t(1901))  // u7 s2, same ts as 4: event_id tie-break
+    ).toDF("event_id", "user_id", "ts")
+    val r = Analytics.sessionize(df, col("user_id"), col("ts"),
+        gapSec = 900, tieBreak = col("event_id"))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L, 6L -> 2L), r.toString)
+    intercept[IllegalArgumentException] {
+      Analytics.sessionize(df, col("user_id"), col("ts"), 0, col("event_id"))
+    }
+  }
+
+  test("iqrOutliers: planted outlier flagged in its group only") {
+    // group a: 1..9 plus a wild 1000; group b: constant (IQR 0 → only
+    // unequal values could flag, and there are none)
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)) ++
+      Seq.fill(5)(("b", 42.0))
+    val r = Profile.iqrOutliers(df.toDF("g", "v"), col("v"), col("g"))
+      .select("g", "v", "is_outlier").as[(String, Double, Boolean)].collect()
+    assert(r.filter(_._3).map(x => (x._1, x._2)).toSeq == Seq(("a", 1000.0)), r.toSeq.toString)
+    assert(r.count(_._1 == "b") == 5 && r.filter(_._1 == "b").forall(!_._3))
+  }
+
+  test("samplePerGroup: cap respected, deterministic, clobber guarded") {
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g")
+    val r1 = Curation.samplePerGroup(df, col("g"), col("id"), n = 3)
+      .select("id", "g").as[(Long, String)].collect().sortBy(_._1)
+    assert(r1.count(_._2 == "x") == 3 && r1.count(_._2 == "y") == 3)
+    val r2 = Curation.samplePerGroup(df, col("g"), col("id"), n = 3)
+      .select("id", "g").as[(Long, String)].collect().sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq) // md5 draw: repeatable
+    // a group smaller than n keeps all members
+    val small = Curation.samplePerGroup(df.filter(col("id") <= 3), col("g"),
+      col("id"), n = 10).count()
+    assert(small == 3)
+    intercept[IllegalArgumentException] {
+      Curation.samplePerGroup(df.withColumn("__spg_rank", lit(1)), col("g"), col("id"), 1)
+    }
+  }
+
   test("redactPii: counts match, placeholders land, clean text untouched") {
     val df = Seq(
       (1L, "mail a@b.co and c.d@e-f.org twice"),
