@@ -64,6 +64,40 @@ object Dedup {
       .drop(ch, fp)
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb pass): a
+    * LINE that appears in more than `maxDf` distinct documents is
+    * template chrome ("subscribe to our newsletter", nav menus, cookie
+    * banners) and is dropped from EVERY document; surviving lines are
+    * reassembled in original order. Returns (doc_id, `out`); documents
+    * whose every line was boilerplate disappear (nothing remains).
+    *
+    * Scale shape: one posexplode (no self-join), the DF count groups
+    * on md5(line) so the wide line text never shuffles twice, and the
+    * hot-line set anti-joins back on the same 32-byte key. Reassembly
+    * is the group-collect of (pos, line) per doc — bounded by the
+    * document's own size, the same invariant every other per-doc
+    * operator here relies on.
+    */
+  def dropBoilerplateLines(df: DataFrame, maxDf: Long,
+                           text: Column = col("text"),
+                           out: String = "clean_text",
+                           sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val lines = df
+      .select(col("doc_id"), posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__lh", md5(col("__line")))
+    val hot = lines.groupBy(col("__lh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__lh"))
+    lines.join(hot, Seq("__lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as(out))
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-
     * joined). Backed by the native WordShingles expression — the
     * composed HOF form below computes the identical value but pays

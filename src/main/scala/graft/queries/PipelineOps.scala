@@ -598,6 +598,31 @@ object PipelineOps {
                AND NOT EXISTS (SELECT 1 FROM k b WHERE b.doc_id < 400 AND b.fp = n.fp)
              ORDER BY n.doc_id""")),
 
+    // line-level boilerplate removal: the corpus has no newlines, so
+    // the gate turns every word into a "line" (translate/replace on
+    // both engines) — words present in >400 of the docs are template
+    // chrome and vanish from every doc; hash of the reassembled text
+    // pins content AND line order
+    NamedQuery("ln01_boilerplate_lines",
+      (s, d) => Dedup.dropBoilerplateLines(
+          docs(s, d).withColumn("text", translate(col("text"), " ", "\n")),
+          maxDf = 400)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id"),
+      Some("""WITH l AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS line FROM documents),
+              hot AS (SELECT line FROM
+                 (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+               WHERE df > 400),
+              kept AS (SELECT doc_id, pos, line FROM l
+                       WHERE line NOT IN (SELECT line FROM hot)),
+              agg AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean
+               FROM kept GROUP BY doc_id)
+             SELECT doc_id, md5(clean) AS clean_hash FROM agg
+             ORDER BY doc_id""")),
+
     // maxShingleDf=1000 is ACTIVE (the DF-cap window runs; max df in
     // this corpus is 25, so results are unchanged while the skew guard
     // is exercised end-to-end)

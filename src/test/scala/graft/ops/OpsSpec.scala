@@ -1040,6 +1040,27 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((0L, 0L)))
   }
 
+  test("dropBoilerplateLines: hot lines vanish everywhere, order survives, empty docs disappear") {
+    val df = Seq(
+      (1L, "unique alpha\nsubscribe now\nunique beta"),
+      (2L, "subscribe now\nonly here"),
+      (3L, "subscribe now\nanother one\nsubscribe now"),
+      (4L, "subscribe now") // nothing left after the drop
+    ).toDF("doc_id", "text")
+    // "subscribe now" appears in 4 distinct docs > maxDf 2 → dropped
+    val r = Dedup.dropBoilerplateLines(df, maxDf = 2)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(r == Map(
+      1L -> "unique alpha\nunique beta",
+      2L -> "only here",
+      3L -> "another one"), r.toString)
+    // repeated line within ONE doc does not count as multiple docs
+    val one = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    assert(Dedup.dropBoilerplateLines(one, maxDf = 2)
+      .filter($"doc_id" === 1L).head.getString(1) == "x\nx\nx")
+    intercept[IllegalArgumentException] { Dedup.dropBoilerplateLines(df, 0) }
+  }
+
   test("sessionize: gap splits exactly, equal-gap stays, tie-break totalizes") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
