@@ -146,20 +146,22 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, text: Column = col("text"),
                         numHashes: Int = 12, k: Int = 3,
-                        maxShingleDf: Int = 1000): DataFrame = {
+                        maxShingleDf: Int = 1000,
+                        idCols: Seq[String] = Seq("doc_id")): DataFrame = {
     registerOn(df)
-    val ex = dfCapped(df.select(col("doc_id"), explode(shingles(text, k)).as("g")),
+    val ex = dfCapped(df.select(idCols.map(col) :+ explode(shingles(text, k)).as("g"): _*),
       maxShingleDf)
     // native MinhashHashes: one reused digest per row for all
     // numHashes basis hashes (bit-identical to
     // md5(concat(lit(j), lit("#"), g)) which allocates per call)
-    val hashed = ex.select(col("doc_id"),
-      graft.functions.TextFunctions.minhash_hashes(col("g"), numHashes).as("hs"))
+    val hashed = ex.select(idCols.map(col) :+
+      graft.functions.TextFunctions.minhash_hashes(col("g"), numHashes).as("hs"): _*)
     val minCols = (0 until numHashes).map(j =>
       min(element_at(col("hs"), j + 1)).as(s"h$j"))
-    hashed.groupBy(col("doc_id"))
+    hashed.groupBy(idCols.map(col): _*)
       .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+      .select(idCols.map(col) :+
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"): _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard.
@@ -210,6 +212,59 @@ object Dedup {
         round(agree, 4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental NEAR-dup dedup — dd07's LSH sibling, the daily-ingest
+    * near-duplicate guard: drop rows of `newBatch` whose MinHash-LSH
+    * estimated Jaccard against ANY base document clears `threshold`
+    * (re-crawls, light template edits — everything the exact hash and
+    * set fingerprint miss). Same machinery as minhashLsh run over the
+    * tagged union, with pairs generated ONLY across sides (batch ×
+    * base; in-bucket batch-batch and base-base members pay no pair
+    * cost), then one anti-join of the batch on the matched ids.
+    * doc_ids may overlap between the frames — identity inside the
+    * operator is (doc_id, side).
+    *
+    * Scale shape: identical to minhashLsh (three keyed shuffles, no
+    * self-join, DF-cap + maxBucket guards with drop counting under
+    * `graft.incr_neardup.drops`) plus the hash-only anti-join; the
+    * base corpus is never collected or broadcast.
+    */
+  def incrementalNearDup(newBatch: DataFrame, base: DataFrame,
+                         text: Column = col("text"),
+                         numHashes: Int = 12, bands: Int = 4,
+                         threshold: Double = 0.5, k: Int = 3,
+                         maxShingleDf: Int = 1000,
+                         maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val side = "__nd_new"
+    require(!newBatch.columns.contains(side), s"column $side would be clobbered")
+    val union = newBatch.select(col("doc_id"), text.as("__nd_text"), lit(1).as(side))
+      .unionByName(base.select(col("doc_id"), text.as("__nd_text"), lit(0).as(side)))
+    val sigs = minhashSignatures(union, col("__nd_text"), numHashes, k,
+      maxShingleDf, idCols = Seq("doc_id", side))
+    val banded = sigs.select(col("doc_id"), col(side), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws("|", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*))): _*)).as(Seq("band", "band_key")))
+    val buckets = OpsMetrics.guarded(
+      banded
+        .groupBy(col("band"), col("band_key"))
+        .agg(collect_set(struct(col("doc_id"), col(side), col("sig"))).as("m")),
+      maxBucket, "graft.incr_neardup.drops")
+    val agree = aggregate(
+      zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
+      lit(0.0), (acc, v) => acc + v) / numHashes
+    val dupIds = buckets
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a(side) === 1 && b(side) === 0, struct(a.as("a"), b.as("b")))),
+          x => x.isNotNull)))).as("p"))
+      .filter(round(agree, 4) >= threshold)
+      .select(col("p.a.doc_id").as("doc_id"))
+      .distinct()
+    newBatch.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** 64-bit SimHash per document: bit b of md5(token) votes ±1; the

@@ -650,6 +650,42 @@ object PipelineOps {
               WHERE round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // incremental NEAR-dup: batch (doc_id >= 400) docs with a MinHash-
+    // LSH near-twin in the base (< 400) are dropped; the oracle replays
+    // dd02's full shingle/signature/band machinery with a side tag and
+    // cross-side pairs only
+    NamedQuery("dd08_incremental_neardup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.incrementalNearDup(
+            all.filter(col("doc_id") >= 400), all.filter(col("doc_id") < 400))
+          .select(col("doc_id"), col("lang")).orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+                 CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END AS nw FROM documents),
+              sh AS (SELECT doc_id, nw, $duckShingles AS sset FROM d),
+              shx0 AS (SELECT doc_id, nw, unnest(sset) AS g FROM sh),
+              shx AS (SELECT doc_id, nw, g FROM
+                        (SELECT doc_id, nw, g, count(*) OVER (PARTITION BY g) AS df FROM shx0)
+                      WHERE df <= 1000),
+              sig0 AS (SELECT doc_id, nw, j, min(md5(j::VARCHAR || '#' || g)) AS mh
+                       FROM shx, range(12) r(j) GROUP BY doc_id, nw, j),
+              sig AS (SELECT doc_id, nw, list(mh ORDER BY j) AS sig
+                      FROM sig0 GROUP BY doc_id, nw),
+              banded0 AS (SELECT doc_id, nw, sig, b AS band,
+                           md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
+                         FROM sig, range(4) r(b)),
+              banded AS (SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bc
+                         FROM banded0),
+              dup AS (SELECT DISTINCT x.doc_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.band_key = y.band_key
+                           AND x.nw = 1 AND y.nw = 0 AND x.bc <= 10000
+                      WHERE round(CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4) >= 0.5)
+             SELECT doc_id, lang FROM documents
+             WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)
+             ORDER BY doc_id""")),
+
     NamedQuery("dd03_simhash_pairs",
       (s, d) => Dedup.simhashPairs(docs(s, d)).orderBy("id_a", "id_b"),
       Some("""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h

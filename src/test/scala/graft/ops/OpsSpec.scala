@@ -1040,6 +1040,28 @@ class OpsSpec extends AnyFunSuite {
     assert(OpsMetrics.lastDrops("graft.fuzzy_pairs.drops") == Some((0L, 0L)))
   }
 
+  test("incrementalNearDup: near-twin of base dropped, fresh doc survives, ids may overlap") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val base = Seq(
+      (10L, words),                       // the base doc
+      (11L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, words + " extra"),            // near-twin (light edit) → dropped
+      (21L, (1 to 30).map(i => s"q$i").mkString(" ")), // fresh → survives
+      (10L, (1 to 30).map(i => s"r$i").mkString(" "))  // id COLLIDES with base but
+                                          // content is fresh → must survive
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDup(batch, base, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r == Set(21L, 10L), s"survivors: $r")
+    // schema passes through untouched
+    assert(Dedup.incrementalNearDup(batch, base).columns.toSeq == Seq("doc_id", "text"))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch.withColumn("__nd_new", lit(1)), base)
+    }
+  }
+
   test("dropBoilerplateLines: hot lines vanish everywhere, order survives, empty docs disappear") {
     val df = Seq(
       (1L, "unique alpha\nsubscribe now\nunique beta"),
