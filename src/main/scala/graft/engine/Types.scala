@@ -172,11 +172,17 @@ object JsonType {
     * its clause order never faced reassociation; normalization keeps
     * its sequential results while making the fold order-independent.
     */
-  private def nullable(t: JsonType): JsonType = t match {
+  def nullable(t: JsonType): JsonType = t match {
     case JMixed       => JMixed
     case JNullable(_) => t
     case _            => JNullable(t)
   }
+  // Invariant: every JsonType the engine produces builds Nullable via
+  // `nullable` (JsonInfer's one raw JNullable wraps JUnknown, already
+  // normal), so nested JNullable(JNullable(_)) / JNullable(JMixed)
+  // never occur. unify's algebraic laws (commutative, associative —
+  // EngineProps) hold on this reachable domain; raw un-normalized
+  // constructions are outside the contract.
 
   /** Unification (Ingest/JSON/TypeInference.hs:104-134); commutative
     * and associative (EngineProps), safe for distributed folds.
