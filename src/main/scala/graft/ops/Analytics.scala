@@ -106,6 +106,24 @@ object Analytics {
     * operator's state keying); `tieBreak` makes the in-user order
     * total when timestamps collide (events carry a unique event_id).
     */
+  /** Chained debounce: keep an event only when the previous event of
+    * the SAME key is more than `gapSec` older — duplicate-click /
+    * retry-storm suppression. Chained semantics (each kept event
+    * resets the clock for what follows, so a burst t=0,5,9,14 at
+    * gap 10 keeps ONLY t=0) fall out of sessionize directly: a burst
+    * IS a session, and debouncing keeps its first event. Same single
+    * window shuffle; `key` may be any expression (e.g. a
+    * struct(user, event_type) composite).
+    */
+  def debounce(df: DataFrame, key: Column, ts: Column, gapSec: Long,
+               tieBreak: Column): DataFrame = {
+    val s = sessionize(df, key, ts, gapSec, tieBreak)
+    val w = Window.partitionBy(key, col("session_id")).orderBy(ts, tieBreak)
+    s.withColumn("__db_rn", row_number().over(w))
+      .filter(col("__db_rn") === 1)
+      .drop("__db_rn", "session_id")
+  }
+
   def sessionize(df: DataFrame, user: Column, ts: Column, gapSec: Long,
                  tieBreak: Column): DataFrame = {
     require(gapSec > 0, s"gapSec must be positive: $gapSec")

@@ -84,6 +84,31 @@ object Profile {
         col("n"))
   }
 
+  /** Pairwise Pearson correlations across numeric columns — the
+    * profiling pass that finds redundant/derived columns before
+    * feature selection. ALL pairs compute in ONE aggregate pass over
+    * the data (n(n-1)/2 corr aggregates, map-side combined like
+    * columnStats); the unpivot handles one driver-side row of
+    * doubles. A constant column has no defined correlation → null:
+    * built-in `corr` THROWS under ANSI mode (DIVIDE_BY_ZERO) on zero
+    * variance, so Pearson is composed from the same co-moments with
+    * try_divide — identical value where defined, null where not.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(try_divide(covar_samp(col(a), col(b)),
+        stddev_samp(col(a)) * stddev_samp(col(b))), 4).as(s"${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+    }.toDF("col_a", "col_b", "pearson_r")
+  }
+
   /** Tukey-fence outlier flags per group: a value outside
     * [q1 - k·IQR, q3 + k·IQR] of ITS GROUP is flagged — the standard
     * robust screen for corrupt numerics (truncated docs, unit errors)

@@ -240,6 +240,38 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / lit(total.toDouble))), 4).as("avg_neg_logp"))
   }
 
+  /** Bigram LM perplexity proxy — the CCNet-style LM-quality filter
+    * one order up from unigramLogppl: per-doc mean negative log of
+    * the add-alpha-smoothed conditional, P(w2|w1) = (c(w1,w2) + a) /
+    * (c(w1) + a*V). Word-soup/repetitive docs score low (predictable),
+    * rare-transition docs high. Three keyed aggregations (bigram
+    * counts, left-context counts, per-doc score) + the V scalar (one
+    * driver long, like unigramLogppl's total); the bigram-count join
+    * shuffles on (w1, w2) — web-scale bigram vocabularies exceed
+    * broadcast range by design.
+    */
+  def bigramLogppl(df: DataFrame, text: Column = col("text"),
+                   alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val ts = df.select(col("doc_id"), split(text, " ").as("__ts"))
+    val bg = ts.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ts.select(explode(col("__ts")).as("t")).agg(countDistinct(col("t")))
+      .head.getLong(0)
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c12") + alpha) / (col("c1") + alpha * v))), 4)
+          .as("avg_neg_logp"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
     * `numMerges` byte-pair merges from the corpus. The corpus-scale
     * work — building the (word, count) vocabulary — is ONE

@@ -235,6 +235,83 @@ object PipelineOps {
                    FROM events)
              ORDER BY event_id""")),
 
+    // bigram LM perplexity proxy (tx11's order-2 sibling): add-alpha
+    // smoothed conditional, exact replay of counts + V in DuckDB
+    NamedQuery("tx12_bigram_ppl",
+      (s, d) => TextAnalysis.bigramLogppl(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              w AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                      unnest(ts) AS tok FROM t),
+              bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                     FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+              c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+              v AS (SELECT count(DISTINCT tok) AS vs FROM w)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * vs))), 4) AS avg_neg_logp
+             FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // chained debounce per (user, event_type): a burst is a session
+    // and only its first event survives — retry/duplicate-click
+    // suppression with the clock resetting on every kept event
+    NamedQuery("de01_debounce",
+      (s, d) => graft.ops.Analytics.debounce(
+          Tables.load(s, d, "events"),
+          struct(col("user_id"), col("event_type")), col("ts"),
+          gapSec = 1800, tieBreak = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id"),
+      Some("""WITH o AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_us
+               FROM events),
+              s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+                        OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+             SELECT event_id, user_id, event_type FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id, event_type, sid
+                 ORDER BY ts, event_id) AS rn FROM s)
+             WHERE rn = 1 ORDER BY event_id""")),
+
+    // pivot: per-user event-type count matrix with a PINNED column
+    // list (deterministic schema; Spark's pivot null-fills to 0)
+    NamedQuery("an01_pivot",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // pairwise Pearson correlations in one aggregate pass
+    NamedQuery("dp03_correlations",
+      (s, d) => graft.ops.Profile.correlations(
+          Tables.load(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"),
+      Some("""SELECT * FROM (
+               SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                 round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+               UNION ALL SELECT 'l_quantity', 'l_discount',
+                 round(corr(l_quantity, l_discount), 4) FROM lineitem
+               UNION ALL SELECT 'l_quantity', 'l_tax',
+                 round(corr(l_quantity, l_tax), 4) FROM lineitem
+               UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+               UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+               UNION ALL SELECT 'l_discount', 'l_tax',
+                 round(corr(l_discount, l_tax), 4) FROM lineitem)
+             ORDER BY col_a, col_b""")),
+
     // Distributed BPE merge training: 12 merges learned from the
     // corpus, pinned against a golden merge table (im19-style literal
     // oracle — DuckDB can't replay the iterative argmax loop, but the

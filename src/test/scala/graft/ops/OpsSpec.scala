@@ -1103,6 +1103,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("debounce: burst keeps only its first event, quiet gap resets the clock") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // chained semantics: 0,5,9,14 at gap 10 is ONE burst (each kept-or-
+    // dropped event is within 10 of its predecessor) → only t=0 kept;
+    // t=30 is past the gap → kept
+    val df = Seq(
+      (1L, 7L, t(0)), (2L, 7L, t(5)), (3L, 7L, t(9)), (4L, 7L, t(14)),
+      (5L, 7L, t(30)),
+      (6L, 9L, t(5)) // other key unaffected
+    ).toDF("event_id", "user_id", "ts")
+    val kept = Analytics.debounce(df, col("user_id"), col("ts"),
+        gapSec = 10, tieBreak = col("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 6L), s"kept: $kept")
+  }
+
+  test("bigramLogppl: hand-computed smoothed scores; repetition scores lower") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // V=3; c12: (a,b)=3,(b,a)=1,(b,c)=1; c1: a=3, b=2; alpha=0.5
+    val pAB = -math.log(3.5 / 4.5); val pBX = -math.log(1.5 / 3.5)
+    val want1 = BigDecimal((pAB * 2 + pBX) / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val want2 = BigDecimal((pAB + pBX) / 2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val r = TextAnalysis.bigramLogppl(df)
+      .select("doc_id", "n_bigrams", "avg_neg_logp")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0)._2 == 3L && r(1)._2 == 2L)
+    assert(BigDecimal(r(0)._3) == want1 && BigDecimal(r(1)._3) == want2, r.toSeq.toString)
+    assert(r(0)._3 < r(1)._3, "repetitive doc must look more predictable")
+    intercept[IllegalArgumentException] { TextAnalysis.bigramLogppl(df, alpha = 0) }
+  }
+
+  test("correlations: perfect +/- pairs exact, constant column yields null") {
+    val df = (1 to 20).map(i => (i.toDouble, 2.0 * i, -1.0 * i, 5.0))
+      .toDF("x", "y", "z", "c")
+    val r = Profile.correlations(df, Seq("x", "y", "z", "c"))
+      .select("col_a", "col_b", "pearson_r")
+      .as[(String, String, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r(("x", "y")).contains(1.0) && r(("x", "z")).contains(-1.0) &&
+           r(("y", "z")).contains(-1.0), r.toString)
+    assert(r(("x", "c")).isEmpty && r(("y", "c")).isEmpty && r(("z", "c")).isEmpty)
+    intercept[IllegalArgumentException] { Profile.correlations(df, Seq("x")) }
+  }
+
   test("iqrOutliers: planted outlier flagged in its group only") {
     // group a: 1..9 plus a wild 1000; group b: constant (IQR 0 → only
     // unequal values could flag, and there are none)
