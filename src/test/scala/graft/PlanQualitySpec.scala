@@ -96,6 +96,52 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pii01/sp04: redaction is scan-speed; per-group sample is one exchange") {
+    // PII redaction is a pure projection — regex count + replace must
+    // never induce a shuffle
+    val red = ops.Curation.redactPii(Tables.load(spark, dir, "documents"))
+    val pr = red.queryExecution.executedPlan.toString
+    assert(!pr.contains("Exchange") && !pr.contains("Join"),
+      s"redaction should be a projection:\n${pr.take(600)}")
+    // per-group sampling is exactly the one window shuffle on the group
+    val sp = ops.Curation.samplePerGroup(Tables.load(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("doc_id"), 5)
+    val ps = sp.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(ps).length == 1, ps.take(800))
+  }
+
+  test("se01: batch sessionize is one exchange; lag and running sum share it") {
+    import org.apache.spark.sql.functions.col
+    val df = ops.Analytics.sessionize(Tables.load(spark, dir, "events"),
+      col("user_id"), col("ts"), 900, col("event_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"lag + running sum must share the user_id partitioning:\n${p.take(1000)}")
+  }
+
+  test("dd08/ln01: incremental near-dup and boilerplate removal stay join-light") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.load(spark, dir, "documents")
+    val nd = ops.Dedup.incrementalNearDup(
+      all.filter(col("doc_id") >= 400), all.filter(col("doc_id") < 400))
+    val pn = nd.queryExecution.executedPlan.toString
+    assert(!pn.contains("CartesianProduct"), "near-dup produced a cartesian")
+    // the only join is the final hash-key anti-join of the batch
+    assert("LeftAnti".r.findAllIn(pn).length == 1, pn.take(1000))
+    val bl = ops.Dedup.dropBoilerplateLines(all, maxDf = 100)
+    val pb = bl.queryExecution.executedPlan.toString
+    assert(!pb.contains("CartesianProduct"))
+    assert(pb.contains("LeftAnti"), "hot-line removal should be an anti-join")
+  }
+
+  test("tx12: bigram counting aggregates partially before the shuffle") {
+    val p = ops.TextAnalysis.bigramLogppl(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), "bigram counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("st02: sessionize reuses the user_id partitioning (one exchange)") {
     val df = streaming.EventStream.sessionizeBatch(Tables.load(spark, dir, "events"))
     val p = df.queryExecution.executedPlan.toString
