@@ -42,6 +42,11 @@ object ScaleCheck {
       time("exact")(graft.ops.Dedup.exact(docs).count())
       time("minhashLsh")(graft.ops.Dedup.minhashLsh(docs).count())
       time("ngramJaccard")(graft.ops.Dedup.ngramJaccard(docs).count())
+      // incremental near-dup at the same scale: first replica as the
+      // incoming batch, the rest as the base — the daily-ingest shape
+      time("incrementalNearDup")(graft.ops.Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") < 10000000L),
+        docs.filter(col("doc_id") >= 10000000L)).count())
       docs.unpersist()
     }
   }
