@@ -174,6 +174,44 @@ object Curation {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Token-budget mixture: sample each stratum DOWN so the OUTPUT's
+    * token mass approximates `targetShares` (the training-mixture
+    * recipe step: "50% en / 30% zh / 20% fr by tokens"). The feasible
+    * budget is set by the binding stratum (B = min over s of
+    * T_s / share_s, so its rate is ~1 and nothing upsamples); per-
+    * stratum keep-rates are share_s·B / T_s, applied as the usual
+    * deterministic md5-draw filter. Strata outside the target map are
+    * dropped. Shares are approximate at doc granularity (whole docs
+    * are kept or not); expected token share equals the target.
+    *
+    * Scale shape: one per-stratum aggregate (collect bounded by the
+    * stratum count), then a pure filter — no shuffle of the corpus,
+    * repeatable across runs/engines/retries like every draw here.
+    */
+  def mixToTokenBudget(df: DataFrame, stratum: Column, key: Column,
+                       targetShares: Map[String, Double],
+                       tokens: Column = size(split(col("text"), " "))
+                         .cast("long")): DataFrame = {
+    require(targetShares.nonEmpty, "no target shares")
+    targetShares.foreach { case (s, v) =>
+      require(v > 0 && v <= 1, s"share out of (0,1]: $s -> $v") }
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      s"shares must sum to 1: ${targetShares.values.sum}")
+    val inTargets = df.filter(stratum.isin(targetShares.keys.toSeq: _*))
+    val totals: Map[String, Long] = inTargets
+      .groupBy(stratum.as("__s")).agg(sum(tokens).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targetShares.keys.foreach(s =>
+      require(totals.getOrElse(s, 0L) > 0L, s"stratum $s has no tokens"))
+    val budget = targetShares.map { case (s, share) => totals(s) / share }.min
+    val rates = targetShares.map { case (s, share) =>
+      s -> math.min(1.0, share * budget / totals(s)) }
+    val threshold = rates.foldLeft(lit(hexThreshold(0.0))) {
+      case (acc, (v, r)) => when(stratum === lit(v), lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(hexDraw(key) < threshold)
+  }
+
   /** Deterministic global shuffle: a reproducible training-order
     * permutation. Rows are totally ordered by (md5(seed # key), key)
     * — one range-partitioned distributed sort, Spark's native

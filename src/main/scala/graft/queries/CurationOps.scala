@@ -146,6 +146,37 @@ object CurationOps {
              FROM documents
              ORDER BY es_key DESC, doc_id LIMIT 20""")),
 
+    // token-budget mixture: sample langs down to a 50/30/20 token
+    // recipe (n_chars as the token weight). The oracle replays the
+    // ENTIRE plan — totals, binding-stratum budget, rates, and the
+    // exact hexThreshold quantization (floor(r*2^32 + 0.5) clamped,
+    // = Scala math.round) — so membership matches bit-for-bit
+    NamedQuery("mx02_token_mixture",
+      (s, d) => Curation.mixToTokenBudget(docs(s, d), col("lang"),
+          col("doc_id"), Map("en" -> 0.5, "zh" -> 0.3, "fr" -> 0.2),
+          tokens = col("n_chars").cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_tokens"))
+        .orderBy("lang"),
+      Some("""WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tt
+                 FROM documents WHERE lang IN ('en', 'zh', 'fr') GROUP BY 1),
+              b AS (SELECT min(tt / CASE lang WHEN 'en' THEN 0.5
+                     WHEN 'zh' THEN 0.3 ELSE 0.2 END) AS budget FROM t),
+              r AS (SELECT lang, least(1.0, (CASE lang WHEN 'en' THEN 0.5
+                     WHEN 'zh' THEN 0.3 ELSE 0.2 END) * budget / tt) AS rate
+                    FROM t, b),
+              th AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g'
+                       ELSE lpad(lower(to_hex(CAST(least(
+                         floor(rate * 4294967296.0 + 0.5),
+                         4294967295.0) AS BIGINT))), 8, '0') END AS thr
+                     FROM r),
+              kept AS (SELECT d.doc_id, d.lang, d.n_chars
+                       FROM documents d JOIN th ON d.lang = th.lang
+                       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr)
+             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+             FROM kept GROUP BY lang ORDER BY lang""")),
+
     // deterministic N-per-group cap: 10 docs per language by lowest
     // md5 draw — balanced subsets with zero RNG, oracle replays the
     // identical ranking

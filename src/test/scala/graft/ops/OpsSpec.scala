@@ -1177,6 +1177,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixToTokenBudget: binding stratum kept whole, shares land near target") {
+    // en is token-rich, zh is scarce relative to its 50% target → zh
+    // binds (rate ~1, all kept); en samples down to zh's budget
+    val df = ((1 to 400).map(i => (i.toLong, "en", 100L)) ++
+      (401 to 440).map(i => (i.toLong, "zh", 100L)))
+      .toDF("doc_id", "lang", "n_toks")
+    val kept = Curation.mixToTokenBudget(df, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.5), tokens = col("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("zh") == 4000L, s"binding stratum must keep everything: $kept")
+    // en target = same token mass as zh; md5-draw granularity allows slack
+    assert(kept("en") >= 2000L && kept("en") <= 6000L, kept.toString)
+    // deterministic: identical result on re-run
+    val again = Curation.mixToTokenBudget(df, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.5), tokens = col("n_toks")).count()
+    assert(again == Curation.mixToTokenBudget(df, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.5), tokens = col("n_toks")).count())
+    // strata outside the target map are dropped
+    val extra = df.union(Seq((900L, "xx", 50L)).toDF("doc_id", "lang", "n_toks"))
+    assert(Curation.mixToTokenBudget(extra, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.5), tokens = col("n_toks"))
+      .filter($"lang" === "xx").count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.mixToTokenBudget(df, col("lang"), col("doc_id"), Map("en" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixToTokenBudget(df, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "nope" -> 0.5), tokens = col("n_toks"))
+    }
+  }
+
   test("redactPii: counts match, placeholders land, clean text untouched") {
     val df = Seq(
       (1L, "mail a@b.co and c.d@e-f.org twice"),
