@@ -23,7 +23,9 @@ class RefCorpusSpec extends AnyFunSuite {
 
   test("all 84 reference fixtures ingest; dbinfo golden matches line-for-line") {
     val dir = new java.io.File(getClass.getResource("/refcorpus").getPath)
-    val files = dir.listFiles.map(_.getName).sorted
+    // README.md documents the corpus' provenance; everything else is a
+    // fixture data file
+    val files = dir.listFiles.map(_.getName).filterNot(_ == "README.md").sorted
     assert(files.length == 84, s"corpus should hold 84 files, found ${files.length}")
 
     val cat = new Catalog(spark, Files.createTempDirectory("graft-refcorpus").toString)
