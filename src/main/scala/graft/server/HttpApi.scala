@@ -243,15 +243,40 @@ class HttpApi(val cat: Catalog) {
         val tmp = java.nio.file.Files.createTempFile("graft-upload", ext)
         try {
           java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
-          val ing =
-            if (kind == "json") Ingest.json(spark, tmp.toString)
-            else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(encoding = "auto"))
-          val e = cat.ingest(name, ing, kind, addedBy = user,
-            description = p1("description").getOrElse(""),
-            sourceIdent = p1("sourceIdent"),
-            created = p1("created"))
-          acl.updateAndGet(_.onCreate(user, e.name))
-          send(ex, 201, sourceJson(e))
+          def doIngest(): SourceEntry = {
+            val ing =
+              if (kind == "json") Ingest.json(spark, tmp.toString)
+              else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(encoding = "auto"))
+            val e = cat.ingest(name, ing, kind, addedBy = user,
+              description = p1("description").getOrElse(""),
+              sourceIdent = p1("sourceIdent"),
+              created = p1("created"))
+            acl.updateAndGet(_.onCreate(user, e.name))
+            e
+          }
+          if (p1("progress").contains("true")) {
+            // reference SourcesPost streams ProgressOr SourceInfo
+            // (Interface/API.hs:278-286): `{"progress":...}` lines per
+            // logEvery records, a `{"done":...}` line, then the final
+            // SourceInfo object — all on one chunked response
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, 0)
+            val out = ex.getResponseBody
+            val wlock = new Object
+            def sink(line: String): Unit = wlock.synchronized {
+              out.write((line + "\n").getBytes(UTF_8)); out.flush()
+            }
+            try {
+              val e = Progress.watch(spark, name, sink,
+                logEvery = p1("logEvery").map(_.toLong).getOrElse(100000L))(doIngest())
+              sink(sourceJson(e))
+            } catch {
+              // headers are gone — the error travels as the last line
+              case err: Exception => sink(s"""{"error":${jstr(
+                s"${err.getClass.getSimpleName}: ${err.getMessage}")}}""")
+            }
+            out.close(); ex.close()
+          } else send(ex, 201, sourceJson(doIngest()))
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
 

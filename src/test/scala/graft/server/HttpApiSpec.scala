@@ -104,6 +104,19 @@ class HttpApiSpec extends AnyFunSuite {
     assert(req("GET", "/source/name/people.csv").statusCode == 404)
   }
 
+  test("ingest with ?progress=true streams progress lines then the SourceInfo") {
+    val rows = (1 to 500).map(i => s"$i,v$i").mkString("name,val\n", "\n", "\n")
+    val r = req("POST", "/sources?name=prog.csv&progress=true&logEvery=100", rows)
+    assert(r.statusCode == 200, r.body)
+    val lines = r.body.trim.split("\n").toSeq
+    // at least the {"done":...} line plus the final SourceInfo object
+    assert(lines.length >= 2, r.body)
+    assert(lines.exists(l => l.contains("\"progress\"") || l.contains("\"done\"")), r.body)
+    assert(lines.last.contains("\"name\":\"prog.csv\"") &&
+           lines.last.contains("\"rowCount\":500"), lines.last)
+    req("DELETE", "/source/prog.csv")
+  }
+
   test("sessions and ACL: private until made public; grants open access") {
     // root ingests a private dataset
     assert(req("POST", "/sources?name=secrets.csv", "k,v\na,1\n").statusCode == 201)
