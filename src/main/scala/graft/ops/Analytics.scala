@@ -117,6 +117,9 @@ object Analytics {
     */
   def debounce(df: DataFrame, key: Column, ts: Column, gapSec: Long,
                tieBreak: Column): DataFrame = {
+    // sessionize checks "session_id"; __db_rn is ours alone to clobber
+    require(!df.columns.contains("__db_rn"),
+      "input column __db_rn would be clobbered")
     val s = sessionize(df, key, ts, gapSec, tieBreak)
     val w = Window.partitionBy(key, col("session_id")).orderBy(ts, tieBreak)
     s.withColumn("__db_rn", row_number().over(w))
@@ -127,6 +130,11 @@ object Analytics {
   def sessionize(df: DataFrame, user: Column, ts: Column, gapSec: Long,
                  tieBreak: Column): DataFrame = {
     require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    // withColumn would silently OVERWRITE a user's session_id column
+    // (and debounce would then drop it); fail loud like the sibling
+    // curation operators' clobber guards
+    require(!df.columns.contains("session_id"),
+      "input column session_id would be clobbered")
     val w = Window.partitionBy(user).orderBy(ts, tieBreak)
     val prev = lag(ts, 1).over(w)
     // gap compared in exact integer MICROseconds: a seconds-floor cast

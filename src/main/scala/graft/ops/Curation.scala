@@ -345,9 +345,13 @@ object Curation {
     * web-scale curation pipeline starts from (domain mixing decisions,
     * spam-host blocklists). Host comes from Spark's native parse_url,
     * a leading `www.` is folded into the registrable domain, and the
-    * share denominator is computed with a window over the AGGREGATED
-    * frame (cardinality = #domains, far smaller than the corpus — the
-    * single-partition window never sees row-level data).
+    * share denominator is a SCALAR aggregate broadcast back onto the
+    * per-domain frame (`crossJoin(broadcast(total))`): a web corpus
+    * has ~10^8 registrable domains, so the previous `sum().over()`
+    * global window — which funnels every aggregated row through ONE
+    * partition to sort — was the lone scale hazard here. The broadcast
+    * total is one extra tiny job and zero single-partition exchanges;
+    * PlanQualitySpec asserts the plan stays free of them.
     */
   def domainProfile(df: DataFrame, url: Column): DataFrame = {
     val host = regexp_replace(parse_url(url, lit("HOST")), "^www\\.", "")
@@ -355,9 +359,11 @@ object Curation {
       .filter(col("host").isNotNull && col("host") =!= "")
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"))
-    byHost.select(col("host"),
-      regexp_extract(col("host"), "\\.([a-z]+)$", 1).as("tld"),
-      col("n_docs"),
-      round(col("n_docs") / sum(col("n_docs")).over(), 6).as("share"))
+    val total = byHost.agg(sum(col("n_docs")).as("__total_docs"))
+    byHost.crossJoin(broadcast(total))
+      .select(col("host"),
+        regexp_extract(col("host"), "\\.([a-z]+)$", 1).as("tld"),
+        col("n_docs"),
+        round(col("n_docs") / col("__total_docs"), 6).as("share"))
   }
 }

@@ -125,10 +125,25 @@ class HttpApi(val cat: Catalog) {
   /** Chunked streaming response fed line-by-line (Conduit.hs analog). */
   private def stream(ex: HttpExchange, lines: Iterator[String],
                      cType: String): Unit = {
+    // Force the first batch BEFORE committing the 200: analysis and
+    // first-partition failures surface here and travel handle()'s
+    // normal error path (4xx/5xx JSON) instead of a truncated chunked
+    // 200 followed by a second sendResponseHeaders throwing.
+    val nonEmpty = lines.hasNext
     ex.getResponseHeaders.set("Content-Type", cType)
     ex.sendResponseHeaders(200, 0) // 0 = chunked
     val out = ex.getResponseBody
-    lines.foreach { l => out.write(l.getBytes(UTF_8)); out.write('\n') }
+    try {
+      if (nonEmpty) lines.foreach { l =>
+        out.write(l.getBytes(UTF_8)); out.write('\n')
+      }
+    } catch {
+      // headers are gone — the error travels as the last line, the
+      // progress-ingest path's convention
+      case e: Exception =>
+        out.write((s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""" + "\n").getBytes(UTF_8))
+    }
     out.close()
     ex.close()
   }

@@ -265,6 +265,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("url01: share denominator broadcast — no global window over the domain frame") {
+    val p = planOf("url01_domains")
+    // the r8 hazard: sum().over() planned `Window` under an
+    // `Exchange SinglePartition` carrying EVERY per-domain row (~10^8
+    // at web scale). The fix broadcasts a scalar total instead; the
+    // only single-partition exchange left is the scalar aggregate's,
+    // which carries one PARTIALLY-AGGREGATED row per upstream
+    // partition, never the domain frame itself.
+    assert(!p.contains("Window"), s"global window reappeared: ${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"share denominator not broadcast: ${p.take(600)}")
+    assert(p.contains("partial_sum"),
+      s"scalar total lost map-side partial aggregation: ${p.take(600)}")
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)
