@@ -35,14 +35,17 @@ final case class SourceEntry(
     colTypes: Seq[String],       // ColumnType.displayName per column
     jsonType: String,            // rendered JsonType for JSON sources ("" otherwise)
     rowCount: Long,
-    compactedPath: String) {     // "" unless this version lives in a compacted table
-  /** SQL-registrable view name, sanitized like the reference's
-    * `_001_simple_csv_v1` views (SensibleNames; a raw `people.csv_v1`
-    * is not a valid temp-view identifier). The version suffix survives
-    * truncation whole.
-    */
-  def viewName: String = Names.sanitize(name, s"_v$version")
-}
+    compactedPath: String,       // "" unless this version lives in a compacted table
+    /** SQL-registrable view name, sanitized like the reference's
+      * `_001_simple_csv_v1` views (SensibleNames; a raw `people.csv_v1`
+      * is not a valid temp-view identifier). ALLOCATED at ingest with a
+      * uniqueness check against every existing entry (the reference's
+      * mkUniqueView, DB/Sources.hs:150-160) and STORED: sanitation is
+      * lossy ('a.b' and 'a_b' both sanitize to a_b_v1), so a derived
+      * name would silently last-wins-overwrite the temp view and let
+      * the /sql ACL attribute a table to the wrong source.
+      */
+    viewName: String)
 
 class Catalog(val spark: SparkSession, val warehouse: String) {
   import spark.implicits._
@@ -129,7 +132,8 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       colTypes = ingested.colTypes.map(_.displayName),
       jsonType = jsonType,
       rowCount = rowCount,
-      compactedPath = "")
+      compactedPath = "",
+      viewName = allocViewName(es, name, version))
 
     val updated = es.map(e =>
       if (e.name == name) e.copy(deprecated = true) else e) :+ entry
@@ -192,15 +196,48 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     sb.toString
   }
 
-  /** Register `<name>_vN` (+ bare latest) temp views for the SQL
-    * surface; both names pass Names.sanitize so any ingested source
-    * name (dots, spaces, leading digits) is queryable.
+  /** mkUniqueView analog (DB/Sources.hs:150-160): preferred name =
+    * sanitize(name + "_vN"); on collision with ANY existing entry's
+    * view name, insert a counter before the version suffix. The check
+    * is case-insensitive because Spark's temp-view resolver is.
     */
-  def registerViews(): Unit = entries.foreach { e =>
-    view(e.name, e.version).createOrReplaceTempView(e.viewName)
-    if (!entries.exists(x => x.name == e.name && x.version > e.version))
-      view(e.name, e.version) // bare name = latest
-        .createOrReplaceTempView(Names.sanitize(e.name, ""))
+  private def allocViewName(es: Seq[SourceEntry], name: String, version: Int): String = {
+    val taken = es.map(_.viewName.toLowerCase).toSet
+    (Iterator.single(Names.sanitize(name, s"_v$version")) ++
+      Iterator.from(1).map(i => Names.sanitize(s"${name}_$i", s"_v$version")))
+      .find(v => !taken.contains(v.toLowerCase)).get
+  }
+
+  /** Every SQL-registrable table name -> its owning entry: each
+    * version's stored unique viewName, plus a bare latest-version alias
+    * per source. Bare aliases are allocated collision-proof here (in ix
+    * order, deterministic) against both other bare names AND the
+    * versioned names — 'a.b' and 'a_b' cannot silently share a temp
+    * view, and an ACL owner map keyed on these names can never
+    * attribute a table to the wrong source.
+    */
+  def sqlNames: Map[String, SourceEntry] = {
+    val es = entries
+    val out = Map.newBuilder[String, SourceEntry]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    es.foreach { e => out += e.viewName -> e; used += e.viewName.toLowerCase }
+    es.groupBy(_.name).values.map(_.maxBy(_.version)).toSeq.sortBy(_.ix).foreach { e =>
+      val bare = (Iterator.single(Names.sanitize(e.name, "")) ++
+        Iterator.from(1).map(i => Names.sanitize(s"${e.name}_$i", "")))
+        .find(n => !used.contains(n.toLowerCase)).get
+      out += bare -> e
+      used += bare.toLowerCase
+    }
+    out.result()
+  }
+
+  /** Register `<name>_vN` (+ bare latest) temp views for the SQL
+    * surface; all names pass Names.sanitize so any ingested source
+    * name (dots, spaces, leading digits) is queryable, and sqlNames
+    * guarantees no two sources share a registered identifier.
+    */
+  def registerViews(): Unit = sqlNames.foreach { case (n, e) =>
+    view(e.name, e.version).createOrReplaceTempView(n)
   }
 
   /** Column-type override + re-type (reference DB/ColumnSpec.hs:182-189,

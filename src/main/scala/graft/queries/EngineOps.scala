@@ -368,7 +368,10 @@ object EngineOps {
         st = st.createGroup("admin", "team")
         st = st.addToGroup("admin", "bob", "team")
         st = st.grantGroup("alice", "team", "ds1", Acl.LevelUpdate)
-        st = st.makePublic("alice", "ds1")
+        // explicit READ: the reference's DEFAULT public level is UPDATE
+        // (sh:237); this gate pins the custom-level path so the three
+        // users land on three distinct lattice points
+        st = st.makePublic("alice", "ds1", Acl.LevelRead)
         rowsDf(s, Seq("usr", "level"),
           Seq("alice", "bob", "carol").map(u => Seq(u, st.level(u, "ds1").display)))
       },

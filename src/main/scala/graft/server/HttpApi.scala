@@ -17,30 +17,63 @@ import graft.engine._
   * engine already gates (Catalog / Search / SqlGate / Export / Acl).
   *
   * Routes (reference analog in parens):
-  *   POST   /user/login?user=U            (UserLogin; token in JSON)
+  *   POST   /user/login?user=U&pass=P     (UserLogin; JSON body
+  *                                         {"user":..,"pass":..} also
+  *                                         accepted; 401 on bad creds)
   *   POST   /user/logout                  (UserLogout; X-Token header)
-  *   POST   /users?name=U                 (UsersCreate)
+  *   POST   /user/{U}/password            (self or admin; body = new pass)
+  *   POST   /user/{U}/privileges?grant=CREATE|CREATEGROUP (&revoke=...)
+  *                                        (manage-user; admin only)
+  *   POST   /users?name=U[&pass=P]        (manage-user --create-user;
+  *                                         admin only)
   *   POST   /groups?name=G                (GroupsCreate, by session user)
   *   POST   /group/{G}/users              (GroupAddUser; body = username)
+  *   DELETE /group/{G}/users/{U}          (GroupRemoveUser)
+  *   POST   /group/{G}/manage             (manage-group --grant-manage;
+  *                                         body = username)
+  *   DELETE /group/{G}/manage/{U}         (manage-group --revoke-manage)
   *   GET    /sources?...                  (SourcesGet; SourcesSpec params,
   *                                         X-Total-Count header)
-  *   POST   /sources?name=N&kind=csv|json (SourcesPost; body = data)
-  *   POST   /sources/compact?name=N       (SourcesCompact)
+  *   POST   /sources?name=N&kind=csv|json[&public=bool] (SourcesPost;
+  *                                         body = data; new sources are
+  *                                         public by default like the
+  *                                         reference server; new VERSIONS
+  *                                         require UPDATE on the source)
+  *   POST   /sources/compact?name=N       (SourcesCompact; MANAGE)
   *   GET    /source/name/{N}              (SourceByName; latest version)
   *   GET    /source/{N}/{v}               (SourceGet)
-  *   DELETE /source/{N}[/{v}]             (SourceDelete)
-  *   POST   /source/{N}/{v}/tags          (SourceTagsPost; body = JSON array)
-  *   DELETE /source/{N}/{v}/tag/{T}       (SourceTagDelete)
+  *   DELETE /source/{N}[/{v}]             (SourceDelete; MANAGE)
+  *   POST   /source/{N}/{v}/tags          (SourceTagsPost; body = JSON
+  *                                         array; UPDATE)
+  *   DELETE /source/{N}/{v}/tag/{T}       (SourceTagDelete; UPDATE)
   *   GET    /source/{N}/{v}/download      (SourceDownload; CSV stream, raw
-  *                                         JSON passthrough for JSON sources)
-  *   POST   /source/{N}/{v}/deprecated    (SourceSetDeprecated; body bool)
-  *   POST   /source/{N}/{v}/column/{i}/type (ColumnSetType; body = type name)
-  *   POST   /source/{N}/public            (SourceSetPublic; body bool)
-  *   POST   /source/{N}/userAccessLevel/{U}  (body READ|UPDATE|MANAGE)
-  *   POST   /source/{N}/groupAccessLevel/{G} (body READ|UPDATE|MANAGE)
+  *                                         JSON passthrough for JSON
+  *                                         sources; READ)
+  *   POST   /source/{N}/{v}/deprecated    (SourceSetDeprecated; body bool;
+  *                                         UPDATE)
+  *   POST   /source/{N}/{v}/column/{i}/type (ColumnSetType; body = type
+  *                                         name; UPDATE)
+  *   POST   /source/{N}/public            (SourceSetPublic; body bool;
+  *                                         true = public-group UPDATE,
+  *                                         false = private; MANAGE via
+  *                                         the grant path)
+  *   POST   /source/{N}/userAccessLevel/{U}  (body READ|UPDATE|MANAGE|NONE)
+  *   POST   /source/{N}/groupAccessLevel/{G} (body READ|UPDATE|MANAGE|NONE)
   *   POST   /sql                          (SQL; body = query, Accept picks
-  *                                         text/csv vs application/json)
-  *   GET    /dbinfo                       (dump-db-info analog)
+  *                                         text/csv vs application/json;
+  *                                         anonymous callers read PUBLIC
+  *                                         sources only, sh:289)
+  *   GET    /dbinfo                       (dump-db-info analog; admin)
+  *
+  * AUTH MODEL (fail closed): a request's principal is the user behind a
+  * VALID X-Token session — absent, unknown, or logged-out tokens make
+  * the request ANONYMOUS, which can read public sources and nothing
+  * else; every mutation requires authentication (401) and then the
+  * documented right (403). Login verifies the user's salted-hash
+  * credential (Acl.verifyCred) — the reference's contract that a wrong
+  * password must fail (runsecuritytests.sh:75,303,318). The bootstrap
+  * admin is `root` with the constructor's `adminPass` ("" by default,
+  * matching the reference test rig's dummy-auth empty password).
   *
   * Scale notes: /sql and /download write the response with
   * Export.csvLines (toLocalIterator — one partition in driver memory
@@ -49,15 +82,17 @@ import graft.engine._
   * tables); catalog mutations serialize on one lock, reads are
   * lock-free against the parquet-backed catalog.
   */
-class HttpApi(val cat: Catalog) {
+class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
+              adminPass: String = "") {
+
+  import HttpApi.Unauthorized
 
   private val spark = cat.spark
   private val lock = new Object
-  // bootstrap admin: may create users/groups (reference's initial
-  // lagoonadmin); everything else is granted per-source via the ACL
+  // bootstrap admin (reference's initial lagoonadmin): full rights,
+  // password = adminPass; everything else is granted per-source/group
   private val acl = new AtomicReference(
-    Acl.State(canCreate = Set("root"), canCreateGroup = Set("root"))
-      .addUser("root"))
+    Acl.State(admins = Set("root")).addUser("root", adminPass))
   private val sessions = new ConcurrentHashMap[String, String]() // token -> user
 
   private var server: HttpServer = _
@@ -148,10 +183,13 @@ class HttpApi(val cat: Catalog) {
     ex.close()
   }
 
-  private def sessionUser(ex: HttpExchange): String =
+  /** The request's principal: the user behind a valid session token,
+    * or None (anonymous). NEVER defaults to an identity — an absent,
+    * unknown, or logged-out token carries no rights beyond public.
+    */
+  private def sessionUser(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("X-Token"))
       .flatMap(t => Option(sessions.get(t)))
-      .getOrElse("root")
 
   private def parseLevel(s: String): Acl.Level = s.trim.toUpperCase match {
     case "READ" => Acl.LevelRead
@@ -165,11 +203,22 @@ class HttpApi(val cat: Catalog) {
     cat.entries.find(e => e.name == name && e.version == version)
       .getOrElse(throw new NoSuchElementException(s"$name v$version"))
 
+  private def requireLevel(u: Option[String], source: String,
+                           l: Acl.Level): Unit = {
+    // 404 vs 403: an unreadable source must be indistinguishable from
+    // an absent one only through SEARCH; direct addressing returns 403
+    // like the reference's permission-denied exit code 43
+    if (acl.get.levelOf(u, source) < l)
+      throw Acl.Denied(s"permission denied (${l.display} required): $source")
+  }
+
   // ---------------- routing ----------------
 
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
     catch {
+      case Unauthorized(r) => send(ex, 401, s"""{"error":${jstr(r)}}""")
+      case Acl.Denied(r) => send(ex, 403, s"""{"error":${jstr(r)}}""")
       case SqlGate.Denied(r) => send(ex, 403, s"""{"error":${jstr(r)}}""")
       case e: NoSuchElementException =>
         send(ex, 404, s"""{"error":${jstr(Option(e.getMessage).getOrElse("not found"))}}""")
@@ -185,23 +234,58 @@ class HttpApi(val cat: Catalog) {
     val method = ex.getRequestMethod.toUpperCase
     val p = params(ex)
     def p1(k: String): Option[String] = p.get(k).flatMap(_.headOption)
-    val user = sessionUser(ex)
+    val userOpt = sessionUser(ex)
+    // authenticated principal, or 401: every mutation path uses this
+    def user: String = userOpt.getOrElse(
+      throw Unauthorized("authentication required"))
+    def checkAdmin(what: String): String = {
+      val u = user
+      if (!acl.get.admins.contains(u))
+        throw Acl.Denied(s"$u is not an administrator ($what)")
+      u
+    }
 
     (method, segs) match {
       // ---- sessions & principals ----
       case ("POST", Seq("user", "login")) =>
-        val u = p1("user").getOrElse(throw new IllegalArgumentException("user required"))
-        require(acl.get.users.contains(u), s"unknown user: $u")
+        val b = body(ex)
+        def fromBody(k: String): Option[String] =
+          ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+            .findFirstMatchIn(b).map(_.group(1)
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
+        val u = p1("user").orElse(fromBody("user"))
+          .getOrElse(throw new IllegalArgumentException("user required"))
+        val pass = p1("pass").orElse(fromBody("pass")).getOrElse("")
+        // unknown user and wrong password are the SAME failure — no
+        // username oracle (sh:75: wrong creds must fail, dummy auth
+        // or not)
+        if (!acl.get.verifyCred(u, pass))
+          throw Unauthorized("invalid credentials")
         val token = java.util.UUID.randomUUID().toString
         sessions.put(token, u)
         send(ex, 200, s"""{"token":${jstr(token)},"user":${jstr(u)}}""")
       case ("POST", Seq("user", "logout")) =>
         Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(sessions.remove)
         send(ex, 204, "")
+      case ("POST", Seq("user", u, "password")) =>
+        acl.updateAndGet(_.setCred(user, u, body(ex)))
+        send(ex, 204, "")
+      case ("POST", Seq("user", u, "privileges")) =>
+        val admin = checkAdmin("manage-user")
+        (p1("grant"), p1("revoke")) match {
+          case (Some("CREATE"), None) => acl.updateAndGet(_.grantCreate(admin, u))
+          case (Some("CREATEGROUP"), None) => acl.updateAndGet(_.grantCreateGroup(admin, u))
+          case (None, Some("CREATE")) => acl.updateAndGet(_.revokeCreate(admin, u))
+          case (None, Some("CREATEGROUP")) => acl.updateAndGet(_.revokeCreateGroup(admin, u))
+          case _ => throw new IllegalArgumentException(
+            "exactly one of grant/revoke = CREATE|CREATEGROUP required")
+        }
+        send(ex, 204, "")
       case ("POST", Seq("users")) =>
+        checkAdmin("manage-user --create-user")
         val u = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
-        require(acl.get.canCreate.contains(user), s"$user cannot create users")
-        acl.updateAndGet(_.addUser(u))
+        require(!acl.get.users.contains(u), s"user exists: $u")
+        acl.updateAndGet(_.addUser(u, p1("pass").getOrElse("")))
         send(ex, 204, "")
       case ("POST", Seq("groups")) =>
         val g = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
@@ -209,6 +293,15 @@ class HttpApi(val cat: Catalog) {
         send(ex, 204, "")
       case ("POST", Seq("group", g, "users")) =>
         acl.updateAndGet(_.addToGroup(user, body(ex).trim, g))
+        send(ex, 204, "")
+      case ("DELETE", Seq("group", g, "users", u)) =>
+        acl.updateAndGet(_.removeFromGroup(user, u, g))
+        send(ex, 204, "")
+      case ("POST", Seq("group", g, "manage")) =>
+        acl.updateAndGet(_.grantManageGroup(user, body(ex).trim, g))
+        send(ex, 204, "")
+      case ("DELETE", Seq("group", g, "manage", u)) =>
+        acl.updateAndGet(_.revokeManageGroup(user, u, g))
         send(ex, 204, "")
 
       // ---- /sources ----
@@ -230,7 +323,8 @@ class HttpApi(val cat: Catalog) {
           filterColumns = p.getOrElse("column", Seq.empty),
           searchQuery = p1("q"),
           includeDeprecated = p1("includeDeprecated").contains("true"),
-          readableBy = Some(user))
+          // anonymous principals search as usr="" (public rows only)
+          readableBy = Some(userOpt.getOrElse("")))
         val names = cat.entries.map(_.name).distinct
         val aclDf = acl.get.canReadDf(spark, names)
         val total = Search.count(cat.df, spec, Some(aclDf))
@@ -242,12 +336,23 @@ class HttpApi(val cat: Catalog) {
 
       case ("POST", Seq("sources", "compact")) => lock.synchronized {
         val name = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        requireLevel(Some(user), name, Acl.LevelManage)
         cat.compact(name)
         send(ex, 204, "")
       }
 
       case ("POST", Seq("sources")) => lock.synchronized {
+        val u = user
         val name = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
+        // new source: CREATE privilege; new VERSION of an existing one:
+        // UPDATE on the source (sh:183 "Upload new version of public
+        // dataset", sh:192 denial when private)
+        val isNewSource = !cat.entries.exists(_.name == name)
+        if (isNewSource) {
+          if (!acl.get.mayCreateDataset(u))
+            throw Acl.Denied(s"$u cannot create datasets")
+        } else requireLevel(Some(u), name, Acl.LevelUpdate)
+        val public = p1("public").map(_.toBoolean).getOrElse(defaultPublic)
         val kind = p1("kind").getOrElse(
           if (name.endsWith(".json")) "json" else "csv")
         // extension drives the CSV delimiter dispatch (.txt/.tsv = tab)
@@ -262,11 +367,13 @@ class HttpApi(val cat: Catalog) {
             val ing =
               if (kind == "json") Ingest.json(spark, tmp.toString)
               else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(encoding = "auto"))
-            val e = cat.ingest(name, ing, kind, addedBy = user,
+            val e = cat.ingest(name, ing, kind, addedBy = u,
               description = p1("description").getOrElse(""),
               sourceIdent = p1("sourceIdent"),
               created = p1("created"))
-            acl.updateAndGet(_.onCreate(user, e.name))
+            // a new VERSION must not reshuffle grants (the updater
+            // must NOT become a manager of someone else's source)
+            if (isNewSource) acl.updateAndGet(_.onCreate(u, e.name, public))
             e
           }
           if (p1("progress").contains("true")) {
@@ -299,23 +406,29 @@ class HttpApi(val cat: Catalog) {
       case ("GET", Seq("source", "name", n)) =>
         val e = cat.entries.filter(_.name == n).sortBy(_.version).lastOption
           .getOrElse(throw new NoSuchElementException(s"no source $n"))
+        requireLevel(userOpt, n, Acl.LevelRead)
         send(ex, 200, sourceJson(e))
       case ("GET", Seq("source", n, v, "download")) =>
-        if (!acl.get.canRead(user, n)) throw SqlGate.Denied(s"permission denied: $n")
+        requireLevel(userOpt, n, Acl.LevelRead)
         val e = entry(n, v.toInt)
         if (e.kind == "json")
           stream(ex, Export.jsonRaw(cat.view(n, v.toInt)).linesIterator,
             "application/json")
         else stream(ex, Export.csvLines(cat.view(n, v.toInt)), "text/csv")
       case ("GET", Seq("source", n, v)) =>
-        send(ex, 200, sourceJson(entry(n, v.toInt)))
+        val e = entry(n, v.toInt)
+        requireLevel(userOpt, n, Acl.LevelRead)
+        send(ex, 200, sourceJson(e))
       case ("DELETE", Seq("source", n)) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelManage)
         cat.delete(n); send(ex, 204, "")
       }
       case ("DELETE", Seq("source", n, v)) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelManage)
         cat.delete(n, Some(v.toInt)); send(ex, 204, "")
       }
       case ("POST", Seq("source", n, v, "tags")) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelUpdate)
         // body: JSON array of tag names (minimal parse: quoted strings)
         val tags = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body(ex))
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
@@ -324,18 +437,25 @@ class HttpApi(val cat: Catalog) {
         send(ex, 204, "")
       }
       case ("DELETE", Seq("source", n, v, "tag", t)) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelUpdate)
         cat.untag(n, v.toInt, t); send(ex, 204, "")
       }
       case ("POST", Seq("source", n, v, "deprecated")) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelUpdate)
         cat.setDeprecated(n, v.toInt, body(ex).trim.toBoolean)
         send(ex, 204, "")
       }
       case ("POST", Seq("source", n, v, "column", i, "type")) => lock.synchronized {
+        requireLevel(Some(user), n, Acl.LevelUpdate)
         cat.setColumnType(n, v.toInt, i.toInt, ColumnType.fromDisplay(body(ex).trim))
         send(ex, 204, "")
       }
       case ("POST", Seq("source", n, "public")) =>
+        // true = public-group UPDATE (the reference default public
+        // level), false = private; both ride the Manage-enforcing
+        // grant path (sh:186 "Public does not give admin rights")
         if (body(ex).trim.toBoolean) acl.updateAndGet(_.makePublic(user, n))
+        else acl.updateAndGet(_.makePrivate(user, n))
         send(ex, 204, "")
       case ("POST", Seq("source", n, "userAccessLevel", u)) =>
         acl.updateAndGet(_.grantUser(user, u, n, parseLevel(body(ex))))
@@ -347,12 +467,15 @@ class HttpApi(val cat: Catalog) {
       // ---- /sql ----
       case ("POST", Seq("sql")) =>
         cat.registerViews()
-        // registered table name -> owning SOURCE name, for the ACL
-        // check (view names are sanitized; the ACL keys on source)
-        val owner: Map[String, String] = cat.entries.flatMap(e =>
-          Seq(e.viewName -> e.name, Names.sanitize(e.name, "") -> e.name)).toMap
+        // registered table name -> owning SOURCE name for the ACL
+        // check. sqlNames is collision-proof (two sources can never
+        // share a registered identifier), so the attribution is exact;
+        // keys are lowercased because SqlGate reports reads lowercased.
+        val owner: Map[String, String] = cat.sqlNames.map {
+          case (n, e) => n.toLowerCase -> e.name
+        }
         val df = SqlGate.execute(spark, body(ex), owner.keySet,
-          canRead = t => acl.get.canRead(user, owner.getOrElse(t, t)))
+          canRead = t => owner.get(t).exists(ds => acl.get.canRead(userOpt, ds)))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {
           import scala.jdk.CollectionConverters._
@@ -361,10 +484,16 @@ class HttpApi(val cat: Catalog) {
 
       // ---- diagnostics ----
       case ("GET", Seq("dbinfo")) =>
+        checkAdmin("dump-db-info")
         send(ex, 200, cat.dbInfo, cType = "text/plain")
 
       case _ =>
         send(ex, 404, s"""{"error":"no route: $method /${segs.mkString("/")}"}""")
     }
   }
+}
+
+object HttpApi {
+  /** No authenticated principal where one is required (HTTP 401). */
+  final case class Unauthorized(reason: String) extends RuntimeException(reason)
 }

@@ -145,4 +145,36 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(cat.view("t", 3).columns.toSeq == Seq("ix", "a", "b", "c"))
   }
+
+  test("view names stay unique when sanitation collides (mkUniqueView analog)") {
+    val cat = freshCatalog()
+    // 'a.b' and 'a_b' both sanitize to a_b — before the stored
+    // allocation, the second silently overwrote the first's temp view
+    // and the /sql ACL owner map attributed a_b_v1 to the wrong source
+    val e1 = cat.ingest("a.b", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    val e2 = cat.ingest("a_b", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(e1.viewName == "a_b_v1")
+    assert(e2.viewName != e1.viewName, "colliding sanitized names")
+    // bare latest aliases are disambiguated too, in ix order
+    val names = cat.sqlNames
+    assert(names.size == 4, names.keySet)
+    assert(names("a_b").name == "a.b")
+    val bareForSecond = names.collectFirst {
+      case (n, e) if e.name == "a_b" && !n.endsWith("_v1") => n
+    }.get
+    assert(bareForSecond != "a_b")
+    // both sources are independently queryable after registration
+    cat.registerViews()
+    assert(spark.sql(s"SELECT * FROM ${e1.viewName}").count() == 4)
+    assert(spark.sql(s"SELECT * FROM ${e2.viewName}").count() == 4)
+  }
+
+  test("sqlNames bare alias tracks the LATEST version per source") {
+    val cat = freshCatalog()
+    cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    val e2 = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    val names = cat.sqlNames
+    assert(names("t").version == e2.version)
+    assert(names.keySet == Set("t", "t_v1", "t_v2"))
+  }
 }

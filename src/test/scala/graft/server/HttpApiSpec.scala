@@ -12,6 +12,13 @@ import graft.engine.Catalog
   * real HTTP round-trips — ingest, search with X-Total-Count, info,
   * typed download, gated /sql (including denial), tags, deprecation,
   * column re-type, ACL visibility between two users, delete.
+  *
+  * AUTH: the facade fails closed — every mutation authenticates via a
+  * login-issued token (the bootstrap admin is root / empty password,
+  * the reference test rig's dummy-auth setup), wrong passwords 401,
+  * and tokenless requests act as the ANONYMOUS principal (public
+  * reads only). The full 3-user/3-group authorization matrix lives in
+  * SecurityMatrixSpec; this spec covers the API surface itself.
   */
 class HttpApiSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -33,10 +40,18 @@ class HttpApiSpec extends AnyFunSuite {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  private def loginToken(user: String, pass: String = ""): String = {
+    val r = req("POST", s"/user/login?user=$user&pass=$pass")
+    assert(r.statusCode == 200, s"login $user: ${r.statusCode} ${r.body}")
+    "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(r.body).get.group(1)
+  }
+
+  private lazy val asRoot = Map("X-Token" -> loginToken("root"))
+
   test("ingest → search → info → download → sql → retype → tag → deprecate → delete") {
     // POST /sources (SourcesPost): upload a small CSV as root
     val up = req("POST", "/sources?name=people.csv",
-      "name,age\nAlice,34\nBob,28\n")
+      "name,age\nAlice,34\nBob,28\n", asRoot)
     assert(up.statusCode == 201, up.body)
     assert(up.body.contains("\"name\":\"people.csv\"") &&
            up.body.contains("\"version\":1") &&
@@ -44,7 +59,9 @@ class HttpApiSpec extends AnyFunSuite {
     assert(up.body.contains("\"type\":\"TEXT\"") &&
            up.body.contains("\"type\":\"INTEGER\""), up.body)
 
-    // GET /sources (SourcesGet) with X-Total-Count
+    // GET /sources (SourcesGet) with X-Total-Count — the source is
+    // public by default (reference server default), so even the
+    // anonymous listing sees it
     val list = req("GET", "/sources?name=people")
     assert(list.statusCode == 200)
     assert(list.headers.firstValue("X-Total-Count").orElse("0") == "1")
@@ -62,7 +79,8 @@ class HttpApiSpec extends AnyFunSuite {
 
     // POST /sql (SQL): gated query over the sanitized view names
     // (people.csv -> people_csv_v1, like the reference's
-    // _001_simple_csv_v1 views)
+    // _001_simple_csv_v1 views); anonymous works because the source
+    // is public (sh:289)
     val sql = req("POST", "/sql",
       "SELECT name, age FROM people_csv_v1 WHERE age > 30")
     assert(sql.statusCode == 200, s"${sql.statusCode} ${sql.body}")
@@ -78,35 +96,40 @@ class HttpApiSpec extends AnyFunSuite {
     assert(req("POST", "/sql",
       "INSERT INTO people_csv_v1 VALUES ('x', 'y', 1)").statusCode == 403)
 
+    // mutations REQUIRE authentication: tokenless = 401
+    assert(req("POST", "/source/people.csv/1/column/2/type", "TEXT").statusCode == 401)
+    assert(req("POST", "/source/people.csv/1/tags", """["x"]""").statusCode == 401)
+    assert(req("DELETE", "/source/people.csv").statusCode == 401)
+
     // ColumnSetType: re-type age (data column 2; ix is not a column) to
     // TEXT and back — INTEGER must vanish from the info while TEXT
-    assert(req("POST", "/source/people.csv/1/column/2/type", "TEXT").statusCode == 204)
+    assert(req("POST", "/source/people.csv/1/column/2/type", "TEXT", asRoot).statusCode == 204)
     assert(!req("GET", "/source/people.csv/1").body.contains("\"type\":\"INTEGER\""))
-    assert(req("POST", "/source/people.csv/1/column/2/type", "INTEGER").statusCode == 204)
+    assert(req("POST", "/source/people.csv/1/column/2/type", "INTEGER", asRoot).statusCode == 204)
     assert(req("GET", "/source/people.csv/1").body.contains("\"type\":\"INTEGER\""))
 
     // tags (SourceTagsPost / SourceTagDelete)
-    assert(req("POST", "/source/people.csv/1/tags", """["hr","golden"]""").statusCode == 204)
+    assert(req("POST", "/source/people.csv/1/tags", """["hr","golden"]""", asRoot).statusCode == 204)
     assert(req("GET", "/source/people.csv/1").body.contains("\"hr\""))
-    assert(req("DELETE", "/source/people.csv/1/tag/hr").statusCode == 204)
+    assert(req("DELETE", "/source/people.csv/1/tag/hr", headers = asRoot).statusCode == 204)
     assert(!req("GET", "/source/people.csv/1").body.contains("\"hr\""))
 
     // deprecation (SourceSetDeprecated): hidden from default search
-    assert(req("POST", "/source/people.csv/1/deprecated", "true").statusCode == 204)
+    assert(req("POST", "/source/people.csv/1/deprecated", "true", asRoot).statusCode == 204)
     assert(req("GET", "/sources?name=people").headers
       .firstValue("X-Total-Count").orElse("") == "0")
     assert(req("GET", "/sources?name=people&includeDeprecated=true").headers
       .firstValue("X-Total-Count").orElse("") == "1")
-    assert(req("POST", "/source/people.csv/1/deprecated", "false").statusCode == 204)
+    assert(req("POST", "/source/people.csv/1/deprecated", "false", asRoot).statusCode == 204)
 
     // delete (SourceDelete): gone from info and search
-    assert(req("DELETE", "/source/people.csv").statusCode == 204)
+    assert(req("DELETE", "/source/people.csv", headers = asRoot).statusCode == 204)
     assert(req("GET", "/source/name/people.csv").statusCode == 404)
   }
 
   test("ingest with ?progress=true streams progress lines then the SourceInfo") {
     val rows = (1 to 500).map(i => s"$i,v$i").mkString("name,val\n", "\n", "\n")
-    val r = req("POST", "/sources?name=prog.csv&progress=true&logEvery=100", rows)
+    val r = req("POST", "/sources?name=prog.csv&progress=true&logEvery=100", rows, asRoot)
     assert(r.statusCode == 200, r.body)
     val lines = r.body.trim.split("\n").toSeq
     // at least the {"done":...} line plus the final SourceInfo object
@@ -114,44 +137,83 @@ class HttpApiSpec extends AnyFunSuite {
     assert(lines.exists(l => l.contains("\"progress\"") || l.contains("\"done\"")), r.body)
     assert(lines.last.contains("\"name\":\"prog.csv\"") &&
            lines.last.contains("\"rowCount\":500"), lines.last)
-    req("DELETE", "/source/prog.csv")
+    req("DELETE", "/source/prog.csv", headers = asRoot)
   }
 
-  test("sessions and ACL: private until made public; grants open access") {
-    // root ingests a private dataset
-    assert(req("POST", "/sources?name=secrets.csv", "k,v\na,1\n").statusCode == 201)
+  test("login verifies credentials; sessions fail closed (sh:75,289-318)") {
+    // root ingests a PRIVATE dataset (?public=false = the --private flag)
+    assert(req("POST", "/sources?name=secrets.csv&public=false",
+      "k,v\na,1\n", asRoot).statusCode == 201)
 
-    // create a second user + login (UserLogin)
-    assert(req("POST", "/users?name=guest").statusCode == 204)
-    val login = req("POST", "/user/login?user=guest")
-    assert(login.statusCode == 200, login.body)
-    val token = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(login.body).get.group(1)
-    val asGuest = Map("X-Token" -> token)
+    // admin creates a user WITH a password (manage-user --create-user)
+    assert(req("POST", "/users?name=guest&pass=gpw", headers = asRoot).statusCode == 204)
+    // non-admin cannot create users
+    val guestTok = loginToken("guest", "gpw")
+    val asGuest = Map("X-Token" -> guestTok)
+    assert(req("POST", "/users?name=mallory", headers = asGuest).statusCode == 403)
 
-    // invisible to guest in search; download + sql denied
+    // WRONG password must fail, dummy auth or not (sh:75); unknown
+    // user is the same 401 (no username oracle)
+    assert(req("POST", "/user/login?user=guest&pass=wrong").statusCode == 401)
+    assert(req("POST", "/user/login?user=root&pass=wrong").statusCode == 401)
+    assert(req("POST", "/user/login?user=nobody").statusCode == 401)
+    // JSON-body login, the reference's curl shape (sh:303)
+    assert(req("POST", "/user/login", """{"user": "guest", "pass": "gpw"}""")
+      .statusCode == 200)
+
+    // private: invisible to guest in search; download + sql denied
     assert(req("GET", "/sources?name=secrets", headers = asGuest).headers
       .firstValue("X-Total-Count").orElse("") == "0")
     assert(req("GET", "/source/secrets.csv/1/download", headers = asGuest)
       .statusCode == 403)
     assert(req("POST", "/sql", "SELECT * FROM secrets_csv_v1",
       headers = asGuest).statusCode == 403)
+    // anonymous (no token) is denied too — no root fallback
+    assert(req("GET", "/source/secrets.csv/1/download").statusCode == 403)
+    assert(req("POST", "/sql", "SELECT * FROM secrets_csv_v1").statusCode == 403)
 
     // root sees it (creator Manage)
-    assert(req("GET", "/sources?name=secrets").headers
+    assert(req("GET", "/sources?name=secrets", headers = asRoot).headers
       .firstValue("X-Total-Count").orElse("") == "1")
 
-    // make public (SourceSetPublic): guest can now search + read
-    assert(req("POST", "/source/secrets.csv/public", "true").statusCode == 204)
+    // make public (SourceSetPublic): guest AND anonymous can now read
+    assert(req("POST", "/source/secrets.csv/public", "true", asRoot).statusCode == 204)
     assert(req("GET", "/sources?name=secrets", headers = asGuest).headers
       .firstValue("X-Total-Count").orElse("") == "1")
     assert(req("POST", "/sql", "SELECT count(*) AS n FROM secrets_csv_v1",
       headers = asGuest).statusCode == 200)
+    assert(req("POST", "/sql", "SELECT count(*) AS n FROM secrets_csv_v1")
+      .statusCode == 200)
 
-    // logout invalidates the token → falls back to root (which can read)
+    // back to private, then LOGOUT: the stale token must carry no
+    // rights — reads 403 (anonymous), mutations 401 (sh:311-318
+    // resume-after-logout must fail)
+    assert(req("POST", "/source/secrets.csv/public", "false", asRoot).statusCode == 204)
     assert(req("POST", "/user/logout", headers = asGuest).statusCode == 204)
+    assert(req("GET", "/source/secrets.csv/1/download", headers = asGuest)
+      .statusCode == 403)
+    assert(req("POST", "/source/secrets.csv/1/tags", """["t"]""", asGuest)
+      .statusCode == 401)
 
-    // unknown user can't log in
-    assert(req("POST", "/user/login?user=nobody").statusCode == 400)
-    req("DELETE", "/source/secrets.csv")
+    req("DELETE", "/source/secrets.csv", headers = asRoot)
+  }
+
+  test("dataset update rights: new versions need UPDATE on the source (sh:178-199)") {
+    // bob creates a public dataset; alice can upload a new version
+    // (public default = public-group UPDATE) but cannot manage it
+    assert(req("POST", "/users?name=hbob&pass=b", headers = asRoot).statusCode == 204)
+    assert(req("POST", "/users?name=halice&pass=a", headers = asRoot).statusCode == 204)
+    val asBob = Map("X-Token" -> loginToken("hbob", "b"))
+    val asAlice = Map("X-Token" -> loginToken("halice", "a"))
+    assert(req("POST", "/sources?name=Bob1.csv", "x,y\n1,2\n", asBob).statusCode == 201)
+    val v2 = req("POST", "/sources?name=Bob1.csv", "x,y\n1,2\n3,4\n", asAlice)
+    assert(v2.statusCode == 201 && v2.body.contains("\"version\":2"), v2.body)
+    assert(req("POST", "/source/Bob1.csv/public", "false", asAlice).statusCode == 403)
+    // alice's update did NOT hand her manage rights; bob retains them
+    assert(req("POST", "/source/Bob1.csv/public", "false", asBob).statusCode == 204)
+    // now private: alice can no longer read or update
+    assert(req("GET", "/source/Bob1.csv/2/download", headers = asAlice).statusCode == 403)
+    assert(req("POST", "/sources?name=Bob1.csv", "x,y\n5,6\n", asAlice).statusCode == 403)
+    req("DELETE", "/source/Bob1.csv", headers = asRoot)
   }
 }
