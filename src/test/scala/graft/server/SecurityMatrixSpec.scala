@@ -1,0 +1,239 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** The reference's security scenario matrix
+  * (clients/cmdline/test-cases/runsecuritytests.sh) ported wholesale
+  * and driven over the HTTP facade: 3 users (Alice, Bob, Carol), 3
+  * groups (AB, BC, AC) plus public, public/private datasets, the
+  * access-level lattice, create privileges, and session resume.
+  *
+  * Mapping from the script's cmdline client to routes:
+  *   manage-user --create-user X        POST /users?name=X&pass=…  (admin)
+  *   manage-user --grant/revoke-create* POST /user/X/privileges?…  (admin)
+  *   create-group -u U --group G        POST /groups?name=G        (as U)
+  *   manage-group --add/remove-user     POST|DELETE /group/G/users…
+  *   manage-group --grant/revoke-manage POST|DELETE /group/G/manage…
+  *   ingest -u U -n N [--private]       POST /sources?name=N[&public=false]
+  *   manage -u U N --public/--private   POST /source/N/public body bool
+  *   manage --set-user-access U --lvl   POST /source/N/userAccessLevel/U
+  *   manage --set-group-access G --lvl  POST /source/N/groupAccessLevel/G
+  *   download -u U N                    GET  /source/N/{v}/download
+  *   exit 43 (permission denied)        403
+  *   exit 3  (wrong admin password)     401 at login
+  *
+  * The bootstrap admin is root (the script's 'admin' with
+  * --db-admin-pass ''). Scenario comments carry the script's own
+  * section headers; the step order matters — state accumulates
+  * exactly like one run of the script.
+  */
+class SecurityMatrixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val api = {
+    val a = new HttpApi(new Catalog(spark,
+      Files.createTempDirectory("graft-sec-wh").toString))
+    sys.addShutdownHook(a.stop())
+    a
+  }
+  private lazy val port = api.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: String = "",
+                  headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                      else HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def login(user: String, pass: String): Map[String, String] = {
+    val r = req("POST", s"/user/login?user=$user&pass=$pass")
+    assert(r.statusCode == 200, s"login $user: ${r.statusCode} ${r.body}")
+    Map("X-Token" -> "\"token\":\"([^\"]+)\"".r
+      .findFirstMatchIn(r.body).get.group(1))
+  }
+
+  // EXAMPLE_DATASET analog: the download-diff steps assert this cell
+  private val data = "h1,h2\nfoo,1\nbar,2\n"
+  private def latest(name: String): Int =
+    "\"version\":(\\d+)".r.findFirstMatchIn(
+      req("GET", s"/source/name/$name", headers = admin).body).get.group(1).toInt
+
+  private lazy val admin = login("root", "")
+  private lazy val alice = login("Alice", "apw")
+  private lazy val bob   = login("Bob", "bpw")
+  private lazy val carol = login("Carol", "cpw")
+
+  private def ingest(name: String, as: Map[String, String],
+                     priv: Boolean = false): HttpResponse[String] =
+    req("POST", s"/sources?name=$name${if (priv) "&public=false" else ""}", data, as)
+
+  private def download(name: String, as: Map[String, String]): HttpResponse[String] =
+    req("GET", s"/source/$name/${latest(name)}/download", headers = as)
+
+  test("CREATING USERS: explicit creation; wrong admin password fails (sh:62-75)") {
+    req("POST", "/users?name=Alice&pass=apw", headers = admin)
+    req("POST", "/users?name=Bob&pass=bpw", headers = admin)
+    req("POST", "/users?name=Carol&pass=cpw", headers = admin)
+    assert(Seq(alice, bob, carol).forall(_.contains("X-Token")))
+    // "If we get the admin password wrong it should not work, dummy
+    // auth or not" (sh:75, exit 3)
+    assert(req("POST", "/user/login?user=root&pass=wrong").statusCode == 401)
+    // duplicate creation is an error, not a silent overwrite
+    assert(req("POST", "/users?name=Carol&pass=x", headers = admin).statusCode == 400)
+  }
+
+  test("CREATING GROUPS: default privilege, revoke, grant (sh:78-98)") {
+    // [Admin can create groups]: admin creates AB
+    assert(req("POST", "/groups?name=AB", headers = admin).statusCode == 204)
+    // [Users can create groups by default]: Bob creates BC
+    assert(req("POST", "/groups?name=BC", headers = bob).statusCode == 204)
+    // [Admin can revoke CREATEGROUP] + [privilege is checked]
+    assert(req("POST", "/user/Carol/privileges?revoke=CREATEGROUP",
+      headers = admin).statusCode == 204)
+    assert(req("POST", "/groups?name=AC", headers = carol).statusCode == 403)
+    // non-admin cannot run manage-user
+    assert(req("POST", "/user/Carol/privileges?grant=CREATEGROUP",
+      headers = bob).statusCode == 403)
+    // [Admin can grant CREATEGROUP] + [was granted]
+    assert(req("POST", "/user/Carol/privileges?grant=CREATEGROUP",
+      headers = admin).statusCode == 204)
+    assert(req("POST", "/groups?name=AC", headers = carol).statusCode == 204)
+  }
+
+  test("GROUP MANAGEMENT: manage rights, admin override, handover (sh:100-146)") {
+    // [Creator of the group has manage rights]: Bob adds members to BC
+    assert(req("POST", "/group/BC/users", "Bob", bob).statusCode == 204)
+    assert(req("POST", "/group/BC/users", "Alice", bob).statusCode == 204)
+    assert(req("POST", "/group/BC/users", "Carol", bob).statusCode == 204)
+    assert(req("DELETE", "/group/BC/users/Alice", headers = bob).statusCode == 204)
+    // [Group membership does not imply manage rights]: Carol ∈ BC, no
+    assert(req("POST", "/group/BC/users", "Alice", carol).statusCode == 403)
+    // [Admin has all rights]: add + remove on a group admin didn't create
+    assert(req("POST", "/group/BC/users", "Alice", admin).statusCode == 204)
+    assert(req("DELETE", "/group/BC/users/Alice", headers = admin).statusCode == 204)
+    // BC (created by Bob) contains Bob and Carol at this point
+
+    // AB (created by admin): Alice can't manage until granted
+    assert(req("POST", "/group/AB/users", "Alice", alice).statusCode == 403)
+    assert(req("POST", "/group/AB/manage", "Alice", admin).statusCode == 204)
+    assert(req("POST", "/group/AB/users", "Alice", alice).statusCode == 204)
+    assert(req("POST", "/group/AB/users", "Bob", alice).statusCode == 204)
+    assert(req("DELETE", "/group/AB/manage/Alice", headers = admin).statusCode == 204)
+    assert(req("DELETE", "/group/AB/users/Bob", headers = alice).statusCode == 403)
+    // AB contains Alice and Bob at this point
+
+    // AC (created by Carol): manage handover to Alice, who revokes Carol
+    assert(req("POST", "/group/AC/users", "Alice", alice).statusCode == 403)
+    assert(req("POST", "/group/AC/manage", "Alice", carol).statusCode == 204)
+    assert(req("POST", "/group/AC/users", "Alice", alice).statusCode == 204)
+    assert(req("DELETE", "/group/AC/manage/Carol", headers = alice).statusCode == 204)
+    assert(req("POST", "/group/AC/users", "Carol", carol).statusCode == 403)
+    assert(req("POST", "/group/AC/users", "Carol", alice).statusCode == 204)
+    // AC (managed by Alice) contains Alice and Carol at this point
+  }
+
+  test("CREATING DATASETS: CREATE privilege checked like CREATEGROUP (sh:148-176)") {
+    assert(ingest("admin1", admin).statusCode == 201)
+    assert(ingest("Alice1", alice).statusCode == 201)
+    assert(ingest("Bob1", bob).statusCode == 201)
+    assert(req("POST", "/user/Carol/privileges?revoke=CREATE",
+      headers = admin).statusCode == 204)
+    assert(ingest("Carol1", carol).statusCode == 403)
+    assert(req("POST", "/user/Carol/privileges?grant=CREATE",
+      headers = admin).statusCode == 204)
+    assert(ingest("Carol1", carol).statusCode == 201)
+  }
+
+  test("PUBLIC VERSUS NON-PUBLIC: download/update/manage lattice (sh:178-219)") {
+    // [Download public datasets] + [Upload new version of public dataset]
+    val dl = download("Bob1", alice)
+    assert(dl.statusCode == 200 && dl.body.contains("foo,1"), dl.body)
+    assert(ingest("Bob1", alice).statusCode == 201) // v2
+    // [Public does not give admin rights]
+    assert(req("POST", "/source/Bob1/public", "false", alice).statusCode == 403)
+    // [Uploader has admin rights by default]: Bob makes it private
+    assert(req("POST", "/source/Bob1/public", "false", bob).statusCode == 204)
+    // [Cannot download/update/make-public private datasets]
+    assert(download("Bob1", alice).statusCode == 403)
+    assert(ingest("Bob1", alice).statusCode == 403)
+    assert(req("POST", "/source/Bob1/public", "true", alice).statusCode == 403)
+    // [Private datasets can be made public again] + re-check
+    assert(req("POST", "/source/Bob1/public", "true", bob).statusCode == 204)
+    assert(download("Bob1", alice).statusCode == 200)
+    assert(ingest("Bob1", alice).statusCode == 201) // v3
+    assert(req("POST", "/source/Bob1/public", "false", alice).statusCode == 403)
+  }
+
+  test("OVERRIDE DEFAULT: sources declared private on ingest (sh:221-234)") {
+    assert(ingest("Bob2", bob, priv = true).statusCode == 201)
+    assert(download("Bob2", alice).statusCode == 403)
+    // an existing source can be made private by its next ingest flag?
+    // no — the script re-ingests Bob1 with --private, which as a new
+    // VERSION of an existing source keeps the source's ACL; Bob then
+    // owns making it private (the flag only applies to new sources)
+    assert(ingest("Bob1", bob, priv = true).statusCode == 201) // v4
+    assert(req("POST", "/source/Bob1/public", "false", bob).statusCode == 204)
+    assert(download("Bob1", alice).statusCode == 403)
+  }
+
+  test("CUSTOM PUBLIC ACCESS LEVEL: READ / MANAGE overrides (sh:236-259)") {
+    // [Public READ access]: download ok, update denied
+    assert(req("POST", "/source/Bob1/groupAccessLevel/public", "READ", bob)
+      .statusCode == 204)
+    assert(download("Bob1", alice).statusCode == 200)
+    assert(ingest("Bob1", alice).statusCode == 403)
+    // [Public MANAGE access]: Alice can self-grant
+    assert(req("POST", "/source/Bob1/userAccessLevel/Alice", "MANAGE", alice)
+      .statusCode == 403)
+    assert(req("POST", "/source/Bob1/groupAccessLevel/public", "MANAGE", bob)
+      .statusCode == 204)
+    assert(req("POST", "/source/Bob1/userAccessLevel/Alice", "MANAGE", alice)
+      .statusCode == 204)
+    // [No public access]: Carol can't re-publicize, self-managed Alice can
+    assert(req("POST", "/source/Bob1/public", "false", bob).statusCode == 204)
+    assert(req("POST", "/source/Bob1/public", "true", carol).statusCode == 403)
+    assert(req("POST", "/source/Bob1/public", "true", alice).statusCode == 204)
+  }
+
+  test("PER-GROUP ACCESS LEVEL: grants to groups the granter isn't in (sh:261-286)") {
+    assert(req("POST", "/source/Bob1/public", "false", bob).statusCode == 204)
+    assert(download("Bob1", carol).statusCode == 403)
+    // Bob grants AC read — he has MANAGE on Bob1, no rights over AC
+    assert(req("POST", "/source/Bob1/groupAccessLevel/AC", "READ", bob)
+      .statusCode == 204)
+    val dl = download("Bob1", carol) // Carol ∈ AC
+    assert(dl.statusCode == 200 && dl.body.contains("bar,2"), dl.body)
+    assert(ingest("Bob1", carol).statusCode == 403) // read ≠ update
+    assert(req("POST", "/source/Bob1/groupAccessLevel/AC", "NONE", bob)
+      .statusCode == 204)
+    assert(download("Bob1", carol).statusCode == 403)
+    assert(download("Bob1", alice).statusCode == 200) // self-granted MANAGE
+  }
+
+  test("SQL: permissions checked without and with login (sh:288-309)") {
+    // [Public sources can be read without logging in]: Carol1 is public
+    val pub = req("POST", "/sql", s"SELECT * FROM carol1_v${latest("Carol1")}")
+    assert(pub.statusCode == 200 && pub.body.contains("foo"), pub.body)
+    // [Private sources cannot]
+    val priv = req("POST", "/sql", s"SELECT * FROM bob1_v${latest("Bob1")}")
+    assert(priv.statusCode == 403, priv.body)
+    // [Private sources can be read if logged in]
+    val asBob = req("POST", "/sql",
+      s"SELECT * FROM bob1_v${latest("Bob1")}", bob)
+    assert(asBob.statusCode == 200 && asBob.body.contains("foo"), asBob.body)
+  }
+
+  test("SESSION RESUME: token works until logout, then never again (sh:311-318)") {
+    val tok = login("Bob", "bpw")
+    assert(download("Bob1", tok).statusCode == 200)
+    assert(req("POST", "/user/logout", headers = tok).statusCode == 204)
+    assert(download("Bob1", tok).statusCode == 403) // stale token = anonymous
+  }
+}
