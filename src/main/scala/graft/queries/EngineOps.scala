@@ -314,6 +314,41 @@ object EngineOps {
       Some("""SELECT * FROM (VALUES (6, 2, 1, 2, 1, true))
              t(compacted_rows, shared_rows, v1_only, v2_only, v3_only, roundtrips_ok)""")),
 
+    // Compaction × delete interplay (runcompactiontests.sh:48-62 +
+    // I18): after compaction, DELETING one version must leave every
+    // surviving version's download byte-identical — the per-version
+    // views filter the shared compacted table by `ixs` membership, so
+    // a sibling deletion can only remove catalog state, never shared
+    // rows. Also pins that the deleted version 404s and that the whole
+    // source still deletes cleanly afterwards.
+    NamedQuery("im20_compact_delete",
+      (s, _) => {
+        val cat = new Catalog(s, Files.createTempDirectory("graft-wh").toString)
+        val v1 = "a,b\n1,x\n2,y\n3,z\n"
+        val v2 = "a,b\n1,x\n2,CHANGED\n3,z\n4,w\n" // shares rows 1,3 with v1
+        val v3 = "a,b\n1,x\n9,q\n"
+        Seq(v1, v2, v3).foreach(v =>
+          cat.ingest("ds", Ingest.csv(s, tmpFile(v, ".csv")), "csv"))
+        cat.compact("ds")
+        def dump(v: Int) = Export.csvString(cat.view("ds", v).orderBy("ix"))
+        val pre = Seq(1, 3).map(dump)
+        cat.delete("ds", Some(2)) // delete the MIDDLE version
+        val post = Seq(1, 3).map(dump)
+        val v2Gone =
+          try { cat.view("ds", 2); false }
+          catch { case _: NoSuchElementException => true }
+        val wholeGone = { // whole-source delete still works post-compaction
+          cat.delete("ds")
+          cat.entries.isEmpty
+        }
+        rowsDf(s, Seq("survivors", "identical_after_sibling_delete",
+            "deleted_version_gone", "source_delete_clean"),
+          Seq(Seq(post.size, pre == post, v2Gone, wholeGone)))
+      },
+      Some("""SELECT * FROM (VALUES (2, true, true, true))
+             t(survivors, identical_after_sibling_delete,
+               deleted_version_gone, source_delete_clean)""")),
+
     // Q23/Q24 + ACL: the authorizer verdict matrix
     NamedQuery("im08_sqlgate",
       (s, _) => {
