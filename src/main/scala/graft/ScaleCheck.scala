@@ -148,6 +148,40 @@ object ScaleCheck {
     }
   }
 
+  /** ln01/tx12 scaling probe (`runMain graft.ScaleCheck text`): grow
+    * the sf0.1 documents ×5 and ×20 with replica-distinct text and
+    * measure the two round-8 text operators whose cost centers are
+    * DF-count joins:
+    *  - dropBoilerplateLines: the line-DF frame grows with total line
+    *    count; the hot-line anti-join carries 32-byte keys only
+    *  - bigramLogppl: the (w1,w2) count frame grows with distinct
+    *    bigrams (sublinearly once the vocab saturates); the join is
+    *    shuffle-by-design with map-side partial agg
+    * Both must show ~linear wall-clock slope in corpus size.
+    */
+  private def textScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] text x$mult ($n%d docs) $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
+      // newline-less corpus: give boilerplate a real line structure by
+      // splitting on the period (sentences as "lines")
+      time("boilerplateLines")(graft.ops.Dedup.dropBoilerplateLines(
+        docs, maxDf = 100, sep = ".").count())
+      time("bigramLogppl")(
+        graft.ops.TextAnalysis.bigramLogppl(docs).count())
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -176,6 +210,11 @@ object ScaleCheck {
     }
     if (path == "ml") {
       mlScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "text") {
+      textScale(spark)
       spark.stop()
       return
     }
