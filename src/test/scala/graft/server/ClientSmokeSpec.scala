@@ -1,0 +1,30 @@
+package graft.server
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** Drives tools/client_smoke.py — the PyLagoon-flow client (reference
+  * clients/PyLagoon, docs/python-example.ipynb) — against an
+  * in-process server: login (incl. wrong-password 401), ingest,
+  * search, info, SQL in both accepts, download, tags, private-source
+  * ACL, stale-token 401. Proves the facade is drivable by an external
+  * stdlib-only client, not just by this JVM's HttpClient.
+  */
+class ClientSmokeSpec extends AnyFunSuite {
+
+  test("python client replays the PyLagoon example flow") {
+    val api = new HttpApi(new Catalog(TestSpark.spark,
+      Files.createTempDirectory("graft-smoke-wh").toString))
+    val port = api.start()
+    try {
+      val proc = new ProcessBuilder("python3", "tools/client_smoke.py", port.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      assert(code == 0, s"client_smoke.py exit $code:\n$out")
+      assert(out.contains("client smoke OK"), out)
+    } finally api.stop()
+  }
+}

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Python client smoke over the graft REST facade — the PyLagoon flow
+(reference clients/PyLagoon/PyLagoon/lagoon.py, docs/python-example.ipynb)
+replayed with the standard library only: login, ingest, list sources,
+source info, SQL query (CSV and JSON accepts), typed download, tag,
+make-private ACL check, logout.
+
+Usage: client_smoke.py <port> [adminPass]
+Exit 0 = every step behaved; any assertion failure exits non-zero.
+Run by ClientSmokeSpec against an ephemeral in-process server.
+"""
+import json
+import sys
+import urllib.error
+import urllib.request
+
+
+class Client:
+    """Minimal LagoonSession analog (lagoon.py:26-149)."""
+
+    def __init__(self, port):
+        self.base = f"http://127.0.0.1:{port}"
+        self.token = None
+
+    def req(self, method, path, body=None, accept=None, expect=None):
+        r = urllib.request.Request(self.base + path, method=method,
+                                   data=body.encode() if body is not None else None)
+        if self.token:
+            r.add_header("X-Token", self.token)
+        if accept:
+            r.add_header("Accept", accept)
+        try:
+            with urllib.request.urlopen(r) as resp:
+                out = resp.read().decode()
+                code = resp.status
+        except urllib.error.HTTPError as e:
+            out = e.read().decode()
+            code = e.code
+        if expect is not None:
+            assert code == expect, f"{method} {path}: {code} (wanted {expect}): {out[:200]}"
+        return code, out
+
+    # --- the PyLagoon surface ---
+    def login(self, user, pw):                   # lagoon.py __connect
+        _, out = self.req("POST", f"/user/login?user={user}&pass={pw}", body="", expect=200)
+        self.token = json.loads(out)["token"]
+
+    def logout(self):
+        self.req("POST", "/user/logout", body="", expect=204)
+        self.token = None
+
+    def ingest(self, name, csv, **params):       # lagoon.py ingest
+        qs = "".join(f"&{k}={v}" for k, v in params.items())
+        _, out = self.req("POST", f"/sources?name={name}{qs}", body=csv, expect=201)
+        return json.loads(out)
+
+    def sources(self, **filters):                # lagoon.py sources
+        qs = "&".join(f"{k}={v}" for k, v in filters.items())
+        _, out = self.req("GET", f"/sources?{qs}", expect=200)
+        return json.loads(out)
+
+    def source_info(self, name):                 # source.py
+        _, out = self.req("GET", f"/source/name/{name}", expect=200)
+        return json.loads(out)
+
+    def sql(self, query, as_json=False):         # lagoon.py download_query
+        code, out = self.req("POST", "/sql", body=query,
+                             accept="application/json" if as_json else None)
+        return code, out
+
+    def download(self, name, version):           # lagoon.py download_source
+        return self.req("GET", f"/source/{name}/{version}/download")
+
+
+def main():
+    port = int(sys.argv[1])
+    admin_pass = sys.argv[2] if len(sys.argv) > 2 else ""
+    c = Client(port)
+
+    # wrong password must fail before anything works (sh:75)
+    code, _ = c.req("POST", "/user/login?user=root&pass=definitely-wrong", body="")
+    assert code == 401, f"wrong password logged in: {code}"
+    c.login("root", admin_pass)
+
+    # ingest (python-example.ipynb cell 3: lagoon.ingest(file, name))
+    info = c.ingest("smoke.csv", "city,pop\nParis,2100000\nLyon,520000\n")
+    assert info["version"] >= 1 and info["rowCount"] == 2, info
+    version = info["version"]
+    types = [col["type"] for col in info["columns"]]
+    assert types == ["TEXT", "INTEGER"], types
+
+    # search (ipynb cell 4: lagoon.sources(name=...))
+    listed = c.sources(name="smoke")
+    assert any(s["name"] == "smoke.csv" for s in listed), listed
+    assert c.source_info("smoke.csv")["version"] == version
+
+    # SQL, CSV and JSON shapes (ipynb cell 6: download_query)
+    code, csv_out = c.sql(f"SELECT city FROM smoke_csv_v{version} WHERE pop > 1000000")
+    assert code == 200 and "Paris" in csv_out and "Lyon" not in csv_out, csv_out
+    code, json_out = c.sql(
+        f"SELECT city, pop FROM smoke_csv_v{version} ORDER BY pop", as_json=True)
+    rows = [json.loads(l) for l in json_out.strip().splitlines()]
+    assert code == 200 and rows[0] == {"city": "Lyon", "pop": 520000}, rows
+
+    # typed download round-trips the ingested values (ipynb cell 5)
+    code, dl = c.download("smoke.csv", version)
+    assert code == 200 and "Paris,2100000" in dl, dl[:200]
+
+    # tag + see it in the info
+    c.req("POST", f"/source/smoke.csv/{version}/tags", body='["demo"]', expect=204)
+    assert "demo" in c.source_info("smoke.csv")["tags"]
+
+    # ACL: private source vanishes for an anonymous client
+    c.req("POST", "/source/smoke.csv/public", body="false", expect=204)
+    anon = Client(port)
+    code, _ = anon.sql(f"SELECT * FROM smoke_csv_v{version}")
+    assert code == 403, f"anonymous read of a private source: {code}"
+    assert anon.sources(name="smoke") == [], "private source listed anonymously"
+
+    # logout kills the token
+    tok = c.token
+    c.logout()
+    c.token = tok
+    code, _ = c.req("POST", f"/source/smoke.csv/{version}/tags", body='["x"]')
+    assert code == 401, f"stale token mutated: {code}"
+
+    print("client smoke OK")
+
+
+if __name__ == "__main__":
+    main()
