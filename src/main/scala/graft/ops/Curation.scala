@@ -366,4 +366,39 @@ object Curation {
         col("n_docs"),
         round(col("n_docs") / col("__total_docs"), 6).as("share"))
   }
+
+  // ---------------- URL canonicalization ----------------
+
+  /** Canonical URL form (uc01) — the normalization pass that makes
+    * URL-keyed dedup and domain profiling see through cosmetic
+    * variation: strip the fragment, lowercase the scheme://authority
+    * (path case is significant, host case is not), drop default ports
+    * (http :80 / https :443), and remove tracking parameters
+    * (`utm_*=`, `fbclid=`, `gclid=`), repairing the query string
+    * afterwards (leading '&' promoted to '?', dangling '?' dropped).
+    *
+    * Pure scan-speed regexp projection — zero shuffles, zero joins —
+    * and every pattern is RE2-compatible (no lookahead/backreference
+    * in the MATCH side), so the DuckDB oracle replays it exactly.
+    * Valueless tracking params (`&fbclid&`) are deliberately left
+    * alone: matching them without lookahead would also eat
+    * `fbclidX=1`-style genuine params.
+    */
+  def canonicalizeUrl(df: DataFrame, url: Column,
+                      out: String = "canonical_url"): DataFrame = {
+    require(!df.columns.contains(out), s"column $out would be clobbered")
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val authority = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, s"($authority)", 1)),
+      regexp_replace(noFrag, authority, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*", "")
+    // if the FIRST param was removed, the next one leads with '&'
+    val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    df.withColumn(out, regexp_replace(fixedQ, "\\?$", ""))
+  }
 }

@@ -98,6 +98,44 @@ object Dedup {
           x => x.getField("__line"))).as(out))
   }
 
+  /** Cross-document paragraph dedup, keep-first (dd09) — the
+    * RefinedWeb-style pass that removes REPEATED paragraphs corpus-
+    * wide while the first occurrence (lowest (doc_id, position))
+    * survives. Complements ln01: boilerplate dropping removes lines
+    * hot in MANY documents; this dedups any paragraph that appears
+    * twice anywhere, so syndicated content costs its copies, not its
+    * first publication.
+    *
+    * Scale: one shuffle partitioned on the 32-byte paragraph hash;
+    * each group holds only that paragraph's copies and the keep-first
+    * choice is a row_number over the (doc_id, pos) total order —
+    * deterministic under retries and partition layout. Documents that
+    * lose every paragraph come back with an empty string (left join),
+    * never silently vanish. Empty paragraphs (split artifacts) are
+    * dropped before dedup — otherwise the zero-length paragraph every
+    * trailing separator produces would count as a corpus-wide dup.
+    */
+  def dropDuplicateParagraphs(df: DataFrame,
+                              text: Column = col("text"),
+                              out: String = "clean_text",
+                              sep: String = "\n"): DataFrame = {
+    require(!df.columns.contains(out), s"column $out would be clobbered")
+    val paras = df
+      .select(col("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__p")))
+      .filter(length(col("__p")) > 0)
+    val w = Window.partitionBy(md5(col("__p"))).orderBy(col("doc_id"), col("__pos"))
+    val kept = paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          x => x.getField("__p"))).as(out))
+    df.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col(out), lit("")).as(out))
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-
     * joined). Backed by the native WordShingles expression — the
     * composed HOF form below computes the identical value but pays

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (tx13) — the published
+  * heuristic filter set (Rae et al. 2021, "Scaling Language Models",
+  * Appendix A) every web-corpus pipeline applies before training:
+  * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  * alphabetic-word ratio, and a stop-word floor.
+  *
+  * DESIGN: every statistic is an exact INTEGER (counts), and every
+  * threshold is evaluated by integer cross-multiplication
+  * (`5 * n_alpha >= 4 * n_words` instead of `n_alpha / n_words >=
+  * 0.8`), so there is no float division, no rounding, and no
+  * engine-specific tie behavior anywhere — the DuckDB oracle
+  * reproduces the verdicts bit-for-bit. Pure scan-speed projection +
+  * one HOF filter per row: zero shuffles, zero joins, linear at any
+  * corpus size.
+  */
+object QualityRules {
+
+  /** The Gopher stop-word set: a document must contain at least two. */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val words = split(trim(text), "\\s+")
+    // '...' counted by length difference so the oracle needs no
+    // regexp_count; non-overlapping semantics match the regex form
+    val nEllipsis = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    val flags = df.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      length(regexp_replace(text, "\\s+", "")).cast("long").as("len_nospace"),
+      (length(text) - length(regexp_replace(text, "#", "")) + nEllipsis)
+        .cast("long").as("n_symbols"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      StopWords.map(sw => when(array_contains(words, sw), 1L).otherwise(0L))
+        .reduce(_ + _).as("stop_hits"))
+    flags.withColumn("keep",
+      col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("len_nospace") >= col("n_words") * 3 &&   // mean word len >= 3
+        col("len_nospace") <= col("n_words") * 10 &&  // mean word len <= 10
+        col("n_symbols") * 10 < col("n_words") &&     // symbol ratio < 0.1
+        col("n_alpha") * 5 >= col("n_words") * 4 &&   // alpha ratio >= 0.8
+        col("stop_hits") >= 2)
+  }
+}

@@ -256,6 +256,47 @@ object CurationOps {
                n_docs, round(n_docs / CAST(tot AS DOUBLE), 6) AS share
              FROM g, t ORDER BY host""")),
 
+    // uc01: URL canonicalization over synthesized messy URLs — upper-
+    // case scheme/host, default :80 ports, utm_/fbclid/gclid params in
+    // first/middle/last positions, fragments. The oracle replays each
+    // regexp pass (RE2-compatible patterns; DuckDB replacement syntax
+    // uses \1 where Spark uses $1)
+    NamedQuery("uc01_canonical_urls",
+      (s, d) => {
+        val url = concat(
+          lit("HTTP://WWW.Host"), (col("doc_id") % 20).cast("string"), lit(".COM"),
+          when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Path/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=x&q=1&utm_medium=y"))
+            .when(col("doc_id") % 3 === 1, lit("?fbclid=abc123"))
+            .otherwise(lit("?q=1&gclid=z")),
+          when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
+        Curation.canonicalizeUrl(docs(s, d).withColumn("url", url), col("url"))
+          .select(col("doc_id"), col("canonical_url")).orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                 'HTTP://WWW.Host' || CAST(doc_id % 20 AS VARCHAR) || '.COM' ||
+                   CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+                   '/Path/' || CAST(doc_id AS VARCHAR) ||
+                   CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&q=1&utm_medium=y'
+                        WHEN 1 THEN '?fbclid=abc123' ELSE '?q=1&gclid=z' END ||
+                   CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS url
+               FROM documents),
+              s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+              s2 AS (SELECT doc_id,
+                 lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                   regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                   AS x FROM s1),
+              s3 AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+                 '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2'),
+                 '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS x FROM s2),
+              s4 AS (SELECT doc_id, regexp_replace(x,
+                 '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*', '', 'g') AS x FROM s3),
+              s5 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(x, '^([^?&]*)&', '\1?'), '\?$', '')
+                   AS x FROM s4)
+             SELECT doc_id, x AS canonical_url FROM s5 ORDER BY doc_id""")),
+
     // leakage-safe split: keyed on `source`, so every doc from a
     // domain lands on one side — near-dups inside a domain can never
     // straddle train/test. The oracle replays the same md5 draw and

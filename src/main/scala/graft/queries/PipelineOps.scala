@@ -700,6 +700,61 @@ object PipelineOps {
              SELECT doc_id, md5(clean) AS clean_hash FROM agg
              ORDER BY doc_id""")),
 
+    // dd09: cross-document paragraph dedup, keep-first — tokens stand
+    // in for paragraphs (the synthetic corpus is single-line); a
+    // repeated unit survives only at its lowest (doc_id, pos), docs
+    // that lose everything come back as the empty string
+    NamedQuery("dd09_paragraph_dedup",
+      (s, d) => Dedup.dropDuplicateParagraphs(
+          docs(s, d).withColumn("text", translate(col("text"), " ", "\n")))
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id"),
+      Some("""WITH p0 AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS p FROM documents),
+              p AS (SELECT * FROM p0 WHERE length(p) > 0),
+              k AS (SELECT doc_id, pos, p,
+                 row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, pos) AS rn
+               FROM p),
+              agg AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS clean
+                      FROM k WHERE rn = 1 GROUP BY doc_id)
+             SELECT d.doc_id, md5(coalesce(a.clean, '')) AS clean_hash
+             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             ORDER BY d.doc_id""")),
+
+    // tx13: Gopher quality rules — all-integer statistics, thresholds
+    // via integer cross-multiplication (no float division anywhere),
+    // so the verdict booleans are exactly reproducible
+    NamedQuery("tx13_gopher_rules",
+      (s, d) => graft.ops.QualityRules.gopherQuality(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, text,
+                 string_split_regex(trim(text), '\s+') AS words FROM documents),
+              g AS (SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+                   AS len_nospace,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS BIGINT) AS n_alpha,
+                 CAST(list_contains(words, 'the') AS BIGINT)
+                   + CAST(list_contains(words, 'be') AS BIGINT)
+                   + CAST(list_contains(words, 'to') AS BIGINT)
+                   + CAST(list_contains(words, 'of') AS BIGINT)
+                   + CAST(list_contains(words, 'and') AS BIGINT)
+                   + CAST(list_contains(words, 'that') AS BIGINT)
+                   + CAST(list_contains(words, 'have') AS BIGINT)
+                   + CAST(list_contains(words, 'with') AS BIGINT) AS stop_hits
+               FROM w)
+             SELECT doc_id, n_words, len_nospace, n_symbols, n_alpha, stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND len_nospace >= n_words * 3 AND len_nospace <= n_words * 10
+                AND n_symbols * 10 < n_words
+                AND n_alpha * 5 >= n_words * 4
+                AND stop_hits >= 2) AS keep
+             FROM g ORDER BY doc_id""")),
+
     // maxShingleDf=1000 is ACTIVE (the DF-cap window runs; max df in
     // this corpus is 25, so results are unchanged while the skew guard
     // is exercised end-to-end)
@@ -1341,6 +1396,33 @@ object PipelineOps {
                round(sum(l_quantity), 4) AS sum_qty,
                round(sum(l_extendedprice), 4) AS sum_price
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1""")),
+
+    // bf01: runtime bloom-filter join pruning — lineitem is pruned at
+    // SCAN against a sketch of the urgent orders' keys before the join
+    // shuffle; the exact join clears false positives, so the result
+    // must equal the plain join (which is exactly what DuckDB runs)
+    NamedQuery("bf01_bloom_join",
+      (s, d) => {
+        val urgent = Tables.load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.ops.Prune.bloomPrunedJoin(
+            Tables.load(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+            "l_orderkey", urgent, "o_orderkey",
+            expectedItems = 100000L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY 1""")),
 
     // ---------------- event analytics ----------------

@@ -1333,4 +1333,77 @@ class OpsSpec extends AnyFunSuite {
     assert(r.columns.count(_ == "__graft_salt") == 1) // user column intact
     assert(r.select("__graft_salt").as[String].collect().toSeq == Seq("a"))
   }
+
+  test("dropDuplicateParagraphs: keep-first across docs; empty docs survive") {
+    val d = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),      // beta already seen in doc 1
+      (3L, "alpha\nbeta"),      // everything already seen
+      (4L, "epsilon\n\nzeta")   // empty paragraph artifact dropped
+    ).toDF("doc_id", "text")
+    val r = Dedup.dropDuplicateParagraphs(d)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(r == Seq("alpha\nbeta\ngamma", "delta", "", "epsilon\nzeta"), r)
+  }
+
+  test("canonicalizeUrl: scheme/host case, ports, tracking params, fragments") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/Path/One?utm_source=a&q=1#frag",
+       "http://www.example.com/Path/One?q=1"),
+      ("https://Host.io:443/x?fbclid=zz", "https://host.io/x"),
+      ("https://host.io/x?q=1&gclid=z&r=2", "https://host.io/x?q=1&r=2"),
+      ("http://host.io:8080/x", "http://host.io:8080/x"), // non-default port kept
+      ("http://host.io/x?fbclidx=1", "http://host.io/x?fbclidx=1"), // not a tracker
+      ("http://host.io/UPPER/Case", "http://host.io/UPPER/Case")) // path case kept
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val r = Curation.canonicalizeUrl(df, col("url"))
+      .orderBy("doc_id").select("canonical_url").as[String].collect().toSeq
+    assert(r == cases.map(_._2), r.zip(cases.map(_._2)).filter(p => p._1 != p._2))
+  }
+
+  test("gopherQuality: each rule fails the right document") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, s"the quick engine visits be docks $fifty"),          // passes all
+      (2L, "the be short text"),                                 // < 50 words
+      (3L, s"the be $fifty " + Seq.fill(20)("### ### ###").mkString(" ")), // symbols
+      (4L, s"the be $fifty " + Seq.fill(60)("1234 5678").mkString(" ")),   // alpha ratio
+      (5L, s"zz yy $fifty")                                      // < 2 stop words
+    ).toDF("doc_id", "text")
+    val r = QualityRules.gopherQuality(d).orderBy("doc_id")
+      .select("keep").as[Boolean].collect().toSeq
+    assert(r == Seq(true, false, false, false, false), r)
+  }
+
+  test("bloomPrune: zero false negatives, false positives bounded by fpp") {
+    val fact = spark.range(0, 20000).toDF("k")
+    val dim = spark.range(0, 20000, 100).toDF("dk") // every 100th key
+    val sketch = Prune.buildBloom(dim, "dk", expectedItems = 1000, fpp = 0.01)
+    val kept = Prune.bloomPrune(fact, col("k"), sketch)
+      .select("k").as[Long].collect().toSet
+    val truth = (0L until 20000L by 100).toSet
+    assert(truth.subsetOf(kept), "bloom dropped a true match") // NO false negatives
+    val fp = kept.size - truth.size
+    assert(fp <= (20000 * 0.05).toInt, s"false positives way over fpp: $fp")
+    // pruned join result == plain join result (FPs cleared by the join)
+    val viaBloom = Prune.bloomPrunedJoin(fact, "k", dim, "dk", expectedItems = 1000)
+      .select("k").as[Long].collect().sorted.toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(viaBloom == plain)
+  }
+
+  test("bloomPrune plan: native probe in the scan stage, before the join exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val p = graft.SparkEntry.queries("bf01_bloom_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the probe is our codegen expression, planned as a Filter on the
+    // fact scan side UNDER the join — not after it
+    assert(p.contains("bloomcontainslong"), p.take(800))
+    val filterAt = p.indexOfSlice("bloomcontainslong")
+    val joinAt = p.indexOfSlice("Join")
+    assert(filterAt > joinAt, // plan prints top-down: deeper = later
+      s"bloom filter not under the join: filter@$filterAt join@$joinAt\n${p.take(800)}")
+  }
 }
