@@ -78,9 +78,10 @@ import graft.engine._
   * Scale notes: /sql and /download write the response with
   * Export.csvLines (toLocalIterator — one partition in driver memory
   * at a time, the Conduit.hs streaming analog), never a collect.
-  * Session/ACL state is in-memory (the reference keeps it in Postgres
-  * tables); catalog mutations serialize on one lock, reads are
-  * lock-free against the parquet-backed catalog.
+  * ACL/user state is DURABLE at `<warehouse>/acl.json` (AclStore —
+  * the analog of the reference's Postgres security tables); session
+  * tokens are ephemeral. Catalog and ACL mutations serialize on one
+  * lock, reads are lock-free against the parquet-backed catalog.
   */
 class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
               adminPass: String = "") {
@@ -89,10 +90,29 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
 
   private val spark = cat.spark
   private val lock = new Object
-  // bootstrap admin (reference's initial lagoonadmin): full rights,
-  // password = adminPass; everything else is granted per-source/group
+  // ACL/user state is DURABLE next to the catalog (acl.json — the
+  // analog of the reference's Postgres security tables): on a fresh
+  // warehouse, bootstrap the admin (reference's initial lagoonadmin,
+  // full rights, password = adminPass); on restart the persisted
+  // state — including any changed root credential — wins.
+  private val aclPath = s"${cat.warehouse}/acl.json"
   private val acl = new AtomicReference(
-    Acl.State(admins = Set("root")).addUser("root", adminPass))
+    AclStore.load(spark, aclPath).getOrElse {
+      val st = Acl.State(admins = Set("root")).addUser("root", adminPass)
+      AclStore.save(spark, aclPath, st)
+      st
+    })
+  // every mutation persists before returning (mutations are
+  // principal/grant-scale — rare and tiny); serialized on `lock` so
+  // saves cannot land out of order
+  private def updateAcl(f: Acl.State => Acl.State): Acl.State =
+    lock.synchronized {
+      val st = acl.updateAndGet(s => f(s))
+      AclStore.save(spark, aclPath, st)
+      st
+    }
+  // session tokens are deliberately EPHEMERAL (they die with the
+  // process; clients re-login), unlike principals and grants
   private val sessions = new ConcurrentHashMap[String, String]() // token -> user
 
   private var server: HttpServer = _
@@ -268,15 +288,15 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(sessions.remove)
         send(ex, 204, "")
       case ("POST", Seq("user", u, "password")) =>
-        acl.updateAndGet(_.setCred(user, u, body(ex)))
+        updateAcl(_.setCred(user, u, body(ex)))
         send(ex, 204, "")
       case ("POST", Seq("user", u, "privileges")) =>
         val admin = checkAdmin("manage-user")
         (p1("grant"), p1("revoke")) match {
-          case (Some("CREATE"), None) => acl.updateAndGet(_.grantCreate(admin, u))
-          case (Some("CREATEGROUP"), None) => acl.updateAndGet(_.grantCreateGroup(admin, u))
-          case (None, Some("CREATE")) => acl.updateAndGet(_.revokeCreate(admin, u))
-          case (None, Some("CREATEGROUP")) => acl.updateAndGet(_.revokeCreateGroup(admin, u))
+          case (Some("CREATE"), None) => updateAcl(_.grantCreate(admin, u))
+          case (Some("CREATEGROUP"), None) => updateAcl(_.grantCreateGroup(admin, u))
+          case (None, Some("CREATE")) => updateAcl(_.revokeCreate(admin, u))
+          case (None, Some("CREATEGROUP")) => updateAcl(_.revokeCreateGroup(admin, u))
           case _ => throw new IllegalArgumentException(
             "exactly one of grant/revoke = CREATE|CREATEGROUP required")
         }
@@ -285,23 +305,23 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         checkAdmin("manage-user --create-user")
         val u = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
         require(!acl.get.users.contains(u), s"user exists: $u")
-        acl.updateAndGet(_.addUser(u, p1("pass").getOrElse("")))
+        updateAcl(_.addUser(u, p1("pass").getOrElse("")))
         send(ex, 204, "")
       case ("POST", Seq("groups")) =>
         val g = p1("name").getOrElse(throw new IllegalArgumentException("name required"))
-        acl.updateAndGet(_.createGroup(user, g))
+        updateAcl(_.createGroup(user, g))
         send(ex, 204, "")
       case ("POST", Seq("group", g, "users")) =>
-        acl.updateAndGet(_.addToGroup(user, body(ex).trim, g))
+        updateAcl(_.addToGroup(user, body(ex).trim, g))
         send(ex, 204, "")
       case ("DELETE", Seq("group", g, "users", u)) =>
-        acl.updateAndGet(_.removeFromGroup(user, u, g))
+        updateAcl(_.removeFromGroup(user, u, g))
         send(ex, 204, "")
       case ("POST", Seq("group", g, "manage")) =>
-        acl.updateAndGet(_.grantManageGroup(user, body(ex).trim, g))
+        updateAcl(_.grantManageGroup(user, body(ex).trim, g))
         send(ex, 204, "")
       case ("DELETE", Seq("group", g, "manage", u)) =>
-        acl.updateAndGet(_.revokeManageGroup(user, u, g))
+        updateAcl(_.revokeManageGroup(user, u, g))
         send(ex, 204, "")
 
       // ---- /sources ----
@@ -373,7 +393,7 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
               created = p1("created"))
             // a new VERSION must not reshuffle grants (the updater
             // must NOT become a manager of someone else's source)
-            if (isNewSource) acl.updateAndGet(_.onCreate(u, e.name, public))
+            if (isNewSource) updateAcl(_.onCreate(u, e.name, public))
             e
           }
           if (p1("progress").contains("true")) {
@@ -454,14 +474,14 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         // true = public-group UPDATE (the reference default public
         // level), false = private; both ride the Manage-enforcing
         // grant path (sh:186 "Public does not give admin rights")
-        if (body(ex).trim.toBoolean) acl.updateAndGet(_.makePublic(user, n))
-        else acl.updateAndGet(_.makePrivate(user, n))
+        if (body(ex).trim.toBoolean) updateAcl(_.makePublic(user, n))
+        else updateAcl(_.makePrivate(user, n))
         send(ex, 204, "")
       case ("POST", Seq("source", n, "userAccessLevel", u)) =>
-        acl.updateAndGet(_.grantUser(user, u, n, parseLevel(body(ex))))
+        updateAcl(_.grantUser(user, u, n, parseLevel(body(ex))))
         send(ex, 204, "")
       case ("POST", Seq("source", n, "groupAccessLevel", g)) =>
-        acl.updateAndGet(_.grantGroup(user, g, n, parseLevel(body(ex))))
+        updateAcl(_.grantGroup(user, g, n, parseLevel(body(ex))))
         send(ex, 204, "")
 
       // ---- /sql ----

@@ -1,0 +1,88 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.{Acl, AclStore, Catalog}
+
+/** ACL durability: principals, credentials, grants, and privileges
+  * survive a server restart over the same warehouse (the reference
+  * holds them in Postgres; we hold them in acl.json next to the
+  * catalog). Also pins that the restarted server does NOT re-bootstrap
+  * the admin credential over a persisted one.
+  */
+class AclPersistenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val client = HttpClient.newHttpClient()
+
+  private def req(port: Int, method: String, path: String, body: String = "",
+                  headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                      else HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def login(port: Int, user: String, pass: String): Map[String, String] = {
+    val r = req(port, "POST", s"/user/login?user=$user&pass=$pass")
+    assert(r.statusCode == 200, s"login $user: ${r.statusCode} ${r.body}")
+    Map("X-Token" -> "\"token\":\"([^\"]+)\"".r
+      .findFirstMatchIn(r.body).get.group(1))
+  }
+
+  test("users, grants, and credentials survive a server restart") {
+    val wh = Files.createTempDirectory("graft-persist-wh").toString
+
+    // ---- first server lifetime ----
+    val api1 = new HttpApi(new Catalog(spark, wh))
+    val p1 = api1.start()
+    val root1 = login(p1, "root", "")
+    assert(req(p1, "POST", "/users?name=dana&pass=dpw", headers = root1).statusCode == 204)
+    assert(req(p1, "POST", "/user/dana/privileges?revoke=CREATE",
+      headers = root1).statusCode == 204)
+    // value 2, not 1: a lone "1" lexes as BOOL in the lagoon literal set
+    assert(req(p1, "POST", "/sources?name=persist.csv&public=false",
+      "k,v\na,2\n", root1).statusCode == 201)
+    assert(req(p1, "POST", "/source/persist.csv/userAccessLevel/dana", "READ",
+      root1).statusCode == 204)
+    api1.stop()
+
+    // ---- second server lifetime, same warehouse ----
+    val api2 = new HttpApi(new Catalog(spark, wh), adminPass = "ignored-on-reload")
+    val p2 = api2.start()
+    try {
+      // persisted root credential wins over the constructor's
+      val root2 = login(p2, "root", "")
+      assert(req(p2, "POST", "/user/login?user=root&pass=ignored-on-reload")
+        .statusCode == 401)
+      // dana still exists, with her password, her grant, and her
+      // revoked CREATE privilege
+      val dana = login(p2, "dana", "dpw")
+      assert(req(p2, "POST", "/user/login?user=dana&pass=wrong").statusCode == 401)
+      val dl = req(p2, "GET", "/source/persist.csv/1/download", headers = dana)
+      assert(dl.statusCode == 200 && dl.body.contains("a,2"), dl.body)
+      assert(req(p2, "POST", "/sources?name=dana1.csv", "x\n1\n", dana)
+        .statusCode == 403) // CREATE still revoked
+      assert(req(p2, "DELETE", "/source/persist.csv", headers = root2).statusCode == 204)
+    } finally api2.stop()
+  }
+
+  test("AclStore round-trips every field exactly") {
+    var st = Acl.State(admins = Set("root")).addUser("root", "rp")
+      .addUser("u1", "p1").addUser("u2", "p2")
+    st = st.createGroup("u1", "g1").addToGroup("u1", "u2", "g1")
+    st = st.grantManageGroup("u1", "u2", "g1")
+    st = st.onCreate("u1", "ds1", public = true).onCreate("u2", "ds2")
+    st = st.grantUser("u1", "u2", "ds1", Acl.LevelRead)
+    st = st.revokeCreate("root", "u2")
+    val path = Files.createTempDirectory("graft-aclstore").toString + "/acl.json"
+    AclStore.save(spark, path, st)
+    val back = AclStore.load(spark, path).get
+    assert(back == st)
+    // and an absent file is None, not an empty state
+    assert(AclStore.load(spark, path + ".missing").isEmpty)
+  }
+}
