@@ -178,6 +178,11 @@ object ScaleCheck {
         docs, maxDf = 100, sep = ".").count())
       time("bigramLogppl")(
         graft.ops.TextAnalysis.bigramLogppl(docs).count())
+      // aggregate over the OUTPUT column: a bare count() lets the
+      // optimizer eliminate the keep-first join entirely
+      time("paragraphDedup")(graft.ops.Dedup.dropDuplicateParagraphs(
+          docs, sep = ".")
+        .agg(sum(length(col("clean_text")))).collect()(0).getLong(0))
       docs.unpersist()
     }
   }

@@ -280,6 +280,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scalar total lost map-side partial aggregation: ${p.take(600)}")
   }
 
+  test("dd09: paragraph dedup is one hash shuffle + one doc regroup, no joins of data") {
+    val p = planOf("dd09_paragraph_dedup")
+    // window partitioned by the paragraph hash, then regroup by doc —
+    // the only join is the left join back to the doc-id spine
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("tx13/uc01: quality rules and URL canonicalization are pure scan-speed") {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val plans = Seq(
+      "tx13" -> ops.QualityRules.gopherQuality(raw),
+      "uc01" -> ops.Curation.canonicalizeUrl(
+        raw.withColumn("url", col("text")), col("url")))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$name shuffles: ${p.take(400)}")
+      assert(!p.contains("Join"), s"$name has a join: ${p.take(400)}")
+    }
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)
