@@ -212,6 +212,45 @@ object Curation {
     df.filter(hexDraw(key) < threshold)
   }
 
+  /** Temperature-based mixture reweighting (mx03): per-stratum keep
+    * rates from w_s ∝ n_s^alpha — the standard LLM-mix move that
+    * flattens a natural corpus toward tail domains (alpha = 1 keeps
+    * natural proportions, alpha → 0 approaches uniform-by-domain).
+    * Given a doc budget B, stratum s keeps ~B·w_s docs via the usual
+    * deterministic md5-draw filter (never upsamples: rate capped at 1).
+    *
+    * Scale shape: one per-stratum count (collect bounded by the
+    * stratum count), then a pure filter — no corpus shuffle, zero RNG.
+    *
+    * ORACLE-EXACTNESS: alpha = 0.5 routes through math.sqrt, which
+    * IEEE 754 requires to be correctly rounded — so any engine's sqrt
+    * agrees bit-for-bit; general pow carries no such guarantee (1-ulp
+    * spreads across libms could flip a threshold quantization). The
+    * power sum is accumulated in SORTED stratum order, mirrored by an
+    * ORDER BY inside the oracle's aggregate, because double addition
+    * is not associative.
+    */
+  def temperatureMixture(df: DataFrame, stratum: Column, key: Column,
+                         alpha: Double, budgetDocs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    require(budgetDocs > 0, s"budgetDocs must be positive: $budgetDocs")
+    def powA(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val counts: Seq[(String, Long)] = df
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)
+    require(counts.nonEmpty, "empty corpus")
+    val powSum = counts.map { case (_, n) => powA(n.toDouble) }.sum
+    val rates = counts.map { case (s0, n) =>
+      s0 -> math.min(1.0, budgetDocs * (powA(n.toDouble) / powSum) / n) }
+    val threshold = rates.foldLeft(lit(hexThreshold(0.0))) {
+      case (acc, (v, r)) =>
+        when(stratum === lit(v), lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(hexDraw(key) < threshold)
+  }
+
   /** Deterministic global shuffle: a reproducible training-order
     * permutation. Rows are totally ordered by (md5(seed # key), key)
     * — one range-partitioned distributed sort, Spark's native

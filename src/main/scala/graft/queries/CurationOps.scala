@@ -177,6 +177,34 @@ object CurationOps {
                CAST(sum(n_chars) AS BIGINT) AS sum_tokens
              FROM kept GROUP BY lang ORDER BY lang""")),
 
+    // mx03: temperature mixture (alpha = 0.5 → sqrt, IEEE-correctly-
+    // rounded on every engine) — tail languages keep a HIGHER rate
+    // than head languages; the oracle replays counts, the ordered
+    // power sum, rates, and the exact hexThreshold quantization
+    NamedQuery("mx03_temperature_mixture",
+      (s, d) => Curation.temperatureMixture(docs(s, d), col("lang"),
+          col("doc_id"), alpha = 0.5, budgetDocs = 600)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+              ps AS (SELECT sum(sqrt(CAST(n AS DOUBLE)) ORDER BY lang) AS psum
+                     FROM c),
+              r AS (SELECT lang,
+                      least(1.0, 600 * (sqrt(CAST(n AS DOUBLE)) / psum) / n)
+                        AS rate
+                    FROM c, ps),
+              th AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g'
+                       ELSE lpad(lower(to_hex(CAST(least(
+                         floor(rate * 4294967296.0 + 0.5),
+                         4294967295.0) AS BIGINT))), 8, '0') END AS thr
+                     FROM r),
+              kept AS (SELECT d.doc_id, d.lang
+                       FROM documents d JOIN th ON d.lang = th.lang
+                       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr)
+             SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+             FROM kept GROUP BY lang ORDER BY lang""")),
+
     // deterministic N-per-group cap: 10 docs per language by lowest
     // md5 draw — balanced subsets with zero RNG, oracle replays the
     // identical ranking

@@ -1376,6 +1376,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Seq(true, false, false, false, false), r)
   }
 
+  test("temperatureMixture: tail strata keep a higher rate; budget ~respected") {
+    val rows = (1 to 900).map(i => (i.toLong, "head")) ++
+      (901 to 1000).map(i => (i.toLong, "tail"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Curation.temperatureMixture(df, col("lang"), col("doc_id"),
+        alpha = 0.5, budgetDocs = 200L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights: head 30/40 → ~150 docs (rate 1/6), tail 10/40 →
+    // ~50 docs (rate 1/2): the tail keeps 3x the head's RATE
+    assert(kept("tail").toDouble / 100 > kept("head").toDouble / 900, kept)
+    assert(math.abs(kept("head") - 150.0) < 40, kept)
+    assert(math.abs(kept("tail") - 50.0) < 25, kept)
+    // pure-filter determinism: same draw set on re-run
+    assert(Curation.temperatureMixture(df, col("lang"), col("doc_id"),
+      alpha = 0.5, budgetDocs = 200L).count() == kept.values.sum)
+  }
+
   test("bloomPrune: zero false negatives, false positives bounded by fpp") {
     val fact = spark.range(0, 20000).toDF("k")
     val dim = spark.range(0, 20000, 100).toDF("dk") // every 100th key
