@@ -204,6 +204,50 @@ object Ingest {
     }
   }
 
+  /** UTF-16 sniff for `encoding = "auto"` — BEYOND the reference,
+    * whose UTF-16 fixtures sit in `disabled-tests/` (082-085,
+    * unsupported there): a BOM (FFFE/FEFF) or the NUL-byte stripe of
+    * ASCII-bearing UTF-16 text selects the right charset before the
+    * UTF-8 probe runs. Without this, UTF-16 input silently falls
+    * through to the Latin-1 path and every second byte becomes a NUL
+    * "character" in the parsed cells. Driver-side, first 4 KiB of the
+    * first file — O(1) at any corpus size like looksUtf8.
+    */
+  private[engine] def sniffUtf16(spark: SparkSession, path: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    val files = roots.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.sortBy(_.getPath.toString).filter(_.getLen > 0)
+    files.headOption.flatMap { st =>
+      val n = math.min(4096L, st.getLen).toInt
+      val buf = new Array[Byte](n)
+      val in = fs.open(st.getPath)
+      try in.readFully(0, buf, 0, n) finally in.close()
+      def b(i: Int) = buf(i) & 0xFF
+      // Java's "UTF-16" charset consumes the BOM and picks the order
+      if (n >= 2 && ((b(0) == 0xFF && b(1) == 0xFE) || (b(0) == 0xFE && b(1) == 0xFF)))
+        Some("UTF-16")
+      else if (n >= 16) {
+        // ASCII code units put a NUL in one byte parity; genuine UTF-8
+        // or Latin-1 text has (almost) no NULs at all
+        var evenZero = 0
+        var oddZero = 0
+        var i = 0
+        while (i < n) {
+          if (buf(i) == 0) { if (i % 2 == 0) evenZero += 1 else oddZero += 1 }
+          i += 1
+        }
+        val half = n / 2
+        if (oddZero * 10 > half * 6 && evenZero * 10 < half) Some("UTF-16LE")
+        else if (evenZero * 10 > half * 6 && oddZero * 10 < half) Some("UTF-16BE")
+        else None
+      } else None
+    }
+  }
+
   /** Strict UTF-8 decode of a sampled window. A malformed sequence
     * within 4 bytes of a tail-truncated buffer's end is a split
     * multi-byte char, not evidence of another encoding; likewise a
@@ -246,11 +290,15 @@ object Ingest {
 
     // UTF-8 with Latin-1 fallback (I1; reference Ingest.hs:138-148):
     // "auto" probes a bounded prefix for invalid UTF-8 and, if found,
-    // re-reads as ISO-8859-1 (which decodes any byte sequence)
+    // re-reads as ISO-8859-1 (which decodes any byte sequence). A
+    // UTF-16 sniff (BOM or NUL stripe) runs FIRST — UTF-16 is beyond
+    // the reference (its fixtures for it are disabled) and would
+    // otherwise mojibake through the Latin-1 path.
     val enc =
       if (!opts.encoding.equalsIgnoreCase("auto")) opts.encoding
-      else if (looksUtf8(spark, path, opts.probeBytes)) "UTF-8"
-      else "ISO-8859-1"
+      else sniffUtf16(spark, path).getOrElse(
+        if (looksUtf8(spark, path, opts.probeBytes)) "UTF-8"
+        else "ISO-8859-1")
 
     // raw records in file order
     val records0 =

@@ -43,6 +43,37 @@ class Utf8ProbeSpec extends AnyFunSuite {
     assert(!Ingest.looksUtf8(spark, p.toString, maxBytes = 1024, chunkBytes = 16))
   }
 
+  test("UTF-16 ingest: LE/BE, with and without BOM, parse like the UTF-8 file") {
+    // the reference's own disabled-tests/082-085 shape: ASCII header,
+    // non-ASCII data rows, every (endianness × BOM) combination
+    val content = "name,labels\nactive,学校\nrésumé,活字\n"
+    def write(encName: String, bom: Array[Byte]): String = {
+      val p = tmp(s"u16-$encName")
+      val enc = java.nio.charset.Charset.forName(encName)
+      Files.write(p, bom ++ content.getBytes(enc))
+      p.toString
+    }
+    val expected = Ingest.csv(spark,
+      { val p = tmp("u8"); Files.write(p, content.getBytes("UTF-8")); p.toString })
+    val variants = Seq(
+      write("UTF-16LE", Array.empty),
+      write("UTF-16BE", Array.empty),
+      write("UTF-16LE", Array(0xFF.toByte, 0xFE.toByte)),
+      write("UTF-16BE", Array(0xFE.toByte, 0xFF.toByte)))
+    for (path <- variants) {
+      val ing = Ingest.csv(spark, path) // encoding = "auto"
+      assert(ing.friendlyNames == expected.friendlyNames, path)
+      assert(ing.colTypes.map(_.displayName) == expected.colTypes.map(_.displayName), path)
+      val cells = ing.view.orderBy("ix").collect().map(_.toSeq).toSeq
+      val want = expected.view.orderBy("ix").collect().map(_.toSeq).toSeq
+      assert(cells == want, s"$path: $cells")
+    }
+    // genuine UTF-8 with a stray NUL must NOT be mistaken for UTF-16
+    val noisy = tmp("u8-nul")
+    Files.write(noisy, ("a,b\nx,y\n" + "z" * 100).getBytes("UTF-8") ++ Array(0.toByte))
+    assert(Ingest.sniffUtf16(spark, noisy.toString).isEmpty)
+  }
+
   test(">2 GiB full probe: no Int overflow, invalid byte past 2 GiB detected") {
     val size = (Int.MaxValue.toLong + (64L << 20)) // ~2.06 GiB, > Int.MaxValue
     val p = tmp("huge-sparse")
