@@ -260,6 +260,35 @@ object SqlSurface {
                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
              ORDER BY n_name, total DESC, o_orderkey""")),
 
+    // Q10-ext: aggregate FILTER clause (Postgres exposes it on every
+    // aggregate; Spark 4 and DuckDB both parse the standard syntax)
+    NamedQuery("q48_agg_filter",
+      sql("""SELECT l_returnflag,
+                    CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+                    round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                      AS disc_price,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+                    CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+                    round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                      AS disc_price,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Q11-ext: SQL PIVOT surface (an01 gates the DataFrame pivot; this
+    // is the parser/analyzer path). The oracle uses the equivalent
+    // conditional aggregation — same result, engine-neutral
+    NamedQuery("q49_pivot_sql",
+      sql("""SELECT * FROM
+               (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+             PIVOT (round(sum(l_quantity), 2) FOR l_linestatus IN ('F' AS f, 'O' AS o))
+             ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+                    round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f,
+                    round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o
+             FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Q11-ext: ROLLUP (multi-level aggregate; Postgres GroupingSets nodes)
     NamedQuery("q30_rollup",
       sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -1,0 +1,34 @@
+package graft.server
+
+import graft.engine.Acl
+
+/** Pluggable login verification — the reference's AuthProvider seam
+  * (server/src/Lagoon/Server/Auth/VerifyCreds.hs `authProvider`, with
+  * BasicAuth.hs and LDAP.hs as the shipped instances). The provider
+  * AUTHENTICATES only; user rows, privileges, and grants always come
+  * from the Acl state — the reference likewise looks up (and, at
+  * login, auto-creates) the LOCAL user entry after the provider
+  * accepts (runsecuritytests.sh:62-68: "we first verify their
+  * identity using the authentication provider, and then lookup their
+  * local user ID ... If we don't have an entry yet for this user, we
+  * create it").
+  *
+  * The sandbox has no egress, so no live LDAP/Basic-Auth instance
+  * ships here; the seam is exercised by a fake external provider in
+  * AuthProviderSpec, and the default is the durable salted-hash store.
+  */
+trait AuthProvider {
+  def name: String
+  def verify(user: String, pass: String, state: Acl.State): Boolean
+}
+
+object AuthProvider {
+  /** Default: the warehouse's stored salted-hash credentials
+    * (dummy-auth parity when passwords are "").
+    */
+  object Stored extends AuthProvider {
+    val name = "stored-credentials"
+    def verify(user: String, pass: String, state: Acl.State): Boolean =
+      state.verifyCred(user, pass)
+  }
+}

@@ -84,7 +84,8 @@ import graft.engine._
   * lock, reads are lock-free against the parquet-backed catalog.
   */
 class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
-              adminPass: String = "") {
+              adminPass: String = "",
+              auth: AuthProvider = AuthProvider.Stored) {
 
   import HttpApi.Unauthorized
 
@@ -279,8 +280,12 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         // unknown user and wrong password are the SAME failure — no
         // username oracle (sh:75: wrong creds must fail, dummy auth
         // or not)
-        if (!acl.get.verifyCred(u, pass))
+        if (!auth.verify(u, pass, acl.get))
           throw Unauthorized("invalid credentials")
+        // provider-accepted identity with no local row yet: create it
+        // at login, like the reference (sh:62-68 commentary) — only
+        // reachable with an EXTERNAL provider (Stored requires a row)
+        if (!acl.get.users.contains(u)) updateAcl(_.addUser(u))
         val token = java.util.UUID.randomUUID().toString
         sessions.put(token, u)
         send(ex, 200, s"""{"token":${jstr(token)},"user":${jstr(u)}}""")

@@ -1,0 +1,67 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.{Acl, Catalog}
+
+/** The pluggable AuthProvider seam (reference Server/Auth): an
+  * external verifier authenticates, the local Acl state authorizes,
+  * and a provider-accepted identity with no local row is auto-created
+  * at login (runsecuritytests.sh:62-68 commentary) with the default
+  * privileges — while manage-user style creation stays admin-only.
+  */
+class AuthProviderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val client = HttpClient.newHttpClient()
+
+  // stand-in for LDAP/BasicAuth: accepts pass == user reversed; the
+  // bootstrap admin still authenticates via the stored credential so
+  // the rig can be driven
+  private object Fake extends AuthProvider {
+    val name = "fake-external"
+    def verify(user: String, pass: String, state: Acl.State): Boolean =
+      pass == user.reverse || AuthProvider.Stored.verify(user, pass, state)
+  }
+
+  private def req(port: Int, method: String, path: String, body: String = "",
+                  headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                      else HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("external provider: verified logins auto-create local users; denials still 401") {
+    val api = new HttpApi(new Catalog(spark,
+      Files.createTempDirectory("graft-auth-wh").toString), auth = Fake)
+    val port = api.start()
+    try {
+      // external identity, correct external password, no local row yet
+      val r = req(port, "POST", "/user/login?user=zoe&pass=eoz")
+      assert(r.statusCode == 200, r.body)
+      val tok = Map("X-Token" -> "\"token\":\"([^\"]+)\"".r
+        .findFirstMatchIn(r.body).get.group(1))
+      // auto-created with the DEFAULT privileges: can create a dataset
+      assert(req(port, "POST", "/sources?name=zoe.csv", "a\nx\n", tok)
+        .statusCode == 201)
+      // wrong external password: same 401 as ever
+      assert(req(port, "POST", "/user/login?user=zoe&pass=nope").statusCode == 401)
+      // stored-credential fallback still authenticates the bootstrap admin
+      assert(req(port, "POST", "/user/login?user=root&pass=").statusCode == 200)
+      // provider acceptance does NOT grant admin rights
+      assert(req(port, "POST", "/users?name=other", headers = tok).statusCode == 403)
+    } finally api.stop()
+  }
+
+  test("default Stored provider refuses identities without a local credential") {
+    val api = new HttpApi(new Catalog(spark,
+      Files.createTempDirectory("graft-auth2-wh").toString))
+    val port = api.start()
+    try assert(req(port, "POST", "/user/login?user=ghost&pass=").statusCode == 401)
+    finally api.stop()
+  }
+}
