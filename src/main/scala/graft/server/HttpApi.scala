@@ -41,7 +41,9 @@ import graft.engine._
   *                                         require UPDATE on the source)
   *   POST   /sources/compact?name=N       (SourcesCompact; MANAGE)
   *   GET    /source/name/{N}              (SourceByName; latest version)
+  *   GET    /source/{N}/versions          (SourceAllVersions)
   *   GET    /source/{N}/{v}               (SourceGet)
+  *   GET    /source/{N}/{v}/column/{name} (SourceGetColumn; name -> ix)
   *   DELETE /source/{N}[/{v}]             (SourceDelete; MANAGE)
   *   POST   /source/{N}/{v}/tags          (SourceTagsPost; body = JSON
   *                                         array; UPDATE)
@@ -433,6 +435,19 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
           .getOrElse(throw new NoSuchElementException(s"no source $n"))
         requireLevel(userOpt, n, Acl.LevelRead)
         send(ex, 200, sourceJson(e))
+      case ("GET", Seq("source", n, "versions")) =>
+        // SourceAllVersions (Interface/API.hs): every version, ascending
+        val es = cat.entries.filter(_.name == n).sortBy(_.version)
+        if (es.isEmpty) throw new NoSuchElementException(s"no source $n")
+        requireLevel(userOpt, n, Acl.LevelRead)
+        send(ex, 200, es.map(sourceJson).mkString("[", ",", "]"))
+      case ("GET", Seq("source", n, v, "column", cname)) =>
+        // SourceGetColumn: friendly column name -> 1-based column ix
+        val e = entry(n, v.toInt)
+        requireLevel(userOpt, n, Acl.LevelRead)
+        val i = e.friendlyNames.indexOf(cname)
+        if (i < 0) throw new NoSuchElementException(s"no column $cname in $n v$v")
+        send(ex, 200, s"""{"ix":${i + 1}}""")
       case ("GET", Seq("source", n, v, "download")) =>
         requireLevel(userOpt, n, Acl.LevelRead)
         val e = entry(n, v.toInt)

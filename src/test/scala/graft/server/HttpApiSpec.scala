@@ -72,6 +72,13 @@ class HttpApiSpec extends AnyFunSuite {
     assert(req("GET", "/source/people.csv/1").statusCode == 200)
     assert(req("GET", "/source/people.csv/9").statusCode == 404)
 
+    // SourceAllVersions + SourceGetColumn
+    val vs = req("GET", "/source/people.csv/versions")
+    assert(vs.statusCode == 200 && vs.body.startsWith("[") &&
+           vs.body.contains("\"version\":1"), vs.body)
+    assert(req("GET", "/source/people.csv/1/column/age").body == """{"ix":2}""")
+    assert(req("GET", "/source/people.csv/1/column/nope").statusCode == 404)
+
     // GET download (SourceDownload): typed CSV round-trips
     val dl = req("GET", "/source/people.csv/1/download")
     assert(dl.statusCode == 200)
