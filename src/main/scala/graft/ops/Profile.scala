@@ -133,4 +133,51 @@ object Profile {
       .withColumn("is_outlier", value < col("__lo") || value > col("__hi"))
       .drop("__iqr_g", "__lo", "__hi")
   }
+
+  /** Snapshot drift report (dq03): schema changes and per-column null
+    * movement between two versions of a table — the check a pipeline
+    * runs before promoting a new snapshot (did an upstream rename a
+    * column? did a field start arriving empty?).
+    *
+    * Output: one row per column in either snapshot, sorted — status in
+    * {added, removed, retyped, kept}, the type on each side, and exact
+    * null/row counts (all INTEGER, so the report is bit-reproducible).
+    *
+    * Scale shape: ONE wide aggregate per side computes every null
+    * counter in a single scan (partial-agg combined map-side); the
+    * driver handles one row of longs per side plus the schemas, then
+    * emits the per-column report locally — no data-proportional
+    * collect, no join.
+    */
+  def drift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    def types(df: DataFrame): Map[String, String] =
+      df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    def nullCounts(df: DataFrame): (Long, Map[String, Long]) = {
+      val cols = df.columns
+      val aggs = count(lit(1)).as("__rows") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n$i") }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (row.getLong(0),
+        cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+    }
+    val (bT, aT) = (types(before), types(after))
+    val (bRows, bNulls) = nullCounts(before)
+    val (aRows, aNulls) = nullCounts(after)
+    val rows = (bT.keySet ++ aT.keySet).toSeq.sorted.map { c =>
+      val status = (bT.get(c), aT.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(x), Some(y)) if x != y => "retyped"
+        case _ => "kept"
+      }
+      (c, status, bT.get(c), aT.get(c),
+        bNulls.get(c), if (bT.contains(c)) Some(bRows) else None,
+        aNulls.get(c), if (aT.contains(c)) Some(aRows) else None)
+    }
+    rows.toDF("column", "status", "type_before", "type_after",
+      "nulls_before", "rows_before", "nulls_after", "rows_after")
+  }
 }

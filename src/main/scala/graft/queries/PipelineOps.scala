@@ -215,6 +215,57 @@ object PipelineOps {
                 n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
              FROM documents JOIN b USING (lang) ORDER BY doc_id""")),
 
+    // dq03: snapshot drift — a "new version" of lineitem with one
+    // column removed, one added, one retyped, and nulls introduced;
+    // the report carries exact integer counts only
+    NamedQuery("dq03_schema_drift",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val before = li.select(col("l_orderkey"), col("l_quantity"),
+          col("l_tax"), col("l_returnflag"))
+        val after = li.select(
+          col("l_orderkey").cast("string").as("l_orderkey"),
+          when(col("l_quantity") <= 30, col("l_quantity")).as("l_quantity"),
+          col("l_tax"), col("l_discount"))
+        graft.ops.Profile.drift(before, after).orderBy("column")
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_quantity, l_tax, l_returnflag
+                         FROM lineitem),
+                   a AS (SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+                           CASE WHEN l_quantity <= 30 THEN l_quantity END
+                             AS l_quantity,
+                           l_tax, l_discount FROM lineitem)
+             SELECT * FROM (
+               SELECT 'l_discount' AS "column", 'added' AS status,
+                 CAST(NULL AS VARCHAR) AS type_before, 'double' AS type_after,
+                 CAST(NULL AS BIGINT) AS nulls_before,
+                 CAST(NULL AS BIGINT) AS rows_before,
+                 (SELECT count(*) FROM a WHERE l_discount IS NULL) AS nulls_after,
+                 (SELECT count(*) FROM a) AS rows_after
+               UNION ALL
+               SELECT 'l_orderkey', 'retyped', 'long', 'string',
+                 (SELECT count(*) FROM b WHERE l_orderkey IS NULL),
+                 (SELECT count(*) FROM b),
+                 (SELECT count(*) FROM a WHERE l_orderkey IS NULL),
+                 (SELECT count(*) FROM a)
+               UNION ALL
+               SELECT 'l_quantity', 'kept', 'double', 'double',
+                 (SELECT count(*) FROM b WHERE l_quantity IS NULL),
+                 (SELECT count(*) FROM b),
+                 (SELECT count(*) FROM a WHERE l_quantity IS NULL),
+                 (SELECT count(*) FROM a)
+               UNION ALL
+               SELECT 'l_returnflag', 'removed', 'string', NULL,
+                 (SELECT count(*) FROM b WHERE l_returnflag IS NULL),
+                 (SELECT count(*) FROM b), NULL, NULL
+               UNION ALL
+               SELECT 'l_tax', 'kept', 'double', 'double',
+                 (SELECT count(*) FROM b WHERE l_tax IS NULL),
+                 (SELECT count(*) FROM b),
+                 (SELECT count(*) FROM a WHERE l_tax IS NULL),
+                 (SELECT count(*) FROM a)
+             ) ORDER BY "column" """)),
+
     // Batch sessionization of the event stream: >15 min of silence
     // starts a new session; one window partitioning (one shuffle on
     // user_id), microsecond-exact gap compare, event_id tie-break

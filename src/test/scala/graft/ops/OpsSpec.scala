@@ -1376,6 +1376,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Seq(true, false, false, false, false), r)
   }
 
+  test("drift: added/removed/retyped/kept statuses and exact null movement") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, None, 2.0))
+      .toDF("id", "name", "score")
+    val after = Seq(("1", Some("a"), true), ("2", None, false))
+      .toDF("id", "name", "active") // id retyped, score removed, active added
+    val r = Profile.drift(before, after).orderBy("column")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r == Seq(("active", "added"), ("id", "retyped"),
+      ("name", "kept"), ("score", "removed")), r)
+    val name = Profile.drift(before, after)
+      .filter(col("column") === "name").collect()(0)
+    assert(name.getLong(4) == 1L && name.getLong(5) == 2L) // 1 null of 2 before
+    assert(name.getLong(6) == 1L && name.getLong(7) == 2L)
+  }
+
   test("temperatureMixture: tail strata keep a higher rate; budget ~respected") {
     val rows = (1 to 900).map(i => (i.toLong, "head")) ++
       (901 to 1000).map(i => (i.toLong, "tail"))
