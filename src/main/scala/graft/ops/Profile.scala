@@ -180,4 +180,46 @@ object Profile {
     rows.toDF("column", "status", "type_before", "type_after",
       "nulls_before", "rows_before", "nulls_after", "rows_after")
   }
+
+  /** One declared foreign-key edge: `child.fkCol` must reference
+    * `parent.pkCol` (names are for the report; frames carry the data). */
+  case class FkEdge(childName: String, child: DataFrame, fkCol: String,
+                    parentName: String, parent: DataFrame, pkCol: String)
+
+  /** Referential-integrity audit (dq04): for each declared FK edge,
+    * count child rows whose non-null key has no matching parent —
+    * the join-safety check a warehouse runs before publishing
+    * (an orphaned l_orderkey silently drops rows from every inner
+    * join downstream).
+    *
+    * Output: one row per edge — child/fk/parent/pk names, child row
+    * count, null-key count, orphan count, and `ok` (no orphans).
+    * All counters are exact longs, so the report is bit-reproducible.
+    *
+    * Scale shape: per edge, the child's key column (ONLY the key —
+    * pruned scan) left-joins the parent's distinct keys; all three
+    * counters come from ONE aggregate over that join, map-side
+    * combined. The parent side is distinct keys, typically dimension-
+    * sized — AQE broadcasts it when small, else it's a key-only
+    * shuffle. Edges are independent single-row jobs unioned lazily;
+    * nothing data-proportional reaches the driver.
+    */
+  def fkAudit(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "fkAudit needs at least one edge")
+    edges.map { e =>
+      val keys = e.parent.select(col(e.pkCol).as("__pk")).distinct()
+      e.child.select(col(e.fkCol).as("__fk"))
+        .join(keys, col("__fk") === col("__pk"), "left_outer")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_keys"),
+          sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+            .otherwise(0L)).as("orphans"))
+        .select(
+          lit(e.childName).as("child_table"), lit(e.fkCol).as("fk_column"),
+          lit(e.parentName).as("parent_table"), lit(e.pkCol).as("pk_column"),
+          col("child_rows"), col("null_keys"), col("orphans"),
+          (col("orphans") === 0L).as("ok"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -266,6 +266,68 @@ object PipelineOps {
                  (SELECT count(*) FROM a)
              ) ORDER BY "column" """)),
 
+    // dq04: referential-integrity audit — three real TPC-H FK edges
+    // (all clean) plus one doctored parent (even orderkeys only) that
+    // MUST report orphans, proving the counter counts
+    NamedQuery("dq04_fk_audit",
+      (s, d) => {
+        import graft.ops.Profile.FkEdge
+        val li = Tables.load(s, d, "lineitem")
+        val ord = Tables.load(s, d, "orders")
+        val cust = Tables.load(s, d, "customer")
+        val nat = Tables.load(s, d, "nation")
+        graft.ops.Profile.fkAudit(Seq(
+          FkEdge("lineitem", li, "l_orderkey", "orders", ord, "o_orderkey"),
+          FkEdge("orders", ord, "o_custkey", "customer", cust, "c_custkey"),
+          FkEdge("customer", cust, "c_nationkey", "nation", nat, "n_nationkey"),
+          FkEdge("lineitem", li, "l_orderkey", "orders_even",
+            ord.filter(col("o_orderkey") % 2 === 0), "o_orderkey")))
+          .orderBy("child_table", "fk_column", "parent_table")
+      },
+      Some("""WITH edge AS (
+               SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_column,
+                 'orders' AS parent_table, 'o_orderkey' AS pk_column,
+                 CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey IS NULL) AS BIGINT) AS null_keys,
+                 CAST((SELECT count(*) FROM lineitem l
+                       WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                         (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+                   AS orphans
+               UNION ALL
+               SELECT 'orders', 'o_custkey', 'customer', 'c_custkey',
+                 CAST((SELECT count(*) FROM orders) AS BIGINT),
+                 CAST((SELECT count(*) FROM orders
+                       WHERE o_custkey IS NULL) AS BIGINT),
+                 CAST((SELECT count(*) FROM orders r
+                       WHERE r.o_custkey IS NOT NULL AND NOT EXISTS
+                         (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = r.o_custkey)) AS BIGINT)
+               UNION ALL
+               SELECT 'customer', 'c_nationkey', 'nation', 'n_nationkey',
+                 CAST((SELECT count(*) FROM customer) AS BIGINT),
+                 CAST((SELECT count(*) FROM customer
+                       WHERE c_nationkey IS NULL) AS BIGINT),
+                 CAST((SELECT count(*) FROM customer c
+                       WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                         (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+               UNION ALL
+               SELECT 'lineitem', 'l_orderkey', 'orders_even', 'o_orderkey',
+                 CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey IS NULL) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem l
+                       WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                         (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey % 2 = 0
+                            AND o.o_orderkey = l.l_orderkey)) AS BIGINT))
+             SELECT child_table, fk_column, parent_table, pk_column,
+               child_rows, null_keys, orphans, orphans = 0 AS ok
+             FROM edge
+             ORDER BY child_table, fk_column, parent_table""")),
+
     // Batch sessionization of the event stream: >15 min of silence
     // starts a new session; one window partitioning (one shuffle on
     // user_id), microsecond-exact gap compare, event_id tie-break

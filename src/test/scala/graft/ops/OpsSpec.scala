@@ -1391,6 +1391,19 @@ class OpsSpec extends AnyFunSuite {
     assert(name.getLong(6) == 1L && name.getLong(7) == 2L)
   }
 
+  test("fkAudit: orphan and null-key counts per edge; clean edge is ok") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
+      .toDF("fk") // one orphan (9), one null key
+    val r = Profile.fkAudit(Seq(
+      Profile.FkEdge("c", child, "fk", "p", parent, "pk"),
+      Profile.FkEdge("c", child.filter(col("fk") <= 3), "fk", "p", parent, "pk")))
+      .collect()
+    assert(r(0).getLong(4) == 5L && r(0).getLong(5) == 1L &&
+      r(0).getLong(6) == 1L && !r(0).getBoolean(7), r(0))
+    assert(r(1).getLong(6) == 0L && r(1).getBoolean(7), r(1))
+  }
+
   test("temperatureMixture: tail strata keep a higher rate; budget ~respected") {
     val rows = (1 to 900).map(i => (i.toLong, "head")) ++
       (901 to 1000).map(i => (i.toLong, "tail"))
