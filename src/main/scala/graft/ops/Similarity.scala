@@ -347,6 +347,79 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup (the embedding-space analog of the
+    * MinHash near-dup pass; after Abbas et al. 2023, arXiv:2303.09540):
+    * a coarse quantizer assigns every vector to its nearest centroid
+    * cell; within each cell a vector is DROPPED when some cell-mate
+    * ranked above it — closer to the shared centroid by ROUNDED
+    * cosine, vec_id tie-break — is ε-similar to it. The dominance rule
+    * is one-pass and order-free (no sequential greedy scan), so it
+    * distributes; it is slightly more aggressive than the paper's
+    * greedy maximal-independent-set on ε-chains (a dropped middle link
+    * still suppresses its own ε-neighbors), which is the conservative
+    * direction for dedup.
+    *
+    * Output: (vec_id, cell, cent_sim, keep) for every corpus vector.
+    *
+    * Scale shape: identical machinery to ivfTopK — broadcast-centroid
+    * scoring shuffles only (vec_id, cent_id, sim), argmin is one
+    * per-vector window, and the ε-compare happens bucket-locally
+    * behind the maxBucket guard (drops observable at
+    * graft.sem_dedup.drops) so the corpus never self-joins. Centroids:
+    * first `numCells` vectors in vec_id order when kmeansIters = 0
+    * (engine-portable — the DuckDB oracle replays them exactly), Lloyd
+    * k-means otherwise.
+    */
+  def semDedup(corpus: DataFrame, dim: Int, eps: Double, numCells: Int = 64,
+               maxBucket: Int = 10000, kmeansIters: Int = 0): DataFrame = {
+    registerOn(corpus)
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val rawCents =
+      if (kmeansIters > 0) {
+        import spark.implicits._
+        kmeansCentroids(corpus, numCells, kmeansIters).zipWithIndex.toSeq
+          .map { case (emb, i) => (i.toLong, emb) }
+          .toDF("cent_id", "cent_emb")
+          .select(col("cent_id"), col("cent_emb"),
+            sqrt(dot(col("cent_emb"), col("cent_emb"))).as("cent_norm"))
+      } else
+        base.orderBy(col("vec_id")).limit(numCells).select(
+          col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+          col("norm").as("cent_norm"))
+    val scored = base.crossJoin(broadcast(rawCents))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("embedding"), col("cent_emb"),
+          col("norm"), col("cent_norm")).as("sim"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val cells = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        round(col("sim"), 4).as("cent_sim"))
+    val members = base.join(cells, "vec_id")
+    val grouped = members.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"),
+        col("norm"), col("cent_sim"))).as("m"))
+    // a ranks BELOW b on (cent_sim desc, vec_id asc) and is ε-similar
+    // to b → a is the duplicate to drop
+    val dropped = OpsMetrics.guarded(grouped, maxBucket, "graft.sem_dedup.drops")
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when((b("cent_sim") > a("cent_sim")) ||
+               (b("cent_sim") === a("cent_sim") && b("vec_id") < a("vec_id")),
+            when(round(cosinePre(a("embedding"), b("embedding"),
+              a("norm"), b("norm")), 4) >= eps, a("vec_id")))),
+          x => x.isNotNull)))).as("vec_id"))
+      .distinct()
+      .withColumn("__dup", lit(true))
+    members.select(col("vec_id"), col("cell"), col("cent_sim"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        col("__dup").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ),
     * LSH-blocked with corpus-scaled bucket counts (nBits = 0 → auto)
     * and multi-table probing for recall.

@@ -1146,6 +1146,17 @@ object PipelineOps {
       Some("""SELECT CAST(500 AS BIGINT) AS n_queries, true AS kmeans_recall_ok,
              true AS kmeans_beats_firstn""")),
 
+    // SemDeDup semantic dedup: nearest-centroid cells (sim03's
+    // deterministic first-N quantizer), in-cell ε-dominance drop —
+    // a vector loses to any ε-similar cell-mate closer to the shared
+    // centroid. Oracle replays cells, ranked dominance, and the
+    // rounded ε-compare.
+    NamedQuery("sd01_sem_dedup",
+      (s, d) => Similarity.semDedup(embs(s, d), dim = 64, eps = 0.3,
+          numCells = 16)
+        .orderBy("vec_id"),
+      Some(semDedupOracle(eps = 0.3, numCells = 16, maxBucket = 10000))),
+
     // kNN label-agreement (mislabeled-sample detection) for the first
     // 100 vectors: fraction of the 5 nearest cosine neighbors sharing
     // the query's label; ranking replays sim01's rounded-sim ordering.
@@ -1914,6 +1925,38 @@ object PipelineOps {
          FROM pairs)
        SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
        WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** DuckDB oracle for semDedup: ivfTopKOracle's deterministic
+    * first-N cells, then the in-cell ε-dominance drop (rounded
+    * cent_sim rank, vec_id tie-break) with the bucket-size guard.
+    */
+  private def semDedupOracle(eps: Double, numCells: Int, maxBucket: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM embeddings ORDER BY vec_id LIMIT $numCells),
+       scored AS (SELECT e.vec_id, c.cent_id,
+           (SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(c.cent_emb) AS b))
+           / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b)))
+           / sqrt((SELECT sum(a * b) FROM (SELECT unnest(c.cent_emb) AS a, unnest(c.cent_emb) AS b))) AS sim
+         FROM embeddings e CROSS JOIN cents c),
+       cells AS (SELECT vec_id, cent_id AS cell, round(sim, 4) AS cent_sim FROM
+           (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cent_id ASC) AS rn FROM scored)
+         WHERE rn = 1),
+       mem AS (SELECT e.vec_id, c.cell, c.cent_sim, e.embedding
+               FROM embeddings e JOIN cells c USING (vec_id)),
+       sz AS (SELECT cell, count(*) AS n FROM mem GROUP BY cell),
+       dropped AS (SELECT DISTINCT a.vec_id FROM mem a
+         JOIN mem b ON a.cell = b.cell
+         JOIN sz s ON s.cell = a.cell
+         WHERE s.n <= $maxBucket
+           AND (b.cent_sim > a.cent_sim OR
+                (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+           AND round((SELECT sum(x * y) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                 / sqrt((SELECT sum(x * y) FROM (SELECT unnest(a.embedding) AS x, unnest(a.embedding) AS y)))
+                 / sqrt((SELECT sum(x * y) FROM (SELECT unnest(b.embedding) AS x, unnest(b.embedding) AS y))), 4) >= $eps)
+       SELECT m.vec_id, m.cell, m.cent_sim, d.vec_id IS NULL AS keep
+       FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+       ORDER BY m.vec_id"""
 
   /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
     * DISTINCT across tables (the rounded cosine is deterministic).

@@ -260,6 +260,23 @@ class OpsSpec extends AnyFunSuite {
       nBits = 4).count() == 12 * 11 / 2)
   }
 
+  test("semDedup: near-twin of the centroid-closest vector drops; orthogonal keeps") {
+    // one cell (centroid = v1): v2 is ε-similar to v1 and ranks below
+    // it (same rounded cent_sim, higher id) → dropped; v3 orthogonal
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0.001f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(e, dim = 4, eps = 0.9, numCells = 1)
+      .orderBy("vec_id")
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, true), (2L, false), (3L, true)), r)
+    // guard: an oversize cell is dropped whole → nothing flagged
+    val all = Similarity.semDedup(e, dim = 4, eps = 0.9, numCells = 1,
+      maxBucket = 2).select("keep").as[Boolean].collect().toSeq
+    assert(all.forall(identity), all)
+  }
+
   test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
     // 8 clusters sharing a dominant direction, separated by a cluster
     // dim, plus a tiny noise dim cycling with i%4. The first-N
