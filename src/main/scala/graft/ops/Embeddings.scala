@@ -228,6 +228,39 @@ object Embeddings {
     * re-ranking of the short ADC candidate list (standard IVF-PQ
     * practice) composes downstream via a join back to the embeddings.
     */
+  /** Deterministic sign random projection (the dense ±1 variant of
+    * Achlioptas 2003): out[d] = Σ_j sign(d,j)·x[j] / √inDim, with
+    * sign(d,j) = +1 when the first hex char of md5("rp:d:j") is even,
+    * else -1. Johnson–Lindenstrauss: pairwise distances survive
+    * within (1±ε) for outDim = O(log n / ε²) — the standard cheap
+    * shrink before ANN indexing or clustering when 64–1024 input dims
+    * are gratuitous. No stored matrix, no RNG: any engine (and the
+    * DuckDB oracle) re-derives the signs from the same md5 — the
+    * projection IS the formula.
+    *
+    * Scale shape: pure scan-speed projection — zero shuffles, zero
+    * collects. Each output dim is one zip_with/aggregate against a
+    * CONSTANT sign array (typedlit: one ArrayData handle per output
+    * dim, not dim² unrolled literals — see lshBucket's codegen note).
+    */
+  def randomProjection(df: DataFrame, inDim: Int, outDim: Int,
+                       emb: Column = col("embedding"),
+                       out: String = "rp_embedding"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    require(!df.columns.contains(out), s"output column $out would clobber")
+    val norm = math.sqrt(inDim.toDouble)
+    val dims = (0 until outDim).map { d =>
+      val signs: Seq[Double] = (0 until inDim).map { j =>
+        val h = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"rp:$d:$j").charAt(0)
+        if ("02468ace".indexOf(h.toInt) >= 0) 1.0 else -1.0
+      }
+      aggregate(zip_with(emb, typedlit(signs), (a, c) => a * c),
+        lit(0.0d), (acc, v) => acc + v) / norm
+    }
+    df.withColumn(out, array(dims: _*))
+  }
+
   def pqAdcTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
                 queries: Seq[(Long, Array[Float])], k: Int,
                 codesCol: String = "codes"): DataFrame = {

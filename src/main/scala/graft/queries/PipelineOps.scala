@@ -695,6 +695,32 @@ object PipelineOps {
                round(avg(v), 4) AS m
              FROM e GROUP BY label, d ORDER BY label, d""")),
 
+    // em05: JL sign random projection 64→8 — md5-derived ±1 signs,
+    // pure scan-speed; the gate explodes the projected array to
+    // (vec_id, d, v) scalars (array columns break the oracle
+    // comparator — the em04 lesson)
+    NamedQuery("em05_random_projection",
+      (s, d) => Embeddings.randomProjection(embs(s, d), inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("rp_embedding")).as(Seq("d0", "v0")))
+        .select(col("vec_id"), col("d0").cast("int").as("d"),
+          round(col("v0"), 4).as("v"))
+        .orderBy("vec_id", "d"),
+      Some("""WITH ex AS (SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS j,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+             dims AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS d),
+             signs AS (SELECT d, j,
+                 CASE WHEN strpos('02468ace',
+                     substr(md5('rp:' || CAST(d AS VARCHAR) || ':' ||
+                       CAST(j AS VARCHAR)), 1, 1)) > 0
+                   THEN 1.0 ELSE -1.0 END AS sgn
+               FROM dims CROSS JOIN (SELECT DISTINCT j FROM ex)),
+             proj AS (SELECT e.vec_id, s.d,
+                 round(sum(s.sgn * e.x) / 8.0, 4) AS v
+               FROM ex e JOIN signs s ON s.j = e.j
+               GROUP BY 1, 2)
+             SELECT vec_id, d, v FROM proj ORDER BY vec_id, d""")),
+
     // Hard negatives: top-5 most-similar vectors with a DIFFERENT
     // label for the first 10 queries — the contrastive-training
     // near-miss miner; same broadcast shape as sim01 plus the label

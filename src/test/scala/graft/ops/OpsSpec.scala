@@ -277,6 +277,31 @@ class OpsSpec extends AnyFunSuite {
     assert(all.forall(identity), all)
   }
 
+  test("randomProjection: one-hot vectors read the md5 sign matrix back; JL-ish norm") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val dim = 16
+    val oneHots = (0 until dim).map { j =>
+      (j.toLong, Array.tabulate(dim)(i => if (i == j) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val r = Embeddings.randomProjection(oneHots, inDim = dim, outDim = 4)
+      .orderBy("vec_id").select("rp_embedding")
+      .as[Seq[Double]].collect()
+    for (j <- 0 until dim; d <- 0 until 4) {
+      val sgn = if ("02468ace".indexOf(
+        DigestUtils.md5Hex(s"rp:$d:$j").charAt(0).toInt) >= 0) 1.0 else -1.0
+      assert(math.abs(r(j)(d) - sgn / 4.0) < 1e-12, s"j=$j d=$d got ${r(j)(d)}")
+    }
+    // output norm² concentrates near inDim/outDim-scaled input norm²
+    val dense = Seq((1L, Array.tabulate(dim)(i => (i % 3 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = Embeddings.randomProjection(dense, dim, 8)
+      .select("rp_embedding").as[Seq[Double]].head
+    assert(p.map(x => x * x).sum > 0.0)
+    intercept[IllegalArgumentException] {
+      Embeddings.randomProjection(dense.withColumn("rp_embedding", lit(1)), dim, 2)
+    }
+  }
+
   test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
     // 8 clusters sharing a dominant direction, separated by a cluster
     // dim, plus a tiny noise dim cycling with i%4. The first-N
