@@ -302,15 +302,17 @@ object Similarity {
     * generation reuses the group-collect machinery with the maxBucket
     * guard.
     */
-  def ivfTopK(corpus: DataFrame, dim: Int, k: Int, numCells: Int = 64,
-              maxBucket: Int = 10000, kmeansIters: Int = 0): DataFrame = {
-    registerOn(corpus)
+  /** Nearest-centroid cell per vector: (vec_id, cell, sim) with sim
+    * the RAW cosine to the assigned centroid. Centroids are the first
+    * `numCells` vectors in vec_id order (rank-based pick — ids may be
+    * sparse or not start at 0) or Lloyd k-means when kmeansIters > 0.
+    * Broadcast scoring; the argmin is one per-vector window on
+    * (sim desc, cent_id asc). Shared by ivfTopK / semDedup /
+    * ivfPqTopK so their cell geometry is identical by construction.
+    */
+  private def coarseCells(corpus: DataFrame, base: DataFrame,
+                          numCells: Int, kmeansIters: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val base = corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    // rank-based pick (first numCells in vec_id order), NOT vec_id <
-    // numCells: ids may be sparse or not start at 0, which would
-    // silently yield few/zero cells and an empty result
     val rawCents =
       if (kmeansIters > 0) {
         import spark.implicits._
@@ -323,15 +325,24 @@ object Similarity {
         base.orderBy(col("vec_id")).limit(numCells).select(
           col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
           col("norm").as("cent_norm"))
-    val cents = broadcast(rawCents)
-    val scored = base.crossJoin(cents)
+    val scored = base.crossJoin(broadcast(rawCents))
       .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("embedding"), col("cent_emb"), col("norm"), col("cent_norm")).as("sim"))
+        cosinePre(col("embedding"), col("cent_emb"),
+          col("norm"), col("cent_norm")).as("sim"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cent_id").asc)
-    val cells = scored.withColumn("rn", row_number().over(wAssign))
+    scored.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("sim"))
+  }
+
+  def ivfTopK(corpus: DataFrame, dim: Int, k: Int, numCells: Int = 64,
+              maxBucket: Int = 10000, kmeansIters: Int = 0): DataFrame = {
+    registerOn(corpus)
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val cells = coarseCells(corpus, base, numCells, kmeansIters)
+      .select(col("vec_id"), col("cell"))
     val bucketed = base.join(cells, "vec_id")
       .select(col("vec_id"), col("embedding"), col("norm"),
         lit(0).as("tbl"), col("cell").cast("string").as("bucket"))
@@ -345,6 +356,64 @@ object Similarity {
     cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** IVF-PQ ANN (the billion-vector serving shape — FAISS IVFPQ,
+    * probe = 1): a coarse quantizer restricts search to the query's
+    * cell; in-cell candidates are scored by ASYMMETRIC distance — the
+    * query's full vector against the neighbor DECODED from its m PQ
+    * codes via the constant (typedlit) codebook, i.e. ADC on L2².
+    * Exact re-ranking of the short list composes downstream via a
+    * join back to embeddings (standard practice, em02's pqAdcTopK
+    * shows the LUT form for external query sets).
+    *
+    * Why this is the 100 TB path: the in-cell pair generation carries
+    * each member once as a query (full vector) and once as a
+    * neighbor represented by m SMALL INTS — for an external query
+    * workload the corpus side of the shuffle is codes only, a
+    * dim·4/m-fold payload reduction (64 floats → 16 bytes here), and
+    * decode happens inside the pair expression against a broadcast-
+    * constant codebook, never materialized per row. Cells bound the
+    * candidate count; maxBucket guards the pathological cell
+    * (observable at graft.ivfpq_topk.drops).
+    */
+  def ivfPqTopK(corpus: DataFrame, dim: Int, k: Int, numCells: Int = 64,
+                m: Int = 8, codebookK: Int = 16, kmeansIters: Int = 0,
+                maxBucket: Int = 10000): DataFrame = {
+    registerOn(corpus)
+    val cbs = Embeddings.pqCodebooks(corpus, m, codebookK)
+    val enc = Embeddings.pqEncode(corpus, cbs)
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val cells = coarseCells(corpus, base, numCells, kmeansIters)
+      .select(col("vec_id"), col("cell"))
+    val members = corpus.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id").join(enc, "vec_id")
+    val cbLit = typedlit(cbs.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
+    val subIdx = typedlit(Seq.range(1, m + 1))
+    def decoded(codes: Column): Column =
+      flatten(zip_with(codes, subIdx, (code, s) =>
+        element_at(element_at(cbLit, s), code + 1)))
+    def l2sq(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) =>
+        (p.cast("double") - q) * (p.cast("double") - q)),
+        lit(0.0d), (acc, v) => acc + v)
+    val grouped = members.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"),
+        col("codes"))).as("m"))
+    val cand = OpsMetrics.guarded(grouped, maxBucket, "graft.ivfpq_topk.drops")
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a("vec_id") =!= b("vec_id"),
+            struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
+              round(l2sq(a("embedding"), decoded(b("codes"))), 6).as("adc_dist")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.*"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
 
   /** SemDeDup-style semantic dedup (the embedding-space analog of the
@@ -373,31 +442,10 @@ object Similarity {
   def semDedup(corpus: DataFrame, dim: Int, eps: Double, numCells: Int = 64,
                maxBucket: Int = 10000, kmeansIters: Int = 0): DataFrame = {
     registerOn(corpus)
-    val spark = corpus.sparkSession
     val base = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val rawCents =
-      if (kmeansIters > 0) {
-        import spark.implicits._
-        kmeansCentroids(corpus, numCells, kmeansIters).zipWithIndex.toSeq
-          .map { case (emb, i) => (i.toLong, emb) }
-          .toDF("cent_id", "cent_emb")
-          .select(col("cent_id"), col("cent_emb"),
-            sqrt(dot(col("cent_emb"), col("cent_emb"))).as("cent_norm"))
-      } else
-        base.orderBy(col("vec_id")).limit(numCells).select(
-          col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-          col("norm").as("cent_norm"))
-    val scored = base.crossJoin(broadcast(rawCents))
-      .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("embedding"), col("cent_emb"),
-          col("norm"), col("cent_norm")).as("sim"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val cells = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        round(col("sim"), 4).as("cent_sim"))
+    val cells = coarseCells(corpus, base, numCells, kmeansIters)
+      .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("cent_sim"))
     val members = base.join(cells, "vec_id")
     val grouped = members.groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"),

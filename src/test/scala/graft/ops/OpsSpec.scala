@@ -302,6 +302,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: cluster-mates found via ADC on decoded codes; ties break by id") {
+    // 3 orthogonal clusters of identical vectors, ids interleaved so
+    // the first-3 quantizer picks one centroid per cluster
+    val vecs = (1 to 12).map { id =>
+      val v = new Array[Float](8); v(id % 3) = 10f
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqTopK(vecs, dim = 8, k = 2, numCells = 3,
+        m = 4, codebookK = 4)
+      .orderBy("query_id", "rk")
+      .select("query_id", "rk", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(r.length == 24, r.toSeq) // 12 queries × 2
+    r.foreach { case (q, _, n) =>
+      assert(q % 3 == n % 3, s"query $q paired across clusters with $n") }
+    // identical cluster-mates have equal ADC → lowest-id ties first
+    val q1 = r.filter(_._1 == 1L).map(_._3).toSeq
+    assert(q1 == Seq(4L, 7L), q1)
+  }
+
   test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
     // 8 clusters sharing a dominant direction, separated by a cluster
     // dim, plus a tiny noise dim cycling with i%4. The first-N
