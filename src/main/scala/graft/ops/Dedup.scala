@@ -136,6 +136,64 @@ object Dedup {
       .select(col("doc_id"), coalesce(col(out), lit("")).as(out))
   }
 
+  /** Cross-document SUBSTRING dedup via sliding token windows (dd10)
+    * — the scalable stand-in for the suffix-array ExactSubstr pass of
+    * Lee et al. 2022 (arXiv:2107.06499): every run of `w` consecutive
+    * tokens whose window-hash occurs in ≥ `minDf` DISTINCT documents
+    * marks its span as duplicated; covered tokens are dropped from
+    * EVERY occurrence and the survivors reassembled in order
+    * (whitespace-normalized — token-level surgery cannot preserve the
+    * original spacing). Windows repeated only WITHIN one document are
+    * untouched: in-doc repetition is tx06's signal, not cross-doc
+    * contamination. Returns (doc_id, n_tokens, n_dup_tokens, `out`);
+    * documents losing every token come back with an empty string.
+    *
+    * Scale shape: ~one window row per token (explode over sequence);
+    * the duplicated-window count groups on the window's md5 so only
+    * the 32-byte key crosses that shuffle (countDistinct partial-
+    * aggregates map-side), and hot windows join back on the same key.
+    * Span coverage explodes w positions per DUP window only, and the
+    * final reassembly is the per-doc group-collect every other
+    * per-doc operator here relies on (bounded by the document's own
+    * size). No self-joins anywhere.
+    */
+  def dropDuplicateWindows(df: DataFrame, w: Int = 8, minDf: Int = 2,
+                           text: Column = col("text"),
+                           out: String = "clean_text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens: $w")
+    require(minDf >= 2, s"minDf < 2 would mark every window duplicated: $minDf")
+    require(!df.columns.contains(out), s"column $out would be clobbered")
+    val toks = df.select(col("doc_id"),
+      filter(split(text, "\\s+"), t => length(t) > 0).as("__tk"))
+    val n = size(col("__tk"))
+    val starts = toks.select(col("doc_id"), col("__tk"),
+      explode(when(n >= w, sequence(lit(0), n - w))
+        .otherwise(array().cast("array<int>"))).as("__s"))
+    val wins = starts.select(col("doc_id"), col("__s"),
+      md5(concat_ws(" ", slice(col("__tk"), col("__s") + 1, lit(w)))).as("__wh"))
+    val hot = wins.groupBy(col("__wh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf).select(col("__wh"))
+    val cov = wins.join(hot, Seq("__wh"))
+      .select(col("doc_id"),
+        explode(sequence(col("__s"), col("__s") + (w - 1))).as("__pos"))
+      .distinct()
+    val tokpos = toks.select(col("doc_id"),
+      posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+    val kept = tokpos.join(cov, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok"))).as(out))
+    toks.select(col("doc_id"), n.cast("int").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0))).cast("int")
+          .as("n_dup_tokens"),
+        coalesce(col(out), lit("")).as(out))
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-
     * joined). Backed by the native WordShingles expression — the
     * composed HOF form below computes the identical value but pays

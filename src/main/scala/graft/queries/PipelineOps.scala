@@ -861,6 +861,44 @@ object PipelineOps {
              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
              ORDER BY d.doc_id""")),
 
+    // dd10: cross-document substring dedup — 8-token sliding windows,
+    // a window hash seen in ≥2 distinct docs drops its span from every
+    // occurrence; integers + md5 of the rebuilt text gate the surgery
+    NamedQuery("dd10_window_dedup",
+      (s, d) => Dedup.dropDuplicateWindows(docs(s, d), w = 8, minDf = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+               FROM documents),
+             st AS (SELECT doc_id, tk,
+                 unnest(CASE WHEN len(tk) >= 8 THEN range(0, len(tk) - 7)
+                        ELSE CAST([] AS BIGINT[]) END) AS s
+               FROM toks),
+             wins AS (SELECT doc_id, s,
+                 md5(array_to_string(tk[s + 1:s + 8], ' ')) AS wh FROM st),
+             hot AS (SELECT wh FROM wins GROUP BY wh
+                     HAVING count(DISTINCT doc_id) >= 2),
+             cov AS (SELECT DISTINCT doc_id, p FROM
+                     (SELECT w.doc_id, unnest(range(w.s, w.s + 8)) AS p
+                      FROM wins w JOIN hot USING (wh))),
+             tokpos AS (SELECT doc_id,
+                 CAST(generate_subscripts(tk, 1) AS BIGINT) - 1 AS pos,
+                 unnest(tk) AS tok
+               FROM toks),
+             kept AS (SELECT t.doc_id, count(*) AS n_kept,
+                 string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+               FROM tokpos t
+               WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                 WHERE c.doc_id = t.doc_id AND c.p = t.pos)
+               GROUP BY t.doc_id)
+             SELECT o.doc_id, CAST(len(o.tk) AS INT) AS n_tokens,
+               CAST(len(o.tk) - coalesce(k.n_kept, 0) AS INT) AS n_dup_tokens,
+               md5(coalesce(k.clean, '')) AS clean_hash
+             FROM toks o LEFT JOIN kept k USING (doc_id)
+             ORDER BY o.doc_id""")),
+
     // tx13: Gopher quality rules — all-integer statistics, thresholds
     // via integer cross-multiplication (no float division anywhere),
     // so the verdict booleans are exactly reproducible

@@ -1453,6 +1453,22 @@ class OpsSpec extends AnyFunSuite {
     assert(name.getLong(6) == 1L && name.getLong(7) == 2L)
   }
 
+  test("dropDuplicateWindows: shared 4-token runs cut from every copy; in-doc repeats kept") {
+    val d = Seq(
+      (1L, "a b c d e f g h x"),
+      (2L, "z a b c d e f g h"),
+      (3L, "p q r s p q r s t")). // in-doc repeat only → untouched
+      toDF("doc_id", "text")
+    val r = Dedup.dropDuplicateWindows(d, w = 4, minDf = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_dup_tokens", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 9, 8, "x"),
+      (2L, 9, 8, "z"),
+      (3L, 9, 0, "p q r s p q r s t")), r)
+  }
+
   test("fkAudit: orphan and null-key counts per edge; clean edge is ok") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
