@@ -1908,6 +1908,77 @@ object PipelineOps {
              FROM c JOIN p USING (user_id)
              GROUP BY 1 ORDER BY user_id""")),
 
+    // st06: streaming near-dup ingest — three file-batches in forced
+    // mtime order through the foreachBatch sink; each batch LSH-
+    // filters against the accumulated KEPT base. Oracle replays dd08's
+    // signature/band CTEs with the sequential keep set (batch 0 all,
+    // batch 1 vs 0, batch 2 vs 0 ∪ kept 1).
+    NamedQuery("st06_neardup_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+        val tmp = java.nio.file.Files.createTempDirectory("st06").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(
+          ("b0", col("doc_id") < 170),
+          ("b1", col("doc_id") >= 170 && col("doc_id") < 340),
+          ("b2", col("doc_id") >= 340)).zipWithIndex.foreach {
+          case ((nm, pred), i) =>
+            val stage = s"$tmp/stage_$nm"
+            all.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(src, s"$nm.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            // mtime IS the batch order for FileStreamSource
+            dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val q = graft.streaming.CorpusStream.nearDupIngest(
+          s.readStream.schema(all.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src.toString),
+          s"$tmp/base", s"$tmp/out", s"$tmp/ck")
+        q.processAllAvailable(); q.stop()
+        s.read.parquet(s"$tmp/out").select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, lang,
+                 CASE WHEN doc_id < 170 THEN 0
+                      WHEN doc_id < 340 THEN 1 ELSE 2 END AS bat
+               FROM documents),
+              sh AS (SELECT doc_id, bat, $duckShingles AS sset FROM d),
+              shx0 AS (SELECT doc_id, bat, unnest(sset) AS g FROM sh),
+              shx AS (SELECT doc_id, bat, g FROM
+                        (SELECT doc_id, bat, g,
+                           count(*) OVER (PARTITION BY g) AS df FROM shx0)
+                      WHERE df <= 1000),
+              sig0 AS (SELECT doc_id, bat, j, min(md5(j::VARCHAR || '#' || g)) AS mh
+                       FROM shx, range(12) r(j) GROUP BY doc_id, bat, j),
+              sig AS (SELECT doc_id, bat, list(mh ORDER BY j) AS sig
+                      FROM sig0 GROUP BY doc_id, bat),
+              banded AS (SELECT doc_id, bat, sig, b AS band,
+                           md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_key
+                         FROM sig, range(4) r(b)),
+              nd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.bat AS bat_a, y.bat AS bat_b
+                     FROM banded x JOIN banded y
+                       ON x.band = y.band AND x.band_key = y.band_key
+                          AND x.doc_id != y.doc_id
+                     WHERE round(CAST(len(list_filter(range(1, 13),
+                         i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 12, 4) >= 0.5),
+              dup2 AS (SELECT DISTINCT a AS doc_id FROM nd
+                       WHERE bat_a = 1 AND bat_b = 0),
+              kept2 AS (SELECT doc_id FROM d WHERE bat = 1
+                        AND doc_id NOT IN (SELECT doc_id FROM dup2)),
+              dup3 AS (SELECT DISTINCT a AS doc_id FROM nd
+                       WHERE bat_a = 2 AND (bat_b = 0 OR
+                         (bat_b = 1 AND b IN (SELECT doc_id FROM kept2)))),
+              kept AS (SELECT doc_id FROM d WHERE bat = 0
+                       UNION ALL SELECT doc_id FROM kept2
+                       UNION ALL SELECT doc_id FROM d WHERE bat = 2
+                         AND doc_id NOT IN (SELECT doc_id FROM dup3))
+             SELECT doc_id, lang FROM documents
+             WHERE doc_id IN (SELECT doc_id FROM kept) ORDER BY doc_id""")),
+
     // HOPPING (sliding) windows: 2-hour windows advancing hourly —
     // every event lands in exactly two. Spark's window(slide) TVF vs
     // an explicit two-start unnest in the oracle.

@@ -170,4 +170,39 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.intervalJoin(clicks, purchases, windowSec = 0)
     }
   }
+
+  test("nearDupIngest: cross-batch near-twin suppressed; same-batch twin admitted") {
+    import spark.implicits._
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val batches = Seq(
+      // batch 0: original + a SAME-batch twin (admitted by design)
+      Seq((1L, text1), (2L, text1), (3L, "totally different words here nothing shared at all ok")),
+      // batch 1: near-twin of batch 0 (dropped) + a fresh doc (kept)
+      Seq((10L, text1 + " nu"), (11L, "fresh unseen content in the second wave of documents yes")))
+    val tmp = java.nio.file.Files.createTempDirectory("st06spec").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 600000L)
+    }
+    val schema = batches.head.toDF("doc_id", "text").schema
+    val q = CorpusStream.nearDupIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src.toString),
+      s"$tmp/base", s"$tmp/out", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 11L), kept)
+    // the base accumulated exactly the survivors
+    val base = spark.read.parquet(s"$tmp/base")
+      .select("doc_id").as[Long].collect().toSet
+    assert(base == kept, base)
+  }
 }
