@@ -303,6 +303,51 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("em05: random projection is pure scan-speed — zero exchanges, zero joins") {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.load(spark, dir, "embeddings")
+    val p = ops.Embeddings.randomProjection(raw, inDim = 64, outDim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"em05 shuffles: ${p.take(400)}")
+    assert(!p.contains("Join"), s"em05 has a join: ${p.take(400)}")
+  }
+
+  test("dq04: FK audit joins on key columns only — pruned scans, no cartesian") {
+    val p = planOf("dq04_fk_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    // child side reads just the FK column
+    val schemas = p.split("ReadSchema: ").drop(1).map(_.split("\n").head)
+    assert(schemas.exists(s => s.contains("l_orderkey") && !s.contains("l_quantity")),
+      s"lineitem scan not pruned to the key: ${schemas.mkString(" | ")}")
+  }
+
+  test("sd01/sim05: cell machinery broadcasts centroids; pairs are group-collect (no self-join)") {
+    for (name <- Seq("sd01_sem_dedup", "sim05_ivfpq_recall")) {
+      // sim05's gate computes recall eagerly; build the operators directly
+      val df =
+        if (name == "sd01_sem_dedup")
+          ops.Similarity.semDedup(Tables.load(spark, dir, "embeddings"),
+            dim = 64, eps = 0.3, numCells = 16)
+        else
+          ops.Similarity.ivfPqTopK(Tables.load(spark, dir, "embeddings"),
+            dim = 64, k = 3, numCells = 8, m = 16, codebookK = 8)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastExchange"), s"$name: centroids not broadcast")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: cartesian product: ${p.take(400)}")
+    }
+  }
+
+  test("dd10: window dedup groups on md5 keys with partial aggregation, no self-join") {
+    val df = ops.Dedup.dropDuplicateWindows(
+      Tables.load(spark, dir, "documents"), w = 8, minDf = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), "df count not partially aggregated")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)
