@@ -228,6 +228,27 @@ object Embeddings {
     * re-ranking of the short ADC candidate list (standard IVF-PQ
     * practice) composes downstream via a join back to the embeddings.
     */
+  /** Matryoshka truncation (em06, after Kusupati et al. 2022):
+    * keep the first `k` dimensions and L2-renormalize. MRL-trained
+    * embeddings pack coarse-to-fine information, so a prefix is a
+    * valid lower-cost embedding — the standard serving trick for
+    * tiered ANN (search the 64-dim prefix, re-rank with the full
+    * vector); the renorm restores unit length for cosine. Zero-norm
+    * prefixes return the zero vector rather than dividing by it.
+    * Pure scan-speed: slice + one fold + one transform, no shuffles.
+    */
+  def matryoshka(df: DataFrame, k: Int, emb: Column = col("embedding"),
+                 out: String = "mrl_embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains(out), s"output column $out would clobber")
+    val pre = slice(emb, 1, k)
+    val nrm = sqrt(aggregate(pre, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x))
+    df.withColumn(out,
+      when(nrm > 0, transform(pre, x => x.cast("double") / nrm))
+        .otherwise(transform(pre, _ => lit(0.0d))))
+  }
+
   /** Deterministic sign random projection (the dense ±1 variant of
     * Achlioptas 2003): out[d] = Σ_j sign(d,j)·x[j] / √inDim, with
     * sign(d,j) = +1 when the first hex char of md5("rp:d:j") is even,

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables. Corpus-curation use: link/domain
+  * authority as a quality prior over web-scale crawls (PageRank is the
+  * classic seed-quality signal), next to dd06's connected components
+  * in Dedup (which handles the transitive-closure shape).
+  */
+object Graph {
+
+  /** Deterministic PageRank with a FIXED iteration count (pr01):
+    * r_{t+1}(v) = (1-d)/N + d·Σ_{u→v} r_t(u)/outdeg(u), uniform init
+    * 1/N. No dangling nodes allowed — a sink would leak rank mass
+    * every round, so the caller symmetrizes or prunes first and this
+    * THROWS rather than silently deflating (checked with one
+    * anti-join before the loop). Fixed iterations and no RNG make the
+    * result reproducible across engines to float-sum order (gates
+    * round at 6 decimals; PageRank is a damped contraction, so
+    * reordering error stays at machine epsilon instead of amplifying).
+    *
+    * Scale shape (the Pregel loop in DataFrame form): edges+outdeg are
+    * computed once and PERSISTED; each round is one join of ranks onto
+    * the edge list (both sides keyed on src — co-partitioned after the
+    * first round's exchange) and one (dst, sum) aggregate that
+    * partial-aggregates map-side, so the shuffle carries one partial
+    * per (task, dst), not one row per edge. Each round's result is
+    * checkpointed (reliable when a checkpoint dir is set, local
+    * otherwise — dd06's convention), REPLACING lineage instead of
+    * nesting it: round N's plan stays flat. Driver work is two counts.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    def flat(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val withDeg = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val dangling = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .count()
+    require(dangling == 0,
+      s"$dangling dangling node(s) would leak rank mass — symmetrize or prune sinks first")
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(flat)
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("__outdeg")).as("__s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), (lit((1 - damping) / n) +
+          lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .transform(flat)
+    }
+    e.unpersist(); withDeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+}

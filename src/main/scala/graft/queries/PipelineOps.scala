@@ -1221,6 +1221,46 @@ object PipelineOps {
         .orderBy("vec_id"),
       Some(semDedupOracle(eps = 0.3, numCells = 16, maxBucket = 10000))),
 
+    // em06: Matryoshka prefix truncation + renorm — 64→16 dims, gate
+    // explodes to scalars like em04/em05
+    NamedQuery("em06_matryoshka",
+      (s, d) => Embeddings.matryoshka(embs(s, d), k = 16)
+        .select(col("vec_id"), posexplode(col("mrl_embedding")).as(Seq("d0", "v0")))
+        .select(col("vec_id"), col("d0").cast("int").as("d"),
+          round(col("v0"), 4).as("v"))
+        .orderBy("vec_id", "d"),
+      Some("""WITH pre AS (SELECT vec_id, embedding[1:16] AS p FROM embeddings),
+             n AS (SELECT vec_id, p,
+                 sqrt((SELECT sum(CAST(a AS DOUBLE) * a) FROM unnest(p) t(a))) AS nrm
+               FROM pre),
+             ex AS (SELECT vec_id, nrm,
+                 CAST(generate_subscripts(p, 1) AS INT) - 1 AS d,
+                 CAST(unnest(p) AS DOUBLE) AS x
+               FROM n)
+             SELECT vec_id, d,
+               round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 4) AS v
+             FROM ex ORDER BY vec_id, d""")),
+
+    // pr01: deterministic PageRank (10 fixed rounds, d = 0.85) over
+    // the symmetrized customer↔supplier trade graph; the oracle
+    // UNROLLS the ten iterations as chained CTEs — every round is a
+    // plain aggregate, so no recursive-CTE aggregation limits apply
+    NamedQuery("pr01_pagerank",
+      (s, d) => {
+        val ol = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("s"))
+          .distinct()
+        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
+          .union(ol.select(col("s").as("src"), col("c").as("dst")))
+        graft.ops.Graph.pageRank(edges, iters = 10, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(pageRankOracle(iters = 10, damping = "0.85"))),
+
     // IVF-PQ ANN end-to-end (k-means cells + in-cell asymmetric PQ
     // distance on decoded codes): q15-style deterministic recall gate
     // vs exact L2 top-10 — every stage (sample draw, Lloyd iterations,
@@ -2096,6 +2136,36 @@ object PipelineOps {
          FROM pairs)
        SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
        WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** DuckDB oracle for pageRank: the iterations UNROLL into chained
+    * CTEs r0..rN (each round is one LEFT JOIN of the previous ranks
+    * onto the edge list plus a plain aggregate — no recursion needed).
+    * `damping` is passed as SQL text so the literal matches the Spark
+    * side's double exactly enough for the 6-decimal round.
+    */
+  private def pageRankOracle(iters: Int, damping: String): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n2.node,
+            (1 - $damping) / nn.n + $damping * coalesce(c.s, 0.0) AS rank
+          FROM nodes n2 CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node, sum(p.rank / deg.outdeg) AS s
+                     FROM e JOIN r${i - 1} p ON p.node = e.src
+                          JOIN deg ON deg.src = e.src
+                     GROUP BY e.dst) c ON c.node = n2.node)"""
+    }.mkString(",\n")
+    s"""WITH eg AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+           's' || CAST(l.l_suppkey AS VARCHAR) AS s
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       e AS (SELECT c AS src, s AS dst FROM eg
+             UNION ALL SELECT s, c FROM eg),
+       deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+               FROM e GROUP BY src),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       $rounds
+       SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
+  }
 
   /** DuckDB oracle for semDedup: ivfTopKOracle's deterministic
     * first-N cells, then the in-cell ε-dominance drop (rounded

@@ -322,6 +322,36 @@ class OpsSpec extends AnyFunSuite {
     assert(q1 == Seq(4L, 7L), q1)
   }
 
+  test("matryoshka: prefix renormalized to unit length; zero prefix stays zero") {
+    val e = Seq(
+      (1L, Array(3f, 4f, 99f, 99f)),       // prefix (3,4) → (0.6, 0.8)
+      (2L, Array(0f, 0f, 5f, 5f))).toDF("vec_id", "embedding")
+    val r = Embeddings.matryoshka(e, k = 2).orderBy("vec_id")
+      .select("mrl_embedding").as[Seq[Double]].collect()
+    assert(r(0).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-9 }, r(0))
+    assert(r(1) == Seq(0.0, 0.0), r(1))
+  }
+
+  test("pageRank: regular graphs stay uniform; path graph ranks by degree; dangling throws") {
+    // symmetric triangle — uniform is the exact fixed point
+    val tri = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val rt = Graph.pageRank(tri, iters = 5)
+      .select("rank").as[Double].collect()
+    assert(rt.forall(r => math.abs(r - 1.0 / 3) < 1e-12), rt.toSeq)
+    // path a-b-c (symmetrized): center outranks ends, ends tie exactly
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val rp = Graph.pageRank(path, iters = 10)
+      .orderBy("node").select("node", "rank")
+      .as[(String, Double)].collect().toMap
+    assert(rp("b") > rp("a") && rp("a") == rp("c"), rp)
+    assert(math.abs(rp.values.sum - 1.0) < 1e-9, rp.values.sum)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq(("a", "b")).toDF("src", "dst"), iters = 2)
+    }
+  }
+
   test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
     // 8 clusters sharing a dominant direction, separated by a cluster
     // dim, plus a tiny noise dim cycling with i%4. The first-N
