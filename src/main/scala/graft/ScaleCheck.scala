@@ -187,6 +187,66 @@ object ScaleCheck {
     }
   }
 
+  /** Round-9 operator probes (`runMain graft.ScaleCheck r9`):
+    * dd10 window dedup over the grown document corpus (its cost
+    * center is the window-hash DF shuffle — one row per token),
+    * sd01 semDedup over a grown embedding corpus (rotated replicas
+    * keep per-replica geometry while shifting cells), and pr01
+    * PageRank over a synthetic ring+chord graph (each round = one
+    * edge join + one aggregate; wall should grow ~linearly in edges
+    * and exactly linearly in rounds).
+    */
+  private def r9Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val out = graft.ops.Dedup.dropDuplicateWindows(docs, w = 8, minDf = 2)
+        .agg(sum(col("n_dup_tokens"))).collect()(0).getLong(0)
+      println(f"[scale] r9 x$mult ($n%d docs) windowDedup dupTokens=$out%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      docs.unpersist()
+    }
+    val embBase = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    for (mult <- Seq(5, 20)) {
+      val embs = (0 until mult).map(i =>
+          embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            concat(slice(col("embedding"), i + 1, 64 - i),
+              slice(col("embedding"), 1, i)).as("embedding")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = embs.count()
+      val t0 = System.nanoTime()
+      val kept = graft.ops.Similarity.semDedup(embs, dim = 64, eps = 0.3,
+          numCells = 64)
+        .filter(col("keep")).count()
+      println(f"[scale] r9 x$mult ($n%d vecs) semDedup kept=$kept%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      embs.unpersist()
+    }
+    for (nodes <- Seq(100000, 400000)) {
+      import spark.implicits._
+      // ring + md5-derived chord per node: connected, degree ~4
+      val ring = spark.range(nodes).select(col("id").as("src"),
+        ((col("id") + 1) % nodes).as("dst"))
+      val chord = spark.range(nodes).select(col("id").as("src"),
+        (conv(substring(md5(concat(lit("pr"), col("id"))), 1, 8), 16, 10)
+          .cast("long") % nodes).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val e0 = ring.union(chord)
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(32).cache()
+      val ne = edges.count()
+      val t0 = System.nanoTime()
+      val top = graft.ops.Graph.pageRank(edges, iters = 10)
+        .agg(max(col("rank"))).collect()(0).getDouble(0)
+      println(f"[scale] r9 pagerank nodes=$nodes%d edges=$ne%d maxRank=$top%.2e sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      edges.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -220,6 +280,11 @@ object ScaleCheck {
     }
     if (path == "text") {
       textScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9") {
+      r9Scale(spark)
       spark.stop()
       return
     }
