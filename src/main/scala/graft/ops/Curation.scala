@@ -440,4 +440,57 @@ object Curation {
     val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
     df.withColumn(out, regexp_replace(fixedQ, "\\?$", ""))
   }
+
+  /** DSIR-style importance selection (sp05, after Xie et al. 2023,
+    * arXiv:2302.03169): pick raw-corpus documents whose hashed
+    * bag-of-words distribution matches a TARGET corpus. Tokens hash
+    * into 256 buckets via the first two hex chars of md5 (engine-
+    * portable, no seed, no stored featurizer); both corpora fit
+    * add-½-smoothed multinomials over the bucket domain, and a doc
+    * scores log w = Σ_tok (ln p_target[b] − ln p_raw[b]). Returns
+    * (doc_id, n_tokens, log_w, selected): selected = log_w at or
+    * above the (1−frac) exact percentile of the corpus scores (ties
+    * at the threshold are all kept — deterministic, no RNG; the
+    * paper's Gumbel resampling adds diversity the md5-threshold
+    * samplers here provide elsewhere).
+    *
+    * Scale shape: the bucket-count tables are 256 rows each (driver
+    * sees two totals and one percentile scalar — all O(1)); the
+    * corpus-sized work is one token explode joined to the BROADCAST
+    * 256-row log-ratio table and one per-doc sum. The percentile is
+    * one aggregate over one double per doc. Nothing shuffles more
+    * than (doc_id, partial sums).
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, frac: Double = 0.2,
+                 text: Column = col("text")): DataFrame = {
+    require(frac > 0 && frac < 1, s"frac must be in (0,1): $frac")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+        explode(filter(split(text, "\\s+"), t => length(t) > 0)).as("__tok"))
+      .select(col("doc_id"), substring(md5(col("__tok")), 1, 2).as("__b"))
+    val domain = (0 until 256).map(i => f"$i%02x").toDF("__b")
+    def counts(df: DataFrame, name: String) =
+      domain.join(
+          toks(df).groupBy(col("__b")).agg(count(lit(1)).as("__c")),
+          Seq("__b"), "left")
+        .select(col("__b"), coalesce(col("__c"), lit(0L)).as(name))
+    val joined = counts(target, "__ct").join(counts(corpus, "__cr"), "__b")
+    val totRow = joined.agg(sum(col("__ct")), sum(col("__cr"))).head
+    val (tt, tr) = (totRow.getLong(0), totRow.getLong(1))
+    val ratio = joined.select(col("__b"),
+      (log((col("__ct") + 0.5) / (tt + 128.0)) -
+       log((col("__cr") + 0.5) / (tr + 128.0))).as("__ratio"))
+    val scored = toks(corpus).join(broadcast(ratio), "__b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(sum(col("__ratio")), 4).as("log_w"))
+    val spine = corpus.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+    val thr = spine.agg(percentile(col("log_w"), lit(1 - frac)))
+      .head.getDouble(0)
+    spine.withColumn("selected", col("log_w") >= thr)
+  }
 }

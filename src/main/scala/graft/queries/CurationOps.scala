@@ -217,6 +217,46 @@ object CurationOps {
                  ORDER BY md5('spg#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
                FROM documents) WHERE rk <= 10 ORDER BY doc_id""")),
 
+    // sp05: DSIR-style importance selection — target = the English
+    // slice, raw = the whole corpus; 256 md5-hex buckets, add-1/2
+    // multinomials, per-doc log ratio sum, exact-percentile cut. The
+    // oracle replays buckets, smoothing, ratios, and quantile_cont.
+    NamedQuery("sp05_dsir_select",
+      (s, d) => {
+        val ds = docs(s, d)
+        Curation.dsirSelect(ds, ds.filter(col("lang") === "en"), frac = 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH dom AS (SELECT printf('%02x', i) AS b FROM range(256) t(i)),
+             tok0 AS (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0)) AS tok
+               FROM documents),
+             ctok AS (SELECT doc_id, substr(md5(tok), 1, 2) AS b FROM tok0),
+             ttok AS (SELECT c.b FROM ctok c JOIN documents d USING (doc_id)
+                      WHERE d.lang = 'en'),
+             ct AS (SELECT dom.b, coalesce(x.c, 0) AS ct FROM dom
+                    LEFT JOIN (SELECT b, count(*) AS c FROM ttok GROUP BY b) x
+                      USING (b)),
+             cr AS (SELECT dom.b, coalesce(x.c, 0) AS cr FROM dom
+                    LEFT JOIN (SELECT b, count(*) AS c FROM ctok GROUP BY b) x
+                      USING (b)),
+             tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
+                            (SELECT sum(cr) FROM cr) AS tr),
+             ratio AS (SELECT ct.b,
+                 ln((ct.ct + 0.5) / (tot.tt + 128.0)) -
+                 ln((cr.cr + 0.5) / (tot.tr + 128.0)) AS r
+               FROM ct JOIN cr USING (b) CROSS JOIN tot),
+             sc AS (SELECT c.doc_id, CAST(count(*) AS INT) AS n_tokens,
+                 round(sum(ratio.r), 4) AS log_w
+               FROM ctok c JOIN ratio ON ratio.b = c.b GROUP BY c.doc_id),
+             spine AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+                 coalesce(sc.log_w, 0.0) AS log_w
+               FROM documents d LEFT JOIN sc USING (doc_id)),
+             thr AS (SELECT quantile_cont(log_w, 0.8) AS t FROM spine)
+             SELECT doc_id, n_tokens, log_w, log_w >= thr.t AS selected
+             FROM spine CROSS JOIN thr ORDER BY doc_id""")),
+
     // PII redaction: the corpus has no PII by construction, so the
     // gate WEAVES deterministic emails/phones/IPs (derived from
     // doc_id) into every doc on BOTH engines, then compares counts

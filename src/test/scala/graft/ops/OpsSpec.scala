@@ -1499,6 +1499,21 @@ class OpsSpec extends AnyFunSuite {
       (3L, 9, 0, "p q r s p q r s t")), r)
   }
 
+  test("dsirSelect: target-like docs outscore and get selected; empty doc scores 0") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha alpha"),
+      (2L, "omega omega omega omega"),
+      (3L, " ")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1)
+    val r = Curation.dsirSelect(corpus, target, frac = 0.4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "log_w", "selected")
+      .as[(Long, Int, Double, Boolean)].collect().toSeq
+    assert(r(0)._3 > 0 && r(0)._4, r(0))   // target-like: positive, kept
+    assert(r(1)._3 < 0 && !r(1)._4, r(1))  // target-unlike: negative, cut
+    assert(r(2)._2 == 0 && r(2)._3 == 0.0, r(2))
+  }
+
   test("fkAudit: orphan and null-key counts per edge; clean edge is ok") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
