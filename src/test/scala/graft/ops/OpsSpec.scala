@@ -352,6 +352,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank conserves rank mass on an arbitrary symmetric graph") {
+    // deterministic pseudo-random graph: node i links to (i*7+3) % n
+    val n = 500
+    val raw = (0 until n).map(i => (i.toLong, ((i * 7 + 3) % n).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (raw ++ raw.map(_.swap)).distinct.toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 10).select("rank")
+      .as[Double].collect()
+    assert(math.abs(ranks.sum - 1.0) < 1e-9, ranks.sum)
+    assert(ranks.forall(_ > 0), "a rank went non-positive")
+  }
+
+  test("dsirSelect: corpus as its own target scores exactly zero everywhere") {
+    val c = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val w = Curation.dsirSelect(c, c, frac = 0.5)
+      .select("log_w").as[Double].collect()
+    assert(w.forall(_ == 0.0), w.toSeq) // identical multinomials → ratio 0
+  }
+
+  test("matryoshka: non-zero prefixes come back unit-length") {
+    val e = (1 to 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 31 + d * 7 % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val norms = Embeddings.matryoshka(e, k = 4)
+      .select("mrl_embedding").as[Seq[Double]].collect()
+      .map(v => math.sqrt(v.map(x => x * x).sum))
+    assert(norms.forall(nm => math.abs(nm - 1.0) < 1e-9), norms.take(5).toSeq)
+  }
+
   test("kmeans centroids beat first-N on a clustered corpus (IVF recall)") {
     // 8 clusters sharing a dominant direction, separated by a cluster
     // dim, plus a tiny noise dim cycling with i%4. The first-N
