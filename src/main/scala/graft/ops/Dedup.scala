@@ -479,6 +479,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs (dd11, Broder's containment measure
+    * |A∩B|/|A|): detects quotes, snippets, and page-in-page subsets
+    * that symmetric Jaccard (dd04) misses — a 40-shingle quote inside
+    * a 4000-shingle page has Jaccard ≈ 0.01 but containment 1.0.
+    * Pairs must share at least one surviving shingle; both directions
+    * are reported (cont_a = |∩|/|A|, cont_b = |∩|/|B|) and a pair
+    * survives when EITHER direction clears `threshold`.
+    *
+    * Blocking: unlike dd04, no min-shingle block key — A⊂B does not
+    * imply min(B) ∈ A, so that block would lose exactly the asymmetric
+    * pairs this operator exists for. Candidates instead group on the
+    * shingle itself, which makes the shingle DF cap the bucket bound:
+    * a group's size IS the shingle's document frequency, so the
+    * default `maxShingleDf` is deliberately low (200) — rare shingles
+    * carry the containment signal; boilerplate shingles are dropped by
+    * the cap before any pair is generated (run ln01/dd01 upstream).
+    * Same group-collect machinery as dd04: one explode, no self-join.
+    */
+  def containmentPairs(df: DataFrame, text: Column = col("text"),
+                       k: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 200): DataFrame = {
+    registerOn(df)
+    val sets = df.select(col("doc_id"), shingles(text, k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = dfCapped(
+      sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("g")),
+      maxShingleDf)
+    val inter = ex
+      .groupBy(col("g"))
+      .agg(collect_set(struct(col("doc_id"), col("sz"))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(flatten(transform(col("m"), a =>
+        filter(transform(col("m"), b =>
+          when(a("doc_id") < b("doc_id"),
+            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
+                   a("sz").as("sz_a"), b("sz").as("sz_b")))),
+          x => x.isNotNull)))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.select(col("id_a"), col("id_b"),
+        round(col("inter") / col("sz_a"), 4).as("cont_a"),
+        round(col("inter") / col("sz_b"), 4).as("cont_b"))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: the transitive-closure
     * stage every real dedup pipeline needs (pair relations are NOT
     * transitive — A~B and B~C does not imply the pair A~C was emitted,

@@ -861,6 +861,30 @@ object PipelineOps {
              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
              ORDER BY d.doc_id""")),
 
+    // dd11: asymmetric containment pairs — shingle-grouped candidates
+    // (no min-shingle block: it would lose exactly the subset pairs),
+    // both directions reported, either direction clears the threshold
+    NamedQuery("dd11_containment",
+      (s, d) => Dedup.containmentPairs(docs(s, d), threshold = 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              ex0 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sets),
+              ex AS (SELECT doc_id, sz, g FROM
+                      (SELECT doc_id, sz, g,
+                         count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 200),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4)
+             SELECT id_a, id_b, round(inter / sz_a, 4) AS cont_a,
+               round(inter / sz_b, 4) AS cont_b
+             FROM inter
+             WHERE round(inter / sz_a, 4) >= 0.6
+                OR round(inter / sz_b, 4) >= 0.6
+             ORDER BY id_a, id_b""")),
+
     // dd10: cross-document substring dedup — 8-token sliding windows,
     // a window hash seen in ≥2 distinct docs drops its span from every
     // occurrence; integers + md5 of the rebuilt text gate the surgery

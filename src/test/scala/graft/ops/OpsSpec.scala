@@ -1544,6 +1544,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2)._2 == 0 && r(2)._3 == 0.0, r(2))
   }
 
+  test("containmentPairs: small quote inside a big page found; Jaccard would miss it") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val page = quote + " " + (1 to 200).map(i => s"filler$i word$i").mkString(" ")
+    val d = Seq((1L, quote), (2L, page),
+      (3L, "completely unrelated text with different tokens entirely here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, threshold = 0.8)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(p => (p._1, p._2)) == Seq((1L, 2L)), r)
+    assert(r.head._3 == 1.0 && r.head._4 < 0.5, r.head) // asymmetric
+    assert(Dedup.ngramJaccard(d).count() == 0) // dd04 can't see it
+  }
+
   test("fkAudit: orphan and null-key counts per edge; clean edge is ok") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
