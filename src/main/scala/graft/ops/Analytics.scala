@@ -61,6 +61,47 @@ object Analytics {
         coalesce(col("n_converted"), lit(0L)).as("n_converted"))
   }
 
+  /** N-step ordered funnel (an02): per key, how many step-1 events
+    * complete the whole `steps` sequence in order within `windowSec`
+    * of the step-1 timestamp. Matching is GREEDY-EARLIEST (each step
+    * advances to the first occurrence of the next step at-or-after
+    * the current time — the standard funnel semantics), expressed as
+    * a CHAIN of forward as-of joins: step i's anchor time is the
+    * matched step-(i-1) time. An equal timestamp satisfies the order
+    * (at-or-after), matching tp03's forward semantics.
+    *
+    * Scale shape: each chained step is one `Temporal.asofJoin` —
+    * union + per-key window, ZERO join nodes (tp01/tp03's design), so
+    * an N-step funnel is N-1 keyed window passes over step-filtered
+    * (pushed-down) event subsets, then one count aggregate. No
+    * range self-join, no per-user collect.
+    */
+  def orderedFunnel(events: DataFrame, key: String, timeCol: String,
+                    steps: Seq[String], windowSec: Long,
+                    typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val t1 = "__funnel_t1"
+    require(!events.columns.contains(t1), s"column $t1 would be clobbered")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .select(col(key), col(timeCol), col(timeCol).as(t1))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(key), col(timeCol))
+      val p = s"__s${i + 2}_"
+      cur = Temporal.asofJoin(cur, nxt, Seq(key), timeCol,
+          payload = Seq.empty, prefix = p, direction = "forward")
+        .withColumn(timeCol, col(p + timeCol))
+        .drop(p + timeCol)
+    }
+    val completed = col(timeCol).isNotNull &&
+      unix_micros(col(timeCol)) <= unix_micros(col(t1)) + windowSec * 1000000L
+    cur.groupBy(col(key))
+      .agg(count(lit(1)).as("n_started"),
+        sum(when(completed, 1L).otherwise(0L)).as("n_completed"))
+  }
+
   /** A/B experiment readout with DETERMINISTIC assignment: users land
     * in variants by an md5 draw on (salt # user) — the same no-RNG
     * discipline as Curation.hashSample, so assignment is reproducible

@@ -1771,6 +1771,35 @@ object PipelineOps {
                CAST(coalesce(conv.n_converted, 0) AS BIGINT) AS n_converted
              FROM f LEFT JOIN conv USING (user_id) ORDER BY user_id""")),
 
+    // an02: 3-step ordered funnel (view → click → purchase, 48 h) —
+    // greedy-earliest chained matching; the oracle chains min()
+    // correlated subqueries, one per step
+    NamedQuery("an02_ordered_funnel",
+      (s, d) => graft.ops.Analytics.orderedFunnel(
+          Tables.load(s, d, "events"), "user_id", "ts",
+          steps = Seq("view", "click", "purchase"), windowSec = 172800L)
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t1
+                          FROM events WHERE event_type = 'view'),
+              c2 AS (SELECT user_id, t1,
+                  (SELECT min(e2.ts) FROM events e2
+                   WHERE e2.user_id = s1.user_id
+                     AND e2.event_type = 'click'
+                     AND CAST(e2.ts AS TIMESTAMP) >= s1.t1) AS t2
+                FROM s1),
+              c3 AS (SELECT user_id, t1, t2,
+                  CASE WHEN t2 IS NULL THEN NULL ELSE
+                    (SELECT min(e3.ts) FROM events e3
+                     WHERE e3.user_id = c2.user_id
+                       AND e3.event_type = 'purchase'
+                       AND CAST(e3.ts AS TIMESTAMP) >= c2.t2) END AS t3
+                FROM c2)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_started,
+               CAST(sum(CASE WHEN t3 IS NOT NULL AND
+                 epoch_us(t3) <= epoch_us(t1) + CAST(172800 AS BIGINT) * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
+             FROM c3 GROUP BY user_id ORDER BY user_id""")),
+
     // A/B readout with deterministic md5 assignment (salt "exp1",
     // 50/50): per-variant click→purchase conversion within 2 h. The
     // oracle replays assignment and funnel; integer-over-integer rate

@@ -1544,6 +1544,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2)._2 == 0 && r(2)._3 == 0.0, r(2))
   }
 
+  test("orderedFunnel: order matters, greedy-earliest matching, window cut") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: a → b → c in order, inside the window → completed
+      (1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),
+      // user 2: c BEFORE a/b — order violated → started, not completed
+      (2L, ts(0), "c"), (2L, ts(10), "a"), (2L, ts(20), "b"),
+      // user 3: in order but c lands outside the 60-min window
+      (3L, ts(0), "a"), (3L, ts(5), "b"), (3L, ts(90), "c"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.ops.Analytics.orderedFunnel(ev, "user_id", "ts",
+        steps = Seq("a", "b", "c"), windowSec = 3600L)
+      .orderBy("user_id")
+      .select("user_id", "n_started", "n_completed")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L)), r)
+  }
+
   test("containmentPairs: small quote inside a big page found; Jaccard would miss it") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val page = quote + " " + (1 to 200).map(i => s"filler$i word$i").mkString(" ")
