@@ -441,6 +441,38 @@ object Curation {
     df.withColumn(out, regexp_replace(fixedQ, "\\?$", ""))
   }
 
+  /** Blocklist phrase filter (bl01): per-document occurrence counts
+    * for each blocklist phrase (case-insensitive, non-overlapping
+    * LITERAL substring count via the length-delta trick — no regex,
+    * so phrases need no escaping and the count is engine-portable)
+    * and a keep flag when total hits stay at or under `maxHits`.
+    * The standard safety/quality gate before training-data export.
+    *
+    * Scale shape: pure scan-speed — one codegen'd projection with one
+    * length/replace pair per phrase, zero shuffles. The per-phrase
+    * expression loop is the right shape for the usual tens-to-
+    * hundreds of phrases; for 10k+ dictionaries swap the loop for an
+    * Aho–Corasick automaton in mapPartitions (same signature, same
+    * output).
+    */
+  def blocklistFilter(df: DataFrame, phrases: Seq[String], maxHits: Int = 0,
+                      text: Column = col("text")): DataFrame = {
+    require(phrases.nonEmpty, "blocklistFilter needs at least one phrase")
+    require(phrases.forall(_.nonEmpty), "empty phrase would divide by zero")
+    require(maxHits >= 0, s"maxHits must be >= 0: $maxHits")
+    val lt = lower(text)
+    val counts = phrases.zipWithIndex.map { case (p, i) =>
+      val pl = p.toLowerCase
+      ((length(lt) - length(replace(lt, lit(pl), lit("")))) / pl.length)
+        .cast("int").as(s"hits_$i")
+    }
+    val total = counts.indices.map(i => col(s"hits_$i"))
+      .reduce(_ + _)
+    df.select(col("doc_id") +: counts: _*)
+      .withColumn("n_hits", total)
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
+
   /** DSIR-style importance selection (sp05, after Xie et al. 2023,
     * arXiv:2302.03169): pick raw-corpus documents whose hashed
     * bag-of-words distribution matches a TARGET corpus. Tokens hash

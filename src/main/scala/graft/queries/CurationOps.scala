@@ -217,6 +217,30 @@ object CurationOps {
                  ORDER BY md5('spg#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
                FROM documents) WHERE rk <= 10 ORDER BY doc_id""")),
 
+    // bl01: blocklist phrase filter — literal length-delta counting
+    // (no regex), keep when total hits <= 20; stopword "phrases"
+    // exercise the machinery deterministically on the clean corpus
+    NamedQuery("bl01_blocklist",
+      (s, d) => Curation.blocklistFilter(docs(s, d),
+          phrases = Seq("the", "and", "data"), maxHits = 20)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+               CAST((length(lower(text)) -
+                 length(replace(lower(text), 'the', ''))) / 3 AS INT) AS hits_0,
+               CAST((length(lower(text)) -
+                 length(replace(lower(text), 'and', ''))) / 3 AS INT) AS hits_1,
+               CAST((length(lower(text)) -
+                 length(replace(lower(text), 'data', ''))) / 4 AS INT) AS hits_2,
+               CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+                 + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+                 + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4
+                 AS INT) AS n_hits,
+               ((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+                 + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+                 + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4)
+                 <= 20 AS keep
+             FROM documents ORDER BY doc_id""")),
+
     // sp05: DSIR-style importance selection — target = the English
     // slice, raw = the whole corpus; 256 md5-hex buckets, add-1/2
     // multinomials, per-doc log ratio sum, exact-percentile cut. The

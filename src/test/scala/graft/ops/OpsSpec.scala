@@ -1529,6 +1529,18 @@ class OpsSpec extends AnyFunSuite {
       (3L, 9, 0, "p q r s p q r s t")), r)
   }
 
+  test("blocklistFilter: case-insensitive literal counts, keep by total budget") {
+    val d = Seq(
+      (1L, "Bad Word here and BAD WORD there"),
+      (2L, "clean text entirely"),
+      (3L, "bad wordbad word")). // adjacent occurrences both count
+      toDF("doc_id", "text")
+    val r = Curation.blocklistFilter(d, Seq("bad word"), maxHits = 1)
+      .orderBy("doc_id").select("doc_id", "n_hits", "keep")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 2, false), (2L, 0, true), (3L, 2, false)), r)
+  }
+
   test("dsirSelect: target-like docs outscore and get selected; empty doc scores 0") {
     val corpus = Seq(
       (1L, "alpha alpha alpha alpha"),
