@@ -348,6 +348,33 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("bl01: blocklist filter is pure scan-speed — zero exchanges, zero joins") {
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val p = ops.Curation.blocklistFilter(raw, Seq("the", "and"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bl01 shuffles: ${p.take(400)}")
+    assert(!p.contains("Join"), s"bl01 has a join: ${p.take(400)}")
+  }
+
+  test("an02: ordered funnel chains as-of passes — zero join nodes") {
+    val ev = graft.Tables.load(spark, dir, "events")
+    val p = ops.Analytics.orderedFunnel(ev, "user_id", "ts",
+        steps = Seq("view", "click", "purchase"), windowSec = 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"an02 planned a join: ${p.take(600)}")
+    assert(p.contains("Window"), p.take(300))
+  }
+
+  test("dd11: containment pairs are group-collect, no self-join of the corpus") {
+    val df = ops.Dedup.containmentPairs(
+      graft.Tables.load(spark, dir, "documents"), threshold = 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+           !p.contains("BroadcastHashJoin"),
+      s"dd11 joined instead of group-collect: ${p.take(600)}")
+    assert(p.contains("partial_count"), "intersection count not partial-aggregated")
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)
