@@ -38,7 +38,7 @@ object Bench {
         || q._1 == "sim04_ivf_kmeans_recall" || q._1 == "st03_dedup_stream"
         || q._1 == "st04_interval_join" || q._1 == "st05_stream_enrich"
         || q._1 == "em02_pq_recall" || q._1 == "sim05_ivfpq_recall"
-        || q._1 == "st06_neardup_ingest"
+        || q._1 == "st06_neardup_ingest" || q._1 == "hll01_sketch_rollup"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"

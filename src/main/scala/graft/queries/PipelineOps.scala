@@ -1771,6 +1771,35 @@ object PipelineOps {
                CAST(coalesce(conv.n_converted, 0) AS BIGINT) AS n_converted
              FROM f LEFT JOIN conv USING (user_id) ORDER BY user_id""")),
 
+    // hll01: mergeable-sketch rollup — per-day HLL user sketches
+    // merged into a total estimate WITHOUT touching raw data again
+    // (the incremental-rollup pattern that replaces daily full scans
+    // at 100 TB: store sketch bytes per partition, union on read).
+    // Estimates are implementation-defined → q15-style bounds gate.
+    NamedQuery("hll01_sketch_rollup",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, d, "events")
+        val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count_distinct(col("user_id")).as("exact_d"))
+        val bad = daily.filter(
+          abs(hll_sketch_estimate(col("sk")) - col("exact_d")) >
+            col("exact_d") * 0.05).count()
+        val est = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+          .head.getLong(0)
+        val exact = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
+        val nDays = daily.count()
+        import s.implicits._
+        Seq((nDays, bad == 0L,
+          math.abs(est - exact).toDouble <= exact * 0.05))
+          .toDF("n_days", "daily_ok", "merged_ok")
+      },
+      Some("""SELECT CAST(count(DISTINCT date_trunc('day',
+               CAST(ts AS TIMESTAMP))) AS BIGINT) AS n_days,
+             true AS daily_ok, true AS merged_ok FROM events""")),
+
     // an02: 3-step ordered funnel (view → click → purchase, 48 h) —
     // greedy-earliest chained matching; the oracle chains min()
     // correlated subqueries, one per step
