@@ -42,6 +42,10 @@ object Bench {
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
+        // pr01 is the same shape: ten sequential checkpointed rounds
+        // whose wall measures the loop, not a query (edge join + agg
+        // per round); its scale behavior is probed in ScaleCheck r9
+        || q._1 == "pr01_pagerank"
         // bb01 spends its time WRITING the bucketed tables (the point
         // is the zero-exchange read plan, asserted in PlanQualitySpec)
         || q._1 == "bb01_bucketed_join")

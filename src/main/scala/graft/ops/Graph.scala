@@ -50,7 +50,7 @@ object Graph {
       s"$dangling dangling node(s) would leak rank mass — symmetrize or prune sinks first")
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(flat)
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
@@ -59,10 +59,7 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), (lit((1 - damping) / n) +
           lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-      // checkpoint every 3rd round (and the last): materializing every
-      // round pays an eager job per iteration; a 3-round lineage stays
-      // shallow while cutting the per-round overhead ~3×
-      if (i % 3 == 0 || i == iters) ranks = ranks.transform(flat)
+        .transform(flat)
     }
     e.unpersist(); withDeg.unpersist(); nodes.unpersist()
     ranks
