@@ -1588,6 +1588,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(d).count() == 0) // dd04 can't see it
   }
 
+  test("dropDuplicateWindows bookkeeping: counts reconcile, survivors keep order") {
+    // deterministic pseudo-random corpus with heavy cross-doc overlap
+    val docs = (1 to 60).map { i =>
+      val toks = (0 until 30).map(j => s"w${(i * 13 + j * 7) % 40}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = Dedup.dropDuplicateWindows(docs, w = 5, minDf = 2)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(r.length == 60)
+    r.foreach { case (id, n, dup, clean) =>
+      val kept = clean.split("\\s+").filter(_.nonEmpty)
+      assert(n - dup == kept.length, s"doc $id: $n - $dup != ${kept.length}")
+      assert(dup >= 0 && dup <= n, s"doc $id out of range: $dup/$n")
+    }
+  }
+
   test("fkAudit: orphan and null-key counts per edge; clean edge is ok") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L))
