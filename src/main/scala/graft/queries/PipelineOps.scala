@@ -1321,6 +1321,18 @@ object PipelineOps {
       },
       Some("""SELECT CAST(500 AS BIGINT) AS n_queries, true AS recall_ok""")),
 
+    // sd02: SEMANTIC dup clusters — dd05's embedding-cosine pairs
+    // resolved into components (pair relations aren't transitive);
+    // the oracle reuses dd05's bucket CTEs + dd06's recursive
+    // min-label closure
+    NamedQuery("sd02_semantic_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Similarity.cosineDups(embs(s, d), dim = 64, threshold = 0.3)
+            .select(col("id_a"), col("id_b")))
+        .orderBy("node"),
+      Some(semanticClustersOracle(dim = 64, threshold = 0.3,
+        nBits = 4, tables = 2))),
+
     // kNN label-agreement (mislabeled-sample detection) for the first
     // 100 vectors: fraction of the 5 nearest cosine neighbors sharing
     // the query's label; ranking replays sim01's rounded-sim ordering.
@@ -2280,6 +2292,31 @@ object PipelineOps {
        SELECT m.vec_id, m.cell, m.cent_sim, d.vec_id IS NULL AS keep
        FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
        ORDER BY m.vec_id"""
+
+  /** DuckDB oracle for semantic clusters: cosineDups' bucket-pair
+    * CTEs feed dd06's recursive min-label closure. The WITH becomes
+    * WITH RECURSIVE (legal even though only `reach` recurses).
+    */
+  private def semanticClustersOracle(dim: Int, threshold: Double,
+                                     nBits: Int, tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       pairs AS (SELECT DISTINCT id_a, id_b FROM (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(y.embedding) AS b))
+                   / sqrt((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a, unnest(x.embedding) AS b)))
+                   / sqrt((SELECT sum(a * b) FROM (SELECT unnest(y.embedding) AS a, unnest(y.embedding) AS b))), 4) AS cos_sim
+           FROM withemb x JOIN withemb y
+             ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+                AND x.bc <= 10000)
+         WHERE cos_sim >= $threshold),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(node, lab) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+       SELECT node, min(lab) AS cluster_id FROM reach
+       GROUP BY node ORDER BY node"""
 
   /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
     * DISTINCT across tables (the rounded cosine is deterministic).
