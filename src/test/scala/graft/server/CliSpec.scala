@@ -1,0 +1,73 @@
+package graft.server
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** Drives tools/graft_cli.py — the reference cmdline-client surface
+  * (Lagoon/Client/Cmdline.hs verbs) over the REST facade — through a
+  * real subprocess per verb: login, ingest, list-sources, show-source,
+  * tag, download, sql, set-type, dump-db-info, delete-source, logout.
+  * Complements ClientSmokeSpec (the PyLagoon library flow) with the
+  * command-line UX the reference's runtests.sh scripts exercise.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def cli(port: Int, token: String, args: String*): (Int, String) = {
+    val base = Seq("python3", "tools/graft_cli.py",
+      "--server", s"http://127.0.0.1:$port") ++
+      (if (token.nonEmpty) Seq("--token", token) else Seq.empty) ++ args
+    val proc = new ProcessBuilder(base: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    (proc.waitFor(), out)
+  }
+
+  test("cmdline client verbs drive the facade end-to-end") {
+    val api = new HttpApi(new Catalog(TestSpark.spark,
+      Files.createTempDirectory("graft-cli-wh").toString))
+    val port = api.start()
+    try {
+      val (c0, loginOut) = cli(port, "", "login", "--user", "root", "--pass", "")
+      assert(c0 == 0, loginOut)
+      val token = ujsonField(loginOut, "token")
+
+      val csv = Files.createTempFile("cli", ".csv")
+      Files.writeString(csv, "a,b\n1,x\n2,y\n")
+      val (c1, ingOut) = cli(port, token, "ingest", "--name", "clitab",
+        "--file", csv.toString)
+      assert(c1 == 0 && ingOut.contains("clitab"), ingOut)
+
+      val (c2, lsOut) = cli(port, token, "list-sources")
+      assert(c2 == 0 && lsOut.contains("clitab"), lsOut)
+      val (c3, showOut) = cli(port, token, "show-source", "clitab")
+      assert(c3 == 0 && showOut.contains("\"version\""), showOut)
+
+      assert(cli(port, token, "tag", "clitab", "1", "mytag")._1 == 0)
+      val (c4, dlOut) = cli(port, token, "download", "clitab", "1")
+      assert(c4 == 0 && dlOut.contains("1,x"), dlOut)
+
+      val (c5, sqlOut) = cli(port, token, "sql",
+        "--query", "SELECT count(*) AS n FROM clitab")
+      assert(c5 == 0 && sqlOut.contains("2"), sqlOut)
+
+      val (c6, stOut) = cli(port, token, "set-type", "clitab", "1", "1", "TEXT")
+      assert(c6 == 0, stOut)
+      val (c7, dbOut) = cli(port, token, "dump-db-info")
+      assert(c7 == 0 && dbOut.contains("clitab"), dbOut)
+
+      assert(cli(port, token, "delete-source", "clitab")._1 == 0)
+      val (c8, ls2) = cli(port, token, "list-sources")
+      assert(c8 == 0 && !ls2.contains("clitab"), ls2)
+      assert(cli(port, token, "logout")._1 == 0)
+      // the token is dead now: a mutation must fail
+      assert(cli(port, token, "create-user", "nobody")._1 != 0)
+    } finally api.stop()
+  }
+
+  private def ujsonField(json: String, field: String): String = {
+    val m = ("\"" + field + "\"\\s*:\\s*\"([^\"]+)\"").r
+    m.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(fail(s"no $field in: $json"))
+  }
+}

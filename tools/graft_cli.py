@@ -1,0 +1,237 @@
+#!/usr/bin/env python3
+"""Command-line client for the graft REST facade — the reference's
+cmdline client surface (clients/cmdline/src/Lagoon/Client/Cmdline.hs:
+login, logout, ingest, list-sources, show-source, delete-source,
+set-type, tag, untag, manage, create-group, manage-group, manage-user,
+download, compact, dump-db-info) re-expressed over HTTP with the
+standard library only.
+
+Omitted verbs, with reasons: `make-typed` (this engine types at ingest;
+re-typing a column is `set-type`), `infer-json-type` (the server infers
+at ingest — use `ingest --json` then `show-source`),
+`rebuild-can-read-cache` / `get-server-url` (reference-internal debug).
+
+Session: `login` prints a token; pass it back via --token or the
+GRAFT_TOKEN environment variable. Without a token, requests act as the
+anonymous principal (public reads only).
+
+Usage examples:
+  graft_cli.py --server http://127.0.0.1:8080 login --user root --pass ''
+  GRAFT_TOKEN=... graft_cli.py --server ... ingest --name t --file data.csv
+  GRAFT_TOKEN=... graft_cli.py --server ... sql --query 'SELECT 1 AS x'
+Exit 0 on 2xx, 1 otherwise (body printed either way).
+"""
+import argparse
+import json
+import os
+import sys
+import urllib.error
+import urllib.parse
+import urllib.request
+
+
+def req(args, method, path, body=None, accept=None):
+    r = urllib.request.Request(args.server + path, method=method,
+                               data=body if body is None or isinstance(body, bytes)
+                               else body.encode())
+    token = args.token or os.environ.get("GRAFT_TOKEN")
+    if token:
+        r.add_header("X-Token", token)
+    if accept:
+        r.add_header("Accept", accept)
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def run(args, method, path, body=None, accept=None):
+    code, out = req(args, method, path, body, accept)
+    if out:
+        print(out)
+    sys.exit(0 if 200 <= code < 300 else 1)
+
+
+def q(s):
+    return urllib.parse.quote(str(s), safe="")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--server", required=True, help="http://host:port")
+    p.add_argument("--token", help="session token (or GRAFT_TOKEN env)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("login", help="obtain a session token")
+    s.add_argument("--user", required=True)
+    s.add_argument("--pass", dest="pw", default="")
+    sub.add_parser("logout", help="terminate the session")
+
+    s = sub.add_parser("ingest", help="ingest a datasource")
+    s.add_argument("--name", required=True)
+    s.add_argument("--file", help="input path (default: stdin)")
+    s.add_argument("--json", action="store_true", help="input is JSON")
+    s.add_argument("--param", action="append", default=[],
+                   help="extra k=v ingest params (repeatable)")
+
+    s = sub.add_parser("list-sources", help="search the catalog")
+    s.add_argument("--filter", action="append", default=[],
+                   help="k=v search params (repeatable): q, ix, user, ...")
+
+    s = sub.add_parser("show-source", help="source info by name")
+    s.add_argument("name")
+    s = sub.add_parser("show-versions", help="all versions of a source")
+    s.add_argument("name")
+
+    s = sub.add_parser("delete-source", help="delete a source (all versions)")
+    s.add_argument("name")
+    s.add_argument("--version", help="delete only this version")
+
+    s = sub.add_parser("set-type", help="override a column's type")
+    s.add_argument("name")
+    s.add_argument("version")
+    s.add_argument("column", help="column index")
+    s.add_argument("type", help="target type (e.g. INTEGER, TEXT)")
+
+    for verb in ("tag", "untag"):
+        s = sub.add_parser(verb, help=f"{verb} a source version")
+        s.add_argument("name")
+        s.add_argument("version")
+        s.add_argument("tag")
+
+    s = sub.add_parser("download", help="download a source version as CSV")
+    s.add_argument("name")
+    s.add_argument("version")
+    s = sub.add_parser("get-column", help="download one column")
+    s.add_argument("name")
+    s.add_argument("version")
+    s.add_argument("column")
+
+    s = sub.add_parser("sql", help="run a gated SQL query")
+    s.add_argument("--query", required=True)
+    s.add_argument("--accept", default="application/json",
+                   choices=["application/json", "text/csv"])
+
+    s = sub.add_parser("compact", help="compact sources")
+    s.add_argument("names", nargs="+")
+
+    s = sub.add_parser("manage", help="change a source's permissions")
+    s.add_argument("name")
+    s.add_argument("--public", action="store_true")
+    s.add_argument("--private", action="store_true")
+    s.add_argument("--user-level", nargs=2, metavar=("USER", "LEVEL"))
+    s.add_argument("--group-level", nargs=2, metavar=("GROUP", "LEVEL"))
+
+    s = sub.add_parser("create-group", help="create a group")
+    s.add_argument("group")
+    s = sub.add_parser("manage-group", help="group membership / managers")
+    s.add_argument("group")
+    s.add_argument("--add-user")
+    s.add_argument("--remove-user")
+    s.add_argument("--add-manager")
+    s.add_argument("--remove-manager")
+
+    s = sub.add_parser("manage-user", help="privileges / password")
+    s.add_argument("user")
+    s.add_argument("--grant", choices=["CREATE", "CREATEGROUP"])
+    s.add_argument("--revoke", choices=["CREATE", "CREATEGROUP"])
+    s.add_argument("--password")
+    s = sub.add_parser("create-user", help="create a user")
+    s.add_argument("user")
+
+    sub.add_parser("dump-db-info", help="dump database info")
+    sub.add_parser("users", help="list users")
+    sub.add_parser("groups", help="list groups")
+
+    a = p.parse_args()
+
+    if a.cmd == "login":
+        run(a, "POST", f"/user/login?user={q(a.user)}&pass={q(a.pw)}", body="")
+    if a.cmd == "logout":
+        run(a, "POST", "/user/logout", body="")
+    if a.cmd == "ingest":
+        data = (open(a.file, "rb").read() if a.file else sys.stdin.buffer.read())
+        qs = "".join(f"&{k}={q(v)}" for k, v in
+                     (kv.split("=", 1) for kv in a.param))
+        if a.json:
+            qs += "&json=true"
+        run(a, "POST", f"/sources?name={q(a.name)}{qs}", body=data)
+    if a.cmd == "list-sources":
+        qs = "&".join(f"{k}={q(v)}" for k, v in
+                      (kv.split("=", 1) for kv in a.filter))
+        run(a, "GET", f"/sources?{qs}")
+    if a.cmd == "show-source":
+        run(a, "GET", f"/source/name/{q(a.name)}")
+    if a.cmd == "show-versions":
+        run(a, "GET", f"/source/{q(a.name)}/versions")
+    if a.cmd == "delete-source":
+        if a.version:
+            run(a, "DELETE", f"/source/{q(a.name)}/{q(a.version)}")
+        run(a, "DELETE", f"/source/{q(a.name)}")
+    if a.cmd == "set-type":
+        run(a, "POST",
+            f"/source/{q(a.name)}/{q(a.version)}/column/{q(a.column)}/type",
+            body=a.type)
+    if a.cmd == "tag":
+        run(a, "POST", f"/source/{q(a.name)}/{q(a.version)}/tags",
+            body=json.dumps([a.tag]))
+    if a.cmd == "untag":
+        run(a, "DELETE", f"/source/{q(a.name)}/{q(a.version)}/tag/{q(a.tag)}")
+    if a.cmd == "download":
+        run(a, "GET", f"/source/{q(a.name)}/{q(a.version)}/download")
+    if a.cmd == "get-column":
+        run(a, "GET", f"/source/{q(a.name)}/{q(a.version)}/column/{q(a.column)}")
+    if a.cmd == "sql":
+        run(a, "POST", "/sql", body=a.query, accept=a.accept)
+    if a.cmd == "compact":
+        qs = "&".join(f"name={q(n)}" for n in a.names)
+        run(a, "POST", f"/sources/compact?{qs}", body="")
+    if a.cmd == "manage":
+        if a.public:
+            run(a, "POST", f"/source/{q(a.name)}/public", body="true")
+        if a.private:
+            run(a, "POST", f"/source/{q(a.name)}/public", body="false")
+        if a.user_level:
+            u, lvl = a.user_level
+            run(a, "POST", f"/source/{q(a.name)}/userAccessLevel/{q(u)}", body=lvl)
+        if a.group_level:
+            g, lvl = a.group_level
+            run(a, "POST", f"/source/{q(a.name)}/groupAccessLevel/{q(g)}", body=lvl)
+        print("nothing to do: pass --public/--private/--user-level/--group-level")
+        sys.exit(1)
+    if a.cmd == "create-group":
+        run(a, "POST", "/groups", body=a.group)
+    if a.cmd == "manage-group":
+        if a.add_user:
+            run(a, "POST", f"/group/{q(a.group)}/users", body=a.add_user)
+        if a.remove_user:
+            run(a, "DELETE", f"/group/{q(a.group)}/users/{q(a.remove_user)}")
+        if a.add_manager:
+            run(a, "POST", f"/group/{q(a.group)}/manage", body=a.add_manager)
+        if a.remove_manager:
+            run(a, "DELETE", f"/group/{q(a.group)}/manage/{q(a.remove_manager)}")
+        print("nothing to do: pass --add-user/--remove-user/--add-manager/--remove-manager")
+        sys.exit(1)
+    if a.cmd == "manage-user":
+        if a.grant:
+            run(a, "POST", f"/user/{q(a.user)}/privileges?grant={a.grant}", body="")
+        if a.revoke:
+            run(a, "POST", f"/user/{q(a.user)}/privileges?revoke={a.revoke}", body="")
+        if a.password is not None:
+            run(a, "POST", f"/user/{q(a.user)}/password", body=a.password)
+        print("nothing to do: pass --grant/--revoke/--password")
+        sys.exit(1)
+    if a.cmd == "create-user":
+        run(a, "POST", "/users", body=a.user)
+    if a.cmd == "dump-db-info":
+        run(a, "GET", "/dbinfo")
+    if a.cmd == "users":
+        run(a, "GET", "/users")
+    if a.cmd == "groups":
+        run(a, "GET", "/groups")
+
+
+if __name__ == "__main__":
+    main()
