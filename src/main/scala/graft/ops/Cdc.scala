@@ -62,4 +62,37 @@ object Cdc {
       .withColumn("valid_to", lead(col(timeCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental SCD2 apply (sc02): land a batch of new keyed
+    * observations onto an EXISTING interval table without rebuilding
+    * history — the daily path once the dimension is large. Closed
+    * rows and untouched keys pass through untouched; only the touched
+    * keys' OPEN rows re-window together with the batch (the open
+    * row's `timeCol` is its own valid_from, so re-deriving it as an
+    * observation is lossless). For append-only feeds (every batch
+    * observation at/after its key's last change) the result is
+    * IDENTICAL to a full `scd2` over the combined log — the sc02 gate
+    * proves exactly that equivalence. A late observation older than
+    * its key's open row produces overlapping history against the
+    * already-closed intervals; corrections that rewrite the past need
+    * the full rebuild, as in any SCD2 store.
+    *
+    * Scale shape: one distinct over the batch's keys, two key-only
+    * semi/anti-joins of the dimension (co-located and exchange-free
+    * with a Layout.writeBucketed dimension), and one window over
+    * (touched open rows ∪ batch) — batch-proportional work, never
+    * history-proportional.
+    */
+  def scd2Apply(dim: DataFrame, batch: DataFrame, key: String,
+                timeCol: String): DataFrame = {
+    val keys = batch.select(col(key)).distinct()
+    val untouched = dim.join(keys, Seq(key), "left_anti")
+    val closedTouched = dim.filter(!col("is_current"))
+      .join(keys, Seq(key), "left_semi")
+    val openTouched = dim.filter(col("is_current"))
+      .join(keys, Seq(key), "left_semi")
+      .drop("valid_from", "valid_to", "is_current")
+    val rebuilt = scd2(openTouched.unionByName(batch), key, timeCol)
+    untouched.unionByName(closedTouched).unionByName(rebuilt)
+  }
 }

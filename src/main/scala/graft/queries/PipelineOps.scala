@@ -1646,6 +1646,36 @@ object PipelineOps {
 
     // SCD Type 2 over each user's purchase history: validity intervals
     // from one keyed lead() window; ties pre-aggregated like tp01.
+    // sc02: INCREMENTAL SCD2 — history/batch time-split, open rows
+    // re-windowed with the batch; for an append-only feed the result
+    // must equal the full rebuild, so the oracle IS sc01's SQL over
+    // the combined log (the equivalence is the gate)
+    NamedQuery("sc02_scd2_apply",
+      (s, d) => {
+        val ch = Tables.load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(round(max(col("value")), 4).as("value"))
+        val cut = lit("2024-01-20").cast("timestamp")
+        val dim = graft.ops.Cdc.scd2(ch.filter(col("ts") < cut), "user_id", "ts")
+        graft.ops.Cdc.scd2Apply(dim, ch.filter(col("ts") >= cut), "user_id", "ts")
+          .select(col("user_id"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+            col("value"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH ch AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      round(max(value), 4) AS value
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                 '%Y-%m-%d %H:%M:%S') AS valid_to,
+               value,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+             FROM ch ORDER BY user_id, valid_from""")),
+
     NamedQuery("sc01_scd2",
       (s, d) => {
         val ch = Tables.load(s, d, "events")

@@ -1541,6 +1541,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Seq((1L, 2, false), (2L, 0, true), (3L, 2, false)), r)
   }
 
+  test("scd2Apply: closed history untouched, open rows close at the batch ts, new keys open") {
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val hist = Seq((1L, ts(1), "a"), (1L, ts(5), "b"), (2L, ts(2), "x"))
+      .toDF("k", "ts", "v")
+    val dim = Cdc.scd2(hist, "k", "ts")
+    val batch = Seq((1L, ts(9), "c"), (3L, ts(9), "new")).toDF("k", "ts", "v")
+    val r = Cdc.scd2Apply(dim, batch, "k", "ts")
+      .orderBy("k", "valid_from")
+      .select("k", "v", "is_current").as[(Long, String, Boolean)]
+      .collect().toSeq
+    assert(r == Seq((1L, "a", false), (1L, "b", false), (1L, "c", true),
+      (2L, "x", true), (3L, "new", true)), r)
+    // equivalence with a full rebuild on the append-only feed
+    val full = Cdc.scd2(hist.unionByName(batch), "k", "ts")
+      .orderBy("k", "valid_from")
+      .select("k", "v", "is_current").as[(Long, String, Boolean)]
+      .collect().toSeq
+    assert(r == full, (r, full))
+  }
+
   test("dsirSelect: target-like docs outscore and get selected; empty doc scores 0") {
     val corpus = Seq(
       (1L, "alpha alpha alpha alpha"),
