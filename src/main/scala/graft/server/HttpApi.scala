@@ -21,6 +21,10 @@ import graft.engine._
   *                                         {"user":..,"pass":..} also
   *                                         accepted; 401 on bad creds)
   *   POST   /user/logout                  (UserLogout; X-Token header)
+  *   POST   /user/token                   (UserGetAuthToken; resumable)
+  *   POST   /user/resume                  (UserResumeSession; body token)
+  *   POST   /source/inferJsonType         (SourceInferJsonType; body =
+  *                                         JSON doc(s), no source made)
   *   POST   /user/{U}/password            (self or admin; body = new pass)
   *   POST   /user/{U}/privileges?grant=CREATE|CREATEGROUP (&revoke=...)
   *                                        (manage-user; admin only)
@@ -117,6 +121,11 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
   // session tokens are deliberately EPHEMERAL (they die with the
   // process; clients re-login), unlike principals and grants
   private val sessions = new ConcurrentHashMap[String, String]() // token -> user
+  // resumable auth tokens (UserGetAuthToken/UserResumeSession,
+  // Interface/API.hs:346-354): outlive the session token that minted
+  // them — logging the session out does not revoke them, matching the
+  // reference's AuthToken-vs-cookie split. In-memory like sessions.
+  private val authTokens = new ConcurrentHashMap[String, String]() // token -> user
 
   private var server: HttpServer = _
 
@@ -294,6 +303,32 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
       case ("POST", Seq("user", "logout")) =>
         Option(ex.getRequestHeaders.getFirst("X-Token")).foreach(sessions.remove)
         send(ex, 204, "")
+      // UserGetAuthToken (Interface/API.hs:346): mint a resumable
+      // token for the session's principal
+      case ("POST", Seq("user", "token")) =>
+        val u = userOpt.getOrElse(throw Unauthorized("login required"))
+        val t = java.util.UUID.randomUUID().toString
+        authTokens.put(t, u)
+        send(ex, 200, s"""{"token":${jstr(t)}}""")
+      // UserResumeSession (Interface/API.hs:351): exchange an auth
+      // token for a fresh session token
+      case ("POST", Seq("user", "resume")) =>
+        val b = body(ex)
+        val tok = "\"token\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(b)
+          .map(_.group(1))
+          .getOrElse(b.trim.stripPrefix("\"").stripSuffix("\""))
+        val u = Option(authTokens.get(tok))
+          .getOrElse(throw Unauthorized("unknown auth token"))
+        val token = java.util.UUID.randomUUID().toString
+        sessions.put(token, u)
+        send(ex, 200, s"""{"token":${jstr(token)},"user":${jstr(u)}}""")
+      // SourceInferJsonType (Interface/API.hs:257): infer the posted
+      // document's JSON type WITHOUT creating a source
+      case ("POST", Seq("source", "inferJsonType")) =>
+        val vals = graft.engine.JsonInfer.splitTopLevel(body(ex))
+        val t = graft.engine.JsonInfer.inferAll(vals.iterator)
+        send(ex, 200,
+          s"""{"jsonType":${jstr(graft.engine.JsonType.render(t))}}""")
       case ("POST", Seq("user", u, "password")) =>
         updateAcl(_.setCred(user, u, body(ex)))
         send(ex, 204, "")

@@ -223,4 +223,33 @@ class HttpApiSpec extends AnyFunSuite {
     assert(req("POST", "/sources?name=Bob1.csv", "x,y\n5,6\n", asAlice).statusCode == 403)
     req("DELETE", "/source/Bob1.csv", headers = asRoot)
   }
+
+  test("auth token outlives its session; inferJsonType infers without ingesting") {
+    val tok = loginToken("root")
+    val as = Map("X-Token" -> tok)
+    // anonymous callers cannot mint auth tokens
+    assert(req("POST", "/user/token").statusCode == 401)
+    val at = req("POST", "/user/token", headers = as)
+    assert(at.statusCode == 200, at.body)
+    val auth = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(at.body).get.group(1)
+    // kill the session; the auth token still resumes (AuthToken-vs-
+    // cookie split, Interface/API.hs:346-354)
+    assert(req("POST", "/user/logout", headers = as).statusCode == 204)
+    val rs = req("POST", "/user/resume", s"""{"token":"$auth"}""")
+    assert(rs.statusCode == 200, rs.body)
+    assert(rs.body.contains("\"user\":\"root\""), rs.body)
+    val fresh = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(rs.body).get.group(1)
+    assert(req("GET", "/dbinfo",
+      headers = Map("X-Token" -> fresh)).statusCode == 200)
+    // a bogus auth token is rejected
+    assert(req("POST", "/user/resume", """{"token":"nope"}""").statusCode == 401)
+    // inferJsonType: type comes back, no source is created
+    val it = req("POST", "/source/inferJsonType",
+      """{"a": 1, "b": "x"}""" + "\n" + """{"a": 2, "b": "y"}""",
+      Map("X-Token" -> fresh))
+    assert(it.statusCode == 200, it.body)
+    assert(it.body.contains("jsonType"), it.body)
+    val ls = req("GET", "/sources", headers = Map("X-Token" -> fresh))
+    assert(!ls.body.contains("inferJsonType"), ls.body)
+  }
 }
