@@ -59,9 +59,22 @@ class CliSpec extends AnyFunSuite {
       assert(cli(port, token, "delete-source", "clitab")._1 == 0)
       val (c8, ls2) = cli(port, token, "list-sources")
       assert(c8 == 0 && !ls2.contains("clitab"), ls2)
+
+      val json = Files.createTempFile("cli", ".json")
+      Files.writeString(json, "{\"a\": 1}\n{\"a\": 2}\n")
+      val (c9, itOut) = cli(port, token, "infer-json-type",
+        "--file", json.toString)
+      assert(c9 == 0 && itOut.contains("jsonType"), itOut)
+
+      val (c10, atOut) = cli(port, token, "get-token")
+      assert(c10 == 0, atOut)
+      val authTok = ujsonField(atOut, "token")
       assert(cli(port, token, "logout")._1 == 0)
-      // the token is dead now: a mutation must fail
+      // the session token is dead now: a mutation must fail ...
       assert(cli(port, token, "create-user", "nobody")._1 != 0)
+      // ... but the auth token resumes a fresh session
+      val (c11, rsOut) = cli(port, "", "resume", authTok)
+      assert(c11 == 0 && rsOut.contains("root"), rsOut)
     } finally api.stop()
   }
 

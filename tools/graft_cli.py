@@ -7,9 +7,8 @@ download, compact, dump-db-info) re-expressed over HTTP with the
 standard library only.
 
 Omitted verbs, with reasons: `make-typed` (this engine types at ingest;
-re-typing a column is `set-type`), `infer-json-type` (the server infers
-at ingest — use `ingest --json` then `show-source`),
-`rebuild-can-read-cache` / `get-server-url` (reference-internal debug).
+re-typing a column is `set-type`), `rebuild-can-read-cache` /
+`get-server-url` (reference-internal debug).
 
 Session: `login` prints a token; pass it back via --token or the
 GRAFT_TOKEN environment variable. Without a token, requests act as the
@@ -68,6 +67,11 @@ def main():
     s.add_argument("--user", required=True)
     s.add_argument("--pass", dest="pw", default="")
     sub.add_parser("logout", help="terminate the session")
+    sub.add_parser("get-token", help="mint a resumable auth token")
+    s = sub.add_parser("resume", help="resume a session from an auth token")
+    s.add_argument("auth_token")
+    s = sub.add_parser("infer-json-type", help="infer a JSON file's type")
+    s.add_argument("--file", help="input path (default: stdin)")
 
     s = sub.add_parser("ingest", help="ingest a datasource")
     s.add_argument("--name", required=True)
@@ -151,6 +155,14 @@ def main():
         run(a, "POST", f"/user/login?user={q(a.user)}&pass={q(a.pw)}", body="")
     if a.cmd == "logout":
         run(a, "POST", "/user/logout", body="")
+    if a.cmd == "get-token":
+        run(a, "POST", "/user/token", body="")
+    if a.cmd == "resume":
+        run(a, "POST", "/user/resume",
+            body=json.dumps({"token": a.auth_token}))
+    if a.cmd == "infer-json-type":
+        data = (open(a.file, "rb").read() if a.file else sys.stdin.buffer.read())
+        run(a, "POST", "/source/inferJsonType", body=data)
     if a.cmd == "ingest":
         data = (open(a.file, "rb").read() if a.file else sys.stdin.buffer.read())
         qs = "".join(f"&{k}={q(v)}" for k, v in
