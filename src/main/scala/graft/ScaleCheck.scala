@@ -53,8 +53,8 @@ object ScaleCheck {
 
   /** Connected-components scaling probe (`runMain graft.ScaleCheck cc`):
     * a 1M-node CHAIN is the worst case for label propagation (diameter
-    * 10⁶ — plain 1-hop propagation would need 10⁶ rounds); pointer
-    * jumping must close it in ~log2(10⁶) ≈ 20 rounds. Also probes a
+    * 10⁶ — plain 1-hop propagation would need 10⁶ rounds); two-phase
+    * star contraction must close it in O(log² n) rounds. Also probes a
     * 1M-node forest of 100k 10-cliques (the realistic dedup shape).
     */
   private def ccScale(spark: SparkSession): Unit = {
@@ -79,6 +79,23 @@ object ScaleCheck {
       spark.range(n).select((col("id") - col("id") % 10).as("id_a"), col("id").as("id_b"))
         .filter(col("id_a") =!= col("id_b")),
       expectClusters = n / 10)
+    // the sd02 shape: a REAL similarity graph (sf0.1 embedding cosine
+    // pairs — high-eccentricity threshold chains, the graph that made
+    // the pre-round-9 label-propagation loop trickle for 24 rounds)
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val pairs = graft.ops.Similarity.cosineDups(emb, dim = 64, threshold = 0.3)
+      .select(col("id_a"), col("id_b")).cache()
+    val nodes = pairs.select(col("id_a").as("n"))
+      .union(pairs.select(col("id_b").as("n"))).distinct().count()
+    val t0 = System.nanoTime()
+    val cc = graft.ops.Dedup.connectedComponents(pairs, maxIter = 50)
+    val got = cc.count()
+    val (rounds, changing) =
+      graft.ops.OpsMetrics.lastConvergence("graft.cc.convergence").get
+    println(f"[scale] cc sim-sf0.1 rows=$got%d (expect $nodes%d) " +
+      f"rounds=$rounds%d stillChanging=$changing%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    assert(got == nodes && changing == 0L)
+    pairs.unpersist()
   }
 
   /** PQ scaling probe (`runMain graft.ScaleCheck pq`): grow the sf0.1

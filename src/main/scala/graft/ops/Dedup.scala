@@ -530,82 +530,116 @@ object Dedup {
     * transitive — A~B and B~C does not imply the pair A~C was emitted,
     * yet all three are one duplicate cluster).
     *
-    * Distributed min-label propagation WITH pointer jumping
-    * (Shiloach–Vishkin-style hook + shortcut): every node starts
-    * labeled with its own id; each round, (1) HOOK — a node takes the
-    * min label over itself and its neighbors (equi-join edges⋈labels
-    * + min-groupBy), then (2) SHORTCUT — label' = label(label(node)),
-    * a self-join that halves every pointer chain. A label is always
-    * the id of some node in the same component (a min of node ids),
-    * so the shortcut join is total, monotone (label(x) ≤ x), and
-    * preserves the fixed point: labels constant per component =
-    * component min. Shortcutting turns the round bound from
-    * O(diameter) into O(log diameter) — a 1M-node chain (pathological
-    * boilerplate linking at 100 TB) converges in ~25 rounds instead
-    * of 1M; maxIter=50 covers diameter ≈ 2^50. Each round's result is
-    * checkpointed: the loop REPLACES lineage instead of nesting it,
-    * so round N's plan is flat, not 3^N deep. If
-    * `spark.sparkContext.setCheckpointDir` is set, rounds use RELIABLE
-    * checkpoints (survive executor loss — set it on a real cluster);
-    * otherwise localCheckpoint (fine single-node, where executor loss
-    * is process death anyway).
+    * Alternating two-phase star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): the state is an
+    * edge list kept canonical as (u, v) with u > v, and each round
+    * rewires it twice —
+    *   LARGE-STAR: per node u, m = min(Γ(u) ∪ {u}); every STRICTLY
+    *     LARGER neighbor v > u is re-pointed at m, emitting (v, m).
+    *   SMALL-STAR: per node u over its SMALLER neighbors N = {v < u},
+    *     m = min(N); every v ∈ N∖{m} is re-pointed at m, plus (u, m).
+    * Both phases preserve connectivity and the node set (every node
+    * still appears in some edge), and the alternation converges to a
+    * STAR FOREST — each component collapsed to (leaf, component-min)
+    * edges — in O(log² n) rounds REGARDLESS of graph diameter. That
+    * bound is what an earlier min-label-propagation + pointer-jumping
+    * loop could not give: label info only crossed one graph hop per
+    * round, so a high-eccentricity similarity graph (sf0.1 sd02: 1526
+    * nodes) trickled for 24 rounds; star contraction rewires the edges
+    * themselves, so distance-to-min shrinks geometrically (measured on
+    * the same graph: see BASELINE.md ScaleCheck r9).
+    *
+    * Each phase's result is checkpointed: the loop REPLACES lineage
+    * instead of nesting it, so round N's plan is flat, not exponential.
+    * If `spark.sparkContext.setCheckpointDir` is set, rounds use
+    * RELIABLE checkpoints (survive executor loss — set it on a real
+    * cluster); otherwise localCheckpoint (fine single-node, where
+    * executor loss is process death anyway). Per phase the work is one
+    * min-groupBy plus one equi-join on the edge list — every stage
+    * partition-parallel, nothing driver-side.
     *
     * Output: (node, cluster_id) for every node that appears in a pair,
     * cluster_id = min doc id of the component. Deterministic.
     *
-    * If `maxIter` is exhausted while labels are still changing, the
-    * result would be silently WRONG (partially-propagated labels split
-    * one true component into several — catastrophic when chained
-    * boilerplate links clusters), so this THROWS instead of returning.
-    * Convergence is observable either way via
+    * If `maxIter` is exhausted while the edge set is still changing,
+    * the result would be silently WRONG (a half-contracted component
+    * splits into several — catastrophic when chained boilerplate links
+    * clusters), so this THROWS instead of returning. Convergence is
+    * observable either way via
     * OpsMetrics.lastConvergence("graft.cc.convergence") = (rounds run,
-    * rows still changing — 0 means clean).
+    * edges still changing — 0 means clean).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // reliable checkpoint when a dir is configured, local otherwise
-    def flat(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+    // reliable checkpoint when a dir is configured, local otherwise.
+    // The createDataFrame rebuild after the checkpoint is load-bearing:
+    // checkpoint returns a LogicalRDD that CARRIES the checkpointed
+    // plan's stats (originStats), and each phase joins the edge list
+    // with an aggregate OF ITSELF — so sizeInBytes would be SQUARED
+    // every round and its bit length would double. By round ~17 the
+    // driver visibly burns whole seconds per round in
+    // BigInteger.multiply inside join size estimation (measured on the
+    // predecessor loop: rounds 17→24 went 0.5 s → 446 s total at
+    // sf0.1, main thread pinned in BigInteger.multiplyToomCook3).
+    // Rebuilding from the already-materialized RDD[Row] resets stats
+    // to defaults and keeps the lineage truncation.
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    // emitted (v, m) has v > u ≥ m, so the u > v canonical form is
+    // an invariant of both phases — no re-canonicalization needed.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m")) // m < u always
+      e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
+              least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
       .transform(flat)
+    var edgeCount = edges.count()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val prop = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("cluster_id"))
-      val hooked = labels.select("node", "cluster_id").union(prop)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .transform(flat) // reused by both shortcut-join sides
-      // pointer jumping: label' = label(label(node)). Inner join is
-      // total because every cluster_id IS a labeled node's id.
-      val next = hooked
-        .join(hooked.select(col("node").as("cluster_id"),
-                            col("cluster_id").as("jumped")), "cluster_id")
-        .select(col("node"), col("jumped").as("cluster_id"))
-        .transform(flat)
-      changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "node")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      // large-star feeds small-star, which reads it twice (groupBy +
+      // join) — checkpoint both so neither subplan recomputes.
+      val next = smallStar(largeStar(edges).transform(flat)).transform(flat)
+      val nextCount = next.count()
+      // exact set-equality check: both sides are distinct, so
+      // |A Δ B| = 2·|A ∪ B| − |A| − |B|. One distinct-union job per
+      // round; the counts are trivial scans of checkpointed RDDs.
+      changed = 2L * next.union(edges).distinct().count() - nextCount - edgeCount
+      edges = next
+      edgeCount = nextCount
       i += 1
     }
-    edges.unpersist()
     OpsMetrics.recordConvergence("graft.cc.convergence", i, changed)
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge: $changed label(s) still " +
-        s"changing after $maxIter rounds — a component has diameter > " +
-        s"$maxIter; raise maxIter (labels would be silently wrong)")
-    labels
+        s"connectedComponents did not converge: $changed edge(s) still " +
+        s"changing after $maxIter rounds — raise maxIter (labels would " +
+        s"be silently wrong)")
+    // star forest: leaves point at their component min; roots appear
+    // only on the v side and label themselves.
+    edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("node"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   /** Full dup-cluster resolution: pairs → components → one canonical

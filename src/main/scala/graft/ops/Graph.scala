@@ -34,10 +34,16 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    def flat(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // createDataFrame rebuild resets LogicalRDD originStats (dd06's
+    // convention — see connectedComponents: carried stats compound
+    // multiplicatively per round and poison join size estimation)
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val e = edges.select(col("src"), col("dst")).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val withDeg = e.join(deg, "src").persist()

@@ -505,7 +505,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("connected components: 300-node chain converges in O(log d) rounds") {
-    // pointer jumping must make rounds logarithmic in diameter: a
+    // star contraction must make rounds logarithmic in diameter: a
     // 300-long path (diameter 299) has to finish well inside 20
     // rounds — plain 1-hop propagation would need 300
     val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
