@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver r9 regenerated events.parquet with naive-micros timestamps
+      // (isAdjustedToUTC=false); read them as LTZ like every prior round
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // 49 distinct queries × 2 passes thrash the default 100-entry
       // janino cache: heavyweight projections (LSH hyperplanes, minhash

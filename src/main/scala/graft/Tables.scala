@@ -22,6 +22,14 @@ object Tables {
     // floor-truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Naive-micros parquet (isAdjustedToUTC=false) infers as
+    // TIMESTAMP_NTZ unless the session sets inferTimestampNTZ=false;
+    // normalize here too so sessions we don't build (embedding apps)
+    // see the same LTZ type. Session tz is UTC, so the instant is the
+    // wall-clock value — identical to DuckDB's naive read.
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver r9 regenerated events.parquet with naive-micros timestamps
+      // (isAdjustedToUTC=false); read them as LTZ like every prior round
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
