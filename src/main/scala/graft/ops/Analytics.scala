@@ -185,4 +185,64 @@ object Analytics {
     df.withColumn("session_id", sum(isNew).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** First/last-touch attribution (an03): credit each conversion's
+    * value to a touch channel — last-touch goes to the most recent
+    * touch within `lookbackSec` before (or at) the conversion,
+    * first-touch to the user's earliest touch at or before it (no
+    * lookback — the classic "how did they originally arrive" model);
+    * conversions with no qualifying touch land in channel 'none'.
+    * Output: one row per (model, channel) with conversion count and
+    * summed value.
+    *
+    * Both models are running scans inside ONE keyed window — the
+    * union+window as-of shape (Temporal.asofJoin), not a range join:
+    * touches and conversions share the partition ordered by exact
+    * microseconds with conversions AFTER same-instant touches
+    * (is_conv sorts second) and event_id as the total tie-break, so
+    * `last`/`first`(ignoreNulls) pick the attributed touch
+    * deterministically on any engine. One exchange on the user key,
+    * zero join nodes, then a channel-cardinality aggregate.
+    */
+  def attribution(events: DataFrame, key: String, timeCol: String,
+                  touchTypes: Seq[String], convType: String,
+                  lookbackSec: Long, typeCol: String = "event_type",
+                  valueCol: String = "value",
+                  tieBreak: String = "event_id"): DataFrame = {
+    require(lookbackSec > 0, s"lookbackSec must be positive: $lookbackSec")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must be non-empty and exclude the conversion type")
+    val t = col(typeCol)
+    val base = events.filter(t.isin(touchTypes :+ convType: _*))
+      .select(col(key).as("__k"), unix_micros(col(timeCol)).as("__tu"),
+        col(tieBreak).as("__tb"),
+        when(t =!= convType, t).as("__touch"),
+        (t === convType).cast("int").as("__is_conv"),
+        col(valueCol).as("__value"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__tu"), col("__is_conv"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = base
+      .withColumn("__last", last(col("__touch"), ignoreNulls = true).over(w))
+      .withColumn("__last_tu",
+        max(when(col("__touch").isNotNull, col("__tu"))).over(w))
+      .withColumn("__first", first(col("__touch"), ignoreNulls = true).over(w))
+      .filter(col("__is_conv") === 1)
+      .select(
+        when(col("__last_tu") >= col("__tu") - lit(lookbackSec * 1000000L),
+          col("__last")).otherwise(lit("none")).as("last_ch"),
+        coalesce(col("__first"), lit("none")).as("first_ch"),
+        col("__value"))
+    val byFirst = conv.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__value")), 4).as("sum_value"))
+      .select(lit("first_touch").as("model"), col("channel"),
+        col("n_conversions"), col("sum_value"))
+    val byLast = conv.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__value")), 4).as("sum_value"))
+      .select(lit("last_touch").as("model"), col("channel"),
+        col("n_conversions"), col("sum_value"))
+    byFirst.unionAll(byLast)
+  }
 }

@@ -324,6 +324,42 @@ object Curation {
         (col("start_tok") % window).as("offset_in_pack"))
   }
 
+  /** Per-document overlapping chunks (ck01) — the RAG/embedding-index
+    * splitter: fixed `window`-token chunks that overlap the previous
+    * chunk by `overlap` tokens (stride = window - overlap). A chunk
+    * is emitted only while it contributes at least one token the
+    * previous chunk did not (start + overlap < n), so tails are never
+    * pure repeats; every doc yields at least one chunk. Output keys a
+    * chunk by (doc_id, chunk_no) with its token offset/length and the
+    * md5 of its text — the shape an embedding or indexing stage
+    * consumes (hash rather than text keeps the gate output narrow;
+    * swap the md5 for the slice itself to materialize chunk text).
+    *
+    * Pure map-side expand: sequence + posexplode + slice inside one
+    * projection — zero shuffles, zero joins, embarrassingly parallel
+    * at any corpus size (the plan guard asserts no Exchange).
+    */
+  def chunkDocs(df: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): $overlap")
+    val step = window - overlap
+    val toks = split(trim(col("text")), "\\s+")
+    df.select(col("doc_id"), toks.as("__toks"),
+        size(toks).as("__n"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0),
+          greatest(col("__n") - lit(overlap + 1), lit(0)), lit(step))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_no"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(window), col("__n") - col("col")).cast("long").as("n_toks"),
+        md5(array_join(
+          slice(col("__toks"), col("col") + lit(1),
+            least(lit(window), col("__n") - col("col"))),
+          " ")).as("chunk_hash"))
+  }
+
   /** Deterministic N-per-group sample: each group keeps its `n`
     * lowest-md5 members — a repeatable per-stratum cap (balanced eval
     * subsets, per-domain quotas) with zero RNG, same draw discipline

@@ -349,4 +349,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
+
+  /** Per-document out-of-vocabulary rate (tk03) against the corpus's
+    * own top-`k` token vocabulary (`vocab` above — same tokenization,
+    * same deterministic count-desc/token-asc ranking, so the cut at
+    * rank k is engine-portable). The OOV share is the standard proxy
+    * for "will this doc tokenize badly" (transliteration, boilerplate
+    * markup, wrong language for the tokenizer) used to route docs
+    * before an expensive BPE pass.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered top-k (map-side
+    * partial top-k per partition, never a global sort) and joins back
+    * BROADCAST — the corpus-sized side is one explode + one keyed
+    * count aggregate per doc_id; nothing collects beyond the k-row
+    * vocab itself.
+    */
+  def oovRate(df: DataFrame, k: Int = 500,
+              text: Column = col("text")): DataFrame = {
+    val toks = df.select(col("doc_id"),
+        explode(split(text, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val v = vocab(df, k, text).select(col("tok"), lit(1).as("__in_v"))
+    toks.join(broadcast(v), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
 }

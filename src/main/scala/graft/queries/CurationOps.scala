@@ -460,6 +460,27 @@ object CurationOps {
               SELECT doc_id, shard, n_tokens,
                 CAST(start_tok // 256 AS BIGINT) AS pack_id,
                 CAST(start_tok % 256 AS BIGINT) AS offset_in_pack
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    // ck01: per-doc overlapping RAG chunks (32-token windows, 8-token
+    // overlap → stride 24); zero-shuffle map-side expand, chunks keyed
+    // by (doc_id, chunk_no) with the md5 of the chunk text. The oracle
+    // replays starts (a chunk must add ≥1 uncovered token) and slices.
+    NamedQuery("ck01_chunk_docs",
+      (s, d) => Curation.chunkDocs(docs(s, d), window = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no"),
+      Some("""WITH t AS (SELECT doc_id,
+                    string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              u AS (SELECT doc_id, toks, n,
+                    unnest(range(0, greatest(n - 8, 1), 24)) AS start
+                  FROM s)
+             SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+               CAST(start AS BIGINT) AS start_tok,
+               CAST(least(32, n - start) AS BIGINT) AS n_toks,
+               md5(array_to_string(
+                 toks[start + 1:start + least(32, n - start)], ' ')) AS chunk_hash
+             FROM u ORDER BY doc_id, chunk_no"""))
   )
 }

@@ -129,6 +129,25 @@ object PipelineOps {
              WHERE tok != ''
              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""")),
 
+    // tk03: per-doc OOV rate vs the corpus's own top-16 token vocab
+    // (the word-soup corpus has ~31 distinct tokens, so a 16-token cut
+    // produces real OOV mass); the oracle replays vocab ranking with
+    // the identical count-desc/token-asc total order
+    NamedQuery("tk03_oov_rate",
+      (s, d) => TextAnalysis.oovRate(docs(s, d), k = 16).orderBy("doc_id"),
+      Some("""WITH ft AS (SELECT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                    FROM documents) WHERE tok != ''),
+              v AS (SELECT tok FROM (
+                      SELECT tok, count(*) AS n FROM ft GROUP BY tok)
+                    ORDER BY n DESC, tok ASC LIMIT 16)
+             SELECT ft.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+             FROM ft LEFT JOIN v ON ft.tok = v.tok
+             GROUP BY ft.doc_id ORDER BY ft.doc_id""")),
+
     // Table profiling (the post-ingest ANALYZE pass): exact row/null/
     // distinct counters for every orders column in ONE aggregate job;
     // the oracle recomputes each column's counters independently.
@@ -1285,6 +1304,35 @@ object PipelineOps {
       },
       Some(pageRankOracle(iters = 10, damping = "0.85"))),
 
+    // tc01: per-node triangle counts over the co-supplier projection
+    // (suppliers sharing a sampled part are linked) — the ordered
+    // wedge-join; the oracle replays projection, wedges, and closure
+    NamedQuery("tc01_triangles",
+      (s, d) => {
+        val ps = Tables.load(s, d, "lineitem")
+          .filter(col("l_partkey") % 97 === 0)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val e = ps.as("p1").join(ps.as("p2"),
+            col("p1.part") === col("p2.part") &&
+              col("p1.supp") < col("p2.supp"))
+          .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+        graft.ops.Graph.triangleCount(e).orderBy("node")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                    FROM lineitem WHERE l_partkey % 97 = 0),
+              e AS (SELECT DISTINCT p1.supp AS a, p2.supp AS b
+                    FROM ps p1 JOIN ps p2
+                    ON p1.part = p2.part AND p1.supp < p2.supp),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              corners AS (SELECT x AS node FROM tri
+                          UNION ALL SELECT y FROM tri
+                          UNION ALL SELECT z FROM tri)
+             SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             FROM corners GROUP BY node ORDER BY node""")),
+
     // IVF-PQ ANN end-to-end (k-means cells + in-cell asymmetric PQ
     // distance on decoded codes): q15-style deterministic recall gate
     // vs exact L2 top-10 — every stage (sample draw, Lloyd iterations,
@@ -1870,6 +1918,51 @@ object PipelineOps {
                  epoch_us(t3) <= epoch_us(t1) + CAST(172800 AS BIGINT) * 1000000
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
              FROM c3 GROUP BY user_id ORDER BY user_id""")),
+
+    // an03: first/last-touch attribution — one keyed window (the
+    // union+window as-of shape, zero joins), conversions credited to
+    // the most recent touch within 7 days (last) and the earliest
+    // touch ever (first); the oracle runs the identical window with
+    // the same (tu, is_conv, event_id) total order
+    NamedQuery("an03_attribution",
+      (s, d) => graft.ops.Analytics.attribution(
+          Tables.load(s, d, "events"), "user_id", "ts",
+          touchTypes = Seq("view", "click", "signup"),
+          convType = "purchase", lookbackSec = 604800L)
+        .orderBy("model", "channel"),
+      Some("""WITH base AS (SELECT user_id AS k,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_id AS tb,
+                    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+                    value
+                  FROM events
+                  WHERE event_type IN ('view','click','signup','purchase')),
+              w AS (SELECT *,
+                    last_value(touch IGNORE NULLS) OVER (
+                      PARTITION BY k ORDER BY tu, is_conv, tb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t,
+                    max(CASE WHEN touch IS NOT NULL THEN tu END) OVER (
+                      PARTITION BY k ORDER BY tu, is_conv, tb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tu,
+                    first_value(touch IGNORE NULLS) OVER (
+                      PARTITION BY k ORDER BY tu, is_conv, tb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_t
+                  FROM base),
+              conv AS (SELECT
+                    CASE WHEN last_tu >= tu - 604800000000 THEN last_t
+                         ELSE 'none' END AS last_ch,
+                    coalesce(first_t, 'none') AS first_ch, value
+                  FROM w WHERE is_conv = 1)
+             SELECT * FROM (
+               SELECT 'first_touch' AS model, first_ch AS channel,
+                 CAST(count(*) AS BIGINT) AS n_conversions,
+                 round(sum(value), 4) AS sum_value
+               FROM conv GROUP BY 2
+               UNION ALL
+               SELECT 'last_touch', last_ch, CAST(count(*) AS BIGINT),
+                 round(sum(value), 4)
+               FROM conv GROUP BY 2)
+             ORDER BY model, channel""")),
 
     // A/B readout with deterministic md5 assignment (salt "exp1",
     // 50/50): per-variant click→purchase conversion within 2 h. The

@@ -375,6 +375,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "intersection count not partial-aggregated")
   }
 
+  test("ck01: doc chunking is a pure map-side expand — zero exchanges, zero joins") {
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val p = ops.Curation.chunkDocs(raw, window = 32, overlap = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ck01 shuffles: ${p.take(400)}")
+    assert(!p.contains("Join"), s"ck01 has a join: ${p.take(400)}")
+  }
+
+  test("an03: attribution is union+window — zero join nodes, no single-partition exchange") {
+    val ev = graft.Tables.load(spark, dir, "events")
+    val p = ops.Analytics.attribution(ev, "user_id", "ts",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSec = 604800L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"an03 planned a join: ${p.take(600)}")
+    assert(p.contains("Window"), p.take(300))
+    assert(!p.contains("SinglePartition"), s"an03 single-partition: ${p.take(600)}")
+  }
+
+  test("tc01: triangle wedge-join is keyed — no cartesian, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_partkey") % 97 === 0)
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+    val e = li.as("p1").join(li.as("p2"),
+        col("p1.part") === col("p2.part") && col("p1.supp") < col("p2.supp"))
+      .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+    val p = ops.Graph.triangleCount(e).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tc01 unkeyed join: ${p.take(600)}")
+  }
+
+  test("tk03: oov vocab is broadcast and the top-k never global-sorts the corpus") {
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val df = ops.TextAnalysis.oovRate(raw, k = 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"tk03 vocab not broadcast: ${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"tk03 vocab rank is not a bounded top-k: ${p.take(600)}")
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)

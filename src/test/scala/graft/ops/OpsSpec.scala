@@ -1686,4 +1686,79 @@ class OpsSpec extends AnyFunSuite {
     assert(filterAt > joinAt, // plan prints top-down: deeper = later
       s"bloom filter not under the join: filter@$filterAt join@$joinAt\n${p.take(800)}")
   }
+
+  test("chunkDocs: chunks tile every token once per stride, tails never pure repeats") {
+    // doc 1 has 15 tokens; window 6 / overlap 2 (stride 4): starts
+    // 0,4,8,12 — start 12 contributes tokens 13..15 (3 > overlap 2 new)
+    val out = Curation.chunkDocs(docs.filter($"doc_id" === 1L),
+        window = 6, overlap = 2)
+      .orderBy("chunk_no").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L, 12L)) // start_tok
+    assert(out.map(_.getLong(3)).toSeq == Seq(6L, 6L, 6L, 3L))  // n_toks
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))  // chunk_no
+    // every consecutive pair overlaps by exactly `overlap` tokens while
+    // the window fits; a fully-covered tail start (>= n - overlap) is
+    // never emitted
+    val lastStart = out.last.getLong(2)
+    assert(lastStart < 15 - 2, "tail chunk adds no new token")
+    // one-token doc still yields exactly one chunk
+    val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Curation.chunkDocs(tiny, 6, 2).count() == 1L)
+  }
+
+  test("oovRate: tokens beyond the top-k vocab are counted, rates in [0,1]") {
+    val corpus = Seq(
+      (1L, "a a a b b rare1"),
+      (2L, "a b b b rare2 rare3")).toDF("doc_id", "text")
+    // k=2 vocab: a(4), b(5) -> b,a; rare* are OOV
+    val r = graft.ops.TextAnalysis.oovRate(corpus, k = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(6L, 6L)) // n_tokens
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // n_oov
+    assert(r.forall(x => x.getDouble(3) >= 0 && x.getDouble(3) <= 1))
+  }
+
+  test("triangleCount: K4 gives 3 per node; hub cap drops the spam star") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val counts = Graph.triangleCount(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 100-spoke star through node 0 plus one triangle (1,2,3):
+    // capping degree at 10 removes the hub, keeps the real triangle
+    val star = (1 to 100).map(i => (0L, i.toLong)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val capped = Graph.triangleCount(star.toDF("src", "dst"), maxDegree = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val hubs = Graph.highDegreeNodes(star.toDF("src", "dst"), maxDegree = 10)
+      .collect()
+    assert(hubs.length == 1 && hubs.head.getLong(0) == 0L &&
+      hubs.head.getLong(1) == 100L)
+  }
+
+  test("attribution: lookback expiry lands in 'none'; same-instant touch counts") {
+    val ev = Seq(
+      // user 1: view at t=1000s, purchase at t=2000s (inside 1-day window)
+      (1L, 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000)), "view", 0.0),
+      (2L, 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2000)), "purchase", 10.0),
+      // user 2: click long ago (t=0), purchase at t=90 days -> last 'none',
+      // first stays 'click' (first-touch has no lookback)
+      (3L, 2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)), "click", 0.0),
+      (4L, 2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(7776000)), "purchase", 5.0),
+      // user 3: touch at the SAME instant as the purchase -> attributed
+      (5L, 3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(500)), "view", 0.0),
+      (6L, 3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(500)), "purchase", 2.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.attribution(ev, "user_id", "ts",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackSec = 86400L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("last_touch", "view")) == ((2L, 12.0)))   // users 1 and 3
+    assert(out(("last_touch", "none")) == ((1L, 5.0)))    // user 2 expired
+    assert(out(("first_touch", "view")) == ((2L, 12.0)))
+    assert(out(("first_touch", "click")) == ((1L, 5.0)))  // no lookback
+  }
 }
