@@ -42,6 +42,9 @@ object Bench {
         || q._1 == "st04_interval_join" || q._1 == "st05_stream_enrich"
         || q._1 == "em02_pq_recall" || q._1 == "sim05_ivfpq_recall"
         || q._1 == "st06_neardup_ingest" || q._1 == "hll01_sketch_rollup"
+        // em07 is the same category: runs the whitening TWICE-shaped
+        // work (transform + full moment audit) to emit booleans
+        || q._1 == "em07_zca_whiten"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"

@@ -282,6 +282,138 @@ object Embeddings {
     df.withColumn(out, array(dims: _*))
   }
 
+  /** ZCA whitening (em07): y = W·(x − μ) with W = U·diag(1/√(λ+ε))·Uᵀ
+    * from the eigendecomposition of the corpus covariance — the
+    * decorrelation pass that makes cosine/L2 geometry honest when
+    * embedding dims are correlated (anisotropy is the norm for LM
+    * embeddings; whitening is the standard fix before retrieval or
+    * clustering). ZCA (vs PCA) keeps the result in the ORIGINAL basis
+    * — W is symmetric — so whitened dims stay interpretable.
+    *
+    * Scale shape, in three strictly-bounded stages:
+    *  1. moments: ONE distributed pass — posexplode to (i, xᵢ) then a
+    *     second generator to (i, j, xᵢ·xⱼ), aggregated by (i, j).
+    *     The d²·N multiply count is the covariance FLOP floor any
+    *     algorithm pays; map-side partial aggregation means the
+    *     SHUFFLE carries only d² partials per task, never data rows.
+    *  2. eigen: a d×d cyclic Jacobi on the DRIVER — d² doubles in,
+    *     d² out, microseconds for embedding-sized d; nothing
+    *     data-proportional ever reaches the driver.
+    *  3. project: W folds back as d constant rows (typedlit) — pure
+    *     scan-speed zip_with/aggregate per output dim, zero shuffles,
+    *     exactly randomProjection's codegen shape.
+    */
+  def zcaWhiten(df: DataFrame, dim: Int, eps: Double = 1e-6,
+                emb: Column = col("embedding"),
+                out: String = "zca_embedding"): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim out of range: $dim")
+    require(eps > 0, s"eps must be positive: $eps")
+    require(!df.columns.contains(out), s"output column $out would clobber")
+    val ex = df.select(emb.as("__e"))
+      .select(posexplode(col("__e")).as(Seq("i", "xi")), col("__e"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("__e")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i")) // symmetric: upper triangle only
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj").cast("double")).as("sxx"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(ex.nonEmpty, "empty corpus")
+    val n = ex.head.getLong(3)
+    val sums = df.select(posexplode(emb).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi").cast("double")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mean = Array.tabulate(dim)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    ex.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(2) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (lambda, u) = jacobiEigSym(cov)
+    // W = U diag(1/sqrt(l+eps)) U^T  (symmetric)
+    val w = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < dim) { s += u(i)(k) * u(j)(k) / math.sqrt(lambda(k) + eps); k += 1 }
+      s
+    }
+    val centered = zip_with(emb, typedlit(mean.toSeq),
+      (a, m) => a.cast("double") - m)
+    val dims = (0 until dim).map { d =>
+      aggregate(zip_with(centered, typedlit(w(d).toSeq), (a, c) => a * c),
+        lit(0.0d), (acc, v) => acc + v)
+    }
+    df.withColumn(out, array(dims: _*))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as COLUMNS of the returned matrix,
+    * i.e. v(i)(k) is component i of eigenvector k). Driver-side only
+    * — O(d³) per sweep on a d×d matrix, used for embedding-sized d
+    * where a sweep is microseconds; converges quadratically (offdiag
+    * Frobenius mass is strictly annihilated per rotation).
+    */
+  private[ops] def jacobiEigSym(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // sign(0) must be +1 here: equal diagonal entries mean a
+            // full 45-degree rotation, not none
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   def pqAdcTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
                 queries: Seq[(Long, Array[Float])], k: Int,
                 codesCol: String = "codes"): DataFrame = {

@@ -1284,6 +1284,43 @@ object PipelineOps {
                round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 4) AS v
              FROM ex ORDER BY vec_id, d""")),
 
+    // em07: ZCA whitening — hll01-style verdict gate: the whitened
+    // corpus must have identity covariance (off-diag ≈ 0, diag ≈ 1)
+    // and zero mean, checked to 1e-4 (λmin ≈ 6.5e-3 » ε = 1e-9, so
+    // diag deviates by ε/λ ≈ 1.5e-7; slack covers float32 inputs).
+    // An eigendecomposition is not SQL-expressible, so the oracle
+    // pins the invariants the transform must produce instead.
+    NamedQuery("em07_zca_whiten",
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val wdf = Embeddings.zcaWhiten(e, dim = 64, eps = 1e-9)
+        val mom = wdf.select(col("zca_embedding").as("__e"))
+          .select(posexplode(col("__e")).as(Seq("i", "xi")), col("__e"))
+          .select(col("i"), col("xi"),
+            posexplode(col("__e")).as(Seq("j", "xj")))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("xi") * col("xj")).as("sxx"),
+            count(lit(1)).as("n"), sum(col("xi")).as("sx"))
+          .collect()
+        val n = mom.head.getLong(3)
+        var offMax = 0.0; var diagDev = 0.0; var meanMax = 0.0
+        mom.foreach { r =>
+          // mean is ~0 (checked below), so the raw second moment /n is
+          // the covariance up to < 1e-8 — and the stricter check
+          if (r.getInt(0) == r.getInt(1))
+            diagDev = math.max(diagDev, math.abs(r.getDouble(2) / n - 1.0))
+          else offMax = math.max(offMax, math.abs(r.getDouble(2) / n))
+          meanMax = math.max(meanMax, math.abs(r.getDouble(4) / n))
+        }
+        import s.implicits._
+        Seq((n, 64, offMax < 1e-4, diagDev < 1e-4, meanMax < 1e-4))
+          .toDF("n", "dim", "cov_offdiag_ok", "cov_diag_ok", "mean_zero_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, 64 AS dim,
+             true AS cov_offdiag_ok, true AS cov_diag_ok,
+             true AS mean_zero_ok FROM embeddings""")),
+
     // pr01: deterministic PageRank (10 fixed rounds, d = 0.85) over
     // the symmetrized customer↔supplier trade graph; the oracle
     // UNROLLS the ten iterations as chained CTEs — every round is a

@@ -1737,6 +1737,32 @@ class OpsSpec extends AnyFunSuite {
       hubs.head.getLong(1) == 100L)
   }
 
+  test("jacobiEigSym: recovers a known spectrum; zcaWhiten decorrelates planted correlation") {
+    // diag(3,1) rotated 45°: eigenvalues {3,1}, eigenvectors at ±45°
+    val r = math.sqrt(2.0) / 2
+    val m = Array(
+      Array(r * 3 * r + r * 1 * r, r * 3 * r - r * 1 * r),
+      Array(r * 3 * r - r * 1 * r, r * 3 * r + r * 1 * r))
+    val (lam, u) = Embeddings.jacobiEigSym(m)
+    assert(lam.sorted.zip(Array(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigenvector columns orthonormal
+    val dot01 = u(0)(0) * u(0)(1) + u(1)(0) * u(1)(1)
+    assert(math.abs(dot01) < 1e-12)
+    // strongly correlated 2-d data: x2 = x1 + small noise
+    val data = (1 to 40).map { i =>
+      val x = (i % 7).toDouble - 3.0
+      (i.toLong, Array(x.toFloat, (x + 0.1 * ((i % 3) - 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val wdf = Embeddings.zcaWhiten(data, dim = 2, eps = 1e-9)
+    val vecs = wdf.select("zca_embedding").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    def mom(i: Int, j: Int): Double = vecs.map(v => v(i) * v(j)).sum / n
+    assert(math.abs(mom(0, 0) - 1.0) < 1e-6, s"var0 ${mom(0, 0)}")
+    assert(math.abs(mom(1, 1) - 1.0) < 1e-6, s"var1 ${mom(1, 1)}")
+    assert(math.abs(mom(0, 1)) < 1e-6, s"cov01 ${mom(0, 1)}")
+  }
+
   test("attribution: lookback expiry lands in 'none'; same-instant touch counts") {
     val ev = Seq(
       // user 1: view at t=1000s, purchase at t=2000s (inside 1-day window)
