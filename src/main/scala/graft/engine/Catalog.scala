@@ -252,8 +252,33 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
       .getOrElse(throw new NoSuchElementException(s"$name v$version"))
     require(colIx >= 1 && colIx <= e.colTypes.length,
       s"no column $colIx in $name v$version (${e.colTypes.length} columns)")
-    val newTypes = e.colTypes.updated(colIx - 1, t.displayName)
+    rebuildTyped(e, e.colTypes.updated(colIx - 1, t.displayName))
+  }
 
+  /** Promote a source to typed by re-inferring every column from the
+    * untyped (all-text) table — the reference's SourceMakeTyped
+    * (POST /source/:SourceIx, Interface/API.hs:196-200): an ingest
+    * made with `--no-type-inference` is upgraded in place without
+    * re-reading the original file. Only TEXT columns re-infer (a type
+    * already set — by ingest inference or an explicit override — is
+    * authoritative); inference is the same one-pass treeAggregate
+    * lattice ingest uses, so makeTyped(untyped ingest) ==
+    * typed ingest by construction.
+    */
+  def makeTyped(name: String, version: Int): SourceEntry = {
+    val e = entries.find(x => x.name == name && x.version == version)
+      .getOrElse(throw new NoSuchElementException(s"$name v$version"))
+    val untyped = spark.read.parquet(e.untypedPath)
+    val dataCols = e.colTypes.indices.map(i => col(s"c${i + 1}"))
+    val inferred = Infer.inferColumns(untyped.select(dataCols: _*))
+    val newTypes = e.colTypes.zip(inferred).map { case (oldT, newT) =>
+      if (oldT == ColumnType.ColText.displayName) newT.displayName else oldT
+    }
+    rebuildTyped(e, newTypes)
+  }
+
+  private def rebuildTyped(e: SourceEntry, newTypes: Seq[String]): SourceEntry = {
+    val (name, version) = (e.name, e.version)
     val untyped = spark.read.parquet(e.untypedPath)
     val cols = newTypes.zipWithIndex.map { case (tn, i) =>
       Ingest.castTo(col(s"c${i + 1}"), ColumnType.fromDisplay(tn), lenient = true)

@@ -428,7 +428,13 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
           def doIngest(): SourceEntry = {
             val ing =
               if (kind == "json") Ingest.json(spark, tmp.toString)
-              else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(encoding = "auto"))
+              // ExpandIngestOptions (Interface/API.hs:455-467): the
+              // reference's ingest flags ride as query params
+              else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(
+                encoding = p1("encoding").getOrElse("auto"),
+                hasHeaders = !p.contains("noHeaders"),
+                quoting = !p.contains("disableQuoteChar"),
+                typeInference = !p.contains("noTypeInference")))
             val e = cat.ingest(name, ing, kind, addedBy = u,
               description = p1("description").getOrElse(""),
               sourceIdent = p1("sourceIdent"),
@@ -538,6 +544,16 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
       case ("POST", Seq("source", n, "groupAccessLevel", g)) =>
         updateAcl(_.grantGroup(user, g, n, parseLevel(body(ex))))
         send(ex, 204, "")
+      // SourceMakeTyped (Interface/API.hs:196-200): bare POST to the
+      // source promotes an untyped (--no-type-inference) ingest to
+      // typed by re-inferring from the stored all-text table. Listed
+      // AFTER the literal-segment POSTs; the digit guard keeps verbs
+      // like "public" out even if reordered.
+      case ("POST", Seq("source", n, v)) if v.nonEmpty && v.forall(_.isDigit) =>
+        lock.synchronized {
+          requireLevel(Some(user), n, Acl.LevelUpdate)
+          send(ex, 200, sourceJson(cat.makeTyped(n, v.toInt)))
+        }
 
       // ---- /sql ----
       case ("POST", Seq("sql")) =>
@@ -558,9 +574,18 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         } else stream(ex, Export.csvLines(df), "text/csv")
 
       // ---- diagnostics ----
-      case ("GET", Seq("dbinfo")) =>
+      case ("GET", Seq("dbinfo")) | ("GET", Seq("debug", "dumpDbInfo")) =>
+        // /debug/dumpDbInfo is the reference path (Interface/API.hs:
+        // 434-440); /dbinfo predates it here and stays as an alias
         checkAdmin("dump-db-info")
         send(ex, 200, cat.dbInfo, cType = "text/plain")
+      case ("POST", Seq("debug", "rebuildCanReadCache")) =>
+        // DebugRebuildCanReadCache: the reference materializes a
+        // can-read cache table and this endpoint rebuilds it. Our ACL
+        // semi-join evaluates against live state (nothing cached to
+        // rebuild), so parity here = admin-gated success, not work.
+        checkAdmin("rebuild-can-read-cache")
+        send(ex, 204, "")
 
       case _ =>
         send(ex, 404, s"""{"error":"no route: $method /${segs.mkString("/")}"}""")

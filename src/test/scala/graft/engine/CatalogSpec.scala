@@ -36,6 +36,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.entries.size == 1)
   }
 
+  test("makeTyped promotes a no-inference ingest to the typed-ingest types") {
+    val cat = freshCatalog()
+    val u = cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv"),
+      Ingest.CsvOptions(typeInference = false)), "csv")
+    assert(u.colTypes.forall(_ == ColumnType.ColText.displayName))
+    val promoted = cat.makeTyped("t", u.version)
+    val typedRef = cat.ingest("ref", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    // promoted in place: same (name, version), ingest-identical types
+    assert(promoted.version == u.version)
+    assert(promoted.colTypes == typedRef.colTypes)
+    // typed view now yields typed values (bool column parses)
+    val vt = cat.view("t", promoted.version)
+    assert(vt.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.BooleanType))
+    // a second makeTyped is a no-op fixed point (nothing is TEXT twice)
+    assert(cat.makeTyped("t", u.version).colTypes == promoted.colTypes)
+  }
+
   test("delete one version / whole source; re-ingest restores state (I18)") {
     val cat = freshCatalog()
     cat.ingest("t", Ingest.csv(spark, res("typeinfer.csv")), "csv")

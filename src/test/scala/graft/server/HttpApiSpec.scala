@@ -252,4 +252,23 @@ class HttpApiSpec extends AnyFunSuite {
     val ls = req("GET", "/sources", headers = Map("X-Token" -> fresh))
     assert(!ls.body.contains("inferJsonType"), ls.body)
   }
+
+  test("noTypeInference upload stays TEXT until makeTyped promotes it; debug aliases") {
+    val up = req("POST", "/sources?name=lazy.csv&noTypeInference",
+      "name,age\nAlice,34\nBob,28\n", asRoot)
+    assert(up.statusCode == 201, up.body)
+    assert(!up.body.contains("\"type\":\"INTEGER\""), up.body)
+    // SourceMakeTyped (bare POST /source/:n/:v): re-infers from the
+    // stored untyped table — age becomes INTEGER without re-upload
+    val mt = req("POST", "/source/lazy.csv/1", headers = asRoot)
+    assert(mt.statusCode == 200, mt.body)
+    assert(mt.body.contains("\"type\":\"INTEGER\""), mt.body)
+    // anonymous callers cannot promote
+    assert(req("POST", "/source/lazy.csv/1").statusCode == 401)
+    // reference debug paths: dumpDbInfo aliases /dbinfo, cache rebuild
+    // is an admin-gated no-op (no cache to rebuild)
+    assert(req("GET", "/debug/dumpDbInfo", headers = asRoot).statusCode == 200)
+    assert(req("POST", "/debug/rebuildCanReadCache", headers = asRoot).statusCode == 204)
+    assert(req("POST", "/debug/rebuildCanReadCache").statusCode == 401)
+  }
 }
