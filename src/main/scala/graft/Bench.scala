@@ -93,7 +93,17 @@ object Bench {
     val baselineTotal = 50.0
     val baselineN = 49
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"errors":$errJson,"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line","sf":"$sfDir"}""")
+    // Host page-cache state, so a slow artifact is attributable: the
+    // same build measures 71 s vs 106 s warm depending on whether the
+    // testdata is cached (BASELINE.md round 9) — Cached < ~2 GB means
+    // the run paid disk latency everywhere and the totals are an
+    // environment artifact, not a plan regression.
+    val cachedMb: Long =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("Cached:"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"errors":$errJson,"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line","sf":"$sfDir"}""")
     spark.stop()
   }
 }

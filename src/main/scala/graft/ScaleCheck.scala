@@ -264,6 +264,59 @@ object ScaleCheck {
     }
   }
 
+  /** Second round-9 probe family (`runMain graft.ScaleCheck r9b`):
+    * tc01 triangles over circulant graphs (each node linked to its 4
+    * successors: constant degree 8, so wedge count grows LINEARLY in
+    * nodes — any superlinear wall means the wedge join degenerated),
+    * an03 attribution over the events table replicated with disjoint
+    * user id ranges (one keyed window: wall should track rows), and
+    * ck01 chunking over the grown document corpus (map-side expand:
+    * wall should track bytes scanned).
+    */
+  private def r9bScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    for (nodes <- Seq(200000, 800000)) {
+      val e = spark.range(nodes).select(col("id").as("src"),
+          explode(array((1 to 4).map(k => (col("id") + k) % nodes): _*)).as("dst"))
+        .repartition(32).cache()
+      val ne = e.count()
+      val t0 = System.nanoTime()
+      val tris = graft.ops.Graph.triangleCount(e)
+        .agg(sum(col("n_triangles"))).collect()(0).getLong(0)
+      println(f"[scale] r9b triangles nodes=$nodes%d edges=$ne%d tri3x=$tris%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      e.unpersist()
+    }
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    for (mult <- Seq(5, 20)) {
+      val big = (0 until mult).map(i => ev.select(
+          (col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts"),
+          col("event_type"), col("value"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = big.count()
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Analytics.attribution(big, "user_id", "ts",
+          touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+          lookbackSec = 604800L)
+        .collect()
+      println(f"[scale] r9b x$mult ($n%d events) attribution channels=${rows.length}%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      big.unpersist()
+    }
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val chunks = graft.ops.Curation.chunkDocs(docs, window = 32, overlap = 8)
+        .count()
+      println(f"[scale] r9b x$mult ($n%d docs) chunkDocs chunks=$chunks%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -304,6 +357,11 @@ object ScaleCheck {
     }
     if (path == "r9") {
       r9Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9b") {
+      r9bScale(spark)
       spark.stop()
       return
     }

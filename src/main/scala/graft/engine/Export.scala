@@ -49,7 +49,12 @@ object Export {
     * runtests.sh:160-168).
     */
   def jsonRaw(df: DataFrame): String = {
-    val it = df.orderBy("ix").select("c1").toLocalIterator()
+    // first non-ix column: "c1" on the untyped frame, the friendly
+    // name on a registered view (HttpApi downloads pass the view —
+    // hardcoding c1 500'd every JSON download over HTTP)
+    val valueCol = df.columns.find(_ != "ix")
+      .getOrElse(throw new IllegalArgumentException("no value column"))
+    val it = df.orderBy("ix").select(valueCol).toLocalIterator()
     val sb = new StringBuilder
     while (it.hasNext) { sb.append(it.next().getString(0)).append('\n') }
     sb.toString

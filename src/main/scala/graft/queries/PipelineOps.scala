@@ -1347,7 +1347,7 @@ object PipelineOps {
     NamedQuery("tc01_triangles",
       (s, d) => {
         val ps = Tables.load(s, d, "lineitem")
-          .filter(col("l_partkey") % 97 === 0)
+          .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
           .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
           .distinct()
         val e = ps.as("p1").join(ps.as("p2"),
@@ -1357,7 +1357,8 @@ object PipelineOps {
         graft.ops.Graph.triangleCount(e).orderBy("node")
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
-                    FROM lineitem WHERE l_partkey % 97 = 0),
+                    FROM lineitem
+                    WHERE l_partkey % 97 = 0 AND l_suppkey % 3 = 0),
               e AS (SELECT DISTINCT p1.supp AS a, p2.supp AS b
                     FROM ps p1 JOIN ps p2
                     ON p1.part = p2.part AND p1.supp < p2.supp),

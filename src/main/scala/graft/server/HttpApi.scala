@@ -427,7 +427,8 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
           java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
           def doIngest(): SourceEntry = {
             val ing =
-              if (kind == "json") Ingest.json(spark, tmp.toString)
+              if (kind == "json") Ingest.json(spark, tmp.toString,
+                Ingest.JsonOptions(path = p1("jsonPath").getOrElse("_")))
               // ExpandIngestOptions (Interface/API.hs:455-467): the
               // reference's ingest flags ride as query params
               else Ingest.csv(spark, tmp.toString, Ingest.CsvOptions(
@@ -439,10 +440,15 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
               description = p1("description").getOrElse(""),
               sourceIdent = p1("sourceIdent"),
               created = p1("created"))
+            // CreateOptions repeatable ?tag= (Interface/API.hs:473-475)
+            val tags = p.getOrElse("tag", Seq.empty).filter(_.nonEmpty)
+            tags.foreach(cat.tag(e.name, e.version, _))
             // a new VERSION must not reshuffle grants (the updater
             // must NOT become a manager of someone else's source)
             if (isNewSource) updateAcl(_.onCreate(u, e.name, public))
-            e
+            if (tags.isEmpty) e
+            else cat.entries.find(x =>
+              x.name == e.name && x.version == e.version).getOrElse(e)
           }
           if (p1("progress").contains("true")) {
             // reference SourcesPost streams ProgressOr SourceInfo

@@ -397,7 +397,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("tc01: triangle wedge-join is keyed — no cartesian, no nested loop") {
     import org.apache.spark.sql.functions.col
     val li = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_partkey") % 97 === 0)
+      .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
       .distinct()
     val e = li.as("p1").join(li.as("p2"),

@@ -1,7 +1,8 @@
 package graft.server
 
-import java.net.URI
+import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -270,5 +271,22 @@ class HttpApiSpec extends AnyFunSuite {
     assert(req("GET", "/debug/dumpDbInfo", headers = asRoot).statusCode == 200)
     assert(req("POST", "/debug/rebuildCanReadCache", headers = asRoot).statusCode == 204)
     assert(req("POST", "/debug/rebuildCanReadCache").statusCode == 401)
+  }
+
+  test("ingest-time tags and jsonPath ride as CreateOptions/IngestOptions params") {
+    val up = req("POST", "/sources?name=tagged.csv&tag=alpha&tag=beta",
+      "a,b\n1,2\n", asRoot)
+    assert(up.statusCode == 201, up.body)
+    assert(up.body.contains("alpha") && up.body.contains("beta"), up.body)
+    // jsonPath {k:_}: rows are the values under key k of each object
+    val uj = req("POST", "/sources?name=paths.json&" +
+      URLEncoder.encode("jsonPath", UTF_8) + "=" +
+      URLEncoder.encode("{\"k\":_}", UTF_8),
+      """{"k": 1, "other": "x"}""" + "\n" + """{"k": 2}""", asRoot)
+    assert(uj.statusCode == 201, uj.body)
+    val dl = req("GET", "/source/paths.json/1/download", headers = asRoot)
+    assert(dl.statusCode == 200, dl.body)
+    assert(dl.body.contains("1") && dl.body.contains("2") &&
+      !dl.body.contains("other"), dl.body)
   }
 }
