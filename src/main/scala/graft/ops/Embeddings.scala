@@ -346,6 +346,59 @@ object Embeddings {
     df.withColumn(out, array(dims: _*))
   }
 
+  /** Sign-bit binary embedding (em08): each dimension collapses to
+    * sign(x) and 32 dims pack into one long (two longs for d = 64) —
+    * 32× smaller than float32, and Hamming distance between packed
+    * signs approximates angular distance (Charikar 2002: P[bit
+    * differs] = θ/π). The standard binary prefilter for web-scale
+    * retrieval: scan the 16-byte sketches with xor+popcount, then
+    * re-rank survivors with true vectors.
+    *
+    * Packing is big-endian per 32-dim half via `aggregate(acc*2+bit)`
+    * — 32 bits keeps the accumulator far from signed overflow, which
+    * engines disagree about (DuckDB throws, Java wraps); the identical
+    * fold replays in SQL. Pure scan-speed projection, zero shuffles.
+    */
+  def signPack(df: DataFrame, dim: Int,
+               emb: Column = col("embedding")): DataFrame = {
+    require(dim % 32 == 0 && dim > 0, s"dim must be a positive multiple of 32: $dim")
+    def packHalf(lo: Int): Column =
+      aggregate(slice(emb, lo, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x > 0f, 1L).otherwise(0L))
+    val halves = (0 until dim / 32).map(h => packHalf(h * 32 + 1).as(s"sig$h"))
+    df.select(col("vec_id") +: halves: _*)
+  }
+
+  /** Hamming top-k over sign-packed embeddings: for each query in the
+    * (small, broadcast) query set, the k corpus vectors with fewest
+    * differing sign bits, ties broken by neighbor id. The per-pair
+    * cost is `dim/32` xor+popcount word ops — two orders of magnitude
+    * cheaper than a float dot product, which is what makes a full
+    * corpus scan per query viable as the ANN prefilter at 100 TB
+    * (the broadcast×scan shape of sim01/hn01, minus the FLOPs).
+    */
+  def hammingTopK(corpus: DataFrame, queryIds: Seq[Long], dim: Int,
+                  k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val packed = signPack(corpus, dim)
+    val sigCols = (0 until dim / 32).map(h => s"sig$h")
+    val q = broadcast(packed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id") +:
+        sigCols.map(c => col(c).as(s"q_$c")): _*))
+    val ham = sigCols.map(c =>
+      bit_count(col(c).bitwiseXOR(col(s"q_$c")))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    packed.withColumnRenamed("vec_id", "neighbor_id")
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", ham)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvectors as COLUMNS of the returned matrix,
     * i.e. v(i)(k) is component i of eigenvector k). Driver-side only

@@ -222,4 +222,29 @@ object Profile {
           (col("orphans") === 0L).as("ok"))
     }.reduce(_ unionAll _)
   }
+
+  /** Per-column Shannon entropy in bits (dp04): H = log₂N − (Σ n·log₂n)/N
+    * over the column's exact value counts (nulls count as a category) —
+    * the profiling signal that flags near-constant columns (H ≈ 0,
+    * candidates for dropping or dictionary encoding) and
+    * high-cardinality keys (H ≈ log₂N) before a pipeline treats them
+    * as features. The algebraic form needs only (n, Σn·log₂n), so each
+    * column is ONE count aggregate (map-side combined) plus a
+    * two-value reduction — never a collected value list; the per-value
+    * frame is distinct-cardinality-sized, not data-sized.
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns")
+    cols.map { c =>
+      df.groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).as("__total"),
+          sum(col("__n") * log2(col("__n"))).as("__snlog"),
+          count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("column"),
+          col("__total").as("n_rows"), col("n_distinct"),
+          round(log2(col("__total")) - col("__snlog") / col("__total"), 6)
+            .as("entropy_bits"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -444,6 +444,30 @@ object PipelineOps {
                  round(corr(l_discount, l_tax), 4) FROM lineitem)
              ORDER BY col_a, col_b""")),
 
+    // dp04: per-column Shannon entropy over exact value counts; the
+    // oracle replays H = log2(N) - sum(n*log2(n))/N per column
+    NamedQuery("dp04_column_entropy",
+      (s, d) => graft.ops.Profile.columnEntropy(
+          Tables.load(s, d, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy("column"),
+      Some("""SELECT * FROM (
+               SELECT 'o_custkey' AS "column", CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+               FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+               UNION ALL
+               SELECT 'o_orderpriority', CAST(sum(n) AS BIGINT),
+                 CAST(count(*) AS BIGINT),
+                 round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+               FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderpriority)
+               UNION ALL
+               SELECT 'o_orderstatus', CAST(sum(n) AS BIGINT),
+                 CAST(count(*) AS BIGINT),
+                 round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+               FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderstatus)
+              ) ORDER BY "column" """)),
+
     // Distributed BPE merge training: 12 merges learned from the
     // corpus, pinned against a golden merge table (im19-style literal
     // oracle — DuckDB can't replay the iterative argmax loop, but the
@@ -1320,6 +1344,35 @@ object PipelineOps {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n, 64 AS dim,
              true AS cov_offdiag_ok, true AS cov_diag_ok,
              true AS mean_zero_ok FROM embeddings""")),
+
+    // em08: sign-packed binary embeddings + Hamming top-5 for four
+    // queries — the oracle replays the 32-bit big-endian packing as a
+    // power-of-two sum (exact ≤ 2^31) and ranks by xor/bit_count with
+    // the identical (hamming, neighbor_id) total order
+    NamedQuery("em08_hamming_topk",
+      (s, d) => Embeddings.hammingTopK(
+          embs(s, d).select(col("vec_id"), col("embedding")),
+          queryIds = Seq(1L, 7L, 13L, 19L), dim = 64, k = 5)
+        .orderBy("query_id", "neighbor_id"),
+      Some("""WITH ex AS (SELECT vec_id,
+                    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x
+                  FROM embeddings),
+              p AS (SELECT vec_id,
+                    CAST(sum(CASE WHEN i <= 32 AND x > 0
+                      THEN CAST(power(2, 32 - i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig0,
+                    CAST(sum(CASE WHEN i > 32 AND x > 0
+                      THEN CAST(power(2, 64 - i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig1
+                  FROM ex GROUP BY vec_id),
+              pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    bit_count(xor(c.sig0, q.sig0)) +
+                    bit_count(xor(c.sig1, q.sig1)) AS hamming
+                  FROM p c JOIN p q ON q.vec_id IN (1, 7, 13, 19)
+                    AND c.vec_id <> q.vec_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS r FROM pairs)
+             SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+             FROM rk WHERE r <= 5 ORDER BY query_id, neighbor_id""")),
 
     // pr01: deterministic PageRank (10 fixed rounds, d = 0.85) over
     // the symmetrized customer↔supplier trade graph; the oracle

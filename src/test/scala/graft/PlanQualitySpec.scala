@@ -417,6 +417,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"tk03 vocab rank is not a bounded top-k: ${p.take(600)}")
   }
 
+  test("em08: sign-pack is scan-speed; hamming top-k broadcasts the query sketches") {
+    val raw = graft.Tables.load(spark, dir, "embeddings")
+    val pp = ops.Embeddings.signPack(raw, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("Exchange") && !pp.contains("Join"),
+      s"signPack should be a projection: ${pp.take(400)}")
+    val ph = ops.Embeddings.hammingTopK(raw, queryIds = Seq(1L, 7L), dim = 64, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(ph.contains("BroadcastNestedLoopJoin") || ph.contains("BroadcastHashJoin"),
+      s"query sketches not broadcast: ${ph.take(600)}")
+  }
+
   test("native dot product appears in similarity plans (no interpreted HOF)") {
     val df = ops.Similarity.cosineDups(
       Tables.load(spark, dir, "embeddings"), dim = 64, threshold = 0.3, nBits = 2)

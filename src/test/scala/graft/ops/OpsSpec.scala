@@ -1763,6 +1763,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(mom(0, 1)) < 1e-6, s"cov01 ${mom(0, 1)}")
   }
 
+  test("signPack/hammingTopK: twins at distance 0, sign-flips count, ties by id") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),                       // all-positive
+      (2L, Array.fill(64)(0.5f)),                       // same signs as 1
+      (3L, Array.tabulate(64)(i => if (i < 8) -1.0f else 1.0f)), // 8 flips
+      (4L, Array.fill(64)(-1.0f))                       // all flipped
+    ).toDF("vec_id", "embedding")
+    val packed = Embeddings.signPack(vecs, dim = 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(1L) == packed(2L))                    // sign-identical
+    assert(packed(4L) == ((0L, 0L)))                    // all non-positive
+    val top = Embeddings.hammingTopK(vecs, queryIds = Seq(1L), dim = 64, k = 3)
+      .orderBy("hamming", "neighbor_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.head == ((2L, 0L)), top.mkString(","))   // twin first
+    assert(top(1) == ((3L, 8L)))                        // 8 differing bits
+    assert(top(2) == ((4L, 64L)))                       // full flip
+  }
+
+  test("columnEntropy: constant column 0 bits, uniform 4-value column 2 bits") {
+    val df = (0 until 64).map(i => (i, "const", s"v${i % 4}"))
+      .toDF("id", "c_const", "c_uniform")
+    val e = graft.ops.Profile.columnEntropy(df, Seq("c_const", "c_uniform"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(e("c_const") == 0.0)
+    assert(math.abs(e("c_uniform") - 2.0) < 1e-9)
+  }
+
   test("attribution: lookback expiry lands in 'none'; same-instant touch counts") {
     val ev = Seq(
       // user 1: view at t=1000s, purchase at t=2000s (inside 1-day window)
