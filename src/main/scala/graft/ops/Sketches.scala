@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches. The existing approx family covers
+  * cardinality (q15 HLL, hll01 sketch rollup) and quantiles (q44
+  * t-digest-style); this adds frequency — "which values dominate the
+  * stream" — the signal that finds spam domains, hot keys, and
+  * runaway event types before they melt a shuffle.
+  */
+object Sketches {
+
+  /** Heavy hitters via per-partition Misra–Gries + exact verification
+    * (hh01). Pass 1 runs a `cap`-counter Misra–Gries summary inside
+    * each partition (bounded memory regardless of key cardinality,
+    * amortized O(1) per row) and merges the per-partition summaries by
+    * key — the shuffle carries at most partitions×cap rows, NEVER the
+    * raw keys. The merged survivors are candidates; the top `cap` by
+    * summary weight get their TRUE counts in pass 2 via a
+    * broadcast-candidate semi-join + one exact aggregate.
+    *
+    * Guarantee (the reason this is the 100 TB shape): any value with
+    * true frequency > N/(cap+1) is mathematically guaranteed to
+    * survive both the partition summaries and the merge (each MG
+    * decrement retires cap+1 distinct occurrences, so a value must be
+    * decremented more than N/(cap+1) times to die — more occurrences
+    * than it has). Rows carry `guaranteed` = cap+1 exact-count > N,
+    * computed in integer arithmetic so no engine disagrees on the
+    * boundary. Values below the threshold MAY appear (with exact
+    * counts) but carry guaranteed = false.
+    */
+  def heavyHitters(df: DataFrame, key: Column, cap: Int = 16): DataFrame = {
+    require(cap >= 1 && cap <= 100000, s"cap out of range: $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(key.cast("string").as("k")).as[String]
+    val summaries = keys.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        val cur = m.getOrElse(x, -1L)
+        if (cur >= 0L) m.update(x, cur + 1)
+        else if (m.size < cap) m.update(x, 1L)
+        else {
+          // decrement-all: retires one occurrence of cap+1 distinct
+          // values (this x plus the cap counters) per overflow
+          val dead = m.iterator.collect { case (k, 1L) => k }.toList
+          m.mapValuesInPlace((_, v) => v - 1)
+          dead.foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("k", "w")
+    val candidates = summaries.groupBy(col("k"))
+      .agg(sum(col("w")).as("w"))
+      .orderBy(col("w").desc, col("k").asc)
+      .limit(cap)
+      .select(col("k"))
+    val total = df.count()
+    keys.toDF("k")
+      .join(broadcast(candidates), Seq("k"), "left_semi")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("k").as("value"), col("n_exact"),
+        (lit(cap + 1L) * col("n_exact") > lit(total)).as("guaranteed"))
+      .orderBy(col("n_exact").desc, col("value").asc)
+  }
+}

@@ -1957,6 +1957,19 @@ object PipelineOps {
     // (the incremental-rollup pattern that replaces daily full scans
     // at 100 TB: store sketch bytes per partition, union on read).
     // Estimates are implementation-defined → q15-style bounds gate.
+    // hh01: Misra-Gries heavy hitters + exact verification — with
+    // cap = 8 every one of the 5 event types clears the N/9 guarantee
+    // threshold, so the candidate set provably equals the exact
+    // distribution and the oracle is plain GROUP BY; `guaranteed`
+    // compares in integer arithmetic (9·n > N) on both engines
+    NamedQuery("hh01_heavy_hitters",
+      (s, d) => graft.ops.Sketches.heavyHitters(
+        Tables.load(s, d, "events"), col("event_type"), cap = 8),
+      Some("""SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n_exact,
+             9 * count(*) > (SELECT count(*) FROM events) AS guaranteed
+             FROM events GROUP BY event_type
+             ORDER BY n_exact DESC, value ASC""")),
+
     NamedQuery("hll01_sketch_rollup",
       (s, d) => {
         import org.apache.spark.sql.functions._

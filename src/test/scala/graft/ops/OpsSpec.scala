@@ -1782,6 +1782,22 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2) == ((4L, 64L)))                       // full flip
   }
 
+  test("heavyHitters: guaranteed survivors above N/(cap+1), exact counts, bounded cap") {
+    // 1000 rows: "hot" 400, "warm" 300, tail t0..t59 five each (300)
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 60).flatMap(i => Seq.fill(5)(s"t$i"))
+    val df = rows.zipWithIndex.map(_.swap).toDF("id", "k").repartition(4)
+    val out = Sketches.heavyHitters(df, col("k"), cap = 4).collect()
+    assert(out.length <= 4, s"cap exceeded: ${out.length}")
+    val byK = out.map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // hot (400 > 1000/5) and warm (300 > 200) MUST survive, exactly counted
+    assert(byK("hot") == ((400L, true)))
+    assert(byK("warm") == ((300L, true)))
+    // no tail value can be marked guaranteed (5 < 200)
+    assert(out.forall(r => r.getString(0) == "hot" || r.getString(0) == "warm" ||
+      !r.getBoolean(2)))
+  }
+
   test("columnEntropy: constant column 0 bits, uniform 4-value column 2 bits") {
     val df = (0 until 64).map(i => (i, "const", s"v${i % 4}"))
       .toDF("id", "c_const", "c_uniform")
