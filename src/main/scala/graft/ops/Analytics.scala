@@ -186,6 +186,30 @@ object Analytics {
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Session path transitions (an05): the top event-type bigrams
+    * inside gap-sessions — "what do users do next" — the path-analysis
+    * report product teams read next to funnels. Composes sessionize
+    * (one keyed window) with a lead() over the SAME
+    * (user, session) partitioning, so Catalyst reuses the single
+    * exchange; transition counting is one keyed aggregate. Determinism:
+    * the in-session order is (ts micros, tieBreak) — total — and ties
+    * in the final ranking break on the pair itself.
+    */
+  def pathTransitions(df: DataFrame, user: Column, ts: Column,
+                      typeCol: Column, gapSec: Long, tieBreak: Column,
+                      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val s = sessionize(df, user, ts, gapSec, tieBreak)
+    val w = Window.partitionBy(user, col("session_id"))
+      .orderBy(ts, tieBreak)
+    s.withColumn("__next", lead(typeCol, 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(typeCol.as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(topK)
+  }
+
   /** First/last-touch attribution (an03): credit each conversion's
     * value to a touch channel — last-touch goes to the most recent
     * touch within `lookbackSec` before (or at) the conversion,

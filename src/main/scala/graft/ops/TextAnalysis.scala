@@ -350,6 +350,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Flesch reading-ease score (tx14): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with syllables approximated by vowel-
+    * group count (the standard cheap estimator — a vowel group never
+    * spans whitespace, so one regexp over the whole text equals the
+    * per-word sum). Readability is a routing signal next to tx02's
+    * quality score: very low scores flag OCR garbage and run-on
+    * boilerplate. Pure scan-speed regexp projection, zero shuffles.
+    */
+  def readability(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val words = size(split(trim(text), "\\s+")).cast("double")
+    val sentences = (regexp_count(text, lit("[.!?]+")) + lit(1)).cast("double")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    df.select(col("doc_id"),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllable_groups"),
+      round(lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words), 4).as("flesch"))
+  }
+
   /** Per-document out-of-vocabulary rate (tk03) against the corpus's
     * own top-`k` token vocabulary (`vocab` above — same tokenization,
     * same deterministic count-desc/token-asc ranking, so the cut at

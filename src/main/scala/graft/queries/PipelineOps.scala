@@ -122,6 +122,22 @@ object PipelineOps {
               md5(array_to_string((string_split_regex(text, '\\s+'))[1:8], ' ')) AS prefix_fingerprint
               FROM documents ORDER BY doc_id""")),
 
+    // tx14: Flesch reading ease with vowel-group syllables; identical
+    // left-associated double expression both engines, so the score
+    // matches bit-for-bit before the round
+    NamedQuery("tx14_readability",
+      (s, d) => TextAnalysis.readability(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllable_groups,
+             round(206.835
+               - 1.015 * (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                 / (len(regexp_extract_all(text, '[.!?]+')) + 1))
+               - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+'))), 4) AS flesch
+             FROM documents ORDER BY doc_id""")),
+
     NamedQuery("tx05_vocab",
       (s, d) => TextAnalysis.vocab(docs(s, d), k = 50),
       Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -2067,6 +2083,33 @@ object PipelineOps {
                  round(sum(value), 4)
                FROM conv GROUP BY 2)
              ORDER BY model, channel""")),
+
+    // an05: top in-session event-type transitions — sessionize (st02's
+    // exact-micros gap rule) + lead over the same partitioning; the
+    // oracle replays both windows with the (ts, event_id) total order
+    NamedQuery("an05_path_transitions",
+      (s, d) => graft.ops.Analytics.pathTransitions(
+        Tables.load(s, d, "events"), col("user_id"), col("ts"),
+        col("event_type"), gapSec = 1800L, tieBreak = col("event_id"),
+        topK = 20),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_id, event_type FROM events),
+              f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ts FROM e),
+              g AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+                    epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess FROM f),
+              h AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g),
+              t AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id, session_id
+                      ORDER BY ts, event_id) AS to_type
+                  FROM h)
+             SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             FROM t WHERE to_type IS NOT NULL
+             GROUP BY from_type, to_type
+             ORDER BY n DESC, from_type, to_type LIMIT 20""")),
 
     // A/B readout with deterministic md5 assignment (salt "exp1",
     // 50/50): per-variant click→purchase conversion within 2 h. The

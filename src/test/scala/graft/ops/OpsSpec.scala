@@ -1782,6 +1782,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2) == ((4L, 64L)))                       // full flip
   }
 
+  test("pathTransitions: bigrams stay inside sessions; readability pins a known text") {
+    val ev = Seq(
+      // user 1, one session: a -> b -> c; then a NEW session: c -> a
+      (1L, 1L, 0L, "a"), (2L, 1L, 60L, "b"), (3L, 1L, 120L, "c"),
+      (4L, 1L, 10000L, "c"), (5L, 1L, 10060L, "a")
+    ).map { case (eid, u, sec, t) =>
+      (eid, u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val trans = Analytics.pathTransitions(ev, col("user_id"), col("ts"),
+        col("event_type"), gapSec = 1800L, tieBreak = col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the c->c pair spans the session break and must NOT appear
+    assert(trans == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "a") -> 1L))
+    val doc = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.readability(doc).head
+    assert(r.getLong(1) == 6L)  // words
+    assert(r.getLong(2) == 3L)  // '.' and '!' groups + 1
+    assert(r.getLong(3) == 6L)  // one vowel group per word
+    // 206.835 - 1.015*(6/3) - 84.6*(6/6) = 120.205
+    assert(math.abs(r.getDouble(4) - 120.205) < 1e-9)
+  }
+
   test("heavyHitters: guaranteed survivors above N/(cap+1), exact counts, bounded cap") {
     // 1000 rows: "hot" 400, "warm" 300, tail t0..t59 five each (300)
     val rows = Seq.fill(400)("hot") ++ Seq.fill(300)("warm") ++
