@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g, not 8g: 32 concurrent local tasks over exploded frames GC-
+  // thrash an 8g heap NONDETERMINISTICALLY — the same build measured
+  // 148.6 s vs 76.1 s warm bench totals on identical data purely from
+  // heap headroom (round 9; host has 128g). Heap pressure, not page
+  // cache, was the real source of the ±40% bench variance.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -93,11 +93,11 @@ object Bench {
     val baselineTotal = 50.0
     val baselineN = 49
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    // Host page-cache state, so a slow artifact is attributable: the
-    // same build measures 71 s vs 106 s warm depending on whether the
-    // testdata is cached (BASELINE.md round 9) — Cached < ~2 GB means
-    // the run paid disk latency everywhere and the totals are an
-    // environment artifact, not a plan regression.
+    // Host page-cache state, kept for attribution — though round 9
+    // established the DOMINANT variance source was JVM heap pressure
+    // (8g heap: 148.6 s warm; 24g heap, same data, same cold cache:
+    // 76.1 s) — build.sbt now defaults -Xmx24g. If totals look slow,
+    // check the heap override before blaming plans.
     val cachedMb: Long =
       try scala.io.Source.fromFile("/proc/meminfo").getLines()
         .find(_.startsWith("Cached:"))
