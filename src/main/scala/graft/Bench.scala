@@ -40,6 +40,7 @@ object Bench {
       .filterNot(q => q._1.startsWith("im") || q._1 == "mm02_decode_batched"
         || q._1 == "sim04_ivf_kmeans_recall" || q._1 == "st03_dedup_stream"
         || q._1 == "st04_interval_join" || q._1 == "st05_stream_enrich"
+        || q._1 == "st07_session_window"
         || q._1 == "em02_pq_recall" || q._1 == "sim05_ivfpq_recall"
         || q._1 == "st06_neardup_ingest" || q._1 == "hll01_sketch_rollup"
         // em07 is the same category: runs the whitening TWICE-shaped

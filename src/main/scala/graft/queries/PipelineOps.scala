@@ -2194,6 +2194,40 @@ object PipelineOps {
     // full row identity, and aggregated per user. The oracle is
     // DISTINCT over the original single copy — dedup must erase the
     // replay exactly, with state bounded by the watermark.
+    // st07: native session_window EXECUTED as a streaming query
+    // (memory sink, complete mode — deterministic full emission); the
+    // oracle replays gap sessionization with the strict-> boundary
+    // rule session_window was verified to use, session_end = last+gap
+    NamedQuery("st07_session_window",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("st07-sess").toString
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val q = graft.streaming.EventStream
+          .sessionWindowAgg(s.readStream.schema(ev.schema).parquet(tmp))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("st07_sessions").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("st07_sessions").orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+              f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+              g AS (SELECT *, CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess FROM f),
+              h AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_no FROM g)
+             SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+             FROM h GROUP BY user_id, session_no
+             ORDER BY user_id, session_start""")),
+
     NamedQuery("st03_dedup_stream",
       (s, d) => {
         import org.apache.spark.sql.functions._

@@ -118,6 +118,31 @@ object EventStream {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Native session-window aggregation (st07): Spark's `session_window`
+    * as THE engine-managed form of gap sessionization — works
+    * identically over a batch frame and a streaming one, which is the
+    * point: the same expression deploys as a Structured Streaming
+    * query with watermark-bounded state instead of a hand-rolled
+    * lag/running-sum window. Merge semantics (verified in
+    * EventStreamSpec): events exactly `gap` apart still co-session
+    * (touching windows merge), i.e. a NEW session starts only when the
+    * inter-event gap strictly exceeds `gap` — the same strict-> rule
+    * as sessionizeBatch, so the two forms agree row-for-row; the
+    * reported session_end is last-event + gap (the window bound, not
+    * the last event).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: at-least-once sources (Kafka replays,
     * task retries) deliver duplicates; dropDuplicatesWithinWatermark
     * on the content identity removes them with state BOUNDED by the

@@ -205,4 +205,36 @@ class EventStreamSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(base == kept, base)
   }
+
+  test("session_window: exact-gap events co-session (touching merges); stream == batch") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      (1L, t(0), 1.0), (1L, t(1800), 2.0),    // exactly the gap apart
+      (1L, t(1800 + 1801), 4.0),              // strictly beyond: new session
+      (2L, t(100), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val batch = EventStream.sessionWindowAgg(ev, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    // user 1: [0, 1800] merged (touching), then the far event alone
+    assert(batch.length == 3, batch.mkString("\n"))
+    assert(batch(0).getLong(3) == 2L && batch(0).getDouble(4) == 3.0,
+      s"exact-gap events should merge: ${batch(0)}")
+    assert(batch(1).getLong(3) == 1L && batch(1).getDouble(4) == 4.0)
+    // the reported end is last event + gap
+    assert(batch(0).getString(2) == "1970-01-01 01:00:00", batch(0).getString(2))
+    // the same expression as a real streaming query emits identical rows
+    val tmp2 = java.nio.file.Files.createTempDirectory("st07-spec").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val q = EventStream.sessionWindowAgg(
+        spark.readStream.schema(ev.schema).parquet(tmp2), "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st07_spec").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("st07_spec")
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"stream/batch divergence:\n${streamed.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+  }
 }
