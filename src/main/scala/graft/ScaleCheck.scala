@@ -317,6 +317,28 @@ object ScaleCheck {
     }
   }
 
+  /** Heavy-hitters probe (`runMain graft.ScaleCheck hh`): 40% of
+    * traffic on 2 hot keys, the rest spread over 1M distinct tail keys
+    * — the cardinality regime where a naive groupBy-count ships a
+    * million-row shuffle while Misra–Gries ships partitions×cap rows.
+    * Wall should track rows (the sketch is one pass); the guarantee
+    * must find exactly the two hot keys at every size.
+    */
+  private def hhScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(10000000L, 40000000L)) {
+      val df = spark.range(n).select(
+        when(col("id") % 5 < 2, concat(lit("hot"), col("id") % 2))
+          .otherwise(concat(lit("t"), col("id") % 1000000)).as("k"))
+        .repartition(32)
+      val t0 = System.nanoTime()
+      val out = graft.ops.Sketches.heavyHitters(df, col("k"), cap = 16)
+        .collect()
+      val guaranteed = out.filter(_.getBoolean(2)).map(_.getString(0)).sorted
+      println(f"[scale] hh n=$n%d candidates=${out.length}%d guaranteed=${guaranteed.mkString(",")} top=${out.head.getString(0)}:${out.head.getLong(1)}%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -362,6 +384,11 @@ object ScaleCheck {
     }
     if (path == "r9b") {
       r9bScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "hh") {
+      hhScale(spark)
       spark.stop()
       return
     }
