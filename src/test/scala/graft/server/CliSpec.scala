@@ -60,6 +60,15 @@ class CliSpec extends AnyFunSuite {
       val (c8, ls2) = cli(port, token, "list-sources")
       assert(c8 == 0 && !ls2.contains("clitab"), ls2)
 
+      // no-type-inference ingest stays TEXT until make-typed promotes it
+      val lazyCsv = Files.createTempFile("cli", ".csv")
+      Files.writeString(lazyCsv, "n,s\n7,x\n8,y\n")
+      val (cLz, lzOut) = cli(port, token, "ingest", "--name", "clilazy",
+        "--file", lazyCsv.toString, "--no-type-inference")
+      assert(cLz == 0 && !lzOut.contains("INTEGER"), lzOut)
+      val (cMt, mtOut) = cli(port, token, "make-typed", "clilazy", "1")
+      assert(cMt == 0 && mtOut.contains("INTEGER"), mtOut)
+
       val json = Files.createTempFile("cli", ".json")
       Files.writeString(json, "{\"a\": 1}\n{\"a\": 2}\n")
       val (c9, itOut) = cli(port, token, "infer-json-type",

@@ -6,9 +6,10 @@ set-type, tag, untag, manage, create-group, manage-group, manage-user,
 download, compact, dump-db-info) re-expressed over HTTP with the
 standard library only.
 
-Omitted verbs, with reasons: `make-typed` (this engine types at ingest;
-re-typing a column is `set-type`), `rebuild-can-read-cache` /
-`get-server-url` (reference-internal debug).
+Omitted verbs, with reasons: `get-server-url` (reference-internal
+debug). `make-typed` promotes a --no-type-inference ingest (bare POST
+to the source version); `rebuild-can-read-cache` is the admin no-op
+debug route.
 
 Session: `login` prints a token; pass it back via --token or the
 GRAFT_TOKEN environment variable. Without a token, requests act as the
@@ -77,8 +78,15 @@ def main():
     s.add_argument("--name", required=True)
     s.add_argument("--file", help="input path (default: stdin)")
     s.add_argument("--json", action="store_true", help="input is JSON")
+    s.add_argument("--no-type-inference", action="store_true",
+                   help="ingest as all-TEXT; promote later with make-typed")
     s.add_argument("--param", action="append", default=[],
                    help="extra k=v ingest params (repeatable)")
+
+    s = sub.add_parser("make-typed",
+                       help="re-infer types for a no-type-inference ingest")
+    s.add_argument("name")
+    s.add_argument("version")
 
     s = sub.add_parser("list-sources", help="search the catalog")
     s.add_argument("--filter", action="append", default=[],
@@ -169,6 +177,8 @@ def main():
                      (kv.split("=", 1) for kv in a.param))
         if a.json:
             qs += "&json=true"
+        if a.no_type_inference:
+            qs += "&noTypeInference"
         run(a, "POST", f"/sources?name={q(a.name)}{qs}", body=data)
     if a.cmd == "list-sources":
         qs = "&".join(f"{k}={q(v)}" for k, v in
@@ -182,6 +192,8 @@ def main():
         if a.version:
             run(a, "DELETE", f"/source/{q(a.name)}/{q(a.version)}")
         run(a, "DELETE", f"/source/{q(a.name)}")
+    if a.cmd == "make-typed":
+        run(a, "POST", f"/source/{q(a.name)}/{q(a.version)}")
     if a.cmd == "set-type":
         run(a, "POST",
             f"/source/{q(a.name)}/{q(a.version)}/column/{q(a.column)}/type",
