@@ -186,6 +186,48 @@ object Analytics {
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** RFM segmentation (an06): per-customer Recency / Frequency /
+    * Monetary quartile codes — the classic customer-value cube.
+    * Recency is measured against the CORPUS max timestamp (never the
+    * wall clock — determinism) in whole days; each metric scores 1-4
+    * by its quartile cuts, recency inverted (most recent = 4). The
+    * cuts come from ONE exact-percentile aggregate (nine doubles to
+    * the driver) and fold back as literals, so assignment is a pure
+    * scan over the per-customer frame. Exact percentile buffers the
+    * per-customer metric values in one aggregation buffer — fine to
+    * ~1e8 customers; swap `percentile` for `approx_percentile` beyond
+    * that (dq02's documented trade) at the cost of oracle exactness.
+    */
+  def rfm(orders: DataFrame, customer: Column, ts: Column,
+          amount: Column): DataFrame = {
+    val per = orders.groupBy(customer.as("customer"))
+      .agg(max(unix_micros(ts)).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        round(sum(amount), 2).as("monetary"))
+    val withR = per
+      .crossJoin(broadcast(per.agg(max(col("__last_us")).as("__max_us"))))
+      .withColumn("recency_days",
+        ((col("__max_us") - col("__last_us")) / lit(86400000000L)).cast("long"))
+      .drop("__last_us", "__max_us")
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val cuts = withR.agg(
+      percentile(col("recency_days"), qs).as("r"),
+      percentile(col("frequency"), qs).as("f"),
+      percentile(col("monetary"), qs).as("m")).head()
+    def score(v: Column, c: Seq[Double]): Column =
+      lit(1) + (v > lit(c(0))).cast("int") + (v > lit(c(1))).cast("int") +
+        (v > lit(c(2))).cast("int")
+    val (rc, fc, mc) = (cuts.getSeq[Double](0), cuts.getSeq[Double](1),
+      cuts.getSeq[Double](2))
+    withR.select(col("customer"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(5) - score(col("recency_days"), rc)).as("r_score"),
+        score(col("frequency"), fc).as("f_score"),
+        score(col("monetary"), mc).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Session path transitions (an05): the top event-type bigrams
     * inside gap-sessions — "what do users do next" — the path-analysis
     * report product teams read next to funnels. Composes sessionize

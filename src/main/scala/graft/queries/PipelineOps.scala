@@ -2111,6 +2111,49 @@ object PipelineOps {
              GROUP BY from_type, to_type
              ORDER BY n DESC, from_type, to_type LIMIT 20""")),
 
+    // an06: RFM quartile segmentation over orders — recency vs corpus
+    // max o_orderdate, quartile cuts via exact percentile, assignment
+    // by strict > against interpolated cuts (bit-identical IEEE both
+    // engines); the oracle replays with quantile_cont
+    NamedQuery("an06_rfm_segments",
+      (s, d) => graft.ops.Analytics.rfm(
+          Tables.load(s, d, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy("customer"),
+      Some("""WITH per AS (SELECT o_custkey AS customer,
+                    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+                    CAST(count(*) AS BIGINT) AS frequency,
+                    round(sum(o_totalprice), 2) AS monetary
+                  FROM orders GROUP BY 1),
+              mx AS (SELECT max(last_us) AS max_us FROM per),
+              r AS (SELECT customer,
+                    CAST((max_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+                    frequency, monetary FROM per, mx),
+              c AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+                    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+                    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc FROM r)
+             SELECT customer, recency_days, frequency, monetary,
+               5 - (1 + CAST(recency_days > rc[1] AS INT)
+                      + CAST(recency_days > rc[2] AS INT)
+                      + CAST(recency_days > rc[3] AS INT)) AS r_score,
+               1 + CAST(frequency > fc[1] AS INT)
+                 + CAST(frequency > fc[2] AS INT)
+                 + CAST(frequency > fc[3] AS INT) AS f_score,
+               1 + CAST(monetary > mc[1] AS INT)
+                 + CAST(monetary > mc[2] AS INT)
+                 + CAST(monetary > mc[3] AS INT) AS m_score,
+               concat(
+                 5 - (1 + CAST(recency_days > rc[1] AS INT)
+                        + CAST(recency_days > rc[2] AS INT)
+                        + CAST(recency_days > rc[3] AS INT)),
+                 1 + CAST(frequency > fc[1] AS INT)
+                   + CAST(frequency > fc[2] AS INT)
+                   + CAST(frequency > fc[3] AS INT),
+                 1 + CAST(monetary > mc[1] AS INT)
+                   + CAST(monetary > mc[2] AS INT)
+                   + CAST(monetary > mc[3] AS INT)) AS segment
+             FROM r, c ORDER BY customer""")),
+
     // A/B readout with deterministic md5 assignment (salt "exp1",
     // 50/50): per-variant click→purchase conversion within 2 h. The
     // oracle replays assignment and funnel; integer-over-integer rate

@@ -1782,6 +1782,26 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2) == ((4L, 64L)))                       // full flip
   }
 
+  test("rfm: best customer scores 444, worst 111; recency inverts") {
+    def t(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L))
+    // customer 1: recent, frequent, big spender; customer 4: one old cheap order
+    val orders = Seq(
+      (1L, t(100), 500.0), (1L, t(99), 500.0), (1L, t(98), 500.0), (1L, t(97), 500.0),
+      (2L, t(60), 100.0), (2L, t(59), 100.0), (2L, t(58), 100.0),
+      (3L, t(30), 50.0), (3L, t(29), 50.0),
+      (4L, t(1), 10.0)
+    ).toDF("cust", "ts", "amount")
+    val out = Analytics.rfm(orders, col("cust"), col("ts"), col("amount"))
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(out(1L) == "444", out)
+    assert(out(4L) == "111", out)
+    // recency_days of the most recent customer is 0 (corpus max anchor)
+    val r1 = Analytics.rfm(orders, col("cust"), col("ts"), col("amount"))
+      .filter(col("customer") === 1L).head
+    assert(r1.getLong(1) == 0L)
+  }
+
   test("pathTransitions: bigrams stay inside sessions; readability pins a known text") {
     val ev = Seq(
       // user 1, one session: a -> b -> c; then a NEW session: c -> a
