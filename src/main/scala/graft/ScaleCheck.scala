@@ -339,6 +339,41 @@ object ScaleCheck {
     }
   }
 
+  /** Embedding-sketch probe (`runMain graft.ScaleCheck em`):
+    * em08 signPack + hammingTopK over deterministic synthetic vectors
+    * (integer-mix pseudo-floats — no RNG) at 1M/4M vectors, and em07's
+    * co-moment pass at 100k/400k. signPack is scan-speed; hammingTopK's
+    * cost center is the per-query top-k sort; the co-moment pass pays
+    * the d²·N multiply floor with only d² shuffle rows.
+    */
+  private def emScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def vecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        ((pmod(col("id") * lit(2654435761L) + d.cast("long") * lit(40503L),
+          lit(1000L))) - lit(500L)).cast("float") / lit(500.0f)).as("embedding"))
+      .repartition(32)
+    for (n <- Seq(1000000L, 4000000L)) {
+      val v = vecs(n).cache(); v.count()
+      var t0 = System.nanoTime()
+      val packed = graft.ops.Embeddings.signPack(v, dim = 64).count()
+      val packSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val topk = graft.ops.Embeddings.hammingTopK(v,
+        queryIds = Seq(1L, 2L, 3L, 4L), dim = 64, k = 10).count()
+      println(f"[scale] em n=$n%d signPack=$packed%d rows ${packSec}%.1fs hammingTopK(4q)=$topk%d rows ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      v.unpersist()
+    }
+    for (n <- Seq(100000L, 400000L)) {
+      val v = vecs(n).cache(); v.count()
+      val t0 = System.nanoTime()
+      val w = graft.ops.Embeddings.zcaWhiten(v, dim = 64, eps = 1e-9)
+        .select(element_at(col("zca_embedding"), 1)).agg(sum(col("element_at(zca_embedding, 1)"))).collect()
+      println(f"[scale] em n=$n%d zcaWhiten ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      v.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -389,6 +424,11 @@ object ScaleCheck {
     }
     if (path == "hh") {
       hhScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "em") {
+      emScale(spark)
       spark.stop()
       return
     }
