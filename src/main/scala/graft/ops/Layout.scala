@@ -40,4 +40,38 @@ object Layout {
                    leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
+
+  /** Morton (z-order) interleave of two non-negative long keys
+    * (zo01): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1 — the space-filling-curve sort key behind multi-column
+    * data skipping (Delta/Iceberg OPTIMIZE ZORDER). Sorting a table
+    * by z-value clusters rows that are close in BOTH dimensions into
+    * the same files, so parquet min/max row-group stats prune scans
+    * filtered on either column — the layout answer when bucketing
+    * can serve only one key. 31 bits per side (the sign bit and bit
+    * 31 stay clear, so the interleave fits a positive long); pure
+    * bitwise codegen, no UDF.
+    */
+  def zValue(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 31).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Rewrite `df` z-ordered on two long columns: range-partition by
+    * z-value (distributed sort — each output file owns a contiguous
+    * z-range, i.e. a rectangle-ish region of (a, b) space) and sort
+    * within partitions so row-group stats are tight. `partitions`
+    * sizes the output files; the z column is dropped from the data.
+    */
+  def zOrderWrite(df: DataFrame, a: String, b: String, path: String,
+                  partitions: Int = 32): Unit = {
+    require(partitions > 0, s"partitions must be positive: $partitions")
+    df.withColumn("__z", zValue(col(a), col(b)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

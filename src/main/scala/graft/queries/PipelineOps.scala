@@ -1860,6 +1860,20 @@ object PipelineOps {
     // aggregate. Correctness gated here (same result as the plain
     // join); the POINT — zero Exchange in the join plan — is asserted
     // in PlanQualitySpec (bb01 test).
+    // zo01: Morton (z-order) interleave key — the multi-column data-
+    // skipping sort key; the oracle replays the 31-step bit interleave
+    // with DuckDB's shift/mask operators (exact integer both engines)
+    NamedQuery("zo01_zorder_key",
+      (s, d) => Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.ops.Layout.zValue(col("o_orderkey"), col("o_custkey")).as("z"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey,
+             CAST((SELECT sum((((o_orderkey >> i) & 1) << (2 * i)) |
+                              (((o_custkey >> i) & 1) << (2 * i + 1)))
+                   FROM range(0, 31) t(i)) AS BIGINT) AS z
+             FROM orders ORDER BY o_orderkey""")),
+
     NamedQuery("bb01_bucketed_join",
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("bb01").toString

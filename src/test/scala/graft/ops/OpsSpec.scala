@@ -1782,6 +1782,29 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2) == ((4L, 64L)))                       // full flip
   }
 
+  test("zOrder: interleave pins known bits; layout clusters BOTH dimensions") {
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).head.getLong(0)
+    assert(z == 7L, s"interleave(3,1) = $z, want 0b0111") // a0,b0,a1 set
+    // 32x32 grid: z-order write must give every output file a NARROW
+    // range in BOTH x and y (a plain sort by x leaves y spanning the
+    // whole domain in every file)
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val tmp = java.nio.file.Files.createTempDirectory("zo").toString
+    Layout.zOrderWrite(grid, "x", "y", s"$tmp/z", partitions = 16)
+    val spans = spark.read.parquet(s"$tmp/z")
+      .select(col("x"), col("y"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .collect()
+    // every file covers at most half the domain in each dimension —
+    // the rectangle property a single-column sort cannot give for y
+    assert(spans.forall(r => r.getLong(1) <= 16 && r.getLong(2) <= 16),
+      spans.mkString("\n"))
+  }
+
   test("rfm: best customer scores 444, worst 111; recency inverts") {
     def t(day: Int) = java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(day * 86400L))
