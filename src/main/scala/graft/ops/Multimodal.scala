@@ -198,6 +198,98 @@ object Multimodal {
     else Some((w, h, 3, sums(0) / n, sums(1) / n, sums(2) / n))
   }
 
+  /** Perceptual difference hash (mm06): decode a netpbm payload,
+    * grayscale, block-average onto a 9×8 grid, and set bit (row·8+col)
+    * when the cell is brighter than its right neighbor — the classic
+    * dHash. Near-duplicate images (re-encodes, brightness shifts,
+    * small crops) land within a few Hamming bits while different
+    * images scatter, so image dedup becomes em08's xor/bit_count
+    * machinery over one long per image. All-integer arithmetic: cell
+    * comparisons cross-multiply pixel sums (sum₁·n₂ > sum₂·n₁), so
+    * the hash is bit-identical on any platform. Cells clamp to ≥1
+    * pixel, so tiny images still hash (they just alias). None for
+    * non-netpbm payloads — same skip contract as decodePpm.
+    */
+  def dhashPpm(b: Array[Byte]): Option[Long] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val gray = b(1) == '5'
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def num(): Int = {
+      skipWs(); var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1; any = true }
+      if (any) v else -1
+    }
+    val w = num(); val h = num(); val maxv = num()
+    i += 1
+    val ch = if (gray) 1 else 3
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i + w.toLong * h * ch > b.length) return None
+    // integer luma ×1000: 299 R + 587 G + 114 B (or 1000·gray)
+    def luma(x: Int, y: Int): Long = {
+      val o = i + (y.toLong * w + x) * ch
+      if (gray) (b(o.toInt) & 0xFF).toLong * 1000L
+      else 299L * (b(o.toInt) & 0xFF) + 587L * (b(o.toInt + 1) & 0xFF) +
+        114L * (b(o.toInt + 2) & 0xFF)
+    }
+    // 9×8 block-average grid as (sum, count) pairs — exact integers
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { s += luma(x, y); n += 1; x += 1 }
+          y += 1
+        }
+        sums(cy)(cx) = s; cnts(cy)(cx) = math.max(n, 1L)
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) > sums(cy)(cx + 1) * cnts(cy)(cx))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
+  /** Batched dHash over (doc_id, payload) rows — the mapPartitions
+    * shape of decodeImages; undecodable payloads drop (count in ==
+    * count out for clean corpora is the caller's check).
+    */
+  def dhashImages(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, payload) => dhashPpm(payload).map(hs => (id, hs))
+      }))
+      .toDF("doc_id", "dhash")
+  }
+
   /** Decoded audio record: PCM WAV (RIFF, 16-bit). */
   final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                              n_samples: Long, duration_ms: Double, rms: Double)

@@ -1624,6 +1624,41 @@ object PipelineOps {
     // decoder is genuine (header parse + per-channel means), not the
     // stub. Fixtures are solid-color / known-pixel images whose means
     // are exact by construction; a JPEG-magic payload must be skipped.
+    // mm06: perceptual dHash — brightness-invariant by construction
+    // (uniform shifts preserve every left>right comparison), scale-
+    // robust (2x upscale lands within a few grid-aliasing bits),
+    // discriminative across patterns; hll01-style verdict gate since
+    // a pixel decode is not SQL-expressible
+    NamedQuery("mm06_image_dhash",
+      (s, _) => {
+        def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          head ++ (0 until h).flatMap(y => (0 until w).flatMap { x =>
+            val v = f(x, y); Seq(v.toByte, v.toByte, v.toByte)
+          })
+        }
+        // low-frequency pattern (period ~ the image width): block
+        // averages are stable under resampling, which is what dHash
+        // relies on for real photos — a per-pixel noise pattern would
+        // alias at the 9x8 grid and defeat any perceptual hash
+        def pat(x: Int, y: Int) = ((x + 2 * y) % 32) * 6
+        import s.implicits._
+        val payloads = Seq(
+          (1L, p6(32, 32, pat)),                         // base
+          (2L, p6(32, 32, (x, y) => pat(x, y) + 20)),    // brightness shift
+          (3L, p6(64, 64, (x, y) => pat(x / 2, y / 2))), // 2x upscale
+          (4L, p6(32, 32, (x, y) => ((31 - x + y) % 32) * 6)), // mirrored ramp
+          (5L, Array[Byte](0xFF.toByte, 0xD8.toByte)))   // JPEG magic: dropped
+        val hs = graft.ops.Multimodal.dhashImages(payloads.toDF("doc_id", "payload"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+        Seq((hs.size.toLong, ham(hs(1L), hs(2L)) == 0,
+          ham(hs(1L), hs(3L)) <= 8, ham(hs(1L), hs(4L)) >= 16))
+          .toDF("n_hashed", "bright_same", "scaled_close", "diff_far")
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n_hashed, true AS bright_same,
+             true AS scaled_close, true AS diff_far""")),
+
     NamedQuery("mm03_ppm_decode",
       (s, _) => {
         def p6(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {

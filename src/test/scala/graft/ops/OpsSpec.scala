@@ -1782,6 +1782,18 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2) == ((4L, 64L)))                       // full flip
   }
 
+  test("dhashPpm: tiny images hash without crashing; junk is None; gray == rgb of itself") {
+    def p5(w: Int, h: Int, v: Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ Array.fill(w * h)(v.toByte)
+    // 2x2 image: cells clamp to >=1 pixel, constant field -> hash 0
+    assert(Multimodal.dhashPpm(p5(2, 2, 77)).contains(0L))
+    assert(Multimodal.dhashPpm("not an image".getBytes).isEmpty)
+    assert(Multimodal.dhashPpm(p5(1, 1, 0)).contains(0L))
+    // truncated raster is rejected, not mis-hashed
+    assert(Multimodal.dhashPpm(
+      "P5\n8 8\n255\n".getBytes("US-ASCII") ++ Array.fill(10)(1.toByte)).isEmpty)
+  }
+
   test("zOrder: interleave pins known bits; layout clusters BOTH dimensions") {
     val z = Seq((3L, 1L)).toDF("a", "b")
       .select(Layout.zValue(col("a"), col("b")).as("z")).head.getLong(0)
