@@ -46,6 +46,8 @@ object Bench {
         // em07 is the same category: runs the whitening TWICE-shaped
         // work (transform + full moment audit) to emit booleans
         || q._1 == "em07_zca_whiten"
+        // mm06 likewise: embedded-fixture perceptual-contract verdict
+        || q._1 == "mm06_image_dhash"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
