@@ -164,4 +164,27 @@ object Temporal {
       .filter(residual)
       .drop(bucket)
   }
+
+  /** Interval concurrency profile (tp04) — the sweep line: explode
+    * each [start, end) interval into a +1 and a −1 boundary event,
+    * then a per-key running sum ordered by (time, delta) gives the
+    * number of concurrently-open intervals after every boundary; ends
+    * sort BEFORE starts at the same instant (delta ascending), so
+    * back-to-back intervals never double-count — the half-open
+    * convention both engines replay exactly in integer microseconds.
+    * One explode (map-side) + one keyed window: the classic
+    * O(n log n) answer to "peak concurrent sessions/calls/jobs" that
+    * a naive self-join makes quadratic.
+    */
+  def concurrency(df: DataFrame, key: Column, start: Column,
+                  end: Column): DataFrame = {
+    val ev = df.select(key.as("k"),
+        explode(array(
+          struct(unix_micros(start).as("tu"), lit(1).as("delta")),
+          struct(unix_micros(end).as("tu"), lit(-1).as("delta")))).as("e"))
+      .select(col("k"), col("e.tu").as("tu"), col("e.delta").as("delta"))
+    val w = Window.partitionBy(col("k")).orderBy(col("tu"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("open", sum(col("delta")).over(w))
+  }
 }

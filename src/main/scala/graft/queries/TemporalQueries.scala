@@ -123,6 +123,39 @@ object TemporalQueries {
              |  WHERE r.user_id = l.user_id AND r.ts >= l.ts
              |    AND r.ts <= l.ts + INTERVAL 7200 SECOND
              |  ORDER BY r.ts LIMIT 1) nx ON TRUE
-             |ORDER BY l.event_id"""))
+             |ORDER BY l.event_id""")),
+
+    // tp04: interval concurrency via the sweep line — each event
+    // opens an interval of (event_id % 600 + 60) seconds; peak
+    // concurrently-open intervals per user. Ends sort before starts
+    // at the same instant (delta ascending), and the per-key MAX is
+    // tie-order-invariant, so the aggregate is engine-exact.
+    NamedQuery("tp04_concurrency",
+      (s, d) => {
+        val ev = graft.Tables.load(s, d, "events")
+        val iv = ev.select(col("user_id"), col("ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(600)) + lit(60)) * lit(1000000L))
+            .as("end_ts"))
+        graft.ops.Temporal.concurrency(iv, col("user_id"), col("ts"),
+            col("end_ts"))
+          .groupBy(col("k").as("user_id"))
+          .agg(max(col("open")).as("peak_concurrency"),
+            count(lit(1)).as("n_boundaries"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id AS k,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                    epoch_us(CAST(ts AS TIMESTAMP)) +
+                      (event_id % 600 + 60) * 1000000 AS e
+                  FROM events),
+              ev AS (SELECT k, s AS tu, 1 AS delta FROM iv
+                     UNION ALL SELECT k, e, -1 FROM iv),
+              r AS (SELECT k, sum(delta) OVER (PARTITION BY k
+                    ORDER BY tu, delta ROWS UNBOUNDED PRECEDING) AS open
+                  FROM ev)
+             SELECT k AS user_id, CAST(max(open) AS BIGINT) AS peak_concurrency,
+               CAST(count(*) AS BIGINT) AS n_boundaries
+             FROM r GROUP BY k ORDER BY user_id"""))
   )
 }

@@ -157,4 +157,26 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("windowSec"))
   }
+
+  test("concurrency: sweep line counts overlaps; back-to-back never double-counts") {
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val iv = Seq(
+      (1L, t(0), t(100)),    // overlaps the next two
+      (1L, t(50), t(150)),
+      (1L, t(60), t(70)),    // nested: peak 3 here
+      (1L, t(150), t(200)),  // starts exactly when #2 ends: no overlap
+      (2L, t(0), t(10))
+    ).toDF("k", "s", "e")
+    val out = Temporal.concurrency(iv, col("k"), col("s"), col("e"))
+    val peak = out.groupBy("k").agg(max("open").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(peak == Map(1L -> 3L, 2L -> 1L), peak)
+    // at t=150 the end (-1) sorts before the start (+1): the touching
+    // pair alone never shows 2 open
+    val at150 = out.filter(col("k") === 1L && col("tu") === 150000000L)
+      .orderBy("delta").select("delta", "open").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(at150.head._1 == -1 && at150.last._1 == 1 &&
+      at150.last._2 == at150.head._2 + 1, at150.mkString(","))
+  }
 }
