@@ -165,6 +165,49 @@ object Temporal {
       .drop(bucket)
   }
 
+  /** Linear-interpolation resampling (tp05): per key, a value for
+    * every `stepSec` grid instant between the key's first and last
+    * observation, linearly interpolated between the surrounding
+    * observations (exact at observation instants; Analytics.resample
+    * is the LOCF sibling). Composition, not a new primitive: one
+    * sequence+explode builds the grid, then TWO as-of passes — the
+    * backward one and the forward one — bracket every grid instant,
+    * and the lerp is a scan-speed projection in exact integer
+    * microseconds (t−t₁)/(t₂−t₁). Two keyed window exchanges total,
+    * zero join nodes.
+    */
+  def interpolate(df: DataFrame, key: String, timeCol: String,
+                  valueCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val obs = df.select(col(key), col(timeCol), col(valueCol))
+    val grid = df.groupBy(col(key))
+      .agg(min(unix_seconds(col(timeCol))).as("__t0"),
+        max(unix_seconds(col(timeCol))).as("__t1"))
+      .select(col(key),
+        (ceil(col("__t0").cast("double") / stepSec).cast("long") * stepSec)
+          .as("__g0"),
+        (floor(col("__t1").cast("double") / stepSec).cast("long") * stepSec)
+          .as("__g1"))
+      // a key observed for less than one step has no interior grid
+      // instant — emit nothing rather than let sequence() throw on
+      // inverted bounds
+      .select(col(key), explode(when(col("__g0") <= col("__g1"),
+        sequence(col("__g0"), col("__g1"), lit(stepSec)))
+        .otherwise(array().cast("array<long>"))).as("__grid_s"))
+      .select(col(key), timestamp_seconds(col("__grid_s")).as(timeCol))
+    val back = asofJoin(grid, obs, Seq(key), timeCol, Seq(valueCol),
+      prefix = "prev_", direction = "backward")
+    val both = asofJoin(back, obs, Seq(key), timeCol, Seq(valueCol),
+      prefix = "next_", direction = "forward")
+    val (t, t1, t2) = (unix_micros(col(timeCol)),
+      unix_micros(col("prev_" + timeCol)), unix_micros(col("next_" + timeCol)))
+    val (v1, v2) = (col("prev_" + valueCol), col("next_" + valueCol))
+    both.select(col(key), col(timeCol),
+      when(t2 === t1, v1).otherwise(
+        v1 + (v2 - v1) * (t - t1).cast("double") / (t2 - t1).cast("double"))
+        .as("interpolated"))
+  }
+
   /** Interval concurrency profile (tp04) — the sweep line: explode
     * each [start, end) interval into a +1 and a −1 boundary event,
     * then a per-key running sum ordered by (time, delta) gives the

@@ -156,6 +156,50 @@ object TemporalQueries {
                   FROM ev)
              SELECT k AS user_id, CAST(max(open) AS BIGINT) AS peak_concurrency,
                CAST(count(*) AS BIGINT) AS n_boundaries
-             FROM r GROUP BY k ORDER BY user_id"""))
+             FROM r GROUP BY k ORDER BY user_id""")),
+
+    // tp05: linear-interpolation resampling on a 1-hour grid, bracketed
+    // by two as-of passes; the lerp is the identical left-associated
+    // double expression both engines, rounded at 4
+    NamedQuery("tp05_interpolate",
+      (s, d) => {
+        val obs = graft.Tables.load(s, d, "events")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        graft.ops.Temporal.interpolate(obs, "user_id", "ts", "value",
+            stepSec = 3600L)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            round(col("interpolated"), 4).as("interpolated"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    max(value) AS v
+                  FROM events GROUP BY 1, 2),
+              b AS (SELECT user_id,
+                    CAST(ceil(CAST(min(epoch_us(ts) // 1000000) AS DOUBLE) / 3600)
+                      AS BIGINT) * 3600 AS g0,
+                    CAST(floor(CAST(max(epoch_us(ts) // 1000000) AS DOUBLE) / 3600)
+                      AS BIGINT) * 3600 AS g1
+                  FROM o GROUP BY 1),
+              g AS (SELECT user_id, unnest(generate_series(g0, g1, 3600)) AS gs
+                  FROM b WHERE g0 <= g1),
+              p AS (SELECT g.user_id, g.gs, pv.pt, pv.pval, nv.nt, nv.nval
+                  FROM g
+                  JOIN LATERAL (SELECT epoch_us(o.ts) AS pt, o.v AS pval FROM o
+                        WHERE o.user_id = g.user_id
+                          AND epoch_us(o.ts) <= g.gs * 1000000
+                        ORDER BY o.ts DESC LIMIT 1) pv ON TRUE
+                  JOIN LATERAL (SELECT epoch_us(o.ts) AS nt, o.v AS nval FROM o
+                        WHERE o.user_id = g.user_id
+                          AND epoch_us(o.ts) >= g.gs * 1000000
+                        ORDER BY o.ts ASC LIMIT 1) nv ON TRUE)
+             SELECT user_id,
+               strftime(to_timestamp(gs), '%Y-%m-%d %H:%M:%S') AS ts,
+               round(CASE WHEN nt = pt THEN pval
+                 ELSE pval + (nval - pval) *
+                   CAST(gs * 1000000 - pt AS DOUBLE) / (nt - pt) END, 4)
+                 AS interpolated
+             FROM p ORDER BY user_id, ts"""))
   )
 }

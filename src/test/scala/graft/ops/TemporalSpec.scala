@@ -158,6 +158,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowSec"))
   }
 
+  test("interpolate: exact at observations, linear between, sub-step keys vanish") {
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // key 1: v=0 at t=0, v=100 at t=100 -> grid at 10s steps ramps by 10
+    val obs = Seq(
+      (1L, t(0), 0.0), (1L, t(100), 100.0),
+      (2L, t(5), 7.0), (2L, t(8), 9.0) // span < one step: no grid rows
+    ).toDF("k", "ts", "v")
+    val out = Temporal.interpolate(obs, "k", "ts", "v", stepSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond,
+        r.getDouble(2)))
+    assert(out.forall(_._1 == 1L), out.mkString(","))
+    assert(out.length == 11)
+    out.foreach { case (_, sec, v) => assert(v == sec.toDouble, s"$sec -> $v") }
+  }
+
   test("concurrency: sweep line counts overlaps; back-to-back never double-counts") {
     def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val iv = Seq(
