@@ -311,4 +311,96 @@ object Analytics {
         col("n_conversions"), col("sum_value"))
     byFirst.unionAll(byLast)
   }
+
+  /** Trailing-window z-score anomaly flags (ts01): for each event, the
+    * mean/stddev of the PRIOR `windowSec` seconds of its key's stream
+    * (current row excluded — an outlier must not mask itself), and an
+    * anomaly flag when the z-score clears `zThreshold` with at least
+    * `minPrior` supporting observations.
+    *
+    * One keyed RANGE-frame window (rw01's shape) computes inclusive
+    * count/sum/sum-of-squares; the exclusive statistics are recovered
+    * algebraically (n−1, Σ−x, Σx²−x²) instead of an EXCLUDE CURRENT
+    * ROW frame Spark doesn't have. The z-score is ROUNDED before the
+    * threshold compare so the flag is stable across engines that
+    * associate the window sums differently (segment tree vs running).
+    */
+  def rollingAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
+                     tieBreak: Column, windowSec: Long, minPrior: Int = 30,
+                     zThreshold: Double = 3.0): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    require(minPrior >= 2, s"minPrior must be at least 2: $minPrior")
+    val w = Window.partitionBy(key).orderBy(unix_seconds(ts))
+      .rangeBetween(-(windowSec - 1), Window.currentRow)
+    val inc = df
+      .withColumn("__n_inc", count(value).over(w))
+      .withColumn("__s_inc", sum(value).over(w))
+      .withColumn("__q_inc", sum(value * value).over(w))
+    val nEx = col("__n_inc") - 1
+    val sEx = col("__s_inc") - value
+    val qEx = col("__q_inc") - value * value
+    // try_divide: the first row of a key has an empty prior window
+    // (n=0) and ANSI mode makes plain / throw there
+    val mean = try_divide(sEx, nEx)
+    // sample variance of the prior window; clamp tiny negative FP dust
+    val variance = greatest(
+      try_divide(qEx - try_divide(sEx * sEx, nEx), nEx - 1), lit(0.0))
+    // variance 0 (constant prior window) → z undefined, never anomalous
+    val z = when(variance > 0, round((value - mean) / sqrt(variance), 3))
+    inc.select(tieBreak.as("tb"), key.as("k"),
+        value.as("v"), nEx.cast("long").as("n_prior"),
+        round(mean, 4).as("prior_mean"),
+        when(nEx >= minPrior, z).as("z"),
+        coalesce(nEx >= minPrior && abs(z) > zThreshold, lit(false))
+          .as("is_anomaly"))
+      .orderBy(col("tb"))
+  }
+
+  /** Market-basket pair affinity (cf01): support / confidence / lift
+    * for item pairs co-occurring in a basket — the co-occurrence
+    * signal behind "bought together" and feature co-selection.
+    *
+    * The pair generator is an equi-SELF-JOIN on the basket key with
+    * `item_a < item_b`, so work per basket is bounded by its item
+    * count squared — never a corpus cross product. Baskets with more
+    * than `maxBasket` distinct items are dropped THROUGH the observed
+    * metric guard (`graft.basket_lift.drops`), the same auditable
+    * bound fuzzyPairs uses: a pathological 10⁵-item basket would
+    * otherwise contribute 10¹⁰ pairs on its own. Statistics are exact
+    * integer counts; lift's single division happens once per surviving
+    * pair.
+    */
+  def basketLift(df: DataFrame, basket: Column, item: Column,
+                 minPairCount: Int = 2, maxBasket: Int = 1000): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")
+    val bi0 = df.select(basket.as("bk"), item.as("it")).distinct()
+    // persist the guarded pair set: it feeds FOUR consumers (the
+    // basket count, both sides of the self-join, and the item counts)
+    // — caching makes the distinct+guard run once, and keeps the drop
+    // accumulators counting each dropped basket exactly once
+    val bi = OpsMetrics.rowGuarded(bi0, Seq("bk"), maxBasket, "graft.basket_lift")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = bi.select(col("bk")).distinct().count()
+    val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = bi.as("a")
+      .join(bi.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    // item-count join-back: no broadcast hint — the item table is
+    // catalog-sized, AQE broadcasts it when it fits and shuffles on
+    // the item key when it doesn't
+    pairs
+      .join(itemN.withColumnRenamed("it", "item_a")
+        .withColumnRenamed("n_item", "n_a"), Seq("item_a"))
+      .join(itemN.withColumnRenamed("it", "item_b")
+        .withColumnRenamed("n_item", "n_b"), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(col("n_pair") * lit(nBaskets) / (col("n_a") * col("n_b")), 6)
+          .as("lift"),
+        round(col("n_pair") / col("n_a").cast("double"), 6).as("confidence"))
+      .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature-engineering operators: the leakage-safe encoders and
+  * cleaners that turn a raw event/transaction corpus into model
+  * features. Same scale discipline as the curation family — the
+  * data-proportional path is one keyed window or one broadcast
+  * join-back; nothing collects beyond group-cardinality rows.
+  */
+object Features {
+
+  /** Leave-one-out target encoding (enc01): replace a high-cardinality
+    * category with the mean of the target over the OTHER rows of its
+    * category, smoothed toward the global mean by a pseudo-count of
+    * `smoothing` virtual rows:
+    *
+    *   enc(row) = (Σ_cat y − y_row + m·ȳ) / (n_cat − 1 + m)
+    *
+    * Excluding the row's own target is what makes the feature safe to
+    * train on (plain mean encoding leaks the label: a singleton
+    * category memorizes its own y). Smoothing makes singletons fall
+    * back to exactly the global mean instead of 0/0.
+    *
+    * One keyed window computes (n_cat, Σ_cat) without a join-back —
+    * category cardinality never materializes anywhere — and the
+    * global mean is a broadcast one-row cross join (the url01 scalar
+    * pattern), so the plan is: one exchange on the category, one
+    * scan-speed projection.
+    */
+  def targetEncode(df: DataFrame, category: Column, target: Column,
+                   id: Column, smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive: $smoothing")
+    val globalMean = df.agg(avg(target).as("__g"))
+    val w = Window.partitionBy(category)
+    df.crossJoin(broadcast(globalMean))
+      .withColumn("__n_cat", count(target).over(w))
+      .withColumn("__sum_cat", sum(target).over(w))
+      .select(id.as("id"), category.as("category"), target.as("y"),
+        round((col("__sum_cat") - target + lit(smoothing) * col("__g")) /
+          (col("__n_cat") - 1 + lit(smoothing)), 6).as("enc"))
+  }
+
+  /** Group-median imputation (imp01): fill nulls in `value` with the
+    * exact median of the row's group (computed over non-null rows),
+    * falling back to the corpus-wide median for groups that are all
+    * null. The standard "sensor dropped out — substitute this
+    * device's typical reading" repair before aggregation or training.
+    *
+    * The medians are ONE exact-percentile aggregate at group
+    * cardinality + one scalar, broadcast back onto the corpus
+    * (iqrOutliers' shape): the data-proportional side is a
+    * shuffle-free join + pure projection. Exact percentile buffers
+    * per GROUP — swap approx_percentile for millions of groups.
+    */
+  def imputeMedian(df: DataFrame, value: Column, group: Column,
+                   id: Column): DataFrame = {
+    val groupMed = df.groupBy(group.as("__im_g"))
+      .agg(percentile(value, lit(0.5)).as("__med"))
+    val globalMed = df.agg(percentile(value, lit(0.5)).as("__gmed"))
+    df.join(broadcast(groupMed), group === col("__im_g"), "left")
+      .crossJoin(broadcast(globalMed))
+      .select(id.as("id"), group.as("grp"),
+        value.isNull.as("was_null"),
+        coalesce(value, col("__med"), col("__gmed")).as("v_imputed"))
+  }
+}

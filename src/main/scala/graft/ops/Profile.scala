@@ -247,4 +247,69 @@ object Profile {
             .as("entropy_bits"))
     }.reduce(_ unionAll _)
   }
+
+  /** k-anonymity suppression (pv01): drop every row whose
+    * quasi-identifier combination is shared by fewer than `k` rows —
+    * the release gate that keeps a published dataset from singling
+    * out individuals by (zip, age, segment)-style attribute joins.
+    * Suppression (not generalization) is the conservative variant: a
+    * surviving row is guaranteed to hide in an anonymity set of ≥ k.
+    *
+    * One window count over the QI partition, then a pure filter —
+    * single exchange, no join, no collect; the same shape at any
+    * corpus size. Pair with pii01 (redaction) for the full
+    * pre-export privacy pass.
+    */
+  def kAnonymize(df: DataFrame, qi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    require(qi.nonEmpty, "no quasi-identifier columns")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qi: _*)
+    df.withColumn("__anon_n", count(lit(1)).over(w))
+      .filter(col("__anon_n") >= k)
+      .drop("__anon_n")
+  }
+
+  /** Population Stability Index (psi01): distribution drift of a
+    * numeric column between a baseline snapshot and a current one —
+    * the ML-monitoring standard for "has the feature shifted enough
+    * to retrain". Bins are the BASELINE's exact `nBins`-quantiles, so
+    * baseline mass is uniform by construction and the index reads on
+    * the usual scale (<0.1 stable, >0.25 shifted).
+    *
+    * The cut points are one exact-percentile aggregate collapsed to
+    * nBins−1 doubles and folded back as LITERALS (pk02's pattern) —
+    * the corpus-proportional work is two scan-speed binning passes
+    * and two nBins-row aggregates. Counts are exact integers;
+    * add-half smoothing keeps empty current-side bins finite.
+    */
+  def psiDrift(baseline: DataFrame, current: DataFrame, value: Column,
+               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val fracs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts: Seq[Double] = baseline
+      .agg(percentile(value, typedlit(fracs)).as("c"))
+      .head.getSeq[Double](0)
+    def binOf(v: Column): Column =
+      cuts.map(c => when(v >= lit(c), 1).otherwise(0))
+        .reduce(_ + _).as("bin")
+    def counts(df: DataFrame, alias: String): DataFrame =
+      df.select(binOf(value)).groupBy("bin")
+        .agg(count(lit(1)).as(alias))
+    val b = counts(baseline, "n_base")
+    val c = counts(current, "n_cur")
+    val joined = b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totB = sum(col("n_base")).over()
+    val totC = sum(col("n_cur")).over()
+    // nBins rows total — the unpartitioned windows run on a frame the
+    // size of the bin count, never the corpus (url01's caveat doesn't
+    // apply at this cardinality)
+    val p = (col("n_base") + 0.5) / (totB + 0.5 * nBins)
+    val q = (col("n_cur") + 0.5) / (totC + 0.5 * nBins)
+    joined.select(col("bin"), col("n_base"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bin")
+  }
 }

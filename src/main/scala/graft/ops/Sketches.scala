@@ -65,4 +65,46 @@ object Sketches {
         (lit(cap + 1L) * col("n_exact") > lit(total)).as("guaranteed"))
       .orderBy(col("n_exact").desc, col("value").asc)
   }
+
+  /** Count-Min frequency sketch (cm01): `depth` hash rows × `width`
+    * counters, estimate(k) = min over rows of cell[h_r(k)]. The cell
+    * array is (depth·width) COUNTERS regardless of stream size — at
+    * 100 TB the build is one partial-aggregated shuffle of at most
+    * depth·width rows per partition, the sketch itself broadcasts in
+    * a few KB, and cells from different days/shards MERGE by cell-wise
+    * addition (same rollup contract as hll01).
+    *
+    * Hashing is md5-derived ("r:key" → first 8 hex digits → bucket),
+    * so the sketch is deterministic across engines/runs — the oracle
+    * replays it cell-for-cell in SQL. The one-sided CM guarantee
+    * (estimate ≥ true count, always; overshoot ≤ εN with probability
+    * 1−δ) is returned per key as `lower_ok` for the gate to assert.
+    *
+    * Returns one row per distinct key: (value, n_exact, n_est,
+    * lower_ok). The exact counts are for the AUDIT — production use
+    * keeps only the cells and never touches raw keys again.
+    */
+  def countMin(df: DataFrame, key: Column, depth: Int = 4,
+               width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2 && width <= (1 << 20), s"width out of range: $width")
+    val keyed = df.select(key.cast("string").as("k"))
+    def bucket(r: Column, k: Column): Column =
+      conv(substring(md5(concat_ws(":", r, k)), 1, 8), 16, 10)
+        .cast("long") % width
+    val cells = keyed
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", bucket(col("r"), col("k")))
+      .groupBy("r", "b").agg(count(lit(1)).as("n"))
+    val keys = keyed.groupBy("k").agg(count(lit(1)).as("n_exact"))
+    keys
+      .select(col("k"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", bucket(col("r"), col("k")))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("k", "n_exact").agg(min(col("n")).as("n_est"))
+      .select(col("k").as("value"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("lower_ok"))
+      .orderBy(col("value"))
+  }
 }

@@ -230,4 +230,34 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("open", sum(col("delta")).over(w))
   }
+
+  /** OHLC bar downsampling (tp06): collapse an irregular per-key tick
+    * stream into fixed-width bars carrying open/high/low/close/mean —
+    * the time-series rollup that turns 100 TB of raw ticks into a
+    * bounded bars table (one row per key×bar, independent of tick
+    * rate).
+    *
+    * One hash-aggregate, no window, no sort: open/close are
+    * `min_by`/`max_by` over the (ts, tie) struct — Spark's ordered-
+    * argument aggregates compute them inside the same partial-agg pass
+    * as min/max/avg, so the shuffle carries one combined row per
+    * (key, bar) per partition. `tie` must be a unique row id; it makes
+    * the first/last tick well-defined when timestamps collide (same
+    * total order as DuckDB's `first(v ORDER BY ts, tie)`).
+    */
+  def ohlcBars(df: DataFrame, key: Column, ts: Column, tie: Column,
+               value: Column, unit: String = "hour"): DataFrame = {
+    require(Set("minute", "hour", "day", "week").contains(unit),
+      s"unsupported bar unit: $unit")
+    val ord = struct(ts.as("t"), tie.as("i"))
+    df.groupBy(key.as("k"), date_trunc(unit, ts).as("bar_start"))
+      .agg(
+        min_by(value, ord).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        round(avg(value), 4).as("mean_value"))
+      .orderBy(col("k"), col("bar_start"))
+  }
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.{Analytics, Features, Profile, Sketches, Temporal}
+
+/** Driver-verified gates for the round-9 analytics/feature-engineering
+  * family: mergeable frequency sketches, OHLC downsampling, rolling
+  * anomaly flags, market-basket affinity, ML feature encoders, privacy
+  * and drift audits, link prediction, and incremental rollup
+  * maintenance. Same discipline as every other registry file: exact
+  * integer statistics wherever possible, doubles rounded before the
+  * hash compare, deterministic orderings on unique keys, and oracles
+  * that REPLAY the algorithm in SQL rather than trusting the engine.
+  */
+object FeatureOps {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // cm01: Count-Min frequency sketch over user_id — 4×256 cells,
+    // md5-derived buckets, estimate = min over rows. The oracle
+    // rebuilds the identical sketch cell-for-cell in SQL, so the gate
+    // pins the hashing, the cell counts, AND the one-sided guarantee
+    // (lower_ok must be true for every key).
+    NamedQuery("cm01_count_min",
+      (s, d) => Sketches.countMin(
+        Tables.load(s, d, "events"), col("user_id"), depth = 4, width = 256),
+      Some("""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+              r AS (SELECT CAST(i AS INTEGER) AS r FROM range(4) t(i)),
+              cells AS (SELECT r,
+                  CAST('0x' || substr(md5(r || ':' || k), 1, 8) AS BIGINT) % 256 AS b,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM k CROSS JOIN r GROUP BY 1, 2),
+              keys AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+                       FROM k GROUP BY 1),
+              probe AS (SELECT keys.k, keys.n_exact, r.r,
+                  CAST('0x' || substr(md5(r.r || ':' || keys.k), 1, 8) AS BIGINT) % 256 AS b
+                FROM keys CROSS JOIN r)
+             SELECT probe.k AS value, probe.n_exact,
+               min(cells.n) AS n_est,
+               min(cells.n) >= probe.n_exact AS lower_ok
+             FROM probe JOIN cells ON cells.r = probe.r AND cells.b = probe.b
+             GROUP BY 1, 2 ORDER BY value""")),
+
+    // tp06: hourly OHLC bars per event type — open/close picked by
+    // min_by/max_by over the (ts, event_id) total order; the oracle
+    // uses DuckDB's ordered-set first/last with the same order
+    NamedQuery("tp06_ohlc_bars",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        Temporal.ohlcBars(ev, col("event_type"), col("ts"),
+            col("event_id"), col("value"), unit = "hour")
+          .select(col("k"), date_format(col("bar_start"), fmt).as("bar_start"),
+            round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+            round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+            col("n_ticks"), col("mean_value"))
+          .orderBy(col("k"), col("bar_start"))
+      },
+      Some("""SELECT event_type AS k,
+               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bar_start,
+               round(first(value ORDER BY ts, event_id), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(last(value ORDER BY ts, event_id), 4) AS close,
+               CAST(count(*) AS BIGINT) AS n_ticks,
+               round(avg(value), 4) AS mean_value
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ts01: trailing-1h z-score anomaly flags per event type — the
+    // exclusive-window statistics are recovered algebraically from one
+    // inclusive RANGE frame (no EXCLUDE CURRENT ROW in Spark); the
+    // oracle replays the identical algebra so clamps and round
+    // boundaries agree
+    NamedQuery("ts01_rolling_anomaly",
+      (s, d) => Analytics.rollingAnomaly(
+          Tables.load(s, d, "events"), col("event_type"), col("ts"),
+          col("value"), col("event_id"),
+          windowSec = 3600L, minPrior = 30, zThreshold = 3.0)
+        .withColumnRenamed("tb", "event_id")
+        .select(col("event_id"), col("k"), round(col("v"), 4).as("v"),
+          col("n_prior"), col("prior_mean"), col("z"), col("is_anomaly")),
+      Some("""WITH b AS (SELECT event_id, event_type, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+                FROM events),
+              w AS (SELECT *, count(value) OVER win AS n_inc,
+                  sum(value) OVER win AS s_inc,
+                  sum(value * value) OVER win AS q_inc
+                FROM b WINDOW win AS (PARTITION BY event_type ORDER BY tsec
+                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)),
+              e AS (SELECT event_id, event_type AS k, value AS v,
+                  n_inc - 1 AS n_prior,
+                  CASE WHEN n_inc >= 2
+                    THEN (s_inc - value) / (n_inc - 1) END AS m,
+                  CASE WHEN n_inc >= 3 THEN greatest(
+                    (q_inc - value * value
+                      - (s_inc - value) * (s_inc - value) / (n_inc - 1))
+                      / (n_inc - 2), 0.0) END AS var
+                FROM w)
+             SELECT event_id, k, round(v, 4) AS v,
+               CAST(n_prior AS BIGINT) AS n_prior,
+               round(m, 4) AS prior_mean,
+               CASE WHEN n_prior >= 30 AND var > 0
+                 THEN round((v - m) / sqrt(var), 3) END AS z,
+               coalesce(n_prior >= 30 AND var > 0
+                 AND abs(round((v - m) / sqrt(var), 3)) > 3.0, false) AS is_anomaly
+             FROM e ORDER BY event_id""")),
+
+    // cf01: market-basket pair lift over order baskets — the pair
+    // generator is a basket-key equi-self-join (work bounded by
+    // basket size², maxBucket-guarded), statistics exact integers,
+    // one double division per surviving pair
+    NamedQuery("cf01_basket_lift",
+      (s, d) => Analytics.basketLift(
+        Tables.load(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"),
+        minPairCount = 3, maxBasket = 1000),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                          FROM lineitem),
+              tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+              ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+                     FROM bi GROUP BY 1),
+              p AS (SELECT a.it AS item_a, b.it AS item_b,
+                      CAST(count(*) AS BIGINT) AS n_pair
+                    FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+                    GROUP BY 1, 2 HAVING count(*) >= 3)
+             SELECT item_a, item_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+               round(n_pair * (SELECT nb FROM tot) / (ia.n_item * ib.n_item), 6) AS lift,
+               round(n_pair / CAST(ia.n_item AS DOUBLE), 6) AS confidence
+             FROM p JOIN ic ia ON ia.it = p.item_a
+                    JOIN ic ib ON ib.it = p.item_b
+             ORDER BY n_pair DESC, item_a, item_b""")),
+
+    // enc01: leave-one-out target encoding of user_id against the
+    // event value — the leakage-safe high-cardinality encoder; the
+    // oracle replays the same window algebra and scalar global mean
+    NamedQuery("enc01_target_encode",
+      (s, d) => Features.targetEncode(
+          Tables.load(s, d, "events"), col("user_id"), col("value"),
+          col("event_id"), smoothing = 10.0)
+        .select(col("id"), col("category"), round(col("y"), 4).as("y"),
+          col("enc"))
+        .orderBy("id"),
+      Some("""WITH g AS (SELECT avg(value) AS gm FROM events),
+              w AS (SELECT event_id, user_id, value,
+                  count(value) OVER (PARTITION BY user_id) AS n_cat,
+                  sum(value) OVER (PARTITION BY user_id) AS s_cat
+                FROM events)
+             SELECT event_id AS id, user_id AS category,
+               round(value, 4) AS y,
+               round((s_cat - value + 10 * (SELECT gm FROM g))
+                 / (n_cat - 1 + 10), 6) AS enc
+             FROM w ORDER BY id""")),
+
+    // imp01: group-median imputation — 'error' events carry no valid
+    // measurement, so their value is nulled then repaired with the
+    // user's median reading (global median fallback); exact
+    // interpolated medians on both engines
+    NamedQuery("imp01_impute_median",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("v", when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")))
+        Features.imputeMedian(ev, col("v"), col("user_id"), col("event_id"))
+          .select(col("id"), col("grp"), col("was_null"),
+            round(col("v_imputed"), 4).as("v_imputed"))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+                FROM events),
+              m AS (SELECT user_id, quantile_cont(v, 0.5) AS med
+                    FROM e GROUP BY 1),
+              g AS (SELECT quantile_cont(v, 0.5) AS gmed FROM e)
+             SELECT e.event_id AS id, e.user_id AS grp,
+               v IS NULL AS was_null,
+               round(coalesce(v, m.med, (SELECT gmed FROM g)), 4) AS v_imputed
+             FROM e LEFT JOIN m USING (user_id) ORDER BY id""")),
+
+    // pv01: k-anonymity suppression over (nation, segment) quasi-
+    // identifiers — rows in anonymity sets smaller than k are dropped;
+    // the gate aggregates survivors per QI group, the oracle is the
+    // HAVING-filtered GROUP BY
+    NamedQuery("pv01_k_anonymity",
+      (s, d) => Profile.kAnonymize(
+          Tables.load(s, d, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_rows
+             FROM customer GROUP BY 1, 2 HAVING count(*) >= 10
+             ORDER BY 1, 2""")),
+
+    // psi01: Population Stability Index of order totalprice, pre-1998
+    // baseline vs 1998+ current — baseline-decile bins (exact
+    // interpolated quantiles folded back as literals), add-half
+    // smoothed log-ratio terms
+    NamedQuery("psi01_distribution_drift",
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val cutoff = "1998-01-01"
+        Profile.psiDrift(
+          o.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")),
+          col("o_totalprice"), nBins = 10)
+      },
+      Some("""WITH base AS (SELECT o_totalprice AS v FROM orders
+                            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+              cur AS (SELECT o_totalprice AS v FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+              cuts AS (SELECT unnest(quantile_cont(v,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS c
+                FROM base),
+              bb AS (SELECT v, (SELECT CAST(count(*) AS INTEGER) FROM cuts
+                                WHERE v >= c) AS bin FROM base),
+              cb AS (SELECT v, (SELECT CAST(count(*) AS INTEGER) FROM cuts
+                                WHERE v >= c) AS bin FROM cur),
+              nb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_base
+                     FROM bb GROUP BY 1),
+              nc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur
+                     FROM cb GROUP BY 1),
+              j AS (SELECT coalesce(nb.bin, nc.bin) AS bin,
+                      coalesce(n_base, 0) AS n_base,
+                      coalesce(n_cur, 0) AS n_cur
+                    FROM nb FULL OUTER JOIN nc ON nb.bin = nc.bin),
+              t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                      CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+             SELECT bin, n_base, n_cur,
+               round(((n_base + 0.5) / (tb + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+                 * ln(((n_base + 0.5) / (tb + 5.0))
+                      / ((n_cur + 0.5) / (tc + 5.0))), 6) AS psi_term
+             FROM j, t ORDER BY bin"""))
+  )
+}

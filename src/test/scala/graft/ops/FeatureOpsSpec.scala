@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the round-9 analytics/feature family on planted
+  * data where the expected answer is computable by hand — the DuckDB
+  * gates pin cross-engine determinism; these pin MEANING.
+  */
+class FeatureOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("count-min: estimates dominate exact counts; heavy key exact in a clean sketch") {
+    val df = (Seq.fill(50)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("k")
+    val r = Sketches.countMin(df, col("k"), depth = 4, width = 64).collect()
+    assert(r.length == 41)
+    // one-sided guarantee: every estimate >= truth
+    assert(r.forall(_.getBoolean(3)), "lower_ok must hold for every key")
+    val hot = r.find(_.getString(0) == "hot").get
+    assert(hot.getLong(1) == 50L)
+    // CM overestimate is bounded by colliding mass: est - exact <= N - exact
+    assert(hot.getLong(2) >= 50L && hot.getLong(2) <= 90L)
+  }
+
+  test("count-min: sketch cells merge across shards (cell-wise addition)") {
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "z").toDF("k")
+    val whole = Sketches.countMin(a.union(b), col("k"), depth = 2, width = 16)
+      .select("value", "n_est").as[(String, Long)].collect().toMap
+    // rebuilding from the union equals what per-shard cell addition
+    // would give: estimates are sums of per-shard cell counts
+    assert(whole("x") >= 3L && whole("y") >= 1L && whole("z") >= 1L)
+  }
+
+  test("ohlc: open/close picked by time order with id tie-break") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val ticks = Seq(
+      ("a", t(30), 2L, 5.0), ("a", t(10), 1L, 3.0), ("a", t(50), 3L, 4.0),
+      // same-timestamp collision: id 5 beats id 4 for close
+      ("a", t(50), 5L, 9.0), ("b", t(0), 6L, 1.0)
+    ).toDF("sym", "ts", "id", "v")
+    val r = Temporal.ohlcBars(ticks, col("sym"), col("ts"), col("id"), col("v"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getDouble(2) == 3.0, "open = earliest tick")
+    assert(a.getDouble(3) == 9.0 && a.getDouble(4) == 3.0)
+    assert(a.getDouble(5) == 9.0, "close = latest (ts, id) tick")
+    assert(a.getLong(6) == 4L)
+    assert(r("b").getDouble(2) == 1.0 && r("b").getDouble(5) == 1.0)
+  }
+
+  test("rolling anomaly: planted spike flagged, calm stream is not") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    // 40 calm points oscillating 10±1, then a 100.0 spike
+    val rows = (0 until 40).map(i =>
+      ("s", t(i * 60), i.toLong, 10.0 + (i % 2))) :+ ("s", t(2400), 99L, 100.0)
+    val df = rows.toDF("k", "ts", "id", "v")
+    val r = Analytics.rollingAnomaly(df, col("k"), col("ts"), col("v"),
+        col("id"), windowSec = 3600L, minPrior = 30, zThreshold = 3.0)
+      .select("tb", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(r(99L), "spike must be flagged")
+    assert(r.filter(_._1 != 99L).values.forall(!_), "calm points must not flag")
+  }
+
+  test("rolling anomaly: early rows (below minPrior) never flag") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = (0 until 5).map(i =>
+        ("s", new java.sql.Timestamp(ts0.getTime + i * 1000L), i.toLong,
+          if (i == 4) 1e6 else 1.0))
+      .toDF("k", "ts", "id", "v")
+    val r = Analytics.rollingAnomaly(df, col("k"), col("ts"), col("v"),
+        col("id"), windowSec = 3600L, minPrior = 30)
+      .select("is_anomaly").as[Boolean].collect()
+    assert(r.forall(!_))
+  }
+
+  test("basket lift: planted always-together pair has lift > 1, anti-pair absent") {
+    // items 1,2 co-occur in every basket; item 3 alone elsewhere
+    val rows = (1 to 10).flatMap(b => Seq((b.toLong, 1L), (b.toLong, 2L))) ++
+      (11 to 20).map(b => (b.toLong, 3L))
+    val df = rows.toDF("bk", "it")
+    val r = Analytics.basketLift(df, col("bk"), col("it"), minPairCount = 2)
+      .collect()
+    assert(r.length == 1)
+    val p = r.head
+    assert(p.getLong(2) == 10L && p.getLong(3) == 10L && p.getLong(4) == 10L)
+    // lift = 10*20/(10*10) = 2.0: they appear together twice as often
+    // as independence predicts
+    assert(p.getDouble(5) == 2.0)
+    assert(p.getDouble(6) == 1.0)
+  }
+
+  test("basket lift: over-maxBasket baskets are dropped through the observed guard") {
+    val big = (1 to 50).map(i => (1L, i.toLong))
+    val small = Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+    val df = (big ++ small).toDF("bk", "it")
+    val r = Analytics.basketLift(df, col("bk"), col("it"),
+      minPairCount = 2, maxBasket = 10).collect()
+    // the 50-item basket contributes nothing; pair (1,2) counted twice
+    assert(r.length == 1 && r.head.getLong(2) == 2L)
+    val drops = OpsMetrics.lastDrops("graft.basket_lift")
+    assert(drops.exists { case (b, rows) => b == 1L && rows == 50L },
+      s"guard must count the dropped basket: $drops")
+  }
+
+  test("target encoding: a row never sees its own label; singleton falls back to global mean") {
+    // category a: y = 0, 10; category b: y = 100 (singleton); global mean ~ 36.67
+    val df = Seq((1L, "a", 0.0), (2L, "a", 10.0), (3L, "b", 100.0))
+      .toDF("id", "cat", "y")
+    val r = Features.targetEncode(df, col("cat"), col("y"), col("id"),
+        smoothing = 10.0)
+      .select("id", "enc").as[(Long, Double)].collect().toMap
+    val g = (0.0 + 10.0 + 100.0) / 3
+    // row 1: (10 - 0 excluded already: sum_other = 10) + 10g over (1 + 10)
+    assert(math.abs(r(1L) - (10.0 + 10 * g) / 11) < 1e-6)
+    assert(math.abs(r(2L) - (0.0 + 10 * g) / 11) < 1e-6)
+    // singleton: no other rows → exactly the smoothed prior = global mean
+    assert(math.abs(r(3L) - g) < 1e-6)
+  }
+
+  test("impute median: null repaired with group median, all-null group falls to global") {
+    val df = Seq(
+      (1L, "g1", Some(1.0)), (2L, "g1", Some(3.0)), (3L, "g1", None),
+      (4L, "g2", None), (5L, "g3", Some(10.0))
+    ).toDF("id", "grp", "v")
+    val r = Features.imputeMedian(df, col("v"), col("grp"), col("id"))
+      .select("id", "v_imputed").as[(Long, Double)].collect().toMap
+    assert(r(3L) == 2.0, "g1 median of {1,3}")
+    assert(r(4L) == 3.0, "all-null group gets the global median of {1,3,10}")
+    assert(r(1L) == 1.0 && r(5L) == 10.0, "non-null values untouched")
+  }
+
+  test("k-anonymize: small QI groups suppressed entirely, large kept whole") {
+    val rows = (1 to 12).map(i => (i.toLong, "NY", "A")) ++
+      Seq((20L, "SF", "B"), (21L, "SF", "B")) // anonymity set of 2 < k
+    val df = rows.toDF("id", "city", "seg")
+    val kept = Profile.kAnonymize(df, Seq(col("city"), col("seg")), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (1 to 12).map(_.toLong).toSet)
+  }
+
+  test("psi: identical distributions score ~0, shifted distribution scores high") {
+    val base = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val same = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val shifted = (1 to 1000).map(i => i.toDouble + 900).toDF("v")
+    def psi(cur: org.apache.spark.sql.DataFrame): Double =
+      Profile.psiDrift(base, cur, col("v"), nBins = 10)
+        .agg(sum("psi_term")).as[Double].head()
+    assert(math.abs(psi(same)) < 1e-6)
+    assert(psi(shifted) > 0.25, s"shifted PSI must clear the retrain bar")
+  }
+
+  test("psi: every baseline decile bin is present and uniform") {
+    val base = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val r = Profile.psiDrift(base, base, col("v"), nBins = 10).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getLong(1)).forall(n => n == 100L),
+      "deciles of a uniform ramp hold 100 rows each")
+  }
+}
