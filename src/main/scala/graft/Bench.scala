@@ -57,7 +57,10 @@ object Bench {
         || q._1 == "pr01_pagerank"
         // bb01 spends its time WRITING the bucketed tables (the point
         // is the zero-exchange read plan, asserted in PlanQualitySpec)
-        || q._1 == "bb01_bucketed_join")
+        || q._1 == "bb01_bucketed_join"
+        // st08 writes fixture file-batches then drives a streaming
+        // query against them — a correctness verdict like st06
+        || q._1 == "st08_rollup_ingest")
       .toSeq.sortBy(_._1)
     // A query that throws must be VISIBLE in the artifact, not a fast
     // wall-time: correctness is gated separately, but a bench that

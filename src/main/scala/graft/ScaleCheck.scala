@@ -374,6 +374,57 @@ object ScaleCheck {
     }
   }
 
+  /** Round-9 feature-family probes (`runMain graft.ScaleCheck r9c`):
+    *  - cm01 Count-Min build over 10M/40M synthetic rows (Zipf-ish 2
+    *    hot + 1M-key tail): the cell aggregate must stay ~linear and
+    *    the shuffle bounded at depth×width cells per partition.
+    *  - cf01 basket pairs over ×1/×4 baskets of constant size: the
+    *    pair join grows with basket COUNT, never baskets².
+    *  - an07 stickiness over ×1/×4 user-day grids: dedup + ×30
+    *    fan-out is flat per input row.
+    *  - jc01 link prediction over constant-degree circulant graphs
+    *    ×4 edges: wedge work per node is degree², so total grows
+    *    ~linearly in nodes at fixed degree.
+    */
+  private def r9cScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    for (m <- Seq(10000000L, 40000000L)) {
+      val keys = spark.range(m).select(
+        when(col("id") % 10 < 3, lit("hot1"))
+          .when(col("id") % 10 < 5, lit("hot2"))
+          .otherwise((col("id") % 1000000).cast("string")).as("k"))
+      time(s"cm01 build n=$m")(
+        graft.ops.Sketches.countMin(keys, col("k")).count())
+    }
+    for (m <- Seq(1, 4)) {
+      val baskets = spark.range(200000L * m).select(
+        col("id").as("bk"), explode(sequence(lit(0), lit(9))).as("j"))
+        .select(col("bk"), ((col("bk") * 7 + col("j") * 13) % 5000).as("it"))
+      time(s"cf01 x$m baskets")(
+        graft.ops.Analytics.basketLift(baskets, col("bk"), col("it"),
+          minPairCount = 2).count())
+      val events = spark.range(1000000L * m).select(
+        (col("id") % 50000).as("u"),
+        timestamp_seconds(lit(1700000000L) + (col("id") % 60) * 86400).as("ts"))
+      time(s"an07 x$m events")(
+        graft.ops.Analytics.stickiness(events, col("u"), col("ts")).count())
+    }
+    for (m <- Seq(1, 4)) {
+      val n = 100000L * m
+      // circulant: node i connects to i+1..i+8 (mod n) — degree 16
+      val e = spark.range(n).select(col("id").as("src"),
+          explode(sequence(lit(1), lit(8))).as("d"))
+        .select(col("src"), ((col("src") + col("d")) % n).as("dst"))
+      time(s"jc01 x$m nodes=$n")(
+        graft.ops.Graph.linkPrediction(e, topK = 100).count())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -429,6 +480,11 @@ object ScaleCheck {
     }
     if (path == "em") {
       emScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9c") {
+      r9cScale(spark)
       spark.stop()
       return
     }

@@ -370,6 +370,35 @@ object Analytics {
     * integer counts; lift's single division happens once per surviving
     * pair.
     */
+  /** DAU/MAU stickiness (an07): for each active day, the distinct
+    * users that day, the distinct users over the trailing
+    * `windowDays`, and their ratio — the engagement metric product
+    * teams watch daily.
+    *
+    * Trailing COUNT(DISTINCT) does not decompose into a window frame,
+    * so the scale shape is: dedupe to (day, user) once (the only
+    * corpus-sized shuffle), then each active user-day CONTRIBUTES
+    * ITSELF to the `windowDays` forward grid days via a map-side
+    * sequence+explode (×window fan-out of the already-deduped frame,
+    * not the raw events), and one distinct-count per grid day. No
+    * per-day rescan, no day×day self-join of raw data.
+    */
+  def stickiness(df: DataFrame, user: Column, ts: Column,
+                 windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of range: $windowDays")
+    val du = df.select(to_date(ts).as("day"), user.as("u")).distinct()
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    val mau = du
+      .select(col("u"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("u")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   def basketLift(df: DataFrame, basket: Column, item: Column,
                  minPairCount: Int = 2, maxBasket: Int = 1000): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")

@@ -95,4 +95,35 @@ object Cdc {
     val rebuilt = scd2(openTouched.unionByName(batch), key, timeCol)
     untouched.unionByName(closedTouched).unionByName(rebuilt)
   }
+
+  /** Per-key partial aggregates for the incremental-rollup pattern
+    * (inc01): (n_rows, sum_v, min_v, max_v) per key — every statistic
+    * a commutative monoid, so rollups from disjoint batches MERGE
+    * exactly (count/sum add, min/max combine) and the merged table
+    * equals a full recompute. This is the 100 TB daily-metrics shape:
+    * aggregate each day's partition once when it lands, then answer
+    * "all time" from the rollup table without ever rescanning raw
+    * history (hll01 is the same contract for count-distinct, cm01 for
+    * frequency).
+    */
+  def rollup(df: DataFrame, keys: Seq[String], value: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(value).as("n_rows"), sum(value).as("sum_v"),
+        min(value).as("min_v"), max(value).as("max_v"))
+
+  /** Merge a new raw batch into a standing rollup (inc01): aggregate
+    * the batch to its own partials, then combine by key. The combine
+    * is a union + re-aggregate over two ALREADY-AGGREGATED frames —
+    * the shuffle carries rollup-cardinality rows (days × keys), never
+    * raw history. Exactness: each monoid combines associatively, so
+    * any landing order yields the same table a full rescan would
+    * (the inc01 gate proves it against a full-recompute oracle).
+    */
+  def incrementalRollup(standing: DataFrame, batch: DataFrame,
+                        keys: Seq[String],
+                        value: org.apache.spark.sql.Column): DataFrame =
+    standing.unionByName(rollup(batch, keys, value))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
 }

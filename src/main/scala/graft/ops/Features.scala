@@ -66,4 +66,57 @@ object Features {
         value.isNull.as("was_null"),
         coalesce(value, col("__med"), col("__gmed")).as("v_imputed"))
   }
+
+  /** Per-entity lag/rolling features (ft01): for each observation, the
+    * previous two values, the delta since the last one, and the
+    * trailing `rollN`-observation mean — the standard feature-store
+    * projection that turns an event stream into model rows.
+    *
+    * Everything comes out of ONE keyed window pass (entity partition,
+    * (ts, tie) total order): lag(1), lag(2), and a ROWS-frame average
+    * share the same sort and exchange, so the feature set costs
+    * exactly one shuffle regardless of how many features ride on it.
+    * Rolling mean excludes the current row (a feature must not see
+    * its own target's timestep).
+    */
+  def lagFeatures(df: DataFrame, entity: Column, ts: Column, tie: Column,
+                  value: Column, rollN: Int = 7): DataFrame = {
+    require(rollN >= 1, s"rollN must be positive: $rollN")
+    val w = Window.partitionBy(entity).orderBy(ts, tie)
+    val wRoll = w.rowsBetween(-rollN, -1)
+    df.select(tie.as("id"), entity.as("entity"), value.as("v"),
+      lag(value, 1).over(w).as("lag1"),
+      lag(value, 2).over(w).as("lag2"),
+      (value - lag(value, 1).over(w)).as("delta1"),
+      avg(value).over(wRoll).as("roll_mean"),
+      count(value).over(wRoll).as("roll_n"))
+  }
+
+  /** Hashing-trick feature encoding (enc02): map arbitrary
+    * (feature, value) pairs into a fixed `dim`-sized index space with
+    * a ±1 sign — Weinberger et al.'s collision-tolerant vectorizer,
+    * the encoder that needs NO vocabulary, no fit pass, and no model
+    * state (the em05 sign-projection philosophy applied to
+    * categoricals). Index and sign both come from one md5 per pair
+    * (first 8 hex digits → index, 9th hex digit parity → sign), so
+    * encoding is deterministic across engines and shards.
+    *
+    * Pure projection + explode — zero exchanges, zero lookups; the
+    * plan guard pins it at scan speed.
+    */
+  def hashFeatures(df: DataFrame, id: Column,
+                   features: Seq[(String, Column)], dim: Int = 1 << 18): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 28), s"dim out of range: $dim")
+    require(features.nonEmpty, "no feature columns")
+    val encoded = features.map { case (name, c) =>
+      val h = md5(concat_ws(":", lit(name), c.cast("string")))
+      struct(lit(name).as("feat"),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int").as("idx"),
+        when(conv(substring(h, 9, 1), 16, 10).cast("int") % 2 === 0, 1)
+          .otherwise(-1).as("sign"))
+    }
+    df.select(id.as("id"), explode(array(encoded: _*)).as("f"))
+      .select(col("id"), col("f.feat").as("feat"), col("f.idx").as("idx"),
+        col("f.sign").as("sign"))
+  }
 }

@@ -131,4 +131,48 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") > maxDegree)
   }
+
+  /** Common-neighbor link prediction (jc01): for node pairs NOT
+    * directly connected, the count of shared neighbors and the
+    * neighbor-set Jaccard |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| — the classic
+    * "who should be connected" score (recommendations, missing-edge
+    * repair, entity-graph densification).
+    *
+    * Scale shape mirrors triangleCount: candidate pairs come from a
+    * self-join of the adjacency list on the MIDDLE node (per-mid work
+    * = degree², hub-capped by `maxDegree` with the auditable
+    * highDegreeNodes set), existing edges leave via one anti-join,
+    * degrees join back at node cardinality. Only pairs with ≥1 common
+    * neighbor ever exist — the candidate frame is wedge-bounded, not
+    * n². Top-k keeps the output bounded (TakeOrdered — no global
+    * sort) with a deterministic (score, pair) tie-break.
+    */
+  def linkPrediction(edges: DataFrame, maxDegree: Int = 10000,
+                     topK: Int = 100): DataFrame = {
+    require(maxDegree > 1, s"maxDegree too small: $maxDegree")
+    require(topK > 0, s"topK must be positive: $topK")
+    val norm = normalizedEdges(edges)
+    val hubs = highDegreeNodes(edges, maxDegree).select(col("node"))
+    val e = norm
+      .join(hubs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+      .join(hubs.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    val adj = e.select(col("a").as("n"), col("b").as("nbr"))
+      .union(e.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val cn = adj.select(col("n").as("m"), col("nbr").as("u"))
+      .join(adj.select(col("n").as("m"), col("nbr").as("w")), "m")
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common"))
+      .join(e.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti")
+    cn.join(deg.select(col("n").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("n").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .select(col("u"), col("w"), col("common"), col("deg_u"), col("deg_w"),
+        round(col("common") /
+          (col("deg_u") + col("deg_w") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("w"))
+      .limit(topK)
+  }
 }

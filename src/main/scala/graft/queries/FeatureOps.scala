@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{NamedQuery, Tables}
-import graft.ops.{Analytics, Features, Profile, Sketches, Temporal}
+import graft.ops.{Analytics, Cdc, Features, Graph, Profile, Sketches, Temporal}
 
 /** Driver-verified gates for the round-9 analytics/feature-engineering
   * family: mergeable frequency sketches, OHLC downsampling, rolling
@@ -231,6 +231,190 @@ object FeatureOps {
                round(((n_base + 0.5) / (tb + 5.0) - (n_cur + 0.5) / (tc + 5.0))
                  * ln(((n_base + 0.5) / (tb + 5.0))
                       / ((n_cur + 0.5) / (tc + 5.0))), 6) AS psi_term
-             FROM j, t ORDER BY bin"""))
+             FROM j, t ORDER BY bin""")),
+
+    // jc01: common-neighbor link prediction over the thinned
+    // co-supplier graph (tc01's projection) — unconnected pairs ranked
+    // by neighbor-set Jaccard; the oracle replays wedges, the
+    // existing-edge anti-join, and the degree join
+    NamedQuery("jc01_link_prediction",
+      (s, d) => {
+        val ps = Tables.load(s, d, "lineitem")
+          .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val e = ps.as("p1").join(ps.as("p2"),
+            col("p1.part") === col("p2.part") &&
+              col("p1.supp") < col("p2.supp"))
+          .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+        Graph.linkPrediction(e, topK = 50)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                    FROM lineitem
+                    WHERE l_partkey % 97 = 0 AND l_suppkey % 3 = 0),
+              e AS (SELECT DISTINCT p1.supp AS a, p2.supp AS b
+                    FROM ps p1 JOIN ps p2
+                    ON p1.part = p2.part AND p1.supp < p2.supp),
+              adj AS (SELECT a AS n, b AS nbr FROM e
+                      UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+                      FROM adj GROUP BY 1),
+              cn AS (SELECT x.nbr AS u, y.nbr AS w,
+                       CAST(count(*) AS BIGINT) AS common
+                     FROM adj x JOIN adj y ON x.n = y.n AND x.nbr < y.nbr
+                     GROUP BY 1, 2),
+              cand AS (SELECT u, w, common FROM cn
+                       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = cn.u AND e.b = cn.w))
+             SELECT u, w, common, du.deg AS deg_u, dw.deg AS deg_w,
+               round(common / (du.deg + dw.deg - common), 6) AS jaccard
+             FROM cand JOIN deg du ON du.n = cand.u
+                       JOIN deg dw ON dw.n = cand.w
+             ORDER BY jaccard DESC, u, w LIMIT 50""")),
+
+    // inc01: incremental rollup maintenance — the first 19 days land
+    // as a standing (day, type) rollup, the rest arrive as a batch and
+    // merge WITHOUT rescanning history; the oracle is the full
+    // recompute the merge must equal exactly
+    NamedQuery("inc01_incremental_rollup",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("day", date_format(date_trunc("day", col("ts")),
+            "yyyy-MM-dd"))
+        val cutoff = "2024-01-20"
+        val standing = Cdc.rollup(
+          ev.filter(col("day") < cutoff), Seq("day", "event_type"),
+          col("value"))
+        Cdc.incrementalRollup(standing,
+            ev.filter(col("day") >= cutoff), Seq("day", "event_type"),
+            col("value"))
+          .select(col("day"), col("event_type"), col("n_rows"),
+            round(col("sum_v"), 4).as("sum_v"),
+            round(col("min_v"), 4).as("min_v"),
+            round(col("max_v"), 4).as("max_v"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d') AS day,
+               event_type, CAST(count(value) AS BIGINT) AS n_rows,
+               round(sum(value), 4) AS sum_v,
+               round(min(value), 4) AS min_v,
+               round(max(value), 4) AS max_v
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ft01: per-user lag/rolling features in ONE window pass — lag1,
+    // lag2, delta, and a trailing-7 ROWS mean that excludes the
+    // current row; the oracle runs the identical window
+    NamedQuery("ft01_feature_lags",
+      (s, d) => Features.lagFeatures(
+          Tables.load(s, d, "events"), col("user_id"), col("ts"),
+          col("event_id"), col("value"), rollN = 7)
+        .select(col("id"), col("entity"), round(col("v"), 4).as("v"),
+          round(col("lag1"), 4).as("lag1"), round(col("lag2"), 4).as("lag2"),
+          round(col("delta1"), 4).as("delta1"),
+          round(col("roll_mean"), 4).as("roll_mean"), col("roll_n"))
+        .orderBy("id"),
+      Some("""SELECT event_id AS id, user_id AS entity,
+               round(value, 4) AS v,
+               round(lag(value, 1) OVER w, 4) AS lag1,
+               round(lag(value, 2) OVER w, 4) AS lag2,
+               round(value - lag(value, 1) OVER w, 4) AS delta1,
+               round(avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS roll_mean,
+               CAST(count(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS roll_n
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ORDER BY id""")),
+
+    // an07: DAU / trailing-30d MAU stickiness — the dedup-then-
+    // contribute-forward shape (no per-day rescan); the oracle uses
+    // the equivalent day-range join over the deduped frame
+    NamedQuery("an07_dau_mau",
+      (s, d) => Analytics.stickiness(
+          Tables.load(s, d, "events"), col("user_id"), col("ts"),
+          windowDays = 30)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau"), col("stickiness")),
+      Some("""WITH du AS (SELECT DISTINCT
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id AS u
+                FROM events),
+              dau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+                      FROM du GROUP BY 1),
+              days AS (SELECT DISTINCT day FROM du),
+              mau AS (SELECT d.day, CAST(count(DISTINCT du.u) AS BIGINT) AS mau
+                      FROM days d JOIN du
+                      ON du.day BETWEEN d.day - 29 AND d.day GROUP BY 1)
+             SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
+               round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+             FROM dau JOIN mau ON dau.day = mau.day ORDER BY 1""")),
+
+    // enc02: hashing-trick feature encoding — vocabulary-free md5
+    // index + sign per (feature, value), a pure scan-speed projection;
+    // the oracle re-derives index and sign from the same md5 digits
+    NamedQuery("enc02_hash_features",
+      (s, d) => Features.hashFeatures(
+          Tables.load(s, d, "events"), col("event_id"),
+          Seq("et" -> col("event_type"), "uid" -> col("user_id")),
+          dim = 4096)
+        .orderBy("id", "feat"),
+      Some("""WITH f AS (SELECT event_id AS id, 'et' AS feat,
+                  md5('et:' || event_type) AS h FROM events
+                UNION ALL SELECT event_id, 'uid',
+                  md5('uid:' || CAST(user_id AS VARCHAR)) FROM events)
+             SELECT id, feat,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4096 AS INTEGER) AS idx,
+               CASE WHEN CAST('0x' || substr(h, 9, 1) AS INTEGER) % 2 = 0
+                 THEN 1 ELSE -1 END AS sign
+             FROM f ORDER BY id, feat""")),
+
+    // st08: streaming rollup maintenance — three event file-batches
+    // stream through foreachBatch, each merging its partials into the
+    // standing (day, type) rollup (inc01's monoid contract + a batch-id
+    // replay guard); the final table must equal the full recompute
+    NamedQuery("st08_rollup_ingest",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("day", date_format(date_trunc("day", col("ts")),
+            "yyyy-MM-dd"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("st08").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(
+          ("b0", col("event_id") % 3 === 0),
+          ("b1", col("event_id") % 3 === 1),
+          ("b2", col("event_id") % 3 === 2)).zipWithIndex.foreach {
+          case ((nm, pred), i) =>
+            val stage = s"$tmp/stage_$nm"
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(src, s"$nm.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            // mtime IS the batch order for FileStreamSource
+            dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val q = graft.streaming.EventStream.rollupIngest(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src.toString),
+          Seq("day", "event_type"), col("value"),
+          s"$tmp/rollup", s"$tmp/ck")
+        q.processAllAvailable(); q.stop()
+        s.read.parquet(s"$tmp/rollup")
+          .select(col("day"), col("event_type"), col("n_rows"),
+            round(col("sum_v"), 4).as("sum_v"),
+            round(col("min_v"), 4).as("min_v"),
+            round(col("max_v"), 4).as("max_v"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d') AS day,
+               event_type, CAST(count(value) AS BIGINT) AS n_rows,
+               round(sum(value), 4) AS sum_v,
+               round(min(value), 4) AS min_v,
+               round(max(value), 4) AS max_v
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

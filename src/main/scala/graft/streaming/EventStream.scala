@@ -1,9 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface over the events table shape.
@@ -196,4 +197,58 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  /** Streaming rollup maintenance (st08): each micro-batch's per-key
+    * partial aggregates merge into the standing rollup table at
+    * `rollupDir` via Cdc.incrementalRollup — the streaming form of
+    * inc01, and the 100 TB pattern for "metrics that are always
+    * current without ever rescanning history": per trigger, work is
+    * batch-aggregate + a rollup-cardinality merge, independent of how
+    * much has already streamed.
+    *
+    * foreachBatch (not a stateful window agg) because the state is a
+    * persisted TABLE other consumers read between triggers, and the
+    * merge is non-idempotent — so each commit records its batch id in
+    * `_batch_id` next to the data, and a replayed trigger (crash
+    * between checkpoint and commit) SKIPS the merge instead of double
+    * counting: the standard foreachBatch exactly-once guard for
+    * non-transactional sinks. The swap is write-tmp → delete → rename;
+    * a crash inside the swap window loses only the current merge,
+    * which the replay then redoes from the checkpoint.
+    */
+  def rollupIngest(stream: DataFrame, keys: Seq[String],
+                   value: org.apache.spark.sql.Column, rollupDir: String,
+                   checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dir = new Path(rollupDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val idFile = new Path(rollupDir + "_batch_id")
+        val lastDone: Long =
+          if (fs.exists(idFile)) {
+            val in = fs.open(idFile)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId > lastDone) {
+          val merged =
+            if (fs.exists(dir))
+              graft.ops.Cdc.incrementalRollup(
+                spark.read.parquet(rollupDir), batch, keys, value)
+            else graft.ops.Cdc.rollup(batch, keys, value)
+          val tmp = new Path(rollupDir + ".tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(dir, true)
+          require(fs.rename(tmp, dir), s"rollup swap failed for $rollupDir")
+          val out = fs.create(idFile, true)
+          try out.write(batchId.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        ()
+      }
+      .start()
 }

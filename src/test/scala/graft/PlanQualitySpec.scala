@@ -436,4 +436,64 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("floatdotproduct") || p.contains("FloatDotProduct") ||
            p.toLowerCase.contains("float_dot"), p.take(400))
   }
+
+  test("cm01: sketch cells broadcast to the probe side; no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Sketches.countMin(
+        Tables.load(spark, dir, "events"), col("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"cells (depth×width rows) must broadcast: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tp06: OHLC is ONE two-phase hash aggregate — no window, no join") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Temporal.ohlcBars(
+        Tables.load(spark, dir, "events"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"ohlc must be a plain aggregate: ${p.take(600)}")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"no map-side partials: ${p.take(600)}")
+  }
+
+  test("pv01: k-anonymity is one exchange (QI window) and zero joins") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Profile.kAnonymize(
+        Tables.load(spark, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(600))
+    assert(!p.contains("Join"), s"suppression must not join: ${p.take(600)}")
+  }
+
+  test("enc01: encoding is one category exchange + broadcast scalar mean") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, dir, "events")
+    val p = ops.Features.targetEncode(ev, col("user_id"), col("value"),
+        col("event_id"))
+      .queryExecution.executedPlan.toString
+    // the global mean joins as a broadcast nested loop over ONE row;
+    // the category stats must come from a window, not a join-back
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the category exchange: ${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("psi01: binning passes are literal-folded scans — no join on the corpus side") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.load(spark, dir, "orders")
+    val cutoff = org.apache.spark.sql.functions.lit("1998-01-01").cast("timestamp")
+    val p = ops.Profile.psiDrift(
+        o.filter(col("o_orderdate") < cutoff),
+        o.filter(col("o_orderdate") >= cutoff),
+        col("o_totalprice"), nBins = 10)
+      .queryExecution.executedPlan.toString
+    // the only join is the 10-row bin full-outer; the corpus never
+    // joins against the cut points (they are folded literals)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cut points must be literals, not a joined frame: ${p.take(600)}")
+  }
 }

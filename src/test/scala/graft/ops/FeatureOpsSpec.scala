@@ -161,4 +161,92 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).forall(n => n == 100L),
       "deciles of a uniform ramp hold 100 rows each")
   }
+
+  test("link prediction: open wedge scored, existing edges excluded") {
+    // path graph 1-2-3-4: candidates are exactly the 2-hop pairs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val byPair = Graph.linkPrediction(edges)
+      .select("u", "w", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // 1 and 3 share neighbor 2; deg(1)=1, deg(3)=2 → jaccard 1/2
+    assert(byPair((1L, 3L)) == ((1L, 0.5)))
+    // 2 and 4 share neighbor 3; deg(2)=2, deg(4)=1 → 1/2
+    assert(byPair((2L, 4L)) == ((1L, 0.5)))
+    // existing edges never predicted
+    assert(!byPair.contains((1L, 2L)) && !byPair.contains((2L, 3L)))
+    assert(!byPair.contains((1L, 4L)), "no common neighbor → no candidate")
+  }
+
+  test("link prediction: triangle-closing pair outranks weak pair") {
+    // 1,2,3,4 all connected to hub-ish 5 and 6 → (u,w) pairs share 2
+    // neighbors; 7-8 share only 9
+    val edges = (for (x <- 1L to 4L; h <- Seq(5L, 6L)) yield (x, h)) ++
+      Seq((7L, 9L), (8L, 9L))
+    val df = edges.toDF("src", "dst")
+    val top = Graph.linkPrediction(df, topK = 1)
+      .select("u", "w", "common").as[(Long, Long, Long)].head()
+    assert(top._3 == 2L, s"top pair must share both hubs: $top")
+  }
+
+  test("lag features: one window yields lags, delta, and a self-excluding rolling mean") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 1000L)
+    val df = Seq(("u", t(1), 1L, 10.0), ("u", t(2), 2L, 20.0),
+      ("u", t(3), 3L, 40.0), ("v", t(1), 4L, 5.0))
+      .toDF("u", "ts", "id", "v")
+    val r = Features.lagFeatures(df, col("u"), col("ts"), col("id"),
+        col("v"), rollN = 7)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val row3 = r(3L)
+    assert(row3.getDouble(3) == 20.0 && row3.getDouble(4) == 10.0)
+    assert(row3.getDouble(5) == 20.0, "delta = 40 - 20")
+    assert(row3.getDouble(6) == 15.0, "rolling mean of {10,20}, current excluded")
+    assert(row3.getLong(7) == 2L)
+    assert(r(4L).isNullAt(3), "other entity sees nothing")
+  }
+
+  test("stickiness: trailing window accumulates users, ratio exact") {
+    val d1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val d2 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    val df = Seq((1L, d1), (2L, d1), (1L, d2), (3L, d2))
+      .toDF("u", "ts")
+    val r = Analytics.stickiness(df, col("u"), col("ts"), windowDays = 30)
+      .select("day", "dau", "mau", "stickiness")
+      .collect().map(x => x.getDate(0).toString -> x).toMap
+    assert(r("2024-01-01").getLong(1) == 2L && r("2024-01-01").getLong(2) == 2L)
+    // day 2: dau = {1,3}; mau = {1,2,3} over the trailing window
+    assert(r("2024-01-02").getLong(1) == 2L && r("2024-01-02").getLong(2) == 3L)
+    assert(math.abs(r("2024-01-02").getDouble(3) - 2.0 / 3) < 1e-5)
+  }
+
+  test("hash features: deterministic, in-range, equal values collide exactly") {
+    val df = Seq((1L, "click", 42L), (2L, "click", 7L), (3L, "view", 42L))
+      .toDF("id", "et", "uid")
+    val r = Features.hashFeatures(df, col("id"),
+        Seq("et" -> col("et"), "uid" -> col("uid")), dim = 64)
+      .collect().map(x => (x.getLong(0), x.getString(1)) -> (x.getInt(2), x.getInt(3))).toMap
+    assert(r.size == 6)
+    assert(r.values.forall { case (i, s) => i >= 0 && i < 64 && (s == 1 || s == -1) })
+    assert(r((1L, "et")) == r((2L, "et")), "same value → same slot")
+    assert(r((1L, "uid")) == r((3L, "uid")))
+  }
+
+  test("incremental rollup: merging batches equals full recompute, any landing order") {
+    val mk = (r: Seq[(String, Double)]) => r.toDF("k", "v")
+    val b1 = mk(Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)))
+    val b2 = mk(Seq(("a", -3.0), ("c", 7.0)))
+    val b3 = mk(Seq(("b", 10.0), ("c", 0.5)))
+    val full = Cdc.rollup(b1.union(b2).union(b3), Seq("k"), col("v"))
+    def run(order: Seq[org.apache.spark.sql.DataFrame]) = {
+      val first = Cdc.rollup(order.head, Seq("k"), col("v"))
+      order.tail.foldLeft(first)((acc, b) =>
+        Cdc.incrementalRollup(acc, b, Seq("k"), col("v")))
+    }
+    for (perm <- Seq(Seq(b1, b2, b3), Seq(b3, b1, b2), Seq(b2, b3, b1))) {
+      val merged = run(perm)
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        "incremental merge must equal the full recompute")
+    }
+  }
 }

@@ -237,4 +237,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
       s"stream/batch divergence:\n${streamed.mkString("\n")}\nvs\n${batch.mkString("\n")}")
   }
+
+  test("rollupIngest: per-batch merges equal full recompute; restart replays nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (1 to 60).map(i =>
+      (i.toLong, s"k${i % 4}", i.toDouble))
+    val df = rows.toDF("id", "k", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("st08-spec").toString
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    // two file-batches in forced mtime order
+    Seq(("a", (c: org.apache.spark.sql.Column) => c <= 30),
+        ("b", (c: org.apache.spark.sql.Column) => c > 30)).zipWithIndex.foreach {
+      case ((nm, pred), i) =>
+        val stage = s"$tmp/stage_$nm"
+        df.filter(pred(col("id"))).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"$nm.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 600000L)
+    }
+    def startQ() = EventStream.rollupIngest(
+      spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src.toString),
+      Seq("k"), col("v"), s"$tmp/rollup", s"$tmp/ck")
+    val q = startQ(); q.processAllAvailable(); q.stop()
+    val expected = graft.ops.Cdc.rollup(df, Seq("k"), col("v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    val got = spark.read.parquet(s"$tmp/rollup")
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(got == expected, s"merged rollup != full recompute:\n$got\nvs\n$expected")
+    // a restarted query from the same checkpoint re-merges nothing
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val again = spark.read.parquet(s"$tmp/rollup")
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(again == expected, "restart must not double-count")
+  }
 }
