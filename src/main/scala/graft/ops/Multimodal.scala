@@ -294,10 +294,11 @@ object Multimodal {
   final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                              n_samples: Long, duration_ms: Double, rms: Double)
 
-  /** Decode a 16-bit PCM WAV payload: RIFF/WAVE chunk walk (fmt +
-    * data), RMS over all samples. None for anything else.
+  /** RIFF/WAVE chunk walk: (channels, rate, dataOff, dataLen) for a
+    * valid 16-bit PCM payload, None otherwise. Shared by decodeWav
+    * (whole-payload RMS) and audioFrames (per-frame features).
     */
-  def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Double, Double)] = {
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def u16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long =
       (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
@@ -327,7 +328,18 @@ object Multimodal {
       o = math.min(next, b.length.toLong).toInt
     }
     if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0 ||
-        dataOff + dataLen > b.length) return None
+        dataOff + dataLen > b.length) None
+    else Some((channels, rate, dataOff, dataLen))
+  }
+
+  /** Decode a 16-bit PCM WAV payload: RIFF/WAVE chunk walk (fmt +
+    * data), RMS over all samples. None for anything else.
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Double, Double)] = {
+    val (channels, rate, dataOff, dataLen) = wavLayout(b) match {
+      case None => return None
+      case Some(l) => l
+    }
     val totalSamples = dataLen / 2
     var sumSq = 0.0
     var s = 0
@@ -384,4 +396,58 @@ object Multimodal {
     transform(
       sequence(lit(0), ((length(payload) - 1) / size).cast("int")),
       i => payload.substr((i * size + 1).cast("int"), lit(size)))
+
+  /** Per-frame audio feature record (mm07). */
+  final case class AudioFrame(doc_id: Long, frame_no: Int, n_samples: Int,
+                              rms: Double, zero_cross_rate: Double,
+                              is_loud: Boolean)
+
+  /** Frame-level audio features (mm07): split each 16-bit PCM WAV
+    * payload into fixed `frameSize`-sample frames and emit RMS energy,
+    * zero-crossing rate (the cheap tone-vs-noise discriminator), and
+    * a loudness flag per frame — the segmentation
+    * pass a speech-data pipeline runs to find speech regions and trim
+    * silence before the expensive model stages.
+    *
+    * Same execution shape as the other real decoders: mapPartitions
+    * over (doc_id, payload), decode cost paid once per payload, one
+    * output row per frame (payload_bytes / frameSize — bounded
+    * fan-out). Frames are over the interleaved sample stream; ZCR
+    * counts sign flips between consecutive samples within the frame
+    * only, so frames are independent and the op is embarrassingly
+    * parallel. Non-WAV payloads are skipped (sniff with binaryMeta).
+    */
+  def audioFrames(df: DataFrame, frameSize: Int = 400,
+                  loudRms: Double = 500.0, batchSize: Int = 64): DataFrame = {
+    require(frameSize >= 2, s"frameSize too small: $frameSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, bytes) =>
+          wavLayout(bytes).toSeq.flatMap { case (_, _, dataOff, dataLen) =>
+            val total = (dataLen / 2).toInt
+            def sample(s: Int): Int =
+              (bytes(dataOff + 2 * s) & 0xFF) | (bytes(dataOff + 2 * s + 1).toInt << 8)
+            (0 until total by frameSize).zipWithIndex.map { case (start, fno) =>
+              val n = math.min(frameSize, total - start)
+              var sumSq = 0.0
+              var flips = 0
+              var i = 0
+              while (i < n) {
+                val v = sample(start + i)
+                sumSq += v.toDouble * v
+                if (i > 0 && (v.toLong * sample(start + i - 1)) < 0) flips += 1
+                i += 1
+              }
+              val rms = math.sqrt(sumSq / n)
+              AudioFrame(id, fno, n, rms,
+                if (n > 1) flips.toDouble / (n - 1) else 0.0,
+                rms > loudRms)
+            }
+          }
+      }))
+      .toDF()
+  }
 }

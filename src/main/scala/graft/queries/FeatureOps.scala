@@ -415,6 +415,48 @@ object FeatureOps {
                round(sum(value), 4) AS sum_v,
                round(min(value), 4) AS min_v,
                round(max(value), 4) AS max_v
-             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // mm07: frame-level audio features over deterministic synthetic
+    // WAVs — RMS, zero-crossing rate, loudness flags per 400-sample
+    // frame, incl. a short tail frame; values hand-computable, oracle
+    // pinned (mm04's convention)
+    NamedQuery("mm07_audio_frames",
+      (s, _) => {
+        def wav(samples: Seq[Int]): Array[Byte] = {
+          val data = samples.flatMap(v =>
+            Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+            .putShort(1.toShort).putInt(8000).putInt(16000)
+            .putShort(2.toShort).putShort(16.toShort)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          bb.array()
+        }
+        import s.implicits._
+        val seg = (0 until 400).map(i => if (i % 2 == 0) 1000 else -1000) ++
+          Seq.fill(400)(0) ++ Seq.fill(400)(500) ++ Seq.fill(400)(600)
+        val payloads = Seq(
+          (1L, wav(seg)),
+          (2L, "not audio".getBytes("US-ASCII")),     // skipped
+          (3L, wav(Seq.fill(900)(0))))                // tail frame of 100
+        graft.ops.Multimodal.audioFrames(payloads.toDF("doc_id", "payload"))
+          .select(col("doc_id"), col("frame_no"), col("n_samples"),
+            round(col("rms"), 2).as("rms"),
+            round(col("zero_cross_rate"), 4).as("zcr"), col("is_loud"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 0, 400, CAST(1000.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true),
+             (CAST(1 AS BIGINT), 1, 400, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false),
+             (CAST(1 AS BIGINT), 2, 400, CAST(500.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false),
+             (CAST(1 AS BIGINT), 3, 400, CAST(600.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true),
+             (CAST(3 AS BIGINT), 0, 400, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false),
+             (CAST(3 AS BIGINT), 1, 400, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false),
+             (CAST(3 AS BIGINT), 2, 100, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false))
+             t(doc_id, frame_no, n_samples, rms, zcr, is_loud)
+             ORDER BY doc_id, frame_no"""))
   )
 }

@@ -232,6 +232,33 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(r((1L, "uid")) == r((3L, "uid")))
   }
 
+  test("audio frames: frame independence, tail frame, loudness threshold strict") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(v =>
+        Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+        .putShort(1.toShort).putInt(8000).putInt(16000)
+        .putShort(2.toShort).putShort(16.toShort)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    // 10 alternating ±800, then 5 of constant 200 (tail frame)
+    val df = Seq(
+      (1L, wav((0 until 10).map(i => if (i % 2 == 0) 800 else -800) ++
+        Seq.fill(5)(200))),
+      (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val r = Multimodal.audioFrames(df, frameSize = 10, loudRms = 800.0)
+      .orderBy("doc_id", "frame_no").collect()
+    assert(r.length == 2, "non-wav skipped; two frames for doc 1")
+    assert(r(0).getDouble(3) == 800.0 && r(0).getDouble(4) == 1.0)
+    assert(!r(0).getBoolean(5), "threshold is strict: rms == loudRms not loud")
+    assert(r(1).getInt(2) == 5 && r(1).getDouble(3) == 200.0 &&
+      r(1).getDouble(4) == 0.0)
+  }
+
   test("incremental rollup: merging batches equals full recompute, any landing order") {
     val mk = (r: Seq[(String, Double)]) => r.toDF("k", "v")
     val b1 = mk(Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)))
