@@ -356,6 +356,39 @@ object Analytics {
       .orderBy(col("tb"))
   }
 
+  /** Seasonal-profile anomaly flags (ts02): score each event against
+    * the corpus baseline for its (key, hour-of-day) cell instead of a
+    * trailing window — the monitoring model for strongly diurnal
+    * metrics, complementing ts01 (which a daily traffic peak would
+    * fool and a slow drift would not). A cell needs `minN`
+    * observations before it can flag.
+    *
+    * One (key, hour) aggregate at cell cardinality (24 × keys),
+    * broadcast back onto the corpus — the data-proportional side is a
+    * shuffle-free join + projection. The z-score is rounded before
+    * the threshold compare (ts01's engine-portability discipline).
+    */
+  def seasonalAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
+                      tieBreak: Column, minN: Int = 30,
+                      zThreshold: Double = 3.0): DataFrame = {
+    require(minN >= 2, s"minN must be at least 2: $minN")
+    val cells = df
+      .groupBy(key.as("__sa_k"), hour(ts).as("__sa_h"))
+      .agg(count(value).as("__n"), avg(value).as("__m"),
+        stddev_samp(value).as("__sd"))
+    val z = when(col("__sd") > 0,
+      round((value - col("__m")) / col("__sd"), 3))
+    df.join(broadcast(cells),
+        key === col("__sa_k") && hour(ts) === col("__sa_h"))
+      .select(tieBreak.as("tb"), key.as("k"), hour(ts).as("hour_of_day"),
+        value.as("v"), col("__n").as("cell_n"),
+        round(col("__m"), 4).as("cell_mean"),
+        when(col("__n") >= minN, z).as("z"),
+        coalesce(col("__n") >= minN && abs(z) > zThreshold, lit(false))
+          .as("is_anomaly"))
+      .orderBy(col("tb"))
+  }
+
   /** Market-basket pair affinity (cf01): support / confidence / lift
     * for item pairs co-occurring in a basket — the co-occurrence
     * signal behind "bought together" and feature co-selection.

@@ -132,6 +132,54 @@ object Graph {
       .filter(col("degree") > maxDegree)
   }
 
+  /** k-core membership after a FIXED number of peeling rounds (kc01):
+    * repeatedly drop nodes with degree < k — the surviving subgraph
+    * (every member has ≥ k neighbors inside it) is the standard dense
+    * backbone for spam filtering and community seeding. Fixed `rounds`
+    * (pr01's convention) keep the result oracle-replayable on any
+    * engine; convergence is recorded in OpsMetrics("graft.kcore") so
+    * callers can assert the peel actually reached the fixed point
+    * (one extra round detects it: no node dropped → converged).
+    *
+    * Scale shape: each round is one degree aggregate + two semi-joins
+    * of the shrinking edge set — never a materialized neighbor list;
+    * rounds are flat-checkpointed so lineage and stats don't compound
+    * (the dd06/pr01 convention). Peel depth (degeneracy rounds) is
+    * small on real graphs; a chain worst case needs diameter rounds —
+    * bound it with `rounds` and read the convergence metric.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    var e = normalizedEdges(edges).transform(flat)
+    var dropped = -1L
+    var executed = 0
+    for (_ <- 1 to rounds if dropped != 0L) {
+      val adj = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      val keep = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("n"))
+      val e2 = e
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).transform(flat)
+      dropped = e.count() - e2.count()
+      executed += 1
+      e = e2
+    }
+    OpsMetrics.recordConvergence("graft.kcore", executed,
+      if (dropped == 0L) 0L else dropped)
+    val adj = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+    adj.groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   /** Common-neighbor link prediction (jc01): for node pairs NOT
     * directly connected, the count of shared neighbors and the
     * neighbor-set Jaccard |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| — the classic

@@ -248,6 +248,44 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** Duplicate-column detection (dp06): order-independent multiset
+    * fingerprints per column — (non-null count, bounded hash sum,
+    * min/max hash) — grouped so columns carrying identical data
+    * surface as one `dup_group`. The wide-table hygiene check that
+    * catches a join that duplicated a key or an export that aliased
+    * the same field twice, WITHOUT comparing columns pairwise
+    * (n columns → one scan each, not n²/2 pairwise compares).
+    *
+    * Hash components are md5-derived (engine-portable); nulls hash
+    * through a shared sentinel. The sum term uses 28-bit pieces so a
+    * 2³⁵-row table cannot overflow ANSI long addition. Equal columns
+    * always fingerprint equal (no false negatives); a collision
+    * between different columns must match count, sum, min, AND max —
+    * vanishing in practice, and a flagged pair is cheap to confirm
+    * exactly. One aggregate per column, driver handles one row each.
+    */
+  def duplicateColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to compare")
+    val per = cols.map { c =>
+      // one shared null sentinel: a null in column X must equal a
+      // null in column Y (both engines agree md5 of the sentinel)
+      val h = md5(coalesce(col(c).cast("string"), lit("__NULL__")))
+      val h64 = conv(substring(h, 1, 15), 16, 10).cast("long")
+      df.agg(
+        count(col(c)).as("n_nonnull"),
+        sum(h64 % lit(1L << 28)).as("sum_h"),
+                min(h64).as("min_h"),
+        max(h64).as("max_h"))
+        .select(lit(c).as("column"), col("n_nonnull"), col("sum_h"),
+          col("min_h"), col("max_h"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_nonnull"), col("sum_h"), col("min_h"), col("max_h"))
+    per.withColumn("dup_group", min(col("column")).over(w))
+      .withColumn("has_duplicate", count(lit(1)).over(w) > 1)
+      .orderBy(col("column"))
+  }
+
   /** k-anonymity suppression (pv01): drop every row whose
     * quasi-identifier combination is shared by fewer than `k` rows —
     * the release gate that keeps a published dataset from singling

@@ -457,6 +457,118 @@ object FeatureOps {
              (CAST(3 AS BIGINT), 1, 400, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false),
              (CAST(3 AS BIGINT), 2, 100, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), false))
              t(doc_id, frame_no, n_samples, rms, zcr, is_loud)
-             ORDER BY doc_id, frame_no"""))
+             ORDER BY doc_id, frame_no""")),
+
+    // kc01: k-core backbone of the co-supplier graph (k=21 peels for
+    // 3 rounds here — real cascade, nontrivial survivors); the oracle
+    // unrolls 8 fixed peeling rounds as chained CTEs (pr01's
+    // convention — extra rounds past the fixed point are no-ops)
+    NamedQuery("kc01_k_core",
+      (s, d) => {
+        val ps = Tables.load(s, d, "lineitem")
+          .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val e = ps.as("p1").join(ps.as("p2"),
+            col("p1.part") === col("p2.part") &&
+              col("p1.supp") < col("p2.supp"))
+          .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+        Graph.kCore(e, k = 21, rounds = 8).orderBy("node")
+      },
+      Some(kCoreOracle(k = 21, rounds = 8))),
+
+    // ts02: seasonal-profile anomalies — each event scored against
+    // its (type, hour-of-day) corpus cell; same rounded-z discipline
+    // as ts01, oracle replays the cell join
+    NamedQuery("ts02_seasonal_anomaly",
+      (s, d) => Analytics.seasonalAnomaly(
+          Tables.load(s, d, "events"), col("event_type"), col("ts"),
+          col("value"), col("event_id"), minN = 30, zThreshold = 3.0)
+        .withColumnRenamed("tb", "event_id")
+        .select(col("event_id"), col("k"), col("hour_of_day"),
+          round(col("v"), 4).as("v"), col("cell_n"), col("cell_mean"),
+          col("z"), col("is_anomaly")),
+      Some("""WITH c AS (SELECT event_type AS k,
+                  hour(CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(count(value) AS BIGINT) AS n,
+                  avg(value) AS m, stddev_samp(value) AS sd
+                FROM events GROUP BY 1, 2)
+             SELECT e.event_id, c.k,
+               hour(CAST(e.ts AS TIMESTAMP)) AS hour_of_day,
+               round(e.value, 4) AS v, c.n AS cell_n,
+               round(c.m, 4) AS cell_mean,
+               CASE WHEN c.n >= 30 AND c.sd > 0
+                 THEN round((e.value - c.m) / c.sd, 3) END AS z,
+               coalesce(c.n >= 30 AND c.sd > 0
+                 AND abs(round((e.value - c.m) / c.sd, 3)) > 3.0, false)
+                 AS is_anomaly
+             FROM events e JOIN c ON c.k = e.event_type
+               AND c.h = hour(CAST(e.ts AS TIMESTAMP))
+             ORDER BY e.event_id""")),
+
+    // dp06: duplicate-column detection over customer + an aliased
+    // nation copy — multiset hash fingerprints, the copy pair must
+    // land in one dup_group (gate sticks to int/string columns: a
+    // double's cast-to-string formatting is not engine-portable)
+    NamedQuery("dp06_duplicate_columns",
+      (s, d) => Profile.duplicateColumns(
+        Tables.load(s, d, "customer")
+          .withColumn("nation_copy", col("c_nationkey")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "nation_copy")),
+      Some(dupColsOracle(Seq("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "nation_copy"))))
   )
+
+  /** DuckDB replay of Graph.kCore: `rounds` chained peel CTEs over
+    * the tc01/jc01 co-supplier projection.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: each round references its
+    // predecessor three times, and DuckDB re-evaluates plain CTEs per
+    // reference — 8 rounds would re-run the base scan 3^8 times
+    val peels = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""deg$i AS MATERIALIZED (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY n),
+         keep$i AS MATERIALIZED (SELECT n FROM deg$i WHERE d >= $k),
+         e$i AS MATERIALIZED (SELECT a, b FROM $prev
+                 WHERE a IN (SELECT n FROM keep$i)
+                   AND b IN (SELECT n FROM keep$i))"""
+    }.mkString(",\n")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+              FROM lineitem
+              WHERE l_partkey % 97 = 0 AND l_suppkey % 3 = 0),
+        e0 AS MATERIALIZED (SELECT DISTINCT p1.supp AS a, p2.supp AS b
+               FROM ps p1 JOIN ps p2
+               ON p1.part = p2.part AND p1.supp < p2.supp),
+        $peels
+       SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+       FROM (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       GROUP BY n HAVING count(*) >= $k ORDER BY node"""
+  }
+
+  /** DuckDB replay of Profile.duplicateColumns' fingerprints for the
+    * given (int/string — portably castable) columns.
+    */
+  private def dupColsOracle(cols: Seq[String]): String = {
+    val per = cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n_nonnull,
+           CAST(sum(CAST('0x' || substr(md5(coalesce(CAST($c AS VARCHAR),
+             '__NULL__')), 1, 15) AS BIGINT) % 268435456) AS BIGINT) AS sum_h,
+           min(CAST('0x' || substr(md5(coalesce(CAST($c AS VARCHAR),
+             '__NULL__')), 1, 15) AS BIGINT)) AS min_h,
+           max(CAST('0x' || substr(md5(coalesce(CAST($c AS VARCHAR),
+             '__NULL__')), 1, 15) AS BIGINT)) AS max_h
+         FROM base"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT *, c_nationkey AS nation_copy FROM customer),
+        f AS ($per)
+       SELECT "column", n_nonnull, sum_h, min_h, max_h,
+         min("column") OVER w AS dup_group,
+         count(*) OVER w > 1 AS has_duplicate
+       FROM f
+       WINDOW w AS (PARTITION BY n_nonnull, sum_h, min_h, max_h)
+       ORDER BY "column""""
+  }
 }

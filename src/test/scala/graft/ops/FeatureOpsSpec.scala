@@ -232,6 +232,55 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(r((1L, "uid")) == r((3L, "uid")))
   }
 
+  test("k-core: cascade peel — removing leaves exposes the next layer") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: 2-core is exactly
+    // the triangle, and node 4 only drops AFTER 5 (two rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.kCore(edges, k = 2, rounds = 8)
+      .select("node", "core_degree").as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L, 3L), s"2-core must be the triangle: $r")
+    assert(r.values.forall(_ == 2L))
+    val conv = OpsMetrics.lastConvergence("graft.kcore")
+    assert(conv.exists { case (rounds, changing) =>
+      rounds >= 3 && changing == 0L }, s"cascade takes 2 peels + 1 confirm: $conv")
+  }
+
+  test("k-core: k above max degree empties the graph; rounds cap respected") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.kCore(edges, k = 5, rounds = 8).isEmpty)
+  }
+
+  test("seasonal anomaly: value normal for its hour flags only in the wrong hour") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // hour 2 baseline ~100 (35 samples), hour 3 baseline ~1 (35
+    // samples), plus one 100.0 reading at hour 3 — normal at hour 2,
+    // wildly anomalous for hour 3's profile
+    def t(h: Int, m: Int) = new java.sql.Timestamp(
+      ts0.getTime + (h * 3600L + m * 60L) * 1000L)
+    val rows = (0 until 35).map(i => ("m", t(2, i), i.toLong, 100.0 + (i % 3))) ++
+      (0 until 35).map(i => ("m", t(3, i), 100L + i, 1.0 + (i % 3) * 0.01)) :+
+      (("m", t(3, 40), 999L, 100.0))
+    val r = Analytics.seasonalAnomaly(rows.toDF("k", "ts", "id", "v"),
+        col("k"), col("ts"), col("v"), col("id"), minN = 30)
+      .select("tb", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(r(999L), "100.0 at hour 3 must flag against hour-3's profile")
+    assert(r.filter(_._1 < 999L).values.forall(!_), "baseline rows must not flag")
+  }
+
+  test("duplicate columns: aliased copy grouped, distinct columns separated, nulls equal nulls") {
+    val df = Seq((1L, Some("a"), Some("a"), Some("b")),
+        (2L, None, None, Some("c")))
+      .toDF("id", "x", "x_copy", "y")
+    val r = Profile.duplicateColumns(df, Seq("id", "x", "x_copy", "y"))
+      .select("column", "dup_group", "has_duplicate")
+      .as[(String, String, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("x") == (("x", true)) && r("x_copy") == (("x", true)),
+      s"copy must share x's group: $r")
+    assert(!r("id")._2 && !r("y")._2)
+  }
+
   test("audio frames: frame independence, tail frame, loudness threshold strict") {
     def wav(samples: Seq[Int]): Array[Byte] = {
       val data = samples.flatMap(v =>
