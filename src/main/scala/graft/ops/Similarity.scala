@@ -468,6 +468,67 @@ object Similarity {
         col("__dup").isNull.as("keep"))
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k (sim06, Carbonell &
+    * Goldstein 1998): greedily pick k results maximizing
+    * λ·sim(query, d) − (1−λ)·max over already-selected sim(d, s) —
+    * the retrieval re-ranker that keeps the result page from being k
+    * near-copies of the best hit (for training data: diverse
+    * exemplars, not one cluster).
+    *
+    * Scale shape: query relevance is ONE scan with the query vector
+    * broadcast as a literal; each of the k rounds updates the running
+    * max-similarity-to-selected against the SINGLE newly selected
+    * vector (again a broadcast literal) and takes a 1-row argmax —
+    * never a pairwise candidate matrix. k driver collects of one row
+    * each; determinism from 6-dec rounding + vec_id tie-breaks (the
+    * ws01 convention), so an oracle replays the greedy trace exactly.
+    * For production, pre-filter candidates with an ANN pass (sim02/
+    * sim03) — MMR then re-ranks a bounded candidate set.
+    */
+  def mmrTopK(corpus: DataFrame, queryId: Long, k: Int,
+              lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    require(lambda > 0 && lambda <= 1, s"lambda out of (0,1]: $lambda")
+    registerOn(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qEmb = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding")).as[Seq[Float]].head()
+    // cosines rounded at 4 (the dd05 cross-engine convention: the
+    // native float-dot's per-term float rounding agrees with a
+    // replayed float product only to ~1e-7)
+    var cands = corpus.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), typedlit(qEmb)), 4).as("simq"))
+      // cosine lower bound: round 1's argmax is then pure relevance
+      .withColumn("max_sel_sim", lit(-1.0))
+      .persist()
+    cands.count()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (rank <- 1 to k) {
+      val scored = cands.withColumn("score",
+        round(lit(lambda) * col("simq")
+          - lit(1 - lambda) * col("max_sel_sim"), 6))
+      val headOpt = scored
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).collect().headOption
+      headOpt.foreach { top =>
+        val id = top.getLong(0)
+        val emb = top.getSeq[Float](1)
+        picked += ((rank, id, top.getDouble(2), top.getDouble(4)))
+        val next = cands.filter(col("vec_id") =!= id)
+          .withColumn("max_sel_sim", greatest(col("max_sel_sim"),
+            round(cosine(col("embedding"), typedlit(emb)), 4)))
+          .persist()
+        next.count()
+        cands.unpersist()
+        cands = next
+      }
+    }
+    cands.unpersist()
+    picked.toSeq.toDF("rank", "vec_id", "simq", "mmr_score")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ),
     * LSH-blocked with corpus-scaled bucket counts (nBits = 0 → auto)
     * and multi-table probing for recall.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency sketches. The existing approx family covers
@@ -106,5 +107,63 @@ object Sketches {
       .select(col("k").as("value"), col("n_exact"), col("n_est"),
         (col("n_est") >= col("n_exact")).as("lower_ok"))
       .orderBy(col("value"))
+  }
+
+  /** Fixed-edge histogram per key group (qs01 building block): bin
+    * counts over `nBins` equal-width bins on [lo, hi], clamped at the
+    * edges. Fixed edges (not data-derived) are what make per-shard
+    * histograms MERGEABLE by bin-wise addition — the quantile leg of
+    * the mergeable-sketch trio (hll01 cardinality, cm01 frequency).
+    */
+  def binnedHistogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+                      nBins: Int, keys: Seq[Column] = Nil): DataFrame = {
+    require(hi > lo, s"empty range: [$lo, $hi]")
+    require(nBins >= 2 && nBins <= 100000, s"nBins out of range: $nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((value - lo) / width).cast("int"), lit(0)), lit(nBins - 1))
+    df.filter(value.isNotNull)
+      .groupBy((keys :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from a merged fixed-edge histogram (qs01):
+    * rank the cumulative bin counts, linearly interpolate inside the
+    * bin holding each target rank. Error is bounded by ONE BIN WIDTH
+    * whenever [lo, hi] covers the data — the trade every serving
+    * system makes to answer "p99 this month" by adding 30 daily
+    * 32-row histograms instead of rescanning a month of raw data.
+    *
+    * Quantiles are RATIONALS (num, den): the target rank
+    * ceil(num·N/den) is computed in integer arithmetic, because e.g.
+    * 0.9·N in doubles can land on 9000.000000000002 and ceil to the
+    * wrong rank on one engine but not the other. The histogram side
+    * is nBins rows — every window here is bin-cardinality, never
+    * data-cardinality.
+    */
+  def quantilesFromHistogram(hist: DataFrame, lo: Double, hi: Double,
+                             nBins: Int,
+                             quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    quantiles.foreach { case (num, den) =>
+      require(num > 0 && num <= den, s"quantile out of (0,1]: $num/$den") }
+    val width = (hi - lo) / nBins
+    val merged = hist.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = merged
+      .withColumn("cum_before", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .withColumn("total", sum(col("n")).over())
+    quantiles.map { case (num, den) =>
+      val target = (lit(num.toLong) * col("total") + lit(den.toLong - 1))
+        .divide(lit(den.toLong)).cast("long")
+      cum.filter(col("cum_before") < target &&
+          target <= col("cum_before") + col("n"))
+        .select(lit(s"$num/$den").as("q"),
+          round(lit(lo) + lit(width) *
+            (col("bin") + (target - col("cum_before")) /
+              col("n").cast("double")), 6).as("estimate"),
+          round(lit(width), 6).as("max_error"))
+    }.reduce(_ unionAll _)
   }
 }

@@ -517,8 +517,119 @@ object FeatureOps {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
           "nation_copy")),
       Some(dupColsOracle(Seq("c_custkey", "c_name", "c_nationkey",
-        "c_mktsegment", "nation_copy"))))
+        "c_mktsegment", "nation_copy")))),
+
+    // qs01: mergeable-histogram quantile rollup — per-day fixed-edge
+    // histograms summed bin-wise, quantiles interpolated from the
+    // merged bins with a one-bin-width error bound vs the exact
+    // values (the quantile leg of the sketch trio: hll01, cm01, qs01)
+    NamedQuery("qs01_quantile_rollup",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+        val daily = graft.ops.Sketches.binnedHistogram(
+          ev, col("value"), lo = 0.0, hi = 500.0, nBins = 50,
+          keys = Seq(col("day")))
+        val est = graft.ops.Sketches.quantilesFromHistogram(
+          daily, lo = 0.0, hi = 500.0, nBins = 50,
+          quantiles = Seq((1, 2), (9, 10), (99, 100)))
+        val exact = ev.agg(
+          percentile(col("value"), lit(0.5)).as("e50"),
+          percentile(col("value"), lit(0.9)).as("e90"),
+          percentile(col("value"), lit(0.99)).as("e99"))
+        est.crossJoin(broadcast(exact))
+          .select(col("q"), col("estimate"), col("max_error"),
+            round(when(col("q") === "1/2", col("e50"))
+              .when(col("q") === "9/10", col("e90"))
+              .otherwise(col("e99")), 6).as("exact"))
+          .withColumn("within_bound",
+            abs(col("estimate") - col("exact")) <= col("max_error"))
+          .orderBy("q")
+      },
+      Some("""WITH h AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                  least(greatest(CAST(floor((value - 0.0) / 10.0) AS INTEGER), 0), 49) AS bin,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              m AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1),
+              c AS (SELECT bin, n,
+                  CAST(coalesce(sum(n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before,
+                  CAST(sum(n) OVER () AS BIGINT) AS total FROM m),
+              qdef(qn, num, den) AS (VALUES ('1/2', 1, 2), ('9/10', 9, 10),
+                ('99/100', 99, 100)),
+              est AS (SELECT qn,
+                  round(0.0 + 10.0 * (bin + (tgt - cum_before)
+                    / CAST(n AS DOUBLE)), 6) AS estimate,
+                  round(10.0, 6) AS max_error
+                FROM (SELECT c.*, qdef.qn,
+                        (qdef.num * c.total + qdef.den - 1) // qdef.den AS tgt
+                      FROM c, qdef)
+                WHERE cum_before < tgt AND tgt <= cum_before + n),
+              ex AS (SELECT unnest(['1/2', '9/10', '99/100']) AS qn,
+                       unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS exv
+                     FROM events)
+             SELECT est.qn AS q, estimate, max_error,
+               round(exv, 6) AS exact,
+               abs(estimate - round(exv, 6)) <= max_error AS within_bound
+             FROM est JOIN ex USING (qn) ORDER BY q""")),
+
+    // sim06: MMR diverse top-k re-ranking — greedy relevance-vs-
+    // redundancy selection, every cosine rounded at 4 (dd05's
+    // cross-engine float convention) and ties broken on vec_id, so
+    // the oracle replays the greedy trace round by round
+    NamedQuery("sim06_mmr_topk",
+      (s, d) => graft.ops.Similarity.mmrTopK(
+        Tables.load(s, d, "embeddings"), queryId = 1L, k = 5,
+        lambda = 0.7),
+      Some(mmrOracle(queryId = 1L, k = 5, lam = 0.7)))
   )
+
+  /** DuckDB replay of Similarity.mmrTopK's greedy trace: float-
+    * granularity cosines (unnest products, dd05's idiom), MATERIALIZED
+    * round CTEs (each is referenced repeatedly downstream).
+    */
+  private def mmrOracle(queryId: Long, k: Int, lam: Double): String = {
+    val om = 1 - lam // the exact double Spark's lit(1 - lambda) uses
+    val rounds = (1 to k).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT vec_id, simq,
+           round($lam * simq - $om * ms, 6) AS score
+           FROM $prev ORDER BY score DESC, vec_id LIMIT 1),
+         s$i AS MATERIALIZED (SELECT s.vec_id, s.simq,
+           greatest(s.ms, (SELECT sim FROM pairsim ps
+             WHERE ps.va = s.vec_id
+               AND ps.vb = (SELECT vec_id FROM p$i))) AS ms
+           FROM $prev s WHERE s.vec_id != (SELECT vec_id FROM p$i))"""
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"""SELECT $i AS "rank", vec_id, simq, score AS mmr_score FROM p$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH nrm AS MATERIALIZED (SELECT vec_id,
+            sqrt((SELECT sum(a * b) FROM
+              (SELECT unnest(embedding) AS a, unnest(embedding) AS b))) AS nn
+          FROM embeddings),
+        simq AS MATERIALIZED (SELECT x.vec_id,
+            round((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a,
+                unnest(q.embedding) AS b))
+              / nx.nn / nq.nn, 4) AS simq
+          FROM embeddings x JOIN nrm nx ON nx.vec_id = x.vec_id,
+            embeddings q JOIN nrm nq ON nq.vec_id = q.vec_id
+          WHERE q.vec_id = $queryId AND x.vec_id != $queryId),
+        pairsim AS MATERIALIZED (SELECT x.vec_id AS va, y.vec_id AS vb,
+            round((SELECT sum(a * b) FROM (SELECT unnest(x.embedding) AS a,
+                unnest(y.embedding) AS b))
+              / nx.nn / ny.nn, 4) AS sim
+          FROM embeddings x JOIN nrm nx ON nx.vec_id = x.vec_id
+            JOIN embeddings y ON y.vec_id != x.vec_id
+            JOIN nrm ny ON ny.vec_id = y.vec_id
+          WHERE x.vec_id != $queryId AND y.vec_id != $queryId),
+        s0 AS MATERIALIZED (SELECT vec_id, simq, CAST(-1.0 AS DOUBLE) AS ms
+          FROM simq),
+        $rounds
+       $sel
+       ORDER BY "rank""""
+  }
 
   /** DuckDB replay of Graph.kCore: `rounds` chained peel CTEs over
     * the tc01/jc01 co-supplier projection.

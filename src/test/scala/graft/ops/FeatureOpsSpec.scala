@@ -281,6 +281,48 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(!r("id")._2 && !r("y")._2)
   }
 
+  test("histogram quantiles: interpolated rank, shard-merge invariance, one-bin bound") {
+    val vals = (1 to 100).map(_.toDouble)
+    val whole = vals.toDF("v")
+    val est = Sketches.quantilesFromHistogram(
+        Sketches.binnedHistogram(whole, col("v"), 0.0, 100.0, 10),
+        0.0, 100.0, 10, Seq((1, 2)))
+      .select("estimate").as[Double].head()
+    // target rank 50 lands in bin 5 (cum 49 before) → 10*(5 + 1/10)
+    assert(est == 51.0, s"median estimate: $est")
+    assert(math.abs(est - 50.5) <= 10.0, "one-bin-width bound")
+    // shard merge: two half histograms sum to the whole's answer
+    val h1 = Sketches.binnedHistogram(vals.take(50).toDF("v"), col("v"), 0.0, 100.0, 10)
+    val h2 = Sketches.binnedHistogram(vals.drop(50).toDF("v"), col("v"), 0.0, 100.0, 10)
+    val merged = Sketches.quantilesFromHistogram(
+        h1.unionByName(h2), 0.0, 100.0, 10, Seq((1, 2)))
+      .select("estimate").as[Double].head()
+    assert(merged == est, "bin-wise merge must equal the single-pass sketch")
+  }
+
+  test("histogram quantiles: out-of-range values clamp to edge bins") {
+    val df = Seq(-5.0, 0.5, 99.0, 250.0).toDF("v")
+    val h = Sketches.binnedHistogram(df, col("v"), 0.0, 100.0, 10)
+      .orderBy("bin").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h == Map(0 -> 2L, 9 -> 2L), s"clamped bins: $h")
+  }
+
+  test("mmr: near-copy of the best hit is demoted below a diverse alternative") {
+    // query q = e1; c1 ~ c2 (near-identical, both highly relevant);
+    // c3 orthogonal-ish but still relevant — plain top-2 would return
+    // (c1, c2); MMR must pick c3 second
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.9f, 0.11f, 0.0f)),
+      (12L, Array(0.5f, 0.0f, 0.8f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val picked = Similarity.mmrTopK(df, queryId = 1L, k = 2, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(picked.head == 10L, s"rank 1 is pure relevance: $picked")
+    assert(picked(1) == 12L, s"rank 2 must be the diverse doc, not the near-copy: $picked")
+  }
+
   test("audio frames: frame independence, tail frame, loudness threshold strict") {
     def wav(samples: Seq[Int]): Array[Byte] = {
       val data = samples.flatMap(v =>
