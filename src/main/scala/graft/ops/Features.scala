@@ -39,8 +39,14 @@ object Features {
       .withColumn("__n_cat", count(target).over(w))
       .withColumn("__sum_cat", sum(target).over(w))
       .select(id.as("id"), category.as("category"), target.as("y"),
-        round((col("__sum_cat") - target + lit(smoothing) * col("__g")) /
-          (col("__n_cat") - 1 + lit(smoothing)), 6).as("enc"))
+        // floor-based half-up rounding at 6: the quotient is a plain
+        // rational that CAN terminate in an exact ...5 decimal, where
+        // Spark's round (HALF_UP on shortest-repr) and another
+        // engine's binary nearbyint disagree; floor(x·10⁶ + 0.5) is
+        // the identical double op everywhere
+        (floor(((col("__sum_cat") - target + lit(smoothing) * col("__g")) /
+          (col("__n_cat") - 1 + lit(smoothing))) * 1e6 + 0.5) / 1e6)
+          .as("enc"))
   }
 
   /** Group-median imputation (imp01): fill nulls in `value` with the

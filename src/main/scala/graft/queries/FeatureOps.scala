@@ -148,8 +148,8 @@ object FeatureOps {
                 FROM events)
              SELECT event_id AS id, user_id AS category,
                round(value, 4) AS y,
-               round((s_cat - value + 10 * (SELECT gm FROM g))
-                 / (n_cat - 1 + 10), 6) AS enc
+               floor((s_cat - value + 10 * (SELECT gm FROM g))
+                 / (n_cat - 1 + 10) * 1000000 + 0.5) / 1000000 AS enc
              FROM w ORDER BY id""")),
 
     // imp01: group-median imputation — 'error' events carry no valid
@@ -573,6 +573,69 @@ object FeatureOps {
                round(exv, 6) AS exact,
                abs(estimate - round(exv, 6)) <= max_error AS within_bound
              FROM est JOIN ex USING (qn) ORDER BY q""")),
+
+    // pp03: the feature-engineering pipeline end-to-end — repair
+    // (imp01) → leakage-safe encode (enc01) → lag/rolling features
+    // (ft01), every stage an independently-gated operator; the oracle
+    // chains the three stages' SQL shapes over the repaired value.
+    // The two window stages share the user partition key — at scale
+    // they ride one exchange (pp02's composition discipline for the
+    // curation pipeline, applied to features).
+    NamedQuery("pp03_feature_pipeline",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("v", when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")))
+        val rep = Features.imputeMedian(ev, col("v"), col("user_id"),
+          col("event_id"))
+        val base = ev.select(col("event_id").as("id"), col("ts"))
+          .join(rep, "id")
+        // gate-side 4-dec re-quantize, floor-based like the op's own
+        // 6-dec step: the imputed medians put real binary-exact
+        // quotient boundaries at the 5th-7th decimals, where round()'s
+        // HALF_UP-on-shortest-repr (Spark) and binary nearbyint
+        // (DuckDB) disagree; floor(x·10⁴ + 0.5) is the identical
+        // double op on both engines
+        val enc = Features.targetEncode(base, col("grp"),
+            col("v_imputed"), col("id"))
+          .select(col("id"), (floor(col("enc") * 1e4 + 0.5) / 1e4).as("enc"))
+        val lags = Features.lagFeatures(base, col("grp"), col("ts"),
+            col("id"), col("v_imputed"))
+          .select(col("id"), round(col("lag1"), 4).as("lag1"),
+            round(col("roll_mean"), 4).as("roll_mean"), col("roll_n"))
+        base.join(enc, "id").join(lags, "id")
+          .select(col("id"), col("grp"), col("was_null"),
+            round(col("v_imputed"), 4).as("v_imputed"), col("enc"),
+            col("lag1"), col("roll_mean"), col("roll_n"))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+                FROM events),
+              med AS (SELECT user_id, quantile_cont(v, 0.5) AS m
+                      FROM e GROUP BY 1),
+              gmed AS (SELECT quantile_cont(v, 0.5) AS gm FROM e),
+              rep AS (SELECT e.event_id AS id, e.user_id AS grp, e.ts,
+                  v IS NULL AS was_null,
+                  coalesce(v, med.m, (SELECT gm FROM gmed)) AS vi
+                FROM e LEFT JOIN med USING (user_id)),
+              gmean AS (SELECT avg(vi) AS g FROM rep),
+              w AS (SELECT *, count(vi) OVER (PARTITION BY grp) AS n_cat,
+                  sum(vi) OVER (PARTITION BY grp) AS s_cat,
+                  lag(vi, 1) OVER lw AS lag1,
+                  avg(vi) OVER (PARTITION BY grp ORDER BY ts, id
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_mean,
+                  count(vi) OVER (PARTITION BY grp ORDER BY ts, id
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_n
+                FROM rep
+                WINDOW lw AS (PARTITION BY grp ORDER BY ts, id))
+             SELECT id, grp, was_null, round(vi, 4) AS v_imputed,
+               floor(floor((s_cat - vi + 10 * (SELECT g FROM gmean))
+                 / (n_cat - 1 + 10) * 1000000 + 0.5) / 1000000
+                 * 10000 + 0.5) / 10000 AS enc,
+               round(lag1, 4) AS lag1, round(roll_mean, 4) AS roll_mean,
+               CAST(roll_n AS BIGINT) AS roll_n
+             FROM w ORDER BY id""")),
 
     // sim06: MMR diverse top-k re-ranking — greedy relevance-vs-
     // redundancy selection, every cosine rounded at 4 (dd05's
