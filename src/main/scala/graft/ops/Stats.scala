@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order statistics and model-evaluation metrics that classically ask
+  * for a GLOBAL rank — AUC, Kolmogorov-Smirnov, weighted quantiles —
+  * computed without the single-partition window Spark would otherwise
+  * plan for `Window.orderBy(v)` (the scale-killer the url01 review
+  * flagged: every row through ONE task).
+  *
+  * The shared trick is a two-level prefix sum over DETERMINISTIC
+  * width_bucket bins: per-bucket subtotals are a bounded frame (≤
+  * buckets+2 rows — collected to the driver like the k-means /
+  * correlations bounded collects), exclusive bucket offsets come back
+  * as a broadcast join, and the within-bucket cumulative runs as a
+  * window PARTITIONED BY bucket — parallel across buckets, so no stage
+  * sees more than one bucket's rows in one task. Exact counts in, exact
+  * cumulative counts out; the only approximation anywhere is the bucket
+  * WIDTH (load balance), never the statistic.
+  */
+object Stats {
+
+  /** Exclusive global cumulative sums per distinct value of `valueCol`,
+    * for each counter in `countCols`, added as `cum_<c>_below` columns.
+    *
+    * Input contract: `perValue` has ONE row per distinct value (the
+    * caller's groupBy); counters are non-null longs. Values must be
+    * non-null. Output keeps every input column.
+    */
+  def cumCountsByValue(perValue: DataFrame, valueCol: String,
+                       countCols: Seq[String], buckets: Int = 1024): DataFrame = {
+    require(countCols.nonEmpty, "cumCountsByValue needs at least one counter")
+    val spark = perValue.sparkSession
+    val mm = perValue.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi")).head
+    if (mm.isNullAt(0)) return perValue.select(
+      (perValue.columns.map(col) ++ countCols.map(c => lit(0L).as(s"cum_${c}_below"))).toSeq: _*)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // width_bucket sends v==hi to buckets+1; fold it into the last bin
+    val bucketed =
+      if (lo == hi) perValue.withColumn("__bkt", lit(1L))
+      else perValue.withColumn("__bkt",
+        least(width_bucket(col(valueCol).cast("double"), lit(lo), lit(hi), lit(buckets)),
+          lit(buckets.toLong)))
+    // bounded frame: ≤ buckets rows → driver-side exclusive prefix scan
+    val aggExprs = countCols.map(c => sum(col(c)).as(s"t_$c"))
+    val subtotals = bucketed.groupBy(col("__bkt")).agg(aggExprs.head, aggExprs.tail: _*)
+    val totals: Array[Row] = subtotals.collect().sortBy(_.getLong(0))
+    val running = scala.collection.mutable.Map(countCols.map(_ -> 0L): _*)
+    val offsetRows = totals.map { r =>
+      val off = countCols.zipWithIndex.map { case (c, i) =>
+        val v = running(c); running(c) += r.getLong(1 + i); v
+      }
+      Row.fromSeq(r.getLong(0) +: off)
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bkt", org.apache.spark.sql.types.LongType) +:
+      countCols.map(c => org.apache.spark.sql.types.StructField(
+        s"off_$c", org.apache.spark.sql.types.LongType)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1), offSchema)
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = countCols.foldLeft(bucketed) { (df, c) =>
+      df.withColumn(s"__w_$c", coalesce(sum(col(c)).over(w), lit(0L)))
+    }
+    val joined = within.join(broadcast(offs), Seq("__bkt"))
+    val out = countCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cum_${c}_below", col(s"off_$c") + col(s"__w_$c"))
+        .drop(s"off_$c", s"__w_$c")
+    }
+    out.drop("__bkt")
+  }
+
+  /** Exact ROC AUC of `score` against boolean `label`, with the
+    * standard average-rank tie handling — via the closed form
+    * AUC = Σ_s n_pos(s)·(N_neg_below(s) + n_neg(s)/2) / (P·N), which
+    * needs only per-distinct-score counts plus the bucketed prefix
+    * sum above (counts are integers, so the ratio is bit-exact across
+    * engines). One row out: n_pos, n_neg, auc.
+    */
+  def auc(df: DataFrame, score: Column, label: Column,
+          buckets: Int = 1024): DataFrame = {
+    val perScore = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(score.cast("double").as("s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(label, 0L).otherwise(1L)).as("n_neg"))
+    val cum = cumCountsByValue(perScore, "s", Seq("n_pos", "n_neg"), buckets)
+    cum.agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos") * (col("cum_n_neg_below") + col("n_neg") / 2.0)).as("u"))
+      .select(col("n_pos"), col("n_neg"),
+        // cast before the product: P·N overflows long at ~3e9 rows/side
+        round(col("u") / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov distance between the `value`
+    * distributions of rows where `isA` vs not. Both empirical CDFs are
+    * step functions jumping only at observed values, so evaluating the
+    * inclusive CDFs at every distinct value and taking the max gap is
+    * the exact statistic. Output: n_a, n_b, ks_stat, ks_at (the
+    * smallest value attaining the max — deterministic argmax).
+    */
+  def ksTest(df: DataFrame, value: Column, isA: Column,
+             buckets: Int = 1024): DataFrame = {
+    val perValue = df.filter(value.isNotNull)
+      .groupBy(value.cast("double").as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, 0L).otherwise(1L)).as("n_b"))
+    val cum = cumCountsByValue(perValue, "v", Seq("n_a", "n_b"), buckets)
+    // totals as a scalar aggregate folded back as literals — NOT an
+    // unpartitioned `sum().over()` (the url01 lesson: that plan routes
+    // every row through one task)
+    val t = perValue.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb")).head
+    val (ta, tb) = (t.getLong(0), t.getLong(1))
+    require(ta > 0 && tb > 0, s"ksTest needs both samples non-empty (got $ta/$tb)")
+    cum.select(col("v"),
+        abs((col("cum_n_a_below") + col("n_a")).cast("double") / ta -
+            (col("cum_n_b_below") + col("n_b")).cast("double") / tb).as("gap"))
+      .agg(max(struct(round(col("gap"), 9).as("g"), (-col("v")).as("nv"))).as("m"))
+      .select(lit(ta).as("n_a"), lit(tb).as("n_b"),
+        round(col("m.g"), 6).as("ks_stat"),
+        round(-col("m.nv"), 6).as("ks_at"))
+  }
+
+  /** Calibration audit: equal-width bins over the score range, each
+    * bin reporting its mean normalized confidence vs the observed
+    * positive rate. The bin index uses the EXPLICIT floor formula
+    * (not width_bucket) so an oracle can reproduce it bit-for-bit;
+    * range comes from one scalar aggregate folded back as literals.
+    */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"), when(label, 1L).otherwise(0L).as("y"))
+    val mm = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi")).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bin =
+      if (lo == hi) lit(1L)
+      else least(floor((col("s") - lo) / (hi - lo) * bins) + 1, lit(bins.toLong))
+        .cast("long")
+    base.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg((col("s") - lo) / (hi - lo)), 4).as("mean_conf"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-query NDCG@k over (query, item, score, graded relevance):
+    * ranking by score desc / item asc (deterministic), ideal ranking
+    * by relevance desc. Both DCG sums run over ≤k rows per query —
+    * the windows are partitioned by query, so ranking a trillion-row
+    * impression log shuffles once on the query key.
+    */
+  def ndcgAtK(df: DataFrame, query: Column, item: Column, score: Column,
+              rel: Column, k: Int = 10): DataFrame = {
+    val base = df.select(query.as("q"), item.as("it"),
+      score.cast("double").as("sc"), rel.cast("double").as("rel"))
+    val wS = Window.partitionBy(col("q")).orderBy(col("sc").desc, col("it").asc)
+    val wI = Window.partitionBy(col("q")).orderBy(col("rel").desc, col("it").asc)
+    val gain = (c: Column) => (pow(lit(2.0), col("rel")) - 1.0) / log(2.0, c + 1.0)
+    val ranked = base
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("irn", row_number().over(wI))
+    val dcg = ranked.filter(col("rn") <= k).groupBy(col("q"))
+      .agg(sum(gain(col("rn"))).as("dcg"))
+    val idcg = ranked.filter(col("irn") <= k).groupBy(col("q"))
+      .agg(sum(gain(col("irn"))).as("idcg"))
+    dcg.join(idcg, Seq("q"))
+      .select(col("q"), round(col("dcg"), 4).as("dcg"),
+        round(col("idcg"), 4).as("idcg"),
+        round(when(col("idcg") === 0.0, 0.0)
+          .otherwise(col("dcg") / col("idcg")), 4).as("ndcg"))
+  }
+
+  /** Ordinary least squares by distributed normal equations: a FIRST
+    * pass for the means, a SECOND pass for centered co-moments (the
+    * centering avoids the catastrophic cancellation of raw-sum
+    * Σxy − n·x̄·ȳ at petabyte row counts), then a (d×d) Gaussian solve
+    * on the driver — d is the feature count, never the row count.
+    * Returns one row: n, intercept, one `coef_<name>` per feature, r2.
+    */
+  def linearFit(df: DataFrame, target: Column,
+                features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "linearFit needs at least one feature")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = features.size
+    val base = df.select(
+      (target.cast("double").as("__y") +:
+        features.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"__x$i") }).toSeq: _*)
+      .na.drop()
+    val meanAggs = avg(col("__y")).as("my") +:
+      (0 until d).map(i => avg(col(s"__x$i")).as(s"mx$i"))
+    val meansRow = base.agg(count(lit(1)).as("n"), meanAggs: _*).head
+    val n = meansRow.getLong(0)
+    require(n > d, s"linearFit needs more rows ($n) than features ($d)")
+    val my = meansRow.getDouble(1)
+    val mx = (0 until d).map(i => meansRow.getDouble(2 + i)).toArray
+    val crossAggs =
+      (for (i <- 0 until d; j <- i until d) yield
+        sum((col(s"__x$i") - mx(i)) * (col(s"__x$j") - mx(j))).as(s"sxx_${i}_$j")) ++
+      (0 until d).map(i => sum((col(s"__x$i") - mx(i)) * (col("__y") - my)).as(s"sxy_$i")) :+
+      sum((col("__y") - my) * (col("__y") - my)).as("syy")
+    val cm = base.agg(crossAggs.head, crossAggs.tail: _*).head
+    val sxx = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      sxx(i)(j) = cm.getDouble(k); sxx(j)(i) = cm.getDouble(k); k += 1
+    }
+    val sxy = (0 until d).map(i => cm.getDouble(k + i)).toArray
+    val syy = cm.getDouble(k + d)
+    val beta = solve(sxx.map(_.clone()), sxy.clone())
+    val intercept = my - (0 until d).map(i => beta(i) * mx(i)).sum
+    val sse = syy - (0 until d).map(i => beta(i) * sxy(i)).sum
+    val r2 = if (syy == 0.0) 1.0 else 1.0 - sse / syy
+    val row = (n, intercept, beta.toSeq, r2)
+    Seq(row).toDF("n", "__b0", "__beta", "__r2").select(
+      (col("n") +: round(col("__b0"), 4).as("intercept") +:
+        features.zipWithIndex.map { case ((name, _), i) =>
+          round(element_at(col("__beta"), i + 1), 4).as(s"coef_$name") } :+
+        round(col("__r2"), 6).as("r2")).toSeq: _*)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting (driver-side,
+    * d×d where d = feature count).
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (p <- 0 until n) {
+      var maxR = p
+      for (r <- p + 1 until n) if (math.abs(a(r)(p)) > math.abs(a(maxR)(p))) maxR = r
+      val tmp = a(p); a(p) = a(maxR); a(maxR) = tmp
+      val tb = b(p); b(p) = b(maxR); b(maxR) = tb
+      require(math.abs(a(p)(p)) > 1e-12, "linearFit: singular design matrix")
+      for (r <- p + 1 until n) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until n) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until n) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+}

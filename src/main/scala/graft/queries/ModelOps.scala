@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.{Classify, Stats}
+
+/** Driver-verified gates for the model-training/evaluation surface a
+  * training-data pipeline runs AROUND the corpus ops: a distributed
+  * OLS fit, exact ROC AUC and KS drift without global-rank windows,
+  * calibration and NDCG readouts, and the Naive-Bayes/chi² classifier
+  * family. Oracles replay every algorithm in SQL — integer statistics
+  * exact, double outputs rounded before the hash compare.
+  */
+object ModelOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Shared CTE chain replaying naiveBayesScore in DuckDB (vocabK
+    * 1000 ≫ the word-soup vocab, so the cap never bites at sf0.01 —
+    * its effect is spec-tested instead).
+    */
+  private val nbCtes: String =
+    """WITH dd AS (SELECT doc_id, text, lang FROM documents),
+       tk AS (SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                FROM dd) WHERE tok != ''),
+       tkl AS (SELECT tk.doc_id, tok, lang FROM tk JOIN dd USING (doc_id)),
+       v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tkl GROUP BY tok)
+             ORDER BY n DESC, tok ASC LIMIT 1000),
+       iv AS (SELECT tkl.* FROM tkl JOIN v USING (tok)),
+       vs AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM v),
+       cls AS (SELECT lang AS cls, count(*) AS n_docs FROM dd GROUP BY 1),
+       ct AS (SELECT lang AS cls, count(*) AS n_tok FROM iv GROUP BY 1),
+       ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dd),
+       model AS (SELECT tok, lang AS cls, ln(count(*) + 1.0) AS lnum
+                 FROM iv GROUP BY tok, lang),
+       dcs AS (SELECT tk.doc_id, model.cls, sum(lnum) AS s_lnum
+               FROM tk JOIN model USING (tok) GROUP BY 1, 2),
+       dl AS (SELECT tk.doc_id, count(*) AS t_doc
+              FROM tk JOIN v USING (tok) GROUP BY 1),
+       grid AS (SELECT dd.doc_id, dd.lang AS label, cls.cls,
+           ln(cls.n_docs / ndocs.n)
+             - coalesce(dl.t_doc, 0) * ln(coalesce(ct.n_tok, 0) + vs.vsize)
+             + coalesce(dcs.s_lnum, 0.0) AS score
+         FROM dd CROSS JOIN cls CROSS JOIN ndocs CROSS JOIN vs
+         LEFT JOIN ct ON ct.cls = cls.cls
+         LEFT JOIN dl ON dl.doc_id = dd.doc_id
+         LEFT JOIN dcs ON dcs.doc_id = dd.doc_id AND dcs.cls = cls.cls),
+       scored AS (SELECT doc_id, label, cls AS pred,
+           round(score, 4) AS score, cls = label AS correct
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cls ASC) AS rn FROM grid)
+         WHERE rn = 1)"""
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // lr01: distributed OLS (two-pass centered normal equations) on
+    // l_extendedprice ~ l_quantity; the oracle is DuckDB's regr_*
+    // family — an INDEPENDENT streaming-covariance implementation, so
+    // agreement at round-4 pins the numerics, not just the plumbing
+    NamedQuery("lr01_linear_fit",
+      (s, d) => Stats.linearFit(Tables.load(s, d, "lineitem"),
+        col("l_extendedprice"), Seq("qty" -> col("l_quantity"))),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS coef_qty,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+             FROM lineitem""")),
+
+    // ev01: exact ROC AUC with average-rank tie handling, computed
+    // WITHOUT a global rank — per-distinct-score counts + the bucketed
+    // prefix sum (cumCountsByValue); all inputs to the final ratio are
+    // integers, so the statistic is bit-exact across engines
+    NamedQuery("ev01_auc",
+      (s, d) => Stats.auc(Tables.load(s, d, "embeddings"),
+        element_at(col("embedding"), 1), col("label") < 5),
+      Some("""WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+                  (label < 5) AS pos FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              g AS (SELECT sc, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM s GROUP BY sc),
+              c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY sc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+                FROM g)
+             SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(sum(np * (cnb + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
+             FROM c""")),
+
+    // ev02: calibration bins — explicit floor binning (replayable
+    // bit-for-bit, unlike width_bucket internals), range folded back
+    // as literals from one scalar aggregate
+    NamedQuery("ev02_calibration",
+      (s, d) => Stats.calibrationBins(Tables.load(s, d, "embeddings"),
+        element_at(col("embedding"), 1), col("label") < 5, bins = 10),
+      Some("""WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+              bb AS (SELECT CAST(least(floor((s - lo) / (hi - lo) * 10) + 1, 10)
+                    AS BIGINT) AS bin, s, y, lo, hi
+                FROM b CROSS JOIN mm)
+             SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(avg((s - lo) / (hi - lo)), 4) AS mean_conf,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+             FROM bb GROUP BY bin ORDER BY bin""")),
+
+    // ev03: per-query NDCG@10 over the event log — query = event_type,
+    // ranking score = value (tie event_id asc), graded relevance =
+    // event_id % 4 (deterministic from data); windows keyed by query
+    NamedQuery("ev03_ndcg",
+      (s, d) => Stats.ndcgAtK(Tables.load(s, d, "events"),
+          col("event_type"), col("event_id"), col("value"),
+          col("event_id") % 4, k = 10)
+        .orderBy(col("q")),
+      Some("""WITH b AS (SELECT event_type AS q, event_id AS it,
+                  value AS sc, CAST(event_id % 4 AS DOUBLE) AS rel
+                FROM events),
+              r AS (SELECT *,
+                  row_number() OVER (PARTITION BY q ORDER BY sc DESC, it ASC) AS rn,
+                  row_number() OVER (PARTITION BY q ORDER BY rel DESC, it ASC) AS irn
+                FROM b),
+              d1 AS (SELECT q, sum((pow(2.0, rel) - 1.0) / log2(rn + 1.0)) AS dcg
+                FROM r WHERE rn <= 10 GROUP BY q),
+              d2 AS (SELECT q, sum((pow(2.0, rel) - 1.0) / log2(irn + 1.0)) AS idcg
+                FROM r WHERE irn <= 10 GROUP BY q)
+             SELECT q, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+               round(CASE WHEN idcg = 0.0 THEN 0.0 ELSE dcg / idcg END, 4) AS ndcg
+             FROM d1 JOIN d2 USING (q) ORDER BY q""")),
+
+    // ks01: exact two-sample Kolmogorov-Smirnov drift between the
+    // click and view value distributions — inclusive CDFs at every
+    // distinct value via the bucketed prefix sum; the gap doubles are
+    // IEEE-identical across engines (integer/integer divisions), and
+    // the argmax location tie-breaks to the smallest value
+    NamedQuery("ks01_ks_drift",
+      (s, d) => Stats.ksTest(
+        Tables.load(s, d, "events")
+          .filter(col("event_type").isin("click", "view")),
+        col("value"), col("event_type") === "click"),
+      Some("""WITH s AS (SELECT value AS v, (event_type = 'click') AS ia
+                FROM events WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+              g AS (SELECT v, sum(CASE WHEN ia THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN ia THEN 0 ELSE 1 END) AS nb
+                FROM s GROUP BY v),
+              c AS (SELECT v,
+                  coalesce(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) + na AS ca,
+                  coalesce(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) + nb AS cb
+                FROM g),
+              t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g),
+              gaps AS (SELECT v, round(abs(CAST(ca AS DOUBLE) / ta
+                    - CAST(cb AS DOUBLE) / tb), 9) AS gap
+                FROM c CROSS JOIN t)
+             SELECT (SELECT CAST(ta AS BIGINT) FROM t) AS n_a,
+               (SELECT CAST(tb AS BIGINT) FROM t) AS n_b,
+               round(gap, 6) AS ks_stat, round(v, 6) AS ks_at
+             FROM gaps ORDER BY gap DESC, v ASC LIMIT 1""")),
+
+    // nb01: multinomial Naive Bayes language classifier trained and
+    // scored on the documents table — the fastText/CCNet routing role;
+    // the oracle replays vocab cap, add-1 smoothing (sparse via
+    // ln(0+1)=0), priors, and the argmax tie order
+    NamedQuery("nb01_naive_bayes",
+      (s, d) => Classify.naiveBayesScore(docs(s, d),
+          col("doc_id"), col("text"), col("lang"), vocabK = 1000)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(nbCtes +
+        " SELECT doc_id, label, pred, score, correct FROM scored ORDER BY doc_id")),
+
+    // ev04: per-class precision/recall/F1 of the nb01 predictions —
+    // the confusion rollup is #classes² rows; ratios are exact
+    // integer divisions rounded at 6
+    NamedQuery("ev04_class_report",
+      (s, d) => Classify.classReport(
+          Classify.naiveBayesScore(docs(s, d),
+            col("doc_id"), col("text"), col("lang"), vocabK = 1000))
+        .orderBy(col("cls")),
+      Some(nbCtes +
+        """, m AS (SELECT label, pred, count(*) AS n FROM scored GROUP BY 1, 2),
+           tr AS (SELECT label AS cls, sum(n) AS n_true FROM m GROUP BY 1),
+           pr AS (SELECT pred AS cls, sum(n) AS n_pred FROM m GROUP BY 1),
+           tp AS (SELECT label AS cls, n AS tp FROM m WHERE label = pred)
+          SELECT cls, CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+            CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+            CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+            round(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+              ELSE CAST(coalesce(tp, 0) AS DOUBLE) / n_pred END, 6) AS precision,
+            round(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+              ELSE CAST(coalesce(tp, 0) AS DOUBLE) / n_true END, 6) AS recall,
+            round(CASE WHEN coalesce(n_pred, 0) + coalesce(n_true, 0) = 0 THEN 0.0
+              ELSE 2.0 * coalesce(tp, 0) / (coalesce(n_pred, 0) + coalesce(n_true, 0))
+              END, 6) AS f1
+          FROM tr FULL JOIN pr USING (cls) LEFT JOIN tp USING (cls)
+          ORDER BY cls""")),
+
+    // ch01: chi-squared token-class association over document presence
+    // — top-5 tokens per language; every cell of the 2×2 table is an
+    // exact integer, the statistic one double expression evaluated
+    // identically by both engines
+    NamedQuery("ch01_chi2_tokens",
+      (s, d) => Classify.chi2Tokens(docs(s, d),
+          col("doc_id"), col("text"), col("lang"), topK = 5)
+        .orderBy(col("cls"), col("rank")),
+      Some("""WITH dd AS (SELECT doc_id, text, lang FROM documents),
+              p AS (SELECT DISTINCT doc_id, tok, lang FROM (
+                      SELECT doc_id, lang,
+                        unnest(string_split_regex(text, '\s+')) AS tok
+                      FROM dd) WHERE tok != ''),
+              cl AS (SELECT lang AS cls, count(*) AS n_cls FROM dd GROUP BY 1),
+              nt AS (SELECT count(*) AS n FROM dd),
+              dt AS (SELECT tok, count(*) AS dt FROM p GROUP BY 1),
+              ac AS (SELECT tok, lang AS cls, count(*) AS a FROM p GROUP BY 1, 2),
+              grid AS (SELECT dt.tok, cl.cls, coalesce(ac.a, 0) AS a,
+                  dt.dt - coalesce(ac.a, 0) AS b,
+                  cl.n_cls - coalesce(ac.a, 0) AS c,
+                  nt.n - cl.n_cls - (dt.dt - coalesce(ac.a, 0)) AS d
+                FROM dt CROSS JOIN cl CROSS JOIN nt
+                LEFT JOIN ac ON ac.tok = dt.tok AND ac.cls = cl.cls),
+              x AS (SELECT *, (a * d - b * c) AS num,
+                  (a + b) * (c + d) * (a + c) * (b + d) AS den
+                FROM grid),
+              sc AS (SELECT cls, tok, a, b, c, d,
+                  CASE WHEN den = 0 THEN 0.0
+                    ELSE (SELECT CAST(n AS DOUBLE) FROM nt) * num * num
+                      / CAST(den AS DOUBLE) END AS chi2
+                FROM x),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY cls
+                  ORDER BY chi2 DESC, tok ASC) AS rank FROM sc)
+             SELECT cls, CAST(rank AS INTEGER) AS rank, tok, a, b, c, d,
+               round(chi2, 4) AS chi2
+             FROM rk WHERE rank <= 5 ORDER BY cls, rank"""))
+  )
+}

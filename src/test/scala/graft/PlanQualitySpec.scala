@@ -496,4 +496,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cut points must be literals, not a joined frame: ${p.take(600)}")
   }
+
+  test("ev01/ks01: prefix-sum window is bucket-partitioned, zero single-partition exchanges") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the primitive behind auc/ksTest: the classic failure mode here
+    // is rank().over(orderBy(v)) — an Exchange SinglePartition carrying
+    // every distinct score through ONE task. The bucketed design must
+    // plan a hash exchange on the bucket + broadcast offsets instead.
+    val perValue = Tables.load(spark, dir, "events")
+      .groupBy(col("value").as("v")).agg(count(lit(1)).as("c"))
+    val p = ops.Stats.cumCountsByValue(perValue, "v", Seq("c"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange on the score frame: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast: ${p.take(600)}")
+  }
+
+  test("nb01: scoring join broadcasts the model; training aggregate is two-phase") {
+    val p = planOf("nb01_naive_bayes")
+    // the (token, class) model and the vocab are broadcast into the
+    // token stream (vocab-capped ⇒ bounded); the only nested-loop join
+    // is the doc × classes grid whose right side is the #classes frame
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("partial_count"), s"training count not partial-agged: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the one shuffle join allowed is grid ⋈ per-(doc,class) sums,
+    // keyed by (__id, cls) — both sides are ≤ docs×#classes rows; any
+    // OTHER SMJ (e.g. the model joining by shuffle instead of
+    // broadcast) would key on `tok`
+    assert(!p.contains("SortMergeJoin [tok"),
+      s"model join lost its broadcast: ${p.take(800)}")
+  }
+
+  test("ch01: presence dedup partial-agged; class frame broadcast into the grid") {
+    val p = planOf("ch01_chi2_tokens")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(600))
+    assert(p.contains("BroadcastExchange"), s"class frame not broadcast: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the model-fit/evaluation family (Stats,
+  * Classify) on planted data with hand-computable answers — the DuckDB
+  * gates pin cross-engine determinism; these pin MEANING, plus the
+  * bucketed-prefix-sum primitive against its naive single-node oracle.
+  */
+class ModelOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cumCountsByValue equals the naive global cumulative, any bucket count") {
+    // deterministic pseudo-random values with duplicates and negatives
+    val vals = (1 to 200).map(i => ((i * 37) % 83 - 41).toDouble / 7.0)
+    val perValue = vals.groupBy(identity).map { case (v, g) =>
+      (v, g.size.toLong, (g.size * 2).toLong) }.toSeq
+      .toDF("v", "c1", "c2")
+    val expected = perValue.collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .scanLeft((0.0, 0L, 0L, 0L, 0L)) { case ((_, _, _, a1, a2), (v, c1, c2)) =>
+        (v, a1, a2, a1 + c1, a2 + c2) }
+      .drop(1).map { case (v, b1, b2, _, _) => v -> (b1, b2) }.toMap
+    for (b <- Seq(1, 3, 64, 1024)) {
+      val got = Stats.cumCountsByValue(perValue, "v", Seq("c1", "c2"), buckets = b)
+        .select("v", "cum_c1_below", "cum_c2_below")
+        .as[(Double, Long, Long)].collect()
+      assert(got.length == expected.size, s"buckets=$b")
+      got.foreach { case (v, b1, b2) =>
+        assert(expected(v) == (b1, b2), s"buckets=$b v=$v") }
+    }
+  }
+
+  test("auc: separation, reversal, and coin-flip land on 1 / 0 / 0.5") {
+    def mk(rows: Seq[(Double, Boolean)]) = rows.toDF("s", "y")
+    def aucOf(rows: Seq[(Double, Boolean)]): Double =
+      Stats.auc(mk(rows), col("s"), col("y")).head.getDouble(2)
+    val pos = (1 to 10).map(i => (10.0 + i, true))
+    val neg = (1 to 10).map(i => (i.toDouble, false))
+    assert(aucOf(pos ++ neg) == 1.0)
+    assert(aucOf(pos.map { case (s, _) => (s, false) } ++
+      neg.map { case (s, _) => (s, true) }) == 0.0)
+    // every score tied: average-rank handling gives exactly 0.5
+    assert(aucOf(Seq((5.0, true), (5.0, true), (5.0, false), (5.0, false))) == 0.5)
+  }
+
+  test("auc: hand case with a tie straddling the classes") {
+    // scores: pos {3, 2}, neg {2, 1}; pairs: (3>2)=1, (3>1)=1,
+    // (2=2)=0.5, (2>1)=1 → U=3.5, AUC=3.5/4
+    val df = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false)).toDF("s", "y")
+    assert(Stats.auc(df, col("s"), col("y")).head.getDouble(2) == 0.875)
+  }
+
+  test("ks: identical samples → 0, disjoint samples → 1, shifted hand case") {
+    val same = (1 to 20).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+    assert(Stats.ksTest(same.toDF("v", "a"), col("v"), col("a"))
+      .head.getDouble(2) == 0.0)
+    val disjoint = (1 to 10).map(i => (i.toDouble, true)) ++
+      (11 to 20).map(i => (i.toDouble, false))
+    val r = Stats.ksTest(disjoint.toDF("v", "a"), col("v"), col("a")).head
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 10.0, "max gap attained at the last A value")
+    // A={1,2,3,4}, B={3,4,5,6}: at v=2 FA=0.5 FB=0 → D=0.5
+    val hand = Seq(1, 2, 3, 4).map(i => (i.toDouble, true)) ++
+      Seq(3, 4, 5, 6).map(i => (i.toDouble, false))
+    val h = Stats.ksTest(hand.toDF("v", "a"), col("v"), col("a")).head
+    assert(h.getDouble(2) == 0.5 && h.getDouble(3) == 2.0)
+  }
+
+  test("calibration: max score lands in the last bin, rates exact") {
+    val df = (1 to 100).map(i => (i.toDouble, i > 50)).toDF("s", "y")
+    val bins = Stats.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .select("bin", "n", "pos_rate").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bins.keySet == (1L to 10L).toSet)
+    // bin width 9.9: bin 10 covers (90.1, 100] → 10 rows, all positive
+    assert(bins(10L) == (10L, 1.0))
+    assert(bins(1L)._2 == 0.0)
+    assert(bins.values.map(_._1).sum == 100L)
+  }
+
+  test("ndcg: perfect ranking scores 1, anti-ranking scores below") {
+    val rows = (1 to 5).map(i => ("q", i.toLong, i.toDouble, (i % 4).toDouble))
+    val perfect = Stats.ndcgAtK(rows.toDF("q", "it", "s", "r"),
+      col("q"), col("it"), col("r"), col("r"), k = 5).head
+    assert(perfect.getDouble(3) == 1.0, "ranking by relevance itself is ideal")
+    val anti = Stats.ndcgAtK(rows.toDF("q", "it", "s", "r"),
+      col("q"), col("it"), -col("r"), col("r"), k = 5).head
+    assert(anti.getDouble(3) < 1.0)
+  }
+
+  test("linearFit recovers an exact plane and r2=1; noisy fit r2<1") {
+    val exact = (1 to 50).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      (x1, x2, 5.0 + 1.0 * x1 + 2.0 * x2)
+    }.toDF("x1", "x2", "y")
+    val r = Stats.linearFit(exact, col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2"))).head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 1.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.0)
+    val noisy = (1 to 50).map { i =>
+      (i.toDouble, 3.0 * i + (if (i % 2 == 0) 1.0 else -1.0)) }.toDF("x", "y")
+    val n = Stats.linearFit(noisy, col("y"), Seq("x" -> col("x"))).head
+    assert(math.abs(n.getDouble(2) - 3.0) < 0.01)
+    assert(n.getDouble(3) < 1.0 && n.getDouble(3) > 0.99)
+  }
+
+  test("linearFit rejects a singular design (duplicated feature)") {
+    val df = (1 to 20).map(i => (i.toDouble, i.toDouble, 2.0 * i)).toDF("a", "b", "y")
+    val e = intercept[Exception] {
+      Stats.linearFit(df, col("y"), Seq("a" -> col("a"), "b" -> col("b"))).head
+    }
+    assert(e.getMessage.contains("singular"))
+  }
+
+  test("naive bayes separates a planted two-class corpus") {
+    val docs = ((1 to 20).map(i => (i.toLong, "apple fruit sweet apple", "food")) ++
+      (21 to 40).map(i => (i.toLong, "engine motor oil engine", "machine")))
+      .toDF("id", "text", "cls")
+    val r = Classify.naiveBayesScore(docs, col("id"), col("text"), col("cls"))
+      .select("__id", "pred", "correct")
+      .as[(Long, String, Boolean)].collect()
+    assert(r.length == 40)
+    assert(r.forall(_._3), "fully separable corpus must score perfectly")
+  }
+
+  test("naive bayes: empty doc falls back to the prior argmax; vocab cap bites") {
+    val docs = Seq(
+      (1L, "a a a", "big"), (2L, "a a", "big"), (3L, "b", "small"),
+      (4L, "", "small")).toDF("id", "text", "cls")
+    val all = Classify.naiveBayesScore(docs, col("id"), col("text"), col("cls"))
+      .select("__id", "pred").as[(Long, String)].collect().toMap
+    // doc 4 has no tokens: score = ln prior only; 'big' has 2 docs of 4,
+    // 'small' 2 of 4 — tie breaks to class asc = 'big'
+    assert(all(4L) == "big")
+    // vocabK=1 keeps only 'a' (count 5 beats 'b'): doc 3 becomes
+    // token-free and rides the same prior tie-break
+    val capped = Classify.naiveBayesScore(docs, col("id"), col("text"),
+        col("cls"), vocabK = 1)
+      .select("__id", "pred").as[(Long, String)].collect().toMap
+    assert(capped(3L) == "big")
+  }
+
+  test("chi2: a perfectly class-exclusive token tops its class with chi2 = N") {
+    // token 'x' in every A doc and no B doc → chi2 = N exactly
+    val docs = ((1 to 10).map(i => (i.toLong, "x common", "A")) ++
+      (11 to 20).map(i => (i.toLong, "y common", "B"))).toDF("id", "text", "cls")
+    val top = Classify.chi2Tokens(docs, col("id"), col("text"), col("cls"), topK = 2)
+      .filter(col("cls") === "A").orderBy(col("rank"))
+      .select("tok", "chi2").as[(String, Double)].collect()
+    assert(top.head._1 == "x" && top.head._2 == 20.0)
+    // 'common' appears in every doc of both classes → chi2 = 0 → never top
+    assert(top.forall(_._1 != "common"))
+  }
+
+  test("classReport: hand-checked precision/recall/F1") {
+    val scored = Seq(
+      ("A", "A"), ("A", "A"), ("A", "B"),   // A: tp=2, fn=1
+      ("B", "B"), ("B", "A")                // B: tp=1, fp(A)=1
+    ).toDF("label", "pred")
+    val r = Classify.classReport(scored).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 3L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == round6(2.0 / 3) && a.getDouble(5) == round6(2.0 / 3))
+    val b = r("B")
+    assert(b.getLong(1) == 2L && b.getLong(2) == 2L && b.getLong(3) == 1L)
+    assert(b.getDouble(6) == 0.5, "F1 = 2tp/(n_pred+n_true)")
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
