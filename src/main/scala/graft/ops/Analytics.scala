@@ -465,4 +465,39 @@ object Analytics {
         round(col("n_pair") / col("n_a").cast("double"), 6).as("confidence"))
       .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
   }
+
+  /** Changepoint scan (cp01): per key, the instant where the mean of
+    * the next `w` observations moves furthest from the mean of the
+    * previous `w` — the two-window mean-shift detector (a windowed
+    * CUSUM stand-in whose statistic IS replayable in SQL, unlike the
+    * max-recursion of true CUSUM). Only rows with BOTH windows full
+    * are candidates; the per-key argmax ranks on the shift rounded at
+    * 9 (so cross-engine last-bit noise can't flip it), then time/tie
+    * ascending.
+    *
+    * Scale shape: one exchange on the key; both frames and the
+    * ranking share it. Output is one row per key.
+    */
+  def meanShift(df: DataFrame, key: Column, ts: Column, value: Column,
+                tie: Column, w: Int = 50): DataFrame = {
+    require(w >= 2, s"window too small: $w")
+    val base = df.select(key.as("k"), ts.as("t"), value.as("v"), tie.as("tb"))
+    val order = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    val before = order.rowsBetween(-w, -1)
+    val after = order.rowsBetween(1, w)
+    val cand = base
+      .withColumn("n_before", count(col("v")).over(before))
+      .withColumn("n_after", count(col("v")).over(after))
+      .withColumn("mean_before", avg(col("v")).over(before))
+      .withColumn("mean_after", avg(col("v")).over(after))
+      .filter(col("n_before") === w && col("n_after") === w)
+      .withColumn("shift", abs(col("mean_after") - col("mean_before")))
+    val rank = Window.partitionBy(col("k"))
+      .orderBy(round(col("shift"), 9).desc, col("t"), col("tb"))
+    cand.withColumn("__rn", row_number().over(rank)).filter(col("__rn") === 1)
+      .select(col("k"), col("t"), col("tb"),
+        round(col("mean_before"), 4).as("mean_before"),
+        round(col("mean_after"), 4).as("mean_after"),
+        round(col("shift"), 4).as("shift"))
+  }
 }

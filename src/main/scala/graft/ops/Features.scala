@@ -125,4 +125,26 @@ object Features {
       .select(col("id"), col("f.feat").as("feat"), col("f.idx").as("idx"),
         col("f.sign").as("sign"))
   }
+
+  /** Exponentially time-decayed engagement score per entity (ew01):
+    * Σ value·2^(−Δ/halfLife) where Δ is the age of each event against
+    * a reference instant — the freshness-weighted activity feature
+    * recommender and ranking pipelines maintain per user/item. The
+    * reference instant defaults to the corpus max timestamp, computed
+    * by ONE scalar aggregate and folded back as a literal (never a
+    * join). Ages are exact microsecond integers before the one double
+    * division, so the exponent is bit-identical across engines.
+    */
+  def decayScore(df: DataFrame, entity: Column, ts: Column, value: Column,
+                 halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive: $halfLifeDays")
+    val base = df.select(entity.as("id"), unix_micros(ts).as("us"),
+      value.cast("double").as("v"))
+    val asOf = base.agg(max(col("us"))).head.getLong(0)
+    val age = (lit(asOf) - col("us")).cast("double") / (86400e6 * halfLifeDays)
+    base.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("v") * pow(lit(0.5), age)), 4).as("decayed"),
+        round(sum(col("v")), 4).as("raw_sum"))
+  }
 }

@@ -223,4 +223,49 @@ object Graph {
       .orderBy(col("jaccard").desc, col("u"), col("w"))
       .limit(topK)
   }
+
+  /** Multi-source BFS hop distance (bfs01): the shortest hop count
+    * from any node of `sources` to every reachable node, capped at
+    * `maxHops` — the reachability/radius primitive behind trust
+    * propagation and contamination tracing.
+    *
+    * Scale shape: the classic frontier loop — each round is ONE join
+    * of the (shrinking) frontier onto the edge list plus one anti-join
+    * against the visited set, both keyed shuffles; rounds ≤ maxHops
+    * and the loop exits early the moment a frontier comes back empty
+    * (one driver-side count per round — the same bounded control-flow
+    * read every iterative op here does). Results are checkpointed flat
+    * per round (pageRank's convention) so round N's plan never nests
+    * lineage. Frontiers carry (node, dist) only.
+    */
+  def hopDistance(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops out of range: $maxHops")
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).transform(flat)
+    var frontier = visited
+    var hop = 0
+    var executed = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1; executed += 1
+      val next = frontier.join(e.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .transform(flat)
+      visited = visited.union(next).transform(flat)
+      frontier = next
+    }
+    OpsMetrics.recordConvergence("graft.bfs", executed, frontier.count())
+    e.unpersist()
+    visited
+  }
 }

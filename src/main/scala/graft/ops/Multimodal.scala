@@ -290,6 +290,64 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** Nearest-neighbor resize of a netpbm payload to dstW×dstH (mm08):
+    * the thumbnail/normalize step before a vision encoder. Source
+    * pixel for (x, y) is (x·w ÷ dstW, y·h ÷ dstH) — INTEGER floor
+    * division, so the sampling grid is exactly replayable in SQL.
+    * Returns the resized pixel rows (x, y, r, g, b); P5 grayscale
+    * broadcasts its sample to all three channels. None for non-netpbm.
+    */
+  def resizePpmPixels(b: Array[Byte], dstW: Int,
+                      dstH: Int): Option[IndexedSeq[(Int, Int, Int, Int, Int)]] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val gray = b(1) == '5'
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def num(): Int = {
+      skipWs(); var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1; any = true }
+      if (any) v else -1
+    }
+    val w = num(); val h = num(); val maxv = num()
+    i += 1
+    val ch = if (gray) 1 else 3
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i + w.toLong * h * ch > b.length) return None
+    Some(for (y <- 0 until dstH; x <- 0 until dstW) yield {
+      val sx = x * w / dstW; val sy = y * h / dstH
+      val o = i + (sy.toLong * w + sx).toInt * ch
+      if (gray) { val g = b(o) & 0xFF; (x, y, g, g, g) }
+      else (x, y, b(o) & 0xFF, b(o + 1) & 0xFF, b(o + 2) & 0xFF)
+    })
+  }
+
+  /** Batched resize over (doc_id, payload) rows — decodeImages'
+    * mapPartitions shape (binary codecs are the one place that tool
+    * is right); output is one row per resized pixel, the long-format
+    * tensor a downstream encoder or oracle can consume.
+    */
+  def resizeImages(df: DataFrame, dstW: Int, dstH: Int,
+                   batchSize: Int = 64): DataFrame = {
+    require(dstW > 0 && dstH > 0, s"bad target: ${dstW}x$dstH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, payload) => resizePpmPixels(payload, dstW, dstH)
+          .toSeq.flatten.map { case (x, y, r, g, bb) => (id, x, y, r, g, bb) }
+      }))
+      .toDF("doc_id", "x", "y", "r", "g", "b")
+  }
+
   /** Decoded audio record: PCM WAV (RIFF, 16-bit). */
   final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                              n_samples: Long, duration_ms: Double, rms: Double)

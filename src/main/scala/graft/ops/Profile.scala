@@ -350,4 +350,33 @@ object Profile {
         round((p - q) * log(p / q), 6).as("psi_term"))
       .orderBy("bin")
   }
+
+  /** Exact weighted median per group (wq01): the smallest value whose
+    * cumulative weight reaches half the group total — the
+    * size-weighted "typical value" statistic (e.g. bytes-weighted
+    * median latency). With integer-valued weights the reach test
+    * `2·cumw ≥ totw` is pure integer/exactly-representable arithmetic,
+    * so the result is deterministic across engines.
+    *
+    * Scale shape: duplicate values collapse first (one groupBy), then
+    * ONE exchange on the group key serves both the cumulative and the
+    * total window; the argmin is a min-aggregate, no second shuffle of
+    * the value frame.
+    */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val perValue = df.select(group.as("g"), value.as("v"), weight.as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    perValue
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("totw", sum(col("w")).over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("wmedian"), max(col("totw")).as("tot_weight"))
+  }
 }

@@ -272,6 +272,40 @@ object TextAnalysis {
           .as("avg_neg_logp"))
   }
 
+  /** Top pointwise-mutual-information collocations (tx15): bigrams
+    * whose joint count beats the independence expectation —
+    * PMI = ln(c12·T / (c1·c2)), with c1/c2 the positional unigram
+    * counts and T the bigram total. The corpus phrase-mining signal
+    * (multi-word entities, boilerplate idioms) next to tx12's
+    * perplexity. `minCount` filters hapax noise BEFORE the join-backs;
+    * ranking is top-k (TakeOrdered, never a full sort) on the PMI
+    * rounded at 9 so last-bit ln() noise cannot flip the cut, then
+    * (w1, w2) ascending.
+    */
+  def pmiCollocations(df: DataFrame, minCount: Int = 5, topK: Int = 20,
+                      text: Column = col("text")): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount/$topK")
+    val ts = df.select(split(text, " ").as("__ts"))
+    val bg = ts.select(
+        explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val total = bg.count()
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .withColumn("pmi",
+        log(col("c12") * lit(total.toDouble) / (col("c1") * col("c2"))))
+      .orderBy(round(col("pmi"), 9).desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(col("pmi"), 4).as("pmi"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al., ACL 2016): learn
     * `numMerges` byte-pair merges from the corpus. The corpus-scale
     * work — building the (word, count) vocabulary — is ONE

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.{Analytics, Features, Graph, Multimodal, Profile, TextAnalysis}
+
+/** Driver-verified gates for the second round-9d batch: weighted
+  * order statistics, decayed engagement features, changepoint scan,
+  * PMI phrase mining, multi-source BFS, and real-pixel image resize.
+  * Oracles replay each algorithm in SQL (the BFS unrolls its rounds
+  * as chained CTEs; the resize regenerates the synthetic gradient
+  * with the identical integer sampling grid).
+  */
+object AnalysisOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // wq01: quantity-weighted median price per return flag — smallest
+    // value whose cumulative weight reaches half the total; integer-
+    // valued weights make the 2·cumw ≥ totw test exact
+    NamedQuery("wq01_weighted_median",
+      (s, d) => Profile.weightedMedian(Tables.load(s, d, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .orderBy(col("g")),
+      Some("""WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                  sum(l_quantity) AS w
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                GROUP BY 1, 2),
+              c AS (SELECT *, sum(w) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cumw,
+                  sum(w) OVER (PARTITION BY g) AS totw
+                FROM pv)
+             SELECT g, min(v) AS wmedian, max(totw) AS tot_weight
+             FROM c WHERE cumw * 2 >= totw GROUP BY g ORDER BY g""")),
+
+    // ew01: half-life-decayed engagement per user against the corpus
+    // max instant (scalar aggregate folded as a literal); exact
+    // microsecond ages feed one pow per row
+    NamedQuery("ew01_decay_score",
+      (s, d) => Features.decayScore(Tables.load(s, d, "events"),
+          col("user_id"), col("ts"), col("value"), halfLifeDays = 7.0)
+        .withColumnRenamed("id", "user_id")
+        .orderBy(col("user_id")),
+      Some("""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value * pow(0.5,
+                 CAST(mx - epoch_us(ts) AS DOUBLE) / (86400000000.0 * 7.0))), 4)
+                 AS decayed,
+               round(sum(value), 4) AS raw_sum
+             FROM events CROSS JOIN m
+             GROUP BY user_id ORDER BY user_id""")),
+
+    // cp01: two-window mean-shift changepoint per event type — both
+    // 50-row frames and the per-key argmax share one exchange; the
+    // rank key is the shift rounded at 9 so last-bit window-sum noise
+    // cannot flip the winner
+    NamedQuery("cp01_mean_shift",
+      (s, d) => Analytics.meanShift(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("value"), col("event_id"), w = 50)
+        .select(col("k"), date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("t"),
+          col("tb"), col("mean_before"), col("mean_after"), col("shift"))
+        .orderBy(col("k")),
+      Some("""WITH b AS (SELECT event_type AS k, ts, event_id AS tb, value AS v
+                FROM events),
+              w AS (SELECT *, count(v) OVER wb AS n_before,
+                  avg(v) OVER wb AS mean_before,
+                  count(v) OVER wa AS n_after,
+                  avg(v) OVER wa AS mean_after
+                FROM b WINDOW
+                  wb AS (PARTITION BY k ORDER BY ts, tb
+                         ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING),
+                  wa AS (PARTITION BY k ORDER BY ts, tb
+                         ROWS BETWEEN 1 FOLLOWING AND 50 FOLLOWING)),
+              c AS (SELECT *, abs(mean_after - mean_before) AS shift
+                FROM w WHERE n_before = 50 AND n_after = 50),
+              r AS (SELECT *, row_number() OVER (PARTITION BY k
+                  ORDER BY round(shift, 9) DESC, ts, tb) AS rn FROM c)
+             SELECT k, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, tb,
+               round(mean_before, 4) AS mean_before,
+               round(mean_after, 4) AS mean_after,
+               round(shift, 4) AS shift
+             FROM r WHERE rn = 1 ORDER BY k""")),
+
+    // tx15: top-20 PMI collocations with count ≥ 5 — positional
+    // unigram counts, one double ratio per surviving bigram, top-k cut
+    // on the statistic rounded at 9 with (w1, w2) tie order
+    NamedQuery("tx15_pmi_collocations",
+      (s, d) => TextAnalysis.pmiCollocations(docs(s, d), minCount = 5, topK = 20),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+              wd AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                  unnest(ts) AS tok FROM t),
+              bg AS (SELECT a.tok AS w1, b.tok AS w2 FROM wd a JOIN wd b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              tt AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM bg),
+              cc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+                     HAVING count(*) >= 5),
+              u1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+              u2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+              p AS (SELECT w1, w2, c12, c1, c2,
+                  ln(c12 * tt.total / (c1 * c2)) AS pmi
+                FROM cc JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN tt)
+             SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+               round(pmi, 4) AS pmi
+             FROM p ORDER BY round(pmi, 9) DESC, w1, w2 LIMIT 20""")),
+
+    // bfs01: multi-source BFS over the symmetrized customer↔supplier
+    // trade graph (pr01's edge set), sources = every 100th customer,
+    // 3 hops; the oracle unrolls the frontier rounds as chained CTEs
+    // and recovers min-distance with one aggregate
+    NamedQuery("bfs01_hop_distance",
+      (s, d) => {
+        val ol = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("s"))
+          .distinct()
+        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
+          .union(ol.select(col("s").as("src"), col("c").as("dst")))
+        val sources = Tables.load(s, d, "customer")
+          .filter(col("c_custkey") % 100 === 0)
+          .select(concat(lit("c"), col("c_custkey")).as("node"))
+        Graph.hopDistance(edges, sources, maxHops = 3).orderBy(col("node"))
+      },
+      Some("""WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c,
+                  's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e AS (SELECT c AS src, s AS dst FROM ol
+                    UNION SELECT s, c FROM ol),
+              d0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+                     WHERE c_custkey % 100 = 0),
+              d1 AS (SELECT DISTINCT e.dst AS node FROM d0
+                     JOIN e ON e.src = d0.node),
+              d2 AS (SELECT DISTINCT e.dst AS node FROM d1
+                     JOIN e ON e.src = d1.node),
+              d3 AS (SELECT DISTINCT e.dst AS node FROM d2
+                     JOIN e ON e.src = d2.node),
+              lv AS (SELECT node, 0 AS dist FROM d0
+                     UNION ALL SELECT node, 1 FROM d1
+                     UNION ALL SELECT node, 2 FROM d2
+                     UNION ALL SELECT node, 3 FROM d3)
+             SELECT node, CAST(min(dist) AS INT) AS dist
+             FROM lv GROUP BY node ORDER BY node""")),
+
+    // mm08: REAL nearest-neighbor resize of synthetic netpbm gradients
+    // — integer floor sampling means the oracle can regenerate the
+    // resized tensor from the same formulas; a JPEG-magic payload is
+    // skipped like every mm decoder gate
+    NamedQuery("mm08_resize",
+      (s, _) => {
+        def p6(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          head ++ (0 until h).flatMap(y => (0 until w).flatMap { x =>
+            val (r, g, b) = f(x, y); Seq(r.toByte, g.toByte, b.toByte)
+          })
+        }
+        def p5(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+          s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
+            (0 until h).flatMap(y => (0 until w).map(x => f(x, y).toByte))
+        import s.implicits._
+        val payloads = Seq(
+          (1L, p6(8, 6, (x, y) => (x * 30, y * 40, (x + y) * 10))),
+          (2L, p5(6, 4, (x, y) => x * 7 + y * 9)),
+          (3L, Array[Byte](0xFF.toByte, 0xD8.toByte)))
+        Multimodal.resizeImages(payloads.toDF("doc_id", "payload"),
+            dstW = 4, dstH = 3)
+          .orderBy(col("doc_id"), col("y"), col("x"))
+      },
+      Some("""WITH px AS (SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y
+                FROM range(4) t1(x) CROSS JOIN range(3) t2(y)),
+              i1 AS (SELECT CAST(1 AS BIGINT) AS doc_id, x, y,
+                  CAST((x * 8 // 4) * 30 AS INT) AS r,
+                  CAST((y * 6 // 3) * 40 AS INT) AS g,
+                  CAST(((x * 8 // 4) + (y * 6 // 3)) * 10 AS INT) AS b
+                FROM px),
+              i2 AS (SELECT CAST(2 AS BIGINT) AS doc_id, x, y,
+                  CAST((x * 6 // 4) * 7 + (y * 4 // 3) * 9 AS INT) AS r,
+                  CAST((x * 6 // 4) * 7 + (y * 4 // 3) * 9 AS INT) AS g,
+                  CAST((x * 6 // 4) * 7 + (y * 4 // 3) * 9 AS INT) AS b
+                FROM px)
+             SELECT * FROM i1 UNION ALL SELECT * FROM i2
+             ORDER BY doc_id, y, x"""))
+  )
+}

@@ -530,6 +530,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"model join lost its broadcast: ${p.take(800)}")
   }
 
+  test("cp01: both frames and the argmax rank share ONE keyed exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Analytics.meanShift(Tables.load(spark, dir, "events"),
+        col("event_type"), col("ts"), col("value"), col("event_id"), w = 50)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"frames/rank must share the key exchange: ${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
+  test("wq01: cumulative and total windows share the group exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Profile.weightedMedian(Tables.load(spark, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    // one exchange for the (g, v) pre-aggregation, one for the group
+    // windows; the final min/max aggregate reuses the g partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"extra shuffle crept in: ${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
   test("ch01: presence dedup partial-agged; class frame broadcast into the grid") {
     val p = planOf("ch01_chi2_tokens")
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(600))

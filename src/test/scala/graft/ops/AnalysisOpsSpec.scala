@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the round-9d batch-2 family (weighted order
+  * statistics, decay features, changepoint scan, PMI mining, BFS,
+  * image resize) on planted data with hand-computable answers.
+  */
+class AnalysisOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("weighted median: weight mass, not row count, decides") {
+    // g1: value 10 carries 9 of 12 weight units → median 10 even
+    // though 2 of 3 ROWS are larger; g2: exact half boundary picks the
+    // lower value (2·cumw ≥ totw at the first row)
+    val df = Seq(
+      ("g1", 10.0, 9.0), ("g1", 20.0, 2.0), ("g1", 30.0, 1.0),
+      ("g2", 1.0, 5.0), ("g2", 2.0, 5.0)).toDF("g", "v", "w")
+    val r = Profile.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("g1") == (10.0, 12.0))
+    assert(r("g2") == (1.0, 10.0), "exact half reaches at the lower value")
+  }
+
+  test("weighted median: duplicate values pool their weight first") {
+    val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 1.0), ("g", 5.0, 1.0),
+      ("g", 9.0, 2.0)).toDF("g", "v", "w")
+    val r = Profile.weightedMedian(df, col("g"), col("v"), col("w")).head
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
+  }
+
+  test("decay score: one half-life halves, the reference event counts full") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val t7 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // 7 days older
+    val df = Seq((1L, t0, 10.0), (1L, t7, 10.0)).toDF("id", "ts", "v")
+    val r = Features.decayScore(df, col("id"), col("ts"), col("v"),
+      halfLifeDays = 7.0).head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 15.0, "10 at asOf + 10·2^-1")
+    assert(r.getDouble(3) == 20.0)
+  }
+
+  test("mean shift: planted step found at the boundary, short keys drop") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(t0.getTime + i * 1000L)
+    // 20 points at 1.0 then 20 at 9.0: with w=5 the max before/after
+    // contrast sits exactly at the last low point (mean 1 vs mean 9)
+    val step = (0 until 20).map(i => ("s", t(i), i.toLong, 1.0)) ++
+      (20 until 40).map(i => ("s", t(i), i.toLong, 9.0))
+    val short = (0 until 8).map(i => ("tiny", t(i), 100L + i, 5.0))
+    val r = Analytics.meanShift((step ++ short).toDF("k", "ts", "v0", "v")
+        .select(col("k"), col("ts"), col("v"), col("v0")),
+      col("k"), col("ts"), col("v"), col("v0"), w = 5)
+    val rows = r.collect()
+    assert(rows.length == 1, "the 8-row key cannot fill both windows")
+    val s = rows.head
+    assert(s.getLong(2) == 19L, s"shift should anchor at the last low point: $s")
+    assert(s.getDouble(3) == 1.0 && s.getDouble(4) == 9.0 && s.getDouble(5) == 8.0)
+  }
+
+  test("pmi: a planted collocation outranks frequent-but-independent pairs") {
+    // 'new york' always together (10×); 'the' pairs with everything
+    val docs = ((1 to 10).map(i => (i.toLong, "new york")) ++
+      (11 to 20).map(i => (i.toLong, s"the w$i")) ++
+      (21 to 30).map(i => (i.toLong, "the cat"))).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 3)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(top.head == ("new", "york"))
+    // c12 ≥ 5 filter: each 'the wN' pair is a hapax and must be absent,
+    // leaving only (new, york) and (the, cat)
+    assert(top.length == 2 && top(1) == ("the", "cat"))
+  }
+
+  test("hop distance: chain distances, unreachable absent, early exit") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val r = Graph.hopDistance(edges, Seq("a").toDF("node"), maxHops = 5)
+      .as[(String, Int)].collect().toMap
+    assert(r == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    val (rounds, frontier) = OpsMetrics.lastConvergence("graft.bfs").get
+    assert(frontier == 0L, "frontier must drain")
+    assert(rounds <= 5)
+  }
+
+  test("hop distance: min distance wins when sources overlap a path") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Graph.hopDistance(edges, Seq("a", "c").toDF("node"), maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    assert(r == Map("a" -> 0, "c" -> 0, "b" -> 1))
+  }
+
+  test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
+    def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      head ++ (0 until h).flatMap(y => (0 until w).flatMap { x =>
+        val v = f(x, y); Seq(v.toByte, v.toByte, v.toByte) })
+    }
+    val img = p6(4, 2, (x, y) => x * 10 + y)
+    val id = Multimodal.resizePpmPixels(img, 4, 2).get
+    assert(id.size == 8)
+    assert(id.forall { case (x, y, r, _, _) => r == x * 10 + y })
+    val half = Multimodal.resizePpmPixels(img, 2, 1).get
+    assert(half.toSet == Set((0, 0, 0, 0, 0), (1, 0, 20, 20, 20)),
+      "2x downsample samples even columns of row 0")
+    assert(Multimodal.resizePpmPixels(Array[Byte](0xFF.toByte, 0xD8.toByte), 2, 2).isEmpty)
+  }
+}
