@@ -425,6 +425,60 @@ object ScaleCheck {
     }
   }
 
+  /** Round-9d probes (`runMain graft.ScaleCheck r9d`):
+    *  - ev01 AUC over ×1/×4 rows with ~1M distinct scores: the
+    *    bucketed prefix sum must stay ~linear — the naive global-rank
+    *    form would single-thread the distinct-score frame.
+    *  - nb01 Naive Bayes train+score over ×1/×4 synthetic labeled
+    *    corpora: one token groupBy + broadcast model joins.
+    *  - bfs01 over a 1M-node degree-16 circulant from 10 sources:
+    *    frontier saturates in a handful of rounds; wall is dominated
+    *    by edge-join rounds, not node count.
+    *  - wq01 weighted median over ×1/×4 rows in 10 groups.
+    */
+  private def r9dScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    for (m <- Seq(10000000L, 40000000L)) {
+      val scored = spark.range(m).select(
+        ((col("id") * 37) % 1000000).cast("double").as("s"),
+        (col("id") % 3 === 0).as("y"))
+      time(s"ev01 auc n=$m")(graft.ops.Stats.auc(scored, col("s"), col("y")).count())
+      val rows = spark.range(m).select((col("id") % 10).as("g"),
+        ((col("id") * 13) % 100000).cast("double").as("v"),
+        (col("id") % 7 + 1).cast("double").as("w"))
+      time(s"wq01 median n=$m")(graft.ops.Profile.weightedMedian(
+        rows, col("g"), col("v"), col("w")).count())
+    }
+    for (m <- Seq(1, 4)) {
+      val n = 100000L * m
+      // synthetic labeled corpus: 4 classes, class-biased vocab of
+      // ~4000 tokens, 20 tokens/doc
+      val docs = spark.range(n).select(col("id"),
+        (col("id") % 4).cast("string").as("cls"),
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("w"), ((col("id") * 31 + j * 7) % 1000 +
+            (col("id") % 4) * 1000).cast("string"))): _*).as("text"))
+      time(s"nb01 x$m docs=$n")(graft.ops.Classify.naiveBayesScore(
+        docs, col("id"), col("text"), col("cls")).count())
+    }
+    val n = 1000000L
+    val e = spark.range(n).select(col("id").as("s0"),
+        explode(sequence(lit(1), lit(8))).as("d"))
+      .select(col("s0").as("src"), ((col("s0") + col("d")) % n).as("dst"))
+    val e2 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val srcs = spark.range(10).select((col("id") * 100000L).as("node"))
+    val t0 = System.nanoTime()
+    val reached = graft.ops.Graph.hopDistance(e2, srcs, maxHops = 8).count()
+    val (rounds, frontier) =
+      graft.ops.OpsMetrics.lastConvergence("graft.bfs").get
+    println(f"[scale] bfs01 circulant-1M reached=$reached%d rounds=$rounds%d " +
+      f"frontier=$frontier%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -485,6 +539,11 @@ object ScaleCheck {
     }
     if (path == "r9c") {
       r9cScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9d") {
+      r9dScale(spark)
       spark.stop()
       return
     }

@@ -309,27 +309,7 @@ object Embeddings {
     require(dim > 0 && dim <= 4096, s"dim out of range: $dim")
     require(eps > 0, s"eps must be positive: $eps")
     require(!df.columns.contains(out), s"output column $out would clobber")
-    val ex = df.select(emb.as("__e"))
-      .select(posexplode(col("__e")).as(Seq("i", "xi")), col("__e"))
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col("__e")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i")) // symmetric: upper triangle only
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj").cast("double")).as("sxx"),
-        count(lit(1)).as("n"))
-      .collect()
-    require(ex.nonEmpty, "empty corpus")
-    val n = ex.head.getLong(3)
-    val sums = df.select(posexplode(emb).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi").cast("double")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val mean = Array.tabulate(dim)(i => sums(i) / n)
-    val cov = Array.ofDim[Double](dim, dim)
-    ex.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val c = r.getDouble(2) / n - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
-    }
+    val (n, mean, cov) = covMoments(df, dim, emb)
     val (lambda, u) = jacobiEigSym(cov)
     // W = U diag(1/sqrt(l+eps)) U^T  (symmetric)
     val w = Array.tabulate(dim, dim) { (i, j) =>
@@ -397,6 +377,77 @@ object Embeddings {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Distributed covariance moments shared by zcaWhiten/pcaProject:
+    * one posexplode² pass aggregated by (i, j) upper triangle — the
+    * shuffle carries d² partials per task, never data rows; the d×d
+    * result (and nothing data-proportional) lands on the driver.
+    */
+  private[ops] def covMoments(df: DataFrame, dim: Int, emb: Column)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val ex = df.select(emb.as("__e"))
+      .select(posexplode(col("__e")).as(Seq("i", "xi")), col("__e"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("__e")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i")) // symmetric: upper triangle only
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj").cast("double")).as("sxx"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(ex.nonEmpty, "empty corpus")
+    val n = ex.head.getLong(3)
+    val sums = df.select(posexplode(emb).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi").cast("double")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mean = Array.tabulate(dim)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    ex.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(2) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    (n, mean, cov)
+  }
+
+  /** PCA projection to the top-k principal components (em09): the
+    * dimensionality-reduction serving trick PQ/Matryoshka sit next to
+    * — keep the k directions carrying the most variance, report how
+    * much each explains. Same three bounded stages as zcaWhiten
+    * (shared covMoments pass → driver Jacobi → typedlit scan-speed
+    * projection); component SIGN is pinned (largest-|loading|
+    * coordinate made positive, ties to the lower index) so results
+    * are deterministic across runs and platforms.
+    *
+    * Returns (projected frame with `out` = k-dim array,
+    * explained-variance ratios per component, eigenvalues).
+    */
+  def pcaProject(df: DataFrame, dim: Int, k: Int,
+                 emb: Column = col("embedding"),
+                 out: String = "pca_embedding")
+      : (DataFrame, Array[Double], Array[Double]) = {
+    require(k > 0 && k <= dim && dim <= 4096, s"bad dims: k=$k dim=$dim")
+    require(!df.columns.contains(out), s"output column $out would clobber")
+    val (_, mean, cov) = covMoments(df, dim, emb)
+    val (lambda, u) = jacobiEigSym(cov)
+    val order = (0 until dim).sortBy(i => (-lambda(i), i)).take(k)
+    val total = lambda.sum
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(i => u(i)(c))
+      // sign pin: the largest-|loading| coordinate points positive
+      var best = 0
+      for (i <- 1 until dim if math.abs(v(i)) > math.abs(v(best))) best = i
+      if (v(best) < 0) v.map(x => -x) else v
+    }
+    val centered = zip_with(emb, typedlit(mean.toSeq),
+      (a, m) => a.cast("double") - m)
+    val dims = comps.map { v =>
+      aggregate(zip_with(centered, typedlit(v.toSeq), (a, c) => a * c),
+        lit(0.0d), (acc, x) => acc + x)
+    }
+    val projected = df.withColumn(out, array(dims: _*))
+    val evr = order.map(c => lambda(c) / total).toArray
+    (projected, evr, order.map(lambda).toArray)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

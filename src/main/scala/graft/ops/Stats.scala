@@ -227,6 +227,117 @@ object Stats {
         round(col("__r2"), 6).as("r2")).toSeq: _*)
   }
 
+  /** One-way ANOVA F statistic (sv01): does `value` differ across the
+    * groups of `group` more than within them? Two passes for numerical
+    * stability (linearFit's discipline): per-group means first, then
+    * centered squared deviations — SSW = Σ(x−m_g)², SSB = Σn_g(m_g−m)²,
+    * F = (SSB/(k−1)) / (SSW/(N−k)). The group frame is
+    * group-cardinality-sized; the per-row pass joins means back on the
+    * group key (one keyed shuffle — AQE broadcasts when it fits).
+    */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val means = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), avg(col("v")).as("m_g"))
+    val grand = base.agg(count(lit(1)).as("n"), avg(col("v")).as("m")).head
+    val (n, m) = (grand.getLong(0), grand.getDouble(1))
+    val k = means.count()
+    require(k >= 2 && n > k, s"anovaF needs ≥2 groups and n>k (got k=$k n=$n)")
+    val ssw = base.join(means, Seq("g"))
+      .agg(sum((col("v") - col("m_g")) * (col("v") - col("m_g")))).head.getDouble(0)
+    val ssb = means
+      .agg(sum(col("n_g") * (col("m_g") - m) * (col("m_g") - m))).head.getDouble(0)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, n, ssb, ssw, f)).toDF("k", "n", "__ssb", "__ssw", "__f")
+      .select(col("k"), col("n"), round(col("__ssb"), 4).as("ss_between"),
+        round(col("__ssw"), 4).as("ss_within"), round(col("__f"), 4).as("f_stat"))
+  }
+
+  /** Best decision-stump split (dt01) — the histogram-based split
+    * finder at the heart of distributed GBDT (XGBoost/LightGBM approx
+    * mode): bin the feature into `bins` equal-width candidates with
+    * ev02's explicit floor formula, aggregate per-bin (n, n_pos) in
+    * ONE pass, and pick the boundary maximizing Gini gain. The bin
+    * frame (≤ bins rows) is collected — the candidate scan is driver
+    * arithmetic on exact integer counts, so an oracle replays it
+    * bit-for-bit. Ties: the LOWEST boundary wins.
+    *
+    * Output row: split_bin (last bin in the left child), threshold,
+    * left/right sizes and positives, gain (round 6).
+    */
+  def stumpSplit(df: DataFrame, feature: Column, label: Column,
+                 bins: Int = 32): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins out of range: $bins")
+    val base = df.filter(feature.isNotNull && label.isNotNull)
+      .select(feature.cast("double").as("x"), when(label, 1L).otherwise(0L).as("y"))
+    val mm = base.agg(min(col("x")).as("lo"), max(col("x")).as("hi")).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    require(hi > lo, "stumpSplit needs a non-constant feature")
+    val bin = least(floor((col("x") - lo) / (hi - lo) * bins) + 1, lit(bins.toLong))
+    val cells = base.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nTot = cells.map(_._2).sum
+    val pTot = cells.map(_._3).sum
+    def gini(n: Long, p: Long): Double = {
+      val nd = n.toDouble
+      1.0 - (p / nd) * (p / nd) - ((n - p) / nd) * ((n - p) / nd)
+    }
+    val parent = gini(nTot, pTot)
+    var cumN = 0L; var cumP = 0L
+    var bestBin = -1L; var bestGain = Double.NegativeInfinity
+    var bestLeft = (0L, 0L)
+    cells.dropRight(1).foreach { case (b, cn, cp) =>
+      cumN += cn; cumP += cp
+      if (cumN > 0 && cumN < nTot) {
+        val gain = parent - cumN.toDouble / nTot * gini(cumN, cumP) -
+          (nTot - cumN).toDouble / nTot * gini(nTot - cumN, pTot - cumP)
+        // strict > keeps the lowest boundary on exact ties; gains are
+        // deterministic doubles (identical integer inputs + IEEE ops),
+        // so an oracle's ORDER BY gain DESC, bin ASC matches exactly
+        if (gain > bestGain) {
+          bestGain = gain; bestBin = b; bestLeft = (cumN, cumP)
+        }
+      }
+    }
+    require(bestBin > 0, "no valid split (all rows in one bin)")
+    val threshold = lo + (hi - lo) * bestBin / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((bestBin, threshold, bestLeft._1, bestLeft._2,
+        nTot - bestLeft._1, pTot - bestLeft._2, bestGain))
+      .toDF("split_bin", "__t", "n_left", "pos_left", "n_right", "pos_right", "__g")
+      .select(col("split_bin"), round(col("__t"), 6).as("threshold"),
+        col("n_left"), col("pos_left"), col("n_right"), col("pos_right"),
+        round(col("__g"), 6).as("gain"))
+  }
+
+  /** Regression error metrics (ev05): RMSE / MAE / R² of a prediction
+    * column against truth. Two passes (anovaF's discipline): the truth
+    * mean first, then centered residual sums — raw-moment SST at
+    * petabyte row counts loses the digits the ratio needs.
+    */
+  def regressionMetrics(df: DataFrame, truth: Column,
+                        prediction: Column): DataFrame = {
+    val base = df.select(truth.cast("double").as("y"),
+        prediction.cast("double").as("p"))
+      .filter(col("y").isNotNull && col("p").isNotNull)
+    val my = base.agg(avg(col("y"))).head.getDouble(0)
+    base.agg(count(lit(1)).as("n"),
+        sum((col("y") - col("p")) * (col("y") - col("p"))).as("sse"),
+        sum(abs(col("y") - col("p"))).as("sae"),
+        sum((col("y") - my) * (col("y") - my)).as("sst"))
+      .select(col("n"),
+        round(sqrt(col("sse") / col("n")), 4).as("rmse"),
+        round(col("sae") / col("n"), 4).as("mae"),
+        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+  }
+
   /** In-place Gaussian elimination with partial pivoting (driver-side,
     * d×d where d = feature count).
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{NamedQuery, Tables}
-import graft.ops.{Classify, Stats}
+import graft.ops.{Classify, Embeddings, Stats}
 
 /** Driver-verified gates for the model-training/evaluation surface a
   * training-data pipeline runs AROUND the corpus ops: a distributed
@@ -235,6 +235,125 @@ object ModelOps {
                   ORDER BY chi2 DESC, tok ASC) AS rank FROM sc)
              SELECT cls, CAST(rank AS INTEGER) AS rank, tok, a, b, c, d,
                round(chi2, 4) AS chi2
-             FROM rk WHERE rank <= 5 ORDER BY cls, rank"""))
+             FROM rk WHERE rank <= 5 ORDER BY cls, rank""")),
+
+    // sv01: one-way ANOVA F of value across event types — two-pass
+    // centered sums (means first), group frame is #groups-sized
+    NamedQuery("sv01_anova_f",
+      (s, d) => Stats.anovaF(Tables.load(s, d, "events"),
+        col("event_type"), col("value")),
+      Some("""WITH b AS (SELECT event_type AS g, value AS v FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              mg AS (SELECT g, count(*) AS n_g, avg(v) AS m_g FROM b GROUP BY 1),
+              gr AS (SELECT count(*) AS n, avg(v) AS m FROM b),
+              w AS (SELECT sum((v - m_g) * (v - m_g)) AS ssw
+                    FROM b JOIN mg USING (g)),
+              bt AS (SELECT sum(n_g * (m_g - gr.m) * (m_g - gr.m)) AS ssb
+                     FROM mg CROSS JOIN gr),
+              kk AS (SELECT count(*) AS k FROM mg)
+             SELECT CAST(kk.k AS BIGINT) AS k, CAST(gr.n AS BIGINT) AS n,
+               round(bt.ssb, 4) AS ss_between, round(w.ssw, 4) AS ss_within,
+               round((bt.ssb / (kk.k - 1)) / (w.ssw / (gr.n - kk.k)), 4) AS f_stat
+             FROM kk CROSS JOIN gr CROSS JOIN w CROSS JOIN bt""")),
+
+    // dt01: histogram decision-stump split finder (the distributed
+    // GBDT primitive): 32 equal-width candidates, ONE aggregate pass,
+    // gain arithmetic on exact integer counts — the oracle replays
+    // bins, cumulative counts, and the Gini-gain argmax bit-for-bit
+    NamedQuery("dt01_stump_split",
+      (s, d) => Stats.stumpSplit(Tables.load(s, d, "lineitem"),
+        col("l_extendedprice"), col("l_returnflag") === "R", bins = 32),
+      Some("""WITH b AS (SELECT l_extendedprice AS x,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+              mm AS (SELECT min(x) AS lo, max(x) AS hi FROM b),
+              cells AS (SELECT CAST(least(floor((x - lo) / (hi - lo) * 32) + 1,
+                    32) AS BIGINT) AS bin, count(*) AS n, sum(y) AS p
+                FROM b CROSS JOIN mm GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                  CAST(sum(p) AS BIGINT) AS pt FROM cells),
+              cum AS (SELECT bin,
+                  CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                  CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+                FROM cells),
+              cand AS (SELECT bin, cn, cp FROM cum
+                       WHERE bin < (SELECT max(bin) FROM cells)),
+              g AS (SELECT bin, cn, cp,
+                  (1.0 - (pt / CAST(nt AS DOUBLE)) * (pt / CAST(nt AS DOUBLE))
+                       - ((nt - pt) / CAST(nt AS DOUBLE)) * ((nt - pt) / CAST(nt AS DOUBLE)))
+                  - CAST(cn AS DOUBLE) / nt *
+                    (1.0 - (cp / CAST(cn AS DOUBLE)) * (cp / CAST(cn AS DOUBLE))
+                         - ((cn - cp) / CAST(cn AS DOUBLE)) * ((cn - cp) / CAST(cn AS DOUBLE)))
+                  - CAST(nt - cn AS DOUBLE) / nt *
+                    (1.0 - ((pt - cp) / CAST(nt - cn AS DOUBLE)) * ((pt - cp) / CAST(nt - cn AS DOUBLE))
+                         - (((nt - cn) - (pt - cp)) / CAST(nt - cn AS DOUBLE)) * (((nt - cn) - (pt - cp)) / CAST(nt - cn AS DOUBLE)))
+                  AS gain
+                FROM cand CROSS JOIN tot WHERE cn > 0 AND cn < nt)
+             SELECT bin AS split_bin,
+               round((SELECT lo FROM mm) + ((SELECT hi FROM mm) - (SELECT lo FROM mm)) * bin / 32, 6) AS threshold,
+               cn AS n_left, cp AS pos_left,
+               (SELECT nt FROM tot) - cn AS n_right,
+               (SELECT pt FROM tot) - cp AS pos_right,
+               round(gain, 6) AS gain
+             FROM g ORDER BY gain DESC, bin ASC LIMIT 1""")),
+
+    // ev05: regression error metrics for a fixed affine predictor —
+    // two-pass centered SST, exact column parity with the SQL replay
+    NamedQuery("ev05_regression_metrics",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .withColumn("pred", lit(1000.0) + lit(100.0) * col("l_quantity"))
+        Stats.regressionMetrics(li, col("l_extendedprice"), col("pred"))
+      },
+      Some("""WITH b AS (SELECT l_extendedprice AS y,
+                  1000.0 + 100.0 * l_quantity AS p
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+              m AS (SELECT avg(y) AS my FROM b)
+             SELECT CAST(count(*) AS BIGINT) AS n,
+               round(sqrt(sum((y - p) * (y - p)) / count(*)), 4) AS rmse,
+               round(sum(abs(y - p)) / count(*), 4) AS mae,
+               round(1.0 - sum((y - p) * (y - p)) / sum((y - my) * (y - my)), 6) AS r2
+             FROM b CROSS JOIN m""")),
+
+    // em09: PCA top-8 projection of the 64-dim embeddings — em07's
+    // verdict-gate style (a Jacobi eigenbasis is not SQL-expressible):
+    // the query re-audits the projection's own covariance — projected
+    // dims uncorrelated, per-dim variance equal to the k largest
+    // eigenvalues in order, explained ratios descending and ≤ 1
+    NamedQuery("em09_pca_project",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val (proj, evr, eigs) = Embeddings.pcaProject(e, dim = 64, k = 8)
+        val mom = proj.select(col("pca_embedding").as("__e"))
+          .select(posexplode(col("__e")).as(Seq("i", "xi")), col("__e"))
+          .select(col("i"), col("xi"), posexplode(col("__e")).as(Seq("j", "xj")))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("xi") * col("xj")).as("sxx"),
+            count(lit(1)).as("cnt"), sum(col("xi")).as("sx"))
+          .collect()
+        val n = mom.head.getLong(3)
+        var offMax = 0.0; var diagDev = 0.0
+        mom.foreach { r =>
+          val (i, j) = (r.getInt(0), r.getInt(1))
+          val mi = mom.find(m => m.getInt(0) == i && m.getInt(1) == i).get.getDouble(4) / n
+          val mj = mom.find(m => m.getInt(0) == j && m.getInt(1) == j).get.getDouble(4) / n
+          val cov = r.getDouble(2) / n - mi * mj
+          if (i == j) diagDev = math.max(diagDev,
+            math.abs(cov - eigs(i)) / math.max(eigs(i), 1e-12))
+          else offMax = math.max(offMax, math.abs(cov))
+        }
+        import s.implicits._
+        Seq((n, 8, offMax < 1e-4, diagDev < 1e-4,
+            evr.zip(evr.tail).forall { case (a, b) => a >= b },
+            evr.sum <= 1.0 + 1e-9))
+          .toDF("n", "k", "dims_uncorrelated", "var_matches_eigs",
+            "evr_desc", "evr_le_one")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, 8 AS k,
+             true AS dims_uncorrelated, true AS var_matches_eigs,
+             true AS evr_desc, true AS evr_le_one FROM embeddings"""))
   )
 }

@@ -175,4 +175,63 @@ class ModelOpsSpec extends AnyFunSuite {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("anova F: hand case lands exactly; equal-mean groups score 0") {
+    // A={0,2}, B={4,6}: SSW=4, SSB=16, F=(16/1)/(4/2)=8
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 4.0), ("B", 6.0)).toDF("g", "v")
+    val r = Stats.anovaF(df, col("g"), col("v")).head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 16.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 8.0)
+    val flat = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)).toDF("g", "v")
+    assert(Stats.anovaF(flat, col("g"), col("v")).head.getDouble(4) == 0.0)
+  }
+
+  test("stump split: separable boundary found with exact integer cells") {
+    // x=0..9 ×10 rows, y = x≥5; 3 bins {0-2}{3-5}{6-9} → best split
+    // after bin 2: left (60, 10 pos), gain 0.5 − 0.6·gini(1/6) − 0
+    val rows = for (x <- 0 until 10; _ <- 0 until 10) yield (x.toDouble, x >= 5)
+    val r = Stats.stumpSplit(rows.toDF("x", "y"), col("x"), col("y"), bins = 3).head
+    assert(r.getLong(0) == 2L, s"split bin: $r")
+    assert(r.getDouble(1) == 6.0, "threshold = lo + (hi-lo)·2/3 = 9·2/3")
+    assert(r.getLong(2) == 60L && r.getLong(3) == 10L)
+    assert(r.getLong(4) == 40L && r.getLong(5) == 40L)
+    val expected = 0.5 - 0.6 * (1.0 - (10.0/60)*(10.0/60) - (50.0/60)*(50.0/60))
+    assert(math.abs(r.getDouble(6) - expected) < 1e-6)
+  }
+
+  test("stump split: constant feature rejected") {
+    val df = (1 to 10).map(i => (5.0, i % 2 == 0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Stats.stumpSplit(df, col("x"), col("y")).head
+    }
+    assert(e.getMessage.contains("non-constant"))
+  }
+
+  test("regression metrics: perfect fit and hand residuals") {
+    val perfect = (1 to 20).map(i => (i.toDouble, i.toDouble)).toDF("y", "p")
+    val rp = Stats.regressionMetrics(perfect, col("y"), col("p")).head
+    assert(rp.getDouble(1) == 0.0 && rp.getDouble(2) == 0.0 && rp.getDouble(3) == 1.0)
+    // y={0,2}, p={1,1}: rmse=1, mae=1, r2 = 1 − 2/2 = 0
+    val hand = Seq((0.0, 1.0), (2.0, 1.0)).toDF("y", "p")
+    val rh = Stats.regressionMetrics(hand, col("y"), col("p")).head
+    assert(rh.getDouble(1) == 1.0 && rh.getDouble(2) == 1.0 && rh.getDouble(3) == 0.0)
+  }
+
+  test("pca: a planted 1-D signal concentrates in the first component") {
+    // vectors t·(1,1,0,0)/√2 + tiny noise on dim 2 → λ1 dominates
+    val vecs = (1 to 40).map { i =>
+      val t = (i - 20.5) / 5.0
+      (i.toLong, Seq(t * 0.7071, t * 0.7071, (i % 3 - 1) * 0.001, 0.0))
+    }.toDF("vec_id", "embedding")
+    val (proj, evr, eigs) = Embeddings.pcaProject(vecs, dim = 4, k = 2)
+    assert(evr(0) > 0.999, s"first component must dominate: ${evr.toSeq}")
+    assert(evr(0) >= evr(1) && eigs(0) > 0)
+    val first = proj.select(col("vec_id"),
+      element_at(col("pca_embedding"), 1)).as[(Long, Double)].collect().toMap
+    // sign pin: loading points positive → projection increases with t
+    assert(first(40L) > first(1L), "pinned sign keeps the signal increasing")
+    assert(proj.select(org.apache.spark.sql.functions.size(col("pca_embedding")))
+      .head.getInt(0) == 2)
+  }
 }
