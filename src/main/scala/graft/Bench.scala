@@ -60,7 +60,13 @@ object Bench {
         || q._1 == "bb01_bucketed_join"
         // st08 writes fixture file-batches then drives a streaming
         // query against them — a correctness verdict like st06
-        || q._1 == "st08_rollup_ingest")
+        || q._1 == "st08_rollup_ingest"
+        // em09 is em07's category: projection + a full covariance
+        // re-audit (driver Jacobi both sides) to emit booleans
+        || q._1 == "em09_pca_project"
+        // bfs01 is pr01's category: an iterative frontier loop whose
+        // wall measures the rounds; its slope is probed in r9d
+        || q._1 == "bfs01_hop_distance")
       .toSeq.sortBy(_._1)
     // A query that throws must be VISIBLE in the artifact, not a fast
     // wall-time: correctness is gated separately, but a bench that
