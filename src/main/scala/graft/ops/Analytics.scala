@@ -500,4 +500,102 @@ object Analytics {
         round(col("mean_after"), 4).as("mean_after"),
         round(col("shift"), 4).as("shift"))
   }
+
+  /** Kaplan-Meier survival curve per group (km01): at each distinct
+    * duration t, S(t) = Π_{t'≤t} (1 − d(t')/n(t')) with d = observed
+    * events and n = subjects still at risk — the censoring-aware churn/
+    * retention estimator (a plain "fraction still alive" is biased the
+    * moment observation windows differ). The running product is
+    * exp(Σ ln(·)) over the per-group time order, with an explicit
+    * zero flag once the at-risk set dies out (ln(0) is engine-
+    * dependent; a max-window boolean is not).
+    *
+    * Scale shape: durations collapse to per-(group, t) counts first,
+    * then ONE keyed exchange serves the at-risk cumulative, the log
+    * sum, and the zero flag. Output is one row per (group, t).
+    */
+  def kaplanMeier(df: DataFrame, group: Column, duration: Column,
+                  observed: Column): DataFrame = {
+    val base = df.select(group.as("g"), duration.cast("double").as("t"),
+        when(observed, 1L).otherwise(0L).as("ev"))
+      .filter(col("t").isNotNull)
+    val perT = base.groupBy(col("g"), col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+    val order = Window.partitionBy(col("g")).orderBy(col("t"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    perT
+      .withColumn("n_risk",
+        sum(col("c")).over(tot) - coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("__dead", max((col("d") === col("n_risk")).cast("int")).over(upTo))
+      .withColumn("__lnsum",
+        sum(when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0))).over(upTo))
+      .select(col("g"), col("t"), col("d"), col("c").as("n_at_t"), col("n_risk"),
+        round(when(col("__dead") === 1, 0.0)
+          .otherwise(exp(col("__lnsum"))), 6).as("survival"))
+  }
+
+  /** CUPED variance-reduced experiment readout (ab02, Deng et al.
+    * 2013): the industry-standard A/B trick — regress the experiment
+    * metric on its PRE-experiment value and analyze the residual,
+    * cutting variance by the pre/post correlation² without biasing the
+    * treatment delta. θ = cov(pre, post)/var(pre) is pooled across
+    * variants (the standard choice: computed under the null, no
+    * per-variant fishing); both moments come from two-pass centered
+    * sums (linearFit's discipline). Per variant: n, raw mean, adjusted
+    * mean, raw/adjusted sample variance.
+    */
+  def cuped(df: DataFrame, unit: Column, variant: Column,
+            pre: Column, post: Column): DataFrame = {
+    val base = df.select(unit.as("u"), variant.as("variant"),
+        pre.cast("double").as("pre"), post.cast("double").as("post"))
+      .filter(col("pre").isNotNull && col("post").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"), avg(col("pre")).as("mp"),
+      avg(col("post")).as("mo")).head
+    val (n, mp) = (m.getLong(0), m.getDouble(1))
+    require(n >= 2, s"cuped needs ≥2 units: $n")
+    val mo = m.getDouble(2)
+    val cv = base.agg(
+      sum((col("pre") - mp) * (col("post") - mo)).as("sxy"),
+      sum((col("pre") - mp) * (col("pre") - mp)).as("sxx")).head
+    val theta = cv.getDouble(0) / cv.getDouble(1)
+    val adj = base.withColumn("adj",
+      col("post") - lit(theta) * (col("pre") - mp))
+    adj.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("post")), 4).as("mean_post"),
+        round(avg(col("adj")), 4).as("mean_adj"),
+        round(var_samp(col("post")), 4).as("var_post"),
+        round(var_samp(col("adj")), 4).as("var_adj"))
+  }
+
+  /** Autocorrelation function per series (ts03): r_k for lags 1..K
+    * against the per-series mean — the seasonality/trend detector
+    * (r_24h spikes on diurnal series). One keyed window pass produces
+    * all K lag columns; the normalizing Σ(x−m)² and the co-moments
+    * aggregate together. Rows are ordered (ts, tie); means come from
+    * one group pass joined back (bounded by series count).
+    */
+  def acf(df: DataFrame, key: Column, ts: Column, value: Column,
+          tie: Column, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val base = df.select(key.as("k"), ts.as("t"), tie.as("tb"),
+        value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val means = base.groupBy(col("k")).agg(avg(col("v")).as("m"))
+    val order = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    val lagged = (1 to maxLag).foldLeft(base.join(means, Seq("k"))) {
+      (d, l) => d.withColumn(s"__lag$l", lag(col("v"), l).over(order))
+    }
+    val aggs = sum((col("v") - col("m")) * (col("v") - col("m"))).as("s0") +:
+      (1 to maxLag).map(l =>
+        sum((col("v") - col("m")) * (col(s"__lag$l") - col("m"))).as(s"s$l"))
+    val perKey = lagged.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val out = (1 to maxLag).map(l => perKey.select(col("k"), lit(l).as("lag"),
+      round(col(s"s$l") / col("s0"), 4).as("acf")))
+    out.reduce(_ union _)
+  }
 }

@@ -74,4 +74,30 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (sh02): each
+    * key goes to the shard whose md5(shard ':' key) digest is highest
+    * — the stateless sharding rule whose defining property is MINIMAL
+    * MOVEMENT: growing S→S+1 shards relocates only the keys the NEW
+    * shard wins (≈1/(S+1) of them), where mod-hashing reshuffles
+    * nearly everything. Pure scan-speed projection: the argmax over S
+    * candidate digests is a greatest() over literal-indexed md5 calls,
+    * zero shuffles, md5-deterministic like every draw in this repo
+    * (ties — 2⁻¹²⁸ events — break to the lower shard via the digest
+    * string compare carrying the index suffix).
+    */
+  def rendezvousShard(df: DataFrame, key: org.apache.spark.sql.Column,
+                      shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 1024, s"shards out of range: $shards")
+    // pack (digest, shard) so greatest() picks max digest then — for
+    // the impossible exact-digest tie — the LOWER shard: invert the
+    // index into a descending fixed-width suffix
+    val cands = (0 until shards).map { s =>
+      concat(md5(concat(lit(s.toString), lit(":"), key.cast("string"))),
+        lpad(lit((shards - s).toString), 4, "0"))
+    }
+    val win = greatest(cands: _*)
+    df.withColumn("shard",
+      (lit(shards) - substring(win, 33, 4).cast("int")).cast("int"))
+  }
 }

@@ -185,6 +185,123 @@ object AnalysisOps {
                   CAST((x * 6 // 4) * 7 + (y * 4 // 3) * 9 AS INT) AS b
                 FROM px)
              SELECT * FROM i1 UNION ALL SELECT * FROM i2
-             ORDER BY doc_id, y, x"""))
+             ORDER BY doc_id, y, x""")),
+
+    // km01: Kaplan-Meier survival per order priority over derived
+    // (duration, censoring) — the censoring-aware churn estimator;
+    // the running product is exp(Σln) with an explicit extinction
+    // flag, all cumulative over one keyed exchange
+    NamedQuery("km01_kaplan_meier",
+      (s, d) => Analytics.kaplanMeier(Tables.load(s, d, "orders"),
+          col("o_orderpriority"), col("o_orderkey") % 50,
+          col("o_custkey") % 3 =!= 0)
+        .orderBy(col("g"), col("t")),
+      Some("""WITH b AS (SELECT o_orderpriority AS g,
+                  CAST(o_orderkey % 50 AS DOUBLE) AS t,
+                  CASE WHEN o_custkey % 3 != 0 THEN 1 ELSE 0 END AS ev
+                FROM orders),
+              pt AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+              w AS (SELECT *, sum(c) OVER (PARTITION BY g)
+                  - coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS n_risk FROM pt),
+              z AS (SELECT *,
+                  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY g ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS dead,
+                  sum(CASE WHEN d < n_risk
+                        THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                        ELSE 0.0 END)
+                    OVER (PARTITION BY g ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS lnsum
+                FROM w)
+             SELECT g, t, d, c AS n_at_t, CAST(n_risk AS BIGINT) AS n_risk,
+               round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+                 AS survival
+             FROM z ORDER BY g, t""")),
+
+    // ab02: CUPED variance-reduced A/B readout — pre-period activity
+    // regressed out of the experiment metric; θ pooled across
+    // variants from two-pass centered sums
+    NamedQuery("ab02_cuped",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+        val units = ev.groupBy(col("user_id"))
+          .agg(sum(when(col("ts") < mid, col("value")).otherwise(0.0)).as("pre"),
+            sum(when(col("ts") >= mid, col("value")).otherwise(0.0)).as("post"))
+        Analytics.cuped(units, col("user_id"), (col("user_id") % 2).as("variant"),
+            col("pre"), col("post"))
+          .orderBy(col("variant"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+                  sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN value ELSE 0.0 END) AS pre,
+                  sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN value ELSE 0.0 END) AS post
+                FROM events GROUP BY 1),
+              m AS (SELECT avg(pre) AS mp, avg(post) AS mo FROM u),
+              th AS (SELECT sum((pre - mp) * (post - mo))
+                  / sum((pre - mp) * (pre - mp)) AS theta
+                FROM u CROSS JOIN m),
+              a AS (SELECT user_id % 2 AS variant, post,
+                  post - th.theta * (pre - m.mp) AS adj
+                FROM u CROSS JOIN m CROSS JOIN th)
+             SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               round(avg(post), 4) AS mean_post,
+               round(avg(adj), 4) AS mean_adj,
+               round(var_samp(post), 4) AS var_post,
+               round(var_samp(adj), 4) AS var_adj
+             FROM a GROUP BY variant ORDER BY variant""")),
+
+    // sh02: rendezvous (HRW) shard assignment of the customer keys —
+    // scan-speed argmax over md5 digests, the minimal-movement
+    // sharding rule; the oracle rebuilds every digest
+    NamedQuery("sh02_rendezvous",
+      (s, d) => graft.ops.Layout.rendezvousShard(
+          Tables.load(s, d, "customer"), col("c_custkey"), shards = 8)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard")),
+      Some("""WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+              w AS (SELECT key, greatest(
+                  md5('0:' || key) || '0008', md5('1:' || key) || '0007',
+                  md5('2:' || key) || '0006', md5('3:' || key) || '0005',
+                  md5('4:' || key) || '0004', md5('5:' || key) || '0003',
+                  md5('6:' || key) || '0002', md5('7:' || key) || '0001')
+                  AS win FROM k)
+             SELECT CAST(8 - CAST(substr(win, 33, 4) AS INT) AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n
+             FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // ts03: autocorrelation at lags 1..5 per event type — one keyed
+    // window pass emits every lag column; numerator skips the first
+    // l rows per series exactly like the SQL replay's null-skipping sum
+    NamedQuery("ts03_acf",
+      (s, d) => Analytics.acf(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("value"), col("event_id"),
+          maxLag = 5)
+        .orderBy(col("k"), col("lag")),
+      Some("""WITH b AS (SELECT event_type AS k, ts, event_id AS tb, value AS v
+                FROM events WHERE value IS NOT NULL),
+              m AS (SELECT k, avg(v) AS m FROM b GROUP BY 1),
+              l AS (SELECT b.k, v, m.m,
+                  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                  lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+                  lag(v, 5) OVER w AS l5
+                FROM b JOIN m USING (k)
+                WINDOW w AS (PARTITION BY b.k ORDER BY ts, tb)),
+              sm AS (SELECT k, sum((v - m) * (v - m)) AS s0,
+                  sum((v - m) * (l1 - m)) AS s1, sum((v - m) * (l2 - m)) AS s2,
+                  sum((v - m) * (l3 - m)) AS s3, sum((v - m) * (l4 - m)) AS s4,
+                  sum((v - m) * (l5 - m)) AS s5
+                FROM l GROUP BY k)
+             SELECT k, lag, acf FROM (
+               SELECT k, 1 AS lag, round(s1 / s0, 4) AS acf FROM sm
+               UNION ALL SELECT k, 2, round(s2 / s0, 4) FROM sm
+               UNION ALL SELECT k, 3, round(s3 / s0, 4) FROM sm
+               UNION ALL SELECT k, 4, round(s4 / s0, 4) FROM sm
+               UNION ALL SELECT k, 5, round(s5 / s0, 4) FROM sm)
+             ORDER BY k, lag"""))
   )
 }

@@ -92,6 +92,66 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(r == Map("a" -> 0, "c" -> 0, "b" -> 1))
   }
 
+  test("kaplan-meier: hand case with censoring and extinction") {
+    // t=1 event (risk 3 → S=2/3), t=2 censored (S unchanged),
+    // t=3 event with risk 1 → extinction → S=0
+    val df = Seq(("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, true))
+      .toDF("g", "t", "ev")
+    val r = Analytics.kaplanMeier(df, col("g"), col("t"), col("ev"))
+      .orderBy("t").collect()
+    assert(r.map(_.getLong(4)).toSeq == Seq(3L, 2L, 1L), "at-risk counts")
+    assert(r(0).getDouble(5) == 0.666667)
+    assert(r(1).getDouble(5) == 0.666667, "censoring leaves S unchanged")
+    assert(r(2).getDouble(5) == 0.0, "last event extinguishes the curve")
+  }
+
+  test("cuped: a perfect pre/post correlation collapses variance, keeps the delta") {
+    // post = pre + 10·variant with variant balanced WITHIN each pre
+    // value (cov(pre, variant) = 0 ⇒ θ = 1 exactly): adjusted
+    // variance ~0, delta exactly 10
+    val units = (0 until 100).map { i =>
+      val pre = (i / 2 % 17).toDouble
+      (i.toLong, i % 2, pre, pre + 10.0 * (i % 2))
+    }.toDF("u", "variant", "pre", "post")
+    val r = Analytics.cuped(units, col("u"), col("variant"),
+        col("pre"), col("post"))
+      .orderBy("variant").collect()
+    assert(r(0).getDouble(5) < 1e-6 && r(1).getDouble(5) < 1e-6,
+      s"adjusted variance must collapse: ${r.toSeq}")
+    assert(r(0).getDouble(4) > 1.0, "raw variance was non-trivial")
+    assert(r(1).getDouble(3) - r(0).getDouble(3) == 10.0,
+      "treatment delta survives the adjustment exactly")
+    assert(r(0).getDouble(2) < r(1).getDouble(2), "raw means differ by arm")
+  }
+
+  test("rendezvous: balanced, deterministic, and minimal-movement on grow") {
+    val keys = (1L to 1000L).toDF("k")
+    val s4 = Layout.rendezvousShard(keys, col("k"), 4)
+      .select("k", "shard").as[(Long, Int)].collect().toMap
+    val s5 = Layout.rendezvousShard(keys, col("k"), 5)
+      .select("k", "shard").as[(Long, Int)].collect().toMap
+    assert(s4.values.toSet.subsetOf((0 until 4).toSet))
+    val counts = s4.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.values.min > 100, s"imbalanced: $counts")
+    // HRW: growing 4→5 only moves keys TO the new shard
+    val moved = (1L to 1000L).filter(k => s4(k) != s5(k))
+    assert(moved.nonEmpty && moved.forall(k => s5(k) == 4),
+      "every moved key must land on the NEW shard")
+    assert(moved.size < 400, s"movement should be ≈1/5: ${moved.size}")
+  }
+
+  test("acf: exact alternation gives -(n-1)/n at lag 1, (n-2)/n at lag 2") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 40).map(i =>
+      ("s", new java.sql.Timestamp(t0.getTime + i * 1000L), i.toLong,
+        if (i % 2 == 0) 1.0 else 3.0))
+    val r = Analytics.acf(rows.toDF("k", "ts", "tb", "v"),
+        col("k"), col("ts"), col("v"), col("tb"), maxLag = 2)
+      .orderBy("lag").collect()
+    assert(r(0).getDouble(2) == -0.975, "lag 1 = -(n-1)/n")
+    assert(r(1).getDouble(2) == 0.95, "lag 2 = (n-2)/n")
+  }
+
   test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
     def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
