@@ -119,6 +119,35 @@ object Cdc {
     * any landing order yields the same table a full rescan would
     * (the inc01 gate proves it against a full-recompute oracle).
     */
+  /** Row-level snapshot diff (df01): the added / removed / changed
+    * key sets between two versions of a table — what a data-quality
+    * bot posts when a silver table moves, and the generator side of
+    * the CDC pair (applyChanges consumes exactly this shape). One
+    * full outer join on the key; "changed" is an OR of null-safe
+    * inequalities over the shared non-key columns, so NULL↔value
+    * flips count as changes and NULL↔NULL does not.
+    */
+  def snapshotDiff(cur: DataFrame, prev: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val shared = cur.columns.filter(prev.columns.contains).filterNot(keys.contains)
+    require(shared.nonEmpty, "snapshotDiff needs shared non-key columns")
+    val c = cur.select((keys ++ shared).map(col): _*)
+      .withColumn("__in_cur", lit(1))
+    val p = prev.select((keys ++ shared).map(n => col(n).as(s"__p_$n")): _*)
+      .withColumn("__in_prev", lit(1))
+    val cond = keys.map(k => col(k) === col(s"__p_$k")).reduce(_ && _)
+    val changed = shared.map(n => !(col(n) <=> col(s"__p_$n"))).reduce(_ || _)
+    c.join(p, cond, "full")
+      .withColumn("change_type",
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_cur").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(k => coalesce(col(k), col(s"__p_$k")).as(k)) :+
+        col("change_type"): _*)
+  }
+
   def incrementalRollup(standing: DataFrame, batch: DataFrame,
                         keys: Seq[String],
                         value: org.apache.spark.sql.Column): DataFrame =

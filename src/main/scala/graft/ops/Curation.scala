@@ -378,6 +378,47 @@ object Curation {
       .drop(rankCol)
   }
 
+  /** Neyman-allocation stratified sample (sp06): the survey-sampling
+    * optimum — a stratum's share of the `totalN` budget is
+    * proportional to n_h·s_h, so high-variance strata get sampled
+    * harder and a fixed budget buys minimum estimator variance
+    * (uniform per-stratum rates waste budget on homogeneous strata).
+    * Allocation uses floor (never round: floor only flips if float
+    * noise crosses an INTEGER, a far rarer conspiracy than a .5
+    * boundary) and caps at the stratum size; selection inside a
+    * stratum is the md5 total order samplePerGroup uses, so
+    * membership is deterministic and the audit can pin it with a key
+    * checksum. Returns the per-stratum audit frame; join allocations
+    * back for the rows themselves.
+    */
+  def neymanSample(df: DataFrame, stratum: Column, value: Column,
+                   key: Column, totalN: Long,
+                   seed: String = "ney"): DataFrame = {
+    require(totalN > 0, s"totalN must be positive: $totalN")
+    val base = df.select(stratum.as("h"), value.cast("double").as("v"),
+      key.cast("long").as("k"))
+    val stats = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(stddev_samp(col("v")), lit(0.0)).as("s"))
+      .withColumn("w", col("n_rows") * col("s"))
+    val wTot = stats.agg(sum(col("w"))).head.getDouble(0)
+    require(wTot > 0, "neymanSample: every stratum has zero variance")
+    val alloc = stats.withColumn("allocated",
+      least(floor(lit(totalN.toDouble) * col("w") / wTot), col("n_rows"))
+        .cast("long"))
+    val rk = Window.partitionBy(col("h"))
+      .orderBy(md5(concat_ws("#", lit(seed), col("k").cast("string"))), col("k"))
+    val sampled = base.withColumn("__rk", row_number().over(rk))
+      .join(broadcast(alloc.select(col("h"), col("allocated"))), Seq("h"))
+      .filter(col("__rk") <= col("allocated"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("k")).as("key_sum"))
+    // left join back so zero-allocation strata stay visible in the audit
+    alloc.select(col("h"), col("n_rows"), col("allocated"))
+      .join(sampled, Seq("h"), "left")
+      .na.fill(0L, Seq("n_sampled", "key_sum"))
+  }
+
   // ---------------- PII redaction ----------------
 
   /** Email pattern: local@domain.tld. Shared between the counts and

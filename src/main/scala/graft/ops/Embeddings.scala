@@ -379,6 +379,33 @@ object Embeddings {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Embedding snapshot drift per label (em10): after a re-embed or
+    * corpus refresh, how far did each label's centroid move? Reports
+    * the L2 shift and the cosine between old and new centroids — the
+    * "did the encoder change under us" canary an ANN serving stack
+    * wants before swapping indexes. Both sides reduce to (label, dim)
+    * means via one posexplode aggregate each (the em04 shape), so the
+    * join is #labels×dim rows — never data-sized.
+    */
+  def centroidDrift(cur: DataFrame, prev: DataFrame,
+                    label: Column = col("label"),
+                    emb: Column = col("embedding")): DataFrame = {
+    def centroids(df: DataFrame, side: String): DataFrame =
+      df.select(label.as("lbl"), posexplode(emb).as(Seq("d", "x")))
+        .groupBy(col("lbl"), col("d"))
+        .agg(avg(col("x").cast("double")).as(s"m_$side"),
+          count(lit(1)).as(s"cnt_$side"))
+    centroids(cur, "cur").join(centroids(prev, "prev"), Seq("lbl", "d"))
+      .groupBy(col("lbl"))
+      .agg((max(col("cnt_cur")).cast("long")).as("n_cur"),
+        (max(col("cnt_prev")).cast("long")).as("n_prev"),
+        round(sqrt(sum((col("m_cur") - col("m_prev")) *
+          (col("m_cur") - col("m_prev")))), 6).as("l2_shift"),
+        round(sum(col("m_cur") * col("m_prev")) /
+          (sqrt(sum(col("m_cur") * col("m_cur"))) *
+           sqrt(sum(col("m_prev") * col("m_prev")))), 6).as("cosine"))
+  }
+
   /** Distributed covariance moments shared by zcaWhiten/pcaProject:
     * one posexplode² pass aggregated by (i, j) upper triangle — the
     * shuffle carries d² partials per task, never data rows; the d×d

@@ -348,6 +348,40 @@ object Multimodal {
       .toDF("doc_id", "x", "y", "r", "g", "b")
   }
 
+  /** Integer-factor audio decimation (mm09): keep every `factor`-th
+    * sample of a 16-bit PCM payload — the crude downsample used when
+    * a feature extractor wants a fixed rate and the anti-alias filter
+    * lives upstream (the spec pins the aliasing this implies: a
+    * period-2 square decimated by 2 collapses to DC). Reports exact
+    * in/out sample counts and the decimated RMS from integer square
+    * sums. Same mapPartitions batch shape as every codec here.
+    */
+  def decimateWav(df: DataFrame, factor: Int,
+                  batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be positive: $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, bytes) =>
+          wavLayout(bytes).map { case (_, _, dataOff, dataLen) =>
+            val nIn = (dataLen / 2).toInt
+            var i = 0; var nOut = 0L; var sq = 0.0; var sm = 0.0
+            while (i < nIn) {
+              val o = dataOff.toInt + 2 * i
+              val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble
+              sq += s * s; sm += s; nOut += 1
+              i += factor
+            }
+            val rms = if (nOut == 0) 0.0 else math.sqrt(sq / nOut)
+            val mean = if (nOut == 0) 0.0 else sm / nOut
+            (id, nIn.toLong, nOut, mean, rms)
+          }
+      }))
+      .toDF("doc_id", "n_in", "n_out", "mean_out", "rms_out")
+  }
+
   /** Decoded audio record: PCM WAV (RIFF, 16-bit). */
   final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
                              n_samples: Long, duration_ms: Double, rms: Double)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{NamedQuery, Tables}
-import graft.ops.{Analytics, Features, Graph, Multimodal, Profile, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Curation, Features, Graph, Multimodal, Profile, TextAnalysis}
 
 /** Driver-verified gates for the second round-9d batch: weighted
   * order statistics, decayed engagement features, changepoint scan,
@@ -302,6 +302,127 @@ object AnalysisOps {
                UNION ALL SELECT k, 3, round(s3 / s0, 4) FROM sm
                UNION ALL SELECT k, 4, round(s4 / s0, 4) FROM sm
                UNION ALL SELECT k, 5, round(s5 / s0, 4) FROM sm)
-             ORDER BY k, lag"""))
+             ORDER BY k, lag""")),
+
+    // df01: row-level snapshot diff — prev is derived from orders with
+    // planted removals (%97 keys absent), edits (+10 price on %13),
+    // and extra rows (%101 keys shifted to +1e8, which the diff must
+    // report removed); the oracle derives the expected change set from
+    // FIRST PRINCIPLES, independent of the join implementation
+    NamedQuery("df01_snapshot_diff",
+      (s, d) => {
+        val cur = Tables.load(s, d, "orders")
+        val prevBase = cur.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 10)
+              .otherwise(col("o_totalprice")))
+        val prevExtra = cur.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        Cdc.snapshotDiff(cur, prevBase.union(prevExtra), Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"), col("change_type"))
+      },
+      Some("""SELECT o_orderkey, 'added' AS change_type FROM orders
+             WHERE o_orderkey % 97 = 0
+             UNION ALL
+             SELECT o_orderkey + 100000000, 'removed' FROM orders
+             WHERE o_orderkey % 101 = 0
+             UNION ALL
+             SELECT o_orderkey, 'changed' FROM orders
+             WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 != 0
+             ORDER BY o_orderkey, change_type""")),
+
+    // sp06: Neyman-allocation stratified sample over order priorities
+    // — budget ∝ n_h·s_h, floor allocation, md5-deterministic
+    // membership pinned by the per-stratum key checksum
+    NamedQuery("sp06_neyman_sample",
+      (s, d) => Curation.neymanSample(Tables.load(s, d, "orders"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"),
+          totalN = 1000L)
+        .orderBy(col("h")),
+      Some("""WITH b AS (SELECT o_orderpriority AS h, o_totalprice AS v,
+                  o_orderkey AS k FROM orders),
+              st AS (SELECT h, CAST(count(*) AS BIGINT) AS n_rows,
+                  coalesce(stddev_samp(v), 0.0) AS s FROM b GROUP BY 1),
+              wt AS (SELECT sum(n_rows * s) AS w FROM st),
+              al AS (SELECT h, n_rows,
+                  CAST(least(floor(1000.0 * (n_rows * s) / wt.w), n_rows)
+                    AS BIGINT) AS allocated
+                FROM st CROSS JOIN wt),
+              rk AS (SELECT h, k, row_number() OVER (PARTITION BY h
+                  ORDER BY md5('ney' || '#' || CAST(k AS VARCHAR)), k) AS rk
+                FROM b),
+              sm AS (SELECT h, CAST(count(*) AS BIGINT) AS n_sampled,
+                  CAST(sum(k) AS BIGINT) AS key_sum
+                FROM rk JOIN al USING (h) WHERE rk <= allocated GROUP BY h)
+             SELECT al.h, al.n_rows, al.allocated,
+               coalesce(sm.n_sampled, 0) AS n_sampled,
+               coalesce(sm.key_sum, 0) AS key_sum
+             FROM al LEFT JOIN sm USING (h) ORDER BY al.h""")),
+
+    // em10: centroid drift between embedding snapshots (prev = the
+    // %7-pruned corpus) — per-label L2 shift and centroid cosine from
+    // #labels×dim mean frames
+    NamedQuery("em10_centroid_drift",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        graft.ops.Embeddings.centroidDrift(e, e.filter(col("vec_id") % 7 =!= 0))
+          .orderBy(col("lbl"))
+      },
+      Some("""WITH e AS (SELECT label AS lbl,
+                  generate_subscripts(embedding, 1) AS d,
+                  CAST(unnest(embedding) AS DOUBLE) AS x, vec_id
+                FROM embeddings),
+              c1 AS (SELECT lbl, d, avg(x) AS m_cur, count(*) AS c_cur
+                     FROM e GROUP BY 1, 2),
+              c2 AS (SELECT lbl, d, avg(x) AS m_prev, count(*) AS c_prev
+                     FROM e WHERE vec_id % 7 != 0 GROUP BY 1, 2),
+              j AS (SELECT * FROM c1 JOIN c2 USING (lbl, d))
+             SELECT lbl, CAST(max(c_cur) AS BIGINT) AS n_cur,
+               CAST(max(c_prev) AS BIGINT) AS n_prev,
+               round(sqrt(sum((m_cur - m_prev) * (m_cur - m_prev))), 6)
+                 AS l2_shift,
+               round(sum(m_cur * m_prev) / (sqrt(sum(m_cur * m_cur))
+                 * sqrt(sum(m_prev * m_prev))), 6) AS cosine
+             FROM j GROUP BY lbl ORDER BY lbl""")),
+
+    // mm09: REAL integer-factor PCM decimation — the pinned values
+    // include the aliasing consequence (a period-2 square decimated
+    // by 2 collapses to DC: mean jumps 0 → 1000, RMS unchanged)
+    NamedQuery("mm09_decimate",
+      (s, _) => {
+        def wav(channels: Int, rate: Int, samples: Seq[Int]): Array[Byte] = {
+          val data = samples.flatMap(v =>
+            Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+            .putShort(channels.toShort).putInt(rate)
+            .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+            .putShort(16.toShort)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          bb.array()
+        }
+        import s.implicits._
+        val square = (0 until 400).map(i => if (i % 2 == 0) 1000 else -1000)
+        val payloads = Seq(
+          (1L, wav(1, 8000, square)),
+          (2L, wav(1, 8000, Seq.fill(300)(500))),
+          (3L, wav(1, 8000, Seq.fill(100)(0))),
+          (4L, "not audio".getBytes("US-ASCII")))
+        Multimodal.decimateWav(payloads.toDF("doc_id", "payload"), factor = 2)
+          .select(col("doc_id"), col("n_in"), col("n_out"),
+            round(col("mean_out"), 4).as("mean_out"),
+            round(col("rms_out"), 4).as("rms_out"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), CAST(400 AS BIGINT), CAST(200 AS BIGINT),
+              CAST(1000.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+             (CAST(2 AS BIGINT), CAST(300 AS BIGINT), CAST(150 AS BIGINT),
+              CAST(500.0 AS DOUBLE), CAST(500.0 AS DOUBLE)),
+             (CAST(3 AS BIGINT), CAST(100 AS BIGINT), CAST(50 AS BIGINT),
+              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+             t(doc_id, n_in, n_out, mean_out, rms_out) ORDER BY doc_id"""))
   )
 }

@@ -152,6 +152,66 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(r(1).getDouble(2) == 0.95, "lag 2 = (n-2)/n")
   }
 
+  test("snapshot diff: null transitions counted correctly") {
+    val cur = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (5L, Some("e")))
+      .toDF("k", "v")
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val r = Cdc.snapshotDiff(cur, prev, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    // 1: identical (absent); 2: value→NULL changed; 3: NULL→value
+    // changed; 4: removed; 5: added
+    assert(r == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("neyman: zero-variance strata get no budget but stay visible; draws deterministic") {
+    val rows = (1 to 100).map(i => ("vary", (i % 25).toDouble, i.toLong)) ++
+      (101 to 200).map(i => ("flat", 7.0, i.toLong))
+    val df = rows.toDF("h", "v", "k")
+    def run() = Curation.neymanSample(df, col("h"), col("v"), col("k"), totalN = 50L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val r = run()
+    assert(r("flat")._2 == 0L && r("flat")._3 == 0L,
+      "zero-variance stratum gets zero allocation yet appears in the audit")
+    assert(r("vary")._2 == 50L && r("vary")._3 == 50L,
+      "all budget flows to the informative stratum")
+    assert(r == run(), "md5 membership is draw-for-draw deterministic")
+  }
+
+  test("centroid drift: identical snapshots are exactly zero-shift, cosine 1") {
+    val e = (1 to 30).map(i =>
+      (i.toLong, i % 3, Seq(i * 0.1, 1.0, -i * 0.05))).toDF("vec_id", "label", "embedding")
+    val same = Embeddings.centroidDrift(e, e).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0))
+    // shifting every vector by +2 on dim 0 moves each centroid exactly 2
+    val shifted = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + 2.0).otherwise(x)).as("embedding"))
+    val d = Embeddings.centroidDrift(shifted, e).collect()
+    assert(d.forall(_.getDouble(3) == 2.0), s"planted shift: ${d.toSeq}")
+  }
+
+  test("decimate: factor 1 is the identity on counts and moments") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(v =>
+        Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+        .putShort(1.toShort).putInt(8000).putInt(16000).putShort(2.toShort)
+        .putShort(16.toShort)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    val df = Seq((1L, wav(Seq(100, -100, 100, -100)))).toDF("doc_id", "payload")
+    val r = Multimodal.decimateWav(df, factor = 1).head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 100.0)
+  }
+
   test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
     def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
