@@ -126,6 +126,26 @@ object Features {
         col("f.sign").as("sign"))
   }
 
+  /** Cyclical calendar features (ft02): hour/day-of-week/month plus
+    * their sin/cos encodings — the standard fix for "23:00 and 00:00
+    * are far apart as integers": each cyclic field maps onto the unit
+    * circle so midnight-adjacent hours are ε-close in feature space.
+    * Pure scan-speed projection; 2π enters as the folded literal both
+    * engines share bit-for-bit.
+    */
+  def timeFeatures(df: DataFrame, id: Column, ts: Column): DataFrame = {
+    val twoPi = 2.0 * math.Pi
+    def cyc(v: Column, period: Double, name: String): Seq[Column] = Seq(
+      round(sin(v * twoPi / period), 6).as(s"${name}_sin"),
+      round(cos(v * twoPi / period), 6).as(s"${name}_cos"))
+    df.select(
+      (Seq(id.as("id"), hour(ts).as("hour"), dayofweek(ts).as("dow"),
+        month(ts).as("month")) ++
+        cyc(hour(ts), 24.0, "hour") ++
+        cyc(dayofweek(ts) - 1, 7.0, "dow") ++
+        cyc(month(ts) - 1, 12.0, "month")): _*)
+  }
+
   /** Exponentially time-decayed engagement score per entity (ew01):
     * Σ value·2^(−Δ/halfLife) where Δ is the age of each event against
     * a reference instant — the freshness-weighted activity feature

@@ -59,4 +59,36 @@ object Fuzzy {
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
   }
+
+  /** Jaro-Winkler record-linkage pairs (fz02): candidate pairs from
+    * PREFIX blocking (equal first `blockPrefix` characters — the
+    * canonical JW blocking key, since the Winkler boost already says
+    * prefix agreement is the signal; cross-prefix near-matches are the
+    * documented recall trade, as with every blocked matcher here),
+    * scored by the native codegen'd JaroWinkler expression and cut at
+    * `minSim`. Block sizes are maxBucket-guarded with counted drops
+    * (the fuzzyPairs discipline). The scorer is cross-checked against
+    * DuckDB's independent jaro_winkler_similarity — bit-identical
+    * doubles, not a tolerance.
+    */
+  def jaroWinklerPairs(df: DataFrame, column: String, minSim: Double,
+                       blockPrefix: Int = 2,
+                       maxBucket: Int = 10000): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim out of range: $minSim")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1: $blockPrefix")
+    graft.functions.SimilarityFunctions.register(df.sparkSession)
+    val names = df.select(col(column).as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+      .withColumn("__blk", substring(col("__v"), 1, blockPrefix))
+    val a = names.select(col("__v").as("name_a"), col("__blk"))
+    val b = OpsMetrics.rowGuarded(
+      names.select(col("__v").as("name_b"), col("__blk")),
+      Seq("__blk"), maxBucket, "graft.jw_pairs.drops")
+    a.join(b, Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("sim", graft.functions.SimilarityFunctions
+        .jaro_winkler(col("name_a"), col("name_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -166,4 +166,30 @@ object Sketches {
           round(lit(width), 6).as("max_error"))
     }.reduce(_ unionAll _)
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch (kmv01): hash every
+    * key to u ∈ [0,1), keep the k smallest — the estimator
+    * (k−1)/u₍k₎ is unbiased, the sketch is k values regardless of
+    * stream size, and two sketches MERGE by keeping the k smallest of
+    * their union (hll01's rollup contract, but — unlike HLL — every
+    * step is md5-deterministic and an oracle replays the estimate
+    * EXACTLY, not as a tolerance bound). The k-smallest cut is a
+    * TakeOrdered over per-partition heaps, never a full sort.
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = conv(substring(md5(col("v")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val mins = df.select(key.cast("string").as("v")).distinct()
+      .select(u.as("u")).orderBy(col("u")).limit(k)
+      .collect().map(_.getDouble(0))
+    require(mins.length == k,
+      s"kmvDistinct: fewer than k=$k distinct keys (${mins.length}) — use an exact count")
+    val uk = mins.last
+    Seq((k.toLong, uk, (k - 1) / uk)).toDF("k", "u_k", "estimate")
+      .select(col("k"), round(col("u_k"), 9).as("u_k"),
+        round(col("estimate"), 4).as("estimate"))
+  }
 }

@@ -423,6 +423,55 @@ object AnalysisOps {
               CAST(500.0 AS DOUBLE), CAST(500.0 AS DOUBLE)),
              (CAST(3 AS BIGINT), CAST(100 AS BIGINT), CAST(50 AS BIGINT),
               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
-             t(doc_id, n_in, n_out, mean_out, rms_out) ORDER BY doc_id"""))
+             t(doc_id, n_in, n_out, mean_out, rms_out) ORDER BY doc_id""")),
+
+    // fz02: Jaro-Winkler linkage pairs over part names — the native
+    // codegen'd expression vs DuckDB's INDEPENDENT built-in: same
+    // blocking, bit-identical similarity doubles, same threshold cut
+    NamedQuery("fz02_jw_pairs",
+      (s, d) => graft.ops.Fuzzy.jaroWinklerPairs(
+          Tables.load(s, d, "part"), "p_name", minSim = 0.85)
+        .orderBy(col("name_a"), col("name_b")),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part
+                WHERE p_name IS NOT NULL)
+             SELECT a.p_name AS name_a, b.p_name AS name_b,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+             FROM n a JOIN n b
+               ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+               AND a.p_name < b.p_name
+             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+             ORDER BY name_a, name_b""")),
+
+    // kmv01: k-minimum-values distinct sketch over user ids — unlike
+    // the hll01 tolerance gate, every md5 draw and the (k−1)/u_k
+    // estimator replay EXACTLY in SQL
+    NamedQuery("kmv01_distinct_sketch",
+      (s, d) => graft.ops.Sketches.kmvDistinct(
+        Tables.load(s, d, "events"), col("user_id"), k = 64),
+      Some("""WITH v AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+                FROM events),
+              u AS (SELECT CAST('0x' || substr(md5(v), 1, 8) AS BIGINT)
+                  / 4294967296.0 AS u FROM v),
+              sk AS (SELECT u FROM u ORDER BY u LIMIT 64)
+             SELECT CAST(64 AS BIGINT) AS k, round(max(u), 9) AS u_k,
+               round(63 / max(u), 4) AS estimate
+             FROM sk""")),
+
+    // ft02: cyclical calendar features — scan-speed sin/cos encodings
+    // with the 2π literal folded identically in both engines
+    NamedQuery("ft02_time_features",
+      (s, d) => Features.timeFeatures(Tables.load(s, d, "events"),
+          col("event_id"), col("ts"))
+        .orderBy(col("id")),
+      Some("""SELECT event_id AS id, CAST(hour(ts) AS INT) AS hour,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(month(ts) AS INT) AS month,
+               round(sin(hour(ts) * 6.283185307179586 / 24.0), 6) AS hour_sin,
+               round(cos(hour(ts) * 6.283185307179586 / 24.0), 6) AS hour_cos,
+               round(sin(dayofweek(ts) * 6.283185307179586 / 7.0), 6) AS dow_sin,
+               round(cos(dayofweek(ts) * 6.283185307179586 / 7.0), 6) AS dow_cos,
+               round(sin((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_sin,
+               round(cos((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_cos
+             FROM events ORDER BY id"""))
   )
 }

@@ -212,6 +212,61 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 100.0)
   }
 
+  test("jaro-winkler: bit-identical to DuckDB's independent implementation") {
+    // constants fetched from duckdb jaro_winkler_similarity — exact
+    // doubles, not approximations; covers transpositions, the prefix
+    // boost, the 0.7 threshold gating it, zero-match, and empties
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abcdef", "abczzz", 0.6666666666666666), // prefix 3 but jaro ≤ 0.7
+      ("ab", "ba", 0.0),                         // window 0: no matches
+      ("", "", 0.0), ("a", "", 0.0),
+      ("abc", "abc", 1.0))
+    val expr = graft.functions.JaroWinkler(null, null)
+    pinned.foreach { case (a, b, want) =>
+      val got = expr.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"$a/$b: got $got want $want")
+    }
+    // and through the registered codegen path on a DataFrame
+    graft.functions.SimilarityFunctions.register(spark)
+    val viaDf = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(graft.functions.SimilarityFunctions.jaro_winkler(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(viaDf == 0.9611111111111111)
+  }
+
+  test("kmv: estimate lands near truth and rejects undersized key sets") {
+    val keys = (1 to 1000).map(i => s"key$i").toDF("k")
+    val r = Sketches.kmvDistinct(keys, col("k"), k = 128).head
+    val est = r.getDouble(2)
+    assert(est > 700 && est < 1300, s"KMV estimate off: $est for 1000 distinct")
+    val tiny = (1 to 10).map(i => s"k$i").toDF("k")
+    val e = intercept[Exception] {
+      Sketches.kmvDistinct(tiny, col("k"), k = 64).head
+    }
+    assert(e.getMessage.contains("fewer than k"))
+  }
+
+  test("time features: the cyclical encoding closes the midnight seam") {
+    def enc(h: Int): (Double, Double) = {
+      val t = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+      val r = Features.timeFeatures(Seq((1L, t)).toDF("id", "ts"),
+        col("id"), col("ts")).head
+      (r.getDouble(4), r.getDouble(5))
+    }
+    def dist(a: (Double, Double), b: (Double, Double)): Double =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val (h0, h12, h23) = (enc(0), enc(12), enc(23))
+    assert(h0 == ((0.0, 1.0)), "hour 0 sits at angle 0")
+    assert(dist(h23, h0) < dist(h12, h0),
+      "23:00 must be nearer midnight than noon is")
+  }
+
   test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
     def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
