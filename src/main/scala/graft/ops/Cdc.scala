@@ -119,6 +119,22 @@ object Cdc {
     * any landing order yields the same table a full rescan would
     * (the inc01 gate proves it against a full-recompute oracle).
     */
+  /** Incremental join-view maintenance delta (mv01), insert-only: the
+    * rows a materialized A⋈B gains when batches ΔA and ΔB land —
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. This is the reason to maintain a view
+    * incrementally at all: per refresh the join work is proportional
+    * to |Δ|·(matching rows), never |A|·|B| — the standing sides enter
+    * only as probe targets of delta-driven joins (AQE broadcasts a
+    * small delta side). Insert-only by contract: updates/deletes
+    * compose as snapshotDiff → retraction + insert upstream.
+    */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+                           bOld: DataFrame, bDelta: DataFrame,
+                           key: String): DataFrame =
+    aDelta.join(bOld, key)
+      .unionByName(aOld.join(bDelta, key))
+      .unionByName(aDelta.join(bDelta, key))
+
   /** Row-level snapshot diff (df01): the added / removed / changed
     * key sets between two versions of a table — what a data-quality
     * bot posts when a silver table moves, and the generator side of

@@ -419,6 +419,29 @@ object Curation {
       .na.fill(0L, Seq("n_sampled", "key_sum"))
   }
 
+  /** Right-to-erasure cascade audit (gd01): given a subject-key list,
+    * report per table how many rows the erasure removes — the
+    * compliance dry-run a governed lakehouse executes before (and the
+    * receipt it stores after) a GDPR/CCPA delete. Each table costs
+    * one semi-join count against the broadcast subject set; the
+    * actual delete is the matching anti-join (`left_anti` on the same
+    * key), so the audit IS the delete's plan, counted.
+    */
+  def erasureAudit(subjects: DataFrame,
+                   tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "erasureAudit needs at least one table")
+    val subj = subjects.select(col(subjects.columns.head).as("__subject")).distinct()
+    tables.map { case (name, df, keyCol) =>
+      val total = df.count()
+      val hit = df.join(broadcast(subj), col(keyCol) === col("__subject"),
+        "left_semi").count()
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((name, total, hit, total - hit))
+        .toDF("tbl", "n_before", "n_removed", "n_after")
+    }.reduce(_ unionByName _)
+  }
+
   // ---------------- PII redaction ----------------
 
   /** Email pattern: local@domain.tld. Shared between the counts and

@@ -351,6 +351,28 @@ object Profile {
       .orderBy("bin")
   }
 
+  /** Functional-dependency audit (dp07): does A determine B? For each
+    * candidate pair, one groupBy-A count-distinct-B pass; the pair
+    * HOLDS iff no A value maps to two B values, and the violation
+    * count says how broken a near-dependency is — the profiling step
+    * that discovers natural keys, denormalization errors, and
+    * candidate join columns. Each pair is an independent aggregate;
+    * the per-pair result is one row.
+    */
+  def functionalDeps(df: DataFrame,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDeps needs at least one candidate pair")
+    pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("__nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nd")).as("__mx"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"),
+          (col("__mx") <= 1L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact weighted median per group (wq01): the smallest value whose
     * cumulative weight reaches half the group total — the
     * size-weighted "typical value" statistic (e.g. bytes-weighted

@@ -138,6 +138,29 @@ object Temporal {
     * which joins (bucket, extraKeys...) and keeps hot buckets
     * partitioned finer).
     */
+  /** Point-in-time-correct dimension lookup (pit01): each fact row
+    * sees the dimension VERSION that was valid at the fact's own
+    * timestamp — the feature-store staple that kills training-serving
+    * leakage (joining "current" attributes backfills the past with
+    * the future). SCD2 version starts are just as-of events, so this
+    * is asofJoin over the dim's valid_from stream: union + one keyed
+    * window, ZERO join nodes — a BETWEEN-range join against interval
+    * endpoints would shuffle the fact table into an inequality join
+    * instead. An interval's implicit close (the next version's open)
+    * is honored by construction; facts before the first version get
+    * NULLs.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                      factTs: String, validFrom: String,
+                      payload: Seq[String],
+                      prefix: String = "pit_"): DataFrame = {
+    require(!dim.columns.contains(factTs) || validFrom == factTs,
+      s"dim already has a '$factTs' column — rename it before the lookup")
+    val d = dim.select((keys :+ validFrom) ++ payload map col: _*)
+      .withColumnRenamed(validFrom, factTs)
+    asofJoin(facts, d, keys, factTs, payload, prefix)
+  }
+
   def rangeJoin(left: DataFrame, leftTime: String,
                 right: DataFrame, rightTime: String,
                 windowSec: Long,

@@ -472,6 +472,131 @@ object AnalysisOps {
                round(cos(dayofweek(ts) * 6.283185307179586 / 7.0), 6) AS dow_cos,
                round(sin((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_sin,
                round(cos((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_cos
-             FROM events ORDER BY id"""))
+             FROM events ORDER BY id""")),
+
+    // mv01: incremental join-view maintenance — orders/customer split
+    // into standing + delta batches; the maintained view (V_old ∪ ΔV)
+    // must equal the FULL recompute, which is exactly what the oracle
+    // computes; refresh work is delta-proportional by construction
+    NamedQuery("mv01_incremental_join",
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val (aOld, aDelta) = (o.filter(col("o_orderkey") % 7 =!= 0),
+          o.filter(col("o_orderkey") % 7 === 0))
+        val (bOld, bDelta) = (c.filter(col("o_custkey") % 5 =!= 0),
+          c.filter(col("o_custkey") % 5 === 0))
+        val vOld = aOld.join(bOld, "o_custkey")
+        val delta = Cdc.incrementalJoinDelta(aOld, aDelta, bOld, bDelta,
+          "o_custkey")
+        vOld.unionByName(delta)
+          .groupBy((col("o_custkey") % 10).as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT o_custkey % 10 AS grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1 ORDER BY 1""")),
+
+    // pit01: point-in-time dimension lookup — a two-version planted
+    // dim (v2 opens Jan 16, coverage only for custkey ≤ 100); the
+    // oracle derives each fact's correct version from first
+    // principles; facts with no dim history stay NULL
+    NamedQuery("pit01_point_in_time",
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+          .filter(col("c_custkey") <= 100)
+          .select(col("c_custkey").as("user_id"))
+        val v1 = cust
+          .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+          .withColumn("version", lit("v1"))
+        val v2 = cust
+          .withColumn("valid_from", lit("2024-01-16 00:00:00").cast("timestamp"))
+          .withColumn("version", lit("v2"))
+        graft.ops.Temporal.pointInTimeJoin(
+            Tables.load(s, d, "events").select(col("event_id"), col("user_id"),
+              col("ts")),
+            v1.union(v2), Seq("user_id"), "ts", "valid_from", Seq("version"))
+          .select(col("event_id"), col("user_id"), col("pit_version"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+               CASE WHEN user_id <= 100 THEN
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 'v1' ELSE 'v2' END
+               END AS pit_version
+             FROM events ORDER BY event_id""")),
+
+    // dp07: functional-dependency audit over candidate column pairs —
+    // key→anything must hold, many-to-many pairs must report their
+    // violation counts exactly
+    NamedQuery("dp07_functional_deps",
+      (s, d) => Profile.functionalDeps(Tables.load(s, d, "orders"),
+          Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus")))
+        .orderBy(col("lhs"), col("rhs")),
+      Some("""WITH p1 AS (SELECT count(DISTINCT o_custkey) AS nd
+                FROM orders GROUP BY o_orderkey),
+              p2 AS (SELECT count(DISTINCT o_orderpriority) AS nd
+                FROM orders GROUP BY o_custkey),
+              p3 AS (SELECT count(DISTINCT o_orderstatus) AS nd
+                FROM orders GROUP BY o_orderpriority)
+             SELECT * FROM (
+               SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+                 CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 max(nd) <= 1 AS holds FROM p1
+               UNION ALL
+               SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 max(nd) <= 1 FROM p2
+               UNION ALL
+               SELECT 'o_orderpriority', 'o_orderstatus', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 max(nd) <= 1 FROM p3)
+             ORDER BY lhs, rhs""")),
+
+    // gd01: right-to-erasure cascade audit — per-table semi-join
+    // counts against the broadcast subject set (the delete's own plan,
+    // counted); subjects are every 50th user
+    NamedQuery("gd01_erasure_audit",
+      (s, d) => Curation.erasureAudit(
+          Tables.load(s, d, "events").filter(col("user_id") % 50 === 0)
+            .select(col("user_id")),
+          Seq(("events", Tables.load(s, d, "events"), "user_id"),
+            ("orders", Tables.load(s, d, "orders"), "o_custkey"),
+            ("customer", Tables.load(s, d, "customer"), "c_custkey")))
+        .orderBy(col("tbl")),
+      Some("""WITH s AS (SELECT DISTINCT user_id AS k FROM events
+                WHERE user_id % 50 = 0)
+             SELECT * FROM (
+               SELECT 'events' AS tbl,
+                 (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_before,
+                 (SELECT CAST(count(*) AS BIGINT) FROM events
+                  WHERE user_id IN (SELECT k FROM s)) AS n_removed,
+                 (SELECT CAST(count(*) AS BIGINT) FROM events)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM events
+                      WHERE user_id IN (SELECT k FROM s)) AS n_after
+               UNION ALL
+               SELECT 'orders',
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders),
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE o_custkey IN (SELECT k FROM s)),
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM orders
+                      WHERE o_custkey IN (SELECT k FROM s))
+               UNION ALL
+               SELECT 'customer',
+                 (SELECT CAST(count(*) AS BIGINT) FROM customer),
+                 (SELECT CAST(count(*) AS BIGINT) FROM customer
+                  WHERE c_custkey IN (SELECT k FROM s)),
+                 (SELECT CAST(count(*) AS BIGINT) FROM customer)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM customer
+                      WHERE c_custkey IN (SELECT k FROM s)))
+             ORDER BY tbl"""))
   )
 }

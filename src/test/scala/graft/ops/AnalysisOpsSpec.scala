@@ -267,6 +267,62 @@ class AnalysisOpsSpec extends AnyFunSuite {
       "23:00 must be nearer midnight than noon is")
   }
 
+  test("incremental join delta: maintained view equals the full recompute") {
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val aNew = Seq((2, "a3"), (3, "a4")).toDF("k", "av")
+    val bOld = Seq((1, "b1"), (3, "b2")).toDF("k", "bv")
+    val bNew = Seq((2, "b3"), (3, "b4")).toDF("k", "bv")
+    val incr = aOld.join(bOld, "k")
+      .unionByName(Cdc.incrementalJoinDelta(aOld, aNew, bOld, bNew, "k"))
+      .select("k", "av", "bv").as[(Int, String, String)].collect().sorted
+    val full = aOld.unionByName(aNew).join(bOld.unionByName(bNew), "k")
+      .select("k", "av", "bv").as[(Int, String, String)].collect().sorted
+    assert(incr.toSeq == full.toSeq,
+      "V_old ∪ ΔV must equal the join of the unioned snapshots")
+    // the delta-delta term is present exactly once: (3, a4, b4)
+    assert(incr.count(_ == ((3, "a4", "b4"))) == 1)
+  }
+
+  test("point-in-time: facts see the version valid at their own instant") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")),  // before any version → null
+      (2L, 10L, t("2024-01-10 00:00:00")),  // inside v1
+      (3L, 10L, t("2024-01-16 00:00:00")),  // exactly at v2 open → v2
+      (4L, 99L, t("2024-01-20 00:00:00"))   // key with no history → null
+    ).toDF("event_id", "k", "ts")
+    val dim = Seq((10L, t("2024-01-08 00:00:00"), "v1"),
+      (10L, t("2024-01-16 00:00:00"), "v2")).toDF("k", "valid_from", "version")
+    val r = Temporal.pointInTimeJoin(facts, dim, Seq("k"), "ts",
+        "valid_from", Seq("version"))
+      .select("event_id", "pit_version")
+      .as[(Long, Option[String])].collect().toMap
+    assert(r == Map(1L -> None, 2L -> Some("v1"), 3L -> Some("v2"), 4L -> None))
+  }
+
+  test("functional deps: exact violation counts") {
+    val df = Seq((1, "x", "p"), (2, "x", "q"), (3, "y", "p"), (4, "y", "p"))
+      .toDF("id", "a", "b")
+    val r = Profile.functionalDeps(df, Seq(("id", "a"), ("a", "b")))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(r(("id", "a")) == ((4L, 0L, true)), "key determines everything")
+    // a=x maps to {p,q} → one violating lhs value; a=y maps to {p} only
+    assert(r(("a", "b")) == ((2L, 1L, false)))
+  }
+
+  test("erasure audit: per-table counts on a hand case") {
+    val subjects = Seq(1L, 3L).toDF("s")
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "d")).toDF("uid", "v")
+    val t2 = Seq((5L, "e")).toDF("uid", "v")
+    val r = Curation.erasureAudit(subjects,
+        Seq(("t1", t1, "uid"), ("t2", t2, "uid")))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("t1") == ((4L, 3L, 1L)))
+    assert(r("t2") == ((1L, 0L, 1L)))
+  }
+
   test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
     def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
