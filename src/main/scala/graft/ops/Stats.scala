@@ -178,6 +178,60 @@ object Stats {
           .otherwise(col("dcg") / col("idcg")), 4).as("ndcg"))
   }
 
+  /** Reciprocal-rank fusion (rrf01, Cormack et al. 2009): merge
+    * per-query rankings from heterogeneous retrievers (BM25 lexical,
+    * embedding ANN, ...) by summing 1/(k + rank) — the standard
+    * hybrid-retrieval combiner in RAG stacks, robust because it needs
+    * no score calibration across systems. Input frames carry
+    * (q, item, rank); absent items simply contribute nothing from
+    * that ranking. One union + one (q, item) aggregate + a per-query
+    * top-N window — all keyed by query. Ties break on item ascending.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+              topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && topN >= 1, s"bad args: k=$k topN=$topN")
+    val u = rankings.map(_.select(col("q"), col("item"), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = u.groupBy(col("q"), col("item"))
+      .agg(sum(lit(1.0) / (lit(k) + col("rank"))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("rrf"), 9).desc, col("item").asc)
+    scored.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topN)
+      .select(col("q"), col("fused_rank"), col("item"), col("n_lists"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  /** Benford first-digit audit (dp08): the share of leading digits
+    * 1..9 against log₁₀(1 + 1/d) — the fraud/synthetic-data smell
+    * test for naturally-spread magnitudes. One aggregate over the
+    * scan; output is 9 rows with exact counts, observed shares, the
+    * Benford expectation, and each digit's χ² term.
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    // numeric digit extraction (floor(v / 10^floor(log10 v))) — a
+    // string cast would expose engine-specific double formatting
+    val v = abs(value).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log(10.0, v))))
+    val counts = df.filter(value.isNotNull && v > 0)
+      .select(digit.cast("int").as("d"))
+      .filter(col("d").between(1, 9))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).head.getLong(0)
+    require(total > 0, "benford: no leading digits found")
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("d").cast("int"))
+    counts
+      .withColumn("share", col("n").cast("double") / total)
+      .withColumn("expected", expected)
+      .select(col("d").cast("int").as("digit"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("expected"), 6).as("expected"),
+        round(lit(total.toDouble) * (col("share") - col("expected")) *
+          (col("share") - col("expected")) / col("expected"), 6).as("chi2_term"))
+  }
+
   /** Ordinary least squares by distributed normal equations: a FIRST
     * pass for the means, a SECOND pass for centered co-moments (the
     * centering avoids the catastrophic cancellation of raw-sum

@@ -138,6 +138,42 @@ object Temporal {
     * which joins (bucket, extraKeys...) and keeps hot buckets
     * partitioned finer).
     */
+  /** Time-series gap fill (tp07): densify each key's bucket grid
+    * between its own min and max bucket, zero-filling counts/sums and
+    * forward-filling the last observation — the densify step every
+    * downstream window/forecast op assumes (a missing bucket read as
+    * "no row" instead of "zero" silently shifts every trailing
+    * statistic). Grid generation is a per-key sequence+explode (rows
+    * ∝ buckets, map-side); the fill is one keyed window. Keys with
+    * pathological spans are the caller's guard: maxBuckets fails loud
+    * rather than exploding a million-bucket key silently.
+    */
+  def gapFill(df: DataFrame, key: Column, ts: Column, value: Column,
+              stepSec: Long, maxBuckets: Int = 100000): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val base = df.select(key.as("k"),
+        (floor(unix_micros(ts) / (stepSec * 1000000L)) * stepSec).as("bsec"),
+        value.cast("double").as("v"))
+      .groupBy(col("k"), col("bsec"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    val spans = base.groupBy(col("k"))
+      .agg(min(col("bsec")).as("lo"), max(col("bsec")).as("hi"))
+    val worst = spans.agg(max(((col("hi") - col("lo")) / stepSec).cast("long")))
+      .head.getLong(0)
+    require(worst < maxBuckets,
+      s"gapFill: a key spans $worst buckets (cap $maxBuckets) — widen stepSec")
+    val grid = spans.select(col("k"),
+      explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("bsec"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bsec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("k", "bsec"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ffill_sum", last(col("sum_v"), ignoreNulls = true).over(w))
+      .withColumn("sum_v", coalesce(col("sum_v"), lit(0.0)))
+      .select(col("k"), timestamp_seconds(col("bsec")).as("bucket_ts"),
+        col("n"), col("sum_v"), col("ffill_sum"))
+  }
+
   /** Point-in-time-correct dimension lookup (pit01): each fact row
     * sees the dimension VERSION that was valid at the fact's own
     * timestamp — the feature-store staple that kills training-serving

@@ -597,6 +597,100 @@ object AnalysisOps {
                  (SELECT CAST(count(*) AS BIGINT) FROM customer)
                    - (SELECT CAST(count(*) AS BIGINT) FROM customer
                       WHERE c_custkey IN (SELECT k FROM s)))
-             ORDER BY tbl"""))
+             ORDER BY tbl""")),
+
+    // rrf01: reciprocal-rank fusion of two heterogeneous per-query
+    // rankings (value-ranked vs props-length-ranked) — the RAG hybrid
+    // retrieval combiner; 1/(60+rank) sums replay exactly, the fused
+    // cut ranks on the round-9 score with item tie order
+    NamedQuery("rrf01_rank_fusion",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events").select(
+          col("event_type").as("q"), col("event_id").as("item"),
+          col("value"), length(col("props")).as("pl"))
+        val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("value").desc, col("item").asc)
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("pl").desc, col("item").asc)
+        val rA = ev.withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= 50).select(col("q"), col("item"), col("rank"))
+        val rB = ev.withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 50).select(col("q"), col("item"), col("rank"))
+        graft.ops.Stats.rrfFuse(Seq(rA, rB), k = 60, topN = 10)
+          .orderBy(col("q"), col("fused_rank"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS q, event_id AS item, value,
+                  length(props) AS pl FROM events),
+              ra AS (SELECT q, item, rank FROM (SELECT q, item,
+                  row_number() OVER (PARTITION BY q
+                    ORDER BY value DESC, item ASC) AS rank FROM ev)
+                WHERE rank <= 50),
+              rb AS (SELECT q, item, rank FROM (SELECT q, item,
+                  row_number() OVER (PARTITION BY q
+                    ORDER BY pl DESC, item ASC) AS rank FROM ev)
+                WHERE rank <= 50),
+              u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+              sc AS (SELECT q, item, sum(1.0 / (60 + rank)) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_lists
+                FROM u GROUP BY 1, 2),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY q
+                  ORDER BY round(rrf, 9) DESC, item ASC) AS fused_rank
+                FROM sc)
+             SELECT q, CAST(fused_rank AS INT) AS fused_rank, item, n_lists,
+               round(rrf, 6) AS rrf
+             FROM rk WHERE fused_rank <= 10 ORDER BY q, fused_rank""")),
+
+    // tp07: hourly gap fill per event type — per-key dense grids
+    // between own min/max, zero-filled counts, forward-filled sums;
+    // grid rows ∝ buckets, one keyed window for the fill
+    NamedQuery("tp07_gapfill",
+      (s, d) => graft.ops.Temporal.gapFill(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("value"), stepSec = 3600L)
+        .select(col("k"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("n"), round(col("sum_v"), 4).as("sum_v"),
+          round(col("ffill_sum"), 4).as("ffill_sum"))
+        .orderBy(col("k"), col("bucket_ts")),
+      Some("""WITH b AS (SELECT event_type AS k,
+                  (epoch_us(ts) // 3600000000) * 3600 AS bsec, value AS v
+                FROM events),
+              g AS (SELECT k, bsec, CAST(count(*) AS BIGINT) AS n,
+                  sum(v) AS sum_v FROM b GROUP BY 1, 2),
+              sp AS (SELECT k, min(bsec) AS lo, max(bsec) AS hi
+                FROM g GROUP BY 1),
+              grid AS (SELECT k, unnest(generate_series(lo, hi, 3600)) AS bsec
+                FROM sp),
+              j AS (SELECT grid.k, grid.bsec, coalesce(g.n, 0) AS n, g.sum_v
+                FROM grid LEFT JOIN g USING (k, bsec)),
+              f AS (SELECT *, last_value(sum_v IGNORE NULLS)
+                  OVER (PARTITION BY k ORDER BY bsec
+                        ROWS UNBOUNDED PRECEDING) AS ffill
+                FROM j)
+             SELECT k, strftime(make_timestamp(bsec * 1000000),
+                 '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               n, round(coalesce(sum_v, 0.0), 4) AS sum_v,
+               round(ffill, 4) AS ffill_sum
+             FROM f ORDER BY k, bucket_ts""")),
+
+    // dp08: Benford first-digit audit of order totals — numeric digit
+    // extraction (identical floor/log10 arithmetic both engines),
+    // exact counts, χ² terms per digit
+    NamedQuery("dp08_benford",
+      (s, d) => graft.ops.Stats.benford(Tables.load(s, d, "orders"),
+          col("o_totalprice"))
+        .orderBy(col("digit")),
+      Some("""WITH v AS (SELECT abs(o_totalprice) AS v FROM orders
+                WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0),
+              dd AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v))))
+                  AS INT) AS d FROM v),
+              c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dd
+                WHERE d BETWEEN 1 AND 9 GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+             SELECT d AS digit, n, round(n / tot, 6) AS share,
+               round(log10(1.0 + 1.0 / d), 6) AS expected,
+               round(tot * (n / tot - log10(1.0 + 1.0 / d))
+                 * (n / tot - log10(1.0 + 1.0 / d))
+                 / log10(1.0 + 1.0 / d), 6) AS chi2_term
+             FROM c CROSS JOIN t ORDER BY digit"""))
   )
 }

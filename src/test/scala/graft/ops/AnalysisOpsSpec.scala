@@ -323,6 +323,48 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(r("t2") == ((1L, 0L, 1L)))
   }
 
+  test("rrf: consensus across lists beats a single first place") {
+    val a = Seq(("q", 100L, 1), ("q", 101L, 2), ("q", 102L, 3)).toDF("q", "item", "rank")
+    val b = Seq(("q", 101L, 1), ("q", 102L, 2), ("q", 103L, 3)).toDF("q", "item", "rank")
+    val r = Stats.rrfFuse(Seq(a, b), k = 60, topN = 4).orderBy("fused_rank")
+      .select("item", "n_lists", "rrf").as[(Long, Long, Double)].collect()
+    // 101 appears rank 2+1 → 1/62+1/61 > 100's solo 1/61
+    assert(r.head._1 == 101L && r.head._2 == 2L)
+    assert(r.head._3 == round6(1.0 / 62 + 1.0 / 61))
+    assert(r.map(_._1).contains(100L) && r.length == 4)
+  }
+
+  test("gap fill: zero-filled gaps, forward-filled sums, span cap") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600 * 1000L)
+    val df = Seq(("k", t(0), 5.0), ("k", t(3), 7.0)).toDF("g", "ts", "v")
+    val r = Temporal.gapFill(df, col("g"), col("ts"), col("v"), stepSec = 3600L)
+      .orderBy("bucket_ts").collect()
+    assert(r.length == 4, "grid densifies hours 0..3")
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(5.0, 0.0, 0.0, 7.0))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(5.0, 5.0, 5.0, 7.0),
+      "forward fill carries the last observation across the gap")
+    val e = intercept[Exception] {
+      Temporal.gapFill(df, col("g"), col("ts"), col("v"), stepSec = 3600L,
+        maxBuckets = 2).collect()
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+
+  test("benford: digit shares and chi-square terms are exact") {
+    val df = ((1 to 60).map(_ => 123.0) ++ (1 to 40).map(_ => 987.0)).toDF("v")
+    val r = Stats.benford(df, col("v")).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(r.keySet == Set(1, 9))
+    assert(r(1).getLong(1) == 60L && r(1).getDouble(2) == 0.6)
+    assert(r(9).getDouble(2) == 0.4)
+    val exp1 = math.log(2.0) / math.log(10.0)
+    assert(math.abs(r(1).getDouble(3) - round6(exp1)) < 1e-9)
+    val chi1 = 100.0 * (0.6 - exp1) * (0.6 - exp1) / exp1
+    assert(math.abs(r(1).getDouble(4) - chi1) < 1e-4)
+  }
+
   test("resize: identity keeps pixels, downsample picks the floor grid, non-netpbm None") {
     def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -338,4 +380,7 @@ class AnalysisOpsSpec extends AnyFunSuite {
       "2x downsample samples even columns of row 0")
     assert(Multimodal.resizePpmPixels(Array[Byte](0xFF.toByte, 0xD8.toByte), 2, 2).isEmpty)
   }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
