@@ -146,6 +146,25 @@ object Features {
         cyc(month(ts) - 1, 12.0, "month")): _*)
   }
 
+  /** Frequency encoding (enc03): replace a categorical with its
+    * corpus count and share — the zero-vocabulary encoder tree models
+    * digest well (rare-category signal survives where one-hot
+    * explodes). One groupBy (category-cardinality frame) joined back
+    * on the key; AQE broadcasts when it fits.
+    */
+  def frequencyEncode(df: DataFrame, category: Column,
+                      out: String = "freq"): DataFrame = {
+    require(!df.columns.contains(out) && !df.columns.contains(s"${out}_share"),
+      s"output columns $out/${out}_share would clobber")
+    val counts = df.select(category.as("__cat"))
+      .groupBy(col("__cat")).agg(count(lit(1)).as(out))
+    val total = df.count()
+    df.withColumn("__cat", category)
+      .join(counts, Seq("__cat"))
+      .withColumn(s"${out}_share", round(col(out).cast("double") / total, 6))
+      .drop("__cat")
+  }
+
   /** Exponentially time-decayed engagement score per entity (ew01):
     * Σ value·2^(−Δ/halfLife) where Δ is the age of each event against
     * a reference instant — the freshness-weighted activity feature

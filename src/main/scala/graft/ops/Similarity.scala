@@ -81,6 +81,33 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** kNN majority-vote classifier (ml03): predict each query's label
+    * from its k nearest corpus vectors — the companion to ml01's
+    * agreement SCREEN (that one flags suspicious labels; this one
+    * actually predicts, which is what a semi-supervised labeling pass
+    * or a retrieval-based baseline wants). Vote ties break on label
+    * ascending. Same broadcast×scan shape as bruteForceTopK; for a
+    * full-corpus run swap in the ANN candidate set (labelAgreement's
+    * auto-switch) — the vote is identical from there.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+                  k: Int = 5): DataFrame = {
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(corpus, queries, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("label")), "query_id")
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("n_label").as("pred"), col("votes"),
+        (col("n_label") === col("label")).as("correct"))
+  }
+
   /** Hard-negative mining for contrastive/metric-learning pipelines:
     * each query's top-k most-similar corpus vectors whose `label`
     * DIFFERS from the query's — the near-miss negatives that make

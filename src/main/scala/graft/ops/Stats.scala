@@ -204,6 +204,32 @@ object Stats {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Kendall rank correlation τ-a between two per-query rankings
+    * (ev06): agreement of two retrievers beyond what RRF's fusion
+    * hides — computed over the INTERSECTION of the lists (each side a
+    * strict permutation via row_number, so no tie terms), concordant/
+    * discordant from a within-query pair join bounded by list length².
+    * τ = (C − D) / (n(n−1)/2).
+    */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("q"), col("item"), col("rank").as("ra"))
+      .join(b.select(col("q"), col("item"), col("rank").as("rb")),
+        Seq("q", "item"))
+    val pairs = j.as("x").join(j.as("y"),
+        col("x.q") === col("y.q") && col("x.item") < col("y.item"))
+      .select(col("x.q").as("q"),
+        (((col("x.ra") < col("y.ra")) === (col("x.rb") < col("y.rb")))
+          .cast("long")).as("conc"))
+    pairs.groupBy(col("q"))
+      .agg(sum(col("conc")).as("concordant"),
+        sum(lit(1L) - col("conc")).as("discordant"),
+        count(lit(1)).as("n_pairs"))
+      .join(j.groupBy(col("q")).agg(count(lit(1)).as("n_items")), Seq("q"))
+      .select(col("q"), col("n_items"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs"), 6).as("tau"))
+  }
+
   /** Benford first-digit audit (dp08): the share of leading digits
     * 1..9 against log₁₀(1 + 1/d) — the fraud/synthetic-data smell
     * test for naturally-spread magnitudes. One aggregate over the

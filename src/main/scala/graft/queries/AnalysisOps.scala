@@ -691,6 +691,99 @@ object AnalysisOps {
                round(tot * (n / tot - log10(1.0 + 1.0 / d))
                  * (n / tot - log10(1.0 + 1.0 / d))
                  / log10(1.0 + 1.0 / d), 6) AS chi2_term
-             FROM c CROSS JOIN t ORDER BY digit"""))
+             FROM c CROSS JOIN t ORDER BY digit""")),
+
+    // ml03: kNN majority-vote classifier over the embeddings — top-5
+    // neighbors per query (sim01's exact ranking), vote argmax with
+    // label-ascending ties; the oracle replays ranking, votes, and
+    // argmax
+    NamedQuery("ml03_knn_classify",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        graft.ops.Similarity.knnClassify(e, e.filter(col("vec_id") < 50), k = 5)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  label AS q_label FROM embeddings WHERE vec_id < 50),
+              scored AS (SELECT query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+                  round((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(e.embedding) AS b))
+                        / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(q_emb) AS b)))
+                        / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b))), 4) AS cos_sim
+                FROM embeddings e JOIN q ON e.vec_id != q.query_id),
+              topk AS (SELECT * FROM (SELECT query_id, n_label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+                FROM scored) WHERE rk <= 5),
+              v AS (SELECT query_id, n_label,
+                  CAST(count(*) AS BIGINT) AS votes FROM topk GROUP BY 1, 2),
+              best AS (SELECT * FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS rn
+                FROM v) WHERE rn = 1)
+             SELECT best.query_id AS vec_id, q.q_label AS label,
+               best.n_label AS pred, best.votes,
+               best.n_label = q.q_label AS correct
+             FROM best JOIN q ON q.query_id = best.query_id
+             ORDER BY vec_id""")),
+
+    // ev06: Kendall tau-a between the two rrf01 rankings — concordant
+    // minus discordant over the list intersection, bounded pair join
+    NamedQuery("ev06_kendall_tau",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events").select(
+          col("event_type").as("q"), col("event_id").as("item"),
+          col("value"), length(col("props")).as("pl"))
+        val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("value").desc, col("item").asc)
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("pl").desc, col("item").asc)
+        val rA = ev.withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= 50).select(col("q"), col("item"), col("rank"))
+        val rB = ev.withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 50).select(col("q"), col("item"), col("rank"))
+        graft.ops.Stats.kendallTau(rA, rB).orderBy(col("q"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS q, event_id AS item, value,
+                  length(props) AS pl FROM events),
+              ra AS (SELECT q, item, rank FROM (SELECT q, item,
+                  row_number() OVER (PARTITION BY q
+                    ORDER BY value DESC, item ASC) AS rank FROM ev)
+                WHERE rank <= 50),
+              rb AS (SELECT q, item, rank FROM (SELECT q, item,
+                  row_number() OVER (PARTITION BY q
+                    ORDER BY pl DESC, item ASC) AS rank FROM ev)
+                WHERE rank <= 50),
+              j AS (SELECT ra.q, ra.item, ra.rank AS r1, rb.rank AS r2
+                FROM ra JOIN rb USING (q, item)),
+              p AS (SELECT x.q,
+                  CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2)
+                    THEN 1 ELSE 0 END AS conc
+                FROM j x JOIN j y ON x.q = y.q AND x.item < y.item),
+              agg AS (SELECT q, CAST(sum(conc) AS BIGINT) AS concordant,
+                  CAST(sum(1 - conc) AS BIGINT) AS discordant,
+                  CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY q),
+              ni AS (SELECT q, CAST(count(*) AS BIGINT) AS n_items
+                FROM j GROUP BY q)
+             SELECT q, n_items, concordant, discordant,
+               round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
+                 AS tau
+             FROM agg JOIN ni USING (q) ORDER BY q""")),
+
+    // enc03: frequency encoding of the order priority — category
+    // counts joined back on the key, exact shares
+    NamedQuery("enc03_frequency_encode",
+      (s, d) => Features.frequencyEncode(
+          Tables.load(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderpriority")),
+          col("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("freq"), col("freq_share"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH c AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
+                  AS freq FROM orders GROUP BY 1),
+              t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+             SELECT o_orderkey, o.o_orderpriority, c.freq,
+               round(CAST(c.freq AS DOUBLE) / t.n, 6) AS freq_share
+             FROM orders o JOIN c USING (o_orderpriority) CROSS JOIN t
+             ORDER BY o_orderkey"""))
   )
 }

@@ -381,6 +381,52 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(Multimodal.resizePpmPixels(Array[Byte](0xFF.toByte, 0xD8.toByte), 2, 2).isEmpty)
   }
 
+  test("knn classify: separated clusters predict perfectly; vote ties take the lower label") {
+    // two tight clusters along orthogonal axes
+    val vecs = ((1 to 10).map(i => (i.toLong, 0, Seq(1.0f, 0.001f * i, 0.0f))) ++
+      (11 to 20).map(i => (i.toLong, 1, Seq(0.001f * i, 1.0f, 0.0f))))
+      .toDF("vec_id", "label", "embedding")
+    val r = Similarity.knnClassify(vecs, vecs, k = 3)
+      .select("vec_id", "correct").as[(Long, Boolean)].collect()
+    assert(r.length == 20 && r.forall(_._2), "clean clusters classify perfectly")
+    // 4 neighbors, 2 votes each for labels 5 and 7 → tie → pred 5
+    val tie = Seq(
+      (1L, 9, Seq(1.0f, 0.0f)), (2L, 7, Seq(0.9f, 0.1f)), (3L, 7, Seq(0.9f, -0.1f)),
+      (4L, 5, Seq(0.8f, 0.05f)), (5L, 5, Seq(0.8f, -0.05f)))
+      .toDF("vec_id", "label", "embedding")
+    val pred = Similarity.knnClassify(tie, tie.filter(col("vec_id") === 1), k = 4)
+      .head.getInt(2)
+    assert(pred == 5, "2-2 vote tie breaks to the lower label")
+  }
+
+  test("kendall tau: identity +1, reversal -1, hand case") {
+    val base = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3), ("q", 4L, 4))
+      .toDF("q", "item", "rank")
+    val rev = Seq(("q", 1L, 4), ("q", 2L, 3), ("q", 3L, 2), ("q", 4L, 1))
+      .toDF("q", "item", "rank")
+    assert(Stats.kendallTau(base, base).head.getDouble(4) == 1.0)
+    assert(Stats.kendallTau(base, rev).head.getDouble(4) == -1.0)
+    // swap one adjacent pair: 5 concordant, 1 discordant → 4/6
+    val swap = Seq(("q", 1L, 2), ("q", 2L, 1), ("q", 3L, 3), ("q", 4L, 4))
+      .toDF("q", "item", "rank")
+    val h = Stats.kendallTau(base, swap).head
+    assert(h.getLong(2) == 5L && h.getLong(3) == 1L)
+    assert(h.getDouble(4) == round6(4.0 / 6))
+  }
+
+  test("frequency encode: exact counts, shares, and the clobber guard") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+    val r = Features.frequencyEncode(df, col("cat"))
+      .select("id", "freq", "freq_share").as[(Long, Long, Double)]
+      .collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) == ((2L, round6(2.0 / 3))) && r(3L) == ((1L, round6(1.0 / 3))))
+    val clob = df.withColumnRenamed("id", "freq")
+    val e = intercept[IllegalArgumentException] {
+      Features.frequencyEncode(clob, col("cat"))
+    }
+    assert(e.getMessage.contains("clobber"))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
