@@ -572,6 +572,43 @@ object Analytics {
         round(var_samp(col("adj")), 4).as("var_adj"))
   }
 
+  /** STL-lite seasonal decomposition (ts04): value = trend + seasonal
+    * + residual over a DENSE per-key bucket series (run gapFill
+    * upstream) — trend from a centered (2w+1)-bucket moving average
+    * (null until the window is full: a shrinking edge window would
+    * fake a trend), seasonal as the per-(key, period-phase) mean of
+    * the detrended series, residual as what's left. The residual is
+    * where ts01/ts02 anomalies get cleaner: level and season are
+    * already explained. One keyed window + one phase aggregate
+    * joined back.
+    */
+  def seasonalDecompose(df: DataFrame, key: Column, bucketTs: Column,
+                        value: Column, periodBuckets: Int = 24,
+                        trendW: Int = 12, stepSec: Long = 3600L): DataFrame = {
+    require(periodBuckets >= 2 && trendW >= 1 && stepSec > 0,
+      s"bad args: period=$periodBuckets w=$trendW step=$stepSec")
+    val base = df.select(key.as("k"), bucketTs.as("bt"),
+      value.cast("double").as("v"))
+    val order = Window.partitionBy(col("k")).orderBy(col("bt"))
+    val frame = order.rowsBetween(-trendW, trendW)
+    val withTrend = base
+      .withColumn("__nw", count(col("v")).over(frame))
+      .withColumn("trend",
+        when(col("__nw") === 2 * trendW + 1, avg(col("v")).over(frame)))
+      .withColumn("detrended", col("v") - col("trend"))
+      .withColumn("phase",
+        pmod(floor(unix_micros(col("bt")) / (stepSec * 1000000L)),
+          lit(periodBuckets)))
+    val seasonal = withTrend.filter(col("detrended").isNotNull)
+      .groupBy(col("k"), col("phase"))
+      .agg(avg(col("detrended")).as("seasonal"))
+    withTrend.join(seasonal, Seq("k", "phase"), "left")
+      .select(col("k"), col("bt"), col("v"), col("phase").cast("int").as("phase"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("v") - col("trend") - col("seasonal"), 4).as("residual"))
+  }
+
   /** Autocorrelation function per series (ts03): r_k for lags 1..K
     * against the per-series mean — the seasonality/trend detector
     * (r_24h spikes on diurnal series). One keyed window pass produces

@@ -204,6 +204,44 @@ object Stats {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Deterministic Poisson-style bootstrap CI (ev07, the Google
+    * "Poisson bootstrap" shape): per replicate r, every row gets an
+    * md5-derived Binomial(16, 1/16) weight (mean 1, var ≈ 0.94 —
+    * the streaming stand-in for Poisson(1) resampling, and exactly
+    * replayable where an RNG draw is not), each replicate's weighted
+    * mean aggregates in ONE pass over the (row × replicate) expand,
+    * and the CI is an exact percentile over the `replicates`-row
+    * means frame. This is how uncertainty comes out of a corpus-sized
+    * metric without ever materializing resampled datasets.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                       replicates: Int = 100, lo: Double = 0.05,
+                       hi: Double = 0.95): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"replicates out of range: $replicates")
+    require(lo > 0 && hi < 1 && lo < hi, s"bad CI bounds: $lo/$hi")
+    val base = df.filter(value.isNotNull)
+      .select(key.cast("string").as("k"), value.cast("double").as("v"))
+    val w = lit(16) - length(regexp_replace(
+      substring(md5(concat(col("r").cast("string"), lit("#"), col("k"))), 1, 16),
+      "[^0]", ""))
+    val means = base
+      .withColumn("r", explode(sequence(lit(1), lit(replicates))))
+      .withColumn("w", w)
+      .groupBy(col("r"))
+      .agg((sum(col("w") * col("v")) / sum(col("w"))).as("m"))
+    val overall = base.agg(count(lit(1)).as("n"), avg(col("v")).as("mean")).head
+    means.agg(
+        expr(s"percentile(m, $lo)").as("ci_lo"),
+        expr(s"percentile(m, $hi)").as("ci_hi"),
+        stddev_samp(col("m")).as("se"))
+      .select(lit(overall.getLong(0)).as("n"),
+        round(lit(overall.getDouble(1)), 4).as("mean"),
+        round(col("ci_lo"), 4).as("ci_lo"),
+        round(col("ci_hi"), 4).as("ci_hi"),
+        round(col("se"), 6).as("se"))
+  }
+
   /** Kendall rank correlation τ-a between two per-query rankings
     * (ev06): agreement of two retrievers beyond what RRF's fusion
     * hides — computed over the INTERSECTION of the lists (each side a

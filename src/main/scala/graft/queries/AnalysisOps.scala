@@ -784,6 +784,97 @@ object AnalysisOps {
              SELECT o_orderkey, o.o_orderpriority, c.freq,
                round(CAST(c.freq AS DOUBLE) / t.n, 6) AS freq_share
              FROM orders o JOIN c USING (o_orderpriority) CROSS JOIN t
-             ORDER BY o_orderkey"""))
+             ORDER BY o_orderkey""")),
+
+    // q50: the remaining ANSI window functions — ntile / percent_rank
+    // / cume_dist / nth_value over unique-keyed orderings
+    NamedQuery("q50_window_funcs",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               nth_value(o_orderkey, 3) OVER w AS third_key
+             FROM orders
+             WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+             ORDER BY o_orderkey""")),
+
+    // ts04: STL-lite decomposition of the hourly event series —
+    // gapFill densifies, a centered 25-bucket moving average takes the
+    // trend (null at edges), hour-of-day means of the detrended series
+    // take the season, the residual is what anomaly flags should eat
+    NamedQuery("ts04_seasonal_decompose",
+      (s, d) => {
+        val dense = graft.ops.Temporal.gapFill(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("value"), stepSec = 3600L)
+        Analytics.seasonalDecompose(dense, col("k"), col("bucket_ts"),
+            col("sum_v"), periodBuckets = 24, trendW = 12)
+          .select(col("k"),
+            date_format(col("bt"), "yyyy-MM-dd HH:mm:ss").as("bt"),
+            round(col("v"), 4).as("v"), col("phase"),
+            col("trend"), col("seasonal"), col("residual"))
+          .orderBy(col("k"), col("bt"))
+      },
+      Some("""WITH b AS (SELECT event_type AS k,
+                  (epoch_us(ts) // 3600000000) * 3600 AS bsec, value AS v
+                FROM events),
+              g AS (SELECT k, bsec, sum(v) AS sum_v FROM b GROUP BY 1, 2),
+              sp AS (SELECT k, min(bsec) AS lo, max(bsec) AS hi
+                FROM g GROUP BY 1),
+              grid AS (SELECT k, unnest(generate_series(lo, hi, 3600)) AS bsec
+                FROM sp),
+              dense AS (SELECT grid.k, grid.bsec,
+                  coalesce(g.sum_v, 0.0) AS v
+                FROM grid LEFT JOIN g USING (k, bsec)),
+              t AS (SELECT *, count(v) OVER wf AS nw, avg(v) OVER wf AS mt
+                FROM dense WINDOW wf AS (PARTITION BY k ORDER BY bsec
+                  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+              dt AS (SELECT *, CASE WHEN nw = 25 THEN mt END AS trend,
+                  CAST((bsec // 3600) % 24 AS INT) AS phase FROM t),
+              se AS (SELECT k, phase, avg(v - trend) AS seasonal
+                FROM dt WHERE trend IS NOT NULL GROUP BY 1, 2)
+             SELECT dt.k, strftime(make_timestamp(bsec * 1000000),
+                 '%Y-%m-%d %H:%M:%S') AS bt,
+               round(v, 4) AS v, phase,
+               round(trend, 4) AS trend,
+               round(se.seasonal, 4) AS seasonal,
+               round(v - trend - se.seasonal, 4) AS residual
+             FROM dt LEFT JOIN se USING (k, phase)
+             ORDER BY k, bt""")),
+
+    // ev07: deterministic Poisson-style bootstrap CI for the mean
+    // event value — md5-derived Binomial(16,1/16) replicate weights,
+    // exact percentile over the 100 replicate means (q43 pinned the
+    // percentile/quantile_cont parity this relies on)
+    NamedQuery("ev07_bootstrap_ci",
+      (s, d) => graft.ops.Stats.poissonBootstrap(
+        Tables.load(s, d, "events"), col("event_id"), col("value"),
+        replicates = 100),
+      Some("""WITH b AS (SELECT CAST(event_id AS VARCHAR) AS k, value AS v
+                FROM events WHERE value IS NOT NULL),
+              reps AS (SELECT CAST(r AS INT) AS r FROM range(1, 101) t(r)),
+              w AS (SELECT r, v, 16 - length(regexp_replace(
+                  substr(md5(r || '#' || k), 1, 16), '[^0]', '', 'g')) AS w
+                FROM b CROSS JOIN reps),
+              m AS (SELECT r, sum(w * v) / sum(w) AS m FROM w GROUP BY r),
+              o AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(v) AS mean
+                FROM b)
+             SELECT o.n, round(o.mean, 4) AS mean,
+               round(quantile_cont(m, 0.05), 4) AS ci_lo,
+               round(quantile_cont(m, 0.95), 4) AS ci_hi,
+               round(stddev_samp(m), 6) AS se
+             FROM m CROSS JOIN o GROUP BY o.n, o.mean"""))
   )
 }

@@ -427,6 +427,39 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clobber"))
   }
 
+  test("seasonal decompose: a pure periodic signal separates exactly") {
+    // v = 10 + (phase − 2), period 5, trend window 5 (one full period)
+    // → trend ≡ 10, seasonal(phase) = phase − 2, residual ≡ 0
+    val rows = (0 until 30).map { h =>
+      ("s", new java.sql.Timestamp(h * 3600L * 1000L),
+        10.0 + (h % 5 - 2).toDouble)
+    }.toDF("k", "bt", "v")
+    val r = Analytics.seasonalDecompose(rows, col("k"), col("bt"), col("v"),
+        periodBuckets = 5, trendW = 2)
+      .orderBy("bt").collect()
+    val mid = r.filter(!_.isNullAt(4))
+    assert(mid.length == 26, "trend defined only where the window is full")
+    assert(mid.forall(_.getDouble(4) == 10.0), "flat trend")
+    assert(mid.forall(x => x.getDouble(5) == (x.getInt(3) - 2).toDouble),
+      "seasonal equals the planted phase pattern")
+    assert(mid.forall(_.getDouble(6) == 0.0), "zero residual")
+  }
+
+  test("bootstrap CI: brackets the mean, deterministic draw-for-draw") {
+    val df = (1 to 2000).map(i => (i.toLong, 50.0 + (i % 21 - 10)))
+      .toDF("id", "v")
+    def run() = Stats.poissonBootstrap(df, col("id"), col("v"),
+      replicates = 50).head
+    val r = run()
+    assert(r.getLong(0) == 2000L)
+    val (mean, lo, hi, se) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(lo < mean && mean < hi, s"CI must bracket the mean: $lo $mean $hi")
+    assert(hi - lo < 2.0, s"CI too wide for n=2000: ${hi - lo}")
+    assert(se > 0.0)
+    assert(r == run(), "md5 weights make the bootstrap reproducible")
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
