@@ -479,6 +479,41 @@ object ScaleCheck {
       f"frontier=$frontier%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
   }
 
+  /** Round-9e probes (`runMain graft.ScaleCheck r9e`):
+    *  - tp07 gap fill over sparse 10-key series ×1/×4 rows: grid +
+    *    fill stay ~linear in buckets.
+    *  - ev07 bootstrap (100 replicates) over 1M/4M rows: the ×100
+    *    expand partial-aggregates map-side, so the shuffle carries
+    *    100 replicate partials per task, not 100×rows.
+    *  - rrf01 fusion of two 1M-item rankings across 1k queries.
+    */
+  private def r9eScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      val ev = spark.range(n).select((col("id") % 10).cast("string").as("k"),
+        timestamp_seconds(lit(1700000000L) + (col("id") % 500000) * 60).as("ts"),
+        (col("id") % 97).cast("double").as("v"))
+      time(s"tp07 x$m rows=$n")(graft.ops.Temporal.gapFill(
+        ev, col("k"), col("ts"), col("v"), stepSec = 3600L,
+        maxBuckets = 200000).count())
+      // collect, not count: a global aggregate is KNOWN to be one row,
+      // so count() is optimizer-folded without touching the data
+      time(s"ev07 x$m rows=$n")(graft.ops.Stats.poissonBootstrap(
+        ev, col("ts").cast("long"), col("v"), replicates = 100)
+        .collect().length.toLong)
+    }
+    val rank = spark.range(1000000L).select(
+      (col("id") % 1000).cast("string").as("q"), col("id").as("item"),
+      (col("id") / 1000 + 1).cast("int").as("rank"))
+    time("rrf01 1M ranks x2")(
+      graft.ops.Stats.rrfFuse(Seq(rank, rank), topN = 10).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -544,6 +579,11 @@ object ScaleCheck {
     }
     if (path == "r9d") {
       r9dScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9e") {
+      r9eScale(spark)
       spark.stop()
       return
     }
