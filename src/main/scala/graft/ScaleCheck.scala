@@ -514,6 +514,70 @@ object ScaleCheck {
       graft.ops.Stats.rrfFuse(Seq(rank, rank), topN = 10).count())
   }
 
+  /** Session-5 probes: inverted index growth, item-item CF at fixed
+    * per-user cardinality, label propagation on a large circulant,
+    * Bloom probe throughput, and EWMA window growth.
+    */
+  private def r9fScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // ii01: docs of 50 tokens over a 10k-term vocab; ×4 docs
+    for (m <- Seq(1, 4)) {
+      val n = 100000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("w"), pmod(col("id") * 53 + i * 17, lit(10000))))
+        ).as("text"))
+      time(s"ii01 x$m docs=$n")(
+        graft.ops.TextAnalysis.invertedIndex(docs, minDf = 2L).count())
+    }
+    // cf02: ×4 users at fixed 20 items/user over a 2k-item catalog —
+    // pair work per user is constant, so wall should be ~linear
+    for (m <- Seq(1, 4)) {
+      val n = 50000L * m
+      val ui = spark.range(n * 20).select(
+        (col("id") / 20).cast("long").as("u"),
+        concat(lit("i"), pmod(col("id") * 31 + col("id") / 20, lit(2000)))
+          .as("it"))
+      time(s"cf02 x$m users=$n")(graft.ops.Analytics.itemCosine(
+        ui, col("u"), col("it"), topK = 10, minCommon = 5,
+        maxItemsPerUser = 64).count())
+    }
+    // lp01: 4 rounds over a 1M-node degree-8 circulant — per-round
+    // cost is one edge join + count + window; wall ∝ rounds × E
+    val nodes = 1000000L
+    val e = spark.range(nodes).select(col("id")).crossJoin(
+        spark.range(4).select(col("id").as("k")))
+      .select(concat(lit("n"), col("id")).as("src"),
+        concat(lit("n"), pmod(col("id") + col("k") * 7 + 1, lit(nodes))).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    time("lp01 1M-node deg8 circulant, 4 rounds")(
+      graft.ops.Graph.labelPropagation(sym, rounds = 4).count())
+    // bf02: build over 1M keys, probe 10M/40M rows scan-speed
+    for (m <- Seq(1, 4)) {
+      val n = 10000000L * m
+      val build = spark.range(1000000L).toDF("k")
+      val probeP = spark.range(n).select(pmod(col("id"), lit(1000000L)).as("p"))
+      val probeA = spark.range(n).select((col("id") % 1000000L + 5000000L).as("p"))
+      time(s"bf02 x$m probes=$n")(graft.ops.Sketches.bloomMembership(
+        build, col("k"), probeP, col("p"), probeA, col("p"),
+        expectedItems = 2000000L, numBits = 1L << 24, fpBound = 0.05).count())
+    }
+    // ts05: ×4 events, 100 keys, K=16 lags — one window pass
+    for (m <- Seq(1, 4)) {
+      val n = 5000000L * m
+      val ev = spark.range(n).select((col("id") % 100).cast("string").as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        col("id").as("tb"), (col("id") % 97).cast("double").as("v"))
+      time(s"ts05 x$m rows=$n")(graft.ops.Analytics.ewmaSmooth(
+        ev, col("k"), col("ts"), col("tb"), col("v"),
+        alpha = 0.3, horizon = 16).count())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -584,6 +648,11 @@ object ScaleCheck {
     }
     if (path == "r9e") {
       r9eScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9f") {
+      r9fScale(spark)
       spark.stop()
       return
     }

@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.FeatureOps.queries ++
     _root_.graft.queries.ModelOps.queries ++
     _root_.graft.queries.AnalysisOps.queries ++
+    _root_.graft.queries.CorpusOps.queries ++
     _root_.graft.queries.EngineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

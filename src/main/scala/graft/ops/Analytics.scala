@@ -466,6 +466,53 @@ object Analytics {
       .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
   }
 
+  /** Item-item cosine collaborative filtering (cf02) — the classic
+    * neighborhood recommender (Sarwar et al. 2001) over a binary
+    * user×item incidence: sim(i,j) = |U_i ∩ U_j| / √(|U_i|·|U_j|),
+    * top-k neighbors per item. Complements basketLift: lift ranks
+    * PAIRS by statistical surprise; this builds each item's ranked
+    * neighbor LIST, the item-to-item serving table.
+    *
+    * Scale shape: the co-occurrence join is keyed on the USER — a
+    * user's pair fan-out is quadratic in their own item count, so the
+    * same `maxItemsPerUser` guard as basketLift's maxBasket (dropped
+    * users counted in `graft.item_cosine` accumulators) bounds it;
+    * everything downstream carries (item, item) keys. The top-k is a
+    * row_number window PARTITIONED by item. All-integer counts until
+    * the one final √ — the oracle replays it exactly.
+    */
+  def itemCosine(df: DataFrame, user: Column, item: Column, topK: Int = 5,
+                 minCommon: Int = 2, maxItemsPerUser: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val ui0 = df.select(user.as("u"), item.as("it")).distinct()
+    val ui = OpsMetrics.rowGuarded(ui0, Seq("u"), maxItemsPerUser,
+        "graft.item_cosine")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemN = ui.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
+    val co = ui.as("a")
+      .join(ui.as("b"), col("a.u") === col("b.u") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("i"), col("b.it").as("j"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    // mirror so every item sees its full neighbor list
+    val sym = co.union(co.select(col("j").as("i"), col("i").as("j"),
+      col("n_common")))
+    val scored = sym
+      .join(itemN.withColumnRenamed("it", "i")
+        .withColumnRenamed("n_users", "n_i"), Seq("i"))
+      .join(itemN.withColumnRenamed("it", "j")
+        .withColumnRenamed("n_users", "n_j"), Seq("j"))
+      .select(col("i").as("item"), col("j").as("neighbor"),
+        col("n_common"), col("n_i"), col("n_j"),
+        round(col("n_common") / sqrt(col("n_i") * col("n_j")), 6)
+          .as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("cosine").desc, col("neighbor"))))
+      .filter(col("rank") <= topK)
+  }
+
   /** Changepoint scan (cp01): per key, the instant where the mean of
     * the next `w` observations moves furthest from the mean of the
     * previous `w` — the two-window mean-shift detector (a windowed
@@ -572,7 +619,7 @@ object Analytics {
         round(var_samp(col("adj")), 4).as("var_adj"))
   }
 
-  /** STL-lite seasonal decomposition (ts04): value = trend + seasonal
+  /** STL-lite seasonal decomposition (ts05): value = trend + seasonal
     * + residual over a DENSE per-key bucket series (run gapFill
     * upstream) — trend from a centered (2w+1)-bucket moving average
     * (null until the window is full: a shrinking edge window would
@@ -634,5 +681,40 @@ object Analytics {
     val out = (1 to maxLag).map(l => perKey.select(col("k"), lit(l).as("lag"),
       round(col(s"s$l") / col("s0"), 4).as("acf")))
     out.reduce(_ union _)
+  }
+  /** Bounded-horizon EWMA smoothing (ts05) — the exponentially-
+    * weighted moving average as a per-row FEATURE (rollingAnomaly's
+    * uniform window, but recency-weighted). True EWMA is a sequential
+    * recursion (s_t = αx_t + (1−α)s_{t−1}), which no distributed
+    * engine evaluates as such; the standard production form truncates
+    * the geometric tail at `horizon` K lags — the dropped mass is
+    * (1−α)^K of the weight (<0.6% at α=0.3, K=16) — and renormalizes
+    * over the lags actually present, which also makes the series
+    * start exact instead of biased toward zero.
+    *
+    * Scale shape: ONE keyed window pass; the K lag() calls share the
+    * single (key, order) exchange and sort — K is a constant, so this
+    * stays a linear scan at any corpus size. Deterministic total
+    * order via the tie column; the algebra is replayable lag-for-lag
+    * in SQL.
+    */
+  def ewmaSmooth(df: DataFrame, key: Column, ts: Column, tie: Column,
+                 value: Column, alpha: Double = 0.3,
+                 horizon: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(horizon >= 1 && horizon <= 64, s"horizon out of range: $horizon")
+    val base = df.select(key.as("k"), ts.as("t"), tie.as("tb"),
+      value.cast("double").as("v"))
+    val order = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    val terms = (0 until horizon).map { j =>
+      val lv = if (j == 0) col("v") else lag(col("v"), j).over(order)
+      val w = math.pow(1.0 - alpha, j)
+      (when(lv.isNotNull, lv * w).otherwise(0.0),
+        when(lv.isNotNull, w).otherwise(0.0))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base.select(col("k"), col("t"), col("tb"), col("v"),
+      round(num / den, 6).as("ewma"))
   }
 }

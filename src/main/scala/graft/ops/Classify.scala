@@ -119,6 +119,53 @@ object Classify {
         col("a"), col("b"), col("c"), col("d"), round(col("chi2"), 4).as("chi2"))
   }
 
+  /** Mutual-information token selection (mi01) — chi²'s sibling
+    * statistic (information gain, the other published feature-selection
+    * ranking): for each (token, class), MI over the 2×2 presence table
+    * Σ_cells (n/N)·log₂(N·n / (rowTot·colTot)), with 0·log0 = 0. Same
+    * counting skeleton as chi2Tokens (ONE distinct-presence groupBy, a
+    * broadcast class frame, integer cells), so the two rankings are
+    * comparable cell-for-cell; only the score formula differs. The one
+    * float is the final log — cells stay exact integers, so an oracle
+    * replays the score bit-close (round 6).
+    */
+  def miTokens(df: DataFrame, id: Column, text: Column, label: Column,
+               topK: Int = 5): DataFrame = {
+    val docs = df.select(id.as("__id"), text.as("__text"), label.as("__label"))
+    val presence = tokens(docs, col("__id"), col("__text"))
+      .join(docs.select(col("__id"), col("__label")), "__id")
+      .select(col("__id"), col("tok"), col("__label")).distinct()
+    val classes = docs.groupBy(col("__label").as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val nTotal = docs.count()
+    val tokDocs = presence.groupBy(col("tok")).agg(count(lit(1)).as("dt"))
+    val aCounts = presence.groupBy(col("tok"), col("__label").as("cls"))
+      .agg(count(lit(1)).as("a"))
+    val grid = tokDocs.crossJoin(broadcast(classes))
+      .join(aCounts, Seq("tok", "cls"), "left")
+      .na.fill(0L, Seq("a"))
+      .withColumn("b", col("dt") - col("a"))
+      .withColumn("c", col("n_cls") - col("a"))
+      .withColumn("d", lit(nTotal) - col("n_cls") - col("b"))
+    val nD = lit(nTotal).cast("double")
+    def term(n: Column, rowTot: Column, colTot: Column): Column =
+      when(n > 0, (n / nD) *
+        log2(nD * n / (rowTot.cast("double") * colTot))).otherwise(0.0)
+    val scored = grid.withColumn("mi",
+      term(col("a"), col("dt"), col("n_cls")) +
+        term(col("b"), col("dt"), lit(nTotal) - col("n_cls")) +
+        term(col("c"), lit(nTotal) - col("dt"), col("n_cls")) +
+        term(col("d"), lit(nTotal) - col("dt"), lit(nTotal) - col("n_cls")))
+    scored
+      .withColumn("mi", round(col("mi"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cls"))
+          .orderBy(col("mi").desc, col("tok").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("cls"), col("rank"), col("tok"),
+        col("a"), col("b"), col("c"), col("d"), col("mi"))
+  }
+
   /** Per-class precision/recall/F1 from a scored frame with `label`
     * (truth) and `pred` columns — tp/fp/fn are one groupBy each over
     * the (label, pred) count matrix, which is #classes² rows.

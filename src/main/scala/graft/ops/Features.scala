@@ -186,4 +186,39 @@ object Features {
         round(sum(col("v") * pow(lit(0.5), age)), 4).as("decayed"),
         round(sum(col("v")), 4).as("raw_sum"))
   }
+
+  /** One-pass feature scaling (ft03): the three standard numeric
+    * normalizations every training pipeline applies — z-score
+    * ((v−μ)/σ_pop), min-max ((v−min)/(max−min)), and robust
+    * ((v−median)/IQR, the outlier-insensitive one) — from a SINGLE
+    * stats aggregate folded back over the data.
+    *
+    * Scale shape: one aggregate computes μ/σ/min/max and the exact
+    * interpolated quartiles (percentile buffers are per-COLUMN here,
+    * one group total — the same documented bound as dq02; swap to
+    * approx_percentile for the sketched path), then the seven scalars
+    * broadcast back via crossJoin — the scaling pass itself is
+    * scan-speed, zero keyed shuffles. Constant columns yield null
+    * scaled values (0/0 guarded by try_divide semantics) rather than
+    * exploding.
+    */
+  def scaleFeatures(df: DataFrame, idCols: Seq[String], value: Column): DataFrame = {
+    val base = df.select((idCols.map(col) :+ value.cast("double").as("v")): _*)
+      .filter(col("v").isNotNull)
+    val stats = base.agg(
+      avg(col("v")).as("__mu"),
+      stddev_pop(col("v")).as("__sd"),
+      min(col("v")).as("__mn"), max(col("v")).as("__mx"),
+      expr("percentile(v, 0.25)").as("__q1"),
+      expr("percentile(v, 0.5)").as("__q2"),
+      expr("percentile(v, 0.75)").as("__q3"))
+    def safe(num: Column, den: Column): Column =
+      when(den =!= 0.0, round(num / den, 6))
+    base.crossJoin(broadcast(stats))
+      .select((idCols.map(col) :+
+        col("v") :+
+        safe(col("v") - col("__mu"), col("__sd")).as("z") :+
+        safe(col("v") - col("__mn"), col("__mx") - col("__mn")).as("minmax") :+
+        safe(col("v") - col("__q2"), col("__q3") - col("__q1")).as("robust")): _*)
+  }
 }

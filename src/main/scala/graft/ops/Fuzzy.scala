@@ -91,4 +91,67 @@ object Fuzzy {
       .filter(col("sim") >= minSim)
       .select(col("name_a"), col("name_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** One field comparator for `fellegiSunter`: `agree` evaluates over
+    * the joined pair frame (reference columns as `col("a_<f>")` /
+    * `col("b_<f>")`); m = P(agree | match), u = P(agree | non-match)
+    * are the published model's conditional probabilities — weights
+    * derive from them as CONSTANT literals, never per-row floats.
+    */
+  final case class LinkField(name: String,
+                             agree: org.apache.spark.sql.Column,
+                             m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1 for $name: m=$m u=$u")
+    def agreeWeight: Double = math.log(m / u) / math.log(2.0)
+    def disagreeWeight: Double = math.log((1 - m) / (1 - u)) / math.log(2.0)
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage (er01) — the
+    * published ER decision model (Fellegi & Sunter 1969; the engine
+    * behind Splink/RecordLinkage): candidate pairs from an equi-BLOCK
+    * join, a per-field agreement vector, and a total log₂-likelihood
+    * score Σ_f (agree ? log₂(m/u) : log₂((1−m)/(1−u))); pairs at or
+    * above `threshold` are links. Complements fuzzyPairs/jwPairs:
+    * those find SIMILAR STRINGS, this classifies RECORD pairs from
+    * multiple weighted fields.
+    *
+    * Scale shape: the pair generator is one equi-join on the blocking
+    * key — maxBlock rowGuards the b-side (blocks over the cap dropped
+    * and counted in `graft.linkage.drops`, the fuzzyPairs contract) —
+    * and the score is a chain of literal-weighted CASEs at scan speed
+    * on the joined frame. Both inputs are projected to (id, block,
+    * fields) BEFORE the join so the shuffle never carries unused
+    * columns. All weights are Scala-constant literals, so an oracle
+    * replays the score bit-for-bit with the same double literals.
+    *
+    * Input columns are taken by NAME: both frames need `idCol`,
+    * `blockCol`, and every field referenced by the comparators; the
+    * joined frame exposes them as `a_<name>` / `b_<name>`.
+    */
+  def fellegiSunter(a: DataFrame, b: DataFrame, idCol: String,
+                    blockCol: String, fields: Seq[LinkField],
+                    fieldCols: Seq[String], threshold: Double,
+                    maxBlock: Int = 10000): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter needs at least one field")
+    def side(df: DataFrame, p: String) = df.select(
+      (Seq(col(idCol).as(s"${p}_$idCol"), col(blockCol).as("__blk")) ++
+        fieldCols.map(f => col(f).as(s"${p}_$f"))): _*)
+    val left = side(a, "a")
+    val right = OpsMetrics.rowGuarded(side(b, "b"), Seq("__blk"),
+      maxBlock, "graft.linkage.drops")
+    val joined = left.join(right, Seq("__blk"))
+    val flagged = fields.foldLeft(joined) { (df, f) =>
+      df.withColumn(s"agree_${f.name}", f.agree)
+    }
+    val score = fields.map(f =>
+      when(col(s"agree_${f.name}"), lit(f.agreeWeight))
+        .otherwise(lit(f.disagreeWeight))).reduce(_ + _)
+    flagged
+      .withColumn("score", round(score, 4))
+      .filter(col("score") >= threshold)
+      .select((Seq(col(s"a_$idCol"), col(s"b_$idCol")) ++
+        fields.map(f => col(s"agree_${f.name}")) :+
+        col("score")): _*)
+  }
 }

@@ -268,4 +268,57 @@ object Graph {
     e.unpersist()
     visited
   }
+
+  /** Deterministic synchronous label propagation (lp01) — the
+    * near-linear community detector (Raghavan et al. 2007): every
+    * node starts as its own community; each round it adopts the MOST
+    * FREQUENT label among its in-neighbors, ties broken by smallest
+    * label, nodes with no in-edges keep their label. Fixed round
+    * count and the total tie order make the result reproducible
+    * across engines exactly (labels are strings — no floats anywhere),
+    * which is why the oracle can unroll the rounds as chained CTEs.
+    * Synchronous LPA can oscillate on bipartite structure, so this is
+    * a FIXED-ROUNDS snapshot, not a convergence loop — callers pick
+    * `rounds` like pr01 picks `iters`.
+    *
+    * Scale shape (Pregel in DataFrame form, pr01's loop): per round,
+    * one join of labels onto the edge list keyed on src, one
+    * (dst, label) count with map-side partials, one per-dst
+    * row_number window (partitioned by dst — never global), and a
+    * left join back to keep isolated-destination labels. Rounds are
+    * flat-checkpointed so the plan never nests. Community detection
+    * over a 100 TB crawl's host graph is this exact shape — O(E) per
+    * round, 5-10 rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var labels = nodes.withColumn("label", col("node")).transform(flat)
+    for (_ <- 1 to rounds) {
+      val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val won = counts
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("__c").desc, col("label"))))
+        .filter(col("__r") === 1)
+        .select(col("dst").as("node"), col("label").as("__new"))
+      labels = labels.join(won, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .transform(flat)
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
 }

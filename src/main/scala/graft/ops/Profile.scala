@@ -401,4 +401,35 @@ object Profile {
       .groupBy(col("g"))
       .agg(min(col("v")).as("wmedian"), max(col("totw")).as("tot_weight"))
   }
+
+  /** One-pass table profile (dp09) — the "dataset card" row every
+    * pipeline writes next to a published table: per column, row
+    * count, nulls, EXACT distinct count, and min/max (stringified so
+    * heterogeneous columns stack into one frame). All statistics come
+    * from a SINGLE wide aggregate — one job, one scan — then a
+    * `stack` unpivot of the one result row into long format.
+    *
+    * Scale note: multiple exact count(DISTINCT) in one aggregate plan
+    * via Spark's Expand (the scan is read once, the shuffle carries
+    * one stream per distinct column). For 100 TB audits where ±2% is
+    * fine, swap count_distinct for approx_count_distinct and the plan
+    * loses the Expand entirely — the exact form is the AUDIT side,
+    * same trade as dq02/q43 documents.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"__null_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val tuples = cols.map(c =>
+      s"'$c', `__null_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    one.select(col("__n").as("n"), expr(
+        s"stack(${cols.size}, $tuples) AS (column, n_null, n_distinct, min_val, max_val)"))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
 }

@@ -47,4 +47,54 @@ object QualityRules {
         col("n_alpha") * 5 >= col("n_words") * 4 &&   // alpha ratio >= 0.8
         col("stop_hits") >= 2)
   }
+
+  /** C4-style line-level cleaning (tx16) — the OTHER published
+    * web-filter family (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning", §2.2). Where Gopher judges the whole page,
+    * C4 judges each LINE and then the page from its surviving lines:
+    *
+    *   - keep a line only if it ends in terminal punctuation
+    *     (`.` `!` `?` `"`), has at least `minWordsPerLine` words, and
+    *     does not mention "javascript" (case-insensitive);
+    *   - drop the whole page if it contains any blocked phrase
+    *     ("lorem ipsum") or a curly brace (code), or if fewer than
+    *     `minKeptLines` lines survive.
+    *
+    * Returns one row per input document: line tallies, the page
+    * verdict with each sub-rule exposed for auditability, and the md5
+    * of the kept lines reassembled in original order (ln01's
+    * reassembly contract).
+    *
+    * Scale shape: posexplode + per-line scan flags + ONE groupBy on
+    * doc_id — no joins, no second pass over the text; the reassembly
+    * group-collect is bounded by the document's own line count, the
+    * same invariant as ln01/dd09/ck01.
+    */
+  def c4Rules(df: DataFrame, text: Column = col("text"),
+              sep: String = "\n", minWordsPerLine: Int = 5,
+              minKeptLines: Int = 3): DataFrame = {
+    val lines = df.select(col("doc_id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val l = lower(col("__line"))
+    val keepLine = col("__line").rlike("[.!?\"]$") &&
+      size(split(col("__line"), "\\s+")) >= minWordsPerLine &&
+      !l.contains("javascript")
+    val flagged = lines.select(col("doc_id"), col("__pos"), col("__line"),
+      keepLine.as("__keep"),
+      l.contains("lorem ipsum").as("__lorem"),
+      col("__line").contains("{").as("__brace"))
+    flagged.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("__lorem")).as("has_lorem"),
+        max(col("__brace")).as("has_brace"),
+        md5(concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")))).as("clean_hash"))
+      .withColumn("page_keep",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_kept") >= minKeptLines)
+  }
 }

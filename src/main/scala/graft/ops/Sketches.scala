@@ -192,4 +192,60 @@ object Sketches {
       .select(col("k"), round(col("u_k"), 9).as("u_k"),
         round(col("estimate"), 4).as("estimate"))
   }
+
+  /** Bloom-filter membership audit (bf02) — build a Bloom filter over
+    * a build-side key set (Spark's native `bloom_filter_agg`, the
+    * same sketch the engine injects for runtime join filtering) and
+    * probe it with a present set and an absent set. Output is one row
+    * per probe set pinning the STRUCTURAL guarantees rather than the
+    * bit pattern (which no other engine can replay):
+    *
+    *   - `no_false_negatives`: every probe that IS in the build set
+    *     must hit — a miss is a broken filter, never sampling noise;
+    *   - `fp_below_bound`: false-positive hits on the absent set stay
+    *     under `fpBound` (set it ≳3× the configured fpp — a
+    *     deterministic property of the fixed hash family).
+    *
+    * Scale shape: the filter build is Spark's `stat.bloomFilter`
+    * treeAggregate — map-side partial OR-merge of bit arrays, the
+    * driver holds only the sketch (numBits/8 bytes, the kmeans-sample
+    * bound) — and the probe pass is the repo's native
+    * `graft_bloom_contains` codegen expression over the sketch as a
+    * binary LITERAL: scan-speed, zero shuffle, zero joins. This is
+    * the 100 TB pre-join existence check: probe 10¹¹ rows against a
+    * 10⁸-key dimension in one scan.
+    */
+  def bloomMembership(build: DataFrame, key: Column,
+                      present: DataFrame, presentKey: Column,
+                      absent: DataFrame, absentKey: Column,
+                      expectedItems: Long, numBits: Long,
+                      fpBound: Double): DataFrame = {
+    graft.functions.SketchFunctions.register(build.sparkSession)
+    val filt = build.stat.bloomFilter(key.cast("long"), expectedItems, numBits)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      filt.writeTo(bos); bos.toByteArray
+    }
+    // NO dedup here: the probe pass must stay a pure scan (callers
+    // pre-distinct if their probe multiset shouldn't double-count)
+    def probe(df: DataFrame, k: Column, label: String) =
+      df.select(k.cast("long").as("pk")).filter(col("pk").isNotNull)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(graft.functions.SketchFunctions
+            .bloom_contains(bytes, col("pk")), 1L).otherwise(0L))
+            .as("n_hits"))
+        .select(lit(label).as("probe_set"), col("n_probes"),
+          (col("n_hits") === col("n_probes")).as("no_false_negatives"),
+          (col("n_hits") <= ceil(col("n_probes") * fpBound) ||
+            col("n_hits") === col("n_probes")).as("fp_below_bound"))
+    // present: all must hit (subset guarantee); the fp bound is vacuous
+    // there (pinned true). absent: misses are expected, the FN
+    // guarantee is vacuous (pinned true); pin the fp bound.
+    probe(present, presentKey, "present").select(
+        col("probe_set"), col("n_probes"), col("no_false_negatives"),
+        lit(true).as("fp_below_bound"))
+      .union(probe(absent, absentKey, "absent").select(
+        col("probe_set"), col("n_probes"),
+        lit(true).as("no_false_negatives"), col("fp_below_bound")))
+  }
 }

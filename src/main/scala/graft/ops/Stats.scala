@@ -456,6 +456,176 @@ object Stats {
         round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
   }
 
+  /** Exact precision-recall curve (pr02): one point per distinct
+    * score threshold t — tp = positives with score ≥ t, fp = negatives
+    * with score ≥ t, precision = tp/(tp+fp), recall = tp/P. Built on
+    * `cumCountsByValue` (tp = P − cum_pos_below), so there is NO
+    * global-rank window anywhere: the output is bounded by the
+    * distinct-score count, the counts are exact integers, and totals
+    * fold back as literals (ksTest's discipline).
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              buckets: Int = 1024): DataFrame = {
+    val perScore = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(score.cast("double").as("threshold"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(label, 0L).otherwise(1L)).as("n_neg"))
+    val t = perScore.agg(sum(col("n_pos")), sum(col("n_neg"))).head
+    val (p, n) = (t.getLong(0), t.getLong(1))
+    require(p > 0 && n > 0, s"prCurve needs both classes (got $p pos / $n neg)")
+    val cum = cumCountsByValue(perScore, "threshold",
+      Seq("n_pos", "n_neg"), buckets)
+    cum.select(col("threshold"),
+        (lit(p) - col("cum_n_pos_below")).as("tp"),
+        (lit(n) - col("cum_n_neg_below")).as("fp"))
+      .withColumn("precision",
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+      .withColumn("recall", round(col("tp") / lit(p.toDouble), 6))
+  }
+
+  /** Cumulative gains / lift chart (ev08): rows ranked by score DESC
+    * are cut into `nBins` equal-width rank bins; each bin reports its
+    * positives, the cumulative capture rate, and lift vs the base
+    * rate — the "top decile catches X% of responders" readout.
+    *
+    * Determinism: a distinct score's rows land in the bin of their
+    * LAST desc-rank position, bin = ceil(nBins·(N−cumBelow)/N) in pure
+    * integer arithmetic — score ties never straddle bins by engine
+    * whim (the standard ntile() is tie-nondeterministic, which is why
+    * it is NOT used). Built on the bucketed prefix sum — no
+    * global-rank window; the final cumulative pass runs over ≤ nBins
+    * rows (a CONSTANT-size frame, not data-proportional, so its
+    * single partition is the dq02 class of acceptable).
+    */
+  def gainsChart(df: DataFrame, score: Column, label: Column,
+                 nBins: Int = 10, buckets: Int = 1024): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val perScore = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(score.cast("double").as("s"))
+      .agg(count(lit(1)).as("n"), sum(when(label, 1L).otherwise(0L)).as("n_pos"))
+    val t = perScore.agg(sum(col("n")), sum(col("n_pos"))).head
+    val (total, p) = (t.getLong(0), t.getLong(1))
+    require(p > 0, "gainsChart needs at least one positive")
+    val cum = cumCountsByValue(perScore, "s", Seq("n"), buckets)
+    // `div` (integer division) keeps the ceil exact — a double
+    // division could round x.9999… up across the bin boundary
+    val binned = cum.withColumn("bin",
+        expr(s"($nBins * (${total}L - cum_n_below) + ${total - 1}L) " +
+          s"div ${total}L"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("cum_pos") / lit(p.toDouble), 6).as("capture"),
+        round((col("n_pos") / col("n").cast("double")) /
+          lit(p.toDouble / total), 6).as("lift"))
+  }
+
+  /** Exact percentile-rank table (ft05): for every distinct value,
+    * SQL's percent_rank — (count of strictly smaller rows)/(N−1) —
+    * without a global-rank window (the url01 scale-killer shape):
+    * per-value counts then the bucketed prefix sum. Output is one row
+    * per DISTINCT value (join back on the value for per-row features);
+    * N folds back as a literal.
+    */
+  def percentileRank(df: DataFrame, value: Column,
+                     buckets: Int = 1024): DataFrame = {
+    val perValue = df.filter(value.isNotNull)
+      .groupBy(value.cast("double").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val total = perValue.agg(sum(col("n"))).head.getLong(0)
+    require(total >= 2, s"percentileRank needs ≥2 rows (got $total)")
+    cumCountsByValue(perValue, "v", Seq("n"), buckets)
+      .select(col("v"), col("n"),
+        round(col("cum_n_below") / lit((total - 1).toDouble), 6)
+          .as("pct_rank"))
+  }
+
+  /** Per-group linear trend (ft04): slope/intercept/r² of y over x
+    * within every group — the per-entity trend feature (is this
+    * user's spend rising?). Two passes for numerical stability
+    * (linearFit's centering argument, per GROUP): group means, join
+    * back (one keyed shuffle; AQE broadcasts the mean frame when it
+    * fits), centered co-moments, closed-form slope. Degenerate groups
+    * (n < 2 or zero x-variance) yield null slope rather than NaN.
+    */
+  def groupTrend(df: DataFrame, group: Column, x: Column,
+                 y: Column): DataFrame = {
+    val base = df.select(group.as("k"), x.cast("double").as("x"),
+        y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val means = base.groupBy(col("k"))
+      .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"))
+    val cm = base.join(means, Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+        sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"),
+        first(col("mx")).as("mx"), first(col("my")).as("my"))
+    cm.select(col("k"), col("n"),
+        when(col("n") >= 2 && col("sxx") > 0,
+          round(col("sxy") / col("sxx"), 6)).as("slope"),
+        when(col("n") >= 2 && col("sxx") > 0,
+          round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 4))
+          .as("intercept"),
+        when(col("n") >= 2 && col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy") * col("sxy") / (col("sxx") * col("syy")), 6))
+          .as("r2"))
+  }
+
+  /** Distributed logistic regression by full-batch gradient descent
+    * with a FIXED step count (lr02) — the classifier-fit companion to
+    * linearFit's closed form (the logistic MLE has none). Weights
+    * start at zero; each step folds the current weights into the plan
+    * as LITERALS and runs ONE aggregate computing the mean gradient
+    * g_j = avg((σ(w·x) − y)·x_j), so a step is a single scan-speed
+    * pass with map-side partials and a d+1-double collect — pk02's
+    * literal-folding discipline applied to an optimizer loop. No RNG,
+    * no shuffle beyond the aggregate's, rows with nulls dropped once
+    * up front. Fixed steps + a damped-contraction update mean
+    * cross-engine float-sum reordering stays at machine epsilon
+    * (pr01's argument), so an oracle can UNROLL the steps as chained
+    * CTEs and match at 6 decimals. At 100 TB each step is one pass;
+    * callers trade steps for precision exactly like pr01 trades
+    * iterations.
+    *
+    * Returns one row per parameter: (param, weight) for "w0"
+    * (intercept) and each feature name in order.
+    */
+  def logisticGD(df: DataFrame, target: Column,
+                 features: Seq[(String, Column)],
+                 steps: Int = 5, learningRate: Double = 1.0): DataFrame = {
+    require(features.nonEmpty, "logisticGD needs at least one feature")
+    require(steps >= 1 && steps <= 200, s"steps out of range: $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = features.size
+    val base = df.select(
+      (target.cast("double").as("__y") +:
+        features.zipWithIndex.map { case ((_, c), i) =>
+          c.cast("double").as(s"__x$i") }).toSeq: _*)
+      .na.drop().persist()
+    val w = Array.fill(d + 1)(0.0) // w(0) = intercept
+    for (_ <- 1 to steps) {
+      val z = (0 until d).foldLeft(lit(w(0))) { (acc, i) =>
+        acc + lit(w(i + 1)) * col(s"__x$i") }
+      val s = lit(1.0) / (lit(1.0) + exp(-z))
+      val gAggs = avg(s - col("__y")).as("g0") +:
+        (0 until d).map(i => avg((s - col("__y")) * col(s"__x$i")).as(s"g$i"))
+      val g = base.agg(gAggs.head, gAggs.tail: _*).head
+      for (j <- 0 to d) w(j) -= learningRate * g.getDouble(j)
+    }
+    base.unpersist()
+    val names = "w0" +: features.map { case (n, _) => s"w_$n" }
+    names.zip(w.toSeq).toDF("param", "weight")
+      .select(col("param"), round(col("weight"), 6).as("weight"))
+  }
+
   /** In-place Gaussian elimination with partial pivoting (driver-side,
     * d×d where d = feature count).
     */

@@ -431,4 +431,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** Inverted-index build (ii01) — the search-index construction job:
+    * full postings (term, doc_id, tf, first_pos) with per-term
+    * corpus statistics (df = documents containing the term, cf =
+    * total occurrences) attached to every posting, ready for a BM25
+    * serving layer (tx08 consumes exactly these statistics).
+    *
+    * Scale shape: one posexplode, then a (term, doc_id) hash
+    * aggregate with map-side partials (tf/first_pos are algebraic),
+    * then per-term df/cf as a SECOND vocabulary-sized aggregate joined
+    * back — AQE broadcasts the stats frame (it is |vocab| rows), so
+    * the postings stream takes no second exchange and, crucially, no
+    * per-term SORT (the window form measured ×5.5 wall at ×4 corpus
+    * in the r9f probe; this form is ~linear). At 100 TB the posting
+    * list of a stop-word is huge but each AGGREGATE group is
+    * (term, doc_id)-sized, so no group exceeds one document's
+    * occurrences; `minDf` prunes on the stats side BEFORE the join,
+    * turning the join into the hapax filter too.
+    */
+  def invertedIndex(df: DataFrame, minDf: Long = 1L,
+                    text: Column = col("text")): DataFrame = {
+    val postings = df.select(col("doc_id"),
+        posexplode(split(text, "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).cast("long").as("first_pos"))
+    val stats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    postings.join(stats, Seq("term"))
+      .select(col("term"), col("df"), col("cf"),
+        col("doc_id"), col("tf"), col("first_pos"))
+  }
 }

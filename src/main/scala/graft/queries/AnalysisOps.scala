@@ -875,6 +875,36 @@ object AnalysisOps {
                round(quantile_cont(m, 0.05), 4) AS ci_lo,
                round(quantile_cont(m, 0.95), 4) AS ci_hi,
                round(stddev_samp(m), 6) AS se
-             FROM m CROSS JOIN o GROUP BY o.n, o.mean"""))
+             FROM m CROSS JOIN o GROUP BY o.n, o.mean""")),
+
+    // ts05: bounded-horizon EWMA smoothing (α=0.3, K=8) per event
+    // type — the oracle replays the identical lag algebra with the
+    // EXACT double weights (Double.toString round-trips, so both
+    // engines multiply by the same bits); keyed by unique event_id
+    NamedQuery("ts05_ewma",
+      (s, d) => Analytics.ewmaSmooth(
+          Tables.load(s, d, "events").filter(col("user_id") % 50 === 0),
+          col("event_type"), col("ts"), col("event_id"), col("value"),
+          alpha = 0.3, horizon = 8)
+        .select(col("tb").as("event_id"), col("k"),
+          round(col("v"), 4).as("v"), col("ewma"))
+        .orderBy("event_id"),
+      Some {
+        val ws = (0 until 8).map(j => math.pow(0.7, j))
+        val lags = (1 until 8).map(j =>
+          s"lag(v, $j) OVER win AS v$j").mkString(", ")
+        val num = "v * 1.0" + (1 until 8).map(j =>
+          s" + coalesce(v$j, 0) * ${ws(j)}").mkString
+        val den = "1.0" + (1 until 8).map(j =>
+          s" + CASE WHEN v$j IS NOT NULL THEN ${ws(j)} ELSE 0 END").mkString
+        s"""WITH b AS (SELECT event_id, event_type AS k, ts,
+               CAST(value AS DOUBLE) AS v
+             FROM events WHERE user_id % 50 = 0),
+            l AS (SELECT event_id, k, v, $lags
+              FROM b WINDOW win AS (PARTITION BY k ORDER BY ts, event_id))
+           SELECT event_id, k, round(v, 4) AS v,
+             round(($num) / ($den), 6) AS ewma
+           FROM l ORDER BY event_id"""
+      })
   )
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.ops.{Graph, Sketches, TextAnalysis}
+import graft.ops.QualityRules
+
+/** Driver-verified gates for the session-5 corpus/index family: C4
+  * line-level cleaning, inverted-index construction, Bloom-filter
+  * membership, and label-propagation communities. Same registry
+  * discipline: exact integer statistics, deterministic orderings on
+  * unique keys, oracles that REPLAY the algorithm in SQL.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** The corpus has no line structure (single-space word streams), so
+    * the tx16 gate SYNTHESIZES C4-shaped lines deterministically in
+    * BOTH engines: tokens chunk into 8-token lines; a line gets
+    * terminal punctuation when (doc_id + i) % 3 == 0; selected docs
+    * get a "lorem ipsum" line (doc_id % 17), a curly-brace line
+    * (doc_id % 23), or a "javascript" line (doc_id % 29) injected so
+    * every rule branch fires on real data.
+    */
+  private def c4Lines(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nch = ceil(size(toks).cast("double") / 8.0).cast("int")
+    val lines = transform(sequence(lit(0), nch - 1), i => {
+      val base = concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))
+      val punct = when((col("doc_id") + i) % 3 === 0, lit("."))
+        .otherwise(lit(""))
+      when(col("doc_id") % 17 === 0 && i === 0,
+          lit("lorem ipsum filler text here."))
+        .when(col("doc_id") % 23 === 0 && i === 1,
+          concat(base, lit(" {"), punct))
+        .when(col("doc_id") % 29 === 0 && i === 2,
+          concat(base, lit(" javascript"), punct))
+        .otherwise(concat(base, punct))
+    })
+    d.select(col("doc_id"), concat_ws("\n", lines).as("text"))
+  }
+
+  /** The identical line synthesis in DuckDB SQL (chunk → decorate). */
+  private val c4LinesSql =
+    """t AS (SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p,
+         unnest(string_split(text, ' ')) AS tok FROM documents),
+       ch AS (SELECT doc_id, p // 8 AS i,
+         string_agg(tok, ' ' ORDER BY p) AS base FROM t GROUP BY 1, 2),
+       dec AS (SELECT doc_id, i,
+         CASE WHEN doc_id % 17 = 0 AND i = 0
+                THEN 'lorem ipsum filler text here.'
+              WHEN doc_id % 23 = 0 AND i = 1 THEN base || ' {' ||
+                CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END
+              WHEN doc_id % 29 = 0 AND i = 2 THEN base || ' javascript' ||
+                CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END
+              ELSE base ||
+                CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END
+         END AS line FROM ch)"""
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // tx16: C4 line-level cleaning (Raffel et al. 2020 §2.2) — line
+    // keep = terminal punctuation + ≥5 words + no "javascript"; page
+    // keep = no "lorem ipsum", no brace, ≥2 surviving lines; hash of
+    // the kept lines pins content AND order
+    NamedQuery("tx16_c4_rules",
+      (s, d) => QualityRules.c4Rules(c4Lines(docs(s, d)),
+          minWordsPerLine = 5, minKeptLines = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH $c4LinesSql,
+              fl AS (SELECT doc_id, i, line,
+                  regexp_matches(line, '[.!?"]$$')
+                    AND len(string_split(line, ' ')) >= 5
+                    AND NOT contains(lower(line), 'javascript') AS keep,
+                  contains(lower(line), 'lorem ipsum') AS lorem,
+                  contains(line, '{') AS brace
+                FROM dec),
+              agg AS (SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  bool_or(lorem) AS has_lorem,
+                  bool_or(brace) AS has_brace,
+                  md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                    chr(10) ORDER BY i), '')) AS clean_hash
+                FROM fl GROUP BY doc_id)
+             SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+               clean_hash,
+               (NOT has_lorem AND NOT has_brace AND n_kept >= 2)
+                 AS page_keep
+             FROM agg ORDER BY doc_id""")),
+
+    // ii01: inverted-index build — full postings with per-term df/cf
+    // attached, the BM25 serving input
+    NamedQuery("ii01_inverted_index",
+      (s, d) => TextAnalysis.invertedIndex(docs(s, d), minDf = 1L)
+        .orderBy("term", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                 unnest(string_split(text, ' ')) AS term FROM documents),
+              p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                  min(pos) AS first_pos
+                FROM t WHERE term <> '' GROUP BY 1, 2)
+             SELECT term,
+               CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cf,
+               doc_id, tf, first_pos
+             FROM p ORDER BY term, doc_id""")),
+
+    // bf02: Bloom-filter membership — build over customer keys, probe
+    // with the order-side FK set (present ⇒ every probe must hit) and
+    // a shifted absent set (fp rate must stay under the bound). The
+    // oracle pins the STRUCTURAL guarantees (hll01's bound-gate
+    // style); the bit pattern itself is not cross-engine replayable.
+    NamedQuery("bf02_bloom_membership",
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+        val ords = Tables.load(s, d, "orders")
+        Sketches.bloomMembership(
+            cust, col("c_custkey"),
+            ords.select(col("o_custkey")).distinct(), col("o_custkey"),
+            cust, col("c_custkey") + 5000000L,
+            expectedItems = 4000L, numBits = 65536L, fpBound = 0.05)
+          .orderBy("probe_set")
+      },
+      Some("""SELECT 'absent' AS probe_set,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_probes,
+               true AS no_false_negatives, true AS fp_below_bound
+             FROM customer
+             UNION ALL
+             SELECT 'present', CAST(count(DISTINCT o_custkey) AS BIGINT),
+               true, true FROM orders
+             ORDER BY probe_set""")),
+
+    // lp01: deterministic label propagation (4 synchronous rounds,
+    // min-label ties) over the symmetrized customer↔supplier trade
+    // graph (pr01's edge set); the oracle unrolls the rounds as
+    // chained CTEs — labels are strings, so the match is EXACT
+    NamedQuery("lp01_label_prop",
+      (s, d) => {
+        val ol = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("s"))
+          .distinct()
+        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
+          .union(ol.select(col("s").as("src"), col("c").as("dst")))
+        Graph.labelPropagation(edges, rounds = 4)
+          .select(col("node"), col("label")).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "l0" else s"l${k - 1}"
+          s"""cnt$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+              rk$k AS (SELECT node, label, row_number() OVER
+                  (PARTITION BY node ORDER BY c DESC, label) AS r
+                FROM cnt$k),
+              w$k AS (SELECT node, label FROM rk$k WHERE r = 1),
+              l$k AS (SELECT n.node, coalesce(w.label, n.label) AS label
+                FROM $prev n LEFT JOIN w$k w ON w.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c,
+                 's' || l_suppkey AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             e AS (SELECT c AS src, s AS dst FROM ol
+                   UNION ALL SELECT s, c FROM ol),
+             l0 AS (SELECT node, node AS label FROM
+               (SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e)),
+             $rounds
+            SELECT node, label FROM l4 ORDER BY node"""
+      })
+  )
+}

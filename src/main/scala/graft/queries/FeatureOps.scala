@@ -645,7 +645,91 @@ object FeatureOps {
       (s, d) => graft.ops.Similarity.mmrTopK(
         Tables.load(s, d, "embeddings"), queryId = 1L, k = 5,
         lambda = 0.7),
-      Some(mmrOracle(queryId = 1L, k = 5, lam = 0.7)))
+      Some(mmrOracle(queryId = 1L, k = 5, lam = 0.7))),
+
+    // ft03: one-pass feature scaling (z-score / min-max / robust) —
+    // all seven stats from ONE aggregate broadcast back; the oracle
+    // recomputes them with quantile_cont (q43 pinned the
+    // percentile parity) and replays the three normalizations
+    NamedQuery("ft03_feature_scaling",
+      (s, d) => Features.scaleFeatures(
+          Tables.load(s, d, "lineitem").filter(col("l_partkey") % 50 === 0),
+          Seq("l_orderkey", "l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber,
+                  CAST(l_extendedprice AS DOUBLE) AS v
+                FROM lineitem
+                WHERE l_partkey % 50 = 0 AND l_extendedprice IS NOT NULL),
+              st AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd,
+                  min(v) AS mn, max(v) AS mx,
+                  quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+                  quantile_cont(v, 0.75) AS q3 FROM b)
+             SELECT l_orderkey, l_linenumber, v,
+               CASE WHEN sd <> 0 THEN round((v - mu)/sd, 6) END AS z,
+               CASE WHEN mx - mn <> 0
+                 THEN round((v - mn)/(mx - mn), 6) END AS minmax,
+               CASE WHEN q3 - q1 <> 0
+                 THEN round((v - q2)/(q3 - q1), 6) END AS robust
+             FROM b CROSS JOIN st
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    // ft04: per-event-type linear trend of value over time (days) —
+    // the oracle uses DuckDB's native regr_slope/regr_intercept/regr_r2
+    // as an INDEPENDENT implementation of the same statistic
+    NamedQuery("ft04_group_trend",
+      (s, d) => graft.ops.Stats.groupTrend(Tables.load(s, d, "events"),
+          col("event_type"),
+          unix_micros(col("ts")).cast("double") / lit(86400e6),
+          col("value"))
+        .orderBy("k"),
+      Some("""SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
+               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+                 AS slope,
+               round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+                 AS intercept,
+               round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+             FROM events WHERE value IS NOT NULL
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ft05: percentile-rank table without a global-rank window — the
+    // bucketed prefix sum again; one row per distinct value
+    NamedQuery("ft05_percentile_rank",
+      (s, d) => graft.ops.Stats.percentileRank(
+          Tables.load(s, d, "lineitem").filter(col("l_partkey") % 50 === 0),
+          col("l_extendedprice"))
+        .orderBy("v"),
+      Some("""WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                FROM lineitem
+                WHERE l_partkey % 50 = 0 AND l_extendedprice IS NOT NULL),
+              g AS (SELECT v, CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY 1),
+              c AS (SELECT v, n, coalesce(sum(n) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cb,
+                  (SELECT CAST(count(*) AS BIGINT) FROM b) AS tot
+                FROM g)
+             SELECT v, n, round(cb / CAST(tot - 1 AS DOUBLE), 6) AS pct_rank
+             FROM c ORDER BY v""")),
+
+    // dp09: one-pass table profile over portable (integer/string)
+    // customer columns — exact distincts, stringified min/max
+    NamedQuery("dp09_table_profile",
+      (s, d) => graft.ops.Profile.tableProfile(
+          Tables.load(s, d, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("column"),
+      Some {
+        val per = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .map { c =>
+            s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_val,
+                 CAST(max($c) AS VARCHAR) AS max_val
+               FROM customer"""
+          }.mkString("\nUNION ALL\n")
+        s"""SELECT * FROM ($per) ORDER BY "column""""
+      })
   )
 
   /** DuckDB replay of Similarity.mmrTopK's greedy trace: float-

@@ -354,6 +354,148 @@ object ModelOps {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n, 8 AS k,
              true AS dims_uncorrelated, true AS var_matches_eigs,
-             true AS evr_desc, true AS evr_le_one FROM embeddings"""))
+             true AS evr_desc, true AS evr_le_one FROM embeddings""")),
+
+    // lr02: logistic regression by 5 full-batch GD steps (lr 1.0) —
+    // predict return-flag R from scaled quantity/discount; the oracle
+    // UNROLLS the optimizer as chained CTEs (pr01's discipline: fixed
+    // steps + damped update ⇒ float-sum reordering stays at epsilon,
+    // so 6-decimal rounding matches)
+    NamedQuery("lr02_logistic_gd",
+      (s, d) => Stats.logisticGD(Tables.load(s, d, "lineitem"),
+          (col("l_returnflag") === "R").cast("double"),
+          Seq("qty" -> col("l_quantity") / lit(50.0),
+            "disc" -> col("l_discount") * lit(10.0)),
+          steps = 5, learningRate = 1.0)
+        .orderBy("param"),
+      Some {
+        val steps = (1 to 5).map { k =>
+          s"""p$k AS (SELECT y, x1, x2,
+                 1.0/(1.0 + exp(-(w.a + w.b*x1 + w.c*x2))) AS s
+               FROM data CROSS JOIN w${k - 1} w),
+             g$k AS (SELECT avg(s - y) AS g0, avg((s - y)*x1) AS g1,
+                 avg((s - y)*x2) AS g2 FROM p$k),
+             w$k AS (SELECT w.a - 1.0*g.g0 AS a, w.b - 1.0*g.g1 AS b,
+                 w.c - 1.0*g.g2 AS c
+               FROM w${k - 1} w CROSS JOIN g$k g)"""
+        }.mkString(",\n")
+        s"""WITH data AS (SELECT
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+               l_quantity/50.0 AS x1, l_discount*10.0 AS x2
+             FROM lineitem),
+            w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+            $steps
+           SELECT 'w0' AS param, round(a, 6) AS weight FROM w5
+           UNION ALL SELECT 'w_qty', round(b, 6) FROM w5
+           UNION ALL SELECT 'w_disc', round(c, 6) FROM w5
+           ORDER BY param"""
+      }),
+
+    // cf02: item-item cosine collaborative filtering over the
+    // customer×supplier incidence — top-5 neighbor lists; all-integer
+    // counts until the final √, rank on the ROUNDED cosine so the
+    // tie order is engine-portable
+    NamedQuery("cf02_item_cosine",
+      (s, d) => {
+        val ui = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey"))
+        graft.ops.Analytics.itemCosine(ui, col("o_custkey"),
+            col("l_suppkey"), topK = 5, minCommon = 2,
+            maxItemsPerUser = 64)
+          .orderBy("item", "rank")
+      },
+      Some("""WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS it
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              big AS (SELECT u FROM
+                  (SELECT u, count(*) AS n FROM ui0 GROUP BY 1)
+                WHERE n > 64),
+              ui AS (SELECT * FROM ui0
+                     WHERE u NOT IN (SELECT u FROM big)),
+              itn AS (SELECT it, CAST(count(*) AS BIGINT) AS n_users
+                      FROM ui GROUP BY 1),
+              co AS (SELECT a.it AS i, b.it AS j,
+                  CAST(count(*) AS BIGINT) AS n_common
+                FROM ui a JOIN ui b ON a.u = b.u AND a.it < b.it
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              sym AS (SELECT i, j, n_common FROM co
+                      UNION ALL SELECT j, i, n_common FROM co),
+              sc AS (SELECT sym.i AS item, sym.j AS neighbor, n_common,
+                  ni.n_users AS n_i, nj.n_users AS n_j,
+                  round(n_common / sqrt(ni.n_users * nj.n_users), 6)
+                    AS cosine
+                FROM sym JOIN itn ni ON ni.it = sym.i
+                         JOIN itn nj ON nj.it = sym.j),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY item
+                  ORDER BY cosine DESC, neighbor) AS rank FROM sc)
+             SELECT item, neighbor, n_common, n_i, n_j, cosine,
+               CAST(rank AS INTEGER) AS rank
+             FROM rk WHERE rank <= 5 ORDER BY item, rank""")),
+
+    // pr02: exact PR curve — one point per distinct threshold, tp/fp
+    // from the bucketed prefix sum (ev01's primitive — no global-rank
+    // window); the oracle's DESC inclusive window is the same algebra
+    NamedQuery("pr02_pr_curve",
+      (s, d) => Stats.prCurve(Tables.load(s, d, "embeddings"),
+          element_at(col("embedding"), 1), col("label") < 5)
+        .orderBy("threshold"),
+      Some("""WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+                  (label < 5) AS pos FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              g AS (SELECT sc,
+                  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                FROM s GROUP BY sc),
+              c AS (SELECT sc, sum(np) OVER (ORDER BY sc DESC) AS tp,
+                  sum(nn) OVER (ORDER BY sc DESC) AS fp,
+                  (SELECT sum(np) FROM g) AS p
+                FROM g)
+             SELECT sc AS threshold, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+               round(tp / CAST(p AS DOUBLE), 6) AS recall
+             FROM c ORDER BY threshold""")),
+
+    // mi01: mutual-information token selection — chi2's sibling gate
+    // (same integer 2×2 cells, information-gain score); ranks on the
+    // ROUNDED score with token tie-break so the order is portable
+    NamedQuery("mi01_mi_tokens",
+      (s, d) => Classify.miTokens(docs(s, d), col("doc_id"), col("text"),
+          col("lang"), topK = 5)
+        .orderBy("cls", "rank"),
+      Some("""WITH dd AS (SELECT doc_id, text, lang FROM documents),
+              pres AS (SELECT DISTINCT doc_id, tok, lang FROM (
+                  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+                    lang FROM dd) WHERE tok != ''),
+              cls AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_cls
+                      FROM dd GROUP BY 1),
+              nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd),
+              td AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dt
+                     FROM pres GROUP BY 1),
+              ac AS (SELECT tok, lang AS cls, CAST(count(*) AS BIGINT) AS a
+                     FROM pres GROUP BY 1, 2),
+              grid AS (SELECT td.tok, cls.cls, td.dt, cls.n_cls, nt.n,
+                  coalesce(ac.a, 0) AS a,
+                  td.dt - coalesce(ac.a, 0) AS b,
+                  cls.n_cls - coalesce(ac.a, 0) AS c,
+                  nt.n - cls.n_cls - (td.dt - coalesce(ac.a, 0)) AS d
+                FROM td CROSS JOIN cls CROSS JOIN nt
+                LEFT JOIN ac ON ac.tok = td.tok AND ac.cls = cls.cls),
+              sc AS (SELECT tok, cls, a, b, c, d,
+                  round(
+                    (CASE WHEN a > 0 THEN (a/CAST(n AS DOUBLE)) *
+                      log2(n*a/(CAST(dt AS DOUBLE)*n_cls)) ELSE 0 END) +
+                    (CASE WHEN b > 0 THEN (b/CAST(n AS DOUBLE)) *
+                      log2(n*b/(CAST(dt AS DOUBLE)*(n-n_cls))) ELSE 0 END) +
+                    (CASE WHEN c > 0 THEN (c/CAST(n AS DOUBLE)) *
+                      log2(n*c/(CAST(n-dt AS DOUBLE)*n_cls)) ELSE 0 END) +
+                    (CASE WHEN d > 0 THEN (d/CAST(n AS DOUBLE)) *
+                      log2(n*d/(CAST(n-dt AS DOUBLE)*(n-n_cls))) ELSE 0 END),
+                  6) AS mi FROM grid),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY cls
+                  ORDER BY mi DESC, tok ASC) AS rank FROM sc)
+             SELECT cls, CAST(rank AS INTEGER) AS rank, tok, a, b, c, d, mi
+             FROM rk WHERE rank <= 5 ORDER BY cls, rank"""))
   )
 }

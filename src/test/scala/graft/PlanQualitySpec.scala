@@ -558,4 +558,70 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"class frame not broadcast: ${p.take(600)}")
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("tx16: C4 cleaning is one doc_id exchange — no joins, no second text pass") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.QualityRules.c4Rules(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"line flags + reassembly must share the doc exchange: ${p.take(800)}")
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
+  test("ii01: postings aggregate is two-phase; stats join-back is keyed (no sort-the-corpus window)") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.TextAnalysis.invertedIndex(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"no map-side partial tf: ${p.take(600)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+    assert(!p.contains("Window"), s"df/cf must come from the stats " +
+      s"aggregate, not a per-term window sort: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("bf02: probe pass is scan-speed — filter rides as a literal, zero joins/shuffles beyond the count") {
+    import org.apache.spark.sql.functions.col
+    val cust = Tables.load(spark, dir, "customer")
+    val p = ops.Sketches.bloomMembership(cust, col("c_custkey"),
+        Tables.load(spark, dir, "orders"), col("o_custkey"),
+        cust, col("c_custkey") + 5000000L,
+        expectedItems = 1000L, numBits = 16384L, fpBound = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloomcontainslong"),
+      s"native probe expression missing: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+  }
+
+  test("cf02: co-occurrence join keyed on user; top-k window partitioned by item") {
+    val p = planOf("cf02_item_cosine")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"neighbor ranking must never single-partition: ${p.take(800)}")
+  }
+
+  test("ft03: stats broadcast back; the scaling pass never shuffles the data") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Features.scaleFeatures(Tables.load(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), col("l_extendedprice"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"stats row not broadcast: ${p.take(600)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"data-side shuffle crept into a scan-speed op: ${p.take(800)}")
+  }
+
+  test("ts05: the K lag terms share ONE keyed window exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Analytics.ewmaSmooth(Tables.load(spark, dir, "events"),
+        col("event_type"), col("ts"), col("event_id"), col("value"),
+        alpha = 0.3, horizon = 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"lags must share the window exchange: ${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
 }

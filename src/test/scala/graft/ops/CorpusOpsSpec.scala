@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics tests for the session-5 corpus/index/recommender family
+  * on planted data where the expected answer is computable by hand —
+  * the DuckDB gates pin cross-engine determinism; these pin MEANING.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("c4Rules: line rules and page rules each fire as published") {
+    val doc = Seq(
+      // doc 1: three good lines -> kept page
+      (1L, Seq(
+        "this line has plenty of words and ends well.",
+        "short line.", // < 5 words -> dropped
+        "no terminal punctuation here at all",
+        "another perfectly reasonable sentence right here!",
+        "a line mentioning JavaScript should be dropped.",
+        "the third keeper closes out the page?").mkString("\n")),
+      // doc 2: lorem ipsum -> page dropped even with good lines
+      (2L, Seq(
+        "this line has plenty of words and ends well.",
+        "some Lorem Ipsum boilerplate lives here today.",
+        "another perfectly reasonable sentence right here!",
+        "the third keeper closes out the page?").mkString("\n")),
+      // doc 3: a curly brace -> page dropped
+      (3L, Seq(
+        "this line has plenty of words and ends well.",
+        "function f() { return 1; } is code.",
+        "another perfectly reasonable sentence right here!",
+        "the third keeper closes out the page?").mkString("\n")),
+      // doc 4: only two keepers -> below minKeptLines
+      (4L, Seq(
+        "this line has plenty of words and ends well.",
+        "another perfectly reasonable sentence right here!").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val r = QualityRules.c4Rules(doc, minWordsPerLine = 5, minKeptLines = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 6 && r(1L).getLong(2) == 3)
+    assert(r(1L).getBoolean(6), "doc 1 page kept")
+    assert(!r(2L).getBoolean(6) && r(2L).getAs[Boolean]("has_lorem"))
+    assert(!r(3L).getBoolean(6) && r(3L).getAs[Boolean]("has_brace"))
+    assert(!r(4L).getBoolean(6) && r(4L).getLong(2) == 2,
+      "two keepers is below the floor")
+    // reassembly: doc 1's clean hash = md5 of the three keepers in order
+    val expect = Seq(
+      "this line has plenty of words and ends well.",
+      "another perfectly reasonable sentence right here!",
+      "the third keeper closes out the page?").mkString("\n")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L).getAs[String]("clean_hash") == h)
+  }
+
+  test("invertedIndex: tf/df/cf/first_pos by hand; minDf prunes") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b b d"),
+      (3L, "a")).toDF("doc_id", "text")
+    val r = TextAnalysis.invertedIndex(docs).collect()
+      .map(x => (x.getString(0), x.getLong(3)) -> x).toMap
+    val a1 = r(("a", 1L))
+    assert(a1.getLong(4) == 2 && a1.getLong(5) == 0, "tf=2, first at 0")
+    assert(a1.getLong(1) == 2 && a1.getLong(2) == 3, "a: df=2 docs, cf=3")
+    val b2 = r(("b", 2L))
+    assert(b2.getLong(4) == 2 && b2.getLong(5) == 0)
+    assert(b2.getLong(1) == 2 && b2.getLong(2) == 3, "b: df=2, cf=3")
+    assert(r(("c", 1L)).getLong(1) == 1)
+    // minDf = 2 drops the df-1 terms c and d entirely
+    val pruned = TextAnalysis.invertedIndex(docs, minDf = 2L)
+      .select("term").distinct().as[String].collect().toSet
+    assert(pruned == Set("a", "b"))
+  }
+
+  test("bloomMembership: subset probes all hit; disjoint probes bounded") {
+    val build = (1L to 500L).toDF("k")
+    val present = (1L to 500L by 5).toDF("p")
+    val absent = (10001L to 10500L).toDF("p")
+    val r = Sketches.bloomMembership(build, col("k"), present, col("p"),
+        absent, col("p"), expectedItems = 1000L, numBits = 16384L,
+        fpBound = 0.05)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("present").getBoolean(2), "no false negatives ever")
+    assert(r("present").getLong(1) == 100)
+    assert(r("absent").getBoolean(3), "fp rate under the bound")
+    assert(r("absent").getLong(1) == 500)
+  }
+
+  test("labelPropagation: a clique converges to its min label; isolated dst keeps label") {
+    // clique {a,b,c} (symmetrized) + directed edge c -> z (z has no
+    // other in-edges: round 1 adopts c's label, which is the clique min)
+    val cl = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b"), ("c", "z")).toDF("src", "dst")
+    val r = Graph.labelPropagation(cl, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("a") == "a" && r("b") == "a" && r("c") == "a",
+      "clique collapses to min label")
+    assert(r("z") == "a", "z inherits through c")
+    // z never sends: its own label propagates nowhere
+    assert(r.size == 4)
+  }
+
+  test("labelPropagation: tie between neighbor labels breaks to smallest") {
+    // d hears {a, b} once each -> picks a
+    val e = Seq(("a", "d"), ("b", "d")).toDF("src", "dst")
+    val r = Graph.labelPropagation(e, rounds = 1)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("d") == "a")
+    assert(r("a") == "a" && r("b") == "b", "sources with no in-edges keep labels")
+  }
+
+  test("logisticGD: separable planted data pulls the weight the right way") {
+    // y = 1 iff x > 0; weight on x must go positive, and more steps
+    // move it monotonically further on this symmetric data
+    val df = ((1 to 50).map(i => (1.0, 1.0)) ++
+      (1 to 50).map(i => (0.0, -1.0))).toDF("y", "x")
+    def w(steps: Int) = Stats.logisticGD(df, col("y"), Seq("x" -> col("x")),
+        steps = steps, learningRate = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w3 = w(3); val w8 = w(8)
+    assert(w3("w_x") > 0.0 && w8("w_x") > w3("w_x"))
+    assert(math.abs(w8("w0")) < 1e-9, "balanced classes keep the intercept at 0")
+  }
+
+  test("itemCosine: hand-computed cosine, mirrored lists, guard drops busy user") {
+    // users 1,2 both have {A,B}; user 3 has {A}; so |U_A|=3, |U_B|=2,
+    // common(A,B)=2 -> cos = 2/sqrt(6) = 0.816497
+    val ui = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"))
+      .toDF("u", "it")
+    val r = Analytics.itemCosine(ui, col("u"), col("it"), topK = 5,
+      minCommon = 2, maxItemsPerUser = 10).collect()
+    assert(r.length == 2, "one pair, mirrored both ways")
+    val byItem = r.map(x => x.getString(0) -> x).toMap
+    assert(byItem("A").getString(1) == "B" &&
+      byItem("B").getString(1) == "A")
+    assert(math.abs(byItem("A").getDouble(5) - 0.816497) < 1e-6)
+    assert(byItem("A").getLong(2) == 2 && byItem("A").getLong(3) == 3 &&
+      byItem("A").getLong(4) == 2)
+    // a user over the cap contributes nothing
+    val busy = (1 to 20).map(i => (9L, s"I$i")).toDF("u", "it")
+    val guarded = Analytics.itemCosine(ui.union(busy), col("u"), col("it"),
+      topK = 5, minCommon = 2, maxItemsPerUser = 10).collect()
+    assert(guarded.length == 2, "busy user dropped, result unchanged")
+    assert(OpsMetrics.lastDrops("graft.item_cosine").exists(_._1 == 1L))
+  }
+
+  test("scaleFeatures: hand stats; constant column yields nulls not NaN") {
+    val df = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 8.0)).toDF("id", "v")
+    val r = Features.scaleFeatures(df, Seq("id"), col("v"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // mu=5, sd_pop=sqrt(5), min=2, max=8, q1=3.5, q2=5, q3=6.5
+    assert(math.abs(r(1L).getDouble(2) - (2.0 - 5.0) / math.sqrt(5.0)) < 1e-6)
+    assert(r(1L).getDouble(3) == 0.0 && r(4L).getDouble(3) == 1.0)
+    assert(math.abs(r(2L).getDouble(4) - ((4.0 - 5.0) / 3.0)) < 1e-6)
+    val const = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "v")
+    val c = Features.scaleFeatures(const, Seq("id"), col("v")).collect()
+    assert(c.forall(x => x.isNullAt(2) && x.isNullAt(3) && x.isNullAt(4)),
+      "zero denominators give null, never NaN/Inf")
+  }
+
+  test("prCurve: hand-computed points; monotone recall; threshold=max gives precision 1 on clean data") {
+    // scores: pos at 0.9, 0.8; neg at 0.7, 0.6
+    val df = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, false))
+      .toDF("s", "y")
+    val r = Stats.prCurve(df, col("s"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+    assert(r.length == 4)
+    assert(r(0).getDouble(0) == 0.9 && r(0).getLong(1) == 1 &&
+      r(0).getLong(2) == 0 && r(0).getDouble(3) == 1.0 &&
+      r(0).getDouble(4) == 0.5)
+    assert(r(1).getLong(1) == 2 && r(1).getDouble(4) == 1.0)
+    assert(r(3).getLong(1) == 2 && r(3).getLong(2) == 2 &&
+      r(3).getDouble(3) == 0.5, "lowest threshold predicts everything")
+  }
+
+  test("percentileRank: matches SQL percent_rank with duplicates") {
+    val df = Seq(10.0, 10.0, 20.0, 30.0).toDF("v")
+    val r = Stats.percentileRank(df, col("v"))
+      .orderBy("v").collect()
+    assert(r(0).getDouble(2) == 0.0 && r(0).getLong(1) == 2)
+    assert(math.abs(r(1).getDouble(2) - 2.0 / 3.0) < 1e-6)
+    assert(r(2).getDouble(2) == 1.0)
+  }
+
+  test("groupTrend: recovers an exact line; degenerate groups give nulls") {
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), // y = 2x + 1
+      ("b", 4.0, 9.0),                                   // single point
+      ("c", 5.0, 1.0), ("c", 5.0, 2.0)                   // zero x-variance
+    ).toDF("k", "x", "y")
+    val r = Stats.groupTrend(df, col("k"), col("x"), col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(2) == 2.0 && r("a").getDouble(3) == 1.0 &&
+      r("a").getDouble(4) == 1.0)
+    assert(r("b").isNullAt(2) && r("c").isNullAt(2),
+      "n<2 or zero x-variance must be null, not NaN")
+  }
+
+  test("tableProfile: nulls, exact distincts, stringified extremes") {
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x")))
+      .toDF("id", "s")
+    val r = Profile.tableProfile(df, Seq("id", "s"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("id").getLong(1) == 4 && r("id").getLong(2) == 0 &&
+      r("id").getLong(3) == 3)
+    assert(r("id").getString(4) == "1" && r("id").getString(5) == "3")
+    assert(r("s").getLong(2) == 1 && r("s").getLong(3) == 2)
+    assert(r("s").getString(4) == "x" && r("s").getString(5) == "y")
+  }
+
+  test("miTokens: a perfect class predictor token ranks first") {
+    val docs = Seq(
+      (1L, "aardvark shared words", "en"),
+      (2L, "aardvark shared also", "en"),
+      (3L, "zebra shared words", "de"),
+      (4L, "zebra shared also", "de")).toDF("doc_id", "text", "lang")
+    val r = Classify.miTokens(docs, col("doc_id"), col("text"),
+      col("lang"), topK = 2).collect()
+    val en1 = r.find(x => x.getString(0) == "en" && x.getInt(1) == 1).get
+    // aardvark and zebra carry full class information (MI = 1 bit);
+    // token tie-break puts aardvark first for both classes
+    assert(en1.getString(2) == "aardvark" && en1.getDouble(7) == 1.0)
+    // 'shared' appears everywhere -> zero information, never top
+    assert(!r.exists(x => x.getString(2) == "shared"))
+  }
+
+  test("ewmaSmooth: series start is exact and weights renormalize") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val df = Seq(("k", t(0), 1L, 10.0), ("k", t(1), 2L, 20.0),
+      ("k", t(2), 3L, 30.0)).toDF("k", "t", "id", "v")
+    val r = Analytics.ewmaSmooth(df, col("k"), col("t"), col("id"),
+        col("v"), alpha = 0.5, horizon = 4)
+      .orderBy("tb").collect()
+    assert(r(0).getDouble(4) == 10.0, "first row has only itself")
+    // second: (20 + 0.5*10) / 1.5
+    assert(math.abs(r(1).getDouble(4) - 25.0 / 1.5) < 1e-6)
+    // third: (30 + 0.5*20 + 0.25*10) / 1.75 = 42.5/1.75
+    assert(math.abs(r(2).getDouble(4) - 42.5 / 1.75) < 1e-6)
+  }
+}
