@@ -175,6 +175,75 @@ object CorpusOps {
                 UNION SELECT DISTINCT dst FROM e)),
              $rounds
             SELECT node, label FROM l4 ORDER BY node"""
+      }),
+
+    // er01: Fellegi–Sunter record linkage — customers vs a
+    // deterministically dirtied copy (name typo via appended char,
+    // reversed name, balance shift, segment swap keyed on custkey
+    // residues), blocked on nation; both engines build the dirty side
+    // and the literal log2(m/u) weights identically, so the score
+    // and the ≥5.0 link decision replay bit-for-bit
+    NamedQuery("er01_record_linkage",
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+        def sideCols(dirty: Boolean) = {
+          val name = if (!dirty) col("c_name") else
+            when(col("c_custkey") % 13 === 0, reverse(col("c_name")))
+              .when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("x")))
+              .otherwise(col("c_name"))
+          val bal = if (!dirty) col("c_acctbal") else
+            when(col("c_custkey") % 11 === 0, col("c_acctbal") + lit(1000.0))
+              .otherwise(col("c_acctbal"))
+          val seg = if (!dirty) col("c_mktsegment") else
+            when(col("c_custkey") % 5 === 0, lit("OTHER"))
+              .otherwise(col("c_mktsegment"))
+          cust.select(col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+            name.as("name"), bal.as("bal"), seg.as("seg"))
+        }
+        graft.ops.Fuzzy.fellegiSunter(sideCols(false), sideCols(true),
+            idCol = "id", blockCol = "blk",
+            fields = Seq(
+              graft.ops.Fuzzy.LinkField("name",
+                levenshtein(col("a_name"), col("b_name")) <= 2, 0.9, 0.001),
+              graft.ops.Fuzzy.LinkField("bal",
+                col("a_bal") === col("b_bal"), 0.95, 0.0005),
+              graft.ops.Fuzzy.LinkField("seg",
+                col("a_seg") === col("b_seg"), 0.9, 0.2)),
+            fieldCols = Seq("name", "bal", "seg"),
+            threshold = 5.0, maxBlock = 500)
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val name = graft.ops.Fuzzy.LinkField("name", lit(true), 0.9, 0.001)
+        val bal = graft.ops.Fuzzy.LinkField("bal", lit(true), 0.95, 0.0005)
+        val seg = graft.ops.Fuzzy.LinkField("seg", lit(true), 0.9, 0.2)
+        s"""WITH cl AS (SELECT c_custkey AS id, c_nationkey AS blk,
+               c_name AS name, c_acctbal AS bal, c_mktsegment AS seg
+             FROM customer),
+            dr AS (SELECT c_custkey AS id, c_nationkey AS blk,
+               CASE WHEN c_custkey % 13 = 0 THEN reverse(c_name)
+                    WHEN c_custkey % 7 = 0 THEN c_name || 'x'
+                    ELSE c_name END AS name,
+               CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1000.0
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'OTHER'
+                    ELSE c_mktsegment END AS seg
+             FROM customer),
+            p AS (SELECT a.id AS a_id, b.id AS b_id,
+               levenshtein(a.name, b.name) <= 2 AS agree_name,
+               a.bal = b.bal AS agree_bal,
+               a.seg = b.seg AS agree_seg
+             FROM cl a JOIN dr b ON a.blk = b.blk),
+            sc AS (SELECT *, round(
+               (CASE WHEN agree_name THEN ${name.agreeWeight}e0
+                     ELSE ${name.disagreeWeight}e0 END) +
+               (CASE WHEN agree_bal THEN ${bal.agreeWeight}e0
+                     ELSE ${bal.disagreeWeight}e0 END) +
+               (CASE WHEN agree_seg THEN ${seg.agreeWeight}e0
+                     ELSE ${seg.disagreeWeight}e0 END), 4) AS score
+             FROM p)
+           SELECT a_id, b_id, agree_name, agree_bal, agree_seg, score
+           FROM sc WHERE score >= 5.0 ORDER BY a_id, b_id"""
       })
   )
 }

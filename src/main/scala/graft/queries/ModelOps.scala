@@ -496,6 +496,36 @@ object ModelOps {
               rk AS (SELECT *, row_number() OVER (PARTITION BY cls
                   ORDER BY mi DESC, tok ASC) AS rank FROM sc)
              SELECT cls, CAST(rank AS INTEGER) AS rank, tok, a, b, c, d, mi
-             FROM rk WHERE rank <= 5 ORDER BY cls, rank"""))
+             FROM rk WHERE rank <= 5 ORDER BY cls, rank""")),
+
+    // ev08: cumulative gains / lift deciles — ties never straddle
+    // bins (integer ceil on the LAST desc-rank position, `div` both
+    // engines); capture and lift from exact integer counts
+    NamedQuery("ev08_gains_chart",
+      (s, d) => Stats.gainsChart(Tables.load(s, d, "embeddings"),
+          element_at(col("embedding"), 1), col("label") < 5, nBins = 10)
+        .orderBy("bin"),
+      Some("""WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+                  (label < 5) AS pos FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+                FROM s GROUP BY sc),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                  CAST(sum(np) AS BIGINT) AS p FROM g),
+              c AS (SELECT sc, n, np, coalesce(sum(n) OVER (ORDER BY sc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cb FROM g),
+              bn AS (SELECT (10*(t.total - c.cb) + t.total - 1) // t.total
+                  AS bin, c.n, c.np FROM c CROSS JOIN t),
+              a AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n,
+                  CAST(sum(np) AS BIGINT) AS n_pos FROM bn GROUP BY 1),
+              cum AS (SELECT bin, n, n_pos,
+                  sum(n_pos) OVER (ORDER BY bin) AS cum_pos FROM a)
+             SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+               round(cum_pos / CAST(t.p AS DOUBLE), 6) AS capture,
+               round((n_pos / CAST(n AS DOUBLE)) /
+                 (t.p / CAST(t.total AS DOUBLE)), 6) AS lift
+             FROM cum CROSS JOIN t ORDER BY bin"""))
   )
 }

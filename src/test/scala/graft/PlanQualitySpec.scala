@@ -614,6 +614,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"data-side shuffle crept into a scan-speed op: ${p.take(800)}")
   }
 
+  test("er01: pair generation is an equi-join on the block key — no cartesian, score at scan speed") {
+    val p = planOf("er01_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"linkage must block-join, never cross: ${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
   test("ts05: the K lag terms share ONE keyed window exchange") {
     import org.apache.spark.sql.functions.col
     val p = ops.Analytics.ewmaSmooth(Tables.load(spark, dir, "events"),

@@ -229,6 +229,57 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!r.exists(x => x.getString(2) == "shared"))
   }
 
+  test("fellegiSunter: weights classify as the model says; blocking prunes; guard drops hot blocks") {
+    import graft.ops.Fuzzy.LinkField
+    val a = Seq((1L, "b1", "alice smith", "x"), (2L, "b1", "bob jones", "y"),
+      (3L, "b2", "carol white", "z")).toDF("id", "blk", "name", "tag")
+    val b = Seq((11L, "b1", "alice smith", "x"),   // full agree
+      (12L, "b1", "alice smith", "q"),             // name only
+      (13L, "b3", "alice smith", "x")              // different block: never paired
+    ).toDF("id", "blk", "name", "tag")
+    val fields = Seq(
+      LinkField("name", col("a_name") === col("b_name"), 0.9, 0.01),
+      LinkField("tag", col("a_tag") === col("b_tag"), 0.9, 0.1))
+    val wName = math.log(0.9 / 0.01) / math.log(2) // 6.49
+    val wTag = math.log(0.9 / 0.1) / math.log(2)   // 3.17
+    val r = Fuzzy.fellegiSunter(a, b, "id", "blk", fields,
+      Seq("name", "tag"), threshold = 5.0, maxBlock = 10).collect()
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(pairs.contains((1L, 11L)) &&
+      math.abs(pairs((1L, 11L)).getDouble(4) -
+        BigDecimal(wName + wTag).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // name-only: 6.49 + disagree(-3.0ish) ~ 3.48 < 5 -> not a link
+    assert(!pairs.contains((1L, 12L)))
+    assert(!r.exists(_.getLong(1) == 13L), "cross-block pairs never form")
+    // a hot block over the cap is dropped and counted
+    val hot = (1 to 30).map(i => (100L + i, "b1", s"n$i", "t")).toDF("id", "blk", "name", "tag")
+    val guarded = Fuzzy.fellegiSunter(a, b.union(hot), "id", "blk", fields,
+      Seq("name", "tag"), threshold = 5.0, maxBlock = 10).collect()
+    assert(guarded.isEmpty || guarded.forall(_.getLong(1) > 13L == false))
+    assert(OpsMetrics.lastDrops("graft.linkage.drops").exists(_._1 >= 1L))
+  }
+
+  test("gainsChart: a perfect ranker captures all positives in the top bins; ties stay in one bin") {
+    // 20 rows, top 5 scores are the 5 positives
+    val df = ((1 to 5).map(i => (100.0 - i, true)) ++
+      (6 to 20).map(i => (100.0 - i, false))).toDF("s", "y")
+    val r = Stats.gainsChart(df, col("s"), col("y"), nBins = 4)
+      .orderBy("bin").collect()
+    assert(r.length == 4)
+    assert(r(0).getLong(2) == 5 && r(0).getDouble(3) == 1.0,
+      "top quartile captures every positive")
+    assert(r(0).getDouble(4) == 4.0, "lift = 1/baseRate in the top bin")
+    assert(r(1).getLong(2) == 0 && r(1).getDouble(3) == 1.0)
+    // tie spanning a boundary lands whole in the LAST position's bin
+    val tied = Seq((9.0, true), (5.0, false), (5.0, false), (1.0, false))
+      .toDF("s", "y")
+    val t = Stats.gainsChart(tied, col("s"), col("y"), nBins = 2)
+      .orderBy("bin").collect()
+    assert(t.map(_.getLong(1)).sum == 4)
+    val bin2 = t.find(_.getLong(0) == 2L).get
+    assert(bin2.getLong(1) == 3, "both 5.0 rows fall in bin 2 (last-position rule)")
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
