@@ -66,7 +66,13 @@ object Bench {
         || q._1 == "em09_pca_project"
         // bfs01 is pr01's category: an iterative frontier loop whose
         // wall measures the rounds; its slope is probed in r9d
-        || q._1 == "bfs01_hop_distance")
+        || q._1 == "bfs01_hop_distance"
+        // lp01 is the same category (4 checkpointed rounds); probed
+        // in r9f on a 1M-node circulant
+        || q._1 == "lp01_label_prop"
+        // bf02 is hll01's category: a bounds-verdict gate; probe
+        // throughput is measured in r9f (40M probes ~1 s)
+        || q._1 == "bf02_bloom_membership")
       .toSeq.sortBy(_._1)
     // A query that throws must be VISIBLE in the artifact, not a fast
     // wall-time: correctness is gated separately, but a bench that

@@ -55,6 +55,62 @@ object Curation {
     train.join(broadcast(contamination(train, eval, n, text)
       .select(col("doc_id"))), Seq("doc_id"), "left_anti")
 
+  /** Bloom-prefiltered decontamination (dc02) — dc01's 100 TB form.
+    * dc01 explodes the TRAIN side into n-grams and joins; even with a
+    * broadcast eval side that materializes ~L rows per document just
+    * to discard 99.99% of them. Here the eval set's n-gram hashes go
+    * into a Bloom filter (one treeAggregate, sketch-sized), and the
+    * corpus pass counts Bloom hits INSIDE a per-row projection —
+    * `size(filter(grams, g → bloom_contains(h(g))))` — so the clean
+    * bulk of the corpus is touched by exactly one scan with ZERO
+    * per-gram rows materialized and zero shuffle. Only docs with ≥1
+    * Bloom hit (true contaminations + the filter's tiny fp rate) go
+    * through dc01's exact explode+join verify, so the final verdict
+    * is EXACT — the Bloom can only over-flag, never miss (no false
+    * negatives), which the output pins per doc as `bloom_no_fn`.
+    *
+    * Returns one row per train doc: (doc_id, contaminated,
+    * bloom_no_fn) where contaminated is the exact dc01 decision.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                         numBits: Long = 1L << 22,
+                         text: Column = col("text")): DataFrame = {
+    registerOn(train)
+    graft.functions.SketchFunctions.register(train.sparkSession)
+    def h(g: Column): Column =
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val evalGrams = eval
+      .select(explode(graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .distinct().persist()
+    val nEval = math.max(evalGrams.count(), 1L)
+    val filt = evalGrams.select(h(col("g")).as("hg"))
+      .stat.bloomFilter(col("hg"), nEval, numBits)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      filt.writeTo(bos); bos.toByteArray
+    }
+    val grams = graft.functions.TextFunctions.shingles(text, n)
+    val scanned = train.select(col("doc_id"), text.as("__t"),
+      size(filter(grams, g => graft.functions.SketchFunctions
+        .bloom_contains(bytes, h(g)))).as("__hits"))
+    val flagged = scanned.filter(col("__hits") > 0)
+      .select(col("doc_id"), col("__t"))
+    val confirmed = flagged
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingles(col("__t"), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("__c", lit(true))
+    val out = scanned
+      .join(broadcast(confirmed), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c"), lit(false)).as("contaminated"),
+        (coalesce(col("__c"), lit(false)) === lit(false) ||
+          col("__hits") > 0).as("bloom_no_fn"))
+    evalGrams.unpersist()
+    out
+  }
+
   /** First 8 hex chars of md5(key) — a uniform 32-bit draw that is
     * identical in Spark and DuckDB (both emit lowercase hex, so
     * string order == numeric order at fixed width).

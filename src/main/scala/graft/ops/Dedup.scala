@@ -664,4 +664,33 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("keep_id"),
               (col("doc_id") === col("keep_id")).as("is_canonical"))
   }
+  /** Quality-aware canonical-copy selection (dd12) — given duplicate
+    * GROUPS (an exact content hash, a dd06/sd02 cluster id, or any
+    * coarse key), keep the single best row per group: highest `score`,
+    * ties to the smallest `tie`. Real pipelines canonicalize this way
+    * (keep the longest/cleanest copy), not keep-first — keep-first
+    * (dd01/dd09) preserves the EARLIEST copy, this preserves the BEST.
+    *
+    * Scale shape: ONE window exchange on the group key; n_copies and
+    * the argmax share it. Output is the kept rows only, each carrying
+    * its group's copy count for audit.
+    */
+  def keepBest(df: DataFrame, group: Column, score: Column,
+               tie: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    for (c <- Seq("__grp", "__score", "__tie", "__rk", "n_copies"))
+      require(!df.columns.contains(c), s"column $c would be clobbered")
+    val w = Window.partitionBy(col("__grp"))
+    val base = df.withColumn("__grp", group)
+      .withColumn("__score", score).withColumn("__tie", tie)
+    base
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__score").desc, col("__tie").asc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .withColumnRenamed("__grp", "grp")
+      .withColumnRenamed("__score", "best_score")
+      .drop("__tie")
+  }
 }

@@ -244,6 +244,31 @@ object CorpusOps {
              FROM p)
            SELECT a_id, b_id, agree_name, agree_bal, agree_seg, score
            FROM sc WHERE score >= 5.0 ORDER BY a_id, b_id"""
-      })
+      }),
+
+    // dd12: quality-aware canonical-copy selection — within each
+    // (lang, size-bucket) duplicate group keep the single best doc
+    // (longest, ties to smallest doc_id) with the group's copy count;
+    // the corpus has no exact dups at this SF, so the gate groups on
+    // a deterministic coarse key to exercise real multi-member groups
+    NamedQuery("dd12_keep_best",
+      (s, d) => graft.ops.Dedup.keepBest(
+          docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          group = concat_ws("#", col("lang"), (col("n_chars") / 25).cast("long")),
+          score = col("n_chars"), tie = col("doc_id"))
+        .select(col("grp"), col("doc_id"), col("n_copies"),
+          col("best_score").as("kept_chars"))
+        .orderBy("grp"),
+      Some("""WITH g AS (SELECT doc_id, n_chars,
+                  lang || '#' || CAST(n_chars // 25 AS VARCHAR) AS grp
+                FROM documents),
+              rk AS (SELECT grp, doc_id, n_chars,
+                  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+                    AS n_copies,
+                  row_number() OVER (PARTITION BY grp
+                    ORDER BY n_chars DESC, doc_id ASC) AS r
+                FROM g)
+             SELECT grp, doc_id, n_copies, n_chars AS kept_chars
+             FROM rk WHERE r = 1 ORDER BY grp"""))
   )
 }

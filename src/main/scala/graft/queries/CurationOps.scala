@@ -115,6 +115,28 @@ object CurationOps {
               FROM grams WHERE g IN (SELECT g FROM eval_grams)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // dc02: Bloom-prefiltered decontamination — the corpus pass counts
+    // eval-gram Bloom hits inside a per-row projection (zero per-gram
+    // rows, zero shuffle for the clean bulk); only flagged docs get
+    // dc01's exact verify, so the verdict is exact and the oracle is
+    // dc01's own SQL. bloom_no_fn pins the no-false-negative guarantee.
+    NamedQuery("dc02_bloom_decontaminate",
+      (s, d) => {
+        val train = docs(s, d)
+        val eval = train.filter(col("doc_id") % 97 === 0)
+        Curation.bloomDecontaminate(train, eval, n = 13).orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS (SELECT doc_id, unnest($duckGrams13) AS g
+                              FROM documents),
+              eval_grams AS (SELECT DISTINCT g FROM grams
+                             WHERE doc_id % 97 = 0),
+              c AS (SELECT DISTINCT doc_id FROM grams
+                    WHERE g IN (SELECT g FROM eval_grams))
+             SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated,
+               true AS bloom_no_fn
+             FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+             ORDER BY d.doc_id""")),
+
     // stratified deterministic sampling: per-language keep rates keyed
     // on md5(doc_id) — no RNG, so the oracle reproduces the exact
     // sample. Also exercises the plain hashSample threshold math (the

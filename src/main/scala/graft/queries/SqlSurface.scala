@@ -407,6 +407,53 @@ object SqlSurface {
       Some("""SELECT event_type,
                     round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
                     CAST(count(*) AS BIGINT) AS n
-             FROM events GROUP BY event_type ORDER BY event_type"""))
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // q51: UNPIVOT — pivot's inverse (q49): a wide per-flag aggregate
+    // melts back to (flag, metric, value) long form; the oracle uses
+    // the portable UNION-ALL expansion
+    NamedQuery("q51_unpivot",
+      sql("""SELECT l_returnflag, metric, value FROM (
+               SELECT l_returnflag,
+                      round(sum(l_quantity), 2) AS sum_qty,
+                      round(sum(l_extendedprice), 2) AS sum_price,
+                      round(avg(l_discount), 4) AS avg_disc
+               FROM lineitem GROUP BY l_returnflag)
+             UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+             ORDER BY l_returnflag, metric"""),
+      Some("""WITH w AS (SELECT l_returnflag,
+                    round(sum(l_quantity), 2) AS sum_qty,
+                    round(sum(l_extendedprice), 2) AS sum_price,
+                    round(avg(l_discount), 4) AS avg_disc
+               FROM lineitem GROUP BY l_returnflag)
+             SELECT l_returnflag, metric, value FROM (
+               SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+               UNION ALL
+               SELECT l_returnflag, 'sum_price', sum_price FROM w
+               UNION ALL
+               SELECT l_returnflag, 'avg_disc', avg_disc FROM w)
+             ORDER BY l_returnflag, metric""")),
+
+    // q52: higher-order array functions — transform / filter / exists
+    // / slice composed over the embedding column (the lambda surface
+    // sim/em operators build on); DuckDB replays with list_* HOFs
+    // (q34 pinned the list_sum ≡ left-fold aggregate parity)
+    NamedQuery("q52_hof_funcs",
+      sql("""SELECT vec_id,
+                    CAST(size(filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+                    round(CAST(aggregate(transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS DOUBLE), 4) AS sq_sum,
+                    exists(embedding, x -> x < -2.0) AS has_tail,
+                    round(CAST(aggregate(slice(embedding, 1, 3),
+                      CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS DOUBLE), 4) AS head3_sum
+             FROM embeddings ORDER BY vec_id"""),
+      Some("""SELECT vec_id,
+                    CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+                    round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> x * x)), 4) AS sq_sum,
+                    len(list_filter(embedding, x -> x < -2.0)) > 0 AS has_tail,
+                    round(list_sum(CAST(embedding[1:3] AS DOUBLE[])), 4) AS head3_sum
+             FROM embeddings ORDER BY vec_id"""))
   )
 }

@@ -621,6 +621,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
   }
 
+  test("dc02: corpus pass probes the Bloom inside the projection; verify side is broadcast") {
+    val p = planOf("dc02_bloom_decontaminate")
+    assert(p.toLowerCase.contains("bloomcontainslong"),
+      s"native Bloom probe missing from the scan: ${p.take(600)}")
+    assert(p.contains("BroadcastExchange"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("ts05: the K lag terms share ONE keyed window exchange") {
     import org.apache.spark.sql.functions.col
     val p = ops.Analytics.ewmaSmooth(Tables.load(spark, dir, "events"),

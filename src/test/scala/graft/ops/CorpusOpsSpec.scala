@@ -280,6 +280,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bin2.getLong(1) == 3, "both 5.0 rows fall in bin 2 (last-position rule)")
   }
 
+  test("keepBest: highest score wins, ties to smallest id, copy counts ride along") {
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 30L),
+      (4L, "g2", 5L)).toDF("id", "g", "len")
+    val r = Dedup.keepBest(df, col("g"), col("len"), col("id"))
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    assert(r.size == 2)
+    assert(r("g1").getAs[Long]("id") == 2L, "tie at len=30 keeps id 2")
+    assert(r("g1").getAs[Long]("n_copies") == 3L)
+    assert(r("g1").getAs[Long]("best_score") == 30L)
+    assert(r("g2").getAs[Long]("id") == 4L &&
+      r("g2").getAs[Long]("n_copies") == 1L)
+    // clobber guard
+    intercept[IllegalArgumentException] {
+      Dedup.keepBest(df.withColumnRenamed("len", "n_copies"),
+        col("g"), col("id"), col("id"))
+    }
+  }
+
+  test("bloomDecontaminate: exact verdict matches dc01; Bloom never misses a contamination") {
+    val leak = (1 to 15).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, leak + " trailing tail tokens here"),         // contains the eval 13-gram
+      (2L, (100 to 120).map(i => s"w$i").mkString(" ")), // clean
+      (3L, leak)                                          // exact eval doc
+    ).toDF("doc_id", "text")
+    val eval = Seq((99L, leak)).toDF("doc_id", "text")
+    val r = Curation.bloomDecontaminate(train, eval, n = 13)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(1) && r(3L).getBoolean(1), "both leaks caught")
+    assert(!r(2L).getBoolean(1), "clean doc stays clean")
+    assert(r.values.forall(_.getBoolean(2)), "no false negatives, ever")
+    // agreement with the exact path on the same inputs
+    val exact = Curation.contamination(train, eval, n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r.filter(_._2.getBoolean(1)).keySet == exact)
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
