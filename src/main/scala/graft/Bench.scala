@@ -110,6 +110,30 @@ object Bench {
     // per-query ratio, since the set has since grown past 49 queries.
     val baselineTotal = 50.0
     val baselineN = 49
+    // The EXACT query set behind the ~50 s number (BENCH_r01.json's
+    // dict) — the registry has since grown 49 → 200+, so the raw
+    // total ratio conflates speed with coverage. vs_baseline_matched
+    // is the apples-to-apples gate: warm time of the SAME 49 queries
+    // today vs their recorded 50 s.
+    val baselineSet = Set(
+      "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash_pairs",
+      "dd04_ngram_jaccard", "dd05_cosine_dups", "mm01_binary_meta",
+      "q01_scan", "q02_filter_pushdown", "q03_project_expr",
+      "q04_filter_like", "q05_join_inner", "q06_join_left",
+      "q07_join_full", "q08_theta_join", "q09_semi_join",
+      "q10_anti_join", "q11_agg_plain", "q12_agg_group", "q13_distinct",
+      "q14_count_distinct", "q15_approx_count_distinct",
+      "q16_window_rank", "q17_window_running", "q18_sort_multi",
+      "q19_topk", "q20_limit_offset", "q21_union_all", "q22_intersect",
+      "q23_except", "q24_except_all", "q25_cte", "q26_subquery_scalar",
+      "q27_subquery_correlated", "q28_values", "q29_recursive_cte",
+      "q30_rollup", "q31_string_funcs", "q32_date_math_funcs",
+      "q33_case_when", "q34_array_funcs", "q35_json_access",
+      "q36_json_agg", "sim01_cosine_topk", "sim02_lsh_topk",
+      "st01_event_window", "tx01_token_stats", "tx02_quality",
+      "tx03_langid", "tx04_fingerprint")
+    val matched = results.filter(kv => baselineSet.contains(kv._1))
+    val matchedTotal = matched.values.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     // Host page-cache state, kept for attribution — though round 9
     // established the DOMINANT variance source was JVM heap pressure
@@ -121,7 +145,7 @@ object Bench {
         .find(_.startsWith("Cached:"))
         .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
       catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"errors":$errJson,"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line; vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

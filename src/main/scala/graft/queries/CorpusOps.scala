@@ -210,7 +210,7 @@ object CorpusOps {
               graft.ops.Fuzzy.LinkField("seg",
                 col("a_seg") === col("b_seg"), 0.9, 0.2)),
             fieldCols = Seq("name", "bal", "seg"),
-            threshold = 5.0, maxBlock = 500)
+            threshold = 5.0, maxBlock = 1000)
           .orderBy("a_id", "b_id")
       },
       Some {
