@@ -14,7 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Lazy-DataFrame cache keyed by (session, dir, name): the parquet
+    * footer/schema inference behind spark.read runs once per table per
+    * session instead of once per query — with 200+ registry entries
+    * each touching several tables (and registerAll touching all ten),
+    * the repeated footer reads were a measurable fixed overhead on
+    * every gate. The cached value is the LAZY plan (immutable, never
+    * materialized here), so this changes nothing semantically; keys
+    * hold the session weakly so stopped sessions drop their entries.
+    */
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = {
+      val existing = cache.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        val raced = cache.putIfAbsent(spark, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
+    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads only as a
     // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every

@@ -578,6 +578,53 @@ object Stats {
           .as("r2"))
   }
 
+  /** Unbiased pass@k (ev09, Chen et al. 2021 "Evaluating Large
+    * Language Models Trained on Code", eq. 1): per task with n
+    * samples and c correct, pass@k = 1 − C(n−c, k)/C(n, k), computed
+    * as the stable product Π_{i<k} (n−c−i)/(n−i) — never a factorial.
+    * Tasks with n−c < k pass with certainty. One (task, n, c)
+    * aggregate then a scan-speed fold over the constant-length
+    * product — counts are exact integers, the single float product
+    * replays in order on any engine.
+    */
+  def passAtK(df: DataFrame, task: Column, correct: Column,
+              k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val perTask = df.groupBy(task.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct, 1L).otherwise(0L)).as("c"))
+    perTask
+      .withColumn("pass_at_k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, 1.0)
+          .otherwise(round(lit(1.0) - aggregate(
+            sequence(lit(0), lit(k - 1)), lit(1.0),
+            (acc, i) => acc * (col("n") - col("c") - i) / (col("n") - i)),
+            6)))
+  }
+
+  /** Cohen's kappa (ev10) — chance-corrected agreement between two
+    * boolean raters: κ = (p_o − p_e)/(1 − p_e), observed vs expected
+    * agreement from the marginals. ONE aggregate of four integer
+    * cells; everything after is driver-free scalar algebra on the
+    * single result row.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.filter(raterA.isNotNull && raterB.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(raterA && raterB, 1L).otherwise(0L)).as("n11"),
+      sum(when(raterA && !raterB, 1L).otherwise(0L)).as("n10"),
+      sum(when(!raterA && raterB, 1L).otherwise(0L)).as("n01"),
+      sum(when(!raterA && !raterB, 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")) / nD
+    val pe = ((col("n11") + col("n10")) / nD) * ((col("n11") + col("n01")) / nD) +
+      ((col("n01") + col("n00")) / nD) * ((col("n10") + col("n00")) / nD)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+      when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Distributed logistic regression by full-batch gradient descent
     * with a FIXED step count (lr02) — the classifier-fit companion to
     * linearFit's closed form (the logistic MLE has none). Weights

@@ -526,6 +526,60 @@ object ModelOps {
                round(cum_pos / CAST(t.p AS DOUBLE), 6) AS capture,
                round((n_pos / CAST(n AS DOUBLE)) /
                  (t.p / CAST(t.total AS DOUBLE)), 6) AS lift
-             FROM cum CROSS JOIN t ORDER BY bin"""))
+             FROM cum CROSS JOIN t ORDER BY bin""")),
+
+    // ev09: unbiased pass@k (Chen et al. 2021 eq. 1) — tasks = label
+    // groups, a sample "passes" when its first dim is positive; the
+    // stable Π(n−c−i)/(n−i) product replays via DuckDB's product()
+    // aggregate over range(k)
+    NamedQuery("ev09_pass_at_k",
+      (s, d) => Stats.passAtK(
+          Tables.load(s, d, "embeddings")
+            .filter(col("label").isNotNull && col("embedding").isNotNull),
+          col("label"), element_at(col("embedding"), 1) > 0, k = 5)
+        .withColumnRenamed("task", "label")
+        .orderBy("label"),
+      Some("""WITH s AS (SELECT label, (embedding[1] > 0) AS ok
+                FROM embeddings
+                WHERE label IS NOT NULL AND embedding IS NOT NULL),
+              t AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM s GROUP BY 1)
+             SELECT label, n, c,
+               CASE WHEN n < 5 THEN NULL
+                    WHEN n - c < 5 THEN 1.0
+                    ELSE round(1.0 - (SELECT product(
+                        (t.n - t.c - i) / CAST(t.n - i AS DOUBLE))
+                      FROM range(0, 5) r(i)), 6)
+               END AS pass_at_k
+             FROM t ORDER BY label""")),
+
+    // ev10: Cohen's kappa between two derived boolean raters — four
+    // exact integer cells, one aggregate, scalar algebra after
+    NamedQuery("ev10_cohens_kappa",
+      (s, d) => Stats.cohensKappa(Tables.load(s, d, "embeddings"),
+        col("label") < 5, element_at(col("embedding"), 1) > 0),
+      Some("""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+               FROM (SELECT (label < 5) AS a, (embedding[1] > 0) AS b
+                     FROM embeddings
+                     WHERE label IS NOT NULL AND embedding IS NOT NULL))
+             SELECT n, n11, n10, n01, n00,
+               round((n11 + n00) / CAST(n AS DOUBLE), 6) AS p_observed,
+               round(((n11 + n10)/CAST(n AS DOUBLE)) * ((n11 + n01)/CAST(n AS DOUBLE)) +
+                     ((n01 + n00)/CAST(n AS DOUBLE)) * ((n10 + n00)/CAST(n AS DOUBLE)),
+                 6) AS p_expected,
+               CASE WHEN ((n11 + n10)/CAST(n AS DOUBLE)) * ((n11 + n01)/CAST(n AS DOUBLE)) +
+                         ((n01 + n00)/CAST(n AS DOUBLE)) * ((n10 + n00)/CAST(n AS DOUBLE)) <> 1.0
+                 THEN round(((n11 + n00) / CAST(n AS DOUBLE) -
+                   (((n11 + n10)/CAST(n AS DOUBLE)) * ((n11 + n01)/CAST(n AS DOUBLE)) +
+                    ((n01 + n00)/CAST(n AS DOUBLE)) * ((n10 + n00)/CAST(n AS DOUBLE)))) /
+                   (1.0 - (((n11 + n10)/CAST(n AS DOUBLE)) * ((n11 + n01)/CAST(n AS DOUBLE)) +
+                    ((n01 + n00)/CAST(n AS DOUBLE)) * ((n10 + n00)/CAST(n AS DOUBLE)))), 6)
+               END AS kappa
+             FROM c"""))
   )
 }

@@ -317,6 +317,111 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.filter(_._2.getBoolean(1)).keySet == exact)
   }
 
+  test("labelPropagation invariants on a pseudo-random graph: total coverage, labels from the node set") {
+    val n = 300
+    val raw = (0 until n).map(i => (s"n$i", s"n${(i * 11 + 5) % n}"))
+      .filter { case (a, b) => a != b }
+    val edges = (raw ++ raw.map(_.swap)).distinct.toDF("src", "dst")
+    val nodes = raw.flatMap(p => Seq(p._1, p._2)).toSet
+    val r = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getString(1))
+    assert(r.map(_._1).toSet == nodes, "every node labeled exactly once")
+    assert(r.length == nodes.size)
+    assert(r.forall(p => nodes.contains(p._2)), "labels come from the node set")
+    // two disjoint triangles never share a label (pairs would
+    // oscillate under synchronous LPA — triangles converge)
+    def tri(a: String, b: String, c: String) =
+      Seq((a, b), (b, a), (a, c), (c, a), (b, c), (c, b))
+    val two = Graph.labelPropagation(
+        (tri("a", "b", "c") ++ tri("x", "y", "z")).toDF("src", "dst"),
+        rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(Seq("a", "b", "c").map(two).toSet == Set("a"))
+    assert(Seq("x", "y", "z").map(two).toSet == Set("x"))
+  }
+
+  test("ewmaSmooth invariant: the smoother stays inside the trailing window's range") {
+    val rows = (0 until 200).map(i =>
+      ("k", i.toLong, ((i * 37 + 11) % 101).toDouble))
+    val df = rows.map { case (k, i, v) =>
+      (k, new java.sql.Timestamp(1700000000000L + i * 1000), i, v)
+    }.toDF("k", "t", "id", "v")
+    val out = Analytics.ewmaSmooth(df, col("k"), col("t"), col("id"),
+      col("v"), alpha = 0.4, horizon = 8).orderBy("tb").collect()
+    val vs = rows.map(_._3).toArray
+    out.zipWithIndex.foreach { case (r, i) =>
+      val win = vs.slice(math.max(0, i - 7), i + 1)
+      val e = r.getDouble(4)
+      assert(e >= win.min - 1e-9 && e <= win.max + 1e-9,
+        s"row $i: ewma $e outside [${win.min}, ${win.max}]")
+    }
+  }
+
+  test("prCurve invariants: tp/fp monotone as threshold falls; recall ends at 1") {
+    val df = (0 until 400).map(i =>
+      (((i * 13 + 7) % 97).toDouble, (i * 31 + 3) % 5 == 0)).toDF("s", "y")
+    val pts = Stats.prCurve(df, col("s"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+    var (ptp, pfp) = (0L, 0L)
+    pts.foreach { r =>
+      assert(r.getLong(1) >= ptp && r.getLong(2) >= pfp,
+        "tp/fp must be non-decreasing as the threshold falls")
+      ptp = r.getLong(1); pfp = r.getLong(2)
+    }
+    assert(pts.last.getDouble(4) == 1.0, "lowest threshold recalls everything")
+  }
+
+  test("gainsChart invariants: counts partition N; capture monotone to 1") {
+    val df = (0 until 300).map(i =>
+      (((i * 17 + 5) % 83).toDouble, (i * 7 + 1) % 4 == 0)).toDF("s", "y")
+    val bins = Stats.gainsChart(df, col("s"), col("y"), nBins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getLong(1)).sum == 300L)
+    val caps = bins.map(_.getDouble(3))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(caps.last - 1.0) < 1e-9)
+  }
+
+  test("percentileRank invariants: in [0,1], strictly monotone over distinct values") {
+    val df = (0 until 500).map(i => ((i * 29 + 13) % 157).toDouble).toDF("v")
+    val r = Stats.percentileRank(df, col("v")).orderBy("v").collect()
+    val pr = r.map(_.getDouble(2))
+    assert(pr.head == 0.0, "smallest value ranks 0")
+    // last = (N - n_max)/(N - 1): duplicates of the max keep it < 1
+    val nMax = r.last.getLong(1)
+    assert(math.abs(pr.last - (500.0 - nMax) / 499.0) < 1e-6)
+    assert(pr.forall(p => p >= 0.0 && p <= 1.0))
+    assert(pr.zip(pr.tail).forall { case (a, b) => b > a })
+  }
+
+  test("passAtK: closed form on hand cases; certainty and undefined edges") {
+    // task A: n=4, c=2, k=2 -> 1 - C(2,2)/C(4,2) = 1 - 1/6
+    val df = Seq(("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false),   // n=2, c=0, k=2 -> pass 0
+      ("C", true),                  // n=1 < k -> null
+      ("D", true), ("D", false)     // n=2, c=1 -> n-c < k -> 1.0
+    ).toDF("t", "ok")
+    val r = Stats.passAtK(df, col("t"), col("ok"), k = 2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("A").getDouble(3) - (1.0 - 1.0 / 6.0)) < 1e-6)
+    assert(r("B").getDouble(3) == 0.0)
+    assert(r("C").isNullAt(3), "n < k is undefined, not 1.0")
+    assert(r("D").getDouble(3) == 1.0, "more correct than misses than k draws")
+  }
+
+  test("cohensKappa: perfect agreement is 1; independence is ~0; disagreement negative") {
+    val perfect = (1 to 40).map(i => (i % 2 == 0, i % 2 == 0)).toDF("a", "b")
+    assert(Stats.cohensKappa(perfect, col("a"), col("b"))
+      .head.getDouble(7) == 1.0)
+    // 2x2 balanced independent: po = 0.5 = pe -> kappa 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    assert(Stats.cohensKappa(indep, col("a"), col("b")).head.getDouble(7) == 0.0)
+    val opposite = (1 to 40).map(i => (i % 2 == 0, i % 2 == 1)).toDF("a", "b")
+    assert(Stats.cohensKappa(opposite, col("a"), col("b"))
+      .head.getDouble(7) == -1.0)
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
