@@ -578,6 +578,43 @@ object ScaleCheck {
     }
   }
 
+  /** er01 cost attribution: join fan-out vs guard vs comparators. */
+  private def erScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val n = 15000L
+    val side = spark.range(n).select(col("id"),
+      (col("id") % 25).as("blk"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("name"))
+    val a = side.select(col("id").as("a_id"), col("blk"), col("name").as("a_name"))
+    val b = side.select(col("id").as("b_id"), col("blk"), col("name").as("b_name"))
+    val j = a.join(b, "blk")
+    time("join+count only")(j.count())
+    time("join+equals")(j.filter(col("a_name") === col("b_name")).count())
+    time("join+lev plain")(
+      j.filter(levenshtein(col("a_name"), col("b_name")) <= 2).count())
+    time("join+lev thresh")(
+      j.filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0).count())
+    // rowGuarded is ops-private; approximate its shape with the same
+    // window count + filter to attribute its cost
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+    val g = b.withColumn("__bn", count(lit(1)).over(cnt))
+      .filter(col("__bn") <= 1000).drop("__bn")
+    time("guarded join+lev thresh")(a.join(g, "blk")
+      .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0).count())
+    time("guarded SHJ join+lev thresh")(a.join(g.hint("shuffle_hash"), "blk")
+      .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0).count())
+    val gm = g.localCheckpoint(true)
+    time("guarded(materialized) join+lev thresh")(a.join(gm, "blk")
+      .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0).count())
+    time("guarded join only")(a.join(g, "blk").count())
+    time("guarded join+equals")(a.join(g, "blk")
+      .filter(col("a_name") === col("b_name")).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -653,6 +690,11 @@ object ScaleCheck {
     }
     if (path == "r9f") {
       r9fScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "er") {
+      erScale(spark)
       spark.stop()
       return
     }

@@ -204,7 +204,10 @@ object CorpusOps {
             idCol = "id", blockCol = "blk",
             fields = Seq(
               graft.ops.Fuzzy.LinkField("name",
-                levenshtein(col("a_name"), col("b_name")) <= 2, 0.9, 0.001),
+                // thresholded form: early-abandons the DP row once the
+                // running distance exceeds 2 (returns -1 above) — same
+                // truth as lev(a,b) <= 2 at a fraction of the cost
+                levenshtein(col("a_name"), col("b_name"), 2) >= 0, 0.9, 0.001),
               graft.ops.Fuzzy.LinkField("bal",
                 col("a_bal") === col("b_bal"), 0.95, 0.0005),
               graft.ops.Fuzzy.LinkField("seg",
