@@ -137,7 +137,15 @@ object Fuzzy {
     def side(df: DataFrame, p: String) = df.select(
       (Seq(col(idCol).as(s"${p}_$idCol"), col(blockCol).as("__blk")) ++
         fieldCols.map(f => col(f).as(s"${p}_$f"))): _*)
-    val left = side(a, "a")
+    // Parallelism floor on the STREAMED side: when the probe relation
+    // is a small-file scan (1-2 partitions), the broadcast pair join
+    // runs its whole candidate loop on those few threads — measured
+    // 18 s vs ~4 s at sf0.1 for the identical 10M-pair work. A huge
+    // probe side already has enough partitions and skips the shuffle.
+    val left0 = side(a, "a")
+    val par = a.sparkSession.sparkContext.defaultParallelism
+    val left =
+      if (left0.rdd.getNumPartitions < par) left0.repartition(par) else left0
     val right = OpsMetrics.rowGuarded(side(b, "b"), Seq("__blk"),
       maxBlock, "graft.linkage.drops")
     val joined = left.join(right, Seq("__blk"))

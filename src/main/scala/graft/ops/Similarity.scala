@@ -60,6 +60,21 @@ object Similarity {
     math.min(24, math.max(4,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
 
+  /** Metadata-filtered exact vector search (sim07) — the production
+    * serving pattern (pgvector / vector-DB "filtered ANN"): apply the
+    * metadata predicate BEFORE scoring, so top-k is computed over the
+    * eligible subset only. PRE-filtering is the correct semantics —
+    * post-filtering an unfiltered top-k silently returns < k (or
+    * zero) results whenever the filter is selective, the classic
+    * serving bug. Because the predicate lands on the corpus scan
+    * (pushed to parquet — plan-guarded), selectivity REDUCES work
+    * instead of adding a pass; at 100 TB this is the difference
+    * between scanning a partition-pruned slice and scoring the world.
+    */
+  def filteredTopK(corpus: DataFrame, predicate: org.apache.spark.sql.Column,
+                   queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, k)
+
   /** Exact top-k neighbors for each query vector (excluding itself).
     * Ranking happens on the ROUNDED similarity with id tie-breaks so
     * results are stable across engines and runs.

@@ -1251,6 +1251,30 @@ object PipelineOps {
              SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
              WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // sim07: metadata-filtered exact search — the predicate lands on
+    // the corpus scan BEFORE scoring (pre-filter semantics; a
+    // post-filtered top-k silently under-returns), oracle adds the
+    // WHERE to sim01's replay
+    NamedQuery("sim07_filtered_topk",
+      (s, d) => Similarity.filteredTopK(embs(s, d),
+          col("label") % 2 === 0,
+          embs(s, d).filter(col("vec_id") < 6), k = 5)
+        .orderBy("query_id", "rk"),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id < 6),
+             scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                 round((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(e.embedding) AS b))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q_emb) AS a, unnest(q_emb) AS b)))
+                       / sqrt((SELECT sum(a * b) FROM (SELECT unnest(e.embedding) AS a, unnest(e.embedding) AS b))), 4) AS cos_sim
+               FROM embeddings e JOIN q ON e.vec_id != q.query_id
+               WHERE e.label % 2 = 0),
+             ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+               FROM scored)
+             SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
+             WHERE rk <= 5 ORDER BY query_id, rk""")),
+
     // LSH ANN: bucket-local candidates from 2 hash tables (corpus-scaled
     // bit count), exact re-rank on the deduped candidate set; oracle
     // reproduces the md5-derived hyperplanes + ranking

@@ -629,6 +629,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("sim07: the metadata predicate reaches the corpus parquet scan") {
+    val p = planOf("sim07_filtered_topk")
+    assert(p.contains("PushedFilters") &&
+      p.split("PushedFilters").exists(s => s.take(200).contains("label")),
+      s"filter not pushed to the corpus scan: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("ts05: the K lag terms share ONE keyed window exchange") {
     import org.apache.spark.sql.functions.col
     val p = ops.Analytics.ewmaSmooth(Tables.load(spark, dir, "events"),
