@@ -444,10 +444,18 @@ object Analytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = bi.select(col("bk")).distinct().count()
     val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-    val pairs = bi.as("a")
-      .join(bi.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+    // pairs via group-collect + the NATIVE pair-combination codegen
+    // expression (sorted set ⇒ index order == a < b order): one (bk)
+    // aggregate with map-side partial collects, pairs materialize
+    // map-side straight into the (item_a, item_b) partial agg — no
+    // self-join, no buffered many-to-many merge scan, and no
+    // interpreted HOF lambdas in the hot loop
+    graft.functions.ArrayFunctions.register(df.sparkSession)
+    val pairs = bi.groupBy(col("bk"))
+      .agg(array_sort(collect_set(col("it"))).as("__m"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(col("__m")))
+        .as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
     // item-count join-back: no broadcast hint — the item table is
@@ -489,9 +497,15 @@ object Analytics {
         "graft.item_cosine")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val itemN = ui.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
-    val co = ui.as("a")
-      .join(ui.as("b"), col("a.u") === col("b.u") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("i"), col("b.it").as("j"))
+    // group-collect + native pair-combination codegen (basketLift's
+    // rationale): the per-user item set is guard-bounded, so the
+    // explode is ≤ maxItemsPerUser²/2 per user, map-side, tight loop
+    graft.functions.ArrayFunctions.register(df.sparkSession)
+    val co = ui.groupBy(col("u"))
+      .agg(array_sort(collect_set(col("it"))).as("__m"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(col("__m")))
+        .as("__p"))
+      .groupBy(col("__p.a").as("i"), col("__p.b").as("j"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     // mirror so every item sees its full neighbor list

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** PairCombinations: the native in-bucket pair generator must agree
+  * exactly with the composed HOF form it replaced, across element
+  * types and edge shapes, in both interpreted eval and codegen.
+  */
+class ArrayExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofPairs(c: org.apache.spark.sql.Column) =
+    flatten(transform(c, a =>
+      filter(transform(c, b => when(a < b, struct(a.as("a"), b.as("b")))),
+        x => x.isNotNull)))
+
+  test("pair_combos == composed HOF form on sorted distinct longs") {
+    ArrayFunctions.register(spark)
+    val df = Seq(Seq(1L, 3L, 7L, 9L), Seq(2L), Seq.empty[Long], Seq(5L, 6L))
+      .toDF("m").select(array_sort(col("m")).as("m"))
+    val native = df.select(ArrayFunctions.pair_combos(col("m")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getLong(0), r.getLong(1))))
+    val hof = df.select(hofPairs(col("m")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getLong(0), r.getLong(1))))
+    assert(native.map(_.toSet).toSeq == hof.map(_.toSet).toSeq)
+    assert(native.head == Seq((1L, 3L), (1L, 7L), (1L, 9L), (3L, 7L),
+      (3L, 9L), (7L, 9L)), "index order on a sorted array is a<b order")
+    assert(native(1).isEmpty && native(2).isEmpty, "singleton/empty yield no pairs")
+  }
+
+  test("pair_combos on strings") {
+    ArrayFunctions.register(spark)
+    val r = Seq(Seq("b", "a", "c")).toDF("m")
+      .select(ArrayFunctions.pair_combos(array_sort(col("m"))).as("p"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("pair_combos survives an aggregation pipeline (explode + count)") {
+    ArrayFunctions.register(spark)
+    // three buckets of sizes 4, 3, 1 -> 6 + 3 + 0 pairs
+    val df = Seq((1, 10L), (1, 20L), (1, 30L), (1, 40L),
+      (2, 10L), (2, 50L), (2, 60L), (3, 99L)).toDF("k", "v")
+    val n = df.groupBy("k").agg(array_sort(collect_set(col("v"))).as("m"))
+      .select(explode(ArrayFunctions.pair_combos(col("m"))))
+      .count()
+    assert(n == 9L)
+  }
+}
