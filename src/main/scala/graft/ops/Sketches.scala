@@ -193,6 +193,45 @@ object Sketches {
         round(col("estimate"), 4).as("estimate"))
   }
 
+  /** KMV set-overlap estimate (kmv02) — Jaccard / intersection size
+    * between two key sets WITHOUT joining them (Beyer et al. 2007):
+    * take the k minimum hash values of the DISTINCT union with
+    * membership flags; Ĵ = |{v ∈ K_k : v ∈ A ∧ v ∈ B}| / k, the
+    * union size from kmv01's (k−1)/u₍k₎, intersection = Ĵ·union. The
+    * 100 TB pre-join audit: "how much do these two 10¹⁰-key sets
+    * overlap" from two scans + a k-row TakeOrdered, md5-deterministic
+    * so an oracle replays the ESTIMATE exactly (vs HLL's tolerance
+    * bound).
+    */
+  def kmvOverlap(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                 k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2: $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(keyA.cast("string").as("v"),
+        lit(1).as("ia"), lit(0).as("ib"))
+      .unionAll(b.select(keyB.cast("string").as("v"),
+        lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy(col("v"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val u = conv(substring(md5(col("v")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val mins = tagged.select(u.as("u"), col("ia"), col("ib"))
+      .orderBy(col("u")).limit(k).collect()
+    require(mins.length == k,
+      s"kmvOverlap: fewer than k=$k distinct union keys (${mins.length}) — join exactly")
+    val nBoth = mins.count(r => r.getInt(1) == 1 && r.getInt(2) == 1).toLong
+    val uk = mins.last.getDouble(0)
+    val jac = nBoth.toDouble / k
+    val unionEst = (k - 1) / uk
+    Seq((k.toLong, nBoth, jac, unionEst, jac * unionEst))
+      .toDF("k", "n_both", "jaccard_est", "union_est", "intersection_est")
+      .select(col("k"), col("n_both"),
+        round(col("jaccard_est"), 6).as("jaccard_est"),
+        round(col("union_est"), 4).as("union_est"),
+        round(col("intersection_est"), 4).as("intersection_est"))
+  }
+
   /** Bloom-filter membership audit (bf02) — build a Bloom filter over
     * a build-side key set (Spark's native `bloom_filter_agg`, the
     * same sketch the engine injects for runtime join filtering) and

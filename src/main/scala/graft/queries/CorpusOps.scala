@@ -136,6 +136,37 @@ object CorpusOps {
                true, true FROM orders
              ORDER BY probe_set""")),
 
+    // kmv02: KMV set-overlap estimate — customer keys vs the ordering
+    // customer FK set, Jaccard/union/intersection from the 64 minimum
+    // md5 draws of the flagged union; deterministic, so the oracle
+    // replays the estimate EXACTLY (not a tolerance bound)
+    NamedQuery("kmv02_set_overlap",
+      (s, d) => Sketches.kmvOverlap(
+        Tables.load(s, d, "orders"), col("o_custkey"),
+        Tables.load(s, d, "customer"), col("c_custkey"), k = 64),
+      Some("""WITH un AS (
+                SELECT CAST(v AS VARCHAR) AS v,
+                  max(ia) AS ia, max(ib) AS ib
+                FROM (
+                  SELECT o_custkey AS v, 1 AS ia, 0 AS ib FROM orders
+                  UNION ALL
+                  SELECT c_custkey, 0, 1 FROM customer)
+                GROUP BY 1),
+              h AS (SELECT ia, ib,
+                  CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) / 4294967296.0
+                    AS u
+                FROM un),
+              kk AS (SELECT * FROM h ORDER BY u LIMIT 64),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(ia * ib) AS BIGINT) AS n_both,
+                  max(u) AS u_k FROM kk)
+             SELECT k, n_both,
+               round(n_both / CAST(k AS DOUBLE), 6) AS jaccard_est,
+               round((k - 1) / u_k, 4) AS union_est,
+               round((n_both / CAST(k AS DOUBLE)) * ((k - 1) / u_k), 4)
+                 AS intersection_est
+             FROM agg""")),
+
     // lp01: deterministic label propagation (4 synchronous rounds,
     // min-label ties) over the symmetrized customer↔supplier trade
     // graph (pr01's edge set); the oracle unrolls the rounds as

@@ -422,6 +422,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       .head.getDouble(7) == -1.0)
   }
 
+  test("kmvOverlap: disjoint sets estimate 0; identical sets estimate 1; subset lands between") {
+    val a = (1L to 500L).toDF("v")
+    val b = (1001L to 1500L).toDF("v")
+    val dis = Sketches.kmvOverlap(a, col("v"), b, col("v"), k = 64).head
+    assert(dis.getLong(1) == 0L && dis.getDouble(2) == 0.0)
+    val same = Sketches.kmvOverlap(a, col("v"), a, col("v"), k = 64).head
+    assert(same.getLong(1) == 64L && same.getDouble(2) == 1.0)
+    // subset: |A∩B|/|A∪B| = 250/500 = 0.5; k=64 draws put the
+    // estimate in a wide but one-sided-safe band
+    val sub = Sketches.kmvOverlap(a, col("v"),
+      (1L to 250L).toDF("v"), col("v"), k = 64).head
+    assert(sub.getDouble(2) > 0.25 && sub.getDouble(2) < 0.75,
+      s"jaccard estimate ${sub.getDouble(2)} implausible for truth 0.5")
+    assert(math.abs(sub.getDouble(3) - 500.0) < 250.0,
+      s"union estimate ${sub.getDouble(3)} implausible for truth 500")
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
