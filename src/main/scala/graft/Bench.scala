@@ -145,7 +145,18 @@ object Bench {
         .find(_.startsWith("Cached:"))
         .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
       catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line; vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    // 1-minute load average at the end of the run: an external load
+    // episode mid-pass is the main source of outlier totals (observed:
+    // warm 207 s > cold 158 s with load ~3 from outside this JVM)
+    val load1m: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0)
+      catch { case _: Throwable => "-1" }
+    // best-of-both-passes total: per-query min(cold, warm). Immune to
+    // a one-pass interference spike; the headline stays the plain
+    // second-pass warm total for continuity with earlier rounds.
+    val minTotal = results.map { case (k, v) =>
+      math.min(v, cold.getOrElse(k, v)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"queries":$slowest,"queries_are":"slowest 8 warm of n; full warm/cold dicts on the detail line; vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }
