@@ -578,6 +578,67 @@ object ScaleCheck {
     }
   }
 
+  /** Late session-5 probes: post-fix linkage scale, Bloom
+    * decontamination growth, KMV overlap over large key sets.
+    */
+  private def r9gScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // er01 shape ×1/×4: n records over n/600 blocks (fixed 600-member
+    // blocks ⇒ pair work ∝ records) with the dirtied-copy comparators
+    for (m <- Seq(1, 4)) {
+      val n = 15000L * m
+      def side(dirty: Boolean) = {
+        val base = spark.range(n).select(col("id"),
+          (col("id") % (n / 600)).as("blk"),
+          concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
+            .as("name0"),
+          (col("id") % 1000).cast("double").as("bal0"),
+          (col("id") % 5).cast("string").as("seg0"))
+        base.select(col("id"), col("blk"),
+          (if (dirty) when(col("id") % 13 === 0, reverse(col("name0")))
+            .when(col("id") % 7 === 0, concat(col("name0"), lit("x")))
+            .otherwise(col("name0")) else col("name0")).as("name"),
+          (if (dirty) when(col("id") % 11 === 0, col("bal0") + 1000.0)
+            .otherwise(col("bal0")) else col("bal0")).as("bal"),
+          (if (dirty) when(col("id") % 5 === 0, lit("OTHER"))
+            .otherwise(col("seg0")) else col("seg0")).as("seg"))
+      }
+      time(s"er01 x$m records=$n")(graft.ops.Fuzzy.fellegiSunter(
+        side(false), side(true), "id", "blk",
+        Seq(graft.ops.Fuzzy.LinkField("name",
+            levenshtein(col("a_name"), col("b_name"), 2) >= 0, 0.9, 0.001),
+          graft.ops.Fuzzy.LinkField("bal",
+            col("a_bal") === col("b_bal"), 0.95, 0.0005),
+          graft.ops.Fuzzy.LinkField("seg",
+            col("a_seg") === col("b_seg"), 0.9, 0.2)),
+        Seq("name", "bal", "seg"), threshold = 5.0, maxBlock = 1000).count())
+    }
+    // dc02 ×1/×4: corpus of 200-token docs vs a 100-doc eval set;
+    // the clean bulk must stay scan-speed
+    for (m <- Seq(1, 4)) {
+      val n = 50000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(199)),
+          i => concat(lit("w"), pmod(col("id") * 101 + i * 13, lit(50000)))))
+          .as("text"))
+      val eval = docs.filter(col("doc_id") % (n / 100) === 0)
+      time(s"dc02 x$m docs=$n")(graft.ops.Curation.bloomDecontaminate(
+        docs, eval, n = 13).filter(col("contaminated")).count())
+    }
+    // kmv02 over 10M/40M-key sets (50% overlap by construction)
+    for (m <- Seq(1, 4)) {
+      val n = 10000000L * m
+      val a = spark.range(n).toDF("v")
+      val b = spark.range(n / 2, n + n / 2).toDF("v")
+      time(s"kmv02 x$m keys=$n")(graft.ops.Sketches.kmvOverlap(
+        a, col("v"), b, col("v"), k = 64).count())
+    }
+  }
+
   /** er01 cost attribution: join fan-out vs guard vs comparators. */
   private def erScale(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
@@ -695,6 +756,11 @@ object ScaleCheck {
     }
     if (path == "er") {
       erScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r9g") {
+      r9gScale(spark)
       spark.stop()
       return
     }

@@ -625,6 +625,57 @@ object Stats {
       when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** McNemar's test (ev13) — are two classifiers' error patterns
+    * different, judged on the DISAGREEMENT cells only: b = A right &
+    * B wrong, c = A wrong & B right, continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) ~ χ²₁. The paired test is the published way to
+    * compare classifiers on one test set (accuracy deltas ignore the
+    * pairing). ONE aggregate of integer cells; b+c = 0 (identical
+    * error patterns) yields a null statistic rather than 0/0.
+    */
+  def mcnemar(df: DataFrame, truth: Column, predA: Column,
+              predB: Column): DataFrame = {
+    val okA = predA === truth
+    val okB = predB === truth
+    val cells = df.filter(truth.isNotNull && predA.isNotNull && predB.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("c"),
+        sum(when(okA, 1L).otherwise(0L)).as("n_ok_a"),
+        sum(when(okB, 1L).otherwise(0L)).as("n_ok_b"))
+    cells.select(col("n"), col("n_ok_a"), col("n_ok_b"), col("b"), col("c"),
+      when(col("b") + col("c") > 0, round(
+        (abs(col("b") - col("c")) - lit(1.0)) *
+          (abs(col("b") - col("c")) - lit(1.0)) /
+          (col("b") + col("c")).cast("double"), 6)).as("chi2_stat"))
+  }
+
+  /** Weight-of-evidence / information-value encoding (ft06) — the
+    * credit-scoring standard (Siddiqi): per category,
+    * WOE = ln((neg_i/negT)/(pos_i/posT)) with add-half smoothing so
+    * empty cells stay finite, IV_i = (neg_i/negT − pos_i/posT)·WOE.
+    * WOE is also a leakage-prone-free alternative categorical encoder
+    * (pairs with enc01's leave-one-out). One groupBy; totals fold
+    * back as literals (never an unpartitioned window).
+    */
+  def woeIv(df: DataFrame, category: Column, positive: Column): DataFrame = {
+    val base = df.filter(positive.isNotNull)
+      .select(category.as("category"), positive.as("y"))
+    val t = base.agg(sum(when(col("y"), 1L).otherwise(0L)),
+      sum(when(col("y"), 0L).otherwise(1L))).head
+    val (posT, negT) = (t.getLong(0), t.getLong(1))
+    require(posT > 0 && negT > 0,
+      s"woeIv needs both classes (got $posT pos / $negT neg)")
+    val per = base.groupBy(col("category"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+    val pShare = (col("n_pos") + 0.5) / lit(posT + 1.0)
+    val nShare = (col("n_neg") + 0.5) / lit(negT + 1.0)
+    per.select(col("category"), col("n_pos"), col("n_neg"),
+      round(log(nShare / pShare), 6).as("woe"),
+      round((nShare - pShare) * log(nShare / pShare), 6).as("iv"))
+  }
+
   /** Distributed logistic regression by full-batch gradient descent
     * with a FIXED step count (lr02) — the classifier-fit companion to
     * linearFit's closed form (the logistic MLE has none). Weights

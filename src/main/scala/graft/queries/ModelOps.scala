@@ -580,6 +580,55 @@ object ModelOps {
                    (1.0 - (((n11 + n10)/CAST(n AS DOUBLE)) * ((n11 + n01)/CAST(n AS DOUBLE)) +
                     ((n01 + n00)/CAST(n AS DOUBLE)) * ((n10 + n00)/CAST(n AS DOUBLE)))), 6)
                END AS kappa
-             FROM c"""))
+             FROM c""")),
+
+    // ev13: McNemar's paired classifier comparison — two derived
+    // classifiers vs truth; statistic from the integer disagreement
+    // cells only, one aggregate
+    NamedQuery("ev13_mcnemar",
+      (s, d) => Stats.mcnemar(Tables.load(s, d, "embeddings"),
+        col("label") < 5,
+        element_at(col("embedding"), 1) > 0,
+        element_at(col("embedding"), 2) > 0),
+      Some("""WITH p AS (SELECT (label < 5) AS t,
+                  (embedding[1] > 0) AS pa, (embedding[2] > 0) AS pb
+                FROM embeddings
+                WHERE label IS NOT NULL AND embedding IS NOT NULL),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN pa = t THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_a,
+                  CAST(sum(CASE WHEN pb = t THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_b,
+                  CAST(sum(CASE WHEN pa = t AND pb <> t THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN pa <> t AND pb = t THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM p)
+             SELECT n, n_ok_a, n_ok_b, b, c,
+               CASE WHEN b + c > 0 THEN round(
+                 (abs(b - c) - 1.0) * (abs(b - c) - 1.0) /
+                   CAST(b + c AS DOUBLE), 6) END AS chi2_stat
+             FROM c""")),
+
+    // ft06: weight-of-evidence / information value per order priority
+    // against the F-status outcome — add-half smoothing, totals as
+    // literals, one groupBy
+    NamedQuery("ft06_woe_iv",
+      (s, d) => Stats.woeIv(Tables.load(s, d, "orders"),
+          col("o_orderpriority"), col("o_orderstatus") === "F")
+        .orderBy("category"),
+      Some("""WITH b AS (SELECT o_orderpriority AS category,
+                  (o_orderstatus = 'F') AS y FROM orders),
+              t AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+                  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nt
+                FROM b),
+              g AS (SELECT category,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                FROM b GROUP BY 1)
+             SELECT category, n_pos, n_neg,
+               round(ln(((n_neg + 0.5)/(t.nt + 1.0)) /
+                        ((n_pos + 0.5)/(t.pt + 1.0))), 6) AS woe,
+               round((((n_neg + 0.5)/(t.nt + 1.0)) -
+                      ((n_pos + 0.5)/(t.pt + 1.0))) *
+                 ln(((n_neg + 0.5)/(t.nt + 1.0)) /
+                    ((n_pos + 0.5)/(t.pt + 1.0))), 6) AS iv
+             FROM g CROSS JOIN t ORDER BY category"""))
   )
 }

@@ -439,6 +439,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"union estimate ${sub.getDouble(3)} implausible for truth 500")
   }
 
+  test("mcnemar: hand cells; identical error patterns give null statistic") {
+    // truth all true; A right on 6 of 8; B right on 4 of 8 with
+    // b (A-only-right) = 3, c (B-only-right) = 1
+    val df = Seq(
+      (true, true, true), (true, true, true), (true, true, true),
+      (true, true, false), (true, true, false), (true, true, false),
+      (true, false, true), (true, false, false)
+    ).toDF("t", "pa", "pb")
+    val r = Stats.mcnemar(df, col("t"), col("pa"), col("pb")).head
+    assert(r.getLong(3) == 3 && r.getLong(4) == 1)
+    // ((|3-1|-1)^2)/(3+1) = 1/4
+    assert(r.getDouble(5) == 0.25)
+    val same = Stats.mcnemar(df, col("t"), col("pa"), col("pa")).head
+    assert(same.isNullAt(5), "no disagreement -> undefined, not 0/0")
+  }
+
+  test("woeIv: a perfectly clean category gets positive WOE; uninformative is ~0") {
+    val df = Seq(
+      ("clean", false), ("clean", false), ("clean", false), ("clean", false),
+      ("bad", true), ("bad", true), ("bad", true), ("bad", true),
+      ("mixed", true), ("mixed", false), ("mixed", true), ("mixed", false)
+    ).toDF("cat", "y")
+    val r = Stats.woeIv(df, col("cat"), col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("clean").getDouble(3) > 1.0, "all-good category: strongly positive WOE")
+    assert(r("bad").getDouble(3) < -1.0, "all-bad category: strongly negative WOE")
+    assert(math.abs(r("mixed").getDouble(3)) < 0.2, "balanced category ~0")
+    assert(r.values.forall(_.getDouble(4) >= 0.0), "IV contributions are non-negative")
+    intercept[IllegalArgumentException] {
+      Stats.woeIv(df.filter(col("y")), col("cat"), col("y"))
+    }
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
