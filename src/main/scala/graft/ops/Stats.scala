@@ -625,6 +625,40 @@ object Stats {
       when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Expected calibration error + Brier score (ev14) — the two
+    * headline probability-quality numbers (Guo et al. 2017; Brier
+    * 1950): ECE = Σ_b (n_b/N)·|acc_b − conf_b| over equal-width
+    * confidence bins (the same explicit-floor binning as
+    * calibrationBins, normalized confidences), Brier = mean
+    * (conf − y)². One per-bin aggregate (bins-cardinality rows) plus
+    * one scalar aggregate; range literals fold back like ev02.
+    */
+  def calibrationError(df: DataFrame, score: Column, label: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+    val mm = base.agg(min(col("s")), max(col("s"))).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    require(hi > lo, "calibrationError needs a non-constant score")
+    val conf = (col("s") - lo) / (hi - lo)
+    val bin = least(floor((col("s") - lo) / (hi - lo) * bins) + 1,
+      lit(bins.toLong)).cast("long")
+    val perBin = base.withColumn("conf", conf).withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("conf")).as("s_conf"),
+        sum(col("y")).as("n_pos"),
+        sum((col("conf") - col("y")) * (col("conf") - col("y"))).as("sq"))
+    perBin.agg(sum(col("n")).as("n"),
+        sum(abs(col("n_pos").cast("double") / col("n") -
+          col("s_conf") / col("n")) * col("n")).as("__ece_num"),
+        sum(col("sq")).as("__sq"))
+      .select(col("n"),
+        round(col("__ece_num") / col("n"), 6).as("ece"),
+        round(col("__sq") / col("n"), 6).as("brier"))
+  }
+
   /** McNemar's test (ev13) — are two classifiers' error patterns
     * different, judged on the DISAGREEMENT cells only: b = A right &
     * B wrong, c = A wrong & B right, continuity-corrected statistic

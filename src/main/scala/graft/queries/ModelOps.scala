@@ -629,6 +629,30 @@ object ModelOps {
                       ((n_pos + 0.5)/(t.pt + 1.0))) *
                  ln(((n_neg + 0.5)/(t.nt + 1.0)) /
                     ((n_pos + 0.5)/(t.pt + 1.0))), 6) AS iv
-             FROM g CROSS JOIN t ORDER BY category"""))
+             FROM g CROSS JOIN t ORDER BY category""")),
+
+    // ev14: expected calibration error + Brier score over ev02's
+    // explicit-floor bins and min-max-normalized confidences
+    NamedQuery("ev14_calibration_error",
+      (s, d) => Stats.calibrationError(Tables.load(s, d, "embeddings"),
+        element_at(col("embedding"), 1), col("label") < 5, bins = 10),
+      Some("""WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+                FROM embeddings
+                WHERE label IS NOT NULL AND embedding IS NOT NULL),
+              mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM b),
+              nb AS (SELECT (sc - lo)/(hi - lo) AS conf, y,
+                  least(CAST(floor((sc - lo)/(hi - lo) * 10) AS BIGINT) + 1,
+                    10) AS bin
+                FROM b CROSS JOIN mm),
+              g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  sum(conf) AS s_conf, CAST(sum(y) AS BIGINT) AS n_pos,
+                  sum((conf - y) * (conf - y)) AS sq
+                FROM nb GROUP BY 1)
+             SELECT CAST(sum(n) AS BIGINT) AS n,
+               round(sum(abs(CAST(n_pos AS DOUBLE)/n - s_conf/n) * n)
+                 / sum(n), 6) AS ece,
+               round(sum(sq) / sum(n), 6) AS brier
+             FROM g"""))
   )
 }

@@ -472,6 +472,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrationError: a perfectly calibrated score has ~0 ECE; an anti-calibrated one is large") {
+    // conf c in {0.05,...,0.95}; y = 1 with EXACT per-bin rate c:
+    // 20 rows per bin, round(c*20) positives
+    val rows = for {
+      b <- 0 until 10; i <- 0 until 20
+      c = b / 10.0 + 0.05
+    } yield (c, i < math.round(c * 20).toInt)
+    val good = rows.toDF("s", "y")
+    val g = Stats.calibrationError(good, col("s"), col("y"), bins = 10).head
+    assert(g.getLong(0) == 200)
+    // normalized confidences shift the bin means slightly; stays small
+    assert(g.getDouble(1) < 0.12, s"ECE ${g.getDouble(1)} too large for calibrated data")
+    val bad = rows.map { case (c, y) => (c, !y) }.toDF("s", "y")
+    val bd = Stats.calibrationError(bad, col("s"), col("y"), bins = 10).head
+    assert(bd.getDouble(1) > 0.3, "inverted labels must show large ECE")
+    assert(bd.getDouble(2) > g.getDouble(2), "Brier worsens with miscalibration")
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
