@@ -625,6 +625,44 @@ object Stats {
       when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Quantile normalization (qn01) — map column A's values onto
+    * reference distribution B: each value is replaced by B's quantile
+    * at A's percentile rank (the batch-effect harmonization standard,
+    * Bolstad et al. 2003 generalized to unequal sizes). A's ranks
+    * come from the bucketed prefix sum (no global-rank window); B is
+    * summarized as an exact interpolated quantile GRID of `grid`+1
+    * points (one aggregate, broadcast back), and the mapping is a
+    * scan-speed linear interpolation within the grid cell — error
+    * bounded by one grid cell (qs01's histogram-quantile trade; raise
+    * `grid` to tighten). Power-of-two grids keep the fraction
+    * literals exact binary, so both engines floor the same doubles.
+    *
+    * Output: one row per DISTINCT A value — (v, n, pct_rank,
+    * normalized); join back on v for per-row features.
+    */
+  def quantileNormalize(a: DataFrame, valueA: Column,
+                        b: DataFrame, valueB: Column,
+                        grid: Int = 256, buckets: Int = 1024): DataFrame = {
+    require(grid >= 2 && grid <= 65536 && (grid & (grid - 1)) == 0,
+      s"grid must be a power of two in [2, 65536]: $grid")
+    val fracs = (0 to grid).map(i => i.toDouble / grid)
+    val bq = b.filter(valueB.isNotNull)
+      .select(valueB.cast("double").as("bv"))
+      .agg(expr(s"percentile(bv, array(${fracs.mkString(",")}))").as("__bq"))
+    val ranked = percentileRank(a, valueA, buckets)
+    val h = col("pct_rank") * grid
+    val i = least(floor(h).cast("int"), lit(grid - 1))
+    val frac = h - i
+    ranked.crossJoin(broadcast(bq))
+      .select(col("v"), col("n"), col("pct_rank"),
+        // round 4: magnitudes follow B's value scale, so 6 decimals
+        // would demand ~11 significant digits — past the cross-engine
+        // percentile agreement (the verify gotcha list's rule)
+        round(element_at(col("__bq"), i + 1) +
+          frac * (element_at(col("__bq"), i + 2) -
+            element_at(col("__bq"), i + 1)), 4).as("normalized"))
+  }
+
   /** Expected calibration error + Brier score (ev14) — the two
     * headline probability-quality numbers (Guo et al. 2017; Brier
     * 1950): ECE = Σ_b (n_b/N)·|acc_b − conf_b| over equal-width

@@ -653,6 +653,46 @@ object ModelOps {
                round(sum(abs(CAST(n_pos AS DOUBLE)/n - s_conf/n) * n)
                  / sum(n), 6) AS ece,
                round(sum(sq) / sum(n), 6) AS brier
-             FROM g"""))
+             FROM g""")),
+
+    // qn01: quantile normalization — line prices mapped onto the
+    // order-total distribution via a 64-cell exact-quantile grid
+    // (power-of-two fractions are exact binary, q43 pinned the
+    // percentile parity); ranks from the bucketed prefix sum
+    NamedQuery("qn01_quantile_normalize",
+      (s, d) => Stats.quantileNormalize(
+          Tables.load(s, d, "lineitem").filter(col("l_partkey") % 50 === 0),
+          col("l_extendedprice"),
+          Tables.load(s, d, "orders"), col("o_totalprice"), grid = 64)
+        .orderBy("v"),
+      Some {
+        val fr = (0 to 64).map(i => i.toDouble / 64).mkString(", ")
+        s"""WITH a AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+               FROM lineitem
+               WHERE l_partkey % 50 = 0 AND l_extendedprice IS NOT NULL),
+            g AS (SELECT v, CAST(count(*) AS BIGINT) AS n
+                  FROM a GROUP BY 1),
+            c AS (SELECT v, n, coalesce(sum(n) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cb,
+                (SELECT CAST(count(*) AS BIGINT) FROM a) AS tot
+              FROM g),
+            r AS (SELECT v, n,
+                round(cb / CAST(tot - 1 AS DOUBLE), 6) AS pct_rank
+              FROM c),
+            bq AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                [$fr]) AS q
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            m AS (SELECT v, n, pct_rank,
+                least(CAST(floor(pct_rank * 64) AS BIGINT), 63) AS i,
+                pct_rank * 64 - least(CAST(floor(pct_rank * 64) AS BIGINT), 63)
+                  AS frac
+              FROM r)
+           SELECT v, n, pct_rank,
+             round(q[CAST(i + 1 AS INTEGER)] +
+               frac * (q[CAST(i + 2 AS INTEGER)] - q[CAST(i + 1 AS INTEGER)]),
+               4) AS normalized
+           FROM m CROSS JOIN bq ORDER BY v"""
+      })
   )
 }

@@ -255,7 +255,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val hot = (1 to 30).map(i => (100L + i, "b1", s"n$i", "t")).toDF("id", "blk", "name", "tag")
     val guarded = Fuzzy.fellegiSunter(a, b.union(hot), "id", "blk", fields,
       Seq("name", "tag"), threshold = 5.0, maxBlock = 10).collect()
-    assert(guarded.isEmpty || guarded.forall(_.getLong(1) > 13L == false))
+    assert(guarded.forall(_.getLong(1) <= 13L),
+      "members of the dropped hot block must never appear in pairs")
     assert(OpsMetrics.lastDrops("graft.linkage.drops").exists(_._1 >= 1L))
   }
 
@@ -488,6 +489,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     val bd = Stats.calibrationError(bad, col("s"), col("y"), bins = 10).head
     assert(bd.getDouble(1) > 0.3, "inverted labels must show large ECE")
     assert(bd.getDouble(2) > g.getDouble(2), "Brier worsens with miscalibration")
+  }
+
+  test("quantileNormalize: uniform-to-uniform mapping is affine; endpoints land on B's extremes") {
+    val a = (1 to 101).map(_.toDouble).toDF("v")
+    val b = (0 to 1000).map(i => 2000.0 + i).toDF("v")
+    val r = Stats.quantileNormalize(a, col("v"), b, col("v"), grid = 64)
+      .orderBy("v").collect()
+    assert(r.head.getDouble(3) == 2000.0, "min maps to B's min")
+    assert(r.last.getDouble(3) == 3000.0, "max maps to B's max")
+    // interior: pr of value k is (k-1)/100; target ~ 2000 + pr*1000,
+    // within one grid cell of error
+    r.foreach { row =>
+      val pr = row.getDouble(2)
+      val expect = 2000.0 + pr * 1000.0
+      assert(math.abs(row.getDouble(3) - expect) < 1000.0 / 64 + 1e-6,
+        s"v=${row.getDouble(0)} got ${row.getDouble(3)} want ~$expect")
+    }
   }
 
   test("ewmaSmooth: series start is exact and weights renormalize") {
