@@ -696,6 +696,37 @@ object Analytics {
       round(col(s"s$l") / col("s0"), 4).as("acf")))
     out.reduce(_ union _)
   }
+  /** A/B power readout (ab03) — the minimum detectable effect for a
+    * two-sample mean comparison at significance `alpha` (two-sided)
+    * and target `power`: MDE = (z_{1−α/2} + z_{power}) ·
+    * √(s_A²/n_A + s_B²/n_B), plus the relative MDE against the
+    * control mean — the "how long must this experiment run" number
+    * every experimentation platform reports. Variant assignment is
+    * the caller's (typically the md5 split abReadout uses). ONE
+    * two-group aggregate; z constants are fixed literals, so the
+    * whole readout replays exactly.
+    */
+  def minDetectableEffect(df: DataFrame, isTreatment: Column,
+                          value: Column, zAlpha: Double = 1.959963984540054,
+                          zPower: Double = 0.8416212335729143): DataFrame = {
+    val base = df.filter(value.isNotNull)
+      .select(isTreatment.as("t"), value.cast("double").as("v"))
+    val g = base.agg(
+      sum(when(!col("t"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_b"),
+      avg(when(!col("t"), col("v"))).as("mean_a"),
+      avg(when(col("t"), col("v"))).as("mean_b"),
+      variance(when(!col("t"), col("v"))).as("var_a"),
+      variance(when(col("t"), col("v"))).as("var_b"))
+    val mde = lit(zAlpha + zPower) *
+      sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+    g.select(col("n_a"), col("n_b"),
+      round(col("mean_a"), 4).as("mean_a"),
+      round(col("mean_b"), 4).as("mean_b"),
+      round(mde, 6).as("mde_abs"),
+      round(mde / col("mean_a"), 6).as("mde_rel"))
+  }
+
   /** Bounded-horizon EWMA smoothing (ts05) — the exponentially-
     * weighted moving average as a per-row FEATURE (rollingAnomaly's
     * uniform window, but recency-weighted). True EWMA is a sequential

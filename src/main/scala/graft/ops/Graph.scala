@@ -269,6 +269,59 @@ object Graph {
     visited
   }
 
+  /** HITS hubs & authorities (hits01, Kleinberg 1999) — PageRank's
+    * sibling link-analysis scoring: authority(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ authority(v) over out-edges, L2-normalized
+    * each round, FIXED iteration count (pr01's determinism contract —
+    * the power iteration is a contraction on the unit sphere, so
+    * float-sum reordering stays at epsilon and gates round at 6).
+    *
+    * Scale shape: per round, two keyed join+aggregate passes over the
+    * edge list (authority from hubs, then hubs from authorities) plus
+    * one scalar-aggregate norm folded back as a literal — NEVER a
+    * normalization window. Rounds are flat-checkpointed; driver work
+    * is two doubles per round.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var scores = nodes.withColumn("hub", lit(1.0))
+      .withColumn("auth", lit(1.0)).transform(flat)
+    for (_ <- 1 to iters) {
+      val auth0 = e.join(scores.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a0"))
+      val aNorm = math.sqrt(
+        auth0.agg(sum(col("a0") * col("a0"))).head.getDouble(0))
+      val auth = nodes
+        .join(auth0.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("a0"), lit(0.0)) / aNorm).as("auth"))
+      val hub0 = e.join(auth.select(col("node").as("dst"),
+          col("auth").as("__a")), "dst")
+        .groupBy(col("src")).agg(sum(col("__a")).as("h0"))
+      val hNorm = math.sqrt(
+        hub0.agg(sum(col("h0") * col("h0"))).head.getDouble(0))
+      scores = nodes
+        .join(hub0.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .join(auth.withColumnRenamed("auth", "__auth"), Seq("node"))
+        .select(col("node"),
+          (coalesce(col("h0"), lit(0.0)) / hNorm).as("hub"),
+          col("__auth").as("auth"))
+        .transform(flat)
+    }
+    e.unpersist(); nodes.unpersist()
+    scores
+  }
+
   /** Deterministic synchronous label propagation (lp01) — the
     * near-linear community detector (Raghavan et al. 2007): every
     * node starts as its own community; each round it adopts the MOST

@@ -877,6 +877,35 @@ object AnalysisOps {
                round(stddev_samp(m), 6) AS se
              FROM m CROSS JOIN o GROUP BY o.n, o.mean""")),
 
+    // ab03: minimum detectable effect for the md5-split experiment —
+    // one two-group aggregate, fixed z literals, replayed exactly
+    NamedQuery("ab03_min_detectable_effect",
+      (s, d) => Analytics.minDetectableEffect(
+        Tables.load(s, d, "events"),
+        substring(md5(concat_ws("#", lit("exp1"),
+          col("user_id").cast("string"))), 1, 8) >= lit("80000000"),
+        col("value")),
+      Some("""WITH b AS (SELECT
+                  (substr(md5('exp1#' || CAST(user_id AS VARCHAR)), 1, 8)
+                    >= '80000000') AS t,
+                  CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+              g AS (SELECT
+                  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  avg(CASE WHEN t THEN NULL ELSE v END) AS mean_a,
+                  avg(CASE WHEN t THEN v END) AS mean_b,
+                  var_samp(CASE WHEN t THEN NULL ELSE v END) AS var_a,
+                  var_samp(CASE WHEN t THEN v END) AS var_b
+                FROM b)
+             SELECT n_a, n_b, round(mean_a, 4) AS mean_a,
+               round(mean_b, 4) AS mean_b,
+               round(ZSUMe0 * sqrt(var_a/n_a + var_b/n_b), 6) AS mde_abs,
+               round(ZSUMe0 * sqrt(var_a/n_a + var_b/n_b) / mean_a, 6)
+                 AS mde_rel
+             FROM g""".replace("ZSUM",
+        (1.959963984540054 + 0.8416212335729143).toString))),
+
     // ts05: bounded-horizon EWMA smoothing (α=0.3, K=8) per event
     // type — the oracle replays the identical lag algebra with the
     // EXACT double weights (Double.toString round-trips, so both

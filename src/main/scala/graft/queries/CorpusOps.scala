@@ -208,6 +208,53 @@ object CorpusOps {
             SELECT node, label FROM l4 ORDER BY node"""
       }),
 
+    // hits01: HITS hubs/authorities (3 unrolled rounds, L2 norms as
+    // scalar aggregates) over the DIRECTED customer→supplier purchase
+    // graph; the oracle unrolls rounds as chained CTEs, 6-decimal
+    // match (pr01's contraction argument)
+    NamedQuery("hits01_hubs_authorities",
+      (s, d) => {
+        val e = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        Graph.hits(e, iters = 3)
+          .select(col("node"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          val prev = if (k == 1) "s0" else s"s${k - 1}"
+          s"""a0_$k AS (SELECT e.dst AS node, sum($prev.hub) AS a0
+                FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1),
+              an_$k AS (SELECT sqrt(sum(a0 * a0)) AS nn FROM a0_$k),
+              au_$k AS (SELECT n.node,
+                  coalesce(a.a0, 0.0) / an_$k.nn AS auth
+                FROM nodes n LEFT JOIN a0_$k a ON a.node = n.node
+                CROSS JOIN an_$k),
+              h0_$k AS (SELECT e.src AS node, sum(au_$k.auth) AS h0
+                FROM e JOIN au_$k ON au_$k.node = e.dst GROUP BY 1),
+              hn_$k AS (SELECT sqrt(sum(h0 * h0)) AS nn FROM h0_$k),
+              s$k AS (SELECT n.node,
+                  coalesce(h.h0, 0.0) / hn_$k.nn AS hub, au_$k.auth
+                FROM nodes n LEFT JOIN h0_$k h ON h.node = n.node
+                JOIN au_$k ON au_$k.node = n.node
+                CROSS JOIN hn_$k)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                 's' || l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             nodes AS (SELECT src AS node FROM e
+                       UNION SELECT dst FROM e),
+             s0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes),
+             $rounds
+            SELECT node, round(hub, 6) AS hub, round(auth, 6) AS auth
+            FROM s3 ORDER BY node"""
+      }),
+
     // er01: Fellegi–Sunter record linkage — customers vs a
     // deterministically dirtied copy (name typo via appended char,
     // reversed name, balance shift, segment swap keyed on custkey

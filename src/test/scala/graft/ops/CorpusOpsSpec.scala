@@ -508,6 +508,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: a star's center is the dominant hub; leaf authorities are symmetric") {
+    // center -> a,b,c plus one stray x -> a
+    val e = Seq(("ctr", "a"), ("ctr", "b"), ("ctr", "c"), ("x", "a"))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("ctr").getDouble(1) > r("x").getDouble(1),
+      "three-authority hub beats the one-authority hub")
+    assert(r("a").getDouble(2) > r("b").getDouble(2),
+      "doubly-cited authority beats singly-cited")
+    assert(math.abs(r("b").getDouble(2) - r("c").getDouble(2)) < 1e-12,
+      "symmetric authorities tie")
+    assert(r("a").getDouble(1) == 0.0, "pure authorities have zero hub")
+    // L2 norms are 1 after the final round
+    val hubNorm = math.sqrt(r.values.map(x => x.getDouble(1) * x.getDouble(1)).sum)
+    assert(math.abs(hubNorm - 1.0) < 1e-9)
+  }
+
+  test("minDetectableEffect: closed form on planted variances; zero-variance control") {
+    // A: constant 10 (var 0, n=50); B: 10 +/- 2 alternating (var ~4.08, n=50)
+    val rows = (0 until 50).map(i => (false, 10.0)) ++
+      (0 until 50).map(i => (true, if (i % 2 == 0) 12.0 else 8.0))
+    val df = rows.toDF("t", "v")
+    val m = Analytics.minDetectableEffect(df, col("t"), col("v")).head
+    assert(m.getLong(0) == 50 && m.getLong(1) == 50)
+    assert(m.getDouble(2) == 10.0 && m.getDouble(3) == 10.0)
+    val varB = 50.0 * 4.0 / 49.0 // sample variance of +/-2 around 10
+    val expect = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(0.0 / 50 + varB / 50)
+    assert(math.abs(m.getDouble(4) - expect) < 1e-4, s"${m.getDouble(4)} vs $expect")
+    assert(math.abs(m.getDouble(5) - expect / 10.0) < 1e-4)
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
