@@ -70,6 +70,9 @@ object Bench {
         // lp01 is the same category (4 checkpointed rounds); probed
         // in r9f on a 1M-node circulant
         || q._1 == "lp01_label_prop"
+        // hits01 likewise: 3 checkpointed power-iteration rounds with
+        // two driver-synced norms each — wall measures the loop
+        || q._1 == "hits01_hubs_authorities"
         // bf02 is hll01's category: a bounds-verdict gate; probe
         // throughput is measured in r9f (40M probes ~1 s)
         || q._1 == "bf02_bloom_membership")
