@@ -269,6 +269,41 @@ object Graph {
     visited
   }
 
+  /** Degree assortativity (gr02, Newman 2002) — the Pearson
+    * correlation of degrees across edge endpoints: positive for
+    * social-style graphs (hubs befriend hubs), negative for
+    * web/biology-style hub-and-spoke. Computed over the symmetrized
+    * endpoint pairs (each undirected edge contributes both
+    * orientations — the standard convention): one degree aggregate,
+    * two keyed join-backs, a centered two-pass co-moment. A
+    * one-number graph health check before any per-node algorithm.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .select(col("dx").cast("double").as("dx"),
+        col("dy").cast("double").as("dy"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      avg(col("dx")).as("mx"), avg(col("dy")).as("my")).head
+    val (n, mx, my) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+    require(n >= 2, s"assortativity needs ≥2 endpoint pairs (got $n)")
+    val out = pairs.agg(
+        sum((col("dx") - mx) * (col("dy") - my)).as("sxy"),
+        sum((col("dx") - mx) * (col("dx") - mx)).as("sxx"),
+        sum((col("dy") - my) * (col("dy") - my)).as("syy"))
+      .select(lit(n).as("n_endpoints"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 6))
+          .as("assortativity"))
+    e.unpersist()
+    out
+  }
+
   /** HITS hubs & authorities (hits01, Kleinberg 1999) — PageRank's
     * sibling link-analysis scoring: authority(v) = Σ hub(u) over
     * in-edges, hub(u) = Σ authority(v) over out-edges, L2-normalized

@@ -697,6 +697,43 @@ object Stats {
         round(col("__sq") / col("n"), 6).as("brier"))
   }
 
+  /** Spearman rank correlation (ev15) — Pearson over AVERAGE ranks
+    * (the standard tie handling), completing the correlation trio
+    * next to dp03's Pearson and ev06's Kendall. Ranks come from the
+    * bucketed prefix sum per column (avg rank of a distinct value =
+    * strictly-below + (n+1)/2 — no global-rank window) joined back on
+    * the value; the final coefficient is a centered two-pass
+    * co-moment (linearFit's stability argument). One row out:
+    * (n, spearman).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+               buckets: Int = 1024): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("xv"), y.cast("double").as("yv"))
+    def avgRanks(valCol: String, out: String): DataFrame = {
+      val perValue = base.groupBy(col(valCol).as("v"))
+        .agg(count(lit(1)).as("n"))
+      cumCountsByValue(perValue, "v", Seq("n"), buckets)
+        .select(col("v").as(valCol),
+          (col("cum_n_below") + (col("n") + 1) / lit(2.0)).as(out))
+    }
+    val ranked = base
+      .join(avgRanks("xv", "rx"), "xv")
+      .join(avgRanks("yv", "ry"), "yv")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      avg(col("rx")).as("mx"), avg(col("ry")).as("my")).head
+    val (n, mx, my) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+    require(n >= 2, s"spearman needs ≥2 rows (got $n)")
+    ranked.agg(
+        sum((col("rx") - mx) * (col("ry") - my)).as("sxy"),
+        sum((col("rx") - mx) * (col("rx") - mx)).as("sxx"),
+        sum((col("ry") - my) * (col("ry") - my)).as("syy"))
+      .select(lit(n).as("n"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 6))
+          .as("spearman"))
+  }
+
   /** McNemar's test (ev13) — are two classifiers' error patterns
     * different, judged on the DISAGREEMENT cells only: b = A right &
     * B wrong, c = A wrong & B right, continuity-corrected statistic

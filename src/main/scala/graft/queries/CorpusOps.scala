@@ -208,6 +208,32 @@ object CorpusOps {
             SELECT node, label FROM l4 ORDER BY node"""
       }),
 
+    // gr02: degree assortativity of the symmetrized trade graph —
+    // one degree aggregate, two join-backs, centered co-moment; the
+    // oracle's corr() is the independent Pearson
+    NamedQuery("gr02_assortativity",
+      (s, d) => {
+        val ol = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        Graph.assortativity(ol)
+      },
+      Some("""WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c,
+                  's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e AS (SELECT c AS src, s AS dst FROM ol
+                    UNION SELECT s, c FROM ol),
+              d AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY 1),
+              p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM e
+                    JOIN d dx ON dx.node = e.src
+                    JOIN d dy ON dy.node = e.dst)
+             SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+               round(corr(dx, dy), 6) AS assortativity FROM p""")),
+
     // hits01: HITS hubs/authorities (3 unrolled rounds, L2 norms as
     // scalar aggregates) over the DIRECTED customer→supplier purchase
     // graph; the oracle unrolls rounds as chained CTEs, 6-decimal

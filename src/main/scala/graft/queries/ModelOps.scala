@@ -655,6 +655,29 @@ object ModelOps {
                round(sum(sq) / sum(n), 6) AS brier
              FROM g""")),
 
+    // ev15: Spearman rank correlation between the first two embedding
+    // dims — average ranks from the bucketed prefix sum; the oracle's
+    // corr() over window-derived average ranks is an independent
+    // Pearson implementation
+    NamedQuery("ev15_spearman",
+      (s, d) => Stats.spearman(Tables.load(s, d, "embeddings"),
+        element_at(col("embedding"), 1), element_at(col("embedding"), 2)),
+      Some("""WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS xv,
+                  CAST(embedding[2] AS DOUBLE) AS yv
+                FROM embeddings WHERE embedding IS NOT NULL),
+              gx AS (SELECT xv, count(*) AS n FROM b GROUP BY 1),
+              cx AS (SELECT xv, coalesce(sum(n) OVER (ORDER BY xv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (n + 1) / 2.0 AS rx FROM gx),
+              gy AS (SELECT yv, count(*) AS n FROM b GROUP BY 1),
+              cy AS (SELECT yv, coalesce(sum(n) OVER (ORDER BY yv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (n + 1) / 2.0 AS ry FROM gy),
+              r AS (SELECT rx, ry FROM b
+                    JOIN cx USING (xv) JOIN cy USING (yv))
+             SELECT CAST(count(*) AS BIGINT) AS n,
+               round(corr(rx, ry), 6) AS spearman FROM r""")),
+
     // qn01: quantile normalization — line prices mapped onto the
     // order-total distribution via a 64-cell exact-quantile grid
     // (power-of-two fractions are exact binary, q43 pinned the

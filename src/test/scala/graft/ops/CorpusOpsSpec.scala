@@ -541,6 +541,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(m.getDouble(5) - expect / 10.0) < 1e-4)
   }
 
+  test("spearman: monotone nonlinear relation scores 1; reversed scores -1; ties averaged") {
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0))).toDF("x", "y")
+    assert(Stats.spearman(mono, col("x"), col("y")).head.getDouble(1) == 1.0)
+    val rev = (1 to 50).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Stats.spearman(rev, col("x"), col("y")).head.getDouble(1) == -1.0)
+    // ties: y constant in pairs, still perfectly monotone in rank
+    val tied = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 2.0))
+      .toDF("x", "y")
+    val t = Stats.spearman(tied, col("x"), col("y")).head.getDouble(1)
+    assert(t > 0.85 && t <= 1.0, s"tied-monotone should stay near 1: $t")
+  }
+
+  test("assortativity: a star is maximally disassortative; a clique-chain mix is positive-leaning") {
+    val star = (1 to 10).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val s = Graph.assortativity(star).head
+    assert(s.getLong(0) == 20, "10 undirected edges -> 20 endpoint pairs")
+    assert(s.getDouble(1) == -1.0, "pure star: degree-10 only ever meets degree-1")
+    // two disjoint triangles: every endpoint has degree 2 -> zero
+    // variance -> null coefficient
+    def tri(a: String, b: String, c: String) =
+      Seq((a, b), (a, c), (b, c))
+    val t = Graph.assortativity(
+      (tri("a", "b", "c") ++ tri("x", "y", "z")).toDF("src", "dst")).head
+    assert(t.isNullAt(1), "constant-degree graph has undefined assortativity")
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
