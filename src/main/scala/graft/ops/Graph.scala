@@ -269,6 +269,34 @@ object Graph {
     visited
   }
 
+  /** Local + average clustering coefficients (gr03) — per node,
+    * triangles ÷ wedges (deg·(deg−1)/2): the density of a node's
+    * neighborhood, THE standard small-world statistic next to
+    * assortativity. Composes triangleCount (ordered wedge-join with
+    * the hub cap) with one degree aggregate and a join-back; degree-1
+    * nodes (no wedges) report null cc. One summary row is the mean
+    * over nodes with ≥1 wedge (Watts–Strogatz average clustering);
+    * this returns the per-node frame — callers aggregate.
+    */
+  def clusteringCoefficient(edges: DataFrame,
+                            maxDegree: Int = 10000): DataFrame = {
+    val norm = normalizedEdges(edges)
+    val hubs = highDegreeNodes(edges, maxDegree).select(col("node"))
+    val e = norm
+      .join(hubs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+      .join(hubs.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCount(edges, maxDegree)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          coalesce(col("n_triangles"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1)), 6)).as("cc"))
+  }
+
   /** Degree assortativity (gr02, Newman 2002) — the Pearson
     * correlation of degrees across edge endpoints: positive for
     * social-style graphs (hubs befriend hubs), negative for

@@ -208,6 +208,46 @@ object CorpusOps {
             SELECT node, label FROM l4 ORDER BY node"""
       }),
 
+    // gr03: per-node clustering coefficient over tc01's co-supplier
+    // projection — triangles / wedges with the same hub cap; the
+    // oracle reuses tc01's closure CTEs plus the degree algebra
+    NamedQuery("gr03_clustering_coeff",
+      (s, d) => {
+        val ps = Tables.load(s, d, "lineitem")
+          .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val e = ps.as("p1").join(ps.as("p2"),
+            col("p1.part") === col("p2.part") &&
+              col("p1.supp") < col("p2.supp"))
+          .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+        Graph.clusteringCoefficient(e).orderBy("node")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                    FROM lineitem
+                    WHERE l_partkey % 97 = 0 AND l_suppkey % 3 = 0),
+              e AS (SELECT DISTINCT p1.supp AS a, p2.supp AS b
+                    FROM ps p1 JOIN ps p2
+                    ON p1.part = p2.part AND p1.supp < p2.supp),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                    (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                     FROM (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY node)
+             SELECT deg.node, deg.deg,
+               coalesce(tc.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.deg >= 2 THEN round(
+                 coalesce(tc.n_triangles, 0) * 2.0 /
+                   (deg.deg * (deg.deg - 1)), 6) END AS cc
+             FROM deg LEFT JOIN tc ON tc.node = deg.node
+             ORDER BY deg.node""")),
+
     // gr02: degree assortativity of the symmetrized trade graph —
     // one degree aggregate, two join-backs, centered co-moment; the
     // oracle's corr() is the independent Pearson

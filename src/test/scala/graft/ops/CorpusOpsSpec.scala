@@ -567,6 +567,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(t.isNullAt(1), "constant-degree graph has undefined assortativity")
   }
 
+  test("clusteringCoefficient: triangle = 1.0 everywhere; star center = 0; leaves null") {
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val t = Graph.clusteringCoefficient(tri)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(Seq("a", "b", "c").forall(n => t(n).getDouble(3) == 1.0))
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val s = Graph.clusteringCoefficient(star)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(s("h").getDouble(3) == 0.0, "hub with no closed wedges")
+    assert(s("l1").isNullAt(3), "degree-1 nodes have no wedges -> null")
+    // a triangle with a pendant: the attachment point has deg 3,
+    // 1 triangle -> cc = 2*1/(3*2) = 1/3
+    val pend = tri.union(Seq(("a", "d")).toDF("src", "dst"))
+    val p = Graph.clusteringCoefficient(pend)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(p("a").getDouble(3) - 1.0 / 3.0) < 1e-6)
+  }
+
   test("ewmaSmooth: series start is exact and weights renormalize") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
