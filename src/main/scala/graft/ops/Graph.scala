@@ -311,25 +311,34 @@ object Graph {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // persist the endpoint-degree frame: the means pass and the
+    // centered co-moment pass both consume it (two actions)
     val pairs = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
       .select(col("dx").cast("double").as("dx"),
         col("dy").cast("double").as("dy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = pairs.agg(count(lit(1)).as("n"),
       avg(col("dx")).as("mx"), avg(col("dy")).as("my")).head
     val (n, mx, my) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
     require(n >= 2, s"assortativity needs ≥2 endpoint pairs (got $n)")
-    val out = pairs.agg(
+    // both passes run eagerly while `pairs` is cached; the one-row
+    // result comes back as literals (kmvOverlap's convention), so
+    // unpersisting here can never force a recompute
+    val cm = pairs.agg(
         sum((col("dx") - mx) * (col("dy") - my)).as("sxy"),
         sum((col("dx") - mx) * (col("dx") - mx)).as("sxx"),
-        sum((col("dy") - my) * (col("dy") - my)).as("syy"))
-      .select(lit(n).as("n_endpoints"),
-        when(col("sxx") > 0 && col("syy") > 0,
-          round(col("sxy") / sqrt(col("sxx") * col("syy")), 6))
+        sum((col("dy") - my) * (col("dy") - my)).as("syy")).head
+    val (sxy, sxx, syy) = (cm.getDouble(0), cm.getDouble(1), cm.getDouble(2))
+    e.unpersist(); pairs.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((n, sxy, sxx, syy)).toDF("n_endpoints", "__sxy", "__sxx", "__syy")
+      .select(col("n_endpoints"),
+        when(col("__sxx") > 0 && col("__syy") > 0,
+          round(col("__sxy") / sqrt(col("__sxx") * col("__syy")), 6))
           .as("assortativity"))
-    e.unpersist()
-    out
   }
 
   /** HITS hubs & authorities (hits01, Kleinberg 1999) — PageRank's
