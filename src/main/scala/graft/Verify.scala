@@ -1,9 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, transform}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Canonicalize IEEE signed zero (`-0.0` → `+0.0`) in every float
+    * column before the dump. The driver's compare hashes raw bytes,
+    * where the two zeros differ; which one Spark emits for an
+    * ulp-sized rounded residual is partition-order-dependent (the
+    * round-9 ft02/ts02 red rows). `x + 0.0` is the IEEE-sanctioned
+    * normalization and a no-op for every other value (NULL and NaN
+    * propagate). Oracle SQL carries the mirrored `+ 0.0` wherever
+    * DuckDB itself can emit `-0.0` (see ops/Portability.scala).
+    */
+  private[graft] def canonicalizeZeros(df: DataFrame): DataFrame = {
+    val needsFix = df.schema.fields.exists(f => f.dataType match {
+      case DoubleType | FloatType | ArrayType(DoubleType, _) |
+           ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (!needsFix) df
+    else df.select(df.schema.fields.map { f =>
+      (f.dataType match {
+        case DoubleType => col(f.name) + lit(0.0)
+        case FloatType => (col(f.name) + lit(0.0f)).cast(FloatType)
+        case ArrayType(DoubleType, _) =>
+          transform(col(f.name), x => x + lit(0.0))
+        case ArrayType(FloatType, _) =>
+          transform(col(f.name), x => (x + lit(0.0f)).cast(FloatType))
+        case _ => col(f.name)
+      }).as(f.name)
+    }.toSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names (local iteration)
@@ -27,8 +59,8 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try canonicalizeZeros(fn(spark, sfDir)).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -346,10 +346,11 @@ object Analytics {
     val variance = greatest(
       try_divide(qEx - try_divide(sEx * sEx, nEx), nEx - 1), lit(0.0))
     // variance 0 (constant prior window) → z undefined, never anomalous
-    val z = when(variance > 0, round((value - mean) / sqrt(variance), 3))
+    val z = when(variance > 0,
+      Portability.zround((value - mean) / sqrt(variance), 3))
     inc.select(tieBreak.as("tb"), key.as("k"),
         value.as("v"), nEx.cast("long").as("n_prior"),
-        round(mean, 4).as("prior_mean"),
+        Portability.zround(mean, 4).as("prior_mean"),
         when(nEx >= minPrior, z).as("z"),
         coalesce(nEx >= minPrior && abs(z) > zThreshold, lit(false))
           .as("is_anomaly"))
@@ -377,12 +378,12 @@ object Analytics {
       .agg(count(value).as("__n"), avg(value).as("__m"),
         stddev_samp(value).as("__sd"))
     val z = when(col("__sd") > 0,
-      round((value - col("__m")) / col("__sd"), 3))
+      Portability.zround((value - col("__m")) / col("__sd"), 3))
     df.join(broadcast(cells),
         key === col("__sa_k") && hour(ts) === col("__sa_h"))
       .select(tieBreak.as("tb"), key.as("k"), hour(ts).as("hour_of_day"),
         value.as("v"), col("__n").as("cell_n"),
-        round(col("__m"), 4).as("cell_mean"),
+        Portability.zround(col("__m"), 4).as("cell_mean"),
         when(col("__n") >= minN, z).as("z"),
         coalesce(col("__n") >= minN && abs(z) > zThreshold, lit(false))
           .as("is_anomaly"))
@@ -665,9 +666,10 @@ object Analytics {
       .agg(avg(col("detrended")).as("seasonal"))
     withTrend.join(seasonal, Seq("k", "phase"), "left")
       .select(col("k"), col("bt"), col("v"), col("phase").cast("int").as("phase"),
-        round(col("trend"), 4).as("trend"),
-        round(col("seasonal"), 4).as("seasonal"),
-        round(col("v") - col("trend") - col("seasonal"), 4).as("residual"))
+        Portability.zround(col("trend"), 4).as("trend"),
+        Portability.zround(col("seasonal"), 4).as("seasonal"),
+        Portability.zround(col("v") - col("trend") - col("seasonal"), 4)
+          .as("residual"))
   }
 
   /** Autocorrelation function per series (ts03): r_k for lags 1..K

@@ -131,13 +131,15 @@ object Features {
     * are far apart as integers": each cyclic field maps onto the unit
     * circle so midnight-adjacent hours are ε-close in feature space.
     * Pure scan-speed projection; 2π enters as the folded literal both
-    * engines share bit-for-bit.
+    * engines share bit-for-bit. Rounds through [[Portability.zround]]:
+    * Java `Math.cos(3π/2)` is +ε where C libm is −ε, so the raw
+    * `round(_, 6)` emits `0.0` here and `-0.0` in the oracle engine.
     */
   def timeFeatures(df: DataFrame, id: Column, ts: Column): DataFrame = {
     val twoPi = 2.0 * math.Pi
     def cyc(v: Column, period: Double, name: String): Seq[Column] = Seq(
-      round(sin(v * twoPi / period), 6).as(s"${name}_sin"),
-      round(cos(v * twoPi / period), 6).as(s"${name}_cos"))
+      Portability.zround(sin(v * twoPi / period), 6).as(s"${name}_sin"),
+      Portability.zround(cos(v * twoPi / period), 6).as(s"${name}_cos"))
     df.select(
       (Seq(id.as("id"), hour(ts).as("hour"), dayofweek(ts).as("dow"),
         month(ts).as("month")) ++

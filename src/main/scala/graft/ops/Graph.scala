@@ -337,7 +337,7 @@ object Graph {
     Seq((n, sxy, sxx, syy)).toDF("n_endpoints", "__sxy", "__sxx", "__syy")
       .select(col("n_endpoints"),
         when(col("__sxx") > 0 && col("__syy") > 0,
-          round(col("__sxy") / sqrt(col("__sxx") * col("__syy")), 6))
+          Portability.zround(col("__sxy") / sqrt(col("__sxx") * col("__syy")), 6))
           .as("assortativity"))
   }
 

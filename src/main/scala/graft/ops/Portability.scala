@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portability helpers for oracle-gated outputs.
+  *
+  * The round-9 red rows (ft02, ts02) shared one root cause: an
+  * ulp-sized residual whose SIGN differs between engines — Java
+  * `Math.cos(3π/2)` returns +ε where C libm returns −ε, and a
+  * partition-order-dependent `avg` can put a value one ulp on either
+  * side of its mean. After `round(_, n)` the two engines then emit
+  * `0.0` vs `-0.0`, which are `==`-equal but hash differently in the
+  * driver's bytewise compare.
+  *
+  * IEEE 754 defines `-0.0 + 0.0 = +0.0` (round-to-nearest), so
+  * appending `+ 0.0` after the rounding normalizes the sign in BOTH
+  * engines at zero cost (constant-folded addition, stays inside
+  * whole-stage codegen). Every gate that rounds a quantity which can
+  * straddle zero — trig encodings, z-scores, correlations, slopes,
+  * differences — must round through [[zround]] and mirror the
+  * `+ 0.0` in its oracle SQL.
+  */
+object Portability {
+
+  /** Zero-safe rounding: `round(c, scale)` with `-0.0` normalized to
+    * `+0.0`. NULL propagates (`NULL + 0.0 = NULL` in both engines).
+    */
+  def zround(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
+  /** The oracle-SQL twin of [[zround]] — splice into DuckDB oracle
+    * text so both sides of the gate normalize identically.
+    */
+  def zroundSql(expr: String, scale: Int): String =
+    s"(round($expr, $scale) + 0.0)"
+}

@@ -99,7 +99,7 @@ object Profile {
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) =>
-      round(try_divide(covar_samp(col(a), col(b)),
+      Portability.zround(try_divide(covar_samp(col(a), col(b)),
         stddev_samp(col(a)) * stddev_samp(col(b))), 4).as(s"${a}__$b") }
     val row = df.agg(aggs.head, aggs.tail: _*).head
     val spark = df.sparkSession

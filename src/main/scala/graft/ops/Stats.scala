@@ -339,9 +339,10 @@ object Stats {
     val r2 = if (syy == 0.0) 1.0 else 1.0 - sse / syy
     val row = (n, intercept, beta.toSeq, r2)
     Seq(row).toDF("n", "__b0", "__beta", "__r2").select(
-      (col("n") +: round(col("__b0"), 4).as("intercept") +:
+      (col("n") +: Portability.zround(col("__b0"), 4).as("intercept") +:
         features.zipWithIndex.map { case ((name, _), i) =>
-          round(element_at(col("__beta"), i + 1), 4).as(s"coef_$name") } :+
+          Portability.zround(element_at(col("__beta"), i + 1), 4)
+            .as(s"coef_$name") } :+
         round(col("__r2"), 6).as("r2")).toSeq: _*)
   }
 
@@ -730,7 +731,7 @@ object Stats {
         sum((col("ry") - my) * (col("ry") - my)).as("syy"))
       .select(lit(n).as("n"),
         when(col("sxx") > 0 && col("syy") > 0,
-          round(col("sxy") / sqrt(col("sxx") * col("syy")), 6))
+          Portability.zround(col("sxy") / sqrt(col("sxx") * col("syy")), 6))
           .as("spearman"))
   }
 
@@ -830,7 +831,7 @@ object Stats {
     base.unpersist()
     val names = "w0" +: features.map { case (n, _) => s"w_$n" }
     names.zip(w.toSeq).toDF("param", "weight")
-      .select(col("param"), round(col("weight"), 6).as("weight"))
+      .select(col("param"), Portability.zround(col("weight"), 6).as("weight"))
   }
 
   /** In-place Gaussian elimination with partial pivoting (driver-side,

@@ -466,12 +466,12 @@ object AnalysisOps {
       Some("""SELECT event_id AS id, CAST(hour(ts) AS INT) AS hour,
                CAST(dayofweek(ts) + 1 AS INT) AS dow,
                CAST(month(ts) AS INT) AS month,
-               round(sin(hour(ts) * 6.283185307179586 / 24.0), 6) AS hour_sin,
-               round(cos(hour(ts) * 6.283185307179586 / 24.0), 6) AS hour_cos,
-               round(sin(dayofweek(ts) * 6.283185307179586 / 7.0), 6) AS dow_sin,
-               round(cos(dayofweek(ts) * 6.283185307179586 / 7.0), 6) AS dow_cos,
-               round(sin((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_sin,
-               round(cos((month(ts) - 1) * 6.283185307179586 / 12.0), 6) AS month_cos
+               round(sin(hour(ts) * 6.283185307179586 / 24.0), 6) + 0.0 AS hour_sin,
+               round(cos(hour(ts) * 6.283185307179586 / 24.0), 6) + 0.0 AS hour_cos,
+               round(sin(dayofweek(ts) * 6.283185307179586 / 7.0), 6) + 0.0 AS dow_sin,
+               round(cos(dayofweek(ts) * 6.283185307179586 / 7.0), 6) + 0.0 AS dow_cos,
+               round(sin((month(ts) - 1) * 6.283185307179586 / 12.0), 6) + 0.0 AS month_sin,
+               round(cos((month(ts) - 1) * 6.283185307179586 / 12.0), 6) + 0.0 AS month_cos
              FROM events ORDER BY id""")),
 
     // mv01: incremental join-view maintenance — orders/customer split
@@ -823,7 +823,7 @@ object AnalysisOps {
             col("sum_v"), periodBuckets = 24, trendW = 12)
           .select(col("k"),
             date_format(col("bt"), "yyyy-MM-dd HH:mm:ss").as("bt"),
-            round(col("v"), 4).as("v"), col("phase"),
+            graft.ops.Portability.zround(col("v"), 4).as("v"), col("phase"),
             col("trend"), col("seasonal"), col("residual"))
           .orderBy(col("k"), col("bt"))
       },
@@ -847,10 +847,10 @@ object AnalysisOps {
                 FROM dt WHERE trend IS NOT NULL GROUP BY 1, 2)
              SELECT dt.k, strftime(make_timestamp(bsec * 1000000),
                  '%Y-%m-%d %H:%M:%S') AS bt,
-               round(v, 4) AS v, phase,
-               round(trend, 4) AS trend,
-               round(se.seasonal, 4) AS seasonal,
-               round(v - trend - se.seasonal, 4) AS residual
+               round(v, 4) + 0.0 AS v, phase,
+               round(trend, 4) + 0.0 AS trend,
+               round(se.seasonal, 4) + 0.0 AS seasonal,
+               round(v - trend - se.seasonal, 4) + 0.0 AS residual
              FROM dt LEFT JOIN se USING (k, phase)
              ORDER BY k, bt""")),
 

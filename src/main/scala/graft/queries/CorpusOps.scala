@@ -272,7 +272,7 @@ object CorpusOps {
                     JOIN d dx ON dx.node = e.src
                     JOIN d dy ON dy.node = e.dst)
              SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
-               round(corr(dx, dy), 6) AS assortativity FROM p""")),
+               round(corr(dx, dy), 6) + 0.0 AS assortativity FROM p""")),
 
     // hits01: HITS hubs/authorities (3 unrolled rounds, L2 norms as
     // scalar aggregates) over the DIRECTED customer→supplier purchase

@@ -79,7 +79,8 @@ object FeatureOps {
           col("value"), col("event_id"),
           windowSec = 3600L, minPrior = 30, zThreshold = 3.0)
         .withColumnRenamed("tb", "event_id")
-        .select(col("event_id"), col("k"), round(col("v"), 4).as("v"),
+        .select(col("event_id"), col("k"),
+          graft.ops.Portability.zround(col("v"), 4).as("v"),
           col("n_prior"), col("prior_mean"), col("z"), col("is_anomaly")),
       Some("""WITH b AS (SELECT event_id, event_type, value,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
@@ -98,11 +99,11 @@ object FeatureOps {
                       - (s_inc - value) * (s_inc - value) / (n_inc - 1))
                       / (n_inc - 2), 0.0) END AS var
                 FROM w)
-             SELECT event_id, k, round(v, 4) AS v,
+             SELECT event_id, k, round(v, 4) + 0.0 AS v,
                CAST(n_prior AS BIGINT) AS n_prior,
-               round(m, 4) AS prior_mean,
+               round(m, 4) + 0.0 AS prior_mean,
                CASE WHEN n_prior >= 30 AND var > 0
-                 THEN round((v - m) / sqrt(var), 3) END AS z,
+                 THEN round((v - m) / sqrt(var), 3) + 0.0 END AS z,
                coalesce(n_prior >= 30 AND var > 0
                  AND abs(round((v - m) / sqrt(var), 3)) > 3.0, false) AS is_anomaly
              FROM e ORDER BY event_id""")),
@@ -486,7 +487,8 @@ object FeatureOps {
           col("value"), col("event_id"), minN = 30, zThreshold = 3.0)
         .withColumnRenamed("tb", "event_id")
         .select(col("event_id"), col("k"), col("hour_of_day"),
-          round(col("v"), 4).as("v"), col("cell_n"), col("cell_mean"),
+          graft.ops.Portability.zround(col("v"), 4).as("v"),
+          col("cell_n"), col("cell_mean"),
           col("z"), col("is_anomaly")),
       Some("""WITH c AS (SELECT event_type AS k,
                   hour(CAST(ts AS TIMESTAMP)) AS h,
@@ -495,10 +497,10 @@ object FeatureOps {
                 FROM events GROUP BY 1, 2)
              SELECT e.event_id, c.k,
                hour(CAST(e.ts AS TIMESTAMP)) AS hour_of_day,
-               round(e.value, 4) AS v, c.n AS cell_n,
-               round(c.m, 4) AS cell_mean,
+               round(e.value, 4) + 0.0 AS v, c.n AS cell_n,
+               round(c.m, 4) + 0.0 AS cell_mean,
                CASE WHEN c.n >= 30 AND c.sd > 0
-                 THEN round((e.value - c.m) / c.sd, 3) END AS z,
+                 THEN round((e.value - c.m) / c.sd, 3) + 0.0 END AS z,
                coalesce(c.n >= 30 AND c.sd > 0
                  AND abs(round((e.value - c.m) / c.sd, 3)) > 3.0, false)
                  AS is_anomaly

@@ -64,8 +64,8 @@ object ModelOps {
       (s, d) => Stats.linearFit(Tables.load(s, d, "lineitem"),
         col("l_extendedprice"), Seq("qty" -> col("l_quantity"))),
       Some("""SELECT CAST(count(*) AS BIGINT) AS n,
-               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-               round(regr_slope(l_extendedprice, l_quantity), 4) AS coef_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
+               round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS coef_qty,
                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
              FROM lineitem""")),
 
@@ -385,9 +385,9 @@ object ModelOps {
              FROM lineitem),
             w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
             $steps
-           SELECT 'w0' AS param, round(a, 6) AS weight FROM w5
-           UNION ALL SELECT 'w_qty', round(b, 6) FROM w5
-           UNION ALL SELECT 'w_disc', round(c, 6) FROM w5
+           SELECT 'w0' AS param, round(a, 6) + 0.0 AS weight FROM w5
+           UNION ALL SELECT 'w_qty', round(b, 6) + 0.0 FROM w5
+           UNION ALL SELECT 'w_disc', round(c, 6) + 0.0 FROM w5
            ORDER BY param"""
       }),
 
@@ -676,7 +676,7 @@ object ModelOps {
               r AS (SELECT rx, ry FROM b
                     JOIN cx USING (xv) JOIN cy USING (yv))
              SELECT CAST(count(*) AS BIGINT) AS n,
-               round(corr(rx, ry), 6) AS spearman FROM r""")),
+               round(corr(rx, ry), 6) + 0.0 AS spearman FROM r""")),
 
     // qn01: quantile normalization — line prices mapped onto the
     // order-total distribution via a 64-cell exact-quantile grid

@@ -447,17 +447,17 @@ object PipelineOps {
         .orderBy("col_a", "col_b"),
       Some("""SELECT * FROM (
                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-                 round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+                 round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS pearson_r FROM lineitem
                UNION ALL SELECT 'l_quantity', 'l_discount',
-                 round(corr(l_quantity, l_discount), 4) FROM lineitem
+                 round(corr(l_quantity, l_discount), 4) + 0.0 FROM lineitem
                UNION ALL SELECT 'l_quantity', 'l_tax',
-                 round(corr(l_quantity, l_tax), 4) FROM lineitem
+                 round(corr(l_quantity, l_tax), 4) + 0.0 FROM lineitem
                UNION ALL SELECT 'l_extendedprice', 'l_discount',
-                 round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+                 round(corr(l_extendedprice, l_discount), 4) + 0.0 FROM lineitem
                UNION ALL SELECT 'l_extendedprice', 'l_tax',
-                 round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+                 round(corr(l_extendedprice, l_tax), 4) + 0.0 FROM lineitem
                UNION ALL SELECT 'l_discount', 'l_tax',
-                 round(corr(l_discount, l_tax), 4) FROM lineitem)
+                 round(corr(l_discount, l_tax), 4) + 0.0 FROM lineitem)
              ORDER BY col_a, col_b""")),
 
     // dp04: per-column Shannon entropy over exact value counts; the

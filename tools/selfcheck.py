@@ -12,6 +12,10 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
+        # The driver's compare hashes bytes, where 0.0 and -0.0 differ;
+        # Python's == treats them as equal, which hid the ft02/ts02
+        # signed-zero divergence in round 9. Surface the sign.
+        if v == 0.0 and math.copysign(1.0, v) < 0: return "-0.0"
         return v
     return v
 
