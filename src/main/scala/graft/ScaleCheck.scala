@@ -578,6 +578,28 @@ object ScaleCheck {
     }
   }
 
+  /** Round-10 probes: the mergeable per-partition KMV rewrite (kmv01/
+    * kmv02) that replaced the full-cardinality distinct-union shuffle
+    * — r9g recorded 10M keys/side 6.6 s → 40M 61.6 s (×9.3 at ×4,
+    * with spill); the rewrite must be ~flat.
+    */
+  private def r10Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    for (m <- Seq(1, 4)) {
+      val n = 10000000L * m
+      val a = spark.range(n).toDF("v")
+      val b = spark.range(n / 2, n + n / 2).toDF("v")
+      time(s"kmv02 x$m keys=$n")(graft.ops.Sketches.kmvOverlap(
+        a, col("v"), b, col("v"), k = 64).count())
+      time(s"kmv01 x$m keys=$n")(graft.ops.Sketches.kmvDistinct(
+        a, col("v"), k = 64).count())
+    }
+  }
+
   /** Late session-5 probes: post-fix linkage scale, Bloom
     * decontamination growth, KMV overlap over large key sets.
     */
@@ -761,6 +783,11 @@ object ScaleCheck {
     }
     if (path == "r9g") {
       r9gScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r10") {
+      r10Scale(spark)
       spark.stop()
       return
     }

@@ -22,23 +22,44 @@ object Tables {
     * every gate. The cached value is the LAZY plan (immutable, never
     * materialized here), so this changes nothing semantically; keys
     * hold the session weakly so stopped sessions drop their entries.
+    *
+    * The inner map holds DataFrames via SoftReference: a DataFrame
+    * strongly references its SparkSession, so a strong value would
+    * pin the weak KEY forever (value→key cycle — the entry could
+    * never be collected in a multi-session process). Soft values
+    * break the cycle — once the app drops a session, its frames are
+    * only softly reachable, GC clears them under pressure, and the
+    * WeakHashMap entry follows; live sessions keep their cache until
+    * memory actually needs it (a cleared entry just re-reads the
+    * parquet footer — idempotent).
     */
   private val cache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+        java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = {
       val existing = cache.get(spark)
       if (existing != null) existing
       else {
-        val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        val fresh = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
         val raced = cache.putIfAbsent(spark, fresh)
         if (raced != null) raced else fresh
       }
     }
-    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
+    val key = s"$dir/$name"
+    val ref = perSession.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) hit
+    else {
+      // benign race: a concurrent miss re-reads the same lazy plan
+      val df = loadUncached(spark, dir, name)
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -678,7 +678,10 @@ object Dedup {
   def keepBest(df: DataFrame, group: Column, score: Column,
                tie: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    for (c <- Seq("__grp", "__score", "__tie", "__rk", "n_copies"))
+    // guard the OUTPUT names too — an input already carrying grp or
+    // best_score would yield duplicate column names downstream
+    for (c <- Seq("__grp", "__score", "__tie", "__rk", "n_copies",
+        "grp", "best_score"))
       require(!df.columns.contains(c), s"column $c would be clobbered")
     val w = Window.partitionBy(col("__grp"))
     val base = df.withColumn("__grp", group)

@@ -121,11 +121,19 @@ object OpsMetrics {
       if (n > maxBucket) { g.buckets.add(1L); g.rows.add(n); false }
       else true
     }
+    // null-safe (<=>) semi-join: groupBy already treats NULL keys as
+    // one bucket, and the old window form kept them — a plain equi-
+    // join would silently drop every null-keyed row, invisible to the
+    // drop accumulators. Renamed join columns avoid self-lineage
+    // ambiguity; hash joins support EqualNullSafe, so the plan shape
+    // (AQE-broadcast kept-keys) is unchanged.
     val kept = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__g_n"))
       .filter(keep(col("__g_n")))
-      .select(keys.map(col): _*)
-    df.join(kept, keys, "left_semi")
+      .select(keys.map(k => col(k).as(s"__grd_$k")): _*)
+    df.join(kept,
+      keys.map(k => col(k) <=> col(s"__grd_$k")).reduce(_ && _),
+      "left_semi")
   }
 
   /** Bucket-size guard over a group-collect result with an `m` array

@@ -167,24 +167,59 @@ object Sketches {
     }.reduce(_ unionAll _)
   }
 
+  private val kmvOrd: Ordering[(Double, String)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+
+  /** Mergeable KMV core shared by kmv01/kmv02: the k smallest
+    * DISTINCT (u = md5-draw, key) pairs of one side, built per
+    * PARTITION with a capped ≤k-entry ordered set (the codegen'd md5
+    * projection feeds a typed mapPartitions) and merged driver-side
+    * from ≤ partitions·k rows. No wide shuffle and no distinct of the
+    * full key set — duplicates collapse inside the per-partition set
+    * because equal keys carry equal hashes. Ties in the 32-bit prefix
+    * break on the key itself, so a boundary-straddling sketch is
+    * engine-portable.
+    */
+  // package-private pre-collect form so PlanQualitySpec can assert the
+  // sketch plan carries no Exchange (the r9 full-cardinality dedup
+  // shuffle must never come back)
+  private[graft] def kmvSketchDS(df: DataFrame, key: Column,
+                                 k: Int): org.apache.spark.sql.Dataset[(Double, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = conv(substring(md5(col("_2")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    df.select(key.cast("string").as("_2")).filter(col("_2").isNotNull)
+      .select(u.as("_1"), col("_2"))
+      .as[(Double, String)]
+      .mapPartitions { it =>
+        val set = scala.collection.mutable.TreeSet.empty[(Double, String)](kmvOrd)
+        it.foreach { t =>
+          if (set.size < k) set += t
+          else if (kmvOrd.lt(t, set.last) && set.add(t)) set.remove(set.last)
+        }
+        set.iterator
+      }
+  }
+
+  private def kmvSketch(df: DataFrame, key: Column,
+                        k: Int): Array[(Double, String)] =
+    kmvSketchDS(df, key, k).collect().sorted(kmvOrd).distinct.take(k)
+
   /** KMV (k-minimum-values) distinct-count sketch (kmv01): hash every
     * key to u ∈ [0,1), keep the k smallest — the estimator
     * (k−1)/u₍k₎ is unbiased, the sketch is k values regardless of
     * stream size, and two sketches MERGE by keeping the k smallest of
     * their union (hll01's rollup contract, but — unlike HLL — every
     * step is md5-deterministic and an oracle replays the estimate
-    * EXACTLY, not as a tolerance bound). The k-smallest cut is a
-    * TakeOrdered over per-partition heaps, never a full sort.
+    * EXACTLY, not as a tolerance bound). Built by [[kmvSketch]]: two
+    * narrow scans, no full-cardinality distinct shuffle.
     */
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be ≥ 2: $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val u = conv(substring(md5(col("v")), 1, 8), 16, 10)
-      .cast("long").cast("double") / 4294967296.0
-    val mins = df.select(key.cast("string").as("v")).distinct()
-      .select(u.as("u")).orderBy(col("u")).limit(k)
-      .collect().map(_.getDouble(0))
+    val mins = kmvSketch(df, key, k).map(_._1)
     require(mins.length == k,
       s"kmvDistinct: fewer than k=$k distinct keys (${mins.length}) — use an exact count")
     val uk = mins.last
@@ -199,29 +234,31 @@ object Sketches {
     * membership flags; Ĵ = |{v ∈ K_k : v ∈ A ∧ v ∈ B}| / k, the
     * union size from kmv01's (k−1)/u₍k₎, intersection = Ĵ·union. The
     * 100 TB pre-join audit: "how much do these two 10¹⁰-key sets
-    * overlap" from two scans + a k-row TakeOrdered, md5-deterministic
-    * so an oracle replays the ESTIMATE exactly (vs HLL's tolerance
-    * bound).
+    * overlap" from two narrow scans — NO wide shuffle, NO distinct of
+    * the full key sets — md5-deterministic so an oracle replays the
+    * ESTIMATE exactly (vs HLL's tolerance bound).
+    *
+    * K-min sketches are MERGEABLE: the k smallest of A∪B are a subset
+    * of (k smallest of A) ∪ (k smallest of B), and since fewer than k
+    * union values hash below any union-sketch member, a member that
+    * belongs to A is necessarily among A's own k smallest — so the
+    * membership flags fall out of the merge exactly: each side builds
+    * a [[kmvSketch]] and the driver merges 2·k rows.
     */
   def kmvOverlap(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
                  k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be ≥ 2: $k")
     val spark = a.sparkSession
     import spark.implicits._
-    val tagged = a.select(keyA.cast("string").as("v"),
-        lit(1).as("ia"), lit(0).as("ib"))
-      .unionAll(b.select(keyB.cast("string").as("v"),
-        lit(0).as("ia"), lit(1).as("ib")))
-      .groupBy(col("v"))
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val u = conv(substring(md5(col("v")), 1, 8), 16, 10)
-      .cast("long").cast("double") / 4294967296.0
-    val mins = tagged.select(u.as("u"), col("ia"), col("ib"))
-      .orderBy(col("u")).limit(k).collect()
-    require(mins.length == k,
-      s"kmvOverlap: fewer than k=$k distinct union keys (${mins.length}) — join exactly")
-    val nBoth = mins.count(r => r.getInt(1) == 1 && r.getInt(2) == 1).toLong
-    val uk = mins.last.getDouble(0)
+    val sa = kmvSketch(a, keyA, k)
+    val sb = kmvSketch(b, keyB, k)
+    val merged = (sa ++ sb).distinct.sorted(kmvOrd).take(k)
+    require(merged.length == k,
+      s"kmvOverlap: fewer than k=$k distinct union keys (${merged.length}) — join exactly")
+    val inA = sa.toSet
+    val inB = sb.toSet
+    val nBoth = merged.count(t => inA.contains(t) && inB.contains(t)).toLong
+    val uk = merged.last._1
     val jac = nBoth.toDouble / k
     val unionEst = (k - 1) / uk
     Seq((k.toLong, nBoth, jac, unionEst, jac * unionEst))
@@ -275,8 +312,11 @@ object Sketches {
             .as("n_hits"))
         .select(lit(label).as("probe_set"), col("n_probes"),
           (col("n_hits") === col("n_probes")).as("no_false_negatives"),
-          (col("n_hits") <= ceil(col("n_probes") * fpBound) ||
-            col("n_hits") === col("n_probes")).as("fp_below_bound"))
+          // pure bound — no all-hits escape hatch: a SATURATED filter
+          // (100% FP on the absent set) is exactly the failure this
+          // audit exists to catch and must report false here
+          (col("n_hits") <= ceil(col("n_probes") * fpBound))
+            .as("fp_below_bound"))
     // present: all must hit (subset guarantee); the fp bound is vacuous
     // there (pinned true). absent: misses are expected, the FN
     // guarantee is vacuous (pinned true); pin the fp bound.

@@ -152,11 +152,11 @@ object CorpusOps {
                   UNION ALL
                   SELECT c_custkey, 0, 1 FROM customer)
                 GROUP BY 1),
-              h AS (SELECT ia, ib,
+              h AS (SELECT v, ia, ib,
                   CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) / 4294967296.0
                     AS u
                 FROM un),
-              kk AS (SELECT * FROM h ORDER BY u LIMIT 64),
+              kk AS (SELECT * FROM h ORDER BY u, v LIMIT 64),
               agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
                   CAST(sum(ia * ib) AS BIGINT) AS n_both,
                   max(u) AS u_k FROM kk)

@@ -437,6 +437,21 @@ class PlanQualitySpec extends AnyFunSuite {
            p.toLowerCase.contains("float_dot"), p.take(400))
   }
 
+  test("kmv01/kmv02: per-side sketch plan is one narrow scan — zero Exchange") {
+    // the r9 form ran a full-cardinality distinct-union groupBy before
+    // the k-row cut (×9.3 wall at ×4 keys, with spill); the mergeable
+    // per-partition rewrite must never reintroduce a shuffle or a
+    // hash aggregate into the sketch path
+    import org.apache.spark.sql.functions.col
+    val p = ops.Sketches.kmvSketchDS(
+        Tables.load(spark, dir, "orders"), col("o_custkey"), 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"kmv sketch must not shuffle: ${p.take(600)}")
+    assert(!p.contains("HashAggregate"),
+      s"kmv sketch must not aggregate the key set: ${p.take(600)}")
+  }
+
   test("cm01: sketch cells broadcast to the probe side; no cartesian") {
     import org.apache.spark.sql.functions.col
     val p = ops.Sketches.countMin(
