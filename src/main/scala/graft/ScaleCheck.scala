@@ -698,6 +698,24 @@ object ScaleCheck {
       .filter(col("a_name") === col("b_name")).count())
   }
 
+  /** Focused registry-query timer (`runMain graft.ScaleCheck quick
+    * <sfDir> <name,name,…>`): two passes per named SparkEntry query,
+    * prints cold/warm/min seconds — for before/after deltas on a
+    * targeted rewrite without paying for the full Bench sweep.
+    */
+  private def quickBench(spark: SparkSession, sfDir: String,
+                         names: Seq[String]): Unit = {
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    for ((name, fn) <- qs) {
+      def pass(): Double = {
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val c = pass(); val w = pass()
+      println(f"[quick] $name cold=$c%.2f warm=$w%.2f min=${math.min(c, w)}%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -711,6 +729,11 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (path == "quick") {
+      quickBench(spark, args(1), args(2).split(',').toSeq)
+      spark.stop()
+      return
+    }
     if (path == "dedup") {
       dedupScale(spark)
       spark.stop()

@@ -216,8 +216,10 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(o => try_element_at(toks, i + o)): _*)))
   }
 
-  private def registerOn(df: DataFrame): Unit =
+  private def registerOn(df: DataFrame): Unit = {
     graft.functions.TextFunctions.register(df.sparkSession)
+    graft.functions.ArrayFunctions.register(df.sparkSession)
+  }
 
   /** Drop shingles whose document frequency exceeds `maxDf`: a shingle
     * shared by millions of documents (boilerplate, templates) carries
@@ -299,11 +301,14 @@ object Dedup {
       zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
       lit(0.0), (acc, v) => acc + v) / numHashes
 
+    // native pair generation: m's structs lead with doc_id (distinct
+    // within a bucket), so array_sort orders by it and the generated
+    // index-ordered pairs are exactly the a.doc_id < b.doc_id set —
+    // one codegen'd nested loop instead of three interpreted lambdas
+    // per combination (the cf01/cf02 rewrite, ~2.3x on the explode).
     buckets
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a("doc_id") < b("doc_id"), struct(a.as("a"), b.as("b")))),
-          x => x.isNotNull)))).as("p"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         round(agree, 4).as("est_jaccard"))
       .distinct()
@@ -344,19 +349,30 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         md5(concat_ws("|", (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*))): _*)).as(Seq("band", "band_key")))
-    val buckets = OpsMetrics.guarded(
+    // collect the two SIDES as separate arrays, then generate exactly
+    // the |batch|x|base| cross pairs with the native CrossPairs loop —
+    // the old single-array HOF chain paid three interpreted lambdas
+    // per combination INCLUDING the same-side pairs it discarded. The
+    // guard counts total members (both arrays) so the drop metric is
+    // unchanged; single-side buckets (no cross pair possible) are
+    // filtered after the guard, as the sz>1 keep did before.
+    val buckets = OpsMetrics.guardedBySize(
       banded
         .groupBy(col("band"), col("band_key"))
-        .agg(collect_set(struct(col("doc_id"), col(side), col("sig"))).as("m")),
+        .agg(
+          collect_set(when(col(side) === 1, struct(col("doc_id"), col("sig"))))
+            .as("ma"),
+          collect_set(when(col(side) === 0, struct(col("doc_id"), col("sig"))))
+            .as("mb")),
+      size(col("ma")) + size(col("mb")),
       maxBucket, "graft.incr_neardup.drops")
+      .filter(size(col("ma")) > 0 && size(col("mb")) > 0)
     val agree = aggregate(
       zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => (x === y).cast("double")),
       lit(0.0), (acc, v) => acc + v) / numHashes
     val dupIds = buckets
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a(side) === 1 && b(side) === 0, struct(a.as("a"), b.as("b")))),
-          x => x.isNotNull)))).as("p"))
+      .select(explode(graft.functions.ArrayFunctions.cross_pairs(
+        col("ma"), col("mb"))).as("p"))
       .filter(round(agree, 4) >= threshold)
       .select(col("p.a.doc_id").as("doc_id"))
       .distinct()
@@ -425,14 +441,11 @@ object Dedup {
         .groupBy(col("slice"))
         .agg(collect_set(struct(col("doc_id"), col("simhash_int"))).as("m")),
       maxBucket, "graft.simhash.drops")
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a("doc_id") < b("doc_id"),
-            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
-              bit_count(a("simhash_int").bitwiseXOR(b("simhash_int")))
-                .cast("int").as("hamming")))),
-          x => x.isNotNull)))).as("p"))
-      .select(col("p.*"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        bit_count(col("p.a.simhash_int").bitwiseXOR(col("p.b.simhash_int")))
+          .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -464,13 +477,10 @@ object Dedup {
       .groupBy(col("g"), col("block"))
       .agg(collect_set(struct(col("doc_id"), col("sz"))).as("m"))
       .filter(size(col("m")) > 1)
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a("doc_id") < b("doc_id"),
-            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
-                   a("sz").as("sz_a"), b("sz").as("sz_b")))),
-          x => x.isNotNull)))).as("p"))
-      .select(col("p.*"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter.withColumn("jaccard",
@@ -506,17 +516,16 @@ object Dedup {
     val ex = dfCapped(
       sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("g")),
       maxShingleDf)
+    // native ordered-pair generation (see minhashLsh): doc_id leads the
+    // struct, so array_sort + index-ordered pairs = the a < b pair set.
     val inter = ex
       .groupBy(col("g"))
       .agg(collect_set(struct(col("doc_id"), col("sz"))).as("m"))
       .filter(size(col("m")) > 1)
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a("doc_id") < b("doc_id"),
-            struct(a("doc_id").as("id_a"), b("doc_id").as("id_b"),
-                   a("sz").as("sz_a"), b("sz").as("sz_b")))),
-          x => x.isNotNull)))).as("p"))
-      .select(col("p.*"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter.select(col("id_a"), col("id_b"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
@@ -140,7 +140,16 @@ object OpsMetrics {
     * column: keeps buckets of size 2..maxBucket (as before), counts
     * what the upper bound drops.
     */
-  private[ops] def guarded(grouped: DataFrame, maxBucket: Int, metric: String): DataFrame = {
+  private[ops] def guarded(grouped: DataFrame, maxBucket: Int, metric: String): DataFrame =
+    guardedBySize(grouped, size(col("m")), maxBucket, metric)
+
+  /** Same guard over an explicit member-count column — for buckets whose
+    * members are split across several collected arrays (e.g. the
+    * two-sided incremental near-dup buckets), where the dropped-rows
+    * count must still cover ALL members, not one array's.
+    */
+  private[ops] def guardedBySize(grouped: DataFrame, szCol: Column,
+                                 maxBucket: Int, metric: String): DataFrame = {
     val spark = grouped.sparkSession
     val g = Guard(
       spark.sparkContext.longAccumulator(s"$metric.dropped_buckets"),
@@ -152,6 +161,6 @@ object OpsMetrics {
       if (sz > maxBucket) { g.buckets.add(1L); g.rows.add(sz.toLong); false }
       else sz > 1
     }
-    grouped.filter(keep(size(col("m"))))
+    grouped.filter(keep(szCol))
   }
 }

@@ -249,15 +249,31 @@ object Similarity {
     */
   private def bucketCandidates(bucketed: DataFrame, maxBucket: Int,
                                pair: (Column, Column) => Column,
-                               metric: String): DataFrame =
+                               metric: String): DataFrame = {
+    graft.functions.ArrayFunctions.register(bucketed.sparkSession)
+    // native pair generation (PairCombinations — the cf01/cf02 rewrite):
+    // vec_id leads the member struct, so array_sort + index-ordered
+    // pairs = the a.vec_id < b.vec_id unordered-pair set, one codegen'd
+    // loop instead of three interpreted lambdas per combination. `pair`
+    // is applied to BOTH orientations of each unordered pair — callers
+    // wanting ordered output (top-k per query) accept both, callers
+    // wanting a<b pairs null the reversed one — and stays a codegen'd
+    // projection expression rather than a lambda body. Scores are
+    // computed per ORIENTATION, never reused across the swap: cosine
+    // division order (dot/normA/normB) is not bit-commutative and the
+    // oracles replay each orientation's exact arithmetic.
     OpsMetrics.guarded(
       bucketed
         .groupBy(col("tbl"), col("bucket"))
         .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("m")),
       maxBucket, metric)
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b => pair(a, b)), x => x.isNotNull)))).as("p"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("q"))
+      .select(explode(array(pair(col("q.a"), col("q.b")),
+        pair(col("q.b"), col("q.a")))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.*"))
+  }
 
   /** ANN via LSH buckets: candidates searched only within the query's
     * buckets (`tables` independent hash tables for recall), exact
@@ -443,14 +459,21 @@ object Similarity {
     val grouped = members.groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"),
         col("codes"))).as("m"))
+    // native pair generation + both orientations (see bucketCandidates):
+    // ADC is asymmetric (exact query embedding vs decoded neighbor
+    // codes), so each unordered pair scores twice — the same work the
+    // HOF form did, minus its interpreted per-combination lambdas.
+    graft.functions.ArrayFunctions.register(corpus.sparkSession)
     val cand = OpsMetrics.guarded(grouped, maxBucket, "graft.ivfpq_topk.drops")
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when(a("vec_id") =!= b("vec_id"),
-            struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
-              round(l2sq(a("embedding"), decoded(b("codes"))), 6).as("adc_dist")))),
-          x => x.isNotNull)))).as("p"))
-      .select(col("p.*"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("q"))
+      .select(explode(array(
+        struct(col("q.a").as("a"), col("q.b").as("b")),
+        struct(col("q.b").as("a"), col("q.a").as("b")))).as("qq"))
+      .select(col("qq.a.vec_id").as("query_id"),
+        col("qq.b.vec_id").as("neighbor_id"),
+        round(l2sq(col("qq.a.embedding"), decoded(col("qq.b.codes"))), 6)
+          .as("adc_dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     cand.withColumn("rk", row_number().over(w))
@@ -489,19 +512,26 @@ object Similarity {
     val cells = coarseCells(corpus, base, numCells, kmeansIters)
       .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("cent_sim"))
     val members = base.join(cells, "vec_id")
-    val grouped = members.groupBy(col("cell"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"),
-        col("norm"), col("cent_sim"))).as("m"))
     // a ranks BELOW b on (cent_sim desc, vec_id asc) and is ε-similar
-    // to b → a is the duplicate to drop
+    // to b → a is the duplicate to drop. Native pair generation: the
+    // member struct LEADS with the dominance rank key (negated
+    // cent_sim, signed zero normalized by + 0.0 so ±0.0 stay the tie
+    // they are under the old `>` comparison, then vec_id), so after
+    // array_sort the index-ordered pairs are exactly (dominator,
+    // dominated) — one codegen'd loop instead of three interpreted
+    // lambdas per combination. The ε-cosine keeps the OLD operand
+    // order (dropped first) — division order is not bit-commutative
+    // and the oracle replays it exactly.
+    graft.functions.ArrayFunctions.register(corpus.sparkSession)
+    val grouped = members.groupBy(col("cell"))
+      .agg(collect_list(struct(((-col("cent_sim")) + lit(0.0)).as("rank_key"),
+        col("vec_id"), col("embedding"), col("norm"))).as("m"))
     val dropped = OpsMetrics.guarded(grouped, maxBucket, "graft.sem_dedup.drops")
-      .select(explode(flatten(transform(col("m"), a =>
-        filter(transform(col("m"), b =>
-          when((b("cent_sim") > a("cent_sim")) ||
-               (b("cent_sim") === a("cent_sim") && b("vec_id") < a("vec_id")),
-            when(round(cosinePre(a("embedding"), b("embedding"),
-              a("norm"), b("norm")), 4) >= eps, a("vec_id")))),
-          x => x.isNotNull)))).as("vec_id"))
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("q"))
+      .filter(round(cosinePre(col("q.b.embedding"), col("q.a.embedding"),
+        col("q.b.norm"), col("q.a.norm")), 4) >= eps)
+      .select(col("q.b.vec_id").as("vec_id"))
       .distinct()
       .withColumn("__dup", lit(true))
     members.select(col("vec_id"), col("cell"), col("cent_sim"))
