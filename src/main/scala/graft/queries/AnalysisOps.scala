@@ -934,6 +934,42 @@ object AnalysisOps {
            SELECT event_id, k, round(v, 4) AS v,
              round(($num) / ($den), 6) AS ewma
            FROM l ORDER BY event_id"""
-      })
+      }),
+
+    // pt01: the signed-zero portability property, run CROSS-ENGINE
+    // every round — the executable regression gate for the round-9
+    // ft02/ts02 class. Each row drives the trig kernels through the
+    // near-zero region where Java Math.* and C libm disagree in the
+    // SIGN of an ulp-sized result (cos(k·π/2) = ±ε at odd k, sin/tan
+    // at kπ), plus a deterministic subtraction residual (k·0.1 −
+    // k/10, |r| < 5e-11 for every orderkey at this SF, so round(…,10)
+    // collapses it to ±0.0 in BOTH engines). Every column rounds
+    // through Portability.zround / its SQL twin; a regression that
+    // drops the normalization on either side turns a -0.0 back on and
+    // fails the driver's bytewise hash. Rounding scales sit ≥9 orders
+    // above ulp noise, so signed zero is the ONLY divergence the gate
+    // can see — by construction it cannot flake on libm magnitude
+    // differences.
+    NamedQuery("pt01_signed_zero",
+      (s, d) => Tables.load(s, d, "orders")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(4096)
+        .select(col("o_orderkey"),
+          graft.ops.Portability.zround(
+            cos(col("o_orderkey") * lit(math.Pi) / lit(2.0)), 6).as("cos_z"),
+          graft.ops.Portability.zround(
+            sin(col("o_orderkey") * lit(math.Pi)), 6).as("sin_z"),
+          graft.ops.Portability.zround(
+            tan(col("o_orderkey") * lit(math.Pi)), 6).as("tan_z"),
+          graft.ops.Portability.zround(
+            col("o_orderkey") * lit(0.1) - col("o_orderkey") / lit(10.0), 10)
+            .as("diff_z"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+               (round(cos(o_orderkey * pi() / 2.0), 6) + 0.0) AS cos_z,
+               (round(sin(o_orderkey * pi()), 6) + 0.0) AS sin_z,
+               (round(tan(o_orderkey * pi()), 6) + 0.0) AS tan_z,
+               (round(o_orderkey * 0.1 - o_orderkey / 10.0, 10) + 0.0) AS diff_z
+             FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4096)
+             ORDER BY o_orderkey"""))
   )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSpark
+
+/** Property gate for the signed-zero portability sweep (the round-9
+  * ft02/ts02 class): Portability.zround must NEVER emit IEEE -0.0,
+  * for any input — adversarial near-zero/near-boundary doubles, trig
+  * residuals where Java and libm disagree in sign, scalacheck-driven
+  * batches, and nulls — while agreeing with plain round() everywhere
+  * except the sign of zero. The cross-ENGINE half of the property
+  * (DuckDB evaluates the identical `round(x, s) + 0.0`) runs as the
+  * oracle-gated pt01_signed_zero registry query on every driver round.
+  */
+class PortabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val negZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+
+  private def zroundAll(xs: Seq[Double], scale: Int): Seq[Double] =
+    xs.toDF("x").select(Portability.zround(col("x"), scale).as("z"))
+      .collect().map(_.getDouble(0)).toSeq
+
+  test("zround never emits -0.0 on the adversarial grid, any scale") {
+    val grid = Seq(
+      0.0, -0.0,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      1e-300, -1e-300,
+      // the exact class that broke ft02/ts02: ulp-sized trig residue
+      // whose sign is libm-dependent
+      math.cos(3 * math.Pi / 2), -math.cos(3 * math.Pi / 2),
+      math.sin(math.Pi), -math.sin(math.Pi),
+      // straddling the HALF_UP boundary at scale 6
+      4.9e-7, -4.9e-7, 5.0e-7, -5.0e-7, 5.1e-7, -5.1e-7,
+      1e-7, -1e-7, 1.0, -1.0, 123.4567891, -123.4567891)
+    for (scale <- Seq(0, 2, 4, 6, 10, 12)) {
+      val out = zroundAll(grid, scale)
+      val negZeros = out.filter(v =>
+        java.lang.Double.doubleToRawLongBits(v) == negZeroBits)
+      assert(negZeros.isEmpty, s"scale $scale leaked -0.0 for inputs " +
+        grid.zip(out).filter(p =>
+          java.lang.Double.doubleToRawLongBits(p._2) == negZeroBits))
+    }
+  }
+
+  test("zround == round except it unifies the sign of zero (scalacheck batch)") {
+    // fixed seed: the property is a regression gate, not a fuzzer
+    val gen = Gen.frequency(
+      4 -> Gen.choose(-1e-6, 1e-6),            // the dangerous region
+      2 -> Gen.choose(-1e-12, 1e-12),
+      2 -> Gen.choose(-1e6, 1e6),
+      1 -> Gen.oneOf(0.0, -0.0, 5e-7, -5e-7))
+    val xs = Gen.listOfN(2000, gen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = xs.toDF("x").select(col("x"),
+      Portability.zround(col("x"), 6).as("z"),
+      round(col("x"), 6).as("r"))
+    val rows = df.collect()
+    rows.foreach { row =>
+      val z = row.getDouble(1); val r = row.getDouble(2)
+      assert(java.lang.Double.doubleToRawLongBits(z) != negZeroBits,
+        s"zround(-?${row.getDouble(0)}) emitted -0.0")
+      // value equality: identical to plain round everywhere (+0.0 on
+      // a nonzero rounded value is exact — no drift introduced)
+      assert(z == r, s"zround diverged from round: $z vs $r")
+      if (r != 0.0)
+        assert(java.lang.Double.doubleToRawLongBits(z) ==
+          java.lang.Double.doubleToRawLongBits(r),
+          "nonzero values must be bit-identical")
+    }
+  }
+
+  test("zround propagates NULL (both engines: NULL + 0.0 = NULL)") {
+    val out = Seq(Some(1.23456789), None).toDF("x")
+      .select(Portability.zround(col("x"), 4).as("z")).collect()
+    assert(out.exists(_.isNullAt(0)) && out.exists(r =>
+      !r.isNullAt(0) && r.getDouble(0) == 1.2346))
+  }
+
+  test("zroundSql textual twin stays in sync with the Column form") {
+    assert(Portability.zroundSql("x - y", 6) == "(round(x - y, 6) + 0.0)")
+  }
+}
