@@ -1,0 +1,13 @@
+"""pygraft — importable Python client for the graft REST facade.
+
+The module mirrors the reference Python client's shape
+(clients/PyLagoon/PyLagoon: Lagoon / LagoonConfig / Source) route-for-
+route over the graft server, using only the standard library (no
+requests / sqlalchemy); query results come back as list-of-dicts, with
+an optional pandas DataFrame conversion when pandas is importable.
+"""
+from pygraft.client import Graft
+from pygraft.config import GraftConfig
+from pygraft.source import Source
+
+__all__ = ["Graft", "GraftConfig", "Source"]

@@ -1,0 +1,198 @@
+"""The Graft client class — the Lagoon analog (PyLagoon/lagoon.py),
+route-for-route over the graft REST facade, standard library only.
+
+Differences from the reference client, driven by the facade:
+ - auth is an X-Token header (POST /user/login returns a token) where
+   the reference used a session cookie; semantics are identical.
+ - SQL goes as the raw query text in the POST /sql body (Accept:
+   application/json selects JSON-lines rows) rather than a JSON
+   envelope.
+ - query results come back as list-of-dicts; to_dataframe() converts
+   via pandas when it is importable (the client itself has no hard
+   pandas dependency, unlike the reference).
+"""
+import json
+import os.path
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from pygraft.source import Source
+
+
+def _rows_to_df(rows, sources=()):
+    """lagoon.py _query_to_df: list-of-dicts → DataFrame with dtypes
+    looked up column-by-column across the given sources (first match
+    wins — results carry column names, not source identifiers).
+    """
+    import pandas as pd
+    columns = {}
+    for row in rows:
+        for c, v in row.items():
+            columns.setdefault(c, []).append(v)
+    series = []
+    for name, vals in columns.items():
+        dtype = object
+        for s in sources:
+            if name in s.col_types:
+                dtype = s.col_types[name]
+                break
+        try:
+            series.append(pd.Series(vals, name=name, dtype=dtype))
+        except (TypeError, ValueError):
+            series.append(pd.Series(vals, name=name, dtype=object))
+    if not series:
+        return pd.DataFrame()
+    df = pd.concat(series, axis=1)
+    df.columns = list(columns.keys())
+    return df
+
+
+class Graft:
+    """Connects to a graft server (lagoon.py:26-46). `config` is a
+    GraftConfig; host/port parameters override its fields.
+    """
+
+    def __init__(self, config=None, host=None, port=None):
+        self.__host = host if host else config.GRAFT_HOST
+        self.__port = port if port else config.GRAFT_PORT
+        self.__conn_str = "http://{0}:{1}/".format(self.__host, self.__port)
+        self.__cfg = config
+        self.__token = None
+        if config is not None and config.is_connected_mode:
+            self.__token = self.__connect()
+
+    # ------------- plumbing -------------
+
+    def __request(self, method, path, params=None, body=None, headers=None,
+                  expect_ok=True):
+        url = self.__conn_str + path
+        if params:
+            flat = []
+            for k, v in params.items():
+                for vv in (v if isinstance(v, (list, tuple)) else [v]):
+                    flat.append((k, vv))
+            url += "?" + urllib.parse.urlencode(flat)
+        r = urllib.request.Request(url, method=method, data=body)
+        if self.__token:
+            r.add_header("X-Token", self.__token)
+        for k, v in (headers or {}).items():
+            r.add_header(k, v)
+        try:
+            with urllib.request.urlopen(r) as resp:
+                return resp.status, resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:
+            out = e.read().decode("utf-8")
+            if expect_ok:
+                raise Exception(
+                    "{0} /{1} failed ({2}): {3}".format(
+                        method, path, e.code, out[:300]))
+            return e.code, out
+
+    def __connect(self):
+        # lagoon.py __connect — 401 raises, success stores the session
+        code, out = self.__request(
+            "POST", "user/login",
+            body=json.dumps({"user": self.__cfg.USER,
+                             "pass": self.__cfg.PASSWORD}).encode("utf-8"),
+            expect_ok=False)
+        if code == 200:
+            return json.loads(out)["token"]
+        raise Exception("Authentication failed")
+
+    # ------------- the PyLagoon surface -------------
+
+    @property
+    def is_authenticated(self):
+        return self.__token is not None
+
+    @property
+    def conn_str(self):
+        return self.__conn_str
+
+    def sources(self, ontoClass=None, tags=None, columns=None, **kwargs):
+        """GET /sources (lagoon.py:57-67). kwargs pass through as query
+        params (name, ix, user, createdAfter/Before, …); use ontoClass
+        for the reserved word `class`.
+        """
+        if ontoClass:
+            kwargs["class"] = ontoClass
+        if tags:
+            kwargs["tag"] = tags
+        if columns:
+            kwargs["columns"] = columns
+        _, out = self.__request("GET", "sources", params=kwargs)
+        return [Source(j) for j in json.loads(out)]
+
+    def my_sources(self, **kwargs):
+        """A shortcut for self.sources(user=<current user>)."""
+        return self.sources(user=self.__cfg.USER, **kwargs)
+
+    def ingest(self, file_path, name, ontoClass=None, tags=None, **kwargs):
+        """POST /sources with the file body (lagoon.py:69-108). Returns
+        the newly created Source.
+        """
+        if ontoClass:
+            kwargs["class"] = ontoClass
+        if tags:
+            kwargs["tag"] = tags
+        kwargs["name"] = name
+        kwargs["input"] = os.path.split(file_path)[1]
+        with open(file_path, "rb") as f:
+            _, out = self.__request("POST", "sources", params=kwargs,
+                                    body=f.read())
+        return Source(json.loads(out))
+
+    def source(self, name):
+        """GET /source/name/{N} — latest version of a named source."""
+        _, out = self.__request(
+            "GET", "source/name/" + urllib.parse.quote(name, safe=""))
+        return Source(json.loads(out))
+
+    def users(self):
+        """GET /users (lagoon.py:115-119 — marked 'TODO: Fix it!' in
+        the reference: neither server exposes a user LISTING; kept for
+        surface parity and raising the server's 404 faithfully).
+        """
+        _, out = self.__request("GET", "users")
+        return json.loads(out)
+
+    def sql(self, query, sources=()):
+        """POST /sql → list-of-dict rows (JSON-lines accept)."""
+        _, out = self.__request(
+            "POST", "sql", body=query.encode("utf-8"),
+            headers={"Accept": "application/json"})
+        return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+    def download_query(self, query, sources):
+        """DataFrame from a SQL query and the sources whose columns it
+        reads (lagoon.py:137-144) — dtypes resolved source-by-source.
+        """
+        return _rows_to_df(self.sql(query), sources)
+
+    def download_source(self, source):
+        """DataFrame containing an entire source (lagoon.py:121-135):
+        typed values via the source's registered view.
+        """
+        return self.download_query(
+            "SELECT * FROM " + source.view_name, [source])
+
+    def download_csv(self, source):
+        """Raw CSV text of a source version (GET …/download)."""
+        _, out = self.__request(
+            "GET", "source/{0}/{1}/download".format(
+                urllib.parse.quote(source.name, safe=""), source.version))
+        return out
+
+    def tag(self, source, tags):
+        """POST /source/{N}/{v}/tags — add tags to a source version."""
+        self.__request(
+            "POST", "source/{0}/{1}/tags".format(
+                urllib.parse.quote(source.name, safe=""), source.version),
+            body=json.dumps(list(tags)).encode("utf-8"))
+
+    def logout(self):
+        """POST /user/logout — invalidates the session token."""
+        if self.__token:
+            self.__request("POST", "user/logout", body=b"")
+            self.__token = None

@@ -1,0 +1,83 @@
+"""Client configuration (the LagoonConfig analog, PyLagoon/config.py).
+
+Precedence mirrors the reference loader: explicit parameters > config
+file fields > environment variables. The file format is the same
+flat "key: value" shape the reference reads with yaml.load — parsed
+here with the standard library so the client has zero dependencies
+(JSON files work too).
+"""
+import collections
+import json
+import os
+import os.path
+
+ENV_ARG_NAMES = ["GRAFT_HOST", "GRAFT_PORT", "USER", "PASSWORD"]
+
+# file-side field names (reference: lagoonserver_host/port, user, password)
+FILE_FIELDS = ["graftserver_host", "graftserver_port", "user", "password"]
+
+
+def _parse_config_file(path):
+    """Flat key: value / JSON config reader (stdlib-only yaml subset)."""
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            return doc
+    except ValueError:
+        pass
+    out = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        v = v.strip().strip("'\"")
+        out[k.strip()] = v
+    return out
+
+
+class GraftConfig(collections.namedtuple("GraftConfig", ENV_ARG_NAMES)):
+    @property
+    def is_connected_mode(self):
+        # config.py:31 — a password means "log in", its absence means
+        # anonymous (public reads only)
+        return self.PASSWORD is not None
+
+    @classmethod
+    def from_env(cls):
+        """Loads configuration from environment variables only."""
+        return cls(*[os.environ.get(x) for x in ENV_ARG_NAMES])
+
+    @classmethod
+    def load(cls, config_file=None, **kwargs):
+        """Parameters > file fields > environment (config.py:40-59)."""
+        file_opts = {}
+        if config_file is not None and not os.path.exists(config_file):
+            raise IOError("Tried to load a non-existent configuration file.")
+        if not config_file:
+            config_file = "ingest.yaml"
+        if os.path.exists(config_file):
+            file_opts = _parse_config_file(config_file)
+
+        def err(e):
+            # PASSWORD may stay unset (anonymous mode)
+            if e not in ("PASSWORD",):
+                raise Exception(
+                    "Required configuration parameter " + e + " missing")
+
+        def pick(e, y):
+            # explicit None checks, not `or`: an EMPTY password is a
+            # real credential (the server's initial admin password is
+            # ""), which truthiness chaining would silently drop into
+            # anonymous mode
+            if kwargs.get(e) is not None:
+                return kwargs[e]
+            if file_opts.get(y) is not None:
+                return str(file_opts[y])
+            if os.environ.get(e) is not None:
+                return os.environ[e]
+            return err(e)
+
+        return cls(*[pick(e, y)
+                     for e, y in zip(ENV_ARG_NAMES, FILE_FIELDS)])

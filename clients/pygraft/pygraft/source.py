@@ -1,0 +1,73 @@
+"""Source wrapper (the PyLagoon/source.py analog): a thin view over
+the JSON description the server returns for a source version, plus the
+column-name → python-type mapping used when materializing DataFrames.
+"""
+
+# server type names → python/pandas dtypes (source.py LAGOON_TYPES)
+GRAFT_TYPES = {
+    "BOOLEAN": bool,
+    "INTEGER": int,
+    "BIGINT": "Int64",
+    "DOUBLE PRECISION": float,
+    "REAL": float,
+    "TEXT": str,
+    "JSON": object,
+}
+UNKNOWN_COLUMN_TYPE = object
+
+
+class Source:
+    """A wrapper for the json description of sources returned by the
+    graft server (source.py:30-69).
+    """
+
+    INDEX_COL = "ix"
+    INDEX_COL_TYPE = int
+
+    def __init__(self, json_doc):
+        self.__json = json_doc
+
+    def __str__(self):
+        return "<Source: ix={0}, view_name={1}>".format(self.ix, self.view_name)
+
+    def __repr__(self):
+        return str(self)
+
+    @property
+    def ix(self):
+        return self.__json["ix"]
+
+    @property
+    def name(self):
+        return self.__json["name"]
+
+    @property
+    def version(self):
+        return self.__json["version"]
+
+    @property
+    def view_name(self):
+        return self.__json["viewName"]
+
+    @property
+    def tags(self):
+        return self.__json.get("tags", [])
+
+    @property
+    def columns(self):
+        """Friendly column name → column descriptor dict."""
+        return {c["name"]: c for c in self.__json.get("columns", [])}
+
+    @property
+    def _json(self):
+        return self.__json
+
+    @property
+    def col_types(self):
+        types = {n: get_column_type(c) for n, c in self.columns.items()}
+        types[self.INDEX_COL] = self.INDEX_COL_TYPE
+        return types
+
+
+def get_column_type(column):
+    return GRAFT_TYPES.get(column.get("type"), UNKNOWN_COLUMN_TYPE)

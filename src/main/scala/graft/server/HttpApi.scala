@@ -158,6 +158,7 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         s""""type":${jstr(e.colTypes(i))},"header":${jstr(e.headers.lift(i).getOrElse(""))}}"""
     }.mkString("[", ",", "]")
     s"""{"ix":${e.ix},"name":${jstr(e.name)},"version":${e.version},""" +
+      s""""viewName":${jstr(e.viewName)},""" +
       s""""created":${jstr(e.created)},"addedBy":${jstr(e.addedBy)},""" +
       s""""description":${jstr(e.description)},"deprecated":${e.deprecated},""" +
       s""""tags":${e.tags.map(jstr).mkString("[", ",", "]")},""" +

@@ -1,0 +1,30 @@
+package graft.server
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** Drives tools/pygraft_smoke.py — the IMPORTABLE pygraft client
+  * package (clients/pygraft, the reference clients/PyLagoon analog) —
+  * against an in-process server: config precedence (empty password is
+  * a credential), failed login raises, file ingest, search/by-name,
+  * SQL rows, typed pandas DataFrame download through Source.col_types,
+  * CSV download, tags, users() 404 parity, logout.
+  */
+class PyGraftClientSpec extends AnyFunSuite {
+
+  test("pygraft package replays the PyLagoon library flow") {
+    val api = new HttpApi(new Catalog(TestSpark.spark,
+      Files.createTempDirectory("graft-pyg-wh").toString))
+    val port = api.start()
+    try {
+      val proc = new ProcessBuilder("python3", "tools/pygraft_smoke.py", port.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      assert(code == 0, s"pygraft_smoke.py exit $code:\n$out")
+      assert(out.contains("pygraft client smoke OK"), out)
+    } finally api.stop()
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""End-to-end smoke for the IMPORTABLE pygraft client package
+(clients/pygraft) against a running graft server — the library analog
+of client_smoke.py's raw-HTTP flow (reference docs/python-example.ipynb
+replayed through the Lagoon-shaped API: config → connect → ingest →
+sources → sql → typed DataFrame download → tag → logout).
+
+Usage: pygraft_smoke.py <port> [adminPass]
+Exit 0 = every step behaved. Run by PyGraftClientSpec.
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "clients", "pygraft"))
+
+from pygraft import Graft, GraftConfig  # noqa: E402
+
+
+def main():
+    port = sys.argv[1]
+    admin_pass = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    # config precedence: kwargs win; empty password is a REAL credential
+    cfg = GraftConfig.load(config_file=None, GRAFT_HOST="127.0.0.1",
+                           GRAFT_PORT=port, USER="root", PASSWORD=admin_pass)
+    assert cfg.is_connected_mode, cfg
+
+    # wrong password must raise (lagoon.py __connect contract)
+    bad = GraftConfig.load(GRAFT_HOST="127.0.0.1", GRAFT_PORT=port,
+                           USER="root", PASSWORD="definitely-wrong")
+    try:
+        Graft(bad)
+        raise AssertionError("wrong password authenticated")
+    except Exception as e:
+        assert "Authentication failed" in str(e), e
+
+    g = Graft(cfg)
+    assert g.is_authenticated
+
+    # ingest from a real file path (the reference signature)
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        f.write("city,pop\nParis,2100000\nLyon,520000\n")
+        path = f.name
+    src = g.ingest(path, name="pyg.csv")
+    assert src.version >= 1 and src.view_name, src
+    assert src.col_types["pop"] in (int, "Int64"), src.col_types
+
+    # search + by-name lookup agree
+    assert any(s.name == "pyg.csv" for s in g.sources(name="pyg"))
+    assert g.source("pyg.csv").version == src.version
+
+    # SQL rows as dicts
+    rows = g.sql("SELECT city FROM {0} WHERE pop > 1000000".format(src.view_name))
+    assert rows == [{"city": "Paris"}], rows
+
+    # typed DataFrame download (dtype resolved through the Source)
+    df = g.download_source(src)
+    assert sorted(df["city"]) == ["Lyon", "Paris"], df
+    assert int(df[df["city"] == "Paris"]["pop"].iloc[0]) == 2100000, df
+
+    # raw CSV download
+    assert "Paris,2100000" in g.download_csv(src)
+
+    # tags round-trip
+    g.tag(src, ["demo"])
+    assert "demo" in g.source("pyg.csv").tags
+
+    # users(): surface parity with the reference's TODO endpoint —
+    # neither server lists users; the 404 must surface, not vanish
+    try:
+        g.users()
+        raise AssertionError("GET /users unexpectedly succeeded")
+    except Exception as e:
+        assert "404" in str(e), e
+
+    # logout invalidates the session; client drops to anonymous
+    g.logout()
+    assert not g.is_authenticated
+
+    print("pygraft client smoke OK")
+
+
+if __name__ == "__main__":
+    main()
