@@ -764,4 +764,39 @@ object Analytics {
     base.select(col("k"), col("t"), col("tb"), col("v"),
       round(num / den, 6).as("ewma"))
   }
+
+  /** Time-to-convert (fn02): per entity, the delay between its FIRST
+    * `from` event and its first `to` event at-or-after it — the
+    * latency companion to fn01's ordered funnel (fn01 counts who
+    * converts; this measures how long conversion takes, the input to
+    * activation-latency SLAs and cohort latency curves). Entities
+    * whose only `to` events precede their first `from` are
+    * non-conversions, not negative latencies. Output: one row per
+    * converting entity (id, from_us, to_us, delta_us — exact
+    * microsecond integers, no float time math).
+    *
+    * Two keyed aggregates over the same entity key — min(ts | from)
+    * per id, joined back to bound the min(ts | to) — both shuffles
+    * hash on id, the join is id-co-partitioned, and only (id, two
+    * longs) ever cross the wire. No window, no per-entity buffering.
+    */
+  def timeToConvert(df: DataFrame, id: Column, ts: Column, eventType: Column,
+                    from: String, to: String): DataFrame = {
+    val base = df.select(id.as("id"), unix_micros(ts).as("us"),
+      eventType.as("et"))
+    // two-phase: first-from per id (cheap partial agg), then the
+    // conditional min for `to` needs first-from as a per-row bound —
+    // a broadcast-sized frame would be wrong at scale (one row per
+    // entity), so re-aggregate with the bound JOINED back by key:
+    // both shuffles hash on the same id key and AQE coalesces them.
+    val firstFrom = base.filter(col("et") === from)
+      .groupBy(col("id")).agg(min(col("us")).as("from_us"))
+    base.filter(col("et") === to)
+      .join(firstFrom, "id")
+      .filter(col("us") >= col("from_us"))
+      .groupBy(col("id"), col("from_us"))
+      .agg(min(col("us")).as("to_us"))
+      .select(col("id"), col("from_us"), col("to_us"),
+        (col("to_us") - col("from_us")).as("delta_us"))
+  }
 }

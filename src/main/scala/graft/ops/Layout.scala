@@ -100,4 +100,35 @@ object Layout {
     df.withColumn("shard",
       (lit(shards) - substring(win, 33, 4).cast("int")).cast("int"))
   }
+
+  /** File-packing plan (fp01): assign rows, in `orderCol` order, to
+    * output files of ~`targetBytes` each — the compaction planner
+    * every large corpus needs before publishing (thousands of small
+    * parquet files → ~target-sized ones, preserving a stable order so
+    * the layout is reproducible). `file_id = floor(exclusive-cumsum
+    * (bytes) / target)`: the greedy first-fit-in-order rule, exact
+    * and deterministic.
+    *
+    * Scale shape: the global ordered cumulative sum is the bucketed
+    * two-scan prefix sum (Stats.cumCountsByValue) — subtotals per
+    * value-range bucket, driver prefix over ≤1024 subtotal rows,
+    * broadcast offsets + within-bucket windows — NOT a single-
+    * partition global window, so the plan stays parallel at any
+    * corpus size. Output: one row per file (file_id, n_rows,
+    * file_bytes, first/last order key) — the manifest a rewrite job
+    * consumes.
+    */
+  def packPlan(df: DataFrame, orderCol: org.apache.spark.sql.Column,
+               bytes: org.apache.spark.sql.Column,
+               targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val perRow = df.select(orderCol.as("k"), bytes.cast("long").as("b"))
+    val cum = graft.ops.Stats.cumCountsByValue(perRow, "k", Seq("b"))
+    // integral DIV, not double floor-division: cumulative byte counts
+    // overflow double precision long before they overflow BIGINT
+    cum.withColumn("file_id", expr(s"cum_b_below DIV ${targetBytes}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("file_bytes"),
+        min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+  }
 }

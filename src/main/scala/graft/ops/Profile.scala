@@ -307,6 +307,61 @@ object Profile {
       .drop("__anon_n")
   }
 
+  /** l-diversity audit (pv02): k-anonymity's required companion — a
+    * QI group can be large (k-anonymous) yet expose its members anyway
+    * when every row shares one SENSITIVE value (the homogeneity
+    * attack: "all 50 patients in that (zip, age) cell have the same
+    * diagnosis"). A group is l-diverse when its sensitive attribute
+    * takes ≥ l distinct values. Output: one row per QI group with its
+    * size, distinct-sensitive count, and the verdict — the release
+    * auditor consumes this next to pv01's suppression.
+    *
+    * One groupBy with an exact count(DISTINCT sensitive) — a single
+    * exchange on the QI key, partial-aggregated map-side; the same
+    * shape at any corpus size.
+    */
+  def lDiversity(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame = {
+    require(l >= 2, s"l must be at least 2: $l")
+    require(qi.nonEmpty, "no quasi-identifier columns")
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
+  /** Median-absolute-deviation outliers (mad01): the robust-statistics
+    * sibling of dq02's IQR fences — MAD tolerates up to 50% corrupted
+    * values where quartiles start moving at 25%, which is why data-
+    * quality monitors prefer it for columns that are ALREADY suspect.
+    * Per group: median, MAD, and the count of rows with
+    * |v − median| > k · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4) rescales
+    * MAD to σ under normality, so k reads as "k sigmas").
+    *
+    * Both medians reuse weightedMedian's per-group machinery (unit
+    * weights): value-grouped partial counts, per-group cumulative
+    * weight — no per-group value buffering (contrast q43's exact
+    * percentile, which is gate-only for that reason). The deviation
+    * pass recomputes |v − med| against the JOINED group median — two
+    * keyed shuffles total.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = df.select(group.as("g"), value.as("v")).filter(col("v").isNotNull)
+    val med = weightedMedian(base, col("g"), col("v"), lit(1L))
+      .select(col("g"), col("wmedian").as("med"))
+    val dev = base.join(med, "g").withColumn("adev", abs(col("v") - col("med")))
+    val mad = weightedMedian(dev, col("g"), col("adev"), lit(1L))
+      .select(col("g"), col("wmedian").as("mad"))
+    dev.join(mad, "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(k * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Population Stability Index (psi01): distribution drift of a
     * numeric column between a baseline snapshot and a current one —
     * the ML-monitoring standard for "has the feature shifted enough

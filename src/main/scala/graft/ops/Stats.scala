@@ -834,6 +834,41 @@ object Stats {
       .select(col("param"), Portability.zround(col("weight"), 6).as("weight"))
   }
 
+  /** Deterministic k-fold cross-validation of the mean model (cv01):
+    * fold assignment is the md5 draw on the row id (engine-portable,
+    * zero RNG, stable under retries — the same derivation every
+    * sampler in this repo uses), and the evaluated model is the
+    * leave-fold-out MEAN — the baseline every regression CV report
+    * starts from. Per fold: its size, the training mean computed from
+    * the OTHER folds, and the fold's out-of-fold RMSE, in closed form
+    * from per-fold (n, Σy, Σy²):
+    *   mse_f = Σy²_f/n_f − 2·m·Σy_f/n_f + m², m = (ΣY−Σy_f)/(N−n_f).
+    *
+    * One groupBy over the fold key (k rows out) and a k-row broadcast
+    * join against the totals — two scans, no per-row model state, the
+    * identical plan at any corpus size.
+    */
+  def kfoldMeanModel(df: DataFrame, id: Column, target: Column,
+                     k: Int = 5, seed: String = "cv1"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k out of range: $k")
+    val fold = pmod(conv(substring(md5(concat_ws("#", lit(seed),
+      id.cast("string"))), 1, 8), 16, 10).cast("long"), lit(k)).as("fold")
+    val perFold = df.filter(target.isNotNull)
+      .select(fold, target.cast("double").as("__y"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sy"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val tot = perFold.agg(sum(col("n")).as("tn"), sum(col("sy")).as("tsy"))
+    val joined = perFold.join(broadcast(tot))
+      .withColumn("m", (col("tsy") - col("sy")) / (col("tn") - col("n")))
+    joined.select(col("fold"), col("n"),
+        Portability.zround(col("m"), 6).as("train_mean"),
+        Portability.zround(sqrt(col("syy") / col("n")
+          - lit(2.0) * col("m") * col("sy") / col("n")
+          + col("m") * col("m")), 6).as("oof_rmse"))
+      .orderBy(col("fold"))
+  }
+
   /** In-place Gaussian elimination with partial pivoting (driver-side,
     * d×d where d = feature count).
     */

@@ -970,6 +970,94 @@ object AnalysisOps {
                (round(tan(o_orderkey * pi()), 6) + 0.0) AS tan_z,
                (round(o_orderkey * 0.1 - o_orderkey / 10.0, 10) + 0.0) AS diff_z
              FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4096)
-             ORDER BY o_orderkey"""))
+             ORDER BY o_orderkey""")),
+
+    // mad01: median-absolute-deviation outliers per return flag —
+    // both medians through the weighted-median machinery (unit
+    // weights, no per-group buffering); the oracle replays the
+    // cumw·2 ≥ totw definition twice
+    NamedQuery("mad01_mad_outliers",
+      (s, d) => Profile.madOutliers(Tables.load(s, d, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), k = 3.0)
+        .orderBy("g"),
+      Some("""WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v
+                FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              pv AS (SELECT g, v, count(*) AS w FROM b GROUP BY 1, 2),
+              c AS (SELECT *, sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+                    sum(w) OVER (PARTITION BY g) AS totw FROM pv),
+              med AS (SELECT g, min(v) AS med FROM c
+                      WHERE cumw * 2 >= totw GROUP BY g),
+              dv AS (SELECT b.g, b.v, med.med, abs(b.v - med.med) AS adev
+                     FROM b JOIN med USING (g)),
+              pv2 AS (SELECT g, adev, count(*) AS w FROM dv GROUP BY 1, 2),
+              c2 AS (SELECT *, sum(w) OVER (PARTITION BY g ORDER BY adev
+                       ROWS UNBOUNDED PRECEDING) AS cumw,
+                     sum(w) OVER (PARTITION BY g) AS totw FROM pv2),
+              mad AS (SELECT g, min(adev) AS mad FROM c2
+                      WHERE cumw * 2 >= totw GROUP BY g)
+             SELECT dv.g, CAST(count(*) AS BIGINT) AS n, min(dv.med) AS med,
+               min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dv.adev > 3 * 1.4826 * mad.mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             FROM dv JOIN mad USING (g) GROUP BY dv.g ORDER BY dv.g""")),
+
+    // cv01: deterministic k-fold CV of the leave-fold-out mean model
+    // — md5 fold draw, closed-form OOF RMSE from per-fold (n, Σy, Σy²)
+    NamedQuery("cv01_kfold",
+      (s, d) => graft.ops.Stats.kfoldMeanModel(
+          Tables.load(s, d, "events"), col("event_id"), col("value"), k = 5),
+      Some("""WITH f AS (SELECT CAST('0x' || substr(md5('cv1#' ||
+                  CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold,
+                  value AS y
+                FROM events WHERE value IS NOT NULL),
+              pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                     sum(y) AS sy, sum(y * y) AS syy FROM f GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sy) AS tsy FROM pf)
+             SELECT fold, n,
+               (round((tsy - sy) / (tn - n), 6) + 0.0) AS train_mean,
+               (round(sqrt(syy / n
+                 - 2 * ((tsy - sy) / (tn - n)) * sy / n
+                 + ((tsy - sy) / (tn - n)) * ((tsy - sy) / (tn - n))), 6) + 0.0)
+                 AS oof_rmse
+             FROM pf, t ORDER BY fold""")),
+
+    // fn02: time-to-convert — per user, first signup to first purchase
+    // at-or-after it, exact microsecond integers end to end
+    NamedQuery("fn02_time_to_convert",
+      (s, d) => Analytics.timeToConvert(Tables.load(s, d, "events"),
+          col("user_id"), col("ts"), col("event_type"), "signup", "purchase")
+        .withColumnRenamed("id", "user_id")
+        .orderBy("user_id"),
+      Some("""WITH ff AS (SELECT user_id, min(epoch_us(ts)) AS from_us
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+              t AS (SELECT e.user_id, ff.from_us,
+                    min(epoch_us(e.ts)) AS to_us
+                FROM events e JOIN ff USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) >= ff.from_us
+                GROUP BY 1, 2)
+             SELECT user_id, from_us, to_us, to_us - from_us AS delta_us
+             FROM t ORDER BY user_id""")),
+
+    // fp01: file-packing plan over the documents corpus in doc_id
+    // order, ~64 KiB targets — the global ordered cumsum runs through
+    // the bucketed two-scan prefix sum, never a single-partition
+    // window; the oracle's window form is the semantic spec
+    NamedQuery("fp01_pack_plan",
+      (s, d) => graft.ops.Layout.packPlan(
+          Tables.load(s, d, "documents"), col("doc_id"),
+          length(col("text")).cast("long"), targetBytes = 65536L)
+        .orderBy("file_id"),
+      Some("""WITH b AS (SELECT doc_id AS k,
+                  CAST(length(text) AS BIGINT) AS bsz FROM documents),
+              c AS (SELECT k, bsz,
+                    coalesce(sum(bsz) OVER (ORDER BY k ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+                FROM b)
+             SELECT cumb // 65536 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(bsz) AS BIGINT) AS file_bytes,
+               min(k) AS first_key, max(k) AS last_key
+             FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -194,6 +194,23 @@ object FeatureOps {
              FROM customer GROUP BY 1, 2 HAVING count(*) >= 10
              ORDER BY 1, 2""")),
 
+    // pv02: l-diversity audit over the same QI groups — a k-anonymous
+    // group whose SENSITIVE attribute (account-balance band) is
+    // homogeneous still exposes its members; the gate reports each
+    // group's distinct-sensitive count and the l >= 8 verdict
+    NamedQuery("pv02_l_diversity",
+      (s, d) => Profile.lDiversity(
+          Tables.load(s, d, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 1000), l = 8)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT)
+                 AS n_sensitive,
+               count(DISTINCT floor(c_acctbal / 1000)) >= 8 AS diverse
+             FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // psi01: Population Stability Index of order totalprice, pre-1998
     // baseline vs 1998+ current — baseline-decile bins (exact
     // interpolated quantiles folded back as literals), add-half

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Unit coverage for the round-10 release/audit operators: l-diversity
+  * (pv02), MAD outliers (mad01), leave-fold-out CV (cv01), time-to-
+  * convert (fn02), and the file-packing plan (fp01).
+  */
+class ReleaseOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lDiversity: homogeneous sensitive values fail, diverse groups pass") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),            // big but homogeneous
+      ("b", 1), ("b", 2), ("b", 3))            // diverse
+      .toDF("qi", "sens")
+    val out = Profile.lDiversity(df, Seq(col("qi")), col("sens"), l = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("a") == (1L, false), "homogeneity attack must be flagged")
+    assert(out("b") == (3L, true))
+  }
+
+  test("madOutliers: planted extreme value is the only outlier") {
+    // group g: tight cluster around 10 plus one wild point
+    val vals = Seq(9.0, 9.5, 10.0, 10.5, 11.0, 10.2, 9.8, 1000.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val r = Profile.madOutliers(df, col("grp"), col("v"), k = 3.0).collect().head
+    assert(r.getAs[Long]("n") == 8)
+    assert(r.getAs[Double]("med") == 10.0, "median of the 8 values (cumw rule)")
+    assert(r.getAs[Long]("n_outliers") == 1, "only the planted point exceeds 3 sigma-equivalents")
+  }
+
+  test("madOutliers: constant column has MAD 0 and no outliers") {
+    val df = Seq.fill(5)(("g", 7.0)).toDF("grp", "v")
+    val r = Profile.madOutliers(df, col("grp"), col("v")).collect().head
+    assert(r.getAs[Double]("mad") == 0.0 && r.getAs[Long]("n_outliers") == 0)
+  }
+
+  test("kfoldMeanModel: fold math matches a direct replay") {
+    val df = (1L to 400L).map(i => (i, (i % 13).toDouble)).toDF("id", "y")
+    val out = Stats.kfoldMeanModel(df, col("id"), col("y"), k = 4).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 400L, "every row lands in a fold")
+    assert(out.length == 4 && out.map(_.getAs[Long]("fold")).toSet == Set(0L, 1L, 2L, 3L))
+    // replay fold 0 directly: leave-fold-out mean and OOF rmse
+    val fold = Stats.kfoldMeanModel(df, col("id"), col("y"), k = 4) // determinism
+      .collect().sortBy(_.getAs[Long]("fold"))
+    assert(fold.map(_.getAs[Long]("fold")).toSeq == out.sortBy(_.getAs[Long]("fold"))
+      .map(_.getAs[Long]("fold")).toSeq)
+    out.foreach { r =>
+      val m = r.getAs[Double]("train_mean")
+      assert(m > 4.0 && m < 8.0, s"train mean near the 0..12 average: $m")
+      assert(r.getAs[Double]("oof_rmse") > 0.0)
+    }
+  }
+
+  test("timeToConvert: to-before-from excluded, first pair wins, exact micros") {
+    val df = Seq(
+      // u1: clean signup -> purchase, 90 s apart
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:01:30", "purchase"),
+      (1L, "2024-01-01 00:05:00", "purchase"),   // later purchase ignored
+      // u2: purchase BEFORE any signup -> no conversion row
+      (2L, "2024-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:01:00", "signup"),
+      // u3: signup only
+      (3L, "2024-01-01 00:00:00", "signup"))
+      .toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Analytics.timeToConvert(df, col("user_id"), col("ts"),
+      col("event_type"), "signup", "purchase").collect()
+    assert(out.length == 1, "only u1 converts")
+    assert(out.head.getAs[Long]("id") == 1L)
+    assert(out.head.getAs[Long]("delta_us") == 90L * 1000000L)
+  }
+
+  test("packPlan: greedy in-order assignment at exact byte boundaries") {
+    // target 100: sizes 60,60,60 -> cum 0,60,120 -> files 0,0,1 ...
+    val df = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 200L), (5L, 10L))
+      .toDF("k", "b")
+    val out = Layout.packPlan(df, col("k"), col("b"), targetBytes = 100L)
+      .orderBy("file_id").collect()
+    val byFile = out.map(r => r.getAs[Long]("file_id") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("file_bytes"),
+        r.getAs[Long]("first_key"), r.getAs[Long]("last_key"))).toMap
+    // exclusive cumsums: 0,60,120,180,380
+    assert(byFile(0L) == (2L, 120L, 1L, 2L))
+    assert(byFile(1L) == (2L, 260L, 3L, 4L))
+    assert(byFile(3L) == (1L, 10L, 5L, 5L))
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 5L)
+  }
+
+  test("packPlan plan shape: no single-partition exchange (bucketed prefix sum)") {
+    val df = spark.range(10000).toDF("k").withColumn("b", lit(100L))
+    val plan = Layout.packPlan(df, col("k"), col("b"), 4096L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global cumsum must not serialize onto one partition:\n$plan")
+  }
+}
