@@ -617,4 +617,55 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
     if (tables > 1) pairs.distinct() else pairs
   }
+
+  /** Incremental embedding-space dedup (dd13) — dd08's sibling one
+    * representation up: drop rows of `newBatch` whose cosine against
+    * ANY base vector clears `threshold` (re-embedded re-crawls,
+    * paraphrases, near-identical augmentations — what the text-level
+    * hashes miss once content is re-worded). Both sides bucket under
+    * the SAME LSH hyperplanes; pairs are generated ONLY across sides
+    * with the native CrossPairs loop (in-bucket batch-batch and
+    * base-base members pay no pair cost), then one anti-join of the
+    * batch on the matched ids.
+    *
+    * Scale shape: identical to cosineDups — broadcast-free bucketing
+    * at scan speed, group-collect per (table, bucket) behind the
+    * maxBucket guard (drops counted under `graft.incr_cosine.drops`,
+    * sized over BOTH sides), and only vec_ids cross the final
+    * anti-join. The base corpus is never collected or broadcast.
+    */
+  def incrementalCosineDedup(newBatch: DataFrame, base: DataFrame, dim: Int,
+                             threshold: Double, nBits: Int = 0,
+                             tables: Int = 2,
+                             maxBucket: Int = 10000): DataFrame = {
+    registerOn(newBatch)
+    graft.functions.ArrayFunctions.register(newBatch.sparkSession)
+    val bits = if (nBits > 0) nBits else bitsFor(base.count())
+    val side = "__icd_new"
+    require(!newBatch.columns.contains(side), s"column $side would be clobbered")
+    val tagged = newBatch.select(col("vec_id"), col("embedding"), lit(1).as(side))
+      .unionByName(base.select(col("vec_id"), col("embedding"), lit(0).as(side)))
+    val bucketed = tagged.select(col("vec_id"), col(side), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+    val buckets = OpsMetrics.guardedBySize(
+      bucketed.groupBy(col("tbl"), col("bucket"))
+        .agg(
+          collect_set(when(col(side) === 1,
+            struct(col("vec_id"), col("embedding"), col("norm")))).as("ma"),
+          collect_set(when(col(side) === 0,
+            struct(col("vec_id"), col("embedding"), col("norm")))).as("mb")),
+      size(col("ma")) + size(col("mb")),
+      maxBucket, "graft.incr_cosine.drops")
+      .filter(size(col("ma")) > 0 && size(col("mb")) > 0)
+    val dupIds = buckets
+      .select(explode(graft.functions.ArrayFunctions.cross_pairs(
+        col("ma"), col("mb"))).as("p"))
+      .filter(round(cosinePre(col("p.a.embedding"), col("p.b.embedding"),
+        col("p.a.norm"), col("p.b.norm")), 4) >= threshold)
+      .select(col("p.a.vec_id").as("vec_id"))
+      .distinct()
+    newBatch.join(dupIds, Seq("vec_id"), "left_anti")
+  }
 }

@@ -1137,6 +1137,35 @@ object PipelineOps {
         .orderBy("id_a", "id_b"),
       Some(cosineDupsOracle(dim = 64, threshold = 0.3, nBits = 4, tables = 2))),
 
+    // dd13: incremental embedding-space dedup — the daily-ingest guard
+    // one representation above dd08: batch vectors (vec_id % 7 = 0)
+    // are dropped when any BASE vector shares an LSH bucket and clears
+    // the cosine threshold. The oracle reuses dd05's bucket CTEs over
+    // the same tagged union (batch + base = the whole table, same
+    // hyperplanes) with a cross-side join condition.
+    NamedQuery("dd13_incremental_cosine",
+      (s, d) => {
+        val all = embs(s, d)
+        Similarity.incrementalCosineDedup(
+            all.filter(col("vec_id") % 7 === 0),
+            all.filter(col("vec_id") % 7 =!= 0),
+            dim = 64, threshold = 0.3, nBits = 4, tables = 2)
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      Some(s"""${bucketsCte(dim = 64, nBits = 4, tables = 2)},
+              dups AS (SELECT DISTINCT q.vec_id
+                FROM withemb q JOIN withemb n
+                  ON q.t = n.t AND q.bucket = n.bucket
+                     AND q.vec_id % 7 = 0 AND n.vec_id % 7 != 0
+                     AND q.bc <= 10000
+                WHERE round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                      / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                      / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4)
+                      >= 0.3)
+             SELECT vec_id FROM embeddings
+             WHERE vec_id % 7 = 0 AND vec_id NOT IN (SELECT vec_id FROM dups)
+             ORDER BY vec_id""")),
+
     // dup-CLUSTER resolution: n-gram pairs → connected components
     // (min-label propagation; pair relations aren't transitive) → one
     // quality-canonical doc per cluster. The oracle replays the dd04

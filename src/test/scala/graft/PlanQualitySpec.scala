@@ -662,4 +662,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lags must share the window exchange: ${p.take(800)}")
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
   }
+
+  test("dedup/ANN bucket pairs run the native generator, not interpreted HOF lambdas") {
+    // the round-10 rewire: every bucketed pair stage must plan the
+    // codegen'd PairCombinations/CrossPairs expression; the composed
+    // flatten∘transform∘filter chain (three CodegenFallback lambdas
+    // per combination) failing back in would be a silent ~2-3x
+    // regression that correctness gates cannot see
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val lsh = ops.Dedup.minhashLsh(docs).queryExecution.optimizedPlan.toString
+    assert(lsh.contains("paircombinations") || lsh.contains("PairCombinations"),
+      s"dd02 lost the native pair generator: ${lsh.take(400)}")
+    assert(!lsh.contains("transform("),
+      s"dd02 reintroduced interpreted HOF lambdas: ${lsh.take(400)}")
+    val incr = ops.Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 === 0), docs)
+      .queryExecution.optimizedPlan.toString
+    assert(incr.contains("crosspairs") || incr.contains("CrossPairs"),
+      s"dd08 lost the native cross-side generator: ${incr.take(400)}")
+  }
+
+  test("fp01: the pack-plan cumsum never plans a single-partition window") {
+    import org.apache.spark.sql.functions.{col, length}
+    val p = ops.Layout.packPlan(Tables.load(spark, dir, "documents"),
+        col("doc_id"), length(col("text")).cast("long"), 65536L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum serialized onto one partition: ${p.take(600)}")
+  }
 }

@@ -92,6 +92,22 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_rows")).sum == 5L)
   }
 
+  test("incrementalCosineDedup: base twin dropped, novel vector survives") {
+    def unit(v: Seq[Double]) = v.map(_.toFloat)
+    val base = Seq(
+      (100L, unit(Seq(1.0, 0.0, 0.0, 0.0))),
+      (101L, unit(Seq(0.0, 1.0, 0.0, 0.0)))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, unit(Seq(1.0, 0.001, 0.0, 0.0))),   // near-twin of 100 -> dropped
+      (2L, unit(Seq(0.0, 0.0, 0.0, 1.0))))     // orthogonal -> survives
+      .toDF("vec_id", "embedding")
+    val out = Similarity.incrementalCosineDedup(batch, base, dim = 4,
+      threshold = 0.9, nBits = 1, tables = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(1L), "near-duplicate of a base vector must be dropped")
+    assert(out.contains(2L), "novel vector must survive")
+  }
+
   test("packPlan plan shape: no single-partition exchange (bucketed prefix sum)") {
     val df = spark.range(10000).toDF("k").withColumn("b", lit(100L))
     val plan = Layout.packPlan(df, col("k"), col("b"), 4096L)
