@@ -24,27 +24,27 @@ def _rows_to_df(rows, sources=()):
     """lagoon.py _query_to_df: list-of-dicts → DataFrame with dtypes
     looked up column-by-column across the given sources (first match
     wins — results carry column names, not source identifiers).
+
+    Alignment must be ROW-wise, never column-wise: the server's
+    JSON-lines rows OMIT null fields entirely, so collecting values
+    per column and concatenating would silently compact every column
+    with a NULL upward, attaching values to the wrong rows.
+    pd.DataFrame(list_of_dicts) keeps each dict's values on its own
+    row (missing keys → NaN).
     """
     import pandas as pd
-    columns = {}
-    for row in rows:
-        for c, v in row.items():
-            columns.setdefault(c, []).append(v)
-    series = []
-    for name, vals in columns.items():
+    df = pd.DataFrame(rows)
+    for name in df.columns:
         dtype = object
         for s in sources:
             if name in s.col_types:
                 dtype = s.col_types[name]
                 break
-        try:
-            series.append(pd.Series(vals, name=name, dtype=dtype))
-        except (TypeError, ValueError):
-            series.append(pd.Series(vals, name=name, dtype=object))
-    if not series:
-        return pd.DataFrame()
-    df = pd.concat(series, axis=1)
-    df.columns = list(columns.keys())
+        if dtype is not object:
+            try:
+                df[name] = df[name].astype(dtype)
+            except (TypeError, ValueError):
+                pass  # e.g. int column carrying NaN — stays float/object
     return df
 
 
@@ -112,15 +112,22 @@ class Graft:
 
     def sources(self, ontoClass=None, tags=None, columns=None, **kwargs):
         """GET /sources (lagoon.py:57-67). kwargs pass through as query
-        params (name, ix, user, createdAfter/Before, …); use ontoClass
-        for the reserved word `class`.
+        params (name, ix, user, createdAfter/Before, …).
+
+        The graft server's column filter param is `column` (repeated) —
+        a `columns` param would be silently ignored, so it is mapped
+        here. `ontoClass` raises: graft has no ontology-class concept,
+        and a filter that silently matches everything is worse than an
+        error.
         """
         if ontoClass:
-            kwargs["class"] = ontoClass
+            raise ValueError(
+                "graft has no ontology classes; the ontoClass filter "
+                "cannot be honored (kept for signature parity only)")
         if tags:
             kwargs["tag"] = tags
         if columns:
-            kwargs["columns"] = columns
+            kwargs["column"] = columns
         _, out = self.__request("GET", "sources", params=kwargs)
         return [Source(j) for j in json.loads(out)]
 
@@ -133,7 +140,8 @@ class Graft:
         the newly created Source.
         """
         if ontoClass:
-            kwargs["class"] = ontoClass
+            raise ValueError(
+                "graft has no ontology classes (see sources())")
         if tags:
             kwargs["tag"] = tags
         kwargs["name"] = name

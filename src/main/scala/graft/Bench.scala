@@ -82,14 +82,33 @@ object Bench {
     // silently improves when a query starts failing is a verification
     // hole. Failures are collected and emitted on the summary line.
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    def runPass(): Map[String, Double] = headline.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => errors += name }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val cold = runPass()
-    val results = runPass()
+    // per-pass failure tracking: a pass that THREW finished early, so
+    // its wall time is a time-to-crash, not a measurement — it must
+    // never win a min(cold, warm) comparison (a query that starts
+    // OOMing cold would otherwise make the judge-read per-query dict
+    // FASTER, the exact verification hole the errors list exists for)
+    def runPass(): (Map[String, Double], Set[String]) = {
+      val failed = scala.collection.mutable.Set.empty[String]
+      val times = headline.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errors += name; failed += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      (times, failed.toSet)
+    }
+    val (cold, coldFailed) = runPass()
+    val (results, warmFailed) = runPass()
+    // Per-query best-of-passes over SUCCESSFUL passes only (r9: dd08
+    // read 8.2 s in the driver artifact at host load 12.4 with a solo
+    // re-bench at 1.7 s — one loaded pass must not fake a regression,
+    // and one crashed pass must not fake an improvement).
+    val minByQuery: Map[String, Double] = results.map { case (k, w) =>
+      val candidates =
+        (if (coldFailed(k)) Nil else cold.get(k).toList) ++
+        (if (warmFailed(k)) Nil else List(w))
+      k -> (if (candidates.nonEmpty) candidates.min else w)
+    }
     def dict(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -100,17 +119,11 @@ object Bench {
     // be the small one carrying the warm/cold totals and the slowest
     // warm queries — that is what makes the ≤2x-of-baseline gate
     // independently verifiable from the driver artifact.
-    println(s"""{"detail":"full","cold_queries":${dict(cold)},"warm_queries":${dict(results)},"min_queries":${dict(results.map { case (k, v) => k -> math.min(v, cold.getOrElse(k, v)) })}}""")
+    println(s"""{"detail":"full","cold_queries":${dict(cold)},"warm_queries":${dict(results)},"min_queries":${dict(minByQuery)}}""")
     // Locale.ROOT: under a comma-decimal default locale f"%.2f" would
     // emit "1,23" and break the one JSON line the driver must parse
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // Per-query best-of-passes: a single pass can absorb a transient
-    // host-load spike (r9: dd08 read 8.2 s in the driver artifact at
-    // load 12.4 with a solo re-bench at 1.7 s), so the per-query dict
-    // the judge reads must be min(cold, warm), immune to one bad pass.
-    val minByQuery = results.map { case (k, v) =>
-      k -> math.min(v, cold.getOrElse(k, v)) }
     val slowest = minByQuery.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     // recorded local baseline (BASELINE.md round 1, driver-run): ~50 s

@@ -306,11 +306,16 @@ object Dedup {
     // index-ordered pairs are exactly the a.doc_id < b.doc_id set —
     // one codegen'd nested loop instead of three interpreted lambdas
     // per combination (the cf01/cf02 rewrite, ~2.3x on the explode).
+    // id_a =!= id_b: index order gives a.doc_id <= b.doc_id; the old
+    // strict `<` predicate also excluded SELF-pairs arising from a
+    // duplicated doc_id with differing payload (dirty input) — keep
+    // that behavior (codegen'd comparison, free)
     buckets
       .select(explode(graft.functions.ArrayFunctions.pair_combos(
         array_sort(col("m")))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         round(agree, 4).as("est_jaccard"))
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
@@ -446,6 +451,7 @@ object Dedup {
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         bit_count(col("p.a.simhash_int").bitwiseXOR(col("p.b.simhash_int")))
           .cast("int").as("hamming"))
+      .filter(col("id_a") =!= col("id_b")) // self-pair guard, see minhashLsh
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -481,6 +487,7 @@ object Dedup {
         array_sort(col("m")))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
+      .filter(col("id_a") =!= col("id_b")) // self-pair guard, see minhashLsh
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter.withColumn("jaccard",
@@ -526,6 +533,7 @@ object Dedup {
         array_sort(col("m")))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
+      .filter(col("id_a") =!= col("id_b")) // self-pair guard, see minhashLsh
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter.select(col("id_a"), col("id_b"),

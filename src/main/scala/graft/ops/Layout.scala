@@ -122,13 +122,22 @@ object Layout {
                bytes: org.apache.spark.sql.Column,
                targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val perRow = df.select(orderCol.as("k"), bytes.cast("long").as("b"))
-    val cum = graft.ops.Stats.cumCountsByValue(perRow, "k", Seq("b"))
+    // collapse to ONE row per distinct order key first — both the
+    // cumCountsByValue input contract and the determinism claim
+    // require it: a ROWS-frame prefix sum over tied keys assigns tied
+    // rows arbitrary relative positions, so a file boundary falling
+    // between ties would move run to run. Fusing ties means same-key
+    // rows always pack into the same file — the only reproducible
+    // reading of "in orderCol order".
+    val perKey = df.select(orderCol.as("k"), bytes.cast("long").as("b"))
+      .groupBy(col("k"))
+      .agg(sum(col("b")).as("b"), count(lit(1)).as("cnt"))
+    val cum = graft.ops.Stats.cumCountsByValue(perKey, "k", Seq("b"))
     // integral DIV, not double floor-division: cumulative byte counts
     // overflow double precision long before they overflow BIGINT
     cum.withColumn("file_id", expr(s"cum_b_below DIV ${targetBytes}L"))
       .groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("file_bytes"),
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("b")).as("file_bytes"),
         min(col("k")).as("first_key"), max(col("k")).as("last_key"))
   }
 }

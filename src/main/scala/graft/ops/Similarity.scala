@@ -37,8 +37,10 @@ object Similarity {
   def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
 
-  private def registerOn(df: DataFrame): Unit =
+  private def registerOn(df: DataFrame): Unit = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    graft.functions.ArrayFunctions.register(df.sparkSession)
+  }
 
   /** cos(a, b) as a column expression over two float-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -250,7 +252,6 @@ object Similarity {
   private def bucketCandidates(bucketed: DataFrame, maxBucket: Int,
                                pair: (Column, Column) => Column,
                                metric: String): DataFrame = {
-    graft.functions.ArrayFunctions.register(bucketed.sparkSession)
     // native pair generation (PairCombinations — the cf01/cf02 rewrite):
     // vec_id leads the member struct, so array_sort + index-ordered
     // pairs = the a.vec_id < b.vec_id unordered-pair set, one codegen'd
@@ -463,7 +464,6 @@ object Similarity {
     // ADC is asymmetric (exact query embedding vs decoded neighbor
     // codes), so each unordered pair scores twice — the same work the
     // HOF form did, minus its interpreted per-combination lambdas.
-    graft.functions.ArrayFunctions.register(corpus.sparkSession)
     val cand = OpsMetrics.guarded(grouped, maxBucket, "graft.ivfpq_topk.drops")
       .select(explode(graft.functions.ArrayFunctions.pair_combos(
         array_sort(col("m")))).as("q"))
@@ -474,6 +474,9 @@ object Similarity {
         col("qq.b.vec_id").as("neighbor_id"),
         round(l2sq(col("qq.a.embedding"), decoded(col("qq.b.codes"))), 6)
           .as("adc_dist"))
+      // the old HOF form's vec_id =!= predicate: a duplicated vec_id
+      // in a cell must not rank as its own neighbor
+      .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     cand.withColumn("rk", row_number().over(w))
@@ -522,13 +525,17 @@ object Similarity {
     // lambdas per combination. The ε-cosine keeps the OLD operand
     // order (dropped first) — division order is not bit-commutative
     // and the oracle replays it exactly.
-    graft.functions.ArrayFunctions.register(corpus.sparkSession)
     val grouped = members.groupBy(col("cell"))
       .agg(collect_list(struct(((-col("cent_sim")) + lit(0.0)).as("rank_key"),
         col("vec_id"), col("embedding"), col("norm"))).as("m"))
     val dropped = OpsMetrics.guarded(grouped, maxBucket, "graft.sem_dedup.drops")
       .select(explode(graft.functions.ArrayFunctions.pair_combos(
         array_sort(col("m")))).as("q"))
+      // parity with the old STRICT dominance predicate: a duplicated
+      // vec_id at the same rank produced no pair there; sorted index
+      // order would emit it, so exclude the fully-tied case
+      .filter(col("q.a.rank_key") =!= col("q.b.rank_key") ||
+        col("q.a.vec_id") =!= col("q.b.vec_id"))
       .filter(round(cosinePre(col("q.b.embedding"), col("q.a.embedding"),
         col("q.b.norm"), col("q.a.norm")), 4) >= eps)
       .select(col("q.b.vec_id").as("vec_id"))
@@ -639,7 +646,6 @@ object Similarity {
                              tables: Int = 2,
                              maxBucket: Int = 10000): DataFrame = {
     registerOn(newBatch)
-    graft.functions.ArrayFunctions.register(newBatch.sparkSession)
     val bits = if (nBits > 0) nBits else bitsFor(base.count())
     val side = "__icd_new"
     require(!newBatch.columns.contains(side), s"column $side would be clobbered")

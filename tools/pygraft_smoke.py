@@ -66,6 +66,28 @@ def main():
     g.tag(src, ["demo"])
     assert "demo" in g.source("pyg.csv").tags
 
+    # NULL alignment: the server's JSON-lines OMIT null fields, so a
+    # column-wise conversion would compact Paris's value onto Lyon's
+    # row (Lyon sorts first) — the DataFrame must keep values row-wise
+    df2 = g.download_query(
+        "SELECT city, CASE WHEN pop > 1000000 THEN pop END AS bigpop "
+        "FROM {0} ORDER BY city".format(src.view_name), [src])
+    assert int(df2[df2["city"] == "Paris"]["bigpop"].iloc[0]) == 2100000, df2
+    lyon_pop = df2[df2["city"] == "Lyon"]["bigpop"].iloc[0]
+    assert lyon_pop != lyon_pop, (
+        "NULL must stay on Lyon's row (NaN), got %r" % (lyon_pop,))
+
+    # the column filter must actually filter (server param: `column`)
+    assert any(s.name == "pyg.csv" for s in g.sources(columns=["pop"]))
+    assert g.sources(columns=["definitely_not_a_column"]) == []
+
+    # ontoClass must raise, not silently match everything
+    try:
+        g.sources(ontoClass="x")
+        raise AssertionError("ontoClass silently accepted")
+    except ValueError:
+        pass
+
     # users(): surface parity with the reference's TODO endpoint —
     # neither server lists users; the 404 must surface, not vanish
     try:
