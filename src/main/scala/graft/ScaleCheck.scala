@@ -598,6 +598,18 @@ object ScaleCheck {
       time(s"kmv01 x$m keys=$n")(graft.ops.Sketches.kmvDistinct(
         a, col("v"), k = 64).count())
     }
+    // grouped weighted median: ONE group with millions of DISTINCT
+    // values — the shape where the old partitionBy(g) window was a
+    // single task sorting the whole group; the grouped bucketed
+    // prefix sum must stay ~flat and parallel
+    for (m <- Seq(1, 4)) {
+      val n = 4000000L * m
+      val df = spark.range(n).select(
+        (col("id") % 4).cast("string").as("g"),
+        (col("id") * 7919L % 104729L * 1000000L + col("id")).cast("double").as("v"))
+      time(s"wqmedian x$m rows=$n")(graft.ops.Profile.weightedMedian(
+        df, col("g"), col("v"), lit(1L)).count())
+    }
   }
 
   /** Late session-5 probes: post-fix linkage scale, Bloom

@@ -780,6 +780,38 @@ object Analytics {
     * hash on id, the join is id-co-partitioned, and only (id, two
     * longs) ever cross the wire. No window, no per-entity buffering.
     */
+  /** Min/max downsampling (ds01): per (series, time bucket) keep the
+    * POINTS attaining the bucket's minimum and maximum — the shape-
+    * preserving reduction monitoring UIs run before plotting billions
+    * of samples (a plain per-bucket avg flattens every spike; keeping
+    * argmin/argmax preserves the envelope exactly). Tie-break is
+    * deterministic — struct ordering (value, ts, tie): min takes the
+    * EARLIEST occurrence of the lowest value, max the LATEST of the
+    * highest — so the output replays bit-for-bit across engines.
+    *
+    * One partial-aggregated groupBy on (series, bucket) — min/max of
+    * a packed struct, no window, no sort of the raw points; the same
+    * plan at any density. Bucket ids use integral division of exact
+    * microseconds (no float time math).
+    */
+  def minmaxDownsample(df: DataFrame, key: Column, ts: Column, tie: Column,
+                       value: Column, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val bucketUs = bucketSeconds * 1000000L
+    val base = df.select(key.as("k"), unix_micros(ts).as("us"),
+        tie.as("tb"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("bucket", expr(s"us DIV ${bucketUs}L"))
+    base.groupBy(col("k"), col("bucket"))
+      .agg(min(struct(col("v"), col("us"), col("tb"))).as("lo"),
+        max(struct(col("v"), col("us"), col("tb"))).as("hi"),
+        count(lit(1)).as("n_in_bucket"))
+      .select(col("k"), col("bucket"),
+        col("lo.v").as("v_min"), col("lo.us").as("min_us"),
+        col("hi.v").as("v_max"), col("hi.us").as("max_us"),
+        col("n_in_bucket"))
+  }
+
   def timeToConvert(df: DataFrame, id: Column, ts: Column, eventType: Column,
                     from: String, to: String): DataFrame = {
     val base = df.select(id.as("id"), unix_micros(ts).as("us"),

@@ -1040,6 +1040,33 @@ object AnalysisOps {
              SELECT user_id, from_us, to_us, to_us - from_us AS delta_us
              FROM t ORDER BY user_id""")),
 
+    // ds01: min/max downsampling of the events value series per type,
+    // hourly buckets — argmin/argmax via packed-struct min/max (no
+    // window over the raw points); the oracle replays the tie-break
+    // with ordered row_numbers
+    NamedQuery("ds01_minmax_downsample",
+      (s, d) => Analytics.minmaxDownsample(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("event_id"), col("value"),
+          bucketSeconds = 3600L)
+        .orderBy("k", "bucket"),
+      Some("""WITH b AS (SELECT event_type AS k, epoch_us(ts) AS us,
+                  event_id AS tb, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+              g AS (SELECT k, us // 3600000000 AS bucket, us, tb, v FROM b),
+              r AS (SELECT *,
+                    row_number() OVER (PARTITION BY k, bucket
+                      ORDER BY v ASC, us ASC, tb ASC) AS rlo,
+                    row_number() OVER (PARTITION BY k, bucket
+                      ORDER BY v DESC, us DESC, tb DESC) AS rhi,
+                    count(*) OVER (PARTITION BY k, bucket) AS n FROM g)
+             SELECT k, bucket,
+               min(CASE WHEN rlo = 1 THEN v END) AS v_min,
+               min(CASE WHEN rlo = 1 THEN us END) AS min_us,
+               min(CASE WHEN rhi = 1 THEN v END) AS v_max,
+               min(CASE WHEN rhi = 1 THEN us END) AS max_us,
+               CAST(min(n) AS BIGINT) AS n_in_bucket
+             FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // fp01: file-packing plan over the documents corpus in doc_id
     // order, ~64 KiB targets — the global ordered cumsum runs through
     // the bucketed two-scan prefix sum, never a single-partition

@@ -92,6 +92,30 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_rows")).sum == 5L)
   }
 
+  test("minmaxDownsample: envelope points kept, ties resolve deterministically") {
+    val df = Seq(
+      // one bucket (all within hour 0 of epoch): min value 1.0 occurs
+      // twice -> earliest ts wins; max value 9.0 twice -> latest wins
+      ("s", "1970-01-01 00:10:00", 1L, 1.0),
+      ("s", "1970-01-01 00:20:00", 2L, 1.0),
+      ("s", "1970-01-01 00:30:00", 3L, 9.0),
+      ("s", "1970-01-01 00:40:00", 4L, 9.0),
+      ("s", "1970-01-01 00:50:00", 5L, 5.0),
+      // second bucket
+      ("s", "1970-01-01 01:30:00", 6L, 7.0))
+      .toDF("k", "tss", "id", "v").withColumn("ts", to_timestamp(col("tss")))
+    val out = Analytics.minmaxDownsample(df, col("k"), col("ts"), col("id"),
+        col("v"), 3600L).orderBy("bucket").collect()
+    assert(out.length == 2)
+    val b0 = out.head
+    assert(b0.getAs[Double]("v_min") == 1.0 && b0.getAs[Long]("min_us") == 600L * 1000000L,
+      "min tie takes the EARLIEST occurrence")
+    assert(b0.getAs[Double]("v_max") == 9.0 && b0.getAs[Long]("max_us") == 2400L * 1000000L,
+      "max tie takes the LATEST occurrence")
+    assert(b0.getAs[Long]("n_in_bucket") == 5L)
+    assert(out(1).getAs[Long]("n_in_bucket") == 1L)
+  }
+
   test("incrementalCosineDedup: base twin dropped, novel vector survives") {
     def unit(v: Seq[Double]) = v.map(_.toFloat)
     val base = Seq(
