@@ -575,4 +575,33 @@ object Embeddings {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
   }
+
+  /** Embedding isotropy diagnostic (em11) — the collapse canary every
+    * embedding pipeline monitors: when an encoder degenerates, its
+    * vectors bunch into a narrow cone and retrieval quality dies
+    * while the pipeline keeps "working". Two closed-form readouts
+    * over the UNIT-normalized vectors:
+    *   - mean resultant length R = ‖Σv̂‖/n (1 = total collapse,
+    *     →0 = directions spread out),
+    *   - average pairwise cosine = (‖Σv̂‖² − n)/(n(n−1)) — exact via
+    *     the Gram identity, NO pairwise pass.
+    * One row out. Scale shape: a posexplode → per-vector norm → per-
+    * dim sums (dim-bounded frame) → one scalar aggregate; nothing
+    * pairwise, nothing data-sized past the first aggregate.
+    */
+  def isotropy(df: DataFrame, emb: Column = col("embedding")): DataFrame = {
+    val ex = df.select(col("vec_id"), posexplode(emb).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val norms = ex.groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val dimSums = ex.join(norms, "vec_id")
+      .groupBy(col("d")).agg(sum(col("x") / col("nrm")).as("s"))
+    val nRow = norms.agg(count(lit(1)).as("n"))
+    dimSums.agg(sum(col("s") * col("s")).as("ss")).crossJoin(nRow)
+      .select(col("n"),
+        Portability.zround(sqrt(col("ss")) / col("n"), 6).as("r_mean"),
+        Portability.zround((col("ss") - col("n")) /
+          (col("n") * (col("n") - lit(1.0))), 6).as("avg_pairwise_cos"))
+  }
 }

@@ -118,6 +118,25 @@ object Layout {
     * file_bytes, first/last order key) — the manifest a rewrite job
     * consumes.
     */
+  /** Dense surrogate-id assignment (id01): stable contiguous ids
+    * 1..N in key order — the DataFrame-layer analog of ingest's ix
+    * numbering, and the classic operation people reach for
+    * `row_number() OVER (ORDER BY …)` to get, which serializes the
+    * whole relation onto ONE partition. This form is the bucketed
+    * two-scan prefix sum over per-key counts: subtotals per value
+    * range, driver prefix over ≤1024 rows, broadcast offsets +
+    * within-bucket windows — parallel at any size, deterministic,
+    * stable under retries. Keys are DISTINCT'd first (equal keys
+    * cannot be ordered reproducibly, so they must share an id or be
+    * disambiguated by the caller).
+    */
+  def denseIds(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val perKey = df.select(key.as("k")).distinct()
+      .withColumn("one", lit(1L))
+    graft.ops.Stats.cumCountsByValue(perKey, "k", Seq("one"))
+      .select(col("k"), (col("cum_one_below") + lit(1L)).as("dense_id"))
+  }
+
   def packPlan(df: DataFrame, orderCol: org.apache.spark.sql.Column,
                bytes: org.apache.spark.sql.Column,
                targetBytes: Long): DataFrame = {

@@ -1067,6 +1067,40 @@ object AnalysisOps {
                CAST(min(n) AS BIGINT) AS n_in_bucket
              FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // em11: embedding isotropy/collapse diagnostic — closed-form mean
+    // resultant length and average pairwise cosine via the Gram
+    // identity (no pairwise pass); zround on both readouts (the
+    // pairwise cosine of a centered corpus is an ulp-signed near-zero)
+    NamedQuery("em11_isotropy",
+      (s, d) => graft.ops.Embeddings.isotropy(
+        Tables.load(s, d, "embeddings")),
+      Some("""WITH ex AS (SELECT vec_id,
+                  generate_subscripts(embedding, 1) AS d,
+                  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+              nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+                     FROM ex GROUP BY 1),
+              nz AS (SELECT vec_id, nrm FROM nr WHERE nrm > 0),
+              sd AS (SELECT ex.d, sum(ex.x / nz.nrm) AS s
+                     FROM ex JOIN nz USING (vec_id) GROUP BY 1),
+              t AS (SELECT sum(s * s) AS ss FROM sd),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nz)
+             SELECT n, (round(sqrt(ss) / n, 6) + 0.0) AS r_mean,
+               (round((ss - n) / (n * (n - 1.0)), 6) + 0.0)
+                 AS avg_pairwise_cos
+             FROM t, c""")),
+
+    // id01: dense surrogate ids 1..N in key order WITHOUT the
+    // row_number-over-everything single-partition trap — the bucketed
+    // prefix sum over per-key counts; oracle is the window form
+    NamedQuery("id01_dense_ids",
+      (s, d) => graft.ops.Layout.denseIds(
+          Tables.load(s, d, "documents"), col("doc_id"))
+        .withColumnRenamed("k", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS dense_id
+             FROM (SELECT DISTINCT doc_id FROM documents)
+             ORDER BY doc_id""")),
+
     // fp01: file-packing plan over the documents corpus in doc_id
     // order, ~64 KiB targets — the global ordered cumsum runs through
     // the bucketed two-scan prefix sum, never a single-partition

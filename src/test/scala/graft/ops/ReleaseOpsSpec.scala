@@ -132,6 +132,32 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(out.contains(2L), "novel vector must survive")
   }
 
+  test("isotropy: identical vectors read collapsed, orthogonal basis reads spread") {
+    def vecs(vs: Seq[Seq[Double]]) =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+    val collapsed = Embeddings.isotropy(
+      vecs(Seq.fill(5)(Seq(1.0, 0.0, 0.0)))).collect().head
+    assert(collapsed.getAs[Double]("r_mean") == 1.0)
+    assert(collapsed.getAs[Double]("avg_pairwise_cos") == 1.0)
+    val spread = Embeddings.isotropy(vecs(Seq(
+      Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0), Seq(0.0, -1.0, 0.0)))).collect().head
+    assert(spread.getAs[Double]("r_mean") == 0.0, "balanced directions cancel")
+    assert(spread.getAs[Double]("avg_pairwise_cos") < 0.0)
+    // zero vectors are excluded, not NaN-poisoning
+    val withZero = Embeddings.isotropy(vecs(Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)))).collect().head
+    assert(withZero.getAs[Long]("n") == 2)
+  }
+
+  test("denseIds: contiguous 1..N in key order, gaps in keys don't matter") {
+    val df = Seq(10L, 500L, 3L, 500L, 42L).toDF("k")
+    val out = Layout.denseIds(df, col("k")).orderBy("dense_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 1L), (10L, 2L), (42L, 3L), (500L, 4L)))
+  }
+
   test("packPlan plan shape: no single-partition exchange (bucketed prefix sum)") {
     val df = spark.range(10000).toDF("k").withColumn("b", lit(100L))
     val plan = Layout.packPlan(df, col("k"), col("b"), 4096L)
