@@ -383,7 +383,11 @@ object Analytics {
         key === col("__sa_k") && hour(ts) === col("__sa_h"))
       .select(tieBreak.as("tb"), key.as("k"), hour(ts).as("hour_of_day"),
         value.as("v"), col("__n").as("cell_n"),
-        Portability.zround(col("__m"), 4).as("cell_mean"),
+        // scale 6, not 4: a cell mean of few-decimal values lands on a
+        // genuine .xxxx5 tie at 4 (sf0.001 caught 54.77875 — Spark's
+        // shortest-repr HALF_UP vs DuckDB's binary nearbyint disagree
+        // on true ties); at 6 the tie needs a 7-decimal shortest repr
+        Portability.zround(col("__m"), 6).as("cell_mean"),
         when(col("__n") >= minN, z).as("z"),
         coalesce(col("__n") >= minN && abs(z) > zThreshold, lit(false))
           .as("is_anomaly"))

@@ -61,7 +61,10 @@ object Embeddings {
                      emb: Column = col("embedding")): DataFrame = {
     val dims = df.select(label.as("label"), posexplode(emb).as(Seq("d", "v")))
       .groupBy(col("label"), col("d"))
-      .agg(round(avg(col("v")), roundAt).as("m"), count(lit(1)).as("n"))
+      // zround: a centered dimension's mean is an ulp-signed near-zero
+      // (the sf0.001 sweep caught a -0.0 here)
+      .agg(Portability.zround(avg(col("v")), roundAt).as("m"),
+        count(lit(1)).as("n"))
     dims.groupBy(col("label"))
       .agg(
         first(col("n")).as("n_vectors"), // every dim counts the same rows

@@ -515,7 +515,7 @@ object FeatureOps {
              SELECT e.event_id, c.k,
                hour(CAST(e.ts AS TIMESTAMP)) AS hour_of_day,
                round(e.value, 4) + 0.0 AS v, c.n AS cell_n,
-               round(c.m, 4) + 0.0 AS cell_mean,
+               round(c.m, 6) + 0.0 AS cell_mean,
                CASE WHEN c.n >= 30 AND c.sd > 0
                  THEN round((e.value - c.m) / c.sd, 3) + 0.0 END AS z,
                coalesce(c.n >= 30 AND c.sd > 0

@@ -751,7 +751,7 @@ object PipelineOps {
       Some("""WITH e AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS d,
                       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
              SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, d,
-               round(avg(v), 4) AS m
+               round(avg(v), 4) + 0.0 AS m
              FROM e GROUP BY label, d ORDER BY label, d""")),
 
     // em05: JL sign random projection 64→8 — md5-derived ±1 signs,
@@ -762,7 +762,7 @@ object PipelineOps {
       (s, d) => Embeddings.randomProjection(embs(s, d), inDim = 64, outDim = 8)
         .select(col("vec_id"), posexplode(col("rp_embedding")).as(Seq("d0", "v0")))
         .select(col("vec_id"), col("d0").cast("int").as("d"),
-          round(col("v0"), 4).as("v"))
+          graft.ops.Portability.zround(col("v0"), 4).as("v"))
         .orderBy("vec_id", "d"),
       Some("""WITH ex AS (SELECT vec_id,
                  CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS j,
@@ -775,7 +775,7 @@ object PipelineOps {
                    THEN 1.0 ELSE -1.0 END AS sgn
                FROM dims CROSS JOIN (SELECT DISTINCT j FROM ex)),
              proj AS (SELECT e.vec_id, s.d,
-                 round(sum(s.sgn * e.x) / 8.0, 4) AS v
+                 round(sum(s.sgn * e.x) / 8.0, 4) + 0.0 AS v
                FROM ex e JOIN signs s ON s.j = e.j
                GROUP BY 1, 2)
              SELECT vec_id, d, v FROM proj ORDER BY vec_id, d""")),
@@ -1363,7 +1363,7 @@ object PipelineOps {
       (s, d) => Embeddings.matryoshka(embs(s, d), k = 16)
         .select(col("vec_id"), posexplode(col("mrl_embedding")).as(Seq("d0", "v0")))
         .select(col("vec_id"), col("d0").cast("int").as("d"),
-          round(col("v0"), 4).as("v"))
+          graft.ops.Portability.zround(col("v0"), 4).as("v"))
         .orderBy("vec_id", "d"),
       Some("""WITH pre AS (SELECT vec_id, embedding[1:16] AS p FROM embeddings),
              n AS (SELECT vec_id, p,
@@ -1374,7 +1374,7 @@ object PipelineOps {
                  CAST(unnest(p) AS DOUBLE) AS x
                FROM n)
              SELECT vec_id, d,
-               round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 4) AS v
+               round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 4) + 0.0 AS v
              FROM ex ORDER BY vec_id, d""")),
 
     // em07: ZCA whitening — hll01-style verdict gate: the whitened
