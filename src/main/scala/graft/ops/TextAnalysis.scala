@@ -384,6 +384,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Vocabulary coverage curve (tx17): for each candidate vocab size
+    * k, the fraction of all token OCCURRENCES covered by the k most
+    * frequent types — the tokenizer-sizing readout ("how big must the
+    * vocab be for 99% coverage"). Within a frequency-tie class types
+    * are interchangeable, so coverage(k) is well-defined without any
+    * per-type ordering: strictly-more-frequent mass plus
+    * (k − types_above) · c of the tie class the k-th type falls in.
+    *
+    * Scale shape: token→count is one groupBy; EVERYTHING after runs
+    * on the COUNT-CARDINALITY frame (distinct frequency values — a
+    * few thousand rows for a billion-token corpus, Zipf guarantees
+    * it) through the bucketed prefix sum; the k grid broadcasts.
+    */
+  def vocabCoverage(df: DataFrame, ks: Seq[Int],
+                    text: Column = col("text")): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"bad vocab sizes: $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(split(text, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val perC = counts.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_types"), (count(lit(1)) * col("c")).as("mass"))
+      .withColumn("negc", -col("c"))
+    val cum = graft.ops.Stats.cumCountsByValue(perC, "negc",
+      Seq("n_types", "mass"))
+    val tot = counts.agg(sum(col("c")).as("tm"), count(lit(1)).as("tt"))
+    val kdf = broadcast(ks.toDF("k"))
+    kdf.crossJoin(broadcast(tot))
+      .withColumn("keff", least(col("k").cast("long"), col("tt")))
+      .join(cum,
+        col("keff") > col("cum_n_types_below") &&
+        col("keff") <= col("cum_n_types_below") + col("n_types"))
+      .select(col("k"),
+        round((col("cum_mass_below") + (col("keff") - col("cum_n_types_below"))
+          * col("c")) * lit(1.0) / col("tm"), 6).as("coverage"),
+        col("tt").as("total_types"), col("tm").as("total_mass"))
+  }
+
   /** Flesch reading-ease score (tx14): 206.835 − 1.015·(words/sentences)
     * − 84.6·(syllables/words), with syllables approximated by vowel-
     * group count (the standard cheap estimator — a vowel group never

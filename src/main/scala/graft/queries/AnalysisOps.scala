@@ -1040,6 +1040,35 @@ object AnalysisOps {
              SELECT user_id, from_us, to_us, to_us - from_us AS delta_us
              FROM t ORDER BY user_id""")),
 
+    // tx17: vocabulary coverage curve — % of token occurrences the
+    // top-k types cover; tie classes make coverage(k) closed-form
+    // with no per-type ordering, oracle replays the count-DESC cumsum
+    NamedQuery("tx17_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(docs(s, d),
+          ks = Seq(5, 25, 100, 1000))
+        .orderBy("k"),
+      Some("""WITH toks AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+                  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                  FROM documents) WHERE tok != '' GROUP BY tok),
+              pc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(count(*) * c AS BIGINT) AS mass FROM toks GROUP BY c),
+              cum AS (SELECT *,
+                    coalesce(sum(n_types) OVER (ORDER BY c DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nab,
+                    coalesce(sum(mass) OVER (ORDER BY c DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mab
+                FROM pc),
+              t AS (SELECT CAST(sum(c) AS BIGINT) AS tm,
+                    CAST(count(*) AS BIGINT) AS tt FROM toks),
+              kk AS (SELECT CAST(unnest([5, 25, 100, 1000]) AS INT) AS k)
+             SELECT k,
+               round((mab + (least(k, tt) - nab) * c) * 1.0 / tm, 6)
+                 AS coverage,
+               tt AS total_types, tm AS total_mass
+             FROM kk, t, cum
+             WHERE least(k, tt) > nab AND least(k, tt) <= nab + n_types
+             ORDER BY k""")),
+
     // ds01: min/max downsampling of the events value series per type,
     // hourly buckets — argmin/argmax via packed-struct min/max (no
     // window over the raw points); the oracle replays the tie-break

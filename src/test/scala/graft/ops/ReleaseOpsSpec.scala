@@ -151,6 +151,19 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(withZero.getAs[Long]("n") == 2)
   }
 
+  test("vocabCoverage: tie classes split proportionally, k past vocab caps at 1") {
+    // counts: "a" x4, "b" x2, "c" x2, "d" x1  (total mass 9, 4 types)
+    val df = Seq((1L, "a a a a b b"), (2L, "c c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, ks = Seq(1, 2, 3, 10))
+      .orderBy("k").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(1) == math.rint(4.0 / 9 * 1e6) / 1e6)
+    // k=2: 'a' + one of the count-2 tie class {b, c} -> 6/9
+    assert(out(2) == math.rint(6.0 / 9 * 1e6) / 1e6)
+    assert(out(3) == math.rint(8.0 / 9 * 1e6) / 1e6)
+    assert(out(10) == 1.0, "k beyond the vocab covers everything")
+  }
+
   test("denseIds: contiguous 1..N in key order, gaps in keys don't matter") {
     val df = Seq(10L, 500L, 3L, 500L, 42L).toDF("k")
     val out = Layout.denseIds(df, col("k")).orderBy("dense_id").collect()
