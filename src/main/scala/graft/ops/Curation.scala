@@ -46,6 +46,34 @@ object Curation {
       .agg(count(lit(1)).as("shared_grams")) // grams pre-distinct per doc
   }
 
+  /** Contamination ATTRIBUTION (dc03): for every (train doc, eval
+    * doc) pair sharing at least one word n-gram, the shared-gram
+    * count — the audit trail a decontamination report needs. dc01/
+    * dc02 answer "is this train doc contaminated"; this answers "by
+    * WHICH eval document, and how heavily", which is what a reviewer
+    * acts on (one shared 13-gram is a quote; three hundred is a leak).
+    *
+    * Scale shape: dc01's exact join with the eval doc id carried
+    * through — the eval side (id, gram) stays broadcast-sized by the
+    * same argument (eval sets are small by construction), and the
+    * pair aggregate shuffles only two ids + a count.
+    */
+  def contaminationAttribution(train: DataFrame, eval: DataFrame,
+                               n: Int = 13,
+                               text: Column = col("text")): DataFrame = {
+    registerOn(train)
+    val evalGrams = eval
+      .select(col("doc_id").as("eval_doc_id"),
+        explode(graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .distinct()
+    train
+      .select(col("doc_id").as("train_doc_id"), explode(
+        graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("train_doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** The decontaminated corpus: training docs that share NO word
     * n-gram with the eval set (left-anti join against the broadcast
     * contamination list).

@@ -115,6 +115,24 @@ object CurationOps {
               FROM grams WHERE g IN (SELECT g FROM eval_grams)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // dc03: contamination attribution — (train doc, eval doc,
+    // shared_grams) pairs, the evidence trail behind dc01's verdicts
+    NamedQuery("dc03_contamination_attribution",
+      (s, d) => {
+        val train = docs(s, d)
+        val eval = train.filter(col("doc_id") % 97 === 0)
+        Curation.contaminationAttribution(train, eval, n = 13)
+          .orderBy("train_doc_id", "eval_doc_id")
+      },
+      Some(s"""WITH grams AS (SELECT doc_id, unnest($duckGrams13) AS g
+                              FROM documents),
+              eval_grams AS (SELECT DISTINCT doc_id AS eval_doc_id, g
+                             FROM grams WHERE doc_id % 97 = 0)
+              SELECT t.doc_id AS train_doc_id, e.eval_doc_id,
+                count(*) AS shared_grams
+              FROM grams t JOIN eval_grams e USING (g)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // dc02: Bloom-prefiltered decontamination — the corpus pass counts
     // eval-gram Bloom hits inside a per-row projection (zero per-gram
     // rows, zero shuffle for the clean bulk); only flagged docs get
