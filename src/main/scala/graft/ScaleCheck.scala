@@ -598,6 +598,30 @@ object ScaleCheck {
       time(s"kmv01 x$m keys=$n")(graft.ops.Sketches.kmvDistinct(
         a, col("v"), k = 64).count())
     }
+    // streaming throughput: drive windowedCounts (watermark + windowed
+    // agg, the st01 operator) from a rate source for a fixed event
+    // budget and report rows/s end-to-end through the stateful
+    // aggregation — the one family the batch probes can't cover
+    {
+      import org.apache.spark.sql.functions._
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000000).option("numPartitions", 8).load()
+        .select(col("timestamp").as("ts"),
+          (col("value") % 5).cast("string").as("event_type"),
+          (col("value") % 1000).cast("double").as("value"))
+      val q = graft.streaming.EventStream
+        .windowedCounts(rate, window_ = "1 minute", watermark = "2 minutes")
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-stream-probe").toString)
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(15000)
+      q.stop(); q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      println(f"[scale] streaming windowedCounts rows=$rows%d sec=$secs%.1f rate=${rows / secs / 1e6}%.2f M rows/s")
+    }
     // grouped weighted median: ONE group with millions of DISTINCT
     // values — the shape where the old partitionBy(g) window was a
     // single task sorting the whole group; the grouped bucketed
