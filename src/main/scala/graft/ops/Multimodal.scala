@@ -542,4 +542,73 @@ object Multimodal {
       }))
       .toDF()
   }
+
+  /** RIFF/AVI main-header walk: (µsPerFrame, totalFrames, width,
+    * height) from the `avih` chunk inside the `hdrl` LIST, None for
+    * anything malformed — same overrun discipline as wavLayout.
+    */
+  private def aviLayout(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u32(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = u32(o + 4)
+      if (o.toLong + 8 + sz > b.length) return None
+      if (id == "LIST" && sz >= 4 &&
+          new String(b, o + 8, 4, "US-ASCII") == "hdrl") {
+        var p = o + 12
+        val end = o + 8 + sz.toInt
+        while (p + 8 <= end) {
+          val cid = new String(b, p, 4, "US-ASCII")
+          val csz = u32(p + 4)
+          if (p.toLong + 8 + csz > end) return None
+          if (cid == "avih" && csz >= 40) {
+            val body = p + 8
+            return Some((u32(body), u32(body + 16),
+              u32(body + 32), u32(body + 36)))
+          }
+          p = (p.toLong + 8 + csz + (csz & 1)).toInt
+        }
+      }
+      o = math.min(o.toLong + 8 + sz + (sz & 1), b.length.toLong).toInt
+    }
+    None
+  }
+
+  /** AVI video probe + uniform frame-sample PLAN (mm10): header
+    * metadata (dimensions, frame count, native fps from the exact
+    * µs-per-frame integer) plus the plan a downstream decoder at
+    * `targetFps` executes — step = round(native/target) clamped to
+    * ≥1, indices 0, step, 2·step, …. The pixel decode itself is
+    * EXTERNAL by design (no codecs in scope — the brief's stub
+    * point); the schema, batching, and deterministic plan are the
+    * real, tested Spark side. Non-AVI payloads are skipped, like
+    * every decoder here.
+    */
+  def videoSamplePlan(df: DataFrame, targetFps: Double,
+                      batchSize: Int = 64): DataFrame = {
+    require(targetFps > 0, s"targetFps must be positive: $targetFps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, bytes) =>
+          aviLayout(bytes).collect {
+            case (usPerFrame, total, w, h) if usPerFrame > 0 && total > 0 =>
+              val fps = 1e6 / usPerFrame
+              val step = math.max(1L, math.round(fps / targetFps))
+              val nSel = (total + step - 1) / step
+              (id, w, h, total, math.rint(fps * 1000) / 1000,
+                step, nSel, (nSel - 1) * step)
+          }
+      }))
+      .toDF("doc_id", "width", "height", "n_frames", "fps",
+        "sample_step", "n_sampled", "last_index")
+  }
 }

@@ -1741,6 +1741,47 @@ object PipelineOps {
              t(doc_id, width, height, channels, mean_r, mean_g, mean_b)
              ORDER BY doc_id""")),
 
+    // mm10: AVI video header probe + uniform frame-sample PLAN — the
+    // dimensions/frame-count/fps metadata and the exact frame indices
+    // a decoder at 5 fps would read; pixel decode stays external by
+    // design (no codecs in scope), the Spark plumbing is the real part
+    NamedQuery("mm10_video_sample_plan",
+      (s, _) => {
+        def avi(usPerFrame: Int, frames: Int, w: Int, h: Int): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(88)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+          bb.put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+          bb.put("avih".getBytes).putInt(56)
+          val body = java.nio.ByteBuffer.allocate(56)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          body.putInt(0, usPerFrame)
+          body.putInt(16, frames)
+          body.putInt(32, w)
+          body.putInt(36, h)
+          bb.put(body.array())
+          bb.array()
+        }
+        import s.implicits._
+        val payloads = Seq(
+          (1L, avi(33333, 300, 640, 360)),    // ~30 fps, 10 s clip
+          (2L, avi(40000, 100, 1920, 1080)),  // 25 fps, 4 s clip
+          (3L, "not a video".getBytes("US-ASCII"))) // skipped
+        graft.ops.Multimodal.videoSamplePlan(
+            payloads.toDF("doc_id", "payload"), targetFps = 5.0)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), CAST(640 AS BIGINT), CAST(360 AS BIGINT),
+               CAST(300 AS BIGINT), 30.0, CAST(6 AS BIGINT),
+               CAST(50 AS BIGINT), CAST(294 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(1920 AS BIGINT), CAST(1080 AS BIGINT),
+               CAST(100 AS BIGINT), 25.0, CAST(5 AS BIGINT),
+               CAST(20 AS BIGINT), CAST(95 AS BIGINT)))
+              AS t(doc_id, width, height, n_frames, fps, sample_step,
+                   n_sampled, last_index)
+             ORDER BY doc_id""")),
+
     // REAL audio decode: 16-bit PCM WAV (RIFF chunk walk + RMS).
     // Square wave ±1000 → RMS exactly 1000; silence → 0; durations
     // follow from sample counts. A non-WAV payload is skipped.
