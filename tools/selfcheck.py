@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Dev-time oracle self-check mimicking the driver's correctness gate:
 run graft.Verify output vs DuckDB oracle on the same parquet tables.
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [name,name,...]
+(the optional third arg restricts the compare to those gates — for
+subset verifies, where every other gate would report "no spark output")
 """
 import sys, json, glob, math
 import duckdb
@@ -25,7 +27,10 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails, passes, skips = [], [], []
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             fails.append((name, "no spark output")); continue
