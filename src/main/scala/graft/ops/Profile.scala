@@ -307,6 +307,19 @@ object Profile {
       .drop("__anon_n")
   }
 
+  /** Eager lineage truncation (the Dedup/Graph `flat` pattern):
+    * checkpoint to the configured dir when one exists (cluster-safe),
+    * localCheckpoint otherwise; rebuild from the materialized RDD so
+    * downstream branches reuse blocks instead of re-running the chain.
+    */
+  private def flat(df: DataFrame): DataFrame = {
+    val cp =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** l-diversity audit (pv02): k-anonymity's required companion — a
     * QI group can be large (k-anonymous) yet expose its members anyway
     * when every row shares one SENSITIVE value (the homogeneity
@@ -349,18 +362,21 @@ object Profile {
                   k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     // collapse to the VALUE-CARDINALITY frame first — one row-level
-    // scan total. Everything after (both medians, the deviation pass,
-    // the outlier counts) runs on (g, v, weight) rows, so the row
-    // count only ever enters as integer weights; feeding raw rows to
-    // the second median would rescan the table per pass (measured
-    // 4.4 s → 1.3 s on sf0.1 lineitem).
-    val perValue = df.select(group.as("g"), value.as("v"))
+    // scan total — and CHECKPOINT it (the Dedup/Graph flat pattern):
+    // the frame feeds FOUR branches (both medians' range/subtotal/
+    // window chains plus the final counts), and without truncation
+    // each branch re-runs the table scan + groupBy — AQE's stage
+    // cache does not reliably reuse the exchange across them.
+    // Materialization is value-cardinality, never row-cardinality.
+    val perValue = flat(df.select(group.as("g"), value.as("v"))
       .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("w"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("w")))
     val med = weightedMedian(perValue, col("g"), col("v"), col("w"))
       .select(col("g"), col("wmedian").as("med"))
-    val dev = perValue.join(med, "g")
-      .withColumn("adev", abs(col("v") - col("med")))
+    // dev feeds the second median AND the final aggregate — truncate
+    // again so median #1's chain runs once
+    val dev = flat(perValue.join(med, "g")
+      .withColumn("adev", abs(col("v") - col("med"))))
     val mad = weightedMedian(dev, col("g"), col("adev"), col("w"))
       .select(col("g"), col("wmedian").as("mad"))
     dev.join(mad, "g")
