@@ -784,6 +784,33 @@ object Analytics {
     * hash on id, the join is id-co-partitioned, and only (id, two
     * longs) ever cross the wire. No window, no per-entity buffering.
     */
+  /** Inter-arrival statistics (ia01): per key, the distribution of
+    * gaps between consecutive events — the burstiness readout rate
+    * limiting, capacity planning, and bot detection all start from
+    * (a bot's median gap is machine-regular; a human's is heavy-
+    * tailed). Exact microsecond integers end to end: count, min,
+    * max, sum of gaps, and the EXACT median gap via the grouped
+    * bucketed-prefix-sum weighted median (no whole-group sorts).
+    *
+    * One keyed window pass for the lag (the ts05 shape — a single
+    * (key, order) exchange), then value-cardinality frames only.
+    */
+  def interArrival(df: DataFrame, key: Column, ts: Column,
+                   tie: Column): DataFrame = {
+    val base = df.select(key.as("k"), unix_micros(ts).as("us"), tie.as("tb"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+    val gaps = base
+      .withColumn("__prev", lag(col("us"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("k"), (col("us") - col("__prev")).as("gap"))
+    val med = Profile.weightedMedian(gaps, col("k"), col("gap"), lit(1L))
+      .select(col("g").as("k"), col("wmedian").cast("long").as("median_gap_us"))
+    gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"), sum(col("gap")).as("sum_gap_us"))
+      .join(med, "k")
+  }
+
   /** Min/max downsampling (ds01): per (series, time bucket) keep the
     * POINTS attaining the bucket's minimum and maximum — the shape-
     * preserving reduction monitoring UIs run before plotting billions

@@ -1040,6 +1040,30 @@ object AnalysisOps {
              SELECT user_id, from_us, to_us, to_us - from_us AS delta_us
              FROM t ORDER BY user_id""")),
 
+    // ia01: inter-arrival gap statistics per event type — exact
+    // microsecond gaps off one keyed lag window; the median replays
+    // the cumw·2 ≥ totw rule over per-gap counts
+    NamedQuery("ia01_inter_arrival",
+      (s, d) => Analytics.interArrival(Tables.load(s, d, "events"),
+          col("event_type"), col("ts"), col("event_id"))
+        .orderBy("k"),
+      Some("""WITH b AS (SELECT event_type AS k, epoch_us(ts) AS us,
+                  event_id AS tb FROM events),
+              g AS (SELECT k, us - lag(us) OVER (PARTITION BY k
+                      ORDER BY us, tb) AS gap FROM b),
+              gg AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+              pv AS (SELECT k, gap, count(*) AS w FROM gg GROUP BY 1, 2),
+              c AS (SELECT *, sum(w) OVER (PARTITION BY k ORDER BY gap
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+                    sum(w) OVER (PARTITION BY k) AS totw FROM pv),
+              med AS (SELECT k, CAST(min(gap) AS BIGINT) AS median_gap_us
+                      FROM c WHERE cumw * 2 >= totw GROUP BY k)
+             SELECT gg.k, CAST(count(*) AS BIGINT) AS n_gaps,
+               min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+               CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+               min(med.median_gap_us) AS median_gap_us
+             FROM gg JOIN med USING (k) GROUP BY gg.k ORDER BY gg.k""")),
+
     // tx17: vocabulary coverage curve — % of token occurrences the
     // top-k types cover; tie classes make coverage(k) closed-form
     // with no per-type ordering, oracle replays the count-DESC cumsum
