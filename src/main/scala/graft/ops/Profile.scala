@@ -361,30 +361,38 @@ object Profile {
   def madOutliers(df: DataFrame, group: Column, value: Column,
                   k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // collapse to the VALUE-CARDINALITY frame first — one row-level
-    // scan total — and CHECKPOINT it (the Dedup/Graph flat pattern):
-    // the frame feeds FOUR branches (both medians' range/subtotal/
-    // window chains plus the final counts), and without truncation
-    // each branch re-runs the table scan + groupBy — AQE's stage
-    // cache does not reliably reuse the exchange across them.
-    // Materialization is value-cardinality, never row-cardinality.
-    val perValue = flat(df.select(group.as("g"), value.as("v"))
+    // collapse to the VALUE-CARDINALITY frame, run the grouped
+    // cumulative-weight chain ONCE, and checkpoint THAT (r10 shipped
+    // two full weightedMedian chains behind two checkpoints — a
+    // 7-job constant for a 3-row answer; this is the fused form).
+    // Everything downstream — median #1, the deviation frame, median
+    // #2's re-bucketing, the final counts — re-reads the one
+    // materialized cum frame; the only remaining heavy work after
+    // the checkpoint is chain #2 over the value-cardinality frame.
+    val perValue = df.select(group.as("g"), value.as("v"))
       .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("w")))
-    val med = weightedMedian(perValue, col("g"), col("v"), col("w"))
-      .select(col("g"), col("wmedian").as("med"))
-    // dev feeds the second median AND the final aggregate — truncate
-    // again so median #1's chain runs once
-    val dev = flat(perValue.join(med, "g")
-      .withColumn("adev", abs(col("v") - col("med"))))
-    val mad = weightedMedian(dev, col("g"), col("adev"), col("w"))
-      .select(col("g"), col("wmedian").as("mad"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val c1 = flat(cumWeights(perValue))
+    val med = c1.filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    // dev is derived from cached blocks + a group-cardinality join —
+    // cheap enough to recompute for each of its two consumers, so no
+    // second checkpoint materialization
+    val dev = c1.select(col("g"), col("v"), col("w")).join(med, "g")
+      .withColumn("adev", abs(col("v") - col("med")))
+    // |v − med| collides (values equidistant from the median fold
+    // together), so chain #2 re-groups on the deviation first
+    val pv2 = dev.groupBy(col("g"), col("adev").as("v"))
+      .agg(sum(col("w")).as("w"))
+    val mad = cumWeights(pv2).filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g")).agg(min(col("v")).as("mad"))
     dev.join(mad, "g")
       .groupBy(col("g"))
-      .agg(sum(col("w")).as("n"), first(col("med")).as("med"),
+      .agg(sum(col("w")).cast("long").as("n"), first(col("med")).as("med"),
         first(col("mad")).as("mad"),
         sum(when(col("adev") > lit(k * 1.4826) * col("mad"), col("w"))
-          .otherwise(0L)).as("n_outliers"))
+          .otherwise(0.0)).cast("long").as("n_outliers"))
   }
 
   /** Population Stability Index (psi01): distribution drift of a
@@ -480,6 +488,23 @@ object Profile {
     val perValue = df.select(group.as("g"), value.as("v"), weight.as("w"))
       .filter(col("v").isNotNull && col("w").isNotNull)
       .groupBy(col("g"), col("v")).agg(sum(col("w")).cast("double").as("w"))
+    cumWeights(perValue, buckets)
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("wmedian"), max(col("totw")).as("tot_weight"))
+  }
+
+  /** The grouped bucketed prefix-sum core shared by weightedMedian
+    * and madOutliers: from a value-collapsed `(g, v, w)` frame,
+    * produce `(g, v, w, cumw, totw)` with cumw = inclusive cumulative
+    * weight in per-group value order. width_bucket over each group's
+    * [min, max] splits the group into ≤`buckets` ranges; subtotals
+    * prefix-scan in a window over the ≤buckets-row-per-group SUBTOTAL
+    * frame; residual windows partition by (group, bucket) — no window
+    * ever sorts a whole group.
+    */
+  private[ops] def cumWeights(perValue: DataFrame,
+                              buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rng = perValue.groupBy(col("g")).agg(
       min(col("v")).cast("double").as("__lo"),
@@ -500,9 +525,7 @@ object Profile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bkt.join(offs, Seq("g", "__bkt"))
       .withColumn("cumw", col("__off") + sum(col("w")).over(wIn))
-      .filter(col("cumw") * 2 >= col("totw"))
-      .groupBy(col("g"))
-      .agg(min(col("v")).as("wmedian"), max(col("totw")).as("tot_weight"))
+      .drop("__bkt", "__off")
   }
 
   /** One-pass table profile (dp09) — the "dataset card" row every

@@ -525,8 +525,15 @@ object Similarity {
     // lambdas per combination. The ε-cosine keeps the OLD operand
     // order (dropped first) — division order is not bit-commutative
     // and the oracle replays it exactly.
+    // NaN cent_sim (zero-norm embedding): under the old dominance
+    // ordering (cent_sim DESC, Spark NaN-greatest) a NaN row ranked
+    // FIRST; negation would flip it to last (NaN sorts greatest both
+    // ways). nanvl pins it back to the ascending front — cent_sim is
+    // a rounded cosine in [-1,1], so -Infinity is a free sentinel.
     val grouped = members.groupBy(col("cell"))
-      .agg(collect_list(struct(((-col("cent_sim")) + lit(0.0)).as("rank_key"),
+      .agg(collect_list(struct(
+        nanvl((-col("cent_sim")) + lit(0.0),
+          lit(Double.NegativeInfinity)).as("rank_key"),
         col("vec_id"), col("embedding"), col("norm"))).as("m"))
     val dropped = OpsMetrics.guarded(grouped, maxBucket, "graft.sem_dedup.drops")
       .select(explode(graft.functions.ArrayFunctions.pair_combos(

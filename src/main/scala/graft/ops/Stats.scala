@@ -32,6 +32,21 @@ object Stats {
   def cumCountsByValue(perValue: DataFrame, valueCol: String,
                        countCols: Seq[String], buckets: Int = 1024): DataFrame = {
     require(countCols.nonEmpty, "cumCountsByValue needs at least one counter")
+    // Bucketing casts the key to double (monotonic for numerics and
+    // timestamps) and within-bucket ordering uses the native column —
+    // both must agree. For string/date keys the cast is null or
+    // lexicographic-vs-numeric inconsistent: the empty-input early
+    // return below would then silently hand EVERY key cum=0 (dense_id
+    // 1, file_id 0 for all rows in denseIds/packPlan). Fail fast.
+    perValue.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType => ()
+      case org.apache.spark.sql.types.BooleanType => ()
+      case t => throw new IllegalArgumentException(
+        s"cumCountsByValue needs a numeric/timestamp key whose double cast " +
+        s"preserves order; '$valueCol' is $t — cast or map the key first " +
+        s"(e.g. unix_micros for timestamps, a dictionary join for strings)")
+    }
     val spark = perValue.sparkSession
     val mm = perValue.agg(
       min(col(valueCol)).cast("double").as("lo"),

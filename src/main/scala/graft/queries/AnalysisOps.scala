@@ -1169,7 +1169,7 @@ object AnalysisOps {
                     coalesce(sum(bsz) OVER (ORDER BY k ROWS BETWEEN
                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
                 FROM b)
-             SELECT cumb // 65536 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             SELECT CAST(cumb // 65536 AS BIGINT) AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(bsz) AS BIGINT) AS file_bytes,
                min(k) AS first_key, max(k) AS last_key
              FROM c GROUP BY 1 ORDER BY 1"""))

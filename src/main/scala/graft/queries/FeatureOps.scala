@@ -513,7 +513,7 @@ object FeatureOps {
                   avg(value) AS m, stddev_samp(value) AS sd
                 FROM events GROUP BY 1, 2)
              SELECT e.event_id, c.k,
-               hour(CAST(e.ts AS TIMESTAMP)) AS hour_of_day,
+               CAST(hour(CAST(e.ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
                round(e.value, 4) + 0.0 AS v, c.n AS cell_n,
                round(c.m, 6) + 0.0 AS cell_mean,
                CASE WHEN c.n >= 30 AND c.sd > 0
@@ -580,7 +580,7 @@ object FeatureOps {
               est AS (SELECT qn,
                   round(0.0 + 10.0 * (bin + (tgt - cum_before)
                     / CAST(n AS DOUBLE)), 6) AS estimate,
-                  round(10.0, 6) AS max_error
+                  CAST(10.0 AS DOUBLE) AS max_error
                 FROM (SELECT c.*, qdef.qn,
                         (qdef.num * c.total + qdef.den - 1) // qdef.den AS tgt
                       FROM c, qdef)

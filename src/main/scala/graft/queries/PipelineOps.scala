@@ -227,7 +227,7 @@ object PipelineOps {
               b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS bucket,
                       lo, hi
                     FROM orders, mm WHERE o_totalprice IS NOT NULL)
-             SELECT bucket,
+             SELECT CAST(bucket AS INTEGER) AS bucket,
                round(lo + bucket * ((hi - lo) / 20), 4) AS lo_edge,
                round(lo + (bucket + 1) * ((hi - lo) / 20), 4) AS hi_edge,
                CAST(count(*) AS BIGINT) AS n
@@ -1773,10 +1773,10 @@ object PipelineOps {
       },
       Some("""SELECT * FROM (VALUES
               (CAST(1 AS BIGINT), CAST(640 AS BIGINT), CAST(360 AS BIGINT),
-               CAST(300 AS BIGINT), 30.0, CAST(6 AS BIGINT),
+               CAST(300 AS BIGINT), CAST(30.0 AS DOUBLE), CAST(6 AS BIGINT),
                CAST(50 AS BIGINT), CAST(294 AS BIGINT)),
               (CAST(2 AS BIGINT), CAST(1920 AS BIGINT), CAST(1080 AS BIGINT),
-               CAST(100 AS BIGINT), 25.0, CAST(5 AS BIGINT),
+               CAST(100 AS BIGINT), CAST(25.0 AS DOUBLE), CAST(5 AS BIGINT),
                CAST(20 AS BIGINT), CAST(95 AS BIGINT)))
               AS t(doc_id, width, height, n_frames, fps, sample_step,
                    n_sampled, last_index)

@@ -41,6 +41,21 @@ def main(sf_dir, out_dir):
         if gcols != ecols:
             fails.append((name, f"columns differ: spark={gcols} oracle={ecols}"))
             continue
+        # Arrow-type assertion: the driver's byte-level hash sees value
+        # WIDTH, not just value — DuckDB's windowed sum(BIGINT) returns
+        # HUGEINT (arrow decimal128), which value-compares equal to the
+        # Spark BIGINT but hash-mismatches (the fp01 round-10 red row).
+        # Both sides come through DuckDB's arrow conversion here, so any
+        # per-column type difference is a real engine-vs-oracle width or
+        # kind divergence: fail it locally before the driver does.
+        tbad = [(c, str(got.schema.field(c).type), str(exp.schema.field(c).type))
+                for c in gcols
+                if got.schema.field(c).type != exp.schema.field(c).type]
+        if tbad:
+            c, gt, et = tbad[0]
+            fails.append((name, f"arrow type col {c}: spark={gt} oracle={et}"
+                          + (f" (+{len(tbad)-1} more cols)" if len(tbad) > 1 else "")))
+            continue
         g = got.select(gcols).to_pylist()
         e = exp.select(ecols).to_pylist()
         if len(g) != len(e):
