@@ -77,6 +77,11 @@ object Bench {
         // throughput is measured in r9f (40M probes ~1 s)
         || q._1 == "bf02_bloom_membership")
       .toSeq.sortBy(_._1)
+      // SPARK_GRAFT_ONLY=cf01_basket_lift,gr02_assortativity — solo
+      // timing for regression attribution; production runs leave it
+      // unset (full headline set)
+      .filter { case (name, _) =>
+        sys.env.get("SPARK_GRAFT_ONLY").forall(_.split(',').contains(name)) }
     // A query that throws must be VISIBLE in the artifact, not a fast
     // wall-time: correctness is gated separately, but a bench that
     // silently improves when a query starts failing is a verification

@@ -307,31 +307,40 @@ object Graph {
     * one-number graph health check before any per-node algorithm.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
+    // ONE distinct over the symmetrized union (the r10 form distinct'd
+    // both the raw edges AND the union — two full edge shuffles where
+    // the union's dedup alone gives the same set), then collapse the
+    // endpoint-degree frame to DEGREE-PAIR COUNTS: degrees are node-
+    // bounded small integers, so (dx, dy, w) is degree-cardinality²
+    // at most and every sufficient statistic is an exact integer sum
+    // (Σw·dx, Σw·dx·dy, … stay under 2^63 until per-node degrees
+    // reach ~1e8; ANSI mode fails loudly past that, and the fix is a
+    // double cast). Means drop out exactly, the co-moments reduce to
+    // Sxy − Sx·Sy/n with float error confined to the last two ops —
+    // tighter than the old centered double sums over the edge list,
+    // and the whole statistic is ONE action: no persist, no second
+    // pass, three shuffles total (dedup, degree agg, pair-count agg;
+    // the degree join-backs broadcast under AQE at node cardinality).
+    val e0 = edges.select(col("src"), col("dst"))
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // persist the endpoint-degree frame: the means pass and the
-    // centered co-moment pass both consume it (two actions)
-    val pairs = e
+    val m = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
-      .select(col("dx").cast("double").as("dx"),
-        col("dy").cast("double").as("dy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = pairs.agg(count(lit(1)).as("n"),
-      avg(col("dx")).as("mx"), avg(col("dy")).as("my")).head
-    val (n, mx, my) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+      .groupBy(col("dx"), col("dy")).agg(count(lit(1)).as("w"))
+      .agg(sum(col("w")).as("n"),
+        sum(col("dx") * col("w")).as("sx"),
+        sum(col("dy") * col("w")).as("sy"),
+        sum(col("dx") * col("dy") * col("w")).as("sxy"),
+        sum(col("dx") * col("dx") * col("w")).as("sxx"),
+        sum(col("dy") * col("dy") * col("w")).as("syy")).head
+    val n = m.getLong(0)
     require(n >= 2, s"assortativity needs ≥2 endpoint pairs (got $n)")
-    // both passes run eagerly while `pairs` is cached; the one-row
-    // result comes back as literals (kmvOverlap's convention), so
-    // unpersisting here can never force a recompute
-    val cm = pairs.agg(
-        sum((col("dx") - mx) * (col("dy") - my)).as("sxy"),
-        sum((col("dx") - mx) * (col("dx") - mx)).as("sxx"),
-        sum((col("dy") - my) * (col("dy") - my)).as("syy")).head
-    val (sxy, sxx, syy) = (cm.getDouble(0), cm.getDouble(1), cm.getDouble(2))
-    e.unpersist(); pairs.unpersist()
+    val (sx, sy) = (m.getLong(1), m.getLong(2))
+    val sxy = m.getLong(3) - sx.toDouble * sy.toDouble / n
+    val sxx = m.getLong(4) - sx.toDouble * sx.toDouble / n
+    val syy = m.getLong(5) - sy.toDouble * sy.toDouble / n
     val spark = edges.sparkSession
     import spark.implicits._
     Seq((n, sxy, sxx, syy)).toDF("n_endpoints", "__sxy", "__sxx", "__syy")

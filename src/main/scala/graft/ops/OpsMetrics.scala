@@ -121,19 +121,37 @@ object OpsMetrics {
       if (n > maxBucket) { g.buckets.add(1L); g.rows.add(n); false }
       else true
     }
-    // null-safe (<=>) semi-join: groupBy already treats NULL keys as
-    // one bucket, and the old window form kept them — a plain equi-
-    // join would silently drop every null-keyed row, invisible to the
-    // drop accumulators. Renamed join columns avoid self-lineage
-    // ambiguity; hash joins support EqualNullSafe, so the plan shape
-    // (AQE-broadcast kept-keys) is unchanged.
-    val kept = df.groupBy(keys.map(col): _*)
+    // Null-bucket semantics without the null-safe-join plan tax.
+    // Round 10 wrote the semi-join as `col(k) <=> col(grd_k)` so the
+    // NULL bucket (which groupBy forms and the guard must bound like
+    // any other) would survive the join — and that one change was the
+    // round-10 bench's "heavy tail regression": solo A/B at sf0.1
+    // puts cf01 at 3.1 s with the plain equi semi-join vs 5.0 s
+    // null-safe / 5.8 s struct-keyed, cf02 at 4.4 vs 7.6/8.0 s (both
+    // forms trade the single-long-key broadcast hash relation and the
+    // inferred IsNotNull scan pushdown for composite keys). So:
+    // SPLIT. Rows with all keys non-null — the bulk — take exactly
+    // the r9 equi-join plan; rows with a null key (usually zero of
+    // them) form their buckets on a frame that is itself tiny, where
+    // the null-safe join costs nothing. Each aggregate feeds exactly
+    // one consumer, so the drop accumulators still count each dropped
+    // bucket once.
+    val nn = keys.map(col(_).isNotNull).reduce(_ && _)
+    val bulk = df.filter(nn)
+    val kept = bulk.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__g_n"))
+      .filter(keep(col("__g_n")))
+      .select(keys.map(col): _*)
+    val fast = bulk.join(kept, keys, "left_semi")
+    val nulls = df.filter(!nn)
+    val keptNull = nulls.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__g_n"))
       .filter(keep(col("__g_n")))
       .select(keys.map(k => col(k).as(s"__grd_$k")): _*)
-    df.join(kept,
+    val slow = nulls.join(keptNull,
       keys.map(k => col(k) <=> col(s"__grd_$k")).reduce(_ && _),
       "left_semi")
+    fast.unionByName(slow)
   }
 
   /** Bucket-size guard over a group-collect result with an `m` array
