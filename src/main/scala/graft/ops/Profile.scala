@@ -373,19 +373,28 @@ object Profile {
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v"))
       .agg(count(lit(1)).cast("double").as("w"))
-    val c1 = flat(cumWeights(perValue))
+    // persist, not checkpoint: the first consumer (the median agg)
+    // materializes the chain while doing useful work — a checkpoint
+    // spends a dedicated pass on it. Verify/Bench drop leftover
+    // blocks between queries; long-lived callers should unpersist
+    // via their own session hygiene.
+    val c1 = cumWeights(perValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = c1.filter(col("cumw") * 2 >= col("totw"))
       .groupBy(col("g")).agg(min(col("v")).as("med"))
     // dev is derived from cached blocks + a group-cardinality join —
     // cheap enough to recompute for each of its two consumers, so no
-    // second checkpoint materialization
+    // second materialization
     val dev = c1.select(col("g"), col("v"), col("w")).join(med, "g")
       .withColumn("adev", abs(col("v") - col("med")))
-    // |v − med| collides (values equidistant from the median fold
-    // together), so chain #2 re-groups on the deviation first
-    val pv2 = dev.groupBy(col("g"), col("adev").as("v"))
-      .agg(sum(col("w")).as("w"))
-    val mad = cumWeights(pv2).filter(col("cumw") * 2 >= col("totw"))
+    // NO re-group on adev before chain #2: cumWeights tolerates tied
+    // values for median selection — the running cum reaches each tie
+    // group's full weight by its last row, so the first VALUE whose
+    // cumulative weight crosses half is tie-order-invariant, and
+    // min(v) over crossing rows reads exactly that value. Skipping
+    // the collapse saves a full shuffle over the deviation frame.
+    val mad = cumWeights(dev.select(col("g"), col("adev").as("v"), col("w")))
+      .filter(col("cumw") * 2 >= col("totw"))
       .groupBy(col("g")).agg(min(col("v")).as("mad"))
     dev.join(mad, "g")
       .groupBy(col("g"))

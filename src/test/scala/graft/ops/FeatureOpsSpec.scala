@@ -107,6 +107,29 @@ class FeatureOpsSpec extends AnyFunSuite {
       s"guard must count the dropped basket: $drops")
   }
 
+  test("basket lift guard: null-keyed rows form one bucket, kept when small, dropped when big") {
+    // a small NULL basket must survive the guard (its pair appears);
+    // the split-join form routes it through the null-safe side
+    val a = Seq((Option(2L), 1L), (Option(2L), 2L), (Option(3L), 1L),
+      (Option(3L), 2L), (Option.empty[Long], 7L), (Option.empty[Long], 8L))
+      .toDF("bk", "it")
+    val ra = Analytics.basketLift(a, col("bk"), col("it"), minPairCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ra == Set((1L, 2L, 2L), (7L, 8L, 1L)),
+      s"null basket's pair must survive a small-bucket guard: $ra")
+    // an OVERSIZED null bucket is dropped like any other, and counted
+    val big = (1 to 30).map(i => (Option.empty[Long], i.toLong))
+    val b = (big ++ Seq((Option(2L), 1L), (Option(2L), 2L), (Option(3L), 1L),
+      (Option(3L), 2L))).toDF("bk", "it")
+    val rb = Analytics.basketLift(b, col("bk"), col("it"),
+      minPairCount = 1, maxBasket = 10).collect()
+    assert(rb.length == 1 && rb.head.getLong(2) == 2L,
+      "only the non-null pair remains once the null bucket exceeds maxBasket")
+    val drops = OpsMetrics.lastDrops("graft.basket_lift")
+    assert(drops.exists { case (bkts, rows) => bkts == 1L && rows == 30L },
+      s"dropped null bucket must be counted exactly once: $drops")
+  }
+
   test("target encoding: a row never sees its own label; singleton falls back to global mean") {
     // category a: y = 0, 10; category b: y = 100 (singleton); global mean ~ 36.67
     val df = Seq((1L, "a", 0.0), (2L, "a", 10.0), (3L, "b", 100.0))

@@ -13,6 +13,17 @@ class ModelOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("cumCountsByValue rejects keys whose double cast breaks ordering") {
+    // a string key would silently bucket as null (cum=0 for every
+    // row); the contract is fail-fast, not wrong ids
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Stats.cumCountsByValue(df, "v", Seq("c")).collect()
+    }
+    assert(e.getMessage.contains("numeric/timestamp"),
+      s"message should explain the key contract: ${e.getMessage}")
+  }
+
   test("cumCountsByValue equals the naive global cumulative, any bucket count") {
     // deterministic pseudo-random values with duplicates and negatives
     val vals = (1 to 200).map(i => ((i * 37) % 83 - 41).toDouble / 7.0)
