@@ -321,20 +321,7 @@ object Graph {
     // and the whole statistic is ONE action: no persist, no second
     // pass, three shuffles total (dedup, degree agg, pair-count agg;
     // the degree join-backs broadcast under AQE at node cardinality).
-    val e0 = edges.select(col("src"), col("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val m = e
-      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
-      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
-      .groupBy(col("dx"), col("dy")).agg(count(lit(1)).as("w"))
-      .agg(sum(col("w")).as("n"),
-        sum(col("dx") * col("w")).as("sx"),
-        sum(col("dy") * col("w")).as("sy"),
-        sum(col("dx") * col("dy") * col("w")).as("sxy"),
-        sum(col("dx") * col("dx") * col("w")).as("sxx"),
-        sum(col("dy") * col("dy") * col("w")).as("syy")).head
+    val m = assortativityStats(edges).head
     val n = m.getLong(0)
     require(n >= 2, s"assortativity needs ≥2 endpoint pairs (got $n)")
     val (sx, sy) = (m.getLong(1), m.getLong(2))
@@ -348,6 +335,27 @@ object Graph {
         when(col("__sxx") > 0 && col("__syy") > 0,
           Portability.zround(col("__sxy") / sqrt(col("__sxx") * col("__syy")), 6))
           .as("assortativity"))
+  }
+
+  /** gr02's lazy statistic frame — exposed for the plan guard: the
+    * one-row (n, Sx, Sy, Sxy, Sxx, Syy) aggregate whose SHAPE (three
+    * hash exchanges, no cartesian, degree join-backs broadcastable)
+    * PlanQualitySpec pins.
+    */
+  private[graft] def assortativityStats(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .groupBy(col("dx"), col("dy")).agg(count(lit(1)).as("w"))
+      .agg(sum(col("w")).as("n"),
+        sum(col("dx") * col("w")).as("sx"),
+        sum(col("dy") * col("w")).as("sy"),
+        sum(col("dx") * col("dy") * col("w")).as("sxy"),
+        sum(col("dx") * col("dx") * col("w")).as("sxx"),
+        sum(col("dy") * col("dy") * col("w")).as("syy"))
   }
 
   /** HITS hubs & authorities (hits01, Kleinberg 1999) — PageRank's

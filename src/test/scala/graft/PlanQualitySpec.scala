@@ -629,6 +629,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"neighbor ranking must never single-partition: ${p.take(800)}")
   }
 
+  test("cf01: the bucket guard's bulk semi-join keeps plain single-column hash keys") {
+    // the round-10 null-safe (<=>) form compiled its keys to
+    // [coalesce(k, 0), isnull(k)] — composite keys that lose the
+    // single-long broadcast relation and cost cf01/cf02 ~60% wall
+    // (BASELINE.md round-11 A/B). The split form must keep at least
+    // one LeftSemi join on raw keys for the non-null bulk.
+    val p = planOf("cf01_basket_lift")
+    val semiKeys = "BroadcastHashJoin \\[([^\\]]*)\\], \\[([^\\]]*)\\], LeftSemi".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(semiKeys.nonEmpty, s"guard semi-join missing: ${p.take(600)}")
+    assert(semiKeys.exists(k => !k.contains("coalesce") && !k.contains("isnull")),
+      s"no plain-key bulk semi-join — the null-safe plan tax is back: $semiKeys")
+  }
+
+  test("gr02: sufficient-statistics aggregate — no cartesian, bounded exchanges") {
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    val stats = ops.Graph.assortativityStats(edges)
+    stats.collect() // finalize the adaptive plan so exchange REUSE shows
+    // AdaptiveSparkPlan.toString prints the FINAL plan then the
+    // initial one — count only the final section
+    val p = stats.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+    // expected: e-for-join + e-for-degrees (differing pushed filters
+    // block reuse there) + the reused degree agg + pair-count agg;
+    // a rewrite that shuffles the edge frame per PASS fails this
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size -
+      "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges <= 5, s"edge-frame exchanges crept back: $exchanges\n${p.take(800)}")
+  }
+
   test("ft03: stats broadcast back; the scaling pass never shuffles the data") {
     import org.apache.spark.sql.functions.col
     val p = ops.Features.scaleFeatures(Tables.load(spark, dir, "lineitem"),
