@@ -709,4 +709,77 @@ object Curation {
       .head.getDouble(0)
     spine.withColumn("selected", col("log_w") >= thr)
   }
+
+  /** Per-document n-gram novelty (nv01): for each candidate document,
+    * the fraction of its distinct word n-grams absent from a BASE
+    * corpus — the freshness score data-selection pipelines rank by
+    * when a new crawl lands (near-zero novelty = the crawl re-fetched
+    * what the corpus already has; dedup will catch exact copies, this
+    * catches remixes earlier and per-doc).
+    *
+    * Scale shape: unlike dc01's broadcast (eval sets are tiny), the
+    * base corpus is as big as the candidate side — both sides shuffle
+    * ON THE GRAM, the distinct and the semi-join co-partition on that
+    * key, and only (doc_id, count) aggregates leave the gram stage.
+    * At 100 TB the dc02 Bloom prefilter drops the obviously-novel
+    * grams before the shuffle; this exact form is the gate.
+    */
+  def ngramNovelty(newDocs: DataFrame, base: DataFrame, n: Int = 13,
+                   text: Column = col("text")): DataFrame = {
+    registerOn(newDocs)
+    val baseGrams = base
+      .select(explode(graft.functions.TextFunctions.shingles(text, n)).as("g"))
+      .distinct()
+    val ng = newDocs.select(col("doc_id"), explode(
+      graft.functions.TextFunctions.shingles(text, n)).as("g"))
+    val seen = ng.join(baseGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    val novel = col("n_grams") - coalesce(col("n_seen"), lit(0L))
+    ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), novel.as("n_novel"),
+        Portability.zround(novel / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
+  /** Token-budget corpus selection (bs01): the greedy prefix rule
+    * every "train on the best N tokens" pipeline runs — rank rows by
+    * quality DENSITY (score per token, descending; id ascending ties)
+    * and select while the running token total stays within budget.
+    * Deterministic: density is one IEEE division of exact inputs, so
+    * the order replays bit-for-bit across engines.
+    *
+    * Scale shape: the running total is NEVER a global ordered window.
+    * Two bucketed prefix sums compose it — `Stats.cumCountsByValue`
+    * over the density values (tokens of strictly-denser rows), plus
+    * `Profile.cumWeights` grouped BY density value for the id-ordered
+    * within-tie prefix — so the plan stays parallel at any corpus
+    * size (the whole-tie window trap only bites if billions of rows
+    * share one exact density; at that point the caller should thicken
+    * the score). Output: one row per input row (id, n_tokens,
+    * density, cum_before_tokens, selected).
+    */
+  def budgetSelect(df: DataFrame, id: Column, tokens: Column, score: Column,
+                   budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val base = df.select(id.as("id"), tokens.cast("long").as("tok"),
+        score.cast("double").as("sc"))
+      .filter(col("tok") > 0)
+      // negated density: ascending key order == descending density,
+      // which is what both prefix primitives consume
+      .withColumn("nk", -(col("sc") / col("tok")))
+    val perVal = base.groupBy(col("nk")).agg(sum(col("tok")).as("vtok"))
+    val cumVal = graft.ops.Stats.cumCountsByValue(perVal, "nk", Seq("vtok"))
+      .select(col("nk"), col("cum_vtok_below"))
+    val within = graft.ops.Profile.cumWeights(base.select(col("nk").as("g"),
+        col("id").as("v"), col("tok").cast("double").as("w")))
+      .select(col("g").as("nk"), col("v").as("id"),
+        col("cumw").cast("long").as("__cw"))
+    base.join(cumVal, "nk").join(within, Seq("nk", "id"))
+      .select(col("id"), col("tok").as("n_tokens"),
+        Portability.zround(-col("nk"), 6).as("density"),
+        (col("cum_vtok_below") + col("__cw") - col("tok"))
+          .as("cum_before_tokens"),
+        (col("cum_vtok_below") + col("__cw") <= budgetTokens).as("selected"))
+  }
 }

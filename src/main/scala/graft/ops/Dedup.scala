@@ -681,6 +681,36 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("keep_id"),
               (col("doc_id") === col("keep_id")).as("is_canonical"))
   }
+  /** Dedup impact report (dd14): the size histogram of dup clusters
+    * plus the bytes a dedup pass would reclaim — the one-page summary
+    * a corpus owner reads BEFORE running the rewrite ("37% of the
+    * crawl is 2-copy boilerplate; the 4000-member cluster is a
+    * template"). Consumes the same (docs, pairs) inputs as
+    * dupClusters; emits one row per cluster size: cluster count, doc
+    * count, total chars, and chars on non-canonical copies.
+    *
+    * Scale shape: dupClusters' star-contraction output grouped twice —
+    * per-cluster then per-size; both aggregates partial-combine
+    * map-side, and the size frame is histogram-cardinality.
+    */
+  def dupStats(docs: DataFrame, pairs: DataFrame,
+               text: Column = col("text")): DataFrame = {
+    val sized = dupClusters(docs, pairs, text)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        length(text).cast("long").as("len")), "doc_id")
+    sized.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("len")).as("chars"),
+        sum(when(!col("is_canonical"), col("len")).otherwise(0L))
+          .as("dropped"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("chars")).as("total_chars"),
+        sum(col("dropped")).as("chars_dropped"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("total_chars"), col("chars_dropped"))
+  }
+
   /** Quality-aware canonical-copy selection (dd12) — given duplicate
     * GROUPS (an exact content hash, a dd06/sd02 cluster id, or any
     * coarse key), keep the single best row per group: highest `score`,

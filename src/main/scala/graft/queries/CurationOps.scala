@@ -521,6 +521,60 @@ object CurationOps {
                CAST(least(32, n - start) AS BIGINT) AS n_toks,
                md5(array_to_string(
                  toks[start + 1:start + least(32, n - start)], ' ')) AS chunk_hash
-             FROM u ORDER BY doc_id, chunk_no"""))
+             FROM u ORDER BY doc_id, chunk_no""")),
+
+    // bs01: token-budget corpus selection — greedy prefix by quality
+    // density (distinct-token ratio), deterministic id ties. Engine:
+    // two bucketed prefix sums (never a global ordered window); the
+    // oracle IS the global window — the semantic spec this plan
+    // refuses to execute that way.
+    NamedQuery("bs01_budget_select",
+      (s, d) => {
+        val t = graft.ops.TextAnalysis.tokenStats(docs(s, d))
+        Curation.budgetSelect(t, col("doc_id"), col("n_tokens"),
+            col("n_distinct").cast("double"), budgetTokens = 15000L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+                  CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                    AS DOUBLE) AS dst
+                FROM documents),
+              d AS (SELECT doc_id, tok, dst / tok AS dens FROM b WHERE tok > 0),
+              c AS (SELECT *, CAST(coalesce(sum(tok) OVER (
+                      ORDER BY dens DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+                    FROM d)
+             SELECT doc_id, tok AS n_tokens, round(dens, 6) + 0.0 AS density,
+               cum_before AS cum_before_tokens,
+               cum_before + tok <= 15000 AS selected
+             FROM c ORDER BY doc_id""")),
+
+    // nv01: per-doc 13-gram novelty of the "new crawl" (doc_id%5 != 0)
+    // against the "already-ingested" base (doc_id%5 == 0) — both
+    // sides gram-keyed, nothing broadcast (the base is corpus-sized,
+    // unlike dc01's tiny eval side)
+    NamedQuery("nv01_ngram_novelty",
+      (s, d) => {
+        val all = docs(s, d)
+        Curation.ngramNovelty(all.filter(col("doc_id") % 5 =!= 0),
+            all.filter(col("doc_id") % 5 === 0), n = 13)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS (SELECT doc_id, unnest($duckGrams13) AS g
+                              FROM documents),
+              bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+              nd AS (SELECT * FROM grams WHERE doc_id % 5 <> 0),
+              tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                      FROM nd GROUP BY 1),
+              sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen
+                     FROM nd WHERE g IN (SELECT g FROM bg) GROUP BY 1)
+             SELECT doc_id, n_grams,
+               n_grams - coalesce(n_seen, 0) AS n_novel,
+               round((n_grams - coalesce(n_seen, 0))
+                 / CAST(n_grams AS DOUBLE), 6) + 0.0 AS novelty
+             FROM tot LEFT JOIN sn USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -1260,6 +1260,57 @@ object PipelineOps {
              FROM member m JOIN canon c USING (cluster_id)
              ORDER BY m.doc_id""")),
 
+    // dd14: dedup impact report — dd06's cluster resolution rolled up
+    // to a size histogram with reclaimable chars (the pre-rewrite
+    // summary); oracle = dd06's recursive replay + two aggregates
+    NamedQuery("dd14_dup_stats",
+      (s, d) => {
+        val dcs = docs(s, d)
+        Dedup.dupStats(dcs, Dedup.ngramJaccard(dcs)).orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE
+              sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              keyed AS (SELECT doc_id, len(sh) AS sz,
+                          substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
+              ex0 AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex AS (SELECT doc_id, sz, block, g FROM
+                       (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 1000),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.block = y.block AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4),
+              pairs AS (SELECT id_a, id_b FROM inter
+                        WHERE inter / (sz_a + sz_b - inter) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lab) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+              cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+              member AS (SELECT d.doc_id,
+                           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                           length(d.text) AS len
+                         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+              canon AS (SELECT cluster_id, doc_id AS keep_id FROM
+                          (SELECT cluster_id, doc_id,
+                             row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY len DESC, doc_id ASC) AS rk
+                           FROM member) WHERE rk = 1),
+              per_cluster AS (SELECT m.cluster_id,
+                  CAST(count(*) AS BIGINT) AS csz,
+                  CAST(sum(m.len) AS BIGINT) AS chars,
+                  CAST(sum(CASE WHEN m.doc_id = c.keep_id THEN 0 ELSE m.len END)
+                    AS BIGINT) AS dropped
+                FROM member m JOIN canon c USING (cluster_id) GROUP BY 1)
+             SELECT csz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(csz * count(*) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(sum(dropped) AS BIGINT) AS chars_dropped
+             FROM per_cluster GROUP BY 1 ORDER BY 1""")),
+
     // ---------------- similarity search ----------------
 
     NamedQuery("sim01_cosine_topk",
