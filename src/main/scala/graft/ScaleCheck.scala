@@ -665,6 +665,54 @@ object ScaleCheck {
     }
   }
 
+  /** Round-11 probes: the rowGuarded split (bulk equi + tiny
+    * null-safe side) at tens of millions of rows, the gr02
+    * sufficient-statistics rewrite on a synthetic power-law graph,
+    * and budgetSelect's double-prefix-sum at corpus scale — each ×1
+    * vs ×4 so the slope is on record, not just the constant.
+    */
+  private def r11Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // basketLift shape at scale: n rows over n/20 baskets (~20 items
+    // each, fan-out 190 pairs/basket) — the guard's semi-join is the
+    // round-11 split; this is the plan the 100 TB run would execute
+    for (m <- Seq(1, 4)) {
+      val n = 2500000L * m
+      val df = spark.range(n).select(
+        (col("id") / 20).cast("long").as("bk"),
+        (col("id") * 7919 % 50021).as("it"))
+      time(s"cf01-shape x$m rows=$n")(graft.ops.Analytics.basketLift(
+        df, col("bk"), col("it"), minPairCount = 3, maxBasket = 64).count())
+    }
+    // gr02 on a synthetic multi-scale graph: ring edges + hub spokes
+    // (every node -> hub h = id%97) gives skewed degrees; the
+    // statistic must stay one action with bounded exchanges
+    for (m <- Seq(1, 4)) {
+      val n = 2000000L * m
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val spokes = spark.range(n).select(col("id").as("src"),
+        (col("id") % 97).as("dst"))
+      time(s"gr02 x$m edges=${2 * n}")(
+        graft.ops.Graph.assortativity(ring.union(spokes)).count())
+    }
+    // budgetSelect: 10M docs, integer-ish densities with heavy ties —
+    // the two-prefix-sum plan must hold its slope under tie skew
+    for (m <- Seq(1, 4)) {
+      val n = 2500000L * m
+      val df = spark.range(n).select(col("id"),
+        (col("id") % 997 + 10).as("tok"),
+        (col("id") % 89 + 1).cast("double").as("score"))
+      time(s"bs01 x$m rows=$n")(graft.ops.Curation.budgetSelect(
+        df, col("id"), col("tok"), col("score"),
+        budgetTokens = n * 100).count())
+    }
+  }
+
   /** Late session-5 probes: post-fix linkage scale, Bloom
     * decontamination growth, KMV overlap over large key sets.
     */
@@ -876,6 +924,11 @@ object ScaleCheck {
     }
     if (path == "r10") {
       r10Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r11") {
+      r11Scale(spark)
       spark.stop()
       return
     }
