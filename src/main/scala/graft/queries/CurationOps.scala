@@ -575,6 +575,45 @@ object CurationOps {
                n_grams - coalesce(n_seen, 0) AS n_novel,
                round((n_grams - coalesce(n_seen, 0))
                  / CAST(n_grams AS DOUBLE), 6) + 0.0 AS novelty
-             FROM tot LEFT JOIN sn USING (doc_id) ORDER BY doc_id"""))
+             FROM tot LEFT JOIN sn USING (doc_id) ORDER BY doc_id""")),
+
+    // ov01: corpus-level content overlap — the Jaccard of two
+    // corpora's 13-gram SETS through the mergeable KMV sketch
+    // (kmv02's machinery keyed on grams instead of ids): the one-row
+    // "how much of corpus B is already in corpus A" readout that
+    // decides whether a crawl is worth ingesting, at sketch cost —
+    // no gram-set join materializes. Oracle replays the md5 k-min.
+    NamedQuery("ov01_corpus_overlap",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val all = docs(s, d)
+        def grams(side: DataFrame) = side.select(explode(
+          graft.functions.TextFunctions.shingles(col("text"), 13)).as("g"))
+        graft.ops.Sketches.kmvOverlap(
+          grams(all.filter(col("doc_id") % 5 === 0)), col("g"),
+          grams(all.filter(col("doc_id") % 5 =!= 0)), col("g"), k = 64)
+      },
+      Some(s"""WITH un AS (
+                SELECT v, max(ia) AS ia, max(ib) AS ib FROM (
+                  SELECT unnest($duckGrams13) AS v, 1 AS ia, 0 AS ib
+                  FROM documents WHERE doc_id % 5 = 0
+                  UNION ALL
+                  SELECT unnest($duckGrams13), 0, 1
+                  FROM documents WHERE doc_id % 5 <> 0)
+                GROUP BY 1),
+              h AS (SELECT v, ia, ib,
+                  CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) / 4294967296.0
+                    AS u
+                FROM un),
+              kk AS (SELECT * FROM h ORDER BY u, v LIMIT 64),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(ia * ib) AS BIGINT) AS n_both,
+                  max(u) AS u_k FROM kk)
+             SELECT k, n_both,
+               round(n_both / CAST(k AS DOUBLE), 6) AS jaccard_est,
+               round((k - 1) / u_k, 4) AS union_est,
+               round((n_both / CAST(k AS DOUBLE)) * ((k - 1) / u_k), 4)
+                 AS intersection_est
+             FROM agg"""))
   )
 }

@@ -599,4 +599,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     // third: (30 + 0.5*20 + 0.25*10) / 1.75 = 42.5/1.75
     assert(math.abs(r(2).getDouble(4) - 42.5 / 1.75) < 1e-6)
   }
+
+  test("budgetSelect equals a naive greedy replay, density ties broken by id") {
+    // (id, tokens, score): densities collide on purpose (ids 1/2
+    // share 0.5, ids 4/5 share 0.25) so the within-tie id order and
+    // the cross-tie prefix both get exercised
+    val rows = Seq((1L, 10L, 5.0), (2L, 20L, 10.0), (3L, 10L, 8.0),
+      (4L, 40L, 10.0), (5L, 8L, 2.0), (6L, 100L, 1.0))
+    val got = Curation.budgetSelect(rows.toDF("id", "tok", "sc"),
+        col("id"), col("tok"), col("sc"), budgetTokens = 50L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val naive = rows.map { case (id, t, s) => (id, t, s / t) }
+      .sortBy { case (id, _, d) => (-d, id) }
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((_, _, _, cum), (id, t, d)) =>
+        (id, t, d, cum + t) }.drop(1)
+      .map { case (id, t, _, cumIncl) => id -> ((cumIncl - t), cumIncl <= 50L) }
+      .toMap
+    got.foreach { case (id, cumBefore, sel) =>
+      assert(naive(id) == ((cumBefore, sel)), s"id=$id got=($cumBefore,$sel)")
+    }
+  }
+
+  test("ngramNovelty: copied doc scores 0, fresh doc 1, remix in between") {
+    val base = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "a b c d e f"),          // exact copy -> novelty 0
+      (2L, "x y z w q v"),          // disjoint -> novelty 1
+      (3L, "a b c z z z"))          // shares gram "a b c" only
+      .toDF("doc_id", "text")
+    val r = Curation.ngramNovelty(fresh, base, n = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(3))).toMap
+    assert(r(1L) == 0.0 && r(2L) == 1.0)
+    assert(r(3L) > 0.0 && r(3L) < 1.0, s"remix must be strictly between: ${r(3L)}")
+  }
+
+  test("dupStats: histogram and reclaimable chars add up") {
+    // docs 1,2 near-identical (cluster of 2); 3 unique
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with nothing shared here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupStats(docs, Dedup.ngramJaccard(docs))
+      .orderBy("cluster_size").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(4)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L), s"sizes: ${r.toSeq}")
+    val (singletons, pairs) = (r(0), r(1))
+    assert(singletons._2 == 1 && singletons._3 == 1 && singletons._4 == 0)
+    // the 2-cluster keeps the LONGER doc (id 1, 49 chars) and would
+    // reclaim the shorter copy's 43 chars
+    assert(pairs._2 == 1 && pairs._3 == 2 && pairs._4 == 43,
+      s"pair cluster: $pairs")
+  }
 }
