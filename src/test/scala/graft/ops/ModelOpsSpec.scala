@@ -13,6 +13,42 @@ class ModelOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("weightedMedian under heavy ties: equals naive over seeded frames, collapsed or not") {
+    // mad01's chain-2 feeds cumWeights a NON-collapsed frame and
+    // relies on the crossing VALUE being tie-order-invariant; pin
+    // that against a naive scala replay across seeds, including
+    // frames where most values collide
+    for (seed <- 1 to 5) {
+      val rows = (0 until 300).map { i =>
+        val g = s"g${(i * seed) % 3}"
+        val v = ((i * 31 + seed * 7) % 12).toDouble // 12 distinct values => ties
+        val w = (i * seed) % 4 + 1L
+        (g, v, w)
+      }
+      val naive = rows.groupBy(_._1).map { case (g, rs) =>
+        val byV = rs.groupBy(_._2).map { case (v, xs) => (v, xs.map(_._3).sum) }
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        var cum = 0L
+        val med = byV.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+        g -> med
+      }
+      val got = Profile.weightedMedian(rows.toDF("g", "v", "w"),
+          col("g"), col("v"), col("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == naive, s"seed=$seed got=$got naive=$naive")
+      // the NON-collapsed path (cumWeights fed duplicate values
+      // directly, mad01's shape) must select the same medians
+      val raw = rows.flatMap { case (g, v, w) =>
+        Seq.fill(w.toInt)((g, v, 1.0)) }
+      val viaRaw = Profile.cumWeights(raw.toDF("g", "v", "w"))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("g")).agg(min(col("v")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaRaw == naive, s"seed=$seed raw-path=$viaRaw naive=$naive")
+    }
+  }
+
   test("cumCountsByValue rejects keys whose double cast breaks ordering") {
     // a string key would silently bucket as null (cum=0 for every
     // row); the contract is fail-fast, not wrong ids
