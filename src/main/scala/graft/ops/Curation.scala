@@ -710,6 +710,40 @@ object Curation {
     spine.withColumn("selected", col("log_w") >= thr)
   }
 
+  /** Capped-domain resampling (mx04): no single domain may exceed
+    * `capFrac` of the corpus' tokens — the mix-recipe step that stops
+    * one mega-crawl domain from dominating training. Domains over the
+    * cap get a deterministic keep-rate of cap/share; others keep
+    * everything. The draw is the md5 convention (u ∈ (0,1], row-keyed
+    * on the id), so selection is identical across runs, engines, and
+    * retries, and nests: lowering the cap only removes rows.
+    *
+    * Scale shape: one global token sum (scalar), one domain aggregate
+    * (broadcast back at domain cardinality), then a pure scan-speed
+    * filter column — the corpus never shuffles. Output: one row per
+    * input row with (dom_share, samp_rate, selected).
+    */
+  def domainCap(df: DataFrame, id: Column, domain: Column, tokens: Column,
+                capFrac: Double, seed: String = "domcap"): DataFrame = {
+    require(capFrac > 0 && capFrac <= 1, s"capFrac out of (0,1]: $capFrac")
+    val base = df.select(id.as("id"), domain.as("domain"),
+      tokens.cast("long").as("tok"))
+    val tot = base.agg(sum(col("tok"))).head.getLong(0)
+    require(tot > 0, "domainCap: corpus has no tokens")
+    val dom = base.groupBy(col("domain")).agg(sum(col("tok")).as("dt"))
+      .withColumn("share", col("dt") / lit(tot.toDouble))
+      .withColumn("rate", least(lit(1.0), lit(capFrac) / col("share")))
+      .drop("dt")
+    val u = (conv(substring(md5(concat_ws("#", lit(seed),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1) /
+      lit(4294967296.0)
+    base.join(broadcast(dom), "domain")
+      .select(col("id"), col("domain"), col("tok"),
+        Portability.zround(col("share"), 6).as("dom_share"),
+        Portability.zround(col("rate"), 6).as("samp_rate"),
+        (u <= col("rate")).as("selected"))
+  }
+
   /** Per-document n-gram novelty (nv01): for each candidate document,
     * the fraction of its distinct word n-grams absent from a BASE
     * corpus — the freshness score data-selection pipelines rank by

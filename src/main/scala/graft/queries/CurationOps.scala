@@ -614,6 +614,35 @@ object CurationOps {
                round((k - 1) / u_k, 4) AS union_est,
                round((n_both / CAST(k AS DOUBLE)) * ((k - 1) / u_k), 4)
                  AS intersection_est
-             FROM agg"""))
+             FROM agg""")),
+
+    // mx04: capped-domain resampling — sources above a 5% token share
+    // get deterministic keep-rate cap/share; the md5 draw replays
+    // bit-for-bit (the corpus has 20 ~5% sources, so the cap splits
+    // them into capped and uncapped for a meaningful gate)
+    NamedQuery("mx04_domain_cap",
+      (s, d) => {
+        val t = graft.ops.TextAnalysis.tokenStats(docs(s, d))
+          .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        Curation.domainCap(t, col("doc_id"), col("source"),
+            col("n_tokens"), capFrac = 0.05)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, source AS domain,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+                FROM documents),
+              t AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM b),
+              r AS (SELECT domain, CAST(sum(tok) AS BIGINT) AS dt
+                    FROM b GROUP BY 1),
+              sh AS (SELECT domain, dt / CAST(tot AS DOUBLE) AS share,
+                     least(1.0, 0.05 / (dt / CAST(tot AS DOUBLE))) AS rate
+                     FROM r, t)
+             SELECT doc_id, domain, tok, round(share, 6) + 0.0 AS dom_share,
+               round(rate, 6) + 0.0 AS samp_rate,
+               (CAST('0x' || substr(md5('domcap#' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                 / 4294967296.0 <= rate AS selected
+             FROM b JOIN sh USING (domain) ORDER BY doc_id"""))
   )
 }

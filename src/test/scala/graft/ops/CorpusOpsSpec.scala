@@ -635,6 +635,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(3L) > 0.0 && r(3L) < 1.0, s"remix must be strictly between: ${r(3L)}")
   }
 
+  test("domainCap: uncapped domains keep all; caps nest (lower cap only removes)") {
+    // domain A holds 80% of tokens, B 20% — cap 0.5 halves A-ish,
+    // keeps B whole
+    val rows = (1L to 400L).map(i => (i, "A", 10L)) ++
+      (401L to 500L).map(i => (i, "B", 10L))
+    val df = rows.toDF("id", "dom", "tok")
+    def run(cap: Double) = Curation.domainCap(df, col("id"), col("dom"),
+        col("tok"), cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(5)))
+    val r5 = run(0.5)
+    assert(r5.filter(_._2 == "B").forall(_._3), "under-cap domain keeps everything")
+    val aKept5 = r5.filter(x => x._2 == "A" && x._3).map(_._1).toSet
+    // rate = 0.5/0.8 = 0.625; md5 draw should land in a wide band
+    assert(aKept5.size > 150 && aKept5.size < 350, s"A kept ${aKept5.size}")
+    val aKept25 = run(0.25).filter(x => x._2 == "A" && x._3).map(_._1).toSet
+    assert(aKept25.subsetOf(aKept5),
+      "thresholds must nest: the 0.25-cap keep set is inside the 0.5-cap one")
+  }
+
   test("dupStats: histogram and reclaimable chars add up") {
     // docs 1,2 near-identical (cluster of 2); 3 unique
     val docs = Seq(
