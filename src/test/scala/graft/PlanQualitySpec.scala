@@ -665,6 +665,61 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 5, s"edge-frame exchanges crept back: $exchanges\n${p.take(800)}")
   }
 
+  test("bs01: the budget prefix never plans a single-partition exchange or window") {
+    val p = planOf("bs01_budget_select")
+    assert(!p.contains("Exchange SinglePartition") ||
+      // the one allowed SinglePartition is cumCountsByValue's ≤1024-row
+      // subtotal collect path; the corpus-sized frames must never hit it
+      !p.split("Exchange SinglePartition").head.contains("Window"),
+      s"budget cumsum must stay bucketed-parallel: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("nv01: nothing FORCES the base gram set to broadcast — it shuffles when big") {
+    import org.apache.spark.sql.functions.col
+    // at gate scale AQE rightly auto-broadcasts the tiny base; the
+    // 100 TB invariant is that no HINT forces it — with size-based
+    // broadcast off, the semi-join must degrade to a shuffle join,
+    // proving the plan survives a base that doesn't fit an executor
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val all = Tables.load(spark, dir, "documents")
+      val p = ops.Curation.ngramNovelty(all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0), n = 13)
+        .queryExecution.executedPlan.toString
+      val semiJoins = p.split("\n").filter(l =>
+        l.contains("Join") && l.contains("LeftSemi"))
+      assert(semiJoins.nonEmpty, p.take(600))
+      assert(!semiJoins.exists(_.contains("BroadcastHashJoin")),
+        s"a hint forces the base to broadcast: ${semiJoins.mkString("; ")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
+  test("mx04: domain rates broadcast back; the corpus side is a pure scan") {
+    import org.apache.spark.sql.functions.col
+    val d0 = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+          .cast("long").as("tok"))
+    val p = ops.Curation.domainCap(d0, col("doc_id"), col("source"),
+        col("tok"), capFrac = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"domain rate frame must broadcast: ${p.take(600)}")
+    // the only hash exchange allowed is the domain AGGREGATE —
+    // domain-cardinality, not corpus-cardinality
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus-side shuffle crept in: $exchanges\n${p.take(800)}")
+  }
+
   test("ft03: stats broadcast back; the scaling pass never shuffles the data") {
     import org.apache.spark.sql.functions.col
     val p = ops.Features.scaleFeatures(Tables.load(spark, dir, "lineitem"),
