@@ -19,7 +19,8 @@ object Bench {
       // janino cache: heavyweight projections (LSH hyperplanes, minhash
       // aggregates) get evicted between passes and re-pay multi-second
       // compiles, measuring the cache, not the query
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // headline queries only: the im* entries are engine-flow correctness
