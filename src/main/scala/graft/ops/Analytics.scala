@@ -769,6 +769,69 @@ object Analytics {
       round(num / den, 6).as("ewma"))
   }
 
+  /** Offline CUSUM changepoint detection (ts06, Page 1954 / the
+    * classic cumulative-sum estimator): per series, C_i = S_i −
+    * i·(S_n/n) over the time-ordered values; the changepoint estimate
+    * is argmax |C_i|, and the series "changed" when the normalized
+    * exceedance max|C| / (σ·√n) clears `h`. One row per series with
+    * the change time, the level before/after, and the shift.
+    *
+    * Determinism across engines is the design: EVERY statistic —
+    * including the mean and σ — derives from the two ORDERED prefix
+    * sums (Σv, Σv²), which both Spark and DuckDB evaluate row-by-row
+    * in the same (ts, tie) total order, so the doubles are
+    * bit-identical and no rounding tie can flip the argmax or the
+    * verdict (an avg()/stddev() formulation would differ in final-ulp
+    * summation order and CUSUM amplifies that by i).
+    *
+    * Scale shape: ONE keyed window exchange (all five window columns
+    * share it) then a map-side max(struct) argmax per key — series
+    * parallelism; a single series longer than a partition serializes
+    * its own window, the accepted ts-family caveat.
+    */
+  def cusumChangepoint(df: DataFrame, key: Column, ts: Column, tie: Column,
+                       value: Column, h: Double = 1.0): DataFrame = {
+    require(h > 0, s"h must be positive: $h")
+    val base = df.select(key.as("k"), unix_micros(ts).as("us"), tie.as("tb"),
+        value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ord = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withC = base
+      .withColumn("s", sum(col("v")).over(ord))
+      .withColumn("q", sum(col("v") * col("v")).over(ord))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))))
+      // ordered totals: LAST value of the ordered prefixes — identical
+      // in both engines, unlike an unordered whole-partition sum
+      .withColumn("tot", last(col("s")).over(full))
+      .withColumn("qtot", last(col("q")).over(full))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("c", col("s") - col("i") * col("tot") / col("n"))
+    val best = withC.groupBy(col("k")).agg(
+      max(struct(abs(col("c")).as("ac"), (-col("us")).as("nus"),
+        col("s"), col("i"), col("tot"), col("qtot"), col("n"))).as("b"))
+    best.select(col("k"), col("b.n").as("n"),
+        (-col("b.nus")).as("change_us"),
+        col("b.ac").as("__maxc"), col("b.s").as("__s"), col("b.i").as("__i"),
+        col("b.tot").as("__tot"), col("b.qtot").as("__qtot"))
+      .withColumn("__var", greatest(
+        (col("__qtot") - col("__tot") * col("__tot") / col("n")) /
+          (col("n") - 1), lit(0.0)))
+      .withColumn("__stat", when(col("__var") > 0,
+        col("__maxc") / sqrt(col("__var") * col("n"))))
+      .select(col("k"), col("n"), col("change_us"),
+        Portability.zround(col("__maxc"), 4).as("max_cusum"),
+        Portability.zround(col("__stat"), 4).as("norm_stat"),
+        coalesce(col("__stat") > h, lit(false)).as("changed"),
+        Portability.zround(col("__s") / col("__i"), 4).as("mean_before"),
+        when(col("n") > col("__i"), Portability.zround(
+          (col("__tot") - col("__s")) / (col("n") - col("__i")), 4))
+          .as("mean_after"))
+  }
+
   /** Time-to-convert (fn02): per entity, the delay between its FIRST
     * `from` event and its first `to` event at-or-after it — the
     * latency companion to fn01's ordered funnel (fn01 counts who

@@ -936,6 +936,46 @@ object AnalysisOps {
            FROM l ORDER BY event_id"""
       }),
 
+    // ts06: offline CUSUM changepoint per event-type series — every
+    // statistic (incl. mean and sigma) derives from the two ORDERED
+    // prefix sums, so the doubles are bit-identical across engines
+    // and the argmax/verdict cannot flip on a summation-order ulp
+    NamedQuery("ts06_cusum_changepoint",
+      (s, d) => Analytics.cusumChangepoint(
+          Tables.load(s, d, "events"), col("event_type"), col("ts"),
+          col("event_id"), col("value"), h = 1.0)
+        .orderBy("k"),
+      Some("""WITH b AS (SELECT event_type AS k, epoch_us(ts) AS us,
+                  event_id AS tb, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+              o AS (SELECT k, us, tb, v,
+                  sum(v) OVER win AS s,
+                  sum(v * v) OVER win AS q,
+                  row_number() OVER (PARTITION BY k ORDER BY us, tb) AS i,
+                  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+                FROM b WINDOW win AS (PARTITION BY k ORDER BY us, tb
+                  ROWS UNBOUNDED PRECEDING)),
+              o2 AS (SELECT *,
+                  max(CASE WHEN i = n THEN s END) OVER (PARTITION BY k) AS tot,
+                  max(CASE WHEN i = n THEN q END) OVER (PARTITION BY k) AS qtot
+                FROM o),
+              c AS (SELECT *, abs(s - i * tot / n) AS ac FROM o2),
+              pick AS (SELECT *, row_number() OVER (PARTITION BY k
+                  ORDER BY ac DESC, us ASC, s DESC, i DESC) AS rk FROM c),
+              w AS (SELECT *,
+                  greatest((qtot - tot * tot / n) / (n - 1), 0.0) AS vr
+                FROM pick WHERE rk = 1)
+             SELECT k, n, CAST(us AS BIGINT) AS change_us,
+               round(ac, 4) + 0.0 AS max_cusum,
+               CASE WHEN vr > 0
+                 THEN round(ac / sqrt(vr * n), 4) + 0.0 END AS norm_stat,
+               coalesce(CASE WHEN vr > 0 THEN ac / sqrt(vr * n) > 1.0 END,
+                 false) AS changed,
+               round(s / i, 4) + 0.0 AS mean_before,
+               CASE WHEN n > i THEN round((tot - s) / (n - i), 4) + 0.0 END
+                 AS mean_after
+             FROM w ORDER BY k""")),
+
     // pt01: the signed-zero portability property, run CROSS-ENGINE
     // every round — the executable regression gate for the round-9
     // ft02/ts02 class. Each row drives the trig kernels through the

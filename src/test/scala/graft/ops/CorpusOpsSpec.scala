@@ -635,6 +635,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(3L) > 0.0 && r(3L) < 1.0, s"remix must be strictly between: ${r(3L)}")
   }
 
+  test("cusumChangepoint: planted level shift found at the boundary; flat series not flagged") {
+    import java.sql.Timestamp
+    // series A: 50 points at 10.0 then 50 at 20.0 — the |CUSUM| peak
+    // sits exactly at the last pre-shift point; series B: constant
+    val rows =
+      (1 to 100).map { i =>
+        ("A", Timestamp.valueOf(f"2024-01-01 00:${(i - 1) / 60}%02d:${(i - 1) % 60}%02d"),
+          i.toLong, if (i <= 50) 10.0 else 20.0)
+      } ++ (1 to 40).map { i =>
+        ("B", Timestamp.valueOf(f"2024-01-01 01:00:${i % 60}%02d"), 200L + i, 7.0)
+      }
+    val r = Analytics.cusumChangepoint(rows.toDF("k", "ts", "id", "v"),
+        col("k"), col("ts"), col("id"), col("v"), h = 1.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getAs[Boolean]("changed"), "planted shift must be flagged")
+    assert(a.getAs[Double]("mean_before") == 10.0 &&
+      a.getAs[Double]("mean_after") == 20.0, s"level estimates: $a")
+    // argmax at the 50th point: 2024-01-01 00:00:49
+    val expectUs = Timestamp.valueOf("2024-01-01 00:00:49").getTime * 1000L
+    assert(a.getAs[Long]("change_us") == expectUs, s"change point: $a")
+    val b = r("B")
+    assert(!b.getAs[Boolean]("changed") && b.getAs[Double]("max_cusum") == 0.0,
+      s"constant series must not be flagged: $b")
+  }
+
   test("domainCap: uncapped domains keep all; caps nest (lower cap only removes)") {
     // domain A holds 80% of tokens, B 20% — cap 0.5 halves A-ish,
     // keeps B whole
