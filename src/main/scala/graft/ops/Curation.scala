@@ -710,6 +710,35 @@ object Curation {
     spine.withColumn("selected", col("log_w") >= thr)
   }
 
+  /** Temporal embargo split (sp07): train on the past, test on the
+    * future, and DROP a gap between them — the leakage guard for
+    * time-series / financial ML where labels near the boundary leak
+    * backward (a t+1 label computed from t+30 data is visible to a
+    * training row at t−1 without the embargo). The boundary is the
+    * exact `trainFrac` percentile of event time; rows inside
+    * [boundary, boundary + embargo) are 'embargo' rows the caller
+    * discards.
+    *
+    * Scale shape: one exact-percentile aggregate collapsed to a
+    * literal (psi01/pk02's pattern), then a pure scan-speed CASE —
+    * the corpus never shuffles. Use binary-exact fractions (k/2^m)
+    * for trainFrac so the interpolated boundary replays bit-for-bit
+    * across engines.
+    */
+  def embargoSplit(df: DataFrame, id: Column, ts: Column,
+                   trainFrac: Double = 0.75,
+                   embargoUs: Long = 86400000000L): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac out of (0,1): $trainFrac")
+    require(embargoUs >= 0, s"embargoUs must be non-negative: $embargoUs")
+    val base = df.select(id.as("id"), unix_micros(ts).as("us"))
+      .filter(col("us").isNotNull)
+    val tq = base.agg(percentile(col("us"), lit(trainFrac))).head.getDouble(0)
+    base.select(col("id"), col("us"),
+      when(col("us") < tq, "train")
+        .when(col("us") < tq + embargoUs, "embargo")
+        .otherwise("test").as("split"))
+  }
+
   /** Capped-domain resampling (mx04): no single domain may exceed
     * `capFrac` of the corpus' tokens — the mix-recipe step that stops
     * one mega-crawl domain from dominating training. Domains over the

@@ -643,6 +643,25 @@ object CurationOps {
                (CAST('0x' || substr(md5('domcap#' ||
                   CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
                  / 4294967296.0 <= rate AS selected
-             FROM b JOIN sh USING (domain) ORDER BY doc_id"""))
+             FROM b JOIN sh USING (domain) ORDER BY doc_id""")),
+
+    // sp07: temporal embargo split over events — train before the
+    // 0.75-quantile timestamp (binary-exact fraction, so the
+    // interpolated boundary replays bit-for-bit), a 1-day embargo
+    // band dropped, test after
+    NamedQuery("sp07_embargo_split",
+      (s, d) => Curation.embargoSplit(Tables.load(s, d, "events"),
+          col("event_id"), col("ts"), trainFrac = 0.75,
+          embargoUs = 86400000000L)
+        .withColumnRenamed("id", "event_id")
+        .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, epoch_us(ts) AS us FROM events
+                         WHERE ts IS NOT NULL),
+              q AS (SELECT quantile_cont(us, 0.75) AS tq FROM b)
+             SELECT event_id, us,
+               CASE WHEN us < tq THEN 'train'
+                    WHEN us < tq + 86400000000 THEN 'embargo'
+                    ELSE 'test' END AS split
+             FROM b, q ORDER BY event_id"""))
   )
 }
