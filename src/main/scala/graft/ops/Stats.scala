@@ -113,6 +113,38 @@ object Stats {
         round(col("u") / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Exact average precision (ev16) — the area under the
+    * precision-recall STEP function at every distinct-score
+    * threshold: AP = Σ_s (ΔTP_s / P) · (TP_s / PP_s) over thresholds
+    * descending, the same convention as the standard step-wise AP
+    * (no interpolation). The PR-curve's scalar companion to ev01's
+    * AUC: AUC ranks, AP weights the top of the ranking — the metric
+    * of record for imbalanced retrieval.
+    *
+    * Same machinery as auc: per-distinct-score counts + the bucketed
+    * prefix sum; totals fold back as literals (ksTest's pattern — no
+    * unpartitioned window). One row out: n_pos, n_neg,
+    * average_precision.
+    */
+  def averagePrecision(df: DataFrame, score: Column, label: Column,
+                       buckets: Int = 1024): DataFrame = {
+    val perScore = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(score.cast("double").as("s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(label, 0L).otherwise(1L)).as("n_neg"))
+    val t = perScore.agg(sum(col("n_pos")).as("p"), sum(col("n_neg")).as("n")).head
+    val (p, n) = (t.getLong(0), t.getLong(1))
+    require(p > 0, s"averagePrecision needs at least one positive (got $p)")
+    val cum = cumCountsByValue(perScore, "s", Seq("n_pos", "n_neg"), buckets)
+    val tp = lit(p) - col("cum_n_pos_below")
+    val pp = lit(p + n) - col("cum_n_pos_below") - col("cum_n_neg_below")
+    cum.filter(col("n_pos") > 0)
+      .agg(sum(col("n_pos").cast("double") / p *
+        (tp.cast("double") / pp)).as("__ap"))
+      .select(lit(p).as("n_pos"), lit(n).as("n_neg"),
+        (round(col("__ap"), 6) + lit(0.0)).as("average_precision"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov distance between the `value`
     * distributions of rows where `isA` vs not. Both empirical CDFs are
     * step functions jumping only at observed values, so evaluating the

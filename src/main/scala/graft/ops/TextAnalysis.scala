@@ -20,6 +20,26 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
 
+  /** Tokenizer fertility by language (tk04): subwords per whitespace
+    * word, the diagnostic that tells you which languages your
+    * pre-tokenizer fragments (fertility ≈1 for English-like text,
+    * 2–4× for scripts the regex family splits char-wise) — the number
+    * that sizes per-language token budgets before a mix is fixed.
+    * Exact integer counts, one ratio; a single partial-aggregated
+    * groupBy on the language key.
+    */
+  def fertility(df: DataFrame, lang: Column = col("lang"),
+                text: Column = col("text")): DataFrame = {
+    val base = df.select(lang.as("lang"),
+      size(tokens(text)).cast("long").as("w"),
+      bpeishCount(text).cast("long").as("sw"))
+    base.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("w")).as("n_words"),
+      sum(col("sw")).as("n_subwords"),
+      round(sum(col("sw")) / sum(col("w")).cast("double"), 6).as("fertility"))
+  }
+
   /** Token statistics: counts + average token length. */
   def tokenStats(df: DataFrame, text: Column = col("text")): DataFrame = {
     val toks = tokens(text)

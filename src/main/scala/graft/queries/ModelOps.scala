@@ -90,6 +90,33 @@ object ModelOps {
                round(sum(np * (cnb + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
              FROM c""")),
 
+    // ev16: exact average precision — the step-wise PR-curve area at
+    // distinct-score thresholds (ev01's inputs, the imbalanced-
+    // retrieval metric of record); oracle replays the descending
+    // cumulative TP / predicted-positive counts
+    NamedQuery("ev16_average_precision",
+      (s, d) => Stats.averagePrecision(Tables.load(s, d, "embeddings"),
+        element_at(col("embedding"), 1), col("label") < 5),
+      Some("""WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+                  (label < 5) AS pos FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              g AS (SELECT sc, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM s GROUP BY sc),
+              c AS (SELECT *,
+                  coalesce(sum(np) OVER (ORDER BY sc ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb,
+                  coalesce(sum(nn) OVER (ORDER BY sc ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+                FROM g),
+              t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+                    CAST(sum(nn) AS BIGINT) AS n FROM g)
+             SELECT p AS n_pos, n AS n_neg,
+               round(sum(CAST(np AS DOUBLE) / p *
+                 (CAST(p - cpb AS DOUBLE) / (p + n - cpb - cnb))), 6) + 0.0
+                 AS average_precision
+             FROM c, t WHERE np > 0 GROUP BY p, n""")),
+
     // ev02: calibration bins — explicit floor binning (replayable
     // bit-for-bit, unlike width_bucket internals), range folded back
     // as literals from one scalar aggregate

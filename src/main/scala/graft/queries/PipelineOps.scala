@@ -164,6 +164,22 @@ object PipelineOps {
              FROM ft LEFT JOIN v ON ft.tok = v.tok
              GROUP BY ft.doc_id ORDER BY ft.doc_id""")),
 
+    // tk04: tokenizer fertility by language — subwords per whitespace
+    // word, exact integers into one ratio; same pre-tokenizer regex
+    // family as tx01's n_subwords
+    NamedQuery("tk04_fertility",
+      (s, d) => TextAnalysis.fertility(docs(s, d)).orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS n_words,
+               CAST(sum(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_subwords,
+               round(sum(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+                 / CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE),
+                 6) AS fertility
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Table profiling (the post-ingest ANALYZE pass): exact row/null/
     // distinct counters for every orders column in ONE aggregate job;
     // the oracle recomputes each column's counters independently.

@@ -13,6 +13,23 @@ class ModelOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("averagePrecision: hand values incl. ties; perfect ranking = 1") {
+    // ranking [pos 0.9, neg 0.8, pos 0.7] -> AP = (1 + 2/3)/2 = 5/6
+    val df = Seq((0.9, true), (0.8, false), (0.7, true)).toDF("s", "y")
+    val r = Stats.averagePrecision(df, col("s"), col("y")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+    assert(math.abs(r.getDouble(2) - 5.0 / 6.0) < 1e-6, r.toString)
+    // tied scores fold into one threshold: [pos@.9, (pos,neg)@.5]
+    // -> thresholds: TP=1/PP=1 then TP=2/PP=3: AP = (1/2)(1) + (1/2)(2/3) = 5/6
+    val tied = Seq((0.9, true), (0.5, true), (0.5, false)).toDF("s", "y")
+    val rt = Stats.averagePrecision(tied, col("s"), col("y")).collect().head
+    assert(math.abs(rt.getDouble(2) - 5.0 / 6.0) < 1e-6, rt.toString)
+    // perfect separation
+    val perfect = Seq((0.9, true), (0.8, true), (0.1, false)).toDF("s", "y")
+    assert(Stats.averagePrecision(perfect, col("s"), col("y"))
+      .collect().head.getDouble(2) == 1.0)
+  }
+
   test("weightedMedian under heavy ties: equals naive over seeded frames, collapsed or not") {
     // mad01's chain-2 feeds cumWeights a NON-collapsed frame and
     // relies on the crossing VALUE being tie-order-invariant; pin
