@@ -2670,6 +2670,80 @@ object PipelineOps {
              SELECT doc_id, lang FROM documents
              WHERE doc_id IN (SELECT doc_id FROM kept) ORDER BY doc_id""")),
 
+    // st09: streaming one-sided CUSUM drift monitor — a REAL
+    // StreamingQuery over three time-ordered file batches; constant
+    // state per key (the max(0,·) recursion unrolled to prefix −
+    // running-min), final snapshot vs the batch window replay. The
+    // oracle's drift term mirrors the engine's float association
+    // ((v − μ0) − slack), not the folded constant.
+    NamedQuery("st09_cusum_monitor",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val ev = Tables.load(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type").as("k"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("tb"), col("value").cast("double").as("v"))
+        val cuts = ev.agg(percentile(col("us"), lit(0.25)).as("c1"),
+          percentile(col("us"), lit(0.5)).as("c2")).head
+        val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+        val tmp = java.nio.file.Files.createTempDirectory("st09").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(
+          ("b0", col("us") <= c1),
+          ("b1", col("us") > c1 && col("us") <= c2),
+          ("b2", col("us") > c2)).zipWithIndex.foreach {
+          case ((nm, pred), i) =>
+            val stage = s"$tmp/stage_$nm"
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(src, s"$nm.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .as[graft.streaming.EventStream.CusumEvent]
+        val out = s"$tmp/out"
+        val q = graft.streaming.EventStream
+          .cusumMonitor(stream, mu0 = 49.5, slack = 0.5, h = 500.0)
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStream.CusumSnap],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$tmp/ck").start()
+        q.processAllAvailable(); q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("n").desc)
+        s.read.parquet(out)
+          .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(col("k"), col("n"),
+            (round(col("s_plus"), 6) + lit(0.0)).as("s_plus"),
+            (round(col("max_s"), 6) + lit(0.0)).as("max_s"),
+            col("alerted"), col("first_alert_us"))
+          .orderBy("k")
+      },
+      Some("""WITH b AS (SELECT event_type AS k, epoch_us(ts) AS us,
+                  event_id AS tb, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+              o AS (SELECT k, us, tb,
+                  sum(v - 49.5 - 0.5) OVER win AS p,
+                  row_number() OVER (PARTITION BY k ORDER BY us, tb) AS i,
+                  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+                FROM b WINDOW win AS (PARTITION BY k ORDER BY us, tb
+                  ROWS UNBOUNDED PRECEDING)),
+              s2 AS (SELECT *, p - least(min(p) OVER (PARTITION BY k
+                  ORDER BY us, tb ROWS UNBOUNDED PRECEDING), 0.0) AS su
+                FROM o)
+             SELECT k, n,
+               round(max(CASE WHEN i = n THEN su END), 6) + 0.0 AS s_plus,
+               round(max(su), 6) + 0.0 AS max_s,
+               coalesce(bool_or(su > 500.0), false) AS alerted,
+               CAST(coalesce(min(CASE WHEN su > 500.0 THEN us END), -1)
+                 AS BIGINT) AS first_alert_us
+             FROM s2 GROUP BY k, n ORDER BY k""")),
+
     // HOPPING (sliding) windows: 2-hour windows advancing hourly —
     // every event lands in exactly two. Spark's window(slide) TVF vs
     // an explicit two-start unnest in the oracle.

@@ -96,6 +96,57 @@ object EventStream {
       })
   }
 
+  // ---------------- streaming CUSUM drift monitor ----------------
+
+  final case class CusumEvent(k: String, us: Long, tb: Long, v: Double)
+  final case class CusumState(p: Double, minP: Double, maxS: Double,
+                              n: Long, alertUs: Long)
+  final case class CusumSnap(k: String, n: Long, s_plus: Double,
+                             max_s: Double, alerted: Boolean, first_alert_us: Long)
+
+  /** Streaming one-sided CUSUM drift monitor (st09, Page's sequential
+    * test): per key, s⁺_i = max(0, s⁺_{i-1} + (v_i − μ0 − slack)),
+    * alert when s⁺ clears `h` — the online sibling of ts06's offline
+    * changepoint. State per key is FOUR doubles + two longs,
+    * regardless of stream length, because the max(0,·) recursion
+    * unrolls to s⁺_i = P_i − min(0, min_{j≤i} P_j) over the prefix
+    * sums P of (v − μ0 − slack): the monitor carries (P, minP, maxS)
+    * and never a window of values. Each micro-batch's per-key slice
+    * is sorted by (us, tb) in memory (the sessionize convention), so
+    * the accumulation order equals the batch oracle's ordered window
+    * and the doubles replay bit-for-bit. Emits the per-key snapshot
+    * every batch (Update mode) — a monitor's natural output; the
+    * final snapshot per key equals the batch replay over all data.
+    */
+  def cusumMonitor(events: Dataset[CusumEvent], mu0: Double,
+                   slack: Double, h: Double): Dataset[CusumSnap] = {
+    import events.sparkSession.implicits._
+    require(h > 0, s"h must be positive: $h")
+    events.groupByKey(_.k).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      (key: String, it: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+        val evs = it.toArray.sortBy(e => (e.us, e.tb))
+        var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0.0, 0L, -1L))
+        evs.foreach { e =>
+          val p = st.p + (e.v - mu0 - slack)
+          // minP starts at 0.0 (= P_0) and only decreases, so it IS
+          // min over 0 ≤ j ≤ i of P_j — the identity's denominator
+          val minP = math.min(st.minP, p)
+          val sNow = p - minP
+          val maxS = math.max(st.maxS, sNow)
+          val alertUs =
+            if (st.alertUs >= 0) st.alertUs
+            else if (sNow > h) e.us else -1L
+          st = CusumState(p, minP, maxS, st.n + 1, alertUs)
+        }
+        if (evs.nonEmpty) {
+          state.update(st)
+          Iterator.single(CusumSnap(key, st.n,
+            st.p - st.minP, st.maxS, st.alertUs >= 0, st.alertUs))
+        } else Iterator.empty
+      })
+  }
+
   /** Batch form of the same sessionization (the st02 gate): session
     * boundary where the per-user time since the previous event exceeds
     * the gap; session id = running count of boundaries. Tied
