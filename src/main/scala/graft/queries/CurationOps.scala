@@ -662,6 +662,59 @@ object CurationOps {
                CASE WHEN us < tq THEN 'train'
                     WHEN us < tq + 86400000000 THEN 'embargo'
                     ELSE 'test' END AS split
-             FROM b, q ORDER BY event_id"""))
+             FROM b, q ORDER BY event_id""")),
+
+    // pp04: the round-11 selection pipeline end-to-end — domain cap
+    // (5% token share) → token-budget greedy selection (distinct-token
+    // density) → per-language doc/token counts. Every stage is an
+    // independently-gated operator (mx04, bs01); the oracle chains
+    // their proven SQL fragments, so a pass certifies the COMPOSITION
+    // (column contracts, determinism through two md5 draws and two
+    // prefix sums) rather than any new math.
+    NamedQuery("pp04_selection_pipeline",
+      (s, d) => {
+        val f = graft.ops.TextAnalysis.tokenStats(docs(s, d))
+          .join(docs(s, d).select(col("doc_id"), col("lang"), col("source")),
+            "doc_id")
+        val keptIds = Curation.domainCap(f, col("doc_id"), col("source"),
+            col("n_tokens"), capFrac = 0.05)
+          .filter(col("selected")).select(col("id").as("doc_id"))
+        val sel = Curation.budgetSelect(f.join(keptIds, "doc_id"),
+            col("doc_id"), col("n_tokens"),
+            col("n_distinct").cast("double"), budgetTokens = 8000L)
+          .filter(col("selected"))
+          .select(col("id").as("doc_id"), col("n_tokens"))
+        sel.join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (SELECT doc_id, source AS domain, lang,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+                  CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                    AS DOUBLE) AS dst
+                FROM documents),
+              t AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM f),
+              r AS (SELECT domain, CAST(sum(tok) AS BIGINT) AS dt
+                    FROM f GROUP BY 1),
+              sh AS (SELECT domain,
+                     least(1.0, 0.05 / (dt / CAST(tot AS DOUBLE))) AS rate
+                     FROM r, t),
+              capped AS (SELECT f.* FROM f JOIN sh USING (domain)
+                WHERE (CAST('0x' || substr(md5('domcap#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                  / 4294967296.0 <= rate),
+              dens AS (SELECT doc_id, lang, tok, dst / tok AS dens
+                       FROM capped WHERE tok > 0),
+              c AS (SELECT *, CAST(coalesce(sum(tok) OVER (
+                      ORDER BY dens DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+                    FROM dens),
+              sel AS (SELECT * FROM c WHERE cum_before + tok <= 8000)
+             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens
+             FROM sel GROUP BY lang ORDER BY lang"""))
   )
 }
