@@ -713,6 +713,88 @@ object ScaleCheck {
     }
   }
 
+  /** Round-11b probes: the new-operator family at synthetic scale —
+    * nv01's gram-keyed join (nothing broadcast), ts06's many-series
+    * ordered windows, and st09's stateful streaming throughput.
+    */
+  private def r11bScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // nv01 shape: n docs × ~18 word-3-grams each; base = 20% of ids.
+    // Vocabulary 50k words → heavy gram collisions, a real join load
+    for (m <- Seq(1, 4)) {
+      val n = 250000L * m
+      val mkText = expr(
+        "concat_ws(' ', transform(sequence(0, 19), " +
+          "j -> concat('w', (id * 31 + j * 7919) % 50021)))")
+      val all = spark.range(n).select(col("id").as("doc_id"),
+        mkText.as("text"))
+      time(s"nv01 x$m docs=$n")(graft.ops.Curation.ngramNovelty(
+        all.filter(col("doc_id") % 5 =!= 0),
+        all.filter(col("doc_id") % 5 === 0), n = 3).count())
+    }
+    // ts06: 10k series × 1k points (×4: × 4k points) — series-keyed
+    // window parallelism with five window columns on one exchange
+    for (m <- Seq(1, 4)) {
+      val pts = 1000L * m
+      val n = 10000L * pts
+      val df = spark.range(n).select(
+        (col("id") % 10000L).cast("string").as("k"),
+        timestamp_micros(col("id") * 1000L).as("ts"),
+        col("id").as("tb"),
+        ((col("id") * 7919) % 997).cast("double").as("v"))
+      time(s"ts06 x$m rows=$n")(graft.ops.Analytics.cusumChangepoint(
+        df, col("k"), col("ts"), col("tb"), col("v")).count())
+    }
+    // st09 streaming throughput: rate source → cusumMonitor → noop,
+    // steady-state listener window (the r10 probe's protocol)
+    {
+      import spark.implicits._
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000000).option("numPartitions", 8).load()
+        .select((col("value") % 1000).cast("string").as("k"),
+          col("value").as("us"), col("value").as("tb"),
+          (col("value") % 97).cast("double").as("v"))
+        .as[graft.streaming.EventStream.CusumEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st09-probe")
+      val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var counting = false
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (counting) rowsSeen.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val q = graft.streaming.EventStream
+        .cusumMonitor(rate, mu0 = 48.0, slack = 0.5, h = 1e7)
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        Thread.sleep(5000)
+        counting = true
+        val t0 = System.nanoTime()
+        Thread.sleep(10000)
+        counting = false
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop(); q.awaitTermination()
+        val rows = rowsSeen.get()
+        println(f"[scale] st09 streaming cusum rows=$rows%d sec=$secs%.1f rate=${rows / secs / 1e6}%.2f M rows/s (steady-state)")
+      } finally {
+        spark.streams.removeListener(listener)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      }
+    }
+  }
+
   /** Late session-5 probes: post-fix linkage scale, Bloom
     * decontamination growth, KMV overlap over large key sets.
     */
@@ -929,6 +1011,11 @@ object ScaleCheck {
     }
     if (path == "r11") {
       r11Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r11b") {
+      r11bScale(spark)
       spark.stop()
       return
     }
