@@ -711,6 +711,33 @@ object Dedup {
         col("total_chars"), col("chars_dropped"))
   }
 
+  /** Cross-source duplication matrix (dd15): near-dup PAIR counts by
+    * unordered source pair — the corpus-forensics readout ("src13
+    * mirrors src4"; "most dups are WITHIN one crawl") that decides
+    * whether to drop a whole source versus dedup row-by-row. Consumes
+    * any pair frame with (id_a, id_b) — ngramJaccard, simhashPairs —
+    * plus the docs' source column.
+    *
+    * Scale shape: two id-keyed join-backs of the (tiny relative to the
+    * corpus) pair frame, then an aggregate on the source-pair key;
+    * least/greatest canonicalizes the unordered pair so A→B and B→A
+    * counts fold together.
+    */
+  def crossSourceDups(docs: DataFrame, pairs: DataFrame,
+                      source: Column = col("source")): DataFrame = {
+    val s = docs.select(col("doc_id").cast("long").as("doc_id"),
+      source.as("__src"))
+    pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(s.select(col("doc_id").as("id_a"), col("__src").as("sa")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("__src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
   /** Quality-aware canonical-copy selection (dd12) — given duplicate
     * GROUPS (an exact content hash, a dd06/sd02 cluster id, or any
     * coarse key), keep the single best row per group: highest `score`,

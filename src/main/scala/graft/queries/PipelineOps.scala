@@ -1144,6 +1144,37 @@ object PipelineOps {
               WHERE inter / (sz_a + sz_b - inter) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // dd15: cross-source duplication matrix — dd04's near-dup pairs
+    // rolled up by unordered source pair (corpus forensics: which
+    // crawls mirror which); oracle = dd04's pair CTE + two joins
+    NamedQuery("dd15_cross_source_dups",
+      (s, d) => {
+        val dcs = docs(s, d)
+        Dedup.crossSourceDups(dcs, Dedup.ngramJaccard(dcs))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sets AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+              keyed AS (SELECT doc_id, len(sh) AS sz,
+                          substr(md5(list_sort(sh)[1]), 1, 8) AS block, sh FROM sets),
+              ex0 AS (SELECT doc_id, sz, block, unnest(sh) AS g FROM keyed),
+              ex AS (SELECT doc_id, sz, block, g FROM
+                       (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM ex0)
+                     WHERE df <= 1000),
+              inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.block = y.block AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2, 3, 4),
+              p AS (SELECT id_a, id_b FROM inter
+                    WHERE inter / (sz_a + sz_b - inter) >= 0.5),
+              sp AS (SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b
+                     FROM p JOIN documents da ON da.doc_id = p.id_a
+                            JOIN documents db ON db.doc_id = p.id_b)
+             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               source_a <> source_b AS cross_source
+             FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
     // embedding-cosine near-dup pairs, LSH-blocked; bits auto-derived
     // from corpus size (bitsFor(500) = 4 here, more at scale), 2 hash
     // tables for recall. Oracle reproduces the md5-derived hyperplanes
