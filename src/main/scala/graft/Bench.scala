@@ -124,6 +124,13 @@ object Bench {
       }.toMap
       (times, failed.toSet)
     }
+    // load BEFORE the first pass: the end-of-run sample largely
+    // reflects the bench's own final-pass parallelism (~9 after a
+    // 32-thread pass even on an idle host); the start sample is the
+    // one that actually captures external interference
+    val load1mStart: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0)
+      catch { case _: Throwable => "-1" }
     val (cold, coldFailed) = runPass()
     val (results, warmFailed) = runPass()
     // Per-query best-of-passes over SUCCESSFUL passes only (r9: dd08
@@ -222,7 +229,7 @@ object Bench {
       gcBeans.forEach(b => ns += b.getName)
       ns.mkString("+").replace("\"", "")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm) — immune to one-pass host interference; full warm/cold/min dicts on the detail line; vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm) — immune to one-pass host interference; full warm/cold/min dicts on the detail line; vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }
