@@ -635,6 +635,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(3L) > 0.0 && r(3L) < 1.0, s"remix must be strictly between: ${r(3L)}")
   }
 
+  test("st09 unroll identity: prefix - running-min equals the max(0,.) recursion, any batch split") {
+    // the streaming monitor's constant-state claim rests on
+    // s_i = P_i - min(0, min_j P_j) == the sequential recursion
+    // s_i = max(0, s_{i-1} + d_i); pin it numerically over seeded
+    // drift sequences, and pin that BATCH BOUNDARIES don't matter
+    // (the state fold is associative with the identity's carry)
+    for (seed <- 1 to 10) {
+      val ds = (1 to 500).map(i =>
+        math.sin(i * seed * 0.7) * 10 + ((i * seed) % 7) - 3.0)
+      // direct recursion
+      val rec = ds.scanLeft(0.0)((s, d) => math.max(0.0, s + d)).drop(1)
+      // identity fold, split into 3 arbitrary "batches" carrying
+      // (p, minP) exactly like CusumState
+      var p = 0.0; var minP = 0.0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      ds.grouped(137).foreach { batch =>
+        batch.foreach { d =>
+          p += d; minP = math.min(minP, p); out += p - minP
+        }
+      }
+      rec.zip(out).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+          s"seed=$seed i=$i rec=$a identity=$b")
+      }
+    }
+  }
+
   test("cusumChangepoint: planted level shift found at the boundary; flat series not flagged") {
     import java.sql.Timestamp
     // series A: 50 points at 10.0 then 50 at 20.0 — the |CUSUM| peak
