@@ -69,7 +69,10 @@ object Verify {
       // unpersistable operator caches, flat()'s localCheckpoints):
       // 296 sequential gates in one JVM otherwise accumulate them and
       // starve later gates' execution memory (Bench has the same
-      // hygiene, with the rationale)
+      // hygiene, with the rationale). clearCache first so the
+      // CacheManager entry dies with its blocks — a stale entry makes
+      // the next identical .persist() a silent no-op (r11 ADVICE).
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -753,10 +753,11 @@ object Curation {
     * input row with (dom_share, samp_rate, selected).
     */
   def domainCap(df: DataFrame, id: Column, domain: Column, tokens: Column,
-                capFrac: Double, seed: String = "domcap"): DataFrame = {
+                capFrac: Double, seed: String = "domcap",
+                keep: Seq[Column] = Nil): DataFrame = {
     require(capFrac > 0 && capFrac <= 1, s"capFrac out of (0,1]: $capFrac")
-    val base = df.select(id.as("id"), domain.as("domain"),
-      tokens.cast("long").as("tok"))
+    val base = df.select(Seq(id.as("id"), domain.as("domain"),
+      tokens.cast("long").as("tok")) ++ keep: _*)
     val tot = base.agg(sum(col("tok"))).head.getLong(0)
     require(tot > 0, "domainCap: corpus has no tokens")
     val dom = base.groupBy(col("domain")).agg(sum(col("tok")).as("dt"))
@@ -766,11 +767,16 @@ object Curation {
     val u = (conv(substring(md5(concat_ws("#", lit(seed),
         col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1) /
       lit(4294967296.0)
+    // `keep` columns ride the broadcast join through to the output —
+    // downstream stages (pp04's budgetSelect) read them off this frame
+    // instead of semi-joining kept ids back to the stats frame
+    val keepNames = base.columns.drop(3)
     base.join(broadcast(dom), "domain")
-      .select(col("id"), col("domain"), col("tok"),
+      .select(Seq(col("id"), col("domain"), col("tok")) ++
+        keepNames.map(col) ++ Seq(
         Portability.zround(col("share"), 6).as("dom_share"),
         Portability.zround(col("rate"), 6).as("samp_rate"),
-        (u <= col("rate")).as("selected"))
+        (u <= col("rate")).as("selected")): _*)
   }
 
   /** Per-document n-gram novelty (nv01): for each candidate document,
@@ -778,7 +784,11 @@ object Curation {
     * corpus — the freshness score data-selection pipelines rank by
     * when a new crawl lands (near-zero novelty = the crawl re-fetched
     * what the corpus already has; dedup will catch exact copies, this
-    * catches remixes earlier and per-doc).
+    * catches remixes earlier and per-doc). "Distinct" is delivered by
+    * `shingles` itself — its contract is per-doc array_distinct,
+    * first-occurrence order — so a doc repeating one known gram many
+    * times counts it once (the r11 ADVICE reading that occurrences
+    * were counted missed that contract; pinned by spec).
     *
     * Scale shape: unlike dc01's broadcast (eval sets are tiny), the
     * base corpus is as big as the candidate side — both sides shuffle
@@ -788,12 +798,13 @@ object Curation {
     * grams before the shuffle; this exact form is the gate.
     */
   def ngramNovelty(newDocs: DataFrame, base: DataFrame, n: Int = 13,
-                   text: Column = col("text")): DataFrame = {
+                   text: Column = col("text"),
+                   id: Column = col("doc_id")): DataFrame = {
     registerOn(newDocs)
     val baseGrams = base
       .select(explode(graft.functions.TextFunctions.shingles(text, n)).as("g"))
       .distinct()
-    val ng = newDocs.select(col("doc_id"), explode(
+    val ng = newDocs.select(id.as("doc_id"), explode(
       graft.functions.TextFunctions.shingles(text, n)).as("g"))
     val seen = ng.join(baseGrams, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
@@ -813,32 +824,39 @@ object Curation {
     * the order replays bit-for-bit across engines.
     *
     * Scale shape: the running total is NEVER a global ordered window.
-    * Two bucketed prefix sums compose it — `Stats.cumCountsByValue`
-    * over the density values (tokens of strictly-denser rows), plus
-    * `Profile.cumWeights` grouped BY density value for the id-ordered
-    * within-tie prefix — so the plan stays parallel at any corpus
-    * size (the whole-tie window trap only bites if billions of rows
-    * share one exact density; at that point the caller should thicken
-    * the score). Output: one row per input row (id, n_tokens,
-    * density, cum_before_tokens, selected).
+    * `Stats.cumCountsByValue` prefix-sums the tokens of strictly-
+    * denser rows over the bucketed density values; the id-ordered
+    * within-TIE prefix is a window partitioned on the density value
+    * itself, so its sort is bounded by the largest tie group — rows
+    * sharing one exact IEEE density — not the corpus. (If billions of
+    * rows shared one density that window would serialize; thicken the
+    * score at that point. The r12 A/B replaced the bucketed
+    * `Profile.cumWeights` within-tie chain — 4 exchanges + 2 joins for
+    * a defense only that pathology needs — with this one exchange:
+    * bs01 3.06 → measured below, identical output.) Rows with a NULL
+    * score are dropped like tok<=0 rows: a null density would
+    * otherwise become a null join key and vanish silently (r11
+    * ADVICE); callers who need them must score them first.
+    * Output: one row per input row (id, n_tokens, density,
+    * cum_before_tokens, selected).
     */
   def budgetSelect(df: DataFrame, id: Column, tokens: Column, score: Column,
                    budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     val base = df.select(id.as("id"), tokens.cast("long").as("tok"),
         score.cast("double").as("sc"))
-      .filter(col("tok") > 0)
+      .filter(col("tok") > 0 && col("sc").isNotNull)
       // negated density: ascending key order == descending density,
       // which is what both prefix primitives consume
       .withColumn("nk", -(col("sc") / col("tok")))
     val perVal = base.groupBy(col("nk")).agg(sum(col("tok")).as("vtok"))
     val cumVal = graft.ops.Stats.cumCountsByValue(perVal, "nk", Seq("vtok"))
       .select(col("nk"), col("cum_vtok_below"))
-    val within = graft.ops.Profile.cumWeights(base.select(col("nk").as("g"),
-        col("id").as("v"), col("tok").cast("double").as("w")))
-      .select(col("g").as("nk"), col("v").as("id"),
-        col("cumw").cast("long").as("__cw"))
-    base.join(cumVal, "nk").join(within, Seq("nk", "id"))
+    val wTie = Window.partitionBy(col("nk")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(cumVal, "nk")
+      .withColumn("__cw", sum(col("tok")).over(wTie))
       .select(col("id"), col("tok").as("n_tokens"),
         Portability.zround(-col("nk"), 6).as("density"),
         (col("cum_vtok_below") + col("__cw") - col("tok"))

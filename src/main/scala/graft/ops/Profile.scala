@@ -380,12 +380,19 @@ object Profile {
     // via their own session hygiene.
     val c1 = cumWeights(perValue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = c1.filter(col("cumw") * 2 >= col("totw"))
-      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    // ONE aggregate over the cached frame yields the median AND the
+    // bucketing bounds chain #2 needs (r12): adev = |v − med| is >= 0
+    // (lo pins to 0) and <= max(max(v)−med, med−min(v)) — the exact
+    // per-group hi — so chain #2 skips its own range aggregate + join
+    // over the deviation frame (cumWeightsRanged below).
+    val stats = c1.groupBy(col("g")).agg(
+      min(when(col("cumw") * 2 >= col("totw"), col("v"))).as("med"),
+      min(col("v")).cast("double").as("__mn"),
+      max(col("v")).cast("double").as("__mx"))
     // dev is derived from cached blocks + a group-cardinality join —
     // cheap enough to recompute for each of its two consumers, so no
     // second materialization
-    val dev = c1.select(col("g"), col("v"), col("w")).join(med, "g")
+    val dev = c1.select(col("g"), col("v"), col("w")).join(stats, "g")
       .withColumn("adev", abs(col("v") - col("med")))
     // NO re-group on adev before chain #2: cumWeights tolerates tied
     // values for median selection — the running cum reaches each tie
@@ -393,15 +400,27 @@ object Profile {
     // cumulative weight crosses half is tie-order-invariant, and
     // min(v) over crossing rows reads exactly that value. Skipping
     // the collapse saves a full shuffle over the deviation frame.
-    val mad = cumWeights(dev.select(col("g"), col("adev").as("v"), col("w")))
+    val mad = cumWeightsRanged(dev.select(col("g"), col("adev").as("v"),
+        col("w"), lit(0.0).as("__lo"),
+        greatest(col("__mx") - col("med"), col("med") - col("__mn"))
+          .cast("double").as("__hi")))
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy(col("g")).agg(min(col("v")).as("mad"))
-    dev.join(mad, "g")
+    // eager-materialize the group-cardinality answer so the cached
+    // value-cardinality frame can be dropped HERE — Dataset.persist
+    // otherwise holds a strong CacheManager reference for the session
+    // (r11 ADVICE: a long-lived caller leaked one cached frame per
+    // call). localCheckpoint blocks die with the RDD via the
+    // ContextCleaner instead.
+    val out = dev.join(mad, "g")
       .groupBy(col("g"))
       .agg(sum(col("w")).cast("long").as("n"), first(col("med")).as("med"),
         first(col("mad")).as("mad"),
         sum(when(col("adev") > lit(k * 1.4826) * col("mad"), col("w"))
           .otherwise(0.0)).cast("long").as("n_outliers"))
+      .localCheckpoint(true)
+    c1.unpersist(false)
+    out
   }
 
   /** Population Stability Index (psi01): distribution drift of a
@@ -514,11 +533,23 @@ object Profile {
     */
   private[ops] def cumWeights(perValue: DataFrame,
                               buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rng = perValue.groupBy(col("g")).agg(
       min(col("v")).cast("double").as("__lo"),
       max(col("v")).cast("double").as("__hi"))
-    val bkt = perValue.join(rng, "g").withColumn("__bkt",
+    cumWeightsRanged(perValue.join(rng, "g"), buckets)
+  }
+
+  /** cumWeights body for inputs already carrying per-group `__lo` /
+    * `__hi` bucketing bounds. The bounds need only COVER each group's
+    * [min(v), max(v)] — a loose lower bound just leaves leading
+    * buckets empty. madOutliers derives chain #2's bounds from chain
+    * #1's cached frame and skips a fresh range aggregate + join over
+    * the deviation frame.
+    */
+  private[ops] def cumWeightsRanged(withRange: DataFrame,
+                                    buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bkt = withRange.withColumn("__bkt",
       when(col("__lo") === col("__hi"), lit(1L)).otherwise(
         least(width_bucket(col("v").cast("double"), col("__lo"), col("__hi"),
           lit(buckets)), lit(buckets.toLong))))

@@ -40,18 +40,23 @@ object TextAnalysis {
       round(sum(col("sw")) / sum(col("w")).cast("double"), 6).as("fertility"))
   }
 
-  /** Token statistics: counts + average token length. */
-  def tokenStats(df: DataFrame, text: Column = col("text")): DataFrame = {
+  /** Token statistics: counts + average token length. `keep` columns
+    * pass through the projection — callers composing stats with
+    * corpus metadata (pp04's lang/source) ride one scan instead of a
+    * doc_id self-join.
+    */
+  def tokenStats(df: DataFrame, text: Column = col("text"),
+                 keep: Seq[Column] = Nil): DataFrame = {
     val toks = tokens(text)
     df.select(
-      col("doc_id"),
+      (col("doc_id") +: keep) ++ Seq(
       size(toks).cast("int").as("n_tokens"),
       size(array_distinct(toks)).cast("int").as("n_distinct"),
       bpeishCount(text).cast("int").as("n_subwords"),
       length(text).cast("int").as("n_chars"),
       round(
         aggregate(transform(toks, t => length(t).cast("double")),
-          lit(0.0), (acc, x) => acc + x) / size(toks), 4).as("avg_token_len"))
+          lit(0.0), (acc, x) => acc + x) / size(toks), 4).as("avg_token_len")): _*)
   }
 
   /** Quality-scoring heuristics: length, punctuation ratio, stopword
@@ -345,7 +350,7 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, numMerges: Int,
                text: Column = col("text")): Seq[(Int, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
-    val sep = " " // cannot appear in split-derived symbols
+    val sep = "\u0000" // cannot appear in split-derived symbols
     var vocab = df.select(explode(split(text, "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

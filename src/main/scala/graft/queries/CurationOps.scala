@@ -673,22 +673,41 @@ object CurationOps {
     // prefix sums) rather than any new math.
     NamedQuery("pp04_selection_pipeline",
       (s, d) => {
-        val f = graft.ops.TextAnalysis.tokenStats(docs(s, d))
-          .join(docs(s, d).select(col("doc_id"), col("lang"), col("source")),
-            "doc_id")
-        val keptIds = Curation.domainCap(f, col("doc_id"), col("source"),
-            col("n_tokens"), capFrac = 0.05)
-          .filter(col("selected")).select(col("id").as("doc_id"))
-        val sel = Curation.budgetSelect(f.join(keptIds, "doc_id"),
-            col("doc_id"), col("n_tokens"),
+        // one tokenize pass, persisted: r11 shipped this gate as
+        // tokenStats SELF-JOINED back to docs with no persist — every
+        // downstream action re-tokenized the whole corpus (~4 redundant
+        // full scans at 100 TB; the suite's slowest query at 4.68 s for
+        // a 5-row answer). Now lang/source ride tokenStats' projection
+        // (keep=), the kept ids ride domainCap's output (keep=), and
+        // the two stage frames are cached across their consumers.
+        val f = graft.ops.TextAnalysis.tokenStats(docs(s, d),
+            keep = Seq(col("lang"), col("source")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // budgetSelect consumes its input 3× (per-density aggregate,
+        // within-tie prefix window, final join-back) — cache the capped
+        // frame so each consumer reads blocks, not the domain-cap join
+        val capped = Curation.domainCap(f, col("doc_id"), col("source"),
+            col("n_tokens"), capFrac = 0.05,
+            keep = Seq(col("lang"), col("n_distinct")))
+          .filter(col("selected"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sel = Curation.budgetSelect(capped,
+            col("id"), col("tok"),
             col("n_distinct").cast("double"), budgetTokens = 8000L)
           .filter(col("selected"))
-          .select(col("id").as("doc_id"), col("n_tokens"))
-        sel.join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("id"), col("n_tokens"))
+        val out = sel
+          .join(capped.select(col("id"), col("lang")), "id")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"))
           .orderBy("lang")
+          // eager-materialize the 5-row answer so the caches can be
+          // dropped HERE, not left to session-wide block hygiene
+          .localCheckpoint(true)
+        capped.unpersist(false)
+        f.unpersist(false)
+        out
       },
       Some("""WITH f AS (SELECT doc_id, source AS domain, lang,
                   CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,

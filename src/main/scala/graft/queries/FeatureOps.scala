@@ -607,8 +607,12 @@ object FeatureOps {
             .otherwise(col("value")))
         val rep = Features.imputeMedian(ev, col("v"), col("user_id"),
           col("event_id"))
+        // base feeds targetEncode, lagFeatures AND the final join-back
+        // — unpersisted, each consumer rebuilds the impute chain
+        // (pp04's rebuilt-lineage pattern, swept in r12)
         val base = ev.select(col("event_id").as("id"), col("ts"))
           .join(rep, "id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // gate-side 4-dec re-quantize, floor-based like the op's own
         // 6-dec step: the imputed medians put real binary-exact
         // quotient boundaries at the 5th-7th decimals, where round()'s
@@ -622,11 +626,14 @@ object FeatureOps {
             col("id"), col("v_imputed"))
           .select(col("id"), round(col("lag1"), 4).as("lag1"),
             round(col("roll_mean"), 4).as("roll_mean"), col("roll_n"))
-        base.join(enc, "id").join(lags, "id")
+        val out = base.join(enc, "id").join(lags, "id")
           .select(col("id"), col("grp"), col("was_null"),
             round(col("v_imputed"), 4).as("v_imputed"), col("enc"),
             col("lag1"), col("roll_mean"), col("roll_n"))
           .orderBy("id")
+          .localCheckpoint(true)
+        base.unpersist(false)
+        out
       },
       Some("""WITH e AS (SELECT event_id, user_id, ts,
                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v

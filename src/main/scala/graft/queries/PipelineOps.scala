@@ -62,7 +62,7 @@ object PipelineOps {
       Some(s"""SELECT doc_id,
               CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
               CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INT) AS n_distinct,
-              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subwords,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS INT) AS n_subwords,
               CAST(length(text) AS INT) AS n_chars,
               round(list_sum(list_transform(string_split_regex(text, '\\s+'), t -> CAST(length(t) AS DOUBLE)))
                     / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len
@@ -80,7 +80,7 @@ object PipelineOps {
                CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tok,
                CAST(len(list_filter(string_split_regex(text, '\s+'),
                  t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
-               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct_cnt,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) AS punct_cnt,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
                  / len(string_split_regex(text, '\s+')) AS distinct_ratio,
@@ -173,9 +173,9 @@ object PipelineOps {
                CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
                  AS n_words,
                CAST(sum(len(regexp_extract_all(text,
-                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_subwords,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]'))) AS BIGINT) AS n_subwords,
                round(sum(len(regexp_extract_all(text,
-                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]')))
                  / CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE),
                  6) AS fertility
              FROM documents GROUP BY lang ORDER BY lang""")),
