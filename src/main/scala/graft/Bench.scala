@@ -140,8 +140,25 @@ object Bench {
     val load1mStart: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0)
       catch { case _: Throwable => "-1" }
+    // CPU calibration probe: one fixed codegen'd range-sum stage, run
+    // at every pass boundary. External load inflates the probe the
+    // same way it inflates the queries, but the probe has a KNOWN
+    // clean cost (its own session minimum) — so "a probe adjacent to
+    // a pass read >2x the best probe" is direct evidence that pass
+    // was interfered with, even when the episode covers the whole
+    // warm pass and the warm/min ratio can't see it (cold absorbs
+    // JVM/codegen warm-up, so min-of-passes ≈ warm structurally).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // throwaway: pays the probe's own codegen compile
+    val probes = scala.collection.mutable.ArrayBuffer[Double](probe())
     val (cold, coldFailed) = runPass()
+    probes += probe()
     val (results, warmFailed) = runPass()
+    probes += probe()
     // Per-query best-of-passes over SUCCESSFUL passes only (r9: dd08
     // read 8.2 s in the driver artifact at host load 12.4 with a solo
     // re-bench at 1.7 s — one loaded pass must not fake a regression,
@@ -197,16 +214,21 @@ object Bench {
     while (adaptive < 2 && !adaptiveDone) {
       val suspects = warmQ.keys.filter(k =>
         minQ.get(k).exists(mn => mn > 0 && warmQ(k) > 2 * mn)).toSet
-      val matchedSuspect = matchedOf(warmQ) > 1.5 * matchedOf(minQ)
+      // the last two probes bracket the most recent full-set pass
+      // (warm on iteration 1, the previous adaptive pass after that)
+      val probeHot = probes.takeRight(2).exists(_ > 1.5 * probes.min)
+      val matchedSuspect =
+        matchedOf(warmQ) > 1.5 * matchedOf(minQ) || probeHot
       val rerun = (if (matchedSuspect) baselineSet else Set.empty[String]) ++
         suspects
       val subset = headline.filter(q => rerun.contains(q._1))
       if (subset.isEmpty) adaptiveDone = true
       else {
         adaptive += 1
-        adaptiveLog +=
-          s"pass${2 + adaptive}: n=${subset.size} matchedTrip=$matchedSuspect"
+        adaptiveLog += s"pass${2 + adaptive}: n=${subset.size} " +
+          s"matchedTrip=$matchedSuspect probeHot=$probeHot"
         val (p, pFailed) = runPass(subset)
+        probes += probe()
         for ((k, v) <- p if !pFailed(k)) {
           warmQ = warmQ.updated(k, math.min(warmQ.getOrElse(k, v), v))
           minQ = minQ.updated(k, math.min(minQ.getOrElse(k, v), v))
@@ -292,7 +314,8 @@ object Bench {
       ns.mkString("+").replace("\"", "")
     }
     val adaptJson = adaptiveLog.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = one timing pass over the non-headline flow gates (drift detection only); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    val probeJson = probes.map(f2).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = one timing pass over the non-headline flow gates (drift detection only); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -694,8 +694,18 @@ object Dedup {
     * map-side, and the size frame is histogram-cardinality.
     */
   def dupStats(docs: DataFrame, pairs: DataFrame,
-               text: Column = col("text")): DataFrame = {
-    val sized = dupClusters(docs, pairs, text)
+               text: Column = col("text")): DataFrame =
+    dupStatsFrom(dupClusters(docs, pairs, text), docs, text)
+
+  /** dupStats over a PRE-COMPUTED cluster frame (dupClusters output:
+    * doc_id, cluster_id, keep_id, is_canonical) — the reuse path for
+    * pipelines that resolve components once and fan out (pp05 runs
+    * clusters → dupStats → groupSplit off ONE star-contraction; as
+    * independent gates each of dd06/dd14/sp03 pays CC separately).
+    */
+  def dupStatsFrom(clusters: DataFrame, docs: DataFrame,
+                   text: Column = col("text")): DataFrame = {
+    val sized = clusters
       .join(docs.select(col("doc_id").cast("long").as("doc_id"),
         length(text).cast("long").as("len")), "doc_id")
     sized.groupBy(col("cluster_id"))

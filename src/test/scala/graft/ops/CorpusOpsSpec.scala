@@ -725,4 +725,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pairs._2 == 1 && pairs._3 == 2 && pairs._4 == 43,
       s"pair cluster: $pairs")
   }
+
+  test("dupStatsFrom over a pre-computed cluster frame equals dupStats") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with nothing shared here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs)
+    val viaFrom = Dedup.dupStatsFrom(Dedup.dupClusters(docs, pairs), docs)
+    val direct = Dedup.dupStats(docs, pairs)
+    assert(viaFrom.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaFrom).isEmpty,
+      "the reuse path (pp05) must reproduce the one-shot path (dd14)")
+  }
 }
