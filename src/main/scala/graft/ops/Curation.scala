@@ -816,6 +816,52 @@ object Curation {
           .as("novelty"))
   }
 
+  /** Curriculum interleave order (cu01): a deterministic global
+    * training order that goes easy→hard overall while round-robining
+    * strata (domain, language, source) at every difficulty rank — the
+    * ordering step between "score difficulty" and "write the training
+    * shards", preventing both difficulty shock and long single-domain
+    * runs. Output: one row per input row with rank_in_stratum (1-based
+    * easy→hard within its stratum, ties to smaller id) and pos (the
+    * 1-based global position: all strata's rank-1 rows first, then
+    * rank-2, ..., strata alphabetical within a rank).
+    *
+    * Scale shape: NEITHER rank is a whole-group window. rank_in_stratum
+    * composes the grouped bucketed prefix sum (`Profile.cumWeights` on
+    * the (stratum, difficulty)-collapsed frame) with a tie-bounded
+    * window (partition = one exact difficulty value in one stratum —
+    * budgetSelect's discipline). The global position composes the
+    * bucketed `Stats.cumCountsByValue` over rank values with a window
+    * partitioned per rank (bounded by the stratum COUNT, not the
+    * corpus). Deterministic end to end: no RNG, ties total-ordered.
+    */
+  def curriculumOrder(df: DataFrame, id: Column, stratum: Column,
+                      difficulty: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("id"), stratum.as("st"),
+        difficulty.cast("double").as("diff"))
+      .filter(col("diff").isNotNull && col("st").isNotNull)
+    val perVal = base.groupBy(col("st"), col("diff"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val cum = graft.ops.Profile.cumWeights(perVal
+        .select(col("st").as("g"), col("diff").as("v"), col("w")))
+      .select(col("g").as("st"), col("v").as("diff"), col("w"),
+        col("cumw"))
+    val wTie = Window.partitionBy(col("st"), col("diff")).orderBy(col("id"))
+    val ranked = base.join(cum, Seq("st", "diff"))
+      .withColumn("rk", (col("cumw") - col("w")).cast("long") +
+        row_number().over(wTie))
+      .drop("w", "cumw")
+    val perRk = ranked.groupBy(col("rk")).agg(count(lit(1)).as("n"))
+    val cumRk = graft.ops.Stats.cumCountsByValue(perRk, "rk", Seq("n"))
+      .select(col("rk"), col("cum_n_below"))
+    val wSt = Window.partitionBy(col("rk")).orderBy(col("st"))
+    ranked.join(cumRk, "rk")
+      .select(col("id"), col("st").as("stratum"),
+        col("diff").as("difficulty"), col("rk").as("rank_in_stratum"),
+        (col("cum_n_below") + row_number().over(wSt)).as("pos"))
+  }
+
   /** Token-budget corpus selection (bs01): the greedy prefix rule
     * every "train on the best N tokens" pipeline runs — rank rows by
     * quality DENSITY (score per token, descending; id ascending ties)

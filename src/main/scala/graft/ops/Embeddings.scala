@@ -285,6 +285,68 @@ object Embeddings {
     df.withColumn(out, array(dims: _*))
   }
 
+  /** Deterministic random-Fourier-feature basis for mmdRff: w(j)(k) ~
+    * N(0, 1/σ²) via Box–Muller on md5-derived uniforms (the repo's
+    * zero-RNG convention — any run, engine, or retry derives the same
+    * basis), b(j) ~ U[0, 2π). Driver-side constants: the basis is
+    * FOLDED into both the engine expressions and the oracle SQL as
+    * literals, so no cross-engine math touches it.
+    */
+  def rffBasis(dim: Int, d: Int,
+               sigma: Double): (Seq[Seq[Double]], Seq[Double]) = {
+    def u(s: String): Double = {
+      val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+        .substring(0, 8)
+      (java.lang.Long.parseLong(h, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val w = (0 until d).map { j =>
+      (0 until dim).map { k =>
+        math.sqrt(-2.0 * math.log(u(s"rff:w:$j:$k:1"))) *
+          math.cos(2.0 * math.Pi * u(s"rff:w:$j:$k:2")) / sigma
+      }
+    }
+    val b = (0 until d).map(j => 2.0 * math.Pi * u(s"rff:b:$j"))
+    (w, b)
+  }
+
+  /** MMD² between two embedding sets via random Fourier features
+    * (em12): the distribution-level drift statistic — "is this batch
+    * of embeddings drawn from the same distribution as the corpus?"
+    * — used to catch encoder version skew, synthetic-data drift, or a
+    * crawl whose content shifted, BEFORE any per-vector dedup would
+    * notice. Rahimi–Recht: E[z(x)ᵀz(y)] ≈ exp(−‖x−y‖²/2σ²), so
+    * ‖mean_A z − mean_B z‖² estimates the Gaussian-kernel MMD² that
+    * a quadratic-time estimator would pay n² kernel evaluations for.
+    *
+    * Scale shape: LINEAR — one aggregate pass per side computing d
+    * feature means (each a literal-folded dot + cos at scan speed,
+    * randomProjection's codegen shape), then a 1-row × 1-row cross
+    * join. Nothing pairwise ever materializes; at 100 TB this is two
+    * scans where exact MMD is n² kernel evaluations.
+    */
+  def mmdRff(a: DataFrame, b: DataFrame, dim: Int, d: Int = 8,
+             sigma: Double = 1.0,
+             emb: Column = col("embedding")): DataFrame = {
+    require(d >= 1 && dim >= 1, s"bad dims: dim=$dim d=$d")
+    require(sigma > 0, s"sigma must be positive: $sigma")
+    val (w, bias) = rffBasis(dim, d, sigma)
+    val scale = math.sqrt(2.0 / d)
+    def feats(df: DataFrame, pre: String, n: String) = {
+      val aggs = count(lit(1)).as(n) +: (0 until d).map { j =>
+        val dot = aggregate(zip_with(emb, typedlit(w(j)),
+          (x, c) => x * c), lit(0.0d), (acc, v) => acc + v)
+        avg(cos(dot + lit(bias(j))) * lit(scale)).as(s"$pre$j")
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val mmd2 = (0 until d).map(j =>
+        (col(s"a$j") - col(s"b$j")) * (col(s"a$j") - col(s"b$j")))
+      .reduce(_ + _)
+    feats(a, "a", "n_a").crossJoin(feats(b, "b", "n_b"))
+      .select(col("n_a"), col("n_b"), lit(d).as("d"),
+        graft.ops.Portability.zround(mmd2, 8).as("mmd2"))
+  }
+
   /** ZCA whitening (em07): y = W·(x − μ) with W = U·diag(1/√(λ+ε))·Uᵀ
     * from the eigendecomposition of the corpus covariance — the
     * decorrelation pass that makes cosine/L2 geometry honest when

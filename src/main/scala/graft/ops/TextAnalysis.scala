@@ -409,6 +409,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Zipf rank-frequency fit (tx18): per language, the OLS slope and
+    * intercept of log10(freq) on log10(rank) over the `topN` most
+    * frequent types — the corpus-health diagnostic (natural text fits
+    * slope ≈ −1; templated/boilerplate-heavy or synthetic corpora
+    * bend the curve) run before accepting a new crawl into a mix.
+    *
+    * Scale shape: NO per-type ranking window. Within a frequency-tie
+    * class types are interchangeable (same y = log10 c), so the top-N
+    * (rank, y) point multiset is derivable from the COUNT-CARDINALITY
+    * frame (distinct counts per language — thousands of rows for a
+    * billion-token corpus, Zipf guarantees it): the grouped bucketed
+    * prefix sum gives each class its ranks-above offset, classes
+    * intersecting the top N explode to their ≤N rank integers, and
+    * the fit is one aggregate. The oracle's plain per-type window
+    * produces the identical point multiset. Needs ≥2 distinct ranks
+    * per language (guaranteed for any real corpus).
+    */
+  def zipfFit(df: DataFrame, lang: Column = col("lang"),
+              text: Column = col("text"), topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val tf = df.select(lang.as("lang"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val perC = tf.groupBy(col("lang"), col("c"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    // ranks-above offset per (lang, count) class: cumulative types in
+    // strictly-more-frequent classes (v = -c so ascending == freq desc)
+    val cum = graft.ops.Profile.cumWeights(perC
+        .select(col("lang").as("g"), (-col("c")).as("v"), col("w")))
+      .select(col("g").as("lang"), (-col("v")).as("c"),
+        (col("cumw") - col("w")).cast("long").as("above"), col("w"))
+    val pts = cum.filter(col("above") < topN)
+      .select(col("lang"), log10(col("c").cast("double")).as("y"),
+        explode(sequence(col("above") + 1,
+          least(col("above") + col("w").cast("long"), lit(topN.toLong))))
+          .as("rk"))
+      .withColumn("x", log10(col("rk").cast("double")))
+    pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n_points"),
+        Portability.zround(
+          (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        Portability.zround(
+          (col("sy") - (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_points") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+            / col("n_points"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Vocabulary coverage curve (tx17): for each candidate vocab size
     * k, the fraction of all token OCCURRENCES covered by the k most
     * frequent types — the tokenizer-sizing readout ("how big must the

@@ -17,6 +17,30 @@ object AnalysisOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  // DuckDB replay of em12: the SAME rffBasis call that the engine op
+  // makes, folded as list literals — per feature j, the mean of
+  // sqrt(2/d)·cos(w_j·emb + b_j) on each split, then the squared
+  // difference of the mean vectors.
+  private def mmdRffOracle(dim: Int, d: Int, sigma: Double): String = {
+    val (w, b) = graft.ops.Embeddings.rffBasis(dim, d, sigma)
+    val scale = math.sqrt(2.0 / d)
+    def mean(j: Int): String =
+      s"avg($scale * cos((SELECT sum(x * y) FROM (SELECT " +
+        s"unnest(embedding) AS x, unnest([${w(j).mkString(", ")}]) AS y))" +
+        s" + ${b(j)}))"
+    val ma = (0 until d).map(j => s"${mean(j)} AS a$j").mkString(", ")
+    val mb = (0 until d).map(j => s"${mean(j)} AS b$j").mkString(", ")
+    val sq = (0 until d).map(j => s"(a$j - b$j) * (a$j - b$j)")
+      .mkString(" + ")
+    s"""WITH ma AS (SELECT CAST(count(*) AS BIGINT) AS n_a, $ma
+          FROM embeddings WHERE vec_id % 5 = 0),
+        mb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, $mb
+          FROM embeddings WHERE vec_id % 5 <> 0)
+       SELECT n_a, n_b, CAST($d AS INT) AS d,
+         round($sq, 8) + 0.0 AS mmd2
+       FROM ma, mb"""
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     // wq01: quantity-weighted median price per return flag — smallest
@@ -1133,6 +1157,35 @@ object AnalysisOps {
              WHERE least(k, tt) > nab AND least(k, tt) <= nab + n_types
              ORDER BY k""")),
 
+    // tx18: per-language Zipf rank-frequency fit over the top-100
+    // vocab — the oracle assigns per-type ranks with a plain window;
+    // the engine derives the identical (rank, log-freq) point multiset
+    // from the count-cardinality frame with NO per-type ordering
+    // (tie classes are interchangeable), so both sides fit the same
+    // 100 points per language
+    NamedQuery("tx18_zipf_fit",
+      (s, d) => TextAnalysis.zipfFit(docs(s, d)).orderBy("lang"),
+      Some("""WITH tf AS (SELECT lang, tok, count(*) AS c FROM (
+                  SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+                  FROM documents) WHERE tok != '' GROUP BY 1, 2),
+              r AS (SELECT lang, c, row_number() OVER (
+                      PARTITION BY lang ORDER BY c DESC, tok ASC) AS rk
+                    FROM tf),
+              p AS (SELECT lang, log10(CAST(rk AS DOUBLE)) AS x,
+                      log10(CAST(c AS DOUBLE)) AS y
+                    FROM r WHERE rk <= 100),
+              a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+                      sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                      sum(x * y) AS sxy
+                    FROM p GROUP BY 1)
+             SELECT lang, n_points,
+               round((n_points * sxy - sx * sy)
+                 / (n_points * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+               round((sy - (n_points * sxy - sx * sy)
+                 / (n_points * sxx - sx * sx) * sx) / n_points, 6) + 0.0
+                 AS zipf_intercept
+             FROM a ORDER BY lang""")),
+
     // ds01: min/max downsampling of the events value series per type,
     // hourly buckets — argmin/argmax via packed-struct min/max (no
     // window over the raw points); the oracle replays the tie-break
@@ -1181,6 +1234,21 @@ object AnalysisOps {
                (round((ss - n) / (n * (n - 1.0)), 6) + 0.0)
                  AS avg_pairwise_cos
              FROM t, c""")),
+
+    // em12: distribution-level embedding drift — linear-time MMD² via
+    // the md5-deterministic random-Fourier basis, split vec_id%5==0 vs
+    // rest. The basis is folded into BOTH sides as literals (built by
+    // mmdRffOracle below from the same rffBasis call), so the gate
+    // certifies the feature-mean pipeline, not RNG replay.
+    NamedQuery("em12_mmd_drift",
+      (s, d) => {
+        val all = Tables.load(s, d, "embeddings")
+        graft.ops.Embeddings.mmdRff(
+          all.filter(col("vec_id") % 5 === 0),
+          all.filter(col("vec_id") % 5 =!= 0),
+          dim = 64, d = 8, sigma = 1.0)
+      },
+      Some(mmdRffOracle(dim = 64, d = 8, sigma = 1.0))),
 
     // id01: dense surrogate ids 1..N in key order WITHOUT the
     // row_number-over-everything single-partition trap — the bucketed

@@ -734,6 +734,29 @@ object CurationOps {
               sel AS (SELECT * FROM c WHERE cum_before + tok <= 8000)
              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(tok) AS BIGINT) AS n_tokens
-             FROM sel GROUP BY lang ORDER BY lang"""))
+             FROM sel GROUP BY lang ORDER BY lang""")),
+
+    // cu01: curriculum interleave — deterministic easy→hard training
+    // order (difficulty = char length) round-robining sources at each
+    // rank. The oracle's plain whole-partition windows define the
+    // semantics; the engine composes the two bucketed prefix
+    // primitives + tie-bounded windows so no task ever sorts a whole
+    // stratum (see Curation.curriculumOrder's scale note).
+    NamedQuery("cu01_curriculum_order",
+      (s, d) => Curation.curriculumOrder(docs(s, d), col("doc_id"),
+          col("source"), length(col("text")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, source AS stratum,
+                  CAST(length(text) AS DOUBLE) AS difficulty
+                FROM documents),
+              r AS (SELECT *, CAST(row_number() OVER (
+                      PARTITION BY stratum
+                      ORDER BY difficulty, doc_id) AS BIGINT)
+                    AS rank_in_stratum FROM b)
+             SELECT doc_id, stratum, difficulty, rank_in_stratum,
+               CAST(row_number() OVER (ORDER BY rank_in_stratum, stratum)
+                 AS BIGINT) AS pos
+             FROM r ORDER BY doc_id"""))
   )
 }

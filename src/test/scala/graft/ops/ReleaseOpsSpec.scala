@@ -178,4 +178,46 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"),
       s"global cumsum must not serialize onto one partition:\n$plan")
   }
+
+  test("curriculumOrder: easy->hard per stratum, strata interleave per rank") {
+    // strata A (3 rows) and B (2 rows); difficulty with a tie in A
+    val df = Seq(
+      (1L, "A", 30.0), (2L, "A", 10.0), (3L, "A", 10.0),
+      (4L, "B", 99.0), (5L, "B", 50.0))
+      .toDF("id", "st", "diff")
+    val out = Curation.curriculumOrder(df, col("id"), col("st"), col("diff"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // rank 1: A's id=2 (tie to smaller id), then B's id=5;
+    // rank 2: A id=3, B id=4; rank 3: A id=1
+    assert(out.toSeq == Seq((2L, 1L, 1L), (5L, 1L, 2L),
+      (3L, 2L, 3L), (4L, 2L, 4L), (1L, 3L, 5L)), out.toSeq.toString)
+  }
+
+  test("zipfFit: exact power-law counts recover the planted slope") {
+    // counts c(r) = round(1000 * r^-1) for r = 1..20, distinct tokens
+    // => log10 c ~= 3 - 1 * log10 r (up to integer rounding)
+    val rows = (1 to 20).flatMap { r =>
+      val c = math.max(1, math.round(1000.0 * math.pow(r.toDouble, -1.0)).toInt)
+      Seq.fill(c)(("en", s"tok$r"))
+    }
+    val df = rows.toDF("lang", "w").groupBy("lang")
+      .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+    val out = TextAnalysis.zipfFit(df, topN = 20).collect().head
+    val slope = out.getAs[Double]("zipf_slope")
+    assert(out.getAs[Long]("n_points") == 20L)
+    assert(math.abs(slope - (-1.0)) < 0.02, s"slope $slope should be ~ -1")
+  }
+
+  test("mmdRff: identical sets score 0; shifted sets score positive") {
+    val mk = (shift: Double) => (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(k => (math.sin(i * 0.7 + k) + shift).toFloat))
+    }.toDF("vec_id", "embedding")
+    val same = Embeddings.mmdRff(mk(0.0), mk(0.0), dim = 4, d = 6)
+      .collect().head.getAs[Double]("mmd2")
+    val far = Embeddings.mmdRff(mk(0.0), mk(3.0), dim = 4, d = 6)
+      .collect().head.getAs[Double]("mmd2")
+    assert(same == 0.0, s"identical distributions must read 0, got $same")
+    assert(far > 0.01, s"a 3-sigma mean shift must register, got $far")
+  }
 }
