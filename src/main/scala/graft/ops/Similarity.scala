@@ -98,6 +98,61 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Margin-based candidate mining (bt01): for each query vector, the
+    * best corpus match by the MARGIN criterion — cos(x,y) divided by
+    * the mean of the two sides' average top-k similarities
+    * (Artetxe & Schwenk 2019's ratio margin, the standard for bitext
+    * mining and cross-corpus pair harvesting). Absolute-cosine
+    * thresholds fail on hubs (vectors similar to everything) and
+    * sparse regions (nothing is close, but the best match is still
+    * right); the margin normalizes by each vector's own neighborhood
+    * density, so "1.2" means the same thing everywhere in the space.
+    * Emits one row per query whose best margin clears `threshold`.
+    *
+    * Scale shape: this is the broadcast×scan GATE form (pairs =
+    * queries × corpus, query side broadcast — sim01's shape, right
+    * for a mining batch against a corpus scan). At full-corpus×corpus
+    * scale swap the cross pair generation for LSH-bucketed candidates
+    * (sim02/ml02's auto-switch pattern); the margin math from `scored`
+    * down is identical, and every window partitions per query/
+    * candidate id — bounded by the candidate-list size, never the
+    * corpus. Cosines round at 6 and margins at 4 BEFORE the argmax,
+    * so the pick replays bit-identically across engines.
+    */
+  def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
+                 threshold: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    registerOn(corpus)
+    val qa = broadcast(queries.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("na")))
+    val scored = corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+      .crossJoin(qa)
+      .select(col("id_a"), col("id_b"),
+        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6)
+          .as("cos"))
+    val wA = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    val wB = Window.partitionBy(col("id_b"))
+      .orderBy(col("cos").desc, col("id_a").asc)
+    val mA = scored.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k).groupBy(col("id_a")).agg(avg(col("cos")).as("ma"))
+    val mB = scored.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= k).groupBy(col("id_b")).agg(avg(col("cos")).as("mb"))
+    val marg = scored.join(mA, "id_a").join(mB, "id_b")
+      .withColumn("margin",
+        round(col("cos") / ((col("ma") + col("mb")) / 2), 4))
+    val wBest = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b").asc)
+    marg.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(col("id_a").as("query_id"), col("id_b").as("pair_id"),
+        col("cos").as("cos_sim"), col("margin"))
+  }
+
   /** kNN majority-vote classifier (ml03): predict each query's label
     * from its k nearest corpus vectors — the companion to ml01's
     * agreement SCREEN (that one flags suspicious labels; this one

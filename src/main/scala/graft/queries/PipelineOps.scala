@@ -1477,6 +1477,45 @@ object PipelineOps {
              SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
              WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // bt01: margin-based pair mining — best corpus match per query by
+    // the ratio margin (cos over the mean of both sides' avg top-4
+    // cosines), queries = vec_id%5==0 vs the rest. Cos rounds at 6 and
+    // margin at 4 before the argmax so the pick replays across
+    // engines; oracle mirrors the windows verbatim.
+    NamedQuery("bt01_margin_mining",
+      (s, d) => {
+        val all = embs(s, d)
+        Similarity.marginMine(all.filter(col("vec_id") % 5 === 0),
+            all.filter(col("vec_id") % 5 =!= 0), k = 4, threshold = 1.0)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id_a, embedding AS ea
+                         FROM embeddings WHERE vec_id % 5 = 0),
+              c AS (SELECT vec_id AS id_b, embedding AS eb
+                    FROM embeddings WHERE vec_id % 5 <> 0),
+              s AS (SELECT id_a, id_b,
+                  round((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(eb) AS y))
+                    / sqrt((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(ea) AS y)))
+                    / sqrt((SELECT sum(x * y) FROM (SELECT unnest(eb) AS x, unnest(eb) AS y))), 6) AS cos
+                FROM q, c),
+              ra AS (SELECT id_a, avg(cos) AS ma FROM (
+                       SELECT *, row_number() OVER (PARTITION BY id_a
+                         ORDER BY cos DESC, id_b ASC) AS r FROM s)
+                     WHERE r <= 4 GROUP BY 1),
+              rb AS (SELECT id_b, avg(cos) AS mb FROM (
+                       SELECT *, row_number() OVER (PARTITION BY id_b
+                         ORDER BY cos DESC, id_a ASC) AS r FROM s)
+                     WHERE r <= 4 GROUP BY 1),
+              m AS (SELECT s.id_a, s.id_b, s.cos,
+                      round(s.cos / ((ma + mb) / 2), 4) AS margin
+                    FROM s JOIN ra USING (id_a) JOIN rb USING (id_b)),
+              best AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                         ORDER BY margin DESC, id_b ASC) AS rk FROM m)
+             SELECT id_a AS query_id, id_b AS pair_id, cos AS cos_sim,
+               margin
+             FROM best WHERE rk = 1 AND margin >= 1.0
+             ORDER BY query_id""")),
+
     // sim07: metadata-filtered exact search — the predicate lands on
     // the corpus scan BEFORE scoring (pre-filter semantics; a
     // post-filtered top-k silently under-returns), oracle adds the
@@ -2873,6 +2912,69 @@ object PipelineOps {
                CAST(coalesce(min(CASE WHEN su > 500.0 THEN us END), -1)
                  AS BIGINT) AS first_alert_us
              FROM s2 GROUP BY k, n ORDER BY k""")),
+
+    // st10: streaming heavy-hitter monitor — a REAL StreamingQuery
+    // over three time-ordered file batches; exact per-key counts with
+    // two longs of state, first-crossing event-time captured online.
+    // Final snapshot per key vs the batch ordered-window replay.
+    NamedQuery("st10_heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select(col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+            col("event_id").as("tb"))
+        val cuts = ev.agg(percentile(col("us"), lit(0.25)).as("c1"),
+          percentile(col("us"), lit(0.5)).as("c2")).head
+        val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+        val tmp = java.nio.file.Files.createTempDirectory("st10").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(
+          ("b0", col("us") <= c1),
+          ("b1", col("us") > c1 && col("us") <= c2),
+          ("b2", col("us") > c2)).zipWithIndex.foreach {
+          case ((nm, pred), i) =>
+            val stage = s"$tmp/stage_$nm"
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(src, s"$nm.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .as[graft.streaming.EventStream.HhEvent]
+        val out = s"$tmp/out"
+        val q = graft.streaming.EventStream
+          .heavyHitterMonitor(stream, threshold = 67L)
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStream.HhSnap],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$tmp/ck").start()
+        q.processAllAvailable(); q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("n").desc)
+        s.read.parquet(out)
+          .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(col("k").as("user_id"), col("n"), col("alerted"),
+            col("first_hit_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_id AS tb
+                         FROM events),
+              o AS (SELECT user_id, us,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY us, tb) AS i,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                        AS n
+                    FROM b)
+             SELECT user_id, n, n >= 67 AS alerted,
+               CAST(coalesce(min(CASE WHEN i = 67 THEN us END), -1)
+                 AS BIGINT) AS first_hit_us
+             FROM o GROUP BY user_id, n ORDER BY user_id""")),
 
     // HOPPING (sliding) windows: 2-hour windows advancing hourly —
     // every event lands in exactly two. Spark's window(slide) TVF vs

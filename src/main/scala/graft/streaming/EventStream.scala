@@ -147,6 +147,48 @@ object EventStream {
       })
   }
 
+  final case class HhEvent(k: Long, us: Long, tb: Long)
+  final case class HhState(n: Long, firstHitUs: Long)
+  final case class HhSnap(k: Long, n: Long, alerted: Boolean,
+                          first_hit_us: Long)
+
+  /** Streaming heavy-hitter / threshold-crossing monitor (st10): per
+    * key, the exact running event count plus the event-time at which
+    * it first reached `threshold` — the trending-key alert an ingest
+    * pipeline runs to catch a crawler loop, a spamming source, or a
+    * suddenly-hot domain WHILE the stream is flowing (the batch count
+    * only tells you afterwards). State per key is two longs regardless
+    * of stream length; Spark's keyed state store shards keys across
+    * executors, so — unlike a single-node Misra–Gries summary — the
+    * monitor stays EXACT at any key cardinality and 100 TB/day of
+    * events is just more state-store partitions. Each micro-batch's
+    * per-key slice sorts by (us, tb) in memory (the st09 convention),
+    * so the crossing event is deterministic and equals the batch
+    * replay's threshold-th ordered row.
+    */
+  def heavyHitterMonitor(events: Dataset[HhEvent],
+                         threshold: Long): Dataset[HhSnap] = {
+    import events.sparkSession.implicits._
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    events.groupByKey(_.k).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[HhEvent], state: GroupState[HhState]) => {
+        val evs = it.toArray.sortBy(e => (e.us, e.tb))
+        var st = state.getOption.getOrElse(HhState(0L, -1L))
+        evs.foreach { e =>
+          val n = st.n + 1
+          val hit = if (st.firstHitUs >= 0) st.firstHitUs
+            else if (n >= threshold) e.us else -1L
+          st = HhState(n, hit)
+        }
+        if (evs.nonEmpty) {
+          state.update(st)
+          Iterator.single(HhSnap(key, st.n, st.firstHitUs >= 0,
+            st.firstHitUs))
+        } else Iterator.empty
+      })
+  }
+
   /** Batch form of the same sessionization (the st02 gate): session
     * boundary where the per-user time since the previous event exceeds
     * the gap; session id = running count of boundaries. Tied
