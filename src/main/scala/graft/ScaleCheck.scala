@@ -795,6 +795,63 @@ object ScaleCheck {
     }
   }
 
+  /** Round-12 probes: the new-operator family — curriculum ordering
+    * under stratum skew, Zipf fit over a corpus-sized vocabulary,
+    * linear MMD at millions of vectors, and margin mining's
+    * broadcast×scan growth. Each ×1 vs ×4 so the slope is on record.
+    */
+  private def r12Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // cu01: 50 strata with power-law sizes and heavy difficulty ties —
+    // the two-prefix-sum ranks must hold their slope where a
+    // whole-stratum window would serialize the largest stratum
+    for (m <- Seq(1, 4)) {
+      val n = 2500000L * m
+      val df = spark.range(n).select(col("id"),
+        concat(lit("s"), (col("id") % 50)).as("st"),
+        ((col("id") * 7919) % 997).cast("double").as("diff"))
+      time(s"cu01 x$m rows=$n")(graft.ops.Curation.curriculumOrder(
+        df, col("id"), col("st"), col("diff")).count())
+    }
+    // tx18: n docs × 20 words from a 50k vocab with power-law word
+    // choice — the count-cardinality construction must stay flat
+    // while per-type vocab grows into the tens of thousands
+    for (m <- Seq(1, 4)) {
+      val n = 250000L * m
+      val mkText = expr(
+        "concat_ws(' ', transform(sequence(0, 19), " +
+          "j -> concat('w', CAST(pow(id * 31 + j * 7919, 0.5) AS BIGINT) % 50021)))")
+      val df = spark.range(n).select(lit("en").as("lang"), mkText.as("text"))
+      time(s"tx18 x$m docs=$n")(
+        graft.ops.TextAnalysis.zipfFit(df).count())
+    }
+    // em12: linear MMD — 1M then 4M synthetic 16-dim vectors per side;
+    // the two-scan estimator's slope must be ~linear, nothing pairwise
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      def side(shift: Double) = spark.range(n).select(expr(
+        s"transform(sequence(0, 15), j -> CAST(sin(id * 0.37 + j) + $shift AS FLOAT))")
+        .as("embedding"))
+      time(s"em12 x$m vecs=$n")(graft.ops.Embeddings.mmdRff(
+        side(0.0), side(0.5), dim = 16, d = 8).count())
+    }
+    // bt01: 100 queries broadcast against a growing corpus — the
+    // mining-batch shape; wall must grow ~linearly with the scan
+    for (m <- Seq(1, 4)) {
+      val n = 250000L * m
+      def vecs(lim: Long) = spark.range(lim).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), j -> CAST(sin(id * 0.91 + j) AS FLOAT))")
+          .as("embedding"))
+      time(s"bt01 x$m corpus=$n")(graft.ops.Similarity.marginMine(
+        vecs(100), vecs(n).filter(col("vec_id") >= 100), k = 4,
+        threshold = 0.0).count())
+    }
+  }
+
   /** Late session-5 probes: post-fix linkage scale, Bloom
     * decontamination growth, KMV overlap over large key sets.
     */
@@ -1016,6 +1073,11 @@ object ScaleCheck {
     }
     if (path == "r11b") {
       r11bScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r12") {
+      r12Scale(spark)
       spark.stop()
       return
     }

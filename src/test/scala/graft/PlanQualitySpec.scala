@@ -792,4 +792,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"global cumsum serialized onto one partition: ${p.take(600)}")
   }
+
+  test("cu01: curriculum ranks never plan a single-partition exchange") {
+    import org.apache.spark.sql.functions.{col, length}
+    val p = ops.Curation.curriculumOrder(Tables.load(spark, dir, "documents"),
+        col("doc_id"), col("source"), length(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global rank serialized onto one partition: ${p.take(600)}")
+  }
+
+  test("tx18: the Zipf fit plans no per-type window and no global sort") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.TextAnalysis.zipfFit(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"vocab ranking serialized onto one partition: ${p.take(600)}")
+  }
+
+  test("bt01: the mining query side broadcasts (batch-vs-corpus shape)") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.load(spark, dir, "embeddings")
+    val p = ops.Similarity.marginMine(all.filter(col("vec_id") % 5 === 0),
+        all.filter(col("vec_id") % 5 =!= 0), k = 4, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the query batch must broadcast against the corpus scan: ${p.take(600)}")
+  }
 }
