@@ -77,9 +77,11 @@ object Bench {
         // bf02 is hll01's category: a bounds-verdict gate; probe
         // throughput is measured in r9f (40M probes ~1 s)
         || q._1 == "bf02_bloom_membership"
-        // st09 is st06's category: writes fixture batches then drives
-        // a streaming query — correctness verdict, not throughput
-        || q._1 == "st09_cusum_monitor")
+        // st09/st10 are st06's category: write fixture batches then
+        // drive a streaming query — correctness verdicts, not
+        // throughput
+        || q._1 == "st09_cusum_monitor"
+        || q._1 == "st10_heavy_hitters")
       .toSeq.sortBy(_._1)
       // SPARK_GRAFT_ONLY=cf01_basket_lift,gr02_assortativity — solo
       // timing for regression attribution; production runs leave it

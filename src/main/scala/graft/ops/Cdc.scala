@@ -171,4 +171,46 @@ object Cdc {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Grandfather-father-son snapshot retention plan (rt01): given the
+    * distinct snapshot dates of a table, mark each keep/expire with
+    * its retaining tier — every snapshot in the last `dailyDays`, the
+    * LAST snapshot of each week within `weeklyDays`, the LAST of each
+    * month within `monthlyDays`, expire the rest. The policy every
+    * warehouse retention job implements (and the compaction family's
+    * missing lifecycle step: im07/im20 compact versions, this decides
+    * which ones survive).
+    *
+    * Deterministic date math off the MAX snapshot date (collapsed to
+    * a literal — sp07's pattern); week/month "last" via groupBy +
+    * join-back, no windows. Scale is trivial (date-cardinality) — the
+    * point is the oracle-gated tier semantics.
+    */
+  def retentionPlan(df: DataFrame, snapDate: org.apache.spark.sql.Column,
+                    dailyDays: Int = 7, weeklyDays: Int = 28,
+                    monthlyDays: Int = 365): DataFrame = {
+    require(dailyDays >= 1 && weeklyDays >= dailyDays &&
+      monthlyDays >= weeklyDays,
+      s"tiers must nest: $dailyDays/$weeklyDays/$monthlyDays")
+    val snaps = df.select(snapDate.cast("date").as("snap_date"))
+      .filter(col("snap_date").isNotNull).distinct()
+    val ref = snaps.agg(max(col("snap_date"))).head.getDate(0)
+    val lastOfWeek = snaps
+      .groupBy(date_trunc("week", col("snap_date")).as("__w"))
+      .agg(max(col("snap_date")).as("snap_date"))
+      .select(col("snap_date"), lit(true).as("__lw"))
+    val lastOfMonth = snaps
+      .groupBy(date_trunc("month", col("snap_date")).as("__m"))
+      .agg(max(col("snap_date")).as("snap_date"))
+      .select(col("snap_date"), lit(true).as("__lm"))
+    snaps.join(lastOfWeek, Seq("snap_date"), "left")
+      .join(lastOfMonth, Seq("snap_date"), "left")
+      .withColumn("age_days", datediff(lit(ref), col("snap_date")))
+      .select(col("snap_date"), col("age_days"),
+        when(col("age_days") < dailyDays, "daily")
+          .when(col("__lw") && col("age_days") < weeklyDays, "weekly")
+          .when(col("__lm") && col("age_days") < monthlyDays, "monthly")
+          .otherwise("expire").as("tier"))
+      .withColumn("keep", col("tier") =!= "expire")
+  }
 }

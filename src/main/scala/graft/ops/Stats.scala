@@ -126,6 +126,86 @@ object Stats {
     * unpartitioned window). One row out: n_pos, n_neg,
     * average_precision.
     */
+  /** Krippendorff's alpha, nominal data (ev18): chance-corrected
+    * agreement over any number of raters with missing ratings allowed
+    * — the reliability statistic an RLHF / labeling pipeline reports
+    * before trusting a batch of human (or LLM-judge) labels. ev10's
+    * kappa handles exactly two fixed raters; alpha is the general
+    * form, and α ≥ 0.8 is the conventional "publishable" bar.
+    *
+    * Computed from the coincidence-matrix identities, never pairs:
+    * per item the disagreeing ordered pair count is nᵢ² − Σ_c m²_ic,
+    * weighted 1/(nᵢ−1); margins n_c are plain value counts over
+    * pairable items; α = 1 − (n−1)·Σᵢ[(nᵢ²−sqᵢ)/(nᵢ−1)] /
+    * (n² − Σ_c n_c²). Scale shape: two keyed aggregates (item-value,
+    * then item) plus one value-keyed aggregate — everything integer
+    * until the final division.
+    */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+                        value: Column): DataFrame = {
+    val m = df.select(item.as("i"), value.cast("string").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("m"))
+    val byItem = m.groupBy(col("i"))
+      .agg(sum(col("m")).as("ni"), sum(col("m") * col("m")).as("sq"))
+      .filter(col("ni") >= 2)
+    val dObs = byItem.agg(
+      sum((col("ni") * col("ni") - col("sq")).cast("double") /
+        (col("ni") - 1)).as("dsum"),
+      sum(col("ni")).as("n"), count(lit(1)).as("n_items"))
+    val nc = m.join(byItem.select(col("i")), "i")
+      .groupBy(col("c")).agg(sum(col("m")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sq_nc"),
+        count(lit(1)).as("n_categories"))
+    dObs.crossJoin(nc)
+      .select(col("n_items"), col("n"), col("n_categories"),
+        Portability.zround(lit(1.0) - col("dsum") * (col("n") - 1) /
+          (col("n") * col("n") - col("sq_nc")), 6).as("alpha"))
+  }
+
+  /** Rank-biased overlap at depth k (ev19, Webber et al. 2010): the
+    * top-weighted similarity of two rankings — THE statistic for "did
+    * swapping the quality scorer / retriever reorder what actually
+    * matters?", where Kendall/Spearman (ev06/ev15) weight every
+    * position equally and top-k set overlap ignores order. RBO@k =
+    * (1−p)·Σ_{d≤k} p^{d−1}·|A_:d ∩ B_:d|/d; p = 0.9 puts ~86% of the
+    * weight in the top 10.
+    *
+    * Scale shape: each side reduces to its top-k via distributed
+    * take-ordered (never a global rank window over the corpus); all
+    * downstream work — the rank join, the depth grid, the weighted
+    * sum — happens on ≤k-row frames. Inputs: two (id, score) frames;
+    * ties break to smaller id on both sides.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int = 50,
+                        p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    require(p > 0 && p < 1, s"p out of (0,1): $p")
+    def ranks(df: DataFrame, rc: String): DataFrame = {
+      val top = df.select(col("id"), col("score").cast("double").as("s"))
+        .orderBy(col("s").desc, col("id").asc).limit(k)
+      // the window runs on the ≤k-row take-ordered result, never the corpus
+      top.withColumn(rc,
+        row_number().over(Window.orderBy(col("s").desc, col("id").asc)))
+        .select(col("id"), col(rc))
+    }
+    val joined = ranks(a, "ra").join(ranks(b, "rb"), "id")
+      .select(col("id"), greatest(col("ra"), col("rb")).as("d_enter"))
+    val depths = a.sparkSession.range(1, k + 1).select(col("id").as("d"))
+    val agreement = broadcast(depths).join(joined,
+        col("d_enter") <= col("d"), "left")
+      .groupBy(col("d"))
+      .agg(count(col("d_enter")).as("overlap"))
+    agreement
+      .agg(Portability.zround(sum(
+          pow(lit(p), col("d") - 1) * col("overlap") / col("d")) * (1 - p), 6)
+          .as("rbo"),
+        max(when(col("d") === k, col("overlap"))).as("overlap_at_k"))
+      .select(lit(k).as("k"), lit(p).as("p"), col("rbo"),
+        col("overlap_at_k"))
+  }
+
   def averagePrecision(df: DataFrame, score: Column, label: Column,
                        buckets: Int = 1024): DataFrame = {
     val perScore = df.filter(score.isNotNull && label.isNotNull)

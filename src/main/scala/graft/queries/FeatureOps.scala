@@ -290,6 +290,37 @@ object FeatureOps {
                        JOIN deg dw ON dw.n = cand.w
              ORDER BY jaccard DESC, u, w LIMIT 50""")),
 
+    // rt01: grandfather-father-son snapshot retention over the
+    // distinct order dates — last 7 days daily, last-of-week within
+    // 28, last-of-month within 365, expire the rest; pure date algebra
+    // off the max date, week/month "last" via groupBy + join-back
+    NamedQuery("rt01_retention_plan",
+      (s, d) => graft.ops.Cdc.retentionPlan(Tables.load(s, d, "orders"),
+          col("o_orderdate"))
+        .orderBy("snap_date"),
+      Some("""WITH s AS (SELECT DISTINCT CAST(o_orderdate AS DATE)
+                  AS snap_date FROM orders WHERE o_orderdate IS NOT NULL),
+              r AS (SELECT max(snap_date) AS ref FROM s),
+              lw AS (SELECT max(snap_date) AS snap_date, true AS lwf
+                     FROM s GROUP BY date_trunc('week', snap_date)),
+              lm AS (SELECT max(snap_date) AS snap_date, true AS lmf
+                     FROM s GROUP BY date_trunc('month', snap_date)),
+              t AS (SELECT s.snap_date,
+                      CAST(date_diff('day', s.snap_date,
+                        (SELECT ref FROM r)) AS INT) AS age_days,
+                      coalesce(lw.lwf, false) AS lwf,
+                      coalesce(lm.lmf, false) AS lmf
+                    FROM s LEFT JOIN lw USING (snap_date)
+                           LEFT JOIN lm USING (snap_date)),
+              o AS (SELECT snap_date, age_days,
+                      CASE WHEN age_days < 7 THEN 'daily'
+                           WHEN lwf AND age_days < 28 THEN 'weekly'
+                           WHEN lmf AND age_days < 365 THEN 'monthly'
+                           ELSE 'expire' END AS tier
+                    FROM t)
+             SELECT snap_date, age_days, tier, tier <> 'expire' AS keep
+             FROM o ORDER BY snap_date""")),
+
     // inc01: incremental rollup maintenance — the first 19 days land
     // as a standing (day, type) rollup, the rest arrive as a batch and
     // merge WITHOUT rescanning history; the oracle is the full

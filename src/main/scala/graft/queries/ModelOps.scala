@@ -609,6 +609,89 @@ object ModelOps {
                END AS kappa
              FROM c""")),
 
+    // ev18: Krippendorff's alpha over a 3-rater synthetic labeling of
+    // documents — each rater reports the doc's lang except a 20%
+    // md5-deterministic flip to 'noise'; both engines replay the flips,
+    // so the gate certifies the coincidence-matrix algebra
+    NamedQuery("ev18_krippendorff_alpha",
+      (s, d) => {
+        val dd = docs(s, d)
+        val flip = (r: Int) =>
+          substring(md5(concat_ws("#", lit(s"rater$r"),
+            col("doc_id").cast("string"))), 1, 8) <
+            lit(graft.ops.Curation.hexThreshold(0.2))
+        val ratings = (0 to 2).map { r =>
+          dd.select(col("doc_id"), lit(r).as("rater"),
+            when(flip(r), lit("noise")).otherwise(col("lang")).as("label"))
+        }.reduce(_ unionByName _)
+        Stats.krippendorffAlpha(ratings, col("doc_id"), col("label"))
+      },
+      Some(s"""WITH raters AS (SELECT doc_id,
+                  CASE WHEN substr(md5('rater' || CAST(r.r AS VARCHAR) ||
+                         '#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '${graft.ops.Curation.hexThreshold(0.2)}'
+                       THEN 'noise' ELSE lang END AS label
+                FROM documents, (SELECT unnest([0, 1, 2]) AS r) r),
+              m AS (SELECT doc_id AS i, label AS c, count(*) AS m
+                    FROM raters GROUP BY 1, 2),
+              bi AS (SELECT i, sum(m) AS ni, sum(m * m) AS sq
+                     FROM m GROUP BY 1 HAVING sum(m) >= 2),
+              dobs AS (SELECT sum((ni * ni - sq) * 1.0 / (ni - 1)) AS dsum,
+                         CAST(sum(ni) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_items
+                       FROM bi),
+              nc AS (SELECT c, sum(m.m) AS nc FROM m JOIN bi USING (i)
+                     GROUP BY 1),
+              ncs AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sq_nc,
+                        CAST(count(*) AS BIGINT) AS n_categories FROM nc)
+             SELECT n_items, n, n_categories,
+               round(1 - dsum * (n - 1) / (n * n - sq_nc), 6) + 0.0 AS alpha
+             FROM dobs, ncs""")),
+
+    // ev19: rank-biased overlap between the quality-score ranking and
+    // the raw-length ranking of documents at depth 50 — top-weighted
+    // rank agreement; oracle replays with QUALIFY windows over the
+    // proven quality CTE
+    NamedQuery("ev19_rank_biased_overlap",
+      (s, d) => {
+        val dd = docs(s, d)
+        Stats.rankBiasedOverlap(
+          graft.ops.TextAnalysis.quality(dd)
+            .select(col("doc_id").as("id"), col("quality_score").as("score")),
+          dd.select(col("doc_id").as("id"),
+            col("n_chars").cast("double").as("score")),
+          k = 50, p = 0.9)
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+                 round(distinct_ratio * 0.5 + length_ok * 0.3 +
+                       least(stop_cnt / n_tok * 5, 1.0) * 0.2, 4) AS score
+                FROM (SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop_cnt,
+                  CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')) AS distinct_ratio,
+                  CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+                  FROM documents)),
+              ra AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS ra
+                     FROM q QUALIFY ra <= 50),
+              rb AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rb
+                     FROM documents QUALIFY rb <= 50),
+              j AS (SELECT greatest(ra, rb) AS d_enter
+                    FROM ra JOIN rb USING (doc_id)),
+              ag AS (SELECT range AS d,
+                       (SELECT count(*) FROM j WHERE d_enter <= range)
+                         AS overlap
+                     FROM range(1, 51))
+             SELECT CAST(50 AS INT) AS k, CAST(0.9 AS DOUBLE) AS p,
+               round(sum(pow(0.9, d - 1) * overlap / d) * ${1 - 0.9}, 6)
+                 + 0.0 AS rbo,
+               CAST(max(CASE WHEN d = 50 THEN overlap END) AS BIGINT)
+                 AS overlap_at_k
+             FROM ag""")),
+
     // ev13: McNemar's paired classifier comparison — two derived
     // classifiers vs truth; statistic from the integer disagreement
     // cells only, one aggregate
