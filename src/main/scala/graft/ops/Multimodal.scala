@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -610,5 +611,50 @@ object Multimodal {
       }))
       .toDF("doc_id", "width", "height", "n_frames", "fps",
         "sample_step", "n_sampled", "last_index")
+  }
+
+  /** Energy-based voice-activity segmentation (mm11): audioFrames'
+    * per-frame RMS grid → maximal ACTIVE runs, with inactive gaps of
+    * ≤ `maxGapFrames` frames bridged when bounded by active frames on
+    * both sides (the standard VAD hangover) — the speech-corpus
+    * segmentation step that turns raw recordings into trainable
+    * utterances. Output one row per segment: frame span, frame count,
+    * mean/peak RMS.
+    *
+    * Scale shape: the decode fan-out is audioFrames' (bounded rows per
+    * payload); every window partitions per doc_id and is bounded by
+    * that doc's frame count, never the corpus. Real codecs swap in at
+    * the decode step exactly as documented on decodeAudio.
+    */
+  def vadSegments(df: DataFrame, frameSize: Int = 400,
+                  threshold: Double = 500.0, maxGapFrames: Int = 1,
+                  batchSize: Int = 64): DataFrame = {
+    require(maxGapFrames >= 0, s"maxGapFrames must be >= 0: $maxGapFrames")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val wPast = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFut = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = audioFrames(df, frameSize, threshold, batchSize)
+      .select(col("doc_id"), col("frame_no"), col("rms"),
+        (col("rms") >= threshold).as("act"))
+      .withColumn("prevA",
+        last(when(col("act"), col("frame_no")), ignoreNulls = true)
+          .over(wPast))
+      .withColumn("nextA",
+        first(when(col("act"), col("frame_no")), ignoreNulls = true)
+          .over(wFut))
+      .withColumn("keep", col("act") ||
+        (col("prevA").isNotNull && col("nextA").isNotNull &&
+          col("nextA") - col("prevA") - 1 <= maxGapFrames))
+    marked.filter(col("keep"))
+      .withColumn("newSeg",
+        when(coalesce(lag(col("frame_no"), 1).over(wOrd), lit(-2)) =!=
+          col("frame_no") - 1, 1L).otherwise(0L))
+      .withColumn("seg_no", sum(col("newSeg")).over(wPast))
+      .groupBy(col("doc_id"), col("seg_no"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(avg(col("rms")), 2).as("mean_rms"),
+        round(max(col("rms")), 2).as("peak_rms"))
   }
 }

@@ -2053,6 +2053,51 @@ object PipelineOps {
              t(doc_id, channels, sample_rate, n_samples, duration_ms, rms)
              ORDER BY doc_id""")),
 
+    // mm11: energy-based VAD segmentation over fixture WAVs — known
+    // loud/silent frame patterns make every segment exact: doc 1's
+    // single silent frame is bridged (maxGap 1), its trailing silence
+    // is not (no active bound on the right); doc 3's 2-frame gap
+    // splits two segments; doc 2 (all silence) and doc 4 (not audio)
+    // emit nothing.
+    NamedQuery("mm11_vad_segments",
+      (s, _) => {
+        def wav(channels: Int, rate: Int, samples: Seq[Int]): Array[Byte] = {
+          val data = samples.flatMap(v =>
+            Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+            .putShort(channels.toShort).putInt(rate)
+            .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+            .putShort(16.toShort)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          bb.array()
+        }
+        def loud(frames: Int) =
+          (0 until 400 * frames).map(i => if (i % 2 == 0) 1000 else -1000)
+        def quiet(frames: Int) = Seq.fill(400 * frames)(0)
+        import s.implicits._
+        val payloads = Seq(
+          (1L, wav(1, 8000, loud(2) ++ quiet(1) ++ loud(1) ++ quiet(2))),
+          (2L, wav(1, 8000, quiet(3))),
+          (3L, wav(1, 8000, loud(1) ++ quiet(2) ++ loud(1))),
+          (4L, "not audio at all".getBytes("US-ASCII")))
+        graft.ops.Multimodal.vadSegments(payloads.toDF("doc_id", "payload"),
+            frameSize = 400, threshold = 500.0, maxGapFrames = 1)
+          .orderBy("doc_id", "seg_no")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 0, 3, CAST(4 AS BIGINT),
+              CAST(750.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+             (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 0, 0, CAST(1 AS BIGINT),
+              CAST(1000.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+             (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 3, 3, CAST(1 AS BIGINT),
+              CAST(1000.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)))
+             t(doc_id, seg_no, start_frame, end_frame, n_frames,
+               mean_rms, peak_rms)
+             ORDER BY doc_id, seg_no""")),
+
     // REAL compressed-image metadata: fixtures are generated by the
     // JDK's own encoders (javax.imageio — PNG/JPEG/GIF/BMP ship with
     // the JVM), then decoded by OUR pure header parse (IHDR / SOF
