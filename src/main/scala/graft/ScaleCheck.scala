@@ -852,6 +852,77 @@ object ScaleCheck {
     }
   }
 
+  /** Round-12 batch-2 probes: modularity over growing edge sets,
+    * Bradley–Terry with a large item catalog, water-filling over a
+    * million-source manifest, Mann–Whitney at tens of millions of
+    * values, CKA moments over millions of vectors.
+    */
+  private def r12bScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // gr04: labels + modularity over a ×1/×4 power-law edge set —
+    // one label-keyed aggregate; slope must track the edge scan
+    for (m <- Seq(1, 4)) {
+      val n = 2000000L * m
+      val e0 = spark.range(n).select(
+        concat(lit("n"), (col("id") * 7919) % (n / 10)).as("src"),
+        concat(lit("n"), (col("id") * 104729) % (n / 10)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), concat(lit("c"),
+          abs(hash(col("node"))) % 100).as("label"))
+      time(s"gr04 x$m directed_edges=${2 * n}")(
+        graft.ops.Graph.modularity(edges, labels).count())
+    }
+    // el01: 100k items, ×1/×4 comparisons — the raw stream collapses
+    // into the pair matrix once; iterations stay item-keyed
+    for (m <- Seq(1, 4)) {
+      val n = 2500000L * m
+      val cmp = spark.range(n).select(
+        concat(lit("i"), (col("id") * 7919) % 100000).as("winner"),
+        concat(lit("i"), (col("id") * 104729) % 100000).as("loser"))
+        .filter(col("winner") =!= col("loser"))
+      time(s"el01 x$m comparisons=$n items=100k")(
+        graft.ops.Stats.bradleyTerry(cmp, iters = 4).count())
+    }
+    // mx05: a million-source manifest with power-law sizes — the
+    // distinct-r frontier must come off the bucketed prefix sum, not
+    // a driver-sized collect or a single-partition window
+    for (m <- Seq(1, 4)) {
+      val n = 250000L * m
+      val ps = spark.range(n).select(concat(lit("s"), col("id")).as("source"),
+        (pmod(col("id") * 7919, lit(9973)) + 1).as("tokens"))
+      time(s"mx05 x$m sources=$n")(graft.ops.Curation.epochAllocation(
+        ps, budgetRatio = 1.5, maxEpochs = 3.0).count())
+    }
+    // ev20: ×1/×4 tens-of-millions of 2-decimal values (heavy ties) —
+    // the rank sums ride the bucketed prefix machinery
+    for (m <- Seq(1, 4)) {
+      val n = 10000000L * m
+      val df = spark.range(n).select(
+        (pmod(col("id") * 31, lit(10000)) / 100.0).as("v"),
+        (col("id") % 2 === 0).as("a"))
+      time(s"ev20 x$m values=$n")(
+        graft.ops.Stats.mannWhitneyU(df, col("v"), col("a")).count())
+    }
+    // em13: CKA moments over ×1/×4 millions of 16+8-dim vectors —
+    // ONE wide aggregate; wall must track the scan
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      val df = spark.range(n).select(
+        expr("transform(sequence(0, 15), j -> CAST(sin(id * 0.37 + j) AS FLOAT))")
+          .as("x"),
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 0.91 + j) AS FLOAT))")
+          .as("y"))
+      time(s"em13 x$m vecs=$n")(graft.ops.Embeddings.linearCKA(
+        df, col("x"), col("y"), dx = 16, dy = 8).count())
+    }
+  }
+
   /** Late session-5 probes: post-fix linkage scale, Bloom
     * decontamination growth, KMV overlap over large key sets.
     */
@@ -1078,6 +1149,11 @@ object ScaleCheck {
     }
     if (path == "r12") {
       r12Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r12b") {
+      r12bScale(spark)
       spark.stop()
       return
     }

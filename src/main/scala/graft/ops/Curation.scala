@@ -779,6 +779,110 @@ object Curation {
         (u <= col("rate")).as("selected")): _*)
   }
 
+  /** Rolling-origin cross-validation splits (sp08): the time-series
+    * companion to cv01's k-fold — k folds share a growing train
+    * prefix and a sliding test horizon, so every fold evaluates
+    * "train on the past, test on the NEXT window" without ever
+    * letting the future leak backward (the forecasting analog of
+    * sp07's embargo). Fold k of `folds`: the [lo, hi] span divides
+    * into folds+1 equal slices; train = everything at or before slice
+    * boundary k, test = the (k+1)-th slice, later rows unused.
+    *
+    * lo/hi fold back as literals (one scalar aggregate — the
+    * sp07/psi01 convention); the fold grid is a `folds`-row broadcast
+    * crossJoin and the role assignment a pure scan-speed CASE, so the
+    * output is rows×folds with zero shuffles beyond the scalar.
+    * Output: (id, fold, us, role).
+    */
+  def rollingOriginSplits(df: DataFrame, id: Column, ts: Column,
+                          folds: Int = 4): DataFrame = {
+    require(folds >= 1 && folds <= 1000, s"folds out of range: $folds")
+    val spark = df.sparkSession
+    val base = df.filter(ts.isNotNull)
+      .select(id.as("id"), unix_micros(ts).as("us"))
+    val mm = base.agg(min(col("us")).as("lo"), max(col("us")).as("hi")).head
+    if (mm.isNullAt(0))
+      return base.withColumn("fold", lit(1L)).withColumn("role", lit("train"))
+        .select(col("id"), col("fold"), col("us"), col("role"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val grid = spark.range(1, folds + 1).select(col("id").as("fold"))
+    base.crossJoin(broadcast(grid))
+      .withColumn("__cut", lit(lo) + (lit(hi) - lit(lo)) * col("fold") /
+        lit((folds + 1).toDouble))
+      .withColumn("role",
+        when(col("us") <= col("__cut"), lit("train"))
+          .when(col("us") <= lit(lo) + (lit(hi) - lit(lo)) *
+            (col("fold") + 1) / lit((folds + 1).toDouble), lit("test"))
+          .otherwise(lit("unused")))
+      .select(col("id"), col("fold"), col("us"), col("role"))
+  }
+
+  /** Epoch-capped budget water-filling (mx05): the data-constrained
+    * scaling allocation — a token budget (`budgetRatio` × the corpus
+    * total) spreads UNIFORMLY across sources, except no source may
+    * repeat more than `maxEpochs` times; budget a capped source can't
+    * absorb redistributes to the uncapped ones (Muennighoff et al.'s
+    * "repeat small sources, don't starve big ones" regime, solved
+    * exactly rather than by rounds of reproportioning).
+    *
+    * Exact water-filling: with want = B/S per source and
+    * cap_s = E·T_s, the draw is min(cap_s, α·want) where α solves
+    * Σ draw = B. Sources sort by r_s = cap_s/want; a source is capped
+    * iff r_s ≤ α. The frontier comes from prefix sums over the
+    * DISTINCT r values (the bucketed `Stats.cumCountsByValue`
+    * machinery — never a global row-level window, so a million-source
+    * manifest scans in parallel): each r group's candidate
+    * α_j = S(B − E·Tᵢₙ꜀ₗ)/(B(S − Cᵢₙ꜀ₗ)) is valid-capped iff r ≤ α_j
+    * (monotone in j; the all-capped boundary needs B ≥ E·ΣT, encoded
+    * as ±∞), and ONE scalar aggregate over the flagged groups yields
+    * the final α — per-source membership is then just r_s ≤ α.
+    *
+    * Input: one row per source with its token count. Output: source,
+    * tokens, capped, epochs (= E when capped), tokens_drawn.
+    */
+  def epochAllocation(perSource: DataFrame, budgetRatio: Double,
+                      maxEpochs: Double,
+                      source: Column = col("source"),
+                      tokens: Column = col("tokens")): DataFrame = {
+    require(budgetRatio > 0, s"budgetRatio must be positive: $budgetRatio")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val base = perSource
+      .select(source.as("source"), tokens.cast("long").as("t"))
+      .filter(col("t") > 0)
+    val gl = base.agg((sum(col("t")) * lit(budgetRatio)).as("__b"),
+      count(lit(1)).cast("double").as("__s"))
+    val wr = base.crossJoin(broadcast(gl))
+      .withColumn("__r", lit(maxEpochs) * col("t") * col("__s") / col("__b"))
+    val perR = wr.groupBy(col("__r"))
+      .agg(sum(col("t")).as("t_r"), count(lit(1)).as("c_r"),
+        max(col("__b")).as("__b"), max(col("__s")).as("__s"))
+    val cum = Stats.cumCountsByValue(perR, "__r", Seq("t_r", "c_r"))
+      .withColumn("__ti", col("cum_t_r_below") + col("t_r"))
+      .withColumn("__ci", col("cum_c_r_below") + col("c_r"))
+    val alphaCand = when(col("__s") - col("__ci") === 0,
+        when(col("__b") - lit(maxEpochs) * col("__ti") >= 0,
+          lit(Double.PositiveInfinity)).otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(col("__s") * (col("__b") - lit(maxEpochs) * col("__ti")) /
+        (col("__b") * (col("__s") - col("__ci"))))
+    val flagged = cum.withColumn("__capped", col("__r") <= alphaCand)
+    val fr = flagged.agg(
+      coalesce(sum(when(col("__capped"), col("t_r"))), lit(0L)).as("__capt"),
+      coalesce(sum(when(col("__capped"), col("c_r"))), lit(0L)).as("__capc"),
+      max(col("__b")).as("__b"), max(col("__s")).as("__s"))
+    val aStar = fr.select(
+      when(col("__s") - col("__capc") === 0, lit(Double.PositiveInfinity))
+        .otherwise(col("__s") * (col("__b") - lit(maxEpochs) * col("__capt")) /
+          (col("__b") * (col("__s") - col("__capc")))).as("__astar"),
+      col("__b"), col("__s"))
+    wr.drop("__b", "__s").crossJoin(broadcast(aStar))
+      .withColumn("capped", col("__r") <= col("__astar"))
+      .withColumn("__draw", when(col("capped"), lit(maxEpochs) * col("t"))
+        .otherwise(col("__astar") * (col("__b") / col("__s"))))
+      .select(col("source"), col("t").as("tokens"), col("capped"),
+        Portability.zround(col("__draw") / col("t"), 6).as("epochs"),
+        Portability.zround(col("__draw"), 2).as("tokens_drawn"))
+  }
+
   /** Per-document n-gram novelty (nv01): for each candidate document,
     * the fraction of its distinct word n-grams absent from a BASE
     * corpus — the freshness score data-selection pipelines rank by

@@ -669,4 +669,78 @@ object Embeddings {
         Portability.zround((col("ss") - col("n")) /
           (col("n") * (col("n") - lit(1.0))), 6).as("avg_pairwise_cos"))
   }
+
+  /** Linear CKA (em13) between two per-row representations — the
+    * standard "did the projection/quantization/distillation keep the
+    * geometry" readout (Kornblith et al. 2019): for row-aligned
+    * matrices X (n×dx) and Y (n×dy),
+    * CKA = ‖Yᶜᵀ Xᶜ‖²_F / (‖Xᶜᵀ Xᶜ‖_F · ‖Yᶜᵀ Yᶜ‖_F) with ᶜ the
+    * column-centered versions. 1.0 = same geometry up to rotation and
+    * isotropic scale; the number an embedding-compression pipeline
+    * checks before swapping em05/em06/em01's cheaper vectors in.
+    *
+    * Everything reduces to column moments: ONE wide aggregate over a
+    * single scan collects n, Σxᵢ, Σyⱼ, and all raw second moments
+    * Σxᵢxᵢ', Σxᵢyⱼ, Σyⱼyⱼ' (dx(dx+1)/2 + dx·dy + dy(dy+1)/2 sums —
+    * d²-bounded, the em07/ZCA convention), centering and the three
+    * Frobenius norms fold on the driver from that one row. No
+    * pairwise row work, no shuffle beyond the aggregate; row count
+    * never appears in any frame size.
+    */
+  /** The one-scan moment frame behind [[linearCKA]] (n, Σx, Σy, and
+    * all raw second moments as a single wide aggregate) — exposed so
+    * the plan guard can assert its shape; `linearCKA` collects its
+    * single row.
+    */
+  private[graft] def ckaMoments(df: DataFrame, x: Column, y: Column,
+                                dx: Int, dy: Int): DataFrame = {
+    val xi = (0 until dx).map(i => element_at(x, i + 1).cast("double"))
+    val yj = (0 until dy).map(j => element_at(y, j + 1).cast("double"))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 until dx).map(i => sum(xi(i)).as(s"sx_$i")) ++
+      (0 until dy).map(j => sum(yj(j)).as(s"sy_$j")) ++
+      (for (i <- 0 until dx; j <- 0 until dy)
+        yield sum(xi(i) * yj(j)).as(s"sxy_${i}_$j")) ++
+      (for (i <- 0 until dx; i2 <- i until dx)
+        yield sum(xi(i) * xi(i2)).as(s"sxx_${i}_$i2")) ++
+      (for (j <- 0 until dy; j2 <- j until dy)
+        yield sum(yj(j) * yj(j2)).as(s"syy_${j}_$j2"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def linearCKA(df: DataFrame, x: Column, y: Column,
+                dx: Int, dy: Int): DataFrame = {
+    require(dx >= 1 && dx <= 512, s"dx out of range: $dx")
+    require(dy >= 1 && dy <= 512, s"dy out of range: $dy")
+    val r = ckaMoments(df, x, y, dx, dy).head
+    val n = r.getAs[Double]("n")
+    require(n >= 2, s"linearCKA needs at least 2 rows, got $n")
+    def g(name: String): Double = r.getAs[Double](name)
+    val sx = (0 until dx).map(i => g(s"sx_$i"))
+    val sy = (0 until dy).map(j => g(s"sy_$j"))
+    var hxy = 0.0
+    for (i <- 0 until dx; j <- 0 until dy) {
+      val c = g(s"sxy_${i}_$j") - sx(i) * sy(j) / n
+      hxy += c * c
+    }
+    var hxx = 0.0
+    for (i <- 0 until dx; i2 <- i until dx) {
+      val c = g(s"sxx_${i}_$i2") - sx(i) * sx(i2) / n
+      hxx += (if (i == i2) 1.0 else 2.0) * c * c
+    }
+    var hyy = 0.0
+    for (j <- 0 until dy; j2 <- j until dy) {
+      val c = g(s"syy_${j}_$j2") - sy(j) * sy(j2) / n
+      hyy += (if (j == j2) 1.0 else 2.0) * c * c
+    }
+    val cka =
+      if (hxx == 0.0 || hyy == 0.0) 0.0
+      else hxy / math.sqrt(hxx * hyy)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((dx, dy, n.toLong, cka)).toDF("dim_x", "dim_y", "n", "cka")
+      .select(col("dim_x"), col("dim_y"), col("n"),
+        Portability.zround(col("cka"), 6).as("cka"))
+  }
 }

@@ -180,6 +180,69 @@ object Graph {
       .filter(col("core_degree") >= k)
   }
 
+  /** k-truss after a FIXED number of edge-peeling rounds (gr05): the
+    * edge analog of kCore — repeatedly drop edges lying in fewer than
+    * k−2 triangles of the CURRENT subgraph; what survives is the
+    * cohesive backbone community detectors seed from (every surviving
+    * edge is embedded in k−2 mutual-neighbor triangles, a much
+    * stronger tie than degree alone). Fixed `rounds` keeps the result
+    * oracle-replayable (kc01's convention); convergence is recorded in
+    * OpsMetrics("graft.ktruss") so callers can see whether the peel
+    * reached its fixed point or the round budget.
+    *
+    * Scale shape: each round is ONE wedge join over the sorted-
+    * orientation edge list (per-node work = degree², hub-capped by
+    * `maxDegree` with the auditable highDegreeNodes set), one
+    * edge-keyed support aggregate, one join-back filter — never a
+    * materialized neighbor list, rounds flat-checkpointed so lineage
+    * and join-size stats don't compound. Output: surviving (a, b)
+    * edges with their final support.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
+             maxDegree: Int = 10000): DataFrame = {
+    require(k >= 3, s"k must be at least 3: $k")
+    require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val hubs = highDegreeNodes(edges, maxDegree).select(col("node"))
+    var e = normalizedEdges(edges)
+      .join(hubs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+      .join(hubs.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+      .select(col("a"), col("b")).transform(flat)
+    def support(cur: DataFrame): DataFrame = {
+      val wedges = cur.select(col("a").as("x"), col("b").as("y"))
+        .join(cur.select(col("a").as("y"), col("b").as("z")), "y")
+      val tris = wedges
+        .join(cur.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      tris.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var dropped = -1L
+    var executed = 0
+    for (_ <- 1 to rounds if dropped != 0L) {
+      // inner join: an edge in no triangle has no support row and
+      // drops (k − 2 ≥ 1), exactly the truss rule
+      val e2 = e.join(support(e), Seq("a", "b"))
+        .filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).transform(flat)
+      dropped = e.count() - e2.count()
+      executed += 1
+      e = e2
+    }
+    OpsMetrics.recordConvergence("graft.ktruss", executed,
+      if (dropped == 0L) 0L else dropped)
+    e.join(support(e), Seq("a", "b"))
+  }
+
   /** Common-neighbor link prediction (jc01): for node pairs NOT
     * directly connected, the count of shared neighbors and the
     * neighbor-set Jaccard |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| — the classic
@@ -462,5 +525,44 @@ object Graph {
     }
     e.unpersist(); nodes.unpersist()
     labels
+  }
+
+  /** Newman–Girvan modularity (gr04) of a node→community assignment
+    * over an undirected graph given as a SYMMETRIZED directed edge
+    * list (both directions present — the pr01/lp01 convention). Per
+    * community c: Q_c = e_c/2m − (d_c/2m)², where e_c counts directed
+    * edges with BOTH endpoints in c, d_c sums member degrees (= the
+    * directed edges whose src lies in c), and 2m is the directed edge
+    * count. Σ_c Q_c is the modularity score — the "did the community
+    * detector find real structure, or just a partition" verdict a
+    * curation pipeline reads next to labelPropagation's output before
+    * trusting domain clusters for mixture weighting.
+    *
+    * `labels` is (node, label). Both statistics come from ONE frame
+    * (edges with src/dst labels joined back): a single label-keyed
+    * aggregate yields d_c (count) and e_c (conditional sum) together,
+    * so the edge set is scanned once and shuffled once on the label
+    * key; node counts are a second aggregate over the (small) label
+    * frame. 2m folds in as a broadcast single-row frame — no collect,
+    * no window. The per-community terms are exact integer counts; only
+    * the final contribution divides.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = labels.select(col("node"), col("label"))
+    val el = e
+      .join(lab.select(col("node").as("src"), col("label").as("__sl")), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("__dl")), "dst")
+    val perLabel = el.groupBy(col("__sl").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("__sl") === col("__dl"), 1L).otherwise(0L)).as("in_edges"))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val twoM = e.agg(count(lit(1)).as("__2m"))
+    sizes.join(perLabel, Seq("label"), "left")
+      .na.fill(0L, Seq("degree_sum", "in_edges"))
+      .crossJoin(broadcast(twoM))
+      .select(col("label"), col("n_nodes"), col("in_edges"), col("degree_sum"),
+        graft.ops.Portability.zround(col("in_edges") / col("__2m") -
+          pow(col("degree_sum") / col("__2m"), 2), 6).as("contribution"))
   }
 }

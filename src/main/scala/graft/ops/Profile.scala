@@ -343,6 +343,128 @@ object Profile {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit (pv03): the third rung of the release-privacy
+    * ladder after pv01/pv02 — an l-diverse QI group still leaks when
+    * its sensitive DISTRIBUTION diverges from the table's (the
+    * skewness attack: "that cell's salaries are diverse, but all in
+    * the top decile"). A group is t-close when the ordered Earth
+    * Mover's Distance between its sensitive distribution and the
+    * global one is ≤ t. Sensitive values discretize into `bins`
+    * equi-width bins (lo/hi folded back as literals — the sp07/psi01
+    * convention), and for an ordinal attribute the EMD is the mean
+    * |cumulative difference| across bins.
+    *
+    * One (QI, bin) aggregate over the table + one bin-sized global
+    * aggregate; the per-group bin grid zero-fills via a crossJoin with
+    * the bounded bin frame and the cumulative runs as a window
+    * PARTITIONED BY the QI key over `bins` rows — parallel across
+    * groups, nothing global. Output: one row per QI group with n,
+    * emd, and the ≤ t verdict.
+    */
+  def tCloseness(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 bins: Int = 10, t: Double = 0.2): DataFrame = {
+    require(qi.nonEmpty, "no quasi-identifier columns")
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val spark = df.sparkSession
+    val base = df.filter(sensitive.isNotNull)
+      .select((qi :+ sensitive.cast("double").as("__s")): _*)
+    val qiNames = base.columns.dropRight(1).toSeq
+    val mm = base.agg(min(col("__s")).as("lo"), max(col("__s")).as("hi")).head
+    if (mm.isNullAt(0))
+      return base.groupBy(qiNames.map(col): _*).agg(count(lit(1)).as("n"))
+        .withColumn("emd", lit(0.0)).withColumn("close", lit(true))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val step = (hi - lo) / bins
+    val binned = base.withColumn("__b",
+      if (step == 0.0) lit(0L)
+      else least(floor((col("__s") - lit(lo)) / lit(step)), lit(bins - 1L)))
+    val cells = binned.groupBy((qiNames.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val globalBins = binned.groupBy(col("__b")).agg(count(lit(1)).as("__g"))
+    val totals = binned.groupBy(qiNames.map(col): _*).agg(count(lit(1)).as("n"))
+    val nTotal = binned.agg(count(lit(1)).as("__nt"))
+    val grid = totals
+      .crossJoin(broadcast(spark.range(bins).select(col("id").as("__b"))))
+      .join(cells, qiNames :+ "__b", "left").na.fill(0L, Seq("__c"))
+      .join(broadcast(globalBins), Seq("__b"), "left").na.fill(0L, Seq("__g"))
+      .crossJoin(broadcast(nTotal))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // standard ordinal-EMD normalizer is bins−1; the final cumulative
+    // term is identically 0 (both sides sum to 1), so summing all bins
+    // adds only float dust below the rounding
+    grid
+      .withColumn("__cum", sum(col("__c") / col("n") - col("__g") / col("__nt")).over(w))
+      .groupBy((qiNames.map(col) :+ col("n")): _*)
+      .agg(Portability.zround(sum(abs(col("__cum"))) / lit((bins - 1).toDouble), 6).as("emd"))
+      .withColumn("close", col("emd") <= t)
+  }
+
+  /** Pairwise mutual information between categorical columns (dp10):
+    * dp03's correlation matrix works for numerics; for categorical
+    * schema audits ("does ship priority actually carry information
+    * about status?", "are these two enum columns redundant?") the
+    * right dependence measure is MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    * reported per column pair with the min-entropy-normalized NMI
+    * (1 = one column determines the other, 0 = independent).
+    *
+    * ONE pass over the table: a GROUPING SETS aggregate computes
+    * every pair's joint contingency counts together (k·(k−1)/2 sets,
+    * disambiguated by grouping_id), the joint frame persists at
+    * category-cardinality size, and marginals/entropies/MI derive
+    * from it per pair on bounded frames — the table is never
+    * re-scanned per pair. Rows with a NULL in any audited column are
+    * dropped (documented; count them with dp01 first).
+    */
+  def categoricalMI(df: DataFrame, dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.size >= 2 && dims.size <= 8,
+      s"categoricalMI audits 2..8 columns, got ${dims.size}")
+    val k = dims.size
+    val base = df.select(dims.zipWithIndex.map {
+      case ((_, c), i) => c.cast("string").as(s"__d$i") }: _*).na.drop()
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+    val joint = base.groupingSets(
+        pairs.map { case (i, j) => Seq(col(s"__d$i"), col(s"__d$j")) },
+        (0 until k).map(i => col(s"__d$i")): _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("__gid"))
+      .persist()
+    val out = pairs.map { case (i, j) =>
+      // grouping_id bit = 1 for columns ABSENT from the set; first
+      // column = highest bit
+      val gid = ((1 << k) - 1) & ~(1 << (k - 1 - i)) & ~(1 << (k - 1 - j))
+      val cells = joint.filter(col("__gid") === gid)
+        .select(col(s"__d$i").as("x"), col(s"__d$j").as("y"), col("n"))
+      val nTot = cells.agg(sum(col("n")).as("nt"))
+      val mx = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+      val my = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+      val hx = mx.crossJoin(broadcast(nTot))
+        .agg(sum(-(col("nx") / col("nt")) * log(col("nx") / col("nt"))).as("hx"))
+      val hy = my.crossJoin(broadcast(nTot))
+        .agg(sum(-(col("ny") / col("nt")) * log(col("ny") / col("nt"))).as("hy"))
+      cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(nTot))
+        .agg(count(lit(1)).as("n_cells"),
+          sum((col("n") / col("nt")) *
+            log(col("n") * col("nt") / (col("nx") * col("ny")))).as("__mi"))
+        .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(lit(dims(i)._1).as("col_a"), lit(dims(j)._1).as("col_b"),
+          col("n_cells"),
+          Portability.zround(col("__mi"), 6).as("mi"),
+          Portability.zround(
+            when(least(col("hx"), col("hy")) > 0,
+              col("__mi") / least(col("hx"), col("hy"))).otherwise(0.0),
+            6).as("nmi"))
+    }.reduce(_ unionByName _)
+    // the result is k·(k−1)/2 rows — materialize it eagerly so the
+    // persisted joint frame can be released here rather than leaking
+    // into the session (the mad01 lesson)
+    val res = out.localCheckpoint(true)
+    joint.unpersist(false)
+    res
+  }
+
   /** Median-absolute-deviation outliers (mad01): the robust-statistics
     * sibling of dq02's IQR fences — MAD tolerates up to 50% corrupted
     * values where quartiles start moving at 25%, which is why data-

@@ -996,6 +996,159 @@ object Stats {
       .orderBy(col("fold"))
   }
 
+  /** Mann–Whitney U rank-sum test (ev20): does `value` stochastically
+    * dominate between the two cohorts split by boolean `isA`? The
+    * distribution-free sibling of sv01's ANOVA F — the test an A/B
+    * readout reaches for when the metric is skewed (latency, spend)
+    * and a t-test's normality assumption is indefensible.
+    *
+    * Exact average-rank tie handling without a global row-level sort:
+    * ranks come from per-distinct-value cohort counts plus the
+    * bucketed prefix sum (cumCountsByValue), so rank(v) = cum_below(v)
+    * + (t_v+1)/2 — every term an integer or half-integer, hence the
+    * rank sum is BIT-EXACT across engines. One value-keyed aggregate,
+    * one bounded prefix pass, one scalar aggregate; no single-
+    * partition window anywhere. Output: one row with n_a, n_b, u_a,
+    * u_b, the tie-corrected normal z (no continuity correction), and
+    * the rank-biserial effect size 2·U_a/(n_a·n_b) − 1.
+    */
+  def mannWhitneyU(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val perValue = df.filter(value.isNotNull)
+      .groupBy(value.as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na_v"),
+        sum(when(isA, 0L).otherwise(1L)).as("nb_v"))
+      .withColumn("t_v", col("na_v") + col("nb_v"))
+    val cum = cumCountsByValue(perValue, "__v", Seq("t_v"))
+    val s = cum.agg(
+      sum(col("na_v")).as("n_a"),
+      sum(col("nb_v")).as("n_b"),
+      sum(col("na_v") * (col("cum_t_v_below") + (col("t_v") + 1) / lit(2.0))).as("r_a"),
+      sum(pow(col("t_v"), 3) - col("t_v")).as("tie_sum"))
+    s.select(col("n_a"), col("n_b"),
+        (col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        col("tie_sum"))
+      .withColumn("u_b", col("n_a") * col("n_b") - col("u_a"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__var", col("n_a") * col("n_b") / lit(12.0) *
+        ((col("__n") + 1) - col("tie_sum") / (col("__n") * (col("__n") - 1))))
+      .select(col("n_a"), col("n_b"), col("u_a"), col("u_b"),
+        Portability.zround((col("u_a") - col("n_a") * col("n_b") / lit(2.0)) /
+          sqrt(col("__var")), 6).as("z"),
+        Portability.zround(lit(2.0) * col("u_a") / (col("n_a") * col("n_b")) - 1,
+          6).as("rank_biserial"))
+  }
+
+  /** Murphy's Brier-score decomposition (ev21): the probabilistic-
+    * forecast audit that splits the Brier score into what a reliability
+    * diagram shows — REL (calibration error, lower better), RES
+    * (discrimination, higher better), UNC (the base-rate entropy no
+    * model controls): for `bins` equal-width probability bins,
+    * REL = Σ nₖ(p̄ₖ − ōₖ)²/N, RES = Σ nₖ(ōₖ − ō)²/N, UNC = ō(1 − ō).
+    * The exact Brier = mean((p − y)²) reports alongside (the binned
+    * identity REL − RES + UNC holds only within-bin, so both matter).
+    *
+    * `score` must already be a probability in [0, 1]. One (bin)-keyed
+    * aggregate collects n, Σp, Σp², Σpy, Σy per bin — the raw Brier
+    * falls out of the same sums (Σp² − 2Σpy + Σy), so the data is
+    * scanned ONCE and only a `bins`-row frame reaches the final
+    * scalar aggregate. One row out.
+    */
+  def brierDecomposition(df: DataFrame, score: Column, label: Column,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__p"),
+        label.cast("boolean").cast("int").cast("double").as("__y"))
+    val perBin = base
+      .withColumn("__bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("__p")).as("sp"), sum(col("__p") * col("__p")).as("sp2"),
+        sum(col("__p") * col("__y")).as("spy"), sum(col("__y")).as("sy"))
+    val tot = perBin.agg(sum(col("n_k")).as("n"), sum(col("sy")).as("ty"),
+      sum(col("sp2") - lit(2.0) * col("spy") + col("sy")).as("sqerr"))
+    perBin.crossJoin(broadcast(tot))
+      .withColumn("__obar", col("ty") / col("n"))
+      .groupBy(col("n"), col("__obar"),
+        Portability.zround(col("sqerr") / col("n"), 6).as("brier"))
+      .agg(
+        sum(col("n_k") * pow(col("sp") / col("n_k") - col("sy") / col("n_k"), 2)).as("__rel"),
+        sum(col("n_k") * pow(col("sy") / col("n_k") - col("__obar"), 2)).as("__res"))
+      .select(col("n"), col("brier"),
+        Portability.zround(col("__rel") / col("n"), 6).as("reliability"),
+        Portability.zround(col("__res") / col("n"), 6).as("resolution"),
+        Portability.zround(col("__obar") * (lit(1.0) - col("__obar")), 6)
+          .as("uncertainty"))
+  }
+
+  /** Bradley–Terry preference strengths (el01) from raw pairwise
+    * comparisons — the model behind RLHF reward-data audits and
+    * chatbot-arena leaderboards: each row of `comparisons` is one
+    * (winner, loser) outcome, and the fitted wᵢ are the maximum-
+    * likelihood "strengths" with P(i beats j) = wᵢ/(wᵢ+wⱼ).
+    *
+    * Fitted by `iters` rounds of the classical MM update
+    * wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ), renormalized to Σw = 1 each round
+    * (Hunter 2004's monotone algorithm — every step provably raises
+    * the likelihood, and with a fixed iteration count the result is
+    * deterministic, so an oracle can replay it as unrolled CTEs).
+    *
+    * Scale shape: the raw comparison stream collapses FIRST into the
+    * item-pair win matrix (one groupBy — the only pass over the big
+    * data); iterations then run on the matrix with item-keyed joins
+    * and aggregates only, so a million-item catalog iterates without
+    * any single point seeing more than one item's pairs. The Σw
+    * normalizer folds in as a broadcast single-row frame. Items that
+    * never win fit to strength 0 (the MLE boundary), never NaN.
+    */
+  def bradleyTerry(comparisons: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    def flat(df: DataFrame): DataFrame = {
+      val cp =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val cmp = comparisons.select(col("winner"), col("loser"))
+      .filter(col("winner").isNotNull && col("loser").isNotNull &&
+        col("winner") =!= col("loser"))
+    val pairs = cmp
+      .groupBy(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .agg(count(lit(1)).as("n")).persist()
+    val dpairs = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .union(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .persist()
+    val wins = cmp.groupBy(col("winner").as("item")).agg(count(lit(1)).as("wins"))
+    val items = dpairs.groupBy(col("i").as("item"))
+      .agg(sum(col("n")).as("n_comparisons"))
+      .join(wins, Seq("item"), "left").na.fill(0L, Seq("wins"))
+      .persist()
+    val k = items.count()
+    var w = items.select(col("item"), lit(1.0 / k).as("wt")).transform(flat)
+    for (_ <- 1 to iters) {
+      val den = dpairs
+        .join(w.select(col("item").as("i"), col("wt").as("__wi")), "i")
+        .join(w.select(col("item").as("j"), col("wt").as("__wj")), "j")
+        .groupBy(col("i").as("item"))
+        .agg(sum(col("n") / (col("__wi") + col("__wj"))).as("__den"))
+      val raw = items.select(col("item"), col("wins"))
+        .join(den, "item")
+        .select(col("item"), (col("wins") / col("__den")).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      w = raw.crossJoin(broadcast(tot))
+        .select(col("item"), (col("__raw") / col("__tot")).as("wt"))
+        .transform(flat)
+    }
+    val out = items.join(w, "item")
+      .select(col("item"), col("wins"), col("n_comparisons"),
+        Portability.zround(col("wt"), 6).as("strength"))
+    pairs.unpersist(); dpairs.unpersist(); items.unpersist()
+    out
+  }
+
   /** In-place Gaussian elimination with partial pivoting (driver-side,
     * d×d where d = feature count).
     */

@@ -17,6 +17,55 @@ object CorpusOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** The symmetrized customer↔supplier trade graph — pr01/lp01/gr04's
+    * shared edge set: an edge per distinct (customer, supplier) pair
+    * that traded, in both directions.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val ol = Tables.load(s, d, "orders")
+      .join(Tables.load(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    ol.select(col("c").as("src"), col("s").as("dst"))
+      .union(ol.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** Unrolled 4-round label-propagation CTE chain over the trade
+    * graph — the shared oracle prefix for lp01 (labels) and gr04
+    * (modularity of those labels); ends at `l4(node, label)` with
+    * `e(src, dst)` still in scope.
+    */
+  private val lpChainSql: String = {
+    // MATERIALIZED throughout: each round references l{k-1} twice
+    // (vote counts + the carry-forward), so default CTE inlining
+    // would expand the chain 2^rounds×; gr04 then reads l4 three
+    // more times on top
+    val rounds = (1 to 4).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""cnt$k AS MATERIALIZED (SELECT e.dst AS node, l.label,
+              count(*) AS c
+            FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+          rk$k AS MATERIALIZED (SELECT node, label, row_number() OVER
+              (PARTITION BY node ORDER BY c DESC, label) AS r
+            FROM cnt$k),
+          w$k AS MATERIALIZED (SELECT node, label FROM rk$k WHERE r = 1),
+          l$k AS MATERIALIZED (SELECT n.node,
+              coalesce(w.label, n.label) AS label
+            FROM $prev n LEFT JOIN w$k w ON w.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH ol AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS c,
+             's' || l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT c AS src, s AS dst FROM ol
+               UNION ALL SELECT s, c FROM ol),
+         l0 AS MATERIALIZED (SELECT node, node AS label FROM
+           (SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e)),
+         $rounds"""
+  }
+
   /** The corpus has no line structure (single-space word streams), so
     * the tx16 gate SYNTHESIZES C4-shaped lines deterministically in
     * BOTH engines: tokens chunk into 8-token lines; a line gets
@@ -172,40 +221,92 @@ object CorpusOps {
     // graph (pr01's edge set); the oracle unrolls the rounds as
     // chained CTEs — labels are strings, so the match is EXACT
     NamedQuery("lp01_label_prop",
+      (s, d) => Graph.labelPropagation(tradeEdges(s, d), rounds = 4)
+        .select(col("node"), col("label")).orderBy("node"),
+      Some(s"""$lpChainSql
+            SELECT node, label FROM l4 ORDER BY node""")),
+
+    // gr04: Newman–Girvan modularity of lp01's communities over the
+    // same trade graph — per-community in-edge counts, degree sums,
+    // and the e/2m − (d/2m)² contribution; integers everywhere except
+    // the final division, and the oracle replays the lp chain then
+    // the same two aggregates
+    NamedQuery("gr04_modularity",
       (s, d) => {
-        val ol = Tables.load(s, d, "orders")
-          .join(Tables.load(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("s"))
+        val edges = tradeEdges(s, d)
+        Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
+          .orderBy("label")
+      },
+      Some(s"""$lpChainSql,
+            el AS (SELECT ls.label AS sl, ld.label AS dl
+                   FROM e JOIN l4 ls ON ls.node = e.src
+                          JOIN l4 ld ON ld.node = e.dst),
+            per AS (SELECT sl AS label,
+                     CAST(count(*) AS BIGINT) AS degree_sum,
+                     CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                       AS in_edges
+                   FROM el GROUP BY 1),
+            sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM l4 GROUP BY 1),
+            m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e)
+           SELECT sz.label, sz.n_nodes,
+             coalesce(per.in_edges, 0) AS in_edges,
+             coalesce(per.degree_sum, 0) AS degree_sum,
+             round(coalesce(per.in_edges, 0) / m2.m -
+               power(coalesce(per.degree_sum, 0) / m2.m, 2), 6) + 0.0
+               AS contribution
+           FROM sz LEFT JOIN per ON per.label = sz.label CROSS JOIN m2
+           ORDER BY sz.label""")),
+
+    // gr05: k-truss (k = 20, 3 fixed peeling rounds) over tc01's
+    // co-supplier projection — each round recounts per-edge triangle
+    // support over the SURVIVING subgraph and drops edges below k−2
+    // (461 → 420 → 337 → 264 edges on this data: every round does
+    // real work); the oracle replays the rounds as MATERIALIZED
+    // closure CTEs and the final support recount
+    NamedQuery("gr05_k_truss",
+      (s, d) => {
+        val ps = Tables.load(s, d, "lineitem")
+          .filter(col("l_partkey") % 97 === 0 && col("l_suppkey") % 3 === 0)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
           .distinct()
-        val edges = ol.select(col("c").as("src"), col("s").as("dst"))
-          .union(ol.select(col("s").as("src"), col("c").as("dst")))
-        Graph.labelPropagation(edges, rounds = 4)
-          .select(col("node"), col("label")).orderBy("node")
+        val e = ps.as("p1").join(ps.as("p2"),
+            col("p1.part") === col("p2.part") &&
+              col("p1.supp") < col("p2.supp"))
+          .select(col("p1.supp").as("src"), col("p2.supp").as("dst"))
+        Graph.kTruss(e, k = 20, rounds = 3).orderBy("a", "b")
       },
       Some {
-        val rounds = (1 to 4).map { k =>
-          val prev = if (k == 1) "l0" else s"l${k - 1}"
-          s"""cnt$k AS (SELECT e.dst AS node, l.label, count(*) AS c
-                FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
-              rk$k AS (SELECT node, label, row_number() OVER
-                  (PARTITION BY node ORDER BY c DESC, label) AS r
-                FROM cnt$k),
-              w$k AS (SELECT node, label FROM rk$k WHERE r = 1),
-              l$k AS (SELECT n.node, coalesce(w.label, n.label) AS label
-                FROM $prev n LEFT JOIN w$k w ON w.node = n.node)"""
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) "e0" else s"e${r - 1}"
+          s"""tri$r AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b
+                              JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+              sup$r AS MATERIALIZED (SELECT a, b, count(*) AS c FROM
+                  (SELECT x AS a, y AS b FROM tri$r
+                   UNION ALL SELECT y, z FROM tri$r
+                   UNION ALL SELECT x, z FROM tri$r) GROUP BY 1, 2),
+              e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+                JOIN sup$r s ON s.a = e.a AND s.b = e.b WHERE s.c >= 18)"""
         }.mkString(",\n")
-        s"""WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c,
-                 's' || l_suppkey AS s
-               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-             e AS (SELECT c AS src, s AS dst FROM ol
-                   UNION ALL SELECT s, c FROM ol),
-             l0 AS (SELECT node, node AS label FROM
-               (SELECT DISTINCT src AS node FROM e
-                UNION SELECT DISTINCT dst FROM e)),
-             $rounds
-            SELECT node, label FROM l4 ORDER BY node"""
+        s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS part,
+                 l_suppkey AS supp
+               FROM lineitem
+               WHERE l_partkey % 97 = 0 AND l_suppkey % 3 = 0),
+             e0 AS MATERIALIZED (SELECT DISTINCT p1.supp AS a, p2.supp AS b
+               FROM ps p1 JOIN ps p2
+               ON p1.part = p2.part AND p1.supp < p2.supp),
+             $rounds,
+             trif AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e3 e1 JOIN e3 e2 ON e2.a = e1.b
+                          JOIN e3 e3x ON e3x.a = e1.a AND e3x.b = e2.b),
+             supf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM
+                 (SELECT x AS a, y AS b FROM trif
+                  UNION ALL SELECT y, z FROM trif
+                  UNION ALL SELECT x, z FROM trif) GROUP BY 1, 2)
+            SELECT e3.a, e3.b, supf.support
+            FROM e3 JOIN supf ON supf.a = e3.a AND supf.b = e3.b
+            ORDER BY e3.a, e3.b"""
       }),
 
     // gr03: per-node clustering coefficient over tc01's co-supplier

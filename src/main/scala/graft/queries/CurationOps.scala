@@ -645,6 +645,54 @@ object CurationOps {
                  / 4294967296.0 <= rate AS selected
              FROM b JOIN sh USING (domain) ORDER BY doc_id""")),
 
+    // mx05: epoch-capped budget water-filling — a 1.9×-corpus token
+    // budget spreads uniformly over sources, nobody repeats more than
+    // 2 epochs, capped sources' leftover redistributes exactly; the
+    // oracle replays the distinct-r prefix-sum frontier and the ±∞
+    // all-capped boundary (the data splits 8 capped / 12 uncapped)
+    NamedQuery("mx05_epoch_allocation",
+      (s, d) => Curation.epochAllocation(
+          docs(s, d).groupBy(col("source"))
+            .agg(sum(col("n_chars")).as("tokens")),
+          budgetRatio = 1.9, maxEpochs = 2.0)
+        .orderBy("source"),
+      Some("""WITH ps AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+                FROM documents GROUP BY 1),
+              gl AS (SELECT CAST(sum(t) AS DOUBLE) * 1.9 AS b,
+                  CAST(count(*) AS DOUBLE) AS s FROM ps),
+              wr AS (SELECT source, t, 2.0 * t * s / b AS r
+                FROM ps CROSS JOIN gl),
+              pr AS (SELECT r, CAST(sum(t) AS BIGINT) AS tr,
+                  CAST(count(*) AS BIGINT) AS cr FROM wr GROUP BY 1),
+              cm AS (SELECT pr.r, pr.tr, pr.cr, gl.b, gl.s,
+                  coalesce(sum(tr) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) + tr AS ti,
+                  coalesce(sum(cr) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) + cr AS ci
+                FROM pr CROSS JOIN gl),
+              al AS (SELECT *, CASE WHEN s - ci = 0 THEN
+                    CASE WHEN b - 2.0 * ti >= 0
+                         THEN CAST('infinity' AS DOUBLE)
+                         ELSE CAST('-infinity' AS DOUBLE) END
+                  ELSE s * (b - 2.0 * ti) / (b * (s - ci)) END AS a
+                FROM cm),
+              fr AS (SELECT
+                  coalesce(sum(CASE WHEN r <= a THEN tr END), 0) AS capt,
+                  coalesce(sum(CASE WHEN r <= a THEN cr END), 0) AS capc,
+                  max(b) AS b, max(s) AS s FROM al),
+              ast AS (SELECT CASE WHEN s - capc = 0
+                    THEN CAST('infinity' AS DOUBLE)
+                  ELSE s * (b - 2.0 * capt) / (b * (s - capc)) END AS astar,
+                  b, s FROM fr)
+             SELECT w.source, w.t AS tokens, (w.r <= ast.astar) AS capped,
+               round(CASE WHEN w.r <= ast.astar THEN 2.0 * w.t / w.t
+                     ELSE ast.astar * (ast.b / ast.s) / w.t END, 6) + 0.0
+                 AS epochs,
+               round(CASE WHEN w.r <= ast.astar THEN 2.0 * w.t
+                     ELSE ast.astar * (ast.b / ast.s) END, 2) + 0.0
+                 AS tokens_drawn
+             FROM wr w CROSS JOIN ast ORDER BY w.source""")),
+
     // sp07: temporal embargo split over events — train before the
     // 0.75-quantile timestamp (binary-exact fraction, so the
     // interpolated boundary replays bit-for-bit), a 1-day embargo
@@ -663,6 +711,92 @@ object CurationOps {
                     WHEN us < tq + 86400000000 THEN 'embargo'
                     ELSE 'test' END AS split
              FROM b, q ORDER BY event_id""")),
+
+    // sp08: rolling-origin cross-validation over the event timeline —
+    // 4 folds, growing train prefix, sliding next-slice test window;
+    // the gate aggregates per (fold, role) counts and timestamp
+    // extents, the oracle replays the fold grid and the CASE
+    NamedQuery("sp08_rolling_origin",
+      (s, d) => Curation.rollingOriginSplits(Tables.load(s, d, "events"),
+          col("event_id"), col("ts"), folds = 4)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+        .orderBy("fold", "role"),
+      Some("""WITH b AS (SELECT event_id, epoch_us(ts) AS us FROM events
+                         WHERE ts IS NOT NULL),
+              mm AS (SELECT min(us) AS lo, max(us) AS hi FROM b),
+              g AS (SELECT unnest(range(1, 5)) AS fold),
+              a AS (SELECT b.event_id, g.fold, b.us,
+                  CASE WHEN b.us <= lo + (hi - lo) * fold / 5.0
+                         THEN 'train'
+                       WHEN b.us <= lo + (hi - lo) * (fold + 1) / 5.0
+                         THEN 'test'
+                       ELSE 'unused' END AS role
+                FROM b CROSS JOIN g CROSS JOIN mm)
+             SELECT fold, role, CAST(count(*) AS BIGINT) AS n_rows,
+               min(us) AS min_us, max(us) AS max_us
+             FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pp06: the per-source data card — the "datasheet for datasets"
+    // report a release pipeline stamps on every corpus drop: doc and
+    // token counts, language spread, exact-duplicate accounting
+    // (dd01's hash), and mean quality (tx02's score), all off ONE
+    // persisted pass over the documents table
+    NamedQuery("pp06_datacard",
+      (s, d) => {
+        val dcs = docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = graft.ops.TextAnalysis.tokenStats(dcs)
+          .select(col("doc_id"), col("n_tokens"))
+        val q = graft.ops.TextAnalysis.quality(dcs)
+          .select(col("doc_id"), col("quality_score"))
+        val h = dcs.select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("__ch"))
+        val keep = h.groupBy(col("__ch")).agg(min(col("doc_id")).as("__keep"))
+        val dup = h.join(keep, "__ch")
+          .select(col("doc_id"), (col("doc_id") =!= col("__keep")).as("__dup"))
+        val out = dcs.select(col("doc_id"), col("source"), col("lang"))
+          .join(t, "doc_id").join(q, "doc_id").join(dup, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_docs"),
+            graft.ops.Portability.zround(avg(col("quality_score")), 6)
+              .as("mean_quality"))
+          .withColumn("dup_rate",
+            graft.ops.Portability.zround(col("dup_docs") / col("n_docs"), 6))
+          .orderBy("source")
+          .localCheckpoint(true)
+        dcs.unpersist(false)
+        out
+      },
+      Some("""WITH tq AS (SELECT doc_id, source, lang,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                    AS n_tokens,
+                  round((CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                      / len(string_split_regex(text, '\s+'))) * 0.5 +
+                    (CASE WHEN length(text) BETWEEN 50 AND 10000
+                          THEN 1.0 ELSE 0.0 END) * 0.3 +
+                    least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is','it')))
+                        AS DOUBLE)
+                      / len(string_split_regex(text, '\s+')) * 5, 1.0) * 0.2,
+                    4) AS quality_score,
+                  md5(lower(trim(text))) AS ch
+                FROM documents),
+              keep AS (SELECT ch, min(doc_id) AS keep_id FROM tq GROUP BY 1)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN tq.doc_id <> keep.keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dup_docs,
+               round(avg(quality_score), 6) + 0.0 AS mean_quality,
+               round(sum(CASE WHEN tq.doc_id <> keep.keep_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate
+             FROM tq JOIN keep USING (ch) GROUP BY 1 ORDER BY 1""")),
 
     // pp04: the round-11 selection pipeline end-to-end — domain cap
     // (5% token share) → token-budget greedy selection (distinct-token

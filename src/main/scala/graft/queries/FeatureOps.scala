@@ -211,6 +211,98 @@ object FeatureOps {
                count(DISTINCT floor(c_acctbal / 1000)) >= 8 AS diverse
              FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // pv03: t-closeness audit over pv01/pv02's QI groups — ordered
+    // Earth-Mover's Distance between each group's account-balance
+    // distribution (10 equi-width bins, lo/hi literal-folded) and the
+    // table's; the skewness attack l-diversity misses. The oracle
+    // replays the binning, the zero-filled grid, and the cumulative
+    // |difference| sum
+    NamedQuery("pv03_t_closeness",
+      (s, d) => Profile.tCloseness(
+          Tables.load(s, d, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          col("c_acctbal"), bins = 10, t = 0.2)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(c_acctbal AS DOUBLE) AS s
+                FROM customer WHERE c_acctbal IS NOT NULL),
+              mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+              bb AS (SELECT c_nationkey, c_mktsegment,
+                  least(CAST(floor((s - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                    9) AS bkt
+                FROM b CROSS JOIN mm),
+              cells AS (SELECT c_nationkey, c_mktsegment, bkt, count(*) AS c
+                FROM bb GROUP BY 1, 2, 3),
+              gb AS (SELECT bkt, count(*) AS g FROM bb GROUP BY 1),
+              tot AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS n FROM bb GROUP BY 1, 2),
+              nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM bb),
+              grid AS (SELECT t.c_nationkey, t.c_mktsegment, t.n, r.bkt,
+                  CAST(coalesce(c.c, 0) AS DOUBLE) AS c,
+                  CAST(coalesce(gb.g, 0) AS DOUBLE) AS g
+                FROM tot t
+                CROSS JOIN (SELECT unnest(range(0, 10)) AS bkt) r
+                LEFT JOIN cells c ON c.c_nationkey = t.c_nationkey
+                  AND c.c_mktsegment = t.c_mktsegment AND c.bkt = r.bkt
+                LEFT JOIN gb ON gb.bkt = r.bkt),
+              cum AS (SELECT c_nationkey, c_mktsegment, n, bkt,
+                  sum(c / n - g / (SELECT nt FROM nt)) OVER
+                    (PARTITION BY c_nationkey, c_mktsegment ORDER BY bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+                FROM grid)
+             SELECT c_nationkey, c_mktsegment, n,
+               round(sum(abs(cd)) / 9.0, 6) + 0.0 AS emd,
+               (round(sum(abs(cd)) / 9.0, 6) + 0.0) <= 0.2 AS close
+             FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
+
+    // dp10: pairwise mutual information between three categorical
+    // order dimensions (status, priority, order month) — one
+    // GROUPING SETS pass builds all three contingency tables, MI/NMI
+    // derive on bounded frames; the oracle recomputes each pair
+    NamedQuery("dp10_categorical_mi",
+      (s, d) => Profile.categoricalMI(Tables.load(s, d, "orders"),
+          Seq(("o_orderstatus", col("o_orderstatus")),
+            ("o_orderpriority", col("o_orderpriority")),
+            ("order_month", month(col("o_orderdate")).cast("string"))))
+        .orderBy("col_a", "col_b"),
+      Some {
+        def pair(xa: String, xb: String, na: String, nb: String): String =
+          s"""SELECT '$na' AS col_a, '$nb' AS col_b, n_cells,
+               round(mi, 6) + 0.0 AS mi,
+               round(CASE WHEN least(hx, hy) > 0 THEN mi / least(hx, hy)
+                     ELSE 0.0 END, 6) + 0.0 AS nmi
+             FROM
+               (WITH j AS (SELECT $xa AS x, $xb AS y,
+                     CAST(count(*) AS BIGINT) AS n FROM ord GROUP BY 1, 2),
+                 nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM j),
+                 mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx
+                        FROM j GROUP BY 1),
+                 my AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny
+                        FROM j GROUP BY 1),
+                 hxc AS (SELECT sum(-(nx / nt) * ln(nx / nt)) AS hx
+                         FROM mx CROSS JOIN nt),
+                 hyc AS (SELECT sum(-(ny / nt) * ln(ny / nt)) AS hy
+                         FROM my CROSS JOIN nt),
+                 mic AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     sum((n / nt) * ln(n * nt / (nx * CAST(ny AS DOUBLE))))
+                       AS mi
+                   FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt)
+                SELECT * FROM mic CROSS JOIN hxc CROSS JOIN hyc)"""
+        s"""WITH ord AS (SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+               CAST(o_orderpriority AS VARCHAR) AS pr,
+               CAST(month(o_orderdate) AS VARCHAR) AS mo
+             FROM orders
+             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+               AND o_orderdate IS NOT NULL)
+           SELECT * FROM (
+             ${pair("st", "pr", "o_orderstatus", "o_orderpriority")}
+             UNION ALL
+             ${pair("st", "mo", "o_orderstatus", "order_month")}
+             UNION ALL
+             ${pair("pr", "mo", "o_orderpriority", "order_month")})
+           ORDER BY col_a, col_b"""
+      }),
+
     // psi01: Population Stability Index of order totalprice, pre-1998
     // baseline vs 1998+ current — baseline-decile bins (exact
     // interpolated quantiles folded back as literals), add-half

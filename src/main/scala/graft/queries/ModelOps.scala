@@ -826,6 +826,154 @@ object ModelOps {
                frac * (q[CAST(i + 2 AS INTEGER)] - q[CAST(i + 1 AS INTEGER)]),
                4) AS normalized
            FROM m CROSS JOIN bq ORDER BY v"""
+      }),
+
+    // ev20: Mann–Whitney U rank-sum test, click vs view event values —
+    // exact average-rank ties from the bucketed prefix sum (no global
+    // row-level sort), tie-corrected z, rank-biserial effect size; the
+    // rank sum is integer/half-integer arithmetic, so it is bit-exact
+    // and only z/effect round
+    NamedQuery("ev20_mann_whitney",
+      (s, d) => Stats.mannWhitneyU(
+        Tables.load(s, d, "events")
+          .filter(col("event_type").isin("click", "view")),
+        col("value"), col("event_type") === "click"),
+      Some("""WITH base AS (SELECT value AS v, (event_type = 'click') AS a
+               FROM events
+               WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+              pv AS (SELECT v,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+                FROM base GROUP BY 1),
+              c AS (SELECT *, na + nb AS t,
+                  coalesce(sum(na + nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM pv),
+              s AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                  CAST(sum(nb) AS BIGINT) AS n_b,
+                  sum(na * (cum + (t + 1) / 2.0)) AS r_a,
+                  sum(power(t, 3) - t) AS tie_sum FROM c)
+             SELECT n_a, n_b,
+               r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+               n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0) AS u_b,
+               round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) /
+                 sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) -
+                   tie_sum / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+                 6) + 0.0 AS z,
+               round(2.0 * (r_a - n_a * (n_a + 1) / 2.0) / (n_a * n_b) - 1,
+                 6) + 0.0 AS rank_biserial
+             FROM s""")),
+
+    // ev21: Murphy decomposition of the Brier score over ev02's
+    // normalized first-dimension score vs the label<5 outcome —
+    // REL/RES/UNC from one bin-keyed aggregate, raw Brier from the
+    // same per-bin sums; the oracle replays bins and moments
+    NamedQuery("ev21_brier_decomposition",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull)
+        val mm = e.agg(min(element_at(col("embedding"), 1).cast("double")),
+          max(element_at(col("embedding"), 1).cast("double"))).head
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        Stats.brierDecomposition(e,
+          (element_at(col("embedding"), 1).cast("double") - lit(lo)) /
+            lit(hi - lo),
+          col("label") < 5, bins = 10)
+      },
+      Some("""WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+                  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+              p AS (SELECT (s - lo) / (hi - lo) AS p, y
+                FROM b CROSS JOIN mm),
+              pb AS (SELECT least(floor(p * 10), 9) AS bin,
+                  CAST(count(*) AS BIGINT) AS n_k,
+                  sum(p) AS sp, sum(p * p) AS sp2,
+                  sum(p * y) AS spy, sum(y) AS sy
+                FROM p GROUP BY 1),
+              tt AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                  sum(sy) AS ty,
+                  sum(sp2 - 2 * spy + sy) AS sqerr FROM pb),
+              fin AS (SELECT tt.n, tt.ty / tt.n AS obar,
+                  round(tt.sqerr / tt.n, 6) + 0.0 AS brier,
+                  sum(pb.n_k * power(pb.sp / pb.n_k - pb.sy / pb.n_k, 2))
+                    AS rel,
+                  sum(pb.n_k * power(pb.sy / pb.n_k - tt.ty / tt.n, 2))
+                    AS res
+                FROM pb CROSS JOIN tt GROUP BY 1, 2, 3)
+             SELECT n, brier,
+               round(rel / n, 6) + 0.0 AS reliability,
+               round(res / n, 6) + 0.0 AS resolution,
+               round(obar * (1.0 - obar), 6) + 0.0 AS uncertainty
+             FROM fin""")),
+
+    // el01: Bradley–Terry preference strengths from pairwise
+    // comparisons — consecutive same-user events pair up (lead over
+    // the user timeline), higher value wins, self/tied pairs drop;
+    // 8 MM rounds, renormalized each round; the oracle unrolls the
+    // iterations as chained CTEs (the pr01 convention)
+    NamedQuery("el01_bradley_terry",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val nx = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("t1"), col("value").as("v1"))
+          .withColumn("t2", lead(col("t1"), 1).over(w))
+          .withColumn("v2", lead(col("v1"), 1).over(w))
+          .filter(col("t2").isNotNull && col("v1") =!= col("v2") &&
+            col("t1") =!= col("t2"))
+        val cmp = nx.select(
+          when(col("v1") > col("v2"), col("t1")).otherwise(col("t2")).as("winner"),
+          when(col("v1") > col("v2"), col("t2")).otherwise(col("t1")).as("loser"))
+        Stats.bradleyTerry(cmp, iters = 8).orderBy("item")
+      },
+      Some {
+        // every iteration CTE is MATERIALIZED: w{k-1} is referenced
+        // twice per round, so DuckDB's default inlining would expand
+        // the chain 2^8× (the kc01/sim06 convention)
+        val iters = (1 to 8).map { k =>
+          val prev = s"w${k - 1}"
+          s"""d$k AS MATERIALIZED (SELECT dp.i AS item,
+                  sum(dp.n / (wi.wt + wj.wt)) AS den
+                FROM dp JOIN $prev wi ON wi.item = dp.i
+                        JOIN $prev wj ON wj.item = dp.j GROUP BY 1),
+              r$k AS MATERIALIZED (SELECT d$k.item,
+                  coalesce(wn.wins, 0) / den AS rw
+                FROM d$k LEFT JOIN wn ON wn.item = d$k.item),
+              w$k AS MATERIALIZED (SELECT item,
+                  rw / (SELECT sum(rw) FROM r$k) AS wt
+                FROM r$k)"""
+        }.mkString(",\n")
+        s"""WITH nx AS MATERIALIZED (SELECT event_type AS t1, value AS v1,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY event_id) AS t2,
+                lead(value) OVER (PARTITION BY user_id
+                  ORDER BY event_id) AS v2
+              FROM events),
+            cmp AS MATERIALIZED (SELECT
+                     CASE WHEN v1 > v2 THEN t1 ELSE t2 END AS winner,
+                     CASE WHEN v1 > v2 THEN t2 ELSE t1 END AS loser
+              FROM nx WHERE t2 IS NOT NULL AND v1 <> v2 AND t1 <> t2),
+            pairs AS MATERIALIZED (SELECT least(winner, loser) AS a,
+                       greatest(winner, loser) AS b, count(*) AS n
+              FROM cmp GROUP BY 1, 2),
+            dp AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pairs
+                   UNION ALL SELECT b, a, n FROM pairs),
+            wn AS MATERIALIZED (SELECT winner AS item,
+                CAST(count(*) AS BIGINT) AS wins
+              FROM cmp GROUP BY 1),
+            it AS MATERIALIZED (SELECT i AS item,
+                CAST(sum(n) AS BIGINT) AS n_comparisons
+              FROM dp GROUP BY 1),
+            w0 AS MATERIALIZED (SELECT item,
+                1.0 / (SELECT count(*) FROM it) AS wt FROM it),
+            $iters
+           SELECT it.item, CAST(coalesce(wn.wins, 0) AS BIGINT) AS wins,
+             it.n_comparisons, round(w8.wt, 6) + 0.0 AS strength
+           FROM it JOIN w8 USING (item) LEFT JOIN wn USING (item)
+           ORDER BY item"""
       })
   )
 }

@@ -796,6 +796,53 @@ object PipelineOps {
                GROUP BY 1, 2)
              SELECT vec_id, d, v FROM proj ORDER BY vec_id, d""")),
 
+    // em13: linear CKA between the first-16-dim slice of the raw
+    // embeddings and em05's 8-dim JL projection — the "did compression
+    // keep the geometry" readout; one wide moment aggregate in Spark,
+    // and the oracle rebuilds the same moments via unnest joins (the
+    // projection replayed with em05's md5 sign matrix, unrounded)
+    NamedQuery("em13_cka",
+      (s, d) => {
+        val pr = Embeddings.randomProjection(embs(s, d), inDim = 64, outDim = 8)
+        Embeddings.linearCKA(pr, col("embedding"), col("rp_embedding"),
+          dx = 16, dy = 8)
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS j,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+             xs AS (SELECT vec_id, j AS i, x FROM ex WHERE j < 16),
+             dims AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS d),
+             signs AS (SELECT d, j,
+                 CASE WHEN strpos('02468ace',
+                     substr(md5('rp:' || CAST(d AS VARCHAR) || ':' ||
+                       CAST(j AS VARCHAR)), 1, 1)) > 0
+                   THEN 1.0 ELSE -1.0 END AS sgn
+               FROM dims CROSS JOIN (SELECT DISTINCT j FROM ex)),
+             ys AS (SELECT e.vec_id, s.d, sum(s.sgn * e.x) / 8.0 AS y
+               FROM ex e JOIN signs s ON s.j = e.j GROUP BY 1, 2),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+             sx AS (SELECT i, sum(x) AS sx FROM xs GROUP BY 1),
+             sy AS (SELECT d, sum(y) AS sy FROM ys GROUP BY 1),
+             hxy AS (SELECT sum(power(m.sxy - sx.sx * sy.sy / nn.n, 2)) AS h
+               FROM (SELECT xs.i, ys.d, sum(xs.x * ys.y) AS sxy
+                     FROM xs JOIN ys ON ys.vec_id = xs.vec_id
+                     GROUP BY 1, 2) m
+               JOIN sx ON sx.i = m.i JOIN sy ON sy.d = m.d CROSS JOIN nn),
+             hxx AS (SELECT sum(power(m.sxx - a.sx * b.sx / nn.n, 2)) AS h
+               FROM (SELECT x1.i AS i1, x2.i AS i2, sum(x1.x * x2.x) AS sxx
+                     FROM xs x1 JOIN xs x2 ON x2.vec_id = x1.vec_id
+                     GROUP BY 1, 2) m
+               JOIN sx a ON a.i = m.i1 JOIN sx b ON b.i = m.i2 CROSS JOIN nn),
+             hyy AS (SELECT sum(power(m.syy - a.sy * b.sy / nn.n, 2)) AS h
+               FROM (SELECT y1.d AS d1, y2.d AS d2, sum(y1.y * y2.y) AS syy
+                     FROM ys y1 JOIN ys y2 ON y2.vec_id = y1.vec_id
+                     GROUP BY 1, 2) m
+               JOIN sy a ON a.d = m.d1 JOIN sy b ON b.d = m.d2 CROSS JOIN nn)
+             SELECT CAST(16 AS INT) AS dim_x, CAST(8 AS INT) AS dim_y,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+               round(hxy.h / sqrt(hxx.h * hyy.h), 6) + 0.0 AS cka
+             FROM hxy, hxx, hyy""")),
+
     // Hard negatives: top-5 most-similar vectors with a DIFFERENT
     // label for the first 10 queries — the contrastive-training
     // near-miss miner; same broadcast shape as sim01 plus the label
@@ -3020,6 +3067,78 @@ object PipelineOps {
                CAST(coalesce(min(CASE WHEN i = 67 THEN us END), -1)
                  AS BIGINT) AS first_hit_us
              FROM o GROUP BY user_id, n ORDER BY user_id""")),
+
+    // st11: streaming TTL-deduplicated admission EXECUTED end-to-end —
+    // per (user, event_type) key, admit at most one event per 4-day
+    // window measured from the LAST ADMISSION (greedy chain), state =
+    // one long per key; three time-ordered micro-batches prove the
+    // chain carries across batch boundaries. The oracle replays the
+    // greedy chain as a recursive CTE (each step admits the next
+    // event ≥ last + TTL per key).
+    NamedQuery("st11_ttl_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select(concat(col("user_id"), lit("#"), col("event_type")).as("k"),
+            unix_micros(col("ts")).as("us"), col("event_id").as("tb"),
+            col("value").cast("double").as("v"))
+        val cuts = ev.agg(percentile(col("us"), lit(0.25)).as("c1"),
+          percentile(col("us"), lit(0.5)).as("c2")).head
+        val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+        val tmp = java.nio.file.Files.createTempDirectory("st11").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(
+          ("b0", col("us") <= c1),
+          ("b1", col("us") > c1 && col("us") <= c2),
+          ("b2", col("us") > c2)).zipWithIndex.foreach {
+          case ((nm, pred), i) =>
+            val stage = s"$tmp/stage_$nm"
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(src, s"$nm.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .as[graft.streaming.EventStream.TtlEvent]
+        val out = s"$tmp/out"
+        val q = graft.streaming.EventStream
+          .ttlDedup(stream, ttlUs = 345600000000L)
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStream.TtlAdmit],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$tmp/ck").start()
+        q.processAllAvailable(); q.stop()
+        s.read.parquet(out)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_admitted"),
+            min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+            round(sum(col("v")), 4).as("sum_value"))
+          .orderBy("k")
+      },
+      Some("""WITH RECURSIVE
+              ev AS (SELECT user_id || '#' || event_type AS k,
+                       epoch_us(ts) AS us, value AS v FROM events),
+              adm(k, us, v) AS (
+                SELECT e.k, e.us, e.v FROM ev e
+                  WHERE NOT EXISTS (SELECT 1 FROM ev x
+                    WHERE x.k = e.k AND x.us < e.us)
+                UNION ALL
+                SELECT e.k, e.us, e.v
+                FROM adm a JOIN ev e
+                  ON e.k = a.k AND e.us >= a.us + 345600000000
+                WHERE NOT EXISTS (SELECT 1 FROM ev x
+                  WHERE x.k = e.k AND x.us >= a.us + 345600000000
+                    AND x.us < e.us))
+             SELECT k, CAST(count(*) AS BIGINT) AS n_admitted,
+               min(us) AS first_us, max(us) AS last_us,
+               round(sum(v), 4) AS sum_value
+             FROM adm GROUP BY k ORDER BY k""")),
 
     // HOPPING (sliding) windows: 2-hour windows advancing hourly —
     // every event lands in exactly two. Spark's window(slide) TVF vs

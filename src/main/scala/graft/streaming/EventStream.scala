@@ -344,4 +344,48 @@ object EventStream {
         ()
       }
       .start()
+
+  final case class TtlEvent(k: String, us: Long, tb: Long, v: Double)
+  final case class TtlState(lastAdmittedUs: Long)
+  final case class TtlAdmit(k: String, us: Long, v: Double)
+
+  /** Streaming TTL-deduplicated admission (st11): per key, admit an
+    * event iff at least `ttlUs` has passed since the LAST ADMITTED
+    * event of that key — the "send at most one alert/sample per key
+    * per window, but re-admit when it recurs later" policy a
+    * monitoring or sampled-ingest pipeline needs where st03's
+    * dropDuplicates (suppress forever) and de01's debounce (gap from
+    * the previous EVENT, admitted or not) are both wrong.
+    *
+    * Semantics (greedy chain, the unique deterministic reading): the
+    * first event per key admits; each subsequent event admits iff
+    * us ≥ last_admitted + ttlUs. State per key is ONE long regardless
+    * of stream length; each micro-batch's per-key slice sorts by
+    * (us, tb) in memory (the st09 convention), so the admitted set
+    * equals the batch replay's greedy chain no matter how the stream
+    * splits into batches. Exact same-key same-us duplicates collapse
+    * to one admission (sort ties break on tb, and an equal timestamp
+    * never clears a positive TTL). At 100 TB/day the keyed state
+    * store shards the single-long states across executors; pair with
+    * an event-time watermark timeout when key churn is unbounded.
+    */
+  def ttlDedup(events: Dataset[TtlEvent], ttlUs: Long): Dataset[TtlAdmit] = {
+    import events.sparkSession.implicits._
+    require(ttlUs > 0, s"ttlUs must be positive: $ttlUs")
+    events.groupByKey(_.k).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: String, it: Iterator[TtlEvent], state: GroupState[TtlState]) => {
+        val evs = it.toArray.sortBy(e => (e.us, e.tb))
+        var last = state.getOption.map(_.lastAdmittedUs).getOrElse(Long.MinValue)
+        val admitted = scala.collection.mutable.ArrayBuffer.empty[TtlAdmit]
+        evs.foreach { e =>
+          if (last == Long.MinValue || e.us >= last + ttlUs) {
+            admitted += TtlAdmit(key, e.us, e.v)
+            last = e.us
+          }
+        }
+        if (evs.nonEmpty) state.update(TtlState(last))
+        admitted.iterator
+      })
+  }
 }

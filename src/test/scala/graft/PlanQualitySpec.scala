@@ -820,4 +820,97 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("BroadcastExchange"),
       s"the query batch must broadcast against the corpus scan: ${p.take(600)}")
   }
+
+  test("gr04: both modularity statistics come off one label-keyed partial aggregate") {
+    val p = planOf("gr04_modularity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"modularity aggregate not two-phase: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"the 2m scalar must broadcast, not cartesian: ${p.take(600)}")
+  }
+
+  /** Every window in `plan` must PARTITION BY a column containing
+    * `key` — the direct check that no cumulative/rank serialized onto
+    * one task (benign 1-row scalar-aggregate exchanges stay allowed).
+    */
+  private def windowsPartitionedBy(plan: String, key: String): Boolean =
+    plan.split("windowspecdefinition\\(").drop(1)
+      .forall(_.take(80).contains(key))
+
+  test("ev20: rank sums never plan a global row-level window") {
+    // the classic failure mode is rank().over(orderBy(v)) — every
+    // distinct value through ONE task; the bucketed prefix sum must
+    // keep every window PARTITIONED BY the bucket key
+    val p = planOf("ev20_mann_whitney")
+    assert(p.contains("windowspecdefinition"), p.take(400))
+    assert(windowsPartitionedBy(p, "__bkt"),
+      s"a window lost its bucket partitioning: ${p.take(800)}")
+  }
+
+  test("mx05: the frontier scan is bucket-partitioned; the final alpha broadcasts") {
+    val p = planOf("mx05_epoch_allocation")
+    assert(windowsPartitionedBy(p, "__bkt"),
+      s"the frontier prefix lost its bucket partitioning: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"per-source membership must read alpha off a broadcast: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("em13: CKA moments are one wide partial aggregate over a single scan") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, dir, "embeddings")
+    val p = ops.Embeddings.ckaMoments(
+        ops.Embeddings.randomProjection(e, inDim = 64, outDim = 8),
+        col("embedding"), col("rp_embedding"), dx = 16, dy = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"moment aggregate not two-phase: ${p.take(600)}")
+    val scans = "Scan parquet".r.findAllIn(p).length +
+      "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"CKA re-scans the embeddings ($scans scans): ${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join belongs in a single-pass moment aggregate: ${p.take(600)}")
+  }
+
+  test("el01: MM iterations stay item-keyed — no cartesian, normalizer broadcasts") {
+    val p = planOf("el01_bradley_terry")
+    assert(!p.contains("CartesianProduct"),
+      s"the Σw normalizer must broadcast: ${p.take(600)}")
+  }
+
+  test("ev21: Brier moments are one bin-keyed two-phase aggregate, no joins on rows") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val p = ops.Stats.brierDecomposition(
+        Tables.load(spark, dir, "embeddings"),
+        element_at(col("embedding"), 1).cast("double") / 10.0,
+        col("label") < 5, bins = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"bin aggregate not two-phase: ${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"row-sized join in a moment pass: ${p.take(600)}")
+  }
+
+  test("sp08: the fold grid broadcasts; role assignment is scan-speed") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Curation.rollingOriginSplits(
+        Tables.load(spark, dir, "events"), col("event_id"), col("ts"),
+        folds = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the folds-row grid must broadcast: ${p.take(600)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"role assignment shuffled the event rows: ${p.take(600)}")
+  }
+
+  test("pv03: bin grids broadcast; the cumulative runs partitioned by the QI key") {
+    val p = planOf("pv03_t_closeness")
+    assert(p.contains("windowspecdefinition"), p.take(400))
+    assert(windowsPartitionedBy(p, "c_nationkey"),
+      s"the EMD cumulative lost its QI partitioning: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 10-bin grid must broadcast: ${p.take(600)}")
+  }
 }

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Unit coverage for the round-12 batch-1 operators: modularity
+  * (gr04), Bradley–Terry preference fitting (el01), Mann–Whitney U
+  * (ev20), t-closeness (pv03), epoch-capped water-filling (mx05), and
+  * linear CKA (em13) — hand-computable cases with known closed forms.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sym(pairs: (String, String)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("modularity: two disjoint triangles with their own labels score 0.25 each") {
+    val edges = sym(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val labels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("node", "label")
+    val rows = Graph.modularity(edges, labels).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // per community: 6 directed in-edges, degree sum 6, 2m = 12
+    // → 6/12 − (6/12)² = 0.25; total Q = 0.5 (perfect 2-clustering)
+    assert(rows("A") == (3L, 6L, 6L, 0.25))
+    assert(rows("B") == (3L, 6L, 6L, 0.25))
+  }
+
+  test("modularity: everything in one community scores 2m-normalized zero") {
+    val edges = sym(("a", "b"), ("b", "c"))
+    val labels = Seq("a" -> "X", "b" -> "X", "c" -> "X").toDF("node", "label")
+    val r = Graph.modularity(edges, labels).collect().head
+    // e_c = 2m and d_c = 2m → 1 − 1² = 0: one blob has no structure
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("bradleyTerry: 3:1 head-to-head fits the closed-form 0.75/0.25 split") {
+    val cmp = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val out = Stats.bradleyTerry(cmp, iters = 12).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // MLE for two items: w_A/(w_A+w_B) = 3/4 under Σw = 1
+    assert(math.abs(out("A") - 0.75) < 1e-4, s"got ${out("A")}")
+    assert(math.abs(out("B") - 0.25) < 1e-4)
+  }
+
+  test("bradleyTerry: transitive dominance orders strengths; zero-win item fits 0") {
+    val cmp = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(3)(("B", "C")) ++ Seq(("C", "B")) ++
+      Seq.fill(4)(("A", "D"))).toDF("winner", "loser")
+    val rows = Stats.bradleyTerry(cmp, iters = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val s = rows.map(r => r._1 -> r._3).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s"ordering broke: $s")
+    assert(s("D") == 0.0, "an item that never wins sits at the MLE boundary")
+    val wins = rows.map(r => r._1 -> r._2).toMap
+    assert(wins("A") == 7L && wins("D") == 0L)
+  }
+
+  test("mannWhitneyU: fully separated groups give U_a = 0") {
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("v", "a")
+    val r = Stats.mannWhitneyU(df, col("v"), col("a")).collect().head
+    assert(r.getAs[Double]("u_a") == 0.0 && r.getAs[Double]("u_b") == 9.0)
+    assert(r.getAs[Double]("z") < 0)
+    assert(r.getAs[Double]("rank_biserial") == -1.0)
+  }
+
+  test("mannWhitneyU: tied values get average ranks (hand case)") {
+    // A = {1, 2}, B = {2, 3}: ranks 1, 2.5, 2.5, 4
+    // R_A = 3.5 → U_A = 3.5 − 3 = 0.5, U_B = 4 − 0.5 = 3.5
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val r = Stats.mannWhitneyU(df, col("v"), col("a")).collect().head
+    assert(r.getAs[Double]("u_a") == 0.5 && r.getAs[Double]("u_b") == 3.5)
+  }
+
+  test("tCloseness: a class mirroring the global distribution is 0-distant") {
+    // two classes, each uniform over the same two extreme values →
+    // both class distributions equal the global one exactly
+    val df = Seq(("g1", 0.0), ("g1", 10.0), ("g2", 0.0), ("g2", 10.0))
+      .toDF("qi", "s")
+    val rows = Profile.tCloseness(df, Seq(col("qi")), col("s"), bins = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("emd")).toMap
+    assert(rows("g1") == 0.0 && rows("g2") == 0.0)
+  }
+
+  test("tCloseness: a skewed class is flagged, a mirroring class is not") {
+    // g1 all at the minimum, g2 spread like the remainder
+    val df = (Seq.fill(4)(("g1", 0.0)) ++
+      Seq(("g2", 0.0), ("g2", 0.0), ("g2", 0.0), ("g2", 0.0),
+        ("g2", 10.0), ("g2", 10.0), ("g2", 10.0), ("g2", 10.0)))
+      .toDF("qi", "s")
+    val rows = Profile.tCloseness(df, Seq(col("qi")), col("s"),
+        bins = 10, t = 0.2).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("emd"), r.getAs[Boolean]("close"))).toMap
+    // global: 8/12 at bin 0, 4/12 at bin 9; g1: all at bin 0 →
+    // cum diff 1/3 across 9 bin steps → EMD = 9·(1/3)/9 = 1/3
+    assert(math.abs(rows("g1")._1 - 1.0 / 3) < 1e-6 && !rows("g1")._2)
+    assert(rows("g2")._1 < 0.2 && rows("g2")._2)
+  }
+
+  test("epochAllocation: frontier splits capped and uncapped exactly") {
+    // T = (100, 300), B = 1.0×ΣT = 400, E = 2: want = 200 each;
+    // source s1 caps at 200 (exactly its share — the boundary case),
+    // s2 draws the α·want = 200 → 2/3 of an epoch
+    val df = Seq(("s1", 100L), ("s2", 300L)).toDF("source", "tokens")
+    val rows = Curation.epochAllocation(df, budgetRatio = 1.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getAs[Double]("epochs"),
+          r.getAs[Double]("tokens_drawn"))).toMap
+    assert(rows("s1") == ((true, 2.0, 200.0)))
+    assert(rows("s2")._1 == false)
+    assert(math.abs(rows("s2")._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(rows("s2")._3 - 200.0) < 1e-6)
+    // budget exactly exhausted
+    assert(math.abs(rows("s1")._3 + rows("s2")._3 - 400.0) < 1e-6)
+  }
+
+  test("epochAllocation: oversized budget caps everyone, leftover unused") {
+    val df = Seq(("s1", 100L), ("s2", 300L)).toDF("source", "tokens")
+    val rows = Curation.epochAllocation(df, budgetRatio = 10.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getAs[Double]("epochs"))).toMap
+    assert(rows("s1") == ((true, 2.0)) && rows("s2") == ((true, 2.0)))
+  }
+
+  test("linearCKA: identical representations score exactly 1") {
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 1.0f), Array(0.0f, 5.0f))
+      .toDF("e")
+    val r = Embeddings.linearCKA(df, col("e"), col("e"), 2, 2).collect().head
+    assert(r.getAs[Double]("cka") == 1.0)
+  }
+
+  test("linearCKA: orthogonal rotation preserves CKA = 1") {
+    // y = x rotated 90°: y1 = −x2, y2 = x1
+    val xs = Seq((1.0, 2.0), (3.0, 1.0), (0.0, 5.0), (2.0, 2.0))
+    val df = xs.map { case (x1, x2) =>
+      (Array(x1, x2), Array(-x2, x1)) }.toDF("x", "y")
+    val r = Embeddings.linearCKA(df, col("x"), col("y"), 2, 2).collect().head
+    assert(math.abs(r.getAs[Double]("cka") - 1.0) < 1e-9)
+  }
+
+  test("brierDecomposition: a perfect forecaster has zero Brier, REL 0, RES = UNC") {
+    val df = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false))
+      .toDF("p", "y")
+    val r = Stats.brierDecomposition(df, col("p"), col("y"), bins = 10)
+      .collect().head
+    assert(r.getAs[Double]("brier") == 0.0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.25)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  test("brierDecomposition: the climatology forecaster has zero REL and zero RES") {
+    // always predicting the base rate is perfectly calibrated but
+    // completely undiscriminating
+    val df = Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false))
+      .toDF("p", "y")
+    val r = Stats.brierDecomposition(df, col("p"), col("y"), bins = 10)
+      .collect().head
+    assert(r.getAs[Double]("brier") == 0.25)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.0)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  test("rollingOriginSplits: growing train prefix, sliding 1-slice test window") {
+    val df = (0 to 9).map(i => (i.toLong, new java.sql.Timestamp(i * 1000L)))
+      .toDF("id", "ts")
+    val counts = Curation.rollingOriginSplits(df, col("id"), col("ts"), folds = 4)
+      .groupBy("fold", "role").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // span [0, 9s] in 5 slices of 1.8s
+    assert(counts((1L, "train")) == 2 && counts((1L, "test")) == 2 &&
+      counts((1L, "unused")) == 6)
+    assert(counts((2L, "train")) == 4 && counts((2L, "test")) == 2)
+    assert(counts((3L, "train")) == 6 && counts((3L, "test")) == 2)
+    assert(counts((4L, "train")) == 8 && counts((4L, "test")) == 2 &&
+      !counts.contains((4L, "unused")))
+  }
+
+  test("rollingOriginSplits: no future row ever lands in an earlier fold's train") {
+    val df = (0 to 19).map(i => (i.toLong, new java.sql.Timestamp(i * 500L)))
+      .toDF("id", "ts")
+    val rows = Curation.rollingOriginSplits(df, col("id"), col("ts"), folds = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    val maxTrain = rows.filter(_._3 == "train").groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val minTest = rows.filter(_._3 == "test").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    for (f <- 1L to 3L)
+      assert(maxTrain(f) < minTest(f), s"fold $f leaks the future backward")
+  }
+
+  test("linearCKA: unrelated dimensions score below 1") {
+    val df = Seq((Array(1.0, 0.0), Array(5.0, 1.0)),
+      (Array(2.0, 1.0), Array(-1.0, 7.0)),
+      (Array(3.0, 4.0), Array(2.0, 2.0)),
+      (Array(0.0, 2.0), Array(0.0, -3.0))).toDF("x", "y")
+    val r = Embeddings.linearCKA(df, col("x"), col("y"), 2, 2).collect().head
+    val cka = r.getAs[Double]("cka")
+    assert(cka > 0.0 && cka < 0.9, s"got $cka")
+  }
+}
