@@ -840,13 +840,26 @@ object ScaleCheck {
         side(0.0), side(0.5), dim = 16, d = 8).count())
     }
     // bt01: 100 queries broadcast against a growing corpus — the
-    // mining-batch shape; wall must grow ~linearly with the scan
+    // brute mining-batch shape (forced via annThreshold); wall grows
+    // ~linearly with the scan. This is the control line for bt02.
     for (m <- Seq(1, 4)) {
       val n = 250000L * m
       def vecs(lim: Long) = spark.range(lim).select(col("id").as("vec_id"),
         expr("transform(sequence(0, 15), j -> CAST(sin(id * 0.91 + j) AS FLOAT))")
           .as("embedding"))
       time(s"bt01 x$m corpus=$n")(graft.ops.Similarity.marginMine(
+        vecs(100), vecs(n).filter(col("vec_id") >= 100), k = 4,
+        threshold = 0.0, annThreshold = Long.MaxValue).count())
+    }
+    // bt02: same mining batch, DEFAULT auto-switch (corpus >> 50k →
+    // LSH candidates). Wall must grow SUBLINEARLY vs bt01's brute
+    // line — candidate counts track bucket population, not the corpus
+    for (m <- Seq(1, 4)) {
+      val n = 250000L * m
+      def vecs(lim: Long) = spark.range(lim).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), j -> CAST(sin(id * 0.91 + j) AS FLOAT))")
+          .as("embedding"))
+      time(s"bt02 x$m corpus=$n")(graft.ops.Similarity.marginMine(
         vecs(100), vecs(n).filter(col("vec_id") >= 100), k = 4,
         threshold = 0.0).count())
     }

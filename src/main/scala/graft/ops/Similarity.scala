@@ -109,31 +109,96 @@ object Similarity {
     * density, so "1.2" means the same thing everywhere in the space.
     * Emits one row per query whose best margin clears `threshold`.
     *
-    * Scale shape: this is the broadcast×scan GATE form (pairs =
-    * queries × corpus, query side broadcast — sim01's shape, right
-    * for a mining batch against a corpus scan). At full-corpus×corpus
-    * scale swap the cross pair generation for LSH-bucketed candidates
-    * (sim02/ml02's auto-switch pattern); the margin math from `scored`
-    * down is identical, and every window partitions per query/
-    * candidate id — bounded by the candidate-list size, never the
-    * corpus. Cosines round at 6 and margins at 4 BEFORE the argmax,
-    * so the pick replays bit-identically across engines.
+    * Scale shape: with a small mining batch the broadcast×scan GATE
+    * form runs (pairs = queries × corpus, query side broadcast —
+    * sim01's shape). Above `annThreshold` corpus rows the pair
+    * generation auto-switches to LSH-bucketed cross-side candidates
+    * (the labelAgreement idiom): both sides bucket under the SAME
+    * random hyperplanes, pairs are generated only ACROSS sides with
+    * the native CrossPairs loop behind the maxBucket guard, so a
+    * full-corpus mining run never scans queries × corpus. The margin
+    * math from `scored` down is identical on both paths — top-k
+    * averages are then over the CANDIDATE neighborhood (standard for
+    * ANN margin mining: the margin denominator needs neighborhood
+    * STATISTICS, and the top of each list is exactly what LSH
+    * preserves). Every window partitions per query/candidate id —
+    * bounded by the candidate-list size, never the corpus. Cosines
+    * round at 6 and margins at 4 BEFORE the argmax, so the pick
+    * replays bit-identically across engines. Force either path in
+    * tests via annThreshold = Long.MaxValue / 0.
     */
   def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
-                 threshold: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                 threshold: Double = 1.0, annThreshold: Long = 50000,
+                 annTables: Int = 2, nBits: Int = 0,
+                 maxBucket: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     registerOn(corpus)
-    val qa = broadcast(queries.select(col("vec_id").as("id_a"),
-      col("embedding").as("ea"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("na")))
-    val scored = corpus.select(col("vec_id").as("id_b"),
-        col("embedding").as("eb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
-      .crossJoin(qa)
-      .select(col("id_a"), col("id_b"),
-        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6)
-          .as("cos"))
+    val scored =
+      if (corpus.count() <= annThreshold) {
+        val qa = broadcast(queries.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("na")))
+        corpus.select(col("vec_id").as("id_b"),
+            col("embedding").as("eb"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+          .crossJoin(qa)
+          .select(col("id_a"), col("id_b"),
+            round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6)
+              .as("cos"))
+      } else annMarginCandidates(queries, corpus, nBits, annTables, maxBucket)
+    marginFrom(scored, k, threshold)
+  }
+
+  /** LSH cross-side candidates for marginMine's ANN path: queries and
+    * corpus bucket under the same hyperplanes (bit count scaled to the
+    * corpus when nBits = 0); pairs come only from shared buckets via
+    * the native CrossPairs loop — in-bucket query-query and corpus-
+    * corpus members pay no pair cost. Multi-table duplicates collapse
+    * on distinct (the rounded cosine is deterministic). Pathological
+    * buckets drop behind maxBucket, counted at graft.margin_mine.drops.
+    * Cosine operand order matches the brute path exactly (query side
+    * first) — division is not bit-commutative and the oracle replays it.
+    */
+  private def annMarginCandidates(queries: DataFrame, corpus: DataFrame,
+                                  nBits: Int, tables: Int,
+                                  maxBucket: Int): DataFrame = {
+    val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val side = "__mm_q"
+    require(!queries.columns.contains(side), s"column $side would be clobbered")
+    val tagged = queries.select(col("vec_id"), col("embedding"), lit(1).as(side))
+      .unionByName(corpus.select(col("vec_id"), col("embedding"), lit(0).as(side)))
+    val bucketed = tagged.select(col("vec_id"), col(side), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+    val buckets = OpsMetrics.guardedBySize(
+      bucketed.groupBy(col("tbl"), col("bucket"))
+        .agg(
+          collect_set(when(col(side) === 1,
+            struct(col("vec_id"), col("embedding"), col("norm")))).as("ma"),
+          collect_set(when(col(side) === 0,
+            struct(col("vec_id"), col("embedding"), col("norm")))).as("mb")),
+      size(col("ma")) + size(col("mb")),
+      maxBucket, "graft.margin_mine.drops")
+      .filter(size(col("ma")) > 0 && size(col("mb")) > 0)
+    val cand = buckets
+      .select(explode(graft.functions.ArrayFunctions.cross_pairs(
+        col("ma"), col("mb"))).as("p"))
+      .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"),
+        round(cosinePre(col("p.a.embedding"), col("p.b.embedding"),
+          col("p.a.norm"), col("p.b.norm")), 6).as("cos"))
+    if (tables > 1) cand.distinct() else cand
+  }
+
+  /** The ratio-margin argmax over a candidate frame (id_a, id_b, cos):
+    * avg top-k per side, margin = cos / mean(ma, mb) rounded at 4,
+    * best candidate per id_a clearing `threshold`. Shared verbatim by
+    * the brute and ANN paths — windows partition per id, bounded by
+    * candidate-list sizes.
+    */
+  private def marginFrom(scored: DataFrame, k: Int,
+                         threshold: Double): DataFrame = {
     val wA = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
     val wB = Window.partitionBy(col("id_b"))

@@ -1563,6 +1563,46 @@ object PipelineOps {
              FROM best WHERE rk = 1 AND margin >= 1.0
              ORDER BY query_id""")),
 
+    // bt02: margin mining over the ANN (LSH-candidate) path — the
+    // full-corpus-scale form, forced here via annThreshold = 0. Both
+    // sides bucket under the sim02 hyperplanes; candidates come only
+    // from shared buckets, margins replay over the candidate set.
+    // Oracle reuses bucketsCte and bt01's margin CTEs verbatim.
+    NamedQuery("bt02_margin_mining_ann",
+      (s, d) => {
+        val all = embs(s, d)
+        Similarity.marginMine(all.filter(col("vec_id") % 5 === 0),
+            all.filter(col("vec_id") % 5 =!= 0), k = 4, threshold = 1.0,
+            annThreshold = 0, annTables = 2, nBits = 4)
+          .orderBy("query_id")
+      },
+      Some(s"""${bucketsCte(dim = 64, nBits = 4, tables = 2)},
+              s AS (SELECT DISTINCT q.vec_id AS id_a, n.vec_id AS id_b,
+                  round((SELECT sum(x * y) FROM (SELECT unnest(q.embedding) AS x, unnest(n.embedding) AS y))
+                    / sqrt((SELECT sum(x * y) FROM (SELECT unnest(q.embedding) AS x, unnest(q.embedding) AS y)))
+                    / sqrt((SELECT sum(x * y) FROM (SELECT unnest(n.embedding) AS x, unnest(n.embedding) AS y))), 6) AS cos
+                FROM withemb q JOIN withemb n
+                  ON q.t = n.t AND q.bucket = n.bucket
+                 AND q.vec_id % 5 = 0 AND n.vec_id % 5 <> 0
+                 AND q.bc <= 10000),
+              ra AS (SELECT id_a, avg(cos) AS ma FROM (
+                       SELECT *, row_number() OVER (PARTITION BY id_a
+                         ORDER BY cos DESC, id_b ASC) AS r FROM s)
+                     WHERE r <= 4 GROUP BY 1),
+              rb AS (SELECT id_b, avg(cos) AS mb FROM (
+                       SELECT *, row_number() OVER (PARTITION BY id_b
+                         ORDER BY cos DESC, id_a ASC) AS r FROM s)
+                     WHERE r <= 4 GROUP BY 1),
+              m AS (SELECT s.id_a, s.id_b, s.cos,
+                      round(s.cos / ((ma + mb) / 2), 4) AS margin
+                    FROM s JOIN ra USING (id_a) JOIN rb USING (id_b)),
+              best AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                         ORDER BY margin DESC, id_b ASC) AS rk FROM m)
+             SELECT id_a AS query_id, id_b AS pair_id, cos AS cos_sim,
+               margin
+             FROM best WHERE rk = 1 AND margin >= 1.0
+             ORDER BY query_id""")),
+
     // sim07: metadata-filtered exact search — the predicate lands on
     // the corpus scan BEFORE scoring (pre-filter semantics; a
     // post-filtered top-k silently under-returns), oracle adds the

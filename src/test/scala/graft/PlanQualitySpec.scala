@@ -821,6 +821,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the query batch must broadcast against the corpus scan: ${p.take(600)}")
   }
 
+  test("bt02: the ANN path plans no cross join and no corpus broadcast") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.load(spark, dir, "embeddings")
+    val p = ops.Similarity.marginMine(all.filter(col("vec_id") % 5 === 0),
+        all.filter(col("vec_id") % 5 =!= 0), k = 4, threshold = 0.0,
+        annThreshold = 0, nBits = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"ANN candidates must come from LSH buckets, not a cross join: ${p.take(600)}")
+  }
+
   test("gr04: both modularity statistics come off one label-keyed partial aggregate") {
     val p = planOf("gr04_modularity")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
