@@ -240,7 +240,14 @@ object Graph {
     }
     OpsMetrics.recordConvergence("graft.ktruss", executed,
       if (dropped == 0L) 0L else dropped)
-    e.join(support(e), Seq("a", "b"))
+    // LEFT join + 0: when the round budget exhausts before the fixed
+    // point, an edge can survive the last executed round yet lie in no
+    // triangle of the final subgraph — it is a survivor with support 0,
+    // not a droppable edge (an inner join here would silently peel one
+    // extra round's worth). At convergence every survivor has support
+    // ≥ k−2 ≥ 1 and the left join is byte-identical to the inner.
+    e.join(support(e), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("support"))
   }
 
   /** Common-neighbor link prediction (jc01): for node pairs NOT
@@ -550,9 +557,18 @@ object Graph {
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val lab = labels.select(col("node"), col("label"))
+    // dst label joins LEFT: under partial label coverage a member's
+    // degree must count ALL its incident edges (an edge into an
+    // unlabeled neighbor still contributes to d_c), or the statistics
+    // go mutually inconsistent — 2m counts the full edge set while an
+    // inner join here would silently shrink d_c. Unlabeled srcs stay
+    // excluded (their edges belong to no community) but still count in
+    // 2m, the standard partial-cover reading. With full coverage this
+    // is byte-identical to the inner join.
     val el = e
       .join(lab.select(col("node").as("src"), col("label").as("__sl")), "src")
-      .join(lab.select(col("node").as("dst"), col("label").as("__dl")), "dst")
+      .join(lab.select(col("node").as("dst"), col("label").as("__dl")),
+        Seq("dst"), "left")
     val perLabel = el.groupBy(col("__sl").as("label"))
       .agg(count(lit(1)).as("degree_sum"),
         sum(when(col("__sl") === col("__dl"), 1L).otherwise(0L)).as("in_edges"))

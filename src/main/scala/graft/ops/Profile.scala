@@ -446,8 +446,13 @@ object Profile {
       cells.join(broadcast(mx), "x").join(broadcast(my), "y")
         .crossJoin(broadcast(nTot))
         .agg(count(lit(1)).as("n_cells"),
+          // cast BEFORE the products (the auc convention): n·nt and
+          // nx·ny are long×long counts — at 100 TB cell counts the
+          // long product overflows (ANSI mode throws); the oracle's
+          // nt/ny are already DOUBLE, so this also matches its math
           sum((col("n") / col("nt")) *
-            log(col("n") * col("nt") / (col("nx") * col("ny")))).as("__mi"))
+            log(col("n").cast("double") * col("nt") /
+              (col("nx").cast("double") * col("ny")))).as("__mi"))
         .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
         .select(lit(dims(i)._1).as("col_a"), lit(dims(j)._1).as("col_b"),
           col("n_cells"),

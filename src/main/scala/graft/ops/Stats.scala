@@ -1024,17 +1024,24 @@ object Stats {
       sum(col("nb_v")).as("n_b"),
       sum(col("na_v") * (col("cum_t_v_below") + (col("t_v") + 1) / lit(2.0))).as("r_a"),
       sum(pow(col("t_v"), 3) - col("t_v")).as("tie_sum"))
+    // cast BEFORE every n_a·n_b / n_a·(n_a+1) / n·(n−1) product (the
+    // auc convention): these are long×long cohort-count products — at
+    // billions of rows per cohort the long product overflows (ANSI
+    // mode throws). Double products are exact below 2^53 and the
+    // statistics are double-valued anyway; the oracle mirrors.
     s.select(col("n_a"), col("n_b"),
-        (col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        (col("r_a") - col("n_a").cast("double") * (col("n_a") + 1) / lit(2.0))
+          .as("u_a"),
         col("tie_sum"))
-      .withColumn("u_b", col("n_a") * col("n_b") - col("u_a"))
-      .withColumn("__n", col("n_a") + col("n_b"))
-      .withColumn("__var", col("n_a") * col("n_b") / lit(12.0) *
+      .withColumn("__nab", col("n_a").cast("double") * col("n_b"))
+      .withColumn("u_b", col("__nab") - col("u_a"))
+      .withColumn("__n", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("__var", col("__nab") / lit(12.0) *
         ((col("__n") + 1) - col("tie_sum") / (col("__n") * (col("__n") - 1))))
       .select(col("n_a"), col("n_b"), col("u_a"), col("u_b"),
-        Portability.zround((col("u_a") - col("n_a") * col("n_b") / lit(2.0)) /
+        Portability.zround((col("u_a") - col("__nab") / lit(2.0)) /
           sqrt(col("__var")), 6).as("z"),
-        Portability.zround(lit(2.0) * col("u_a") / (col("n_a") * col("n_b")) - 1,
+        Portability.zround(lit(2.0) * col("u_a") / col("__nab") - 1,
           6).as("rank_biserial"))
   }
 

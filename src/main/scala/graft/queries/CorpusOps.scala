@@ -240,7 +240,7 @@ object CorpusOps {
       Some(s"""$lpChainSql,
             el AS (SELECT ls.label AS sl, ld.label AS dl
                    FROM e JOIN l4 ls ON ls.node = e.src
-                          JOIN l4 ld ON ld.node = e.dst),
+                          LEFT JOIN l4 ld ON ld.node = e.dst),
             per AS (SELECT sl AS label,
                      CAST(count(*) AS BIGINT) AS degree_sum,
                      CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
@@ -304,8 +304,9 @@ object CorpusOps {
                  (SELECT x AS a, y AS b FROM trif
                   UNION ALL SELECT y, z FROM trif
                   UNION ALL SELECT x, z FROM trif) GROUP BY 1, 2)
-            SELECT e3.a, e3.b, supf.support
-            FROM e3 JOIN supf ON supf.a = e3.a AND supf.b = e3.b
+            SELECT e3.a, e3.b,
+              CAST(coalesce(supf.support, 0) AS BIGINT) AS support
+            FROM e3 LEFT JOIN supf ON supf.a = e3.a AND supf.b = e3.b
             ORDER BY e3.a, e3.b"""
       }),
 

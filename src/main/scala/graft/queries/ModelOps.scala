@@ -854,13 +854,16 @@ object ModelOps {
                   sum(na * (cum + (t + 1) / 2.0)) AS r_a,
                   sum(power(t, 3) - t) AS tie_sum FROM c)
              SELECT n_a, n_b,
-               r_a - n_a * (n_a + 1) / 2.0 AS u_a,
-               n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0) AS u_b,
-               round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) /
-                 sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) -
+               r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0 AS u_a,
+               CAST(n_a AS DOUBLE) * n_b
+                 - (r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0) AS u_b,
+               round((r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+                   - CAST(n_a AS DOUBLE) * n_b / 2.0) /
+                 sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1) -
                    tie_sum / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
                  6) + 0.0 AS z,
-               round(2.0 * (r_a - n_a * (n_a + 1) / 2.0) / (n_a * n_b) - 1,
+               round(2.0 * (r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0)
+                   / (CAST(n_a AS DOUBLE) * n_b) - 1,
                  6) + 0.0 AS rank_biserial
              FROM s""")),
 

@@ -3162,8 +3162,22 @@ object PipelineOps {
           .orderBy("k")
       },
       Some("""WITH RECURSIVE
-              ev AS (SELECT user_id || '#' || event_type AS k,
-                       epoch_us(ts) AS us, value AS v FROM events),
+              -- one row per (k, us), keeping the min-event_id row: the
+              -- engine sorts each per-key slice by (us, tb) and an
+              -- equal timestamp never clears a positive TTL, so of any
+              -- same-(k, us) duplicates exactly the lowest-tb one can
+              -- admit. Without this the chain admits ALL tied rows
+              -- (both NOT EXISTS guards compare us strictly) — the
+              -- fixture has unique timestamps, but the semantics must
+              -- not depend on that.
+              ev AS (SELECT k, us, v FROM (
+                       SELECT user_id || '#' || event_type AS k,
+                         epoch_us(ts) AS us, value AS v,
+                         row_number() OVER (
+                           PARTITION BY user_id || '#' || event_type,
+                             epoch_us(ts)
+                           ORDER BY event_id) AS rn
+                       FROM events) WHERE rn = 1),
               adm(k, us, v) AS (
                 SELECT e.k, e.us, e.v FROM ev e
                   WHERE NOT EXISTS (SELECT 1 FROM ev x

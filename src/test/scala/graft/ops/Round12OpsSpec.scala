@@ -38,6 +38,42 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("modularity: unlabeled neighbors still count in member degrees (partial cover)") {
+    // triangle a1-a2-a3 labeled A, plus an edge a1—u to an UNLABELED
+    // node: 2m = 8 directed edges; d_A must count a1's edge into u
+    // (7 directed edges with labeled src), e_A = 6. The old inner
+    // join dropped the a1→u edge from d_A (6) while 2m kept it —
+    // mutually inconsistent statistics.
+    val edges = sym(("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a1", "u"))
+    val labels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A").toDF("node", "label")
+    val r = Graph.modularity(edges, labels).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 6/8 − (7/8)² = 0.75 − 0.765625 = −0.015625
+    assert(r("A") == (3L, 6L, 7L, -0.015625), s"got ${r("A")}")
+  }
+
+  test("kTruss: budget-exhausted survivors with zero support are kept, not dropped") {
+    // two triangles sharing edge (b, c), plus pendant edges: with
+    // k = 3 every triangle edge has support ≥ 1 and survives; after
+    // ONE round (budget exhausted before the fixed point on a graph
+    // where round 1 already peeled the pendants) every survivor must
+    // appear in the output even if a recount finds 0 support. Build a
+    // shape where round 1 peels edges that BREAK a triangle: square
+    // a-b-c-d-a with one diagonal a-c: triangles (a,b,c), (a,c,d);
+    // every edge has support 1, diagonal 2 — with k = 4 (need support
+    // ≥ 2) round 1 drops all side edges, leaving the diagonal (a, c)
+    // which now lies in no triangle. rounds = 1 exhausts the budget:
+    // (a, c) is a SURVIVOR of the executed peel with support 0; the
+    // old final inner join silently dropped it (an un-executed extra
+    // round).
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c"))
+    val out = Graph.kTruss(edges, k = 4, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "c", 0L)),
+      s"the budget-exhausted survivor must surface with support 0: ${out.toSeq}")
+  }
+
   test("bradleyTerry: 3:1 head-to-head fits the closed-form 0.75/0.25 split") {
     val cmp = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
       .toDF("winner", "loser")

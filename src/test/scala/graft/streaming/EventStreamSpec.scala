@@ -46,6 +46,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == 3)
   }
 
+  test("ttlDedup: same-(key, us) duplicates admit exactly once, min-tb value wins") {
+    import spark.implicits._
+    // key k1: three events at us=0 (tb 3, 1, 2 — values differ), one at
+    // us=5 (inside TTL), one at us=10 (admits). The greedy chain must
+    // admit exactly (us=0, v of tb=1) and (us=10); the oracle replay
+    // without the (k, us) tie-break would admit all three tied rows.
+    val events = Seq(
+      EventStream.TtlEvent("k1", 0L, 3L, 30.0),
+      EventStream.TtlEvent("k1", 0L, 1L, 10.0),
+      EventStream.TtlEvent("k1", 0L, 2L, 20.0),
+      EventStream.TtlEvent("k1", 5L, 4L, 40.0),
+      EventStream.TtlEvent("k1", 10L, 5L, 50.0))
+    val dir = java.nio.file.Files.createTempDirectory("ttl-tie").toString
+    events.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStream.ttlDedup(
+        spark.readStream.schema(events.toDS().schema).parquet(dir)
+          .as[EventStream.TtlEvent], ttlUs = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ttl_tie").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ttl_tie").as[EventStream.TtlAdmit]
+      .collect().sortBy(_.us)
+    assert(got.toSeq == Seq(EventStream.TtlAdmit("k1", 0L, 10.0),
+      EventStream.TtlAdmit("k1", 10L, 50.0)),
+      s"greedy chain with tie-dedup expected, got ${got.toSeq}")
+  }
+
   test("streaming sessionize == batch on the driver-gated events fixture (st02)") {
     // executes EventStream.sessionize end-to-end (memory sink) on the
     // SAME fixture st02 gates for sessionizeBatch, and asserts the two
