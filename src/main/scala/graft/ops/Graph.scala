@@ -581,4 +581,64 @@ object Graph {
         graft.ops.Portability.zround(col("in_edges") / col("__2m") -
           pow(col("degree_sum") / col("__2m"), 2), 6).as("contribution"))
   }
+
+  /** Community-structure pipeline (gr06): modularity contributions AND
+    * Newman's discrete label assortativity (Newman 2003 eq. 2,
+    * "Mixing patterns in networks") off ONE per-label frame — the
+    * pp05-style composition: the caller runs labelPropagation once,
+    * this computes modularity's exact-integer per-label statistics
+    * once (persisted), and the graph-level mixing coefficient
+    * r = (Σᵢ eᵢᵢ − Σᵢ aᵢ²) / (1 − Σᵢ aᵢ²), with eᵢᵢ = in_edgesᵢ/2m and
+    * aᵢ = degree_sumᵢ/2m, derives from THAT frame — the numerator is
+    * exactly total modularity, so the edges are never re-scanned for
+    * the scalar. As independent gates lp01 and gr04 each pay the label
+    * propagation; a real pipeline pays it once. The per-label frame is
+    * label-cardinality small: persist + two passes + localCheckpoint
+    * costs nothing at scale, and the scalar folds back as a broadcast
+    * single-row frame. r is NULL for a single all-covering community
+    * (Σaᵢ² = 1 — the coefficient is undefined there).
+    */
+  def communityStructure(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = labels.select(col("node"), col("label"))
+    // ONE edge scan for BOTH statistics: src labels join LEFT so the
+    // null-label group carries the unlabeled-src edges — 2m is then
+    // Σ degree_sum over ALL groups of this label-cardinality frame
+    // (standalone modularity pays a second edge pass for its 2m; the
+    // pipeline form must not). Eager checkpoint: tiny frame, read by
+    // three consumers (per-label stats, 2m, the mixing sums).
+    val perLabel0 = e
+      .join(lab.select(col("node").as("src"), col("label").as("__sl")),
+        Seq("src"), "left")
+      .join(lab.select(col("node").as("dst"), col("label").as("__dl")),
+        Seq("dst"), "left")
+      .groupBy(col("__sl").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("__sl") === col("__dl"), 1L).otherwise(0L)).as("in_edges"))
+      .localCheckpoint(true)
+    val twoM = perLabel0.agg(sum(col("degree_sum")).cast("double").as("__2m"))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val per = sizes
+      .join(perLabel0.filter(col("label").isNotNull), Seq("label"), "left")
+      .na.fill(0L, Seq("degree_sum", "in_edges"))
+      .crossJoin(broadcast(twoM))
+      .select(col("label"), col("n_nodes"), col("in_edges"), col("degree_sum"),
+        graft.ops.Portability.zround(col("in_edges") / col("__2m") -
+          pow(col("degree_sum") / col("__2m"), 2), 6).as("contribution"))
+    // degree_sum² casts BEFORE the product (the auc convention); only
+    // labeled groups enter the mixing sums (eᵢᵢ/aᵢ are per-community)
+    val mix = perLabel0.filter(col("label").isNotNull)
+      .agg(
+        sum(col("in_edges")).cast("double").as("__sin"),
+        sum(col("degree_sum").cast("double") * col("degree_sum")).as("__sd2"))
+      .crossJoin(broadcast(twoM))
+      .select(
+        when(lit(1.0) - col("__sd2") / (col("__2m") * col("__2m")) > 0,
+          graft.ops.Portability.zround(
+            (col("__sin") / col("__2m") -
+              col("__sd2") / (col("__2m") * col("__2m"))) /
+            (lit(1.0) - col("__sd2") / (col("__2m") * col("__2m"))), 6))
+          .as("label_assortativity"))
+    per.crossJoin(broadcast(mix)).orderBy(col("label"))
+  }
 }

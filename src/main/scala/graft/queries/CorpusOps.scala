@@ -310,6 +310,49 @@ object CorpusOps {
             ORDER BY e3.a, e3.b"""
       }),
 
+    // gr06: the community pipeline COMPOSED off one label frame —
+    // label propagation runs once, modularity's per-label exact
+    // integer frame persists, and Newman's discrete label
+    // assortativity derives from that frame without re-scanning the
+    // edges (the pp05 composition pattern; as independent gates lp01
+    // and gr04 each pay the propagation). Oracle = the lp chain +
+    // gr04's modularity replay + the mixing scalar off the same CTE.
+    NamedQuery("gr06_community_pipeline",
+      (s, d) => {
+        val edges = tradeEdges(s, d)
+        Graph.communityStructure(edges,
+          Graph.labelPropagation(edges, rounds = 4))
+      },
+      Some(s"""$lpChainSql,
+            el AS (SELECT ls.label AS sl, ld.label AS dl
+                   FROM e JOIN l4 ls ON ls.node = e.src
+                          LEFT JOIN l4 ld ON ld.node = e.dst),
+            per AS (SELECT sl AS label,
+                     CAST(count(*) AS BIGINT) AS degree_sum,
+                     CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                       AS in_edges
+                   FROM el GROUP BY 1),
+            sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM l4 GROUP BY 1),
+            m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+            md AS (SELECT sz.label, sz.n_nodes,
+                CAST(coalesce(per.in_edges, 0) AS BIGINT) AS in_edges,
+                CAST(coalesce(per.degree_sum, 0) AS BIGINT) AS degree_sum,
+                round(coalesce(per.in_edges, 0) / m2.m -
+                  power(coalesce(per.degree_sum, 0) / m2.m, 2), 6) + 0.0
+                  AS contribution
+              FROM sz LEFT JOIN per ON per.label = sz.label CROSS JOIN m2),
+            mx AS (SELECT CASE
+                  WHEN 1 - sd2 / (m * m) > 0
+                  THEN round((sn / m - sd2 / (m * m)) / (1 - sd2 / (m * m)),
+                    6) + 0.0 END AS label_assortativity
+                FROM (SELECT CAST(sum(in_edges) AS DOUBLE) AS sn,
+                        sum(CAST(degree_sum AS DOUBLE) * degree_sum) AS sd2,
+                        max(m2.m) AS m
+                      FROM md CROSS JOIN m2))
+           SELECT md.*, mx.label_assortativity
+           FROM md CROSS JOIN mx ORDER BY md.label""")),
+
     // gr03: per-node clustering coefficient over tc01's co-supplier
     // projection — triangles / wedges with the same hub cap; the
     // oracle reuses tc01's closure CTEs plus the degree algebra
