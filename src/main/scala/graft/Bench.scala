@@ -155,8 +155,21 @@ object Bench {
       spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    probe() // throwaway: pays the probe's own codegen compile
-    val probes = scala.collection.mutable.ArrayBuffer[Double](probe())
+    // settle the probe BEFORE recording: beyond the codegen compile,
+    // the generated stage keeps JIT-compiling over its first few runs
+    // — r13's artifact read probes [0.32, 0.08, 0.09], a 4x first
+    // entry indistinguishable from a host episode. Re-probe until two
+    // consecutive reads agree within 25% (max 5), keep the settling
+    // trace in `probe_warmup`, and let `probes` start at the first
+    // SETTLED reading — from here on, a probe >> min is interference
+    // evidence only, never JIT settling.
+    val probeWarmup = scala.collection.mutable.ArrayBuffer[Double](probe())
+    probeWarmup += probe()
+    while (probeWarmup.size < 5 &&
+        !(probeWarmup.last <= 1.25 * probeWarmup(probeWarmup.size - 2) &&
+          probeWarmup(probeWarmup.size - 2) <= 1.25 * probeWarmup.last))
+      probeWarmup += probe()
+    val probes = scala.collection.mutable.ArrayBuffer[Double](probeWarmup.last)
     val (cold, coldFailed) = runPass()
     probes += probe()
     val (results, warmFailed) = runPass()
@@ -317,7 +330,10 @@ object Bench {
     }
     val adaptJson = adaptiveLog.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val probeJson = probes.map(f2).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = one timing pass over the non-headline flow gates (drift detection only); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    // the JIT-settling trace (last entry == probes[0], the settled
+    // reading): lets a reader separate warm-up from interference
+    val warmupJson = probeWarmup.map(f2).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = one timing pass over the non-headline flow gates (drift detection only); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -417,15 +417,26 @@ object Ingest {
     * referencing column: (ix, foreign_ix, value, <data columns>).
     *
     * The header→ix lookup is driver-side (headers are one small row —
-    * same as the reference's in-memory `lookupRowIx`); the melt itself
-    * is a distributed posexplode, so the wide fact file can be 100 TB.
+    * same as the reference's in-memory `lookupRowIx`), but the
+    * metadata source is SEMI-FILTERED on the header set before the
+    * collect: at most |headers| rows ever reach the driver, so a
+    * 100M-row metadata table costs one pushed-down scan, not a driver
+    * OOM. Duplicate metadata values resolve to the SMALLEST ix —
+    * deterministic, where a raw collect-to-map kept an arbitrary
+    * partition-order winner. The melt itself is a distributed
+    * posexplode, so the wide fact file can be 100 TB.
     */
   def extraData(spark: SparkSession, widePath: String,
                 meta: DataFrame, metaField: String,
                 opts: CsvOptions = CsvOptions()): Ingested = {
     val wide = csv(spark, widePath, opts)
+    val headerVals = wide.headers.flatten.map(_.trim).distinct
     val headerToIx: Map[String, Long] =
-      meta.select(trim(col(metaField)).cast("string"), col("ix").cast("long"))
+      if (headerVals.isEmpty) Map.empty
+      else meta.select(trim(col(metaField)).cast("string").as("__h"),
+          col("ix").cast("long").as("__ix"))
+        .filter(col("__h").isin(headerVals: _*))
+        .groupBy(col("__h")).agg(min(col("__ix")).as("__ix"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val headers = wide.headers.map(_.getOrElse(""))
     val refCols: Seq[(Int, Long)] = headers.zipWithIndex.collect {

@@ -32,4 +32,27 @@ class ExtraDataSpec extends AnyFunSuite {
     // row 4: gene g2, SRP2
     assert(rows(3).getLong(1) == 2L && rows(3).getDouble(2) == 4.5)
   }
+
+  test("header lookup semi-filters a large metadata source; duplicate values take min ix") {
+    import org.apache.spark.sql.functions._
+    // 200k-row metadata source: only the 2 header-matching rows may
+    // reach the driver (the old code collected the whole table — the
+    // 100M-row OOM). SRP1 appears TWICE (ix 1 and ix 150000): the
+    // lookup must deterministically pick ix 1, not a collect-order
+    // winner.
+    val spark2 = spark
+    import spark2.implicits._
+    val bigMeta = spark.range(1, 200001)
+      .select(col("id").as("ix"),
+        when(col("id") === 1L || col("id") === 150000L, "SRP1")
+          .when(col("id") === 2L, "SRP2")
+          .otherwise(concat(lit("other"), col("id"))).as("pid"))
+    val ing = Ingest.extraData(spark, res("projects_data.csv"), bigMeta, "pid")
+    assert(ing.untyped.count() == 4)
+    val rows = ing.view.orderBy("ix").collect()
+    // both SRP1 references resolve to the SMALLEST matching ix (1)
+    assert(rows(0).getLong(1) == 1L && rows(0).getDouble(2) == 1.5)
+    assert(rows(2).getLong(1) == 1L && rows(2).getDouble(2) == 3.5)
+    assert(rows(1).getLong(1) == 2L && rows(3).getLong(1) == 2L)
+  }
 }
