@@ -1,0 +1,169 @@
+package graft.engine
+
+/** Postgres JSON-operator compatibility for the /sql facade.
+  *
+  * The reference's /sql endpoint proxies to Postgres, so its clients
+  * emit the Postgres JSON operators — the R dplyr backend translates
+  * `%->>%` to `->>` etc. verbatim (reference
+  * clients/RLagoon/R/dplyrlagoon.r:86-100, the sql_infix table) and
+  * ships the text to the server. Spark SQL has no infix JSON
+  * operators, so the facade rewrites them to `get_json_object` calls
+  * before the gate parses the query:
+  *
+  *   x ->  'k'      → get_json_object(x, '$.k')   (json    extraction)
+  *   x ->> 'k'      → get_json_object(x, '$.k')   (text    extraction)
+  *   x ->  2        → get_json_object(x, '$[2]')  (array   element)
+  *   x #>  '{a,b}'  → get_json_object(x, '$.a.b') (path    extraction)
+  *   x #>> '{a,b}'  → get_json_object(x, '$.a.b')
+  *
+  * `->` and `->>` collapse to the same Spark function: Spark's
+  * get_json_object returns the JSON TEXT of the selected value with
+  * string results unquoted — the `->>` reading — and chained access
+  * (`x->'a'->>'b'`) still works because the intermediate json text
+  * re-parses. The containment/existence operators (@>, <@, ?, ?&, #-)
+  * have no Spark equivalent and are left untouched (the gate then
+  * rejects them loudly rather than mis-executing).
+  *
+  * The rewriter is a single left-to-right scan that respects quoting:
+  * text inside '...' (with '' escapes) and "..." identifiers is never
+  * rewritten, and `->` inside a Spark lambda (`x -> x + 1`) is safe
+  * because a lambda's RHS is never a string literal or bare integer
+  * followed by nothing — we only rewrite when the RHS is a string
+  * literal or an integer literal, which is exactly the Postgres
+  * operand grammar and never valid Spark lambda syntax at that
+  * position... except a constant-returning lambda like `x -> 'a'`;
+  * those are vanishingly rare in practice and can be parenthesized.
+  * The LHS operand is recovered from the already-emitted output:
+  * an identifier chain (possibly qualified), a parenthesized group,
+  * or a completed function call.
+  */
+object PgJson {
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def copyString(): Unit = { // '...' with '' escape
+      out.append(sql(i)); i += 1
+      while (i < n) {
+        if (sql(i) == '\'' && i + 1 < n && sql(i + 1) == '\'') {
+          out.append("''"); i += 2
+        } else if (sql(i) == '\'') { out.append(sql(i)); i += 1; return }
+        else { out.append(sql(i)); i += 1 }
+      }
+    }
+    def copyQuotedIdent(): Unit = {
+      out.append(sql(i)); i += 1
+      while (i < n && sql(i) != '"') { out.append(sql(i)); i += 1 }
+      if (i < n) { out.append(sql(i)); i += 1 }
+    }
+    // the extent (start index in `out`) of the last complete operand
+    // already emitted: identifier chain, paren group, or quoted ident
+    def lastOperandStart(): Int = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j < 0) return -1
+      out(j) match {
+        case ')' =>
+          var depth = 0
+          while (j >= 0) {
+            out(j) match {
+              case '\'' => // skip backward over a string literal
+                j -= 1
+                while (j >= 0 && out(j) != '\'') j -= 1
+              case ')' => depth += 1
+              case '(' =>
+                depth -= 1
+                if (depth == 0) {
+                  // a call: include the function name before the paren
+                  var k = j - 1
+                  while (k >= 0 && (out(k).isLetterOrDigit ||
+                    out(k) == '_' || out(k) == '.')) k -= 1
+                  return k + 1
+                }
+              case _ =>
+            }
+            j -= 1
+          }
+          -1
+        case '"' => // quoted identifier
+          var k = j - 1
+          while (k >= 0 && out(k) != '"') k -= 1
+          k
+        case c if c.isLetterOrDigit || c == '_' =>
+          var k = j
+          while (k >= 0 && (out(k).isLetterOrDigit ||
+            out(k) == '_' || out(k) == '.')) k -= 1
+          k + 1
+        case _ => -1
+      }
+    }
+    // RHS: "'text'" (string) or bare integer; returns the json-path
+    // fragment and the index just past the operand, or None
+    def rhsPath(from: Int, braced: Boolean): Option[(String, Int)] = {
+      var j = from
+      while (j < n && sql(j).isWhitespace) j += 1
+      if (j < n && sql(j) == '\'') {
+        val start = j + 1
+        var k = start
+        val b = new StringBuilder
+        var closed = false
+        while (k < n && !closed) {
+          if (sql(k) == '\'' && k + 1 < n && sql(k + 1) == '\'') {
+            b.append('\''); k += 2
+          } else if (sql(k) == '\'') { closed = true; k += 1 }
+          else { b.append(sql(k)); k += 1 }
+        }
+        if (!closed) None
+        else {
+          val body = b.toString
+          if (braced) {
+            // '{a,b}' → .a.b ; elements that are integers → [i]
+            val t = body.trim
+            if (!(t.startsWith("{") && t.endsWith("}"))) None
+            else {
+              val parts = t.substring(1, t.length - 1).split(",").map(_.trim)
+              if (parts.exists(_.isEmpty)) None
+              else Some((parts.map(p =>
+                if (p.forall(_.isDigit)) s"[$p]" else s".$p").mkString, k))
+            }
+          } else Some((s".$body", k))
+        }
+      } else if (!braced && j < n && sql(j).isDigit) {
+        var k = j
+        while (k < n && sql(k).isDigit) k += 1
+        Some((s"[${sql.substring(j, k)}]", k))
+      } else None
+    }
+    while (i < n) {
+      sql(i) match {
+        case '\'' => copyString()
+        case '"' => copyQuotedIdent()
+        case '-' if i + 1 < n && sql(i + 1) == '>' =>
+          val textOp = i + 2 < n && sql(i + 2) == '>'
+          val after = if (textOp) i + 3 else i + 2
+          (lastOperandStart(), rhsPath(after, braced = false)) match {
+            case (s, Some((path, next))) if s >= 0 =>
+              val operand = out.substring(s).trim
+              out.setLength(s)
+              out.append(s"get_json_object($operand, '$$$path')")
+              i = next
+            case _ => out.append(sql(i)); i += 1
+          }
+        case '#' if i + 1 < n && sql(i + 1) == '>' =>
+          val textOp = i + 2 < n && sql(i + 2) == '>'
+          val after = if (textOp) i + 3 else i + 2
+          (lastOperandStart(), rhsPath(after, braced = true)) match {
+            case (s, Some((path, next))) if s >= 0 =>
+              val operand = out.substring(s).trim
+              out.setLength(s)
+              out.append(s"get_json_object($operand, '$$$path')")
+              i = next
+            case _ => out.append(sql(i)); i += 1
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+}

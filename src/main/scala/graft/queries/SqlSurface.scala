@@ -398,6 +398,30 @@ object SqlSurface {
              WHERE json_extract_string(props, '$.k') IS NOT NULL
              ORDER BY event_id""")),
 
+    // Q26c: the POSTGRES JSON operator spellings (->, ->>, #>) — what
+    // the reference's R dplyr backend emits verbatim over /sql
+    // (clients/RLagoon/R/dplyrlagoon.r:86-100). The facade's PgJson
+    // rewrite turns them into get_json_object before Catalyst parses;
+    // DuckDB executes the SAME operator text natively, so the oracle
+    // is the un-rewritten query (modulo its json_extract null-check
+    // spelling).
+    NamedQuery("q53_jsonb_operators",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgJson.rewrite(
+          """SELECT event_id,
+                    CAST(props->>'k' AS INT) AS k_val,
+                    props#>>'{k}' AS k_text
+             FROM events
+             WHERE props->>'k' IS NOT NULL
+             ORDER BY event_id"""))
+      },
+      Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k_val,
+                    props->>'k' AS k_text
+             FROM events
+             WHERE props->>'k' IS NOT NULL
+             ORDER BY event_id""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -572,7 +572,11 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         val owner: Map[String, String] = cat.sqlNames.map {
           case (n, e) => n.toLowerCase -> e.name
         }
-        val df = SqlGate.execute(spark, body(ex), owner.keySet,
+        // Postgres JSON operators (the dplyr client's %->>% family
+        // ships as -> / ->> / #> / #>> text — reference
+        // clients/RLagoon/R/dplyrlagoon.r:86-100) rewrite to
+        // get_json_object BEFORE the gate parses the query
+        val df = SqlGate.execute(spark, PgJson.rewrite(body(ex)), owner.keySet,
           canRead = t => owner.get(t).exists(ds => acl.get.canRead(userOpt, ds)))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {

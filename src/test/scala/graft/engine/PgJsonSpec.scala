@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Postgres JSON-operator rewrite behind the /sql facade —
+  * dplyrlagoon.r's sql_infix table shipped as text.
+  */
+class PgJsonSpec extends AnyFunSuite {
+
+  test("->> with a string key rewrites to get_json_object") {
+    assert(PgJson.rewrite("SELECT props->>'k' FROM t") ==
+      "SELECT get_json_object(props, '$.k') FROM t")
+  }
+
+  test("-> and ->> chain left-to-right") {
+    assert(PgJson.rewrite("SELECT props->'a'->>'b' FROM t") ==
+      "SELECT get_json_object(get_json_object(props, '$.a'), '$.b') FROM t")
+  }
+
+  test("-> with an integer index becomes a bracket path") {
+    assert(PgJson.rewrite("SELECT arr->2 FROM t") ==
+      "SELECT get_json_object(arr, '$[2]') FROM t")
+  }
+
+  test("#> and #>> take brace paths, integers become indexes") {
+    assert(PgJson.rewrite("SELECT props#>'{a,b}' FROM t") ==
+      "SELECT get_json_object(props, '$.a.b') FROM t")
+    assert(PgJson.rewrite("SELECT props#>>'{a,0,b}' FROM t") ==
+      "SELECT get_json_object(props, '$.a[0].b') FROM t")
+  }
+
+  test("qualified columns and parenthesized operands are recovered whole") {
+    assert(PgJson.rewrite("SELECT e.props->>'k' FROM events e") ==
+      "SELECT get_json_object(e.props, '$.k') FROM events e")
+    assert(PgJson.rewrite("SELECT (props)->>'k' FROM t") ==
+      "SELECT get_json_object((props), '$.k') FROM t")
+    assert(PgJson.rewrite("SELECT coalesce(a, b)->>'k' FROM t") ==
+      "SELECT get_json_object(coalesce(a, b), '$.k') FROM t")
+  }
+
+  test("operators inside string literals and quoted identifiers stay verbatim") {
+    assert(PgJson.rewrite("SELECT 'a->>b' FROM t") == "SELECT 'a->>b' FROM t")
+    assert(PgJson.rewrite("SELECT \"weird->col\" FROM t") ==
+      "SELECT \"weird->col\" FROM t")
+    assert(PgJson.rewrite("SELECT 'it''s -> fine' FROM t") ==
+      "SELECT 'it''s -> fine' FROM t")
+  }
+
+  test("Spark lambdas with non-literal bodies are untouched") {
+    val s = "SELECT aggregate(xs, 0L, (acc, x) -> acc + x) FROM t"
+    assert(PgJson.rewrite(s) == s)
+    val s2 = "SELECT transform(xs, x -> x * x) FROM t"
+    assert(PgJson.rewrite(s2) == s2)
+  }
+
+  test("containment operators pass through untouched") {
+    val s = "SELECT props @> '{\"a\":1}' FROM t"
+    assert(PgJson.rewrite(s) == s)
+  }
+
+  test("nested string inside the LHS call is skipped when matching parens") {
+    assert(PgJson.rewrite("SELECT get_json_object(p, '$.a')->>'b' FROM t") ==
+      "SELECT get_json_object(get_json_object(p, '$.a'), '$.b') FROM t")
+  }
+}

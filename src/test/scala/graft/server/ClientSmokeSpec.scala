@@ -5,16 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.engine.Catalog
 
-/** Drives tools/client_smoke.py — the PyLagoon-flow client (reference
-  * clients/PyLagoon, docs/python-example.ipynb) — against an
-  * in-process server: login (incl. wrong-password 401), ingest,
-  * search, info, SQL in both accepts, download, tags, private-source
-  * ACL, stale-token 401. Proves the facade is drivable by an external
+/** Drives tools/client_smoke.py — the reference's three client flows
+  * (PyLagoon: clients/PyLagoon + docs/python-example.ipynb; Ruby:
+  * clients/RubyLagoon/test.rb; R dplyr:
+  * clients/RLagoon/R/dplyrlagoon.r) — against an in-process server:
+  * login (incl. wrong-password 401), ingest, search, info, SQL in
+  * both accepts, download, tags, private-source ACL, stale-token 401;
+  * repeated named ingests with content round-trips, jsonPath JSON
+  * ingest, ix-window filters, range-limited listing; dplyr field
+  * listing, translated aggregates, and the Postgres ->>/#>> JSON
+  * operators over /sql. Proves the facade is drivable by an external
   * stdlib-only client, not just by this JVM's HttpClient.
   */
 class ClientSmokeSpec extends AnyFunSuite {
 
-  test("python client replays the PyLagoon example flow") {
+  test("python client replays the PyLagoon, Ruby, and R dplyr flows") {
     val api = new HttpApi(new Catalog(TestSpark.spark,
       Files.createTempDirectory("graft-smoke-wh").toString))
     val port = api.start()

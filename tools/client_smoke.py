@@ -1,9 +1,19 @@
 #!/usr/bin/env python3
-"""Python client smoke over the graft REST facade — the PyLagoon flow
-(reference clients/PyLagoon/PyLagoon/lagoon.py, docs/python-example.ipynb)
-replayed with the standard library only: login, ingest, list sources,
-source info, SQL query (CSV and JSON accepts), typed download, tag,
-make-private ACL check, logout.
+"""Python client smoke over the graft REST facade — three reference
+client flows replayed with the standard library only:
+
+- the PyLagoon flow (clients/PyLagoon/PyLagoon/lagoon.py,
+  docs/python-example.ipynb): login, ingest, list sources, source
+  info, SQL query (CSV and JSON accepts), typed download, tag,
+  make-private ACL check, logout.
+- the RubyLagoon flow (clients/RubyLagoon/test.rb): repeated named
+  ingests with raw content round-trips, JSON ingest through a
+  jsonPath selector, ix-window filters over the resulting source,
+  range-limited source listing.
+- the R dplyr flow (clients/RLagoon/R/dplyrlagoon.r): field listing
+  for tbl(), the translated aggregate verbs (n/sd/var/cor → count(*)/
+  stddev_samp/var_samp/corr), and the %->>% JSON operator family
+  shipped as Postgres `->>` text over /sql.
 
 Usage: client_smoke.py <port> [adminPass]
 Exit 0 = every step behaved; any assertion failure exits non-zero.
@@ -12,6 +22,7 @@ Run by ClientSmokeSpec against an ephemeral in-process server.
 import json
 import sys
 import urllib.error
+import urllib.parse
 import urllib.request
 
 
@@ -72,6 +83,91 @@ class Client:
         return self.req("GET", f"/source/{name}/{version}/download")
 
 
+def csv_rows(text):
+    """Parse simple (unquoted-value) CSV output into a row list."""
+    return [line.split(",") for line in text.strip().splitlines()]
+
+
+def ruby_flow(c):
+    """clients/RubyLagoon/test.rb replayed against the facade."""
+    # test.rb's simple.csv is "foo,bar\n1,2" — shifted to 10/20 here
+    # because a LONE "1" value lexes as BOOL under the lagoon literal
+    # set (the reference's own I9 semantics), and the round-trip check
+    # wants the integers back
+    simple = "foo,bar\n10,20\n"
+    # 10.times do |i| ... ingest(CSV_FILE, name: "src-#{i}") with a
+    # get_contents round-trip per source (3 iterations keep the smoke
+    # fast; the loop is identical per iteration)
+    for i in range(3):
+        info = c.ingest(f"src-{i}", simple)
+        assert info["rowCount"] == 1, info
+        code, dl = c.download(f"src-{i}", info["version"])
+        assert code == 200, dl[:200]
+        rows = csv_rows(dl)
+        # typed download: last two columns round-trip the source values
+        assert rows[0][-2:] == ["foo", "bar"], rows
+        assert rows[1][-2:] == ["10", "20"], rows
+
+    # gene_with_protein_product: JSON ingest through the jsonPath
+    # selector '{ "response" : { "docs" : [_] } }' — 29 docs
+    docs = [{"symbol": f"G{i}", "location": f"{i}q{i}", "score": i}
+            for i in range(1, 30)]
+    gene_json = json.dumps({"response": {"docs": docs}})
+    jp = urllib.parse.quote('{ "response" : { "docs" : [_] } }')
+    info = c.ingest("gene_with_protein_product.json", gene_json,
+                    kind="json", jsonPath=jp)
+    assert info["rowCount"] == 29, info
+    # "Gene protein should have columns"
+    assert len(info["columns"]) > 0, info
+    view = f"gene_with_protein_product_json_v{info['version']}"
+
+    # to_df {|x| x.filter('ix > 10').filter('ix <= 25')} -> 15 rows
+    code, out = c.sql(f"SELECT count(*) AS n FROM {view} "
+                      f"WHERE ix > 10 AND ix <= 25")
+    assert code == 200 and csv_rows(out)[-1] == ["15"], out
+
+    # dlagoon.load(1..5) / (1...5): range-limited source listing
+    assert len(c.sources(limit=5)) == 5
+    assert len(c.sources(limit=4)) == 4
+
+
+def dplyr_flow(c):
+    """clients/RLagoon/R/dplyrlagoon.r verbs replayed as the SQL the
+    backend generates."""
+    # a table with a numeric pair and a JSON props column
+    csv = ("grp,x,y,props\n"
+           'a,1.0,2.0,"{""k"": 1, ""tags"": [""p"", ""q""]}"\n'
+           'a,2.0,4.5,"{""k"": 2, ""tags"": [""r""]}"\n'
+           'b,3.0,5.5,"{""k"": 3, ""tags"": []}"\n')
+    info = c.ingest("dplyr.csv", csv)
+    view = f"dplyr_csv_v{info['version']}"
+
+    # db_query_fields: the column listing tbl() boots from
+    cols = [col["name"] for col in c.source_info("dplyr.csv")["columns"]]
+    assert cols[-4:] == ["grp", "x", "y", "props"], cols
+
+    # summarize(n = n(), sd = sd(x), var = var(x), cor = cor(x, y)):
+    # the base_agg translator table, one GROUP BY query
+    code, out = c.sql(
+        f"SELECT grp, count(*) AS n, round(stddev_samp(x), 4) AS sd, "
+        f"round(var_samp(x), 4) AS var, round(corr(x, y), 4) AS cor "
+        f"FROM {view} GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2", "0.7071", "0.5", "1.0"], rows
+    assert rows[2][:2] == ["b", "1"], rows
+
+    # the %->% / %->>% / %#>% JSON operator family ships VERBATIM as
+    # Postgres operator text (sql_infix) — the facade must run it
+    code, out = c.sql(f"SELECT grp, props->>'k' AS k, "
+                      f"props#>>'{{tags,0}}' AS t0 "
+                      f"FROM {view} WHERE CAST(props->>'k' AS INT) >= 2 "
+                      f"ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2", "r"] and rows[2][:2] == ["b", "3"], rows
+
+
 def main():
     port = int(sys.argv[1])
     admin_pass = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -123,6 +219,13 @@ def main():
     c.token = tok
     code, _ = c.req("POST", f"/source/smoke.csv/{version}/tags", body='["x"]')
     assert code == 401, f"stale token mutated: {code}"
+
+    # the Ruby and R dplyr client flows on a fresh session
+    c2 = Client(port)
+    c2.login("root", admin_pass)
+    ruby_flow(c2)
+    dplyr_flow(c2)
+    c2.logout()
 
     print("client smoke OK")
 
