@@ -1,0 +1,363 @@
+package graft.engine
+
+/** Postgres SELECT-clause compatibility for the /sql facade.
+  *
+  * The reference's /sql endpoint proxies to Postgres (reference
+  * server/src/Lagoon/Server/HandlerM.hs — the query text reaches
+  * Postgres verbatim), so clients lean on Postgres-only SELECT forms.
+  * Spark SQL rejects them at parse time; the facade rewrites the two
+  * that appear in real client code into their Spark spellings before
+  * the gate parses the query:
+  *
+  *  1. `SELECT DISTINCT ON (k1, k2) sel FROM ... ORDER BY k1, k2, o`
+  *     — Postgres's keep-first-row-per-group idiom. Rewritten to a
+  *     `row_number() OVER (PARTITION BY k1, k2 ORDER BY <order list>)
+  *     = 1` filter wrapped in a subquery, with the statement's own
+  *     ORDER BY re-applied on the outside (Postgres semantics: the
+  *     DISTINCT ON expressions must lead the ORDER BY; the tail picks
+  *     the surviving row, and the output is ordered by the full list).
+  *     Without an ORDER BY the surviving row is arbitrary in Postgres;
+  *     here the window orders by the DISTINCT ON keys, which is at
+  *     least deterministic for equal keys-only orderings.
+  *
+  *  2. `EXTRACT(EPOCH FROM ts)` — Postgres returns fractional seconds
+  *     since the epoch; Spark's EXTRACT has no EPOCH field. Rewritten
+  *     to `(unix_micros(ts) / 1000000.0)` (exact microsecond precision,
+  *     no ANSI-cast dependence).
+  *
+  * Scope (kept deliberately narrow so nothing mis-executes silently):
+  * DISTINCT ON select items must be bare (possibly qualified) column
+  * references or `expr AS alias` — an unaliased computed item has no
+  * recoverable output name, and a bare `*` cannot be re-projected
+  * without schema knowledge, so those queries are returned UNCHANGED
+  * and Spark's parser then rejects DISTINCT ON loudly. Set operations
+  * (UNION/INTERSECT/EXCEPT) directly under the DISTINCT ON select are
+  * likewise left untouched. Both rewrites are quote-aware ('' escapes,
+  * "ident", `ident`) and re-scan their own output, so nested
+  * subqueries each get rewritten.
+  */
+object PgSelect {
+
+  def rewrite(sql: String): String = rewriteEpoch(rewriteDistinctOn(sql))
+
+  // ---------------------------------------------------------------
+  // shared quote-aware scanning helpers
+  // ---------------------------------------------------------------
+
+  /** Index just past a string/ident literal starting at `i`. */
+  private def skipQuoted(s: String, i: Int): Int = s(i) match {
+    case '\'' =>
+      var j = i + 1
+      while (j < s.length) {
+        if (s(j) == '\'' && j + 1 < s.length && s(j + 1) == '\'') j += 2
+        else if (s(j) == '\'') return j + 1
+        else j += 1
+      }
+      j
+    case q @ ('"' | '`') =>
+      var j = i + 1
+      while (j < s.length && s(j) != q) j += 1
+      math.min(j + 1, s.length)
+    case _ => i
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Does the keyword (letters only, any case) start at position i as
+    * a whole word?
+    */
+  private def wordAt(s: String, i: Int, w: String): Boolean =
+    i + w.length <= s.length &&
+      s.regionMatches(true, i, w, 0, w.length) &&
+      (i == 0 || !isWordChar(s(i - 1))) &&
+      (i + w.length == s.length || !isWordChar(s(i + w.length)))
+
+  /** Split `s` on top-level commas (quote- and paren-aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  // ---------------------------------------------------------------
+  // DISTINCT ON
+  // ---------------------------------------------------------------
+
+  /** Output name of a select item, if recoverable: `expr AS alias`
+    * (last top-level AS wins), or the final segment of a bare
+    * identifier chain. None → the whole rewrite is abandoned.
+    */
+  private def itemName(item: String): Option[String] = {
+    // last top-level AS
+    var depth = 0
+    var i = 0
+    var asAt = -1
+    while (i < item.length) {
+      item(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(item, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt(item, i, "AS")) { asAt = i; i += 2 }
+          else i += 1
+      }
+    }
+    if (asAt >= 0) {
+      val alias = item.substring(asAt + 2).trim
+      if (alias.nonEmpty && alias.forall(isWordChar) && !alias.head.isDigit)
+        Some(alias)
+      else if (alias.length > 2 && alias.head == '`' && alias.last == '`')
+        Some(alias)
+      else None
+    } else {
+      // bare identifier chain a.b.c (with optional `quoted` segments)
+      val segs = item.split('.')
+      val ok = segs.nonEmpty && segs.forall { seg =>
+        val t = seg.trim
+        (t.nonEmpty && t.forall(isWordChar) && !t.head.isDigit) ||
+          (t.length > 2 && t.head == '`' && t.last == '`')
+      }
+      if (ok) Some(segs.last.trim) else None
+    }
+  }
+
+  /** Split one ORDER BY item into (expr, direction suffix). */
+  private def orderParts(item: String): (String, String) = {
+    val t = item.trim
+    val up = t.toUpperCase
+    var expr = t
+    var suffix = ""
+    for (tail <- Seq(" NULLS FIRST", " NULLS LAST"))
+      if (up.endsWith(tail) && suffix.isEmpty) {
+        suffix = tail.trim
+        expr = t.substring(0, t.length - tail.length).trim
+      }
+    val up2 = expr.toUpperCase
+    for (dir <- Seq(" ASC", " DESC"))
+      if (up2.endsWith(dir)) {
+        suffix = (dir.trim + " " + suffix).trim
+        expr = expr.substring(0, expr.length - dir.length).trim
+      }
+    (expr, suffix)
+  }
+
+  def rewriteDistinctOn(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 16) {
+      rewriteFirstDistinctOn(cur) match {
+        case Some(next) => cur = next; guard += 1
+        case None => return cur
+      }
+    }
+    cur
+  }
+
+  /** Rewrite the first `SELECT DISTINCT ON` in `s`, or None. */
+  private def rewriteFirstDistinctOn(s: String): Option[String] = {
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i)
+        case c if (c == 's' || c == 'S') && wordAt(s, i, "SELECT") =>
+          val r = tryRewriteAt(s, i)
+          if (r.isDefined) return r
+          i += 6
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  private def tryRewriteAt(s: String, selStart: Int): Option[String] = {
+    var i = selStart + 6
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (!wordAt(s, i, "DISTINCT")) return None
+    i += 8
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (!wordAt(s, i, "ON")) return None
+    i += 2
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length || s(i) != '(') return None
+    // matching ) for the key list
+    var depth = 0
+    val keysStart = i + 1
+    var keysEnd = -1
+    while (i < s.length && keysEnd < 0) {
+      s(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i)
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) keysEnd = i
+          i += 1
+        case _ => i += 1
+      }
+    }
+    if (keysEnd < 0) return None
+    val keys = splitTop(s.substring(keysStart, keysEnd))
+    if (keys.isEmpty) return None
+
+    // select list runs to the top-level FROM; then find the clause
+    // boundaries: body = FROM..(ORDER BY|LIMIT|OFFSET|end|unbalanced ')')
+    var j = keysEnd + 1
+    depth = 0
+    var fromAt = -1
+    while (j < s.length && fromAt < 0) {
+      s(j) match {
+        case '\'' | '"' | '`' => j = skipQuoted(s, j)
+        case '(' => depth += 1; j += 1
+        case ')' =>
+          if (depth == 0) return None // SELECT without FROM inside parens
+          depth -= 1; j += 1
+        case c =>
+          if (depth == 0 && (c == 'f' || c == 'F') && wordAt(s, j, "FROM"))
+            fromAt = j
+          else j += 1
+      }
+    }
+    if (fromAt < 0) return None
+    val items = splitTop(s.substring(keysEnd + 1, fromAt))
+    if (items.isEmpty) return None
+    val names = items.map(itemName)
+    if (names.exists(_.isEmpty)) return None // unrecoverable output name
+
+    // scan clauses after FROM
+    j = fromAt
+    depth = 0
+    var orderAt = -1
+    var tailAt = -1 // LIMIT/OFFSET (before or after ORDER BY)
+    var stmtEnd = s.length
+    var bad = false
+    while (j < s.length && stmtEnd == s.length) {
+      s(j) match {
+        case '\'' | '"' | '`' => j = skipQuoted(s, j)
+        case '(' => depth += 1; j += 1
+        case ')' =>
+          if (depth == 0) stmtEnd = j else { depth -= 1; j += 1 }
+        case ';' if depth == 0 => stmtEnd = j
+        case c =>
+          if (depth == 0) {
+            if ((c == 'o' || c == 'O') && wordAt(s, j, "ORDER") && orderAt < 0) {
+              orderAt = j; j += 5
+            } else if ((c == 'l' || c == 'L') && wordAt(s, j, "LIMIT") && tailAt < 0) {
+              tailAt = j; j += 5
+            } else if ((c == 'o' || c == 'O') && wordAt(s, j, "OFFSET") && tailAt < 0) {
+              tailAt = j; j += 6
+            } else if (((c == 'u' || c == 'U') && wordAt(s, j, "UNION")) ||
+              ((c == 'i' || c == 'I') && wordAt(s, j, "INTERSECT")) ||
+              ((c == 'e' || c == 'E') && wordAt(s, j, "EXCEPT"))) {
+              bad = true; stmtEnd = j
+            } else j += 1
+          } else j += 1
+      }
+    }
+    if (bad) return None
+    val bodyEnd =
+      if (orderAt >= 0) orderAt else if (tailAt >= 0) tailAt else stmtEnd
+    val body = s.substring(fromAt, bodyEnd).trim
+    val orderItems: Seq[(String, String)] =
+      if (orderAt >= 0) {
+        val oEnd = if (tailAt >= 0 && tailAt > orderAt) tailAt else stmtEnd
+        var k = orderAt + 5
+        while (k < s.length && s(k).isWhitespace) k += 1
+        if (!wordAt(s, k, "BY")) return None
+        splitTop(s.substring(k + 2, oEnd)).map(orderParts)
+      } else Seq.empty
+    val tail =
+      if (tailAt >= 0) " " + s.substring(tailAt, stmtEnd).trim else ""
+
+    val windowOrder =
+      if (orderItems.nonEmpty)
+        orderItems.map { case (e, d) => (e + " " + d).trim }.mkString(", ")
+      else keys.mkString(", ")
+    val orderAliases = orderItems.zipWithIndex.map { case ((e, _), ix) =>
+      s"$e AS __din_o$ix"
+    }
+    val innerItems = (items ++ orderAliases :+
+      (s"row_number() OVER (PARTITION BY ${keys.mkString(", ")} " +
+        s"ORDER BY $windowOrder) AS __din_rn")).mkString(", ")
+    val outerOrder =
+      if (orderItems.nonEmpty)
+        " ORDER BY " + orderItems.zipWithIndex.map { case ((_, d), ix) =>
+          (s"__din_o$ix " + d).trim
+        }.mkString(", ")
+      else ""
+    val outerSel = names.map(_.get).mkString(", ")
+    val rewritten =
+      s"SELECT $outerSel FROM (SELECT $innerItems $body) __din " +
+        s"WHERE __din_rn = 1" + outerOrder + tail
+    Some(s.substring(0, selStart) + rewritten + s.substring(stmtEnd))
+  }
+
+  // ---------------------------------------------------------------
+  // EXTRACT(EPOCH FROM x)
+  // ---------------------------------------------------------------
+
+  def rewriteEpoch(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val s = sql
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case c if (c == 'e' || c == 'E') && wordAt(s, i, "EXTRACT") =>
+          // EXTRACT ( EPOCH FROM <expr> )
+          var j = i + 7
+          while (j < s.length && s(j).isWhitespace) j += 1
+          var ok = j < s.length && s(j) == '('
+          if (ok) {
+            j += 1
+            while (j < s.length && s(j).isWhitespace) j += 1
+            ok = wordAt(s, j, "EPOCH")
+            if (ok) {
+              j += 5
+              while (j < s.length && s(j).isWhitespace) j += 1
+              ok = wordAt(s, j, "FROM")
+              if (ok) {
+                j += 4
+                val exprStart = j
+                var depth = 1
+                var exprEnd = -1
+                while (j < s.length && exprEnd < 0) {
+                  s(j) match {
+                    case '\'' | '"' | '`' => j = skipQuoted(s, j)
+                    case '(' => depth += 1; j += 1
+                    case ')' =>
+                      depth -= 1
+                      if (depth == 0) exprEnd = j
+                      j += 1
+                    case _ => j += 1
+                  }
+                }
+                if (exprEnd >= 0) {
+                  val expr = s.substring(exprStart, exprEnd).trim
+                  // recurse: the operand may itself contain EXTRACT(EPOCH..)
+                  out.append(
+                    s"(unix_micros(${rewriteEpoch(expr)}) / 1000000.0)")
+                  i = exprEnd + 1
+                } else { out.append(c); i += 1 }
+              } else { out.append(c); i += 1 }
+            } else { out.append(c); i += 1 }
+          } else { out.append(c); i += 1 }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+}

@@ -456,17 +456,24 @@ object Graph {
     var scores = nodes.withColumn("hub", lit(1.0))
       .withColumn("auth", lit(1.0)).transform(flat)
     for (_ <- 1 to iters) {
+      // each norm is a driver-synced scalar, and the score update
+      // consumes the SAME frame the norm was computed from — persist
+      // the round's three intermediates so the edge-join+aggregate
+      // chains execute once per round, not once per consumer (the
+      // un-persisted shape re-ran auth0 three times and hub0 twice:
+      // norm action, hub build, and the final score join)
       val auth0 = e.join(scores.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst")).agg(sum(col("hub")).as("a0"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a0")).persist()
       val aNorm = math.sqrt(
         auth0.agg(sum(col("a0") * col("a0"))).head.getDouble(0))
       val auth = nodes
         .join(auth0.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("a0"), lit(0.0)) / aNorm).as("auth"))
+        .persist()
       val hub0 = e.join(auth.select(col("node").as("dst"),
           col("auth").as("__a")), "dst")
-        .groupBy(col("src")).agg(sum(col("__a")).as("h0"))
+        .groupBy(col("src")).agg(sum(col("__a")).as("h0")).persist()
       val hNorm = math.sqrt(
         hub0.agg(sum(col("h0") * col("h0"))).head.getDouble(0))
       scores = nodes
@@ -476,6 +483,8 @@ object Graph {
           (coalesce(col("h0"), lit(0.0)) / hNorm).as("hub"),
           col("__auth").as("auth"))
         .transform(flat)
+      // flat() has materialized the round's scores — the caches are dead
+      auth0.unpersist(false); auth.unpersist(false); hub0.unpersist(false)
     }
     e.unpersist(); nodes.unpersist()
     scores

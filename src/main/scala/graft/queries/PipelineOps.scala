@@ -876,7 +876,10 @@ object PipelineOps {
       (s, d) => {
         val e = embs(s, d).select(col("vec_id"), col("embedding"))
         val cbs = Embeddings.pqCodebooks(e, m = 16, k = 16)
-        val enc = Embeddings.pqEncode(e, cbs)
+        // persisted: the encoded frame feeds the ADC ranking, the
+        // code-range audit, and the row count — three executions of
+        // the encode projection otherwise
+        val enc = Embeddings.pqEncode(e, cbs).persist()
         val queries = e.orderBy("vec_id").limit(20).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         import s.implicits._
@@ -900,6 +903,7 @@ object PipelineOps {
         val codesOk = enc.agg(min(forall(col("codes"),
           c => c >= 0 && c < 16)).as("ok")).head.getBoolean(0)
         val nv = enc.count()
+        enc.unpersist(false)
         // measured 0.405 at sf0.01 (64-bit codes for 64 floats, 32×
         // compression; chance is ~0.02) — 0.3 is the regression bound
         Seq((nv, codesOk, recall >= 0.3)).toDF("n_vectors", "codes_ok", "recall_ok")
@@ -1653,7 +1657,11 @@ object PipelineOps {
       (s, d) => {
         import org.apache.spark.sql.functions._
         val e = embs(s, d)
-        val bf = Similarity.bruteForceTopK(e, e, k = 3).select(col("query_id"), col("neighbor_id"))
+        // persisted: the n² brute-force ground truth feeds BOTH recall
+        // evaluations and the query count — three full crossJoin
+        // executions otherwise
+        val bf = Similarity.bruteForceTopK(e, e, k = 3)
+          .select(col("query_id"), col("neighbor_id")).persist()
         def recallOf(iters: Int): Double = bf
           .join(Similarity.ivfTopK(e, dim = 64, k = 3, numCells = 16, kmeansIters = iters)
             .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
@@ -1662,6 +1670,7 @@ object PipelineOps {
           .head.getDouble(0)
         val (km, firstN) = (recallOf(2), recallOf(0))
         val nq = bf.select(countDistinct(col("query_id"))).head.getLong(0)
+        bf.unpersist(false)
         import s.implicits._
         Seq((nq, km >= 0.25, km > firstN))
           .toDF("n_queries", "kmeans_recall_ok", "kmeans_beats_firstn")
@@ -1826,24 +1835,35 @@ object PipelineOps {
         import org.apache.spark.sql.expressions.Window
         graft.functions.VectorFunctions.register(s)
         val e = embs(s, d).select(col("vec_id"), col("embedding"))
-        val n = e.crossJoin(
-          e.select(col("vec_id").as("nid"), col("embedding").as("nemb")))
+        // self-norms once per ROW before the n² crossJoin (same float
+        // value and association as computing them per pair — the dot
+        // is the same sequential sum, the l2 keeps (q − 2d) + n order —
+        // but 2/3 of the per-pair flops disappear)
+        val base = e.withColumn("nrm",
+          Similarity.dot(col("embedding"), col("embedding")))
+        val n = base.crossJoin(
+          base.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
+            col("nrm").as("nnrm")))
           .filter(col("vec_id") =!= col("nid"))
-        val l2 = Similarity.dot(col("embedding"), col("embedding")) -
+        val l2 = col("nrm") -
           lit(2.0) * Similarity.dot(col("embedding"), col("nemb")) +
-          Similarity.dot(col("nemb"), col("nemb"))
+          col("nnrm")
         val exact = n.select(col("vec_id").as("query_id"),
             col("nid").as("neighbor_id"), l2.as("dist"))
           .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("dist").asc, col("neighbor_id").asc)))
           .filter(col("rk") <= 10).select("query_id", "neighbor_id")
+        // persisted: consumed by BOTH the recall join and the query
+        // count — unpersisted, the whole IVF-PQ pipeline ran twice
         val approx = Similarity.ivfPqTopK(e, dim = 64, k = 10, numCells = 16,
             m = 16, codebookK = 16, kmeansIters = 2)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+          .persist()
         val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
           .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
           .head.getDouble(0)
         val nq = approx.select(countDistinct(col("query_id"))).head.getLong(0)
+        approx.unpersist(false)
         import s.implicits._
         // measured 0.2066 at sf0.01 (probe-1 cells cap the ceiling —
         // sim04's exact in-cell recall is ~0.26; chance is ~0.02);

@@ -422,6 +422,46 @@ object SqlSurface {
              WHERE props->>'k' IS NOT NULL
              ORDER BY event_id""")),
 
+    // Q54: Postgres DISTINCT ON — keep-first-row-per-group. The
+    // reference's /sql is a Postgres passthrough, so clients ship it
+    // verbatim; Spark has no DISTINCT ON, so the facade's PgSelect
+    // rewrite lowers it to a row_number()-over-partition = 1 filter
+    // with the statement's ORDER BY re-applied outside (PgSelect.scala
+    // scope notes). DuckDB executes the SAME text natively — the
+    // oracle IS the un-rewritten query.
+    NamedQuery("q54_distinct_on",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber,
+                    CAST(l_quantity AS INT) AS qty
+             FROM lineitem
+             ORDER BY l_orderkey, l_quantity DESC, l_linenumber
+             LIMIT 500"""))
+      },
+      Some("""SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber,
+                    CAST(l_quantity AS INT) AS qty
+             FROM lineitem
+             ORDER BY l_orderkey, l_quantity DESC, l_linenumber
+             LIMIT 500""")),
+
+    // Q55: EXTRACT(EPOCH FROM ts) — Postgres's fractional-seconds
+    // epoch field, absent from Spark's EXTRACT. The facade rewrites it
+    // to unix_micros(·)/1e6 (PgSelect.rewriteEpoch); floor+BIGINT on
+    // both sides sidesteps the engines' fractional-vs-truncated return
+    // conventions. DuckDB runs the same text natively.
+    NamedQuery("q55_extract_epoch",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT event_id,
+                    CAST(floor(EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+             FROM events ORDER BY event_id LIMIT 1000"""))
+      },
+      Some("""SELECT event_id,
+                    CAST(floor(EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+             FROM events ORDER BY event_id LIMIT 1000""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -576,7 +576,10 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         // ships as -> / ->> / #> / #>> text — reference
         // clients/RLagoon/R/dplyrlagoon.r:86-100) rewrite to
         // get_json_object BEFORE the gate parses the query
-        val df = SqlGate.execute(spark, PgJson.rewrite(body(ex)), owner.keySet,
+        // ... then the Postgres SELECT forms (DISTINCT ON, EPOCH)
+        // lower to their Spark spellings (PgSelect scope notes)
+        val df = SqlGate.execute(spark,
+          PgSelect.rewrite(PgJson.rewrite(body(ex))), owner.keySet,
           canRead = t => owner.get(t).exists(ds => acl.get.canRead(userOpt, ds)))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {

@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Postgres SELECT-form rewrites behind the /sql facade:
+  * DISTINCT ON → row_number()=1, EXTRACT(EPOCH FROM ·) → unix_micros.
+  */
+class PgSelectSpec extends AnyFunSuite {
+
+  test("DISTINCT ON with bare columns and a full ORDER BY") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
+    assert(r ==
+      "SELECT k, v FROM (SELECT k, v, k AS __din_o0, v AS __din_o1, " +
+        "row_number() OVER (PARTITION BY k ORDER BY k, v DESC) AS __din_rn " +
+        "FROM t) __din WHERE __din_rn = 1 ORDER BY __din_o0, __din_o1 DESC")
+  }
+
+  test("DISTINCT ON keeps a trailing LIMIT outside the subquery") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v LIMIT 5")
+    assert(r.endsWith("ORDER BY __din_o0, __din_o1 LIMIT 5"))
+    assert(!r.substring(0, r.indexOf(") __din")).contains("LIMIT"))
+  }
+
+  test("DISTINCT ON with aliased expressions and qualified columns") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (t.k) t.k, CAST(t.v AS INT) AS iv " +
+        "FROM t ORDER BY t.k, t.v DESC NULLS LAST")
+    assert(r.startsWith("SELECT k, iv FROM (SELECT t.k, CAST(t.v AS INT) AS iv"))
+    assert(r.contains("PARTITION BY t.k ORDER BY t.k, t.v DESC NULLS LAST"))
+    assert(r.endsWith("ORDER BY __din_o0, __din_o1 DESC NULLS LAST"))
+  }
+
+  test("DISTINCT ON without ORDER BY windows over the keys") {
+    val r = PgSelect.rewriteDistinctOn("SELECT DISTINCT ON (k) k, v FROM t")
+    assert(r.contains("OVER (PARTITION BY k ORDER BY k)"))
+    assert(!r.contains("__din_o0"))
+  }
+
+  test("multi-key DISTINCT ON and WHERE/GROUP BY stay in the body") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (a, b) a, b, count(*) AS n FROM t " +
+        "WHERE a > 0 GROUP BY a, b, c ORDER BY a, b, n DESC")
+    assert(r.contains("PARTITION BY a, b "))
+    assert(r.contains("FROM t WHERE a > 0 GROUP BY a, b, c) __din"))
+  }
+
+  test("nested DISTINCT ON in a subquery is rewritten too") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT x FROM (SELECT DISTINCT ON (k) k AS x FROM t ORDER BY k, v) q")
+    assert(!r.toUpperCase.contains("DISTINCT ON"))
+    assert(r.startsWith("SELECT x FROM (SELECT x FROM (SELECT k AS x"))
+  }
+
+  test("unsupported shapes are returned unchanged") {
+    // bare * — no recoverable projection
+    val star = "SELECT DISTINCT ON (k) * FROM t ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(star) == star)
+    // unaliased computed item
+    val calc = "SELECT DISTINCT ON (k) k + 1 FROM t ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(calc) == calc)
+    // set operation directly under the select
+    val un = "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u"
+    assert(PgSelect.rewriteDistinctOn(un) == un)
+    // plain DISTINCT is not DISTINCT ON
+    val plain = "SELECT DISTINCT k FROM t ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(plain) == plain)
+  }
+
+  test("a trailing semicolon ends the statement and is preserved") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v;")
+    assert(r.endsWith("ORDER BY __din_o0, __din_o1;"))
+  }
+
+  test("DISTINCT ON text inside string literals stays verbatim") {
+    val s = "SELECT 'SELECT DISTINCT ON (k) v FROM t' AS doc FROM t"
+    assert(PgSelect.rewriteDistinctOn(s) == s)
+  }
+
+  test("EXTRACT(EPOCH FROM ·) rewrites to unix_micros") {
+    assert(PgSelect.rewriteEpoch("SELECT EXTRACT(EPOCH FROM ts) FROM t") ==
+      "SELECT (unix_micros(ts) / 1000000.0) FROM t")
+    // nested parens in the operand
+    assert(PgSelect.rewriteEpoch(
+      "SELECT EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP)) AS e FROM t") ==
+      "SELECT (unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0) AS e FROM t")
+  }
+
+  test("other EXTRACT fields and quoted text are untouched") {
+    val y = "SELECT EXTRACT(YEAR FROM ts) FROM t"
+    assert(PgSelect.rewriteEpoch(y) == y)
+    val lit = "SELECT 'EXTRACT(EPOCH FROM ts)' FROM t"
+    assert(PgSelect.rewriteEpoch(lit) == lit)
+  }
+
+  test("rewrite composes both passes") {
+    val r = PgSelect.rewrite(
+      "SELECT DISTINCT ON (k) k, EXTRACT(EPOCH FROM ts) AS e " +
+        "FROM t ORDER BY k, ts DESC")
+    assert(!r.toUpperCase.contains("DISTINCT ON"))
+    assert(r.contains("(unix_micros(ts) / 1000000.0) AS e"))
+  }
+}

@@ -167,6 +167,15 @@ def dplyr_flow(c):
     rows = csv_rows(out)
     assert rows[1] == ["a", "2", "r"] and rows[2][:2] == ["b", "3"], rows
 
+    # SELECT DISTINCT ON — the Postgres keep-first-per-group idiom
+    # dbplyr users reach for via sql(); the facade lowers it to a
+    # row_number()=1 window (PgSelect) before the gate parses it
+    code, out = c.sql(f"SELECT DISTINCT ON (grp) grp, x, y FROM {view} "
+                      f"ORDER BY grp, x DESC")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2.0", "4.5"] and rows[2] == ["b", "3.0", "5.5"], rows
+
 
 def main():
     port = int(sys.argv[1])
