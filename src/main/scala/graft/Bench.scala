@@ -265,8 +265,43 @@ object Bench {
       .filterNot(q => headline.exists(_._1 == q._1))
       .filter { case (name, _) =>
         sys.env.get("SPARK_GRAFT_ONLY").forall(_.split(',').contains(name)) }
-    val (engineTimes, _) = runPass(engineSet)
-    val engineTotal = engineTimes.values.sum
+    // The pass runs N-way CONCURRENT (default 4): these gates are
+    // dominated by fixed latencies (micro-batch streaming startup,
+    // catalog lifecycle round-trips, per-iteration checkpoint syncs)
+    // that overlap cleanly on 32 cores, and the pass exists only for
+    // round-over-round drift detection — so per-gate walls are
+    // measured UNDER the same concurrency every round (comparable,
+    // if individually noisier) and engine_total is the PASS WALL, not
+    // the per-gate sum. Gates are mutually isolated (own temp
+    // warehouses/dirs, unique memory-sink names, thread-safe
+    // Tables.load + synchronized function registry). Between-gate
+    // cache cleanup is deliberately SKIPPED inside the pass — a
+    // concurrent clearCache would destroy another in-flight gate's
+    // localCheckpoint blocks irrecoverably (their lineage is
+    // truncated); one cleanup runs after the pass completes.
+    val enginePar =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "4").toInt)
+    val engineT0 = System.nanoTime()
+    val engineTimes: Map[String, Double] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(enginePar)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = engineSet.map { case (name, fn) =>
+        Future {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable =>
+            errors.synchronized { errors += name } }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+      val res = Await.result(Future.sequence(futs), Duration.Inf).toMap
+      pool.shutdown()
+      res
+    }
+    dropLeftoverBlocks()
+    val engineTotal = (System.nanoTime() - engineT0) / 1e9
     // Detail line first (cold dict, then warm dict), COMPACT summary
     // line LAST: the driver keeps only the final ~2000 chars of
     // stdout, so the line it can always capture and parse whole must
@@ -333,7 +368,7 @@ object Bench {
     // the JIT-settling trace (last entry == probes[0], the settled
     // reading): lets a reader separate warm-up from interference
     val warmupJson = probeWarmup.map(f2).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = one timing pass over the non-headline flow gates (drift detection only); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"engine_par":$enginePar,"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = WALL of one engine_par-way concurrent pass over the non-headline flow gates (drift detection only; per-gate walls measured under that concurrency); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }
