@@ -197,8 +197,15 @@ object Similarity {
     * the brute and ANN paths — windows partition per id, bounded by
     * candidate-list sizes.
     */
-  private def marginFrom(scored: DataFrame, k: Int,
+  private def marginFrom(scored0: DataFrame, k: Int,
                          threshold: Double): DataFrame = {
+    // persisted: the candidate frame feeds BOTH per-side top-k
+    // averages AND the margin join — unpersisted, the candidate
+    // generation (brute crossJoin or LSH bucketing) executes three
+    // times. The result plan still depends on it, so it cannot be
+    // unpersisted inline (basketLift's convention — the bench/caller
+    // cleans between queries).
+    val scored = scored0.persist()
     val wA = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)
     val wB = Window.partitionBy(col("id_b"))
