@@ -279,8 +279,10 @@ object Bench {
     // concurrent clearCache would destroy another in-flight gate's
     // localCheckpoint blocks irrecoverably (their lineage is
     // truncated); one cleanup runs after the pass completes.
+    // default 6: the cold-JVM A/B at sf0.1 read 100.4 s (par=4) vs
+    // 68.0 s (par=6) — the pass is latency-bound well past 4-way
     val enginePar =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "4").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "6").toInt)
     val engineT0 = System.nanoTime()
     val engineTimes: Map[String, Double] = {
       import scala.concurrent.{Await, ExecutionContext, Future}

@@ -504,16 +504,16 @@ object Graph {
     *
     * Scale shape (Pregel in DataFrame form, pr01's loop): per round,
     * one join of labels onto the edge list keyed on src, one
-    * (dst, label) count with map-side partials, one per-dst
-    * row_number window (partitioned by dst — never global), and a
-    * left join back to keep isolated-destination labels. Rounds are
-    * flat-checkpointed so the plan never nests. Community detection
-    * over a 100 TB crawl's host graph is this exact shape — O(E) per
-    * round, 5-10 rounds.
+    * (dst, label) count with map-side partials, one per-dst min_by
+    * hash aggregate for the winner (argmax count / smallest-label
+    * tie-break as an orderable-struct min — no per-round partition
+    * sort), and a left join back to keep isolated-destination labels.
+    * Rounds are flat-checkpointed so the plan never nests. Community
+    * detection over a 100 TB crawl's host graph is this exact shape —
+    * O(E) per round, 5-10 rounds.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
-    import org.apache.spark.sql.expressions.Window
     def flat(df: DataFrame): DataFrame = {
       val cp =
         if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -529,12 +529,15 @@ object Graph {
       val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("__c"))
+      // argmax count, smallest-label tie-break, as ONE hash aggregate:
+      // min over the orderable struct (-count, label) picks the same
+      // winner the row_number window did, without the per-round
+      // partition SORT (hash-agg with map-side partials instead)
       val won = counts
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col("dst"))
-            .orderBy(col("__c").desc, col("label"))))
-        .filter(col("__r") === 1)
-        .select(col("dst").as("node"), col("label").as("__new"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("__nc"), col("label"))).as("__new"))
+        .withColumnRenamed("dst", "node")
       labels = labels.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
         .transform(flat)
