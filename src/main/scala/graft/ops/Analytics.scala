@@ -473,7 +473,12 @@ object Analytics {
         .withColumnRenamed("n_item", "n_b"), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("n_pair"),
         col("n_a"), col("n_b"),
-        round(col("n_pair") * lit(nBaskets) / (col("n_a") * col("n_b")), 6)
+        // cast BEFORE the long×long products (the auc overflow
+        // convention): item counts scale with the corpus, so
+        // n_a·n_b / n_pair·nBaskets blow past Long at billion-basket
+        // catalogs under ANSI
+        round(col("n_pair").cast("double") * lit(nBaskets) /
+            (col("n_a").cast("double") * col("n_b")), 6)
           .as("lift"),
         round(col("n_pair") / col("n_a").cast("double"), 6).as("confidence"))
       .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
@@ -523,7 +528,9 @@ object Analytics {
         .withColumnRenamed("n_users", "n_j"), Seq("j"))
       .select(col("i").as("item"), col("j").as("neighbor"),
         col("n_common"), col("n_i"), col("n_j"),
-        round(col("n_common") / sqrt(col("n_i") * col("n_j")), 6)
+        // n_i·n_j in double BEFORE the product (auc convention) —
+        // per-item user counts scale with the corpus
+        round(col("n_common") / sqrt(col("n_i").cast("double") * col("n_j")), 6)
           .as("cosine"))
     scored
       .withColumn("rank", row_number().over(

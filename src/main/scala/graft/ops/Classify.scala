@@ -106,12 +106,17 @@ object Classify {
       .withColumn("b", col("dt") - col("a"))
       .withColumn("c", col("n_cls") - col("a"))
       .withColumn("d", lit(nTotal) - col("n_cls") - col("b"))
-    val num = (col("a") * col("d") - col("b") * col("c"))
-    val den = (col("a") + col("b")) * (col("c") + col("d")) *
-      (col("a") + col("c")) * (col("b") + col("d"))
+    // num/den in DOUBLE from the first product (the auc overflow
+    // convention): the 2×2 margins scale with the corpus, so den is
+    // ~n⁴ — past Long at ~1M docs (an ANSI throw, not even a wrong
+    // value) — and a·d passes 2⁶³ at ~10B docs
+    val num = (col("a").cast("double") * col("d") -
+      col("b").cast("double") * col("c"))
+    val den = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")) * (col("a") + col("c")) * (col("b") + col("d"))
     val scored = grid.withColumn("chi2",
       when(den === 0, 0.0)
-        .otherwise(lit(nTotal).cast("double") * num * num / den.cast("double")))
+        .otherwise(lit(nTotal).cast("double") * num * num / den))
     val w = Window.partitionBy(col("cls"))
       .orderBy(col("chi2").desc, col("tok").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)

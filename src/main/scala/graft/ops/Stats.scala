@@ -153,14 +153,19 @@ object Stats {
       sum((col("ni") * col("ni") - col("sq")).cast("double") /
         (col("ni") - 1)).as("dsum"),
       sum(col("ni")).as("n"), count(lit(1)).as("n_items"))
+    // category margins and the grand total square in DOUBLE (cast
+    // BEFORE the long×long products — the auc/mannWhitneyU overflow
+    // convention): nc and n scale with the corpus, so nc² / n² blow
+    // past Long at billion-rating jobs under ANSI. Per-item ni/m stay
+    // exact integers — raters per item is small by construction.
     val nc = m.join(byItem.select(col("i")), "i")
       .groupBy(col("c")).agg(sum(col("m")).as("nc"))
-      .agg(sum(col("nc") * col("nc")).as("sq_nc"),
+      .agg(sum(col("nc").cast("double") * col("nc")).as("sq_nc"),
         count(lit(1)).as("n_categories"))
     dObs.crossJoin(nc)
       .select(col("n_items"), col("n"), col("n_categories"),
         Portability.zround(lit(1.0) - col("dsum") * (col("n") - 1) /
-          (col("n") * col("n") - col("sq_nc")), 6).as("alpha"))
+          (col("n").cast("double") * col("n") - col("sq_nc")), 6).as("alpha"))
   }
 
   /** Rank-biased overlap at depth k (ev19, Webber et al. 2010): the

@@ -126,7 +126,8 @@ object FeatureOps {
                     FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
                     GROUP BY 1, 2 HAVING count(*) >= 3)
              SELECT item_a, item_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
-               round(n_pair * (SELECT nb FROM tot) / (ia.n_item * ib.n_item), 6) AS lift,
+               round(CAST(n_pair AS DOUBLE) * (SELECT nb FROM tot)
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift,
                round(n_pair / CAST(ia.n_item AS DOUBLE), 6) AS confidence
              FROM p JOIN ic ia ON ia.it = p.item_a
                     JOIN ic ib ON ib.it = p.item_b

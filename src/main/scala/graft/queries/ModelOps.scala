@@ -250,13 +250,14 @@ object ModelOps {
                   nt.n - cl.n_cls - (dt.dt - coalesce(ac.a, 0)) AS d
                 FROM dt CROSS JOIN cl CROSS JOIN nt
                 LEFT JOIN ac ON ac.tok = dt.tok AND ac.cls = cl.cls),
-              x AS (SELECT *, (a * d - b * c) AS num,
-                  (a + b) * (c + d) * (a + c) * (b + d) AS den
+              x AS (SELECT *,
+                  (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c) AS num,
+                  CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) AS den
                 FROM grid),
               sc AS (SELECT cls, tok, a, b, c, d,
                   CASE WHEN den = 0 THEN 0.0
                     ELSE (SELECT CAST(n AS DOUBLE) FROM nt) * num * num
-                      / CAST(den AS DOUBLE) END AS chi2
+                      / den END AS chi2
                 FROM x),
               rk AS (SELECT *, row_number() OVER (PARTITION BY cls
                   ORDER BY chi2 DESC, tok ASC) AS rank FROM sc)
@@ -450,7 +451,7 @@ object ModelOps {
                       UNION ALL SELECT j, i, n_common FROM co),
               sc AS (SELECT sym.i AS item, sym.j AS neighbor, n_common,
                   ni.n_users AS n_i, nj.n_users AS n_j,
-                  round(n_common / sqrt(ni.n_users * nj.n_users), 6)
+                  round(n_common / sqrt(CAST(ni.n_users AS DOUBLE) * nj.n_users), 6)
                     AS cosine
                 FROM sym JOIN itn ni ON ni.it = sym.i
                          JOIN itn nj ON nj.it = sym.j),
@@ -642,10 +643,10 @@ object ModelOps {
                        FROM bi),
               nc AS (SELECT c, sum(m.m) AS nc FROM m JOIN bi USING (i)
                      GROUP BY 1),
-              ncs AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sq_nc,
+              ncs AS (SELECT sum(CAST(nc AS DOUBLE) * nc) AS sq_nc,
                         CAST(count(*) AS BIGINT) AS n_categories FROM nc)
              SELECT n_items, n, n_categories,
-               round(1 - dsum * (n - 1) / (n * n - sq_nc), 6) + 0.0 AS alpha
+               round(1 - dsum * (n - 1) / (CAST(n AS DOUBLE) * n - sq_nc), 6) + 0.0 AS alpha
              FROM dobs, ncs""")),
 
     // ev19: rank-biased overlap between the quality-score ranking and
