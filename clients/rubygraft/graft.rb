@@ -1,0 +1,177 @@
+# Thin Ruby client for the graft HTTP server — the RubyLagoon surface
+# (reference clients/RubyLagoon/lib/lagoon.rb, lagoon/source.rb)
+# re-expressed against graft's dialect, stdlib-only (net/http, json,
+# uri — no Sequel/Daru/RecursiveOpenStruct gems).
+#
+# Dialect differences from the reference, by design of the graft
+# server (server/HttpApi.scala):
+#   - auth: POST /user/login?user=U&pass=P returns {"token": ...};
+#     subsequent requests carry it as the X-Token header (the reference
+#     used a Set-Cookie round-trip).
+#   - ingest progress: with progress: true the server streams
+#     {"progress":...} lines, a {"done":...} line, then the final
+#     SourceInfo JSON object, one per line (the reference streamed
+#     {"start":...}/"ok" pairs; the stack-based consumption below
+#     degrades to plain line logging).
+#   - /sql takes the SQL text as the raw request body; Accept:
+#     application/json returns one JSON object per row.
+#
+# NOTE: this container ships no Ruby runtime, so this file cannot be
+# executed here. Every request this client emits is byte-shape-covered
+# by tools/client_smoke.py's ruby_flow/dplyr_flow cases (run against
+# the live server in ClientSmokeSpec); method comments cite the
+# covering case.
+
+require 'net/http'
+require 'json'
+require 'uri'
+
+class Graft
+  attr_reader :sources, :server, :token
+
+  # Graft.new(host: "127.0.0.1", port: 3000, user: "root", password: "")
+  # ENV fallbacks mirror the reference's (GRAFT_HOST/GRAFT_PORT).
+  def initialize(attrs = {})
+    host = attrs[:host] || ENV['GRAFT_HOST']
+    port = attrs[:port] || ENV['GRAFT_PORT']
+    raise ArgumentError, 'No host for graft-server' if host.nil?
+    raise ArgumentError, 'No port for graft-server' if port.nil?
+    @server = Net::HTTP.new(host, port.to_i)
+    @verbose = attrs[:verbose] || ENV['GRAFT_RUBY_VERBOSE']
+    user = attrs[:user] || ENV['USER']
+    password = attrs[:password] || ENV['PASSWORD']
+    if user && attrs[:authenticate] != false
+      # smoke: Client.login — POST /user/login?user=&pass= -> token
+      res = request(Net::HTTP::Post.new(
+        "/user/login?#{URI.encode_www_form(user: user, pass: password || '')}"))
+      raise "Authentication failed for #{user}: #{res.code}" unless res.is_a?(Net::HTTPOK)
+      @token = JSON.parse(res.body)['token']
+      log_info "Authentication successful for user #{user}"
+    else
+      log_warn 'No credentials given, not authenticating'
+    end
+  end
+
+  def request(req, &block)
+    req['X-Token'] = @token if @token
+    @server.request(req, &block)
+  end
+
+  def log_info(s)
+    puts "[INFO] #{s}" if @verbose
+  end
+
+  def log_warn(s)
+    puts "[WARN] #{s}" if @verbose
+  end
+
+  # Load the catalog listing. A Range becomes offset/limit exactly like
+  # the reference's load(1..5) / load(1...5).
+  # smoke: ruby_flow — "dlagoon.load(1..5): range-limited source listing"
+  def load(rng = nil, attrs = {})
+    params = {}
+    unless rng.nil?
+      params[:offset] = rng.begin
+      params[:limit] = rng.end - rng.begin + (rng.exclude_end? ? 0 : 1)
+    end
+    params.merge!(attrs)
+    res = request(Net::HTTP::Get.new("/sources?#{URI.encode_www_form(params)}"))
+    raise "sources listing failed: #{res.code}" unless res.is_a?(Net::HTTPOK)
+    @sources = JSON.parse(res.body).map { |src| Source.new(src, self) }
+    nil
+  end
+
+  # Ingest a file (or an open File); returns the new Source.
+  # smoke: ruby_flow — repeated named ingests with content round-trips.
+  def ingest(file, attrs = {})
+    file = File.new(file, 'r') if file.is_a? String
+    attrs[:name] ||= File.basename(file.path, '.*')
+    params = { input: File.basename(file.path) }.merge(attrs)
+    progress = params.delete(:progress)
+    params[:progress] = 'true' if progress
+    req = Net::HTTP::Post.new("/sources?#{URI.encode_www_form(params)}")
+    req['Content-Length'] = File.size(file.path)
+    req.body_stream = file
+    json_source = nil
+    if progress
+      # smoke: im16 gate + "ingest with ?progress=true streams progress
+      # lines then the SourceInfo" — one JSON document per line; the
+      # LAST parseable object without progress/done/notice keys is the
+      # SourceInfo. Errors arrive as a final {"error": ...} line.
+      leftover = ''
+      request(req) do |resp|
+        resp.read_body do |segment|
+          leftover += segment
+          *ready, leftover = leftover.split("\n", -1)
+          ready.reject(&:empty?).each do |l|
+            blob = JSON.parse(l)
+            if blob['progress'] then log_info "Progress: #{blob['progress']}"
+            elsif blob['done'] then log_info "Done: #{blob['done']}"
+            elsif blob['notice'] then log_info "Notice: #{blob['notice']}"
+            elsif blob['error'] then raise "ingest failed: #{blob['error']}"
+            else json_source = blob
+            end
+          end
+        end
+      end
+    else
+      res = request(req)
+      raise "ingest failed: #{res.code} #{res.body}" unless res.code.to_i == 201
+      json_source = JSON.parse(res.body)
+    end
+    Source.new(json_source, self)
+  end
+
+  # Run SQL; returns an Array of row Hashes (Accept: application/json).
+  # smoke: dplyr_flow — aggregate / JSON-operator / DISTINCT ON queries
+  # over POST /sql (the server lowers Postgres spellings via
+  # PgJson/PgSelect before the gate parses them).
+  def sql(query)
+    req = Net::HTTP::Post.new('/sql')
+    req['Accept'] = 'application/json'
+    req.body = query
+    res = request(req)
+    raise "sql failed (#{res.code}): #{res.body[0, 200]}" unless res.is_a?(Net::HTTPOK)
+    res.body.each_line.reject { |l| l.strip.empty? }.map { |l| JSON.parse(l) }
+  end
+end
+
+class Graft::Source
+  attr_reader :attrs
+
+  def initialize(attrs, graft)
+    @attrs = attrs
+    @graft = graft
+  end
+
+  # SourceInfo fields as methods: src.ix, src.viewName, src.version ...
+  def method_missing(name, *args)
+    k = name.to_s
+    return @attrs[k] if @attrs.is_a?(Hash) && @attrs.key?(k)
+    super
+  end
+
+  def respond_to_missing?(name, include_private = false)
+    (@attrs.is_a?(Hash) && @attrs.key?(name.to_s)) || super
+  end
+
+  # Raw download of this source version (RFC-4180 CSV).
+  # smoke: ruby_flow — get_contents round-trip per ingested source.
+  def get_contents
+    res = @graft.request(Net::HTTP::Get.new(
+      "/source/#{@attrs['name']}/#{@attrs['version']}/download"))
+    raise "download failed: #{res.code}" unless res.is_a?(Net::HTTPOK)
+    res.body
+  end
+
+  # Rows of `SELECT ... FROM <viewName> ...` — the to_df analog without
+  # the Daru dependency; yield-style refinement mirrors the reference's
+  # to_df {|q| q.where(...)} by letting the caller append SQL text.
+  # smoke: ruby_flow — to_df {|x| x.filter('ix > 10')...} as WHERE text.
+  def to_rows(where: nil, limit: nil)
+    q = +"SELECT * FROM #{@attrs['viewName']}"
+    q << " WHERE #{where}" if where
+    q << " LIMIT #{limit}" if limit
+    @graft.sql(q)
+  end
+end
