@@ -133,8 +133,9 @@ object Similarity {
                  maxBucket: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     registerOn(corpus)
+    val corpusN = corpus.count()
     val scored =
-      if (corpus.count() <= annThreshold) {
+      if (corpusN <= annThreshold) {
         val qa = broadcast(queries.select(col("vec_id").as("id_a"),
           col("embedding").as("ea"),
           sqrt(dot(col("embedding"), col("embedding"))).as("na")))
@@ -145,7 +146,8 @@ object Similarity {
           .select(col("id_a"), col("id_b"),
             round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6)
               .as("cos"))
-      } else annMarginCandidates(queries, corpus, nBits, annTables, maxBucket)
+      } else annMarginCandidates(queries, corpus, nBits, annTables,
+        maxBucket, corpusN)
     marginFrom(scored, k, threshold)
   }
 
@@ -161,8 +163,9 @@ object Similarity {
     */
   private def annMarginCandidates(queries: DataFrame, corpus: DataFrame,
                                   nBits: Int, tables: Int,
-                                  maxBucket: Int): DataFrame = {
-    val bits = if (nBits > 0) nBits else bitsFor(corpus.count())
+                                  maxBucket: Int, corpusN: Long): DataFrame = {
+    // corpusN threaded from marginMine's auto-switch count — one job
+    val bits = if (nBits > 0) nBits else bitsFor(corpusN)
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     val side = "__mm_q"
     require(!queries.columns.contains(side), s"column $side would be clobbered")
