@@ -5,9 +5,9 @@ package graft.engine
   * The reference's /sql endpoint proxies to Postgres (reference
   * server/src/Lagoon/Server/HandlerM.hs — the query text reaches
   * Postgres verbatim), so clients lean on Postgres-only SELECT forms.
-  * Spark SQL rejects them at parse time; the facade rewrites the two
-  * that appear in real client code into their Spark spellings before
-  * the gate parses the query:
+  * Spark SQL rejects them at parse time; the facade rewrites the
+  * three that appear in real client code into their Spark spellings
+  * before the gate parses the query:
   *
   *  1. `SELECT DISTINCT ON (k1, k2) sel FROM ... ORDER BY k1, k2, o`
   *     — Postgres's keep-first-row-per-group idiom. Rewritten to a
@@ -25,6 +25,11 @@ package graft.engine
   *     to `(unix_micros(ts) / 1000000.0)` (exact microsecond precision,
   *     no ANSI-cast dependence).
   *
+  *  3. `string_agg(x, sep ORDER BY k)` — the inline-ordered aggregate
+  *     form. Spark accepts plain string_agg natively but spells the
+  *     ordering WITHIN GROUP; rewritten to
+  *     `listagg(x, sep) WITHIN GROUP (ORDER BY k)`.
+  *
   * Scope (kept deliberately narrow so nothing mis-executes silently):
   * DISTINCT ON select items must be bare (possibly qualified) column
   * references or `expr AS alias` — an unaliased computed item has no
@@ -38,7 +43,8 @@ package graft.engine
   */
 object PgSelect {
 
-  def rewrite(sql: String): String = rewriteEpoch(rewriteDistinctOn(sql))
+  def rewrite(sql: String): String =
+    rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql)))
 
   // ---------------------------------------------------------------
   // shared quote-aware scanning helpers
@@ -302,6 +308,77 @@ object PgSelect {
       s"SELECT $outerSel FROM (SELECT $innerItems $body) __din " +
         s"WHERE __din_rn = 1" + outerOrder + tail
     Some(s.substring(0, selStart) + rewritten + s.substring(stmtEnd))
+  }
+
+  // ---------------------------------------------------------------
+  // string_agg(x, sep ORDER BY k)
+  // ---------------------------------------------------------------
+
+  /** Postgres allows ORDER BY inside an aggregate's argument list;
+    * Spark spells the same thing WITHIN GROUP. Spark 4 accepts plain
+    * `string_agg(x, sep)` natively (and `listagg ... WITHIN GROUP`),
+    * so only the inline-ordered Postgres form needs lowering:
+    *
+    *   string_agg(x, ',' ORDER BY k DESC)
+    *     → listagg(x, ',') WITHIN GROUP (ORDER BY k DESC)
+    *
+    * Quote-aware; nested calls handled by re-scanning the rewritten
+    * argument text. A string_agg without an inline ORDER BY is left
+    * untouched (already valid Spark).
+    */
+  def rewriteOrderedStringAgg(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val s = sql
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case c if (c == 's' || c == 'S') && wordAt(s, i, "string_agg") =>
+          var j = i + 10
+          while (j < s.length && s(j).isWhitespace) j += 1
+          if (j >= s.length || s(j) != '(') { out.append(c); i += 1 }
+          else {
+            // matching ) and the top-level inline ORDER BY, if any
+            val argStart = j + 1
+            var depth = 1
+            var k = argStart
+            var argEnd = -1
+            var orderAt = -1
+            while (k < s.length && argEnd < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) argEnd = k
+                  k += 1
+                case ch =>
+                  if (depth == 1 && orderAt < 0 &&
+                    (ch == 'o' || ch == 'O') && wordAt(s, k, "ORDER")) orderAt = k
+                  k += 1
+              }
+            }
+            if (argEnd < 0 || orderAt < 0) { out.append(c); i += 1 }
+            else {
+              var b = orderAt + 5
+              while (b < s.length && s(b).isWhitespace) b += 1
+              if (!wordAt(s, b, "BY")) { out.append(c); i += 1 }
+              else {
+                val args = rewriteOrderedStringAgg(
+                  s.substring(argStart, orderAt).trim)
+                val order = rewriteOrderedStringAgg(
+                  s.substring(b + 2, argEnd).trim)
+                out.append(
+                  s"listagg($args) WITHIN GROUP (ORDER BY $order)")
+                i = argEnd + 1
+              }
+            }
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   // ---------------------------------------------------------------

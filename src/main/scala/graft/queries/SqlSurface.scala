@@ -462,6 +462,22 @@ object SqlSurface {
                     CAST(floor(EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
              FROM events ORDER BY event_id LIMIT 1000""")),
 
+    // Q56: string_agg with Postgres's INLINE ORDER BY — Spark accepts
+    // plain string_agg natively (4.x) but spells the ordering WITHIN
+    // GROUP; the facade lowers the inline form (PgSelect
+    // .rewriteOrderedStringAgg). DuckDB runs the same text natively.
+    NamedQuery("q56_string_agg_ordered",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             FROM region JOIN nation ON r_regionkey = n_regionkey
+             GROUP BY r_name ORDER BY r_name"""))
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             FROM region JOIN nation ON r_regionkey = n_regionkey
+             GROUP BY r_name ORDER BY r_name""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -95,6 +95,23 @@ class PgSelectSpec extends AnyFunSuite {
     assert(PgSelect.rewriteEpoch(lit) == lit)
   }
 
+  test("string_agg with inline ORDER BY lowers to listagg WITHIN GROUP") {
+    assert(PgSelect.rewriteOrderedStringAgg(
+      "SELECT g, string_agg(v, ',' ORDER BY v) FROM t GROUP BY g") ==
+      "SELECT g, listagg(v, ',') WITHIN GROUP (ORDER BY v) FROM t GROUP BY g")
+    assert(PgSelect.rewriteOrderedStringAgg(
+      "SELECT string_agg(v, '|' ORDER BY k DESC, v) FROM t") ==
+      "SELECT listagg(v, '|') WITHIN GROUP (ORDER BY k DESC, v) FROM t")
+  }
+
+  test("string_agg without inline ORDER BY stays verbatim (native Spark)") {
+    val s = "SELECT g, string_agg(v, ',') FROM t GROUP BY g"
+    assert(PgSelect.rewriteOrderedStringAgg(s) == s)
+    // ORDER BY inside a literal separator is not an inline order
+    val lit = "SELECT string_agg(v, ' ORDER BY ') FROM t"
+    assert(PgSelect.rewriteOrderedStringAgg(lit) == lit)
+  }
+
   test("rewrite composes both passes") {
     val r = PgSelect.rewrite(
       "SELECT DISTINCT ON (k) k, EXTRACT(EPOCH FROM ts) AS e " +
