@@ -849,6 +849,16 @@ class PlanQualitySpec extends AnyFunSuite {
     plan.split("windowspecdefinition\\(").drop(1)
       .forall(_.take(80).contains(key))
 
+  test("q54: the DISTINCT ON lowering windows per key, never globally") {
+    // PgSelect lowers DISTINCT ON (l_orderkey) to a row_number window —
+    // it must PARTITION BY the key (a global window would serialize the
+    // whole lineitem scan through one task)
+    val p = planOf("q54_distinct_on")
+    assert(p.contains("windowspecdefinition"), p.take(400))
+    assert(windowsPartitionedBy(p, "l_orderkey"),
+      s"the DISTINCT ON window lost its key partitioning: ${p.take(800)}")
+  }
+
   test("ev20: rank sums never plan a global row-level window") {
     // the classic failure mode is rank().over(orderBy(v)) — every
     // distinct value through ONE task; the bucketed prefix sum must
