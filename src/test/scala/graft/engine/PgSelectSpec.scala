@@ -53,6 +53,24 @@ class PgSelectSpec extends AnyFunSuite {
     assert(r.startsWith("SELECT x FROM (SELECT x FROM (SELECT k AS x"))
   }
 
+  test("DISTINCT ON inside a CTE body is rewritten in place") {
+    val r = PgSelect.rewriteDistinctOn(
+      "WITH best AS (SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC) " +
+        "SELECT * FROM best")
+    assert(!r.toUpperCase.contains("DISTINCT ON"))
+    assert(r.startsWith("WITH best AS (SELECT k, v FROM (SELECT k, v,"))
+    assert(r.endsWith("SELECT * FROM best"))
+  }
+
+  test("two DISTINCT ON selects in one statement both rewrite") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT a.k FROM (SELECT DISTINCT ON (k) k FROM t ORDER BY k, v) a " +
+        "JOIN (SELECT DISTINCT ON (k) k FROM u ORDER BY k, w DESC) b ON a.k = b.k")
+    assert(!r.toUpperCase.contains("DISTINCT ON"))
+    assert(r.contains("ORDER BY k, v) AS __din_rn FROM t"))
+    assert(r.contains("ORDER BY k, w DESC) AS __din_rn FROM u"))
+  }
+
   test("unsupported shapes are returned unchanged") {
     // bare * — no recoverable projection
     val star = "SELECT DISTINCT ON (k) * FROM t ORDER BY k"
