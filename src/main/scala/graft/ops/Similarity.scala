@@ -228,19 +228,38 @@ object Similarity {
         col("cos").as("cos_sim"), col("margin"))
   }
 
-  /** kNN majority-vote classifier (ml03): predict each query's label
-    * from its k nearest corpus vectors — the companion to ml01's
+  /** kNN majority-vote classifier (ml03/ml04): predict each query's
+    * label from its k nearest corpus vectors — the companion to ml01's
     * agreement SCREEN (that one flags suspicious labels; this one
     * actually predicts, which is what a semi-supervised labeling pass
     * or a retrieval-based baseline wants). Vote ties break on label
-    * ascending. Same broadcast×scan shape as bruteForceTopK; for a
-    * full-corpus run swap in the ANN candidate set (labelAgreement's
-    * auto-switch) — the vote is identical from there.
+    * ascending.
+    *
+    * Scale shape (labelAgreement's auto-switch, implemented not just
+    * promised): below `annThreshold` corpus rows the broadcast×scan
+    * exact ranking runs (bruteForceTopK). Above it the neighbor lists
+    * come from lshTopK's bucketed candidates (corpus-scaled bit count,
+    * maxBucket-guarded, never all-pairs), semi-joined to the query
+    * ids — in ANN mode queries must be corpus members (they must be
+    * anyway: the reported `label`/`correct` join on the corpus label
+    * frame). Approximate the same two ways as ml02: neighbors come
+    * from shared buckets only, and a query alone in its buckets gets
+    * no row. The vote below is identical on both paths. Force either
+    * path in tests via annThreshold = Long.MaxValue / 0.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame,
-                  k: Int = 5): DataFrame = {
+                  k: Int = 5, annThreshold: Long = 50000,
+                  annTables: Int = 4): DataFrame = {
     val labels = corpus.select(col("vec_id"), col("label"))
-    val votes = bruteForceTopK(corpus, queries, k)
+    val topk =
+      if (corpus.count() <= annThreshold) bruteForceTopK(corpus, queries, k)
+      else {
+        // dim from one row — bounded driver action, same as count
+        val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+        lshTopK(corpus, dim, k, tables = annTables)
+          .join(queries.select(col("vec_id").as("query_id")), "query_id")
+      }
+    val votes = topk
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")
       .groupBy(col("query_id"), col("n_label"))

@@ -1921,6 +1921,20 @@ object PipelineOps {
         .orderBy("vec_id"),
       Some(annLabelAgreementOracle(dim = 64, k = 5, nBits = 4, tables = 2))),
 
+    // ml04: the kNN CLASSIFIER's 100 TB path — knnClassify forced onto
+    // the LSH candidate lists (annThreshold = 0, ml02's switch); the
+    // oracle replays the hyperplane buckets, the rounded-cosine top-k
+    // rerank, and the majority vote with the (votes desc, label asc)
+    // tie-break in DuckDB.
+    NamedQuery("ml04_knn_classify_ann",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.knnClassify(e, e.filter(col("vec_id") < 100), k = 5,
+            annThreshold = 0, annTables = 2)
+          .orderBy("vec_id")
+      },
+      Some(annKnnClassifyOracle(dim = 64, k = 5, nBits = 4, tables = 2))),
+
     // end-to-end cleaning pipeline: exact-dedup survivors -> quality
     // >= 0.5 -> language = en -> exact integer aggregates (sums of
     // ints / of 1e4-scaled rounded scores, so no float-order drift)
@@ -3481,4 +3495,35 @@ object PipelineOps {
        JOIN embeddings nl ON nl.vec_id = r.neighbor_id
        WHERE r.rk <= $k
        GROUP BY 1, 2 ORDER BY vec_id"""
+
+  /** DuckDB oracle for ml04: the ml02 bucket/rerank CTEs restricted to
+    * the query slice, then knnClassify's majority vote (votes desc,
+    * label asc tie-break) instead of the agreement aggregate.
+    */
+  private def annKnnClassifyOracle(dim: Int, k: Int, nBits: Int,
+                                   tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables)},
+       pairs AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
+         FROM withemb q JOIN withemb n
+           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id
+              AND q.bc <= 10000
+         WHERE q.vec_id < 100),
+       ranked AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         FROM pairs),
+       v AS (SELECT r.query_id, nl.label AS n_label,
+           CAST(count(*) AS BIGINT) AS votes
+         FROM ranked r JOIN embeddings nl ON nl.vec_id = r.neighbor_id
+         WHERE r.rk <= $k GROUP BY 1, 2),
+       best AS (SELECT * FROM (SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS rn
+         FROM v) WHERE rn = 1)
+       SELECT b.query_id AS vec_id, ql.label, b.n_label AS pred, b.votes,
+         b.n_label = ql.label AS correct
+       FROM best b JOIN embeddings ql ON ql.vec_id = b.query_id
+       ORDER BY vec_id"""
 }
