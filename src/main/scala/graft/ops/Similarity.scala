@@ -278,24 +278,54 @@ object Similarity {
     * each query's top-k most-similar corpus vectors whose `label`
     * DIFFERS from the query's — the near-miss negatives that make
     * triplet/InfoNCE training converge (easy random negatives carry
-    * no gradient). Identical scale shape to bruteForceTopK: the query
-    * side broadcasts, the corpus is scanned once, never shuffled; for
-    * full-corpus mining swap the query side for an ANN candidate set
-    * (sim02/sim03) and reuse the same label filter.
+    * no gradient). Below `annThreshold` corpus rows this is the
+    * bruteForceTopK shape: the query side broadcasts, the corpus is
+    * scanned once, never shuffled. Above it (full-corpus mining — the
+    * auto-switch, ml04's idiom) candidates come from the shared LSH
+    * buckets (corpus-scaled bit count, maxBucket-guarded, never
+    * all-pairs), the label-differs filter lands on the candidate set
+    * BEFORE ranking, and queries must be corpus members. Approximate
+    * the ml02/ml04 two ways: bucket-local neighbors only, and a query
+    * alone in its buckets yields no row. Force either path in tests
+    * via annThreshold = Long.MaxValue / 0.
     */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    annThreshold: Long = 50000,
+                    annTables: Int = 4): DataFrame = {
     registerOn(corpus)
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("label").as("q_label"), col("embedding").as("q_emb"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"),
-        col("label").as("n_label"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
-      .join(q, col("neighbor_id") =!= col("query_id") &&
-        col("n_label") =!= col("q_label"))
-      .select(col("query_id"), col("neighbor_id"), col("n_label"),
-        round(cosinePre(col("q_emb"), col("embedding"),
-          col("q_norm"), col("n_norm")), 4).as("cos_sim"))
+    val corpusN = corpus.count()
+    val scored =
+      if (corpusN <= annThreshold) {
+        val q = broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"), col("embedding").as("q_emb"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
+        corpus.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+          .join(q, col("neighbor_id") =!= col("query_id") &&
+            col("n_label") =!= col("q_label"))
+          .select(col("query_id"), col("neighbor_id"), col("n_label"),
+            round(cosinePre(col("q_emb"), col("embedding"),
+              col("q_norm"), col("n_norm")), 4).as("cos_sim"))
+      } else {
+        val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+        val cand0 = bucketCandidates(
+          bucketized(corpus, dim, bitsFor(corpusN), annTables), 10000,
+          (a, b) => when(a("vec_id") =!= b("vec_id"),
+            struct(a("vec_id").as("query_id"), b("vec_id").as("neighbor_id"),
+              round(cosinePre(a("embedding"), b("embedding"),
+                a("norm"), b("norm")), 4).as("cos_sim"))),
+          "graft.hard_negatives.drops")
+        val cand = if (annTables > 1) cand0.distinct() else cand0
+        cand
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("label").as("q_label")), "query_id")
+          .join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), "neighbor_id")
+          .filter(col("n_label") =!= col("q_label"))
+          .select(col("query_id"), col("neighbor_id"), col("n_label"),
+            col("cos_sim"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))

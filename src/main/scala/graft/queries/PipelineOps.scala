@@ -865,6 +865,20 @@ object PipelineOps {
              SELECT query_id, rk, neighbor_id, n_label, cos_sim FROM ranked
              WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // hn02: hard-negative mining's 100 TB path — forced onto LSH
+    // candidates (annThreshold = 0, ml04's switch); the label-differs
+    // filter lands on the bucket candidates BEFORE ranking. Oracle
+    // replays the hyperplane buckets, the label filter, and the
+    // rounded-cosine rank in DuckDB.
+    NamedQuery("hn02_hard_negatives_ann",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 100), k = 5,
+            annThreshold = 0, annTables = 2)
+          .orderBy("query_id", "rk")
+      },
+      Some(annHardNegativesOracle(dim = 64, k = 5, nBits = 4, tables = 2))),
+
     // Product quantization: 16 subspaces × 16 codes over the 64-dim
     // corpus (256 bytes → 16 nibbles, 32×), ADC top-10 for the first
     // 20 vectors as queries, gated sim04-style: codes all in range AND
@@ -3526,4 +3540,32 @@ object PipelineOps {
          b.n_label = ql.label AS correct
        FROM best b JOIN embeddings ql ON ql.vec_id = b.query_id
        ORDER BY vec_id"""
+
+  /** DuckDB oracle for hn02: the ml02 bucket CTEs restricted to the
+    * query slice, the label-differs filter on the candidate set, then
+    * hn01's rounded-cosine ranking.
+    */
+  private def annHardNegativesOracle(dim: Int, k: Int, nBits: Int,
+                                     tables: Int): String =
+    s"""${bucketsCte(dim, nBits, tables)},
+       pairs AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(n.embedding) AS b))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(q.embedding) AS b)))
+                 / sqrt((SELECT sum(a * b) FROM (SELECT unnest(n.embedding) AS a, unnest(n.embedding) AS b))), 4) AS cos_sim
+         FROM withemb q JOIN withemb n
+           ON q.t = n.t AND q.bucket = n.bucket AND q.vec_id != n.vec_id
+              AND q.bc <= 10000
+         WHERE q.vec_id < 100),
+       lab AS (SELECT p.query_id, p.neighbor_id, p.cos_sim,
+           nl.label AS n_label
+         FROM pairs p
+         JOIN embeddings ql ON ql.vec_id = p.query_id
+         JOIN embeddings nl ON nl.vec_id = p.neighbor_id
+         WHERE nl.label != ql.label),
+       ranked AS (SELECT query_id, neighbor_id, n_label, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rk
+         FROM lab)
+       SELECT query_id, rk, neighbor_id, n_label, cos_sim FROM ranked
+       WHERE rk <= $k ORDER BY query_id, rk"""
 }
