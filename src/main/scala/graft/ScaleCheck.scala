@@ -865,6 +865,44 @@ object ScaleCheck {
     }
   }
 
+  /** Round-14 probes: the knnClassify/hardNegatives ANN auto-switch
+    * in its intended regime — the FULL-CORPUS screen (queries =
+    * corpus) where the brute broadcast×scan is O(N²) by construction
+    * (analytic control, mlScale's convention: the quadratic line is
+    * unaffordable to probe at ×4 — that is exactly the point). The
+    * ANN walls must grow ~linearly: bucket pair counts track bucket
+    * population (bitsFor-scaled), never N².
+    */
+  private def r14Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // replicated REAL embeddings (mlScale's convention): synthetic
+    // closed-form vectors live on a 1-D manifold, which collapses
+    // random-hyperplane sign patterns into a handful of mega-buckets
+    // and turns a SELF-join LSH probe into an n² pair explosion — the
+    // exact pathology the maxBucket guard exists for, but useless as
+    // a slope measurement. Replicas with ulp-shifts spread like the
+    // real corpus.
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    for (mult <- Seq(5, 20)) {
+      val corpus = (0 until mult).map(i =>
+          base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + lit(i * 0.001f)).cast("float")).as("embedding"),
+            col("label")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = corpus.count()
+      time(s"ml04-ann-full x$mult n=$n")(graft.ops.Similarity.knnClassify(
+        corpus, corpus, k = 5, annThreshold = 0, annTables = 2).count())
+      time(s"hn02-ann-full x$mult n=$n")(graft.ops.Similarity.hardNegatives(
+        corpus, corpus, k = 5, annThreshold = 0, annTables = 2).count())
+      corpus.unpersist()
+    }
+  }
+
   /** Round-12 batch-2 probes: modularity over growing edge sets,
     * Bradley–Terry with a large item catalog, water-filling over a
     * million-source manifest, Mann–Whitney at tens of millions of
@@ -1162,6 +1200,11 @@ object ScaleCheck {
     }
     if (path == "r12") {
       r12Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r14") {
+      r14Scale(spark)
       spark.stop()
       return
     }

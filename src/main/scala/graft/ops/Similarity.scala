@@ -236,23 +236,32 @@ object Similarity {
     * ascending.
     *
     * Scale shape (labelAgreement's auto-switch, implemented not just
-    * promised): below `annThreshold` corpus rows the broadcast×scan
-    * exact ranking runs (bruteForceTopK). Above it the neighbor lists
-    * come from lshTopK's bucketed candidates (corpus-scaled bit count,
+    * promised): the broadcast×scan exact ranking (bruteForceTopK) is
+    * O(Q·N) with Q broadcast, so the trigger is the PRODUCT form —
+    * ANN when Q·N > annThreshold² (labelAgreement's N² trigger at
+    * Q = N) or when Q alone exceeds annThreshold (an unbroadcastable
+    * query side). On the ANN path the neighbor lists come from
+    * lshTopK's bucketed candidates (corpus-scaled bit count,
     * maxBucket-guarded, never all-pairs), semi-joined to the query
-    * ids — in ANN mode queries must be corpus members (they must be
-    * anyway: the reported `label`/`correct` join on the corpus label
-    * frame). Approximate the same two ways as ml02: neighbors come
-    * from shared buckets only, and a query alone in its buckets gets
-    * no row. The vote below is identical on both paths. Force either
-    * path in tests via annThreshold = Long.MaxValue / 0.
+    * ids — the intended regime is the full-corpus screen (Q ≈ N),
+    * where every bucket pair serves a query; queries must be corpus
+    * members (they must be anyway: the reported `label`/`correct`
+    * join on the corpus label frame). Approximate the same two ways
+    * as ml02: neighbors come from shared buckets only, and a query
+    * alone in its buckets gets no row. The vote below is identical on
+    * both paths. Force either path in tests via annThreshold =
+    * Long.MaxValue / 0.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame,
                   k: Int = 5, annThreshold: Long = 50000,
                   annTables: Int = 4): DataFrame = {
     val labels = corpus.select(col("vec_id"), col("label"))
+    val (corpusN, queriesN) = (corpus.count(), queries.count())
+    val useAnn = queriesN > annThreshold ||
+      (corpusN > annThreshold &&
+        corpusN.toDouble * queriesN > annThreshold.toDouble * annThreshold)
     val topk =
-      if (corpus.count() <= annThreshold) bruteForceTopK(corpus, queries, k)
+      if (!useAnn) bruteForceTopK(corpus, queries, k)
       else {
         // dim from one row — bounded driver action, same as count
         val dim = corpus.select(size(col("embedding"))).head.getInt(0)
@@ -278,24 +287,28 @@ object Similarity {
     * each query's top-k most-similar corpus vectors whose `label`
     * DIFFERS from the query's — the near-miss negatives that make
     * triplet/InfoNCE training converge (easy random negatives carry
-    * no gradient). Below `annThreshold` corpus rows this is the
-    * bruteForceTopK shape: the query side broadcasts, the corpus is
-    * scanned once, never shuffled. Above it (full-corpus mining — the
-    * auto-switch, ml04's idiom) candidates come from the shared LSH
-    * buckets (corpus-scaled bit count, maxBucket-guarded, never
-    * all-pairs), the label-differs filter lands on the candidate set
-    * BEFORE ranking, and queries must be corpus members. Approximate
-    * the ml02/ml04 two ways: bucket-local neighbors only, and a query
-    * alone in its buckets yields no row. Force either path in tests
-    * via annThreshold = Long.MaxValue / 0.
+    * no gradient). The broadcast×scan shape is O(Q·N) with Q
+    * broadcast, so the auto-switch is the PRODUCT form (ml04's
+    * trigger): ANN when Q·N > annThreshold² or Q alone exceeds
+    * annThreshold. On the ANN path (full-corpus mining, Q ≈ N)
+    * candidates come from the shared LSH buckets (corpus-scaled bit
+    * count, maxBucket-guarded, never all-pairs), the label-differs
+    * filter lands on the candidate set BEFORE ranking, and queries
+    * must be corpus members. Approximate the ml02/ml04 two ways:
+    * bucket-local neighbors only, and a query alone in its buckets
+    * yields no row. Force either path in tests via annThreshold =
+    * Long.MaxValue / 0.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     annThreshold: Long = 50000,
                     annTables: Int = 4): DataFrame = {
     registerOn(corpus)
-    val corpusN = corpus.count()
+    val (corpusN, queriesN) = (corpus.count(), queries.count())
+    val useAnn = queriesN > annThreshold ||
+      (corpusN > annThreshold &&
+        corpusN.toDouble * queriesN > annThreshold.toDouble * annThreshold)
     val scored =
-      if (corpusN <= annThreshold) {
+      if (!useAnn) {
         val q = broadcast(queries.select(col("vec_id").as("query_id"),
           col("label").as("q_label"), col("embedding").as("q_emb"),
           sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")))
