@@ -176,6 +176,21 @@ def dplyr_flow(c):
     rows = csv_rows(out)
     assert rows[1] == ["a", "2.0", "4.5"] and rows[2] == ["b", "3.0", "5.5"], rows
 
+    # the two other Postgres SELECT forms the facade lowers, composed:
+    # string_agg's inline ORDER BY (listagg WITHIN GROUP) over a
+    # JSON-operator operand (PgJson runs first), and EXTRACT(EPOCH)
+    code, out = c.sql(f"SELECT grp, string_agg(props->>'k', '|' ORDER BY x) AS ks "
+                      f"FROM {view} GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "1|2"] and rows[2] == ["b", "3"], rows
+    # session runs UTC (TestSpark), so the literal's epoch is pinned
+    code, out = c.sql("SELECT CAST(floor(EXTRACT(EPOCH FROM "
+                      "CAST('2020-01-01 00:00:10' AS TIMESTAMP))) AS BIGINT) AS es "
+                      f"FROM {view} LIMIT 1")
+    assert code == 200, out
+    assert csv_rows(out)[1] == ["1577836810"], out
+
 
 def main():
     port = int(sys.argv[1])
