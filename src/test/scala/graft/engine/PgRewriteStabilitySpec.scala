@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** False-positive guard for the /sql facade rewrites: every query
+  * that reaches the server passes through PgJson + PgSelect, so a
+  * rewrite that fires on text it shouldn't touch corrupts ordinary
+  * SQL silently. The registry's own oracle corpus (~330 DuckDB
+  * queries spanning CTEs, lambdas, windows, string literals with
+  * operators inside, JSON paths, regexes) is the most realistic
+  * no-trigger corpus available — each rewrite must be the identity on
+  * every text that lacks its trigger form.
+  */
+class PgRewriteStabilitySpec extends AnyFunSuite {
+
+  private val oracles = graft.SparkEntry.oracleSql
+
+  test("rewriteDistinctOn is the identity off its trigger") {
+    for ((name, sql) <- oracles
+         if !sql.toUpperCase.matches("(?s).*DISTINCT\\s+ON.*"))
+      assert(PgSelect.rewriteDistinctOn(sql) == sql, s"mangled $name")
+  }
+
+  test("rewriteEpoch is the identity off its trigger") {
+    for ((name, sql) <- oracles if !sql.toUpperCase.contains("EPOCH"))
+      assert(PgSelect.rewriteEpoch(sql) == sql, s"mangled $name")
+  }
+
+  test("rewriteOrderedStringAgg is the identity off its trigger") {
+    for ((name, sql) <- oracles
+         if !sql.toLowerCase.contains("string_agg"))
+      assert(PgSelect.rewriteOrderedStringAgg(sql) == sql, s"mangled $name")
+  }
+
+  test("PgJson is the identity on arrow-free texts and DuckDB lambdas") {
+    for ((name, sql) <- oracles if !sql.contains("->"))
+      assert(PgJson.rewrite(sql) == sql, s"mangled $name")
+    // texts WITH -> are DuckDB lambdas (t -> t IN (...), i -> x[i]):
+    // identifier/expr right-hand sides must stay verbatim — only a
+    // string- or integer-literal RHS is the Postgres operand grammar
+    for ((name, sql) <- oracles
+         if sql.contains("->") && !sql.matches("(?s).*->>? *('|\\d).*"))
+      assert(PgJson.rewrite(sql) == sql, s"mangled lambda in $name")
+  }
+}
