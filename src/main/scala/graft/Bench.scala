@@ -292,13 +292,17 @@ object Bench {
       val futs = engineSet.map { case (name, fn) =>
         Future {
           val t0 = System.nanoTime()
+          // NonFatal only: an OOM/StackOverflow must abort the bench
+          // loudly, not be recorded as a normal gate error with a wall
           try { fn(spark, sfDir).count() }
-          catch { case _: Throwable =>
+          catch { case scala.util.control.NonFatal(_) =>
             errors.synchronized { errors += name } }
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
-      val res = Await.result(Future.sequence(futs), Duration.Inf).toMap
+      // finite timeout: one wedged gate fails the pass with a
+      // diagnosable TimeoutException instead of hanging the round
+      val res = Await.result(Future.sequence(futs), Duration(30, "min")).toMap
       pool.shutdown()
       res
     }

@@ -1090,6 +1090,53 @@ object ScaleCheck {
     }
   }
 
+  /** Round-15 probes (`runMain graft.ScaleCheck r15`):
+    * gr06's composed community pipeline (label propagation once →
+    * per-label stats → mixing scalar off the SAME frame) on the gr02
+    * synthetic ring+hub-spokes graph, and tk05's BPE
+    * fertility/compression aggregate over the grown document corpus —
+    * each ×1 vs ×4 so the slope is on record, not just the constant.
+    */
+  private def r15Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    // gr06: ring + hub spokes (skewed degrees, 97 hubs). The pipeline
+    // is 4 label-propagation rounds + communityStructure's ONE edge
+    // scan; wall must stay ~linear in edges
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val spokes = spark.range(n).select(col("id").as("src"),
+        (col("id") % 97).as("dst"))
+      val edges = ring.union(spokes)
+      time(s"gr06 x$m edges=${2 * n}")(
+        graft.ops.Graph.communityStructure(edges,
+          graft.ops.Graph.labelPropagation(edges, rounds = 4)).count())
+    }
+    // tk05: merges trained ONCE on the base corpus (training is tk02's
+    // own probe subject); the measured pass is the codegen'd encode +
+    // one partial-aggregated groupBy whose shuffle carries only the
+    // per-(lang, source) partials — slope must be scan-bound ~linear
+    graft.functions.TextFunctions.register(spark)
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val merges = graft.ops.TextAnalysis.bpeTrain(base, numMerges = 12)
+      .map(mg => (mg._2, mg._3))
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select(col("lang"), col("source"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"tk05 x$mult docs=$n")(
+        graft.ops.TextAnalysis.bpeFertility(docs, merges).count())
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -1210,6 +1257,11 @@ object ScaleCheck {
     }
     if (path == "r12b") {
       r12bScale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r15") {
+      r15Scale(spark)
       spark.stop()
       return
     }

@@ -24,9 +24,12 @@ package graft.engine
   * have no Spark equivalent and are left untouched (the gate then
   * rejects them loudly rather than mis-executing).
   *
-  * The rewriter is a single left-to-right scan that respects quoting:
-  * text inside '...' (with '' escapes) and "..." identifiers is never
-  * rewritten, and `->` inside a Spark lambda (`x -> x + 1`) is safe
+  * The rewriter is a single left-to-right scan that respects quoting
+  * AND comments: text inside '...' (with '' escapes) and "..."
+  * identifiers is never rewritten, comments (`--` to end-of-line,
+  * nesting `/* */`) copy verbatim without being scanned (an
+  * apostrophe inside `-- don't` must not flip the quote state), and
+  * `->` inside a Spark lambda (`x -> x + 1`) is safe
   * because a lambda's RHS is never a string literal or bare integer
   * followed by nothing — we only rewrite when the RHS is a string
   * literal or an integer literal, which is exactly the Postgres
@@ -139,6 +142,15 @@ object PgJson {
       sql(i) match {
         case '\'' => copyString()
         case '"' => copyQuotedIdent()
+        // comments copy verbatim and are never scanned — an apostrophe
+        // inside `-- don't` must not flip the string-literal state
+        // (PgSelect.skipComment: `--` to EOL, nesting /* */)
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          val j = PgSelect.skipComment(sql, i)
+          out.append(sql.substring(i, j)); i = j
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          val j = PgSelect.skipComment(sql, i)
+          out.append(sql.substring(i, j)); i = j
         case '-' if i + 1 < n && sql(i + 1) == '>' =>
           val textOp = i + 2 < n && sql(i + 2) == '>'
           val after = if (textOp) i + 3 else i + 2

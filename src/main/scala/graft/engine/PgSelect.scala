@@ -30,28 +30,56 @@ package graft.engine
   *     ordering WITHIN GROUP; rewritten to
   *     `listagg(x, sep) WITHIN GROUP (ORDER BY k)`.
   *
-  * Scope (kept deliberately narrow so nothing mis-executes silently):
-  * DISTINCT ON select items must be bare (possibly qualified) column
-  * references or `expr AS alias` — an unaliased computed item has no
-  * recoverable output name, and a bare `*` cannot be re-projected
-  * without schema knowledge, so those queries are returned UNCHANGED
-  * and Spark's parser then rejects DISTINCT ON loudly. Set operations
-  * (UNION/INTERSECT/EXCEPT) directly under the DISTINCT ON select are
-  * likewise left untouched. Both rewrites are quote-aware ('' escapes,
-  * "ident", `ident`) and re-scan their own output, so nested
-  * subqueries each get rewritten.
+  * Scope notes:
+  *
+  *  - `DISTINCT ON (k) *` (the exact text dbplyr emits for
+  *    `distinct(.keep_all = TRUE)`) is expanded schema-aware: the
+  *    facade runs server-side where view schemas are KNOWN, so the
+  *    caller passes `schemaOf` (registered name → column list) and the
+  *    `*` / `alias.*` select items expand to the table's columns
+  *    before the rewrite — recoverable only when the FROM clause is a
+  *    single plain table reference (no joins, commas, or subqueries);
+  *    anything else is returned UNCHANGED so Spark rejects DISTINCT ON
+  *    loudly rather than mis-executing.
+  *  - Unaliased computed items get Postgres's own output-name rule
+  *    (parse_target.c FigureColname, simplified): a whole-item
+  *    function call is named after the function (lowercased), anything
+  *    else `?column?` — emitted as a backtick-quoted alias, so
+  *    `SELECT DISTINCT ON (k) k, max(v) FROM ...` round-trips with the
+  *    names a Postgres user sees. (CASTs are named `?column?` here,
+  *    not Postgres's type-name convention — alias them if the name
+  *    matters.)
+  *  - Positional ORDER BY (`ORDER BY 1, 2 DESC`) resolves against the
+  *    select list, as Postgres does; an out-of-range position abandons
+  *    the rewrite (unchanged → loud reject) rather than ordering the
+  *    window by a constant.
+  *  - Set operations (UNION/INTERSECT/EXCEPT) directly under the
+  *    DISTINCT ON select are left untouched.
+  *  - All scanning is quote-aware ('' escapes, "ident", `ident`) AND
+  *    comment-aware (`--` to end-of-line, nesting `/* */`) — an
+  *    apostrophe inside a comment must not flip the quote state, and
+  *    rewrite trigger text inside comments stays verbatim. Rewrites
+  *    re-scan their own output, so nested subqueries each get
+  *    rewritten.
   */
 object PgSelect {
 
-  def rewrite(sql: String): String =
-    rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql)))
+  def rewrite(sql: String): String = rewrite(sql, _ => None)
+
+  /** `schemaOf`: registered table/view name → its column names, used
+    * only to expand `*` under DISTINCT ON. Callers without catalog
+    * access pass the default (star queries then stay unchanged and
+    * Spark rejects DISTINCT ON loudly).
+    */
+  def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
+    rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql, schemaOf)))
 
   // ---------------------------------------------------------------
-  // shared quote-aware scanning helpers
+  // shared quote/comment-aware scanning helpers
   // ---------------------------------------------------------------
 
   /** Index just past a string/ident literal starting at `i`. */
-  private def skipQuoted(s: String, i: Int): Int = s(i) match {
+  private[engine] def skipQuoted(s: String, i: Int): Int = s(i) match {
     case '\'' =>
       var j = i + 1
       while (j < s.length) {
@@ -67,6 +95,62 @@ object PgSelect {
     case _ => i
   }
 
+  /** Index just past a SQL comment starting at `i` (`--` runs to but
+    * not past the newline; `/* */` blocks nest, Postgres-style), or
+    * `i` when not at a comment.
+    */
+  private[engine] def skipComment(s: String, i: Int): Int =
+    if (i + 1 < s.length && s(i) == '-' && s(i + 1) == '-') {
+      var j = i + 2
+      while (j < s.length && s(j) != '\n') j += 1
+      j // at the newline (kept as whitespace) or end-of-string
+    } else if (i + 1 < s.length && s(i) == '/' && s(i + 1) == '*') {
+      var j = i + 2
+      var depth = 1
+      while (j < s.length && depth > 0) {
+        if (j + 1 < s.length && s(j) == '/' && s(j + 1) == '*') { depth += 1; j += 2 }
+        else if (j + 1 < s.length && s(j) == '*' && s(j + 1) == '/') { depth -= 1; j += 2 }
+        else j += 1
+      }
+      j
+    } else i
+
+  private def atComment(s: String, i: Int): Boolean =
+    i + 1 < s.length &&
+      ((s(i) == '-' && s(i + 1) == '-') || (s(i) == '/' && s(i + 1) == '*'))
+
+  /** Skip whitespace AND comments. */
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < s.length && s(i).isWhitespace) { i += 1; moved = true }
+      if (i < s.length && atComment(s, i)) { i = skipComment(s, i); moved = true }
+    }
+    i
+  }
+
+  /** If `frag` ends inside a `--` line comment (no trailing newline),
+    * append one so text concatenated after it isn't swallowed by the
+    * comment.
+    */
+  private def closeComment(frag: String): String = {
+    var i = 0
+    var open = false
+    while (i < frag.length) {
+      frag(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(frag, i)
+        case _ if atComment(frag, i) =>
+          val j = skipComment(frag, i)
+          open = frag(i) == '-' && j >= frag.length
+          i = j
+        case _ => i += 1
+      }
+    }
+    if (open) frag + "\n" else frag
+  }
+
   private def isWordChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
 
@@ -79,23 +163,30 @@ object PgSelect {
       (i == 0 || !isWordChar(s(i - 1))) &&
       (i + w.length == s.length || !isWordChar(s(i + w.length)))
 
-  /** Split `s` on top-level commas (quote- and paren-aware). */
+  /** Split `s` on top-level commas (quote-, comment- and paren-aware).
+    * Comments are DROPPED from the pieces (replaced with a space) so a
+    * captured item never carries an open line comment into rebuilt
+    * query text.
+    */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
     var depth = 0
-    var start = 0
     var i = 0
     while (i < s.length) {
       s(i) match {
-        case '\'' | '"' | '`' => i = skipQuoted(s, i)
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); cur.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          i = skipComment(s, i); cur.append(' ')
+        case '(' => depth += 1; cur.append('('); i += 1
+        case ')' => depth -= 1; cur.append(')'); i += 1
         case ',' if depth == 0 =>
-          out += s.substring(start, i); start = i + 1; i += 1
-        case _ => i += 1
+          out += cur.toString; cur.clear(); i += 1
+        case c => cur.append(c); i += 1
       }
     }
-    out += s.substring(start)
+    out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
@@ -103,12 +194,8 @@ object PgSelect {
   // DISTINCT ON
   // ---------------------------------------------------------------
 
-  /** Output name of a select item, if recoverable: `expr AS alias`
-    * (last top-level AS wins), or the final segment of a bare
-    * identifier chain. None → the whole rewrite is abandoned.
-    */
-  private def itemName(item: String): Option[String] = {
-    // last top-level AS
+  /** Index of the last top-level AS in a select item, or -1. */
+  private def lastTopAs(item: String): Int = {
     var depth = 0
     var i = 0
     var asAt = -1
@@ -122,6 +209,16 @@ object PgSelect {
           else i += 1
       }
     }
+    asAt
+  }
+
+  /** Output name of a select item, if recoverable: `expr AS alias`
+    * (last top-level AS wins), or the final segment of a bare
+    * identifier chain. None → a computed item with no alias (named by
+    * Postgres's rule via [[pgName]] instead of abandoning).
+    */
+  private def itemName(item: String): Option[String] = {
+    val asAt = lastTopAs(item)
     if (asAt >= 0) {
       val alias = item.substring(asAt + 2).trim
       if (alias.nonEmpty && alias.forall(isWordChar) && !alias.head.isDigit)
@@ -139,6 +236,43 @@ object PgSelect {
       }
       if (ok) Some(segs.last.trim) else None
     }
+  }
+
+  /** The expression part of a select item (text before the last
+    * top-level AS, or the whole item).
+    */
+  private def itemExpr(item: String): String = {
+    val asAt = lastTopAs(item)
+    if (asAt >= 0) item.substring(0, asAt).trim else item.trim
+  }
+
+  /** Postgres's output-name rule for an UNALIASED computed item
+    * (parse_target.c FigureColname, simplified): a function call
+    * spanning the whole item is named after the function (unquoted
+    * names fold to lowercase); everything else is `?column?`.
+    */
+  private def pgName(item: String): String = {
+    val t = item.trim
+    var i = 0
+    while (i < t.length && (isWordChar(t(i)) || t(i) == '.')) i += 1
+    if (i > 0 && i < t.length && t(i) == '(') {
+      var depth = 0
+      var j = i
+      var end = -1
+      while (j < t.length && end < 0) {
+        t(j) match {
+          case '\'' | '"' | '`' => j = skipQuoted(t, j)
+          case '(' => depth += 1; j += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) end = j
+            j += 1
+          case _ => j += 1
+        }
+      }
+      if (end == t.length - 1) t.substring(0, i).split('.').last.toLowerCase
+      else "?column?"
+    } else "?column?"
   }
 
   /** Split one ORDER BY item into (expr, direction suffix). */
@@ -161,11 +295,15 @@ object PgSelect {
     (expr, suffix)
   }
 
-  def rewriteDistinctOn(sql: String): String = {
+  def rewriteDistinctOn(sql: String): String =
+    rewriteDistinctOn(sql, _ => None)
+
+  def rewriteDistinctOn(
+      sql: String, schemaOf: String => Option[Seq[String]]): String = {
     var cur = sql
     var guard = 0
     while (guard < 16) {
-      rewriteFirstDistinctOn(cur) match {
+      rewriteFirstDistinctOn(cur, schemaOf) match {
         case Some(next) => cur = next; guard += 1
         case None => return cur
       }
@@ -174,13 +312,15 @@ object PgSelect {
   }
 
   /** Rewrite the first `SELECT DISTINCT ON` in `s`, or None. */
-  private def rewriteFirstDistinctOn(s: String): Option[String] = {
+  private def rewriteFirstDistinctOn(
+      s: String, schemaOf: String => Option[Seq[String]]): Option[String] = {
     var i = 0
     while (i < s.length) {
       s(i) match {
         case '\'' | '"' | '`' => i = skipQuoted(s, i)
+        case _ if atComment(s, i) => i = skipComment(s, i)
         case c if (c == 's' || c == 'S') && wordAt(s, i, "SELECT") =>
-          val r = tryRewriteAt(s, i)
+          val r = tryRewriteAt(s, i, schemaOf)
           if (r.isDefined) return r
           i += 6
         case _ => i += 1
@@ -189,15 +329,67 @@ object PgSelect {
     None
   }
 
-  private def tryRewriteAt(s: String, selStart: Int): Option[String] = {
-    var i = selStart + 6
-    while (i < s.length && s(i).isWhitespace) i += 1
+  /** The FROM clause's single plain table reference, as
+    * (table, optional alias) — None when the clause has joins, commas,
+    * subqueries, or anything else that makes `*` unexpandable without
+    * real analysis.
+    */
+  private def simpleFromTable(
+      s: String, fromAt: Int, bodyEnd: Int): Option[(String, Option[String])] = {
+    val clauseKw =
+      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY")
+    val joinish =
+      Seq("JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL",
+        "LATERAL", "ON", "USING", "TABLESAMPLE")
+    var i = skipWs(s, fromAt + 4)
+    if (i >= bodyEnd) return None
+    val tStart = i
+    var done = false
+    while (!done && i < bodyEnd) {
+      s(i) match {
+        case '"' | '`' => i = skipQuoted(s, i)
+        case c if isWordChar(c) => i += 1
+        case '.' => i += 1
+        case _ => done = true
+      }
+    }
+    if (i == tStart || s(tStart) == '(') return None
+    val table = s.substring(tStart, i)
+    var j = skipWs(s, i)
+    var alias: Option[String] = None
+    if (j < bodyEnd && wordAt(s, j, "AS")) {
+      j = skipWs(s, j + 2)
+      val aStart = j
+      while (j < bodyEnd && isWordChar(s(j))) j += 1
+      if (j == aStart) return None
+      alias = Some(s.substring(aStart, j))
+      j = skipWs(s, j)
+    } else if (j < bodyEnd && (s(j).isLetter || s(j) == '_')) {
+      val aStart = j
+      while (j < bodyEnd && isWordChar(s(j))) j += 1
+      val w = s.substring(aStart, j)
+      if (clauseKw.exists(_.equalsIgnoreCase(w))) j = aStart
+      else if (joinish.exists(_.equalsIgnoreCase(w))) return None
+      else { alias = Some(w); j = skipWs(s, j) }
+    }
+    if (j >= bodyEnd) Some((table, alias))
+    else if (s(j) == ',') None
+    else if (clauseKw.exists(k => wordAt(s, j, k))) Some((table, alias))
+    else None
+  }
+
+  private def quoteCol(c: String): String =
+    if (c.nonEmpty && c.forall(isWordChar) && !c.head.isDigit) c
+    else "`" + c + "`"
+
+  private def tryRewriteAt(
+      s: String, selStart: Int,
+      schemaOf: String => Option[Seq[String]]): Option[String] = {
+    var i = skipWs(s, selStart + 6)
     if (!wordAt(s, i, "DISTINCT")) return None
-    i += 8
-    while (i < s.length && s(i).isWhitespace) i += 1
+    i = skipWs(s, i + 8)
     if (!wordAt(s, i, "ON")) return None
-    i += 2
-    while (i < s.length && s(i).isWhitespace) i += 1
+    i = skipWs(s, i + 2)
     if (i >= s.length || s(i) != '(') return None
     // matching ) for the key list
     var depth = 0
@@ -206,6 +398,7 @@ object PgSelect {
     while (i < s.length && keysEnd < 0) {
       s(i) match {
         case '\'' | '"' | '`' => i = skipQuoted(s, i)
+        case _ if atComment(s, i) => i = skipComment(s, i)
         case '(' => depth += 1; i += 1
         case ')' =>
           depth -= 1
@@ -226,6 +419,7 @@ object PgSelect {
     while (j < s.length && fromAt < 0) {
       s(j) match {
         case '\'' | '"' | '`' => j = skipQuoted(s, j)
+        case _ if atComment(s, j) => j = skipComment(s, j)
         case '(' => depth += 1; j += 1
         case ')' =>
           if (depth == 0) return None // SELECT without FROM inside parens
@@ -239,8 +433,6 @@ object PgSelect {
     if (fromAt < 0) return None
     val items = splitTop(s.substring(keysEnd + 1, fromAt))
     if (items.isEmpty) return None
-    val names = items.map(itemName)
-    if (names.exists(_.isEmpty)) return None // unrecoverable output name
 
     // scan clauses after FROM
     j = fromAt
@@ -252,6 +444,7 @@ object PgSelect {
     while (j < s.length && stmtEnd == s.length) {
       s(j) match {
         case '\'' | '"' | '`' => j = skipQuoted(s, j)
+        case _ if atComment(s, j) => j = skipComment(s, j)
         case '(' => depth += 1; j += 1
         case ')' =>
           if (depth == 0) stmtEnd = j else { depth -= 1; j += 1 }
@@ -275,37 +468,89 @@ object PgSelect {
     if (bad) return None
     val bodyEnd =
       if (orderAt >= 0) orderAt else if (tailAt >= 0) tailAt else stmtEnd
-    val body = s.substring(fromAt, bodyEnd).trim
+
+    // `*` / `alias.*` expansion — schema-aware, single plain table only
+    val expanded: Seq[String] =
+      if (!items.exists(it => it == "*" || it.endsWith(".*"))) items
+      else {
+        val src = simpleFromTable(s, fromAt, bodyEnd)
+        if (src.isEmpty) return None
+        val (table, alias) = src.get
+        val tableName = table.replace("`", "").replace("\"", "")
+        val cols = schemaOf(tableName)
+        if (cols.isEmpty) return None
+        val expandedCols = cols.get.map(quoteCol)
+        val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (it <- items) {
+          if (it == "*") flat ++= expandedCols
+          else if (it.endsWith(".*")) {
+            val q = it.dropRight(2).trim.replace("`", "").replace("\"", "")
+            val matches = alias.exists(_.equalsIgnoreCase(q)) ||
+              (alias.isEmpty &&
+                tableName.split('.').last.equalsIgnoreCase(q))
+            if (!matches) return None
+            flat ++= expandedCols
+          } else flat += it
+        }
+        flat.toSeq
+      }
+
+    val body = closeComment(s.substring(fromAt, bodyEnd).trim)
     val orderItems: Seq[(String, String)] =
       if (orderAt >= 0) {
         val oEnd = if (tailAt >= 0 && tailAt > orderAt) tailAt else stmtEnd
-        var k = orderAt + 5
-        while (k < s.length && s(k).isWhitespace) k += 1
+        var k = skipWs(s, orderAt + 5)
         if (!wordAt(s, k, "BY")) return None
         splitTop(s.substring(k + 2, oEnd)).map(orderParts)
       } else Seq.empty
+    // positional ORDER BY resolves against the (expanded) select list,
+    // Postgres-style; out-of-range → abandon (unchanged, loud reject)
+    val orderResolved: Seq[(String, String)] = orderItems.map { case (e, d) =>
+      val t = e.trim
+      if (t.nonEmpty && t.forall(_.isDigit)) {
+        val pos = t.toInt
+        if (pos < 1 || pos > expanded.length) return None
+        (itemExpr(expanded(pos - 1)), d)
+      } else (e, d)
+    }
     val tail =
-      if (tailAt >= 0) " " + s.substring(tailAt, stmtEnd).trim else ""
+      if (tailAt >= 0) " " + closeComment(s.substring(tailAt, stmtEnd).trim)
+      else ""
 
+    // inner select: items (computed-unaliased ones get a __din_cN
+    // alias), the ORDER BY expressions as __din_oN, and the window
+    val innerParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outerParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cIx = 0
+    for (it <- expanded) {
+      itemName(it) match {
+        case Some(n) =>
+          innerParts += it
+          outerParts += n
+        case None =>
+          innerParts += s"$it AS __din_c$cIx"
+          outerParts += s"__din_c$cIx AS `${pgName(it)}`"
+          cIx += 1
+      }
+    }
     val windowOrder =
-      if (orderItems.nonEmpty)
-        orderItems.map { case (e, d) => (e + " " + d).trim }.mkString(", ")
+      if (orderResolved.nonEmpty)
+        orderResolved.map { case (e, d) => (e + " " + d).trim }.mkString(", ")
       else keys.mkString(", ")
-    val orderAliases = orderItems.zipWithIndex.map { case ((e, _), ix) =>
+    val orderAliases = orderResolved.zipWithIndex.map { case ((e, _), ix) =>
       s"$e AS __din_o$ix"
     }
-    val innerItems = (items ++ orderAliases :+
+    val innerItems = (innerParts.toSeq ++ orderAliases :+
       (s"row_number() OVER (PARTITION BY ${keys.mkString(", ")} " +
         s"ORDER BY $windowOrder) AS __din_rn")).mkString(", ")
     val outerOrder =
-      if (orderItems.nonEmpty)
-        " ORDER BY " + orderItems.zipWithIndex.map { case ((_, d), ix) =>
+      if (orderResolved.nonEmpty)
+        " ORDER BY " + orderResolved.zipWithIndex.map { case ((_, d), ix) =>
           (s"__din_o$ix " + d).trim
         }.mkString(", ")
       else ""
-    val outerSel = names.map(_.get).mkString(", ")
     val rewritten =
-      s"SELECT $outerSel FROM (SELECT $innerItems $body) __din " +
+      s"SELECT ${outerParts.mkString(", ")} FROM (SELECT $innerItems $body) __din " +
         s"WHERE __din_rn = 1" + outerOrder + tail
     Some(s.substring(0, selStart) + rewritten + s.substring(stmtEnd))
   }
@@ -322,9 +567,9 @@ object PgSelect {
     *   string_agg(x, ',' ORDER BY k DESC)
     *     → listagg(x, ',') WITHIN GROUP (ORDER BY k DESC)
     *
-    * Quote-aware; nested calls handled by re-scanning the rewritten
-    * argument text. A string_agg without an inline ORDER BY is left
-    * untouched (already valid Spark).
+    * Quote- and comment-aware; nested calls handled by re-scanning the
+    * rewritten argument text. A string_agg without an inline ORDER BY
+    * is left untouched (already valid Spark).
     */
   def rewriteOrderedStringAgg(sql: String): String = {
     val out = new StringBuilder
@@ -334,9 +579,10 @@ object PgSelect {
       s(i) match {
         case '\'' | '"' | '`' =>
           val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
         case c if (c == 's' || c == 'S') && wordAt(s, i, "string_agg") =>
-          var j = i + 10
-          while (j < s.length && s(j).isWhitespace) j += 1
+          var j = skipWs(s, i + 10)
           if (j >= s.length || s(j) != '(') { out.append(c); i += 1 }
           else {
             // matching ) and the top-level inline ORDER BY, if any
@@ -348,6 +594,7 @@ object PgSelect {
             while (k < s.length && argEnd < 0) {
               s(k) match {
                 case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
                 case '(' => depth += 1; k += 1
                 case ')' =>
                   depth -= 1
@@ -361,14 +608,13 @@ object PgSelect {
             }
             if (argEnd < 0 || orderAt < 0) { out.append(c); i += 1 }
             else {
-              var b = orderAt + 5
-              while (b < s.length && s(b).isWhitespace) b += 1
+              val b = skipWs(s, orderAt + 5)
               if (!wordAt(s, b, "BY")) { out.append(c); i += 1 }
               else {
-                val args = rewriteOrderedStringAgg(
-                  s.substring(argStart, orderAt).trim)
-                val order = rewriteOrderedStringAgg(
-                  s.substring(b + 2, argEnd).trim)
+                val args = closeComment(rewriteOrderedStringAgg(
+                  s.substring(argStart, orderAt).trim))
+                val order = closeComment(rewriteOrderedStringAgg(
+                  s.substring(b + 2, argEnd).trim))
                 out.append(
                   s"listagg($args) WITHIN GROUP (ORDER BY $order)")
                 i = argEnd + 1
@@ -393,18 +639,17 @@ object PgSelect {
       s(i) match {
         case '\'' | '"' | '`' =>
           val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
         case c if (c == 'e' || c == 'E') && wordAt(s, i, "EXTRACT") =>
           // EXTRACT ( EPOCH FROM <expr> )
-          var j = i + 7
-          while (j < s.length && s(j).isWhitespace) j += 1
+          var j = skipWs(s, i + 7)
           var ok = j < s.length && s(j) == '('
           if (ok) {
-            j += 1
-            while (j < s.length && s(j).isWhitespace) j += 1
+            j = skipWs(s, j + 1)
             ok = wordAt(s, j, "EPOCH")
             if (ok) {
-              j += 5
-              while (j < s.length && s(j).isWhitespace) j += 1
+              j = skipWs(s, j + 5)
               ok = wordAt(s, j, "FROM")
               if (ok) {
                 j += 4
@@ -414,6 +659,7 @@ object PgSelect {
                 while (j < s.length && exprEnd < 0) {
                   s(j) match {
                     case '\'' | '"' | '`' => j = skipQuoted(s, j)
+                    case _ if atComment(s, j) => j = skipComment(s, j)
                     case '(' => depth += 1; j += 1
                     case ')' =>
                       depth -= 1
@@ -426,7 +672,7 @@ object PgSelect {
                   val expr = s.substring(exprStart, exprEnd).trim
                   // recurse: the operand may itself contain EXTRACT(EPOCH..)
                   out.append(
-                    s"(unix_micros(${rewriteEpoch(expr)}) / 1000000.0)")
+                    s"(unix_micros(${closeComment(rewriteEpoch(expr))}) / 1000000.0)")
                   i = exprEnd + 1
                 } else { out.append(c); i += 1 }
               } else { out.append(c); i += 1 }

@@ -263,9 +263,12 @@ object Similarity {
     val topk =
       if (!useAnn) bruteForceTopK(corpus, queries, k)
       else {
-        // dim from one row — bounded driver action, same as count
+        // dim from one row — bounded driver action, same as count;
+        // nBits from the already-materialized corpusN so the switch's
+        // count is the only full-corpus count (lshTopK with nBits=0
+        // would re-run corpus.count())
         val dim = corpus.select(size(col("embedding"))).head.getInt(0)
-        lshTopK(corpus, dim, k, tables = annTables)
+        lshTopK(corpus, dim, k, nBits = bitsFor(corpusN), tables = annTables)
           .join(queries.select(col("vec_id").as("query_id")), "query_id")
       }
     val votes = topk

@@ -40,6 +40,38 @@ object TextAnalysis {
       round(sum(col("sw")) / sum(col("w")).cast("double"), 6).as("fertility"))
   }
 
+  /** Tokenizer fertility and compression ratio per (lang, source)
+    * (tk05): tokens-per-word and bytes-per-token measured with the
+    * REAL learned tokenizer — the native BpeEncode expression over a
+    * trained merge table — not tk04's pre-tokenizer proxy. These are
+    * the two readouts that size a training mix: fertility says how
+    * many model tokens a language's "word" costs, and bytes-per-token
+    * is the compression ratio that converts raw corpus bytes into
+    * token budgets before a mixture is fixed. Exact integer sums into
+    * two ratios; one partial-aggregated groupBy over a single scan
+    * (the encode is whole-stage codegen, so the pass runs at scan
+    * speed and the shuffle carries only the ~|lang|·|source| partial
+    * rows).
+    */
+  def bpeFertility(df: DataFrame, merges: Seq[(String, String)],
+                   lang: Column = col("lang"),
+                   source: Column = col("source"),
+                   text: Column = col("text")): DataFrame = {
+    val base = df.select(lang.as("lang"), source.as("source"),
+      size(tokens(text)).cast("long").as("w"),
+      octet_length(text).cast("long").as("b"),
+      size(graft.functions.TextFunctions.bpe_encode(text, merges))
+        .cast("long").as("t"))
+    base.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("w")).as("n_words"),
+      sum(col("b")).as("n_bytes"),
+      sum(col("t")).as("n_tokens"),
+      round(sum(col("t")) / sum(col("w")).cast("double"), 6).as("fertility"),
+      round(sum(col("b")) / sum(col("t")).cast("double"), 6)
+        .as("bytes_per_token"))
+  }
+
   /** Token statistics: counts + average token length. `keep` columns
     * pass through the projection — callers composing stats with
     * corpus metadata (pp04's lang/source) ride one scan instead of a

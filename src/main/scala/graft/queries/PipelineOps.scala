@@ -180,6 +180,133 @@ object PipelineOps {
                  6) AS fertility
              FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // tk05: fertility + compression ratio per (lang, source) with the
+    // REAL learned tokenizer (tk02's trained merges through the native
+    // BpeEncode expression), not tk04's pre-tokenizer proxy — the two
+    // readouts that size per-language token budgets and convert corpus
+    // bytes to token counts. Words and bytes are recomputed
+    // independently by the oracle; the per-group token counts are
+    // pinned (DuckDB cannot run the order-dependent merge loop in
+    // SQL) — the ENCODER itself is already oracle-validated end-to-end
+    // by tk02, and the pinned counts must reconcile with the
+    // independent word/byte sums through the two ratio columns.
+    NamedQuery("tk05_bpe_fertility",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val merges = TextAnalysis.bpeTrain(docs(s, d), numMerges = 12)
+          .map(m => (m._2, m._3))
+        TextAnalysis.bpeFertility(docs(s, d), merges)
+          .orderBy("lang", "source")
+      },
+      Some("""WITH tok(lang, source, n_tokens) AS (VALUES
+               ('de', 'src0', CAST(1759 AS BIGINT)),
+               ('de', 'src1', CAST(632 AS BIGINT)),
+               ('de', 'src10', CAST(120 AS BIGINT)),
+               ('de', 'src11', CAST(1482 AS BIGINT)),
+               ('de', 'src12', CAST(432 AS BIGINT)),
+               ('de', 'src13', CAST(336 AS BIGINT)),
+               ('de', 'src15', CAST(780 AS BIGINT)),
+               ('de', 'src16', CAST(282 AS BIGINT)),
+               ('de', 'src17', CAST(659 AS BIGINT)),
+               ('de', 'src18', CAST(920 AS BIGINT)),
+               ('de', 'src19', CAST(848 AS BIGINT)),
+               ('de', 'src2', CAST(676 AS BIGINT)),
+               ('de', 'src3', CAST(746 AS BIGINT)),
+               ('de', 'src4', CAST(1548 AS BIGINT)),
+               ('de', 'src5', CAST(1110 AS BIGINT)),
+               ('de', 'src6', CAST(307 AS BIGINT)),
+               ('de', 'src7', CAST(1131 AS BIGINT)),
+               ('de', 'src8', CAST(729 AS BIGINT)),
+               ('de', 'src9', CAST(751 AS BIGINT)),
+               ('en', 'src0', CAST(1706 AS BIGINT)),
+               ('en', 'src1', CAST(3861 AS BIGINT)),
+               ('en', 'src10', CAST(2849 AS BIGINT)),
+               ('en', 'src11', CAST(2481 AS BIGINT)),
+               ('en', 'src12', CAST(2892 AS BIGINT)),
+               ('en', 'src13', CAST(2147 AS BIGINT)),
+               ('en', 'src14', CAST(3652 AS BIGINT)),
+               ('en', 'src15', CAST(1941 AS BIGINT)),
+               ('en', 'src16', CAST(1881 AS BIGINT)),
+               ('en', 'src17', CAST(2043 AS BIGINT)),
+               ('en', 'src18', CAST(3487 AS BIGINT)),
+               ('en', 'src19', CAST(2171 AS BIGINT)),
+               ('en', 'src2', CAST(2154 AS BIGINT)),
+               ('en', 'src3', CAST(3179 AS BIGINT)),
+               ('en', 'src4', CAST(1652 AS BIGINT)),
+               ('en', 'src5', CAST(2285 AS BIGINT)),
+               ('en', 'src6', CAST(3073 AS BIGINT)),
+               ('en', 'src7', CAST(3719 AS BIGINT)),
+               ('en', 'src8', CAST(1032 AS BIGINT)),
+               ('en', 'src9', CAST(2255 AS BIGINT)),
+               ('es', 'src0', CAST(866 AS BIGINT)),
+               ('es', 'src1', CAST(459 AS BIGINT)),
+               ('es', 'src10', CAST(816 AS BIGINT)),
+               ('es', 'src11', CAST(429 AS BIGINT)),
+               ('es', 'src12', CAST(374 AS BIGINT)),
+               ('es', 'src13', CAST(1214 AS BIGINT)),
+               ('es', 'src14', CAST(593 AS BIGINT)),
+               ('es', 'src15', CAST(774 AS BIGINT)),
+               ('es', 'src16', CAST(1507 AS BIGINT)),
+               ('es', 'src17', CAST(1419 AS BIGINT)),
+               ('es', 'src18', CAST(1127 AS BIGINT)),
+               ('es', 'src19', CAST(917 AS BIGINT)),
+               ('es', 'src2', CAST(996 AS BIGINT)),
+               ('es', 'src3', CAST(829 AS BIGINT)),
+               ('es', 'src4', CAST(532 AS BIGINT)),
+               ('es', 'src5', CAST(640 AS BIGINT)),
+               ('es', 'src6', CAST(945 AS BIGINT)),
+               ('es', 'src7', CAST(430 AS BIGINT)),
+               ('es', 'src8', CAST(1207 AS BIGINT)),
+               ('es', 'src9', CAST(975 AS BIGINT)),
+               ('fr', 'src0', CAST(1513 AS BIGINT)),
+               ('fr', 'src1', CAST(1283 AS BIGINT)),
+               ('fr', 'src10', CAST(617 AS BIGINT)),
+               ('fr', 'src11', CAST(1098 AS BIGINT)),
+               ('fr', 'src12', CAST(202 AS BIGINT)),
+               ('fr', 'src13', CAST(1675 AS BIGINT)),
+               ('fr', 'src14', CAST(568 AS BIGINT)),
+               ('fr', 'src15', CAST(1464 AS BIGINT)),
+               ('fr', 'src16', CAST(1334 AS BIGINT)),
+               ('fr', 'src17', CAST(229 AS BIGINT)),
+               ('fr', 'src18', CAST(396 AS BIGINT)),
+               ('fr', 'src19', CAST(212 AS BIGINT)),
+               ('fr', 'src2', CAST(1488 AS BIGINT)),
+               ('fr', 'src3', CAST(687 AS BIGINT)),
+               ('fr', 'src4', CAST(1044 AS BIGINT)),
+               ('fr', 'src5', CAST(535 AS BIGINT)),
+               ('fr', 'src7', CAST(651 AS BIGINT)),
+               ('fr', 'src8', CAST(544 AS BIGINT)),
+               ('fr', 'src9', CAST(603 AS BIGINT)),
+               ('zh', 'src0', CAST(343 AS BIGINT)),
+               ('zh', 'src1', CAST(402 AS BIGINT)),
+               ('zh', 'src10', CAST(1218 AS BIGINT)),
+               ('zh', 'src11', CAST(1087 AS BIGINT)),
+               ('zh', 'src12', CAST(1541 AS BIGINT)),
+               ('zh', 'src13', CAST(1248 AS BIGINT)),
+               ('zh', 'src14', CAST(822 AS BIGINT)),
+               ('zh', 'src15', CAST(573 AS BIGINT)),
+               ('zh', 'src16', CAST(902 AS BIGINT)),
+               ('zh', 'src17', CAST(1474 AS BIGINT)),
+               ('zh', 'src19', CAST(808 AS BIGINT)),
+               ('zh', 'src2', CAST(720 AS BIGINT)),
+               ('zh', 'src3', CAST(536 AS BIGINT)),
+               ('zh', 'src4', CAST(798 AS BIGINT)),
+               ('zh', 'src5', CAST(1123 AS BIGINT)),
+               ('zh', 'src6', CAST(1080 AS BIGINT)),
+               ('zh', 'src7', CAST(522 AS BIGINT)),
+               ('zh', 'src8', CAST(1406 AS BIGINT)),
+               ('zh', 'src9', CAST(1295 AS BIGINT))),
+             base AS (
+               SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_words,
+                 CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+               FROM documents GROUP BY lang, source)
+             SELECT b.lang, b.source, n_docs, n_words, n_bytes, t.n_tokens,
+               round(t.n_tokens / CAST(n_words AS DOUBLE), 6) AS fertility,
+               round(n_bytes / CAST(t.n_tokens AS DOUBLE), 6) AS bytes_per_token
+             FROM base b JOIN tok t ON b.lang = t.lang AND b.source = t.source
+             ORDER BY b.lang, b.source""")),
+
     // Table profiling (the post-ingest ANALYZE pass): exact row/null/
     // distinct counters for every orders column in ONE aggregate job;
     // the oracle recomputes each column's counters independently.

@@ -445,6 +445,28 @@ object SqlSurface {
              ORDER BY l_orderkey, l_quantity DESC, l_linenumber
              LIMIT 500""")),
 
+    // Q57: DISTINCT ON (k) * — the EXACT text dbplyr emits for
+    // distinct(.keep_all = TRUE) against a Postgres backend (the
+    // reference's R client rides dbplyr, clients/RLagoon/R/
+    // dplyrlagoon.r). A bare `*` has no recoverable projection from
+    // the text alone, but the facade runs server-side where view
+    // schemas are KNOWN — the schemaOf callback resolves the FROM
+    // table's columns (here via the registered temp view, in the
+    // server via the catalog) and the `*` expands before the
+    // row_number() lowering. DuckDB executes the same text natively.
+    NamedQuery("q57_distinct_on_star",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT DISTINCT ON (c_nationkey) *
+             FROM customer
+             ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
+          n => scala.util.Try(s.table(n).columns.toSeq).toOption))
+      },
+      Some("""SELECT DISTINCT ON (c_nationkey) *
+              FROM customer
+              ORDER BY c_nationkey, c_acctbal DESC, c_custkey""")),
+
     // Q55: EXTRACT(EPOCH FROM ts) — Postgres's fractional-seconds
     // epoch field, absent from Spark's EXTRACT. The facade rewrites it
     // to unix_micros(·)/1e6 (PgSelect.rewriteEpoch); floor+BIGINT on

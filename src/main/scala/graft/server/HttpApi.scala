@@ -577,9 +577,18 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
         // clients/RLagoon/R/dplyrlagoon.r:86-100) rewrite to
         // get_json_object BEFORE the gate parses the query
         // ... then the Postgres SELECT forms (DISTINCT ON, EPOCH)
-        // lower to their Spark spellings (PgSelect scope notes)
+        // lower to their Spark spellings (PgSelect scope notes).
+        // schemaOf expands `DISTINCT ON (k) *` (dbplyr's
+        // distinct(.keep_all=TRUE) text) against the registered view's
+        // columns — restricted to catalog names so no Spark-internal
+        // table schema leaks into a rewrite; the gate's ACL check
+        // still governs whether the query may READ the table.
+        val schemaOf: String => Option[Seq[String]] = n =>
+          if (owner.contains(n.toLowerCase))
+            scala.util.Try(spark.table(n).columns.toSeq).toOption
+          else None
         val df = SqlGate.execute(spark,
-          PgSelect.rewrite(PgJson.rewrite(body(ex))), owner.keySet,
+          PgSelect.rewrite(PgJson.rewrite(body(ex)), schemaOf), owner.keySet,
           canRead = t => owner.get(t).exists(ds => acl.get.canRead(userOpt, ds)))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {

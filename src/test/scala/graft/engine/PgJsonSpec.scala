@@ -62,4 +62,15 @@ class PgJsonSpec extends AnyFunSuite {
     assert(PgJson.rewrite("SELECT get_json_object(p, '$.a')->>'b' FROM t") ==
       "SELECT get_json_object(get_json_object(p, '$.a'), '$.b') FROM t")
   }
+
+  test("comments copy verbatim and never flip the quote state") {
+    // an apostrophe in a comment must not open a "string" that would
+    // hide (or expose) real operators
+    val s = "SELECT k, -- don't\n p->>'k' AS v FROM t"
+    assert(PgJson.rewrite(s) ==
+      "SELECT k, -- don't\n get_json_object(p, '$.k') AS v FROM t")
+    // operator text inside a comment stays untouched
+    val c = "SELECT k /* p->>'k' */ FROM t"
+    assert(PgJson.rewrite(c) == c)
+  }
 }

@@ -72,18 +72,119 @@ class PgSelectSpec extends AnyFunSuite {
   }
 
   test("unsupported shapes are returned unchanged") {
-    // bare * — no recoverable projection
+    // bare * with no schema knowledge — no recoverable projection
     val star = "SELECT DISTINCT ON (k) * FROM t ORDER BY k"
     assert(PgSelect.rewriteDistinctOn(star) == star)
-    // unaliased computed item
-    val calc = "SELECT DISTINCT ON (k) k + 1 FROM t ORDER BY k"
-    assert(PgSelect.rewriteDistinctOn(calc) == calc)
     // set operation directly under the select
     val un = "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u"
     assert(PgSelect.rewriteDistinctOn(un) == un)
     // plain DISTINCT is not DISTINCT ON
     val plain = "SELECT DISTINCT k FROM t ORDER BY k"
     assert(PgSelect.rewriteDistinctOn(plain) == plain)
+  }
+
+  // -- schema-aware `*` expansion (the dbplyr distinct(.keep_all=TRUE)
+  // form: SELECT DISTINCT ON (k) * FROM tbl ORDER BY ...) -------------
+
+  private val schema: String => Option[Seq[String]] =
+    n => if (n.equalsIgnoreCase("t")) Some(Seq("k", "v", "w")) else None
+
+  test("DISTINCT ON (k) * expands against the known schema") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) * FROM t ORDER BY k, v DESC", schema)
+    assert(r.startsWith("SELECT k, v, w FROM (SELECT k, v, w,"))
+    assert(r.contains("PARTITION BY k ORDER BY k, v DESC"))
+  }
+
+  test("alias.* expands when the qualifier matches the FROM alias or table") {
+    val a = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (q.k) q.* FROM t q ORDER BY q.k", schema)
+    assert(a.startsWith("SELECT k, v, w FROM (SELECT k, v, w,"))
+    val b = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) t.* FROM t ORDER BY k", schema)
+    assert(b.startsWith("SELECT k, v, w FROM"))
+    // mismatched qualifier → unchanged, Spark rejects loudly
+    val bad = "SELECT DISTINCT ON (k) u.* FROM t ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(bad, schema) == bad)
+  }
+
+  test("* stays unchanged when FROM is not a single plain table") {
+    val join = "SELECT DISTINCT ON (t.k) * FROM t JOIN u ON t.k = u.k ORDER BY t.k"
+    assert(PgSelect.rewriteDistinctOn(join, schema) == join)
+    val comma = "SELECT DISTINCT ON (k) * FROM t, u ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(comma, schema) == comma)
+    val sub = "SELECT DISTINCT ON (k) * FROM (SELECT k FROM t) q ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(sub, schema) == sub)
+    val unknown = "SELECT DISTINCT ON (k) * FROM other ORDER BY k"
+    assert(PgSelect.rewriteDistinctOn(unknown, schema) == unknown)
+  }
+
+  test("* expansion with WHERE keeps the body and quotes odd columns") {
+    val odd: String => Option[Seq[String]] =
+      _ => Some(Seq("k", "two words"))
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) * FROM t WHERE k > 0 ORDER BY k", odd)
+    assert(r.startsWith("SELECT k, `two words` FROM (SELECT k, `two words`,"))
+    assert(r.contains("FROM t WHERE k > 0) __din"))
+  }
+
+  // -- unaliased computed items: Postgres FigureColname naming --------
+
+  test("unaliased function call is named after the function") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, MAX(v) FROM t GROUP BY k, v ORDER BY k")
+    assert(r.startsWith("SELECT k, __din_c0 AS `max` FROM (SELECT k, MAX(v) AS __din_c0,"))
+  }
+
+  test("other unaliased computed items are named ?column?") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, k + 1 FROM t ORDER BY k")
+    assert(r.startsWith("SELECT k, __din_c0 AS `?column?` FROM (SELECT k, k + 1 AS __din_c0,"))
+  }
+
+  // -- positional ORDER BY (ORDER BY 1, 2 DESC) ------------------------
+
+  test("positional ORDER BY resolves against the select list") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY 1, 2 DESC")
+    assert(r.contains("PARTITION BY k ORDER BY k, v DESC"))
+    assert(r.contains("k AS __din_o0, v AS __din_o1"))
+  }
+
+  test("positional ORDER BY resolves the aliased item's expression") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, CAST(v AS INT) AS iv FROM t ORDER BY 1, 2 DESC")
+    assert(r.contains("ORDER BY k, CAST(v AS INT) DESC"))
+  }
+
+  test("out-of-range positional ORDER BY abandons the rewrite") {
+    val r = "SELECT DISTINCT ON (k) k, v FROM t ORDER BY 1, 3"
+    assert(PgSelect.rewriteDistinctOn(r) == r)
+  }
+
+  // -- comment-awareness -----------------------------------------------
+
+  test("an apostrophe inside a comment does not flip the quote state") {
+    // before the fix the don't apostrophe opened a "string" and the
+    // literal DISTINCT ON text below was treated as real SQL
+    val s = "SELECT k, -- don't\n 'DISTINCT ON (k) v' AS doc FROM t"
+    assert(PgSelect.rewriteDistinctOn(s) == s)
+    val e = "SELECT k /* it's EXTRACT(EPOCH FROM x) */ FROM t"
+    assert(PgSelect.rewriteEpoch(e) == e)
+    val g = "SELECT g -- string_agg(v, ',' ORDER BY v)\n FROM t"
+    assert(PgSelect.rewriteOrderedStringAgg(g) == g)
+  }
+
+  test("comments inside a rewritten DISTINCT ON do not corrupt output") {
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) -- keep first\n k, v FROM t ORDER BY k, v")
+    assert(!r.toUpperCase.contains("DISTINCT ON"))
+    assert(r.startsWith("SELECT k, v FROM (SELECT k, v,"))
+    // a trailing line comment in the body gets a closing newline so
+    // the generated ") __din" is not swallowed
+    val c = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t -- tail")
+    assert(c.contains("FROM t -- tail\n) __din"))
   }
 
   test("a trailing semicolon ends the statement and is preserved") {

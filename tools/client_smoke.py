@@ -176,6 +176,19 @@ def dplyr_flow(c):
     rows = csv_rows(out)
     assert rows[1] == ["a", "2.0", "4.5"] and rows[2] == ["b", "3.0", "5.5"], rows
 
+    # distinct(.keep_all = TRUE): dbplyr emits DISTINCT ON (k) * — the
+    # server expands * against the view's catalog schema (PgSelect
+    # schemaOf) before the row_number() lowering
+    code, out = c.sql(f"SELECT DISTINCT ON (grp) * FROM {view} "
+                      f"ORDER BY grp, x DESC")
+    assert code == 200, out
+    rows = csv_rows(out)
+    hdr = rows[0]
+    assert hdr[-4:] == ["grp", "x", "y", "props"], hdr
+    gi, xi = hdr.index("grp"), hdr.index("x")
+    assert [r[gi] for r in rows[1:3]] == ["a", "b"], rows
+    assert [r[xi] for r in rows[1:3]] == ["2.0", "3.0"], rows
+
     # the two other Postgres SELECT forms the facade lowers, composed:
     # string_agg's inline ORDER BY (listagg WITHIN GROUP) over a
     # JSON-operator operand (PgJson runs first), and EXTRACT(EPOCH)
