@@ -1135,6 +1135,23 @@ object ScaleCheck {
         graft.ops.TextAnalysis.bpeFertility(docs, merges).count())
       docs.unpersist()
     }
+    // pp07: per-lang bigram LM fit + per-doc score + value-cardinality
+    // terciles. The (lang, w1, w2) count shuffle dominates; the word
+    // perturbation (z$i interleave) grows the bigram vocabulary with
+    // the corpus like real text would. Slope must stay ~linear — the
+    // boundary step rides the tiny distinct-(lang, score) frame and
+    // must not show in the wall at all.
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"pp07 x$mult docs=$n")(
+        graft.ops.Curation.perplexityBuckets(docs).count())
+      docs.unpersist()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -30,6 +30,16 @@ package graft.engine
   *     ordering WITHIN GROUP; rewritten to
   *     `listagg(x, sep) WITHIN GROUP (ORDER BY k)`.
   *
+  *  4. `array_agg(x ORDER BY k ...)` — the inline-ordered ARRAY
+  *     aggregate, which has no WITHIN GROUP spelling in Spark at all;
+  *     rewritten to transform(sort_array(collect_list(struct(...))))
+  *     with per-key null-rank fields (see rewriteOrderedArrayAgg).
+  *
+  *  5. The regex-match operators `~` `~*` `!~` `!~*` (dbplyr's
+  *     str_detect/grepl, SQLAlchemy's .regexp_match()) — rewritten to
+  *     regexp_like with an inline (?i) flag for the `*` forms (see
+  *     rewriteRegexMatch).
+  *
   * Scope notes:
   *
   *  - `DISTINCT ON (k) *` (the exact text dbplyr emits for
@@ -72,7 +82,8 @@ object PgSelect {
     * Spark rejects DISTINCT ON loudly).
     */
   def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
-    rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql, schemaOf)))
+    rewriteRegexMatch(rewriteOrderedArrayAgg(rewriteOrderedStringAgg(
+      rewriteEpoch(rewriteDistinctOn(sql, schemaOf)))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware scanning helpers
@@ -622,6 +633,278 @@ object PgSelect {
             }
           }
         case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------
+  // array_agg(x ORDER BY k1 [DESC] [NULLS ...], k2 ...)
+  // ---------------------------------------------------------------
+
+  /** Postgres's inline-ordered `array_agg` (what dbplyr emits for
+    * `summarise(arr = array_agg(x, order_by))`-style verbs, and
+    * SQLAlchemy for `aggregate_order_by`). Spark's array_agg /
+    * collect_list has no inline ORDER BY and no WITHIN GROUP form, so
+    * the ordering is reconstructed with array functions:
+    *
+    *   array_agg(x ORDER BY k)
+    *     → transform(sort_array(collect_list(struct(<nullrank>, k, x))),
+    *                 e -> e.val)
+    *
+    * Each key contributes a boolean null-rank field ahead of itself so
+    * one sort_array direction reproduces Postgres's per-key null
+    * placement (ASC defaults NULLS LAST, DESC defaults NULLS FIRST,
+    * explicit NULLS FIRST/LAST honored). Because the aggregated value
+    * rides INSIDE the struct, NULL values are kept — matching
+    * Postgres's array_agg, where collect_list alone would drop them.
+    * Ties on the full key list break deterministically by the
+    * aggregated value (Postgres leaves them unspecified).
+    *
+    * Out of scope, left unchanged so Spark rejects the inline ORDER BY
+    * loudly: `DISTINCT` inside the aggregate, and key lists mixing ASC
+    * and DESC (one sort_array direction can't express both; negating
+    * keys would only work for numerics).
+    */
+  def rewriteOrderedArrayAgg(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val s = sql
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if (c == 'a' || c == 'A') && wordAt(s, i, "array_agg") =>
+          var j = skipWs(s, i + 9)
+          if (j >= s.length || s(j) != '(') { out.append(c); i += 1 }
+          else {
+            val argStart = j + 1
+            var depth = 1
+            var k = argStart
+            var argEnd = -1
+            var orderAt = -1
+            while (k < s.length && argEnd < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) argEnd = k
+                  k += 1
+                case ch =>
+                  if (depth == 1 && orderAt < 0 &&
+                    (ch == 'o' || ch == 'O') && wordAt(s, k, "ORDER")) orderAt = k
+                  k += 1
+              }
+            }
+            val rewriteable = argEnd >= 0 && orderAt >= 0 && {
+              val b = skipWs(s, orderAt + 5)
+              wordAt(s, b, "BY") &&
+                !wordAt(s, skipWs(s, argStart), "DISTINCT")
+            }
+            if (!rewriteable) { out.append(c); i += 1 }
+            else {
+              val b = skipWs(s, orderAt + 5)
+              val valueItems = splitTop(s.substring(argStart, orderAt))
+              val keyItems = splitTop(s.substring(b + 2, argEnd)).map(orderParts)
+              // one aggregated expression; uniform sort direction
+              val dirs = keyItems.map(_._2.toUpperCase.contains("DESC"))
+              if (valueItems.size != 1 || keyItems.isEmpty ||
+                dirs.distinct.size > 1) { out.append(c); i += 1 }
+              else {
+                val desc = dirs.head
+                val value = closeComment(
+                  rewriteOrderedArrayAgg(valueItems.head))
+                val fields = keyItems.zipWithIndex.flatMap {
+                  case ((keyExpr0, suffix), ix) =>
+                    val keyExpr = closeComment(
+                      rewriteOrderedArrayAgg(keyExpr0.trim))
+                    val up = suffix.toUpperCase
+                    val nullsFirst =
+                      if (up.contains("NULLS FIRST")) true
+                      else if (up.contains("NULLS LAST")) false
+                      else desc // Postgres defaults: ASC→LAST, DESC→FIRST
+                    // boolean rank ahead of each key: with sort_array
+                    // ascending FALSE<TRUE and descending TRUE<FALSE,
+                    // so the IS [NOT] NULL choice below lands nulls on
+                    // the requested side in both directions
+                    val rank =
+                      if (nullsFirst == desc) s"(($keyExpr) IS NULL)"
+                      else s"(($keyExpr) IS NOT NULL)"
+                    Seq(s"$rank AS __oaa_n$ix", s"($keyExpr) AS __oaa_k$ix")
+                }
+                val asc = if (desc) "false" else "true"
+                out.append(
+                  s"transform(sort_array(collect_list(struct(" +
+                    fields.mkString(", ") + s", ($value) AS __oaa_v)), $asc), " +
+                    "__oaa_e -> __oaa_e.__oaa_v)")
+                i = argEnd + 1
+              }
+            }
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------
+  // Postgres regex-match operators: ~  ~*  !~  !~*
+  // ---------------------------------------------------------------
+
+  /** Keywords that can directly precede a unary operator — a "left
+    * operand" that is one of these is not an operand at all, so a `~`
+    * after it is Spark's unary bitwise-not and must stay untouched.
+    */
+  private val preOperatorKeywords: Set[String] = Set(
+    "select", "where", "and", "or", "not", "when", "then", "else", "end",
+    "on", "by", "as", "case", "from", "join", "having", "like", "ilike",
+    "in", "is", "between", "distinct", "all", "any", "some", "set",
+    "values", "limit", "offset", "union", "intersect", "except", "group",
+    "order", "returning", "over", "partition", "filter", "escape")
+
+  /** Postgres's regex-match operators, which dbplyr emits for
+    * `str_detect`/`grepl` (`x ~ 'pat'`, `x !~ 'pat'`) and SQLAlchemy
+    * for `.regexp_match()`. Spark has no binary `~` (only unary
+    * bitwise-not), so the facade lowers the four spellings:
+    *
+    *   a ~ p   → regexp_like(a, p)                      (find, like PG)
+    *   a ~* p  → regexp_like(a, concat('(?i)', p))
+    *   a !~ p  → (NOT regexp_like(a, p))
+    *   a !~* p → (NOT regexp_like(a, concat('(?i)', p)))
+    *
+    * Both operands must be recoverable as PRIMARY expressions from the
+    * text — a quoted literal, an identifier chain (optionally a
+    * function call), or a parenthesized group; anything fancier is
+    * left unchanged so Spark rejects the bare `~` loudly rather than
+    * guessing operand extents. A `~` after a keyword/operator/comma is
+    * unary bitwise-not and stays untouched, as does `~~` (Postgres's
+    * internal LIKE spelling — its right-operand parse fails on the
+    * second `~`). Spark's regexp_like is a FIND like Postgres's `~`
+    * (DuckDB's own `~` is a full match — oracle SQL there uses
+    * regexp_matches instead).
+    */
+  def rewriteRegexMatch(sql: String): String = {
+    val s = sql
+    val out = new StringBuilder
+    // start (in `out`) of the most recently completed primary
+    // expression; -1 when the last significant token wasn't one
+    var primStart = -1
+    var i = 0
+
+    // parse a primary expression at s(j0) (after whitespace/comments);
+    // returns (rewrittenText, endIndex) or None
+    def parsePrimary(j0: Int): Option[(String, Int)] = {
+      val j = skipWs(s, j0)
+      if (j >= s.length) None
+      else s(j) match {
+        case '\'' | '"' | '`' =>
+          val e = skipQuoted(s, j)
+          Some((s.substring(j, e), e))
+        case c if c.isLetter || c == '_' =>
+          var e = j
+          while (e < s.length && (isWordChar(s(e)) || s(e) == '.')) e += 1
+          val word = s.substring(j, e)
+          if (e < s.length && s(e) == '(') {
+            var depth = 0
+            var k = e
+            var close = -1
+            while (k < s.length && close < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) close = k
+                  k += 1
+                case _ => k += 1
+              }
+            }
+            if (close < 0) None
+            else Some((word + "(" + closeComment(rewriteRegexMatch(
+              s.substring(e + 1, close))) + ")", close + 1))
+          } else if (preOperatorKeywords.contains(word.toLowerCase)) None
+          else Some((word, e))
+        case '(' =>
+          var depth = 0
+          var k = j
+          var close = -1
+          while (k < s.length && close < 0) {
+            s(k) match {
+              case '\'' | '"' | '`' => k = skipQuoted(s, k)
+              case _ if atComment(s, k) => k = skipComment(s, k)
+              case '(' => depth += 1; k += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) close = k
+                k += 1
+              case _ => k += 1
+            }
+          }
+          if (close < 0) None
+          else Some(("(" + closeComment(rewriteRegexMatch(
+            s.substring(j + 1, close))) + ")", close + 1))
+        case _ => None
+      }
+    }
+
+    def atOp(j: Int): Boolean =
+      j < s.length &&
+        (s(j) == '~' ||
+          (s(j) == '!' && j + 1 < s.length && s(j + 1) == '~'))
+
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i)
+          primStart = out.length
+          out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if c.isWhitespace => out.append(c); i += 1
+        case _ if atOp(i) && primStart >= 0 =>
+          val negate = s(i) == '!'
+          var j = i + (if (negate) 2 else 1)
+          val ci = j < s.length && s(j) == '*'
+          if (ci) j += 1
+          parsePrimary(j) match {
+            case Some((right, end)) =>
+              val left = out.substring(primStart)
+              out.setLength(primStart)
+              val pat = if (ci) s"concat('(?i)', $right)" else right
+              val call = s"regexp_like($left, $pat)"
+              val emitted = if (negate) s"(NOT $call)" else call
+              primStart = out.length
+              out.append(emitted)
+              i = end
+            case None =>
+              out.append(s(i)); i += 1; primStart = -1
+          }
+        case c if c.isLetter || c == '_' =>
+          parsePrimary(i) match {
+            case Some((text, end)) =>
+              primStart = out.length
+              out.append(text); i = end
+            case None =>
+              // keyword (or unparseable call) — consume the word so the
+              // keyword itself can't be mistaken for an operand
+              var e = i
+              while (e < s.length && (isWordChar(s(e)) || s(e) == '.')) e += 1
+              out.append(s.substring(i, e)); i = e
+              primStart = -1
+          }
+        case '(' =>
+          parsePrimary(i) match {
+            case Some((text, end)) =>
+              primStart = out.length
+              out.append(text); i = end
+            case None => out.append('('); i += 1; primStart = -1
+          }
+        case c => out.append(c); i += 1; primStart = -1
       }
     }
     out.toString

@@ -1013,4 +1013,72 @@ object Curation {
           .as("cum_before_tokens"),
         (col("cum_vtok_below") + col("__cw") <= budgetTokens).as("selected"))
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): score every document against ITS LANGUAGE's
+    * LM — here tx12's add-alpha bigram model trained per language on
+    * the corpus itself, standing in for CCNet's pretrained KenLM —
+    * then split each language into head/middle/tail terciles by
+    * score. `head` is the most-fluent third (lowest mean negative
+    * log-probability), the tier CCNet keeps for LM training; `tail`
+    * is where the boilerplate/word-soup lands.
+    *
+    * Tercile boundaries are EXACT order statistics off the
+    * value-cardinality frame (the wq01/bs01 primitive): per-doc
+    * scores round to 4 decimals, so the distinct (lang, score) frame
+    * is tiny next to the corpus, and a running count over IT — never
+    * a corpus-wide sort — yields the boundary by pure integer
+    * arithmetic (first score with 3·cum ≥ n, then ≥ 2n). No
+    * interpolated double quantiles, so bucketing is deterministic and
+    * engine-portable, and docs sharing a score share a bucket by
+    * construction. Corpus-sized work: the bigram count shuffles
+    * (per-lang LM fit), one broadcast of the lang-cardinality
+    * boundary frame, one scan-speed CASE.
+    *
+    * Output: one row per doc (doc_id, lang, score, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, text: Column = col("text"),
+                        lang: Column = col("lang"),
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val base = df.select(col("doc_id"), lang.as("lang"),
+      split(text, " ").as("__ts"))
+    val bg = base.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    // per-language vocabulary size (the add-alpha denominator's V)
+    val v = base.select(col("lang"), explode(col("__ts")).as("t"))
+      .groupBy(col("lang")).agg(countDistinct(col("t")).as("vs"))
+    val scored = bg
+      .join(c12, Seq("lang", "w1", "w2"))
+      .join(c1, Seq("lang", "w1"))
+      .join(broadcast(v), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(-log((col("c12") + alpha) /
+        (col("c1") + col("vs") * alpha))), 4).as("score"))
+    // exact tercile boundaries via the value-cardinality frame
+    val vc = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("c")).over(wLang))
+    val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val bounds = cum.join(n, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("score") <= col("t1"), "head")
+          .when(col("score") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

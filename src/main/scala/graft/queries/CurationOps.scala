@@ -891,6 +891,60 @@ object CurationOps {
              SELECT doc_id, stratum, difficulty, rank_in_stratum,
                CAST(row_number() OVER (ORDER BY rank_in_stratum, stratum)
                  AS BIGINT) AS pos
-             FROM r ORDER BY doc_id"""))
+             FROM r ORDER BY doc_id""")),
+
+    // pp07: CCNet-style quality bucketing (Wenzek et al. 2020) — each
+    // language's docs score against THAT language's bigram LM (tx12's
+    // proven add-alpha scorer, per-lang fit), then split into
+    // head/middle/tail terciles with boundaries read off the
+    // value-cardinality frame by exact integer rule (3·cum ≥ n) — no
+    // corpus sort, no interpolated double quantiles (see
+    // Curation.perplexityBuckets). The gate's rollup pins every
+    // tier's population and score range per language.
+    NamedQuery("pp07_ccnet_buckets",
+      (s, d) => Curation.perplexityBuckets(docs(s, d))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(min(col("score")), 4).as("min_score"),
+          round(max(col("score")), 4).as("max_score"))
+        .orderBy("lang", "bucket"),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                FROM documents),
+              w AS (SELECT doc_id, lang, generate_subscripts(ts, 1) AS pos,
+                      unnest(ts) AS tok FROM t),
+              bg AS (SELECT a.doc_id, a.lang, a.tok AS w1, b.tok AS w2
+                     FROM w a JOIN w b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              c12 AS (SELECT lang, w1, w2, count(*) AS c12
+                      FROM bg GROUP BY 1, 2, 3),
+              c1 AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+              v AS (SELECT lang, count(DISTINCT tok) AS vs
+                    FROM w GROUP BY 1),
+              sc AS (SELECT doc_id, lang,
+                       round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * vs))), 4)
+                         AS score
+                     FROM bg JOIN c12 USING (lang, w1, w2)
+                             JOIN c1 USING (lang, w1)
+                             JOIN v USING (lang)
+                     GROUP BY 1, 2),
+              vc AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+              cum AS (SELECT lang, score, sum(c) OVER (
+                        PARTITION BY lang ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum FROM vc),
+              n AS (SELECT lang, count(*) AS n FROM sc GROUP BY 1),
+              b AS (SELECT lang,
+                      min(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+                      min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t2
+                    FROM cum JOIN n USING (lang) GROUP BY 1),
+              bu AS (SELECT sc.lang,
+                       CASE WHEN score <= t1 THEN 'head'
+                            WHEN score <= t2 THEN 'middle'
+                            ELSE 'tail' END AS bucket, score
+                     FROM sc JOIN b USING (lang))
+             SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(score), 4) AS min_score,
+               round(max(score), 4) AS max_score
+             FROM bu GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

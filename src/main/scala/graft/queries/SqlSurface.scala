@@ -500,6 +500,61 @@ object SqlSurface {
              FROM region JOIN nation ON r_regionkey = n_regionkey
              GROUP BY r_name ORDER BY r_name""")),
 
+    // Q58: array_agg with Postgres's INLINE ORDER BY — Spark's
+    // collect_list/array_agg has no inline ORDER BY and no WITHIN
+    // GROUP form, so the facade reconstructs the ordering with
+    // transform(sort_array(collect_list(struct(...)))) (PgSelect
+    // .rewriteOrderedArrayAgg; null-rank fields reproduce Postgres's
+    // NULLS placement). The ordered arrays flatten to strings only
+    // for the cross-engine hash (q34's scalar-reduction pattern);
+    // DuckDB runs the inline-ordered aggregate natively.
+    NamedQuery("q58_array_agg_ordered",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT r_name,
+                    array_agg(n_name ORDER BY n_name DESC) AS by_name,
+                    array_agg(n_name ORDER BY n_nationkey) AS by_key
+             FROM region JOIN nation ON r_regionkey = n_regionkey
+             GROUP BY r_name ORDER BY r_name"""))
+          .selectExpr("r_name",
+            "array_join(by_name, ',') AS by_name",
+            "array_join(by_key, ',') AS by_key")
+      },
+      Some("""SELECT r_name,
+                    array_to_string(array_agg(n_name ORDER BY n_name DESC), ',') AS by_name,
+                    array_to_string(array_agg(n_name ORDER BY n_nationkey), ',') AS by_key
+             FROM region JOIN nation ON r_regionkey = n_regionkey
+             GROUP BY r_name ORDER BY r_name""")),
+
+    // Q59: the Postgres regex-match operators ~ / ~* / !~ / !~* — what
+    // dbplyr emits for str_detect/grepl and SQLAlchemy for
+    // .regexp_match(). Spark has only unary bitwise ~, so the facade
+    // lowers the four spellings to regexp_like (PgSelect
+    // .rewriteRegexMatch; ~* via an inline (?i) flag). Postgres's ~ is
+    // a FIND, like Spark's regexp_like; DuckDB's own ~ is a FULL
+    // match, so the oracle spells the same predicates with
+    // regexp_matches (DuckDB's find-anywhere form).
+    NamedQuery("q59_regex_match_ops",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT lang,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(*) FILTER (WHERE text ~* 'THE') AS BIGINT) AS n_the,
+                    CAST(count(*) FILTER (WHERE text !~ '[0-9]') AS BIGINT) AS n_nodigit
+             FROM documents
+             WHERE text ~ '[A-Za-z]'
+             GROUP BY lang ORDER BY lang"""))
+      },
+      Some("""SELECT lang,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(*) FILTER (WHERE regexp_matches(text, '(?i)THE')) AS BIGINT) AS n_the,
+                    CAST(count(*) FILTER (WHERE NOT regexp_matches(text, '[0-9]')) AS BIGINT) AS n_nodigit
+             FROM documents
+             WHERE regexp_matches(text, '[A-Za-z]')
+             GROUP BY lang ORDER BY lang""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

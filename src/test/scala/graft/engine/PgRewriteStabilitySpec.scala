@@ -32,6 +32,20 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
       assert(PgSelect.rewriteOrderedStringAgg(sql) == sql, s"mangled $name")
   }
 
+  test("rewriteOrderedArrayAgg is the identity off its trigger") {
+    for ((name, sql) <- oracles
+         if !sql.toLowerCase.contains("array_agg"))
+      assert(PgSelect.rewriteOrderedArrayAgg(sql) == sql, s"mangled $name")
+  }
+
+  test("rewriteRegexMatch is the identity off its trigger") {
+    // the corpus has no bare regex-match operators (DuckDB oracles
+    // spell them regexp_matches); tildes inside string literals and
+    // lambdas must survive verbatim too, so run over EVERYTHING
+    for ((name, sql) <- oracles)
+      assert(PgSelect.rewriteRegexMatch(sql) == sql, s"mangled $name")
+  }
+
   test("PgJson is the identity on arrow-free texts and DuckDB lambdas") {
     for ((name, sql) <- oracles if !sql.contains("->"))
       assert(PgJson.rewrite(sql) == sql, s"mangled $name")

@@ -238,4 +238,102 @@ class PgSelectSpec extends AnyFunSuite {
     assert(!r.toUpperCase.contains("DISTINCT ON"))
     assert(r.contains("(unix_micros(ts) / 1000000.0) AS e"))
   }
+
+  // ---- array_agg(x ORDER BY ...) -----------------------------------
+
+  test("array_agg inline ORDER BY ASC lowers with Postgres NULLS LAST") {
+    assert(PgSelect.rewriteOrderedArrayAgg(
+      "SELECT g, array_agg(v ORDER BY k) FROM t GROUP BY g") ==
+      "SELECT g, transform(sort_array(collect_list(struct(" +
+        "((k) IS NULL) AS __oaa_n0, (k) AS __oaa_k0, (v) AS __oaa_v)), " +
+        "true), __oaa_e -> __oaa_e.__oaa_v) FROM t GROUP BY g")
+  }
+
+  test("array_agg ORDER BY DESC sorts descending with NULLS FIRST") {
+    val r = PgSelect.rewriteOrderedArrayAgg(
+      "SELECT array_agg(v ORDER BY k DESC) FROM t")
+    assert(r.contains("((k) IS NULL) AS __oaa_n0"))
+    assert(r.contains(")), false)"))
+  }
+
+  test("array_agg explicit NULLS overrides flip the rank predicate") {
+    val asc = PgSelect.rewriteOrderedArrayAgg(
+      "SELECT array_agg(v ORDER BY k ASC NULLS FIRST) FROM t")
+    assert(asc.contains("((k) IS NOT NULL) AS __oaa_n0") &&
+      asc.contains(")), true)"))
+    val desc = PgSelect.rewriteOrderedArrayAgg(
+      "SELECT array_agg(v ORDER BY k DESC NULLS LAST) FROM t")
+    assert(desc.contains("((k) IS NOT NULL) AS __oaa_n0") &&
+      desc.contains(")), false)"))
+  }
+
+  test("array_agg multi-key same-direction keys all ride the struct") {
+    val r = PgSelect.rewriteOrderedArrayAgg(
+      "SELECT array_agg(v ORDER BY a, b) FROM t")
+    assert(r.contains("__oaa_k0") && r.contains("__oaa_k1"))
+  }
+
+  test("array_agg out-of-scope forms stay verbatim (loud reject)") {
+    // mixed ASC/DESC can't ride one sort_array direction
+    val mixed = "SELECT array_agg(v ORDER BY a, b DESC) FROM t"
+    assert(PgSelect.rewriteOrderedArrayAgg(mixed) == mixed)
+    val dist = "SELECT array_agg(DISTINCT v ORDER BY v) FROM t"
+    assert(PgSelect.rewriteOrderedArrayAgg(dist) == dist)
+    val plain = "SELECT array_agg(v) FROM t GROUP BY g"
+    assert(PgSelect.rewriteOrderedArrayAgg(plain) == plain)
+    val lit = "SELECT array_agg(v, ' ORDER BY ') FROM t"
+    assert(PgSelect.rewriteOrderedArrayAgg(lit) == lit)
+  }
+
+  // ---- ~ / ~* / !~ / !~* --------------------------------------------
+
+  test("regex match operators lower to regexp_like") {
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE c ~ 'p'") ==
+      "SELECT x FROM t WHERE regexp_like(c , 'p')")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE t.c ~* 'p'") ==
+      "SELECT x FROM t WHERE regexp_like(t.c , concat('(?i)', 'p'))")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE c !~ 'p'") ==
+      "SELECT x FROM t WHERE (NOT regexp_like(c , 'p'))")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE c !~* 'p' AND d > 0") ==
+      "SELECT x FROM t WHERE (NOT regexp_like(c , concat('(?i)', 'p'))) AND d > 0")
+  }
+
+  test("regex match left operand can be a call or parenthesized expr") {
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT lower(c) ~ 'p' FROM t") ==
+      "SELECT regexp_like(lower(c) , 'p') FROM t")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT (c || d) ~ 'p' FROM t") ==
+      "SELECT regexp_like((c || d) , 'p') FROM t")
+  }
+
+  test("regex match fires inside FILTER/CASE and nested calls") {
+    val r = PgSelect.rewriteRegexMatch(
+      "SELECT count(*) FILTER (WHERE c ~* 'x') FROM t")
+    assert(r == "SELECT count(*) FILTER (WHERE regexp_like(c , concat('(?i)', 'x'))) FROM t")
+    val c = PgSelect.rewriteRegexMatch(
+      "SELECT CASE WHEN c ~ 'x' THEN 1 ELSE 0 END FROM t")
+    assert(c.contains("WHEN regexp_like(c , 'x') THEN"))
+  }
+
+  test("unary bitwise ~ and Postgres ~~ stay verbatim") {
+    for (s <- Seq(
+      "SELECT ~5 FROM t",
+      "SELECT x FROM t WHERE y = ~z",
+      "SELECT x FROM t WHERE c ~~ 'p%'", // PG's internal LIKE spelling
+      "SELECT '~' FROM t",               // inside a literal
+      "SELECT x FROM t WHERE c ~ ",      // no right operand
+      "SELECT 1 ~ 'p' FROM t"))          // number left operand: no guess
+      assert(PgSelect.rewriteRegexMatch(s) == s, s)
+  }
+
+  test("regex rewrite is comment-aware") {
+    val s = "SELECT x -- don't\nFROM t WHERE c ~ 'p'"
+    assert(PgSelect.rewriteRegexMatch(s) ==
+      "SELECT x -- don't\nFROM t WHERE regexp_like(c , 'p')")
+  }
 }

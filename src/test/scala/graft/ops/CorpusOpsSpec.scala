@@ -621,6 +621,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityBuckets: per-language terciles, ties share a bucket") {
+    // xx: three fluency tiers of three docs each — repeated common
+    // bigrams (fluent), half-repeated (medium), all-unique word soup.
+    // yy: its own 3-doc corpus, to pin per-language independence.
+    val fluent = "a b a b a b a b a b"
+    val medium = "a b c d a b c d a b"
+    val docs = Seq(
+      (1L, "xx", fluent), (2L, "xx", fluent), (3L, "xx", fluent),
+      (4L, "xx", medium), (5L, "xx", medium), (6L, "xx", medium),
+      (7L, "xx", "q w e r t y u i o p"),
+      (8L, "xx", "z x c v b n m k j h"),
+      (9L, "xx", "g f d s a l k j h m"),
+      (10L, "yy", "s t s t s t s t"),
+      (11L, "yy", "s q t r s p t u"),
+      (12L, "yy", "g h j k l f d e"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(out.size == 12)
+    // identical texts share score AND bucket
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    // scores order fluent < medium < soup within xx
+    assert(out(1L)._2 < out(4L)._2 && out(4L)._2 < out(7L)._2)
+    // terciles: 3 ties of the lowest score fill head exactly
+    for (id <- Seq(1L, 2L, 3L)) assert(out(id)._3 == "head", s"doc $id")
+    for (id <- Seq(4L, 5L, 6L)) assert(out(id)._3 == "middle", s"doc $id")
+    for (id <- Seq(7L, 8L, 9L)) assert(out(id)._3 == "tail", s"doc $id")
+    // yy is bucketed by ITS scores alone: one doc per tier, ordered
+    val yy = Seq(10L, 11L, 12L).map(out).sortBy(_._2).map(_._3)
+    assert(yy == Seq("head", "middle", "tail"))
+    // every doc of a lang got a bucket from that lang's boundaries
+    assert(out.values.forall(v => Set("head", "middle", "tail")(v._3)))
+  }
+
   test("ngramNovelty: copied doc scores 0, fresh doc 1, remix in between") {
     val base = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
     val fresh = Seq(

@@ -204,6 +204,26 @@ def dplyr_flow(c):
     assert code == 200, out
     assert csv_rows(out)[1] == ["1577836810"], out
 
+    # array_agg with Postgres's inline ORDER BY (no WITHIN GROUP form
+    # exists in Spark at all — PgSelect rebuilds the ordering with
+    # sort_array over key-tagged structs)
+    code, out = c.sql(f"SELECT grp, "
+                      f"array_join(array_agg(props->>'k' ORDER BY x DESC), '|') AS ks "
+                      f"FROM {view} GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2|1"] and rows[2] == ["b", "3"], rows
+
+    # str_detect/grepl: dbplyr ships the Postgres regex-match
+    # operators verbatim (x ~ 'pat', x !~ 'pat'); the facade lowers
+    # them to regexp_like
+    code, out = c.sql(f"SELECT grp, count(*) AS n FROM {view} "
+                      f"WHERE grp ~ '^[ab]$' AND grp !~* 'C' "
+                      f"GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2"] and rows[2] == ["b", "1"], rows
+
 
 def main():
     port = int(sys.argv[1])
