@@ -1,0 +1,169 @@
+package graft.engine
+
+import PgSelect.{skipQuoted, skipComment, atComment, skipWs, wordAt, splitTop}
+
+/** Postgres function-spelling compatibility for the /sql facade.
+  *
+  * The reference's /sql is a Postgres passthrough, so the SQL that
+  * dbplyr (stringr/array verbs) and SQLAlchemy generate uses Postgres
+  * function names Spark doesn't register. Five spellings appear in
+  * real client translations and have exact Spark equivalents; the
+  * facade renames them (argument-count-checked, args recursed so
+  * nested forms rewrite too):
+  *
+  *   strpos(s, sub)            → instr(s, sub)         (1-based, 0 absent — identical)
+  *   starts_with(s, p)         → startswith(s, p)
+  *   array_to_string(a, sep[, nullstr]) → array_join(a, sep[, nullstr])
+  *   array_length(a, 1)        → nullif(size(a), 0)    (PG: empty array → NULL)
+  *   string_to_array(s, sep)   → split(s, <regex-escaped sep>)
+  *   regexp_replace(s, p, r, flags) — the 4-arg FLAG form:
+  *       'g'        → regexp_replace(s, p, r)          (Spark replaces all by default)
+  *       'gi'/'ig'  → regexp_replace(s, concat('(?i)', p), r)
+  *
+  * Scope guards (anything out of scope stays VERBATIM so Spark rejects
+  * it loudly rather than mis-executing):
+  *
+  *  - string_to_array's separator must be a non-empty string LITERAL —
+  *    Postgres splits on the literal separator while Spark's split
+  *    takes a REGEX, so the content is unescaped, regex metachars are
+  *    backslash-escaped, and the result re-emitted as a literal (the
+  *    double backslash survives Spark's string-literal escape
+  *    processing). A NULL/empty/expression separator has no faithful
+  *    one-call Spark spelling.
+  *  - array_length's dimension must be the literal 1 (Postgres arrays
+  *    are multi-dimensional; Spark arrays aren't).
+  *  - regexp_replace WITHOUT flags is already valid Spark and is left
+  *    untouched — but note the semantic divergence: Postgres replaces
+  *    the FIRST match when no flag is given, Spark replaces ALL.
+  *    There is no Spark spelling of replace-first, so the facade
+  *    cannot fix it silently; the 4-arg 'g' form (what dbplyr's
+  *    str_replace_all actually emits) is the one that round-trips.
+  *    An 'i'-only flag (replace FIRST, case-insensitively) is
+  *    rejected for the same reason; other flags ('n', 'x') too.
+  *
+  * All scanning is quote- and comment-aware via PgSelect's shared
+  * helpers; the rewrite is the identity on text without the trigger
+  * names (asserted over the whole oracle corpus in
+  * PgRewriteStabilitySpec).
+  */
+object PgFunctions {
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    val s = sql
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if c.isLetter =>
+          val hit = triggers.find { case (name, _) => wordAt(s, i, name) }
+          hit.flatMap { case (name, fn) =>
+            callArgs(s, i + name.length).flatMap { case (args, end) =>
+              fn(args.map(a => rewrite(a))).map(text => (text, end))
+            }
+          } match {
+            case Some((text, end)) => out.append(text); i = end
+            case None =>
+              // consume the whole word so a trigger name can't re-match
+              // mid-identifier
+              var e = i
+              while (e < s.length && (s(e).isLetterOrDigit || s(e) == '_')) e += 1
+              out.append(s.substring(i, e)); i = e
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Balanced argument list after optional whitespace: Some((args,
+    * indexPastCloseParen)) or None when no parenthesized list follows.
+    */
+  private def callArgs(s: String, from: Int): Option[(Seq[String], Int)] = {
+    val j = skipWs(s, from)
+    if (j >= s.length || s(j) != '(') return None
+    var depth = 0
+    var k = j
+    var close = -1
+    while (k < s.length && close < 0) {
+      s(k) match {
+        case '\'' | '"' | '`' => k = skipQuoted(s, k)
+        case _ if atComment(s, k) => k = skipComment(s, k)
+        case '(' => depth += 1; k += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) close = k
+          k += 1
+        case _ => k += 1
+      }
+    }
+    if (close < 0) None else Some((splitTop(s.substring(j + 1, close)), close + 1))
+  }
+
+  /** The content of a single-quoted SQL string literal ('' unescaped),
+    * or None when the text isn't exactly one literal.
+    */
+  private def literalContent(arg: String): Option[String] = {
+    val t = arg.trim
+    if (t.length < 2 || t.head != '\'' || t.last != '\'') return None
+    // must be ONE literal: skipQuoted from 0 has to consume everything
+    if (skipQuoted(t, 0) != t.length) return None
+    Some(t.substring(1, t.length - 1).replace("''", "'"))
+  }
+
+  private val regexMeta = "\\^$.|?*+()[]{}".toSet
+
+  /** Re-emit `content` as a Spark single-quoted literal whose PARSED
+    * value is the regex-escaped content: metachars get a backslash
+    * (doubled in the literal — Spark's non-ANSI string parser eats one),
+    * quotes re-double, literal backslashes escape.
+    */
+  private def regexQuotedLiteral(content: String): String = {
+    val b = new StringBuilder("'")
+    content.foreach {
+      case '\'' => b.append("''")
+      case '\\' => b.append("\\\\\\\\") // regex-escape THE backslash too
+      case c if regexMeta(c) => b.append("\\\\").append(c)
+      case c => b.append(c)
+    }
+    b.append("'").toString
+  }
+
+  /** name → (rewrittenArgs → loweredText), None = out of scope. */
+  private val triggers: Seq[(String, Seq[String] => Option[String])] = Seq(
+    "strpos" -> { args =>
+      if (args.size == 2) Some(s"instr(${args(0)}, ${args(1)})") else None
+    },
+    "starts_with" -> { args =>
+      if (args.size == 2) Some(s"startswith(${args(0)}, ${args(1)})") else None
+    },
+    "array_to_string" -> { args =>
+      if (args.size == 2 || args.size == 3)
+        Some(s"array_join(${args.mkString(", ")})")
+      else None
+    },
+    "array_length" -> { args =>
+      if (args.size == 2 && args(1).trim == "1")
+        Some(s"nullif(size(${args(0)}), 0)")
+      else None
+    },
+    "string_to_array" -> { args =>
+      if (args.size != 2) None
+      else literalContent(args(1)).filter(_.nonEmpty).map { sep =>
+        s"split(${args(0)}, ${regexQuotedLiteral(sep)})"
+      }
+    },
+    "regexp_replace" -> { args =>
+      if (args.size != 4) None // 2/3-arg forms are valid Spark already
+      else literalContent(args(3)).flatMap {
+        case "g" =>
+          Some(s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})")
+        case "gi" | "ig" =>
+          Some(s"regexp_replace(${args(0)}, concat('(?i)', ${args(1)}), ${args(2)})")
+        case _ => None // 'i' alone = replace FIRST — inexpressible
+      }
+    })
+}

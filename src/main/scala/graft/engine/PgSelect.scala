@@ -40,6 +40,11 @@ package graft.engine
   *     regexp_like with an inline (?i) flag for the `*` forms (see
   *     rewriteRegexMatch).
   *
+  *  6. Postgres function SPELLINGS with exact Spark equivalents
+  *     (strpos, starts_with, array_to_string, array_length,
+  *     string_to_array, regexp_replace's 4-arg flag form) — renamed by
+  *     [[PgFunctions]], chained last.
+  *
   * Scope notes:
   *
   *  - `DISTINCT ON (k) *` (the exact text dbplyr emits for
@@ -82,8 +87,8 @@ object PgSelect {
     * Spark rejects DISTINCT ON loudly).
     */
   def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
-    rewriteRegexMatch(rewriteOrderedArrayAgg(rewriteOrderedStringAgg(
-      rewriteEpoch(rewriteDistinctOn(sql, schemaOf)))))
+    PgFunctions.rewrite(rewriteRegexMatch(rewriteOrderedArrayAgg(
+      rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql, schemaOf))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware scanning helpers
@@ -126,12 +131,12 @@ object PgSelect {
       j
     } else i
 
-  private def atComment(s: String, i: Int): Boolean =
+  private[engine] def atComment(s: String, i: Int): Boolean =
     i + 1 < s.length &&
       ((s(i) == '-' && s(i + 1) == '-') || (s(i) == '/' && s(i + 1) == '*'))
 
   /** Skip whitespace AND comments. */
-  private def skipWs(s: String, i0: Int): Int = {
+  private[engine] def skipWs(s: String, i0: Int): Int = {
     var i = i0
     var moved = true
     while (moved) {
@@ -168,7 +173,7 @@ object PgSelect {
   /** Does the keyword (letters only, any case) start at position i as
     * a whole word?
     */
-  private def wordAt(s: String, i: Int, w: String): Boolean =
+  private[engine] def wordAt(s: String, i: Int, w: String): Boolean =
     i + w.length <= s.length &&
       s.regionMatches(true, i, w, 0, w.length) &&
       (i == 0 || !isWordChar(s(i - 1))) &&
@@ -179,7 +184,7 @@ object PgSelect {
     * captured item never carries an open line comment into rebuilt
     * query text.
     */
-  private def splitTop(s: String): Seq[String] = {
+  private[engine] def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0

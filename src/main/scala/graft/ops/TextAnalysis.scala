@@ -329,6 +329,55 @@ object TextAnalysis {
           .as("avg_neg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (tx19) — the smoothing
+    * real LM-quality filters use (CCNet's KenLM is modified KN;
+    * Kneser & Ney 1995, Chen & Goodman 1998):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+    *            + (d · N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(·,·)
+    *
+    * with absolute discount d and the continuation distribution in the
+    * back-off term — "how many contexts does w2 follow" rather than
+    * raw frequency, the correction that stops high-count-but-
+    * single-context words (the "San Francisco" effect) from inflating
+    * back-off mass. Against tx12's add-alpha this scores function
+    * words properly and is the published baseline for perplexity
+    * filtering.
+    *
+    * Scale shape mirrors tx12: the (w1, w2) count frame yields ALL
+    * FOUR statistics in two keyed aggregates (c1 and N1+(w1,·) fold
+    * into ONE groupBy over c12; N1+(·,w2) is the other), one driver
+    * long for N1+(·,·), then the per-doc join + aggregate. Every
+    * observed bigram has c12 ≥ 1 > d, so P > 0 without smoothing
+    * epsilons.
+    */
+  def knBigramLogppl(df: DataFrame, text: Column = col("text"),
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount out of (0,1): $discount")
+    val ts = df.select(col("doc_id"), split(text, " ").as("__ts"))
+    val bg = ts.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // left-context totals AND distinct-follower counts in one pass
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val nb = c12.count() // N1+(·,·): one driver long, tx12's V pattern
+    bg.join(c12, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          greatest(col("c12") - discount, lit(0.0)) / col("c1") +
+            (col("n1f") * discount / col("c1")) *
+              (col("n1c") / lit(nb.toDouble)))), 4).as("kn_neg_logp"))
+  }
+
   /** Top pointwise-mutual-information collocations (tx15): bigrams
     * whose joint count beats the independence expectation —
     * PMI = ln(c12·T / (c1·c2)), with c1/c2 the positional unigram

@@ -945,6 +945,108 @@ object CurationOps {
              SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
                round(min(score), 4) AS min_score,
                round(max(score), 4) AS max_score
-             FROM bu GROUP BY 1, 2 ORDER BY 1, 2"""))
+             FROM bu GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pp08: LM-quality DISTILLATION — train a scan-speed logistic
+    // classifier (lr02's GD) to predict pp07's expensive per-language
+    // LM head tier from three cheap per-doc features (mean word
+    // length, stopword hits, distinct-word ratio). This is the
+    // production pattern behind fasttext-style quality classifiers:
+    // run the LM once to label a sample, then filter the next 100 TB
+    // at scan speed with the distilled model. Features reuse tx13's
+    // proven Gopher statistics; the label is pp07's exact tercile.
+    // Oracle = the pp07 chain + tx13's feature fragment + lr02's
+    // unrolled 5-step GD replay.
+    NamedQuery("pp08_quality_distill",
+      (s, d) => {
+        val ds = docs(s, d)
+        val scored = Curation.perplexityBuckets(ds)
+          .select(col("doc_id"), col("bucket"))
+        val g = graft.ops.QualityRules.gopherQuality(ds)
+          .select(col("doc_id"), col("n_words"), col("len_nospace"),
+            col("stop_hits"))
+        val words = split(trim(col("text")), "\\s+")
+        val dist = ds.select(col("doc_id"),
+          (size(array_distinct(words)).cast("double") /
+            size(words)).as("dist"))
+        val f = g.join(dist, "doc_id").join(scored, "doc_id")
+        graft.ops.Stats.logisticGD(f,
+          (col("bucket") === "head").cast("double"),
+          Seq(
+            "mwl" -> (col("len_nospace").cast("double") /
+              col("n_words") / 10.0),
+            "stopr" -> (col("stop_hits").cast("double") / 8.0),
+            "dist" -> col("dist")),
+          steps = 5, learningRate = 1.0)
+          .orderBy("param")
+      },
+      Some {
+        val steps = (1 to 5).map { k =>
+          s"""p$k AS (SELECT y, x1, x2, x3,
+                 1.0/(1.0 + exp(-(w.a + w.b*x1 + w.c*x2 + w.dd*x3))) AS s
+               FROM data CROSS JOIN w${k - 1} w),
+             g$k AS (SELECT avg(s - y) AS g0, avg((s - y)*x1) AS g1,
+                 avg((s - y)*x2) AS g2, avg((s - y)*x3) AS g3 FROM p$k),
+             w$k AS (SELECT w.a - 1.0*g.g0 AS a, w.b - 1.0*g.g1 AS b,
+                 w.c - 1.0*g.g2 AS c, w.dd - 1.0*g.g3 AS dd
+               FROM w${k - 1} w CROSS JOIN g$k g)"""
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                FROM documents),
+              w AS (SELECT doc_id, lang, generate_subscripts(ts, 1) AS pos,
+                      unnest(ts) AS tok FROM t),
+              bg AS (SELECT a.doc_id, a.lang, a.tok AS w1, b.tok AS w2
+                     FROM w a JOIN w b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              c12 AS (SELECT lang, w1, w2, count(*) AS c12
+                      FROM bg GROUP BY 1, 2, 3),
+              c1 AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+              v AS (SELECT lang, count(DISTINCT tok) AS vs
+                    FROM w GROUP BY 1),
+              sc AS (SELECT doc_id, lang,
+                       round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * vs))), 4)
+                         AS score
+                     FROM bg JOIN c12 USING (lang, w1, w2)
+                             JOIN c1 USING (lang, w1)
+                             JOIN v USING (lang)
+                     GROUP BY 1, 2),
+              vc AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+              cum AS (SELECT lang, score, sum(c) OVER (
+                        PARTITION BY lang ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum FROM vc),
+              n AS (SELECT lang, count(*) AS n FROM sc GROUP BY 1),
+              b AS (SELECT lang,
+                      min(CASE WHEN cum * 3 >= n THEN score END) AS t1
+                    FROM cum JOIN n USING (lang) GROUP BY 1),
+              lbl AS (SELECT sc.doc_id,
+                        CASE WHEN score <= t1 THEN 1.0 ELSE 0.0 END AS y
+                      FROM sc JOIN b USING (lang)),
+              wrd AS (SELECT doc_id, text,
+                        string_split_regex(trim(text), '\\s+') AS words
+                      FROM documents),
+              feat AS (SELECT doc_id,
+                 CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / len(words) / 10.0 AS x1,
+                 (CAST(list_contains(words, 'the') AS BIGINT)
+                  + CAST(list_contains(words, 'be') AS BIGINT)
+                  + CAST(list_contains(words, 'to') AS BIGINT)
+                  + CAST(list_contains(words, 'of') AS BIGINT)
+                  + CAST(list_contains(words, 'and') AS BIGINT)
+                  + CAST(list_contains(words, 'that') AS BIGINT)
+                  + CAST(list_contains(words, 'have') AS BIGINT)
+                  + CAST(list_contains(words, 'with') AS BIGINT)) / 8.0 AS x2,
+                 CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS x3
+               FROM wrd),
+              data AS (SELECT y, x1, x2, x3
+                       FROM lbl JOIN feat USING (doc_id)),
+              w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS dd),
+              $steps
+             SELECT 'w0' AS param, round(a, 6) + 0.0 AS weight FROM w5
+             UNION ALL SELECT 'w_mwl', round(b, 6) + 0.0 FROM w5
+             UNION ALL SELECT 'w_stopr', round(c, 6) + 0.0 FROM w5
+             UNION ALL SELECT 'w_dist', round(dd, 6) + 0.0 FROM w5
+             ORDER BY param"""
+      })
   )
 }

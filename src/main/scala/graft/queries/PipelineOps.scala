@@ -543,6 +543,34 @@ object PipelineOps {
              FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // tx19: interpolated Kneser–Ney bigram perplexity — the smoothing
+    // the published perplexity filters actually use (CCNet's KenLM is
+    // modified KN). The back-off weights by CONTEXT DIVERSITY
+    // (N1+(·,w2)/N1+(·,·)), not raw frequency — the "San Francisco"
+    // correction tx12's add-alpha lacks. All four statistics come off
+    // the one (w1,w2) count frame (see TextAnalysis.knBigramLogppl).
+    NamedQuery("tx19_kn_bigram_ppl",
+      (s, d) => graft.ops.TextAnalysis.knBigramLogppl(docs(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+              w AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                      unnest(ts) AS tok FROM t),
+              bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                     FROM w a JOIN w b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+              c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+              lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        count(*) AS n1f FROM c12 GROUP BY 1),
+              cont AS (SELECT w2, count(*) AS n1c FROM c12 GROUP BY 1),
+              nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM c12)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(greatest(c12 - 0.75, 0.0) / c1
+                 + (n1f * 0.75 / c1) * (n1c / nb))), 4) AS kn_neg_logp
+             FROM bg JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+                     JOIN cont USING (w2), nb
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // chained debounce per (user, event_type): a burst is a session
     // and only its first event survives — retry/duplicate-click
     // suppression with the clock resetting on every kept event

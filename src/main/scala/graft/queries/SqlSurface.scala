@@ -555,6 +555,36 @@ object SqlSurface {
              WHERE regexp_matches(text, '[A-Za-z]')
              GROUP BY lang ORDER BY lang""")),
 
+    // Q60: Postgres function SPELLINGS — strpos / starts_with /
+    // string_to_array / array_length / array_to_string / the 4-arg
+    // regexp_replace flag form, i.e. what dbplyr's stringr verbs and
+    // SQLAlchemy actually generate. The facade renames them to their
+    // exact Spark equivalents (PgFunctions; string_to_array's literal
+    // separator is regex-escaped for Spark's regex split, PG's
+    // empty-array→NULL array_length via nullif(size)). DuckDB runs the
+    // SAME text natively — the oracle IS the un-rewritten query.
+    NamedQuery("q60_pg_function_spellings",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT doc_id,
+                    CAST(strpos(text, 'data') AS BIGINT) AS p_data,
+                    starts_with(text, 'the') AS is_the,
+                    CAST(array_length(string_to_array(text, ' '), 1) AS BIGINT) AS n_words,
+                    array_to_string(string_to_array(substr(text, 1, 20), ' '), '|') AS head_words,
+                    regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the
+             FROM documents ORDER BY doc_id LIMIT 800"""))
+      },
+      Some("""SELECT doc_id,
+                    CAST(strpos(text, 'data') AS BIGINT) AS p_data,
+                    starts_with(text, 'the') AS is_the,
+                    CAST(array_length(string_to_array(text, ' '), 1) AS BIGINT) AS n_words,
+                    array_to_string(string_to_array(substr(text, 1, 20), ' '), '|') AS head_words,
+                    regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the
+             FROM documents ORDER BY doc_id LIMIT 800""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

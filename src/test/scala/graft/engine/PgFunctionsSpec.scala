@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Postgres function-spelling renames behind the /sql facade
+  * (PgFunctions): exact-equivalent renames fire, everything out of
+  * scope stays verbatim (loud reject over silent misexecution).
+  */
+class PgFunctionsSpec extends AnyFunSuite {
+
+  test("simple renames: strpos, starts_with, array_to_string") {
+    assert(PgFunctions.rewrite("SELECT strpos(t, 'x') FROM d") ==
+      "SELECT instr(t, 'x') FROM d")
+    assert(PgFunctions.rewrite("SELECT starts_with(t, 'a') FROM d") ==
+      "SELECT startswith(t, 'a') FROM d")
+    assert(PgFunctions.rewrite("SELECT array_to_string(a, ',') FROM d") ==
+      "SELECT array_join(a, ',') FROM d")
+    assert(PgFunctions.rewrite("SELECT array_to_string(a, ',', '-') FROM d") ==
+      "SELECT array_join(a, ',', '-') FROM d")
+  }
+
+  test("array_length dim 1 becomes nullif(size); other dims stay") {
+    assert(PgFunctions.rewrite("SELECT array_length(a, 1) FROM d") ==
+      "SELECT nullif(size(a), 0) FROM d")
+    val dim2 = "SELECT array_length(a, 2) FROM d"
+    assert(PgFunctions.rewrite(dim2) == dim2)
+    val expr = "SELECT array_length(a, n) FROM d"
+    assert(PgFunctions.rewrite(expr) == expr)
+  }
+
+  test("string_to_array regex-escapes literal separators") {
+    assert(PgFunctions.rewrite("SELECT string_to_array(t, ' ') FROM d") ==
+      "SELECT split(t, ' ') FROM d")
+    // '.' is a regex metachar: the emitted literal carries \\. which
+    // Spark's string parser collapses to \. — a literal-dot regex
+    assert(PgFunctions.rewrite("SELECT string_to_array(t, '.') FROM d") ==
+      "SELECT split(t, '\\\\.') FROM d")
+    assert(PgFunctions.rewrite("SELECT string_to_array(t, '||') FROM d") ==
+      "SELECT split(t, '\\\\|\\\\|') FROM d")
+    // quote inside the separator survives as a doubled quote
+    assert(PgFunctions.rewrite("SELECT string_to_array(t, '''') FROM d") ==
+      "SELECT split(t, '''') FROM d")
+    // non-literal or empty separators have no faithful Spark spelling
+    for (bad <- Seq("SELECT string_to_array(t, sep) FROM d",
+      "SELECT string_to_array(t, '') FROM d",
+      "SELECT string_to_array(t) FROM d"))
+      assert(PgFunctions.rewrite(bad) == bad, bad)
+  }
+
+  test("regexp_replace: 'g' drops (Spark is global), 'gi' inlines (?i)") {
+    assert(PgFunctions.rewrite(
+      "SELECT regexp_replace(t, 'a+', 'b', 'g') FROM d") ==
+      "SELECT regexp_replace(t, 'a+', 'b') FROM d")
+    assert(PgFunctions.rewrite(
+      "SELECT regexp_replace(t, 'a+', 'b', 'gi') FROM d") ==
+      "SELECT regexp_replace(t, concat('(?i)', 'a+'), 'b') FROM d")
+    // replace-FIRST forms are inexpressible in Spark: leave verbatim
+    for (bad <- Seq("SELECT regexp_replace(t, 'a', 'b', 'i') FROM d",
+      "SELECT regexp_replace(t, 'a', 'b', 'n') FROM d",
+      "SELECT regexp_replace(t, 'a', 'b', f) FROM d"))
+      assert(PgFunctions.rewrite(bad) == bad, bad)
+    // the 3-arg form is valid Spark already (PG replace-first
+    // divergence documented in the object scaladoc)
+    val three = "SELECT regexp_replace(t, 'a', 'b') FROM d"
+    assert(PgFunctions.rewrite(three) == three)
+  }
+
+  test("nested triggers rewrite inside rewritten args") {
+    assert(PgFunctions.rewrite(
+      "SELECT array_to_string(string_to_array(t, ' '), '|') FROM d") ==
+      "SELECT array_join(split(t, ' '), '|') FROM d")
+    assert(PgFunctions.rewrite(
+      "SELECT array_length(string_to_array(t, ' '), 1) FROM d") ==
+      "SELECT nullif(size(split(t, ' ')), 0) FROM d")
+  }
+
+  test("triggers inside literals/comments/identifiers stay verbatim") {
+    for (s <- Seq(
+      "SELECT 'strpos(a, b)' FROM d",
+      "SELECT my_strpos(a, b) FROM d",
+      "SELECT strpos_x(a, b) FROM d",
+      "SELECT a -- strpos(a, b)\nFROM d",
+      "SELECT strpos FROM d")) // bare identifier, no call
+      assert(PgFunctions.rewrite(s) == s, s)
+  }
+
+  test("rides the PgSelect.rewrite chain") {
+    val r = PgSelect.rewrite(
+      "SELECT strpos(t, 'x') AS p FROM d WHERE t ~ 'y'")
+    assert(r == "SELECT instr(t, 'x') AS p FROM d WHERE regexp_like(t , 'y')")
+  }
+}

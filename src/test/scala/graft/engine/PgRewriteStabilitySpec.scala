@@ -46,6 +46,14 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
       assert(PgSelect.rewriteRegexMatch(sql) == sql, s"mangled $name")
   }
 
+  test("PgFunctions is the identity off its trigger names") {
+    val names = Seq("strpos", "starts_with", "array_to_string",
+      "array_length", "string_to_array", "regexp_replace")
+    for ((name, sql) <- oracles
+         if !names.exists(sql.toLowerCase.contains))
+      assert(PgFunctions.rewrite(sql) == sql, s"mangled $name")
+  }
+
   test("PgJson is the identity on arrow-free texts and DuckDB lambdas") {
     for ((name, sql) <- oracles if !sql.contains("->"))
       assert(PgJson.rewrite(sql) == sql, s"mangled $name")

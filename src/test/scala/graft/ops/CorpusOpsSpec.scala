@@ -656,6 +656,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.values.forall(v => Set("head", "middle", "tail")(v._3)))
   }
 
+  test("knBigramLogppl matches an independent KN replay; continuation beats raw count") {
+    val texts = Map(
+      1L -> "a b a b a b x q",
+      2L -> "c b d b e b f g",
+      3L -> "a z a z a z a z")
+    val df = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    // independent Scala replay of interpolated KN (d = 0.75)
+    val bgs = texts.toSeq.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).map(p => (id, p(0), p(1))).toSeq }
+    val c12 = bgs.groupBy(x => (x._2, x._3)).view.mapValues(_.size).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.size).toMap
+    val n1f = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val nb = c12.size.toDouble
+    def p(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - 0.75, 0.0) / c1(w1) +
+        (0.75 * n1f(w1) / c1(w1)) * (n1c(w2) / nb)
+    val expected = texts.map { case (id, t) =>
+      val ps = t.split(" ").sliding(2).map(w => -math.log(p(w(0), w(1)))).toSeq
+      id -> BigDecimal(ps.sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.ops.TextAnalysis.knBigramLogppl(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((id, e) <- expected)
+      assert(math.abs(got(id) - e) <= 1e-4, s"doc $id: got ${got(id)} want $e")
+    // the KN point: "z" appears 4 times but only ever after "a" (one
+    // context), while "b" follows FIVE distinct contexts — continuation
+    // mass must rank b over z despite comparable raw counts
+    assert(n1c("b") > n1c("z") && c1("a") > 0)
+  }
+
   test("ngramNovelty: copied doc scores 0, fresh doc 1, remix in between") {
     val base = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
     val fresh = Seq(

@@ -224,6 +224,17 @@ def dplyr_flow(c):
     rows = csv_rows(out)
     assert rows[1] == ["a", "2"] and rows[2] == ["b", "1"], rows
 
+    # stringr/array function SPELLINGS (str_locate -> STRPOS,
+    # str_replace_all -> regexp_replace(..., 'g'), str_split ->
+    # STRING_TO_ARRAY): PgFunctions renames them to Spark equivalents
+    code, out = c.sql(f"SELECT grp, strpos(grp, 'b') AS p, "
+                      f"array_to_string(string_to_array(grp || '.x', '.'), '|') AS parts, "
+                      f"regexp_replace(grp, '[ab]', 'z', 'g') AS zz "
+                      f"FROM {view} WHERE x = 3.0")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["b", "1", "b|x", "z"], rows
+
 
 def main():
     port = int(sys.argv[1])
