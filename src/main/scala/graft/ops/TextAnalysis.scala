@@ -361,7 +361,13 @@ object TextAnalysis {
           slice(col("__ts"), lit(2), size(col("__ts")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // persisted: c12 feeds FOUR consumers (left totals, continuation
+    // counts, the N1+(·,·) count action, and the per-doc join) — the
+    // count() action populates the cache so the aggregates read
+    // blocks. Result depends on the cache (basketLift's class); the
+    // bench/verify block hygiene reclaims it between queries.
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // left-context totals AND distinct-follower counts in one pass
     val left = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))

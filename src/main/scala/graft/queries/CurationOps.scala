@@ -947,6 +947,43 @@ object CurationOps {
                round(max(score), 4) AS max_score
              FROM bu GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // fm01: FIM (fill-in-the-middle) training transform — the PSM
+    // re-ordering <PRE>prefix<SUF>suffix<MID>middle at a deterministic
+    // 50% rate (Bavarian et al. 2022). Selection draw and both cut
+    // points are md5 streams on the doc id (the curation determinism
+    // rule), so the oracle reproduces every byte; pass-through docs
+    // come out verbatim. Scan-speed: one projection, no shuffle.
+    NamedQuery("fm01_fim_split",
+      (s, d) => Curation.fimSplit(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS len,
+                 (CAST('0x' || substr(md5('fim#sel#' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) + 1) / 4294967296.0 AS us,
+                 (CAST('0x' || substr(md5('fim#a#' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) + 1) / 4294967296.0 AS ua,
+                 (CAST('0x' || substr(md5('fim#b#' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) + 1) / 4294967296.0 AS ub
+               FROM documents),
+              c AS (SELECT doc_id, text, len, us <= 0.5 AS selected,
+                 least(len, CAST(floor(ua * (len + 1)) AS BIGINT)) AS c1,
+                 least(len, CAST(floor(ub * (len + 1)) AS BIGINT)) AS c2
+               FROM u),
+              s AS (SELECT doc_id, text, len, selected,
+                 least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+             SELECT doc_id, selected,
+               CASE WHEN selected THEN lo ELSE 0 END AS lo,
+               CASE WHEN selected THEN hi ELSE 0 END AS hi,
+               len AS n_chars,
+               CASE WHEN selected THEN
+                 '<PRE>' || substr(text, 1, CAST(lo AS INT)) ||
+                 '<SUF>' ||
+                 substr(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT)) ||
+                 '<MID>' ||
+                 substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+               ELSE text END AS psm
+             FROM s ORDER BY doc_id""")),
+
     // pp08: LM-quality DISTILLATION — train a scan-speed logistic
     // classifier (lr02's GD) to predict pp07's expensive per-language
     // LM head tier from three cheap per-doc features (mean word

@@ -935,4 +935,24 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin"),
       s"the 10-bin grid must broadcast: ${p.take(600)}")
   }
+
+  test("pp07: LM counts map-side combine; tercile bounds broadcast; window rides the value frame") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Curation.perplexityBuckets(
+        Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    // the per-lang bigram LM fit must partial-aggregate (the corpus-
+    // sized shuffle carries combined counts, not raw bigrams)
+    assert(p.contains("partial_count"), "LM counts must map-side combine")
+    // the lang-cardinality boundary frame joins back by broadcast —
+    // the corpus never shuffles for the bucket CASE
+    assert(p.contains("BroadcastExchange"),
+      s"tercile bounds must broadcast: ${p.take(600)}")
+    // the only window is the running count over the distinct
+    // (lang, score) VALUE frame — partitioned by lang, never a
+    // whole-corpus global sort
+    assert(windowsPartitionedBy(p, "lang"),
+      s"the boundary window must partition by lang: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

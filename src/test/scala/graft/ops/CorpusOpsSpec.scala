@@ -656,6 +656,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.values.forall(v => Set("head", "middle", "tail")(v._3)))
   }
 
+  test("fimSplit: PSM reassembles the original; pass-through verbatim; draws deterministic") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i body with some middle text ${"x" * (i % 7).toInt}"))
+      .toDF("doc_id", "text")
+    val out = Curation.fimSplit(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    val texts = (1L to 200L).map(i =>
+      i -> s"doc $i body with some middle text ${"x" * (i % 7).toInt}").toMap
+    var nSel = 0
+    for ((id, (sel, lo, hi, n, psm)) <- out) {
+      assert(n == texts(id).length)
+      if (!sel) assert(psm == texts(id), s"pass-through $id must be verbatim")
+      else {
+        nSel += 1
+        assert(0 <= lo && lo <= hi && hi <= n, s"cuts out of range for $id")
+        // <PRE>prefix<SUF>suffix<MID>middle — reassemble as p+m+s
+        val body = psm.stripPrefix("<PRE>")
+        val Array(p, rest) = body.split("<SUF>", 2)
+        val Array(sfx, m) = rest.split("<MID>", 2)
+        assert(p + m + sfx == texts(id), s"doc $id does not reassemble")
+        assert(p.length == lo && m.length == hi - lo, s"cut lengths drifted for $id")
+      }
+    }
+    // md5 selection at rate 0.5 over 200 ids lands well inside (0.3, 0.7)
+    assert(nSel > 60 && nSel < 140, s"selection rate off: $nSel/200")
+    // byte-identical on a second run (no RNG anywhere)
+    val again = Curation.fimSplit(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert((1L to 200L).forall(i => again(i) == out(i)._5))
+  }
+
   test("knBigramLogppl matches an independent KN replay; continuation beats raw count") {
     val texts = Map(
       1L -> "a b a b a b x q",
