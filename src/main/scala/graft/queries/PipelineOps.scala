@@ -2053,6 +2053,46 @@ object PipelineOps {
       Some(semanticClustersOracle(dim = 64, threshold = 0.3,
         nBits = 4, tables = 2))),
 
+    // pp09: IN-CONTEXT packing (Shi et al. 2024, "In-Context
+    // Pretraining") — semantically related documents pack into the
+    // SAME training sequence instead of random neighbors: sd02's
+    // cosine-LSH connected components define the clusters (singletons
+    // keep their own id), then pk01's running-offset packer runs
+    // PER CLUSTER (shard = cluster), so the window sort is bounded by
+    // the largest cluster, never the corpus. Oracle = the sd02 CC
+    // chain + pk01's pack replay, composed. nBits is PINNED to the
+    // oracle's 4 (sd02's own gate lets bitsFor scale with the corpus,
+    // so ITS oracle is sf0.01-exact; pinning here keeps pp09's replay
+    // exact at every sf).
+    NamedQuery("pp09_incontext_packing",
+      (s, d) => {
+        val clusters = Dedup.connectedComponents(
+          Similarity.cosineDups(embs(s, d), dim = 64, threshold = 0.3,
+              nBits = 4)
+            .select(col("id_a"), col("id_b")))
+        val dd = docs(s, d)
+          .join(clusters, col("doc_id") === col("node"), "left")
+        graft.ops.Curation.packSequences(dd,
+            coalesce(col("cluster_id"), col("doc_id")), window = 256)
+          .withColumnRenamed("shard", "cluster")
+          .orderBy("doc_id")
+      },
+      Some(s"""${semanticClustersCte(dim = 64, threshold = 0.3,
+            nBits = 4, tables = 2)},
+          td AS (SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents LEFT JOIN cc ON cc.node = doc_id),
+          cp AS (SELECT doc_id, cluster, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY cluster ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS start_tok
+                FROM td)
+         SELECT doc_id, cluster, n_tokens,
+           CAST(start_tok // 256 AS BIGINT) AS pack_id,
+           CAST(start_tok % 256 AS BIGINT) AS offset_in_pack
+         FROM cp ORDER BY doc_id""")),
+
     // kNN label-agreement (mislabeled-sample detection) for the first
     // 100 vectors: fraction of the 5 nearest cosine neighbors sharing
     // the query's label; ranking replays sim01's rounded-sim ordering.
@@ -3581,8 +3621,12 @@ object PipelineOps {
     * CTEs feed dd06's recursive min-label closure. The WITH becomes
     * WITH RECURSIVE (legal even though only `reach` recurses).
     */
-  private def semanticClustersOracle(dim: Int, threshold: Double,
-                                     nBits: Int, tables: Int): String =
+  /** The cluster computation as a reusable CTE chain ending in
+    * `cc(node, cluster_id)` — sd02's oracle body, also composed by
+    * pp09's packing replay.
+    */
+  private def semanticClustersCte(dim: Int, threshold: Double,
+                                  nBits: Int, tables: Int): String =
     s"""${bucketsCte(dim, nBits, tables).replaceFirst("WITH ", "WITH RECURSIVE ")},
        pairs AS (SELECT DISTINCT id_a, id_b FROM (
            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -3598,9 +3642,13 @@ object PipelineOps {
        reach(node, lab) AS (
          SELECT a, a FROM edges
          UNION
-         SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
-       SELECT node, min(lab) AS cluster_id FROM reach
-       GROUP BY node ORDER BY node"""
+         SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+       cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)"""
+
+  private def semanticClustersOracle(dim: Int, threshold: Double,
+                                     nBits: Int, tables: Int): String =
+    s"""${semanticClustersCte(dim, threshold, nBits, tables)}
+       SELECT node, cluster_id FROM cc ORDER BY node"""
 
   /** DuckDB oracle for cosineDups: bucket-equi pairs per hash table,
     * DISTINCT across tables (the rounded cosine is deterministic).
