@@ -53,8 +53,13 @@ object Bench {
         // mm06 likewise: embedded-fixture perceptual-contract verdict
         || q._1 == "mm06_image_dhash"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
-        // rounds), not a query — its wall time measures the loop
+        // rounds), not a query — its wall time measures the loop.
+        // tk05's GATE re-runs that same bpeTrain loop before its
+        // one-scan fertility aggregate (the loop is ~95% of its 7.7 s
+        // sf0.1 wall) — same category; the fertility op itself is
+        // probed flat in ScaleCheck r15 (0.6 s → 0.3 s at ×4)
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
+        || q._1 == "tk05_bpe_fertility"
         // pr01 is the same shape: ten sequential checkpointed rounds
         // whose wall measures the loop, not a query (edge join + agg
         // per round); its scale behavior is probed in ScaleCheck r9
