@@ -45,6 +45,13 @@ package graft.engine
   *     string_to_array, regexp_replace's 4-arg flag form) — renamed by
   *     [[PgFunctions]], chained last.
   *
+  *  7. Day-of-week fields and `date_part`: Spark ACCEPTS
+  *     `EXTRACT(DOW ...)` but numbers Sunday = 1 where Postgres says
+  *     0 — a silent off-by-one in every dbplyr `wday()` translation;
+  *     rewritten to `(dayofweek(x) - 1)`, ISODOW to
+  *     `(weekday(x) + 1)`, and `date_part('epoch'/'dow'/'isodow', x)`
+  *     to the same lowerings (see rewriteDateFields).
+  *
   * Scope notes:
   *
   *  - `DISTINCT ON (k) *` (the exact text dbplyr emits for
@@ -88,7 +95,8 @@ object PgSelect {
     */
   def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
     PgFunctions.rewrite(rewriteRegexMatch(rewriteOrderedArrayAgg(
-      rewriteOrderedStringAgg(rewriteEpoch(rewriteDistinctOn(sql, schemaOf))))))
+      rewriteOrderedStringAgg(rewriteDateFields(rewriteEpoch(
+        rewriteDistinctOn(sql, schemaOf)))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware scanning helpers
@@ -636,6 +644,117 @@ object PgSelect {
                 i = argEnd + 1
               }
             }
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------
+  // EXTRACT(DOW/ISODOW FROM x), date_part('epoch'/'dow'/'isodow', x)
+  // ---------------------------------------------------------------
+
+  /** Postgres day-of-week fields and the `date_part` function form.
+    *
+    * The dangerous one: Spark ACCEPTS `EXTRACT(DOW FROM x)` but
+    * numbers days 1–7 with Sunday = 1, while Postgres numbers 0–6
+    * with Sunday = 0 — dbplyr's `wday()` translation ships
+    * EXTRACT(DOW ...) expecting Postgres numbering, so without this
+    * rewrite every weekday is silently off by one (no error, wrong
+    * answers — the exact failure class the facade exists to prevent).
+    * Lowered to `(dayofweek(x) - 1)`. ISODOW (Monday = 1 … Sunday =
+    * 7, which Spark's EXTRACT rejects) lowers to `(weekday(x) + 1)`.
+    *
+    * `date_part('field', x)` is EXTRACT's function spelling (what
+    * SQLAlchemy emits): 'epoch' gets rewriteEpoch's unix_micros
+    * lowering, 'dow'/'isodow' the day-of-week corrections above.
+    * Every other field ('year', 'month', ...) agrees between the
+    * engines and passes through untouched.
+    */
+  def rewriteDateFields(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val s = sql
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if (c == 'e' || c == 'E') && wordAt(s, i, "EXTRACT") =>
+          // EXTRACT ( DOW|ISODOW FROM <expr> )
+          var j = skipWs(s, i + 7)
+          val parsed: Option[(Boolean, Int)] =
+            if (j < s.length && s(j) == '(') {
+              j = skipWs(s, j + 1)
+              val iso = wordAt(s, j, "ISODOW")
+              if (iso || wordAt(s, j, "DOW")) {
+                j = skipWs(s, j + (if (iso) 6 else 3))
+                if (wordAt(s, j, "FROM")) Some((iso, j + 4)) else None
+              } else None
+            } else None
+          parsed match {
+            case Some((iso, exprStart)) =>
+              var depth = 1
+              var k = exprStart
+              var exprEnd = -1
+              while (k < s.length && exprEnd < 0) {
+                s(k) match {
+                  case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                  case _ if atComment(s, k) => k = skipComment(s, k)
+                  case '(' => depth += 1; k += 1
+                  case ')' =>
+                    depth -= 1
+                    if (depth == 0) exprEnd = k
+                    k += 1
+                  case _ => k += 1
+                }
+              }
+              if (exprEnd < 0) { out.append(c); i += 1 }
+              else {
+                val expr = closeComment(rewriteDateFields(
+                  s.substring(exprStart, exprEnd).trim))
+                out.append(
+                  if (iso) s"(weekday($expr) + 1)"
+                  else s"(dayofweek($expr) - 1)")
+                i = exprEnd + 1
+              }
+            case None => out.append(c); i += 1
+          }
+        case c if (c == 'd' || c == 'D') && wordAt(s, i, "date_part") =>
+          var j = skipWs(s, i + 9)
+          if (j >= s.length || s(j) != '(') { out.append(c); i += 1 }
+          else {
+            var depth = 0
+            var k = j
+            var close = -1
+            while (k < s.length && close < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) close = k
+                  k += 1
+                case _ => k += 1
+              }
+            }
+            val args =
+              if (close < 0) Seq.empty
+              else splitTop(s.substring(j + 1, close))
+            val field = args.headOption.map(_.trim.toLowerCase).getOrElse("")
+            if (args.size == 2 &&
+              Seq("'epoch'", "'dow'", "'isodow'").contains(field)) {
+              val expr = closeComment(rewriteDateFields(args(1)))
+              out.append(field match {
+                case "'epoch'" => s"(unix_micros($expr) / 1000000.0)"
+                case "'dow'" => s"(dayofweek($expr) - 1)"
+                case _ => s"(weekday($expr) + 1)"
+              })
+              i = close + 1
+            } else { out.append(c); i += 1 }
           }
         case c => out.append(c); i += 1
       }

@@ -585,6 +585,30 @@ object SqlSurface {
                     regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the
              FROM documents ORDER BY doc_id LIMIT 800""")),
 
+    // Q61: Postgres day-of-week numbering and date_part — the silent
+    // one: Spark ACCEPTS EXTRACT(DOW ...) but numbers Sunday=1 where
+    // Postgres numbers Sunday=0, so dbplyr's wday() SQL runs without
+    // error and returns every weekday off by one. The facade lowers
+    // DOW to (dayofweek(x) - 1), ISODOW (which Spark rejects) to
+    // (weekday(x) + 1), and date_part's 'epoch'/'dow'/'isodow' fields
+    // to the same spellings (PgSelect.rewriteDateFields). DuckDB runs
+    // the SAME text natively with Postgres numbering.
+    NamedQuery("q61_pg_datetime_fields",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT event_id,
+                    CAST(EXTRACT(DOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+                    CAST(EXTRACT(ISODOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS isodow,
+                    CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+             FROM events ORDER BY event_id LIMIT 1000"""))
+      },
+      Some("""SELECT event_id,
+                    CAST(EXTRACT(DOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+                    CAST(EXTRACT(ISODOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS isodow,
+                    CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+             FROM events ORDER BY event_id LIMIT 1000""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -46,6 +46,14 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
       assert(PgSelect.rewriteRegexMatch(sql) == sql, s"mangled $name")
   }
 
+  test("rewriteDateFields is the identity off its triggers") {
+    for ((name, sql) <- oracles
+         if !sql.toLowerCase.contains("date_part") &&
+           !sql.toUpperCase.matches("(?s).*\\bDOW\\b.*") &&
+           !sql.toUpperCase.contains("ISODOW"))
+      assert(PgSelect.rewriteDateFields(sql) == sql, s"mangled $name")
+  }
+
   test("PgFunctions is the identity off its trigger names") {
     val names = Seq("strpos", "starts_with", "array_to_string",
       "array_length", "string_to_array", "regexp_replace")

@@ -336,4 +336,35 @@ class PgSelectSpec extends AnyFunSuite {
     assert(PgSelect.rewriteRegexMatch(s) ==
       "SELECT x -- don't\nFROM t WHERE regexp_like(c , 'p')")
   }
+
+  // ---- DOW / ISODOW / date_part --------------------------------------
+
+  test("EXTRACT(DOW) gets the Postgres Sunday=0 correction; ISODOW maps to weekday+1") {
+    assert(PgSelect.rewriteDateFields("SELECT EXTRACT(DOW FROM ts) FROM t") ==
+      "SELECT (dayofweek(ts) - 1) FROM t")
+    assert(PgSelect.rewriteDateFields("SELECT EXTRACT(ISODOW FROM ts) FROM t") ==
+      "SELECT (weekday(ts) + 1) FROM t")
+    // other fields agree between engines and stay native
+    for (s <- Seq("SELECT EXTRACT(YEAR FROM ts) FROM t",
+      "SELECT EXTRACT(DOY FROM ts) FROM t",
+      "SELECT 'EXTRACT(DOW FROM ts)' FROM t"))
+      assert(PgSelect.rewriteDateFields(s) == s, s)
+  }
+
+  test("date_part lowers epoch/dow/isodow, leaves agreeing fields native") {
+    assert(PgSelect.rewriteDateFields("SELECT date_part('epoch', ts) FROM t") ==
+      "SELECT (unix_micros(ts) / 1000000.0) FROM t")
+    assert(PgSelect.rewriteDateFields("SELECT date_part('dow', ts) FROM t") ==
+      "SELECT (dayofweek(ts) - 1) FROM t")
+    assert(PgSelect.rewriteDateFields("SELECT date_part('isodow', ts) FROM t") ==
+      "SELECT (weekday(ts) + 1) FROM t")
+    for (s <- Seq("SELECT date_part('year', ts) FROM t",
+      "SELECT date_part(f, ts) FROM t", // non-literal field: native error
+      "SELECT date_part('epoch') FROM t"))
+      assert(PgSelect.rewriteDateFields(s) == s, s)
+    // nested: the operand may itself carry a rewrite
+    assert(PgSelect.rewriteDateFields(
+      "SELECT date_part('epoch', EXTRACT(DOW FROM ts)) FROM t") ==
+      "SELECT (unix_micros((dayofweek(ts) - 1)) / 1000000.0) FROM t")
+  }
 }

@@ -224,6 +224,17 @@ def dplyr_flow(c):
     rows = csv_rows(out)
     assert rows[1] == ["a", "2"] and rows[2] == ["b", "1"], rows
 
+    # wday(): dbplyr emits EXTRACT(DOW FROM x) + 1 expecting Postgres's
+    # Sunday=0 — Spark's native DOW is Sunday=1, so without the facade
+    # correction this runs WITHOUT ERROR and is off by one. 2020-01-05
+    # was a Sunday: PG dow=0, isodow=7.
+    code, out = c.sql("SELECT CAST(EXTRACT(DOW FROM DATE '2020-01-05') AS INT) AS dw, "
+                      "CAST(EXTRACT(ISODOW FROM DATE '2020-01-05') AS INT) AS iso, "
+                      "CAST(date_part('dow', DATE '2020-01-06') AS INT) AS mon "
+                      f"FROM {view} LIMIT 1")
+    assert code == 200, out
+    assert csv_rows(out)[1] == ["0", "7", "1"], out
+
     # stringr/array function SPELLINGS (str_locate -> STRPOS,
     # str_replace_all -> regexp_replace(..., 'g'), str_split ->
     # STRING_TO_ARRAY): PgFunctions renames them to Spark equivalents
