@@ -19,6 +19,9 @@ import PgSelect.{skipQuoted, skipComment, atComment, skipWs, wordAt, splitTop}
   *   regexp_replace(s, p, r, flags) — the 4-arg FLAG form:
   *       'g'        → regexp_replace(s, p, r)          (Spark replaces all by default)
   *       'gi'/'ig'  → regexp_replace(s, concat('(?i)', p), r)
+  *   log(x)                    → log10(x)  (PG's 1-arg log is BASE 10;
+  *       Spark's is natural — same text, silently different numbers.
+  *       PG spells natural log `ln`, valid Spark; 2-arg log agrees.)
   *
   * Scope guards (anything out of scope stays VERBATIM so Spark rejects
   * it loudly rather than mis-executing):
@@ -165,5 +168,14 @@ object PgFunctions {
           Some(s"regexp_replace(${args(0)}, concat('(?i)', ${args(1)}), ${args(2)})")
         case _ => None // 'i' alone = replace FIRST — inexpressible
       }
+    },
+    // Postgres's ONE-argument log() is BASE 10; Spark's is the natural
+    // log — the same text runs in both and silently returns different
+    // numbers. Postgres spells natural log `ln` (valid Spark too), so
+    // at this Postgres-dialect boundary a bare log(x) always means
+    // log10. The two-argument log(b, x) agrees between engines and
+    // passes through.
+    "log" -> { args =>
+      if (args.size == 1) Some(s"log10(${args(0)})") else None
     })
 }

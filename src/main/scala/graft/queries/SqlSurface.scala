@@ -573,7 +573,8 @@ object SqlSurface {
                     CAST(array_length(string_to_array(text, ' '), 1) AS BIGINT) AS n_words,
                     array_to_string(string_to_array(substr(text, 1, 20), ' '), '|') AS head_words,
                     regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
-                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the
+                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the,
+                    round(log(n_chars), 6) AS lg10
              FROM documents ORDER BY doc_id LIMIT 800"""))
       },
       Some("""SELECT doc_id,
@@ -582,7 +583,8 @@ object SqlSurface {
                     CAST(array_length(string_to_array(text, ' '), 1) AS BIGINT) AS n_words,
                     array_to_string(string_to_array(substr(text, 1, 20), ' '), '|') AS head_words,
                     regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
-                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the
+                    regexp_replace(substr(text, 1, 20), 'THE', 'X', 'gi') AS no_the,
+                    round(log(n_chars), 6) AS lg10
              FROM documents ORDER BY doc_id LIMIT 800""")),
 
     // Q61: Postgres day-of-week numbering and date_part — the silent

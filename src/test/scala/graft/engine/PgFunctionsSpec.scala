@@ -65,6 +65,16 @@ class PgFunctionsSpec extends AnyFunSuite {
     assert(PgFunctions.rewrite(three) == three)
   }
 
+  test("1-arg log is Postgres base-10; 2-arg log and ln stay native") {
+    assert(PgFunctions.rewrite("SELECT log(x) FROM d") ==
+      "SELECT log10(x) FROM d")
+    for (s <- Seq("SELECT log(2, x) FROM d",   // 2-arg agrees natively
+      "SELECT ln(x) FROM d",
+      "SELECT log10(x) FROM d",
+      "SELECT mylog(x) FROM d"))
+      assert(PgFunctions.rewrite(s) == s, s)
+  }
+
   test("nested triggers rewrite inside rewritten args") {
     assert(PgFunctions.rewrite(
       "SELECT array_to_string(string_to_array(t, ' '), '|') FROM d") ==

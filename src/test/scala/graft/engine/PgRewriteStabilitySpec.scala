@@ -56,7 +56,7 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
 
   test("PgFunctions is the identity off its trigger names") {
     val names = Seq("strpos", "starts_with", "array_to_string",
-      "array_length", "string_to_array", "regexp_replace")
+      "array_length", "string_to_array", "regexp_replace", "log")
     for ((name, sql) <- oracles
          if !names.exists(sql.toLowerCase.contains))
       assert(PgFunctions.rewrite(sql) == sql, s"mangled $name")
