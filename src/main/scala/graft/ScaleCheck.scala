@@ -1152,6 +1152,19 @@ object ScaleCheck {
         graft.ops.Curation.perplexityBuckets(docs).count())
       docs.unpersist()
     }
+    // tx19: KN perplexity — tx12's probed shape plus the two
+    // continuation-count aggregates and one extra same-key join, all
+    // riding the persisted (w1,w2) frame; slope must match tx12's
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"tx19 x$mult docs=$n")(
+        graft.ops.TextAnalysis.knBigramLogppl(docs).count())
+      docs.unpersist()
+    }
   }
 
   def main(args: Array[String]): Unit = {
