@@ -254,4 +254,38 @@ object EngineProps extends Properties("engine") {
     val out = Names.dedup(xs)
     Names.dedup(out) == out
   }
+
+  // ---- /sql facade rewriters: total on arbitrary input -------------
+  // The rewrite chain runs on EVERY /sql request body before the SQL
+  // gate — a scanner crash would 500 the server on malformed input the
+  // gate itself would reject politely. Fuzz with SQL-shaped fragments
+  // (unbalanced quotes/parens, comment openers, stray operators,
+  // multi-byte chars) and assert the full chain always completes.
+  private val sqlFrag: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("SELECT", "FROM", "WHERE", "ORDER BY", "GROUP BY",
+      "DISTINCT ON", "EXTRACT", "EPOCH", "DOW FROM", "date_part",
+      "string_agg", "array_agg", "strpos", "string_to_array", "log",
+      "regexp_replace", "x", "t.c", "count(*)", "1", "0.5", ","),
+    3 -> Gen.oneOf("(", ")", "'", "''", "\"", "`", "--", "/*", "*/",
+      "~", "~*", "!~", "!~*", "->", "->>", "#>", "||", ";", "\n"),
+    2 -> Gen.oneOf("'lit'", "'do''nt'", "-- c\n", "/* b */", "(a, b)"),
+    1 -> Gen.asciiPrintableStr,
+    1 -> Gen.oneOf("é", "中", " ", "\\"))
+  private val sqlish: Gen[String] =
+    Gen.listOf(Gen.oneOf(sqlFrag, Gen.const(" "))).map(_.mkString)
+
+  property("facade rewrite chain never throws on arbitrary input") =
+    forAll(sqlish) { s =>
+      PgSelect.rewrite(PgJson.rewrite(s),
+        n => if (n == "t") Some(Seq("a", "b")) else None)
+      true
+    }
+
+  property("facade rewrite chain is idempotent on arbitrary input") =
+    forAll(sqlish) { s =>
+      def full(x: String) = PgSelect.rewrite(PgJson.rewrite(x),
+        n => if (n == "t") Some(Seq("a", "b")) else None)
+      val once = full(s)
+      full(once) == once
+    }
 }

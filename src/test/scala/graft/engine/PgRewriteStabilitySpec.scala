@@ -62,6 +62,18 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
       assert(PgFunctions.rewrite(sql) == sql, s"mangled $name")
   }
 
+  test("the full rewrite chain is idempotent across the oracle corpus") {
+    // texts WITH triggers rewrite once and then must be stable — a
+    // rewrite whose OUTPUT re-triggers (e.g. array_agg emitting text
+    // that another pass mangles) would corrupt queries that pass
+    // through the facade more than once (retry paths, nested tooling)
+    def full(x: String) = PgSelect.rewrite(PgJson.rewrite(x))
+    for ((name, sql) <- oracles) {
+      val once = full(sql)
+      assert(full(once) == once, s"not idempotent on $name")
+    }
+  }
+
   test("PgJson is the identity on arrow-free texts and DuckDB lambdas") {
     for ((name, sql) <- oracles if !sql.contains("->"))
       assert(PgJson.rewrite(sql) == sql, s"mangled $name")
