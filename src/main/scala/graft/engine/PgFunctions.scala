@@ -22,6 +22,11 @@ import PgSelect.{skipQuoted, skipComment, atComment, skipWs, wordAt, splitTop}
   *   log(x)                    → log10(x)  (PG's 1-arg log is BASE 10;
   *       Spark's is natural — same text, silently different numbers.
   *       PG spells natural log `ln`, valid Spark; 2-arg log agrees.)
+  *   substring(x FROM 'pat') / substring(x, 'pat') — Postgres's
+  *       regex-EXTRACT spelling (dbplyr's str_extract) →
+  *       nullif(regexp_extract(x, pat, grp), '') with grp = 1 when the
+  *       pattern has a capturing group (PG's rule), else 0; numeric
+  *       positions and FROM..FOR slices stay native.
   *
   * Scope guards (anything out of scope stays VERBATIM so Spark rejects
   * it loudly rather than mis-executing):
@@ -106,15 +111,80 @@ object PgFunctions {
     if (close < 0) None else Some((splitTop(s.substring(j + 1, close)), close + 1))
   }
 
-  /** The content of a single-quoted SQL string literal ('' unescaped),
-    * or None when the text isn't exactly one literal.
+  /** The content of a single-quoted SQL string literal as SPARK will
+    * decode it ('' → ', \\ → \; at this point in the chain literals
+    * are Spark-convention — the server's PgStrings.escape has already
+    * run), or None when the text isn't exactly one literal.
     */
   private def literalContent(arg: String): Option[String] = {
     val t = arg.trim
     if (t.length < 2 || t.head != '\'' || t.last != '\'') return None
     // must be ONE literal: skipQuoted from 0 has to consume everything
     if (skipQuoted(t, 0) != t.length) return None
-    Some(t.substring(1, t.length - 1).replace("''", "'"))
+    Some(t.substring(1, t.length - 1).replace("''", "'")
+      .replace("\\\\", "\\"))
+  }
+
+  /** Re-emit decoded content as a Spark single-quoted literal. */
+  private def sparkLiteral(content: String): String =
+    "'" + content.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  /** Number of CAPTURING groups in a regex: unescaped `(` not followed
+    * by `?` (Postgres substring-from-pattern returns group 1 when the
+    * pattern has one, else the whole match).
+    */
+  private def captureGroups(pat: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < pat.length) {
+      pat(i) match {
+        case '\\' => i += 2
+        case '(' =>
+          if (i + 1 >= pat.length || pat(i + 1) != '?') n += 1
+          i += 1
+        case _ => i += 1
+      }
+    }
+    n
+  }
+
+  /** `substring(x FROM 'pat')` / `substring(x, 'pat')` — Postgres's
+    * REGEX-EXTRACT spelling (dbplyr's str_extract): returns the first
+    * capture group when the pattern has one, else the whole match, and
+    * NULL when nothing matches. Lowered to
+    * `nullif(regexp_extract(x, pat, idx), '')` — both engines'
+    * regexp_extract return '' for a non-match, so nullif restores the
+    * Postgres NULL (a genuinely-empty match also maps to NULL; PG
+    * returns '' there — corner documented, not silently wrong in the
+    * direction that matters). Numeric positions and FROM..FOR slices
+    * are valid Spark already and stay native.
+    */
+  private def substringPattern(args: Seq[String]): Option[String] = {
+    val (left, patArg) = args match {
+      case Seq(one) =>
+        // FROM-form: split on the top-level FROM word
+        var i = 0
+        var fromAt = -1
+        var depth = 0
+        while (i < one.length && fromAt < 0) {
+          one(i) match {
+            case '\'' | '"' | '`' => i = skipQuoted(one, i)
+            case '(' => depth += 1; i += 1
+            case ')' => depth -= 1; i += 1
+            case _ =>
+              if (depth == 0 && wordAt(one, i, "FROM")) fromAt = i
+              else i += 1
+          }
+        }
+        if (fromAt < 0) return None
+        (one.substring(0, fromAt).trim, one.substring(fromAt + 4).trim)
+      case Seq(a, b) => (a.trim, b.trim)
+      case _ => return None
+    }
+    literalContent(patArg).map { pat =>
+      val idx = if (captureGroups(pat) > 0) 1 else 0
+      s"nullif(regexp_extract($left, ${sparkLiteral(pat)}, $idx), '')"
+    }
   }
 
   private val regexMeta = "\\^$.|?*+()[]{}".toSet
@@ -169,6 +239,7 @@ object PgFunctions {
         case _ => None // 'i' alone = replace FIRST — inexpressible
       }
     },
+    "substring" -> { args => substringPattern(args) },
     // Postgres's ONE-argument log() is BASE 10; Spark's is the natural
     // log — the same text runs in both and silently returns different
     // numbers. Postgres spells natural log `ln` (valid Spark too), so

@@ -52,6 +52,13 @@ package graft.engine
   *     `(weekday(x) + 1)`, and `date_part('epoch'/'dow'/'isodow', x)`
   *     to the same lowerings (see rewriteDateFields).
   *
+  *  8. Postgres TYPE-NAME spellings in cast positions (`CAST(x AS
+  *     TEXT)`, `x::int8`, DOUBLE PRECISION, ...) — renamed by
+  *     [[PgTypes]], chained last. (String-LITERAL decoding —
+  *     Postgres's literal backslashes vs Spark's escapes — is
+  *     [[PgStrings.escape]], applied ONCE at the server boundary, not
+  *     here: doubling is not idempotent.)
+  *
   * Scope notes:
   *
   *  - `DISTINCT ON (k) *` (the exact text dbplyr emits for
@@ -94,9 +101,9 @@ object PgSelect {
     * Spark rejects DISTINCT ON loudly).
     */
   def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
-    PgFunctions.rewrite(rewriteRegexMatch(rewriteOrderedArrayAgg(
-      rewriteOrderedStringAgg(rewriteDateFields(rewriteEpoch(
-        rewriteDistinctOn(sql, schemaOf)))))))
+    PgTypes.rewrite(PgFunctions.rewrite(rewriteRegexMatch(
+      rewriteOrderedArrayAgg(rewriteOrderedStringAgg(rewriteDateFields(
+        rewriteEpoch(rewriteDistinctOn(sql, schemaOf))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware scanning helpers

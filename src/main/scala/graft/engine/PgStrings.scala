@@ -1,0 +1,80 @@
+package graft.engine
+
+import PgSelect.{skipComment, atComment}
+
+/** The Postgres → Spark STRING-LITERAL bridge for the /sql facade.
+  *
+  * Postgres (standard_conforming_strings = on, the default since 9.1)
+  * treats backslash as a LITERAL character inside '...' strings;
+  * Spark's parser treats it as a C-style escape and silently EATS
+  * unrecognized ones — `'\d'` reaches the engine as `d`, so a client's
+  * `text ~ '\d+'` matches the letter d and every regex with a
+  * character class is silently wrong (measured: Spark
+  * `length('\d') = 1`, `regexp_like('d', '\d') = true`).
+  *
+  * `escape` doubles the backslashes inside plain single-quoted
+  * literals, so Spark decodes them back to exactly the bytes the
+  * Postgres client wrote. E'...' escape-strings — where Postgres DOES
+  * process backslash escapes, like Spark — are lowered by dropping the
+  * E prefix and passing the body through verbatim (the common escapes
+  * \\ \n \t \r \b \f agree; exotic \o/\x/\u forms are out of scope).
+  * Double-quoted identifiers, backticks, and comments pass through
+  * untouched.
+  *
+  * NOT idempotent by design (doubling twice quadruples), so it is NOT
+  * part of PgSelect.rewrite: the server applies it exactly once at the
+  * request boundary, before the JSON/SELECT rewrites — it is the
+  * transport-level decode of the Postgres dialect, not a query
+  * rewrite.
+  */
+object PgStrings {
+
+  def escape(sql: String): String = {
+    val out = new StringBuilder
+    val s = sql
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case q @ ('"' | '`') =>
+          var j = i + 1
+          while (j < s.length && s(j) != q) j += 1
+          j = math.min(j + 1, s.length)
+          out.append(s.substring(i, j)); i = j
+        case c @ ('e' | 'E')
+          if i + 1 < s.length && s(i + 1) == '\'' &&
+            (i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_')) =>
+          // E'...': backslash-escaped string — find its end honouring
+          // both \' and '' escapes, drop the E, keep the body verbatim
+          var j = i + 2
+          var end = -1
+          while (j < s.length && end < 0) {
+            s(j) match {
+              case '\\' => j += 2
+              case '\'' =>
+                if (j + 1 < s.length && s(j + 1) == '\'') j += 2
+                else end = j + 1
+              case _ => j += 1
+            }
+          }
+          if (end < 0) { out.append(s.substring(i + 1)); i = s.length }
+          else { out.append(s.substring(i + 1, end)); i = end }
+        case '\'' =>
+          // plain literal: '' stays, every backslash doubles
+          var j = i + 1
+          var end = -1
+          while (j < s.length && end < 0) {
+            if (s(j) == '\'' && j + 1 < s.length && s(j + 1) == '\'') j += 2
+            else if (s(j) == '\'') end = j + 1
+            else j += 1
+          }
+          val stop = if (end < 0) s.length else end
+          out.append(s.substring(i, stop).replace("\\", "\\\\"))
+          i = stop
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+}

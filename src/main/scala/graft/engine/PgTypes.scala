@@ -1,0 +1,126 @@
+package graft.engine
+
+import PgSelect.{skipQuoted, skipComment, atComment, skipWs, wordAt}
+
+/** Postgres TYPE-NAME spellings for the /sql facade.
+  *
+  * dbplyr casts with Postgres names (`CAST(x AS TEXT)` for
+  * as.character) and SQLAlchemy ships `::text` / `::int8`-style
+  * shorthand; Spark rejects every one of them loudly
+  * (UNSUPPORTED_DATATYPE / DATATYPE_MISSING_SIZE). Each has an exact
+  * Spark equivalent, renamed ONLY in cast positions — after a `::` or
+  * as the AS-type of a CAST/TRY_CAST call — never as a bare word, so a
+  * column aliased `AS text` keeps its name:
+  *
+  *   text, varchar (bare), character varying → STRING
+  *   int2 → SMALLINT   int4 → INT   int8 → BIGINT
+  *   float4 → FLOAT    float8 / double precision → DOUBLE
+  *   bool → BOOLEAN    timestamptz → TIMESTAMP    bytea → BINARY
+  *
+  * Parameterized spellings (VARCHAR(10), NUMERIC(10,2)) are already
+  * valid Spark and stay native; NUMERIC/DECIMAL without parameters is
+  * accepted by Spark with ITS default precision and is deliberately
+  * not touched (Postgres's unconstrained numeric has no Spark
+  * equivalent — a silent precision change would be worse than Spark's
+  * own documented default). Idempotent: every emitted name is outside
+  * the map. Quote- and comment-aware like the rest of the facade.
+  */
+object PgTypes {
+
+  private val typeMap: Map[String, String] = Map(
+    "text" -> "STRING", "varchar" -> "STRING", "int2" -> "SMALLINT",
+    "int4" -> "INT", "int8" -> "BIGINT", "float4" -> "FLOAT",
+    "float8" -> "DOUBLE", "bool" -> "BOOLEAN",
+    "timestamptz" -> "TIMESTAMP", "bytea" -> "BINARY")
+
+  // two-word Postgres spellings, checked before single words
+  private val twoWord: Seq[(String, String, String)] = Seq(
+    ("double", "precision", "DOUBLE"),
+    ("character", "varying", "STRING"))
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Parse a type name at `i0` (post-whitespace) and map it; returns
+    * (replacementText, endIndex) when it maps. A '(' straight after
+    * the name means a parameterized spelling — valid Spark, no map.
+    */
+  private def mapTypeAt(s: String, i0: Int): Option[(String, Int)] = {
+    val i = skipWs(s, i0)
+    var e = i
+    while (e < s.length && isWordChar(s(e))) e += 1
+    if (e == i) return None
+    val w1 = s.substring(i, e).toLowerCase
+    // two-word forms
+    for ((a, b, to) <- twoWord if w1 == a) {
+      val j = skipWs(s, e)
+      var e2 = j
+      while (e2 < s.length && isWordChar(s(e2))) e2 += 1
+      if (e2 > j && s.substring(j, e2).toLowerCase == b)
+        return Some((to, e2))
+    }
+    typeMap.get(w1).flatMap { to =>
+      val j = skipWs(s, e)
+      if (j < s.length && s(j) == '(') None // parameterized: native
+      else Some((to, e))
+    }
+  }
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    val s = sql
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case ':' if i + 1 < s.length && s(i + 1) == ':' =>
+          mapTypeAt(s, i + 2) match {
+            case Some((to, end)) => out.append("::").append(to); i = end
+            case None => out.append("::"); i += 2
+          }
+        case c if (c == 'c' || c == 'C' || c == 't' || c == 'T') &&
+          (wordAt(s, i, "CAST") || wordAt(s, i, "TRY_CAST")) =>
+          val kwLen = if (wordAt(s, i, "CAST")) 4 else 8
+          val kw = s.substring(i, i + kwLen)
+          var j = skipWs(s, i + kwLen)
+          if (j >= s.length || s(j) != '(') { out.append(kw); i += kwLen }
+          else {
+            // balanced args; find the LAST top-level AS
+            var depth = 0
+            var k = j
+            var close = -1
+            var lastAs = -1
+            while (k < s.length && close < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) close = k
+                  k += 1
+                case _ =>
+                  if (depth == 1 && wordAt(s, k, "AS")) { lastAs = k; k += 2 }
+                  else k += 1
+              }
+            }
+            if (close < 0 || lastAs < 0) { out.append(kw); i += kwLen }
+            else {
+              mapTypeAt(s, lastAs + 2) match {
+                case Some((to, end)) if skipWs(s, end) == close =>
+                  val inner = rewrite(s.substring(j + 1, lastAs))
+                  out.append(kw).append('(').append(inner)
+                    .append("AS ").append(to).append(')')
+                  i = close + 1
+                case _ => out.append(kw); i += kwLen
+              }
+            }
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+}

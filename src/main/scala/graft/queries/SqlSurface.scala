@@ -611,6 +611,57 @@ object SqlSurface {
                     CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
              FROM events ORDER BY event_id LIMIT 1000""")),
 
+    // Q62: the Postgres STRING-LITERAL decode + regex extract. PG
+    // (standard_conforming_strings) keeps backslashes literal in
+    // '...' strings; Spark's parser EATS unrecognized escapes — so a
+    // client's '\w+' reached the engine as 'w+' and every regex with
+    // a character class was silently wrong. PgStrings.escape (applied
+    // once at the server boundary, replicated here) doubles them so
+    // Spark decodes the client's exact bytes; substring(x FROM 'pat')
+    // — PG's regex-extract, dbplyr's str_extract — lowers to
+    // nullif(regexp_extract(...), '') with PG's group rule. DuckDB
+    // keeps backslashes literal like PG, so the oracle runs the same
+    // predicates (spelled with regexp_matches/extract, its dialect).
+    NamedQuery("q62_pg_string_literals",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(graft.engine.PgJson.rewrite(
+          graft.engine.PgStrings.escape(
+            """SELECT lang,
+                 CAST(count(*) FILTER (WHERE text ~ '\w{7,}') AS BIGINT) AS n_long_word,
+                 CAST(sum(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_ws,
+                 CAST(count(substring(text FROM 'the(\w+)')) AS BIGINT) AS n_the_suffix
+               FROM documents GROUP BY lang ORDER BY lang"""))))
+      },
+      Some("""SELECT lang,
+                CAST(count(*) FILTER (WHERE regexp_matches(text, '\w{7,}')) AS BIGINT) AS n_long_word,
+                CAST(sum(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_ws,
+                CAST(count(nullif(regexp_extract(text, 'the(\w+)', 1), '')) AS BIGINT) AS n_the_suffix
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Q63: Postgres TYPE-NAME spellings in cast positions — dbplyr's
+    // as.character ships CAST(x AS TEXT), SQLAlchemy ships ::int8 /
+    // ::text shorthand; Spark rejects each loudly. PgTypes renames
+    // them (cast positions ONLY — a column aliased AS text keeps its
+    // name). DuckDB accepts all the Postgres spellings natively.
+    NamedQuery("q63_pg_type_spellings",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT doc_id,
+                    CAST(n_chars AS TEXT) AS c_text,
+                    n_chars::int8 AS c_i8,
+                    CAST(n_chars AS DOUBLE PRECISION) AS c_f8,
+                    (n_chars > 120)::bool AS c_b
+             FROM documents ORDER BY doc_id LIMIT 500"""))
+      },
+      Some("""SELECT doc_id,
+                    CAST(n_chars AS TEXT) AS c_text,
+                    n_chars::int8 AS c_i8,
+                    CAST(n_chars AS DOUBLE PRECISION) AS c_f8,
+                    (n_chars > 120)::bool AS c_b
+             FROM documents ORDER BY doc_id LIMIT 500""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

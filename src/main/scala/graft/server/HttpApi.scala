@@ -587,8 +587,13 @@ class HttpApi(val cat: Catalog, defaultPublic: Boolean = true,
           if (owner.contains(n.toLowerCase))
             scala.util.Try(spark.table(n).columns.toSeq).toOption
           else None
+        // PgStrings.escape FIRST and exactly ONCE: the Postgres
+        // string-literal decode (backslashes are literal there, Spark
+        // eats them) — transport-level, deliberately NOT part of the
+        // idempotent rewrite chain (doubling twice would quadruple)
         val df = SqlGate.execute(spark,
-          PgSelect.rewrite(PgJson.rewrite(body(ex)), schemaOf), owner.keySet,
+          PgSelect.rewrite(PgJson.rewrite(PgStrings.escape(body(ex))),
+            schemaOf), owner.keySet,
           canRead = t => owner.get(t).exists(ds => acl.get.canRead(userOpt, ds)))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {

@@ -99,4 +99,55 @@ class PgFunctionsSpec extends AnyFunSuite {
       "SELECT strpos(t, 'x') AS p FROM d WHERE t ~ 'y'")
     assert(r == "SELECT instr(t, 'x') AS p FROM d WHERE regexp_like(t , 'y')")
   }
+
+  // ---- substring-from-pattern (PG regex extract) --------------------
+
+  test("substring FROM 'pattern' lowers to regexp_extract with PG's group rule") {
+    assert(PgFunctions.rewrite("SELECT substring(t FROM 'a.c') FROM d") ==
+      "SELECT nullif(regexp_extract(t, 'a.c', 0), '') FROM d")
+    // a capturing group returns GROUP 1, Postgres-style
+    assert(PgFunctions.rewrite("SELECT substring(t FROM 'a(.)c') FROM d") ==
+      "SELECT nullif(regexp_extract(t, 'a(.)c', 1), '') FROM d")
+    // non-capturing and escaped parens don't count as groups
+    assert(PgFunctions.rewrite("SELECT substring(t FROM 'a(?:x)\\(c') FROM d") ==
+      "SELECT nullif(regexp_extract(t, 'a(?:x)\\\\(c', 0), '') FROM d")
+    // the comma spelling too
+    assert(PgFunctions.rewrite("SELECT substring(t, 'a+') FROM d") ==
+      "SELECT nullif(regexp_extract(t, 'a+', 0), '') FROM d")
+  }
+
+  test("numeric substring forms stay native Spark") {
+    for (s <- Seq("SELECT substring(t FROM 2) FROM d",
+      "SELECT substring(t FROM 2 FOR 3) FROM d",
+      "SELECT substring(t, 2) FROM d",
+      "SELECT substring(t, 2, 3) FROM d",
+      "SELECT substring(t, n) FROM d"))
+      assert(PgFunctions.rewrite(s) == s, s)
+  }
+
+  // ---- PgStrings: the PG literal decode ------------------------------
+
+  test("PgStrings doubles backslashes in plain literals only") {
+    assert(PgStrings.escape("SELECT '\\d+' FROM t") ==
+      "SELECT '\\\\d+' FROM t")
+    assert(PgStrings.escape("SELECT 'a''b\\n' FROM t") ==
+      "SELECT 'a''b\\\\n' FROM t")
+    // E-strings already use backslash escapes: drop the E, keep body
+    assert(PgStrings.escape("SELECT E'\\n' FROM t") == "SELECT '\\n' FROM t")
+    assert(PgStrings.escape("SELECT E'it\\'s' FROM t") ==
+      "SELECT 'it\\'s' FROM t")
+    // untouched: identifiers, comments, backslashes outside literals
+    for (s <- Seq("SELECT \"a\\b\" FROM t",
+      "SELECT x -- '\\d'\nFROM t",
+      "SELECT e FROM t",         // bare identifier e
+      "SELECT tablE 'x' FROM t", // E at a word END is not a prefix
+      "SELECT x FROM t"))
+      assert(PgStrings.escape(s) == s, s)
+  }
+
+  test("PgStrings + the chain: a PG regex literal survives to regexp_like") {
+    val r = PgSelect.rewrite(PgJson.rewrite(PgStrings.escape(
+      "SELECT x FROM t WHERE c ~ '\\w+'")))
+    assert(r == "SELECT x FROM t WHERE regexp_like(c , '\\\\w+')")
+  }
 }

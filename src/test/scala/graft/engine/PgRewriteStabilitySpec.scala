@@ -56,7 +56,8 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
 
   test("PgFunctions is the identity off its trigger names") {
     val names = Seq("strpos", "starts_with", "array_to_string",
-      "array_length", "string_to_array", "regexp_replace", "log")
+      "array_length", "string_to_array", "regexp_replace", "log",
+      "substring")
     for ((name, sql) <- oracles
          if !names.exists(sql.toLowerCase.contains))
       assert(PgFunctions.rewrite(sql) == sql, s"mangled $name")

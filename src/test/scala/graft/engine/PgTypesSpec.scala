@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Postgres type-name renames in cast positions (PgTypes): renamed
+  * only after `::` or as a CAST's AS-type — never as a bare word — so
+  * aliases and identifiers keep their names.
+  */
+class PgTypesSpec extends AnyFunSuite {
+
+  test("CAST AS-types rename to Spark spellings") {
+    assert(PgTypes.rewrite("SELECT CAST(x AS TEXT) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    assert(PgTypes.rewrite("SELECT CAST(x AS int8) FROM t") ==
+      "SELECT CAST(x AS BIGINT) FROM t")
+    assert(PgTypes.rewrite("SELECT CAST(x AS DOUBLE PRECISION) FROM t") ==
+      "SELECT CAST(x AS DOUBLE) FROM t")
+    assert(PgTypes.rewrite("SELECT CAST(x AS character varying) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    assert(PgTypes.rewrite("SELECT TRY_CAST(x AS bytea) FROM t") ==
+      "SELECT TRY_CAST(x AS BINARY) FROM t")
+    // the cast OPERAND recurses
+    assert(PgTypes.rewrite("SELECT CAST(CAST(x AS int4) AS TEXT) FROM t") ==
+      "SELECT CAST(CAST(x AS INT) AS STRING) FROM t")
+  }
+
+  test(":: shorthand renames; parameterized and native types stay") {
+    assert(PgTypes.rewrite("SELECT x::text FROM t") ==
+      "SELECT x::STRING FROM t")
+    assert(PgTypes.rewrite("SELECT x::timestamptz, y::bool FROM t") ==
+      "SELECT x::TIMESTAMP, y::BOOLEAN FROM t")
+    for (s <- Seq(
+      "SELECT CAST(x AS VARCHAR(10)) FROM t", // parameterized: native
+      "SELECT x::varchar(10) FROM t",
+      "SELECT CAST(x AS NUMERIC) FROM t",     // documented non-mapping
+      "SELECT CAST(x AS INT) FROM t",
+      "SELECT x::int FROM t"))
+      assert(PgTypes.rewrite(s) == s, s)
+  }
+
+  test("bare words are never renamed: aliases/identifiers keep names") {
+    for (s <- Seq(
+      "SELECT x AS text FROM t",
+      "SELECT text FROM t",
+      "SELECT 'CAST(x AS TEXT)' FROM t",
+      "SELECT x -- CAST(y AS TEXT)\nFROM t",
+      "SELECT cast_of_thousands FROM t"))
+      assert(PgTypes.rewrite(s) == s, s)
+  }
+
+  test("idempotent and chained through PgSelect.rewrite") {
+    val q = "SELECT CAST(x AS TEXT) FROM t WHERE c ~ 'p'"
+    val once = PgSelect.rewrite(q)
+    assert(once ==
+      "SELECT CAST(x AS STRING) FROM t WHERE regexp_like(c , 'p')")
+    assert(PgSelect.rewrite(once) == once)
+  }
+}

@@ -235,6 +235,30 @@ def dplyr_flow(c):
     assert code == 200, out
     assert csv_rows(out)[1] == ["0", "7", "1"], out
 
+    # Postgres string-literal decode: the client's '\d' is a literal
+    # backslash-d (standard_conforming_strings); without the server's
+    # PgStrings.escape Spark eats the backslash and '\d+' matches the
+    # letter d. str_extract -> substring(x FROM 'pat') with PG's
+    # group-1 rule rides the same path.
+    code, out = c.sql(f"SELECT grp, count(*) AS n FROM {view} "
+                      "WHERE CAST(x AS VARCHAR) ~ '\\d' "
+                      "GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2"] and rows[2] == ["b", "1"], rows
+    code, out = c.sql("SELECT substring('v12x' FROM 'v(\\d+)') AS ver "
+                      f"FROM {view} LIMIT 1")
+    assert code == 200, out
+    assert csv_rows(out)[1] == ["12"], out
+
+    # as.character/as.integer: dbplyr casts with Postgres type names
+    # (CAST(x AS TEXT)); SQLAlchemy ships ::int8 shorthand — both
+    # rename to Spark spellings in cast positions only
+    code, out = c.sql(f"SELECT CAST(x AS TEXT) AS xs, y::int8 AS yi "
+                      f"FROM {view} WHERE grp = 'b'")
+    assert code == 200, out
+    assert csv_rows(out)[1] == ["3.0", "5"], out
+
     # stringr/array function SPELLINGS (str_locate -> STRPOS,
     # str_replace_all -> regexp_replace(..., 'g'), str_split ->
     # STRING_TO_ARRAY): PgFunctions renames them to Spark equivalents
