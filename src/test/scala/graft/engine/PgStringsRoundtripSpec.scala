@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** End-to-end semantic check for the Postgres string-literal decode:
+  * a Postgres client writes content C as the literal quote(C) (only '
+  * doubles; backslashes are literal bytes). After PgStrings.escape,
+  * SPARK's parser must decode the literal back to exactly C — proven
+  * through a real spark.sql parse, not string comparison. This is the
+  * property that failed before the bridge existed: '\d' decoded to
+  * 'd'.
+  */
+class PgStringsRoundtripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pgQuote(c: String): String = "'" + c.replace("'", "''") + "'"
+
+  private def sparkDecodes(lit: String): String =
+    spark.sql(s"SELECT $lit AS v").collect()(0).getString(0)
+
+  test("Spark decodes escaped PG literals back to the client's bytes") {
+    val contents = Seq(
+      "\\d+", "\\s", "a\\b\\c", "\\\\", "\\", "it's", "it's \\w",
+      "tab\\there", "[A-Z]\\w{2,}", "(\\d)-(\\d)", "plain", "",
+      "100%", "__", "a'b''c", "\\n not a newline", "end\\")
+    for (c <- contents) {
+      val escaped = PgStrings.escape(s"SELECT ${pgQuote(c)} AS v")
+        .stripPrefix("SELECT ").stripSuffix(" AS v")
+      assert(sparkDecodes(escaped) == c,
+        s"content <$c> escaped to <$escaped> did not round-trip")
+    }
+  }
+
+  test("E-strings decode with backslash escapes, like Postgres E''") {
+    // PG E'\n' is a newline; dropping the E hands the same escape to
+    // Spark's parser
+    val esc = PgStrings.escape("SELECT E'a\\nb' AS v")
+    assert(sparkDecodes(esc.stripPrefix("SELECT ").stripSuffix(" AS v"))
+      == "a\nb")
+  }
+
+  test("the regex path end-to-end: PG '\\d+' matches digits, not the letter d") {
+    val q = PgSelect.rewrite(PgJson.rewrite(PgStrings.escape(
+      "SELECT 'x42' ~ '\\d+' AS hit, 'xdd' ~ '\\d+' AS miss")))
+    val r = spark.sql(q).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
