@@ -1080,7 +1080,11 @@ object Curation {
     * (per-lang LM fit), one broadcast of the lang-cardinality
     * boundary frame, one scan-speed CASE.
     *
-    * Output: one row per doc (doc_id, lang, score, bucket).
+    * Output: one row per doc WITH AT LEAST ONE BIGRAM (doc_id, lang,
+    * score, bucket) — a doc of fewer than two whitespace tokens has no
+    * LM score and is dropped, matching tx12's scorer and CCNet itself
+    * (too-short docs are length-filtered before the LM stage); route
+    * them through tx01/tx13's length rules, not a perplexity tier.
     */
   def perplexityBuckets(df: DataFrame, text: Column = col("text"),
                         lang: Column = col("lang"),
