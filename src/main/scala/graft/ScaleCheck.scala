@@ -1165,6 +1165,24 @@ object ScaleCheck {
         graft.ops.TextAnalysis.knBigramLogppl(docs).count())
       docs.unpersist()
     }
+    // pp09's NEW cost beyond the probed CC (dd06/cc probes): the
+    // per-cluster running-offset window. 1000-doc clusters — far
+    // larger than any real near-dup component — so the window sort is
+    // stress-bounded; cluster count scales with the corpus. Must stay
+    // ~linear: the window partitions by cluster, never the corpus.
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % (n / 1000L)).as("cluster"),
+        (col("id") % 97 + 20).as("tok"))
+      // aggregate OVER the window's outputs — a bare count() would let
+      // Catalyst prune the running-offset window entirely
+      time(s"pp09-pack x$m docs=$n")(
+        graft.ops.Curation.packSequences(
+          docs.withColumn("text", lit("")), col("cluster"),
+          window = 2048, tokens = col("tok"))
+          .agg(sum(col("pack_id") + col("offset_in_pack"))).head.getLong(0))
+    }
   }
 
   def main(args: Array[String]): Unit = {
