@@ -27,6 +27,11 @@ import PgSelect.{skipQuoted, skipComment, atComment, skipWs, wordAt, splitTop}
   *       nullif(regexp_extract(x, pat, grp), '') with grp = 1 when the
   *       pattern has a capturing group (PG's rule), else 0; numeric
   *       positions and FROM..FOR slices stay native.
+  *   to_char/to_date/to_timestamp with PG format tokens
+  *       ('YYYY-MM-DD HH24:MI:SS' ...) — the numeric tokens map 1:1 to
+  *       Spark's Java-style patterns (the function names themselves
+  *       are valid Spark); month/day-NAME tokens have no Spark
+  *       equivalent for PG's output-case rules and stay unchanged.
   *
   * Scope guards (anything out of scope stays VERBATIM so Spark rejects
   * it loudly rather than mis-executing):
@@ -205,8 +210,55 @@ object PgFunctions {
     b.append("'").toString
   }
 
+  /** Postgres datetime format tokens → Spark's Java-style patterns,
+    * UPPERCASE spellings only (lowercase 'yyyy' etc is already valid
+    * Spark). Longest-first so HH24 wins over HH (which in Postgres
+    * means 12-hour, hence hh).
+    */
+  private val dtTokens: Seq[(String, String)] = Seq(
+    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "YY" -> "yy",
+    "MM" -> "MM", "DD" -> "dd", "MI" -> "mm", "SS" -> "ss",
+    "MS" -> "SSS", "US" -> "SSSSSS", "AM" -> "a", "PM" -> "a",
+    "HH" -> "hh")
+
+  /** Map a Postgres format string whose every letter-run is a known
+    * token; None when anything unknown appears (month/day NAMES, fill
+    * modes — Postgres's output-case rules there have no Spark
+    * equivalent, so those formats stay unchanged → loud reject) or
+    * when no token fired at all (numeric to_char formats and formats
+    * already in Spark style pass through untouched).
+    */
+  private def mapDtFormat(fmt: String): Option[String] = {
+    val b = new StringBuilder
+    var i = 0
+    var mapped = false
+    while (i < fmt.length) {
+      if (fmt(i).isLetter) {
+        dtTokens.find { case (t, _) =>
+          fmt.regionMatches(false, i, t, 0, t.length) } match {
+          case Some((t, to)) => b.append(to); i += t.length; mapped = true
+          case None => return None
+        }
+      } else { b.append(fmt(i)); i += 1 }
+    }
+    if (mapped) Some(b.toString) else None
+  }
+
+  private def dtFmtTrigger(name: String)(args: Seq[String]): Option[String] =
+    if (args.size != 2) None
+    else literalContent(args(1)).flatMap(mapDtFormat)
+      .map(f => s"$name(${args(0)}, ${sparkLiteral(f)})")
+
   /** name → (rewrittenArgs → loweredText), None = out of scope. */
   private val triggers: Seq[(String, Seq[String] => Option[String])] = Seq(
+    // Postgres to_char/to_date/to_timestamp ship 'YYYY-MM-DD HH24:MI'
+    // style format tokens; Spark's parser rejects them loudly
+    // (DATETIME_PATTERN_RECOGNITION). Formats made entirely of the
+    // numeric tokens map 1:1; Spark's to_char/to_date/to_timestamp
+    // accept the mapped pattern natively, so only the literal changes.
+    "to_char" -> { args => dtFmtTrigger("to_char")(args) },
+    "to_date" -> { args => dtFmtTrigger("to_date")(args) },
+    "to_timestamp" -> { args => dtFmtTrigger("to_timestamp")(args) },
     "strpos" -> { args =>
       if (args.size == 2) Some(s"instr(${args(0)}, ${args(1)})") else None
     },

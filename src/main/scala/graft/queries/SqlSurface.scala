@@ -662,6 +662,28 @@ object SqlSurface {
                     (n_chars > 120)::bool AS c_b
              FROM documents ORDER BY doc_id LIMIT 500""")),
 
+    // Q64: Postgres datetime FORMAT tokens — to_char/to_date ship
+    // 'YYYY-MM-DD HH24:MI:SS' style patterns, which Spark's parser
+    // rejects loudly; the numeric tokens map 1:1 to Spark's Java-style
+    // patterns (PgFunctions.mapDtFormat; month/day-NAME tokens stay
+    // unchanged → loud reject, since PG's output-case rules there have
+    // no Spark equivalent). DuckDB spells the same formats strftime.
+    NamedQuery("q64_pg_datetime_formats",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT event_id,
+                    to_char(CAST(ts AS TIMESTAMP), 'YYYY-MM-DD') AS d,
+                    to_char(CAST(ts AS TIMESTAMP), 'HH24:MI:SS') AS t,
+                    to_date('09/07/2021', 'DD/MM/YYYY') AS fixed_d
+             FROM events ORDER BY event_id LIMIT 500"""))
+      },
+      Some("""SELECT event_id,
+                    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+                    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS t,
+                    DATE '2021-07-09' AS fixed_d
+             FROM events ORDER BY event_id LIMIT 500""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -125,6 +125,33 @@ class PgFunctionsSpec extends AnyFunSuite {
       assert(PgFunctions.rewrite(s) == s, s)
   }
 
+  // ---- datetime format tokens ----------------------------------------
+
+  test("PG datetime format tokens map to Spark patterns") {
+    assert(PgFunctions.rewrite(
+      "SELECT to_char(ts, 'YYYY-MM-DD') FROM t") ==
+      "SELECT to_char(ts, 'yyyy-MM-dd') FROM t")
+    assert(PgFunctions.rewrite(
+      "SELECT to_char(ts, 'HH24:MI:SS.MS') FROM t") ==
+      "SELECT to_char(ts, 'HH:mm:ss.SSS') FROM t")
+    assert(PgFunctions.rewrite(
+      "SELECT to_date(s, 'YYYY-MM-DD') FROM t") ==
+      "SELECT to_date(s, 'yyyy-MM-dd') FROM t")
+    assert(PgFunctions.rewrite(
+      "SELECT to_timestamp(s, 'DD/MM/YY HH12:MI PM') FROM t") ==
+      "SELECT to_timestamp(s, 'dd/MM/yy hh:mm a') FROM t")
+  }
+
+  test("name/unknown/numeric/Spark-style formats stay verbatim") {
+    for (s <- Seq(
+      "SELECT to_char(ts, 'Month DD, YYYY') FROM t", // month NAME: no map
+      "SELECT to_char(x, '999.99') FROM t",          // numeric to_char
+      "SELECT to_char(ts, 'yyyy-MM-dd') FROM t",     // already Spark
+      "SELECT to_timestamp(s) FROM t",               // 1-arg
+      "SELECT to_char(ts, f) FROM t"))               // non-literal fmt
+      assert(PgFunctions.rewrite(s) == s, s)
+  }
+
   // ---- PgStrings: the PG literal decode ------------------------------
 
   test("PgStrings doubles backslashes in plain literals only") {

@@ -57,7 +57,7 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
   test("PgFunctions is the identity off its trigger names") {
     val names = Seq("strpos", "starts_with", "array_to_string",
       "array_length", "string_to_array", "regexp_replace", "log",
-      "substring")
+      "substring", "to_char", "to_date", "to_timestamp")
     for ((name, sql) <- oracles
          if !names.exists(sql.toLowerCase.contains))
       assert(PgFunctions.rewrite(sql) == sql, s"mangled $name")

@@ -251,6 +251,12 @@ def dplyr_flow(c):
     assert code == 200, out
     assert csv_rows(out)[1] == ["12"], out
 
+    # format(): Postgres datetime format tokens map to Spark patterns
+    code, out = c.sql("SELECT to_char(TIMESTAMP '2020-01-05 13:04:05', "
+                      f"'YYYY-MM-DD HH24:MI') AS f FROM {view} LIMIT 1")
+    assert code == 200, out
+    assert csv_rows(out)[1] == ["2020-01-05 13:04"], out
+
     # as.character/as.integer: dbplyr casts with Postgres type names
     # (CAST(x AS TEXT)); SQLAlchemy ships ::int8 shorthand — both
     # rename to Spark spellings in cast positions only
