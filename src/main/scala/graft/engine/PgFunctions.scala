@@ -144,6 +144,17 @@ object PgFunctions {
     while (i < pat.length) {
       pat(i) match {
         case '\\' => i += 2
+        case '[' =>
+          // bracket expression: '(' inside is a literal, never a
+          // group. POSIX: a ']' first in the class (optionally after
+          // '^') is literal too; '\]' stays in-class for both engines.
+          var j = i + 1
+          if (j < pat.length && pat(j) == '^') j += 1
+          if (j < pat.length && pat(j) == ']') j += 1
+          while (j < pat.length && pat(j) != ']') {
+            if (pat(j) == '\\') j += 2 else j += 1
+          }
+          i = j + 1
         case '(' =>
           if (i + 1 >= pat.length || pat(i + 1) != '?') n += 1
           i += 1
@@ -276,9 +287,14 @@ object PgFunctions {
       else None
     },
     "string_to_array" -> { args =>
+      // Postgres returns the EMPTY array for '' input (so array_length
+      // → NULL); split would return [''] (length 1) — guard the empty
+      // string explicitly. NULL input flows through the ELSE branch to
+      // split(NULL) = NULL, matching PG.
       if (args.size != 2) None
       else literalContent(args(1)).filter(_.nonEmpty).map { sep =>
-        s"split(${args(0)}, ${regexQuotedLiteral(sep)})"
+        val x = args(0)
+        s"(CASE WHEN $x = '' THEN array() ELSE split($x, ${regexQuotedLiteral(sep)}) END)"
       }
     },
     "regexp_replace" -> { args =>

@@ -1035,6 +1035,52 @@ object PgSelect {
               out.append(text); i = end
             case None => out.append('('); i += 1; primStart = -1
           }
+        case ':' if primStart >= 0 && i + 1 < s.length && s(i + 1) == ':' =>
+          // Postgres cast shorthand EXTENDS the preceding primary —
+          // SQLAlchemy spells col.cast(Text).regexp_match() as
+          // `x::text ~ 'pat'`, so the whole `x::text` (chainable, with
+          // optional two-word type names, (n[,m]) params and []
+          // suffixes) must stay the left operand; resetting primStart
+          // here would split it into `x::regexp_like(text, 'pat')`.
+          var e = skipWs(s, i + 2)
+          var we = e
+          while (we < s.length && isWordChar(s(we))) we += 1
+          if (we == e) { out.append(s(i)); i += 1; primStart = -1 }
+          else {
+            var end = we
+            // two-word Postgres type spellings (PgTypes' list)
+            Map("double" -> "precision", "character" -> "varying",
+                "bit" -> "varying").get(s.substring(e, we).toLowerCase)
+              .foreach { second =>
+                val j2 = skipWs(s, end)
+                var we2 = j2
+                while (we2 < s.length && isWordChar(s(we2))) we2 += 1
+                if (we2 > j2 && s.substring(j2, we2).toLowerCase == second)
+                  end = we2
+              }
+            // optional length/precision parameters: varchar(10)
+            val jp = skipWs(s, end)
+            if (jp < s.length && s(jp) == '(') {
+              var depth = 0; var k = jp; var close = -1
+              while (k < s.length && close < 0) {
+                s(k) match {
+                  case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                  case '(' => depth += 1; k += 1
+                  case ')' =>
+                    depth -= 1; if (depth == 0) close = k; k += 1
+                  case _ => k += 1
+                }
+              }
+              if (close >= 0) end = close + 1
+            }
+            // optional array suffixes: text[]
+            var ja = skipWs(s, end)
+            while (ja + 1 < s.length && s(ja) == '[' && s(ja + 1) == ']') {
+              end = ja + 2; ja = skipWs(s, end)
+            }
+            out.append(s.substring(i, end)); i = end
+            // primStart unchanged: cast is part of the primary
+          }
         case c => out.append(c); i += 1; primStart = -1
       }
     }

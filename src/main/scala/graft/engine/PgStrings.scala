@@ -16,7 +16,9 @@ import PgSelect.{skipComment, atComment}
   * literals, so Spark decodes them back to exactly the bytes the
   * Postgres client wrote. E'...' escape-strings — where Postgres DOES
   * process backslash escapes, like Spark — are lowered by dropping the
-  * E prefix and passing the body through verbatim (the common escapes
+  * E prefix; the body passes through except `\'`, which is normalized
+  * to the doubled-quote spelling `''` (identical Spark decode) so the
+  * facade's quote scanners stay in sync (the common escapes
   * \\ \n \t \r \b \f agree; exotic \o/\x/\u forms are out of scope).
   * Double-quoted identifiers, backticks, and comments pass through
   * untouched.
@@ -46,20 +48,32 @@ object PgStrings {
           if i + 1 < s.length && s(i + 1) == '\'' &&
             (i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_')) =>
           // E'...': backslash-escaped string — find its end honouring
-          // both \' and '' escapes, drop the E, keep the body verbatim
+          // both \' and '' escapes, drop the E. The body is NOT kept
+          // verbatim: \' is normalized to '' (Spark decodes both to a
+          // single quote) because every downstream scanner
+          // (skipQuoted, the facade rewrites) understands only the
+          // doubled-quote convention — a surviving \' would flip
+          // their quote-state for the rest of the query and let later
+          // rewrites fire inside real string literals.
+          val body = new StringBuilder("'")
           var j = i + 2
           var end = -1
           while (j < s.length && end < 0) {
             s(j) match {
-              case '\\' => j += 2
+              case '\\' if j + 1 < s.length && s(j + 1) == '\'' =>
+                body.append("''"); j += 2
+              case '\\' if j + 1 < s.length =>
+                body.append(s(j)).append(s(j + 1)); j += 2
+              case '\\' => body.append('\\'); j += 1
               case '\'' =>
-                if (j + 1 < s.length && s(j + 1) == '\'') j += 2
-                else end = j + 1
-              case _ => j += 1
+                if (j + 1 < s.length && s(j + 1) == '\'') {
+                  body.append("''"); j += 2
+                } else { body.append('\''); end = j + 1 }
+              case ch => body.append(ch); j += 1
             }
           }
-          if (end < 0) { out.append(s.substring(i + 1)); i = s.length }
-          else { out.append(s.substring(i + 1, end)); i = end }
+          out.append(body)
+          i = if (end < 0) s.length else end
         case '\'' =>
           // plain literal: '' stays, every backslash doubles
           var j = i + 1

@@ -684,6 +684,29 @@ object SqlSurface {
                     DATE '2021-07-09' AS fixed_d
              FROM events ORDER BY event_id LIMIT 500""")),
 
+    // Q65: the string_to_array EMPTY-STRING edge. Postgres returns {}
+    // for '' (array_length → NULL); a bare split would return ['']
+    // (length 1) — and DuckDB SHARES split's behavior, so the q60 gate
+    // alone cannot see the divergence. This gate pins the Postgres
+    // semantics directly: the Spark side runs the facade lowering
+    // (PgFunctions wraps the empty input), the oracle hand-writes the
+    // PG result in DuckDB. VALUES-based so the edge row is guaranteed
+    // present regardless of corpus content.
+    NamedQuery("q65_string_to_array_empty",
+      (s, d) => s.sql(graft.engine.PgSelect.rewrite(
+        """SELECT v,
+                  string_to_array(v, ',') AS arr,
+                  CAST(array_length(string_to_array(v, ','), 1) AS BIGINT) AS n
+           FROM (VALUES ('a,b,c'), (''), (' '), ('x')) AS t(v)
+           ORDER BY v""")),
+      Some("""SELECT v,
+                   CASE WHEN v = '' THEN [] ELSE string_to_array(v, ',') END AS arr,
+                   CASE WHEN v = '' THEN NULL
+                        ELSE CAST(array_length(string_to_array(v, ','), 1) AS BIGINT)
+                   END AS n
+             FROM (VALUES ('a,b,c'), (''), (' '), ('x')) AS t(v)
+             ORDER BY v""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -29,17 +29,19 @@ class PgFunctionsSpec extends AnyFunSuite {
   }
 
   test("string_to_array regex-escapes literal separators") {
+    def guarded(x: String, sep: String) =
+      s"(CASE WHEN $x = '' THEN array() ELSE split($x, $sep) END)"
     assert(PgFunctions.rewrite("SELECT string_to_array(t, ' ') FROM d") ==
-      "SELECT split(t, ' ') FROM d")
+      s"SELECT ${guarded("t", "' '")} FROM d")
     // '.' is a regex metachar: the emitted literal carries \\. which
     // Spark's string parser collapses to \. — a literal-dot regex
     assert(PgFunctions.rewrite("SELECT string_to_array(t, '.') FROM d") ==
-      "SELECT split(t, '\\\\.') FROM d")
+      s"SELECT ${guarded("t", "'\\\\.'")} FROM d")
     assert(PgFunctions.rewrite("SELECT string_to_array(t, '||') FROM d") ==
-      "SELECT split(t, '\\\\|\\\\|') FROM d")
+      s"SELECT ${guarded("t", "'\\\\|\\\\|'")} FROM d")
     // quote inside the separator survives as a doubled quote
     assert(PgFunctions.rewrite("SELECT string_to_array(t, '''') FROM d") ==
-      "SELECT split(t, '''') FROM d")
+      s"SELECT ${guarded("t", "''''")} FROM d")
     // non-literal or empty separators have no faithful Spark spelling
     for (bad <- Seq("SELECT string_to_array(t, sep) FROM d",
       "SELECT string_to_array(t, '') FROM d",
@@ -76,12 +78,38 @@ class PgFunctionsSpec extends AnyFunSuite {
   }
 
   test("nested triggers rewrite inside rewritten args") {
+    val g = "(CASE WHEN t = '' THEN array() ELSE split(t, ' ') END)"
     assert(PgFunctions.rewrite(
       "SELECT array_to_string(string_to_array(t, ' '), '|') FROM d") ==
-      "SELECT array_join(split(t, ' '), '|') FROM d")
+      s"SELECT array_join($g, '|') FROM d")
     assert(PgFunctions.rewrite(
       "SELECT array_length(string_to_array(t, ' '), 1) FROM d") ==
-      "SELECT nullif(size(split(t, ' ')), 0) FROM d")
+      s"SELECT nullif(size($g), 0) FROM d")
+  }
+
+  test("string_to_array('') is the PG empty array, not ['']") {
+    // the lowered text must send '' to array() — PG: string_to_array
+    // ('', sep) = {} and array_length({}, 1) IS NULL; a bare split
+    // would return [''] (length 1). Executed end-to-end in
+    // SqlSurfaceSpec-style gate q65; here we pin the emitted text.
+    val r = PgFunctions.rewrite("SELECT string_to_array(v, ',') FROM d")
+    assert(r.contains("CASE WHEN v = '' THEN array() ELSE split(v, ',') END"))
+  }
+
+  test("substring-from-pattern: '(' inside a bracket class is not a group") {
+    // '[(]y' has ZERO capturing groups — PG returns the whole match;
+    // counting the bracketed '(' would emit group index 1 and fail at
+    // runtime on a valid Postgres pattern
+    assert(PgFunctions.rewrite("SELECT substring(t FROM '[(]y') FROM d") ==
+      "SELECT nullif(regexp_extract(t, '[(]y', 0), '') FROM d")
+    // a real group AND a bracketed '(' — index stays 1
+    assert(PgFunctions.rewrite("SELECT substring(t FROM '[(](y)') FROM d") ==
+      "SELECT nullif(regexp_extract(t, '[(](y)', 1), '') FROM d")
+    // leading ']' right after '[' (or '[^') is literal, class stays open
+    assert(PgFunctions.rewrite("SELECT substring(t FROM '[])](x)') FROM d") ==
+      "SELECT nullif(regexp_extract(t, '[])](x)', 1), '') FROM d")
+    assert(PgFunctions.rewrite("SELECT substring(t FROM '[^])](x)') FROM d") ==
+      "SELECT nullif(regexp_extract(t, '[^])](x)', 1), '') FROM d")
   }
 
   test("triggers inside literals/comments/identifiers stay verbatim") {
@@ -159,10 +187,12 @@ class PgFunctionsSpec extends AnyFunSuite {
       "SELECT '\\\\d+' FROM t")
     assert(PgStrings.escape("SELECT 'a''b\\n' FROM t") ==
       "SELECT 'a''b\\\\n' FROM t")
-    // E-strings already use backslash escapes: drop the E, keep body
+    // E-strings already use backslash escapes: drop the E, keep the
+    // body except \' which normalizes to '' (same Spark decode,
+    // scannable by the doubled-quote-only skipQuoted)
     assert(PgStrings.escape("SELECT E'\\n' FROM t") == "SELECT '\\n' FROM t")
     assert(PgStrings.escape("SELECT E'it\\'s' FROM t") ==
-      "SELECT 'it\\'s' FROM t")
+      "SELECT 'it''s' FROM t")
     // untouched: identifiers, comments, backslashes outside literals
     for (s <- Seq("SELECT \"a\\b\" FROM t",
       "SELECT x -- '\\d'\nFROM t",

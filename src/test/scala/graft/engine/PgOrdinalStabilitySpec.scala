@@ -1,0 +1,110 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positional GROUP BY / ORDER BY stability across the facade
+  * rewrites (the r15 verdict's #5): Postgres resolves `GROUP BY 1`
+  * against the select list, and every facade rewrite TRANSFORMS a
+  * select item in place — none may insert, delete, or split a
+  * top-level item, or the ordinal would silently re-bind to a
+  * different column. Pinned two ways: textually (top-level item count
+  * preserved through every rewrite, the ordinal text survives
+  * verbatim) and executed (the rewritten query groups/sorts by the
+  * same column Postgres would).
+  */
+class PgOrdinalStabilitySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  /** Top-level select-list item count of a single-SELECT statement
+    * (the FROM inside EXTRACT/substring stays at depth > 0). */
+  private def itemCount(sql: String): Int = {
+    val sel = sql.toUpperCase.indexOf("SELECT")
+    assert(sel >= 0, s"not a select: $sql")
+    var i = sel + 6
+    var depth = 0
+    var from = -1
+    while (i < sql.length && from < 0) {
+      sql(i) match {
+        case '\'' | '"' | '`' => i = PgSelect.skipQuoted(sql, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if depth == 0 && (c == 'f' || c == 'F') &&
+          PgSelect.wordAt(sql, i, "FROM") => from = i
+        case _ => i += 1
+      }
+    }
+    assert(from > sel, s"no top-level FROM: $sql")
+    PgSelect.splitTop(sql.substring(sel + 6, from)).size
+  }
+
+  test("every in-place rewrite preserves the top-level item count") {
+    // one trigger query per rewrite family, each with a GROUP BY / ORDER
+    // BY ordinal that must keep meaning the same output column
+    val triggers = Seq(
+      // q58: ordered array_agg → sorted-struct transform (item 2)
+      "SELECT lang, array_agg(doc_id ORDER BY doc_id DESC) AS ids FROM documents GROUP BY 1 ORDER BY 1",
+      // q61: EXTRACT(DOW) → dayofweek arithmetic (item 1)
+      "SELECT EXTRACT(DOW FROM CAST(ts AS TIMESTAMP)) AS dow, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      // q60: function spellings (items 2 and 3)
+      "SELECT doc_id, strpos(text, 'x') AS p, array_length(string_to_array(text, ' '), 1) AS n FROM documents ORDER BY 1",
+      // epoch + string_agg
+      "SELECT EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP)) AS e, string_agg(event_type, ',' ORDER BY event_id) AS ty FROM events GROUP BY 1 ORDER BY 1",
+      // regex-match operator with a cast chain on the left operand
+      "SELECT lang, count(*) FILTER (WHERE text::text ~ '[A-Z]') AS n FROM documents GROUP BY 1 ORDER BY 2")
+    for (q <- triggers) {
+      val r = PgSelect.rewrite(q)
+      assert(itemCount(r) == itemCount(q),
+        s"rewrite changed the select-list arity:\n  in:  $q\n  out: $r")
+      // the ordinal clauses survive verbatim — no renumbering
+      for (cl <- Seq("GROUP BY 1", "ORDER BY 1", "ORDER BY 2")
+           if q.contains(cl))
+        assert(r.contains(cl), s"rewrite dropped '$cl':\n  out: $r")
+    }
+  }
+
+  test("GROUP BY 1 binds to the REWRITTEN item: DOW arithmetic") {
+    import spark.implicits._
+    Seq("2021-07-04 10:00:00", "2021-07-05 10:00:00", "2021-07-05 11:00:00",
+        "2021-07-10 09:00:00")
+      .toDF("ts").createOrReplaceTempView("pg_ord_ev")
+    // Sunday=0 per Postgres; item 1 is rewritten to (dayofweek(..) - 1)
+    // and GROUP BY 1 must group by exactly that expression
+    val q = PgSelect.rewrite(
+      """SELECT CAST(EXTRACT(DOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+                CAST(count(*) AS BIGINT) AS n
+         FROM pg_ord_ev GROUP BY 1 ORDER BY 1""")
+    val rows = spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 1L), (1L, 2L), (6L, 1L)),
+      s"expected PG dow groups, got ${rows.toSeq} from:\n$q")
+  }
+
+  test("ordinals bind across the ordered-array_agg rewrite") {
+    import spark.implicits._
+    Seq(("b", 2L), ("a", 1L), ("b", 9L), ("a", 5L))
+      .toDF("k", "v").createOrReplaceTempView("pg_ord_t")
+    val q = PgSelect.rewrite(
+      """SELECT k, array_agg(v ORDER BY v DESC) AS vs
+         FROM pg_ord_t GROUP BY 1 ORDER BY 1""")
+    val rows = spark.sql(q).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList))
+    assert(rows.toSeq == Seq(("a", List(5L, 1L)), ("b", List(9L, 2L))),
+      s"got ${rows.toSeq} from:\n$q")
+  }
+
+  test("DISTINCT ON star expansion resolves ordinals against the expanded list") {
+    // the ONE rewrite that changes item arity (`*` → columns) resolves
+    // positional ORDER BY itself, against the EXPANDED flat list —
+    // which matches Postgres, whose ordinals address the flattened
+    // output columns of `*`
+    val schema: String => Option[Seq[String]] =
+      n => if (n == "t") Some(Seq("k", "v", "w")) else None
+    val r = PgSelect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) * FROM t ORDER BY 2 DESC", schema)
+    // ordinal 2 = v, the second expanded column
+    assert(r.contains("PARTITION BY k ORDER BY v DESC"), r)
+    // and an ordinal beyond the expanded width bails out loudly
+    val wide = "SELECT DISTINCT ON (k) * FROM t ORDER BY 4"
+    assert(PgSelect.rewriteDistinctOn(wide, schema) == wide)
+  }
+}

@@ -337,6 +337,32 @@ class PgSelectSpec extends AnyFunSuite {
       "SELECT x -- don't\nFROM t WHERE regexp_like(c , 'p')")
   }
 
+  test("a :: cast chain stays inside the regex-match left operand") {
+    // SQLAlchemy's col.cast(Text).regexp_match() spelling: the whole
+    // `x::text` is the operand — splitting at `::` would emit the
+    // invalid `x::regexp_like(text, ...)`
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE c::text ~ 'p'") ==
+      "SELECT x FROM t WHERE regexp_like(c::text , 'p')")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE t.c :: varchar(16) ~* 'p'") ==
+      "SELECT x FROM t WHERE regexp_like(t.c :: varchar(16) , concat('(?i)', 'p'))")
+    // chained casts and two-word type names ride along
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT c::text::varchar ~ 'p' FROM t") ==
+      "SELECT regexp_like(c::text::varchar , 'p') FROM t")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT (a + b)::double precision ~ 'p' FROM t") ==
+      "SELECT regexp_like((a + b)::double precision , 'p') FROM t")
+    // casts NOT followed by a match operator are untouched
+    for (s <- Seq("SELECT c::text FROM t",
+      "SELECT c::int8 + 1 FROM t WHERE d ~ 'p'"))
+      assert(PgSelect.rewriteRegexMatch(s).contains("::"), s)
+    // and the full chain composes with PgTypes: text maps to STRING
+    assert(PgSelect.rewrite("SELECT x FROM t WHERE c::text ~ '\\d'") ==
+      "SELECT x FROM t WHERE regexp_like(c::STRING , '\\d')")
+  }
+
   // ---- DOW / ISODOW / date_part --------------------------------------
 
   test("EXTRACT(DOW) gets the Postgres Sunday=0 correction; ISODOW maps to weekday+1") {

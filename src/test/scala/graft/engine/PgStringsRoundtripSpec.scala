@@ -40,6 +40,24 @@ class PgStringsRoundtripSpec extends AnyFunSuite {
       == "a\nb")
   }
 
+  test("E-string \\' normalizes to '' so downstream scanners stay in sync") {
+    // the escaped quote inside the E-string must come out in the
+    // doubled-quote convention — a surviving \' would flip skipQuoted's
+    // quote state and let later rewrites fire INSIDE string literals
+    val esc = PgStrings.escape("SELECT E'it\\'s' AS v")
+    assert(esc == "SELECT 'it''s' AS v")
+    assert(sparkDecodes("'it''s'") == "it's")
+    // an E-string with \' followed by a rewrite trigger: the trigger
+    // must still fire (quote state intact), and the literal is inert
+    val q = PgSelect.rewrite(PgStrings.escape(
+      "SELECT E'don\\'t' AS w, c ~ 'p' AS hit FROM t"))
+    assert(q == "SELECT 'don''t' AS w, regexp_like(c , 'p') AS hit FROM t")
+    // escaped backslash right before the closing quote stays paired
+    val bs = PgStrings.escape("SELECT E'a\\\\' AS v")
+    assert(bs == "SELECT 'a\\\\' AS v")
+    assert(sparkDecodes("'a\\\\'") == "a\\")
+  }
+
   test("the regex path end-to-end: PG '\\d+' matches digits, not the letter d") {
     val q = PgSelect.rewrite(PgJson.rewrite(PgStrings.escape(
       "SELECT 'x42' ~ '\\d+' AS hit, 'xdd' ~ '\\d+' AS miss")))
