@@ -60,6 +60,9 @@ object Bench {
         // probed flat in ScaleCheck r15 (0.6 s → 0.3 s at ×4)
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
         || q._1 == "tk05_bpe_fertility"
+        // tk06 is tk01's category: an iterative EM TRAINING loop
+        // (seed pass + 2 Viterbi/count rounds), not a query
+        || q._1 == "tk06_unigram_train"
         // pr01 is the same shape: ten sequential checkpointed rounds
         // whose wall measures the loop, not a query (edge join + agg
         // per round); its scale behavior is probed in ScaleCheck r9

@@ -252,6 +252,97 @@ case class BpeEncode(child: Expression, packedMerges: String)
     copy(child = newChild)
 }
 
+/** Unigram-LM (SentencePiece-style) tokenization in one native pass —
+  * the inference side of TextAnalysis.unigramTrain (Kudo 2018,
+  * "Subword Regularization", the unigram language model tokenizer).
+  * Each whitespace word is segmented by VITERBI: best[i] = max over
+  * pieces w[j..i) in the vocab of best[j] + logprob(piece), so the
+  * emitted segmentation maximizes the word's unigram log-likelihood.
+  * A character absent from the vocab scores `unkLogprob` (vocab
+  * min - 10), keeping every word segmentable. Ties break toward the
+  * LONGER final piece (deterministic across runs/partitions — the
+  * property every E-step count depends on). Like BpeEncode, the
+  * per-word dynamic program over a data-dependent vocab is the
+  * canonical native compute-object case: hopeless as composed column
+  * expressions, slow and codegen-breaking as a UDF. `packedVocab` is
+  * one "piece logprob" pair per line (pieces come from
+  * whitespace-split words, so they never contain spaces/newlines).
+  */
+case class UnigramEncode(child: Expression, packedVocab: String)
+    extends UnaryExpression {
+
+  @transient private lazy val (vocab, maxPieceLen, unkLogprob) = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    var maxLen = 1
+    var minLp = 0.0
+    if (packedVocab.nonEmpty)
+      packedVocab.split('\n').foreach { line =>
+        val sep = line.lastIndexOf(' ')
+        val piece = line.substring(0, sep)
+        val lp = java.lang.Double.parseDouble(line.substring(sep + 1))
+        m.put(piece, lp)
+        if (piece.length > maxLen) maxLen = piece.length
+        if (lp < minLp) minLp = lp
+      }
+    (m, maxLen, minLp - 10.0)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_unigram_encode expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(t: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    t.toString.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+      val n = w.length
+      val best = new Array[Double](n + 1)
+      val back = new Array[Int](n + 1) // piece start for position i
+      java.util.Arrays.fill(back, -1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        best(i) = Double.NegativeInfinity
+        var j = math.max(0, i - maxPieceLen)
+        // iterate j ascending = piece length descending: on an exact
+        // score tie the FIRST (longest) candidate wins
+        while (j < i) {
+          val piece = w.substring(j, i)
+          val lpObj = vocab.get(piece)
+          val lp =
+            if (lpObj != null) lpObj.doubleValue()
+            else if (i - j == 1) unkLogprob // unknown char fallback
+            else Double.NegativeInfinity
+          if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {
+            best(i) = best(j) + lp; back(i) = j
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // reconstruct pieces right-to-left, emit left-to-right
+      val rev = new scala.collection.mutable.ArrayBuffer[String]()
+      var p = n
+      while (p > 0) { val j = back(p); rev += w.substring(j, p); p = j }
+      var k = rev.length - 1
+      while (k >= 0) { out += UTF8String.fromString(rev(k)); k -= 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEncode", this, classOf[UnigramEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
 /** Unicode normalization + optional casefold in one native pass — the
   * canonical first step of any text-dedup/curation pipeline (the same
   * logical doc arrives NFC from one crawl and NFD from another; CJK
@@ -317,6 +408,11 @@ object TextFunctions {
         exprs(1).eval(null).asInstanceOf[UTF8String].toString),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unigram_encode",
+      exprs => UnigramEncode(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unorm",
       exprs => UnicodeNormalize(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString,
@@ -348,6 +444,15 @@ object TextFunctions {
     org.apache.spark.sql.functions.call_function("graft_bpe_encode",
       text, org.apache.spark.sql.functions.lit(
         merges.map { case (l, r) => s"$l $r" }.mkString("\n")))
+
+  /** Column API: unigram-LM (Viterbi) tokenize a string column with a
+    * learned (piece, logprob) vocab — e.g. straight from
+    * TextAnalysis.unigramTrain's output.
+    */
+  def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
+    org.apache.spark.sql.functions.call_function("graft_unigram_encode",
+      text, org.apache.spark.sql.functions.lit(
+        vocab.map { case (p, lp) => s"$p $lp" }.mkString("\n")))
 
   /** Column API: Unicode-normalize (+ optional ROOT casefold) a string
     * column. form ∈ NFC/NFD/NFKC/NFKD.

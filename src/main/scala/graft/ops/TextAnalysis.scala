@@ -482,6 +482,101 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Distributed unigram-LM (SentencePiece-style) tokenizer training
+    * (Kudo 2018, "Subword Regularization: Improving Neural Network
+    * Translation Models with Multiple Subword Candidates"): learn a
+    * `vocabSize` piece vocabulary with expected-count probabilities —
+    * the one major tokenizer family BPE (tk01) doesn't cover.
+    *
+    * Scale shape: the only corpus-sized pass is the (word, count)
+    * vocabulary build — ONE explode+groupBy with map-side combine, the
+    * same pass bpeTrain starts from. Everything after runs against the
+    * distinct-words frame:
+    *  - SEED: every ≤ `maxPieceLen`-char substring of every distinct
+    *    word, count-weighted (nested transform + flatten, a pure
+    *    map-side expand of the words frame), scored freq × len (the
+    *    paper's frequent-substrings seed); top seed pieces + ALL
+    *    single characters (coverage guarantee).
+    *  - E-step: hard-EM expected counts — each distinct word Viterbi-
+    *    segments under the broadcast vocab at scan speed (the native
+    *    UnigramEncode expression, tk02's compute-object pattern),
+    *    weighted by word count; one (piece, count) shuffle whose key
+    *    space is the vocab, not the corpus.
+    *  - M-step + PRUNE: logprob = ln(count/total) from exact integer
+    *    counts; keep the top `vocabSize` pieces by expected count.
+    *    Single chars with nonzero expected count are never crowded
+    *    out by multi-char pieces; chars that appear in NO Viterbi
+    *    path drop out, and encoding stays total via UnigramEncode's
+    *    unknown-char fallback score. Fixed `rounds` iterations.
+    *
+    * Driver state is BOUNDED by construction: the collected frames are
+    * the seed (≤ 4×vocabSize rows) and per-round counts (≤ vocab +
+    * alphabet rows) — the k-means-codebook discipline, never the
+    * corpus. Deterministic end-to-end: integer count sums, total
+    * orderings with piece tie-breaks, and UnigramEncode's longest-
+    * piece tie rule (reference analog: lagoon has no tokenizer — this
+    * extends the LLM-pipeline family; Kudo 2018 §3 is the spec, like
+    * Sennrich 2016 for tk01).
+    *
+    * Returns (rank, piece, expectedCount, logprob) rows, rank 1..N by
+    * (count desc, piece asc).
+    */
+  def unigramTrain(df: DataFrame, vocabSize: Int, rounds: Int = 2,
+                   maxPieceLen: Int = 4,
+                   text: Column = col("text")): Seq[(Int, String, Long, Double)] = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
+    val spark = df.sparkSession
+    graft.functions.TextFunctions.register(spark)
+    val words = df.select(explode(split(text, "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    words.count()
+    try {
+      // ---- seed: count-weighted substrings of the distinct words ----
+      val subs = words.select(col("cnt"), explode(flatten(
+          transform(sequence(lit(0), length(col("w")) - 1), s =>
+            transform(sequence(lit(1),
+                least(lit(maxPieceLen), length(col("w")) - s)), l =>
+              col("w").substr(s + lit(1), l))))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      val seedSize = vocabSize * 4
+      val multi = subs.filter(length(col("piece")) >= 2)
+        .orderBy((col("freq") * length(col("piece"))).desc, col("piece").asc)
+        .limit(seedSize)
+        .select(col("piece"), col("freq")).collect()
+      val chars = subs.filter(length(col("piece")) === 1)
+        .select(col("piece"), col("freq")).collect()
+      def toVocab(rows: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = rows.map(_._2).sum.toDouble
+        rows.map { case (p, c) => (p, math.log(c / total)) }
+      }
+      var vocab = toVocab(
+        (chars ++ multi).map(r => (r.getString(0), r.getLong(1))).toSeq)
+      var lastCounts: Seq[(String, Long)] = Seq.empty
+      // ---- hard-EM rounds: Viterbi E-step, count M-step, prune ----
+      for (_ <- 1 to rounds) {
+        val counts = words.select(col("cnt"), explode(
+            graft.functions.TextFunctions.unigram_encode(col("w"), vocab))
+            .as("piece"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+          .collect() // bounded: ≤ |vocab| + alphabet rows
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (p, c) => (-c, p) }
+        val (single, multiC) = counts.partition(_._1.length == 1)
+        val keep = single ++ multiC.take(math.max(0, vocabSize - single.length))
+        lastCounts = keep.sortBy { case (p, c) => (-c, p) }.toSeq
+        vocab = toVocab(lastCounts)
+      }
+      val lp = vocab.toMap
+      lastCounts.take(vocabSize).zipWithIndex.map { case ((p, c), i) =>
+        (i + 1, p, c, lp(p))
+      }
+    } finally words.unpersist()
+  }
+
   /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
     * of a tokenizer pipeline. One explode + one count groupBy (map-side
     * partial combine collapses frequent tokens per partition, so the

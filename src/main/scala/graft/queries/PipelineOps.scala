@@ -717,6 +717,46 @@ object PipelineOps {
                ('t', CAST(5343 AS BIGINT)))
                t(tok, n) ORDER BY tok""")),
 
+    // tk06: distributed unigram-LM (SentencePiece-style) tokenizer
+    // training (Kudo 2018) — hard-EM: seed = count-weighted frequent
+    // substrings of the distinct-words frame + all chars; E-step =
+    // per-word Viterbi under the broadcast vocab (native UnigramEncode
+    // expression, scan speed); M-step = ONE (piece, count) shuffle;
+    // prune to vocabSize, 2 fixed rounds. Like tk01, DuckDB can't
+    // replay the EM loop, so the top-12 (rank, piece, expected count,
+    // logprob) rows are PINNED from the sf0.01 corpus — the exact
+    // integers pin the seed scoring, the Viterbi tie rule, and both
+    // EM rounds; the logprob doubles are shortest-repr exact
+    // (ln(count/total) of pinned integers). The learned pieces are
+    // real subwords of the corpus vocabulary (join, hash, cust|omer,
+    // filt|er), not char soup — the qualitative check BPE's golden
+    // gate (tk01) makes too.
+    NamedQuery("tk06_unigram_train",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.unigramTrain(docs(s, d), vocabSize = 48,
+            rounds = 2, maxPieceLen = 4)
+          .take(12)
+          .toDF("rank", "piece", "n", "logprob")
+          .orderBy("rank")
+      },
+      Some("""SELECT rank, piece, n, CAST(logprob AS DOUBLE) AS logprob
+             FROM (VALUES
+               (1, 'e', CAST(2723 AS BIGINT), '-2.7071194216297307'),
+               (2, 's', CAST(1808 AS BIGINT), '-3.1166323733513686'),
+               (3, 'join', CAST(964 AS BIGINT), '-3.7455176196929445'),
+               (4, 'hash', CAST(947 AS BIGINT), '-3.7633098211174123'),
+               (5, 'row', CAST(943 AS BIGINT), '-3.767542631670033'),
+               (6, 'batc', CAST(937 AS BIGINT), '-3.773925632065068'),
+               (7, 'h', CAST(937 AS BIGINT), '-3.773925632065068'),
+               (8, 'scan', CAST(936 AS BIGINT), '-3.7749934378258985'),
+               (9, 'co', CAST(934 AS BIGINT), '-3.7771324760746476'),
+               (10, 'cust', CAST(934 AS BIGINT), '-3.7771324760746476'),
+               (11, 'lumn', CAST(934 AS BIGINT), '-3.7771324760746476'),
+               (12, 'omer', CAST(934 AS BIGINT), '-3.7771324760746476'))
+               t(rank, piece, n, logprob)
+             ORDER BY rank""")),
+
     // Gopher-style within-doc repetition fractions. The synthetic
     // word-soup corpus repeats heavily (vocab ~31 words), so both
     // fractions carry real signal here — and the oracle pins the

@@ -161,6 +161,35 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("unigram_encode: Viterbi max-likelihood, tie→longer, unk fallback") {
+    TextFunctions.register(spark)
+    val ln = (p: Double) => math.log(p)
+    // "ab" one piece (-0.916) beats "a"+"b" (-2.41): Viterbi picks it
+    val v1 = Seq(("ab", ln(0.4)), ("a", ln(0.3)), ("b", ln(0.3)))
+    val df = Seq((1L, "ab"), (2L, "abab b")).toDF("id", "text")
+    val e = df.orderBy("id")
+      .select(TextFunctions.unigram_encode($"text", v1).as("t")).collect()
+    assert(e(0).getSeq[String](0) == Seq("ab"))
+    assert(e(1).getSeq[String](0) == Seq("ab", "ab", "b"))
+    // exact score tie ("aa" = -2.0 vs "a","a" = -1.0 + -1.0): the
+    // LONGER piece wins — the determinism rule every E-step count
+    // depends on
+    val v2 = Seq(("aa", -2.0), ("a", -1.0))
+    val tie = Seq((1L, "aa")).toDF("id", "text")
+      .select(TextFunctions.unigram_encode($"text", v2).as("t"))
+      .head.getSeq[String](0)
+    assert(tie == Seq("aa"))
+    // a char absent from the vocab segments as itself via the unk
+    // fallback; words and empties tokenize like the BPE contract
+    val v3 = Seq(("a", -1.0))
+    val unk = Seq((1L, "axa"), (2L, ""), (3L, "  a  a ")).toDF("id", "text")
+      .orderBy("id")
+      .select(TextFunctions.unigram_encode($"text", v3).as("t")).collect()
+    assert(unk(0).getSeq[String](0) == Seq("a", "x", "a"))
+    assert(unk(1).getSeq[String](0) == Seq.empty[String])
+    assert(unk(2).getSeq[String](0) == Seq("a", "a"))
+  }
+
   test("bpe_encode == independent reference encoder on generated inputs (fuzz)") {
     // straight-line reference: per word, repeatedly apply the
     // HIGHEST-priority pair present (immutable-list rebuild — written

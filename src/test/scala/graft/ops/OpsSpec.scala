@@ -1013,6 +1013,34 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.bpeTrain(corpus, 0) }
   }
 
+  test("unigramTrain: whole-word pieces win, counts reconcile, deterministic") {
+    // a corpus of two words: "abcd" (40×) and "abxy" (10×). The seed
+    // scores "abcd" (freq 40 × len 4 = 160) top; Viterbi then gives
+    // every "abcd" occurrence ONE piece (k pieces multiply k
+    // sub-unity probabilities — a whole-word piece always beats its
+    // own splits), so its expected count equals its word count
+    val corpus = (Seq.fill(20)("abcd abcd") ++ Seq.fill(10)("abxy"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val v = TextAnalysis.unigramTrain(corpus, vocabSize = 8,
+      rounds = 2, maxPieceLen = 4)
+    val byPiece = v.map(r => r._2 -> r._3).toMap
+    assert(byPiece("abcd") == 40L, s"got $v")
+    assert(byPiece("abxy") == 10L, s"got $v")
+    // ranks are (count desc, piece asc): abcd before abxy
+    assert(v.head._2 == "abcd" && v.head._1 == 1)
+    // logprob = ln(count/total) of exact integers
+    val total = v.map(_._3).sum.toDouble
+    assert(math.abs(v.head._4 - math.log(40.0 / total)) < 1e-12)
+    // deterministic across invocations (the tk06 pin's contract)
+    assert(TextAnalysis.unigramTrain(corpus, 8, 2, 4) == v)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTrain(corpus, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTrain(corpus, 8, rounds = 2, maxPieceLen = 1)
+    }
+  }
+
   test("resample: aligned daily grid, forward fill, nulls before first obs") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
