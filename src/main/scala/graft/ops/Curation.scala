@@ -408,6 +408,63 @@ object Curation {
         (col("start_tok") % window).as("offset_in_pack"))
   }
 
+  /** Token-budgeted shard plan (pp10's planner): assign every doc a
+    * training-order position (deterministicShuffle — one distributed
+    * range sort, sh01's primitive), the exclusive running token count
+    * before it, and the shard its FIRST token lands in
+    * (`start_tok div budgetTokens`, pk01's concatenate-then-chunk rule
+    * lifted to shard granularity). The global prefix sum is the
+    * BUCKETED two-level primitive (Stats.cumCountsByValue over the
+    * unique pos key): per-bucket partial sums + a ≤1024-row driver
+    * scan + a per-bucket window — never a single-partition global
+    * window, so the plan holds at any corpus size. Exact integer
+    * arithmetic throughout (`div`, not a double floor: 100 TB token
+    * offsets exceed double's 2^53 mantissa).
+    */
+  def shardPlan(df: DataFrame, key: Column, seed: String,
+                budgetTokens: Long,
+                tokens: Column = size(split(col("text"), " "))
+                  .cast("long")): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val tokCol = "__shard_tok"
+    require(!df.columns.contains(tokCol), s"column $tokCol would be clobbered")
+    val shuffled = deterministicShuffle(
+      df.withColumn(tokCol, tokens), key, seed)
+    val cum = graft.ops.Stats.cumCountsByValue(
+        shuffled.select(col("pos"), col(tokCol)), "pos", Seq(tokCol))
+      .select(col("pos"), col(s"cum_${tokCol}_below").as("start_tok"))
+    shuffled.join(cum, "pos")
+      .withColumn("shard", expr(s"start_tok div $budgetTokens"))
+      .withColumnRenamed(tokCol, "n_tokens")
+  }
+
+  /** Shard materialization (pp10): LAND the prepared training mix as
+    * one shard-partitioned parquet layout plus a manifest — the step
+    * every upstream stage (clean → dedup → sample → pack) exists to
+    * feed, and the one the pipeline previously stopped short of.
+    * Writes `partitionBy(shard)` (bb01's layout discipline: a trainer
+    * reads shard k as one directory, no shuffle), then derives the
+    * manifest FROM THE LANDED FILES — a read-back of the written
+    * parquet, so every manifest row (doc/token counts, position
+    * range per shard) proves bytes on disk, not intent. Returns the
+    * manifest (shard, n_docs, n_tokens, pos_min, pos_max) ordered by
+    * shard; exact integers end-to-end.
+    */
+  def shardMaterialize(df: DataFrame, outDir: String, key: Column,
+                       seed: String, budgetTokens: Long,
+                       tokens: Column = size(split(col("text"), " "))
+                         .cast("long")): DataFrame = {
+    val planned = shardPlan(df, key, seed, budgetTokens, tokens)
+    planned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"))
+      .orderBy("shard")
+  }
+
   /** Per-document overlapping chunks (ck01) — the RAG/embedding-index
     * splitter: fixed `window`-token chunks that overlap the previous
     * chunk by `overlap` tokens (stride = window - overlap). A chunk

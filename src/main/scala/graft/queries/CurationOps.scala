@@ -502,6 +502,41 @@ object CurationOps {
                 CAST(start_tok % 256 AS BIGINT) AS offset_in_pack
               FROM c ORDER BY doc_id""")),
 
+    // pp10: shard MATERIALIZATION — the writer that lands the training
+    // mix (the stage the pipeline previously stopped short of):
+    // deterministic order (sh01's md5 shuffle), token-budgeted shard
+    // boundaries (bucketed prefix sum — pk01's running-sum rule at
+    // shard granularity, never a global window), one
+    // partitionBy(shard) parquet write (bb01's layout), manifest
+    // derived from the LANDED files (read-back, so the gate's rows
+    // prove bytes on disk). The oracle replays order, running sum and
+    // integer shard boundaries; ShardMaterializeSpec asserts the
+    // filesystem side (per-shard dirs/files, row-count roundtrip).
+    NamedQuery("pp10_shard_materialize",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp10").toString
+        Curation.shardMaterialize(docs(s, d), tmp, col("doc_id"),
+          seed = "pp10", budgetTokens = 8000L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp10#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents),
+              c AS (SELECT pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_tok
+                  FROM t)
+             SELECT CAST(start_tok // 8000 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(pos) AS BIGINT) AS pos_min,
+               CAST(max(pos) AS BIGINT) AS pos_max
+             FROM c GROUP BY 1 ORDER BY shard""")),
+
     // ck01: per-doc overlapping RAG chunks (32-token windows, 8-token
     // overlap → stride 24); zero-shuffle map-side expand, chunks keyed
     // by (doc_id, chunk_no) with the md5 of the chunk text. The oracle
