@@ -1185,6 +1185,70 @@ object ScaleCheck {
     }
   }
 
+  /** Round-16 probes (`runMain graft.ScaleCheck r16`):
+    * 1. the WHOLE pp02 training-prep composition (exact dedup →
+    *    13-gram decontamination → stratified sample → leakage-safe
+    *    split → stats) at ×1/×4 replicas — the per-stage probes are
+    *    on record (dd01/dc01/sp01/sp02); this is the cross-stage
+    *    number: does the full path hold its slope, with no stage
+    *    recomputed (the companion plan assertion lives in
+    *    PlanQualitySpec "pp02 composed").
+    * 2. tk06's unigram-LM EM training — the seed substring pass and
+    *    the Viterbi E-step both ride the DISTINCT-WORDS frame, so the
+    *    wall must grow with the vocabulary (sublinear in docs), while
+    *    the one corpus-sized pass (word counting) stays scan-bound.
+    * 3. pp10's shard plan — a distributed range sort + the bucketed
+    *    prefix sum + integer boundary math; must track Spark's native
+    *    sort slope (~linear).
+    */
+  private def r16Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // pp02 composed: replicas shift doc_id (new md5 draws, new eval
+    // membership) and perturb text (new grams/dedup keys) — each
+    // replica behaves like genuinely new corpus, so candidate sets
+    // and gram tables grow with the input like real data
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"), col("source"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"pp02-composed x$mult docs=$n")(
+        graft.queries.CurationOps.pp02From(docs).count())
+      docs.unpersist()
+    }
+    // tk06: unigram EM — distinct words grow with the z$i interleave,
+    // so the vocab-frame passes are exercised, not just the scan
+    for (mult <- Seq(5, 20)) {
+      val docs = (0 until mult).map(i =>
+          base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"tk06 x$mult docs=$n")(
+        graft.ops.TextAnalysis.unigramTrain(docs, vocabSize = 48,
+          rounds = 2, maxPieceLen = 4).size.toLong)
+      docs.unpersist()
+    }
+    // pp10: synthetic corpus so the doc count is the only variable;
+    // aggregate over the plan's outputs so nothing prunes away
+    for (m <- Seq(1, 4)) {
+      val n = 1000000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 97 + 20).as("tok"), lit("").as("text"))
+      time(s"pp10-plan x$m docs=$n")(
+        graft.ops.Curation.shardPlan(docs, col("doc_id"), "probe",
+            budgetTokens = 1L << 20, tokens = col("tok"))
+          .agg(sum(col("shard") + col("start_tok") % 7)).head.getLong(0))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -1310,6 +1374,11 @@ object ScaleCheck {
     }
     if (path == "r15") {
       r15Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r16") {
+      r16Scale(spark)
       spark.stop()
       return
     }

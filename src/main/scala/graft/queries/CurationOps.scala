@@ -26,8 +26,12 @@ object CurationOps {
   // (lang, split) doc/token counts. Every stage reuses an operator
   // already gated on its own (dd01/dc01/sp01/sp02), so the oracle is
   // a composition of proven fragments; outputs are exact integers.
-  private def pp02(s: SparkSession, d: String): DataFrame = {
-    val ds = docs(s, d)
+  private def pp02(s: SparkSession, d: String): DataFrame =
+    pp02From(docs(s, d))
+
+  /** The composed pipeline over any documents frame — shared by the
+    * gate and ScaleCheck r16's whole-composition ×4 probe. */
+  def pp02From(ds: DataFrame): DataFrame = {
     val keep = graft.ops.Dedup.exact(ds).select(col("keep_id").as("doc_id"))
     val deduped = ds.join(keep, "doc_id")
     val eval = ds.filter(col("doc_id") % 97 === 0)

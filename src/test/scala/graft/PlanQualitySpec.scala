@@ -135,6 +135,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pb.contains("LeftAnti"), "hot-line removal should be an anti-join")
   }
 
+  test("pp02 composed: the full training-prep path scans documents exactly 5 times") {
+    // clean → dedup → decontaminate → sample → split → stats, composed.
+    // The five scans are structural (dedup group-collect, keeper
+    // join-back, eval grams, train grams, contamination join-back);
+    // everything downstream is projection/filter/agg on those
+    // subtrees. A refactor that silently RECOMPUTES a stage (e.g.
+    // duplicates the dedup subtree per consumer) raises the count and
+    // fails here — the companion ×4 wall probe is ScaleCheck r16.
+    val df = queries.CurationOps.pp02From(Tables.load(spark, dir, "documents"))
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 5, s"pp02 composition scans documents $scans times (want 5)")
+  }
+
   test("tx12: bigram counting aggregates partially before the shuffle") {
     val p = ops.TextAnalysis.bigramLogppl(Tables.load(spark, dir, "documents"))
       .queryExecution.executedPlan.toString
