@@ -61,8 +61,10 @@ object Bench {
         || q._1 == "tk01_bpe_merges" || q._1 == "tk02_bpe_encode"
         || q._1 == "tk05_bpe_fertility"
         // tk06 is tk01's category: an iterative EM TRAINING loop
-        // (seed pass + 2 Viterbi/count rounds), not a query
-        || q._1 == "tk06_unigram_train"
+        // (seed pass + 2 Viterbi/count rounds), not a query; tk07's
+        // gate re-runs that training before its one-scan encode
+        // (tk05's relationship to tk01)
+        || q._1 == "tk06_unigram_train" || q._1 == "tk07_unigram_encode"
         // pr01 is the same shape: ten sequential checkpointed rounds
         // whose wall measures the loop, not a query (edge join + agg
         // per round); its scale behavior is probed in ScaleCheck r9
@@ -331,6 +333,26 @@ object Bench {
     }
     dropLeftoverBlocks()
     val engineTotal = (System.nanoTime() - engineT0) / 1e9
+    // ---- standing rowGuarded sentinel (r15 verdict #6): cf01/cf02
+    // have twice read high in driver artifacts on untouched code
+    // (weather both times, per the solo re-runs) — so every round now
+    // records one SOLO, quiet-state pass each, same session, right
+    // after the concurrent noise has been cleaned up. A real
+    // rowGuarded regression shows here as solo >> the recorded ~2.8/
+    // 4.0 s bests; weather does not (solo passes are sequential and
+    // the adjacent probes bracket them).
+    val sentinelSet = Seq("cf01_basket_lift", "cf02_item_cosine")
+      .filter(n => SparkEntry.queries.contains(n) &&
+        sys.env.get("SPARK_GRAFT_ONLY").forall(_.split(',').contains(n)))
+    val sentinel: Map[String, Double] = sentinelSet.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) =>
+        errors.synchronized { errors += name } }
+      val t = (System.nanoTime() - t0) / 1e9
+      dropLeftoverBlocks()
+      name -> t
+    }.toMap
     // Detail line first (cold dict, then warm dict), COMPACT summary
     // line LAST: the driver keeps only the final ~2000 chars of
     // stdout, so the line it can always capture and parse whole must
@@ -397,7 +419,7 @@ object Bench {
     // the JIT-settling trace (last entry == probes[0], the settled
     // reading): lets a reader separate warm-up from interference
     val warmupJson = probeWarmup.map(f2).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"engine_par":$enginePar,"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = WALL of one engine_par-way concurrent pass over the non-headline flow gates (drift detection only; per-gate walls measured under that concurrency); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"engine_par":$enginePar,"sentinel":${dict(sentinel)},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = WALL of one engine_par-way concurrent pass over the non-headline flow gates (drift detection only; per-gate walls measured under that concurrency); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -541,6 +541,51 @@ object CurationOps {
                CAST(max(pos) AS BIGINT) AS pos_max
              FROM c GROUP BY 1 ORDER BY shard""")),
 
+    // pp11: per-shard MIX audit — the "mix shares" column family of
+    // pp10's manifest, kept as its own long-form gate so the manifest
+    // stays narrow: per (shard, lang) doc/token counts plus the
+    // lang's exact token share of its shard in basis points (integer
+    // arithmetic — 10000·lang_tokens div shard_tokens — so the oracle
+    // replay is exact, no double division). This is the readout a mix
+    // controller checks before a training run: does every shard carry
+    // the intended language distribution, or did the deterministic
+    // shuffle leave a stratum clumped?
+    NamedQuery("pp11_shard_mix",
+      (s, d) => {
+        val plan = Curation.shardPlan(docs(s, d), col("doc_id"),
+          seed = "pp10", budgetTokens = 8000L)
+        val perLang = plan.groupBy(col("shard"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+        val perShard = plan.groupBy(col("shard"))
+          .agg(sum(col("n_tokens")).as("shard_tokens"))
+        perLang.join(perShard, "shard")
+          .select(col("shard"), col("lang"), col("n_docs"), col("n_tokens"),
+            expr("(10000 * n_tokens) div shard_tokens").as("share_bp"))
+          .orderBy("shard", "lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp10#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents),
+              c AS (SELECT lang, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t),
+              pl AS (SELECT shard, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                     FROM c GROUP BY 1, 2),
+              ps AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+                     FROM pl GROUP BY 1)
+             SELECT pl.shard, lang, n_docs, n_tokens,
+               CAST((10000 * n_tokens) // shard_tokens AS BIGINT) AS share_bp
+             FROM pl JOIN ps ON pl.shard = ps.shard
+             ORDER BY pl.shard, lang""")),
+
     // ck01: per-doc overlapping RAG chunks (32-token windows, 8-token
     // overlap → stride 24); zero-shuffle map-side expand, chunks keyed
     // by (doc_id, chunk_no) with the md5 of the chunk text. The oracle

@@ -757,6 +757,43 @@ object PipelineOps {
                t(rank, piece, n, logprob)
              ORDER BY rank""")),
 
+    // tk07: unigram-LM ENCODING with the learned vocab (native
+    // UnigramEncode Viterbi expression): train tk06's 48-piece vocab,
+    // tokenize the whole corpus at scan speed, pin the top-10 piece
+    // frequencies + total token count — train + encode in one gate
+    // proves the two halves agree on the (piece, logprob) format,
+    // exactly the tk02 discipline for BPE. Corpus-side sanity: the
+    // total is FEWER pieces than whitespace words × chars (Viterbi
+    // prefers whole-word pieces) and every piece count reconciles
+    // with tk06's expected counts by construction (same E-step).
+    NamedQuery("tk07_unigram_encode",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val vocab = TextAnalysis.unigramTrain(docs(s, d), vocabSize = 48,
+          rounds = 2, maxPieceLen = 4).map(v => (v._2, v._4))
+        val toks = docs(s, d).select(explode(
+          graft.functions.TextFunctions.unigram_encode(col("text"), vocab))
+          .as("piece"))
+        val top = toks.groupBy(col("piece")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("piece").asc).limit(10)
+        top.unionByName(toks.agg(count(lit(1)).as("n"))
+            .select(lit("__total__").as("piece"), col("n")))
+          .orderBy("piece")
+      },
+      Some("""SELECT * FROM (VALUES
+               ('__total__', CAST(40807 AS BIGINT)),
+               ('batc', CAST(937 AS BIGINT)),
+               ('co', CAST(934 AS BIGINT)),
+               ('cust', CAST(934 AS BIGINT)),
+               ('e', CAST(2723 AS BIGINT)),
+               ('h', CAST(937 AS BIGINT)),
+               ('hash', CAST(947 AS BIGINT)),
+               ('join', CAST(964 AS BIGINT)),
+               ('row', CAST(943 AS BIGINT)),
+               ('s', CAST(1808 AS BIGINT)),
+               ('scan', CAST(936 AS BIGINT)))
+               t(piece, n) ORDER BY piece""")),
+
     // Gopher-style within-doc repetition fractions. The synthetic
     // word-soup corpus repeats heavily (vocab ~31 words), so both
     // fractions carry real signal here — and the oracle pins the
