@@ -72,10 +72,10 @@ object Bench {
         // bb01 spends its time WRITING the bucketed tables (the point
         // is the zero-exchange read plan, asserted in PlanQualitySpec)
         || q._1 == "bb01_bucketed_join"
-        // pp10 is bb01's category: a partitioned parquet WRITE + a
-        // read-back manifest — wall time measures the landing, not a
+        // pp10/pp12 are bb01's category: partitioned parquet WRITEs +
+        // read-back manifests — wall time measures the landing, not a
         // query (the shard plan itself is probed in ScaleCheck r16)
-        || q._1 == "pp10_shard_materialize"
+        || q._1 == "pp10_shard_materialize" || q._1 == "pp12_shard_append"
         // st08 writes fixture file-batches then drives a streaming
         // query against them — a correctness verdict like st06
         || q._1 == "st08_rollup_ingest"

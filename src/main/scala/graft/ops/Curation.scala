@@ -465,6 +465,44 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Incremental shard APPEND (pp12): extend an existing pp10 landing
+    * with a new batch WITHOUT touching landed shards — the
+    * append-only discipline a rolling ingest needs (dd07's
+    * incremental rule applied to the landing: closed artifacts are
+    * immutable; new work gets new ids). The new batch is planned
+    * independently (own deterministic order, own running sum) and its
+    * shard numbers/positions start AFTER the landed maxima — no
+    * rebalancing, so the old landing's final shard may stay underfull
+    * (the standard log-structured tradeoff; visible in the manifest
+    * as one short shard per append). The two driver lookups are
+    * single-row aggregates over the landed frame's partition/metadata
+    * columns. Returns the COMBINED manifest from a read-back of the
+    * whole landing.
+    */
+  def shardAppend(newDocs: DataFrame, outDir: String, key: Column,
+                  seed: String, budgetTokens: Long,
+                  tokens: Column = size(split(col("text"), " "))
+                    .cast("long")): DataFrame = {
+    val spark = newDocs.sparkSession
+    val landed = spark.read.parquet(outDir)
+    val head = landed.agg(
+      max(col("shard").cast("long")), max(col("pos"))).head
+    require(!head.isNullAt(0), s"no landed shards under $outDir — " +
+      "use shardMaterialize for the first batch")
+    val (maxShard, maxPos) = (head.getLong(0), head.getLong(1))
+    val planned = shardPlan(newDocs, key, seed, budgetTokens, tokens)
+      .withColumn("shard", col("shard") + lit(maxShard + 1))
+      .withColumn("pos", col("pos") + lit(maxPos))
+    planned.write.mode("append").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"))
+      .orderBy("shard")
+  }
+
   /** Per-document overlapping chunks (ck01) — the RAG/embedding-index
     * splitter: fixed `window`-token chunks that overlap the previous
     * chunk by `overlap` tokens (stride = window - overlap). A chunk

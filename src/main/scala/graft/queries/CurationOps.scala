@@ -541,6 +541,57 @@ object CurationOps {
                CAST(max(pos) AS BIGINT) AS pos_max
              FROM c GROUP BY 1 ORDER BY shard""")),
 
+    // pp12: incremental shard APPEND — land 80% of the corpus, then
+    // append the remaining 20% as a second batch: the new shards
+    // number PAST the landed max, positions continue past the landed
+    // max, and no landed shard is rewritten (the spec asserts phase-1
+    // files byte-stable). The oracle replays BOTH phases: two
+    // independent md5 orders + running sums, phase-2 boundaries
+    // offset by phase-1's maxima.
+    NamedQuery("pp12_shard_append",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp12").toString
+        val ds = docs(s, d)
+        Curation.shardMaterialize(ds.filter(col("doc_id") % 5 =!= 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L).count()
+        Curation.shardAppend(ds.filter(col("doc_id") % 5 === 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L)
+      },
+      Some("""WITH t1 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 <> 0),
+              c1 AS (SELECT pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t1),
+              m1 AS (SELECT max(shard) AS mxs, max(pos) AS mxp FROM c1),
+              t2 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 = 0),
+              c2 AS (SELECT pos + (SELECT mxp FROM m1) AS pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT)
+                      + (SELECT mxs FROM m1) + 1 AS shard
+                  FROM t2),
+              u AS (SELECT shard, pos, n_tokens FROM c1
+                    UNION ALL SELECT shard, pos, n_tokens FROM c2)
+             SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(pos) AS BIGINT) AS pos_min,
+               CAST(max(pos) AS BIGINT) AS pos_max
+             FROM u GROUP BY 1 ORDER BY shard""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

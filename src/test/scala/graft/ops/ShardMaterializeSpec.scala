@@ -63,4 +63,44 @@ class ShardMaterializeSpec extends AnyFunSuite {
       seed = "spec", budgetTokens = 50L).collect()
     assert(again.map(_.toSeq).toSeq == manifest.map(_.toSeq).toSeq)
   }
+
+  test("shardAppend numbers past the landed maxima and rewrites nothing") {
+    import spark.implicits._
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pp12spec").toString
+    val m1 = Curation.shardMaterialize(corpus(1 to 12), tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).collect()
+    // snapshot the landed files: (path, size) — append must not touch them
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tmp)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = listing()
+    val maxShard1 = m1.map(_.getLong(0)).max
+    val maxPos1 = m1.map(_.getLong(4)).max
+    val m2 = Curation.shardAppend(corpus(13 to 20), tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).collect()
+    // phase-1 files byte-stable (same paths, same sizes)
+    val after = listing()
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) },
+      "append rewrote landed phase-1 files")
+    // new shards strictly past the landed max; positions continue
+    val newShards = m2.map(_.getLong(0)).filterNot(s =>
+      m1.exists(_.getLong(0) == s) &&
+        m2.find(_.getLong(0) == s).get.toSeq == m1.find(_.getLong(0) == s).get.toSeq)
+    assert(newShards.forall(_ > maxShard1), s"new shards $newShards")
+    assert(m2.map(_.getLong(4)).max == maxPos1 + 8)
+    // combined totals reconcile
+    assert(m2.map(_.getLong(1)).sum == 20L)
+    assert(m2.map(_.getLong(2)).sum == 100L)
+    // appending to an empty dir is a loud error, not a silent first write
+    val empty = java.nio.file.Files.createTempDirectory("pp12empty").toString
+    intercept[Exception] {
+      Curation.shardAppend(corpus(1 to 3), empty, col("doc_id"),
+        seed = "spec", budgetTokens = 20L).collect()
+    }
+  }
 }
