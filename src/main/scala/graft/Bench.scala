@@ -77,8 +77,10 @@ object Bench {
         // query (the shard plan itself is probed in ScaleCheck r16)
         || q._1 == "pp10_shard_materialize" || q._1 == "pp12_shard_append"
         // st08 writes fixture file-batches then drives a streaming
-        // query against them — a correctness verdict like st06
-        || q._1 == "st08_rollup_ingest"
+        // query against them — a correctness verdict like st06;
+        // st12 is the same shape (fixture batches → streaming shard
+        // landing → manifest read-back)
+        || q._1 == "st08_rollup_ingest" || q._1 == "st12_shard_landing"
         // em09 is em07's category: projection + a full covariance
         // re-audit (driver Jacobi both sides) to emit booleans
         || q._1 == "em09_pca_project"

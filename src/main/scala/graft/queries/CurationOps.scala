@@ -592,6 +592,98 @@ object CurationOps {
                CAST(max(pos) AS BIGINT) AS pos_max
              FROM u GROUP BY 1 ORDER BY shard""")),
 
+    // st12: STREAMING shard landing — continuous arrival lands
+    // directly in pp10's training-mix layout (the rolling-crawl
+    // ending of the pipeline). Three mtime-ordered document
+    // file-batches stream through foreachBatch (maxFilesPerTrigger=1,
+    // st08's fixture discipline); each plans with pp10's shard
+    // planner, offsets by the guard-file watermarks, and lands under
+    // its own batch=<id> dir (crash-replay overwrites byte-identical
+    // — the exactly-once contract unit-tested in
+    // ShardMaterializeSpec). Output: the landed manifest per
+    // (shard, batch) — shards never span batches by construction, so
+    // the oracle replays the three phases with chained offsets.
+    NamedQuery("st12_shard_landing",
+      (s, d) => {
+        val ds = docs(s, d).select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("st12").toString
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq(0, 1, 2).foreach { i =>
+          val stage = s"$tmp/stage_$i"
+          ds.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"b$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val q = graft.streaming.CorpusStream.shardLandingIngest(
+          s.readStream.schema(ds.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src.toString),
+          s"$tmp/landing", s"$tmp/ck", col("doc_id"), "st12", 8000L)
+        q.processAllAvailable(); q.stop()
+        s.read.parquet(s"$tmp/landing")
+          .groupBy(col("shard").cast("long").as("shard"),
+            col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("pos")).as("pos_min"),
+            max(col("pos")).as("pos_max"))
+          .orderBy("shard")
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('st12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 3 = 0),
+              c0 AS (SELECT 0 AS batch, pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t0),
+              m0 AS (SELECT max(shard) AS s, max(pos) AS p FROM c0),
+              t1 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('st12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 3 = 1),
+              c1 AS (SELECT 1 AS batch, pos + (SELECT p FROM m0) AS pos,
+                    n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT)
+                      + (SELECT s FROM m0) + 1 AS shard
+                  FROM t1),
+              m1 AS (SELECT max(shard) AS s, max(pos) AS p FROM c1),
+              t2 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('st12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 3 = 2),
+              c2 AS (SELECT 2 AS batch, pos + (SELECT p FROM m1) AS pos,
+                    n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT)
+                      + (SELECT s FROM m1) + 1 AS shard
+                  FROM t2),
+              u AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+                    UNION ALL SELECT * FROM c2)
+             SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(batch AS BIGINT) AS batch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(pos) AS BIGINT) AS pos_min,
+               CAST(max(pos) AS BIGINT) AS pos_max
+             FROM u GROUP BY 1, 2 ORDER BY shard""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

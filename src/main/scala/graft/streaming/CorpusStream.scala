@@ -68,4 +68,85 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** One micro-batch of the streaming shard landing (st12): plan the
+    * batch with pp10's shard planner, OFFSET shards/positions by the
+    * landed maxima from the guard file, land it under the
+    * batch-scoped directory `batch=<id>/shard=<n>`, then advance the
+    * guard. Exactly-once without a transactional sink:
+    *  - the write targets the batch's OWN subdirectory with
+    *    mode(overwrite) — a crash-replayed trigger reads the same
+    *    (unchanged) guard offsets, replans the identical batch, and
+    *    overwrites its own directory byte-for-byte; closed batches
+    *    are never touched (pp12's append-only rule);
+    *  - the guard (`<dir>_guard`: "batchId maxShardExcl maxPosExcl")
+    *    advances only AFTER the landing commits, so the crash window
+    *    loses at most the in-flight batch, which the replay redoes —
+    *    st08's _batch_id discipline carrying the shard/pos watermarks
+    *    alongside.
+    * Factored out of the foreachBatch closure so the replay contract
+    * is directly unit-testable (ShardMaterializeSpec).
+    */
+  def landShardBatch(batch: DataFrame, batchId: Long, landingDir: String,
+                     key: org.apache.spark.sql.Column, seed: String,
+                     budgetTokens: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val fs = new Path(landingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guard = new Path(landingDir + "_guard")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val (lastDone, shardOff, posOff) =
+      if (fs.exists(guard)) {
+        val in = fs.open(guard)
+        val parts =
+          try new String(in.readAllBytes(), utf8).trim.split(" ")
+          finally in.close()
+        (parts(0).toLong, parts(1).toLong, parts(2).toLong)
+      } else (-1L, 0L, 0L)
+    if (batchId > lastDone) {
+      val planned = graft.ops.Curation.shardPlan(
+          batch, key, seed, budgetTokens)
+        .withColumn("shard", col("shard") + lit(shardOff))
+        .withColumn("pos", col("pos") + lit(posOff))
+        .persist()
+      try {
+        val head = planned
+          .agg(max(col("shard")), max(col("pos")), count(lit(1))).head
+        val cnt = head.getLong(2)
+        // an empty batch advances the batch id, never the watermarks
+        val (nextShardOff, nextPosOff) =
+          if (cnt == 0L) (shardOff, posOff)
+          else (head.getLong(0) + 1L, head.getLong(1))
+        if (cnt > 0L)
+          planned.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$landingDir/batch=$batchId")
+        val out = fs.create(guard, true)
+        try out.write(s"$batchId $nextShardOff $nextPosOff".getBytes(utf8))
+        finally out.close()
+      } finally planned.unpersist()
+    }
+  }
+
+  /** Streaming shard landing (st12): continuous document arrival lands
+    * DIRECTLY in pp10's training-mix layout — the rolling-crawl
+    * ending of the pipeline. Each micro-batch plans and lands through
+    * `landShardBatch` (deterministic order, token-budgeted shard
+    * boundaries, append-only numbering past the landed maxima).
+    * `spark.read.parquet(landingDir)` discovers batch=/shard= as
+    * partition columns; the manifest is one groupBy over it. Per
+    * trigger, cost is one batch-sized plan + write — independent of
+    * how much has already landed (the guard carries the watermarks,
+    * so nothing rescans history).
+    */
+  def shardLandingIngest(stream: DataFrame, landingDir: String,
+                         checkpointDir: String,
+                         key: org.apache.spark.sql.Column, seed: String,
+                         budgetTokens: Long): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landShardBatch(batch, batchId, landingDir, key, seed, budgetTokens)
+      }
+      .start()
 }

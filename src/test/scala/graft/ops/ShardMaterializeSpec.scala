@@ -103,4 +103,48 @@ class ShardMaterializeSpec extends AnyFunSuite {
         seed = "spec", budgetTokens = 20L).collect()
     }
   }
+
+  test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream.landShardBatch
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("st12spec").toString
+    val landing = s"$tmp/landing"
+    def bytes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(landing)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    landShardBatch(corpus(1 to 8), 0L, landing, col("doc_id"), "s", 20L)
+    val after0 = bytes()
+    // CRASH REPLAY of batch 0 (guard already advanced → must be a
+    // no-op: the guard's batch id gates the whole body)
+    landShardBatch(corpus(1 to 8), 0L, landing, col("doc_id"), "s", 20L)
+    assert(bytes() == after0, "replayed batch rewrote the landing")
+    // batch 1 chains watermarks: its shards/positions start past batch 0's
+    landShardBatch(corpus(9 to 12), 1L, landing, col("doc_id"), "s", 20L)
+    val landed = spark.read.parquet(landing)
+    val m = landed.groupBy("batch")
+      .agg(org.apache.spark.sql.functions.min("shard").as("mns"),
+        org.apache.spark.sql.functions.max("shard").as("mxs"),
+        org.apache.spark.sql.functions.min("pos").as("mnp"),
+        org.apache.spark.sql.functions.max("pos").as("mxp"))
+      .orderBy("batch").collect()
+    assert(m.length == 2)
+    assert(m(1).getAs[Number]("mns").longValue ==
+      m(0).getAs[Number]("mxs").longValue + 1, "shard watermark not chained")
+    assert(m(1).getLong(3) == m(0).getLong(4) + 1, "pos watermark not chained")
+    assert(landed.count() == 12)
+    // an out-of-order (stale) batch id is skipped entirely
+    landShardBatch(corpus(90 to 99), 1L, landing, col("doc_id"), "s", 20L)
+    assert(spark.read.parquet(landing).count() == 12)
+    // an empty batch advances the id but not the watermarks
+    landShardBatch(corpus(1 to 0), 2L, landing, col("doc_id"), "s", 20L)
+    landShardBatch(corpus(20 to 21), 3L, landing, col("doc_id"), "s", 20L)
+    val last = spark.read.parquet(landing).filter(col("batch") === 3)
+      .agg(org.apache.spark.sql.functions.min("pos")).head.getLong(0)
+    assert(last == m(1).getLong(4) + 1, "empty batch moved the pos watermark")
+  }
 }
