@@ -503,6 +503,43 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Landing compaction (pp13): rewrite a pp10/pp12/st12 landing with
+    * per-shard file-count targets — the small-file housekeeping every
+    * long-lived 100 TB landing needs (each streaming append lands at
+    * least one file per shard per batch; a thousand triggers later a
+    * shard is a thousand tiny files and open() dominates read time).
+    * The DATA contract is pp10's: the compacted landing holds exactly
+    * the same rows (the gate pins manifest invariance through the
+    * rewrite; im07's compaction-roundtrip rule applied to the
+    * landing). The LAYOUT contract: every shard lands in at most
+    * `filesPerShard` files, via one repartition keyed (shard, slot) —
+    * slot = pos % filesPerShard keeps the split deterministic and
+    * size-balanced (positions are contiguous per shard), and the
+    * shuffle moves each row once; no driver-side file listing, no
+    * global sort. Returns the read-back manifest of the compacted
+    * landing.
+    */
+  def compactLanding(spark: org.apache.spark.sql.SparkSession,
+                     landingDir: String, outDir: String,
+                     filesPerShard: Int = 1): DataFrame = {
+    require(filesPerShard > 0, s"filesPerShard must be positive: $filesPerShard")
+    val landed = spark.read.parquet(landingDir)
+    require(landed.columns.contains("shard") && landed.columns.contains("pos"),
+      s"$landingDir is not a shard landing (needs shard + pos columns)")
+    landed
+      .withColumn("__slot", pmod(col("pos"), lit(filesPerShard.toLong)))
+      .repartition(col("shard"), col("__slot"))
+      .drop("__slot")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"))
+      .orderBy("shard")
+  }
+
   /** Per-document overlapping chunks (ck01) — the RAG/embedding-index
     * splitter: fixed `window`-token chunks that overlap the previous
     * chunk by `overlap` tokens (stride = window - overlap). A chunk

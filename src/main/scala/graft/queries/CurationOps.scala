@@ -684,6 +684,62 @@ object CurationOps {
                CAST(max(pos) AS BIGINT) AS pos_max
              FROM u GROUP BY 1, 2 ORDER BY shard""")),
 
+    // pp13: landing COMPACTION — rebuild pp12's two-phase landing
+    // (materialize 80% + append 20%: many small files, incl. the
+    // append's own per-shard files), then compact to one file per
+    // shard. The gate output is the COMPACTED landing's manifest and
+    // the oracle is pp12's replay VERBATIM — manifest invariance
+    // through the rewrite is the whole data contract (im07's
+    // compaction-roundtrip rule applied to the landing); the
+    // file-count side is asserted in ShardMaterializeSpec.
+    NamedQuery("pp13_compact_landing",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp13").toString
+        val ds = docs(s, d)
+        Curation.shardMaterialize(ds.filter(col("doc_id") % 5 =!= 0),
+          s"$tmp/landing", col("doc_id"), seed = "pp12",
+          budgetTokens = 8000L).count()
+        Curation.shardAppend(ds.filter(col("doc_id") % 5 === 0),
+          s"$tmp/landing", col("doc_id"), seed = "pp12",
+          budgetTokens = 8000L).count()
+        Curation.compactLanding(s, s"$tmp/landing", s"$tmp/compact",
+          filesPerShard = 1)
+      },
+      Some("""WITH t1 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 <> 0),
+              c1 AS (SELECT pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t1),
+              m1 AS (SELECT max(shard) AS mxs, max(pos) AS mxp FROM c1),
+              t2 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 = 0),
+              c2 AS (SELECT pos + (SELECT mxp FROM m1) AS pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT)
+                      + (SELECT mxs FROM m1) + 1 AS shard
+                  FROM t2),
+              u AS (SELECT shard, pos, n_tokens FROM c1
+                    UNION ALL SELECT shard, pos, n_tokens FROM c2)
+             SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(pos) AS BIGINT) AS pos_min,
+               CAST(max(pos) AS BIGINT) AS pos_max
+             FROM u GROUP BY 1 ORDER BY shard""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

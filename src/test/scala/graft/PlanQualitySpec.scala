@@ -149,6 +149,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans == 5, s"pp02 composition scans documents $scans times (want 5)")
   }
 
+  test("pp10 shard plan: no single-partition exchange anywhere") {
+    // the global prefix sum must stay the bucketed two-level shape —
+    // a naive global running-sum window would plan
+    // Exchange SinglePartition and serialize the corpus through one
+    // task (the exact failure mode shardPlan exists to avoid)
+    val df = ops.Curation.shardPlan(Tables.load(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"), "guard", 8000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "shard plan serializes through a single partition")
+  }
+
   test("tx12: bigram counting aggregates partially before the shuffle") {
     val p = ops.TextAnalysis.bigramLogppl(Tables.load(spark, dir, "documents"))
       .queryExecution.executedPlan.toString

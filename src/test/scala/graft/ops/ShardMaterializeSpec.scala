@@ -104,6 +104,43 @@ class ShardMaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("compactLanding: same rows, bounded files per shard") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream.landShardBatch
+    val tmp = java.nio.file.Files.createTempDirectory("pp13spec").toString
+    val landing = s"$tmp/landing"
+    // 4 streamed batches → ≥4 files spread across the landing
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    for (b <- 0 to 3)
+      landShardBatch(corpus(b * 10 + 1 to b * 10 + 8), b.toLong, landing,
+        col("doc_id"), "s", 60L)
+    val before = spark.read.parquet(landing)
+      .select("doc_id", "n_tokens", "shard", "pos")
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val manifest = Curation.compactLanding(spark, landing, s"$tmp/compact",
+      filesPerShard = 1).collect()
+    // data contract: identical row set, totals reconcile
+    val after = spark.read.parquet(s"$tmp/compact")
+      .select("doc_id", "n_tokens", "shard", "pos")
+    assert(after.collect().map(_.toSeq).toSet == beforeRows)
+    assert(manifest.map(_.getLong(1)).sum == 32L)
+    // layout contract: ≤ 1 parquet file per shard dir
+    val dirs = new java.io.File(s"$tmp/compact").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty)
+    for (dd <- dirs) {
+      val n = dd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${dd.getName} has $n files after compaction")
+    }
+    // a non-landing directory is rejected loudly
+    val plain = s"$tmp/plain"
+    corpus(1 to 3).write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Curation.compactLanding(spark, plain, s"$tmp/c2")
+    }
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
