@@ -1247,6 +1247,20 @@ object ScaleCheck {
             budgetTokens = 1L << 20, tokens = col("tok"))
           .agg(sum(col("shard") + col("start_tok") % 7)).head.getLong(0))
     }
+    // pp13: compaction = one (shard, slot) repartition + rewrite —
+    // must track the shuffle+write slope (~linear). The landing is
+    // materialized once per size (its cost excluded from the timing).
+    for (m <- Seq(1, 4)) {
+      val n = 200000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("a"), lit("b"), lit("c")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory(s"pp13x$m").toString
+      graft.ops.Curation.shardMaterialize(docs, s"$tmp/landing",
+        col("doc_id"), "probe", budgetTokens = 1L << 14).count()
+      time(s"pp13-compact x$m docs=$n")(
+        graft.ops.Curation.compactLanding(spark, s"$tmp/landing",
+          s"$tmp/compact", filesPerShard = 1).count())
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -141,6 +141,30 @@ class ShardMaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("landing reads PRUNE by shard: a one-shard filter scans one directory") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pp10prune").toString
+    Curation.shardMaterialize(df, tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    // the consumer-side point of partitionBy(shard): a trainer reading
+    // shard k must touch ONLY that directory — partition pruning, not
+    // a full scan + filter
+    val read = spark.read.parquet(tmp).filter(col("shard") === 3)
+    val plan = read.queryExecution.executedPlan.toString
+    // the shard predicate must land in PartitionFilters (directory
+    // pruning), NOT PushedFilters/post-scan Filter (row filtering)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("shard") && l.contains("= 3")),
+      s"shard filter not in PartitionFilters:\n${plan.take(600)}")
+    // and the executed scan reads exactly the one directory: every row
+    // carries shard=3 without any post-scan Filter node on shard
+    assert(read.count() == df.count() / 10) // 40 docs, 10 shards of 4
+    assert(!plan.contains("Filter (shard"),
+      "shard filtered post-scan instead of pruned")
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
