@@ -248,4 +248,70 @@ class TextExpressionsSpec extends AnyFunSuite {
       assert(got == want, s"text='$t' merges=$merges got=$got want=$want")
     }
   }
+
+  test("unigram_encode == independent reference Viterbi on generated inputs (fuzz)") {
+    // independent reference: order-free candidate max with the
+    // explicit tie rule (max score; among exact ties the LONGEST
+    // piece, i.e. the smallest start j) — written as a fold over
+    // candidate lists, deliberately unlike the expression's
+    // j-ascending scan with strict >
+    def reference(text: String, vocab: Map[String, Double]): Seq[String] = {
+      val maxLen = (1 +: vocab.keys.map(_.length).toSeq).max
+      val unk = (0.0 +: vocab.values.toSeq).min - 10.0
+      text.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+        val n = w.length
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val back = Array.fill(n + 1)(-1)
+        best(0) = 0.0
+        for (i <- 1 to n) {
+          val cands = for {
+            j <- math.max(0, i - maxLen) until i
+            piece = w.substring(j, i)
+            lp <- vocab.get(piece)
+              .orElse(if (i - j == 1) Some(unk) else None)
+          } yield (j, best(j) + lp)
+          if (cands.nonEmpty) {
+            val top = cands.map(_._2).max
+            // smallest j among ties = longest piece
+            val j = cands.filter(_._2 == top).map(_._1).min
+            best(i) = top; back(i) = j
+          }
+        }
+        def rebuild(p: Int): List[String] =
+          if (p == 0) Nil else rebuild(back(p)) :+ w.substring(back(p), p)
+        rebuild(n)
+      }
+    }
+    import org.scalacheck.Gen
+    val alpha = Seq("a", "b", "c")
+    val piece = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    // INTEGER logprobs: exact ties are common, so the tie rule is
+    // exercised constantly, and double arithmetic stays exact
+    val entry = for { p <- piece; lp <- Gen.choose(-6, -1) }
+      yield (p, lp.toDouble)
+    val vocabGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, entry).map(_.toMap))
+    val word = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha :+ "x")).map(_.mkString))
+    val text = for {
+      n <- Gen.choose(1, 4)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+      words <- Gen.listOfN(n, word)
+    } yield words.mkString(sep)
+    val seed = org.scalacheck.rng.Seed(11L)
+    val cases = Iterator.iterate(seed)(_.next).take(80).flatMap { s =>
+      for { t <- text.apply(Gen.Parameters.default, s)
+            v <- vocabGen.apply(Gen.Parameters.default, s.next) } yield (t, v)
+    }.toSeq
+    TextFunctions.register(spark)
+    cases.foreach { case (t, vocab) =>
+      val got = Seq((1L, t)).toDF("id", "text")
+        .select(TextFunctions.unigram_encode($"text", vocab.toSeq.sortBy(_._1))
+          .as("toks"))
+        .head.getSeq[String](0)
+      val want = reference(t, vocab)
+      assert(got == want, s"text='$t' vocab=$vocab got=$got want=$want")
+    }
+  }
 }
