@@ -1247,6 +1247,23 @@ object ScaleCheck {
             budgetTokens = 1L << 20, tokens = col("tok"))
           .agg(sum(col("shard") + col("start_tok") % 7)).head.getLong(0))
     }
+    // st12: per-TRIGGER cost of the streaming shard landing must be
+    // independent of how much has already landed (the guard file
+    // carries the watermarks; nothing rescans history) — four equal
+    // 500k-doc triggers, walls must stay flat across batch index
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("st12probe").toString
+      for (b <- 0 to 3) {
+        val docs = spark.range(500000L).select(
+          (col("id") + b * 1000000L).as("doc_id"),
+          lit("a b c d e f g h").as("text"))
+        time(s"st12-trigger b$b docs=500000") {
+          graft.streaming.CorpusStream.landShardBatch(docs, b.toLong,
+            s"$tmp/landing", col("doc_id"), "probe", 1L << 16)
+          500000L
+        }
+      }
+    }
     // pp13: compaction = one (shard, slot) repartition + rewrite —
     // must track the shuffle+write slope (~linear). The landing is
     // materialized once per size (its cost excluded from the timing).
