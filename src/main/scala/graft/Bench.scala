@@ -65,6 +65,7 @@ object Bench {
         // gate re-runs that training before its one-scan encode
         // (tk05's relationship to tk01)
         || q._1 == "tk06_unigram_train" || q._1 == "tk07_unigram_encode"
+        || q._1 == "tk08_vocab_roundtrip"
         // pr01 is the same shape: ten sequential checkpointed rounds
         // whose wall measures the loop, not a query (edge join + agg
         // per round); its scale behavior is probed in ScaleCheck r9

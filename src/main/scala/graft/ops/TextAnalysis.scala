@@ -577,6 +577,31 @@ object TextAnalysis {
     } finally words.unpersist()
   }
 
+  /** Persist a trained unigram vocab as parquet (tk08): the
+    * train-once / encode-everywhere contract — a tokenizer trained on
+    * one corpus snapshot must tokenize every later job identically,
+    * so the (piece, logprob) table is a first-class artifact, not a
+    * driver-session value. Doubles round-trip exactly (parquet stores
+    * the IEEE bits; no text formatting in the path).
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[(String, Double)], path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "logprob").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted unigram vocab. Order is normalized (piece asc)
+    * — encoding is order-independent (the vocab is a map; the unk
+    * score and max piece length are order-free aggregates), but a
+    * deterministic order keeps the packed broadcast string, and thus
+    * generated code keys, stable across jobs.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Double)] =
+    spark.read.parquet(path).orderBy("piece")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
   /** Top-k corpus vocabulary by raw frequency — the vocab-building pass
     * of a tokenizer pipeline. One explode + one count groupBy (map-side
     * partial combine collapses frequent tokens per partition, so the

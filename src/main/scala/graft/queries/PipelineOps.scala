@@ -794,6 +794,45 @@ object PipelineOps {
                ('scan', CAST(936 AS BIGINT)))
                t(piece, n) ORDER BY piece""")),
 
+    // tk08: tokenizer PERSISTENCE — train-once / encode-everywhere:
+    // the vocab rides through a parquet save + reload (a fresh
+    // Seq rebuilt from disk, piece-asc order — encoding is
+    // order-independent) and the re-encoded corpus must pin to
+    // EXACTLY tk07's golden values. Doubles round-trip as IEEE bits
+    // (no text formatting in the path), so any divergence here means
+    // the artifact contract broke, not the trainer.
+    NamedQuery("tk08_vocab_roundtrip",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val vocab = TextAnalysis.unigramTrain(docs(s, d), vocabSize = 48,
+          rounds = 2, maxPieceLen = 4).map(v => (v._2, v._4))
+        val tmp = java.nio.file.Files.createTempDirectory("tk08").toString
+        TextAnalysis.saveVocab(s, vocab, s"$tmp/vocab")
+        val loaded = TextAnalysis.loadVocab(s, s"$tmp/vocab")
+        require(loaded.toMap == vocab.toMap, "vocab did not round-trip")
+        val toks = docs(s, d).select(explode(
+          graft.functions.TextFunctions.unigram_encode(col("text"), loaded))
+          .as("piece"))
+        val top = toks.groupBy(col("piece")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("piece").asc).limit(10)
+        top.unionByName(toks.agg(count(lit(1)).as("n"))
+            .select(lit("__total__").as("piece"), col("n")))
+          .orderBy("piece")
+      },
+      Some("""SELECT * FROM (VALUES
+               ('__total__', CAST(40807 AS BIGINT)),
+               ('batc', CAST(937 AS BIGINT)),
+               ('co', CAST(934 AS BIGINT)),
+               ('cust', CAST(934 AS BIGINT)),
+               ('e', CAST(2723 AS BIGINT)),
+               ('h', CAST(937 AS BIGINT)),
+               ('hash', CAST(947 AS BIGINT)),
+               ('join', CAST(964 AS BIGINT)),
+               ('row', CAST(943 AS BIGINT)),
+               ('s', CAST(1808 AS BIGINT)),
+               ('scan', CAST(936 AS BIGINT)))
+               t(piece, n) ORDER BY piece""")),
+
     // Gopher-style within-doc repetition fractions. The synthetic
     // word-soup corpus repeats heavily (vocab ~31 words), so both
     // fractions carry real signal here — and the oracle pins the
