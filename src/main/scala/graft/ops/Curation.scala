@@ -484,12 +484,28 @@ object Curation {
                   tokens: Column = size(split(col("text"), " "))
                     .cast("long")): DataFrame = {
     val spark = newDocs.sparkSession
-    val landed = spark.read.parquet(outDir)
-    val head = landed.agg(
-      max(col("shard").cast("long")), max(col("pos"))).head
-    require(!head.isNullAt(0), s"no landed shards under $outDir — " +
+    // Watermark discovery must NOT scan the landing: at 100 TB an
+    // agg over every shard's pos column re-reads the corpus per
+    // append. The max shard id comes from ONE filesystem listing of
+    // the shard= directories, and because positions are monotone
+    // with shards (the deterministic order IS the shard order),
+    // max(pos) overall = max(pos) within that one shard — a
+    // single-directory scan however large the landing has grown.
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardIds =
+      if (!fs.exists(root)) Array.empty[Long]
+      else fs.listStatus(root).collect {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith("shard=") =>
+          st.getPath.getName.stripPrefix("shard=").toLong
+      }
+    require(shardIds.nonEmpty, s"no landed shards under $outDir — " +
       "use shardMaterialize for the first batch")
-    val (maxShard, maxPos) = (head.getLong(0), head.getLong(1))
+    val maxShard = shardIds.max
+    val maxPos = spark.read.parquet(outDir)
+      .filter(col("shard").cast("long") === maxShard)
+      .agg(max(col("pos"))).head.getLong(0)
     val planned = shardPlan(newDocs, key, seed, budgetTokens, tokens)
       .withColumn("shard", col("shard") + lit(maxShard + 1))
       .withColumn("pos", col("pos") + lit(maxPos))
