@@ -101,9 +101,10 @@ object PgSelect {
     * Spark rejects DISTINCT ON loudly).
     */
   def rewrite(sql: String, schemaOf: String => Option[Seq[String]]): String =
-    PgTypes.rewrite(PgFunctions.rewrite(rewriteRegexMatch(
-      rewriteOrderedArrayAgg(rewriteOrderedStringAgg(rewriteDateFields(
-        rewriteEpoch(rewriteDistinctOn(sql, schemaOf))))))))
+    PgTypes.rewrite(PgFunctions.rewrite(rewriteArrayConstructor(
+      rewriteRegexMatch(rewriteAnyAllArray(
+        rewriteOrderedArrayAgg(rewriteOrderedStringAgg(rewriteDateFields(
+          rewriteEpoch(rewriteDistinctOn(sql, schemaOf))))))))))
 
   // ---------------------------------------------------------------
   // shared quote/comment-aware scanning helpers
@@ -1082,6 +1083,269 @@ object PgSelect {
             // primStart unchanged: cast is part of the primary
           }
         case c => out.append(c); i += 1; primStart = -1
+      }
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------
+  // <expr> <op> ANY/SOME/ALL (ARRAY[...])  and  ARRAY[...]
+  // ---------------------------------------------------------------
+
+  private val anyAllOps: Seq[String] =
+    // longest-first so <= wins over <, !~* over !~ over !=
+    Seq("<=", ">=", "<>", "!=", "!~*", "!~", "~*", "=", "<", ">", "~")
+
+  /** Postgres's array-comparison quantifiers over an ARRAY literal —
+    * the spelling psycopg2/SQLAlchemy clients emit for list
+    * membership (`x = ANY (ARRAY['a', 'b'])` is the expanded form of
+    * a bound-list `IN`) and dbplyr for vectorized matches
+    * (`x ~ ANY (ARRAY[p1, p2])`). Spark has ANY/ALL only for
+    * subqueries, so the ARRAY-literal form is lowered to the exact
+    * higher-order equivalent, op applied PAIRWISE inside the lambda
+    * (Postgres's definition), three-valued logic preserved by
+    * exists/forall:
+    *
+    *   x op ANY/SOME (ARRAY[a, b]) → exists(array(a, b), e -> x op e)
+    *   x op ALL      (ARRAY[a, b]) → forall(array(a, b), e -> x op e)
+    *
+    * op ∈ {=, <>, !=, <, <=, >, >=} stays itself in the lambda; the
+    * regex ops lower to (NOT) regexp_like with the inline (?i) —
+    * which is also why this pass runs BEFORE rewriteRegexMatch: the
+    * regex pass would otherwise read `ANY(...)` as the right-hand
+    * primary of `~` and emit an invalid call. ANY/ALL over
+    * subqueries or anything that is not literally `(ARRAY[...])` is
+    * left unchanged (valid Spark for subqueries; loud reject
+    * otherwise). The left operand is recovered like
+    * rewriteRegexMatch's: a primary expression with `::` casts
+    * absorbed.
+    */
+  def rewriteAnyAllArray(sql: String): String = {
+    val s = sql
+    val out = new StringBuilder
+    var primStart = -1
+    var i = 0
+
+    // op candidate at s(i): the longest spelling that matches
+    def opAt(j: Int): Option[String] =
+      anyAllOps.find(op => s.regionMatches(j, op, 0, op.length))
+
+    // after an op at j: ws ANY|SOME|ALL ws ( ws ARRAY ws [ ... ] ws )
+    // returns (quantifier, arrayInner, endIndexAfterCloseParen)
+    def parseQuantified(j0: Int): Option[(String, String, Int)] = {
+      var j = skipWs(s, j0)
+      val quant =
+        if (wordAt(s, j, "ANY")) { j += 3; "ANY" }
+        else if (wordAt(s, j, "SOME")) { j += 4; "ANY" }
+        else if (wordAt(s, j, "ALL")) { j += 3; "ALL" }
+        else return None
+      j = skipWs(s, j)
+      if (j >= s.length || s(j) != '(') return None
+      j = skipWs(s, j + 1)
+      if (!wordAt(s, j, "ARRAY")) return None
+      j = skipWs(s, j + 5)
+      if (j >= s.length || s(j) != '[') return None
+      var depth = 0
+      val innerStart = j + 1
+      var innerEnd = -1
+      while (j < s.length && innerEnd < 0) {
+        s(j) match {
+          case '\'' | '"' | '`' => j = skipQuoted(s, j)
+          case _ if atComment(s, j) => j = skipComment(s, j)
+          case '[' => depth += 1; j += 1
+          case ']' =>
+            depth -= 1
+            if (depth == 0) innerEnd = j
+            j += 1
+          case _ => j += 1
+        }
+      }
+      if (innerEnd < 0) return None
+      j = skipWs(s, innerEnd + 1)
+      if (j >= s.length || s(j) != ')') return None
+      Some((quant, s.substring(innerStart, innerEnd), j + 1))
+    }
+
+    // primary for the LEFT operand — rewriteRegexMatch's shape
+    def parsePrimary(j0: Int): Option[(String, Int)] = {
+      val j = skipWs(s, j0)
+      if (j >= s.length) None
+      else s(j) match {
+        case '\'' | '"' | '`' =>
+          val e = skipQuoted(s, j)
+          Some((s.substring(j, e), e))
+        case c if c.isLetter || c == '_' =>
+          var e = j
+          while (e < s.length && (isWordChar(s(e)) || s(e) == '.')) e += 1
+          val word = s.substring(j, e)
+          if (e < s.length && s(e) == '(') {
+            var depth = 0; var k = e; var close = -1
+            while (k < s.length && close < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '(' => depth += 1; k += 1
+                case ')' =>
+                  depth -= 1
+                  if (depth == 0) close = k
+                  k += 1
+                case _ => k += 1
+              }
+            }
+            if (close < 0) None
+            else Some((word + "(" + closeComment(rewriteAnyAllArray(
+              s.substring(e + 1, close))) + ")", close + 1))
+          } else if (preOperatorKeywords.contains(word.toLowerCase)) None
+          else Some((word, e))
+        case '(' =>
+          var depth = 0; var k = j; var close = -1
+          while (k < s.length && close < 0) {
+            s(k) match {
+              case '\'' | '"' | '`' => k = skipQuoted(s, k)
+              case _ if atComment(s, k) => k = skipComment(s, k)
+              case '(' => depth += 1; k += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) close = k
+                k += 1
+              case _ => k += 1
+            }
+          }
+          if (close < 0) None
+          else Some(("(" + closeComment(rewriteAnyAllArray(
+            s.substring(j + 1, close))) + ")", close + 1))
+        case _ => None
+      }
+    }
+
+    def predicate(op: String, left: String): String = op match {
+      case "~" => s"regexp_like($left, __pg_e)"
+      case "~*" => s"regexp_like($left, concat('(?i)', __pg_e))"
+      case "!~" => s"(NOT regexp_like($left, __pg_e))"
+      case "!~*" => s"(NOT regexp_like($left, concat('(?i)', __pg_e)))"
+      case o => s"$left $o __pg_e"
+    }
+
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i)
+          primStart = out.length
+          out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if c.isWhitespace => out.append(c); i += 1
+        case c if primStart >= 0 && opAt(i).isDefined &&
+          parseQuantified(i + opAt(i).get.length).isDefined =>
+          val op = opAt(i).get
+          val (quant, inner, end) =
+            parseQuantified(i + op.length).get
+          val left = closeComment(out.substring(primStart))
+          out.setLength(primStart)
+          val fn = if (quant == "ANY") "exists" else "forall"
+          val arr =
+            "array(" + closeComment(rewriteAnyAllArray(inner)) + ")"
+          primStart = out.length
+          out.append(s"$fn($arr, __pg_e -> ${predicate(op, left)})")
+          i = end
+        case c if c.isLetter || c == '_' =>
+          parsePrimary(i) match {
+            case Some((text, end)) =>
+              primStart = out.length
+              out.append(text); i = end
+            case None =>
+              var e = i
+              while (e < s.length && (isWordChar(s(e)) || s(e) == '.')) e += 1
+              out.append(s.substring(i, e)); i = e
+              primStart = -1
+          }
+        case c if c.isDigit =>
+          // numeric literal left operands are meaningful here
+          // (`3 > ALL (ARRAY[...])`) — unlike the regex pass, the
+          // quantified trigger is unambiguous, so numbers qualify
+          var e = i
+          while (e < s.length && (s(e).isDigit || s(e) == '.')) e += 1
+          primStart = out.length
+          out.append(s.substring(i, e)); i = e
+        case '(' =>
+          parsePrimary(i) match {
+            case Some((text, end)) =>
+              primStart = out.length
+              out.append(text); i = end
+            case None => out.append('('); i += 1; primStart = -1
+          }
+        case ':' if primStart >= 0 && i + 1 < s.length && s(i + 1) == ':' =>
+          // absorb the cast like rewriteRegexMatch (same rationale)
+          var e = skipWs(s, i + 2)
+          var we = e
+          while (we < s.length && isWordChar(s(we))) we += 1
+          if (we == e) { out.append(s(i)); i += 1; primStart = -1 }
+          else {
+            var end = we
+            val jp = skipWs(s, end)
+            if (jp < s.length && s(jp) == '(') {
+              var depth = 0; var k = jp; var close = -1
+              while (k < s.length && close < 0) {
+                s(k) match {
+                  case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                  case '(' => depth += 1; k += 1
+                  case ')' =>
+                    depth -= 1; if (depth == 0) close = k; k += 1
+                  case _ => k += 1
+                }
+              }
+              if (close >= 0) end = close + 1
+            }
+            out.append(s.substring(i, end)); i = end
+          }
+        case c => out.append(c); i += 1; primStart = -1
+      }
+    }
+    out.toString
+  }
+
+  /** Standalone Postgres `ARRAY[...]` constructors (SQLAlchemy's
+    * postgresql.array literal) → Spark's `array(...)`. Runs AFTER
+    * rewriteAnyAllArray has consumed the quantified forms; bare
+    * subscripts (`arr[1]`) have no ARRAY keyword and pass through,
+    * as does `ARRAY(subquery)` (no bracket — left for Spark's loud
+    * reject). Nested constructors rewrite recursively.
+    */
+  def rewriteArrayConstructor(sql: String): String = {
+    val s = sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' | '"' | '`' =>
+          val j = skipQuoted(s, i); out.append(s.substring(i, j)); i = j
+        case _ if atComment(s, i) =>
+          val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
+        case c if (c == 'a' || c == 'A') && wordAt(s, i, "ARRAY") =>
+          val j = skipWs(s, i + 5)
+          if (j < s.length && s(j) == '[') {
+            var depth = 0; var k = j; var close = -1
+            while (k < s.length && close < 0) {
+              s(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(s, k)
+                case _ if atComment(s, k) => k = skipComment(s, k)
+                case '[' => depth += 1; k += 1
+                case ']' =>
+                  depth -= 1
+                  if (depth == 0) close = k
+                  k += 1
+                case _ => k += 1
+              }
+            }
+            if (close < 0) { out.append(s.substring(i)); i = s.length }
+            else {
+              out.append("array(").append(closeComment(
+                rewriteArrayConstructor(s.substring(j + 1, close))))
+                .append(')')
+              i = close + 1
+            }
+          } else { out.append(s.substring(i, i + 5)); i += 5 }
+        case c => out.append(c); i += 1
       }
     }
     out.toString

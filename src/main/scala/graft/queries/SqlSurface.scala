@@ -707,6 +707,33 @@ object SqlSurface {
              FROM (VALUES ('a,b,c'), (''), (' '), ('x')) AS t(v)
              ORDER BY v""")),
 
+    // Q66: Postgres array quantifiers + constructors — the psycopg2/
+    // SQLAlchemy list-membership spelling (`x = ANY (ARRAY[...])` is
+    // the expanded form of a bound-list IN) and dbplyr's vectorized
+    // regex (`x ~ ANY (ARRAY[p1, p2])`). Lowered to exists/forall
+    // with the op applied pairwise inside the lambda (PG's
+    // definition); standalone ARRAY[...] constructors → array(...).
+    // Subquery ANY/ALL stays native Spark. DuckDB supports neither
+    // quantifier over arrays the same way, so the oracle hand-writes
+    // the equivalents (IN / NOT IN / OR of regexp_matches).
+    NamedQuery("q66_pg_array_quantifiers",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(graft.engine.PgSelect.rewrite(
+          """SELECT doc_id,
+                    lang = ANY (ARRAY['en', 'zh']) AS is_enzh,
+                    lang <> ALL (ARRAY['de', 'es']) AS not_de_es,
+                    text ~ ANY (ARRAY['join', 'merge']) AS mentions,
+                    ARRAY[lang, source] AS pair
+             FROM documents ORDER BY doc_id LIMIT 800"""))
+      },
+      Some("""SELECT doc_id,
+                   lang IN ('en', 'zh') AS is_enzh,
+                   lang NOT IN ('de', 'es') AS not_de_es,
+                   (regexp_matches(text, 'join') OR regexp_matches(text, 'merge')) AS mentions,
+                   [lang, source] AS pair
+             FROM documents ORDER BY doc_id LIMIT 800""")),
+
     // Q26b: JSON-derived aggregate
     NamedQuery("q36_json_agg",
       sql("""SELECT event_type,

@@ -46,6 +46,16 @@ class PgRewriteStabilitySpec extends AnyFunSuite {
       assert(PgSelect.rewriteRegexMatch(sql) == sql, s"mangled $name")
   }
 
+  test("rewriteAnyAllArray / rewriteArrayConstructor are the identity off their triggers") {
+    for ((name, sql) <- oracles) {
+      // no oracle spells the quantified-ARRAY form; subquery
+      // ANY/ALL and everything else must survive verbatim
+      assert(PgSelect.rewriteAnyAllArray(sql) == sql, s"mangled $name")
+      if (!sql.toUpperCase.contains("ARRAY["))
+        assert(PgSelect.rewriteArrayConstructor(sql) == sql, s"mangled $name")
+    }
+  }
+
   test("rewriteDateFields is the identity off its triggers") {
     for ((name, sql) <- oracles
          if !sql.toLowerCase.contains("date_part") &&

@@ -363,6 +363,72 @@ class PgSelectSpec extends AnyFunSuite {
       "SELECT x FROM t WHERE regexp_like(c::STRING , '\\d')")
   }
 
+  // ---- ANY/SOME/ALL over ARRAY literals, ARRAY constructors ----------
+
+  test("op ANY (ARRAY[...]) lowers to exists with the pairwise predicate") {
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c = ANY (ARRAY['a', 'b'])") ==
+      "SELECT x FROM t WHERE exists(array('a', 'b'), __pg_e -> c  = __pg_e)")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT c <> ALL (ARRAY[1, 2]) FROM t") ==
+      "SELECT forall(array(1, 2), __pg_e -> c  <> __pg_e) FROM t")
+    // SOME is ANY's synonym
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE n > SOME (ARRAY[1, 2])") ==
+      "SELECT x FROM t WHERE exists(array(1, 2), __pg_e -> n  > __pg_e)")
+    // regex quantified: the dbplyr vectorized match — negation INSIDE
+    // the lambda (Postgres applies the op pairwise, then quantifies)
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c ~ ANY (ARRAY['p1', 'p2'])") ==
+      "SELECT x FROM t WHERE exists(array('p1', 'p2'), __pg_e -> regexp_like(c , __pg_e))")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c !~* ALL (ARRAY['p'])") ==
+      "SELECT x FROM t WHERE forall(array('p'), __pg_e -> (NOT regexp_like(c , concat('(?i)', __pg_e))))")
+    // casts ride the left operand; longest-op spelling wins
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c::text <= ANY (ARRAY['m'])") ==
+      "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::text  <= __pg_e)")
+  }
+
+  test("ANY/ALL out-of-scope forms stay verbatim (loud reject or native)") {
+    for (s <- Seq(
+      // subquery quantifiers are valid Spark — untouched
+      "SELECT x FROM t WHERE c = ANY (SELECT v FROM u)",
+      "SELECT x FROM t WHERE c > ALL (SELECT v FROM u)",
+      // no left primary, no ARRAY literal, literals/comments inert
+      "SELECT '= ANY (ARRAY[1])' FROM t",
+      "SELECT x -- c = ANY (ARRAY[1])\nFROM t"))
+      assert(PgSelect.rewriteAnyAllArray(s) == s, s)
+  }
+
+  test("ARRAY[...] constructors lower to array(...), subscripts untouched") {
+    assert(PgSelect.rewriteArrayConstructor(
+      "SELECT ARRAY[1, 2, 3] FROM t") == "SELECT array(1, 2, 3) FROM t")
+    // nested constructors, expressions inside
+    assert(PgSelect.rewriteArrayConstructor(
+      "SELECT ARRAY[ARRAY[a, b], ARRAY[c + 1, d]] FROM t") ==
+      "SELECT array(array(a, b), array(c + 1, d)) FROM t")
+    for (s <- Seq(
+      "SELECT arr[1] FROM t",          // subscript: no ARRAY keyword
+      "SELECT 'ARRAY[1]' FROM t",      // literal
+      "SELECT array_agg(x) FROM t",    // word boundary
+      "SELECT x -- ARRAY[1]\nFROM t")) // comment
+      assert(PgSelect.rewriteArrayConstructor(s) == s, s)
+  }
+
+  test("quantified-array forms execute with Postgres semantics") {
+    val spark = graft.TestSpark.spark
+    val r = spark.sql(PgSelect.rewrite(
+      """SELECT 'b' = ANY (ARRAY['a', 'b']) AS hit,
+                'z' = ANY (ARRAY['a', 'b']) AS miss,
+                2 = ANY (ARRAY[1, NULL]) AS null_any,
+                3 > ALL (ARRAY[1, 2]) AS gt_all,
+                'x7' ~ ANY (ARRAY['[0-9]', 'q+']) AS re_any""")).head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.isNullAt(2))  // PG: no match + a NULL element → NULL
+    assert(r.getBoolean(3) && r.getBoolean(4))
+  }
+
   // ---- DOW / ISODOW / date_part --------------------------------------
 
   test("EXTRACT(DOW) gets the Postgres Sunday=0 correction; ISODOW maps to weekday+1") {
