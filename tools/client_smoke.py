@@ -251,6 +251,17 @@ def dplyr_flow(c):
     assert code == 200, out
     assert csv_rows(out)[1] == ["12"], out
 
+    # %in% via psycopg-style expansion: x = ANY (ARRAY[...]) is the
+    # expanded form of a bound-list IN; the facade lowers it to
+    # exists() with the pairwise op. ARRAY[...] constructors become
+    # array(...) on the same path.
+    code, out = c.sql(f"SELECT grp, count(*) AS n FROM {view} "
+                      "WHERE grp = ANY (ARRAY['a', 'b']) "
+                      "GROUP BY grp ORDER BY grp")
+    assert code == 200, out
+    rows = csv_rows(out)
+    assert rows[1] == ["a", "2"] and rows[2] == ["b", "1"], rows
+
     # format(): Postgres datetime format tokens map to Spark patterns
     code, out = c.sql("SELECT to_char(TIMESTAMP '2020-01-05 13:04:05', "
                       f"'YYYY-MM-DD HH24:MI') AS f FROM {view} LIMIT 1")
