@@ -519,6 +519,54 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Targeted erasure from a landing (pp14): remove a doc-id set from
+    * a pp10/pp12 landing by rewriting ONLY the shards that contain
+    * them — the right-to-be-forgotten pattern for an otherwise
+    * append-only layout (gd01 audits presence; this is the remover).
+    * Untouched shards keep their files byte-identical (the spec
+    * snapshots them), so at 100 TB an erasure of k docs costs the
+    * shards those docs live in — found with one doc_id-column scan
+    * (columnar, two columns) — not a corpus rewrite. Each affected
+    * shard rewrites via write-tmp → delete → rename (st08's swap
+    * discipline; a crash inside the window loses one shard's swap,
+    * re-runnable since erasure is idempotent). Shard numbering and
+    * surviving positions are PRESERVED — erasure must not renumber
+    * history that other artifacts (manifests, curricula) reference.
+    * Returns the post-erasure read-back manifest.
+    */
+  def eraseFromLanding(spark: org.apache.spark.sql.SparkSession,
+                       landingDir: String, ids: DataFrame): DataFrame = {
+    require(ids.columns.contains("doc_id"),
+      "ids frame needs a doc_id column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = root.getFileSystem(conf)
+    val idSet = broadcast(ids.select(col("doc_id")).distinct())
+    // one (doc_id, shard) scan finds the affected shards; bounded
+    // collect (≤ shard count)
+    val affected = spark.read.parquet(landingDir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"))
+      .join(idSet, "doc_id")
+      .select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (sh <- affected) {
+      val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
+      val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
+      spark.read.parquet(dir.toString)
+        .join(idSet, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh")
+    }
+    spark.read.parquet(landingDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"))
+      .orderBy("shard")
+  }
+
   /** Landing compaction (pp13): rewrite a pp10/pp12/st12 landing with
     * per-shard file-count targets — the small-file housekeeping every
     * long-lived 100 TB landing needs (each streaming append lands at

@@ -740,6 +740,42 @@ object CurationOps {
                CAST(max(pos) AS BIGINT) AS pos_max
              FROM u GROUP BY 1 ORDER BY shard""")),
 
+    // pp14: targeted ERASURE from a landing — the right-to-be-
+    // forgotten remover for the append-only layout: land the corpus,
+    // then erase every 50th doc; only the shards containing them
+    // rewrite (spec snapshots the untouched dirs), shard numbering
+    // and surviving positions preserved. The oracle replays the
+    // ORIGINAL plan (order, cumsum, boundaries over ALL docs) and
+    // filters the erased ids out afterwards — exactly what a
+    // shard-local rewrite must equal.
+    NamedQuery("pp14_erase_from_landing",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp14").toString
+        val ds = docs(s, d)
+        Curation.shardMaterialize(ds, tmp, col("doc_id"),
+          seed = "pp10", budgetTokens = 8000L).count()
+        Curation.eraseFromLanding(s, tmp,
+          ds.filter(col("doc_id") % 50 === 0).select(col("doc_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp10#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents),
+              c AS (SELECT doc_id, pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t)
+             SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(pos) AS BIGINT) AS pos_min,
+               CAST(max(pos) AS BIGINT) AS pos_max
+             FROM c WHERE doc_id % 50 <> 0
+             GROUP BY 1 ORDER BY shard""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

@@ -165,6 +165,50 @@ class ShardMaterializeSpec extends AnyFunSuite {
       "shard filtered post-scan instead of pruned")
   }
 
+  test("eraseFromLanding rewrites ONLY the affected shards, preserves ids") {
+    import spark.implicits._
+    // 40 docs of 5 tokens, budget 20 → 10 shards of 4 docs; erase two
+    // doc_ids that land in distinct shards
+    val df = (1 to 40).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pp14spec").toString
+    Curation.shardMaterialize(df, tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    val before = spark.read.parquet(tmp)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number]("shard").longValue,
+        r.getLong(2))).toMap
+    val victims = Seq(7L, 23L)
+    val victimShards = victims.map(before(_)._1).toSet
+    def listing(pred: Long => Boolean): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(tmp).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+        .filter(d => pred(d.getName.stripPrefix("shard=").toLong))
+        .flatMap(walk).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val untouchedBefore = listing(s => !victimShards(s))
+    val manifest = Curation.eraseFromLanding(spark, tmp,
+      victims.toDF("doc_id")).collect()
+    // untouched shards byte-identical
+    assert(listing(s => !victimShards(s)) == untouchedBefore,
+      "erasure rewrote an unaffected shard")
+    // victims gone; everyone else intact with the SAME shard/pos
+    val after = spark.read.parquet(tmp)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number]("shard").longValue,
+        r.getLong(2))).toMap
+    assert(!victims.exists(after.contains), "victim survived erasure")
+    assert(after == before -- victims, "erasure renumbered survivors")
+    assert(manifest.map(_.getLong(1)).sum == 38L)
+    // idempotent: erasing again changes nothing
+    val again = Curation.eraseFromLanding(spark, tmp,
+      victims.toDF("doc_id")).collect()
+    assert(again.map(_.toSeq).toSeq == manifest.map(_.toSeq).toSeq)
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
