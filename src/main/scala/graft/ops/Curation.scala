@@ -567,6 +567,74 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Landing validation (pp15): the fsck a training launcher runs
+    * before committing compute to a landing — every structural
+    * invariant the writers promise, re-derived from the LANDED BYTES
+    * in one pass of (doc_id, n_tokens, shard, pos) plus a token
+    * recount from text (four columns; columnar scan, no shuffle
+    * beyond the aggregates):
+    *
+    *   pos_partition     — positions are exactly 1..N, no dupes/holes
+    *                       (violated by a partial write or double
+    *                       append; pp14 erasure legitimately holes
+    *                       positions, so an erased landing reports it)
+    *   shard_contiguous  — shard ids are exactly 0..max
+    *   shard_pos_disjoint— shard pos-ranges don't interleave: the
+    *                       deterministic order IS the shard order, so
+    *                       Σ per-shard (max-min+1) == N exactly when
+    *                       ranges tile the line
+    *   tokens_match      — n_tokens equals a recount of text (catches
+    *                       text/metadata divergence from a bad
+    *                       rewrite)
+    *   docs_unique       — doc_id appears once (double-append guard)
+    *
+    * Returns one row per check: (check, ok, violations) with exact
+    * integer violation counts — 0 rows is a pass, and the frame is
+    * VALUES-oracle-able. Budget-rule checking (start_tok div B ==
+    * shard) needs the original budget and start_tok, which pp10
+    * landings carry; it is checked when the column is present.
+    */
+  def validateLanding(spark: org.apache.spark.sql.SparkSession,
+                      landingDir: String): DataFrame = {
+    import spark.implicits._
+    val landed = spark.read.parquet(landingDir)
+    val base = landed.select(col("doc_id"),
+      col("shard").cast("long").as("shard"), col("pos"),
+      col("n_tokens"),
+      size(split(col("text"), " ")).cast("long").as("__recount"))
+      .persist()
+    try {
+      val n = base.count()
+      val posAgg = base.agg(
+        countDistinct(col("pos")).as("d"),
+        min(col("pos")).as("mn"), max(col("pos")).as("mx")).head
+      val posOk = posAgg.getLong(0) == n && posAgg.getLong(1) == 1L &&
+        posAgg.getLong(2) == n
+      val posViol = (n - posAgg.getLong(0)) +
+        (if (posAgg.getLong(1) == 1L && posAgg.getLong(2) == n) 0L else 1L)
+      val shards = base.select(col("shard")).distinct()
+        .agg(count(lit(1)), min(col("shard")), max(col("shard"))).head
+      val shardOk = shards.getLong(1) == 0L &&
+        shards.getLong(0) == shards.getLong(2) + 1
+      val ranges = base.groupBy(col("shard"))
+        .agg((max(col("pos")) - min(col("pos")) + 1).as("span"),
+          count(lit(1)).as("cnt"))
+      val spanSum = ranges.agg(sum(col("span"))).head.getLong(0)
+      val disjointOk = spanSum == n
+      val tokViol = base.filter(col("n_tokens") =!= col("__recount")).count()
+      val dupViol = n - base.select(col("doc_id")).distinct().count()
+      Seq(
+        ("docs_unique", dupViol == 0L, dupViol),
+        ("pos_partition", posOk, posViol),
+        ("shard_contiguous", shardOk,
+          if (shardOk) 0L else math.abs(shards.getLong(0) - (shards.getLong(2) + 1))),
+        ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
+        ("tokens_match", tokViol == 0L, tokViol))
+        .toDF("check", "ok", "violations")
+        .orderBy("check")
+    } finally base.unpersist()
+  }
+
   /** Landing compaction (pp13): rewrite a pp10/pp12/st12 landing with
     * per-shard file-count targets — the small-file housekeeping every
     * long-lived 100 TB landing needs (each streaming append lands at

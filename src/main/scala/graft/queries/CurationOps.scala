@@ -776,6 +776,30 @@ object CurationOps {
              FROM c WHERE doc_id % 50 <> 0
              GROUP BY 1 ORDER BY shard""")),
 
+    // pp15: landing VALIDATION — the pre-training fsck: land the
+    // corpus through the two-phase append path (the most invariants
+    // in play), validate, and pin the all-green verdict frame. Each
+    // check re-derives a writer invariant from the landed bytes
+    // (positions partition 1..N, shards contiguous, shard pos-ranges
+    // tile, token metadata matches a recount, doc ids unique).
+    NamedQuery("pp15_validate_landing",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp15").toString
+        val ds = docs(s, d)
+        Curation.shardMaterialize(ds.filter(col("doc_id") % 5 =!= 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L).count()
+        Curation.shardAppend(ds.filter(col("doc_id") % 5 === 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L).count()
+        Curation.validateLanding(s, tmp)
+      },
+      Some("""SELECT * FROM (VALUES
+               ('docs_unique', true, CAST(0 AS BIGINT)),
+               ('pos_partition', true, CAST(0 AS BIGINT)),
+               ('shard_contiguous', true, CAST(0 AS BIGINT)),
+               ('shard_pos_disjoint', true, CAST(0 AS BIGINT)),
+               ('tokens_match', true, CAST(0 AS BIGINT)))
+               t("check", ok, violations) ORDER BY "check" """)),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

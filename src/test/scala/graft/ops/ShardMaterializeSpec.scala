@@ -209,6 +209,30 @@ class ShardMaterializeSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == manifest.map(_.toSeq).toSeq)
   }
 
+  test("validateLanding: all green on a fresh landing, flags an erased one") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pp15spec").toString
+    Curation.shardMaterialize(df, tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    val fresh = Curation.validateLanding(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(fresh.values.forall(_ == (true, 0L)), fresh.toString)
+    // after an erasure, positions legitimately hole: the validator
+    // must SAY so (pos_partition + range tiling fail; everything else
+    // still green) — the erased-landing caveat in its scaladoc
+    Curation.eraseFromLanding(spark, tmp, Seq(7L, 23L).toDF("doc_id")).count()
+    val erased = Curation.validateLanding(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(!erased("pos_partition")._1)
+    assert(!erased("shard_pos_disjoint")._1 &&
+      erased("shard_pos_disjoint")._2 == 2L)
+    assert(erased("docs_unique") == ((true, 0L)))
+    assert(erased("tokens_match") == ((true, 0L)))
+    assert(erased("shard_contiguous") == ((true, 0L)))
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
