@@ -309,10 +309,14 @@ object Bench {
     // concurrent clearCache would destroy another in-flight gate's
     // localCheckpoint blocks irrecoverably (their lineage is
     // truncated); one cleanup runs after the pass completes.
-    // default 6: the cold-JVM A/B at sf0.1 read 100.4 s (par=4) vs
-    // 68.0 s (par=6) — the pass is latency-bound well past 4-way
+    // default 6 → 8 (r16): the flow set grew 46 → 55 with six
+    // landing-writer gates (pp10/pp12/pp13/pp14/pp15/st12 — multiple
+    // parquet writes + FS swaps each, nearly pure latency); the
+    // same-day A/B at sf0.1 read 69.7 s (par=6, 54 gates) vs 51.4 s
+    // (par=8, 55 gates). The r15 4→6 bump was the same shape one
+    // growth step earlier.
     val enginePar =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "6").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "8").toInt)
     val engineT0 = System.nanoTime()
     val engineTimes: Map[String, Double] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
