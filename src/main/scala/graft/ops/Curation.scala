@@ -567,6 +567,61 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Fixed-length token-sequence packing, MATERIALIZED (pp16): pk01
+    * computes where each doc's tokens land; this produces the actual
+    * sequences — concatenate each shard's per-doc token-id arrays in
+    * doc_id order and cut every `seqLen` ids (crossing allowed, the
+    * concatenate-then-chunk scheme), emitting one row per sequence
+    * with its ids in order. The token-level explode is the honest
+    * cost of materializing tokens; everything else is one shuffle
+    * keyed (shard, seq_id) with the sequence assembled by
+    * sort_array over (seq_pos, id) structs — no window over the
+    * corpus, no driver state. The final sequence of a shard may be
+    * short (n_ids < seqLen); every other sequence is exactly seqLen
+    * (spec-pinned).
+    */
+  def packTokenSequences(df: DataFrame, shard: Column, ids: Column,
+                         seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col("doc_id"), shard.as("__shard"), ids.as("__ids"))
+      .withColumn("__start",
+        coalesce(sum(size(col("__ids")).cast("long")).over(w), lit(0L)))
+      .select(col("__shard"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__p", "__id")))
+      .select(col("__shard"),
+        expr(s"(__start + __p) div $seqLen").as("seq_id"),
+        ((col("__start") + col("__p")) % seqLen).as("__seq_pos"),
+        col("__id"))
+      .groupBy(col("__shard").as("shard"), col("seq_id"))
+      .agg(transform(
+          sort_array(collect_list(struct(col("__seq_pos"), col("__id")))),
+          s => s("__id")).as("ids"),
+        count(lit(1)).cast("long").as("n_ids"))
+  }
+
+  /** Tokenized landing (pp16): land what the trainer READS — fixed-
+    * length token-id sequences, shard-partitioned. Composes the
+    * pieces that already exist: a token-id array column (any
+    * tokenizer — the native BPE/unigram encode expressions, or a
+    * replayable rank vocab), packTokenSequences' materializer, and
+    * pp10's partitionBy(shard) layout. Returns the read-back
+    * manifest (shard, n_seqs, n_tokens, full/short sequence split).
+    */
+  def tokenizedLanding(df: DataFrame, outDir: String, shard: Column,
+                       ids: Column, seqLen: Int): DataFrame = {
+    val packed = packTokenSequences(df, shard, ids, seqLen)
+    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_ids")).as("n_tokens"),
+        sum((col("n_ids") === seqLen).cast("long")).as("n_full"),
+        sum((col("n_ids") =!= seqLen).cast("long")).as("n_short"))
+      .orderBy("shard")
+  }
+
   /** Landing validation (pp15): the fsck a training launcher runs
     * before committing compute to a landing — every structural
     * invariant the writers promise, re-derived from the LANDED BYTES

@@ -800,6 +800,69 @@ object CurationOps {
                ('tokens_match', true, CAST(0 AS BIGINT)))
                t("check", ok, violations) ORDER BY "check" """)),
 
+    // pp16: TOKENIZED landing — land what the trainer reads: token-id
+    // sequences of exactly 128 ids (last-per-shard may be short),
+    // shard-partitioned, materialized by the concatenate-then-chunk
+    // packer (pk01's rule, actually cut). The gate's tokenizer is the
+    // REPLAYABLE one (whitespace tokens ranked by frequency — the
+    // rank window runs over the dictionary-sized vocab frame, not the
+    // corpus) so DuckDB can replay ids; the learned-tokenizer
+    // composition (unigram_encode ids through the same packer) is
+    // spec-pinned instead, since DuckDB can't run Viterbi. Output is
+    // the LANDED sequences read back — write, layout, and packing in
+    // one oracle.
+    NamedQuery("pp16_tokenized_landing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ds = docs(s, d)
+        val toks = ds.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val wv = Window.orderBy(col("n").desc, col("tok").asc)
+        val withId = vocab
+          .withColumn("id", row_number().over(wv).cast("int"))
+          .select("tok", "id")
+        val idsPerDoc = toks.join(broadcast(withId), "tok")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            x => x("id")).as("ids"))
+        val tmp = java.nio.file.Files.createTempDirectory("pp16").toString
+        Curation.tokenizedLanding(idsPerDoc, tmp,
+          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        s.read.parquet(tmp)
+          .select(col("shard").cast("long").as("shard"), col("seq_id"),
+            col("ids"), col("n_ids"))
+          .orderBy("shard", "seq_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                      toks FROM t),
+              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
+              v AS (SELECT tok, row_number() OVER (
+                      ORDER BY count(*) DESC, tok) AS id
+                    FROM x GROUP BY tok),
+              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
+              dl AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(toks) AS BIGINT) AS n FROM t),
+              st AS (SELECT doc_id, shard,
+                       CAST(coalesce(sum(n) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS start_tok
+                     FROM dl),
+              e AS (SELECT st.shard,
+                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
+                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
+                      i.id
+                    FROM i JOIN st USING (doc_id))
+             SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(seq_id AS BIGINT) AS seq_id,
+               list(CAST(id AS INTEGER) ORDER BY seq_pos) AS ids,
+               CAST(count(*) AS BIGINT) AS n_ids
+             FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

@@ -233,6 +233,53 @@ class ShardMaterializeSpec extends AnyFunSuite {
     assert(erased("shard_contiguous") == ((true, 0L)))
   }
 
+  test("packTokenSequences: exact lengths, order conservation, learned tokenizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextFunctions.register(spark)
+    // learned unigram vocab over a toy corpus; ids by piece rank —
+    // the composition DuckDB can't replay (Viterbi), pinned here
+    val df = (1 to 12).map(i =>
+      (i.toLong, Seq.fill(i % 4 + 2)("abcd").mkString(" ") + " xy"))
+      .toDF("doc_id", "text")
+    val vocab = graft.ops.TextAnalysis
+      .unigramTrain(df, vocabSize = 8, rounds = 2, maxPieceLen = 4)
+      .map(v => (v._2, v._4))
+    val pieceId = vocab.map(_._1).sorted.zipWithIndex.map {
+      case (p, i) => p -> (i + 1) }.toMap
+    val mapCol = map(pieceId.toSeq.flatMap {
+      case (p, i) => Seq(lit(p), lit(i)) }: _*)
+    val ids = df.select(col("doc_id"),
+        graft.functions.TextFunctions.unigram_encode(col("text"), vocab)
+          .as("pieces"))
+      .select(col("doc_id"), transform(col("pieces"),
+        p => coalesce(element_at(mapCol, p), lit(0))).as("ids"))
+    val packed = Curation.packTokenSequences(ids,
+      pmod(col("doc_id"), lit(2)), col("ids"), seqLen = 8).collect()
+    // every sequence but the last of its shard is EXACTLY seqLen
+    for (shard <- packed.map(_.getLong(0)).distinct) {
+      val seqs = packed.filter(_.getLong(0) == shard).sortBy(_.getLong(1))
+      seqs.dropRight(1).foreach(r =>
+        assert(r.getLong(3) == 8L, s"short mid-sequence in shard $shard"))
+    }
+    // conservation + ORDER: concatenating a shard's sequences in
+    // seq_id order reproduces the docs' id arrays concatenated in
+    // doc_id order, byte for byte
+    val byDoc = ids.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    for (shard <- Seq(0L, 1L)) {
+      val want = byDoc.filter(_._1 % 2 == shard).flatMap(_._2).toSeq
+      val got = packed.filter(_.getLong(0) == shard).sortBy(_.getLong(1))
+        .flatMap(_.getSeq[Int](2)).toSeq
+      assert(got == want, s"shard $shard token stream not conserved")
+    }
+    // deterministic
+    val again = Curation.packTokenSequences(ids,
+      pmod(col("doc_id"), lit(2)), col("ids"), seqLen = 8).collect()
+    assert(again.map(_.toSeq).sortBy(_.toString).toSeq ==
+      packed.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
