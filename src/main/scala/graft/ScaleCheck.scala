@@ -1264,6 +1264,34 @@ object ScaleCheck {
         }
       }
     }
+    // pp16: the sequence packer is a token-level explode + ONE
+    // (shard, seq_id) shuffle — must be ~linear in total tokens
+    for (m <- Seq(1, 4)) {
+      val n = 200000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 16).as("sh"),
+        transform(sequence(lit(1), lit(64)),
+          x => (x % 97).cast("int")).as("ids"))
+      time(s"pp16-pack x$m docs=$n toks=${64 * n}")(
+        graft.ops.Curation.packTokenSequences(docs, col("sh"),
+            col("ids"), seqLen = 2048)
+          .agg(sum(col("n_ids"))).head.getLong(0))
+    }
+    // pp14: erasure = one 2-column discovery scan (linear in landing)
+    // + per-affected-shard rewrites (flat in landing size) — the
+    // two-term cost: erase the SAME 10 docs from a ×1 vs ×4 landing
+    for (m <- Seq(1, 4)) {
+      val n = 200000L * m
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("a"), lit("b"), lit("c")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory(s"pp14x$m").toString
+      graft.ops.Curation.shardMaterialize(docs, tmp,
+        col("doc_id"), "probe", budgetTokens = 1L << 14).count()
+      import spark.implicits._
+      val victims = (1L to 10L).map(_ * 1000L).toDF("doc_id")
+      time(s"pp14-erase x$m landing=$n")(
+        graft.ops.Curation.eraseFromLanding(spark, tmp, victims).count())
+    }
     // pp13: compaction = one (shard, slot) repartition + rewrite —
     // must track the shuffle+write slope (~linear). The landing is
     // materialized once per size (its cost excluded from the timing).
