@@ -79,6 +79,7 @@ object Bench {
         || q._1 == "pp10_shard_materialize" || q._1 == "pp12_shard_append"
         || q._1 == "pp13_compact_landing" || q._1 == "pp14_erase_from_landing"
         || q._1 == "pp15_validate_landing" || q._1 == "pp16_tokenized_landing"
+        || q._1 == "mf01_landing_manifest"
         // st08 writes fixture file-batches then drives a streaming
         // query against them — a correctness verdict like st06;
         // st12 is the same shape (fixture batches → streaming shard

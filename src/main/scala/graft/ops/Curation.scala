@@ -690,6 +690,41 @@ object Curation {
     } finally base.unpersist()
   }
 
+  /** Self-describing landing manifest (mf01): one flat (key, value)
+    * frame that makes a landing tell a trainer what it IS without
+    * tribal knowledge — the writer-supplied identity (tokenizer
+    * artifact path, seed, budget, whatever the caller passes) plus
+    * totals RE-DERIVED from the landed bytes (doc/shard/token counts)
+    * and the pp15 validation verdict folded to one failed-checks
+    * count. Persisted as a single parquet under `<dir>_manifest`
+    * (sibling path, like the st12 guard — never inside the landing,
+    * so partition discovery stays clean) and returned. Values are
+    * strings (one uniform column) and keys sort — deterministic,
+    * replayable, no timestamps (stamp externally if needed; RNG-free
+    * determinism is the curation family's contract).
+    */
+  def writeLandingManifest(spark: org.apache.spark.sql.SparkSession,
+                           landingDir: String,
+                           info: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    require(!info.keys.exists(_.startsWith("landing.")),
+      "the landing.* namespace is reserved for derived fields")
+    val landed = spark.read.parquet(landingDir)
+    val agg = landed.agg(count(lit(1)), countDistinct(col("shard")),
+      sum(col("n_tokens"))).head
+    val failed = validateLanding(spark, landingDir)
+      .filter(!col("ok")).count()
+    val derived = Map(
+      "landing.n_docs" -> agg.getLong(0).toString,
+      "landing.n_shards" -> agg.getLong(1).toString,
+      "landing.n_tokens" -> agg.getLong(2).toString,
+      "landing.failed_checks" -> failed.toString)
+    val rows = (info ++ derived).toSeq.sortBy(_._1)
+    val out = rows.toDF("key", "value").coalesce(1)
+    out.write.mode("overwrite").parquet(landingDir + "_manifest")
+    spark.read.parquet(landingDir + "_manifest").orderBy("key")
+  }
+
   /** Landing compaction (pp13): rewrite a pp10/pp12/st12 landing with
     * per-shard file-count targets — the small-file housekeeping every
     * long-lived 100 TB landing needs (each streaming append lands at

@@ -863,6 +863,47 @@ object CurationOps {
                CAST(count(*) AS BIGINT) AS n_ids
              FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
 
+    // mf01: self-describing landing MANIFEST — land the corpus, write
+    // the manifest, return what a fresh reader finds: the caller's
+    // identity fields plus totals re-derived from the landed bytes
+    // and the validation verdict. The oracle recomputes the derived
+    // numbers from the same plan replay and pins the identity fields
+    // as literals.
+    NamedQuery("mf01_landing_manifest",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("mf01").toString
+        Curation.shardMaterialize(docs(s, d), s"$tmp/landing",
+          col("doc_id"), seed = "pp10", budgetTokens = 8000L).count()
+        Curation.writeLandingManifest(s, s"$tmp/landing", Map(
+          "tokenizer" -> "whitespace",
+          "seed" -> "pp10",
+          "budget_tokens" -> "8000"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp10#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents),
+              c AS (SELECT pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t)
+             SELECT * FROM (
+               SELECT 'budget_tokens' AS key, '8000' AS value
+               UNION ALL SELECT 'landing.failed_checks', '0'
+               UNION ALL SELECT 'landing.n_docs',
+                 CAST(count(*) AS VARCHAR) FROM c
+               UNION ALL SELECT 'landing.n_shards',
+                 CAST(count(DISTINCT shard) AS VARCHAR) FROM c
+               UNION ALL SELECT 'landing.n_tokens',
+                 CAST(sum(n_tokens) AS VARCHAR) FROM c
+               UNION ALL SELECT 'seed', 'pp10'
+               UNION ALL SELECT 'tokenizer', 'whitespace')
+             ORDER BY key""")),
+
     // pp11: per-shard MIX audit — the "mix shares" column family of
     // pp10's manifest, kept as its own long-form gate so the manifest
     // stays narrow: per (shard, lang) doc/token counts plus the

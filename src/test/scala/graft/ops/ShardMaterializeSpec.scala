@@ -280,6 +280,40 @@ class ShardMaterializeSpec extends AnyFunSuite {
       packed.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("writeLandingManifest: derived truth, reserved namespace, clean sibling") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mf01spec").toString
+    val landing = s"$tmp/landing"
+    Curation.shardMaterialize(df, landing, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    val m = Curation.writeLandingManifest(spark, landing,
+      Map("tokenizer" -> "t", "seqLen" -> "128")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("landing.n_docs") == "20")
+    assert(m("landing.n_tokens") == "100")
+    assert(m("landing.n_shards") == "5")
+    assert(m("landing.failed_checks") == "0")
+    assert(m("tokenizer") == "t" && m("seqLen") == "128")
+    // the manifest lives BESIDE the landing, not inside it — partition
+    // discovery over the landing must not see it
+    assert(spark.read.parquet(landing).columns.toSet
+      .intersect(Set("key", "value")).isEmpty)
+    assert(new java.io.File(landing + "_manifest").exists())
+    // derived namespace is reserved
+    intercept[IllegalArgumentException] {
+      Curation.writeLandingManifest(spark, landing,
+        Map("landing.n_docs" -> "999"))
+    }
+    // a damaged landing reports its failed checks in the manifest
+    Curation.eraseFromLanding(spark, landing, Seq(3L).toDF("doc_id")).count()
+    val m2 = Curation.writeLandingManifest(spark, landing).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2("landing.failed_checks") == "2") // pos holes + range tiling
+    assert(m2("landing.n_docs") == "19")
+  }
+
   test("landShardBatch: exactly-once replay, chained watermarks, skip rule") {
     import spark.implicits._
     import graft.streaming.CorpusStream.landShardBatch
