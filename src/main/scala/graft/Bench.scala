@@ -318,10 +318,10 @@ object Bench {
     // growth step earlier.
     val enginePar =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_ENGINE_PAR", "8").toInt)
-    val engineT0 = System.nanoTime()
-    val engineTimes: Map[String, Double] = {
+    def runEnginePass(): (Map[String, Double], Double) = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      val t0Pass = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(enginePar)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val futs = engineSet.map { case (name, fn) =>
@@ -339,10 +339,21 @@ object Bench {
       // diagnosable TimeoutException instead of hanging the round
       val res = Await.result(Future.sequence(futs), Duration(30, "min")).toMap
       pool.shutdown()
-      res
+      dropLeftoverBlocks()
+      (res, (System.nanoTime() - t0Pass) / 1e9)
     }
-    dropLeftoverBlocks()
-    val engineTotal = (System.nanoTime() - engineT0) / 1e9
+    // TWO engine passes, min-of-passes reported (r16 verdict #3): a
+    // contended driver session doubled the single-pass wall on
+    // identical bytes (51 s quiet vs 101.9 s at host load 21); with a
+    // second pass the artifact self-attributes — a real regression
+    // shows in BOTH walls, a load episode in only one. Gates are
+    // re-runnable by construction (fresh temp dirs / unique sink
+    // names per invocation).
+    val (engineTimes, engineTotal) = runEnginePass()
+    val (engineTimes2, engineTotal2) = runEnginePass()
+    val engineMinTimes: Map[String, Double] = engineTimes.map { case (k, v) =>
+      k -> math.min(v, engineTimes2.getOrElse(k, v)) }
+    val engineMinTotal = math.min(engineTotal, engineTotal2)
     // ---- standing rowGuarded sentinel (r15 verdict #6): cf01/cf02
     // have twice read high in driver artifacts on untouched code
     // (weather both times, per the solo re-runs) — so every round now
@@ -369,7 +380,7 @@ object Bench {
     // be the small one carrying the warm/cold totals and the slowest
     // warm queries — that is what makes the ≤2x-of-baseline gate
     // independently verifiable from the driver artifact.
-    println(s"""{"detail":"full","cold_queries":${dict(cold)},"warm_queries":${dict(results2)},"min_queries":${dict(minByQuery)},"engine_queries":${dict(engineTimes)}}""")
+    println(s"""{"detail":"full","cold_queries":${dict(cold)},"warm_queries":${dict(results2)},"min_queries":${dict(minByQuery)},"engine_queries":${dict(engineTimes)},"engine_queries_pass2":${dict(engineTimes2)},"engine_queries_min":${dict(engineMinTimes)}}""")
     // Locale.ROOT: under a comma-decimal default locale f"%.2f" would
     // emit "1,23" and break the one JSON line the driver must parse
     def f2(v: Double): String =
@@ -429,7 +440,7 @@ object Bench {
     // the JIT-settling trace (last entry == probes[0], the settled
     // reading): lets a reader separate warm-up from interference
     val warmupJson = probeWarmup.map(f2).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_n":${engineTimes.size},"engine_par":$enginePar,"sentinel":${dict(sentinel)},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = WALL of one engine_par-way concurrent pass over the non-headline flow gates (drift detection only; per-gate walls measured under that concurrency); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results2.size},"warm_total":$total,"cold_total":$coldTotal,"warm_min_total":${f2(minTotal)},"errors":$errJson,"vs_baseline_matched":${f2(matchedTotal / baselineTotal)},"vs_baseline_matched_min":${f2(matchedMinTotal / baselineTotal)},"matched_warm_total":${f2(matchedTotal)},"matched_min_total":${f2(matchedMinTotal)},"matched_n":${matched.size},"vs_baseline":${f2(total / baselineTotal)},"vs_baseline_per_query":${f2((total / results2.size.max(1)) / (baselineTotal / baselineN))},"baseline_warm_total":$baselineTotal,"baseline_n":$baselineN,"adaptive_passes":$adaptive,"adaptive_log":$adaptJson,"probes":$probeJson,"probe_warmup":$warmupJson,"engine_total":${f2(engineTotal)},"engine_total_2":${f2(engineTotal2)},"engine_min_total":${f2(engineMinTotal)},"engine_n":${engineTimes.size},"engine_par":$enginePar,"sentinel":${dict(sentinel)},"host_page_cache_mb":$cachedMb,"host_load_1m":$load1m,"host_load_1m_start":$load1mStart,"jvm_max_heap_mb":$heapMb,"jvm_gc":"$gcNames","jvm_gc_ms":$gcMs,"jvm_gc_count":$gcN,"spark_cpus":$cpus,"queries":$slowest,"queries_are":"slowest 8 by per-query BEST-OF-PASSES min(cold,warm); warm dict folds adaptive re-runs (best warm-state pass per query, see adaptive_log) so a one-pass host-load episode cannot fake a gate failure; engine_total = WALL of the FIRST engine_par-way concurrent pass over the non-headline flow gates (drift detection only; per-gate walls measured under that concurrency); engine_min_total = min of two pass walls (a load episode inflates one pass, a real regression inflates both); vs_baseline_matched = SAME 49 baseline queries vs their recorded 50 s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,431 @@
+package graft.engine
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, InetSocketAddress, URI, URL, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** S3-protocol Hadoop FileSystem for `s3a://` URIs — the ingest-from-S3
+  * surface the reference exercises in
+  * clients/cmdline/test-cases/runs3tests.sh (URLs like
+  * `s3://my-bucket/file.csv` against an S3-compatible endpoint,
+  * dbinfo-s3.expected pins the resulting catalog rows). The sandbox
+  * ships no hadoop-aws/AWS-SDK jars, so this is a self-contained
+  * client for the PUBLIC S3 REST protocol (path-style GET / HEAD /
+  * ListObjectsV2 / PUT / DELETE — docs.aws.amazon.com/AmazonS3/latest/
+  * API), registered per-session via `fs.s3a.impl`; the endpoint comes
+  * from the standard `fs.s3a.endpoint` key. Reads are RANGE requests
+  * (seek = one `Range: bytes=pos-` reopen), so parquet footer-first
+  * access and partitioned scans work without buffering objects — the
+  * same shape S3AInputStream uses at 100 TB. Request signing is NOT
+  * implemented: this targets unauthenticated S3-compatible endpoints
+  * (the loopback test endpoint, or sidecar-authenticated gateways);
+  * production clusters ship hadoop-aws and never load this class.
+  */
+class S3CompatFileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var workDir: Path = _
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    bucket = uri.getAuthority
+    endpoint = conf.getTrimmed("fs.s3a.endpoint", "")
+    require(endpoint.nonEmpty,
+      "fs.s3a.endpoint must be set for the S3-compat filesystem")
+    if (!endpoint.contains("://")) endpoint = s"http://$endpoint"
+    workDir = new Path(s"${uri.getScheme}://$bucket/")
+  }
+
+  override def getScheme: String = "s3a"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(d: Path): Unit = { workDir = d }
+
+  /** Object key for a path (no leading slash; "" is the bucket root). */
+  private def keyOf(f: Path): String = {
+    val p = f.toUri.getPath
+    if (p == null || p == "/") "" else p.stripPrefix("/")
+  }
+
+  private def encodeKey(key: String): String =
+    key.split("/", -1).map(URLEncoder.encode(_, "UTF-8")
+      .replace("+", "%20")).mkString("/")
+
+  private def objectUrl(key: String): String =
+    s"$endpoint/$bucket/${encodeKey(key)}"
+
+  private def connect(method: String, url: String): HttpURLConnection = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(30000)
+    c.setReadTimeout(300000)
+    c
+  }
+
+  /** HEAD → Some(contentLength, lastModified) | None on 404. Falls
+    * back to a 1-byte ranged GET (Content-Range carries the total)
+    * when the endpoint omits Content-Length on HEAD.
+    */
+  private def head(key: String): Option[(Long, Long)] = {
+    val c = connect("HEAD", objectUrl(key))
+    try c.getResponseCode match {
+      case 200 =>
+        val len = c.getContentLengthLong
+        Some(((if (len >= 0) len else probeLength(key)), c.getLastModified))
+      case 404 => None
+      case rc  => throw new java.io.IOException(s"HEAD $key: HTTP $rc")
+    } finally c.disconnect()
+  }
+
+  private def probeLength(key: String): Long = {
+    val c = connect("GET", objectUrl(key))
+    c.setRequestProperty("Range", "bytes=0-0")
+    try c.getResponseCode match {
+      case 206 =>
+        val cr = Option(c.getHeaderField("Content-Range")).getOrElse("")
+        cr.split("/").lastOption.filter(_.forall(_.isDigit)).map(_.toLong)
+          .getOrElse(throw new java.io.IOException(
+            s"GET $key: unparseable Content-Range '$cr'"))
+      case 200 => c.getInputStream.readAllBytes().length.toLong
+      case rc  => throw new java.io.IOException(s"GET $key: HTTP $rc")
+    } finally c.disconnect()
+  }
+
+  /** One ListObjectsV2 page: (keys→sizes, commonPrefixes). The test
+    * corpus is far below one page (1000 keys); continuation tokens are
+    * honored anyway so large buckets list completely.
+    */
+  private def listPrefix(prefix: String,
+                         delimiter: Option[String]): (Seq[(String, Long)], Seq[String]) = {
+    var token: Option[String] = None
+    val objs = Seq.newBuilder[(String, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var more = true
+    while (more) {
+      val q = new StringBuilder(s"$endpoint/$bucket?list-type=2")
+      q ++= s"&prefix=${URLEncoder.encode(prefix, "UTF-8")}"
+      delimiter.foreach(d => q ++= s"&delimiter=${URLEncoder.encode(d, "UTF-8")}")
+      token.foreach(t => q ++= s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}")
+      val c = connect("GET", q.toString)
+      val body =
+        try {
+          if (c.getResponseCode != 200)
+            throw new java.io.IOException(s"LIST $prefix: HTTP ${c.getResponseCode}")
+          new String(c.getInputStream.readAllBytes(), UTF_8)
+        } finally c.disconnect()
+      val xml = scala.xml.XML.loadString(body)
+      (xml \ "Contents").foreach { n =>
+        objs += (((n \ "Key").text, (n \ "Size").text.toLong))
+      }
+      (xml \ "CommonPrefixes").foreach(n => prefixes += (n \ "Prefix").text)
+      token = Some((xml \ "NextContinuationToken").text).filter(_.nonEmpty)
+      more = (xml \ "IsTruncated").text == "true" && token.isDefined
+    }
+    (objs.result(), prefixes.result())
+  }
+
+  private def status(key: String, len: Long, isDir: Boolean,
+                     mtime: Long = 0L): FileStatus =
+    new FileStatus(len, isDir, 1, 64L * 1024 * 1024, mtime,
+      new Path(s"${fsUri.getScheme}://$bucket/$key").makeQualified(fsUri, workDir))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return status("", 0, isDir = true)
+    head(key) match {
+      case Some((len, mtime)) => status(key, len, isDir = false, mtime)
+      case None =>
+        // S3 has no directories: a "dir" exists iff some key extends it
+        val (objs, pfx) = listPrefix(key + "/", delimiter = Some("/"))
+        if (objs.nonEmpty || pfx.nonEmpty) status(key, 0, isDir = true)
+        else throw new java.io.FileNotFoundException(f.toString)
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f)
+    if (!st.isDirectory) return Array(st)
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val (objs, pfx) = listPrefix(prefix, delimiter = Some("/"))
+    val files = objs.filterNot(_._1 == prefix) // the dir-marker itself
+      .map { case (k, sz) => status(k, sz, isDir = false) }
+    val dirs = pfx.map(p => status(p.stripSuffix("/"), 0, isDir = true))
+    (files ++ dirs).toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val (len, _) = head(key).getOrElse(
+      throw new java.io.FileNotFoundException(f.toString))
+    new FSDataInputStream(new RangedHttpInputStream(objectUrl(key), len))
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    if (!overwrite && head(key).isDefined)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    // single-request PUT on close: right for gate/fixture objects; a
+    // production writer would use multipart upload (hadoop-aws does)
+    val buf = new ByteArrayOutputStream()
+    val fs = this
+    new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
+      override def close(): Unit = { super.close(); fs.put(key, buf.toByteArray) }
+    }, statistics)
+  }
+
+  private def put(key: String, bytes: Array[Byte]): Unit = {
+    val c = connect("PUT", objectUrl(key))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(bytes.length)
+    try {
+      c.getOutputStream.write(bytes)
+      c.getOutputStream.close()
+      val rc = c.getResponseCode
+      if (rc != 200 && rc != 201)
+        throw new java.io.IOException(s"PUT $key: HTTP $rc")
+    } finally c.disconnect()
+  }
+
+  override def append(f: Path, bufferSize: Int,
+                      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("S3 objects are immutable")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    // copy-then-delete per object (S3 has no rename); only fixture-
+    // sized writes take this path in this sandbox
+    val srcSt = getFileStatus(src)
+    if (srcSt.isDirectory) {
+      val (objs, _) = listPrefix(keyOf(src) + "/", delimiter = None)
+      objs.foreach { case (k, _) =>
+        val rel = k.stripPrefix(keyOf(src) + "/")
+        copyObject(k, keyOf(dst) + "/" + rel)
+        deleteObject(k)
+      }
+    } else {
+      copyObject(keyOf(src), keyOf(dst))
+      deleteObject(keyOf(src))
+    }
+    true
+  }
+
+  private def copyObject(srcKey: String, dstKey: String): Unit = {
+    val c = connect("GET", objectUrl(srcKey))
+    val bytes =
+      try {
+        if (c.getResponseCode != 200)
+          throw new java.io.IOException(s"GET $srcKey: HTTP ${c.getResponseCode}")
+        c.getInputStream.readAllBytes()
+      } finally c.disconnect()
+    put(dstKey, bytes)
+  }
+
+  private def deleteObject(key: String): Boolean = {
+    val c = connect("DELETE", objectUrl(key))
+    try c.getResponseCode == 204 || c.getResponseCode == 200
+    finally c.disconnect()
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    head(key) match {
+      case Some(_) => deleteObject(key)
+      case None =>
+        val (objs, _) = listPrefix(key + "/", delimiter = None)
+        if (objs.isEmpty) false
+        else if (!recursive)
+          throw new java.io.IOException(s"$f is a non-empty directory")
+        else { objs.foreach(o => deleteObject(o._1)); true }
+    }
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+}
+
+/** Seekable HTTP reader: one GET with `Range: bytes=pos-` per seek,
+  * sequential reads stream from the open connection (no rebuffering).
+  * This is the access pattern parquet needs (footer, then column
+  * chunks) expressed in plain HTTP range semantics.
+  */
+private class RangedHttpInputStream(url: String, length: Long)
+    extends FSInputStream {
+  private var pos = 0L
+  private var streamAt = -1L // next offset the open stream will yield
+  private var stream: InputStream = _
+
+  private def ensure(): InputStream = {
+    if (stream == null || streamAt != pos) {
+      if (stream != null) { stream.close(); stream = null }
+      val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+      c.setConnectTimeout(30000)
+      c.setReadTimeout(300000)
+      if (pos > 0) c.setRequestProperty("Range", s"bytes=$pos-")
+      val rc = c.getResponseCode
+      if (rc != 200 && rc != 206)
+        throw new java.io.IOException(s"GET $url @$pos: HTTP $rc")
+      stream = c.getInputStream
+      // a 200 to a ranged request means the server ignored Range —
+      // skip manually so reads stay position-correct
+      if (pos > 0 && rc == 200) {
+        var toSkip = pos
+        while (toSkip > 0) {
+          val n = stream.skip(toSkip)
+          if (n <= 0) throw new java.io.IOException(s"skip to $pos failed")
+          toSkip -= n
+        }
+      }
+      streamAt = pos
+    }
+    stream
+  }
+
+  override def read(): Int =
+    if (pos >= length) -1
+    else {
+      val b = ensure().read()
+      if (b >= 0) { pos += 1; streamAt = pos }
+      b
+    }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int =
+    if (pos >= length) -1
+    else {
+      val n = ensure().read(buf, off, len)
+      if (n > 0) { pos += n; streamAt = pos }
+      n
+    }
+
+  override def seek(p: Long): Unit = {
+    require(p >= 0 && p <= length, s"seek($p) out of [0,$length]")
+    pos = p // lazily reopened on next read
+  }
+
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def close(): Unit = {
+    if (stream != null) { stream.close(); stream = null }
+    super.close()
+  }
+}
+
+/** Loopback S3-compatible endpoint (im15's loopback-HTTP pattern,
+  * lifted to the S3 REST protocol): an in-memory object store behind
+  * the JDK HttpServer answering path-style GET (with Range) / HEAD /
+  * PUT / DELETE and GET `?list-type=2` with prefix/delimiter XML. It
+  * exists so `s3a://` ingest can be driven end-to-end with zero
+  * egress — the stand-in for runs3tests.sh's `aws
+  * --endpoint-url=$AWS_ENDPOINT` fixture store.
+  */
+final class S3Loopback {
+  private val objects =
+    new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new InetSocketAddress("127.0.0.1", 0), 0)
+
+  def put(bucket: String, key: String, bytes: Array[Byte]): Unit =
+    objects.put(s"$bucket/$key", bytes)
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      val raw = ex.getRequestURI.getRawPath.stripPrefix("/")
+      val path = java.net.URLDecoder.decode(raw, "UTF-8")
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val method = ex.getRequestMethod
+      def send(code: Int, body: Array[Byte], cl: Boolean = true): Unit = {
+        if (cl) ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        else ex.sendResponseHeaders(code, -1)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      }
+      if (method == "GET" && query.contains("list-type=2")) {
+        val bucket = path.stripSuffix("/")
+        val params = query.split("&").map(_.split("=", 2))
+          .map(kv => kv(0) -> (if (kv.length > 1)
+            java.net.URLDecoder.decode(kv(1), "UTF-8") else "")).toMap
+        val prefix = params.getOrElse("prefix", "")
+        val delim = params.get("delimiter").filter(_.nonEmpty)
+        import scala.jdk.CollectionConverters._
+        val all = objects.asScala.keys
+          .filter(_.startsWith(s"$bucket/"))
+          .map(_.stripPrefix(s"$bucket/"))
+          .filter(_.startsWith(prefix)).toSeq.sorted
+        val (direct, rolled) = delim match {
+          case None => (all, Seq.empty[String])
+          case Some(d) =>
+            val (roll, dir) = all.partition(k =>
+              k.stripPrefix(prefix).contains(d))
+            (dir, roll.map(k => prefix +
+              k.stripPrefix(prefix).takeWhile(_.toString != d) + d).distinct)
+        }
+        val contents = direct.map { k =>
+          s"<Contents><Key>${xmlEscape(k)}</Key><Size>${objects.get(s"$bucket/$k").length}</Size></Contents>"
+        }.mkString
+        val prefixes = rolled.map(p =>
+          s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>").mkString
+        val xml = s"""<?xml version="1.0" encoding="UTF-8"?>
+          |<ListBucketResult><IsTruncated>false</IsTruncated>
+          |<KeyCount>${direct.size}</KeyCount>$contents$prefixes</ListBucketResult>"""
+          .stripMargin
+        send(200, xml.getBytes(UTF_8))
+      } else {
+        val bytes = objects.get(path)
+        method match {
+          case "HEAD" =>
+            if (bytes == null) send(404, Array.emptyByteArray)
+            else {
+              // JDK HttpServer rejects a body length on a HEAD exchange;
+              // the header must be set by hand with responseLength = -1
+              ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+              ex.sendResponseHeaders(200, -1); ex.close()
+            }
+          case "GET" =>
+            if (bytes == null) send(404, Array.emptyByteArray)
+            else Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val spec = r.stripPrefix("bytes=").split("-", 2)
+                val from = spec(0).toLong
+                val to = if (spec.length > 1 && spec(1).nonEmpty)
+                  math.min(spec(1).toLong, bytes.length - 1L)
+                else bytes.length - 1L
+                val slice = java.util.Arrays.copyOfRange(
+                  bytes, from.toInt, (to + 1).toInt)
+                ex.getResponseHeaders.add("Content-Range",
+                  s"bytes $from-$to/${bytes.length}")
+                send(206, slice)
+              case _ => send(200, bytes)
+            }
+          case "PUT" =>
+            objects.put(path, ex.getRequestBody.readAllBytes())
+            send(200, Array.emptyByteArray)
+          case "DELETE" =>
+            objects.remove(path)
+            send(204, Array.emptyByteArray)
+          case _ => send(405, Array.emptyByteArray)
+        }
+      }
+    } catch {
+      case _: Throwable =>
+        try { ex.sendResponseHeaders(500, -1); ex.close() }
+        catch { case _: Throwable => () }
+    }
+  })
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}

@@ -361,6 +361,28 @@ object Curation {
     numbered.drop("__shuffle_h")
   }
 
+  /** Number rows 1..N in the given total order WITHOUT a
+    * single-partition window: one range-partitioned distributed sort
+    * (Spark's native large-scale sort shape) then per-partition
+    * offset numbering via zipWithIndex — the same machinery as
+    * [[deterministicShuffle]] and ingest row numbering. Use this
+    * wherever a global ordinal is needed over a frame that is not
+    * provably tiny (an unpartitioned `row_number().over(Window
+    * .orderBy(...))` serializes the frame through one task).
+    */
+  def rankIds(df: DataFrame, idCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq) },
+      schema)
+  }
+
   /** Length-quantile bucketing: assign every doc to one of `nBuckets`
     * token-length bands with (near-)equal populations — batching docs
     * of similar length minimizes padding waste in training batches

@@ -811,17 +811,20 @@ object CurationOps {
     // spec-pinned instead, since DuckDB can't run Viterbi. Output is
     // the LANDED sequences read back — write, layout, and packing in
     // one oracle.
+    // Output pins exact sequence content AND order without a raw
+    // ARRAY column (the driver's pandas compare cannot lexsort array
+    // cells): md5 over the space-joined ids + n_ids. Vocab ids are
+    // assigned by Curation.rankIds (distributed sort + zipWithIndex),
+    // not an unpartitioned window — the op library's own convention.
     NamedQuery("pp16_tokenized_landing",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val ds = docs(s, d)
         val toks = ds.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val wv = Window.orderBy(col("n").desc, col("tok").asc)
-        val withId = vocab
-          .withColumn("id", row_number().over(wv).cast("int"))
-          .select("tok", "id")
+        val withId = Curation.rankIds(vocab, "id",
+            col("n").desc, col("tok").asc)
+          .select(col("tok"), col("id").cast("int").as("id"))
         val idsPerDoc = toks.join(broadcast(withId), "tok")
           .groupBy(col("doc_id"))
           .agg(transform(
@@ -832,7 +835,9 @@ object CurationOps {
           pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
         s.read.parquet(tmp)
           .select(col("shard").cast("long").as("shard"), col("seq_id"),
-            col("ids"), col("n_ids"))
+            md5(array_join(transform(col("ids"), _.cast("string")),
+              " ")).as("ids_md5"),
+            col("n_ids"))
           .orderBy("shard", "seq_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -859,7 +864,8 @@ object CurationOps {
                     FROM i JOIN st USING (doc_id))
              SELECT CAST(shard AS BIGINT) AS shard,
                CAST(seq_id AS BIGINT) AS seq_id,
-               list(CAST(id AS INTEGER) ORDER BY seq_pos) AS ids,
+               md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY seq_pos))
+                 AS ids_md5,
                CAST(count(*) AS BIGINT) AS n_ids
              FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
 

@@ -556,6 +556,43 @@ object EngineOps {
              ('zip', 3, 'a,b', 'INTEGER,TEXT')) t(src, n_rows, names, col_types)
              ORDER BY src""")),
 
+    // I3 S3 ingest (reference runs3tests.sh + dbinfo-s3.expected:
+    // s3://my-bucket/* against an --endpoint-url store): s3a:// URIs
+    // resolved through the S3-protocol FileSystem against a loopback
+    // S3-compatible endpoint (zero egress), then a full catalog ingest
+    // over the s3a-sourced frame — the reference's "simple file.csv"
+    // (one BOOLEAN column) and "many-json-numbers.json" shapes.
+    NamedQuery("im21_s3_ingest",
+      (s, _) => {
+        val s3 = new graft.engine.S3Loopback
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
+        hc.set("fs.s3a.endpoint", s3.endpoint)
+        hc.set("fs.s3a.impl.disable.cache", "true")
+        try {
+          s3.put("my-bucket", "simple file.csv", "Foo\nTRUE\n".getBytes("UTF-8"))
+          s3.put("my-bucket", "many-json-numbers.json",
+            (1 to 1000).map(_.toString).mkString(" ").getBytes("UTF-8"))
+          val csv = Ingest.csv(s, "s3a://my-bucket/simple file.csv")
+          val js = Ingest.json(s, "s3a://my-bucket/many-json-numbers.json")
+          val cat = new Catalog(s, Files.createTempDirectory("graft-s3-wh").toString)
+          val entry = cat.ingest("simple file.csv", csv, "csv",
+            addedBy = "edsko", created = Some("2016-10-01T12:00:00Z"))
+          rowsDf(s, Seq("src", "n_rows", "names", "col_types", "view"), Seq(
+            Seq("simple file.csv", csv.untyped.count().toInt,
+              csv.friendlyNames.mkString(","),
+              csv.colTypes.map(_.displayName).mkString(","), entry.viewName),
+            Seq("many-json-numbers.json", js.untyped.count().toInt,
+              js.friendlyNames.mkString(","),
+              js.colTypes.map(_.displayName).mkString(","), "-")))
+        } finally s3.stop()
+      },
+      Some("""SELECT * FROM (VALUES
+             ('simple file.csv', 1, 'Foo', 'BOOLEAN', 'simple_file_csv_v1'),
+             ('many-json-numbers.json', 1000, 'json', 'JSON', '-'))
+             t(src, n_rows, names, col_types, view)
+             ORDER BY src""")),
+
     // Progress streaming (ProgressOr / logEvery, Interface/Ingest.hs:
     // 324-454): ingest under Progress.watch must emit at least one
     // {"progress":...} line and a final {"done":...} covering the rows

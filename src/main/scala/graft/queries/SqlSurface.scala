@@ -692,15 +692,21 @@ object SqlSurface {
     // (PgFunctions wraps the empty input), the oracle hand-writes the
     // PG result in DuckDB. VALUES-based so the edge row is guaranteed
     // present regardless of corpus content.
+    // Output projects the array through array_to_string + brackets (the
+    // q34 discipline: the driver's pandas compare cannot lexsort raw
+    // ARRAY cells) — '[]' pins the PG empty array, '[ ]' the 1-element
+    // whitespace array, and n (NULL vs 1) disambiguates the rest.
     NamedQuery("q65_string_to_array_empty",
       (s, d) => s.sql(graft.engine.PgSelect.rewrite(
         """SELECT v,
-                  string_to_array(v, ',') AS arr,
+                  '[' || array_to_string(string_to_array(v, ','), ',') || ']' AS arr,
                   CAST(array_length(string_to_array(v, ','), 1) AS BIGINT) AS n
            FROM (VALUES ('a,b,c'), (''), (' '), ('x')) AS t(v)
            ORDER BY v""")),
       Some("""SELECT v,
-                   CASE WHEN v = '' THEN [] ELSE string_to_array(v, ',') END AS arr,
+                   '[' || CASE WHEN v = '' THEN ''
+                          ELSE array_to_string(string_to_array(v, ','), ',')
+                          END || ']' AS arr,
                    CASE WHEN v = '' THEN NULL
                         ELSE CAST(array_length(string_to_array(v, ','), 1) AS BIGINT)
                    END AS n
@@ -724,14 +730,14 @@ object SqlSurface {
                     lang = ANY (ARRAY['en', 'zh']) AS is_enzh,
                     lang <> ALL (ARRAY['de', 'es']) AS not_de_es,
                     text ~ ANY (ARRAY['join', 'merge']) AS mentions,
-                    ARRAY[lang, source] AS pair
+                    array_to_string(ARRAY[lang, source], '|') AS pair
              FROM documents ORDER BY doc_id LIMIT 800"""))
       },
       Some("""SELECT doc_id,
                    lang IN ('en', 'zh') AS is_enzh,
                    lang NOT IN ('de', 'es') AS not_de_es,
                    (regexp_matches(text, 'join') OR regexp_matches(text, 'merge')) AS mentions,
-                   [lang, source] AS pair
+                   array_to_string([lang, source], '|') AS pair
              FROM documents ORDER BY doc_id LIMIT 800""")),
 
     // Q26b: JSON-derived aggregate

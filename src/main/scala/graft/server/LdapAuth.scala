@@ -1,0 +1,225 @@
+package graft.server
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.engine.Acl
+
+/** LDAPv3 simple-bind authentication (RFC 4511 §4.2) — the reference's
+  * `authProviderLDAP` (server/src/Lagoon/Server/Auth/LDAP.hs:31-51):
+  * the DN is produced by substituting the login name into a
+  * `{{user}}` template, one simple bind is attempted as that DN
+  * ("bind-as-user"), and the outcome maps fail-closed —
+  * `invalidCredentials` (49) → login denied, ANY other non-success
+  * (protocol error, unwilling, connect failure, timeout) → also
+  * denied (the reference surfaces those as LoginServerError; our
+  * boolean seam folds both into a refusal, never an accept).
+  *
+  * The wire client is self-contained: LDAP simple bind is a two-BER
+  * exchange (BindRequest [APPLICATION 0] / BindResponse
+  * [APPLICATION 1]) with definite lengths, so no directory SDK is
+  * needed — and the same codec drives the in-process stub directory
+  * used by the spec (no egress in this sandbox).
+  */
+object LdapAuth {
+
+  /** Bind outcome, kept richer than the boolean seam for tests and
+    * diagnostics (mirrors the reference's LoginInvalidCreds vs
+    * LoginServerError split).
+    */
+  sealed trait BindResult
+  case object BindSuccess extends BindResult
+  case object BindInvalidCredentials extends BindResult
+  final case class BindError(message: String) extends BindResult
+
+  // ---- BER (definite-length) primitives --------------------------------
+
+  private[server] def berLen(n: Int): Array[Byte] =
+    if (n < 0x80) Array(n.toByte)
+    else {
+      val b = BigInt(n).toByteArray.dropWhile(_ == 0)
+      (0x80 | b.length).toByte +: b
+    }
+
+  private[server] def tlv(tag: Int, content: Array[Byte]): Array[Byte] =
+    tag.toByte +: (berLen(content.length) ++ content)
+
+  private[server] def berInt(v: Int): Array[Byte] =
+    tlv(0x02, BigInt(v).toByteArray)
+
+  /** Read one TLV from the stream; returns (tag, content). */
+  private[server] def readTlv(in: InputStream): (Int, Array[Byte]) = {
+    val tag = in.read()
+    if (tag < 0) throw new java.io.EOFException("ldap: eof at tag")
+    val l0 = in.read()
+    if (l0 < 0) throw new java.io.EOFException("ldap: eof at length")
+    val len =
+      if (l0 < 0x80) l0
+      else {
+        val n = l0 & 0x7f
+        require(n >= 1 && n <= 4, s"ldap: unsupported length-of-length $n")
+        var acc = 0
+        for (_ <- 0 until n) {
+          val b = in.read()
+          if (b < 0) throw new java.io.EOFException("ldap: eof in length")
+          acc = (acc << 8) | b
+        }
+        acc
+      }
+    require(len >= 0 && len <= (1 << 20), s"ldap: implausible length $len")
+    val buf = in.readNBytes(len)
+    if (buf.length != len) throw new java.io.EOFException("ldap: short read")
+    (tag, buf)
+  }
+
+  private def decodeInt(bytes: Array[Byte]): Int =
+    if (bytes.isEmpty) 0 else BigInt(bytes).toInt
+
+  // ---- wire messages ----------------------------------------------------
+
+  /** BindRequest: SEQUENCE { messageID, [APPLICATION 0] SEQUENCE {
+    * version 3, name, simple [0] password } }.
+    */
+  private[server] def encodeBindRequest(msgId: Int, dn: String,
+                                        pass: String): Array[Byte] =
+    tlv(0x30, berInt(msgId) ++
+      tlv(0x60, berInt(3) ++
+        tlv(0x04, dn.getBytes(UTF_8)) ++
+        tlv(0x80, pass.getBytes(UTF_8))))
+
+  /** BindResponse: SEQUENCE { messageID, [APPLICATION 1] SEQUENCE {
+    * resultCode ENUMERATED, matchedDN, diagnosticMessage } }.
+    */
+  private[server] def encodeBindResponse(msgId: Int, code: Int,
+                                         diag: String = ""): Array[Byte] =
+    tlv(0x30, berInt(msgId) ++
+      tlv(0x61, tlv(0x0a, BigInt(code).toByteArray) ++
+        tlv(0x04, Array.emptyByteArray) ++
+        tlv(0x04, diag.getBytes(UTF_8))))
+
+  /** Parse a BindResponse envelope → (messageID, resultCode, diag). */
+  private[server] def decodeBindResponse(bytes: Array[Byte]): (Int, Int, String) = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val (envTag, env) = readTlv(in)
+    require(envTag == 0x30, f"ldap: not an LDAPMessage (tag 0x$envTag%02x)")
+    val body = new java.io.ByteArrayInputStream(env)
+    val (idTag, idBytes) = readTlv(body)
+    require(idTag == 0x02, "ldap: missing messageID")
+    val (opTag, op) = readTlv(body)
+    require(opTag == 0x61, f"ldap: not a BindResponse (tag 0x$opTag%02x)")
+    val opIn = new java.io.ByteArrayInputStream(op)
+    val (rcTag, rc) = readTlv(opIn)
+    require(rcTag == 0x0a, "ldap: missing resultCode")
+    val (_, _) = readTlv(opIn) // matchedDN
+    val (_, diag) = readTlv(opIn) // diagnosticMessage
+    (decodeInt(idBytes), decodeInt(rc), new String(diag, UTF_8))
+  }
+
+  /** RFC 4514 DN-value escaping for the substituted user name, so a
+    * login name containing DN metacharacters cannot splice extra RDNs
+    * into the template (the reference's Mustache substitution is
+    * verbatim; escaping only ever narrows what authenticates).
+    */
+  private[server] def escapeDnValue(v: String): String = {
+    val sb = new StringBuilder
+    v.iterator.zipWithIndex.foreach { case (c, i) =>
+      val special = ",+\"\\<>;=#".indexOf(c.toInt) >= 0
+      val edgeSpace = c == ' ' && (i == 0 || i == v.length - 1)
+      if (special || edgeSpace) sb.append('\\')
+      sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Substitute `{{user}}` (and `{{ user }}`) in the DN template. */
+  private[server] def substituteDn(template: String, user: String): String =
+    template.replaceAll("\\{\\{\\s*user\\s*\\}\\}",
+      java.util.regex.Matcher.quoteReplacement(escapeDnValue(user)))
+
+  /** One simple bind against `ldap://host:port` as `dn` with `pass`. */
+  def bind(url: String, dn: String, pass: String,
+           timeoutMs: Int = 5000): BindResult =
+    try {
+      val uri = new URI(url)
+      require(uri.getScheme == "ldap", s"unsupported scheme: ${uri.getScheme}")
+      val port = if (uri.getPort > 0) uri.getPort else 389
+      val sock = new Socket()
+      try {
+        sock.connect(new InetSocketAddress(uri.getHost, port), timeoutMs)
+        sock.setSoTimeout(timeoutMs)
+        val out: OutputStream = sock.getOutputStream
+        out.write(encodeBindRequest(1, dn, pass))
+        out.flush()
+        val (tag, content) = readTlv(sock.getInputStream)
+        val (msgId, code, diag) =
+          decodeBindResponse(tlv(tag, content))
+        if (msgId != 1) BindError(s"unexpected messageID $msgId")
+        else code match {
+          case 0  => BindSuccess
+          case 49 => BindInvalidCredentials
+          case c  => BindError(s"ldap resultCode $c: $diag")
+        }
+      } finally sock.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        BindError(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+}
+
+/** The LDAP `AuthProvider` instance: bind-as-user with a DN template,
+  * fail-closed on every non-success outcome. The bootstrap admin
+  * still authenticates via the stored credential so the rig can be
+  * driven (same shape as the reference's multi-provider config).
+  */
+final class LdapAuthProvider(url: String, dnTemplate: String,
+                             allowStoredFallback: Boolean = true)
+    extends AuthProvider {
+  val name = "ldap"
+  def verify(user: String, pass: String, state: Acl.State): Boolean = {
+    val dn = LdapAuth.substituteDn(dnTemplate, user)
+    // An empty simple-bind password is an ANONYMOUS bind (RFC 4513
+    // §5.1.2) — most directories return success WITHOUT
+    // authenticating the DN, so it must never count as a login.
+    val result =
+      if (pass.isEmpty) LdapAuth.BindInvalidCredentials
+      else LdapAuth.bind(url, dn, pass)
+    result match {
+      case LdapAuth.BindSuccess => true
+      case _ =>
+        allowStoredFallback && AuthProvider.Stored.verify(user, pass, state)
+    }
+  }
+}
+
+/** HTTP Basic-Auth provider — the reference's `authProviderBasicAuth`
+  * (server/src/Lagoon/Server/Auth/BasicAuth.hs:24-38): one request to
+  * the configured URL with an Authorization: Basic header; 200/301 →
+  * accept, 401 → invalid credentials, anything else (including
+  * connect failure) → fail-closed deny.
+  */
+final class BasicAuthProvider(url: String,
+                              allowStoredFallback: Boolean = true)
+    extends AuthProvider {
+  val name = "basic-auth"
+  def verify(user: String, pass: String, state: Acl.State): Boolean = {
+    val ok =
+      try {
+        val token = java.util.Base64.getEncoder.encodeToString(
+          s"$user:$pass".getBytes(UTF_8))
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(5))
+          .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+          .build()
+        val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(5))
+          .header("Authorization", s"Basic $token")
+          .GET().build()
+        val status = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+        status == 200 || status == 301
+      } catch { case scala.util.control.NonFatal(_) => false }
+    ok || (allowStoredFallback &&
+      AuthProvider.Stored.verify(user, pass, state))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+/** Registry-level OUTPUT-TYPE lint (round-17 verdict item 2).
+  *
+  * The driver's correctness compare loads each gate's parquet output
+  * into pandas and lexsorts all columns before hashing — a cell that
+  * is an ARRAY/MAP/STRUCT is unhashable there (`TypeError: unhashable
+  * type: 'numpy.ndarray'`), so the gate ERRORS in the compare even
+  * when its semantics are right (this cost r16 three red rows: q65,
+  * q66, pp16). This spec walks EVERY registered NamedQuery at
+  * sf0.001, builds its DataFrame, and fails on any nested type in the
+  * declared output schema — project arrays through
+  * `array_to_string`/`array_join`, or pin content+order with
+  * `md5(array_join(...))` + a count column instead.
+  */
+class RegistrySchemaLintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Columns whose type the driver compare cannot sort/hash. */
+  private[graft] def offendingCols(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
+  test("lint helper flags a deliberately array-typed output") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(3).select(array(col("id")).as("a"),
+      map(col("id"), col("id")).as("m"),
+      struct(col("id")).as("st"), col("id"))
+    assert(offendingCols(bad.schema).size == 3)
+    val good = spark.range(3).select(col("id"),
+      array_join(transform(array(col("id")), _.cast("string")), ",").as("a"))
+    assert(offendingCols(good.schema).isEmpty)
+  }
+
+  test("no registry gate declares an ARRAY/MAP/STRUCT output column") {
+    // Build every gate's DataFrame (flow gates run their side effects
+    // at sf0.001 — cheap; plan-only gates just analyze). Parallel at 8
+    // to keep the suite's wall-clock flat.
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(8)
+    val par = SparkEntry.registry.par
+    par.tasksupport =
+      new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    val offenders = par.flatMap { q =>
+      // A few gates require more data than sf0.001 carries (e.g. kmv01
+      // needs >=64 distinct keys); fall back to sf0.01 for those.
+      val schema =
+        try Right(q.fn(spark, dir).schema)
+        catch {
+          case _: Throwable =>
+            try Right(q.fn(spark, "/root/testdata/sf0.01").schema)
+            catch {
+              case e: Throwable =>
+                Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+        }
+      schema match {
+        case Right(sc) =>
+          val bad = offendingCols(sc)
+          if (bad.nonEmpty) Seq(s"${q.name} -> ${bad.mkString(", ")}")
+          else Seq.empty
+        case Left(err) => Seq(s"${q.name} -> FAILED TO BUILD: $err")
+      }
+    }.toList.sorted
+    pool.shutdown()
+    assert(offenders.isEmpty,
+      s"\ngates with driver-compare-unsafe output types (or broken builders):\n  ${offenders.mkString("\n  ")}")
+  }
+}

@@ -1,0 +1,203 @@
+package graft.server
+
+import java.net.{InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.engine.Catalog
+
+/** In-process LDAP stub directory — a loopback ServerSocket speaking
+  * just enough RFC 4511 (BindRequest/BindResponse over BER) to stand
+  * in for the live directory the reference's LDAP.hs binds against
+  * (egress-free, the im15 loopback-HTTP pattern). `entries` maps
+  * DN → password; a known DN with the wrong password answers
+  * invalidCredentials (49), an unknown DN likewise (directories do
+  * not disclose which), and `rejectAll` simulates an unwilling server
+  * (53) so fail-closed can be asserted end-to-end.
+  */
+private class StubLdapServer(entries: Map[String, String],
+                             rejectAll: Boolean = false) {
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  @volatile private var running = true
+  val port: Int = server.getLocalPort
+
+  private val thread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        new Thread(() => {
+          try {
+            val in = sock.getInputStream
+            val out = sock.getOutputStream
+            var open = true
+            while (open) {
+              val (tag, env) = LdapAuth.readTlv(in)
+              if (tag != 0x30) open = false
+              else {
+                val body = new java.io.ByteArrayInputStream(env)
+                val (_, idBytes) = LdapAuth.readTlv(body)
+                val msgId = if (idBytes.isEmpty) 0 else BigInt(idBytes).toInt
+                val (opTag, op) = LdapAuth.readTlv(body)
+                opTag match {
+                  case 0x60 => // BindRequest
+                    val opIn = new java.io.ByteArrayInputStream(op)
+                    val (_, _) = LdapAuth.readTlv(opIn) // version
+                    val (_, dnB) = LdapAuth.readTlv(opIn)
+                    val (authTag, passB) = LdapAuth.readTlv(opIn)
+                    val dn = new String(dnB, UTF_8)
+                    val pass = new String(passB, UTF_8)
+                    val code =
+                      if (rejectAll) 53 // unwillingToPerform
+                      else if (authTag != 0x80) 48 // inappropriateAuthentication
+                      else if (pass.isEmpty) 0 // anonymous bind: "success"
+                      else if (entries.get(dn).contains(pass)) 0
+                      else 49
+                    out.write(LdapAuth.encodeBindResponse(msgId, code))
+                    out.flush()
+                  case 0x42 => open = false // UnbindRequest
+                  case _ =>
+                    out.write(LdapAuth.encodeBindResponse(msgId, 2))
+                    out.flush()
+                }
+              }
+            }
+          } catch { case _: Throwable => () }
+          finally sock.close()
+        }).start()
+      } catch { case _: Throwable => () }
+    }
+  })
+  thread.setDaemon(true)
+  thread.start()
+
+  def stop(): Unit = { running = false; server.close() }
+}
+
+class LdapAuthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val client = java.net.http.HttpClient.newHttpClient()
+  private val template = "uid={{user}},ou=people,dc=example,dc=com"
+  private def dnOf(u: String) = s"uid=$u,ou=people,dc=example,dc=com"
+
+  private def withStub(entries: Map[String, String],
+                       rejectAll: Boolean = false)
+                      (f: StubLdapServer => Unit): Unit = {
+    val stub = new StubLdapServer(entries, rejectAll)
+    try f(stub) finally stub.stop()
+  }
+
+  test("wire client: success / invalidCredentials / server-error codes") {
+    withStub(Map(dnOf("ada") -> "s3cret")) { stub =>
+      val url = s"ldap://127.0.0.1:${stub.port}"
+      assert(LdapAuth.bind(url, dnOf("ada"), "s3cret") == LdapAuth.BindSuccess)
+      assert(LdapAuth.bind(url, dnOf("ada"), "wrong") ==
+        LdapAuth.BindInvalidCredentials)
+      assert(LdapAuth.bind(url, dnOf("ghost"), "x") ==
+        LdapAuth.BindInvalidCredentials)
+    }
+    withStub(Map.empty, rejectAll = true) { stub =>
+      LdapAuth.bind(s"ldap://127.0.0.1:${stub.port}", dnOf("ada"), "pw") match {
+        case LdapAuth.BindError(m) => assert(m.contains("53"))
+        case r => fail(s"expected BindError, got $r")
+      }
+    }
+    // connection refused → BindError, never success
+    val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    assert(LdapAuth.bind(s"ldap://127.0.0.1:$dead", dnOf("ada"), "pw")
+      .isInstanceOf[LdapAuth.BindError])
+  }
+
+  test("DN template substitution escapes RFC 4514 metacharacters") {
+    assert(LdapAuth.substituteDn(template, "ada") == dnOf("ada"))
+    assert(LdapAuth.substituteDn("uid={{ user }},dc=x", "ada") == "uid=ada,dc=x")
+    // a login name trying to splice an extra RDN stays ONE value
+    val spliced = LdapAuth.substituteDn(template, "ada,ou=admins")
+    assert(spliced == "uid=ada\\,ou\\=admins,ou=people,dc=example,dc=com")
+  }
+
+  test("provider: bind-as-user, fail-closed, no anonymous-bind hole") {
+    withStub(Map(dnOf("ada") -> "s3cret")) { stub =>
+      val p = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template,
+        allowStoredFallback = false)
+      val state = graft.engine.Acl.State()
+      assert(p.verify("ada", "s3cret", state))
+      assert(!p.verify("ada", "wrong", state))
+      assert(!p.verify("ghost", "pw", state))
+      // the stub (like real directories) answers SUCCESS to an
+      // empty-password anonymous bind — the provider must still deny
+      assert(!p.verify("ada", "", state))
+    }
+    // unwilling server and dead server: deny, never accept
+    withStub(Map(dnOf("ada") -> "s3cret"), rejectAll = true) { stub =>
+      val p = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template,
+        allowStoredFallback = false)
+      val state = graft.engine.Acl.State()
+      assert(!p.verify("ada", "s3cret", state))
+    }
+  }
+
+  test("HttpApi login end-to-end against the stub directory") {
+    withStub(Map(dnOf("zoe") -> "pw-zoe")) { stub =>
+      val api = new HttpApi(new Catalog(spark,
+        Files.createTempDirectory("graft-ldap-wh").toString),
+        auth = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template))
+      val port = api.start()
+      def req(method: String, path: String, body: String = "",
+              headers: Map[String, String] = Map.empty) = {
+        var b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method,
+            if (body.isEmpty) java.net.http.HttpRequest.BodyPublishers.noBody()
+            else java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b = b.header(k, v) }
+        client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      try {
+        // directory identity, correct password: 200 + local auto-create
+        val r = req("POST", "/user/login?user=zoe&pass=pw-zoe")
+        assert(r.statusCode == 200, r.body)
+        val tok = Map("X-Token" -> "\"token\":\"([^\"]+)\"".r
+          .findFirstMatchIn(r.body).get.group(1))
+        assert(req("POST", "/sources?name=zoe.csv", "a\n2\n", tok)
+          .statusCode == 201)
+        // wrong directory password → 401; unknown identity → 401
+        assert(req("POST", "/user/login?user=zoe&pass=nope").statusCode == 401)
+        assert(req("POST", "/user/login?user=ghost&pass=pw").statusCode == 401)
+        // bootstrap admin still authenticates via the stored fallback
+        assert(req("POST", "/user/login?user=root&pass=").statusCode == 200)
+        // directory acceptance does not grant admin rights
+        assert(req("POST", "/users?name=other", headers = tok).statusCode == 403)
+      } finally api.stop()
+    }
+  }
+
+  test("BasicAuthProvider: 200 accepts, 401 denies, outage fails closed") {
+    import com.sun.net.httpserver.HttpServer
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/auth", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val hdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("ada:s3cret".getBytes(UTF_8))
+      val code = if (hdr.contains(expected)) 200 else 401
+      ex.sendResponseHeaders(code, -1); ex.close()
+    })
+    http.start()
+    val port = http.getAddress.getPort
+    val state = graft.engine.Acl.State()
+    try {
+      val p = new BasicAuthProvider(s"http://127.0.0.1:$port/auth",
+        allowStoredFallback = false)
+      assert(p.verify("ada", "s3cret", state))
+      assert(!p.verify("ada", "wrong", state))
+    } finally http.stop(0)
+    // dead endpoint: fail-closed
+    val p2 = new BasicAuthProvider(s"http://127.0.0.1:$port/auth",
+      allowStoredFallback = false)
+    assert(!p2.verify("ada", "s3cret", state))
+  }
+}
