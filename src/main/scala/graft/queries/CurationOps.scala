@@ -869,6 +869,49 @@ object CurationOps {
                CAST(count(*) AS BIGINT) AS n_ids
              FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
 
+    // pp17: the full train-once / encode-everywhere / LAND story as
+    // one driver-checked gate (r16 verdict #6) — tk06's unigram-LM
+    // vocab is trained, persisted, and RELOADED (tk08's artifact
+    // contract), the corpus is encoded at scan speed by the native
+    // UnigramEncode Viterbi expression, pieces map to ids through a
+    // broadcast literal map (vocab-sized), and the id sequences go
+    // through the pp16 packer into a shard-partitioned landing.
+    // Output is tokenizedLanding's per-shard readback (n_seqs,
+    // n_tokens, n_full, n_short). DuckDB cannot replay Viterbi, so
+    // the oracle pins the sf0.01 values, tk07-RECONCILING by
+    // construction: the pinned n_tokens sum to exactly 40807 —
+    // tk07/tk08's '__total__' golden — and n_full*128 + short-seq
+    // tokens retile that total per shard.
+    NamedQuery("pp17_learned_tokenized_landing",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val vocab = graft.ops.TextAnalysis.unigramTrain(docs(s, d),
+          vocabSize = 48, rounds = 2, maxPieceLen = 4).map(v => (v._2, v._4))
+        val art = java.nio.file.Files.createTempDirectory("pp17v").toString
+        graft.ops.TextAnalysis.saveVocab(s, vocab, s"$art/vocab")
+        val loaded = graft.ops.TextAnalysis.loadVocab(s, s"$art/vocab")
+        val pieceId = loaded.map(_._1).sorted.zipWithIndex
+          .map { case (p, i) => (p, i + 1) }.toMap
+        val m = typedLit(pieceId)
+        val idsPerDoc = docs(s, d).select(col("doc_id"),
+          transform(graft.functions.TextFunctions.unigram_encode(
+            col("text"), loaded), p => element_at(m, p)).as("ids"))
+        val tmp = java.nio.file.Files.createTempDirectory("pp17").toString
+        Curation.tokenizedLanding(idsPerDoc, tmp,
+          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128)
+      },
+      Some("""SELECT * FROM (VALUES
+               (CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(5318 AS BIGINT), CAST(41 AS BIGINT), CAST(1 AS BIGINT)),
+               (1, 42, 5296, 41, 1),
+               (2, 41, 5210, 40, 1),
+               (3, 40, 5101, 39, 1),
+               (4, 35, 4417, 34, 1),
+               (5, 43, 5448, 42, 1),
+               (6, 38, 4835, 37, 1),
+               (7, 41, 5182, 40, 1))
+               t(shard, n_seqs, n_tokens, n_full, n_short)
+             ORDER BY shard""")),
+
     // mf01: self-describing landing MANIFEST — land the corpus, write
     // the manifest, return what a fresh reader finds: the caller's
     // identity fields plus totals re-derived from the landed bytes
