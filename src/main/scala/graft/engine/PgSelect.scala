@@ -1039,53 +1039,71 @@ object PgSelect {
         case ':' if primStart >= 0 && i + 1 < s.length && s(i + 1) == ':' =>
           // Postgres cast shorthand EXTENDS the preceding primary —
           // SQLAlchemy spells col.cast(Text).regexp_match() as
-          // `x::text ~ 'pat'`, so the whole `x::text` (chainable, with
-          // optional two-word type names, (n[,m]) params and []
-          // suffixes) must stay the left operand; resetting primStart
-          // here would split it into `x::regexp_like(text, 'pat')`.
-          var e = skipWs(s, i + 2)
-          var we = e
-          while (we < s.length && isWordChar(s(we))) we += 1
-          if (we == e) { out.append(s(i)); i += 1; primStart = -1 }
-          else {
-            var end = we
-            // two-word Postgres type spellings (PgTypes' list)
-            Map("double" -> "precision", "character" -> "varying",
-                "bit" -> "varying").get(s.substring(e, we).toLowerCase)
-              .foreach { second =>
-                val j2 = skipWs(s, end)
-                var we2 = j2
-                while (we2 < s.length && isWordChar(s(we2))) we2 += 1
-                if (we2 > j2 && s.substring(j2, we2).toLowerCase == second)
-                  end = we2
-              }
-            // optional length/precision parameters: varchar(10)
-            val jp = skipWs(s, end)
-            if (jp < s.length && s(jp) == '(') {
-              var depth = 0; var k = jp; var close = -1
-              while (k < s.length && close < 0) {
-                s(k) match {
-                  case '\'' | '"' | '`' => k = skipQuoted(s, k)
-                  case '(' => depth += 1; k += 1
-                  case ')' =>
-                    depth -= 1; if (depth == 0) close = k; k += 1
-                  case _ => k += 1
-                }
-              }
-              if (close >= 0) end = close + 1
-            }
-            // optional array suffixes: text[]
-            var ja = skipWs(s, end)
-            while (ja + 1 < s.length && s(ja) == '[' && s(ja + 1) == ']') {
-              end = ja + 2; ja = skipWs(s, end)
-            }
-            out.append(s.substring(i, end)); i = end
-            // primStart unchanged: cast is part of the primary
+          // `x::text ~ 'pat'`, so the whole `x::text` must stay the
+          // left operand; resetting primStart here would split it
+          // into `x::regexp_like(text, 'pat')`. Grammar shared with
+          // rewriteAnyAllArray via absorbCastSuffix.
+          absorbCastSuffix(s, i) match {
+            case None => out.append(s(i)); i += 1; primStart = -1
+            case Some(end) =>
+              out.append(s.substring(i, end)); i = end
+              // primStart unchanged: cast is part of the primary
           }
         case c => out.append(c); i += 1; primStart = -1
       }
     }
     out.toString
+  }
+
+  /** Shared `::` cast-suffix absorber (used by rewriteRegexMatch AND
+    * rewriteAnyAllArray so the two passes cannot diverge on type
+    * grammar): given `i` at the first ':' of '::', returns Some(end)
+    * one past the full cast — type word, optional second word for the
+    * two-word Postgres spellings (double precision, character/bit
+    * varying), optional (n[,m]) parameters, any number of []
+    * suffixes, and chained '::text::varchar' casts — or None when no
+    * type word follows (leave the colons to the caller).
+    */
+  private def absorbCastSuffix(s: String, i: Int): Option[Int] = {
+    val e = skipWs(s, i + 2)
+    var we = e
+    while (we < s.length && isWordChar(s(we))) we += 1
+    if (we == e) return None
+    var end = we
+    // two-word Postgres type spellings (PgTypes' list)
+    Map("double" -> "precision", "character" -> "varying",
+        "bit" -> "varying").get(s.substring(e, we).toLowerCase)
+      .foreach { second =>
+        val j2 = skipWs(s, end)
+        var we2 = j2
+        while (we2 < s.length && isWordChar(s(we2))) we2 += 1
+        if (we2 > j2 && s.substring(j2, we2).toLowerCase == second)
+          end = we2
+      }
+    // optional length/precision parameters: varchar(10)
+    val jp = skipWs(s, end)
+    if (jp < s.length && s(jp) == '(') {
+      var depth = 0; var k = jp; var close = -1
+      while (k < s.length && close < 0) {
+        s(k) match {
+          case '\'' | '"' | '`' => k = skipQuoted(s, k)
+          case '(' => depth += 1; k += 1
+          case ')' =>
+            depth -= 1; if (depth == 0) close = k; k += 1
+          case _ => k += 1
+        }
+      }
+      if (close >= 0) end = close + 1
+    }
+    // optional array suffixes: text[]
+    var ja = skipWs(s, end)
+    while (ja + 1 < s.length && s(ja) == '[' && s(ja + 1) == ']') {
+      end = ja + 2; ja = skipWs(s, end)
+    }
+    // chained casts: x::text::varchar
+    if (end + 1 < s.length && s(end) == ':' && s(end + 1) == ':')
+      absorbCastSuffix(s, end).foreach(e2 => end = e2)
+    Some(end)
   }
 
   // ---------------------------------------------------------------
@@ -1124,6 +1142,19 @@ object PgSelect {
     val s = sql
     val out = new StringBuilder
     var primStart = -1
+    // start of the current OPERATOR CHAIN in `out`: Postgres binds
+    // tighter-than-comparison binary ops (||, +, -, *, /, %, ^, &)
+    // into the quantifier's left operand — `a || b = ANY (ARRAY[..])`
+    // is `(a || b) = ANY (...)`. The chain survives op chars and
+    // whitespace between primaries and breaks on anything else, so
+    // the trigger can bind the WHOLE chain, not just the last primary
+    // (which silently coerced the lambda's boolean into the concat).
+    var chainStart = -1
+    def isChainOp(c: Char): Boolean = "|+-*/%^&".indexOf(c.toInt) >= 0
+    def startPrimary(): Unit = {
+      primStart = out.length
+      if (chainStart < 0) chainStart = primStart
+    }
     var i = 0
 
     // op candidate at s(i): the longest spelling that matches
@@ -1230,7 +1261,7 @@ object PgSelect {
       s(i) match {
         case '\'' | '"' | '`' =>
           val j = skipQuoted(s, i)
-          primStart = out.length
+          startPrimary()
           out.append(s.substring(i, j)); i = j
         case _ if atComment(s, i) =>
           val j = skipComment(s, i); out.append(s.substring(i, j)); i = j
@@ -1240,24 +1271,30 @@ object PgSelect {
           val op = opAt(i).get
           val (quant, inner, end) =
             parseQuantified(i + op.length).get
-          val left = closeComment(out.substring(primStart))
-          out.setLength(primStart)
+          val leftStart = if (chainStart >= 0) chainStart else primStart
+          val leftRaw = closeComment(out.substring(leftStart))
+          // parenthesize multi-primary chains so the lambda cannot
+          // re-associate them around the comparison
+          val left = if (leftStart != primStart) s"($leftRaw)" else leftRaw
+          out.setLength(leftStart)
           val fn = if (quant == "ANY") "exists" else "forall"
           val arr =
             "array(" + closeComment(rewriteAnyAllArray(inner)) + ")"
           primStart = out.length
+          chainStart = primStart
           out.append(s"$fn($arr, __pg_e -> ${predicate(op, left)})")
           i = end
         case c if c.isLetter || c == '_' =>
           parsePrimary(i) match {
             case Some((text, end)) =>
-              primStart = out.length
+              startPrimary()
               out.append(text); i = end
             case None =>
               var e = i
               while (e < s.length && (isWordChar(s(e)) || s(e) == '.')) e += 1
               out.append(s.substring(i, e)); i = e
               primStart = -1
+              chainStart = -1
           }
         case c if c.isDigit =>
           // numeric literal left operands are meaningful here
@@ -1265,40 +1302,30 @@ object PgSelect {
           // quantified trigger is unambiguous, so numbers qualify
           var e = i
           while (e < s.length && (s(e).isDigit || s(e) == '.')) e += 1
-          primStart = out.length
+          startPrimary()
           out.append(s.substring(i, e)); i = e
         case '(' =>
           parsePrimary(i) match {
             case Some((text, end)) =>
-              primStart = out.length
+              startPrimary()
               out.append(text); i = end
-            case None => out.append('('); i += 1; primStart = -1
+            case None =>
+              out.append('('); i += 1; primStart = -1; chainStart = -1
           }
         case ':' if primStart >= 0 && i + 1 < s.length && s(i + 1) == ':' =>
-          // absorb the cast like rewriteRegexMatch (same rationale)
-          var e = skipWs(s, i + 2)
-          var we = e
-          while (we < s.length && isWordChar(s(we))) we += 1
-          if (we == e) { out.append(s(i)); i += 1; primStart = -1 }
-          else {
-            var end = we
-            val jp = skipWs(s, end)
-            if (jp < s.length && s(jp) == '(') {
-              var depth = 0; var k = jp; var close = -1
-              while (k < s.length && close < 0) {
-                s(k) match {
-                  case '\'' | '"' | '`' => k = skipQuoted(s, k)
-                  case '(' => depth += 1; k += 1
-                  case ')' =>
-                    depth -= 1; if (depth == 0) close = k; k += 1
-                  case _ => k += 1
-                }
-              }
-              if (close >= 0) end = close + 1
-            }
-            out.append(s.substring(i, end)); i = end
+          // absorb the cast like rewriteRegexMatch — SAME grammar via
+          // absorbCastSuffix, so two-word types ('double precision',
+          // 'character varying') and 'type[]' suffixes can't diverge
+          // between the two passes (r16 advice)
+          absorbCastSuffix(s, i) match {
+            case None =>
+              out.append(s(i)); i += 1; primStart = -1; chainStart = -1
+            case Some(end) =>
+              out.append(s.substring(i, end)); i = end
           }
-        case c => out.append(c); i += 1; primStart = -1
+        case c =>
+          out.append(c); i += 1; primStart = -1
+          if (!isChainOp(c)) chainStart = -1
       }
     }
     out.toString

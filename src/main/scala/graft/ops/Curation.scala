@@ -525,9 +525,22 @@ object Curation {
     require(shardIds.nonEmpty, s"no landed shards under $outDir — " +
       "use shardMaterialize for the first batch")
     val maxShard = shardIds.max
-    val maxPos = spark.read.parquet(outDir)
+    val maxPosRow = spark.read.parquet(outDir)
       .filter(col("shard").cast("long") === maxShard)
-      .agg(max(col("pos"))).head.getLong(0)
+      .agg(max(col("pos"))).head
+    val maxPos =
+      if (!maxPosRow.isNullAt(0)) maxPosRow.getLong(0)
+      else {
+        // the max-numbered shard can be EMPTY: eraseFromLanding may
+        // have removed every doc it held while the shard= directory
+        // survives. A silent lower watermark would collide positions,
+        // so fall back to one full max(pos) scan (erasure is rare;
+        // correctness beats the single-listing fast path here).
+        val full = spark.read.parquet(outDir).agg(max(col("pos"))).head
+        require(!full.isNullAt(0),
+          s"landing at $outDir holds no rows - use shardMaterialize")
+        full.getLong(0)
+      }
     val planned = shardPlan(newDocs, key, seed, budgetTokens, tokens)
       .withColumn("shard", col("shard") + lit(maxShard + 1))
       .withColumn("pos", col("pos") + lit(maxPos))
@@ -549,9 +562,11 @@ object Curation {
     * snapshots them), so at 100 TB an erasure of k docs costs the
     * shards those docs live in — found with one doc_id-column scan
     * (columnar, two columns) — not a corpus rewrite. Each affected
-    * shard rewrites via write-tmp → delete → rename (st08's swap
-    * discipline; a crash inside the window loses one shard's swap,
-    * re-runnable since erasure is idempotent). Shard numbering and
+    * shard rewrites via write-tmp -> rename-live-aside -> rename-tmp-
+    * into-place -> delete-old: every crash point is recoverable, and
+    * the recovery preamble below completes or rolls back a half-done
+    * swap deterministically on the next run (a plain delete-then-
+    * rename would lose the shard if the process died between the two). Shard numbering and
     * surviving positions are PRESERVED — erasure must not renumber
     * history that other artifacts (manifests, curricula) reference.
     * Returns the post-erasure read-back manifest.
@@ -564,6 +579,22 @@ object Curation {
     val root = new org.apache.hadoop.fs.Path(landingDir)
     val fs = root.getFileSystem(conf)
     val idSet = broadcast(ids.select(col("doc_id")).distinct())
+    // recovery preamble: finish or roll back any half-done swap from a
+    // crashed prior run. A leftover .erase_old_N with no live shard=N
+    // means the crash hit between the two renames - restore the old
+    // copy (the re-run then redoes its erasure); with a live shard=N
+    // present the swap completed and only the cleanup was lost.
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(".erase_old_")) {
+        val live = new org.apache.hadoop.fs.Path(
+          s"$landingDir/shard=${nm.stripPrefix(".erase_old_")}")
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"could not restore $nm after a crashed erasure")
+        else fs.delete(st.getPath, true)
+      }
+    }
     // one (doc_id, shard) scan finds the affected shards; bounded
     // collect (≤ shard count)
     val affected = spark.read.parquet(landingDir)
@@ -574,11 +605,16 @@ object Curation {
     for (sh <- affected) {
       val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
       val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
+      val old = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_old_$sh")
       spark.read.parquet(dir.toString)
         .join(idSet, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh")
+      // rename-aside swap: the live directory is never in a deleted
+      // state - a crash leaves either (old aside + live) or (old
+      // aside, no live), both repaired by the recovery preamble
+      require(fs.rename(dir, old), s"erasure swap failed for shard=$sh (aside)")
+      require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
+      fs.delete(old, true)
     }
     spark.read.parquet(landingDir)
       .groupBy(col("shard").cast("long").as("shard"))

@@ -95,13 +95,30 @@ object CorpusStream {
     val fs = new Path(landingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val guard = new Path(landingDir + "_guard")
+    val guardOld = new Path(landingDir + "_guard.old")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // recovery: a crash between the swap's two renames leaves only
+    // _guard.old — restore it (the in-flight batch then replays and
+    // overwrites its own batch= directory, the exactly-once contract)
+    if (!fs.exists(guard) && fs.exists(guardOld))
+      require(fs.rename(guardOld, guard),
+        s"could not restore $guardOld after a crashed guard swap")
     val (lastDone, shardOff, posOff) =
       if (fs.exists(guard)) {
         val in = fs.open(guard)
-        val parts =
-          try new String(in.readAllBytes(), utf8).trim.split(" ")
+        val raw =
+          try new String(in.readAllBytes(), utf8).trim
           finally in.close()
+        val parts = raw.split(" ")
+        // the guard is written via temp+rename (atomic), so a short or
+        // empty guard means something external corrupted it — fail
+        // LOUDLY rather than replay from scratch over a non-empty
+        // landing (silently re-landing would double-count positions)
+        require(parts.length == 3 && parts.forall(p =>
+            p.nonEmpty && p.forall(c => c.isDigit || c == '-')),
+          s"unparseable landing guard $guard ('$raw') — inspect the " +
+            "landing before restarting (a valid guard is 'batchId " +
+            "shardOff posOff')")
         (parts(0).toLong, parts(1).toLong, parts(2).toLong)
       } else (-1L, 0L, 0L)
     if (batchId > lastDone) {
@@ -121,9 +138,22 @@ object CorpusStream {
         if (cnt > 0L)
           planned.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$landingDir/batch=$batchId")
-        val out = fs.create(guard, true)
+        // temp + rename, never truncate-in-place: a crash mid-write
+        // must leave either the OLD guard (batch replays, idempotent
+        // overwrite of batch=$batchId) or the NEW one — an empty/
+        // partial guard would wedge every subsequent trigger (the
+        // same swap discipline st08 and eraseFromLanding use)
+        val guardTmp = new Path(landingDir + "_guard.tmp")
+        val out = fs.create(guardTmp, true)
         try out.write(s"$batchId $nextShardOff $nextPosOff".getBytes(utf8))
         finally out.close()
+        if (fs.exists(guardOld)) fs.delete(guardOld, false)
+        if (fs.exists(guard))
+          require(fs.rename(guard, guardOld),
+            s"guard swap failed for batch $batchId (aside)")
+        require(fs.rename(guardTmp, guard),
+          s"guard swap failed for batch $batchId (install)")
+        fs.delete(guardOld, false)
       } finally planned.unpersist()
     }
   }

@@ -388,6 +388,18 @@ class PgSelectSpec extends AnyFunSuite {
     assert(PgSelect.rewriteAnyAllArray(
       "SELECT x FROM t WHERE c::text <= ANY (ARRAY['m'])") ==
       "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::text  <= __pg_e)")
+    // two-word type spellings and [] suffixes absorb here exactly like
+    // in the regex pass (shared absorbCastSuffix — r16 advice: the old
+    // copy split 'character varying' after 'character')
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c::character varying = ANY (ARRAY['m'])") ==
+      "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::character varying  = __pg_e)")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c::double precision > ANY (ARRAY[1.5])") ==
+      "SELECT x FROM t WHERE exists(array(1.5), __pg_e -> c::double precision  > __pg_e)")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c::varchar(10) = ANY (ARRAY['m'])") ==
+      "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::varchar(10)  = __pg_e)")
   }
 
   test("ANY/ALL out-of-scope forms stay verbatim (loud reject or native)") {
@@ -427,6 +439,39 @@ class PgSelectSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1))
     assert(r.isNullAt(2))  // PG: no match + a NULL element → NULL
     assert(r.getBoolean(3) && r.getBoolean(4))
+  }
+
+  test("operator-chain left operands bind with PG precedence (r16 advice)") {
+    // PG's comparison binds LOOSER than ||/arithmetic, so
+    // `a || b = ANY (...)` is `(a || b) = ANY (...)` — the whole chain
+    // is the left operand, parenthesized so the lambda cannot
+    // re-associate it around the comparison (the old last-primary
+    // binding emitted `a || exists(...)`: a silent boolean-into-concat
+    // coercion for strings).
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE a || b = ANY (ARRAY['xy'])") ==
+      "SELECT x FROM t WHERE exists(array('xy'), __pg_e -> (a || b ) = __pg_e)")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE a + b * 2 = ANY (ARRAY[1, 3])") ==
+      "SELECT x FROM t WHERE exists(array(1, 3), __pg_e -> (a + b * 2 ) = __pg_e)")
+    // an explicitly parenthesized chain is ONE primary — no re-wrap
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE (a || b) = ANY (ARRAY['xy'])") ==
+      "SELECT x FROM t WHERE exists(array('xy'), __pg_e -> (a || b)  = __pg_e)")
+    // commas/keywords break chains: only the primary after the break binds
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT a, b = ANY (ARRAY[1]) FROM t") ==
+      "SELECT a, exists(array(1), __pg_e -> b  = __pg_e) FROM t")
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE a AND b = ANY (ARRAY[1])") ==
+      "SELECT x FROM t WHERE a AND exists(array(1), __pg_e -> b  = __pg_e)")
+    // executes with PG semantics end-to-end
+    val spark = graft.TestSpark.spark
+    val r = spark.sql(PgSelect.rewrite(
+      """SELECT 'x' || 'y' = ANY (ARRAY['xy', 'z']) AS concat_any,
+                1 + 2 = ANY (ARRAY[3]) AS arith_any,
+                2 * 3 <> ALL (ARRAY[5, 7]) AS arith_all""")).head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
 
   // ---- DOW / ISODOW / date_part --------------------------------------

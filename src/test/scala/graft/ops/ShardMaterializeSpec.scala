@@ -357,4 +357,73 @@ class ShardMaterializeSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.min("pos")).head.getLong(0)
     assert(last == m(1).getLong(4) + 1, "empty batch moved the pos watermark")
   }
+
+  test("landShardBatch guard: swap recovery and corrupted-guard loud failure") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream.landShardBatch
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("st12guard").toString
+    val landing = s"$tmp/landing"
+    landShardBatch(corpus(1 to 8), 0L, landing, col("doc_id"), "s", 20L)
+    // simulate a crash BETWEEN the swap's two renames: only _guard.old
+    // survives — the next trigger must restore it and replay batch 1
+    val guard = java.nio.file.Paths.get(landing + "_guard")
+    val guardOld = java.nio.file.Paths.get(landing + "_guard.old")
+    java.nio.file.Files.move(guard, guardOld)
+    landShardBatch(corpus(9 to 12), 1L, landing, col("doc_id"), "s", 20L)
+    assert(java.nio.file.Files.exists(guard), "guard not restored")
+    assert(!java.nio.file.Files.exists(guardOld), "stale guard.old kept")
+    assert(spark.read.parquet(landing).count() == 12)
+    // a corrupted guard (external truncation) fails LOUDLY — it must
+    // not be read as 'no guard' and silently re-land over history
+    java.nio.file.Files.writeString(guard, "")
+    val e = intercept[IllegalArgumentException] {
+      landShardBatch(corpus(13 to 14), 2L, landing, col("doc_id"), "s", 20L)
+    }
+    assert(e.getMessage.contains("unparseable landing guard"), e.getMessage)
+  }
+
+  test("eraseFromLanding: crash-recovery preamble and post-erasure append") {
+    import spark.implicits._
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pp14crash").toString
+    Curation.shardMaterialize(corpus(1 to 12), tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    val before = spark.read.parquet(tmp).count()
+    // simulate a crash between the swap's renames: a shard sits aside
+    // as .erase_old_N with no live directory — the preamble restores it
+    val shard0 = java.nio.file.Paths.get(s"$tmp/shard=0")
+    val aside = java.nio.file.Paths.get(s"$tmp/.erase_old_0")
+    java.nio.file.Files.move(shard0, aside)
+    val manifest = Curation.eraseFromLanding(spark, tmp,
+      Seq(999L).toDF("doc_id")) // erases nothing; preamble still runs
+    manifest.count()
+    assert(java.nio.file.Files.exists(shard0), "aside shard not restored")
+    assert(!java.nio.file.Files.exists(aside), "stale .erase_old_0 kept")
+    assert(spark.read.parquet(tmp).count() == before, "rows lost in recovery")
+    // empty the MAX shard entirely, then append: the watermark must
+    // fall back to a full max(pos) scan instead of NPEing on the
+    // empty shard (and appended positions must not collide)
+    val maxShard = spark.read.parquet(tmp)
+      .agg(max(col("shard").cast("long"))).head.getLong(0)
+    val victims = spark.read.parquet(tmp)
+      .filter(col("shard").cast("long") === maxShard)
+      .select(col("doc_id")).as[Long].collect()
+    assert(victims.nonEmpty)
+    Curation.eraseFromLanding(spark, tmp, victims.toSeq.toDF("doc_id")).count()
+    val posBefore = spark.read.parquet(tmp).agg(max(col("pos"))).head.getLong(0)
+    Curation.shardAppend(corpus(50 to 53), tmp, col("doc_id"),
+      seed = "spec", budgetTokens = 20L).count()
+    val appended = spark.read.parquet(tmp)
+      .filter(col("doc_id") >= 50)
+      .agg(min(col("pos")), max(col("pos"))).head
+    assert(appended.getLong(0) == posBefore + 1,
+      s"append watermark wrong: ${appended.getLong(0)} vs $posBefore")
+    // pos values stay unique across the whole landing
+    val n = spark.read.parquet(tmp).count()
+    val nd = spark.read.parquet(tmp).select("pos").distinct().count()
+    assert(n == nd, "position collision after post-erasure append")
+  }
 }
