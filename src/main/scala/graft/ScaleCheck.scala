@@ -1185,6 +1185,54 @@ object ScaleCheck {
     }
   }
 
+  /** Round-17 probes (`runMain graft.ScaleCheck r17`):
+    *
+    * 1. pp17's learned-tokenizer landing tail: vocab trained ONCE on
+    *    the base corpus (training slope is tk06's own r16 probe), the
+    *    measured pass is unigram ENCODE (native Viterbi expression at
+    *    scan speed) -> broadcast-map id lookup -> the pp16 packer —
+    *    must stay ~linear in total tokens at x4.
+    * 2. Curation.rankIds — the global-ordinal helper that replaced
+    *    unpartitioned windows: one range-partitioned sort +
+    *    zipWithIndex; slope must be the sort's ~n log n, never a
+    *    single-task serialization (which would show superlinear wall
+    *    and one straggler).
+    */
+  private def r17Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    graft.functions.TextFunctions.register(spark)
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val vocab = graft.ops.TextAnalysis.unigramTrain(base, vocabSize = 48,
+      rounds = 2, maxPieceLen = 4).map(v => (v._2, v._4))
+    val pieceId = vocab.map(_._1).sorted.zipWithIndex
+      .map { case (pc, i) => (pc, i + 1) }.toMap
+    for (m <- Seq(1, 4)) {
+      val docs = (0 until m).map(i => base.select(
+          (col("doc_id") * m + i).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      val mlit = typedLit(pieceId)
+      val ids = docs.select(col("doc_id"),
+        transform(graft.functions.TextFunctions.unigram_encode(
+          col("text"), vocab), pc => element_at(mlit, pc)).as("ids"))
+      time(s"pp17-encode-pack x$m")(
+        graft.ops.Curation.packTokenSequences(ids,
+            pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 2048)
+          .agg(sum(col("n_ids"))).head.getLong(0))
+    }
+    for (m <- Seq(1, 4)) {
+      val n = 2000000L * m
+      val df = spark.range(n).select(
+        md5(col("id").cast("string")).as("k"), col("id").as("v"))
+      time(s"rankIds x$m n=$n")(
+        graft.ops.Curation.rankIds(df, "rank", col("k").asc)
+          .agg(max(col("rank"))).head.getLong(0))
+    }
+  }
+
   /** Round-16 probes (`runMain graft.ScaleCheck r16`):
     * 1. the WHOLE pp02 training-prep composition (exact dedup →
     *    13-gram decontamination → stratified sample → leakage-safe
@@ -1438,6 +1486,11 @@ object ScaleCheck {
     }
     if (path == "r16") {
       r16Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r17") {
+      r17Scale(spark)
       spark.stop()
       return
     }

@@ -252,38 +252,48 @@ class S3CompatFileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
 }
 
-/** Seekable HTTP reader: one GET with `Range: bytes=pos-` per seek,
-  * sequential reads stream from the open connection (no rebuffering).
-  * This is the access pattern parquet needs (footer, then column
-  * chunks) expressed in plain HTTP range semantics.
+/** Seekable HTTP reader with BOUNDED readahead ranges: each request
+  * asks for `Range: bytes=pos-(pos+readahead-1)` and sequential reads
+  * stream from the open block, reopening the next block when they run
+  * past it. Bounding the range is what makes column pruning REAL on
+  * the wire — an open-ended range would make the endpoint ship the
+  * whole file tail on a footer-sized read (hadoop-aws bounds its
+  * S3AInputStream requests with fs.s3a.readahead.range for the same
+  * reason). This is the access pattern parquet needs (footer, then
+  * selected column chunks) in plain HTTP range semantics.
   */
-private class RangedHttpInputStream(url: String, length: Long)
+private class RangedHttpInputStream(url: String, length: Long,
+                                    readahead: Long = 128L * 1024)
     extends FSInputStream {
   private var pos = 0L
   private var streamAt = -1L // next offset the open stream will yield
+  private var blockEnd = -1L // exclusive end of the open range
   private var stream: InputStream = _
 
-  private def ensure(): InputStream = {
-    if (stream == null || streamAt != pos) {
+  private def ensure(want: Long): InputStream = {
+    if (stream == null || streamAt != pos || pos >= blockEnd) {
       if (stream != null) { stream.close(); stream = null }
+      val end = math.min(length, pos + math.max(want, readahead))
       val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
       c.setConnectTimeout(30000)
       c.setReadTimeout(300000)
-      if (pos > 0) c.setRequestProperty("Range", s"bytes=$pos-")
+      c.setRequestProperty("Range", s"bytes=$pos-${end - 1}")
       val rc = c.getResponseCode
       if (rc != 200 && rc != 206)
         throw new java.io.IOException(s"GET $url @$pos: HTTP $rc")
       stream = c.getInputStream
       // a 200 to a ranged request means the server ignored Range —
-      // skip manually so reads stay position-correct
-      if (pos > 0 && rc == 200) {
+      // skip manually so reads stay position-correct, and treat the
+      // whole object as the block
+      if (rc == 200) {
         var toSkip = pos
         while (toSkip > 0) {
           val n = stream.skip(toSkip)
           if (n <= 0) throw new java.io.IOException(s"skip to $pos failed")
           toSkip -= n
         }
-      }
+        blockEnd = length
+      } else blockEnd = end
       streamAt = pos
     }
     stream
@@ -292,7 +302,7 @@ private class RangedHttpInputStream(url: String, length: Long)
   override def read(): Int =
     if (pos >= length) -1
     else {
-      val b = ensure().read()
+      val b = ensure(1L).read()
       if (b >= 0) { pos += 1; streamAt = pos }
       b
     }
@@ -300,7 +310,9 @@ private class RangedHttpInputStream(url: String, length: Long)
   override def read(buf: Array[Byte], off: Int, len: Int): Int =
     if (pos >= length) -1
     else {
-      val n = ensure().read(buf, off, len)
+      val in = ensure(len.toLong)
+      val bounded = math.min(len.toLong, blockEnd - pos).toInt
+      val n = in.read(buf, off, bounded)
       if (n > 0) { pos += n; streamAt = pos }
       n
     }
@@ -330,11 +342,19 @@ private class RangedHttpInputStream(url: String, length: Long)
 final class S3Loopback {
   private val objects =
     new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
+  private val served = new java.util.concurrent.atomic.AtomicLong(0L)
   private val server = com.sun.net.httpserver.HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 0)
 
   def put(bucket: String, key: String, bytes: Array[Byte]): Unit =
     objects.put(s"$bucket/$key", bytes)
+
+  /** Object-body bytes served by GETs since construction — lets a
+    * test PROVE a column-pruned read transferred less than the full
+    * objects (the property that matters at 100 TB: ranged reads must
+    * fetch footers + selected column chunks, not whole files).
+    */
+  def bytesServed: Long = served.get()
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
@@ -407,8 +427,9 @@ final class S3Loopback {
                   bytes, from.toInt, (to + 1).toInt)
                 ex.getResponseHeaders.add("Content-Range",
                   s"bytes $from-$to/${bytes.length}")
+                served.addAndGet(slice.length.toLong)
                 send(206, slice)
-              case _ => send(200, bytes)
+              case _ => served.addAndGet(bytes.length.toLong); send(200, bytes)
             }
           case "PUT" =>
             objects.put(path, ex.getRequestBody.readAllBytes())

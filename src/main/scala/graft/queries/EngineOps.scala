@@ -566,6 +566,9 @@ object EngineOps {
       (s, _) => {
         val s3 = new graft.engine.S3Loopback
         val hc = s.sparkContext.hadoopConfiguration
+        val s3Keys = Seq("fs.s3a.impl", "fs.s3a.endpoint",
+          "fs.s3a.impl.disable.cache")
+        val s3Prev = s3Keys.map(k => k -> Option(hc.get(k)))
         hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
         hc.set("fs.s3a.endpoint", s3.endpoint)
         hc.set("fs.s3a.impl.disable.cache", "true")
@@ -585,7 +588,12 @@ object EngineOps {
             Seq("many-json-numbers.json", js.untyped.count().toInt,
               js.friendlyNames.mkString(","),
               js.colTypes.map(_.displayName).mkString(","), "-")))
-        } finally s3.stop()
+        } finally {
+          s3.stop()
+          // restore the session's s3a keys (a leftover endpoint at the
+          // stopped loopback would poison later s3a error paths)
+          s3Prev.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+        }
       },
       Some("""SELECT * FROM (VALUES
              ('simple file.csv', 1, 'Foo', 'BOOLEAN', 'simple_file_csv_v1'),
