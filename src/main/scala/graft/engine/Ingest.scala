@@ -86,9 +86,14 @@ object Ingest {
     }
   }
 
+  /** The reference's full tab-extension set (Interface/Ingest.hs
+    * guessFileType: .tsv/.txt plus the bioinformatics .bed/.gtf).
+    */
+  private val tabExtensions = Seq(".txt", ".tsv", ".bed", ".gtf")
+
   private def delimiterFor(path: String, opts: CsvOptions): Char =
     opts.delimiter.getOrElse(
-      if (path.endsWith(".txt") || path.endsWith(".tsv")) '\t' else ',')
+      if (tabExtensions.exists(path.endsWith)) '\t' else ',')
 
   /** Extension-dispatch name for a raw input: for http(s) URLs the URI
     * PATH (a query string like `data.tsv?sig=...` must not defeat the

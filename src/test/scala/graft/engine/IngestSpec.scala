@@ -60,6 +60,17 @@ class IngestSpec extends AnyFunSuite {
     assert(ing.friendlyNames == Seq("lotsavalues", "x"))
   }
 
+  test(".bed/.gtf dispatch to tab like the reference's guessFileType") {
+    // Interface/Ingest.hs:270-277 maps .tsv/.txt/.bed/.gtf to DelimTab
+    for (ext <- Seq(".bed", ".gtf")) {
+      val p = java.nio.file.Files.createTempFile("graft-tab", ext)
+      java.nio.file.Files.writeString(p, "chrom\tstart\tend\nchr1\t100\t200\n")
+      val ing = Ingest.csv(spark, p.toString)
+      assert(ing.friendlyNames == Seq("chrom", "start", "end"), ext)
+      assert(ing.untyped.count() == 1, ext)
+    }
+  }
+
   test("CRLF stripped (088)") {
     val ing = Ingest.csv(spark, res("crlf.csv"))
     val rows = ing.untyped.orderBy("ix").collect()
