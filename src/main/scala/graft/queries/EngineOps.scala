@@ -654,8 +654,23 @@ object EngineOps {
           "076_typ-scalar-3" -> "true",
           "077_typ-scalar-4" -> "null")
         val cat = new Catalog(s, Files.createTempDirectory("graft-typ-wh").toString)
-        fixtures.foreach { case (name, body) =>
-          cat.ingest(name, Ingest.json(s, tmpFile(body, ".json")), "json",
+        // inference is pure per fixture — run the 38 tiny ingests 8-way
+        // (each is several small Spark jobs; serial they dominate the
+        // engine pass); the catalog appends stay serial in fixture
+        // order so versions/views are deterministic
+        val inferred = {
+          import scala.collection.parallel.CollectionConverters._
+          val pool = new java.util.concurrent.ForkJoinPool(8)
+          val par = fixtures.par
+          par.tasksupport =
+            new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          val out = par.map { case (name, body) =>
+            (name, Ingest.json(s, tmpFile(body, ".json"))) }.toList
+          pool.shutdown()
+          out
+        }
+        inferred.foreach { case (name, ing) =>
+          cat.ingest(name, ing, "json",
             addedBy = "edsko", created = Some("2016-10-01T12:00:00Z"))
         }
         rowsDf(s, Seq("line_no", "line"),
