@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for word k-shingles — the hot loop of
@@ -383,6 +383,126 @@ case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
     copy(child = newChild)
 }
 
+/** Aho-Corasick multi-pattern matching in ONE automaton pass — the
+  * scale path for large blocklists/lexicons. The composed form
+  * (Curation.blocklistFilter's per-phrase replace-counting) is right
+  * for dozens of phrases but generates one expression PER PHRASE:
+  * at 10k+ phrases codegen explodes and every document is re-scanned
+  * once per phrase (O(phrases x text)). This expression walks the
+  * document once, O(text + matches), phrase count irrelevant —
+  * the classic Aho-Corasick 1975 automaton (goto/fail/output links,
+  * output counts flattened through the fail chain at build time).
+  *
+  * Matching is case-insensitive (both phrases and text fold through
+  * Character.toLowerCase, mirroring blocklistFilter's lower()). Counts
+  * are ALL occurrences including overlapping and nested ones — for
+  * border-free phrases (no proper prefix = suffix) this equals the
+  * non-overlapping replace-count. Returns struct(n_hits BIGINT — total
+  * occurrences, n_phrases INT — distinct phrases that matched).
+  * `packedPhrases` is newline-joined (phrases must be newline-free).
+  */
+case class MultiMatch(child: Expression, packedPhrases: String)
+    extends UnaryExpression {
+
+  // goto as per-state char maps; emitCount/emitIds flattened through
+  // the fail chain so match-time never walks suffix links for output
+  @transient private lazy val ac: (Array[java.util.HashMap[Character, Integer]],
+      Array[Int], Array[Int], Array[Array[Int]]) = {
+    val phrases = packedPhrases.split('\n').filter(_.nonEmpty)
+      .map(_.toLowerCase)
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val endsHere = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    phrases.zipWithIndex.foreach { case (ph, id) =>
+      var st = 0
+      ph.foreach { c =>
+        val t = next(st).get(c)
+        if (t != null) st = t
+        else {
+          next += new java.util.HashMap[Character, Integer]()
+          endsHere += Nil
+          next(st).put(c, next.length - 1)
+          st = next.length - 1
+        }
+      }
+      endsHere(st) = id :: endsHere(st)
+    }
+    val n = next.length
+    val fail = new Array[Int](n)
+    val emitCount = new Array[Int](n)
+    val emitIds = new Array[Array[Int]](n)
+    val queue = new java.util.ArrayDeque[Integer]()
+    emitCount(0) = endsHere(0).size
+    emitIds(0) = endsHere(0).toArray
+    next(0).forEach { (_, v) =>
+      fail(v) = 0
+      queue.add(v)
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      emitCount(u) = endsHere(u).size + emitCount(fail(u))
+      emitIds(u) =
+        if (endsHere(u).isEmpty) emitIds(fail(u))
+        else (endsHere(u).toArray ++ emitIds(fail(u)))
+      next(u).forEach { (c, v) =>
+        // fail(v): deepest proper suffix of v's string that is a node
+        var f = fail(u)
+        var hop = next(f).get(c)
+        while (hop == null && f != 0) { f = fail(f); hop = next(f).get(c) }
+        fail(v) = if (hop != null && hop != v) hop.intValue() else 0
+        queue.add(v)
+      }
+    }
+    (next.toArray, fail, emitCount, emitIds)
+  }
+
+  @transient private lazy val numPhrases: Int =
+    packedPhrases.split('\n').count(_.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_match expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_phrases", IntegerType, nullable = false)))
+
+  def compute(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (next, fail, emitCount, emitIds) = ac
+    val text = t.toString
+    val seen = new java.util.BitSet(numPhrases)
+    var total = 0L
+    var st = 0
+    var i = 0
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      var hop = next(st).get(c)
+      while (hop == null && st != 0) { st = fail(st); hop = next(st).get(c) }
+      st = if (hop != null) hop.intValue() else 0
+      if (emitCount(st) > 0) {
+        total += emitCount(st)
+        val ids = emitIds(st)
+        var j = 0
+        while (j < ids.length) { seen.set(ids(j)); j += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, seen.cardinality()))
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiMatch", this, classOf[MultiMatch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatch =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register `graft_shingles` (registry + call_function is the public
     * route to a custom Expression in Spark 4). Idempotent.
@@ -410,6 +530,11 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unigram_encode",
       exprs => UnigramEncode(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_multi_match",
+      exprs => MultiMatch(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -453,6 +578,17 @@ object TextFunctions {
     org.apache.spark.sql.functions.call_function("graft_unigram_encode",
       text, org.apache.spark.sql.functions.lit(
         vocab.map { case (p, lp) => s"$p $lp" }.mkString("\n")))
+
+  /** Column API: Aho-Corasick multi-pattern match — struct(n_hits,
+    * n_phrases) per row, one automaton pass whatever the phrase count.
+    */
+  def multi_match(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "multi_match needs at least one phrase")
+    require(phrases.forall(p => p.nonEmpty && !p.contains('\n')),
+      "phrases must be non-empty and newline-free")
+    org.apache.spark.sql.functions.call_function("graft_multi_match",
+      text, org.apache.spark.sql.functions.lit(phrases.mkString("\n")))
+  }
 
   /** Column API: Unicode-normalize (+ optional ROOT casefold) a string
     * column. form ∈ NFC/NFD/NFKC/NFKD.

@@ -1069,6 +1069,32 @@ object Curation {
       .withColumn("keep", col("n_hits") <= maxHits)
   }
 
+  /** Large-blocklist filter (bl02): the SCALE path for phrase
+    * filtering — one Aho-Corasick automaton pass per document
+    * (functions.MultiMatch), O(text + matches) whatever the phrase
+    * count. [[blocklistFilter]]'s per-phrase replace-counting is right
+    * for dozens of phrases (pure codegen'd built-ins, per-phrase
+    * columns in the output); past a few hundred it generates one
+    * expression per phrase and re-scans every document once per
+    * phrase — at a 100k-phrase lexicon that is a 100k-fold scan
+    * blow-up this path avoids. Counts include overlapping matches
+    * (AC semantics); for border-free phrases this equals the
+    * non-overlapping count. Returns (doc_id, n_hits, n_phrases,
+    * keep = n_hits <= maxHits).
+    */
+  def blocklistFilterLarge(df: DataFrame, phrases: Seq[String],
+                           maxHits: Long = 0,
+                           text: Column = col("text")): DataFrame = {
+    require(phrases.nonEmpty, "blocklistFilterLarge needs phrases")
+    graft.functions.TextFunctions.register(df.sparkSession)
+    val mm = graft.functions.TextFunctions.multi_match(text, phrases)
+    df.select(col("doc_id"), mm.as("mm"))
+      .select(col("doc_id"),
+        col("mm.n_hits").as("n_hits"),
+        col("mm.n_phrases").as("n_phrases"))
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
+
   /** DSIR-style importance selection (sp05, after Xie et al. 2023,
     * arXiv:2302.03169): pick raw-corpus documents whose hashed
     * bag-of-words distribution matches a TARGET corpus. Tokens hash

@@ -285,6 +285,31 @@ object CurationOps {
                  <= 20 AS keep
              FROM documents ORDER BY doc_id""")),
 
+    // bl02: the LARGE-blocklist scale path — the same filter through
+    // ONE Aho-Corasick automaton pass (native MultiMatch expression)
+    // instead of per-phrase expressions; 8 border-free phrases here so
+    // the oracle's non-overlapping replace-count equals AC's
+    // all-occurrences count exactly (overlap semantics only diverge
+    // when a phrase has a proper border). n_phrases adds the
+    // distinct-phrases readout the per-phrase form gets for free.
+    NamedQuery("bl02_blocklist_ac",
+      (s, d) => Curation.blocklistFilterLarge(docs(s, d),
+          phrases = Seq("spark", "query", "table", "join",
+            "data", "merge", "shuffle", "index"),
+          maxHits = 20)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+              c AS (SELECT doc_id,
+                      list_transform(['spark','query','table','join',
+                                      'data','merge','shuffle','index'],
+                        ph -> (length(lt) - length(replace(lt, ph, '')))
+                                // length(ph)) AS hits
+                    FROM t)
+             SELECT doc_id, CAST(list_sum(hits) AS BIGINT) AS n_hits,
+               CAST(len(list_filter(hits, h -> h > 0)) AS INT) AS n_phrases,
+               list_sum(hits) <= 20 AS keep
+             FROM c ORDER BY doc_id""")),
+
     // sp05: DSIR-style importance selection — target = the English
     // slice, raw = the whole corpus; 256 md5-hex buckets, add-1/2
     // multinomials, per-doc log ratio sum, exact-percentile cut. The

@@ -314,4 +314,71 @@ class TextExpressionsSpec extends AnyFunSuite {
       assert(got == want, s"text='$t' vocab=$vocab got=$got want=$want")
     }
   }
+
+  test("multi_match: counts equal a brute-force scan, case-insensitive") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    def brute(text: String, phrases: Seq[String]): (Long, Int) = {
+      val lt = text.toLowerCase
+      val per = phrases.map { p =>
+        val pl = p.toLowerCase
+        var n = 0L; var i = lt.indexOf(pl)
+        while (i >= 0) { n += 1; i = lt.indexOf(pl, i + 1) } // overlaps included
+        n
+      }
+      (per.sum, per.count(_ > 0))
+    }
+    val phrases = Seq("ana", "ban", "Anana", "na", "x")
+    val texts = Seq("banana", "BANANA bandana", "", "nanananana", "xxxx",
+      "a b c", "bananana banana", "ana")
+    texts.foreach { t =>
+      val row = Seq((1L, t)).toDF("id", "text")
+        .select(TextFunctions.multi_match($"text", phrases).as("m"))
+        .select($"m.n_hits", $"m.n_phrases").head
+      val (wantHits, wantPhrases) = brute(t, phrases)
+      assert(row.getLong(0) == wantHits, s"n_hits for '$t'")
+      assert(row.getInt(1) == wantPhrases, s"n_phrases for '$t'")
+    }
+    // overlap semantics pinned explicitly: "ana" occurs TWICE in
+    // "banana" (positions 1 and 3) — AC counts both
+    val r = Seq((1L, "banana")).toDF("id", "text")
+      .select(TextFunctions.multi_match($"text", Seq("ana")).as("m"))
+      .select($"m.n_hits").head
+    assert(r.getLong(0) == 2L)
+  }
+
+  test("multi_match: nested/suffix phrases all emit via the fail chain") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    // "she" contains "he"; "hers" shares the "he" path — the AC paper's
+    // own example set
+    val phrases = Seq("he", "she", "his", "hers")
+    val row = Seq((1L, "ushers")).toDF("id", "text")
+      .select(TextFunctions.multi_match($"text", phrases).as("m"))
+      .select($"m.n_hits", $"m.n_phrases").head
+    // matches: she@1, he@2, hers@2 -> 3 hits, 3 distinct phrases
+    assert(row.getLong(0) == 3L, "n_hits")
+    assert(row.getInt(1) == 3, "n_phrases")
+  }
+
+  test("multi_match: 20k phrases stay one expression at one-pass cost") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    // a lexicon far past where per-phrase expressions die (codegen
+    // limits + O(phrases x text) scans); one automaton handles it
+    val phrases = (1 to 20000).map(i => s"tok$i xx$i")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val t0 = System.nanoTime()
+    val out = graft.ops.Curation.blocklistFilterLarge(docs, phrases,
+      maxHits = 0)
+    val kept = out.filter($"keep").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(kept == docs.count(), "synthetic phrases must not match")
+    assert(sec < 60, s"20k-phrase pass took ${sec}s")
+    // and a phrase that DOES occur still counts through the big automaton
+    val hit = graft.ops.Curation.blocklistFilterLarge(docs,
+      phrases :+ "the", maxHits = 0)
+    assert(hit.agg(org.apache.spark.sql.functions.sum($"n_hits"))
+      .head.getLong(0) > 0)
+  }
 }
