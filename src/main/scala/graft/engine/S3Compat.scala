@@ -180,6 +180,9 @@ class S3CompatFileSystem extends FileSystem {
     val buf = new ByteArrayOutputStream()
     val fs = this
     new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
+      // FilterOutputStream degrades block writes to one call per byte
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
       override def close(): Unit = { super.close(); fs.put(key, buf.toByteArray) }
     }, statistics)
   }
@@ -203,18 +206,27 @@ class S3CompatFileSystem extends FileSystem {
 
   override def rename(src: Path, dst: Path): Boolean = {
     // copy-then-delete per object (S3 has no rename); only fixture-
-    // sized writes take this path in this sandbox
-    val srcSt = getFileStatus(src)
+    // sized writes take this path in this sandbox. A failed source
+    // delete must FAIL the rename loudly — callers use rename in
+    // swap disciplines (`require(fs.rename(...))`) and a silent
+    // leftover source would merge old and new objects.
+    val srcSt =
+      try getFileStatus(src)
+      catch { case _: java.io.FileNotFoundException => return false }
+    def deleteOrThrow(key: String): Unit =
+      if (!deleteObject(key))
+        throw new java.io.IOException(
+          s"rename: DELETE of source object $key failed")
     if (srcSt.isDirectory) {
       val (objs, _) = listPrefix(keyOf(src) + "/", delimiter = None)
       objs.foreach { case (k, _) =>
         val rel = k.stripPrefix(keyOf(src) + "/")
         copyObject(k, keyOf(dst) + "/" + rel)
-        deleteObject(k)
+        deleteOrThrow(k)
       }
     } else {
       copyObject(keyOf(src), keyOf(dst))
-      deleteObject(keyOf(src))
+      deleteOrThrow(keyOf(src))
     }
     true
   }

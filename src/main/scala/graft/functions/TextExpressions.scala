@@ -393,13 +393,17 @@ case class UnicodeNormalize(child: Expression, form: String, casefold: Boolean)
   * the classic Aho-Corasick 1975 automaton (goto/fail/output links,
   * output counts flattened through the fail chain at build time).
   *
-  * Matching is case-insensitive (both phrases and text fold through
-  * Character.toLowerCase, mirroring blocklistFilter's lower()). Counts
-  * are ALL occurrences including overlapping and nested ones — for
-  * border-free phrases (no proper prefix = suffix) this equals the
-  * non-overlapping replace-count. Returns struct(n_hits BIGINT — total
-  * occurrences, n_phrases INT — distinct phrases that matched).
-  * `packedPhrases` is newline-joined (phrases must be newline-free).
+  * Matching is case-insensitive: BOTH sides fold per-char through
+  * Character.toLowerCase (locale-independent — String.toLowerCase
+  * would fold by the JVM default locale and could disagree with the
+  * match-side folding, e.g. Turkish dotless-i). Duplicate phrases are
+  * collapsed at build time, so a repeated lexicon entry cannot
+  * double-count. Counts are ALL occurrences including overlapping and
+  * nested ones — for border-free phrases (no proper prefix = suffix)
+  * this equals the non-overlapping replace-count. Returns
+  * struct(n_hits BIGINT — total occurrences, n_phrases INT — distinct
+  * phrases that matched). `packedPhrases` is newline-joined (phrases
+  * must be newline-free).
   */
 case class MultiMatch(child: Expression, packedPhrases: String)
     extends UnaryExpression {
@@ -409,7 +413,7 @@ case class MultiMatch(child: Expression, packedPhrases: String)
   @transient private lazy val ac: (Array[java.util.HashMap[Character, Integer]],
       Array[Int], Array[Int], Array[Array[Int]]) = {
     val phrases = packedPhrases.split('\n').filter(_.nonEmpty)
-      .map(_.toLowerCase)
+      .map(_.map(Character.toLowerCase)).distinct
     val next = scala.collection.mutable.ArrayBuffer(
       new java.util.HashMap[Character, Integer]())
     val endsHere = scala.collection.mutable.ArrayBuffer(List.empty[Int])
@@ -457,7 +461,8 @@ case class MultiMatch(child: Expression, packedPhrases: String)
   }
 
   @transient private lazy val numPhrases: Int =
-    packedPhrases.split('\n').count(_.nonEmpty)
+    packedPhrases.split('\n').filter(_.nonEmpty)
+      .map(_.map(Character.toLowerCase)).distinct.length
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -593,6 +593,11 @@ object Curation {
           require(fs.rename(st.getPath, live),
             s"could not restore $nm after a crashed erasure")
         else fs.delete(st.getPath, true)
+      } else if (nm.startsWith(".erase_tmp_")) {
+        // crash before the aside-rename: the tmp rewrite is stale
+        // (this run recomputes it if the shard is affected again) —
+        // without cleanup it is a shard-sized disk leak per crash
+        fs.delete(st.getPath, true)
       }
     }
     // one (doc_id, shard) scan finds the affected shards; bounded

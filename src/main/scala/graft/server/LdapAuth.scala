@@ -202,15 +202,18 @@ final class BasicAuthProvider(url: String,
                               allowStoredFallback: Boolean = true)
     extends AuthProvider {
   val name = "basic-auth"
+  // one client for the provider's lifetime: it is stateless config,
+  // and a per-login client would leak a selector thread + pool per
+  // verify under login bursts
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5))
+    .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+    .build()
   def verify(user: String, pass: String, state: Acl.State): Boolean = {
     val ok =
       try {
         val token = java.util.Base64.getEncoder.encodeToString(
           s"$user:$pass".getBytes(UTF_8))
-        val client = java.net.http.HttpClient.newBuilder()
-          .connectTimeout(java.time.Duration.ofSeconds(5))
-          .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
-          .build()
         val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
           .timeout(java.time.Duration.ofSeconds(5))
           .header("Authorization", s"Basic $token")

@@ -347,6 +347,18 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L)
   }
 
+  test("multi_match: duplicate lexicon entries collapse to one phrase") {
+    import spark.implicits._
+    TextFunctions.register(spark)
+    // a repeated (or case-variant) entry must not double-count hits
+    val row = Seq((1L, "banana")).toDF("id", "text")
+      .select(TextFunctions.multi_match($"text",
+        Seq("ana", "ANA", "ana")).as("m"))
+      .select($"m.n_hits", $"m.n_phrases").head
+    assert(row.getLong(0) == 2L, "n_hits (two overlapping occurrences, once)")
+    assert(row.getInt(1) == 1, "n_phrases")
+  }
+
   test("multi_match: nested/suffix phrases all emit via the fail chain") {
     import spark.implicits._
     TextFunctions.register(spark)
