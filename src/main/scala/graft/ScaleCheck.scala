@@ -1231,6 +1231,15 @@ object ScaleCheck {
         graft.ops.Curation.rankIds(df, "rank", col("k").asc)
           .agg(max(col("rank"))).head.getLong(0))
     }
+    // bl02's MultiMatch: the wall must be ~flat in PHRASE COUNT (one
+    // automaton pass either way) — the whole point vs the per-phrase
+    // form whose cost is O(phrases x text)
+    for (nPhrases <- Seq(1000, 100000)) {
+      val phrases = (1 to nPhrases).map(i => s"needle$i haystack$i")
+      time(s"multi-match phrases=$nPhrases")(
+        graft.ops.Curation.blocklistFilterLarge(base, phrases, maxHits = 0)
+          .filter(col("keep")).count())
+    }
   }
 
   /** Round-16 probes (`runMain graft.ScaleCheck r16`):
