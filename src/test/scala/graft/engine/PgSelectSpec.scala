@@ -400,6 +400,13 @@ class PgSelectSpec extends AnyFunSuite {
     assert(PgSelect.rewriteAnyAllArray(
       "SELECT x FROM t WHERE c::varchar(10) = ANY (ARRAY['m'])") ==
       "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::varchar(10)  = __pg_e)")
+    // chained casts ride as one primary through the shared absorber
+    assert(PgSelect.rewriteAnyAllArray(
+      "SELECT x FROM t WHERE c::text::varchar = ANY (ARRAY['m'])") ==
+      "SELECT x FROM t WHERE exists(array('m'), __pg_e -> c::text::varchar  = __pg_e)")
+    assert(PgSelect.rewriteRegexMatch(
+      "SELECT x FROM t WHERE c::text::varchar ~ 'p'") ==
+      "SELECT x FROM t WHERE regexp_like(c::text::varchar , 'p')")
   }
 
   test("ANY/ALL out-of-scope forms stay verbatim (loud reject or native)") {

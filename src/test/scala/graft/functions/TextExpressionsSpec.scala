@@ -393,4 +393,42 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(hit.agg(org.apache.spark.sql.functions.sum($"n_hits"))
       .head.getLong(0) > 0)
   }
+
+  test("multi_match: property — equals brute force over random lexicons") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    TextFunctions.register(spark)
+    def brute(text: String, phrases: Seq[String]): (Long, Int) = {
+      val lt = text.map(Character.toLowerCase)
+      val per = phrases.map(_.map(Character.toLowerCase)).distinct.map { pl =>
+        var n = 0L; var i = lt.indexOf(pl)
+        while (i >= 0) { n += 1; i = lt.indexOf(pl, i + 1) }
+        n
+      }
+      (per.sum, per.count(_ > 0))
+    }
+    // small alphabet forces dense overlaps, shared prefixes, and
+    // nesting — the automaton's hard cases
+    val sym = Gen.oneOf("a", "b", "A", "ab", "ba", "aa")
+    val phrase = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, sym).map(_.mkString))
+    val lexicon = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, phrase))
+    val text = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "A", "B", " ")).map(_.mkString))
+    val seed = org.scalacheck.rng.Seed(17L)
+    val cases = Iterator.iterate(seed)(_.next).take(120).flatMap { sd =>
+      for { t <- text.apply(Gen.Parameters.default, sd)
+            l <- lexicon.apply(Gen.Parameters.default, sd.next) } yield (t, l)
+    }.toSeq
+    cases.foreach { case (t, lex) =>
+      val row = Seq((1L, t)).toDF("id", "text")
+        .select(TextFunctions.multi_match($"text", lex).as("m"))
+        .select($"m.n_hits", $"m.n_phrases").head
+      val (wantHits, wantPhrases) = brute(t, lex)
+      assert(row.getLong(0) == wantHits,
+        s"n_hits text='$t' lexicon=$lex got=${row.getLong(0)} want=$wantHits")
+      assert(row.getInt(1) == wantPhrases,
+        s"n_phrases text='$t' lexicon=$lex")
+    }
+  }
 }
