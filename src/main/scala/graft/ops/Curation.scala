@@ -685,6 +685,54 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Resumable trainer-order reader over a tokenized landing (pp18) —
+    * the data-loader side of the family: the writers land the mix,
+    * this hands it to the training loop in a DETERMINISTIC global
+    * order with a step cursor a restarted job can resume from.
+    *
+    * Step order interleaves shards round-robin:
+    * `step = seq_id * nShards + shard` — consecutive steps cycle
+    * through shards, so every training window mixes the whole landing
+    * rather than draining one shard at a time. Step ids are strictly
+    * monotone and deterministic but SPARSE once short shards exhaust
+    * (a landing's last shards hold fewer sequences); resume is
+    * "last processed step + 1", never "count so far" — the contract
+    * every sharded dataloader with uneven shards ends up with.
+    *
+    * Scale shape: pure projection + filter, NO global sort shuffle —
+    * the caller orders the (bounded) window it asked for. nShards
+    * comes from ONE directory listing (shardAppend's discipline), and
+    * the step predicate folds to per-shard `seq_id` bounds that prune
+    * parquet row groups via min/max stats (sequences are written in
+    * seq_id order per shard), so reading steps [s, s+n) from a
+    * billion-sequence landing touches only the row groups that hold
+    * them.
+    */
+  def readTokenizedBatches(spark: org.apache.spark.sql.SparkSession,
+                           landingDir: String, fromStep: Long,
+                           nSteps: Long): DataFrame = {
+    require(fromStep >= 0 && nSteps > 0,
+      s"bad step window: fromStep=$fromStep nSteps=$nSteps")
+    val root = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nShards = fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard="))
+    require(nShards > 0, s"no landed shards under $landingDir")
+    val toStep = fromStep + nSteps
+    // seq_id bounds implied by the step window (stats-level pruning)
+    val seqLo = math.max(0L, (fromStep - nShards + 1) / nShards)
+    val seqHi = toStep / nShards // inclusive upper bound is enough
+    val step = col("seq_id") * lit(nShards.toLong) +
+      col("shard").cast("long")
+    spark.read.parquet(landingDir)
+      .filter(col("seq_id") >= seqLo && col("seq_id") <= seqHi)
+      .withColumn("step", step)
+      .filter(col("step") >= fromStep && col("step") < toStep)
+      .select(col("step"), col("shard").cast("long").as("shard"),
+        col("seq_id"), col("ids"), col("n_ids"))
+      .orderBy("step")
+  }
+
   /** Landing validation (pp15): the fsck a training launcher runs
     * before committing compute to a landing — every structural
     * invariant the writers promise, re-derived from the LANDED BYTES

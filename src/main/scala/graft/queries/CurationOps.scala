@@ -894,6 +894,71 @@ object CurationOps {
                CAST(count(*) AS BIGINT) AS n_ids
              FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
 
+    // pp18: the RESUMABLE READER over a tokenized landing — the
+    // data-loader half of pp16: land with the replayable rank-vocab
+    // tokenizer, then read the step window [5, 45) in the round-robin
+    // trainer order (step = seq_id * nShards + shard). The oracle
+    // replays the landing AND the step arithmetic, pinning order,
+    // window edges, and the sparse-step contract (short shards leave
+    // holes; steps stay strictly monotone). ids pinned as
+    // md5(join)+n_ids per the compare contract.
+    NamedQuery("pp18_landing_reader",
+      (s, d) => {
+        val ds = docs(s, d)
+        val toks = ds.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val withId = Curation.rankIds(vocab, "id",
+            col("n").desc, col("tok").asc)
+          .select(col("tok"), col("id").cast("int").as("id"))
+        val idsPerDoc = toks.join(broadcast(withId), "tok")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            x => x("id")).as("ids"))
+        val tmp = java.nio.file.Files.createTempDirectory("pp18").toString
+        Curation.tokenizedLanding(idsPerDoc, tmp,
+          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        Curation.readTokenizedBatches(s, tmp, fromStep = 5L, nSteps = 40L)
+          .select(col("step"), col("shard"), col("seq_id"),
+            md5(array_join(transform(col("ids"), _.cast("string")),
+              " ")).as("ids_md5"),
+            col("n_ids"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                      toks FROM t),
+              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
+              v AS (SELECT tok, row_number() OVER (
+                      ORDER BY count(*) DESC, tok) AS id
+                    FROM x GROUP BY tok),
+              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
+              dl AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(toks) AS BIGINT) AS n FROM t),
+              st AS (SELECT doc_id, shard,
+                       CAST(coalesce(sum(n) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS start_tok
+                     FROM dl),
+              e AS (SELECT st.shard,
+                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
+                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
+                      i.id
+                    FROM i JOIN st USING (doc_id)),
+              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
+                       CAST(seq_id AS BIGINT) AS seq_id,
+                       md5(string_agg(CAST(id AS VARCHAR), ' '
+                         ORDER BY seq_pos)) AS ids_md5,
+                       CAST(count(*) AS BIGINT) AS n_ids
+                     FROM e GROUP BY 1, 2)
+             SELECT CAST(seq_id * 8 + shard AS BIGINT) AS step,
+               shard, seq_id, ids_md5, n_ids
+             FROM sq
+             WHERE seq_id * 8 + shard >= 5 AND seq_id * 8 + shard < 45
+             ORDER BY step""")),
+
     // pp17: the full train-once / encode-everywhere / LAND story as
     // one driver-checked gate (r16 verdict #6) — tk06's unigram-LM
     // vocab is trained, persisted, and RELOADED (tk08's artifact

@@ -426,4 +426,48 @@ class ShardMaterializeSpec extends AnyFunSuite {
     val nd = spark.read.parquet(tmp).select("pos").distinct().count()
     assert(n == nd, "position collision after post-erasure append")
   }
+
+  test("readTokenizedBatches: tiles cover the landing exactly, resume-safe") {
+    import spark.implicits._
+    // 30 docs, 7 ids each, 5 shards, seqLen 16 -> uneven shards with
+    // short tail sequences: the sparse-step contract's hard case
+    val docs = (1 to 30).map(i => (i.toLong, (1 to 7).map(_ + i).toArray))
+      .toDF("doc_id", "ids")
+    val tmp = java.nio.file.Files.createTempDirectory("pp18spec").toString
+    Curation.tokenizedLanding(docs, tmp,
+      org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(5)), col("ids"),
+      seqLen = 16).count()
+    val full = spark.read.parquet(tmp)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // read the whole landing in step tiles of 16; tiles must be
+    // disjoint, each internally ordered, and their union == the landing
+    var from = 0L
+    var seen = Set.empty[(Long, Long)]
+    var steps = Seq.empty[Long]
+    while (seen.size < full.size) {
+      val tile = Curation.readTokenizedBatches(spark, tmp, from, 16L)
+        .select(col("step"), col("shard"), col("seq_id")).collect()
+      val tileSteps = tile.map(_.getLong(0)).toSeq
+      assert(tileSteps == tileSteps.sorted, "tile not in step order")
+      val keys = tile.map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert((seen intersect keys).isEmpty, "tiles overlap")
+      seen ++= keys
+      steps ++= tileSteps
+      from += 16L
+      assert(from < 10000, "runaway")
+    }
+    assert(seen == full, "tiles did not cover the landing")
+    assert(steps == steps.sorted && steps.distinct == steps,
+      "global step order not strictly monotone across tiles")
+    // resume mid-window is equivalent to one long read
+    val oneRead = Curation.readTokenizedBatches(spark, tmp, 3L, 29L)
+      .select("step").as[Long].collect().toSeq
+    val split = (Curation.readTokenizedBatches(spark, tmp, 3L, 10L)
+        .select("step").as[Long].collect() ++
+      Curation.readTokenizedBatches(spark, tmp, 13L, 19L)
+        .select("step").as[Long].collect()).toSeq
+    assert(oneRead == split, "split read diverges from one read")
+  }
 }
