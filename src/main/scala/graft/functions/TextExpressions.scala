@@ -410,10 +410,15 @@ case class MultiMatch(child: Expression, packedPhrases: String)
 
   // goto as per-state char maps; emitCount/emitIds flattened through
   // the fail chain so match-time never walks suffix links for output
+  // single normalization point: any divergence between automaton
+  // phrases and BitSet sizing corrupts n_phrases
+  @transient private lazy val foldedPhrases: Array[String] =
+    packedPhrases.split('\n').filter(_.nonEmpty)
+      .map(_.map(Character.toLowerCase)).distinct
+
   @transient private lazy val ac: (Array[java.util.HashMap[Character, Integer]],
       Array[Int], Array[Int], Array[Array[Int]]) = {
-    val phrases = packedPhrases.split('\n').filter(_.nonEmpty)
-      .map(_.map(Character.toLowerCase)).distinct
+    val phrases = foldedPhrases
     val next = scala.collection.mutable.ArrayBuffer(
       new java.util.HashMap[Character, Integer]())
     val endsHere = scala.collection.mutable.ArrayBuffer(List.empty[Int])
@@ -460,9 +465,7 @@ case class MultiMatch(child: Expression, packedPhrases: String)
     (next.toArray, fail, emitCount, emitIds)
   }
 
-  @transient private lazy val numPhrases: Int =
-    packedPhrases.split('\n').filter(_.nonEmpty)
-      .map(_.map(Character.toLowerCase)).distinct.length
+  @transient private lazy val numPhrases: Int = foldedPhrases.length
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

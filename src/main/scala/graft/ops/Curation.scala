@@ -699,12 +699,14 @@ object Curation {
     * "last processed step + 1", never "count so far" — the contract
     * every sharded dataloader with uneven shards ends up with.
     *
-    * Scale shape: pure projection + filter, NO global sort shuffle —
-    * the caller orders the (bounded) window it asked for. nShards
-    * comes from ONE directory listing (shardAppend's discipline), and
-    * the step predicate folds to per-shard `seq_id` bounds that prune
-    * parquet row groups via min/max stats (sequences are written in
-    * seq_id order per shard), so reading steps [s, s+n) from a
+    * Scale shape: a projection + filter followed by ONE sort bounded
+    * to the requested window (at most nSteps rows — never the
+    * landing). nShards = max shard id + 1 from ONE directory listing
+    * (shardAppend's discipline — counting directories would mis-map
+    * steps on a landing whose shard ids have gaps), and the step
+    * predicate folds to per-shard `seq_id` bounds that prune parquet
+    * row groups via min/max stats (sequences are written in seq_id
+    * order per shard), so reading steps [s, s+n) from a
     * billion-sequence landing touches only the row groups that hold
     * them.
     */
@@ -715,9 +717,16 @@ object Curation {
       s"bad step window: fromStep=$fromStep nSteps=$nSteps")
     val root = new org.apache.hadoop.fs.Path(landingDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nShards = fs.listStatus(root).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith("shard="))
-    require(nShards > 0, s"no landed shards under $landingDir")
+    val shardIds = fs.listStatus(root).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
+        st.getPath.getName.stripPrefix("shard=").toLong
+    }
+    require(shardIds.nonEmpty, s"no landed shards under $landingDir")
+    // max+1, NOT the directory count: with gapped shard ids (an
+    // erased-empty shard, a caller-supplied sparse shard column) a
+    // count-based modulus would assign DUPLICATE step ids and the
+    // seq_id pre-filter would silently drop in-window rows
+    val nShards = (shardIds.max + 1).toInt
     val toStep = fromStep + nSteps
     // seq_id bounds implied by the step window (stats-level pruning)
     val seqLo = math.max(0L, (fromStep - nShards + 1) / nShards)

@@ -470,4 +470,42 @@ class ShardMaterializeSpec extends AnyFunSuite {
         .select("step").as[Long].collect()).toSeq
     assert(oneRead == split, "split read diverges from one read")
   }
+
+  test("readTokenizedBatches: GAPPED shard ids keep steps unique and complete") {
+    import spark.implicits._
+    // all-odd doc_ids under pmod(doc_id, 8) -> only shards {1,3,5,7}
+    // exist. A directory-COUNT modulus (4) would assign duplicate
+    // steps (0*4+7 == 1*4+3) and the seq_id pre-filter would silently
+    // drop in-window rows; max+1 (8) keeps steps sparse but unique.
+    val docs = (1 to 60 by 2).map(i => (i.toLong, (1 to 5).map(_ + i).toArray))
+      .toDF("doc_id", "ids")
+    val tmp = java.nio.file.Files.createTempDirectory("pp18gap").toString
+    Curation.tokenizedLanding(docs, tmp,
+      org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(8)), col("ids"),
+      seqLen = 16).count()
+    val full = spark.read.parquet(tmp)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.map(_._1) == Set(1L, 3L, 5L, 7L), "fixture not gapped")
+    // one wide read covers everything with unique steps
+    val all = Curation.readTokenizedBatches(spark, tmp, 0L, 10000L)
+      .select(col("step"), col("shard"), col("seq_id")).collect()
+    val steps = all.map(_.getLong(0)).toSeq
+    assert(steps.distinct == steps, "duplicate step ids on gapped shards")
+    assert(all.map(r => (r.getLong(1), r.getLong(2))).toSet == full,
+      "gapped-shard read lost rows")
+    // and tiling still covers exactly (the in-window drop regression)
+    var from = 0L
+    var seen = Set.empty[(Long, Long)]
+    while (seen.size < full.size && from < 10000) {
+      val tile = Curation.readTokenizedBatches(spark, tmp, from, 16L)
+        .select(col("shard"), col("seq_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((seen intersect tile).isEmpty, "tiles overlap")
+      seen ++= tile
+      from += 16L
+    }
+    assert(seen == full, "tiles dropped in-window rows on gapped shards")
+  }
 }
