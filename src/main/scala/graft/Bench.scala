@@ -80,6 +80,11 @@ object Bench {
         || q._1 == "pp13_compact_landing" || q._1 == "pp14_erase_from_landing"
         || q._1 == "pp15_validate_landing" || q._1 == "pp16_tokenized_landing"
         || q._1 == "mf01_landing_manifest"
+        // pp17 composes tk06's iterative EM training with pp16's
+        // landing write; pp18 writes a temp landing before reading —
+        // both walls measure the flow, not a query
+        || q._1 == "pp17_learned_tokenized_landing"
+        || q._1 == "pp18_landing_reader"
         // st08 writes fixture file-batches then drives a streaming
         // query against them — a correctness verdict like st06;
         // st12 is the same shape (fixture batches → streaming shard
