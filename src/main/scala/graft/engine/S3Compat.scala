@@ -21,16 +21,21 @@ import org.apache.hadoop.util.Progressable
   * from the standard `fs.s3a.endpoint` key. Reads are RANGE requests
   * (seek = one `Range: bytes=pos-` reopen), so parquet footer-first
   * access and partitioned scans work without buffering objects — the
-  * same shape S3AInputStream uses at 100 TB. Request signing is NOT
-  * implemented: this targets unauthenticated S3-compatible endpoints
-  * (the loopback test endpoint, or sidecar-authenticated gateways);
-  * production clusters ship hadoop-aws and never load this class.
+  * same shape S3AInputStream uses at 100 TB. When the standard
+  * `fs.s3a.access.key`/`fs.s3a.secret.key` keys are set, every request
+  * carries an AWS SigV4 Authorization header (`SigV4.signRequest`,
+  * region from `fs.s3a.endpoint.region`, default us-east-1) — the
+  * credentialed ingest surface the reference drives through its aws
+  * package (Lagoon/Ingest.hs:542-547). Unset keys mean unsigned
+  * requests against open endpoints, as before.
   */
 class S3CompatFileSystem extends FileSystem {
   private var fsUri: URI = _
   private var bucket: String = _
   private var endpoint: String = _
   private var workDir: Path = _
+  private var creds: Option[(String, String)] = None
+  private var region: String = "us-east-1"
 
   override def initialize(uri: URI, conf: Configuration): Unit = {
     super.initialize(uri, conf)
@@ -42,7 +47,25 @@ class S3CompatFileSystem extends FileSystem {
       "fs.s3a.endpoint must be set for the S3-compat filesystem")
     if (!endpoint.contains("://")) endpoint = s"http://$endpoint"
     workDir = new Path(s"${uri.getScheme}://$bucket/")
+    val ak = conf.getTrimmed("fs.s3a.access.key", "")
+    val sk = conf.getTrimmed("fs.s3a.secret.key", "")
+    creds = if (ak.nonEmpty && sk.nonEmpty) Some((ak, sk)) else None
+    region = conf.getTrimmed("fs.s3a.endpoint.region", "us-east-1")
   }
+
+  /** SigV4 headers for one request, or empty when unauthenticated.
+    * `extraSigned` are headers that must be covered by the signature
+    * (e.g. Range on ranged GETs).
+    */
+  private def authHeaders(method: String, url: String,
+                          payloadSha256: String,
+                          extraSigned: Seq[(String, String)] = Nil): Seq[(String, String)] =
+    creds match {
+      case Some((ak, sk)) =>
+        SigV4.signRequest(method, url, extraSigned, payloadSha256,
+          ak, sk, region)
+      case None => extraSigned
+    }
 
   override def getScheme: String = "s3a"
   override def getUri: URI = fsUri
@@ -62,11 +85,13 @@ class S3CompatFileSystem extends FileSystem {
   private def objectUrl(key: String): String =
     s"$endpoint/$bucket/${encodeKey(key)}"
 
-  private def connect(method: String, url: String): HttpURLConnection = {
+  private def connect(method: String, url: String,
+                      headers: Seq[(String, String)] = Nil): HttpURLConnection = {
     val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setConnectTimeout(30000)
     c.setReadTimeout(300000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     c
   }
 
@@ -75,7 +100,9 @@ class S3CompatFileSystem extends FileSystem {
     * when the endpoint omits Content-Length on HEAD.
     */
   private def head(key: String): Option[(Long, Long)] = {
-    val c = connect("HEAD", objectUrl(key))
+    val url = objectUrl(key)
+    val c = connect("HEAD", url,
+      authHeaders("HEAD", url, SigV4.EmptyPayloadSha256))
     try c.getResponseCode match {
       case 200 =>
         val len = c.getContentLengthLong
@@ -86,8 +113,9 @@ class S3CompatFileSystem extends FileSystem {
   }
 
   private def probeLength(key: String): Long = {
-    val c = connect("GET", objectUrl(key))
-    c.setRequestProperty("Range", "bytes=0-0")
+    val url = objectUrl(key)
+    val c = connect("GET", url, authHeaders("GET", url,
+      SigV4.EmptyPayloadSha256, Seq("Range" -> "bytes=0-0")))
     try c.getResponseCode match {
       case 206 =>
         val cr = Option(c.getHeaderField("Content-Range")).getOrElse("")
@@ -114,7 +142,8 @@ class S3CompatFileSystem extends FileSystem {
       q ++= s"&prefix=${URLEncoder.encode(prefix, "UTF-8")}"
       delimiter.foreach(d => q ++= s"&delimiter=${URLEncoder.encode(d, "UTF-8")}")
       token.foreach(t => q ++= s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}")
-      val c = connect("GET", q.toString)
+      val c = connect("GET", q.toString,
+        authHeaders("GET", q.toString, SigV4.EmptyPayloadSha256))
       val body =
         try {
           if (c.getResponseCode != 200)
@@ -166,7 +195,10 @@ class S3CompatFileSystem extends FileSystem {
     val key = keyOf(f)
     val (len, _) = head(key).getOrElse(
       throw new java.io.FileNotFoundException(f.toString))
-    new FSDataInputStream(new RangedHttpInputStream(objectUrl(key), len))
+    val url = objectUrl(key)
+    new FSDataInputStream(new RangedHttpInputStream(url, len,
+      sign = rng => authHeaders("GET", url, SigV4.EmptyPayloadSha256,
+        Seq("Range" -> rng))))
   }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -188,7 +220,9 @@ class S3CompatFileSystem extends FileSystem {
   }
 
   private def put(key: String, bytes: Array[Byte]): Unit = {
-    val c = connect("PUT", objectUrl(key))
+    val url = objectUrl(key)
+    val c = connect("PUT", url,
+      authHeaders("PUT", url, SigV4.sha256Hex(bytes)))
     c.setDoOutput(true)
     c.setFixedLengthStreamingMode(bytes.length)
     try {
@@ -232,7 +266,9 @@ class S3CompatFileSystem extends FileSystem {
   }
 
   private def copyObject(srcKey: String, dstKey: String): Unit = {
-    val c = connect("GET", objectUrl(srcKey))
+    val url = objectUrl(srcKey)
+    val c = connect("GET", url,
+      authHeaders("GET", url, SigV4.EmptyPayloadSha256))
     val bytes =
       try {
         if (c.getResponseCode != 200)
@@ -243,7 +279,9 @@ class S3CompatFileSystem extends FileSystem {
   }
 
   private def deleteObject(key: String): Boolean = {
-    val c = connect("DELETE", objectUrl(key))
+    val url = objectUrl(key)
+    val c = connect("DELETE", url,
+      authHeaders("DELETE", url, SigV4.EmptyPayloadSha256))
     try c.getResponseCode == 204 || c.getResponseCode == 200
     finally c.disconnect()
   }
@@ -275,7 +313,9 @@ class S3CompatFileSystem extends FileSystem {
   * selected column chunks) in plain HTTP range semantics.
   */
 private class RangedHttpInputStream(url: String, length: Long,
-                                    readahead: Long = 128L * 1024)
+                                    readahead: Long = 128L * 1024,
+                                    sign: String => Seq[(String, String)] =
+                                      rng => Seq("Range" -> rng))
     extends FSInputStream {
   private var pos = 0L
   private var streamAt = -1L // next offset the open stream will yield
@@ -289,7 +329,8 @@ private class RangedHttpInputStream(url: String, length: Long,
       val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
       c.setConnectTimeout(30000)
       c.setReadTimeout(300000)
-      c.setRequestProperty("Range", s"bytes=$pos-${end - 1}")
+      sign(s"bytes=$pos-${end - 1}")
+        .foreach { case (k, v) => c.setRequestProperty(k, v) }
       val rc = c.getResponseCode
       if (rc != 200 && rc != 206)
         throw new java.io.IOException(s"GET $url @$pos: HTTP $rc")
@@ -311,20 +352,41 @@ private class RangedHttpInputStream(url: String, length: Long,
     stream
   }
 
+  /** A -1 while pos < length means the server closed the connection
+    * mid-range — NOT end of object. Propagating it would let
+    * line-oriented readers silently ingest a truncated object, so
+    * retry the range once (transient close) and fail loudly if the
+    * reopened stream is still short.
+    */
+  private def rejectShortRange(retried: Boolean): Boolean = {
+    if (stream != null) { stream.close(); stream = null }
+    if (retried)
+      throw new java.io.EOFException(
+        s"GET $url: server closed mid-range at $pos of $length")
+    true
+  }
+
   override def read(): Int =
     if (pos >= length) -1
     else {
-      val b = ensure(1L).read()
-      if (b >= 0) { pos += 1; streamAt = pos }
+      var retried = false
+      var b = ensure(1L).read()
+      while (b < 0) { retried = rejectShortRange(retried); b = ensure(1L).read() }
+      pos += 1; streamAt = pos
       b
     }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int =
     if (pos >= length) -1
     else {
-      val in = ensure(len.toLong)
-      val bounded = math.min(len.toLong, blockEnd - pos).toInt
-      val n = in.read(buf, off, bounded)
+      var retried = false
+      var n = -1
+      while (n < 0) {
+        val in = ensure(len.toLong)
+        val bounded = math.min(len.toLong, blockEnd - pos).toInt
+        n = in.read(buf, off, bounded)
+        if (n < 0) retried = rejectShortRange(retried)
+      }
       if (n > 0) { pos += n; streamAt = pos }
       n
     }
@@ -351,12 +413,18 @@ private class RangedHttpInputStream(url: String, length: Long,
   * egress — the stand-in for runs3tests.sh's `aws
   * --endpoint-url=$AWS_ENDPOINT` fixture store.
   */
-final class S3Loopback {
+final class S3Loopback(credentials: Option[(String, String)] = None) {
   private val objects =
     new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
   private val served = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val denied = new java.util.concurrent.atomic.AtomicLong(0L)
   private val server = com.sun.net.httpserver.HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 0)
+
+  /** Requests rejected 403 by SigV4 verification — lets a spec assert
+    * that a tampered request was DENIED, not merely that it failed.
+    */
+  def deniedCount: Long = denied.get()
 
   def put(bucket: String, key: String, bytes: Array[Byte]): Unit =
     objects.put(s"$bucket/$key", bytes)
@@ -385,7 +453,23 @@ final class S3Loopback {
         if (body.nonEmpty) ex.getResponseBody.write(body)
         ex.close()
       }
-      if (method == "GET" && query.contains("list-type=2")) {
+      // request body must be consumed BEFORE verification (the payload
+      // hash covers it) and reused by the PUT handler below
+      val reqBody =
+        if (method == "PUT") ex.getRequestBody.readAllBytes()
+        else Array.emptyByteArray
+      val authFail = credentials.flatMap { case (ak, sk) =>
+        SigV4.verifyRequest(method, ex.getRequestURI.getRawPath,
+          ex.getRequestURI.getRawQuery,
+          h => Option(ex.getRequestHeaders.getFirst(h)), reqBody,
+          ak, sk).left.toOption
+      }
+      if (authFail.isDefined) {
+        denied.incrementAndGet()
+        val msg = ("<?xml version=\"1.0\"?><Error><Code>AccessDenied</Code>" +
+          s"<Message>${xmlEscape(authFail.get)}</Message></Error>").getBytes(UTF_8)
+        send(403, msg)
+      } else if (method == "GET" && query.contains("list-type=2")) {
         val bucket = path.stripSuffix("/")
         val params = query.split("&").map(_.split("=", 2))
           .map(kv => kv(0) -> (if (kv.length > 1)
@@ -431,20 +515,35 @@ final class S3Loopback {
             else Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(r) if r.startsWith("bytes=") =>
                 val spec = r.stripPrefix("bytes=").split("-", 2)
-                val from = spec(0).toLong
-                val to = if (spec.length > 1 && spec(1).nonEmpty)
-                  math.min(spec(1).toLong, bytes.length - 1L)
-                else bytes.length - 1L
-                val slice = java.util.Arrays.copyOfRange(
-                  bytes, from.toInt, (to + 1).toInt)
-                ex.getResponseHeaders.add("Content-Range",
-                  s"bytes $from-$to/${bytes.length}")
-                served.addAndGet(slice.length.toLong)
-                send(206, slice)
+                // three wire forms: from-, from-to, and the suffix
+                // -N many parquet/object readers use for footer
+                // fetches (last N bytes)
+                val (from, to) =
+                  if (spec(0).isEmpty && spec.length > 1 && spec(1).nonEmpty)
+                    (math.max(0L, bytes.length - spec(1).toLong),
+                      bytes.length - 1L)
+                  else {
+                    val f = spec(0).toLong
+                    (f, if (spec.length > 1 && spec(1).nonEmpty)
+                      math.min(spec(1).toLong, bytes.length - 1L)
+                    else bytes.length - 1L)
+                  }
+                if (from >= bytes.length || from > to) {
+                  ex.getResponseHeaders.add("Content-Range",
+                    s"bytes */${bytes.length}")
+                  send(416, Array.emptyByteArray)
+                } else {
+                  val slice = java.util.Arrays.copyOfRange(
+                    bytes, from.toInt, (to + 1).toInt)
+                  ex.getResponseHeaders.add("Content-Range",
+                    s"bytes $from-$to/${bytes.length}")
+                  served.addAndGet(slice.length.toLong)
+                  send(206, slice)
+                }
               case _ => served.addAndGet(bytes.length.toLong); send(200, bytes)
             }
           case "PUT" =>
-            objects.put(path, ex.getRequestBody.readAllBytes())
+            objects.put(path, reqBody)
             send(200, Array.emptyByteArray)
           case "DELETE" =>
             objects.remove(path)

@@ -1,0 +1,161 @@
+package graft.engine
+
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** AWS Signature Version 4 request signing — the PUBLIC algorithm from
+  * docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html
+  * implemented from the spec (no SDK): canonical request → string to
+  * sign → HMAC-SHA256 key derivation chain → Authorization header.
+  * Closes the reference's credentialed-S3 ingest surface
+  * (src/backend/src/Lagoon/Ingest.hs:542-547 carries Aws.Configuration
+  * into its S3 source) for the self-contained `s3a://` client: when
+  * `fs.s3a.access.key`/`fs.s3a.secret.key` are set, every request the
+  * filesystem issues is signed, and the loopback endpoint VERIFIES
+  * signatures (rejecting tampering with 403), so the whole
+  * authenticated path runs with zero egress. Pinned against the
+  * published AWS "GET Object" test vector in SigV4Spec.
+  */
+object SigV4 {
+
+  /** SHA-256 of the empty string — the payload hash for bodyless
+    * requests (GET/HEAD/DELETE).
+    */
+  val EmptyPayloadSha256 =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  def nowAmzDate(): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.now())
+  }
+
+  /** RFC 3986 encoding with the SigV4 unreserved set (URLEncoder's
+    * `+`-for-space and `*` survivals corrected).
+    */
+  def uriEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+
+  /** Canonical query string: params sorted by name then value, both
+    * taken RAW (already percent-encoded on the wire) — both signer and
+    * verifier canonicalize the same wire form, so one encoder serves
+    * both sides.
+    */
+  def canonicalQuery(rawQuery: String): String =
+    if (rawQuery == null || rawQuery.isEmpty) ""
+    else rawQuery.split("&").filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      if (i < 0) (p, "") else (p.substring(0, i), p.substring(i + 1))
+    }.sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** The derived signing key: HMAC chain over date/region/service. */
+  private def signingKey(secretKey: String, dateStamp: String,
+                         region: String, service: String): Array[Byte] = {
+    val kDate = hmac(s"AWS4$secretKey".getBytes(UTF_8), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    hmac(kService, "aws4_request")
+  }
+
+  /** Computes the signature over an already-canonicalized request.
+    * `headers` must contain every header in `signedHeaderNames`
+    * (lowercase keys, trimmed values).
+    */
+  def signature(method: String, canonicalUri: String, rawQuery: String,
+                headers: Map[String, String], signedHeaderNames: Seq[String],
+                payloadSha256: String, secretKey: String, amzDate: String,
+                region: String, service: String): String = {
+    val dateStamp = amzDate.take(8)
+    val canonicalHeaders = signedHeaderNames
+      .map(h => s"$h:${headers.getOrElse(h, "")}\n").mkString
+    val canonicalRequest = Seq(method, canonicalUri,
+      canonicalQuery(rawQuery), canonicalHeaders,
+      signedHeaderNames.mkString(";"), payloadSha256).mkString("\n")
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    hmac(signingKey(secretKey, dateStamp, region, service), stringToSign)
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Headers to attach to an outgoing request: x-amz-date,
+    * x-amz-content-sha256, the caller's extra signed headers (e.g.
+    * Range), and the Authorization header carrying the signature.
+    * `url` must be the exact wire URL (path already percent-encoded).
+    */
+  def signRequest(method: String, url: String,
+                  extraSigned: Seq[(String, String)], payloadSha256: String,
+                  accessKey: String, secretKey: String, region: String,
+                  service: String = "s3",
+                  amzDate: String = nowAmzDate()): Seq[(String, String)] = {
+    val u = URI.create(url)
+    val host = if (u.getPort > 0 && u.getPort != 80 && u.getPort != 443)
+      s"${u.getHost}:${u.getPort}" else u.getHost
+    val path = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val all = (extraSigned.map { case (k, v) => k.toLowerCase -> v.trim } ++
+      Seq("host" -> host, "x-amz-content-sha256" -> payloadSha256,
+        "x-amz-date" -> amzDate)).toMap
+    val names = all.keys.toSeq.sorted
+    val sig = signature(method, path, u.getRawQuery, all, names,
+      payloadSha256, secretKey, amzDate, region, service)
+    val scope = s"${amzDate.take(8)}/$region/$service/aws4_request"
+    extraSigned ++ Seq(
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadSha256,
+      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+        s"SignedHeaders=${names.mkString(";")}, Signature=$sig"))
+  }
+
+  /** Server-side verification (the loopback's 403 gate): parses the
+    * Authorization header, recomputes the signature from the request
+    * as received, and checks the claimed payload hash against the
+    * actual body. Returns Left(reason) on any mismatch — fail closed.
+    */
+  def verifyRequest(method: String, rawPath: String, rawQuery: String,
+                    header: String => Option[String], body: Array[Byte],
+                    expectAccessKey: String, secretKey: String): Either[String, Unit] = {
+    val auth = header("Authorization").getOrElse("")
+    if (!auth.startsWith("AWS4-HMAC-SHA256 "))
+      return Left("missing or non-SigV4 Authorization header")
+    val parts = auth.stripPrefix("AWS4-HMAC-SHA256 ").split(",")
+      .map(_.trim.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    val cred = parts.getOrElse("Credential", "").split("/")
+    if (cred.length != 5) return Left("malformed Credential scope")
+    val Array(ak, dateStamp, region, service, term) = cred
+    if (ak != expectAccessKey) return Left(s"unknown access key $ak")
+    if (term != "aws4_request") return Left("bad scope terminator")
+    val signedNames = parts.getOrElse("SignedHeaders", "").split(";").toSeq
+    if (!signedNames.contains("host") ||
+      !signedNames.contains("x-amz-date") ||
+      !signedNames.contains("x-amz-content-sha256"))
+      return Left("host, x-amz-date, x-amz-content-sha256 must be signed")
+    val amzDate = header("x-amz-date").getOrElse("")
+    if (!amzDate.startsWith(dateStamp))
+      return Left("x-amz-date does not match credential scope date")
+    val claimedSha = header("x-amz-content-sha256").getOrElse("")
+    if (claimedSha != "UNSIGNED-PAYLOAD" &&
+      claimedSha != sha256Hex(body))
+      return Left("payload hash does not match body")
+    val hmap = signedNames.map(n => n -> header(n).getOrElse("").trim).toMap
+    val expect = signature(method, rawPath, rawQuery, hmap, signedNames,
+      claimedSha, secretKey, amzDate, region, service)
+    val got = parts.getOrElse("Signature", "")
+    if (java.security.MessageDigest.isEqual(expect.getBytes(UTF_8),
+      got.getBytes(UTF_8))) Right(())
+    else Left("signature mismatch")
+  }
+}

@@ -674,7 +674,15 @@ object Curation {
     */
   def tokenizedLanding(df: DataFrame, outDir: String, shard: Column,
                        ids: Column, seqLen: Int): DataFrame = {
+    // Physical layout contract: each written file is seq_id-sorted, so
+    // parquet row-group min/max stats on seq_id are narrow and DISJOINT
+    // within a file and the pp18 reader's step-window filter prunes to
+    // the row groups that hold the window instead of re-scanning the
+    // shard. The packer ends in a hash aggregate (rows arrive in
+    // hash-iteration order); this per-partition sort restores physical
+    // order at zero shuffle cost.
     val packed = packTokenSequences(df, shard, ids, seqLen)
+      .sortWithinPartitions(col("shard"), col("seq_id"))
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
       .groupBy(col("shard").cast("long").as("shard"))
@@ -712,7 +720,8 @@ object Curation {
     */
   def readTokenizedBatches(spark: org.apache.spark.sql.SparkSession,
                            landingDir: String, fromStep: Long,
-                           nSteps: Long): DataFrame = {
+                           nSteps: Long,
+                           pinnedShards: Option[Int] = None): DataFrame = {
     require(fromStep >= 0 && nSteps > 0,
       s"bad step window: fromStep=$fromStep nSteps=$nSteps")
     val root = new org.apache.hadoop.fs.Path(landingDir)
@@ -726,7 +735,22 @@ object Curation {
     // erased-empty shard, a caller-supplied sparse shard column) a
     // count-based modulus would assign DUPLICATE step ids and the
     // seq_id pre-filter would silently drop in-window rows
-    val nShards = (shardIds.max + 1).toInt
+    val liveShards = (shardIds.max + 1).toInt
+    // The step<->row mapping is a function of nShards: a checkpoint
+    // taken against an N-shard landing is meaningless once shardAppend
+    // grows the landing. Resuming trainers MUST pass the shard count
+    // recorded in their cursor/manifest; a mismatch fails loudly here
+    // rather than silently re-serving or skipping sequences under the
+    // remapped interleave.
+    val nShards = pinnedShards match {
+      case Some(p) =>
+        require(p == liveShards,
+          s"landing shard count changed since the cursor was written: " +
+            s"cursor pinned $p shards, landing now has $liveShards — " +
+            s"the step mapping is stale; restart the epoch or re-pin")
+        p
+      case None => liveShards
+    }
     val toStep = fromStep + nSteps
     // seq_id bounds implied by the step window (stats-level pruning)
     val seqLo = math.max(0L, (fromStep - nShards + 1) / nShards)
@@ -739,6 +763,61 @@ object Curation {
       .filter(col("step") >= fromStep && col("step") < toStep)
       .select(col("step"), col("shard").cast("long").as("shard"),
         col("seq_id"), col("ids"), col("n_ids"))
+      .orderBy("step")
+  }
+
+  /** Deterministic per-epoch reshuffle reader (pp19) — the other half
+    * of the data-loader contract pp18 started: trainers re-permute the
+    * landing every epoch WITHOUT rewriting it. The epoch order is the
+    * rank of `md5(seed:shard:seq_id)` (zero RNG — the ws01/ab01
+    * seeded-hash discipline; rankIds' distributed sort + zipWithIndex
+    * assigns each sequence a unique epoch step 0..N-1), so the same
+    * seed always replays the same complete permutation and different
+    * seeds give independent orders. Resume is the same step-cursor
+    * contract as readTokenizedBatches: steps are DENSE 0..N-1 here,
+    * and "last processed step + 1" re-enters the identical order.
+    *
+    * Scale shape: the permutation is computed over an ID-ONLY
+    * projection (shard, seq_id — bytes per row, not the payload), the
+    * requested window is collected (≤ nSteps rows by construction —
+    * the training-window discipline, never the landing), its seq_ids
+    * fold into an `isin` pushdown predicate so the payload scan
+    * prunes parquet row groups, and the step assignment joins back as
+    * a BROADCAST of the window index. Reading a 1k-step window from a
+    * billion-sequence landing costs one id-only columnar scan + a
+    * pruned payload read — no payload-wide shuffle, no rewrite.
+    */
+  def epochShuffledBatches(spark: org.apache.spark.sql.SparkSession,
+                           landingDir: String, epochSeed: String,
+                           fromStep: Long, nSteps: Long): DataFrame = {
+    require(fromStep >= 0 && nSteps > 0,
+      s"bad step window: fromStep=$fromStep nSteps=$nSteps")
+    val landing = spark.read.parquet(landingDir)
+    val keyed = landing
+      .select(col("shard").cast("long").as("shard"), col("seq_id"))
+      .withColumn("__key", md5(concat_ws(":", lit(epochSeed),
+        col("shard"), col("seq_id"))))
+    val ranked = rankIds(keyed, "__rank",
+      col("__key").asc, col("shard").asc, col("seq_id").asc)
+    val window = ranked
+      .withColumn("step", col("__rank") - 1L)
+      .filter(col("step") >= fromStep && col("step") < fromStep + nSteps)
+      .select(col("step"), col("shard"), col("seq_id"))
+      .collect() // bounded: ≤ nSteps rows, the training window
+    val bySeq = window.map(_.getLong(2)).distinct.toSeq
+    val stepOf = window.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0))
+    import spark.implicits._
+    val idx = stepOf.toSeq
+      .toDF("sk", "step")
+      .select(col("sk._1").as("shard"), col("sk._2").as("seq_id"),
+        col("step"))
+    landing
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("ids"), col("n_ids"))
+      .filter(col("seq_id").isin(bySeq: _*)) // row-group-prunable
+      .join(broadcast(idx), Seq("shard", "seq_id"))
+      .select(col("step"), col("shard"), col("seq_id"), col("ids"),
+        col("n_ids"))
       .orderBy("step")
   }
 

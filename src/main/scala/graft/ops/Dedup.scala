@@ -194,6 +194,96 @@ object Dedup {
         coalesce(col(out), lit("")).as(out))
   }
 
+  /** TRUE exact-substring duplicate spans (dd16) — the real
+    * maximal-duplicate-span semantics of Lee et al. 2022
+    * (arXiv:2107.06499 ExactSubstr), not dd10's fixed-w stand-in: a
+    * token belongs to a duplicate span iff some substring of length ≥
+    * `minSpan` containing it occurs ≥ `minCount` times in the CORPUS
+    * (total occurrences — in-doc repetition counts, per the paper;
+    * dd10 only counts distinct docs). Detection is exact for the
+    * threshold: a substring of length ≥ minSpan occurs twice iff every
+    * (equivalently, some) of its length-minSpan windows occurs twice,
+    * so sliding minSpan-gram hashes mark exactly the covered tokens,
+    * whatever the offsets — planted spans straddling ANY fixed-stride
+    * block boundary are found (the case a strided block-hash provably
+    * misses; DedupSpec plants one). Covered windows then merge into
+    * MAXIMAL spans per doc: consecutive duplicated starts s1 < s2
+    * merge iff s2 ≤ s1 + minSpan (their coverages touch), via a
+    * per-doc lag + running-sum island window.
+    *
+    * Returns one row per maximal span: (doc_id, span_start, span_end,
+    * span_len) — token positions, 0-based inclusive.
+    *
+    * Scale shape: one shuffle keyed on the gram's md5 (32-byte key,
+    * map-side partial counts) + one join back on the same key; the
+    * island windows are PARTITIONED BY doc (bounded by the longest
+    * document, never the corpus). No pair generation exists anywhere
+    * — duplication is decided by a count, not a self-join — so no
+    * maxBucket cap is needed: a gram occurring 10^6 times contributes
+    * 10^6 (doc,pos) hit rows, linear in its occurrences, the same
+    * rows a rare gram would.
+    */
+  def exactSubstringSpans(df: DataFrame, minSpan: Int = 16,
+                          minCount: Int = 2,
+                          text: Column = col("text")): DataFrame = {
+    require(minSpan >= 2, s"minSpan must be >= 2 tokens: $minSpan")
+    require(minCount >= 2, s"minCount < 2 would mark every token: $minCount")
+    val k = minSpan
+    val toks = df.select(col("doc_id"),
+      filter(split(text, "\\s+"), t => length(t) > 0).as("__tk"))
+    val n = size(col("__tk"))
+    val starts = toks.select(col("doc_id"), col("__tk"),
+      explode(when(n >= k, sequence(lit(0), n - k))
+        .otherwise(array().cast("array<int>"))).as("__s"))
+    val grams = starts.select(col("doc_id"), col("__s"),
+      md5(concat_ws(" ", slice(col("__tk"), col("__s") + 1, lit(k)))).as("__gh"))
+    val dup = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minCount).select(col("__gh"))
+    val hits = grams.join(dup, Seq("__gh")).select(col("doc_id"), col("__s"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__s"))
+    hits
+      .withColumn("__new",
+        when(col("__s") - lag(col("__s"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("__s")).cast("int").as("span_start"),
+        (max(col("__s")) + (k - 1)).cast("int").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** The cut composed over exactSubstringSpans (Lee et al.'s removal
+    * pass): every token inside a maximal duplicate span is dropped
+    * from EVERY occurrence, survivors reassembled in order
+    * (whitespace-normalized, as dd10). Returns (doc_id, n_tokens,
+    * n_dup_tokens, `out`).
+    */
+  def dropExactSubstrings(df: DataFrame, minSpan: Int = 16,
+                          minCount: Int = 2, text: Column = col("text"),
+                          out: String = "clean_text"): DataFrame = {
+    require(!df.columns.contains(out), s"column $out would be clobbered")
+    val spans = exactSubstringSpans(df, minSpan, minCount, text)
+    val cov = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+    val toks = df.select(col("doc_id"),
+      filter(split(text, "\\s+"), t => length(t) > 0).as("__tk"))
+    val tokpos = toks.select(col("doc_id"),
+      posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+    val kept = tokpos.join(cov, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok"))).as(out))
+    toks.select(col("doc_id"), size(col("__tk")).cast("int").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0))).cast("int")
+          .as("n_dup_tokens"),
+        coalesce(col(out), lit("")).as(out))
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-
     * joined). Backed by the native WordShingles expression — the
     * composed HOF form below computes the identical value but pays
@@ -450,6 +540,47 @@ object Dedup {
         array_sort(col("m")))).as("p"))
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         bit_count(col("p.a.simhash_int").bitwiseXOR(col("p.b.simhash_int")))
+          .cast("int").as("hamming"))
+      .filter(col("id_a") =!= col("id_b")) // self-pair guard, see minhashLsh
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming-radius pairs over an ARBITRARY 64-bit signature column —
+    * simhashPairs' Manku slice-blocking generalized past text: block
+    * on `numSlices` equal bit-slices of the signature (pigeonhole:
+    * hamming ≤ numSlices-1 guarantees one agreeing slice, so the
+    * operator is EXACT at that radius), verify exact bit_count(xor) on
+    * candidates. The image near-dup pipeline (mm12) feeds perceptual
+    * dhashes through this; any other 64-bit sketch works the same.
+    * numSlices=16 (4-bit slices) is exact to radius 15 at a
+    * 16 × 2^4-bucket-universe cost per signature — the right trade
+    * for perceptual hashes where near-dups sit at distance ~8.
+    * Over-`maxBucket` buckets are dropped (quadratic guard) and
+    * counted via `graft.hamming.drops`.
+    */
+  def hammingPairs64(df: DataFrame, hash: Column, maxHamming: Int = 8,
+                     maxBucket: Int = 10000,
+                     numSlices: Int = 16): DataFrame = {
+    require(numSlices > 1 && 64 % numSlices == 0,
+      s"numSlices must divide 64: $numSlices")
+    registerOn(df)
+    val w = 64 / numSlices
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val base = df.select(col("doc_id"), hash.cast("long").as("__h"))
+    val sliced = base.select(col("doc_id"), col("__h"),
+      explode(array((0 until numSlices).map(i =>
+        concat(lit(s"S$i|"), shiftright(col("__h"), i * w)
+          .bitwiseAND(lit(mask)).cast("string"))): _*)).as("slice"))
+    OpsMetrics.guarded(
+      sliced
+        .groupBy(col("slice"))
+        .agg(collect_set(struct(col("doc_id"), col("__h"))).as("m")),
+      maxBucket, "graft.hamming.drops")
+      .select(explode(graft.functions.ArrayFunctions.pair_combos(
+        array_sort(col("m")))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        bit_count(col("p.a.__h").bitwiseXOR(col("p.b.__h")))
           .cast("int").as("hamming"))
       .filter(col("id_a") =!= col("id_b")) // self-pair guard, see minhashLsh
       .distinct()

@@ -601,6 +601,87 @@ object EngineOps {
              t(src, n_rows, names, col_types, view)
              ORDER BY src""")),
 
+    // I3 CREDENTIALED S3 ingest (reference Lagoon/Ingest.hs:542-547
+    // carries Aws.Configuration into IngestS3Config — its S3 sources
+    // are signed): the same catalog ingest as im21, but the loopback
+    // endpoint now REQUIRES AWS SigV4 signatures (verified server-
+    // side, public algorithm pinned against the AWS doc vectors in
+    // SigV4Spec) and the filesystem signs every request from the
+    // standard fs.s3a.access.key/secret.key. The gate also proves the
+    // DENY side: an unsigned request and a wrong-secret read both 403.
+    NamedQuery("im23_s3_signed_ingest",
+      (s, _) => {
+        val s3 = new graft.engine.S3Loopback(
+          credentials = Some(("GRAFTKEY", "graft-secret")))
+        val hc = s.sparkContext.hadoopConfiguration
+        val s3Keys = Seq("fs.s3a.impl", "fs.s3a.endpoint",
+          "fs.s3a.impl.disable.cache", "fs.s3a.access.key", "fs.s3a.secret.key")
+        val s3Prev = s3Keys.map(k => k -> Option(hc.get(k)))
+        hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
+        hc.set("fs.s3a.endpoint", s3.endpoint)
+        hc.set("fs.s3a.impl.disable.cache", "true")
+        hc.set("fs.s3a.access.key", "GRAFTKEY")
+        hc.set("fs.s3a.secret.key", "graft-secret")
+        try {
+          // seed objects with SIGNED PUTs through the client itself
+          val csvBytes = "Foo\nTRUE\n".getBytes("UTF-8")
+          def signedPut(key: String, bytes: Array[Byte]): Int = {
+            val url = s"${s3.endpoint}/my-bucket/" + key.split("/", -1)
+              .map(java.net.URLEncoder.encode(_, "UTF-8").replace("+", "%20"))
+              .mkString("/")
+            val c = new java.net.URL(url).openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            c.setRequestMethod("PUT"); c.setDoOutput(true)
+            graft.engine.SigV4.signRequest("PUT", url, Nil,
+              graft.engine.SigV4.sha256Hex(bytes),
+              "GRAFTKEY", "graft-secret", "us-east-1")
+              .foreach { case (k, v) => c.setRequestProperty(k, v) }
+            c.getOutputStream.write(bytes); c.getOutputStream.close()
+            c.getResponseCode
+          }
+          val putRc = signedPut("simple file.csv", csvBytes)
+          val csv = Ingest.csv(s, "s3a://my-bucket/simple file.csv")
+          val cat = new Catalog(s, Files.createTempDirectory("graft-s3s-wh").toString)
+          val entry = cat.ingest("simple file.csv", csv, "csv",
+            addedBy = "edsko", created = Some("2016-10-01T12:00:00Z"))
+          val signedOk = s3.deniedCount == 0L
+          // unsigned request → 403 (fail closed)
+          val unsignedRc = {
+            val c = new java.net.URL(s"${s3.endpoint}/my-bucket/simple%20file.csv")
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            c.getResponseCode
+          }
+          // wrong secret → every request 403s and the read errors
+          hc.set("fs.s3a.secret.key", "wrong-secret")
+          hc.set("fs.s3a.impl.disable.cache", "true")
+          val d0 = s3.deniedCount
+          val tamperedDenied =
+            try { Ingest.csv(s, "s3a://my-bucket/simple file.csv"); false }
+            catch { case _: Exception => s3.deniedCount > d0 }
+          rowsDf(s, Seq("check", "value"), Seq(
+            Seq("ingested_rows", csv.untyped.count().toString),
+            Seq("ingested_types", csv.colTypes.map(_.displayName).mkString(",")),
+            Seq("put_rc", putRc.toString),
+            Seq("signed_requests_denied", if (signedOk) "0" else "1"),
+            Seq("tampered_read_denied", if (tamperedDenied) "1" else "0"),
+            Seq("unsigned_rc", unsignedRc.toString),
+            Seq("view", entry.viewName)))
+        } finally {
+          s3.stop()
+          s3Prev.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+        }
+      },
+      Some("""SELECT * FROM (VALUES
+             ('ingested_rows', '1'),
+             ('ingested_types', 'BOOLEAN'),
+             ('put_rc', '200'),
+             ('signed_requests_denied', '0'),
+             ('tampered_read_denied', '1'),
+             ('unsigned_rc', '403'),
+             ('view', 'simple_file_csv_v1'))
+             t("check", value)
+             ORDER BY "check" """)),
+
     // The JSON type-inference unit corpus (reference fixtures
     // 040_typ-arr-00 … 077_typ-scalar-4, the typ-* half of
     // dbinfo.expected) as INGESTED CATALOG SOURCES, not unit specs:

@@ -1334,6 +1334,67 @@ object PipelineOps {
              FROM toks o LEFT JOIN kept k USING (doc_id)
              ORDER BY o.doc_id""")),
 
+    // dd16: TRUE exact-substring dedup (Lee et al. 2022 ExactSubstr
+    // semantics — dd10's stand-in upgraded): maximal duplicate spans
+    // ≥ 12 tokens, occurrence-counted (in-doc repeats count), found at
+    // ANY offset. The corpus is documents plus PLANTED literals that
+    // pin the cases a strided block-hash provably misses: the same
+    // 14-token span at offsets 5 and 2 (straddles every stride-12
+    // block boundary in both docs), a 10-token shared run that must
+    // NOT be cut (below threshold), and an in-doc 13-token repeat
+    // separated by one token (two spans, not one — the island merge
+    // must not bridge the gap).
+    NamedQuery("dd16_exact_substring",
+      (s, d) => {
+        import s.implicits._
+        val s14 = (1 to 14).map(i => s"zqs$i").mkString(" ")
+        val t10 = (1 to 10).map(i => s"zqt$i").mkString(" ")
+        val r13 = (1 to 13).map(i => s"zqr$i").mkString(" ")
+        val planted = Seq(
+          (900001L, s"zqa1 zqa2 zqa3 zqa4 zqa5 $s14 zqa6 zqa7"),
+          (900002L, s"zqb1 zqb2 $s14 zqb3 zqb4 zqb5 zqb6"),
+          (900003L, s"zqc1 zqc2 zqc3 $t10 zqc4 zqc5"),
+          (900004L, s"zqd1 $t10 zqd2 zqd3 zqd4"),
+          (900005L, s"$r13 zqe1 $r13")
+        ).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text"))
+          .unionAll(planted)
+        Dedup.exactSubstringSpans(corpus, minSpan = 12, minCount = 2)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH planted(doc_id, text) AS (VALUES
+               (900001, 'zqa1 zqa2 zqa3 zqa4 zqa5 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqa6 zqa7'),
+               (900002, 'zqb1 zqb2 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqb3 zqb4 zqb5 zqb6'),
+               (900003, 'zqc1 zqc2 zqc3 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqc4 zqc5'),
+               (900004, 'zqd1 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqd2 zqd3 zqd4'),
+               (900005, 'zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13 zqe1 zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13')),
+             corpus AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
+             toks AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+               FROM corpus),
+             st AS (SELECT doc_id, tk,
+                 unnest(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
+                        ELSE CAST([] AS BIGINT[]) END) AS s
+               FROM toks),
+             grams AS (SELECT doc_id, s,
+                 md5(array_to_string(tk[s + 1:s + 12], ' ')) AS gh FROM st),
+             dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+             hits AS (SELECT doc_id, s FROM grams JOIN dup USING (gh)),
+             isl AS (SELECT doc_id, s,
+                 CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 12
+                      THEN 1 ELSE 0 END AS nw
+               FROM hits),
+             grp AS (SELECT doc_id, s,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+               FROM isl)
+             SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+               CAST(max(s) + 11 AS INT) AS span_end,
+               CAST(max(s) + 11 - min(s) + 1 AS INT) AS span_len
+             FROM grp GROUP BY doc_id, g
+             ORDER BY doc_id, span_start""")),
+
     // tx13: Gopher quality rules — all-integer statistics, thresholds
     // via integer cross-multiplication (no float division anywhere),
     // so the verdict booleans are exactly reproducible
@@ -2393,6 +2454,56 @@ object PipelineOps {
       },
       Some("""SELECT CAST(4 AS BIGINT) AS n_hashed, true AS bright_same,
              true AS scaled_close, true AS diff_far""")),
+
+    // mm12: IMAGE NEAR-DUP end-to-end — the multimodal analog of sd02,
+    // composing the pieces mm06/em08/dd06 provide separately: decode
+    // (real netpbm parser) → perceptual dhash → Hamming-radius pairs
+    // (slice-blocked, exact ≤ 15 at 16 slices — no all-pairs) → dup
+    // clusters (star-contraction CC) → canonical pick (largest payload
+    // wins, the highest-resolution copy). Planted set: three renditions
+    // of one image (exact, +20 brightness, 2× upscale — dhash-invariant
+    // transforms), two of another, one unrelated image (hamming ≥ 30
+    // from everything), one undecodable payload (JPEG magic only) that
+    // must survive as its own singleton, never crash the pipeline.
+    // DuckDB cannot decode images, so the oracle pins the exact cluster
+    // assignment the deterministic fixtures force.
+    NamedQuery("mm12_image_neardup",
+      (s, _) => {
+        def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          head ++ (0 until h).flatMap(y => (0 until w).flatMap { x =>
+            val v = f(x, y); Seq(v.toByte, v.toByte, v.toByte)
+          })
+        }
+        def patA(x: Int, y: Int) = ((x + 2 * y) % 32) * 6
+        def patB(x: Int, y: Int) = ((31 - x + y) % 32) * 6
+        def patC(x: Int, y: Int) = ((2 * x + 3 * y) % 32) * 6
+        import s.implicits._
+        val imgs = Seq(
+          (1L, p6(32, 32, patA)),
+          (2L, p6(32, 32, (x, y) => patA(x, y) + 20)),
+          (3L, p6(64, 64, (x, y) => patA(x / 2, y / 2))),
+          (10L, p6(32, 32, patB)),
+          (11L, p6(32, 32, (x, y) => patB(x, y) + 15)),
+          (20L, p6(32, 32, patC)),
+          (99L, Array[Byte](0xFF.toByte, 0xD8.toByte))
+        ).toDF("doc_id", "payload")
+        val pairs = Dedup.hammingPairs64(
+          graft.ops.Multimodal.dhashImages(imgs), col("dhash"),
+          maxHamming = 8, numSlices = 16)
+        Dedup.dupClusters(imgs, pairs, text = col("payload"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), false),
+             (2, 1, 3, false),
+             (3, 1, 3, true),
+             (10, 10, 10, true),
+             (11, 10, 10, false),
+             (20, 20, 20, true),
+             (99, 99, 99, true))
+             t(doc_id, cluster_id, keep_id, is_canonical)
+             ORDER BY doc_id""")),
 
     NamedQuery("mm03_ppm_decode",
       (s, _) => {

@@ -168,12 +168,19 @@ object LdapAuth {
 }
 
 /** The LDAP `AuthProvider` instance: bind-as-user with a DN template,
-  * fail-closed on every non-success outcome. The bootstrap admin
-  * still authenticates via the stored credential so the rig can be
-  * driven (same shape as the reference's multi-provider config).
+  * fail-closed on every non-success outcome — an explicit
+  * invalidCredentials from the directory (user revoked, disabled, or
+  * wrong password) NEVER falls through to the local stored-password
+  * check for regular users, matching the reference's authProviderLDAP
+  * hard-deny on LoginInvalidCreds (directory-side revocation must
+  * stick). Only accounts in `state.admins` (the bootstrap admin) keep
+  * their stored credential, so a directory outage or an admin absent
+  * from the directory cannot lock the rig. A stored fallback for
+  * everyone on directory OUTAGE (BindError, never
+  * invalidCredentials) is available but strictly opt-in.
   */
 final class LdapAuthProvider(url: String, dnTemplate: String,
-                             allowStoredFallback: Boolean = true)
+                             allowStoredFallback: Boolean = false)
     extends AuthProvider {
   val name = "ldap"
   def verify(user: String, pass: String, state: Acl.State): Boolean = {
@@ -184,10 +191,14 @@ final class LdapAuthProvider(url: String, dnTemplate: String,
     val result =
       if (pass.isEmpty) LdapAuth.BindInvalidCredentials
       else LdapAuth.bind(url, dn, pass)
+    def storedAdmin = state.admins.contains(user) &&
+      AuthProvider.Stored.verify(user, pass, state)
     result match {
       case LdapAuth.BindSuccess => true
-      case _ =>
-        allowStoredFallback && AuthProvider.Stored.verify(user, pass, state)
+      case LdapAuth.BindInvalidCredentials => storedAdmin
+      case _: LdapAuth.BindError =>
+        storedAdmin || (allowStoredFallback &&
+          AuthProvider.Stored.verify(user, pass, state))
     }
   }
 }
@@ -195,11 +206,14 @@ final class LdapAuthProvider(url: String, dnTemplate: String,
 /** HTTP Basic-Auth provider — the reference's `authProviderBasicAuth`
   * (server/src/Lagoon/Server/Auth/BasicAuth.hs:24-38): one request to
   * the configured URL with an Authorization: Basic header; 200/301 →
-  * accept, 401 → invalid credentials, anything else (including
-  * connect failure) → fail-closed deny.
+  * accept, 401 → invalid credentials (hard deny for regular users —
+  * endpoint-side revocation must stick), anything else (including
+  * connect failure) → fail-closed deny, with an OPT-IN stored
+  * fallback for outages only. Bootstrap admins keep their stored
+  * credential as in LdapAuthProvider.
   */
 final class BasicAuthProvider(url: String,
-                              allowStoredFallback: Boolean = true)
+                              allowStoredFallback: Boolean = false)
     extends AuthProvider {
   val name = "basic-auth"
   // one client for the provider's lifetime: it is stateless config,
@@ -210,7 +224,7 @@ final class BasicAuthProvider(url: String,
     .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
     .build()
   def verify(user: String, pass: String, state: Acl.State): Boolean = {
-    val ok =
+    val status: Option[Int] =
       try {
         val token = java.util.Base64.getEncoder.encodeToString(
           s"$user:$pass".getBytes(UTF_8))
@@ -218,11 +232,17 @@ final class BasicAuthProvider(url: String,
           .timeout(java.time.Duration.ofSeconds(5))
           .header("Authorization", s"Basic $token")
           .GET().build()
-        val status = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
-        status == 200 || status == 301
-      } catch { case scala.util.control.NonFatal(_) => false }
-    ok || (allowStoredFallback &&
-      AuthProvider.Stored.verify(user, pass, state))
+        Some(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode())
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def storedAdmin = state.admins.contains(user) &&
+      AuthProvider.Stored.verify(user, pass, state)
+    status match {
+      case Some(200) | Some(301) => true
+      case Some(401) => storedAdmin
+      case _ =>
+        storedAdmin || (allowStoredFallback &&
+          AuthProvider.Stored.verify(user, pass, state))
+    }
   }
 }

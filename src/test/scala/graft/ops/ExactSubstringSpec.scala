@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Lee et al. 2022 ExactSubstr semantics (dd16): maximal duplicate
+  * spans at any offset, occurrence-counted, threshold-exact — and the
+  * PROOF that a fixed-stride block hash misses the planted
+  * boundary-straddling case this op exists to catch.
+  */
+class ExactSubstringSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def corpus() = {
+    import spark.implicits._
+    val s14 = (1 to 14).map(i => s"s$i").mkString(" ")
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val r13 = (1 to 13).map(i => s"r$i").mkString(" ")
+    Seq(
+      (1L, s"a1 a2 a3 a4 a5 $s14 a6 a7"), // span at offsets 5..18
+      (2L, s"b1 b2 $s14 b3 b4 b5 b6"),    // same span at offsets 2..15
+      (3L, s"c1 c2 c3 $t10 c4 c5"),       // 10 shared tokens: below threshold
+      (4L, s"d1 $t10 d2 d3 d4"),
+      (5L, s"$r13 x1 $r13"),              // in-doc repeat, 1-token gap
+      (6L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15")
+    ).toDF("doc_id", "text")
+  }
+
+  test("maximal spans: straddling found, sub-threshold ignored, in-doc counted") {
+    val spans = Dedup.exactSubstringSpans(corpus(), minSpan = 12, minCount = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 5, 18, 14),  // the 14-token span, exact extent, offset 5
+      (2L, 2, 15, 14),  // same span at a DIFFERENT offset
+      (5L, 0, 12, 13),  // in-doc repeat: occurrence-counted
+      (5L, 14, 26, 13)  // ...and the 1-token gap is NOT bridged
+    ))
+  }
+
+  test("a fixed-stride block hash provably misses the planted straddle") {
+    // dd16's raison d'être: hash NON-OVERLAPPING 12-token blocks (the
+    // strided shortcut) — docs 1 and 2 share 14 tokens, but at offsets
+    // 5 and 2 no stride-12 block of doc 1 equals any block of doc 2
+    val blocks = corpus()
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 12,
+          sequence(lit(0), ((size(col("tk")) - 12) / 12).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("b"),
+        col("tk"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("b") * 12 + 1, lit(12)))).as("bh"))
+    val crossDocDup = blocks.groupBy("bh")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= 2).count()
+    assert(crossDocDup == 0,
+      "strided blocks unexpectedly matched — the plant no longer proves the gap")
+  }
+
+  test("the cut removes exactly the covered tokens from every occurrence") {
+    val cut = Dedup.dropExactSubstrings(corpus(), minSpan = 12, minCount = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(cut(0) == ((1L, 21, 14, "a1 a2 a3 a4 a5 a6 a7")))
+    assert(cut(1) == ((2L, 20, 14, "b1 b2 b3 b4 b5 b6")))
+    assert(cut(2)._3 == 0 && cut(3)._3 == 0) // sub-threshold untouched
+    assert(cut(4) == ((5L, 27, 26, "x1")))   // both in-doc occurrences cut
+    assert(cut(5)._3 == 0)
+  }
+
+  test("threshold is exact: a shared span of exactly minSpan is found") {
+    import spark.implicits._
+    val s12 = (1 to 12).map(i => s"e$i").mkString(" ")
+    val df = Seq((1L, s"p1 $s12 p2"), (2L, s"q1 q2 q3 $s12")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, minSpan = 12, minCount = 2)
+      .orderBy("doc_id").collect()
+    assert(spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSeq ==
+      Seq((1L, 1, 12), (2L, 3, 12)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The image near-dup pipeline (mm12) and its generic Hamming-pair
+  * stage: slice-blocking exactness, undecodable-payload survival, and
+  * canonical pick by resolution.
+  */
+class ImageNearDupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def p6(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    head ++ (0 until h).flatMap(y => (0 until w).flatMap { x =>
+      val v = f(x, y); Seq(v.toByte, v.toByte, v.toByte) })
+  }
+
+  test("hammingPairs64 is exact at radius ≤ numSlices-1 (vs brute force)") {
+    import spark.implicits._
+    // 64 signatures engineered around the radius: base values plus
+    // perturbations at distances 1..16 from a few anchors
+    val anchors = Seq(0x0123456789abcdefL, -0x7ee4cafe12345678L, 0L)
+    val sigs = anchors.zipWithIndex.flatMap { case (a, ai) =>
+      (0 to 16).map(d => ((ai * 100 + d).toLong,
+        (0 until d).foldLeft(a)((v, b) => v ^ (1L << (b * 3 + ai)))))
+    }
+    val df = sigs.toDF("doc_id", "h")
+    val r = 8
+    val got = Dedup.hammingPairs64(df, col("h"), maxHamming = r,
+        maxBucket = 100000, numSlices = 16)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = (for {
+      (i, a) <- sigs; (j, b) <- sigs
+      if i < j && java.lang.Long.bitCount(a ^ b) <= r
+    } yield (i, j)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("pipeline clusters renditions, isolates strangers, survives bad bytes") {
+    import spark.implicits._
+    def patA(x: Int, y: Int) = ((x + 2 * y) % 32) * 6
+    def patB(x: Int, y: Int) = ((31 - x + y) % 32) * 6
+    val imgs = Seq(
+      (1L, p6(32, 32, patA)),
+      (2L, p6(32, 32, (x, y) => patA(x, y) + 20)),       // brightness
+      (3L, p6(64, 64, (x, y) => patA(x / 2, y / 2))),    // 2x upscale
+      (10L, p6(32, 32, patB)),
+      (11L, p6(32, 32, (x, y) => patB(x, y) + 15)),
+      (20L, p6(32, 32, (x, y) => ((2 * x + 3 * y) % 32) * 6)),
+      (99L, Array[Byte](0xFF.toByte, 0xD8.toByte))       // undecodable
+    ).toDF("doc_id", "payload")
+    val pairs = Dedup.hammingPairs64(Multimodal.dhashImages(imgs),
+      col("dhash"), maxHamming = 8, numSlices = 16)
+    val cl = Dedup.dupClusters(imgs, pairs, text = col("payload"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(cl.toSeq == Seq(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, true),                   // highest-res copy is canonical
+      (10L, 10L, 10L, true), (11L, 10L, 10L, false),
+      (20L, 20L, 20L, true),                // stranger: own singleton
+      (99L, 99L, 99L, true)))               // bad bytes: singleton, no crash
+  }
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import scala.jdk.CollectionConverters._
+
+/** Physical-layout side of the tokenized landing (pp16) and its reader
+  * (pp18): the gate oracles replay the LOGICAL packing; this spec
+  * proves the 100 TB contract the docstrings claim — sequences are
+  * physically seq_id-ordered inside every written file, so parquet
+  * row-group min/max stats on seq_id are narrow and disjoint and a
+  * step-window read prunes to the row groups that hold the window
+  * instead of re-scanning the shard.
+  */
+class LandingLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  /** (path, Seq[(seqIdMin, seqIdMax, compressedBytes, rows)]) per
+    * parquet data file under the landing.
+    */
+  private def rowGroups(dir: String): Seq[(String, Seq[(Long, Long, Long, Long)])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(f: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val fs = f.getFileSystem(conf)
+      fs.listStatus(f).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    }
+    walk(new org.apache.hadoop.fs.Path(dir)).map { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val gs = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "seq_id")
+            .getOrElse(fail(s"no seq_id column chunk in $p"))
+            .getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+            b.getCompressedSize, b.getRowCount)
+        }
+        (p.toString, gs)
+      } finally rd.close()
+    }
+  }
+
+  /** Lands 4000 one-sequence docs over 2 shards with a tiny parquet
+    * block size so every file carries several row groups — the layout
+    * claims below are non-vacuous only with >1 row group per file.
+    */
+  private def landSmallRowGroups(tmp: String): Unit = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = conf.get("parquet.block.size", null)
+    val oldCheck = conf.get("parquet.block.size.row.check.min", null)
+    conf.set("parquet.block.size", "2048")
+    conf.set("parquet.block.size.row.check.min", "32")
+    try {
+      val docs = spark.range(0, 4000).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), lit(128)), x => x.cast("int")).as("ids"))
+      Curation.tokenizedLanding(docs, tmp, pmod(col("doc_id"), lit(2)),
+        col("ids"), seqLen = 128).count()
+    } finally {
+      if (oldBlock == null) conf.unset("parquet.block.size")
+      else conf.set("parquet.block.size", oldBlock)
+      if (oldCheck == null) conf.unset("parquet.block.size.row.check.min")
+      else conf.set("parquet.block.size.row.check.min", oldCheck)
+    }
+  }
+
+  test("tokenized landing files are seq_id-sorted with disjoint row-group stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp16layout").toString
+    landSmallRowGroups(tmp)
+    val files = rowGroups(tmp)
+    assert(files.nonEmpty)
+    // the claim is only testable with multiple row groups somewhere
+    val multi = files.count(_._2.length >= 2)
+    assert(multi >= 2, s"block-size knobs produced no multi-row-group " +
+      s"files: ${files.map(_._2.length).mkString(",")}")
+    for ((path, gs) <- files) {
+      gs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._2 <= b._1,
+            s"row groups overlap in $path: [${a._1},${a._2}] then " +
+              s"[${b._1},${b._2}] — file not physically seq_id-sorted")
+        case _ =>
+      }
+      // within a file the groups tile the file's seq_id span — a
+      // hash-ordered write would give every group the full span
+      if (gs.length >= 3) {
+        val span = gs.last._2 - gs.head._1 + 1
+        val widest = gs.map(g => g._2 - g._1 + 1).max
+        assert(widest.toDouble / span <= 0.75,
+          s"row-group seq_id ranges are not narrow in $path: widest " +
+            s"$widest of span $span")
+      }
+    }
+  }
+
+  test("a step-window read is prunable to a small fraction of the landing") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp18prune").toString
+    landSmallRowGroups(tmp)
+    val files = rowGroups(tmp)
+    val all = files.flatMap(_._2)
+    val totalBytes = all.map(_._3).sum
+    val totalGroups = all.size
+
+    // the pp18 reader's stats-level bounds for steps [100, 164) over a
+    // 2-shard landing (nShards=2): seqLo=49, seqHi=82 — mirror of
+    // readTokenizedBatches' arithmetic
+    val nShards = 2L
+    val fromStep = 100L; val nSteps = 64L; val toStep = fromStep + nSteps
+    val seqLo = math.max(0L, (fromStep - nShards + 1) / nShards)
+    val seqHi = toStep / nShards
+    val hit = all.filter(g => g._1 <= seqHi && g._2 >= seqLo)
+    val hitBytes = hit.map(_._3).sum
+    // 64 steps of a 4000-sequence landing: the window is ~1.6% of the
+    // data; sorted row groups must keep the stats-intersecting share
+    // far below a full scan. 0.5 is a loose bound (row-group
+    // granularity rounds up); hash-ordered files would sit at ~1.0.
+    assert(hitBytes.toDouble / totalBytes < 0.5,
+      s"step window intersects $hitBytes of $totalBytes bytes " +
+        s"($hit of $totalGroups row groups) — stats do not prune")
+    assert(hit.size.toDouble / totalGroups < 0.5,
+      s"step window intersects ${hit.size} of $totalGroups row groups")
+
+    // end-to-end: the read through the real reader returns exactly the
+    // window, every row in-bounds and strictly step-ordered
+    val got = Curation.readTokenizedBatches(spark, tmp, fromStep, nSteps)
+      .select("step").collect().map(_.getLong(0))
+    assert(got.length == nSteps,
+      s"dense 2-shard landing must fill the whole window: ${got.length}")
+    assert(got.toSeq == got.sorted.toSeq && got.distinct.length == got.length)
+    assert(got.head >= fromStep && got.last < toStep)
+  }
+
+  test("bytes actually transferred for a step window are a fraction of a full scan") {
+    // wire-level accounting through the loopback S3 endpoint (the
+    // S3IngestSpec pattern): every ranged GET the parquet reader
+    // issues is counted by the server, so row-group pruning shows up
+    // as bytes NOT served — no reliance on task input metrics, which
+    // under-count the vectorized reader
+    import org.apache.spark.sql.functions._
+    val s3 = new graft.engine.S3Loopback
+    val hc = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3a.impl", "fs.s3a.endpoint", "fs.s3a.impl.disable.cache")
+    val before = keys.map(k => k -> Option(hc.get(k)))
+    hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
+    hc.set("fs.s3a.endpoint", s3.endpoint)
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    val oldBlock = hc.get("parquet.block.size", null)
+    hc.set("parquet.block.size", "65536")
+    try {
+      // high-entropy ids so snappy/dictionary cannot compress the
+      // payload away and hide the pruning signal
+      val docs = spark.range(0, 8000).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), lit(128)),
+          x => pmod(x.cast("bigint") * (col("id") + 1L) * 48271L +
+            x.cast("bigint") * 40503L, lit(999983L)).cast("int")).as("ids"))
+      val dir = "s3a://landing-bucket/tok"
+      Curation.tokenizedLanding(docs, dir, pmod(col("doc_id"), lit(2)),
+        col("ids"), seqLen = 128).count()
+
+      val b0 = s3.bytesServed
+      val got = Curation.readTokenizedBatches(spark, dir, 100L, 64L)
+        .agg(sum(size(col("ids")))).head.getLong(0)
+      assert(got == 64L * 128)
+      val prunedBytes = s3.bytesServed - b0
+      val b1 = s3.bytesServed
+      assert(spark.read.parquet(dir)
+        .agg(sum(size(col("ids")))).head.getLong(0) == 8000L * 128)
+      val fullBytes = s3.bytesServed - b1
+      assert(prunedBytes < fullBytes / 2,
+        s"step window served $prunedBytes B vs full scan $fullBytes B — " +
+          "row groups are not being pruned on seq_id stats")
+    } finally {
+      s3.stop()
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      before.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+    }
+  }
+
+  test("epoch shuffle: complete permutation, seed-dependent, exact resume") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp19spec").toString
+    val docs = spark.range(0, 96).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(128)), x => x.cast("int")).as("ids"))
+    Curation.tokenizedLanding(docs, tmp, pmod(col("doc_id"), lit(3)),
+      col("ids"), seqLen = 128).count()
+    def epoch(seed: String, from: Long, n: Long): Seq[(Long, Long, Long)] =
+      Curation.epochShuffledBatches(spark, tmp, seed, from, n)
+        .select("step", "shard", "seq_id").as[(Long, Long, Long)]
+        .collect().toSeq
+
+    // a full epoch is a COMPLETE permutation: steps dense 0..N-1,
+    // every sequence exactly once
+    val e1 = epoch("e1", 0L, 96L)
+    assert(e1.map(_._1) == (0L until 96L))
+    assert(e1.map(t => (t._2, t._3)).toSet.size == 96)
+
+    // deterministic: same seed replays the identical order
+    assert(epoch("e1", 0L, 96L) == e1)
+    // different seed → different order over the same full population
+    val e2 = epoch("e2", 0L, 96L)
+    assert(e2 != e1, "epoch orders must differ across seeds")
+    assert(e2.map(t => (t._2, t._3)).toSet == e1.map(t => (t._2, t._3)).toSet)
+
+    // resume mid-epoch is exact: two windows tile the full epoch
+    assert(epoch("e1", 0L, 40L) ++ epoch("e1", 40L, 56L) == e1)
+  }
+
+  test("resume with a pinned shard count fails loudly when the landing grew") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp18pin").toString
+    val docs = spark.range(0, 64).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(128)), x => x.cast("int")).as("ids"))
+    Curation.tokenizedLanding(docs, tmp, pmod(col("doc_id"), lit(2)),
+      col("ids"), seqLen = 128).count()
+
+    // a matching pin resumes identically to the unpinned read
+    val a = Curation.readTokenizedBatches(spark, tmp, 0L, 10L)
+      .select("step").as[Long].collect().toSeq
+    val b = Curation.readTokenizedBatches(spark, tmp, 0L, 10L,
+      pinnedShards = Some(2)).select("step").as[Long].collect().toSeq
+    assert(a == b && a.length == 10)
+
+    // grow the landing by one shard: the unpinned mapping silently
+    // changes (that is WHY cursors must pin), the pinned read refuses
+    docs.filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("ids"), lit(2).as("shard"),
+        (col("doc_id") / 1).cast("long").as("seq_id"),
+        size(col("ids")).cast("long").as("n_ids"))
+      .select(col("seq_id"), col("ids"), col("n_ids"), col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(tmp)
+    val err = intercept[IllegalArgumentException] {
+      Curation.readTokenizedBatches(spark, tmp, 10L, 10L,
+        pinnedShards = Some(2)).count()
+    }
+    assert(err.getMessage.contains("shard count changed"))
+    // and the live read still works against the grown landing
+    assert(Curation.readTokenizedBatches(spark, tmp, 0L, 10L,
+      pinnedShards = Some(3)).count() == 10)
+  }
+}

@@ -140,6 +140,65 @@ class LdapAuthSpec extends AnyFunSuite {
     }
   }
 
+  test("directory revocation sticks: invalidCredentials never falls back to stored") {
+    // the r17-advice scenario: a user disabled/removed in the
+    // directory still has a valid LOCAL stored password — an explicit
+    // LDAP invalidCredentials must deny anyway (the reference's
+    // authProviderLDAP hard-denies on LoginInvalidCreds)
+    val state = graft.engine.Acl.State(admins = Set("root"))
+      .addUser("ada", "local-pw").addUser("root", "root-pw")
+    withStub(Map.empty) { stub => // directory knows nobody → code 49
+      val p = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template)
+      assert(!p.verify("ada", "local-pw", state),
+        "revoked directory user authenticated via stored fallback")
+      // even with the outage fallback opted in: invalidCredentials is
+      // not an outage
+      val pf = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template,
+        allowStoredFallback = true)
+      assert(!pf.verify("ada", "local-pw", state))
+      // the bootstrap ADMIN keeps its stored credential (rig stays
+      // drivable when the admin is absent from the directory)
+      assert(p.verify("root", "root-pw", state))
+      assert(!p.verify("root", "wrong", state))
+    }
+    // directory OUTAGE (BindError): stored fallback only when opted in
+    val dead = { val s = new ServerSocket(0); val pn = s.getLocalPort; s.close(); pn }
+    val pDefault = new LdapAuthProvider(s"ldap://127.0.0.1:$dead", template)
+    assert(!pDefault.verify("ada", "local-pw", state), "outage fallback must be opt-in")
+    assert(pDefault.verify("root", "root-pw", state))
+    val pOptIn = new LdapAuthProvider(s"ldap://127.0.0.1:$dead", template,
+      allowStoredFallback = true)
+    assert(pOptIn.verify("ada", "local-pw", state))
+    assert(!pOptIn.verify("ada", "wrong", state))
+  }
+
+  test("BasicAuthProvider: 401 is a hard deny, outage fallback is opt-in") {
+    import com.sun.net.httpserver.HttpServer
+    val state = graft.engine.Acl.State(admins = Set("root"))
+      .addUser("ada", "local-pw").addUser("root", "root-pw")
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/auth", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(401, -1); ex.close() // everyone revoked
+    })
+    http.start()
+    val port = http.getAddress.getPort
+    try {
+      val p = new BasicAuthProvider(s"http://127.0.0.1:$port/auth")
+      assert(!p.verify("ada", "local-pw", state), "401 must not fall back")
+      assert(p.verify("root", "root-pw", state), "admin bootstrap")
+      val pf = new BasicAuthProvider(s"http://127.0.0.1:$port/auth",
+        allowStoredFallback = true)
+      assert(!pf.verify("ada", "local-pw", state),
+        "401 must not fall back even with outage fallback on")
+    } finally http.stop(0)
+    // outage: opt-in only
+    val pDead = new BasicAuthProvider(s"http://127.0.0.1:$port/auth")
+    assert(!pDead.verify("ada", "local-pw", state))
+    val pDeadOptIn = new BasicAuthProvider(s"http://127.0.0.1:$port/auth",
+      allowStoredFallback = true)
+    assert(pDeadOptIn.verify("ada", "local-pw", state))
+  }
+
   test("HttpApi login end-to-end against the stub directory") {
     withStub(Map(dnOf("zoe") -> "pw-zoe")) { stub =>
       val api = new HttpApi(new Catalog(spark,
