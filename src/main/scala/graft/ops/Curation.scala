@@ -889,6 +889,114 @@ object Curation {
     } finally base.unpersist()
   }
 
+  /** Per-shard file fingerprint: md5 over the sorted name:length:mtime
+    * triples of a shard directory's data files — ONE filesystem
+    * listing, zero data reads. Any rewrite, append, or swap of a
+    * shard's files changes its fingerprint (rename-aside erasure and
+    * parquet part files both produce fresh names/mtimes), which is
+    * what lets the incremental fsck scope its expensive recount to
+    * shards that actually changed.
+    */
+  private def shardFingerprints(spark: org.apache.spark.sql.SparkSession,
+                                landingDir: String): Map[Long, String] = {
+    val root = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
+        val sh = st.getPath.getName.stripPrefix("shard=").toLong
+        val files = fs.listStatus(st.getPath)
+          .filter { f =>
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted
+        sh -> java.security.MessageDigest.getInstance("MD5")
+          .digest(files.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  /** Incremental landing validation (pp20) — pp15's fsck made
+    * APPEND-PROPORTIONAL: at 100 TB a post-append check must not
+    * recount every token in history. The structural invariants
+    * (positions partition 1..N, shards contiguous, ranges tile, doc
+    * ids unique) are still re-derived globally, but from the four
+    * NARROW metadata columns only — no text read anywhere. The
+    * expensive text recount (`tokens_match`) runs ONLY over shards
+    * whose file fingerprint changed since `writeLandingManifest`
+    * recorded the baseline (any byte-level change to a shard's files
+    * changes its name/length/mtime fingerprint, so a tampered or
+    * half-written shard is always rescanned; unchanged shards were
+    * recounted when the manifest was written). Partition pruning makes
+    * the rescan read only the changed `shard=` directories.
+    *
+    * Output is pp15's (check, ok, violations) frame plus one
+    * informational row `rescanned_shards` carrying how many shards
+    * paid the recount — the append-proportionality, made visible.
+    * Fails loudly when no manifest baseline exists: incremental
+    * validation without a trusted baseline would silently skip the
+    * token check everywhere.
+    */
+  def validateLandingIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 landingDir: String): DataFrame = {
+    import spark.implicits._
+    val shardManifest = landingDir + "_manifest_shards"
+    val fsRoot = new org.apache.hadoop.fs.Path(shardManifest)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(fsRoot),
+      s"no shard manifest at $shardManifest — run writeLandingManifest " +
+        "first (incremental validation needs a trusted baseline)")
+    val baseline = spark.read.parquet(shardManifest)
+      .select(col("shard"), col("fingerprint"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val live = shardFingerprints(spark, landingDir)
+    val changed = live.collect {
+      case (sh, fp) if !baseline.get(sh).contains(fp) => sh
+    }.toSeq.sorted
+
+    val landed = spark.read.parquet(landingDir)
+    val base = landed.select(col("doc_id"),
+      col("shard").cast("long").as("shard"), col("pos"), col("n_tokens"))
+      .persist()
+    try {
+      val n = base.count()
+      val posAgg = base.agg(
+        countDistinct(col("pos")).as("d"),
+        min(col("pos")).as("mn"), max(col("pos")).as("mx")).head
+      val posOk = posAgg.getLong(0) == n && posAgg.getLong(1) == 1L &&
+        posAgg.getLong(2) == n
+      val posViol = (n - posAgg.getLong(0)) +
+        (if (posAgg.getLong(1) == 1L && posAgg.getLong(2) == n) 0L else 1L)
+      val shards = base.select(col("shard")).distinct()
+        .agg(count(lit(1)), min(col("shard")), max(col("shard"))).head
+      val shardOk = shards.getLong(1) == 0L &&
+        shards.getLong(0) == shards.getLong(2) + 1
+      val spanSum = base.groupBy(col("shard"))
+        .agg((max(col("pos")) - min(col("pos")) + 1).as("span"))
+        .agg(sum(col("span"))).head.getLong(0)
+      val disjointOk = spanSum == n
+      val dupViol = n - base.select(col("doc_id")).distinct().count()
+      val tokViol =
+        if (changed.isEmpty) 0L
+        else landed
+          .filter(col("shard").cast("long").isin(changed: _*))
+          .filter(col("n_tokens") =!=
+            size(split(col("text"), " ")).cast("long"))
+          .count()
+      Seq(
+        ("docs_unique", dupViol == 0L, dupViol),
+        ("pos_partition", posOk, posViol),
+        ("rescanned_shards", true, changed.length.toLong),
+        ("shard_contiguous", shardOk,
+          if (shardOk) 0L else math.abs(shards.getLong(0) - (shards.getLong(2) + 1))),
+        ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
+        ("tokens_match", tokViol == 0L, tokViol))
+        .toDF("check", "ok", "violations")
+        .orderBy("check")
+    } finally base.unpersist()
+  }
+
   /** Self-describing landing manifest (mf01): one flat (key, value)
     * frame that makes a landing tell a trainer what it IS without
     * tribal knowledge — the writer-supplied identity (tokenizer
@@ -921,6 +1029,18 @@ object Curation {
     val rows = (info ++ derived).toSeq.sortBy(_._1)
     val out = rows.toDF("key", "value").coalesce(1)
     out.write.mode("overwrite").parquet(landingDir + "_manifest")
+    // per-shard baseline for the incremental fsck (pp20): stats the
+    // full validation above just certified, keyed by each shard's
+    // file fingerprint — validateLandingIncremental recounts only
+    // shards whose fingerprint has moved since this write
+    val fps = shardFingerprints(spark, landingDir).toSeq
+      .toDF("shard", "fingerprint")
+    landed.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("pos_min"), max(col("pos")).as("pos_max"))
+      .join(fps, "shard")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(landingDir + "_manifest_shards")
     spark.read.parquet(landingDir + "_manifest").orderBy("key")
   }
 

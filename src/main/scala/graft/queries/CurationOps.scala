@@ -825,6 +825,64 @@ object CurationOps {
                ('tokens_match', true, CAST(0 AS BIGINT)))
                t("check", ok, violations) ORDER BY "check" """)),
 
+    // pp20: INCREMENTAL landing validation — pp15's fsck made
+    // append-proportional (the r17 verdict's perf ask: pp15 recounts
+    // every token; at 100 TB a post-append check must not re-scan
+    // history). Land, write the manifest baseline (full validation +
+    // per-shard fingerprints), append, then validate incrementally:
+    // structural checks re-derive globally from narrow metadata
+    // columns, the text recount runs only over shards whose file
+    // fingerprint moved. The oracle replays the append plan to pin
+    // EXACTLY how many shards paid the recount — appends land in
+    // fresh shards, so rescanned = the appended shard count, nothing
+    // from history.
+    NamedQuery("pp20_incremental_validate",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("pp20").toString
+        val ds = docs(s, d)
+        Curation.shardMaterialize(ds.filter(col("doc_id") % 5 =!= 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L).count()
+        Curation.writeLandingManifest(s, tmp,
+          Map("seed" -> "pp12", "budget_tokens" -> "8000")).count()
+        Curation.shardAppend(ds.filter(col("doc_id") % 5 === 0), tmp,
+          col("doc_id"), seed = "pp12", budgetTokens = 8000L).count()
+        Curation.validateLandingIncremental(s, tmp)
+      },
+      Some("""WITH t1 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 <> 0),
+              c1 AS (SELECT pos, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT) AS shard
+                  FROM t1),
+              m1 AS (SELECT max(shard) AS mxs, max(pos) AS mxp FROM c1),
+              t2 AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    row_number() OVER (
+                      ORDER BY md5('pp12#' || CAST(doc_id AS VARCHAR)),
+                               CAST(doc_id AS VARCHAR)) AS pos
+                  FROM documents WHERE doc_id % 5 = 0),
+              c2 AS (SELECT CAST(coalesce(sum(n_tokens) OVER (
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 8000 AS BIGINT)
+                      + (SELECT mxs FROM m1) + 1 AS shard
+                  FROM t2)
+             SELECT * FROM (VALUES
+               ('docs_unique', true, CAST(0 AS BIGINT)),
+               ('pos_partition', true, CAST(0 AS BIGINT)),
+               ('rescanned_shards', true,
+                 (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM c2)),
+               ('shard_contiguous', true, CAST(0 AS BIGINT)),
+               ('shard_pos_disjoint', true, CAST(0 AS BIGINT)),
+               ('tokens_match', true, CAST(0 AS BIGINT)))
+               t("check", ok, violations) ORDER BY "check" """)),
+
     // pp16: TOKENIZED landing — land what the trainer reads: token-id
     // sequences of exactly 128 ids (last-per-shard may be short),
     // shard-partitioned, materialized by the concatenate-then-chunk
@@ -1058,6 +1116,77 @@ object CurationOps {
         val tmp = java.nio.file.Files.createTempDirectory("pp17").toString
         Curation.tokenizedLanding(idsPerDoc, tmp,
           pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128)
+      },
+      Some("""SELECT * FROM (VALUES
+               (CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(5318 AS BIGINT), CAST(41 AS BIGINT), CAST(1 AS BIGINT)),
+               (1, 42, 5296, 41, 1),
+               (2, 41, 5210, 40, 1),
+               (3, 40, 5101, 39, 1),
+               (4, 35, 4417, 34, 1),
+               (5, 43, 5448, 42, 1),
+               (6, 38, 4835, 37, 1),
+               (7, 41, 5182, 40, 1))
+               t(shard, n_seqs, n_tokens, n_full, n_short)
+             ORDER BY shard""")),
+
+    // st13: STREAMING tokenized landing — st12 lands text; this closes
+    // the stream → trainer-ready-sequences story (r17 verdict #7):
+    // the native unigram encode + pp16 packer run inside foreachBatch,
+    // packing CONTINUOUSLY across micro-batches (per-shard remainder
+    // ids + next-seq counter carried in a bounded guard), final short
+    // tails flushed at close. Three doc_id-range file-batches arrive
+    // in order, so the streamed landing must equal the batch pp17
+    // landing over the same corpus — the oracle IS pp17's pinned
+    // manifest (same corpus, same vocab, same packer); row-level
+    // streamed-vs-batch equality is additionally spec-pinned in
+    // StreamingTokenizedSpec.
+    NamedQuery("st13_streaming_tokenized_landing",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val ds = docs(s, d).select(col("doc_id"), col("text"))
+        val vocab = graft.ops.TextAnalysis.unigramTrain(docs(s, d),
+          vocabSize = 48, rounds = 2, maxPieceLen = 4).map(v => (v._2, v._4))
+        val art = java.nio.file.Files.createTempDirectory("st13v").toString
+        graft.ops.TextAnalysis.saveVocab(s, vocab, s"$art/vocab")
+        val loaded = graft.ops.TextAnalysis.loadVocab(s, s"$art/vocab")
+        val pieceId = loaded.map(_._1).sorted.zipWithIndex
+          .map { case (p, i) => (p, i + 1) }.toMap
+        val m = typedLit(pieceId)
+        val tmp = java.nio.file.Files.createTempDirectory("st13").toString
+        // three doc_id-range batches, mtime-ordered (st12's fixture
+        // discipline) — ranges, not mod: cross-batch arrival must
+        // follow doc_id order for packing parity with the batch path
+        val mx = ds.agg(max(col("doc_id"))).head.getLong(0)
+        val (t1, t2) = (mx / 3, 2 * mx / 3)
+        val src = new java.io.File(tmp, "src"); src.mkdirs()
+        Seq((0, col("doc_id") <= t1),
+            (1, col("doc_id") > t1 && col("doc_id") <= t2),
+            (2, col("doc_id") > t2)).foreach { case (i, pred) =>
+          val stage = s"$tmp/stage_$i"
+          ds.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"b$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 600000L)
+        }
+        val stream = s.readStream.schema(ds.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .select(col("doc_id"),
+            transform(graft.functions.TextFunctions.unigram_encode(
+              col("text"), loaded), p => element_at(m, p)).as("ids"))
+        val q = graft.streaming.CorpusStream.tokenizedLandingIngest(
+          stream, s"$tmp/landing", s"$tmp/ck",
+          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128)
+        q.processAllAvailable(); q.stop()
+        graft.streaming.CorpusStream.flushTokenizedLanding(s, s"$tmp/landing")
+        s.read.parquet(s"$tmp/landing")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("n_ids")).as("n_tokens"),
+            sum((col("n_ids") === 128).cast("long")).as("n_full"),
+            sum((col("n_ids") =!= 128).cast("long")).as("n_short"))
+          .orderBy("shard")
       },
       Some("""SELECT * FROM (VALUES
                (CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(5318 AS BIGINT), CAST(41 AS BIGINT), CAST(1 AS BIGINT)),

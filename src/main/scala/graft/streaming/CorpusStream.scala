@@ -179,4 +179,206 @@ object CorpusStream {
         landShardBatch(batch, batchId, landingDir, key, seed, budgetTokens)
       }
       .start()
+
+  // ---- Streaming TOKENIZED landing (st13) -------------------------
+
+  /** Guard state for the tokenized landing: per shard, the next
+    * sequence id and the carried remainder token ids (< seqLen of
+    * them — the incomplete tail of the shard's token stream). Total
+    * state is bounded by shards × seqLen ints whatever the corpus
+    * size; it lives in `<dir>_tokguard` as one line
+    * `batchId|shard:nextSeq:id,id,...;shard:nextSeq:;...` written with
+    * the same temp+rename swap as the st12 guard.
+    */
+  private def readTokGuard(fs: org.apache.hadoop.fs.FileSystem,
+                           guard: Path): (Long, Map[Long, (Long, Seq[Int])]) = {
+    if (!fs.exists(guard)) return (-1L, Map.empty)
+    val in = fs.open(guard)
+    val raw =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    val parts = raw.split("\\|", 2)
+    require(parts.nonEmpty && parts(0).forall(_.isDigit),
+      s"unparseable tokenized-landing guard $guard ('$raw')")
+    val state = if (parts.length < 2 || parts(1).isEmpty) Map.empty[Long, (Long, Seq[Int])]
+    else parts(1).split(";").filter(_.nonEmpty).map { e =>
+      val f = e.split(":", 3)
+      require(f.length == 3, s"bad guard entry '$e' in $guard")
+      f(0).toLong -> (f(1).toLong,
+        if (f(2).isEmpty) Seq.empty[Int]
+        else f(2).split(",").map(_.toInt).toSeq)
+    }.toMap
+    (parts(0).toLong, state)
+  }
+
+  private def writeTokGuard(fs: org.apache.hadoop.fs.FileSystem,
+                            landingDir: String, batchId: Long,
+                            state: Map[Long, (Long, Seq[Int])]): Unit = {
+    val guard = new Path(landingDir + "_tokguard")
+    val guardOld = new Path(landingDir + "_tokguard.old")
+    val guardTmp = new Path(landingDir + "_tokguard.tmp")
+    val body = batchId.toString + "|" + state.toSeq.sortBy(_._1).map {
+      case (sh, (next, rem)) => s"$sh:$next:${rem.mkString(",")}"
+    }.mkString(";")
+    val out = fs.create(guardTmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(guardOld)) fs.delete(guardOld, false)
+    if (fs.exists(new Path(landingDir + "_tokguard")))
+      require(fs.rename(guard, guardOld), s"tokguard swap failed (aside)")
+    require(fs.rename(guardTmp, guard), s"tokguard swap failed (install)")
+    fs.delete(guardOld, false)
+  }
+
+  /** One micro-batch of the streaming tokenized landing: pp16's
+    * concatenate-then-chunk packing continued EXACTLY across batch
+    * boundaries, so the streamed landing is byte-equal to what the
+    * batch packer would produce over the same corpus (the st13 gate
+    * pins that equality against pp16's own oracle). Each shard's
+    * token stream resumes from the guard: carried remainder ids are
+    * prepended at positions 0..r-1, the batch's docs follow in doc_id
+    * order, every completed seqLen-chunk lands as a FULL sequence
+    * under `batch=<id>/shard=<s>`, and the new incomplete tail goes
+    * back to the guard (never landed twice). Only FULL sequences land
+    * mid-stream; `flushTokenizedLanding` materializes the final short
+    * tails when the stream closes.
+    *
+    * Exactly-once: same discipline as landShardBatch — a replayed
+    * batchId ≤ guard's is a no-op (its batch= directory already
+    * landed); a crash before the guard swap replays the batch against
+    * the OLD state and overwrites its own directory byte-identically.
+    *
+    * Scale shape per trigger: one batch-sized window (partitioned by
+    * shard), one explode, one (shard, seq_id) aggregate — independent
+    * of landed history; the remainder collect is bounded by
+    * shards × seqLen ints.
+    */
+  def landTokenizedBatch(batch: DataFrame, batchId: Long,
+                         landingDir: String,
+                         shard: org.apache.spark.sql.Column,
+                         ids: org.apache.spark.sql.Column,
+                         seqLen: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = batch.sparkSession
+    val fs = new Path(landingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guard = new Path(landingDir + "_tokguard")
+    val guardOld = new Path(landingDir + "_tokguard.old")
+    if (!fs.exists(guard) && fs.exists(guardOld))
+      require(fs.rename(guardOld, guard),
+        s"could not restore $guardOld after a crashed guard swap")
+    val (lastDone, state) = readTokGuard(fs, guard)
+    if (batchId <= lastDone) return
+    import spark.implicits._
+    val stDF = state.toSeq.map { case (sh, (next, rem)) => (sh, next, rem) }
+      .toDF("__shard", "__next", "__rem")
+    val df = batch.select(col("doc_id"), shard.cast("long").as("__shard"),
+      ids.as("__ids"))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batchTok = df.join(broadcast(stDF), Seq("__shard"), "left")
+      .na.fill(0L, Seq("__next"))
+      .withColumn("__r", coalesce(size(col("__rem")), lit(0)).cast("long"))
+      .withColumn("__start", col("__r") +
+        coalesce(sum(size(col("__ids")).cast("long")).over(w), lit(0L)))
+      .select(col("__shard"), col("__next"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__pp", "__id")))
+      .select(col("__shard"), col("__next"),
+        (col("__start") + col("__pp")).as("__p"), col("__id"))
+    val remTok = stDF
+      .select(col("__shard"), col("__next"),
+        posexplode(col("__rem")).as(Seq("__p", "__id")))
+      .select(col("__shard"), col("__next"),
+        col("__p").cast("long").as("__p"), col("__id"))
+    val all = remTok.unionByName(batchTok).persist()
+    try {
+      val totals = all.groupBy(col("__shard"))
+        .agg(count(lit(1)).as("__tot"))
+      val assigned = all.join(broadcast(totals), Seq("__shard"))
+        .withColumn("__i", expr(s"__p div $seqLen"))
+        .withColumn("__full", col("__i") < expr(s"__tot div $seqLen"))
+      val fullSeqs = assigned.filter(col("__full"))
+        .groupBy(col("__shard").as("shard"),
+          (col("__next") + col("__i")).as("seq_id"))
+        .agg(transform(
+            sort_array(collect_list(struct((col("__p") % seqLen).as("__sp"),
+              col("__id")))),
+            s => s("__id")).as("ids"),
+          count(lit(1)).cast("long").as("n_ids"))
+      if (!fullSeqs.isEmpty)
+        fullSeqs
+          .sortWithinPartitions(col("shard"), col("seq_id"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$landingDir/batch=$batchId")
+      // bounded collect: the per-shard incomplete tail, < seqLen ids
+      // per shard by construction, plus each shard's next counter
+      val tails = assigned.filter(!col("__full"))
+        .groupBy(col("__shard"))
+        .agg(max(col("__next") + expr(s"__tot div $seqLen")).as("__n2"),
+          transform(sort_array(collect_list(struct(col("__p"), col("__id")))),
+            s => s("__id")).as("__rem2"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+      // shards whose stream completed a clean multiple of seqLen have
+      // no tail row — keep their advanced counter with an empty rem
+      val advanced = all.groupBy(col("__shard"))
+        .agg(max(col("__next")).as("__n"), count(lit(1)).as("__tot"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1) + r.getLong(2) / seqLen, Seq.empty[Int])).toMap
+      val newState = state ++ advanced ++ tails
+      writeTokGuard(fs, landingDir, batchId, newState)
+    } finally all.unpersist()
+  }
+
+  /** Close the stream's books: land every shard's carried tail as its
+    * final SHORT sequence (pp16's "last sequence may be short"
+    * contract) under `batch=<lastDone+1>` and clear the remainders.
+    * Idempotent — a second flush finds empty remainders and lands
+    * nothing. After a flush the landing equals the batch packer's
+    * output over the full corpus.
+    */
+  def flushTokenizedLanding(spark: org.apache.spark.sql.SparkSession,
+                            landingDir: String): Unit = {
+    import spark.implicits._
+    val fs = new Path(landingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guard = new Path(landingDir + "_tokguard")
+    val (lastDone, state) = readTokGuard(fs, guard)
+    val tails = state.toSeq.collect {
+      case (sh, (next, rem)) if rem.nonEmpty => (sh, next, rem, rem.length.toLong)
+    }
+    if (tails.nonEmpty) {
+      tails.toDF("shard", "seq_id", "ids", "n_ids")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$landingDir/batch=${lastDone + 1}")
+      val cleared = state.map { case (sh, (next, rem)) =>
+        sh -> (next + (if (rem.nonEmpty) 1L else 0L), Seq.empty[Int])
+      }
+      writeTokGuard(fs, landingDir, lastDone + 1, cleared)
+    }
+  }
+
+  /** Streaming tokenized landing (st13): the stream → trainer-ready-
+    * sequences story closed end-to-end — st12 lands TEXT; this lands
+    * what the trainer reads (pp16/pp17's fixed-length token-id
+    * sequences), packing continuously across micro-batches. The
+    * caller provides the encode as columns over the stream (any
+    * tokenizer: the native BPE/unigram expressions or a broadcast
+    * rank vocab), this composes the cross-batch packer + landing.
+    */
+  def tokenizedLandingIngest(stream: DataFrame, landingDir: String,
+                             checkpointDir: String,
+                             shard: org.apache.spark.sql.Column,
+                             ids: org.apache.spark.sql.Column,
+                             seqLen: Int): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landTokenizedBatch(batch, batchId, landingDir, shard, ids, seqLen)
+      }
+      .start()
 }

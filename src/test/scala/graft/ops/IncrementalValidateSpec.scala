@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** pp20: the incremental fsck's two load-bearing claims — cost is
+  * append-proportional (only fingerprint-changed shards pay the text
+  * recount) and any byte-level change to a shard forces its rescan
+  * (no blind spots behind the baseline).
+  */
+class IncrementalValidateSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def corpus(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, (1 to (i % 7) + 3).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  private def row(df: org.apache.spark.sql.DataFrame, check: String) =
+    df.filter(col("check") === check).head
+
+  test("append rescans only the appended shards; all checks stay green") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp20a").toString
+    Curation.shardMaterialize(corpus(1 to 40), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 30L).count()
+    Curation.writeLandingManifest(spark, tmp).count()
+    val before = spark.read.parquet(tmp)
+      .select(col("shard").cast("long")).distinct().count()
+    Curation.shardAppend(corpus(41 to 60), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 30L).count()
+    val after = spark.read.parquet(tmp)
+      .select(col("shard").cast("long")).distinct().count()
+    val v = Curation.validateLandingIncremental(spark, tmp)
+    assert(v.filter(!col("ok")).count() == 0, v.collect().mkString(","))
+    assert(row(v, "rescanned_shards").getLong(2) == after - before,
+      s"expected ${after - before} appended shards rescanned")
+  }
+
+  test("an untouched landing rescans nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp20b").toString
+    Curation.shardMaterialize(corpus(1 to 30), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 40L).count()
+    Curation.writeLandingManifest(spark, tmp).count()
+    val v = Curation.validateLandingIncremental(spark, tmp)
+    assert(row(v, "rescanned_shards").getLong(2) == 0L)
+    assert(v.filter(!col("ok")).count() == 0)
+  }
+
+  test("a tampered historical shard is fingerprint-caught and recounted") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp20c").toString
+    Curation.shardMaterialize(corpus(1 to 40), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 30L).count()
+    Curation.writeLandingManifest(spark, tmp).count()
+    // corrupt shard=0's metadata on disk: rewrite the directory with
+    // one doc's n_tokens off by one (new files → new fingerprint)
+    val sh0 = spark.read.parquet(s"$tmp/shard=0")
+    val minDoc = sh0.agg(min(col("doc_id"))).head.getLong(0)
+    val broken = sh0.withColumn("n_tokens",
+      when(col("doc_id") === minDoc, col("n_tokens") + 1L)
+        .otherwise(col("n_tokens")))
+    val stage = java.nio.file.Files.createTempDirectory("pp20c-stage").toString
+    broken.write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/shard=0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(s"$tmp/shard=0")))
+    val v = Curation.validateLandingIncremental(spark, tmp)
+    assert(row(v, "rescanned_shards").getLong(2) == 1L,
+      "only the tampered shard should be rescanned")
+    val tm = row(v, "tokens_match")
+    assert(!tm.getBoolean(1) && tm.getLong(2) == 1L,
+      "the planted metadata corruption must be detected")
+  }
+
+  test("incremental validation without a baseline fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp20d").toString
+    Curation.shardMaterialize(corpus(1 to 10), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 40L).count()
+    val err = intercept[IllegalArgumentException] {
+      Curation.validateLandingIncremental(spark, tmp)
+    }
+    assert(err.getMessage.contains("writeLandingManifest"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** st13's load-bearing claims: the streamed tokenized landing equals
+  * the batch packer's output ROW FOR ROW over the same corpus
+  * (cross-batch packing continuity incl. remainder carry), and the
+  * guard makes batch replay exactly-once.
+  */
+class StreamingTokenizedSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  // deterministic corpus: doc i has (i % 11) + 1 tokens with ids
+  // derived from (i, j) — lengths deliberately NOT multiples of the
+  // seqLen so every batch boundary carries a remainder
+  private def corpus(ids: Range) = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong, (0 to i % 11).map(j => (i * 13 + j * 7) % 997).toArray)
+    }.toDF("doc_id", "ids")
+  }
+
+  private def landed(dir: String) =
+    spark.read.parquet(dir)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        array_join(transform(col("ids"), _.cast("string")), " ").as("idstr"),
+        col("n_ids"))
+      .orderBy("shard", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("streamed landing equals the batch packer row for row") {
+    val all = corpus(1 to 120)
+    val batchDir = java.nio.file.Files.createTempDirectory("st13b").toString
+    Curation.tokenizedLanding(all, batchDir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16).count()
+
+    val streamDir = java.nio.file.Files.createTempDirectory("st13s").toString + "/landing"
+    // four doc_id-range batches, remainders carried across each cut
+    Seq(1 to 30, 31 to 55, 56 to 100, 101 to 120).zipWithIndex.foreach {
+      case (r, b) =>
+        CorpusStream.landTokenizedBatch(corpus(r), b.toLong, streamDir,
+          pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    }
+    CorpusStream.flushTokenizedLanding(spark, streamDir)
+    assert(landed(streamDir).toSeq == landed(batchDir).toSeq,
+      "streamed landing diverged from the batch packer")
+  }
+
+  test("replayed batch ids are exactly-once; mid-stream only full sequences land") {
+    val dir = java.nio.file.Files.createTempDirectory("st13r").toString + "/landing"
+    CorpusStream.landTokenizedBatch(corpus(1 to 40), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    val afterFirst = landed(dir).toSeq
+    assert(afterFirst.nonEmpty && afterFirst.forall(_._4 == 16L),
+      "mid-stream landings must contain only FULL sequences")
+    // a replay of batch 0 (crash after guard swap) is a no-op
+    CorpusStream.landTokenizedBatch(corpus(1 to 40), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    assert(landed(dir).toSeq == afterFirst)
+    // an empty batch advances the id but changes nothing
+    CorpusStream.landTokenizedBatch(corpus(1 to 0), 1L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    assert(landed(dir).toSeq == afterFirst)
+    // continuation after the empty batch still matches the batch packer
+    CorpusStream.landTokenizedBatch(corpus(41 to 60), 2L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    val batchDir = java.nio.file.Files.createTempDirectory("st13r2").toString
+    Curation.tokenizedLanding(corpus(1 to 60), batchDir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16).count()
+    assert(landed(dir).toSeq == landed(batchDir).toSeq)
+    // double flush is idempotent
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    assert(landed(dir).toSeq == landed(batchDir).toSeq)
+  }
+
+  test("crash before the guard swap replays byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("st13c").toString + "/landing"
+    CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guard = new org.apache.hadoop.fs.Path(dir + "_tokguard")
+    // snapshot guard state after batch 0
+    val in = fs.open(guard)
+    val g0 = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    CorpusStream.landTokenizedBatch(corpus(31 to 50), 1L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    val afterTwo = landed(dir).toSeq
+    // simulate the crash window: batch=1 landed but the guard still
+    // says batch 0 → the replay of batch 1 must overwrite its own
+    // directory with identical content and re-advance the guard
+    val out = fs.create(guard, true)
+    try out.write(g0.getBytes("UTF-8")) finally out.close()
+    CorpusStream.landTokenizedBatch(corpus(31 to 50), 1L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    assert(landed(dir).toSeq == afterTwo, "replay was not byte-identical")
+  }
+}
