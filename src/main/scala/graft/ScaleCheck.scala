@@ -1365,6 +1365,64 @@ object ScaleCheck {
     }
   }
 
+  /** Round-18 probes (`runMain graft.ScaleCheck r18`):
+    * 1. dd16 exactSubstringSpans at ×1/×4 doc replicas — the cost
+    *    center is the per-token gram-hash shuffle (one 32-byte row
+    *    per token), so the wall must track token count ~linearly;
+    *    replicas are woven (z<i> tokens) so their grams stay distinct.
+    * 2. pp19 epochShuffledBatches — the id-only rank scan grows with
+    *    the landing but the payload read is window-bounded: a 64-step
+    *    window over a ×8 landing must cost far less than 8× the ×1
+    *    window (the broadcast-index + isin-pushdown contract).
+    * 3. st13 landTokenizedBatch — per-trigger cost must be
+    *    batch-sized, independent of how many batches already landed
+    *    (the guard carries the state; nothing rescans history).
+    */
+  private def r18Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label rows=$r%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (m <- Seq(1, 4)) {
+      val docs = (0 until m).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"dd16 x$m ($n docs) exactSubstringSpans")(
+        graft.ops.Dedup.exactSubstringSpans(docs, minSpan = 16)
+          .count())
+      docs.unpersist()
+    }
+    for (m <- Seq(1, 8)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"r18-pp19-$m").toString
+      val docs = spark.range(0, 20000L * m).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), lit(64)),
+          x => pmod(x.cast("bigint") * (col("id") + 1L) * 48271L,
+            lit(999983L)).cast("int")).as("ids"))
+      graft.ops.Curation.tokenizedLanding(docs, tmp,
+        pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 64).count()
+      time(s"pp19 x$m window-read 64 steps")(
+        graft.ops.Curation.epochShuffledBatches(spark, tmp, "e1",
+          fromStep = 100L, nSteps = 64L).count())
+    }
+    val dir = java.nio.file.Files.createTempDirectory("r18-st13").toString + "/landing"
+    val batchDocs = spark.range(0, 20000L).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(64)), x => x.cast("int")).as("ids"))
+      .cache()
+    batchDocs.count()
+    for (b <- 0 to 4) {
+      val t0 = System.nanoTime()
+      graft.streaming.CorpusStream.landTokenizedBatch(batchDocs
+          .select((col("doc_id") + lit(b * 1000000L)).as("doc_id"), col("ids")),
+        b.toLong, dir, pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 64)
+      println(f"[scale] st13 batch=$b sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    batchDocs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -1500,6 +1558,11 @@ object ScaleCheck {
     }
     if (path == "r17") {
       r17Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r18") {
+      r18Scale(spark)
       spark.stop()
       return
     }

@@ -792,26 +792,43 @@ object Curation {
                            fromStep: Long, nSteps: Long): DataFrame = {
     require(fromStep >= 0 && nSteps > 0,
       s"bad step window: fromStep=$fromStep nSteps=$nSteps")
-    val landing = spark.read.parquet(landingDir)
-    val keyed = landing
+    val window = epochIndex(spark, landingDir, epochSeed)
+      .filter(col("step") >= fromStep && col("step") < fromStep + nSteps)
+    payloadForWindow(spark, landingDir, window, nSteps)
+  }
+
+  /** The epoch permutation as a frame: (step, shard, seq_id) with step
+    * the dense 0..N-1 rank of md5(seed:shard:seq_id). Shared by the
+    * one-shot reader above and the materialized index below.
+    */
+  private def epochIndex(spark: org.apache.spark.sql.SparkSession,
+                         landingDir: String, epochSeed: String): DataFrame = {
+    val keyed = spark.read.parquet(landingDir)
       .select(col("shard").cast("long").as("shard"), col("seq_id"))
       .withColumn("__key", md5(concat_ws(":", lit(epochSeed),
         col("shard"), col("seq_id"))))
-    val ranked = rankIds(keyed, "__rank",
+    rankIds(keyed, "__rank",
       col("__key").asc, col("shard").asc, col("seq_id").asc)
-    val window = ranked
-      .withColumn("step", col("__rank") - 1L)
-      .filter(col("step") >= fromStep && col("step") < fromStep + nSteps)
-      .select(col("step"), col("shard"), col("seq_id"))
+      .select((col("__rank") - 1L).as("step"), col("shard"), col("seq_id"))
+  }
+
+  /** Window index → payload: collect the ≤nSteps index rows (the
+    * training window, bounded by construction), fold their seq_ids
+    * into an `isin` predicate the parquet scan can prune row groups
+    * with, and attach steps by broadcasting the window back. The
+    * landing's payload is never shuffled and only the row groups
+    * holding the window are read.
+    */
+  private def payloadForWindow(spark: org.apache.spark.sql.SparkSession,
+                               landingDir: String, windowIdx: DataFrame,
+                               nSteps: Long): DataFrame = {
+    val window = windowIdx.select(col("step"), col("shard"), col("seq_id"))
       .collect() // bounded: ≤ nSteps rows, the training window
     val bySeq = window.map(_.getLong(2)).distinct.toSeq
-    val stepOf = window.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0))
     import spark.implicits._
-    val idx = stepOf.toSeq
-      .toDF("sk", "step")
-      .select(col("sk._1").as("shard"), col("sk._2").as("seq_id"),
-        col("step"))
-    landing
+    val idx = window.map(r => (r.getLong(1), r.getLong(2), r.getLong(0))).toSeq
+      .toDF("shard", "seq_id", "step")
+    spark.read.parquet(landingDir)
       .select(col("shard").cast("long").as("shard"), col("seq_id"),
         col("ids"), col("n_ids"))
       .filter(col("seq_id").isin(bySeq: _*)) // row-group-prunable
@@ -819,6 +836,41 @@ object Curation {
       .select(col("step"), col("shard"), col("seq_id"), col("ids"),
         col("n_ids"))
       .orderBy("step")
+  }
+
+  /** Materialized epoch index — the amortized form of
+    * epochShuffledBatches for real training loops: ONE distributed
+    * sort per epoch writes the permutation as a tiny (step, shard,
+    * seq_id) parquet (~24 bytes/sequence — a billion-sequence landing
+    * indexes in ~24 GB, vs terabytes of payload), range-partitioned
+    * and sorted by step so every window read prunes to the row groups
+    * holding [fromStep, fromStep+n). Thousands of window reads per
+    * epoch then each cost an index-window scan + a pruned payload
+    * read, not a fresh global rank. Returns the sequence count.
+    */
+  def writeEpochIndex(spark: org.apache.spark.sql.SparkSession,
+                      landingDir: String, epochSeed: String,
+                      indexDir: String): Long = {
+    val idx = epochIndex(spark, landingDir, epochSeed)
+      .repartitionByRange(col("step"))
+      .sortWithinPartitions(col("step"))
+    idx.write.mode("overwrite").parquet(indexDir)
+    spark.read.parquet(indexDir).count()
+  }
+
+  /** Window read against a materialized epoch index: the index scan
+    * prunes on step (written step-sorted), the payload scan prunes on
+    * the window's seq_ids — both bounded by the window, never the
+    * landing or the epoch.
+    */
+  def readEpochWindow(spark: org.apache.spark.sql.SparkSession,
+                      landingDir: String, indexDir: String,
+                      fromStep: Long, nSteps: Long): DataFrame = {
+    require(fromStep >= 0 && nSteps > 0,
+      s"bad step window: fromStep=$fromStep nSteps=$nSteps")
+    val window = spark.read.parquet(indexDir)
+      .filter(col("step") >= fromStep && col("step") < fromStep + nSteps)
+    payloadForWindow(spark, landingDir, window, nSteps)
   }
 
   /** Landing validation (pp15): the fsck a training launcher runs

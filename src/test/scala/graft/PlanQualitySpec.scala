@@ -981,4 +981,76 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the boundary window must partition by lang: ${p.take(800)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dd16: duplication decided by a count on the gram hash — no self-join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val p = ops.Dedup.exactSubstringSpans(
+        Tables.load(spark, dir, "documents"), minSpan = 12)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "exact-substring pass went quadratic")
+    // the duplicated-gram set joins back on the 32-byte hash key, and
+    // the occurrence count partial-aggregates map-side
+    assert(p.contains("partial_count"), "gram counts must map-side combine")
+    // island merge runs per doc, never a corpus-wide window
+    assert(windowsPartitionedBy(p, "doc_id"),
+      s"the island window must partition by doc: ${p.take(800)}")
+  }
+
+  test("mm12 pair stage: slice blocking generates pairs in buckets, no self-join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val hashed = Seq((1L, 42L), (2L, 43L), (3L, 1L << 40)).toDF("doc_id", "h")
+    val p = ops.Dedup.hammingPairs64(hashed, col("h"), maxHamming = 8,
+        numSlices = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "hamming pass went quadratic")
+    assert(!p.contains("SortMergeJoin"),
+      "pairs must form inside slice buckets (group-collect), not a join")
+    assert(p.contains("collect_set"),
+      s"bucket group-collect missing — pairs are not forming in-bucket: ${p.take(600)}")
+  }
+
+  test("pp19: the window index broadcasts back; payload filter is seq_id-pushable") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("pq-pp19").toString
+    val docs = spark.range(0, 64).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(16)), x => x.cast("int")).as("ids"))
+    ops.Curation.tokenizedLanding(docs, tmp, pmod(col("doc_id"), lit(2)),
+      col("ids"), seqLen = 16).count()
+    val p = ops.Curation.epochShuffledBatches(spark, tmp, "e1", 0L, 8L)
+      .queryExecution.executedPlan.toString
+    // the ≤nSteps window index must join back as a broadcast — a
+    // shuffle join here would move the payload for an 8-row window
+    assert(p.contains("BroadcastHashJoin"),
+      s"window index must broadcast: ${p.take(600)}")
+    // the seq_id membership predicate reaches the parquet scan where
+    // row-group stats can prune
+    assert(p.contains("PushedFilters: ") && p.contains("In(seq_id"),
+      s"seq_id filter not pushed to the scan: ${p.take(900)}")
+  }
+
+  test("pp20: the incremental recount scans only the changed shard partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pq-pp20").toString
+    val docs = (1 to 30).map(i =>
+      (i.toLong, Seq.fill(i % 5 + 2)("w").mkString(" "))).toDF("doc_id", "text")
+    ops.Curation.shardMaterialize(docs, tmp, col("doc_id"),
+      seed = "s", budgetTokens = 20L).count()
+    ops.Curation.writeLandingManifest(spark, tmp).count()
+    ops.Curation.shardAppend((31 to 40).map(i =>
+      (i.toLong, "a b c")).toDF("doc_id", "text"), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 20L).count()
+    // the rescan path: text read behind a shard partition filter —
+    // partition pruning keeps unchanged history off the scan
+    val changed = spark.read.parquet(tmp + "_manifest_shards")
+      .agg(max(col("shard"))).head.getLong(0) + 1
+    val rescan = spark.read.parquet(tmp)
+      .filter(col("shard").cast("long") >= changed)
+      .filter(col("n_tokens") =!= size(split(col("text"), " ")).cast("long"))
+    val p = rescan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      p.split("PartitionFilters: ").last.split("]").head.contains("shard"),
+      s"shard partition filter not applied: ${p.take(900)}")
+  }
 }

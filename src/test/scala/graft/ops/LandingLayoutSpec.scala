@@ -214,6 +214,49 @@ class LandingLayoutSpec extends AnyFunSuite {
     assert(epoch("e1", 0L, 40L) ++ epoch("e1", 40L, 56L) == e1)
   }
 
+  test("materialized epoch index replays the one-shot reader exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp19idx").toString
+    val docs = spark.range(0, 96).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(128)), x => x.cast("int")).as("ids"))
+    Curation.tokenizedLanding(docs, s"$tmp/landing",
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 128).count()
+    val n = Curation.writeEpochIndex(spark, s"$tmp/landing", "e1", s"$tmp/idx")
+    assert(n == 96L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("step", "shard", "seq_id").as[(Long, Long, Long)].collect().toSeq
+    // every window through the index == the one-shot rank reader
+    for ((f, w) <- Seq((0L, 10L), (40L, 25L), (90L, 6L)))
+      assert(rows(Curation.readEpochWindow(spark, s"$tmp/landing", s"$tmp/idx", f, w)) ==
+        rows(Curation.epochShuffledBatches(spark, s"$tmp/landing", "e1", f, w)),
+        s"index window [$f,+$w) diverged from the one-shot reader")
+    // the index is physically step-sorted so window reads prune: each
+    // file's row groups carry disjoint step ranges
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(s"$tmp/idx").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val mins = files.map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val stats = rd.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "step").get.getStatistics)
+        val pairs: Seq[(Long, Long)] = stats.map(s =>
+          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue)).toSeq
+        pairs.sliding(2).foreach {
+          case Seq(a, b) => assert(a._2 <= b._1, s"index not step-sorted in $f")
+          case _ =>
+        }
+        pairs.head._1
+      } finally rd.close()
+    }
+    // range partitioning: files cover disjoint step ranges
+    assert(mins.distinct.length == mins.length)
+  }
+
   test("resume with a pinned shard count fails loudly when the landing grew") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pp18pin").toString
