@@ -85,6 +85,15 @@ object Bench {
         // both walls measure the flow, not a query
         || q._1 == "pp17_learned_tokenized_landing"
         || q._1 == "pp18_landing_reader"
+        // pp19/pp20 are pp18's category: each writes temp landings
+        // (pp20 adds a manifest + append) before the read/validate
+        // under test; st13 is st12's shape (fixture batches →
+        // streaming landing → manifest); mm12 is mm06's (embedded
+        // image fixtures → cluster verdict)
+        || q._1 == "pp19_epoch_shuffle_reader"
+        || q._1 == "pp20_incremental_validate"
+        || q._1 == "st13_streaming_tokenized_landing"
+        || q._1 == "mm12_image_neardup"
         // st08 writes fixture file-batches then drives a streaming
         // query against them — a correctness verdict like st06;
         // st12 is the same shape (fixture batches → streaming shard

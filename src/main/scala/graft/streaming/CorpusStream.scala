@@ -334,12 +334,28 @@ object CorpusStream {
     } finally all.unpersist()
   }
 
+  /** Base id for flushed-tail partitions. NOT `lastDone + 1`: a
+    * stream resumed after a flush gets exactly that id from its
+    * checkpoint, and would either be skipped as a replay (if the
+    * guard had advanced) or overwrite the flushed shorts (if it had
+    * not). Each flush lands at `FlushBatchId + lastDone + 1` —
+    * deterministic from the stream position, so a crashed flush
+    * re-runs into the SAME directory (idempotent overwrite) while
+    * flushes at different positions (flush → resume → flush) land
+    * apart and never clobber each other.
+    */
+  val FlushBatchId: Long = 999999999999L
+
   /** Close the stream's books: land every shard's carried tail as its
     * final SHORT sequence (pp16's "last sequence may be short"
-    * contract) under `batch=<lastDone+1>` and clear the remainders.
+    * contract) under `batch=<FlushBatchId>` and clear the remainders
+    * (advancing each flushed shard's seq counter past its short).
     * Idempotent — a second flush finds empty remainders and lands
-    * nothing. After a flush the landing equals the batch packer's
-    * output over the full corpus.
+    * nothing; the guard's batchId is NOT advanced, so a stream
+    * resumed after a flush processes its next checkpoint batch
+    * normally (new tokens then pack AFTER the flushed shorts, with
+    * later seq ids). After a flush the landing equals the batch
+    * packer's output over the corpus streamed so far.
     */
   def flushTokenizedLanding(spark: org.apache.spark.sql.SparkSession,
                             landingDir: String): Unit = {
@@ -354,11 +370,11 @@ object CorpusStream {
     if (tails.nonEmpty) {
       tails.toDF("shard", "seq_id", "ids", "n_ids")
         .write.mode("overwrite").partitionBy("shard")
-        .parquet(s"$landingDir/batch=${lastDone + 1}")
+        .parquet(s"$landingDir/batch=${FlushBatchId + lastDone + 1}")
       val cleared = state.map { case (sh, (next, rem)) =>
         sh -> (next + (if (rem.nonEmpty) 1L else 0L), Seq.empty[Int])
       }
-      writeTokGuard(fs, landingDir, lastDone + 1, cleared)
+      writeTokGuard(fs, landingDir, lastDone, cleared)
     }
   }
 

@@ -77,6 +77,33 @@ class StreamingTokenizedSpec extends AnyFunSuite {
     assert(landed(dir).toSeq == landed(batchDir).toSeq)
   }
 
+  test("a stream resumed after a flush is neither skipped nor clobbers the shorts") {
+    val dir = java.nio.file.Files.createTempDirectory("st13f").toString + "/landing"
+    CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    val flushed = landed(dir).toSeq
+    val shorts = flushed.filter(_._4 < 16L)
+    assert(shorts.nonEmpty, "flush landed no short tails")
+    // the resumed stream's next checkpoint batch id is lastDone+1 = 1:
+    // it must process (not replay-skip) and must not overwrite the
+    // flushed shorts
+    CorpusStream.landTokenizedBatch(corpus(31 to 50), 1L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    val after = landed(dir).toSeq
+    assert(after.size > flushed.size, "post-flush batch was skipped as a replay")
+    assert(shorts.forall(after.contains), "flushed shorts were clobbered")
+    // per shard, seq ids stay dense 0..max and every input token lands
+    val byShard = after.groupBy(_._1)
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted == (0L until rows.size),
+        s"shard $sh seq ids not dense after resume")
+    }
+    val totalTokens = (1 to 50).map(i => (i % 11) + 1).sum.toLong
+    assert(after.map(_._4).sum == totalTokens)
+  }
+
   test("crash before the guard swap replays byte-identically") {
     val dir = java.nio.file.Files.createTempDirectory("st13c").toString + "/landing"
     CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
