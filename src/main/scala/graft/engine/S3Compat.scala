@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
-import java.net.{HttpURLConnection, InetSocketAddress, URI, URL, URLEncoder}
+import java.net.{HttpURLConnection, InetSocketAddress, URI, URL}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.conf.Configuration
@@ -78,9 +78,13 @@ class S3CompatFileSystem extends FileSystem {
     if (p == null || p == "/") "" else p.stripPrefix("/")
   }
 
+  // SigV4.uriEncode, not URLEncoder: '+'-for-space (and raw '*') in
+  // the wire form makes the signature mismatch any spec-conformant
+  // verifier that canonicalizes %20 — the loopback was self-consistent
+  // either way, but a real credentialed endpoint 403s on keys or
+  // prefixes containing spaces
   private def encodeKey(key: String): String =
-    key.split("/", -1).map(URLEncoder.encode(_, "UTF-8")
-      .replace("+", "%20")).mkString("/")
+    key.split("/", -1).map(SigV4.uriEncode).mkString("/")
 
   private def objectUrl(key: String): String =
     s"$endpoint/$bucket/${encodeKey(key)}"
@@ -139,9 +143,9 @@ class S3CompatFileSystem extends FileSystem {
     var more = true
     while (more) {
       val q = new StringBuilder(s"$endpoint/$bucket?list-type=2")
-      q ++= s"&prefix=${URLEncoder.encode(prefix, "UTF-8")}"
-      delimiter.foreach(d => q ++= s"&delimiter=${URLEncoder.encode(d, "UTF-8")}")
-      token.foreach(t => q ++= s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}")
+      q ++= s"&prefix=${SigV4.uriEncode(prefix)}"
+      delimiter.foreach(d => q ++= s"&delimiter=${SigV4.uriEncode(d)}")
+      token.foreach(t => q ++= s"&continuation-token=${SigV4.uriEncode(t)}")
       val c = connect("GET", q.toString,
         authHeaders("GET", q.toString, SigV4.EmptyPayloadSha256))
       val body =

@@ -644,22 +644,57 @@ object Curation {
     * (spec-pinned).
     */
   def packTokenSequences(df: DataFrame, shard: Column, ids: Column,
-                         seqLen: Int): DataFrame = {
-    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+                         seqLen: Int): DataFrame =
+    chunkTokenStream(packTokenStream(df, shard, ids, Seq.empty), seqLen)
+
+  /** The packer's shared core, also driven by the STREAMING landing
+    * (st13's landTokenizedBatch carries per-shard continuation state
+    * through it): each shard's token stream as (shard, next-seq
+    * counter, linear position, id) rows — carried remainder ids (if
+    * any) at positions 0..r-1, the batch's docs following in doc_id
+    * order. One copy of the concatenate-then-chunk math keeps the
+    * streamed-equals-batch parity the st13 gate pins from ever
+    * drifting.
+    */
+  private[graft] def packTokenStream(df: DataFrame, shard: Column,
+                                     ids: Column,
+                                     state: Seq[(Long, Long, Seq[Int])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stDF = state.toDF("__shard", "__next", "__rem")
+    val base = df.select(col("doc_id"), shard.cast("long").as("__shard"),
+      ids.as("__ids"))
     val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col("doc_id"), shard.as("__shard"), ids.as("__ids"))
-      .withColumn("__start",
+    val batchTok = base.join(broadcast(stDF), Seq("__shard"), "left")
+      .na.fill(0L, Seq("__next"))
+      .withColumn("__r", coalesce(size(col("__rem")), lit(0)).cast("long"))
+      .withColumn("__start", col("__r") +
         coalesce(sum(size(col("__ids")).cast("long")).over(w), lit(0L)))
-      .select(col("__shard"), col("__start"),
-        posexplode(col("__ids")).as(Seq("__p", "__id")))
-      .select(col("__shard"),
-        expr(s"(__start + __p) div $seqLen").as("seq_id"),
-        ((col("__start") + col("__p")) % seqLen).as("__seq_pos"),
-        col("__id"))
-      .groupBy(col("__shard").as("shard"), col("seq_id"))
+      .select(col("__shard"), col("__next"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__pp", "__id")))
+      .select(col("__shard"), col("__next"),
+        (col("__start") + col("__pp")).as("__p"), col("__id"))
+    val remTok = stDF
+      .select(col("__shard"), col("__next"),
+        posexplode(col("__rem")).as(Seq("__p", "__id")))
+      .select(col("__shard"), col("__next"),
+        col("__p").cast("long").as("__p"), col("__id"))
+    remTok.unionByName(batchTok)
+  }
+
+  /** Chunk a positioned token stream into sequences:
+    * seq_id = next + position div seqLen, ids reassembled in order.
+    */
+  private[graft] def chunkTokenStream(tokens: DataFrame,
+                                      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    tokens
+      .groupBy(col("__shard").as("shard"),
+        (col("__next") + expr(s"__p div $seqLen")).as("seq_id"))
       .agg(transform(
-          sort_array(collect_list(struct(col("__seq_pos"), col("__id")))),
+          sort_array(collect_list(struct((col("__p") % seqLen).as("__sp"),
+            col("__id")))),
           s => s("__id")).as("ids"),
         count(lit(1)).cast("long").as("n_ids"))
   }
@@ -1006,6 +1041,12 @@ object Curation {
     val changed = live.collect {
       case (sh, fp) if !baseline.get(sh).contains(fp) => sh
     }.toSeq.sorted
+    // a shard in the baseline but GONE from disk is the one tampering
+    // the structural checks can miss: removing the highest shard
+    // leaves positions 1..n', shards 0..max-1 contiguous, spans
+    // tiling — everything green over a truncated landing. Baseline
+    // minus live closes that hole.
+    val removed = (baseline.keySet -- live.keySet).toSeq.sorted
 
     val landed = spark.read.parquet(landingDir)
     val base = landed.select(col("doc_id"),
@@ -1043,6 +1084,7 @@ object Curation {
         ("shard_contiguous", shardOk,
           if (shardOk) 0L else math.abs(shards.getLong(0) - (shards.getLong(2) + 1))),
         ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
+        ("shards_removed", removed.isEmpty, removed.length.toLong),
         ("tokens_match", tokViol == 0L, tokViol))
         .toDF("check", "ok", "violations")
         .orderBy("check")

@@ -880,6 +880,7 @@ object CurationOps {
                  (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM c2)),
                ('shard_contiguous', true, CAST(0 AS BIGINT)),
                ('shard_pos_disjoint', true, CAST(0 AS BIGINT)),
+               ('shards_removed', true, CAST(0 AS BIGINT)),
                ('tokens_match', true, CAST(0 AS BIGINT)))
                t("check", ok, violations) ORDER BY "check" """)),
 

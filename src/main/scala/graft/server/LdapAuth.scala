@@ -31,7 +31,17 @@ object LdapAuth {
   sealed trait BindResult
   case object BindSuccess extends BindResult
   case object BindInvalidCredentials extends BindResult
+  /** The DIRECTORY answered with a non-success result code (49 maps
+    * to BindInvalidCredentials; everything else — unwillingToPerform
+    * for locked accounts, busy, etc. — lands here). An authoritative
+    * directory decision: never a fallback trigger.
+    */
   final case class BindError(message: String) extends BindResult
+  /** The directory could NOT be contacted (connect/timeout/protocol
+    * failure) — the only outcome the opt-in stored fallback may treat
+    * as an outage.
+    */
+  final case class BindUnreachable(message: String) extends BindResult
 
   // ---- BER (definite-length) primitives --------------------------------
 
@@ -163,7 +173,7 @@ object LdapAuth {
       } finally sock.close()
     } catch {
       case scala.util.control.NonFatal(e) =>
-        BindError(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        BindUnreachable(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 }
 
@@ -176,8 +186,9 @@ object LdapAuth {
   * stick). Only accounts in `state.admins` (the bootstrap admin) keep
   * their stored credential, so a directory outage or an admin absent
   * from the directory cannot lock the rig. A stored fallback for
-  * everyone on directory OUTAGE (BindError, never
-  * invalidCredentials) is available but strictly opt-in.
+  * everyone on directory OUTAGE (BindUnreachable — transport failure
+  * only, never ANY answered result code) is available but strictly
+  * opt-in.
   */
 final class LdapAuthProvider(url: String, dnTemplate: String,
                              allowStoredFallback: Boolean = false)
@@ -195,8 +206,12 @@ final class LdapAuthProvider(url: String, dnTemplate: String,
       AuthProvider.Stored.verify(user, pass, state)
     result match {
       case LdapAuth.BindSuccess => true
-      case LdapAuth.BindInvalidCredentials => storedAdmin
-      case _: LdapAuth.BindError =>
+      // ANY directory answer that is not success is authoritative —
+      // invalid credentials, unwillingToPerform (locked account),
+      // busy: revocation must stick, so no general fallback
+      case LdapAuth.BindInvalidCredentials | _: LdapAuth.BindError =>
+        storedAdmin
+      case _: LdapAuth.BindUnreachable =>
         storedAdmin || (allowStoredFallback &&
           AuthProvider.Stored.verify(user, pass, state))
     }
@@ -239,8 +254,11 @@ final class BasicAuthProvider(url: String,
       AuthProvider.Stored.verify(user, pass, state)
     status match {
       case Some(200) | Some(301) => true
-      case Some(401) => storedAdmin
-      case _ =>
+      // the endpoint ANSWERED and did not accept — 401, 403, or any
+      // other status is an authoritative decision (revocation must
+      // stick); only a transport failure (None) is an outage
+      case Some(_) => storedAdmin
+      case None =>
         storedAdmin || (allowStoredFallback &&
           AuthProvider.Stored.verify(user, pass, state))
     }

@@ -270,67 +270,54 @@ object CorpusStream {
     if (!fs.exists(guard) && fs.exists(guardOld))
       require(fs.rename(guardOld, guard),
         s"could not restore $guardOld after a crashed guard swap")
-    val (lastDone, state) = readTokGuard(fs, guard)
+    val (lastDone, state0) = readTokGuard(fs, guard)
     if (batchId <= lastDone) return
-    import spark.implicits._
-    val stDF = state.toSeq.map { case (sh, (next, rem)) => (sh, next, rem) }
-      .toDF("__shard", "__next", "__rem")
-    val df = batch.select(col("doc_id"), shard.cast("long").as("__shard"),
-      ids.as("__ids"))
-    val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val batchTok = df.join(broadcast(stDF), Seq("__shard"), "left")
-      .na.fill(0L, Seq("__next"))
-      .withColumn("__r", coalesce(size(col("__rem")), lit(0)).cast("long"))
-      .withColumn("__start", col("__r") +
-        coalesce(sum(size(col("__ids")).cast("long")).over(w), lit(0L)))
-      .select(col("__shard"), col("__next"), col("__start"),
-        posexplode(col("__ids")).as(Seq("__pp", "__id")))
-      .select(col("__shard"), col("__next"),
-        (col("__start") + col("__pp")).as("__p"), col("__id"))
-    val remTok = stDF
-      .select(col("__shard"), col("__next"),
-        posexplode(col("__rem")).as(Seq("__p", "__id")))
-      .select(col("__shard"), col("__next"),
-        col("__p").cast("long").as("__p"), col("__id"))
-    val all = remTok.unionByName(batchTok).persist()
+    // crashed-flush repair: flush writes its shorts BEFORE its guard.
+    // If the flush partition for this stream position exists while the
+    // state still carries remainders, the crash hit that window — a
+    // resumed stream re-packing those remainders would duplicate the
+    // landed shorts and collide on their seq ids. The landed flush dir
+    // is deterministic from the state, so completing the bookkeeping
+    // (clear remainders, advance counters past the shorts) is exact.
+    val state =
+      if (fs.exists(new Path(s"$landingDir/batch=${FlushBatchId + lastDone + 1}"))
+        && state0.values.exists(_._2.nonEmpty)) {
+        val repaired = state0.map { case (sh, (next, rem)) =>
+          sh -> (next + (if (rem.nonEmpty) 1L else 0L), Seq.empty[Int])
+        }
+        writeTokGuard(fs, landingDir, lastDone, repaired)
+        repaired
+      } else state0
+    val stateSeq = state.toSeq.map { case (sh, (next, rem)) => (sh, next, rem) }
+    val all = graft.ops.Curation.packTokenStream(batch, shard, ids, stateSeq)
+      .persist()
     try {
       val totals = all.groupBy(col("__shard"))
         .agg(count(lit(1)).as("__tot"))
       val assigned = all.join(broadcast(totals), Seq("__shard"))
-        .withColumn("__i", expr(s"__p div $seqLen"))
-        .withColumn("__full", col("__i") < expr(s"__tot div $seqLen"))
-      val fullSeqs = assigned.filter(col("__full"))
-        .groupBy(col("__shard").as("shard"),
-          (col("__next") + col("__i")).as("seq_id"))
-        .agg(transform(
-            sort_array(collect_list(struct((col("__p") % seqLen).as("__sp"),
-              col("__id")))),
-            s => s("__id")).as("ids"),
-          count(lit(1)).cast("long").as("n_ids"))
+        .withColumn("__full",
+          expr(s"__p div $seqLen") < expr(s"__tot div $seqLen"))
+      val fullSeqs = graft.ops.Curation.chunkTokenStream(
+        assigned.filter(col("__full")), seqLen)
       if (!fullSeqs.isEmpty)
         fullSeqs
           .sortWithinPartitions(col("shard"), col("seq_id"))
           .write.mode("overwrite").partitionBy("shard")
           .parquet(s"$landingDir/batch=$batchId")
-      // bounded collect: the per-shard incomplete tail, < seqLen ids
-      // per shard by construction, plus each shard's next counter
-      val tails = assigned.filter(!col("__full"))
-        .groupBy(col("__shard"))
-        .agg(max(col("__next") + expr(s"__tot div $seqLen")).as("__n2"),
-          transform(sort_array(collect_list(struct(col("__p"), col("__id")))),
+      // ONE closing aggregate + ONE bounded collect: per shard, the
+      // advanced next-seq counter and the incomplete tail (< seqLen
+      // ids by construction; collect_list drops the nulls the full
+      // tokens produce)
+      val closing = assigned.groupBy(col("__shard"))
+        .agg(max(col("__next")).as("__n"), count(lit(1)).as("__cnt"),
+          transform(sort_array(collect_list(
+              when(!col("__full"), struct(col("__p"), col("__id"))))),
             s => s("__id")).as("__rem2"))
         .collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
-      // shards whose stream completed a clean multiple of seqLen have
-      // no tail row — keep their advanced counter with an empty rem
-      val advanced = all.groupBy(col("__shard"))
-        .agg(max(col("__next")).as("__n"), count(lit(1)).as("__tot"))
-        .collect()
         .map(r => r.getLong(0) ->
-          (r.getLong(1) + r.getLong(2) / seqLen, Seq.empty[Int])).toMap
-      val newState = state ++ advanced ++ tails
-      writeTokGuard(fs, landingDir, batchId, newState)
+          (r.getLong(1) + r.getLong(2) / seqLen, r.getSeq[Int](3).toSeq))
+        .toMap
+      writeTokGuard(fs, landingDir, batchId, state ++ closing)
     } finally all.unpersist()
   }
 
@@ -363,6 +350,15 @@ object CorpusStream {
     val fs = new Path(landingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val guard = new Path(landingDir + "_tokguard")
+    val guardOld = new Path(landingDir + "_tokguard.old")
+    // same recovery preamble as landTokenizedBatch: a crash between a
+    // guard swap's two renames leaves only .old — restoring it is what
+    // keeps the carried tails visible here (a missing guard would read
+    // as empty state and this flush would silently land NOTHING,
+    // permanently dropping every shard's remainder)
+    if (!fs.exists(guard) && fs.exists(guardOld))
+      require(fs.rename(guardOld, guard),
+        s"could not restore $guardOld after a crashed guard swap")
     val (lastDone, state) = readTokGuard(fs, guard)
     val tails = state.toSeq.collect {
       case (sh, (next, rem)) if rem.nonEmpty => (sh, next, rem, rem.length.toLong)

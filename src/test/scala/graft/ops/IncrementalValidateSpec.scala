@@ -75,6 +75,28 @@ class IncrementalValidateSpec extends AnyFunSuite {
       "the planted metadata corruption must be detected")
   }
 
+  test("a deleted trailing shard is caught by the baseline diff") {
+    // removing the HIGHEST shard leaves every structural check green
+    // (positions 1..n', shards 0..max-1, spans tile) — only the
+    // baseline-minus-live diff can see it
+    val tmp = java.nio.file.Files.createTempDirectory("pp20e").toString
+    Curation.shardMaterialize(corpus(1 to 40), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 30L).count()
+    Curation.writeLandingManifest(spark, tmp).count()
+    val maxShard = spark.read.parquet(tmp)
+      .agg(max(col("shard").cast("long"))).head.getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/shard=$maxShard"), true))
+    val v = Curation.validateLandingIncremental(spark, tmp)
+    val sr = row(v, "shards_removed")
+    assert(!sr.getBoolean(1) && sr.getLong(2) == 1L,
+      "truncation of the trailing shard went undetected")
+    // and indeed every structural check still passes — the exact hole
+    // the check exists for
+    assert(v.filter(!col("ok")).count() == 1)
+  }
+
   test("incremental validation without a baseline fails loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("pp20d").toString
     Curation.shardMaterialize(corpus(1 to 10), tmp, col("doc_id"),

@@ -105,10 +105,11 @@ class LdapAuthSpec extends AnyFunSuite {
         case r => fail(s"expected BindError, got $r")
       }
     }
-    // connection refused → BindError, never success
+    // connection refused → BindUnreachable (an OUTAGE, distinct from
+    // any answered result code), never success
     val dead = { val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p }
     assert(LdapAuth.bind(s"ldap://127.0.0.1:$dead", dnOf("ada"), "pw")
-      .isInstanceOf[LdapAuth.BindError])
+      .isInstanceOf[LdapAuth.BindUnreachable])
   }
 
   test("DN template substitution escapes RFC 4514 metacharacters") {
@@ -161,7 +162,17 @@ class LdapAuthSpec extends AnyFunSuite {
       assert(p.verify("root", "root-pw", state))
       assert(!p.verify("root", "wrong", state))
     }
-    // directory OUTAGE (BindError): stored fallback only when opted in
+    // an ANSWERED rejection that is not code 49 (unwillingToPerform —
+    // a locked account) is equally authoritative: no fallback even
+    // when the outage fallback is opted in
+    withStub(Map.empty, rejectAll = true) { stub =>
+      val pf = new LdapAuthProvider(s"ldap://127.0.0.1:${stub.port}", template,
+        allowStoredFallback = true)
+      assert(!pf.verify("ada", "local-pw", state),
+        "directory code 53 fell through to stored")
+      assert(pf.verify("root", "root-pw", state))
+    }
+    // directory OUTAGE (BindUnreachable): stored fallback only when opted in
     val dead = { val s = new ServerSocket(0); val pn = s.getLocalPort; s.close(); pn }
     val pDefault = new LdapAuthProvider(s"ldap://127.0.0.1:$dead", template)
     assert(!pDefault.verify("ada", "local-pw", state), "outage fallback must be opt-in")
@@ -180,11 +191,21 @@ class LdapAuthSpec extends AnyFunSuite {
     http.createContext("/auth", (ex: com.sun.net.httpserver.HttpExchange) => {
       ex.sendResponseHeaders(401, -1); ex.close() // everyone revoked
     })
+    http.createContext("/auth403", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(403, -1); ex.close()
+    })
     http.start()
     val port = http.getAddress.getPort
     try {
       val p = new BasicAuthProvider(s"http://127.0.0.1:$port/auth")
       assert(!p.verify("ada", "local-pw", state), "401 must not fall back")
+      // 403 (and any other ANSWERED status) is an endpoint decision,
+      // not an outage — even the opt-in fallback must not engage
+      val p403 = new BasicAuthProvider(s"http://127.0.0.1:$port/auth403",
+        allowStoredFallback = true)
+      assert(!p403.verify("ada", "local-pw", state),
+        "403 fell through to stored")
+      assert(p403.verify("root", "root-pw", state))
       assert(p.verify("root", "root-pw", state), "admin bootstrap")
       val pf = new BasicAuthProvider(s"http://127.0.0.1:$port/auth",
         allowStoredFallback = true)

@@ -104,6 +104,54 @@ class StreamingTokenizedSpec extends AnyFunSuite {
     assert(after.map(_._4).sum == totalTokens)
   }
 
+  test("flush after a crashed guard swap still lands the carried tails") {
+    val dir = java.nio.file.Files.createTempDirectory("st13g").toString + "/landing"
+    CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the swap-crash window: only _tokguard.old survives
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "_tokguard"),
+      new org.apache.hadoop.fs.Path(dir + "_tokguard.old")))
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    val after = landed(dir).toSeq
+    assert(after.exists(_._4 < 16L),
+      "flush silently dropped the tails behind a crashed guard swap")
+    val totalTokens = (1 to 30).map(i => (i % 11) + 1).sum.toLong
+    assert(after.map(_._4).sum == totalTokens)
+  }
+
+  test("a stream resumed across a crashed flush neither duplicates nor collides") {
+    val dir = java.nio.file.Files.createTempDirectory("st13h").toString + "/landing"
+    CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val guard = new org.apache.hadoop.fs.Path(dir + "_tokguard")
+    val in = fs.open(guard)
+    val preFlush = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    // crash window: the flush's shorts landed but its guard write was
+    // lost — restore the pre-flush guard
+    val out = fs.create(guard, true)
+    try out.write(preFlush.getBytes("UTF-8")) finally out.close()
+    // the resumed stream must repair (not re-pack the remainders) —
+    // re-packing would duplicate the landed shorts' tokens and collide
+    // on their seq ids
+    CorpusStream.landTokenizedBatch(corpus(31 to 50), 1L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    val after = landed(dir).toSeq
+    val totalTokens = (1 to 50).map(i => (i % 11) + 1).sum.toLong
+    assert(after.map(_._4).sum == totalTokens, "tokens duplicated or lost")
+    after.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).distinct.size == rows.size,
+        s"seq_id collision in shard $sh")
+      assert(rows.map(_._2).sorted == (0L until rows.size),
+        s"shard $sh seq ids not dense")
+    }
+  }
+
   test("crash before the guard swap replays byte-identically") {
     val dir = java.nio.file.Files.createTempDirectory("st13c").toString + "/landing"
     CorpusStream.landTokenizedBatch(corpus(1 to 30), 0L, dir,
