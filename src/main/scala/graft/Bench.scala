@@ -92,6 +92,7 @@ object Bench {
         // image fixtures → cluster verdict)
         || q._1 == "pp19_epoch_shuffle_reader"
         || q._1 == "pp20_incremental_validate"
+        || q._1 == "pp21_epoch_index_reader"
         || q._1 == "st13_streaming_tokenized_landing"
         || q._1 == "mm12_image_neardup"
         // st08 writes fixture file-batches then drives a streaming

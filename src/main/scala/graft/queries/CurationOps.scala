@@ -1087,6 +1087,76 @@ object CurationOps {
              FROM r WHERE step >= 5 AND step < 45
              ORDER BY step""")),
 
+    // pp21: the MATERIALIZED epoch index — pp19's permutation written
+    // once per epoch as a tiny (step, shard, seq_id) parquet
+    // (range-partitioned, step-sorted: window reads prune on step),
+    // then the same window read through the index. The oracle is
+    // pp19's replay — the index path must return byte-identical rows
+    // to the one-shot rank reader, which is the amortization contract
+    // (thousands of trainer window reads per epoch, one sort).
+    NamedQuery("pp21_epoch_index_reader",
+      (s, d) => {
+        val ds = docs(s, d)
+        val toks = ds.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val withId = Curation.rankIds(vocab, "id",
+            col("n").desc, col("tok").asc)
+          .select(col("tok"), col("id").cast("int").as("id"))
+        val idsPerDoc = toks.join(broadcast(withId), "tok")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            x => x("id")).as("ids"))
+        val tmp = java.nio.file.Files.createTempDirectory("pp21").toString
+        Curation.tokenizedLanding(idsPerDoc, s"$tmp/landing",
+          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        Curation.writeEpochIndex(s, s"$tmp/landing", "e1", s"$tmp/idx")
+        Curation.readEpochWindow(s, s"$tmp/landing", s"$tmp/idx",
+          fromStep = 5L, nSteps = 40L)
+          .select(col("step"), col("shard"), col("seq_id"),
+            md5(array_join(transform(col("ids"), _.cast("string")),
+              " ")).as("ids_md5"),
+            col("n_ids"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                      toks FROM t),
+              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
+              v AS (SELECT tok, row_number() OVER (
+                      ORDER BY count(*) DESC, tok) AS id
+                    FROM x GROUP BY tok),
+              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
+              dl AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(toks) AS BIGINT) AS n FROM t),
+              st AS (SELECT doc_id, shard,
+                       CAST(coalesce(sum(n) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS start_tok
+                     FROM dl),
+              e AS (SELECT st.shard,
+                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
+                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
+                      i.id
+                    FROM i JOIN st USING (doc_id)),
+              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
+                       CAST(seq_id AS BIGINT) AS seq_id,
+                       md5(string_agg(CAST(id AS VARCHAR), ' '
+                         ORDER BY seq_pos)) AS ids_md5,
+                       CAST(count(*) AS BIGINT) AS n_ids
+                     FROM e GROUP BY 1, 2),
+              r AS (SELECT shard, seq_id, ids_md5, n_ids,
+                      CAST(row_number() OVER (ORDER BY
+                        md5('e1:' || CAST(shard AS VARCHAR) || ':' ||
+                          CAST(seq_id AS VARCHAR)),
+                        shard, seq_id) - 1 AS BIGINT) AS step
+                    FROM sq)
+             SELECT step, shard, seq_id, ids_md5, n_ids
+             FROM r WHERE step >= 5 AND step < 45
+             ORDER BY step""")),
+
     // pp17: the full train-once / encode-everywhere / LAND story as
     // one driver-checked gate (r16 verdict #6) — tk06's unigram-LM
     // vocab is trained, persisted, and RELOADED (tk08's artifact

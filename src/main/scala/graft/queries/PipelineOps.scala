@@ -1395,6 +1395,69 @@ object PipelineOps {
              FROM grp GROUP BY doc_id, g
              ORDER BY doc_id, span_start""")),
 
+    // dd17: the exact-substring CUT (Lee et al.'s removal pass over
+    // dd16's spans): every token inside a maximal duplicate span drops
+    // from EVERY occurrence, survivors reassemble in order. Same
+    // planted corpus as dd16 — the oracle replays spans, coverage,
+    // and the rebuilt text (md5-pinned), so the surgery is gated, not
+    // just the detection.
+    NamedQuery("dd17_exact_substring_cut",
+      (s, d) => {
+        import s.implicits._
+        val s14 = (1 to 14).map(i => s"zqs$i").mkString(" ")
+        val t10 = (1 to 10).map(i => s"zqt$i").mkString(" ")
+        val r13 = (1 to 13).map(i => s"zqr$i").mkString(" ")
+        val planted = Seq(
+          (900001L, s"zqa1 zqa2 zqa3 zqa4 zqa5 $s14 zqa6 zqa7"),
+          (900002L, s"zqb1 zqb2 $s14 zqb3 zqb4 zqb5 zqb6"),
+          (900003L, s"zqc1 zqc2 zqc3 $t10 zqc4 zqc5"),
+          (900004L, s"zqd1 $t10 zqd2 zqd3 zqd4"),
+          (900005L, s"$r13 zqe1 $r13")
+        ).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text"))
+          .unionAll(planted)
+        Dedup.dropExactSubstrings(corpus, minSpan = 12, minCount = 2)
+          .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+            md5(col("clean_text")).as("clean_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted(doc_id, text) AS (VALUES
+               (900001, 'zqa1 zqa2 zqa3 zqa4 zqa5 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqa6 zqa7'),
+               (900002, 'zqb1 zqb2 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqb3 zqb4 zqb5 zqb6'),
+               (900003, 'zqc1 zqc2 zqc3 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqc4 zqc5'),
+               (900004, 'zqd1 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqd2 zqd3 zqd4'),
+               (900005, 'zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13 zqe1 zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13')),
+             corpus AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
+             toks AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+               FROM corpus),
+             st AS (SELECT doc_id, tk,
+                 unnest(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
+                        ELSE CAST([] AS BIGINT[]) END) AS s
+               FROM toks),
+             grams AS (SELECT doc_id, s,
+                 md5(array_to_string(tk[s + 1:s + 12], ' ')) AS gh FROM st),
+             dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+             cov AS (SELECT DISTINCT doc_id, p FROM
+                     (SELECT g.doc_id, unnest(range(g.s, g.s + 12)) AS p
+                      FROM grams g JOIN dup USING (gh))),
+             tokpos AS (SELECT doc_id,
+                 CAST(generate_subscripts(tk, 1) AS BIGINT) - 1 AS pos,
+                 unnest(tk) AS tok
+               FROM toks),
+             kept AS (SELECT t.doc_id, count(*) AS n_kept,
+                 string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+               FROM tokpos t
+               WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                 WHERE c.doc_id = t.doc_id AND c.p = t.pos)
+               GROUP BY t.doc_id)
+             SELECT o.doc_id, CAST(len(o.tk) AS INT) AS n_tokens,
+               CAST(len(o.tk) - coalesce(k.n_kept, 0) AS INT) AS n_dup_tokens,
+               md5(coalesce(k.clean, '')) AS clean_hash
+             FROM toks o LEFT JOIN kept k USING (doc_id)
+             ORDER BY o.doc_id""")),
+
     // tx13: Gopher quality rules — all-integer statistics, thresholds
     // via integer cross-multiplication (no float division anywhere),
     // so the verdict booleans are exactly reproducible
