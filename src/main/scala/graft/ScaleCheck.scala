@@ -1408,6 +1408,49 @@ object ScaleCheck {
         graft.ops.Curation.epochShuffledBatches(spark, tmp, "e1",
           fromStep = 100L, nSteps = 64L).count())
     }
+    // dd17's cut on top of dd16's detection: coverage explode + one
+    // anti-join + per-doc reassembly — the slope must stay ~linear in
+    // tokens like the detection's
+    for (m <- Seq(1, 4)) {
+      val docs = (0 until m).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " ", s" z$i ").as("text")))
+        .reduce(_ union _).repartition(32).cache()
+      val n = docs.count()
+      time(s"dd17 x$m ($n docs) dropExactSubstrings")(
+        graft.ops.Dedup.dropExactSubstrings(docs, minSpan = 16)
+          .agg(sum(length(col("clean_text")))).head.getLong(0))
+      docs.unpersist()
+    }
+    // pp21 amortization: after ONE index write, a window read through
+    // the index must beat the one-shot reader (which re-ranks the
+    // landing per call) — the contract that matters at thousands of
+    // window reads per epoch
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("r18-pp21").toString
+      val docs = spark.range(0, 160000L).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), lit(64)),
+          x => pmod(x.cast("bigint") * (col("id") + 1L) * 48271L,
+            lit(999983L)).cast("int")).as("ids"))
+      graft.ops.Curation.tokenizedLanding(docs, s"$tmp/landing",
+        pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 64).count()
+      var t0 = System.nanoTime()
+      val n = graft.ops.Curation.writeEpochIndex(spark, s"$tmp/landing",
+        "e1", s"$tmp/idx")
+      println(f"[scale] pp21 index-write n=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      t0 = System.nanoTime()
+      for (w <- 0 until 8)
+        graft.ops.Curation.readEpochWindow(spark, s"$tmp/landing",
+          s"$tmp/idx", w * 1000L, 64L).count()
+      val idxSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      for (w <- 0 until 8)
+        graft.ops.Curation.epochShuffledBatches(spark, s"$tmp/landing",
+          "e1", w * 1000L, 64L).count()
+      val oneShotSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] pp21 8 window-reads: via-index=${idxSec}%.1f s " +
+        f"one-shot=${oneShotSec}%.1f s")
+    }
     val dir = java.nio.file.Files.createTempDirectory("r18-st13").toString + "/landing"
     val batchDocs = spark.range(0, 20000L).select(col("id").as("doc_id"),
       transform(sequence(lit(1), lit(64)), x => x.cast("int")).as("ids"))
