@@ -1366,15 +1366,20 @@ object ScaleCheck {
   }
 
   /** Round-18 probes (`runMain graft.ScaleCheck r18`):
-    * 1. dd16 exactSubstringSpans at ×1/×4 doc replicas — the cost
-    *    center is the per-token gram-hash shuffle (one 32-byte row
-    *    per token), so the wall must track token count ~linearly;
-    *    replicas are woven (z<i> tokens) so their grams stay distinct.
+    * 1. dd16 exactSubstringSpans + dd17 dropExactSubstrings at ×1/×4
+    *    doc replicas — the cost center is the per-token gram-hash
+    *    shuffle (one 32-byte row per token), so both walls must track
+    *    token count ~linearly; replicas are woven (z<i> tokens) so
+    *    their grams stay distinct. One cached corpus times both.
     * 2. pp19 epochShuffledBatches — the id-only rank scan grows with
     *    the landing but the payload read is window-bounded: a 64-step
     *    window over a ×8 landing must cost far less than 8× the ×1
     *    window (the broadcast-index + isin-pushdown contract).
-    * 3. st13 landTokenizedBatch — per-trigger cost must be
+    * 3. pp21 writeEpochIndex/readEpochWindow over the ×8 landing —
+    *    one index write, then 8 window reads via the index vs 8
+    *    one-shot rank reads: the index path must win (and the gap
+    *    widens with landing size — one-shot re-ranks per read).
+    * 4. st13 landTokenizedBatch — per-trigger cost must be
     *    batch-sized, independent of how many batches already landed
     *    (the guard carries the state; nothing rescans history).
     */
@@ -1394,10 +1399,15 @@ object ScaleCheck {
       time(s"dd16 x$m ($n docs) exactSubstringSpans")(
         graft.ops.Dedup.exactSubstringSpans(docs, minSpan = 16)
           .count())
+      time(s"dd17 x$m ($n docs) dropExactSubstrings")(
+        graft.ops.Dedup.dropExactSubstrings(docs, minSpan = 16)
+          .agg(sum(length(col("clean_text")))).head.getLong(0))
       docs.unpersist()
     }
+    var landing8 = ""
     for (m <- Seq(1, 8)) {
       val tmp = java.nio.file.Files.createTempDirectory(s"r18-pp19-$m").toString
+      if (m == 8) landing8 = tmp
       val docs = spark.range(0, 20000L * m).select(col("id").as("doc_id"),
         transform(sequence(lit(1), lit(64)),
           x => pmod(x.cast("bigint") * (col("id") + 1L) * 48271L,
@@ -1408,44 +1418,24 @@ object ScaleCheck {
         graft.ops.Curation.epochShuffledBatches(spark, tmp, "e1",
           fromStep = 100L, nSteps = 64L).count())
     }
-    // dd17's cut on top of dd16's detection: coverage explode + one
-    // anti-join + per-doc reassembly — the slope must stay ~linear in
-    // tokens like the detection's
-    for (m <- Seq(1, 4)) {
-      val docs = (0 until m).map(i =>
-          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            regexp_replace(col("text"), " ", s" z$i ").as("text")))
-        .reduce(_ union _).repartition(32).cache()
-      val n = docs.count()
-      time(s"dd17 x$m ($n docs) dropExactSubstrings")(
-        graft.ops.Dedup.dropExactSubstrings(docs, minSpan = 16)
-          .agg(sum(length(col("clean_text")))).head.getLong(0))
-      docs.unpersist()
-    }
-    // pp21 amortization: after ONE index write, a window read through
-    // the index must beat the one-shot reader (which re-ranks the
-    // landing per call) — the contract that matters at thousands of
-    // window reads per epoch
+    // pp21 amortization over the ×8 landing just written: after ONE
+    // index write, a window read through the index must beat the
+    // one-shot reader (which re-ranks the landing per call) — the
+    // contract that matters at thousands of window reads per epoch
     locally {
-      val tmp = java.nio.file.Files.createTempDirectory("r18-pp21").toString
-      val docs = spark.range(0, 160000L).select(col("id").as("doc_id"),
-        transform(sequence(lit(1), lit(64)),
-          x => pmod(x.cast("bigint") * (col("id") + 1L) * 48271L,
-            lit(999983L)).cast("int")).as("ids"))
-      graft.ops.Curation.tokenizedLanding(docs, s"$tmp/landing",
-        pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 64).count()
+      val idxDir = java.nio.file.Files.createTempDirectory("r18-pp21").toString
       var t0 = System.nanoTime()
-      val n = graft.ops.Curation.writeEpochIndex(spark, s"$tmp/landing",
-        "e1", s"$tmp/idx")
+      val n = graft.ops.Curation.writeEpochIndex(spark, landing8,
+        "e1", s"$idxDir/idx")
       println(f"[scale] pp21 index-write n=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       t0 = System.nanoTime()
       for (w <- 0 until 8)
-        graft.ops.Curation.readEpochWindow(spark, s"$tmp/landing",
-          s"$tmp/idx", w * 1000L, 64L).count()
+        graft.ops.Curation.readEpochWindow(spark, landing8,
+          s"$idxDir/idx", w * 1000L, 64L).count()
       val idxSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       for (w <- 0 until 8)
-        graft.ops.Curation.epochShuffledBatches(spark, s"$tmp/landing",
+        graft.ops.Curation.epochShuffledBatches(spark, landing8,
           "e1", w * 1000L, 64L).count()
       val oneShotSec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] pp21 8 window-reads: via-index=${idxSec}%.1f s " +

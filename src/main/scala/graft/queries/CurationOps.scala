@@ -20,6 +20,84 @@ object CurationOps {
     if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
   }
 
+  /** The landing the tokenized-landing gate family (pp16/pp18/pp19/
+    * pp21) builds: whitespace tokens ranked by frequency into a
+    * REPLAYABLE vocab (DuckDB can replay ids), packed into 128-id
+    * sequences over 8 doc_id-mod shards. One builder, one truth —
+    * the four gates read the SAME landing contract, so an edit here
+    * moves all of them (and their shared oracle prefix below) or
+    * none.
+    */
+  private def rankVocabLanding(s: SparkSession, d: String,
+                               tag: String): String = {
+    val ds = docs(s, d)
+    val toks = ds.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val withId = Curation.rankIds(vocab, "id",
+        col("n").desc, col("tok").asc)
+      .select(col("tok"), col("id").cast("int").as("id"))
+    val idsPerDoc = toks.join(broadcast(withId), "tok")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("id")))),
+        x => x("id")).as("ids"))
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    Curation.tokenizedLanding(idsPerDoc, tmp,
+      pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+    tmp
+  }
+
+  /** DuckDB replay of rankVocabLanding's packing, through the packed
+    * sequences (`sq`: shard, seq_id, ids_md5, n_ids) — the shared
+    * prefix of the pp16/pp18/pp19/pp21 oracles.
+    */
+  private val packedSeqOracleCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                      toks FROM t),
+              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
+              v AS (SELECT tok, row_number() OVER (
+                      ORDER BY count(*) DESC, tok) AS id
+                    FROM x GROUP BY tok),
+              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
+              dl AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(toks) AS BIGINT) AS n FROM t),
+              st AS (SELECT doc_id, shard,
+                       CAST(coalesce(sum(n) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS start_tok
+                     FROM dl),
+              e AS (SELECT st.shard,
+                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
+                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
+                      i.id
+                    FROM i JOIN st USING (doc_id)),
+              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
+                       CAST(seq_id AS BIGINT) AS seq_id,
+                       md5(string_agg(CAST(id AS VARCHAR), ' '
+                         ORDER BY seq_pos)) AS ids_md5,
+                       CAST(count(*) AS BIGINT) AS n_ids
+                     FROM e GROUP BY 1, 2)"""
+
+  /** pp19 and pp21 must return byte-identical windows (the index is
+    * the amortized form of the one-shot rank reader), so they share
+    * ONE oracle verbatim.
+    */
+  private val epochShuffleOracleSql: String =
+    packedSeqOracleCtes + """,
+              r AS (SELECT shard, seq_id, ids_md5, n_ids,
+                      CAST(row_number() OVER (ORDER BY
+                        md5('e1:' || CAST(shard AS VARCHAR) || ':' ||
+                          CAST(seq_id AS VARCHAR)),
+                        shard, seq_id) - 1 AS BIGINT) AS step
+                    FROM sq)
+             SELECT step, shard, seq_id, ids_md5, n_ids
+             FROM r WHERE step >= 5 AND step < 45
+             ORDER BY step"""
+
   // End-to-end training-data preparation: exact-dedup keepers →
   // eval-set decontamination (13-gram vs every-97th doc) → per-lang
   // stratified sampling → leakage-safe split by source → per
@@ -902,21 +980,7 @@ object CurationOps {
     // not an unpartitioned window — the op library's own convention.
     NamedQuery("pp16_tokenized_landing",
       (s, d) => {
-        val ds = docs(s, d)
-        val toks = ds.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val withId = Curation.rankIds(vocab, "id",
-            col("n").desc, col("tok").asc)
-          .select(col("tok"), col("id").cast("int").as("id"))
-        val idsPerDoc = toks.join(broadcast(withId), "tok")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("id")))),
-            x => x("id")).as("ids"))
-        val tmp = java.nio.file.Files.createTempDirectory("pp16").toString
-        Curation.tokenizedLanding(idsPerDoc, tmp,
-          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        val tmp = rankVocabLanding(s, d, "pp16")
         s.read.parquet(tmp)
           .select(col("shard").cast("long").as("shard"), col("seq_id"),
             md5(array_join(transform(col("ids"), _.cast("string")),
@@ -924,34 +988,9 @@ object CurationOps {
             col("n_ids"))
           .orderBy("shard", "seq_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents),
-              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
-                      toks FROM t),
-              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
-              v AS (SELECT tok, row_number() OVER (
-                      ORDER BY count(*) DESC, tok) AS id
-                    FROM x GROUP BY tok),
-              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
-              dl AS (SELECT doc_id, doc_id % 8 AS shard,
-                       CAST(len(toks) AS BIGINT) AS n FROM t),
-              st AS (SELECT doc_id, shard,
-                       CAST(coalesce(sum(n) OVER (
-                         PARTITION BY shard ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) AS BIGINT) AS start_tok
-                     FROM dl),
-              e AS (SELECT st.shard,
-                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
-                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
-                      i.id
-                    FROM i JOIN st USING (doc_id))
-             SELECT CAST(shard AS BIGINT) AS shard,
-               CAST(seq_id AS BIGINT) AS seq_id,
-               md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY seq_pos))
-                 AS ids_md5,
-               CAST(count(*) AS BIGINT) AS n_ids
-             FROM e GROUP BY 1, 2 ORDER BY shard, seq_id""")),
+      Some(packedSeqOracleCtes + """
+             SELECT shard, seq_id, ids_md5, n_ids
+             FROM sq ORDER BY shard, seq_id""")),
 
     // pp18: the RESUMABLE READER over a tokenized landing — the
     // data-loader half of pp16: land with the replayable rank-vocab
@@ -963,55 +1002,14 @@ object CurationOps {
     // md5(join)+n_ids per the compare contract.
     NamedQuery("pp18_landing_reader",
       (s, d) => {
-        val ds = docs(s, d)
-        val toks = ds.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val withId = Curation.rankIds(vocab, "id",
-            col("n").desc, col("tok").asc)
-          .select(col("tok"), col("id").cast("int").as("id"))
-        val idsPerDoc = toks.join(broadcast(withId), "tok")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("id")))),
-            x => x("id")).as("ids"))
-        val tmp = java.nio.file.Files.createTempDirectory("pp18").toString
-        Curation.tokenizedLanding(idsPerDoc, tmp,
-          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        val tmp = rankVocabLanding(s, d, "pp18")
         Curation.readTokenizedBatches(s, tmp, fromStep = 5L, nSteps = 40L)
           .select(col("step"), col("shard"), col("seq_id"),
             md5(array_join(transform(col("ids"), _.cast("string")),
               " ")).as("ids_md5"),
             col("n_ids"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents),
-              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
-                      toks FROM t),
-              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
-              v AS (SELECT tok, row_number() OVER (
-                      ORDER BY count(*) DESC, tok) AS id
-                    FROM x GROUP BY tok),
-              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
-              dl AS (SELECT doc_id, doc_id % 8 AS shard,
-                       CAST(len(toks) AS BIGINT) AS n FROM t),
-              st AS (SELECT doc_id, shard,
-                       CAST(coalesce(sum(n) OVER (
-                         PARTITION BY shard ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) AS BIGINT) AS start_tok
-                     FROM dl),
-              e AS (SELECT st.shard,
-                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
-                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
-                      i.id
-                    FROM i JOIN st USING (doc_id)),
-              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
-                       CAST(seq_id AS BIGINT) AS seq_id,
-                       md5(string_agg(CAST(id AS VARCHAR), ' '
-                         ORDER BY seq_pos)) AS ids_md5,
-                       CAST(count(*) AS BIGINT) AS n_ids
-                     FROM e GROUP BY 1, 2)
+      Some(packedSeqOracleCtes + """
              SELECT CAST(seq_id * 8 + shard AS BIGINT) AS step,
                shard, seq_id, ids_md5, n_ids
              FROM sq
@@ -1027,21 +1025,7 @@ object CurationOps {
     // deterministic, complete, and reproducible from the seed alone.
     NamedQuery("pp19_epoch_shuffle_reader",
       (s, d) => {
-        val ds = docs(s, d)
-        val toks = ds.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val withId = Curation.rankIds(vocab, "id",
-            col("n").desc, col("tok").asc)
-          .select(col("tok"), col("id").cast("int").as("id"))
-        val idsPerDoc = toks.join(broadcast(withId), "tok")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("id")))),
-            x => x("id")).as("ids"))
-        val tmp = java.nio.file.Files.createTempDirectory("pp19").toString
-        Curation.tokenizedLanding(idsPerDoc, tmp,
-          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
+        val tmp = rankVocabLanding(s, d, "pp19")
         Curation.epochShuffledBatches(s, tmp, epochSeed = "e1",
           fromStep = 5L, nSteps = 40L)
           .select(col("step"), col("shard"), col("seq_id"),
@@ -1049,43 +1033,7 @@ object CurationOps {
               " ")).as("ids_md5"),
             col("n_ids"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents),
-              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
-                      toks FROM t),
-              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
-              v AS (SELECT tok, row_number() OVER (
-                      ORDER BY count(*) DESC, tok) AS id
-                    FROM x GROUP BY tok),
-              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
-              dl AS (SELECT doc_id, doc_id % 8 AS shard,
-                       CAST(len(toks) AS BIGINT) AS n FROM t),
-              st AS (SELECT doc_id, shard,
-                       CAST(coalesce(sum(n) OVER (
-                         PARTITION BY shard ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) AS BIGINT) AS start_tok
-                     FROM dl),
-              e AS (SELECT st.shard,
-                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
-                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
-                      i.id
-                    FROM i JOIN st USING (doc_id)),
-              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
-                       CAST(seq_id AS BIGINT) AS seq_id,
-                       md5(string_agg(CAST(id AS VARCHAR), ' '
-                         ORDER BY seq_pos)) AS ids_md5,
-                       CAST(count(*) AS BIGINT) AS n_ids
-                     FROM e GROUP BY 1, 2),
-              r AS (SELECT shard, seq_id, ids_md5, n_ids,
-                      CAST(row_number() OVER (ORDER BY
-                        md5('e1:' || CAST(shard AS VARCHAR) || ':' ||
-                          CAST(seq_id AS VARCHAR)),
-                        shard, seq_id) - 1 AS BIGINT) AS step
-                    FROM sq)
-             SELECT step, shard, seq_id, ids_md5, n_ids
-             FROM r WHERE step >= 5 AND step < 45
-             ORDER BY step""")),
+      Some(epochShuffleOracleSql)),
 
     // pp21: the MATERIALIZED epoch index — pp19's permutation written
     // once per epoch as a tiny (step, shard, seq_id) parquet
@@ -1096,66 +1044,17 @@ object CurationOps {
     // (thousands of trainer window reads per epoch, one sort).
     NamedQuery("pp21_epoch_index_reader",
       (s, d) => {
-        val ds = docs(s, d)
-        val toks = ds.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val withId = Curation.rankIds(vocab, "id",
-            col("n").desc, col("tok").asc)
-          .select(col("tok"), col("id").cast("int").as("id"))
-        val idsPerDoc = toks.join(broadcast(withId), "tok")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("id")))),
-            x => x("id")).as("ids"))
-        val tmp = java.nio.file.Files.createTempDirectory("pp21").toString
-        Curation.tokenizedLanding(idsPerDoc, s"$tmp/landing",
-          pmod(col("doc_id"), lit(8)), col("ids"), seqLen = 128).count()
-        Curation.writeEpochIndex(s, s"$tmp/landing", "e1", s"$tmp/idx")
-        Curation.readEpochWindow(s, s"$tmp/landing", s"$tmp/idx",
+        val landing = rankVocabLanding(s, d, "pp21")
+        val idx = java.nio.file.Files.createTempDirectory("pp21idx").toString
+        Curation.writeEpochIndex(s, landing, "e1", s"$idx/idx")
+        Curation.readEpochWindow(s, landing, s"$idx/idx",
           fromStep = 5L, nSteps = 40L)
           .select(col("step"), col("shard"), col("seq_id"),
             md5(array_join(transform(col("ids"), _.cast("string")),
               " ")).as("ids_md5"),
             col("n_ids"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents),
-              w AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
-                      toks FROM t),
-              x AS (SELECT doc_id, pos, toks[pos] AS tok FROM w),
-              v AS (SELECT tok, row_number() OVER (
-                      ORDER BY count(*) DESC, tok) AS id
-                    FROM x GROUP BY tok),
-              i AS (SELECT doc_id, pos, id FROM x JOIN v USING (tok)),
-              dl AS (SELECT doc_id, doc_id % 8 AS shard,
-                       CAST(len(toks) AS BIGINT) AS n FROM t),
-              st AS (SELECT doc_id, shard,
-                       CAST(coalesce(sum(n) OVER (
-                         PARTITION BY shard ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) AS BIGINT) AS start_tok
-                     FROM dl),
-              e AS (SELECT st.shard,
-                      (st.start_tok + i.pos - 1) // 128 AS seq_id,
-                      (st.start_tok + i.pos - 1) % 128 AS seq_pos,
-                      i.id
-                    FROM i JOIN st USING (doc_id)),
-              sq AS (SELECT CAST(shard AS BIGINT) AS shard,
-                       CAST(seq_id AS BIGINT) AS seq_id,
-                       md5(string_agg(CAST(id AS VARCHAR), ' '
-                         ORDER BY seq_pos)) AS ids_md5,
-                       CAST(count(*) AS BIGINT) AS n_ids
-                     FROM e GROUP BY 1, 2),
-              r AS (SELECT shard, seq_id, ids_md5, n_ids,
-                      CAST(row_number() OVER (ORDER BY
-                        md5('e1:' || CAST(shard AS VARCHAR) || ':' ||
-                          CAST(seq_id AS VARCHAR)),
-                        shard, seq_id) - 1 AS BIGINT) AS step
-                    FROM sq)
-             SELECT step, shard, seq_id, ids_md5, n_ids
-             FROM r WHERE step >= 5 AND step < 45
-             ORDER BY step""")),
+      Some(epochShuffleOracleSql)),
 
     // pp17: the full train-once / encode-everywhere / LAND story as
     // one driver-checked gate (r16 verdict #6) — tk06's unigram-LM

@@ -35,6 +35,48 @@ object PipelineOps {
   private def embs(s: SparkSession, d: String): DataFrame =
     fanOut(Tables.load(s, d, "embeddings"))
 
+  // dd16/dd17 shared planted fixtures: the same 14-token straddling
+  // span, sub-threshold 10-token run, and in-doc 13-token repeat feed
+  // BOTH the detection gate and the cut gate (dd17's contract is
+  // "same planted corpus as dd16"), so the coupling is structural,
+  // not copy-paste. The SQL fragment is the same plants as a VALUES
+  // block plus the detection CTEs (tokens → sliding 12-grams →
+  // duplicated grams), shared verbatim by both oracles.
+  private val plantedDedupDocs: Seq[(Long, String)] = {
+    val s14 = (1 to 14).map(i => s"zqs$i").mkString(" ")
+    val t10 = (1 to 10).map(i => s"zqt$i").mkString(" ")
+    val r13 = (1 to 13).map(i => s"zqr$i").mkString(" ")
+    Seq(
+      (900001L, s"zqa1 zqa2 zqa3 zqa4 zqa5 $s14 zqa6 zqa7"),
+      (900002L, s"zqb1 zqb2 $s14 zqb3 zqb4 zqb5 zqb6"),
+      (900003L, s"zqc1 zqc2 zqc3 $t10 zqc4 zqc5"),
+      (900004L, s"zqd1 $t10 zqd2 zqd3 zqd4"),
+      (900005L, s"$r13 zqe1 $r13"))
+  }
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text"))
+      .unionAll(plantedDedupDocs.toDF("doc_id", "text"))
+  }
+  private val exactSubstrOracleCtes: String = {
+    val values = plantedDedupDocs
+      .map { case (id, t) => s"($id, '$t')" }.mkString(",\n               ")
+    s"""WITH planted(doc_id, text) AS (VALUES
+               $values),
+             corpus AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
+             toks AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS tk
+               FROM corpus),
+             st AS (SELECT doc_id, tk,
+                 unnest(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
+                        ELSE CAST([] AS BIGINT[]) END) AS s
+               FROM toks),
+             grams AS (SELECT doc_id, s,
+                 md5(array_to_string(tk[s + 1:s + 12], ' ')) AS gh FROM st),
+             dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2)"""
+  }
+
   // tx07 fixture — explicit \u-escaped literals so source-encoding
   // drift is impossible; the SAME strings are interpolated into the
   // oracle's VALUES list, so both engines normalize byte-identical
@@ -1345,41 +1387,11 @@ object PipelineOps {
     // separated by one token (two spans, not one — the island merge
     // must not bridge the gap).
     NamedQuery("dd16_exact_substring",
-      (s, d) => {
-        import s.implicits._
-        val s14 = (1 to 14).map(i => s"zqs$i").mkString(" ")
-        val t10 = (1 to 10).map(i => s"zqt$i").mkString(" ")
-        val r13 = (1 to 13).map(i => s"zqr$i").mkString(" ")
-        val planted = Seq(
-          (900001L, s"zqa1 zqa2 zqa3 zqa4 zqa5 $s14 zqa6 zqa7"),
-          (900002L, s"zqb1 zqb2 $s14 zqb3 zqb4 zqb5 zqb6"),
-          (900003L, s"zqc1 zqc2 zqc3 $t10 zqc4 zqc5"),
-          (900004L, s"zqd1 $t10 zqd2 zqd3 zqd4"),
-          (900005L, s"$r13 zqe1 $r13")
-        ).toDF("doc_id", "text")
-        val corpus = docs(s, d).select(col("doc_id"), col("text"))
-          .unionAll(planted)
-        Dedup.exactSubstringSpans(corpus, minSpan = 12, minCount = 2)
-          .orderBy("doc_id", "span_start")
-      },
-      Some("""WITH planted(doc_id, text) AS (VALUES
-               (900001, 'zqa1 zqa2 zqa3 zqa4 zqa5 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqa6 zqa7'),
-               (900002, 'zqb1 zqb2 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqb3 zqb4 zqb5 zqb6'),
-               (900003, 'zqc1 zqc2 zqc3 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqc4 zqc5'),
-               (900004, 'zqd1 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqd2 zqd3 zqd4'),
-               (900005, 'zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13 zqe1 zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13')),
-             corpus AS (SELECT doc_id, text FROM documents
-               UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
-             toks AS (SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
-               FROM corpus),
-             st AS (SELECT doc_id, tk,
-                 unnest(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
-                        ELSE CAST([] AS BIGINT[]) END) AS s
-               FROM toks),
-             grams AS (SELECT doc_id, s,
-                 md5(array_to_string(tk[s + 1:s + 12], ' ')) AS gh FROM st),
-             dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+      (s, d) =>
+        Dedup.exactSubstringSpans(plantedCorpus(s, d), minSpan = 12,
+            minCount = 2)
+          .orderBy("doc_id", "span_start"),
+      Some(exactSubstrOracleCtes + """,
              hits AS (SELECT doc_id, s FROM grams JOIN dup USING (gh)),
              isl AS (SELECT doc_id, s,
                  CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 12
@@ -1402,43 +1414,13 @@ object PipelineOps {
     // and the rebuilt text (md5-pinned), so the surgery is gated, not
     // just the detection.
     NamedQuery("dd17_exact_substring_cut",
-      (s, d) => {
-        import s.implicits._
-        val s14 = (1 to 14).map(i => s"zqs$i").mkString(" ")
-        val t10 = (1 to 10).map(i => s"zqt$i").mkString(" ")
-        val r13 = (1 to 13).map(i => s"zqr$i").mkString(" ")
-        val planted = Seq(
-          (900001L, s"zqa1 zqa2 zqa3 zqa4 zqa5 $s14 zqa6 zqa7"),
-          (900002L, s"zqb1 zqb2 $s14 zqb3 zqb4 zqb5 zqb6"),
-          (900003L, s"zqc1 zqc2 zqc3 $t10 zqc4 zqc5"),
-          (900004L, s"zqd1 $t10 zqd2 zqd3 zqd4"),
-          (900005L, s"$r13 zqe1 $r13")
-        ).toDF("doc_id", "text")
-        val corpus = docs(s, d).select(col("doc_id"), col("text"))
-          .unionAll(planted)
-        Dedup.dropExactSubstrings(corpus, minSpan = 12, minCount = 2)
+      (s, d) =>
+        Dedup.dropExactSubstrings(plantedCorpus(s, d), minSpan = 12,
+            minCount = 2)
           .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
             md5(col("clean_text")).as("clean_hash"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH planted(doc_id, text) AS (VALUES
-               (900001, 'zqa1 zqa2 zqa3 zqa4 zqa5 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqa6 zqa7'),
-               (900002, 'zqb1 zqb2 zqs1 zqs2 zqs3 zqs4 zqs5 zqs6 zqs7 zqs8 zqs9 zqs10 zqs11 zqs12 zqs13 zqs14 zqb3 zqb4 zqb5 zqb6'),
-               (900003, 'zqc1 zqc2 zqc3 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqc4 zqc5'),
-               (900004, 'zqd1 zqt1 zqt2 zqt3 zqt4 zqt5 zqt6 zqt7 zqt8 zqt9 zqt10 zqd2 zqd3 zqd4'),
-               (900005, 'zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13 zqe1 zqr1 zqr2 zqr3 zqr4 zqr5 zqr6 zqr7 zqr8 zqr9 zqr10 zqr11 zqr12 zqr13')),
-             corpus AS (SELECT doc_id, text FROM documents
-               UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
-             toks AS (SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
-               FROM corpus),
-             st AS (SELECT doc_id, tk,
-                 unnest(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
-                        ELSE CAST([] AS BIGINT[]) END) AS s
-               FROM toks),
-             grams AS (SELECT doc_id, s,
-                 md5(array_to_string(tk[s + 1:s + 12], ' ')) AS gh FROM st),
-             dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+          .orderBy("doc_id"),
+      Some(exactSubstrOracleCtes + """,
              cov AS (SELECT DISTINCT doc_id, p FROM
                      (SELECT g.doc_id, unnest(range(g.s, g.s + 12)) AS p
                       FROM grams g JOIN dup USING (gh))),
