@@ -548,30 +548,46 @@ object Dedup {
 
   /** Hamming-radius pairs over an ARBITRARY 64-bit signature column —
     * simhashPairs' Manku slice-blocking generalized past text: block
-    * on `numSlices` equal bit-slices of the signature (pigeonhole:
-    * hamming ≤ numSlices-1 guarantees one agreeing slice, so the
-    * operator is EXACT at that radius), verify exact bit_count(xor) on
+    * on combinations of `sliceArity` of the `numSlices` equal
+    * bit-slices (pigeonhole: hamming ≤ r flips ≤ r slices, so
+    * ≥ numSlices−r agree, and some arity-subset agrees whenever
+    * numSlices − r ≥ sliceArity — the operator is EXACT at radius
+    * numSlices − sliceArity), then verify exact bit_count(xor) on
     * candidates. The image near-dup pipeline (mm12) feeds perceptual
     * dhashes through this; any other 64-bit sketch works the same.
-    * numSlices=16 (4-bit slices) is exact to radius 15 at a
-    * 16 × 2^4-bucket-universe cost per signature — the right trade
-    * for perceptual hashes where near-dups sit at distance ~8.
-    * Over-`maxBucket` buckets are dropped (quadratic guard) and
-    * counted via `graft.hamming.drops`.
+    *
+    * sliceArity is the corpus-size dial: arity 1 with 4-bit slices
+    * has only numSlices × 2^4 = 256 buckets — fine at fixture scale,
+    * but at a billion images every bucket holds millions and the
+    * maxBucket guard would drop nearly everything. Raising arity
+    * multiplies the key space (arity 2 → C(16,2) × 2^8 ≈ 31k buckets,
+    * arity 3 → C(16,3) × 2^12 ≈ 2.3M) at C(numSlices, arity) emitted
+    * keys per row — the standard multi-index-hashing trade: a wider,
+    * shallower bucket universe bought with a bounded row fan-out,
+    * exactness preserved (radius 13 at 16/3). Over-`maxBucket`
+    * buckets are still dropped (quadratic guard) and counted via
+    * `graft.hamming.drops`.
     */
   def hammingPairs64(df: DataFrame, hash: Column, maxHamming: Int = 8,
                      maxBucket: Int = 10000,
-                     numSlices: Int = 16): DataFrame = {
+                     numSlices: Int = 16,
+                     sliceArity: Int = 1): DataFrame = {
     require(numSlices > 1 && 64 % numSlices == 0,
       s"numSlices must divide 64: $numSlices")
+    require(sliceArity >= 1 && sliceArity <= numSlices - maxHamming,
+      s"sliceArity $sliceArity breaks exactness at radius $maxHamming " +
+        s"with $numSlices slices (need arity ≤ ${numSlices - maxHamming})")
     registerOn(df)
     val w = 64 / numSlices
     val mask = if (w == 64) -1L else (1L << w) - 1
     val base = df.select(col("doc_id"), hash.cast("long").as("__h"))
+    def sliceVal(i: Int) = shiftright(col("__h"), i * w)
+      .bitwiseAND(lit(mask)).cast("string")
+    val combos = (0 until numSlices).combinations(sliceArity).toSeq
     val sliced = base.select(col("doc_id"), col("__h"),
-      explode(array((0 until numSlices).map(i =>
-        concat(lit(s"S$i|"), shiftright(col("__h"), i * w)
-          .bitwiseAND(lit(mask)).cast("string"))): _*)).as("slice"))
+      explode(array(combos.map(c =>
+        concat((lit(s"S${c.mkString("_")}|") +:
+          c.flatMap(i => Seq(sliceVal(i), lit(".")))): _*)): _*)).as("slice"))
     OpsMetrics.guarded(
       sliced
         .groupBy(col("slice"))

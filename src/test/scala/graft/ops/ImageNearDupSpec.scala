@@ -17,7 +17,7 @@ class ImageNearDupSpec extends AnyFunSuite {
       val v = f(x, y); Seq(v.toByte, v.toByte, v.toByte) })
   }
 
-  test("hammingPairs64 is exact at radius ≤ numSlices-1 (vs brute force)") {
+  test("hammingPairs64 is exact at radius ≤ numSlices-arity (vs brute force)") {
     import spark.implicits._
     // 64 signatures engineered around the radius: base values plus
     // perturbations at distances 1..16 from a few anchors
@@ -28,16 +28,28 @@ class ImageNearDupSpec extends AnyFunSuite {
     }
     val df = sigs.toDF("doc_id", "h")
     val r = 8
-    val got = Dedup.hammingPairs64(df, col("h"), maxHamming = r,
-        maxBucket = 100000, numSlices = 16)
-      .select("id_a", "id_b").collect()
-      .map(x => (x.getLong(0), x.getLong(1))).toSet
     val brute = (for {
       (i, a) <- sigs; (j, b) <- sigs
       if i < j && java.lang.Long.bitCount(a ^ b) <= r
     } yield (i, j)).toSet
-    assert(got == brute,
-      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // exact at every arity the pigeonhole admits (numSlices - r = 8):
+    // arity 1 is the fixture-scale form, arity 2/3 the wider bucket
+    // universes a billion-signature corpus needs
+    for (arity <- Seq(1, 2, 3)) {
+      val got = Dedup.hammingPairs64(df, col("h"), maxHamming = r,
+          maxBucket = 100000, numSlices = 16, sliceArity = arity)
+        .select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == brute,
+        s"arity $arity: missing=${(brute -- got).take(5)} " +
+          s"extra=${(got -- brute).take(5)}")
+    }
+    // an arity past the pigeonhole bound is refused, not silently lossy
+    val err = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(df, col("h"), maxHamming = r,
+        numSlices = 16, sliceArity = 9)
+    }
+    assert(err.getMessage.contains("exactness"))
   }
 
   test("pipeline clusters renditions, isolates strangers, survives bad bytes") {
