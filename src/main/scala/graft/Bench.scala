@@ -320,7 +320,11 @@ object Bench {
     // if individually noisier) and engine_total is the PASS WALL, not
     // the per-gate sum. Gates are mutually isolated (own temp
     // warehouses/dirs, unique memory-sink names, thread-safe
-    // Tables.load + synchronized function registry). Between-gate
+    // Tables.load + synchronized function registry; the S3 gates
+    // scope endpoint+credentials to per-invocation
+    // fs.s3a.bucket.<nonce>.* namespaces — the r18 im21/im23
+    // global-hadoopConfiguration race is closed, and
+    // S3GateIsolationSpec replays the collision). Between-gate
     // cache cleanup is deliberately SKIPPED inside the pass — a
     // concurrent clearCache would destroy another in-flight gate's
     // localCheckpoint blocks irrecoverably (their lineage is

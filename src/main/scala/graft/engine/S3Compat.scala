@@ -28,6 +28,14 @@ import org.apache.hadoop.util.Progressable
   * credentialed ingest surface the reference drives through its aws
   * package (Lagoon/Ingest.hs:542-547). Unset keys mean unsigned
   * requests against open endpoints, as before.
+  *
+  * Config is resolved PER BUCKET first — `fs.s3a.bucket.<name>.<suffix>`
+  * overrides the global `fs.s3a.<suffix>` for endpoint/credentials/
+  * region, the same override scheme hadoop-aws documents for S3A. This
+  * is what makes concurrent callers safe on one shared Hadoop
+  * configuration: two jobs talking to different buckets each write only
+  * their own `fs.s3a.bucket.<name>.*` keys and never race on a global
+  * endpoint or secret (the r18 im21/im23 bench race).
   */
 class S3CompatFileSystem extends FileSystem {
   private var fsUri: URI = _
@@ -42,15 +50,21 @@ class S3CompatFileSystem extends FileSystem {
     setConf(conf)
     fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
     bucket = uri.getAuthority
-    endpoint = conf.getTrimmed("fs.s3a.endpoint", "")
+    // per-bucket key wins; global key is the fallback
+    def resolved(suffix: String, default: String = ""): String = {
+      val b = conf.getTrimmed(S3CompatFileSystem.bucketKey(bucket, suffix), "")
+      if (b.nonEmpty) b else conf.getTrimmed(s"fs.s3a.$suffix", default)
+    }
+    endpoint = resolved("endpoint")
     require(endpoint.nonEmpty,
-      "fs.s3a.endpoint must be set for the S3-compat filesystem")
+      s"fs.s3a.endpoint (or fs.s3a.bucket.$bucket.endpoint) must be set " +
+        "for the S3-compat filesystem")
     if (!endpoint.contains("://")) endpoint = s"http://$endpoint"
     workDir = new Path(s"${uri.getScheme}://$bucket/")
-    val ak = conf.getTrimmed("fs.s3a.access.key", "")
-    val sk = conf.getTrimmed("fs.s3a.secret.key", "")
+    val ak = resolved("access.key")
+    val sk = resolved("secret.key")
     creds = if (ak.nonEmpty && sk.nonEmpty) Some((ak, sk)) else None
-    region = conf.getTrimmed("fs.s3a.endpoint.region", "us-east-1")
+    region = resolved("endpoint.region", "us-east-1")
   }
 
   /** SigV4 headers for one request, or empty when unauthenticated.
@@ -304,6 +318,45 @@ class S3CompatFileSystem extends FileSystem {
   }
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+}
+
+/** Configuration helpers for the s3a filesystem. The contract that
+  * makes concurrent gates safe on one shared Hadoop configuration:
+  * `register` writes only CONSTANT values (idempotent — concurrent
+  * registrations write identical bytes and are never unset), and each
+  * caller then scopes endpoint/credentials to its own bucket via
+  * `configureBucket`/`clearBucket`, so no caller ever mutates a key
+  * another caller reads.
+  */
+object S3CompatFileSystem {
+  def bucketKey(bucket: String, suffix: String): String =
+    s"fs.s3a.bucket.$bucket.$suffix"
+
+  /** Session-wide, constant-valued registration of the s3a scheme.
+    * Never restored: the values are the same for every caller, so a
+    * concurrent writer is writing what is already there. Caching is
+    * disabled because credentials may legitimately change between
+    * opens of the same bucket (the tampered-secret DENY gates).
+    */
+  def register(hc: Configuration): Unit = {
+    hc.set("fs.s3a.impl", classOf[S3CompatFileSystem].getName)
+    hc.set("fs.s3a.impl.disable.cache", "true")
+  }
+
+  /** Scope an endpoint (and optional credentials) to one bucket. */
+  def configureBucket(hc: Configuration, bucket: String, endpoint: String,
+                      creds: Option[(String, String)] = None): Unit = {
+    hc.set(bucketKey(bucket, "endpoint"), endpoint)
+    creds.foreach { case (ak, sk) =>
+      hc.set(bucketKey(bucket, "access.key"), ak)
+      hc.set(bucketKey(bucket, "secret.key"), sk)
+    }
+  }
+
+  /** Remove every per-bucket key `configureBucket` may have written. */
+  def clearBucket(hc: Configuration, bucket: String): Unit =
+    Seq("endpoint", "access.key", "secret.key", "endpoint.region")
+      .foreach(s => hc.unset(bucketKey(bucket, s)))
 }
 
 /** Seekable HTTP reader with BOUNDED readahead ranges: each request

@@ -122,10 +122,21 @@ object SigV4 {
     * Authorization header, recomputes the signature from the request
     * as received, and checks the claimed payload hash against the
     * actual body. Returns Left(reason) on any mismatch — fail closed.
+    *
+    * Fail-closed beyond the signature itself: UNSIGNED-PAYLOAD is
+    * REJECTED (a signer claiming it would bind the signature to no
+    * body at all, so any body would verify — body integrity here is
+    * only ever signature-backed), and x-amz-date must be within
+    * `maxSkewSeconds` of `now` (real S3's ~15-minute window; a
+    * captured request cannot replay indefinitely). `now` is
+    * injectable so specs can pin the clock.
     */
   def verifyRequest(method: String, rawPath: String, rawQuery: String,
                     header: String => Option[String], body: Array[Byte],
-                    expectAccessKey: String, secretKey: String): Either[String, Unit] = {
+                    expectAccessKey: String, secretKey: String,
+                    maxSkewSeconds: Long = 900L,
+                    now: () => java.time.Instant =
+                      () => java.time.Instant.now()): Either[String, Unit] = {
     val auth = header("Authorization").getOrElse("")
     if (!auth.startsWith("AWS4-HMAC-SHA256 "))
       return Left("missing or non-SigV4 Authorization header")
@@ -146,9 +157,22 @@ object SigV4 {
     val amzDate = header("x-amz-date").getOrElse("")
     if (!amzDate.startsWith(dateStamp))
       return Left("x-amz-date does not match credential scope date")
+    val reqInstant =
+      try java.time.Instant.from(java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .parse(amzDate))
+      catch { case _: RuntimeException =>
+        return Left(s"unparseable x-amz-date '$amzDate'") }
+    val skew = math.abs(java.time.Duration.between(reqInstant, now())
+      .getSeconds)
+    if (skew > maxSkewSeconds)
+      return Left(s"x-amz-date is ${skew}s from server time " +
+        s"(allowed ${maxSkewSeconds}s) — request expired or replayed")
     val claimedSha = header("x-amz-content-sha256").getOrElse("")
-    if (claimedSha != "UNSIGNED-PAYLOAD" &&
-      claimedSha != sha256Hex(body))
+    if (claimedSha == "UNSIGNED-PAYLOAD")
+      return Left("UNSIGNED-PAYLOAD is not accepted: the body would be " +
+        "outside the signature")
+    if (claimedSha != sha256Hex(body))
       return Left("payload hash does not match body")
     val hmap = signedNames.map(n => n -> header(n).getOrElse("").trim).toMap
     val expect = signature(method, rawPath, rawQuery, hmap, signedNames,

@@ -566,18 +566,20 @@ object EngineOps {
       (s, _) => {
         val s3 = new graft.engine.S3Loopback
         val hc = s.sparkContext.hadoopConfiguration
-        val s3Keys = Seq("fs.s3a.impl", "fs.s3a.endpoint",
-          "fs.s3a.impl.disable.cache")
-        val s3Prev = s3Keys.map(k => k -> Option(hc.get(k)))
-        hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
-        hc.set("fs.s3a.endpoint", s3.endpoint)
-        hc.set("fs.s3a.impl.disable.cache", "true")
+        // Concurrency contract (the r18 bench race): the only global
+        // keys touched are register()'s constants; everything gate-
+        // specific lives under this INVOCATION's own bucket namespace
+        // (fs.s3a.bucket.im21-<nonce>.*), which nothing else reads —
+        // the nonce makes the gate reentrant even against itself.
+        val bucket = s"im21-${java.lang.Long.toHexString(System.nanoTime())}"
+        graft.engine.S3CompatFileSystem.register(hc)
+        graft.engine.S3CompatFileSystem.configureBucket(hc, bucket, s3.endpoint)
         try {
-          s3.put("my-bucket", "simple file.csv", "Foo\nTRUE\n".getBytes("UTF-8"))
-          s3.put("my-bucket", "many-json-numbers.json",
+          s3.put(bucket, "simple file.csv", "Foo\nTRUE\n".getBytes("UTF-8"))
+          s3.put(bucket, "many-json-numbers.json",
             (1 to 1000).map(_.toString).mkString(" ").getBytes("UTF-8"))
-          val csv = Ingest.csv(s, "s3a://my-bucket/simple file.csv")
-          val js = Ingest.json(s, "s3a://my-bucket/many-json-numbers.json")
+          val csv = Ingest.csv(s, s"s3a://$bucket/simple file.csv")
+          val js = Ingest.json(s, s"s3a://$bucket/many-json-numbers.json")
           val cat = new Catalog(s, Files.createTempDirectory("graft-s3-wh").toString)
           val entry = cat.ingest("simple file.csv", csv, "csv",
             addedBy = "edsko", created = Some("2016-10-01T12:00:00Z"))
@@ -590,9 +592,9 @@ object EngineOps {
               js.colTypes.map(_.displayName).mkString(","), "-")))
         } finally {
           s3.stop()
-          // restore the session's s3a keys (a leftover endpoint at the
-          // stopped loopback would poison later s3a error paths)
-          s3Prev.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+          // drop this gate's bucket namespace (a leftover endpoint at
+          // the stopped loopback would poison a same-bucket retry)
+          graft.engine.S3CompatFileSystem.clearBucket(hc, bucket)
         }
       },
       Some("""SELECT * FROM (VALUES
@@ -614,19 +616,20 @@ object EngineOps {
         val s3 = new graft.engine.S3Loopback(
           credentials = Some(("GRAFTKEY", "graft-secret")))
         val hc = s.sparkContext.hadoopConfiguration
-        val s3Keys = Seq("fs.s3a.impl", "fs.s3a.endpoint",
-          "fs.s3a.impl.disable.cache", "fs.s3a.access.key", "fs.s3a.secret.key")
-        val s3Prev = s3Keys.map(k => k -> Option(hc.get(k)))
-        hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
-        hc.set("fs.s3a.endpoint", s3.endpoint)
-        hc.set("fs.s3a.impl.disable.cache", "true")
-        hc.set("fs.s3a.access.key", "GRAFTKEY")
-        hc.set("fs.s3a.secret.key", "graft-secret")
+        // Same concurrency contract as im21: global writes are
+        // register()'s constants only; endpoint AND credentials —
+        // including the mid-gate wrong-secret swap below — live under
+        // this invocation's fs.s3a.bucket.im23-<nonce>.* namespace,
+        // invisible to every other gate and to concurrent replays.
+        val bucket = s"im23-${java.lang.Long.toHexString(System.nanoTime())}"
+        graft.engine.S3CompatFileSystem.register(hc)
+        graft.engine.S3CompatFileSystem.configureBucket(hc, bucket,
+          s3.endpoint, creds = Some(("GRAFTKEY", "graft-secret")))
         try {
           // seed objects with SIGNED PUTs through the client itself
           val csvBytes = "Foo\nTRUE\n".getBytes("UTF-8")
           def signedPut(key: String, bytes: Array[Byte]): Int = {
-            val url = s"${s3.endpoint}/my-bucket/" + key.split("/", -1)
+            val url = s"${s3.endpoint}/$bucket/" + key.split("/", -1)
               .map(java.net.URLEncoder.encode(_, "UTF-8").replace("+", "%20"))
               .mkString("/")
             val c = new java.net.URL(url).openConnection()
@@ -640,23 +643,24 @@ object EngineOps {
             c.getResponseCode
           }
           val putRc = signedPut("simple file.csv", csvBytes)
-          val csv = Ingest.csv(s, "s3a://my-bucket/simple file.csv")
+          val csv = Ingest.csv(s, s"s3a://$bucket/simple file.csv")
           val cat = new Catalog(s, Files.createTempDirectory("graft-s3s-wh").toString)
           val entry = cat.ingest("simple file.csv", csv, "csv",
             addedBy = "edsko", created = Some("2016-10-01T12:00:00Z"))
           val signedOk = s3.deniedCount == 0L
           // unsigned request → 403 (fail closed)
           val unsignedRc = {
-            val c = new java.net.URL(s"${s3.endpoint}/my-bucket/simple%20file.csv")
+            val c = new java.net.URL(s"${s3.endpoint}/$bucket/simple%20file.csv")
               .openConnection().asInstanceOf[java.net.HttpURLConnection]
             c.getResponseCode
           }
           // wrong secret → every request 403s and the read errors
-          hc.set("fs.s3a.secret.key", "wrong-secret")
-          hc.set("fs.s3a.impl.disable.cache", "true")
+          // (this gate's own bucket key — other gates never read it)
+          hc.set(graft.engine.S3CompatFileSystem.bucketKey(bucket, "secret.key"),
+            "wrong-secret")
           val d0 = s3.deniedCount
           val tamperedDenied =
-            try { Ingest.csv(s, "s3a://my-bucket/simple file.csv"); false }
+            try { Ingest.csv(s, s"s3a://$bucket/simple file.csv"); false }
             catch { case _: Exception => s3.deniedCount > d0 }
           rowsDf(s, Seq("check", "value"), Seq(
             Seq("ingested_rows", csv.untyped.count().toString),
@@ -668,7 +672,7 @@ object EngineOps {
             Seq("view", entry.viewName)))
         } finally {
           s3.stop()
-          s3Prev.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+          graft.engine.S3CompatFileSystem.clearBucket(hc, bucket)
         }
       },
       Some("""SELECT * FROM (VALUES

@@ -1,0 +1,71 @@
+package graft.engine
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The r18 bench defect, pinned: `BENCH_r18.json` recorded
+  * `errors:["im21_s3_ingest"]` because im21 and im23 both mutated the
+  * session-global `fs.s3a.endpoint`/`secret.key` while the bench's
+  * engine pass ran gates 8-way concurrent — im23's mid-gate
+  * wrong-secret swap landed inside im21's read. The fix scopes every
+  * gate-specific key under `fs.s3a.bucket.<name>.*` (distinct bucket
+  * per gate), with only constant-valued registration left global.
+  * This spec replays the exact collision shape: both S3 gates run
+  * concurrently, repeatedly, in one SparkSession, and every iteration
+  * must return its full oracle row set with zero errors.
+  */
+class S3GateIsolationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("im21 ∥ im23 concurrent × 4: no cross-gate config interference") {
+    val qs = graft.SparkEntry.queries
+    val im21 = qs("im21_s3_ingest")
+    val im23 = qs("im23_s3_signed_ingest")
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val rounds = 4
+      val futures = (1 to rounds).flatMap { _ =>
+        Seq(
+          Future {
+            val rows = im21(spark, "").collect()
+            assert(rows.length == 2, s"im21 returned ${rows.length} rows")
+            // the BOOLEAN inference survived — the read was not poisoned
+            // by im23's endpoint or wrong-secret swap
+            assert(rows.exists(r => r.getString(0) == "simple file.csv" &&
+              r.getString(3) == "BOOLEAN"))
+          },
+          Future {
+            val rows = im23(spark, "").collect()
+              .map(r => r.getString(0) -> r.getString(1)).toMap
+            assert(rows("signed_requests_denied") == "0",
+              "a correctly-signed im23 request was denied")
+            assert(rows("tampered_read_denied") == "1",
+              "im23's wrong-secret read was not denied")
+            assert(rows("unsigned_rc") == "403")
+          })
+      }
+      // sequential Await over an already-running batch: total wall is
+      // the slowest iteration, and every failure surfaces
+      futures.foreach(Await.result(_, 120.seconds))
+      // neither gate leaked bucket config into the shared session:
+      // every invocation's fs.s3a.bucket.<nonce>.* namespace is gone
+      val hc = spark.sparkContext.hadoopConfiguration
+      val leaked = {
+        import scala.jdk.CollectionConverters._
+        hc.iterator().asScala.map(_.getKey)
+          .filter(k => k.startsWith("fs.s3a.bucket.im21-") ||
+            k.startsWith("fs.s3a.bucket.im23-")).toSeq
+      }
+      assert(leaked.isEmpty, s"bucket keys leaked past finally: $leaked")
+      assert(hc.get("fs.s3a.endpoint") == null,
+        "a gate wrote the GLOBAL endpoint key")
+      assert(hc.get("fs.s3a.secret.key") == null,
+        "a gate wrote the GLOBAL secret key")
+    } finally pool.shutdown()
+  }
+}

@@ -15,19 +15,18 @@ class S3IngestSpec extends AnyFunSuite {
   private def withS3(f: (S3Loopback, String) => Unit): Unit = {
     val s3 = new S3Loopback
     val hc = spark.sparkContext.hadoopConfiguration
-    val keys = Seq("fs.s3a.impl", "fs.s3a.endpoint", "fs.s3a.impl.disable.cache")
-    val before = keys.map(k => k -> Option(hc.get(k)))
-    hc.set("fs.s3a.impl", classOf[S3CompatFileSystem].getName)
-    hc.set("fs.s3a.endpoint", s3.endpoint)
-    // per-endpoint FS instances must not be reused across tests
-    hc.set("fs.s3a.impl.disable.cache", "true")
+    // per-bucket scoping (the same contract the gates use): only
+    // register()'s constant keys are global; the endpoint lives under
+    // fs.s3a.bucket.my-bucket.* so concurrent suites never race
+    S3CompatFileSystem.register(hc)
+    S3CompatFileSystem.configureBucket(hc, "my-bucket", s3.endpoint)
     try f(s3, s3.endpoint)
     finally {
       s3.stop()
-      // restore ALL keys: a leftover impl+endpoint pointing at the
-      // stopped loopback would turn other suites' s3a error-path
-      // assertions into Connection refused
-      before.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+      // a leftover endpoint pointing at the stopped loopback would
+      // turn later same-bucket error-path assertions into
+      // Connection refused
+      S3CompatFileSystem.clearBucket(hc, "my-bucket")
     }
   }
 
@@ -100,14 +99,9 @@ class S3IngestSpec extends AnyFunSuite {
   test("SigV4-authenticated endpoint: signed ingest round-trips, bad creds get 403") {
     val s3 = new S3Loopback(credentials = Some(("GRAFTKEY", "graft-secret")))
     val hc = spark.sparkContext.hadoopConfiguration
-    val keys = Seq("fs.s3a.impl", "fs.s3a.endpoint", "fs.s3a.impl.disable.cache",
-      "fs.s3a.access.key", "fs.s3a.secret.key")
-    val before = keys.map(k => k -> Option(hc.get(k)))
-    hc.set("fs.s3a.impl", classOf[S3CompatFileSystem].getName)
-    hc.set("fs.s3a.endpoint", s3.endpoint)
-    hc.set("fs.s3a.impl.disable.cache", "true")
-    hc.set("fs.s3a.access.key", "GRAFTKEY")
-    hc.set("fs.s3a.secret.key", "graft-secret")
+    S3CompatFileSystem.register(hc)
+    S3CompatFileSystem.configureBucket(hc, "auth-bucket", s3.endpoint,
+      creds = Some(("GRAFTKEY", "graft-secret")))
     try {
       import spark.implicits._
       // every request in this block is signed: PUT (via ingest write),
@@ -135,7 +129,8 @@ class S3IngestSpec extends AnyFunSuite {
         s"a signed request was rejected: ${s3.deniedCount}")
 
       // tampering: wrong secret → every request 403s and the read fails
-      hc.set("fs.s3a.secret.key", "wrong-secret")
+      hc.set(S3CompatFileSystem.bucketKey("auth-bucket", "secret.key"),
+        "wrong-secret")
       val d0 = s3.deniedCount
       val err = intercept[Exception] {
         spark.read.parquet("s3a://auth-bucket/t").count()
@@ -148,7 +143,32 @@ class S3IngestSpec extends AnyFunSuite {
       assert(uc.getResponseCode == 403)
     } finally {
       s3.stop()
-      before.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+      S3CompatFileSystem.clearBucket(hc, "auth-bucket")
+    }
+  }
+
+  test("per-bucket config: two buckets resolve distinct endpoints and creds") {
+    val open = new S3Loopback
+    val auth = new S3Loopback(credentials = Some(("K2", "sec2")))
+    val hc = spark.sparkContext.hadoopConfiguration
+    S3CompatFileSystem.register(hc)
+    S3CompatFileSystem.configureBucket(hc, "open-b", open.endpoint)
+    S3CompatFileSystem.configureBucket(hc, "auth-b", auth.endpoint,
+      creds = Some(("K2", "sec2")))
+    try {
+      open.put("open-b", "a.csv", "x\n2\n".getBytes("UTF-8"))
+      auth.put("auth-b", "b.csv", "y\n3\n".getBytes("UTF-8"))
+      // each URI routes to ITS endpoint with ITS credentials — the
+      // global fs.s3a.endpoint/access.key/secret.key stay unset
+      assert(Ingest.csv(spark, "s3a://open-b/a.csv").view.count() == 1)
+      assert(Ingest.csv(spark, "s3a://auth-b/b.csv").view.count() == 1)
+      assert(auth.deniedCount == 0)
+      assert(hc.get("fs.s3a.endpoint") == null)
+      assert(hc.get("fs.s3a.secret.key") == null)
+    } finally {
+      open.stop(); auth.stop()
+      S3CompatFileSystem.clearBucket(hc, "open-b")
+      S3CompatFileSystem.clearBucket(hc, "auth-b")
     }
   }
 

@@ -92,4 +92,42 @@ class SigV4Spec extends AnyFunSuite {
     assert(SigV4.verifyRequest("PUT", "/my-bucket/data.csv", null,
       hdr(signed), body, "SOMEONE", Sk).left.exists(_.contains("access key")))
   }
+
+  test("verifier rejects UNSIGNED-PAYLOAD (body outside the signature)") {
+    val body = "col\n1\n".getBytes(UTF_8)
+    val url = "http://127.0.0.1:9999/my-bucket/data.csv"
+    // a signer that legitimately signs the UNSIGNED-PAYLOAD sentinel:
+    // its signature verifies, but the verifier must still refuse —
+    // otherwise ANY body (here a swapped one) passes as intact
+    val signed = SigV4.signRequest("PUT", url, Nil,
+      "UNSIGNED-PAYLOAD", Ak, Sk, "us-east-1").toMap +
+      ("Host" -> "127.0.0.1:9999")
+    def hdr(n: String): Option[String] =
+      signed.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+    assert(SigV4.verifyRequest("PUT", "/my-bucket/data.csv", null,
+      hdr, "TAMPERED".getBytes(UTF_8), Ak, Sk)
+      .left.exists(_.contains("UNSIGNED-PAYLOAD")))
+  }
+
+  test("verifier rejects stale x-amz-date (replay window)") {
+    val body = "col\n1\n".getBytes(UTF_8)
+    val url = "http://127.0.0.1:9999/my-bucket/data.csv"
+    val signedAt = java.time.Instant.parse("2026-01-01T12:00:00Z")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val signed = SigV4.signRequest("PUT", url, Nil,
+      SigV4.sha256Hex(body), Ak, Sk, "us-east-1",
+      amzDate = fmt.format(signedAt)).toMap + ("Host" -> "127.0.0.1:9999")
+    def hdr(n: String): Option[String] =
+      signed.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+    def at(t: java.time.Instant) =
+      SigV4.verifyRequest("PUT", "/my-bucket/data.csv", null,
+        hdr, body, Ak, Sk, now = () => t)
+    // inside the 15-minute window (either direction): accepted
+    assert(at(signedAt.plusSeconds(600)).isRight)
+    assert(at(signedAt.minusSeconds(600)).isRight)
+    // a capture replayed an hour later: denied
+    assert(at(signedAt.plusSeconds(3600))
+      .left.exists(_.contains("expired or replayed")))
+  }
 }

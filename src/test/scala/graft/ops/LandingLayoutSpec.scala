@@ -147,11 +147,9 @@ class LandingLayoutSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val s3 = new graft.engine.S3Loopback
     val hc = spark.sparkContext.hadoopConfiguration
-    val keys = Seq("fs.s3a.impl", "fs.s3a.endpoint", "fs.s3a.impl.disable.cache")
-    val before = keys.map(k => k -> Option(hc.get(k)))
-    hc.set("fs.s3a.impl", classOf[graft.engine.S3CompatFileSystem].getName)
-    hc.set("fs.s3a.endpoint", s3.endpoint)
-    hc.set("fs.s3a.impl.disable.cache", "true")
+    graft.engine.S3CompatFileSystem.register(hc)
+    graft.engine.S3CompatFileSystem.configureBucket(hc, "landing-bucket",
+      s3.endpoint)
     val oldBlock = hc.get("parquet.block.size", null)
     hc.set("parquet.block.size", "65536")
     try {
@@ -181,7 +179,7 @@ class LandingLayoutSpec extends AnyFunSuite {
       s3.stop()
       if (oldBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", oldBlock)
-      before.foreach { case (k, v) => v.fold(hc.unset(k))(hc.set(k, _)) }
+      graft.engine.S3CompatFileSystem.clearBucket(hc, "landing-bucket")
     }
   }
 
