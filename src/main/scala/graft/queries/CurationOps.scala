@@ -99,11 +99,15 @@ object CurationOps {
              ORDER BY step"""
 
   // End-to-end training-data preparation: exact-dedup keepers →
-  // eval-set decontamination (13-gram vs every-97th doc) → per-lang
+  // exact-substring CUT (Lee et al. duplicate spans ≥ 16 tokens
+  // removed from every occurrence — dd17 composed in, the modern
+  // pipeline's span surgery, not just doc-level dedup) → eval-set
+  // decontamination (13-gram vs every-97th doc) → per-lang
   // stratified sampling → leakage-safe split by source → per
   // (lang, split) doc/token counts. Every stage reuses an operator
-  // already gated on its own (dd01/dc01/sp01/sp02), so the oracle is
-  // a composition of proven fragments; outputs are exact integers.
+  // already gated on its own (dd01/dd17/dc01/sp01/sp02), so the
+  // oracle is a composition of proven fragments; outputs are exact
+  // integers.
   private def pp02(s: SparkSession, d: String): DataFrame =
     pp02From(docs(s, d))
 
@@ -111,9 +115,28 @@ object CurationOps {
     * gate and ScaleCheck r16's whole-composition ×4 probe. */
   def pp02From(ds: DataFrame): DataFrame = {
     val keep = graft.ops.Dedup.exact(ds).select(col("keep_id").as("doc_id"))
-    val deduped = ds.join(keep, "doc_id")
+    // STAGE the deduped corpus before the multi-consumer cut: the
+    // span surgery references its input several times (gram count +
+    // join-back + token reassembly), and every reference would
+    // otherwise re-run the dedup join over the raw table — the
+    // recompute that multiplies into a dozen full-corpus scans at
+    // 100 TB. localCheckpoint is the in-process analog of the landing
+    // write a production pipeline puts between stages (pp10's shape).
+    val deduped = ds.join(keep, "doc_id").localCheckpoint()
+    // span surgery on the deduped survivors: duplicate ≥16-token
+    // substrings (cross-doc or in-doc) are cut from every occurrence
+    // BEFORE decontamination/sampling, so downstream token counts are
+    // counts of text a trainer would actually see
+    val cut = graft.ops.Dedup.dropExactSubstrings(deduped, minSpan = 16)
+    // second stage boundary: the cut corpus feeds decontamination
+    // (grams + join-back), sampling, splitting, and the final stats
+    val cutDocs = deduped.drop("text")
+      .join(cut.select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+      .localCheckpoint()
+    // the eval stand-in keeps its RAW text — a benchmark set is
+    // external and does not get surgery
     val eval = ds.filter(col("doc_id") % 97 === 0)
-    val clean = graft.ops.Curation.decontaminate(deduped, eval, n = 13)
+    val clean = graft.ops.Curation.decontaminate(cutDocs, eval, n = 13)
     val sampled = graft.ops.Curation.stratifiedSample(clean, col("lang"),
       col("doc_id"), Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
     graft.ops.Curation.groupSplit(sampled, col("source"), 0.6, 0.2)
@@ -138,13 +161,39 @@ object CurationOps {
       Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
                              GROUP BY md5(lower(trim(text)))),
               ded AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
-              grams AS (SELECT doc_id, unnest($duckGrams13) AS g FROM ded),
+              toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    t -> len(t) > 0) AS tk FROM ded),
+              sst AS (SELECT doc_id, tk,
+                  unnest(CASE WHEN len(tk) >= 16 THEN range(0, len(tk) - 15)
+                         ELSE CAST([] AS BIGINT[]) END) AS s
+                FROM toks),
+              sgrams AS (SELECT doc_id, s,
+                  md5(array_to_string(tk[s + 1:s + 16], ' ')) AS gh FROM sst),
+              sdup AS (SELECT gh FROM sgrams GROUP BY gh
+                       HAVING count(*) >= 2),
+              cov AS (SELECT DISTINCT doc_id, p FROM
+                      (SELECT g.doc_id, unnest(range(g.s, g.s + 16)) AS p
+                       FROM sgrams g JOIN sdup USING (gh))),
+              tokpos AS (SELECT doc_id,
+                  CAST(generate_subscripts(tk, 1) AS BIGINT) - 1 AS pos,
+                  unnest(tk) AS tok FROM toks),
+              kept AS (SELECT t.doc_id,
+                  string_agg(t.tok, ' ' ORDER BY t.pos) AS ctext
+                FROM tokpos t
+                WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                  WHERE c.doc_id = t.doc_id AND c.p = t.pos)
+                GROUP BY t.doc_id),
+              ded2 AS (SELECT d.doc_id, d.lang, d.source,
+                  coalesce(k.ctext, '') AS text
+                FROM ded d LEFT JOIN kept k USING (doc_id)),
+              grams AS (SELECT doc_id, unnest($duckGrams13) AS g FROM ded2),
               eval_grams AS (SELECT DISTINCT g FROM (
                   SELECT doc_id, unnest($duckGrams13) AS g FROM documents)
                 WHERE doc_id % 97 = 0),
               contaminated AS (SELECT DISTINCT doc_id FROM grams
                 WHERE g IN (SELECT g FROM eval_grams)),
-              clean AS (SELECT * FROM ded
+              clean AS (SELECT * FROM ded2
                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
               sampled AS (SELECT * FROM clean
                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -135,18 +135,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pb.contains("LeftAnti"), "hot-line removal should be an anti-join")
   }
 
-  test("pp02 composed: the full training-prep path scans documents exactly 5 times") {
-    // clean → dedup → decontaminate → sample → split → stats, composed.
-    // The five scans are structural (dedup group-collect, keeper
-    // join-back, eval grams, train grams, contamination join-back);
-    // everything downstream is projection/filter/agg on those
-    // subtrees. A refactor that silently RECOMPUTES a stage (e.g.
-    // duplicates the dedup subtree per consumer) raises the count and
-    // fails here — the companion ×4 wall probe is ScaleCheck r16.
+  test("pp02 composed: staged pipeline scans documents exactly once downstream") {
+    // dedup → exact-substring cut → decontaminate → sample → split →
+    // stats, composed WITH stage boundaries: the deduped corpus and
+    // the cut corpus are materialized (localCheckpoint — the
+    // in-process analog of a landing write), so the final plan reads
+    // the raw table exactly ONCE (the eval-set grams; everything else
+    // reads the staged intermediates). Before staging, the cut's
+    // multi-reference lineage re-ran the dedup join per consumer —
+    // 21 full-table scans in one plan, the recompute that would
+    // dominate a 100 TB run. The companion ×4 wall probe is
+    // ScaleCheck r16.
     val df = queries.CurationOps.pp02From(Tables.load(spark, dir, "documents"))
     val p = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 5, s"pp02 composition scans documents $scans times (want 5)")
+    assert(scans == 1,
+      s"pp02 downstream plan scans the raw table $scans times (want 1: " +
+        "eval grams only — staged intermediates must serve the rest)")
+    assert(p.contains("Scan ExistingRDD"),
+      "the staged (checkpointed) intermediates are missing from the plan")
   }
 
   test("pp10 shard plan: no single-partition exchange anywhere") {

@@ -60,6 +60,26 @@ class ExactSubstringSpec extends AnyFunSuite {
       "strided blocks unexpectedly matched — the plant no longer proves the gap")
   }
 
+  test("pp02 composes the cut: a planted cross-doc span never reaches the counts") {
+    // end-to-end through the FLAGSHIP pipeline (r18 verdict #2): two
+    // docs share a 20-token span at different offsets (straddling any
+    // stride-16 block boundary); pp02's token totals must count only
+    // the 9 tokens outside the span — the span is cut from BOTH
+    // occurrences before sampling/splitting ever sees it
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"sp$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"p1 p2 p3 $span p4 p5", "zh", "srcA"), // span at offsets 3..22
+      (2L, s"$span q1 q2 q3 q4", "zh", "srcB")     // same span at 0..19
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.queries.CurationOps.pp02From(corpus)
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head
+    assert(out.getLong(0) == 2) // zh samples at 1.0; nothing decontaminated
+    assert(out.getLong(1) == 9L,
+      s"expected 25+24-40=9 surviving tokens, got ${out.getLong(1)} — " +
+        "the planted duplicate span leaked into the training token counts")
+  }
+
   test("the cut removes exactly the covered tokens from every occurrence") {
     val cut = Dedup.dropExactSubstrings(corpus(), minSpan = 12, minCount = 2)
       .orderBy("doc_id")
