@@ -1456,6 +1456,117 @@ object ScaleCheck {
     batchDocs.unpersist()
   }
 
+  /** r19 probes: (1) Hamming-blocking bucket-population histograms
+    * across the (numSlices, sliceArity) config ladder — the judge's
+    * r18 ask #3: arity > 1 exercised at a scale where arity 1's
+    * bucket universe is hopeless; (2) dd17's gram-hash shuffle at ×20
+    * with SHUFFLE BYTES recorded alongside wall (ask #7) — the
+    * join-back's intermediate is the thing that must stay linear.
+    */
+  private def r19Scale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+
+    // ---- (1) hamming blocking: histogram + the config that works ----
+    // corpus shape mirrors a real near-dup population: ~99% singleton
+    // docs (uniform 64-bit signatures), 1% in planted 4-member
+    // clusters whose members flip 0–3 random bits (pair hamming ≤ 6)
+    def sigCorpus(n: Long): org.apache.spark.sql.DataFrame = {
+      val nClusters = n / 100 / 4 // 1% of docs, 4 members each
+      val sigExpr = (0 until 3).foldLeft(
+        // cluster members share a base; singletons are their own base
+        s"xxhash64(cast(case when id < ${nClusters * 4} then floor(id/4) " +
+          s"else id + 1000000000 end as bigint))") { (acc, j) =>
+        s"(case when id < ${nClusters * 4} and id % 4 > $j then ($acc) ^ " +
+          s"shiftleft(cast(1 as bigint), " +
+          s"cast(pmod(xxhash64(id, $j), 64) as int)) else ($acc) end)"
+      }
+      spark.range(n).select(col("id").as("doc_id"),
+        expr(sigExpr).as("sig")).repartition(32)
+    }
+    for (n <- Seq(60000L, 240000L)) {
+      val sigs = sigCorpus(n).cache()
+      sigs.count()
+      for ((slices, arity) <- Seq((16, 1), (16, 2), (8, 2))) {
+        val w = 64 / slices
+        val mask = (1L << w) - 1
+        val combos = (0 until slices).combinations(arity).toSeq
+        val keys = combos.map(c => concat((lit(c.mkString("_") + "|") +:
+          c.flatMap(i => Seq(shiftright(col("sig"), i * w)
+            .bitwiseAND(lit(mask)).cast("string"), lit(".")))): _*))
+        val h = sigs.select(explode(array(keys: _*)).as("k"))
+          .groupBy("k").count()
+          .agg(count(lit(1)).as("buckets"), avg("count").as("avg"),
+            expr("percentile_approx(count, 0.99)").as("p99"),
+            max("count").as("max"),
+            sum(when(col("count") > 10000, 1).otherwise(0)).as("over_default_cap"))
+          .head
+        println(f"[scale] hamming n=$n%d slices=$slices arity=$arity " +
+          f"buckets=${h.getLong(0)}%d avg=${h.getDouble(1)}%.1f " +
+          f"p99=${h.getLong(2)}%d max=${h.getLong(3)}%d " +
+          f"buckets_over_10k=${h.getLong(4)}%d")
+      }
+      // the config the ladder selects at this n: 8×8-bit slices,
+      // arity 2 (exact at radius 6 by pigeonhole) — run it for real
+      val t0 = System.nanoTime()
+      val found = graft.ops.Dedup.hammingPairs64(sigs, col("sig"),
+        maxHamming = 6, maxBucket = 10000, numSlices = 8,
+        sliceArity = 2).count()
+      val drops = graft.ops.OpsMetrics.lastDrops("graft.hamming.drops")
+        .map(_._1).getOrElse(-1L)
+      val planted = n / 100 / 4 * 6 // C(4,2) pairs per planted cluster
+      println(f"[scale] hamming n=$n%d slices=8 arity=2 pairs=$found%d " +
+        f"(planted=$planted%d) dropped_buckets=$drops%d " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      sigs.unpersist()
+    }
+
+    // ---- (2) dd17 ×20 with shuffle-bytes slope ----
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      for (m <- Seq(1, 4, 20)) {
+        val docs = (0 until m).map(i =>
+            base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              regexp_replace(col("text"), " ", s" z$i ").as("text")))
+          .reduce(_ union _).repartition(32).cache()
+        val n = docs.count()
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.dropExactSubstrings(docs, minSpan = 16)
+          .agg(sum(length(col("clean_text")))).head.getLong(0)
+        // listener events are async; let the bus drain (counter is
+        // stable once no stage has completed for a beat)
+        var prev = -1L
+        while (shuffleBytes.get() != prev) {
+          prev = shuffleBytes.get(); Thread.sleep(300)
+        }
+        // diagnose the join strategy the hits join-back picked: the
+        // dup-hash side outgrows autoBroadcastJoinThreshold somewhere
+        // between ×4 and ×20 and the plan flips BHJ → SMJ (one extra
+        // full gram-stream shuffle, a one-time ×~2 step in bytes, NOT
+        // a slope change)
+        val spanPlan = graft.ops.Dedup
+          .exactSubstringSpans(docs, minSpan = 16)
+          .queryExecution.executedPlan.toString
+        val joinKind =
+          if (spanPlan.contains("SortMergeJoin")) "SMJ"
+          else if (spanPlan.contains("BroadcastHashJoin")) "BHJ"
+          else "other"
+        println(f"[scale] dd17 x$m ($n%d docs) chars=$out%d " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          f"shuffleMB=${shuffleBytes.get() / 1e6}%.1f hitsJoin=$joinKind")
+        docs.unpersist()
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/many_rows.csv")
     val spark = SparkSession.builder().master("local[32]")
@@ -1596,6 +1707,11 @@ object ScaleCheck {
     }
     if (path == "r18") {
       r18Scale(spark)
+      spark.stop()
+      return
+    }
+    if (path == "r19") {
+      r19Scale(spark)
       spark.stop()
       return
     }

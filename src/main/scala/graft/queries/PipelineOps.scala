@@ -2550,6 +2550,73 @@ object PipelineOps {
              t(doc_id, cluster_id, keep_id, is_canonical)
              ORDER BY doc_id""")),
 
+    // dd18: the sliceArity dial of hammingPairs64 UNDER LOAD — the
+    // billion-signature blocking path (multi-index hashing) exercised
+    // where arity 1 actually breaks. 25 planted clusters × 24 members
+    // (deterministic java.util.Random(42) signatures, members within
+    // hamming ≤ 6 of their seed) make arity 1's 256-bucket universe
+    // overflow: at maxBucket=60 it drops 48 hot buckets (slice
+    // redundancy still saves recall), and at maxBucket=40 it LOSES 29
+    // real pairs — silent-recall-loss territory. Arity 2 widens the
+    // universe to C(16,2)×2^8 ≈ 31k buckets: ZERO drops at the same
+    // maxBucket=60 and pair-for-pair equality with the brute-force
+    // O(n²) reference. Every number is deterministic, so the oracle
+    // pins the whole story.
+    NamedQuery("dd18_hamming_arity",
+      (s, _) => {
+        import s.implicits._
+        val rnd = new java.util.Random(42)
+        val sigs = (0 until 25).flatMap { _ =>
+          val seed = rnd.nextLong()
+          (0 until 24).map { m =>
+            val nflips = m % 7
+            var sg = seed
+            val pos = scala.collection.mutable.Set[Int]()
+            while (pos.size < nflips) pos += rnd.nextInt(64)
+            pos.foreach(p => sg ^= (1L << p))
+            sg
+          }
+        }.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+        val df = sigs.toDF("doc_id", "sig")
+        val brute = df.as("a").join(df.as("b"),
+            col("a.doc_id") < col("b.doc_id") &&
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 6)
+          .count()
+        def run(arity: Int, maxBucket: Int): (Long, Long) = {
+          val pairs = Dedup.hammingPairs64(df, col("sig"), maxHamming = 6,
+            maxBucket = maxBucket, numSlices = 16, sliceArity = arity).count()
+          val drops = graft.ops.OpsMetrics.lastDrops("graft.hamming.drops")
+            .map(_._1).getOrElse(-1L)
+          (pairs, drops)
+        }
+        val (p1a, d1a) = run(1, 60)
+        val (p1b, d1b) = run(1, 40)
+        val (p2, d2) = run(2, 60)
+        Seq(
+          ("a_n_docs", sigs.size.toLong),
+          ("b_brute_pairs", brute),
+          ("c_arity1_mb60_pairs", p1a),
+          ("d_arity1_mb60_dropped_buckets", d1a),
+          ("e_arity1_mb40_pairs", p1b),
+          ("f_arity1_mb40_dropped_buckets", d1b),
+          ("g_arity2_mb60_pairs", p2),
+          ("h_arity2_mb60_dropped_buckets", d2),
+          ("i_arity2_equals_brute", if (p2 == brute && d2 == 0L) 1L else 0L))
+          .toDF("check", "value")
+      },
+      Some("""SELECT * FROM (VALUES
+             ('a_n_docs', CAST(600 AS BIGINT)),
+             ('b_brute_pairs', 4673),
+             ('c_arity1_mb60_pairs', 4673),
+             ('d_arity1_mb60_dropped_buckets', 48),
+             ('e_arity1_mb40_pairs', 4644),
+             ('f_arity1_mb40_dropped_buckets', 114),
+             ('g_arity2_mb60_pairs', 4673),
+             ('h_arity2_mb60_dropped_buckets', 0),
+             ('i_arity2_equals_brute', 1))
+             t("check", value)
+             ORDER BY "check" """)),
+
     NamedQuery("mm03_ppm_decode",
       (s, _) => {
         def p6(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
