@@ -707,6 +707,43 @@ object Curation {
     * pp10's partitionBy(shard) layout. Returns the read-back
     * manifest (shard, n_seqs, n_tokens, full/short sequence split).
     */
+  /** The step-mapping shard modulus (max shard id + 1) the WRITERS
+    * record inside the landing as `_graft_nshards` (underscore-
+    * prefixed — parquet partition discovery ignores it, the same
+    * convention as _SUCCESS). readTokenizedBatches reads it back as
+    * its DEFAULT pin, so a landing whose shard universe drifted from
+    * what its writer last recorded (a rogue append, a partial write,
+    * a concurrent writer) fails loudly even when the caller forgot to
+    * thread their cursor's pinnedShards through.
+    */
+  def recordShardModulus(spark: org.apache.spark.sql.SparkSession,
+                         landingDir: String, nShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(landingDir, "_graft_nshards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nShards.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The writer-recorded shard modulus, if this landing has one. */
+  def recordedShardModulus(spark: org.apache.spark.sql.SparkSession,
+                           landingDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(landingDir, "_graft_nshards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      require(raw.nonEmpty && raw.forall(_.isDigit),
+        s"unparseable shard-modulus record $p ('$raw')")
+      Some(raw.toInt)
+    }
+  }
+
   def tokenizedLanding(df: DataFrame, outDir: String, shard: Column,
                        ids: Column, seqLen: Int): DataFrame = {
     // Physical layout contract: each written file is seq_id-sorted, so
@@ -719,6 +756,16 @@ object Curation {
     val packed = packTokenSequences(df, shard, ids, seqLen)
       .sortWithinPartitions(col("shard"), col("seq_id"))
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // pin the step-mapping modulus for readers (max+1 from one listing
+    // — readTokenizedBatches' own discipline)
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxShard = fs.listStatus(root).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
+        st.getPath.getName.stripPrefix("shard=").toLong
+    }.max
+    recordShardModulus(spark, outDir, (maxShard + 1).toInt)
     df.sparkSession.read.parquet(outDir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_seqs"),
@@ -784,7 +831,22 @@ object Curation {
             s"cursor pinned $p shards, landing now has $liveShards — " +
             s"the step mapping is stale; restart the epoch or re-pin")
         p
-      case None => liveShards
+      case None =>
+        // DEFAULT pin: the modulus the writer recorded in the landing
+        // (`_graft_nshards`). A landing that grew past its record —
+        // a rogue append, a half-written shard, a concurrent writer —
+        // fails loudly even when the caller never threads a pin;
+        // live-listing alone would silently remap every step id.
+        recordedShardModulus(spark, landingDir) match {
+          case Some(rec) =>
+            require(rec == liveShards,
+              s"landing shard universe drifted from the writer's record: " +
+                s"recorded modulus $rec, live listing shows $liveShards " +
+                s"shards — the step mapping would silently remap; " +
+                s"re-land or re-record before reading")
+            rec
+          case None => liveShards // legacy landing without a record
+        }
     }
     val toStep = fromStep + nSteps
     // seq_id bounds implied by the step window (stats-level pruning)
@@ -1112,12 +1174,16 @@ object Curation {
       "the landing.* namespace is reserved for derived fields")
     val landed = spark.read.parquet(landingDir)
     val agg = landed.agg(count(lit(1)), countDistinct(col("shard")),
-      sum(col("n_tokens"))).head
+      sum(col("n_tokens")), max(col("shard").cast("long"))).head
     val failed = validateLanding(spark, landingDir)
       .filter(!col("ok")).count()
     val derived = Map(
       "landing.n_docs" -> agg.getLong(0).toString,
       "landing.n_shards" -> agg.getLong(1).toString,
+      // the step-mapping pin (max+1, NOT the distinct count — gapped
+      // shard ids must not shrink the modulus): what resuming readers
+      // compare their cursor against
+      "landing.shard_modulus" -> (agg.getLong(3) + 1L).toString,
       "landing.n_tokens" -> agg.getLong(2).toString,
       "landing.failed_checks" -> failed.toString)
     val rows = (info ++ derived).toSeq.sortBy(_._1)

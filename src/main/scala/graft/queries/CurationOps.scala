@@ -1256,6 +1256,8 @@ object CurationOps {
                  CAST(count(DISTINCT shard) AS VARCHAR) FROM c
                UNION ALL SELECT 'landing.n_tokens',
                  CAST(sum(n_tokens) AS VARCHAR) FROM c
+               UNION ALL SELECT 'landing.shard_modulus',
+                 CAST(max(shard) + 1 AS VARCHAR) FROM c
                UNION ALL SELECT 'seed', 'pp10'
                UNION ALL SELECT 'tokenizer', 'whitespace')
              ORDER BY key""")),

@@ -317,7 +317,15 @@ object CorpusStream {
         .map(r => r.getLong(0) ->
           (r.getLong(1) + r.getLong(2) / seqLen, r.getSeq[Int](3).toSeq))
         .toMap
-      writeTokGuard(fs, landingDir, batchId, state ++ closing)
+      val newState = state ++ closing
+      writeTokGuard(fs, landingDir, batchId, newState)
+      // the guard's shard keys ARE the landed shard universe — record
+      // the step-mapping modulus alongside, so batch-style readers of
+      // a closed stream landing get the same default drift pin
+      // tokenizedLanding writes
+      if (newState.nonEmpty)
+        graft.ops.Curation.recordShardModulus(spark, landingDir,
+          (newState.keys.max + 1L).toInt)
     } finally all.unpersist()
   }
 

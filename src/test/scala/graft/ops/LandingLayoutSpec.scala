@@ -283,8 +283,23 @@ class LandingLayoutSpec extends AnyFunSuite {
         pinnedShards = Some(2)).count()
     }
     assert(err.getMessage.contains("shard count changed"))
-    // and the live read still works against the grown landing
+
+    // the DEFAULT path fails loudly too (r18 verdict #4): the writer
+    // recorded modulus 2 in the landing, the rogue append grew it to
+    // 3 — a caller who never threads a pin still gets refused instead
+    // of a silently remapped step order
+    val errDefault = intercept[IllegalArgumentException] {
+      Curation.readTokenizedBatches(spark, tmp, 10L, 10L).count()
+    }
+    assert(errDefault.getMessage.contains("drifted from the writer's record"),
+      s"default read did not catch the drift: ${errDefault.getMessage}")
+
+    // an explicit pin matching the live universe still works (the
+    // caller consciously adopting the grown landing)...
     assert(Curation.readTokenizedBatches(spark, tmp, 0L, 10L,
       pinnedShards = Some(3)).count() == 10)
+    // ...and re-recording legitimizes the growth for default readers
+    Curation.recordShardModulus(spark, tmp, 3)
+    assert(Curation.readTokenizedBatches(spark, tmp, 0L, 10L).count() == 10)
   }
 }
