@@ -621,6 +621,11 @@ object Curation {
       require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
       fs.delete(old, true)
     }
+    // every materialized epoch permutation referenced the PRE-erasure
+    // row population — drop them with the rows they index, or a
+    // trainer replaying a stale index re-serves exactly the sequences
+    // this erasure just removed
+    invalidateEpochIndexes(spark, landingDir)
     spark.read.parquet(landingDir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -753,6 +758,9 @@ object Curation {
     // shard. The packer ends in a hash aggregate (rows arrive in
     // hash-iteration order); this per-partition sort restores physical
     // order at zero shuffle cost.
+    // a re-land overwrites the row population every registered epoch
+    // permutation was computed over — stale indexes must go with it
+    invalidateEpochIndexes(df.sparkSession, outDir)
     val packed = packTokenSequences(df, shard, ids, seqLen)
       .sortWithinPartitions(col("shard"), col("seq_id"))
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
@@ -952,7 +960,94 @@ object Curation {
       .repartitionByRange(col("step"))
       .sortWithinPartitions(col("step"))
     idx.write.mode("overwrite").parquet(indexDir)
-    spark.read.parquet(indexDir).count()
+    val n = spark.read.parquet(indexDir).count()
+    // register the epoch in the landing's sidecar so a trainer (and
+    // the erase path) can enumerate which indexes exist without
+    // tribal knowledge of index directories
+    upsertEpochRow(spark, landingDir, epochSeed, Some((indexDir, n)))
+    n
+  }
+
+  /** The landing's epoch-index registry (`<dir>_epochs`): one row per
+    * materialized epoch — (epoch_seed, index_dir, n_seqs). Written by
+    * writeEpochIndex, pruned by dropEpochIndex, and CLEARED WHOLESALE
+    * by eraseFromLanding (an erased landing invalidates every epoch
+    * permutation computed over the pre-erasure rows — serving a stale
+    * index would replay erased sequences). Empty frame when no
+    * registry exists.
+    */
+  def listEpochIndexes(spark: org.apache.spark.sql.SparkSession,
+                       landingDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      Seq.empty[(String, String, Long)]
+        .toDF("epoch_seed", "index_dir", "n_seqs")
+    else spark.read.parquet(p.toString)
+      .select(col("epoch_seed"), col("index_dir"), col("n_seqs"))
+      .orderBy("epoch_seed")
+  }
+
+  /** Drop one materialized epoch: delete its index directory and its
+    * registry row. Returns whether the epoch was registered. The
+    * retention story for long training runs — epoch k−1's index is
+    * disposable the moment epoch k is underway; dropping it never
+    * touches the landing or any other epoch's index.
+    */
+  def dropEpochIndex(spark: org.apache.spark.sql.SparkSession,
+                     landingDir: String, epochSeed: String): Boolean = {
+    val rows = listEpochIndexes(spark, landingDir).collect()
+    val hit = rows.find(_.getString(0) == epochSeed)
+    hit.foreach { r =>
+      val idx = new org.apache.hadoop.fs.Path(r.getString(1))
+      val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(idx, true)
+      upsertEpochRow(spark, landingDir, epochSeed, None)
+    }
+    hit.isDefined
+  }
+
+  /** Registry upsert: replace (or remove, when `entry` is None) the
+    * seed's row. The registry is epoch-count-sized — a bounded
+    * collect + rewrite, never a landing scan.
+    */
+  private def upsertEpochRow(spark: org.apache.spark.sql.SparkSession,
+                             landingDir: String, epochSeed: String,
+                             entry: Option[(String, Long)]): Unit = {
+    import spark.implicits._
+    val kept = listEpochIndexes(spark, landingDir).collect()
+      .filter(_.getString(0) != epochSeed)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = kept ++ entry.map { case (dir, n) => (epochSeed, dir, n) }
+    val p = landingDir + "_epochs"
+    if (rows.isEmpty) {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    } else
+      rows.toSeq.toDF("epoch_seed", "index_dir", "n_seqs")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+  }
+
+  /** Invalidate every materialized epoch index of a landing: each
+    * registered index directory is deleted and the registry cleared.
+    * Called by eraseFromLanding — a post-erasure landing has a
+    * different row population, so every pre-erasure permutation is
+    * stale; replaying one would serve erased sequences (the exact
+    * failure the erasure exists to prevent).
+    */
+  def invalidateEpochIndexes(spark: org.apache.spark.sql.SparkSession,
+                             landingDir: String): Int = {
+    val rows = listEpochIndexes(spark, landingDir).collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    rows.foreach { r =>
+      val idx = new org.apache.hadoop.fs.Path(r.getString(1))
+      idx.getFileSystem(conf).delete(idx, true)
+    }
+    val reg = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
+    reg.getFileSystem(conf).delete(reg, true)
+    rows.length
   }
 
   /** Window read against a materialized epoch index: the index scan

@@ -84,19 +84,21 @@ object CurationOps {
 
   /** pp19 and pp21 must return byte-identical windows (the index is
     * the amortized form of the one-shot rank reader), so they share
-    * ONE oracle verbatim.
+    * ONE oracle verbatim; pp22 replays the same window for a
+    * different epoch seed.
     */
-  private val epochShuffleOracleSql: String =
-    packedSeqOracleCtes + """,
+  private def epochShuffleOracleFor(seed: String): String =
+    packedSeqOracleCtes + s""",
               r AS (SELECT shard, seq_id, ids_md5, n_ids,
                       CAST(row_number() OVER (ORDER BY
-                        md5('e1:' || CAST(shard AS VARCHAR) || ':' ||
+                        md5('$seed:' || CAST(shard AS VARCHAR) || ':' ||
                           CAST(seq_id AS VARCHAR)),
                         shard, seq_id) - 1 AS BIGINT) AS step
                     FROM sq)
              SELECT step, shard, seq_id, ids_md5, n_ids
              FROM r WHERE step >= 5 AND step < 45
              ORDER BY step"""
+  private val epochShuffleOracleSql: String = epochShuffleOracleFor("e1")
 
   // End-to-end training-data preparation: exact-dedup keepers →
   // exact-substring CUT (Lee et al. duplicate spans ≥ 16 tokens
@@ -1104,6 +1106,45 @@ object CurationOps {
             col("n_ids"))
       },
       Some(epochShuffleOracleSql)),
+
+    // pp22: EPOCH-INDEX LIFECYCLE (r18 verdict #5) — a real training
+    // run materializes one index per epoch and retires old ones.
+    // Two epochs are written and REGISTERED in the landing's
+    // `_epochs` sidecar (seed → indexDir, sequence count); epoch e1's
+    // index is then dropped (directory deleted, registry row pruned)
+    // and epoch e2 must still replay its exact permutation through
+    // its own index — retirement of k−1 never perturbs k. The
+    // lifecycle invariants (registration order, drop return, dir
+    // deletion, registry pruning) are require()-enforced in the gate
+    // body (a violation errs the gate); the oracle pins e2's window
+    // against the DuckDB rank replay, seed-parameterized from the
+    // pp19/pp21 shared fragment.
+    NamedQuery("pp22_epoch_lifecycle",
+      (s, d) => {
+        val landing = rankVocabLanding(s, d, "pp22")
+        val idx = java.nio.file.Files.createTempDirectory("pp22idx").toString
+        val n1 = Curation.writeEpochIndex(s, landing, "e1", s"$idx/e1")
+        val n2 = Curation.writeEpochIndex(s, landing, "e2", s"$idx/e2")
+        require(n1 == n2, s"epoch permutations cover different counts: $n1 vs $n2")
+        val reg = Curation.listEpochIndexes(s, landing).collect()
+        require(reg.map(_.getString(0)).toSeq == Seq("e1", "e2"),
+          s"registry rows: ${reg.mkString(",")}")
+        require(reg.forall(_.getLong(2) == n1), "registered n_seqs drifted")
+        require(Curation.dropEpochIndex(s, landing, "e1"),
+          "e1 was not registered at drop time")
+        require(!new java.io.File(s"$idx/e1").exists(),
+          "dropped epoch's index directory survived")
+        val after = Curation.listEpochIndexes(s, landing).collect()
+        require(after.map(_.getString(0)).toSeq == Seq("e2"),
+          s"registry after drop: ${after.mkString(",")}")
+        Curation.readEpochWindow(s, landing, s"$idx/e2",
+          fromStep = 5L, nSteps = 40L)
+          .select(col("step"), col("shard"), col("seq_id"),
+            md5(array_join(transform(col("ids"), _.cast("string")),
+              " ")).as("ids_md5"),
+            col("n_ids"))
+      },
+      Some(epochShuffleOracleFor("e2"))),
 
     // pp17: the full train-once / encode-everywhere / LAND story as
     // one driver-checked gate (r16 verdict #6) — tk06's unigram-LM

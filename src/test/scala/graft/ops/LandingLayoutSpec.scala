@@ -302,4 +302,32 @@ class LandingLayoutSpec extends AnyFunSuite {
     Curation.recordShardModulus(spark, tmp, 3)
     assert(Curation.readTokenizedBatches(spark, tmp, 0L, 10L).count() == 10)
   }
+
+  test("re-landing invalidates every registered epoch index") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp22inv").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("pp22invidx").toString
+    def docs(n: Long) = spark.range(0, n).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(64)), x => x.cast("int")).as("ids"))
+    Curation.tokenizedLanding(docs(48), tmp, pmod(col("doc_id"), lit(2)),
+      col("ids"), seqLen = 64).count()
+    Curation.writeEpochIndex(spark, tmp, "e1", s"$idxRoot/e1")
+    Curation.writeEpochIndex(spark, tmp, "e2", s"$idxRoot/e2")
+    assert(Curation.listEpochIndexes(spark, tmp).count() == 2)
+
+    // overwrite the landing with a DIFFERENT population: both stale
+    // permutations must be invalidated with it — a trainer replaying
+    // e1's index against the new rows would read a stale order (or
+    // sequences that no longer exist)
+    Curation.tokenizedLanding(docs(32), tmp, pmod(col("doc_id"), lit(2)),
+      col("ids"), seqLen = 64).count()
+    assert(Curation.listEpochIndexes(spark, tmp).count() == 0,
+      "stale epoch registry survived the re-land")
+    assert(!new java.io.File(s"$idxRoot/e1").exists() &&
+      !new java.io.File(s"$idxRoot/e2").exists(),
+      "stale index directories survived the re-land")
+
+    // dropping an unregistered epoch reports false, touches nothing
+    assert(!Curation.dropEpochIndex(spark, tmp, "e1"))
+  }
 }
