@@ -225,16 +225,143 @@ class S3CompatFileSystem extends FileSystem {
     val key = keyOf(f)
     if (!overwrite && head(key).isDefined)
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
-    // single-request PUT on close: right for gate/fixture objects; a
-    // production writer would use multipart upload (hadoop-aws does)
-    val buf = new ByteArrayOutputStream()
-    val fs = this
-    new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
-      // FilterOutputStream degrades block writes to one call per byte
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = { super.close(); fs.put(key, buf.toByteArray) }
-    }, statistics)
+    // objects up to one part are a single PUT; anything larger streams
+    // through the PUBLIC multipart-upload API (initiate → UploadPart
+    // per partSize bytes → complete), so a 100 TB landing egress never
+    // buffers an object — memory is bounded by ONE part whatever the
+    // object size, and a failed part retries idempotently (same
+    // uploadId + partNumber: S3 keeps the last accepted copy)
+    // fs.s3a.multipart.size: the standard key. Real S3 floors parts
+    // at 5 MB (all but the last); the key is honored as-given so
+    // specs can exercise the part machinery with small fixtures.
+    // getLongBytes: hadoop core-default ships the key as "64M"
+    val partSize = getConf
+      .getLongBytes("fs.s3a.multipart.size", 64L * 1024 * 1024).toInt
+    new FSDataOutputStream(new MultipartOutputStream(key, partSize), statistics)
+  }
+
+  /** Streaming writer over the S3 multipart API. Parts are cut at
+    * `partSize` bytes; the upload is initiated lazily on the first
+    * cut, so objects that fit one part take the plain single-PUT
+    * path on close (no multipart round-trips for small files). Each
+    * part upload retries once on a transport/5xx failure — the
+    * retry is IDEMPOTENT by protocol (re-sending the same uploadId +
+    * partNumber replaces the part). A close after a failed retry
+    * aborts the upload so the endpoint reclaims the parts.
+    */
+  private class MultipartOutputStream(key: String, partSize: Int)
+      extends java.io.OutputStream {
+    private val buf = new ByteArrayOutputStream()
+    private var uploadId: Option[String] = None
+    private var partNum = 1
+    private val etags = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+
+    override def write(b: Int): Unit = { buf.write(b); cutIfFull() }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      buf.write(b, off, len); cutIfFull()
+    }
+
+    private def cutIfFull(): Unit =
+      while (buf.size >= partSize) {
+        val all = buf.toByteArray
+        buf.reset()
+        buf.write(all, partSize, all.length - partSize)
+        shipPart(java.util.Arrays.copyOfRange(all, 0, partSize))
+      }
+
+    private def shipPart(bytes: Array[Byte]): Unit = {
+      if (uploadId.isEmpty) uploadId = Some(initiateMultipart(key))
+      val id = uploadId.get
+      val etag =
+        try uploadPart(key, id, partNum, bytes)
+        catch {
+          case e: java.io.IOException =>
+            try uploadPart(key, id, partNum, bytes) // idempotent retry
+            catch {
+              case e2: java.io.IOException =>
+                abortMultipart(key, id)
+                throw new java.io.IOException(
+                  s"part $partNum of $key failed twice " +
+                    s"(first: ${e.getMessage})", e2)
+            }
+        }
+      etags += ((partNum, etag))
+      partNum += 1
+    }
+
+    override def close(): Unit = uploadId match {
+      case None => put(key, buf.toByteArray) // fits one part
+      case Some(id) =>
+        if (buf.size > 0) shipPart(buf.toByteArray)
+        completeMultipart(key, id, etags.toSeq)
+    }
+  }
+
+  private def initiateMultipart(key: String): String = {
+    val url = objectUrl(key) + "?uploads"
+    val c = connect("POST", url,
+      authHeaders("POST", url, SigV4.EmptyPayloadSha256))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(0)
+    val body =
+      try {
+        c.getOutputStream.close()
+        if (c.getResponseCode != 200)
+          throw new java.io.IOException(
+            s"initiate multipart $key: HTTP ${c.getResponseCode}")
+        new String(c.getInputStream.readAllBytes(), UTF_8)
+      } finally c.disconnect()
+    val id = (scala.xml.XML.loadString(body) \ "UploadId").text
+    require(id.nonEmpty, s"no UploadId in initiate response for $key")
+    id
+  }
+
+  /** One UploadPart request → the part's ETag. Throws on any non-200
+    * so the caller's idempotent retry engages.
+    */
+  private def uploadPart(key: String, uploadId: String, partNum: Int,
+                         bytes: Array[Byte]): String = {
+    val url = objectUrl(key) +
+      s"?partNumber=$partNum&uploadId=${SigV4.uriEncode(uploadId)}"
+    val c = connect("PUT", url, authHeaders("PUT", url, SigV4.sha256Hex(bytes)))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(bytes.length)
+    try {
+      c.getOutputStream.write(bytes)
+      c.getOutputStream.close()
+      if (c.getResponseCode != 200)
+        throw new java.io.IOException(
+          s"UploadPart $partNum of $key: HTTP ${c.getResponseCode}")
+      Option(c.getHeaderField("ETag")).getOrElse("")
+    } finally c.disconnect()
+  }
+
+  private def completeMultipart(key: String, uploadId: String,
+                                parts: Seq[(Int, String)]): Unit = {
+    val url = objectUrl(key) + s"?uploadId=${SigV4.uriEncode(uploadId)}"
+    val xml = ("<CompleteMultipartUpload>" + parts.sortBy(_._1).map {
+      case (n, etag) =>
+        s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+    }.mkString + "</CompleteMultipartUpload>").getBytes(UTF_8)
+    val c = connect("POST", url, authHeaders("POST", url, SigV4.sha256Hex(xml)))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(xml.length)
+    try {
+      c.getOutputStream.write(xml)
+      c.getOutputStream.close()
+      if (c.getResponseCode != 200)
+        throw new java.io.IOException(
+          s"complete multipart $key: HTTP ${c.getResponseCode}")
+      c.getInputStream.readAllBytes()
+      ()
+    } finally c.disconnect()
+  }
+
+  private def abortMultipart(key: String, uploadId: String): Unit = {
+    val url = objectUrl(key) + s"?uploadId=${SigV4.uriEncode(uploadId)}"
+    val c = connect("DELETE", url,
+      authHeaders("DELETE", url, SigV4.EmptyPayloadSha256))
+    try { c.getResponseCode; () } finally c.disconnect()
   }
 
   private def put(key: String, bytes: Array[Byte]): Unit = {
@@ -475,8 +602,22 @@ final class S3Loopback(credentials: Option[(String, String)] = None) {
     new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
   private val served = new java.util.concurrent.atomic.AtomicLong(0L)
   private val denied = new java.util.concurrent.atomic.AtomicLong(0L)
+  // multipart uploads in flight: uploadId → (objectPath, partNo → bytes)
+  private val uploads = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]])]()
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val partFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   private val server = com.sun.net.httpserver.HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 0)
+
+  /** Fault injection for the multipart retry path: the next `n`
+    * UploadPart requests answer 500 (after consuming the body), so a
+    * spec can prove the client's idempotent part retry end-to-end.
+    */
+  def failNextParts(n: Int): Unit = partFailures.set(n)
+
+  /** Multipart uploads currently in flight (un-completed, un-aborted). */
+  def inflightUploads: Int = uploads.size()
 
   /** Requests rejected 403 by SigV4 verification — lets a spec assert
     * that a tampered request was DENIED, not merely that it failed.
@@ -511,10 +652,14 @@ final class S3Loopback(credentials: Option[(String, String)] = None) {
         ex.close()
       }
       // request body must be consumed BEFORE verification (the payload
-      // hash covers it) and reused by the PUT handler below
+      // hash covers it) and reused by the PUT/POST handlers below
       val reqBody =
-        if (method == "PUT") ex.getRequestBody.readAllBytes()
+        if (method == "PUT" || method == "POST")
+          ex.getRequestBody.readAllBytes()
         else Array.emptyByteArray
+      val params = query.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+        .map(kv => kv(0) -> (if (kv.length > 1)
+          java.net.URLDecoder.decode(kv(1), "UTF-8") else "")).toMap
       val authFail = credentials.flatMap { case (ak, sk) =>
         SigV4.verifyRequest(method, ex.getRequestURI.getRawPath,
           ex.getRequestURI.getRawQuery,
@@ -526,11 +671,55 @@ final class S3Loopback(credentials: Option[(String, String)] = None) {
         val msg = ("<?xml version=\"1.0\"?><Error><Code>AccessDenied</Code>" +
           s"<Message>${xmlEscape(authFail.get)}</Message></Error>").getBytes(UTF_8)
         send(403, msg)
+      } else if (method == "POST" && params.contains("uploads")) {
+        // InitiateMultipartUpload (public S3 API: POST /key?uploads)
+        val id = s"up${uploadSeq.incrementAndGet()}"
+        uploads.put(id, (path,
+          new java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]()))
+        val xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<InitiateMultipartUploadResult>" +
+          s"<Key>${xmlEscape(path)}</Key><UploadId>$id</UploadId>" +
+          "</InitiateMultipartUploadResult>").getBytes(UTF_8)
+        send(200, xml)
+      } else if (method == "PUT" && params.contains("partNumber") &&
+        params.contains("uploadId")) {
+        // UploadPart — the fault-injection point for the retry spec
+        if (partFailures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+          send(500, Array.emptyByteArray)
+        else Option(uploads.get(params("uploadId"))) match {
+          case None => send(404, Array.emptyByteArray)
+          case Some((upPath, parts)) =>
+            if (upPath != path) send(400, Array.emptyByteArray)
+            else {
+              // same uploadId + partNumber replaces the part — the
+              // protocol guarantee that makes client retries idempotent
+              parts.put(params("partNumber").toInt, reqBody)
+              ex.getResponseHeaders.add("ETag",
+                "\"" + java.security.MessageDigest.getInstance("MD5")
+                  .digest(reqBody).map("%02x".format(_)).mkString + "\"")
+              send(200, Array.emptyByteArray)
+            }
+        }
+      } else if (method == "POST" && params.contains("uploadId")) {
+        // CompleteMultipartUpload: concatenate parts by part number
+        Option(uploads.remove(params("uploadId"))) match {
+          case None => send(404, Array.emptyByteArray)
+          case Some((upPath, parts)) =>
+            val whole = new ByteArrayOutputStream()
+            parts.values().forEach(whole.write(_)) // SkipListMap: key order
+            objects.put(upPath, whole.toByteArray)
+            val xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<CompleteMultipartUploadResult>" +
+              s"<Key>${xmlEscape(upPath)}</Key>" +
+              "</CompleteMultipartUploadResult>").getBytes(UTF_8)
+            send(200, xml)
+        }
+      } else if (method == "DELETE" && params.contains("uploadId")) {
+        // AbortMultipartUpload: reclaim the parts
+        uploads.remove(params("uploadId"))
+        send(204, Array.emptyByteArray)
       } else if (method == "GET" && query.contains("list-type=2")) {
         val bucket = path.stripSuffix("/")
-        val params = query.split("&").map(_.split("=", 2))
-          .map(kv => kv(0) -> (if (kv.length > 1)
-            java.net.URLDecoder.decode(kv(1), "UTF-8") else "")).toMap
         val prefix = params.getOrElse("prefix", "")
         val delim = params.get("delimiter").filter(_.nonEmpty)
         import scala.jdk.CollectionConverters._

@@ -172,6 +172,59 @@ class S3IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("multipart upload: signed part-streamed write survives an injected part failure") {
+    val s3 = new S3Loopback(credentials = Some(("MPKEY", "mp-secret")))
+    val hc = spark.sparkContext.hadoopConfiguration
+    S3CompatFileSystem.register(hc)
+    S3CompatFileSystem.configureBucket(hc, "mp-bucket", s3.endpoint,
+      creds = Some(("MPKEY", "mp-secret")))
+    val oldPart = hc.get("fs.s3a.multipart.size", null)
+    hc.set("fs.s3a.multipart.size", "65536") // 64 KB parts for the fixture
+    try {
+      val fs = new org.apache.hadoop.fs.Path("s3a://mp-bucket/")
+        .getFileSystem(hc)
+      // ~300 KB deterministic payload → 5 parts; fail the FIRST part
+      // attempt: the client must retry the same (uploadId, partNumber)
+      // and the assembled object must be byte-identical anyway
+      val data = Array.tabulate(300 * 1024)(i => ((i * 31 + 7) % 251).toByte)
+      s3.failNextParts(1)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        "s3a://mp-bucket/big.bin"), true)
+      out.write(data); out.close()
+      val back = fs.open(new org.apache.hadoop.fs.Path(
+        "s3a://mp-bucket/big.bin"))
+      val got = back.readAllBytes(); back.close()
+      assert(java.util.Arrays.equals(got, data),
+        "multipart-assembled object differs from what was written")
+      assert(s3.inflightUploads == 0, "upload was not completed/reclaimed")
+      assert(s3.deniedCount == 0,
+        "a signed multipart request was rejected by the verifier")
+
+      // a part that fails BOTH attempts aborts the upload loudly and
+      // leaves nothing in flight (the endpoint reclaims the parts)
+      s3.failNextParts(2)
+      val err = intercept[java.io.IOException] {
+        val o2 = fs.create(new org.apache.hadoop.fs.Path(
+          "s3a://mp-bucket/doomed.bin"), true)
+        o2.write(data); o2.close()
+      }
+      assert(err.getMessage.contains("failed twice"))
+      assert(s3.inflightUploads == 0, "aborted upload leaked parts")
+
+      // small objects still take the plain single-PUT path
+      val o3 = fs.create(new org.apache.hadoop.fs.Path(
+        "s3a://mp-bucket/small.bin"), true)
+      o3.write(Array[Byte](1, 2, 3)); o3.close()
+      val b3 = fs.open(new org.apache.hadoop.fs.Path("s3a://mp-bucket/small.bin"))
+      assert(b3.readAllBytes().toSeq == Seq[Byte](1, 2, 3)); b3.close()
+    } finally {
+      s3.stop()
+      S3CompatFileSystem.clearBucket(hc, "mp-bucket")
+      if (oldPart == null) hc.unset("fs.s3a.multipart.size")
+      else hc.set("fs.s3a.multipart.size", oldPart)
+    }
+  }
+
   test("loopback serves suffix ranges (bytes=-N footer fetches) and 416 past EOF") {
     val s3 = new S3Loopback
     try {
