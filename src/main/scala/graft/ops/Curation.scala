@@ -1141,10 +1141,33 @@ object Curation {
     * what lets the incremental fsck scope its expensive recount to
     * shards that actually changed.
     */
+  /** Per-shard fingerprint: name:length:mtime per file PLUS a CRC32
+    * of each file's last 8 KB — the parquet footer region, where the
+    * row-group offsets/stats/metadata live. The footer CRC is what
+    * lifts this past pure metadata (r18 advice): any rewrite that
+    * goes through a parquet writer produces a different footer even
+    * when name/length/mtime are forged back, so an in-place shard
+    * swap is caught at the cost of one small ranged read per file
+    * (8 KB × files — noise next to the recount it gates). Honest
+    * scope: a surgical byte flip INSIDE a data page, below the footer
+    * region, with mtime restored, still evades the incremental path —
+    * that case needs the full pp15 validateLanding (which reads the
+    * bytes).
+    */
   private def shardFingerprints(spark: org.apache.spark.sql.SparkSession,
                                 landingDir: String): Map[Long, String] = {
     val root = new org.apache.hadoop.fs.Path(landingDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tailCrc(p: org.apache.hadoop.fs.Path, len: Long): Long = {
+      val n = math.min(8192L, len).toInt
+      if (n == 0) return 0L
+      val buf = new Array[Byte](n)
+      val in = fs.open(p)
+      try { in.seek(len - n); in.readFully(buf) } finally in.close()
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf)
+      crc.getValue
+    }
     fs.listStatus(root).collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
         val sh = st.getPath.getName.stripPrefix("shard=").toLong
@@ -1153,7 +1176,8 @@ object Curation {
             val n = f.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
           }
-          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .map(f => s"${f.getPath.getName}:${f.getLen}:" +
+            s"${f.getModificationTime}:${tailCrc(f.getPath, f.getLen)}")
           .sorted
         sh -> java.security.MessageDigest.getInstance("MD5")
           .digest(files.mkString("\n").getBytes("UTF-8"))
@@ -1169,11 +1193,15 @@ object Curation {
     * NARROW metadata columns only — no text read anywhere. The
     * expensive text recount (`tokens_match`) runs ONLY over shards
     * whose file fingerprint changed since `writeLandingManifest`
-    * recorded the baseline (any byte-level change to a shard's files
-    * changes its name/length/mtime fingerprint, so a tampered or
-    * half-written shard is always rescanned; unchanged shards were
-    * recounted when the manifest was written). Partition pruning makes
-    * the rescan read only the changed `shard=` directories.
+    * recorded the baseline. The fingerprint is name/length/mtime PLUS
+    * a footer-region CRC (see shardFingerprints), so a half-written
+    * shard, an append, and any parquet-writer rewrite — even one that
+    * forges name/length/mtime back — are rescanned; the one evasion
+    * left is a surgical mid-page byte flip with restored mtime, which
+    * is the full validateLanding's job, not the incremental path's.
+    * Unchanged shards were recounted when the manifest was written.
+    * Partition pruning makes the rescan read only the changed
+    * `shard=` directories.
     *
     * Output is pp15's (check, ok, violations) frame plus one
     * informational row `rescanned_shards` carrying how many shards

@@ -147,7 +147,19 @@ object LdapAuth {
     template.replaceAll("\\{\\{\\s*user\\s*\\}\\}",
       java.util.regex.Matcher.quoteReplacement(escapeDnValue(user)))
 
-  /** One simple bind against `ldap://host:port` as `dn` with `pass`. */
+  /** One simple bind against `ldap://host:port` as `dn` with `pass`.
+    *
+    * Failure classification (r18 advice): only TRANSPORT failures
+    * (IOException — refused, timeout, reset, short read) are
+    * `BindUnreachable`, the outage class the opt-in stored fallback
+    * may answer. A response the directory actually SENT that fails
+    * BER/protocol decoding — and any config error like a bad URL —
+    * is `BindError`: an answered, authoritative deny, never outage.
+    * Over plaintext ldap:// an on-path attacker garbling a deny now
+    * gets a hard deny, not a fallback window (one who silently drops
+    * the connection still reads as an outage — inherent to ldap://
+    * without TLS, noted at the allowStoredFallback knob).
+    */
   def bind(url: String, dn: String, pass: String,
            timeoutMs: Int = 5000): BindResult =
     try {
@@ -172,8 +184,11 @@ object LdapAuth {
         }
       } finally sock.close()
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      case e: java.io.IOException =>
         BindUnreachable(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        BindError(s"ldap protocol error: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 }
 

@@ -75,6 +75,46 @@ class IncrementalValidateSpec extends AnyFunSuite {
       "the planted metadata corruption must be detected")
   }
 
+  test("a byte flip with forged name/length/mtime is caught by the footer CRC") {
+    // the r18 advice evasion: an in-place rewrite that preserves file
+    // name, LENGTH, and mtime slipped past the metadata-only
+    // fingerprint. The fingerprint now folds in a CRC of each file's
+    // last 8 KB, so the same-size flip (mtime restored via setTimes)
+    // must move the fingerprint and force the shard's rescan — or
+    // fail the rescan loudly on the corrupt bytes; either way, never
+    // a clean zero-rescan pass.
+    val tmp = java.nio.file.Files.createTempDirectory("pp20f").toString
+    Curation.shardMaterialize(corpus(1 to 40), tmp, col("doc_id"),
+      seed = "s", budgetTokens = 30L).count()
+    Curation.writeLandingManifest(spark, tmp).count()
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/shard=0"))
+      .filter(f => !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .head
+    val mtime = victim.getModificationTime
+    val len = victim.getLen
+    val bytes = {
+      val in = fs.open(victim.getPath)
+      try in.readAllBytes() finally in.close()
+    }
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5A).toByte
+    val out = fs.create(victim.getPath, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(victim.getPath, mtime, -1) // forge the mtime back
+    val after = fs.getFileStatus(victim.getPath)
+    assert(after.getLen == len && after.getModificationTime == mtime,
+      "fixture failed to forge name/length/mtime — the test proves nothing")
+    try {
+      val v = Curation.validateLandingIncremental(spark, tmp)
+      assert(row(v, "rescanned_shards").getLong(2) >= 1L,
+        "forged-metadata tamper evaded the fingerprint: zero rescans")
+    } catch {
+      case _: Exception => () // rescan hit the corrupt bytes — caught loudly
+    }
+  }
+
   test("a deleted trailing shard is caught by the baseline diff") {
     // removing the HIGHEST shard leaves every structural check green
     // (positions 1..n', shards 0..max-1, spans tile) — only the

@@ -112,6 +112,36 @@ class LdapAuthSpec extends AnyFunSuite {
       .isInstanceOf[LdapAuth.BindUnreachable])
   }
 
+  test("a garbled ANSWERED response is BindError, not an outage (r18 advice)") {
+    // a server that answers with well-formed-looking bytes that fail
+    // BER decoding (implausible length) — an on-path garbler of a deny
+    // must land in the authoritative-deny class (no stored-fallback
+    // window), while a silent mid-read close stays an outage
+    val srv = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+    val garble = new Thread(() => {
+      try while (true) {
+        val s = srv.accept()
+        s.getInputStream.readNBytes(4) // let the request start
+        // tag 0x30, long-form length-of-length 4, implausible length
+        s.getOutputStream.write(Array[Byte](0x30, 0x84.toByte,
+          0x7f, -1, -1, -1))
+        s.getOutputStream.flush()
+        Thread.sleep(50)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    garble.setDaemon(true); garble.start()
+    try {
+      LdapAuth.bind(s"ldap://127.0.0.1:${srv.getLocalPort}",
+        dnOf("ada"), "pw", timeoutMs = 2000) match {
+        case LdapAuth.BindError(m) =>
+          assert(m.contains("protocol error"), m)
+        case r => fail(s"garbled answer classified as $r — " +
+          "an attacker turns a deny into a fallback-eligible outage")
+      }
+    } finally srv.close()
+  }
+
   test("DN template substitution escapes RFC 4514 metacharacters") {
     assert(LdapAuth.substituteDn(template, "ada") == dnOf("ada"))
     assert(LdapAuth.substituteDn("uid={{ user }},dc=x", "ada") == "uid=ada,dc=x")
