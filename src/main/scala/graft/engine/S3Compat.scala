@@ -254,6 +254,7 @@ class S3CompatFileSystem extends FileSystem {
     private val buf = new ByteArrayOutputStream()
     private var uploadId: Option[String] = None
     private var partNum = 1
+    private var closed = false
     private val etags = scala.collection.mutable.ArrayBuffer[(Int, String)]()
 
     override def write(b: Int): Unit = { buf.write(b); cutIfFull() }
@@ -289,11 +290,14 @@ class S3CompatFileSystem extends FileSystem {
       partNum += 1
     }
 
-    override def close(): Unit = uploadId match {
-      case None => put(key, buf.toByteArray) // fits one part
-      case Some(id) =>
-        if (buf.size > 0) shipPart(buf.toByteArray)
-        completeMultipart(key, id, etags.toSeq)
+    override def close(): Unit = if (!closed) {
+      closed = true // a double close must not re-PUT or re-complete
+      uploadId match {
+        case None => put(key, buf.toByteArray) // fits one part
+        case Some(id) =>
+          if (buf.size > 0) shipPart(buf.toByteArray)
+          completeMultipart(key, id, etags.toSeq)
+      }
     }
   }
 

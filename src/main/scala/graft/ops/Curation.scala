@@ -704,14 +704,6 @@ object Curation {
         count(lit(1)).cast("long").as("n_ids"))
   }
 
-  /** Tokenized landing (pp16): land what the trainer READS — fixed-
-    * length token-id sequences, shard-partitioned. Composes the
-    * pieces that already exist: a token-id array column (any
-    * tokenizer — the native BPE/unigram encode expressions, or a
-    * replayable rank vocab), packTokenSequences' materializer, and
-    * pp10's partitionBy(shard) layout. Returns the read-back
-    * manifest (shard, n_seqs, n_tokens, full/short sequence split).
-    */
   /** The step-mapping shard modulus (max shard id + 1) the WRITERS
     * record inside the landing as `_graft_nshards` (underscore-
     * prefixed — parquet partition discovery ignores it, the same
@@ -749,6 +741,14 @@ object Curation {
     }
   }
 
+  /** Tokenized landing (pp16): land what the trainer READS — fixed-
+    * length token-id sequences, shard-partitioned. Composes the
+    * pieces that already exist: a token-id array column (any
+    * tokenizer — the native BPE/unigram encode expressions, or a
+    * replayable rank vocab), packTokenSequences' materializer, and
+    * pp10's partitionBy(shard) layout. Returns the read-back
+    * manifest (shard, n_seqs, n_tokens, full/short sequence split).
+    */
   def tokenizedLanding(df: DataFrame, outDir: String, shard: Column,
                        ids: Column, seqLen: Int): DataFrame = {
     // Physical layout contract: each written file is seq_id-sorted, so
