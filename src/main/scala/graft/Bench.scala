@@ -52,6 +52,10 @@ object Bench {
         || q._1 == "em07_zca_whiten"
         // mm06 likewise: embedded-fixture perceptual-contract verdict
         || q._1 == "mm06_image_dhash"
+        // dd18: three blocking configs + an O(n²) brute-force
+        // reference over an embedded 600-signature fixture, emitting
+        // pinned drop/recall counts — the sim04/em02 category
+        || q._1 == "dd18_hamming_arity"
         // tk01 is an iterative TRAINING job (12 sequential shuffle
         // rounds), not a query — its wall time measures the loop.
         // tk05's GATE re-runs that same bpeTrain loop before its
