@@ -704,6 +704,49 @@ object Curation {
         count(lit(1)).cast("long").as("n_ids"))
   }
 
+  /** Document-span sidecar for packed sequences (pk03): which doc
+    * contributed which positions of each packed sequence — the
+    * attention-mask companion every concatenate-then-chunk packing
+    * needs (a trainer masking cross-document attention requires the
+    * block boundaries inside each sequence; the packed `ids` alone
+    * cannot recover them). One row per (sequence, contiguous doc
+    * span): (shard, seq_id, span_idx, doc_id, start_pos, span_len),
+    * spans tiling [0, n_ids) of pp16's packed output exactly
+    * (spec-pinned against packTokenSequences).
+    *
+    * Scale shape: computed at DOC granularity, never per token — each
+    * doc's global offset comes from the same per-shard running-sum
+    * window the packer already pays, and a doc then explodes into
+    * only the ≈ len/seqLen + 1 sequences it touches. For seqLen ≫ 1
+    * this is ~seqLen× fewer rows than the packer's own token explode,
+    * so emitting the mask sidecar costs less than the packing it
+    * annotates.
+    */
+  def packDocSpans(df: DataFrame, shard: Column, ids: Column,
+                   seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val base = df.select(col("doc_id"), shard.cast("long").as("shard"),
+      size(ids).cast("long").as("__len"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pos = base
+      .withColumn("__start", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .filter(col("__len") > 0)
+    pos.select(col("shard"), col("doc_id"), col("__start"), col("__len"),
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(__start + __len - 1) div $seqLen"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L))
+          .as("start_pos"),
+        (least(col("__start") + col("__len"), (col("seq_id") + 1L) * seqLen) -
+          greatest(col("__start"), col("seq_id") * seqLen)).as("span_len"))
+      .withColumn("span_idx",
+        (row_number().over(Window.partitionBy(col("shard"), col("seq_id"))
+          .orderBy(col("start_pos"))) - 1).cast("long"))
+      .select(col("shard"), col("seq_id"), col("span_idx"), col("doc_id"),
+        col("start_pos"), col("span_len"))
+  }
+
   /** The step-mapping shard modulus (max shard id + 1) the WRITERS
     * record inside the landing as `_graft_nshards` (underscore-
     * prefixed — parquet partition discovery ignores it, the same
@@ -981,6 +1024,12 @@ object Curation {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery preamble (the guard files' swap discipline): a crash
+    // between upsert's two renames leaves only `.old` — restore it
+    val old = new org.apache.hadoop.fs.Path(landingDir + "_epochs.old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"could not restore $old after a crashed registry swap")
     if (!fs.exists(p))
       Seq.empty[(String, String, Long)]
         .toDF("epoch_seed", "index_dir", "n_seqs")
@@ -1020,14 +1069,22 @@ object Curation {
       .filter(_.getString(0) != epochSeed)
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val rows = kept ++ entry.map { case (dir, n) => (epochSeed, dir, n) }
-    val p = landingDir + "_epochs"
-    if (rows.isEmpty) {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(path, true)
-    } else
-      rows.toSeq.toDF("epoch_seed", "index_dir", "n_seqs")
-        .coalesce(1).write.mode("overwrite").parquet(p)
+    val live = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rows.isEmpty) { fs.delete(live, true); return }
+    // temp + rename-aside swap (the guard files' discipline): the
+    // registry is never in a deleted/half-written state — a crash
+    // leaves either the old registry or the new one, and
+    // listEpochIndexes' preamble repairs the between-renames window
+    val tmp = new org.apache.hadoop.fs.Path(landingDir + "_epochs.tmp")
+    val old = new org.apache.hadoop.fs.Path(landingDir + "_epochs.old")
+    rows.toSeq.toDF("epoch_seed", "index_dir", "n_seqs")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), "epoch-registry swap failed (aside)")
+    require(fs.rename(tmp, live), "epoch-registry swap failed (install)")
+    fs.delete(old, true)
   }
 
   /** Invalidate every materialized epoch index of a landing: each
@@ -1045,8 +1102,10 @@ object Curation {
       val idx = new org.apache.hadoop.fs.Path(r.getString(1))
       idx.getFileSystem(conf).delete(idx, true)
     }
-    val reg = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
-    reg.getFileSystem(conf).delete(reg, true)
+    Seq("_epochs", "_epochs.old", "_epochs.tmp").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(landingDir + s)
+      p.getFileSystem(conf).delete(p, true)
+    }
     rows.length
   }
 

@@ -231,6 +231,40 @@ object CurationOps {
                CAST(len(list_filter(c.cuts, x -> n_tokens > x)) AS INT) AS bucket
              FROM t, c ORDER BY doc_id""")),
 
+    // pk03: the attention-mask sidecar of pp16's packing — per packed
+    // sequence, the contiguous doc spans that fill it (block-diagonal
+    // attention needs the boundaries; the packed ids alone lose them).
+    // Doc-granular: one per-shard offset window + a ≤ len/128+1
+    // sequence explode per doc — cheaper than the packing it
+    // annotates. The oracle replays offsets and span clipping in
+    // DuckDB exactly.
+    NamedQuery("pk03_pack_doc_spans",
+      (s, d) => Curation.packDocSpans(docs(s, d),
+          pmod(col("doc_id"), lit(8)), split(col("text"), " "), seqLen = 128)
+        .orderBy("shard", "seq_id", "span_idx"),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                  FROM documents),
+              p AS (SELECT doc_id, shard, len,
+                    CAST(coalesce(sum(len) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS st
+                  FROM t),
+              sp AS (SELECT shard, doc_id, st, len,
+                    unnest(range(st // 128, (st + len - 1) // 128 + 1)) AS seq_id
+                  FROM p WHERE len > 0)
+             SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(row_number() OVER (PARTITION BY shard, seq_id
+                 ORDER BY greatest(st - seq_id * 128, 0)) - 1 AS BIGINT)
+                 AS span_idx,
+               doc_id,
+               CAST(greatest(st - seq_id * 128, 0) AS BIGINT) AS start_pos,
+               CAST(least(st + len, (seq_id + 1) * 128)
+                 - greatest(st, seq_id * 128) AS BIGINT) AS span_len
+             FROM sp ORDER BY shard, seq_id, span_idx""")),
+
     // contamination: train = documents, eval = every 97th doc (a
     // deterministic benchmark-set stand-in, doc_ids 0,97,...,485).
     // Eval docs are contaminated by construction (they ARE in train);

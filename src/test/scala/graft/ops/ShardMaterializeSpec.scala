@@ -280,6 +280,55 @@ class ShardMaterializeSpec extends AnyFunSuite {
       packed.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("packDocSpans tiles packTokenSequences exactly (the mask-sidecar contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc lengths straddle the seqLen: shorter than, equal to, and
+    // several times a sequence, so spans hit every clipping case
+    // (doc inside one seq, doc ending exactly on a boundary, doc
+    // spanning 3+ sequences)
+    val ids = (1 to 17).map(i =>
+        (i.toLong, (1 to (i * 5) % 23 + 1).map(j => i * 100 + j)))
+      .toDF("doc_id", "ids")
+    val L = 8
+    val packed = Curation.packTokenSequences(ids,
+        pmod(col("doc_id"), lit(3)), col("ids"), seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getSeq[Int](2), r.getLong(3))).toMap
+    val spans = Curation.packDocSpans(ids,
+        pmod(col("doc_id"), lit(3)), col("ids"), seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+
+    // 1: spans cover exactly the packed sequences — same key set
+    val spanKeys = spans.map(s => (s._1, s._2)).toSet
+    assert(spanKeys == packed.keySet,
+      s"span sequences ${spanKeys.size} != packed sequences ${packed.size}")
+    // 2: per sequence, spans tile [0, n_ids): start at 0, contiguous,
+    //    lengths sum to n_ids
+    for (((sh, seq), (_, nIds)) <- packed) {
+      val ss = spans.filter(s => s._1 == sh && s._2 == seq)
+        .sortBy(_._3)
+      assert(ss.head._5 == 0L, s"($sh,$seq) first span not at 0")
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + a._6, s"($sh,$seq) spans not contiguous")
+        case _ => ()
+      }
+      assert(ss.map(_._6).sum == nIds, s"($sh,$seq) spans don't sum to n_ids")
+    }
+    // 3: reconstructing per-position doc ownership from the spans
+    //    matches the packed token values (ids were built as
+    //    doc_id*100 + j, so a token's hundreds digit IS its doc)
+    for (((sh, seq), (toks, _)) <- packed; s <- spans
+         if s._1 == sh && s._2 == seq) {
+      val owners = toks.slice(s._5.toInt, (s._5 + s._6).toInt)
+        .map(_ / 100).distinct
+      assert(owners == Seq(s._4.toInt),
+        s"($sh,$seq) span ${s._3} claims doc ${s._4} but holds $owners")
+    }
+  }
+
   test("writeLandingManifest: derived truth, reserved namespace, clean sibling") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
