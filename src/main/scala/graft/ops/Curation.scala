@@ -859,9 +859,26 @@ object Curation {
       s"bad step window: fromStep=$fromStep nSteps=$nSteps")
     val root = new org.apache.hadoop.fs.Path(landingDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shardIds = fs.listStatus(root).collect {
-      case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
-        st.getPath.getName.stripPrefix("shard=").toLong
+    // two landing layouts share one reader: the batch writer lands
+    // `shard=S` at the root (pp16); the STREAMING writer lands
+    // `batch=B/shard=S` (st13 — per-trigger directories, seq_ids kept
+    // dense per shard ACROSS batches by the tokguard's counters, so
+    // the step mapping is layout-independent). Shard discovery stays
+    // a bounded listing either way: root dirs, plus per-batch subdirs
+    // for the streamed form (#batches × #shards entries, never data).
+    val rootDirs = fs.listStatus(root).filter(_.isDirectory)
+    val shardIds = {
+      val flat = rootDirs.collect {
+        case st if st.getPath.getName.startsWith("shard=") =>
+          st.getPath.getName.stripPrefix("shard=").toLong
+      }
+      if (flat.nonEmpty) flat
+      else rootDirs.filter(_.getPath.getName.startsWith("batch="))
+        .flatMap(b => fs.listStatus(b.getPath).collect {
+          case st if st.isDirectory &&
+            st.getPath.getName.startsWith("shard=") =>
+            st.getPath.getName.stripPrefix("shard=").toLong
+        }).distinct
     }
     require(shardIds.nonEmpty, s"no landed shards under $landingDir")
     // max+1, NOT the directory count: with gapped shard ids (an

@@ -47,6 +47,22 @@ class StreamingTokenizedSpec extends AnyFunSuite {
     CorpusStream.flushTokenizedLanding(spark, streamDir)
     assert(landed(streamDir).toSeq == landed(batchDir).toSeq,
       "streamed landing diverged from the batch packer")
+
+    // the TRAINER-ORDER reader consumes both layouts identically:
+    // step windows over the streamed `batch=B/shard=S` tree equal the
+    // same windows over the flat `shard=S` landing (the tokguard's
+    // per-shard counters keep seq_ids dense across batches, so the
+    // step mapping is layout-independent), and the streamed landing's
+    // recorded shard modulus drives the same default drift pin
+    def window(dir: String, from: Long, n: Long) =
+      Curation.readTokenizedBatches(spark, dir, from, n)
+        .select(col("step"), col("shard"), col("seq_id"),
+          array_join(transform(col("ids"), _.cast("string")), " "))
+        .collect().map(_.toSeq)
+    assert(window(streamDir, 0L, 25L).toSeq == window(batchDir, 0L, 25L).toSeq,
+      "streamed landing reads differently through the step reader")
+    assert(window(streamDir, 25L, 10L).toSeq == window(batchDir, 25L, 10L).toSeq)
+    assert(Curation.recordedShardModulus(spark, streamDir).contains(3))
   }
 
   test("replayed batch ids are exactly-once; mid-stream only full sequences land") {
