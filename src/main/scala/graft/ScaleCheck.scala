@@ -1520,6 +1520,23 @@ object ScaleCheck {
       sigs.unpersist()
     }
 
+    // ---- (1b) pk03 doc-span sidecar: cheaper than the packing ----
+    for (m <- Seq(1, 8)) {
+      val docs = spark.range(0, 20000L * m).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), pmod(col("id"), lit(200)) + 8),
+          x => x.cast("int")).as("ids"))
+      val t0 = System.nanoTime()
+      val packed = graft.ops.Curation.packTokenSequences(docs,
+        pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 128).count()
+      val packSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val spans = graft.ops.Curation.packDocSpans(docs,
+        pmod(col("doc_id"), lit(16)), col("ids"), seqLen = 128).count()
+      val spanSec = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] pk03 x$m pack=$packed%d seqs ${packSec}%.1f s, " +
+        f"spans=$spans%d rows ${spanSec}%.1f s (doc-granular sidecar)")
+    }
+
     // ---- (2) dd17 ×20 with shuffle-bytes slope ----
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -63,6 +63,25 @@ class StreamingTokenizedSpec extends AnyFunSuite {
       "streamed landing reads differently through the step reader")
     assert(window(streamDir, 25L, 10L).toSeq == window(batchDir, 25L, 10L).toSeq)
     assert(Curation.recordedShardModulus(spark, streamDir).contains(3))
+
+    // the EPOCH readers are layout-independent too: the permutation
+    // is rank of md5(seed:shard:seq_id) over the row population, and
+    // both landings hold identical (shard, seq_id, ids) rows
+    def epochWin(dir: String) =
+      Curation.epochShuffledBatches(spark, dir, "eqe", 3L, 20L)
+        .select(col("step"), col("shard"), col("seq_id"),
+          array_join(transform(col("ids"), _.cast("string")), " "))
+        .collect().map(_.toSeq)
+    assert(epochWin(streamDir).toSeq == epochWin(batchDir).toSeq,
+      "epoch shuffle diverges between streamed and batch layouts")
+    val idxDir = java.nio.file.Files.createTempDirectory("st13idx").toString
+    Curation.writeEpochIndex(spark, streamDir, "eqe", s"$idxDir/idx")
+    val viaIdx = Curation.readEpochWindow(spark, streamDir, s"$idxDir/idx", 3L, 20L)
+      .select(col("step"), col("shard"), col("seq_id"),
+        array_join(transform(col("ids"), _.cast("string")), " "))
+      .collect().map(_.toSeq)
+    assert(viaIdx.toSeq == epochWin(batchDir).toSeq,
+      "materialized epoch index diverges on the streamed layout")
   }
 
   test("replayed batch ids are exactly-once; mid-stream only full sequences land") {
