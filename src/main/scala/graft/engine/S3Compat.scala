@@ -234,9 +234,15 @@ class S3CompatFileSystem extends FileSystem {
     // fs.s3a.multipart.size: the standard key. Real S3 floors parts
     // at 5 MB (all but the last); the key is honored as-given so
     // specs can exercise the part machinery with small fixtures.
-    // getLongBytes: hadoop core-default ships the key as "64M"
-    val partSize = getConf
-      .getLongBytes("fs.s3a.multipart.size", 64L * 1024 * 1024).toInt
+    // getLongBytes: hadoop core-default ships the key as "64M".
+    // Bounds-checked BEFORE the toInt: 2G+ is a legal S3 part size
+    // but silently overflows Int (negative partSize = instant
+    // IndexOutOfBounds on the first write), and 0 would loop forever
+    val partSizeL = getConf
+      .getLongBytes("fs.s3a.multipart.size", 64L * 1024 * 1024)
+    require(partSizeL > 0 && partSizeL <= Int.MaxValue,
+      s"fs.s3a.multipart.size out of supported range (0, 2G): $partSizeL")
+    val partSize = partSizeL.toInt
     new FSDataOutputStream(new MultipartOutputStream(key, partSize), statistics)
   }
 
@@ -255,20 +261,40 @@ class S3CompatFileSystem extends FileSystem {
     private var uploadId: Option[String] = None
     private var partNum = 1
     private var closed = false
+    private var failed = false
     private val etags = scala.collection.mutable.ArrayBuffer[(Int, String)]()
 
-    override def write(b: Int): Unit = { buf.write(b); cutIfFull() }
-    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      buf.write(b, off, len); cutIfFull()
+    override def write(b: Int): Unit = {
+      buf.write(b)
+      if (buf.size >= partSize) shipBuffered()
     }
 
-    private def cutIfFull(): Unit =
-      while (buf.size >= partSize) {
-        val all = buf.toByteArray
-        buf.reset()
-        buf.write(all, partSize, all.length - partSize)
-        shipPart(java.util.Arrays.copyOfRange(all, 0, partSize))
+    // memory really is bounded by ONE part: the open buffer is topped
+    // up to a part boundary, then FULL parts ship straight from the
+    // caller's array (no copy into the buffer, no whole-call
+    // buffering) and only the < partSize tail is retained — a 1 GB
+    // single write() with 64 MB parts peaks at one part of heap, not
+    // the gigabyte
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      if (buf.size > 0) {
+        val take = math.min(rem, partSize - buf.size)
+        buf.write(b, o, take); o += take; rem -= take
+        if (buf.size >= partSize) shipBuffered()
       }
+      while (rem >= partSize) {
+        shipPart(java.util.Arrays.copyOfRange(b, o, o + partSize))
+        o += partSize; rem -= partSize
+      }
+      if (rem > 0) buf.write(b, o, rem)
+    }
+
+    private def shipBuffered(): Unit = {
+      val bytes = buf.toByteArray
+      buf.reset()
+      shipPart(bytes)
+    }
 
     private def shipPart(bytes: Array[Byte]): Unit = {
       if (uploadId.isEmpty) uploadId = Some(initiateMultipart(key))
@@ -280,6 +306,7 @@ class S3CompatFileSystem extends FileSystem {
             try uploadPart(key, id, partNum, bytes) // idempotent retry
             catch {
               case e2: java.io.IOException =>
+                failed = true // close() must not complete a dead upload
                 abortMultipart(key, id)
                 throw new java.io.IOException(
                   s"part $partNum of $key failed twice " +
@@ -292,7 +319,10 @@ class S3CompatFileSystem extends FileSystem {
 
     override def close(): Unit = if (!closed) {
       closed = true // a double close must not re-PUT or re-complete
-      uploadId match {
+      // after a double part failure the upload is already aborted —
+      // the caller's finally-close must not ship the leftover buffer
+      // against the dead uploadId and mask the original error
+      if (!failed) uploadId match {
         case None => put(key, buf.toByteArray) // fits one part
         case Some(id) =>
           if (buf.size > 0) shipPart(buf.toByteArray)

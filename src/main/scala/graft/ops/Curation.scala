@@ -600,6 +600,13 @@ object Curation {
         fs.delete(st.getPath, true)
       }
     }
+    // Invalidate FIRST, not after the swaps: every materialized epoch
+    // permutation referenced the PRE-erasure row population, and a
+    // crash mid-erasure must not leave a stale index alive that would
+    // replay the very sequences being erased. Invalidate-early is
+    // strictly safe — worst case (erasure then fails) the indexes are
+    // recomputed.
+    invalidateEpochIndexes(spark, landingDir)
     // one (doc_id, shard) scan finds the affected shards; bounded
     // collect (≤ shard count)
     val affected = spark.read.parquet(landingDir)
@@ -621,11 +628,6 @@ object Curation {
       require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
       fs.delete(old, true)
     }
-    // every materialized epoch permutation referenced the PRE-erasure
-    // row population — drop them with the rows they index, or a
-    // trainer replaying a stale index re-serves exactly the sequences
-    // this erasure just removed
-    invalidateEpochIndexes(spark, landingDir)
     spark.read.parquet(landingDir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1016,14 +1018,17 @@ object Curation {
   def writeEpochIndex(spark: org.apache.spark.sql.SparkSession,
                       landingDir: String, epochSeed: String,
                       indexDir: String): Long = {
+    // register INTENT first (n_seqs = -1): a crash between the index
+    // write and the final registration must not leave a live ORPHAN
+    // directory the erase path can never find — with the intent row
+    // present, invalidateEpochIndexes deletes the dir whether or not
+    // the write completed. A lingering -1 row marks a crashed write.
+    upsertEpochRow(spark, landingDir, epochSeed, Some((indexDir, -1L)))
     val idx = epochIndex(spark, landingDir, epochSeed)
       .repartitionByRange(col("step"))
       .sortWithinPartitions(col("step"))
     idx.write.mode("overwrite").parquet(indexDir)
     val n = spark.read.parquet(indexDir).count()
-    // register the epoch in the landing's sidecar so a trainer (and
-    // the erase path) can enumerate which indexes exist without
-    // tribal knowledge of index directories
     upsertEpochRow(spark, landingDir, epochSeed, Some((indexDir, n)))
     n
   }
@@ -1042,11 +1047,15 @@ object Curation {
     val p = new org.apache.hadoop.fs.Path(landingDir + "_epochs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recovery preamble (the guard files' swap discipline): a crash
-    // between upsert's two renames leaves only `.old` — restore it
+    // between upsert's two renames leaves only `.old` — restore it.
+    // Under the registry lock (reentrant from upsert) so a repair
+    // never races a swap in flight in this JVM.
     val old = new org.apache.hadoop.fs.Path(landingDir + "_epochs.old")
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p),
-        s"could not restore $old after a crashed registry swap")
+    epochRegistryLock.synchronized {
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p),
+          s"could not restore $old after a crashed registry swap")
+    }
     if (!fs.exists(p))
       Seq.empty[(String, String, Long)]
         .toDF("epoch_seed", "index_dir", "n_seqs")
@@ -1074,13 +1083,24 @@ object Curation {
     hit.isDefined
   }
 
+  /** Serializes the registry's read-modify-write within this JVM.
+    * Cross-process concurrency is out of contract: the registry
+    * assumes ONE training controller per landing (document of record
+    * — concurrent controllers would also race the epoch indexes
+    * themselves).
+    */
+  private val epochRegistryLock = new Object
+
   /** Registry upsert: replace (or remove, when `entry` is None) the
     * seed's row. The registry is epoch-count-sized — a bounded
-    * collect + rewrite, never a landing scan.
+    * collect + rewrite, never a landing scan. JVM-serialized via
+    * epochRegistryLock (two concurrent upserts would lose a row in
+    * the read-modify-write).
     */
   private def upsertEpochRow(spark: org.apache.spark.sql.SparkSession,
                              landingDir: String, epochSeed: String,
-                             entry: Option[(String, Long)]): Unit = {
+                             entry: Option[(String, Long)]): Unit =
+    epochRegistryLock.synchronized {
     import spark.implicits._
     val kept = listEpochIndexes(spark, landingDir).collect()
       .filter(_.getString(0) != epochSeed)

@@ -319,14 +319,27 @@ object CorpusStream {
         .toMap
       val newState = state ++ closing
       writeTokGuard(fs, landingDir, batchId, newState)
-      // the guard's shard keys ARE the landed shard universe — record
-      // the step-mapping modulus alongside, so batch-style readers of
-      // a closed stream landing get the same default drift pin
-      // tokenizedLanding writes
-      if (newState.nonEmpty)
-        graft.ops.Curation.recordShardModulus(spark, landingDir,
-          (newState.keys.max + 1L).toInt)
+      recordLandedModulus(spark, landingDir, newState)
     } finally all.unpersist()
+  }
+
+  /** Record the step-mapping modulus from the shards that have LANDED
+    * at least one sequence (next > 0) — exactly the universe a
+    * directory listing sees. Guard keys alone over-count: a shard
+    * whose whole stream so far is a carried < seqLen tail has a guard
+    * entry but no `shard=` directory yet, and recording it would make
+    * readTokenizedBatches' record-vs-listing drift check spuriously
+    * reject a healthy in-progress landing. Flush re-records after the
+    * tails land (their directories then exist and their counters
+    * advance past the shorts — the two views stay in lockstep).
+    */
+  private def recordLandedModulus(spark: org.apache.spark.sql.SparkSession,
+                                  landingDir: String,
+                                  state: Map[Long, (Long, Seq[Int])]): Unit = {
+    val landed = state.collect { case (sh, (next, _)) if next > 0 => sh }
+    if (landed.nonEmpty)
+      graft.ops.Curation.recordShardModulus(spark, landingDir,
+        (landed.max + 1L).toInt)
   }
 
   /** Base id for flushed-tail partitions. NOT `lastDone + 1`: a
@@ -379,6 +392,9 @@ object CorpusStream {
         sh -> (next + (if (rem.nonEmpty) 1L else 0L), Seq.empty[Int])
       }
       writeTokGuard(fs, landingDir, lastDone, cleared)
+      // the flushed tails just created their shards' directories —
+      // bring the recorded modulus up to the now-landed universe
+      recordLandedModulus(spark, landingDir, cleared)
     }
   }
 

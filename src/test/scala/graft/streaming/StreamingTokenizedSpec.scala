@@ -84,6 +84,29 @@ class StreamingTokenizedSpec extends AnyFunSuite {
       "materialized epoch index diverges on the streamed layout")
   }
 
+  test("modulus records only LANDED shards: a tail-only shard never poisons the default read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st13m").toString + "/landing"
+    // shards 0/1 land full sequences; shard 2's whole stream so far is
+    // a 5-token carried tail (guard entry, NO shard= directory) — the
+    // recorded modulus must match the directory listing (2), not the
+    // guard universe (3), or the reader's drift check would refuse a
+    // healthy in-progress landing
+    val df = Seq(
+      (0L, Array.fill(40)(1)), (1L, Array.fill(40)(2)),
+      (2L, Array.fill(5)(3))).toDF("doc_id", "ids")
+    CorpusStream.landTokenizedBatch(df, 0L, dir,
+      pmod(col("doc_id"), lit(3)), col("ids"), seqLen = 16)
+    assert(Curation.recordedShardModulus(spark, dir).contains(2))
+    // the default (record-pinned) read works mid-stream
+    assert(Curation.readTokenizedBatches(spark, dir, 0L, 4L).count() == 4)
+    // flush lands the tails (incl. shard 2's first directory) and
+    // re-records — the two views stay in lockstep after close too
+    CorpusStream.flushTokenizedLanding(spark, dir)
+    assert(Curation.recordedShardModulus(spark, dir).contains(3))
+    assert(Curation.readTokenizedBatches(spark, dir, 0L, 100L).count() == 7)
+  }
+
   test("replayed batch ids are exactly-once; mid-stream only full sequences land") {
     val dir = java.nio.file.Files.createTempDirectory("st13r").toString + "/landing"
     CorpusStream.landTokenizedBatch(corpus(1 to 40), 0L, dir,
