@@ -511,13 +511,24 @@ object Analytics {
     // rationale): the per-user item set is guard-bounded, so the
     // explode is ≤ maxItemsPerUser²/2 per user, map-side, tight loop
     graft.functions.ArrayFunctions.register(df.sparkSession)
-    val co = ui.groupBy(col("u"))
+    val co0 = ui.groupBy(col("u"))
       .agg(array_sort(collect_set(col("it"))).as("__m"))
       .select(explode(graft.functions.ArrayFunctions.pair_combos(col("__m")))
         .as("__p"))
       .groupBy(col("__p.a").as("i"), col("__p.b").as("j"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
+    // materialize the aggregated pair frame ONCE before mirroring: the
+    // two union branches are sibling subtrees inside one job, so a
+    // lazy cache races itself and BOTH branches recompute the whole
+    // quadratic pair explode + count (r19 perf: the 8M-row pair
+    // exchange ran twice, 2×89 MB; post-agg co is item-pair-bounded,
+    // so the checkpoint is tiny). localCheckpoint, not persist: blocks
+    // die with the RDD via the ContextCleaner.
+    val co = {
+      val cp = co0.localCheckpoint(true)
+      ui.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     // mirror so every item sees its full neighbor list
     val sym = co.union(co.select(col("j").as("i"), col("i").as("j"),
       col("n_common")))

@@ -387,10 +387,12 @@ object Graph {
     // reach ~1e8; ANSI mode fails loudly past that, and the fix is a
     // double cast). Means drop out exactly, the co-moments reduce to
     // Sxy − Sx·Sy/n with float error confined to the last two ops —
-    // tighter than the old centered double sums over the edge list,
-    // and the whole statistic is ONE action: no persist, no second
-    // pass, three shuffles total (dedup, degree agg, pair-count agg;
-    // the degree join-backs broadcast under AQE at node cardinality).
+    // tighter than the old centered double sums over the edge list.
+    // Three shuffles total (dedup, degree agg, pair-count agg; the
+    // degree join-backs broadcast under AQE at node cardinality), with
+    // the symmetrized edge frame flat-checkpointed once so the degree
+    // and join consumers don't each re-run the caller's edge
+    // construction (r19 perf).
     val m = assortativityStats(edges).head
     val n = m.getLong(0)
     require(n >= 2, s"assortativity needs ≥2 endpoint pairs (got $n)")
@@ -414,8 +416,16 @@ object Graph {
     */
   private[graft] def assortativityStats(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // flat-checkpoint the symmetrized distinct edge frame: it feeds
+    // BOTH the degree aggregate and the join below, and without the
+    // materialization each consumer re-computes the whole upstream
+    // edge construction (for gr02 that is the orders⋈lineitem distinct
+    // chain — the expensive part — run twice; r19 perf). The RDD
+    // rebuild also keeps the lineage flat.
+    val eCp = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
+    val e = edges.sparkSession.createDataFrame(eCp.rdd, eCp.schema)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     e.join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")

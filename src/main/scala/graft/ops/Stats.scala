@@ -1146,13 +1146,21 @@ object Stats {
         .join(w.select(col("item").as("j"), col("wt").as("__wj")), "j")
         .groupBy(col("i").as("item"))
         .agg(sum(col("n") / (col("__wi") + col("__wj"))).as("__den"))
+      // flat-checkpoint the UNNORMALIZED update, not w: __raw feeds
+      // both the Σ normalizer and the projection, so without the
+      // checkpoint here the whole den chain (2 joins + agg) computed
+      // TWICE per iteration — once under the broadcast build, once in
+      // the main pass (r19 perf: 116 → 84 jobs, 1995 → 1180 tasks,
+      // identical weights, el01 oracle-green).
+      // w itself then derives from the checkpointed scan + a broadcast
+      // scalar, so its lineage is already flat without a second pass.
       val raw = items.select(col("item"), col("wins"))
         .join(den, "item")
         .select(col("item"), (col("wins") / col("__den")).as("__raw"))
+        .transform(flat)
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
       w = raw.crossJoin(broadcast(tot))
         .select(col("item"), (col("__raw") / col("__tot")).as("wt"))
-        .transform(flat)
     }
     val out = items.join(w, "item")
       .select(col("item"), col("wins"), col("n_comparisons"),
