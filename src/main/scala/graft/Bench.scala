@@ -97,6 +97,10 @@ object Bench {
         || q._1 == "pp19_epoch_shuffle_reader"
         || q._1 == "pp20_incremental_validate"
         || q._1 == "pp21_epoch_index_reader"
+        // pp22 is pp21's category one step further: temp landing +
+        // two epoch-index writes + registry lifecycle asserts — a
+        // flow/verdict gate, not a query (missed when the gate landed)
+        || q._1 == "pp22_epoch_lifecycle"
         || q._1 == "st13_streaming_tokenized_landing"
         || q._1 == "mm12_image_neardup"
         // st08 writes fixture file-batches then drives a streaming

@@ -440,7 +440,15 @@ object Analytics {
   def basketLift(df: DataFrame, basket: Column, item: Column,
                  minPairCount: Int = 2, maxBasket: Int = 1000): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")
-    val bi0 = df.select(basket.as("bk"), item.as("it")).distinct()
+    // hash-partition on the basket key BEFORE distinct (the lp trick):
+    // bk-partitioning satisfies the (bk, it) dedup clustering, the
+    // guard's bucket-size aggregate, the basket-count distinct, AND
+    // the pair group-collect — so the frame crosses the network once
+    // instead of three times (r19 perf: 16 → 14 stages, 33 → 29 MB
+    // shuffled at sf0.1; the bigger win is at scale, where the two
+    // removed exchanges carry the full frame, not local partials)
+    val bi0 = df.select(basket.as("bk"), item.as("it"))
+      .repartition(col("bk")).distinct()
     // persist the guarded pair set: it feeds FOUR consumers (the
     // basket count, both sides of the self-join, and the item counts)
     // — caching makes the distinct+guard run once, and keeps the drop
@@ -502,7 +510,11 @@ object Analytics {
   def itemCosine(df: DataFrame, user: Column, item: Column, topK: Int = 5,
                  minCommon: Int = 2, maxItemsPerUser: Int = 1000): DataFrame = {
     require(topK >= 1, s"topK must be positive: $topK")
-    val ui0 = df.select(user.as("u"), item.as("it")).distinct()
+    // user-key partition before distinct: one exchange serves the
+    // dedup, the guard aggregate, and the per-user group-collect
+    // (basketLift's r19 shape)
+    val ui0 = df.select(user.as("u"), item.as("it"))
+      .repartition(col("u")).distinct()
     val ui = OpsMetrics.rowGuarded(ui0, Seq("u"), maxItemsPerUser,
         "graft.item_cosine")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -3710,18 +3710,31 @@ object PipelineOps {
         val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
         val tmp = java.nio.file.Files.createTempDirectory("st11").toString
         val src = new java.io.File(tmp, "src"); src.mkdirs()
-        Seq(
-          ("b0", col("us") <= c1),
-          ("b1", col("us") > c1 && col("us") <= c2),
-          ("b2", col("us") > c2)).zipWithIndex.foreach {
-          case ((nm, pred), i) =>
-            val stage = s"$tmp/stage_$nm"
-            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-            val part = new java.io.File(stage).listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            val dst = new java.io.File(src, s"$nm.parquet")
-            java.nio.file.Files.copy(part.toPath, dst.toPath)
-            dst.setLastModified(1700000000000L + i * 600000L)
+        // ONE partitioned write builds all three time-bucket fixture
+        // files (r19 perf: was three full filter+write passes over the
+        // events projection). The explicit isNotNull keeps the old
+        // filter semantics (a null us satisfied no bucket predicate);
+        // within-file row order is free — ttlDedup sorts per key by
+        // (us, tb) inside each batch.
+        val stage = s"$tmp/stage"
+        ev.filter(col("us").isNotNull)
+          .withColumn("__b", when(col("us") <= c1, "b0")
+            .when(col("us") <= c2, "b1").otherwise("b2"))
+          .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(stage)
+        Seq("b0", "b1", "b2").zipWithIndex.foreach { case (nm, i) =>
+          val bucketDir = new java.io.File(s"$stage/__b=$nm")
+          if (!bucketDir.isDirectory) {
+            // degenerate cut (empty bucket): partitionBy writes no dir,
+            // but the stream contract wants one file per micro-batch —
+            // write the empty frame like the old per-bucket pass did
+            ev.filter(lit(false)).coalesce(1)
+              .write.mode("overwrite").parquet(bucketDir.toString)
+          }
+          val part = bucketDir.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"$nm.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 600000L)
         }
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(src.toString)
