@@ -200,10 +200,18 @@ object Analytics {
     */
   def rfm(orders: DataFrame, customer: Column, ts: Column,
           amount: Column): DataFrame = {
-    val per = orders.groupBy(customer.as("customer"))
-      .agg(max(unix_micros(ts)).as("__last_us"),
-        count(lit(1)).as("frequency"),
-        round(sum(amount), 2).as("monetary"))
+    // materialize the customer-cardinality frame once: it feeds the
+    // max-recency broadcast, the assignment scan, AND the percentile
+    // cut aggregate — three consumers that each re-ran the full orders
+    // aggregate without the checkpoint (r19 perf)
+    val per = {
+      val p0 = orders.groupBy(customer.as("customer"))
+        .agg(max(unix_micros(ts)).as("__last_us"),
+          count(lit(1)).as("frequency"),
+          round(sum(amount), 2).as("monetary"))
+      val cp = p0.localCheckpoint(true)
+      orders.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val withR = per
       .crossJoin(broadcast(per.agg(max(col("__last_us")).as("__max_us"))))
       .withColumn("recency_days",

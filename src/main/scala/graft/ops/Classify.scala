@@ -97,9 +97,19 @@ object Classify {
     val classes = docs.groupBy(col("__label").as("cls"))
       .agg(count(lit(1)).as("n_cls"))
     val nTotal = docs.count()
-    val tokDocs = presence.groupBy(col("tok")).agg(count(lit(1)).as("dt"))
-    val aCounts = presence.groupBy(col("tok"), col("__label").as("cls"))
-      .agg(count(lit(1)).as("a"))
+    // one pass over the presence frame: a doc has exactly one label,
+    // so dt (docs containing tok) = Σ_cls a — deriving the token
+    // marginal from the (tok, cls) counts instead of a second presence
+    // aggregate removes a full corpus tokenize + distinct shuffle
+    // (r19 perf); aCounts is (token × class)-bounded, so the
+    // checkpoint both consumers share is tiny
+    val aCounts = {
+      val a0 = presence.groupBy(col("tok"), col("__label").as("cls"))
+        .agg(count(lit(1)).as("a"))
+      val cp = a0.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val tokDocs = aCounts.groupBy(col("tok")).agg(sum(col("a")).as("dt"))
     val grid = tokDocs.crossJoin(broadcast(classes))
       .join(aCounts, Seq("tok", "cls"), "left")
       .na.fill(0L, Seq("a"))
@@ -143,9 +153,19 @@ object Classify {
     val classes = docs.groupBy(col("__label").as("cls"))
       .agg(count(lit(1)).as("n_cls"))
     val nTotal = docs.count()
-    val tokDocs = presence.groupBy(col("tok")).agg(count(lit(1)).as("dt"))
-    val aCounts = presence.groupBy(col("tok"), col("__label").as("cls"))
-      .agg(count(lit(1)).as("a"))
+    // one pass over the presence frame: a doc has exactly one label,
+    // so dt (docs containing tok) = Σ_cls a — deriving the token
+    // marginal from the (tok, cls) counts instead of a second presence
+    // aggregate removes a full corpus tokenize + distinct shuffle
+    // (r19 perf); aCounts is (token × class)-bounded, so the
+    // checkpoint both consumers share is tiny
+    val aCounts = {
+      val a0 = presence.groupBy(col("tok"), col("__label").as("cls"))
+        .agg(count(lit(1)).as("a"))
+      val cp = a0.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val tokDocs = aCounts.groupBy(col("tok")).agg(sum(col("a")).as("dt"))
     val grid = tokDocs.crossJoin(broadcast(classes))
       .join(aCounts, Seq("tok", "cls"), "left")
       .na.fill(0L, Seq("a"))

@@ -1630,10 +1630,18 @@ object Curation {
     */
   def domainProfile(df: DataFrame, url: Column): DataFrame = {
     val host = regexp_replace(parse_url(url, lit("HOST")), "^www\\.", "")
-    val byHost = df.select(host.as("host"))
-      .filter(col("host").isNotNull && col("host") =!= "")
-      .groupBy(col("host"))
-      .agg(count(lit(1)).as("n_docs"))
+    // materialize the domain-cardinality frame once: it feeds both the
+    // scalar total (a broadcast build) and the share projection, and
+    // without the checkpoint each consumer re-ran the corpus-wide URL
+    // parse + aggregate (r19 perf)
+    val byHost = {
+      val b0 = df.select(host.as("host"))
+        .filter(col("host").isNotNull && col("host") =!= "")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"))
+      val cp = b0.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val total = byHost.agg(sum(col("n_docs")).as("__total_docs"))
     byHost.crossJoin(broadcast(total))
       .select(col("host"),
@@ -1924,9 +1932,18 @@ object Curation {
                       tokens: Column = col("tokens")): DataFrame = {
     require(budgetRatio > 0, s"budgetRatio must be positive: $budgetRatio")
     require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
-    val base = perSource
-      .select(source.as("source"), tokens.cast("long").as("t"))
-      .filter(col("t") > 0)
+    // materialize the source-cardinality frame once: the caller's
+    // perSource is typically a corpus-wide aggregate, and base feeds
+    // the budget scalar, the frontier chain, and the final assignment
+    // — without the checkpoint each consumer re-ran that aggregate
+    // (r19 perf)
+    val base = {
+      val b0 = perSource
+        .select(source.as("source"), tokens.cast("long").as("t"))
+        .filter(col("t") > 0)
+      val cp = b0.localCheckpoint(true)
+      perSource.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val gl = base.agg((sum(col("t")) * lit(budgetRatio)).as("__b"),
       count(lit(1)).cast("double").as("__s"))
     val wr = base.crossJoin(broadcast(gl))

@@ -585,9 +585,11 @@ object Graph {
     * aggregate yields d_c (count) and e_c (conditional sum) together,
     * so the edge set is scanned once and shuffled once on the label
     * key; node counts are a second aggregate over the (small) label
-    * frame. 2m folds in as a broadcast single-row frame — no collect,
-    * no window. The per-community terms are exact integer counts; only
-    * the final contribution divides.
+    * frame, and 2m is Σ degree_sum over that checkpointed per-label
+    * frame (src labels join LEFT so unlabeled-src edges land in a
+    * null group that feeds 2m but never the output) — no second edge
+    * pass, no collect, no window. The per-community terms are exact
+    * integer counts; only the final contribution divides.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
@@ -600,16 +602,28 @@ object Graph {
     // excluded (their edges belong to no community) but still count in
     // 2m, the standard partial-cover reading. With full coverage this
     // is byte-identical to the inner join.
-    val el = e
-      .join(lab.select(col("node").as("src"), col("label").as("__sl")), "src")
+    // src labels join LEFT (communityStructure's r19 shape): the
+    // null-label group carries unlabeled-src edges, so 2m = Σ
+    // degree_sum over ALL groups of this label-cardinality frame —
+    // the edge list is scanned ONCE instead of paying a second full
+    // pass (and, for gr04, a second orders⋈lineitem edge
+    // construction) just for the 2m count. Labeled groups' statistics
+    // are unchanged; the null group never reaches the output (sizes
+    // only carries lab's labels).
+    val perLabel0 = e
+      .join(lab.select(col("node").as("src"), col("label").as("__sl")),
+        Seq("src"), "left")
       .join(lab.select(col("node").as("dst"), col("label").as("__dl")),
         Seq("dst"), "left")
-    val perLabel = el.groupBy(col("__sl").as("label"))
+      .groupBy(col("__sl").as("label"))
       .agg(count(lit(1)).as("degree_sum"),
         sum(when(col("__sl") === col("__dl"), 1L).otherwise(0L)).as("in_edges"))
+      .localCheckpoint(true)
+    val perLabel = edges.sparkSession
+      .createDataFrame(perLabel0.rdd, perLabel0.schema)
+    val twoM = perLabel.agg(sum(col("degree_sum")).as("__2m"))
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-    val twoM = e.agg(count(lit(1)).as("__2m"))
-    sizes.join(perLabel, Seq("label"), "left")
+    sizes.join(perLabel.filter(col("label").isNotNull), Seq("label"), "left")
       .na.fill(0L, Seq("degree_sum", "in_edges"))
       .crossJoin(broadcast(twoM))
       .select(col("label"), col("n_nodes"), col("in_edges"), col("degree_sum"),

@@ -1071,13 +1071,20 @@ object Stats {
     val base = df.filter(score.isNotNull && label.isNotNull)
       .select(score.cast("double").as("__p"),
         label.cast("boolean").cast("int").cast("double").as("__y"))
-    val perBin = base
+    val perBin0 = base
       .withColumn("__bin",
         least(floor(col("__p") * bins), lit(bins - 1L)))
       .groupBy(col("__bin"))
       .agg(count(lit(1)).as("n_k"),
         sum(col("__p")).as("sp"), sum(col("__p") * col("__p")).as("sp2"),
         sum(col("__p") * col("__y")).as("spy"), sum(col("__y")).as("sy"))
+    // materialize the bins-row frame once: it feeds both the scalar
+    // totals (a broadcast build) and the main aggregate, and without
+    // the checkpoint each consumer re-scans the full input (r19 perf)
+    val perBin = {
+      val cp = perBin0.localCheckpoint(true)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val tot = perBin.agg(sum(col("n_k")).as("n"), sum(col("sy")).as("ty"),
       sum(col("sp2") - lit(2.0) * col("spy") + col("sy")).as("sqerr"))
     perBin.crossJoin(broadcast(tot))

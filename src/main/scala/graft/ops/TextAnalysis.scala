@@ -687,9 +687,17 @@ object TextAnalysis {
     require(ks.nonEmpty && ks.forall(_ > 0), s"bad vocab sizes: $ks")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.select(explode(split(text, "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // materialize the vocab-cardinality count frame once: it feeds
+    // both the rank-bucket chain and the scalar totals, and without
+    // the checkpoint each consumer re-runs the corpus-wide token
+    // explode + aggregate (r19 perf)
+    val counts = {
+      val c0 = df.select(explode(split(text, "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val cp = c0.localCheckpoint(true)
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
     val perC = counts.groupBy(col("c"))
       .agg(count(lit(1)).as("n_types"), (count(lit(1)) * col("c")).as("mass"))
       .withColumn("negc", -col("c"))
