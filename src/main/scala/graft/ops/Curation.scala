@@ -614,19 +614,37 @@ object Curation {
       .join(idSet, "doc_id")
       .select("shard").distinct()
       .collect().map(_.getLong(0)).sorted
-    for (sh <- affected) {
-      val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
-      val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
-      val old = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_old_$sh")
-      spark.read.parquet(dir.toString)
-        .join(idSet, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp.toString)
-      // rename-aside swap: the live directory is never in a deleted
-      // state - a crash leaves either (old aside + live) or (old
-      // aside, no live), both repaired by the recovery preamble
-      require(fs.rename(dir, old), s"erasure swap failed for shard=$sh (aside)")
-      require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
-      fs.delete(old, true)
+    // shard rewrites are mutually independent (distinct directories,
+    // each swap atomic per shard, recovery handles any interleaving of
+    // crash windows), so run them through a bounded pool instead of a
+    // serial loop — a serial pass pays one full job latency per shard
+    // (pp14 at sf0.1: ~75 shards ≈ 46 s wall; guide §2.6 "overlap
+    // independent jobs"). Parallelism is a conf, not a local constant.
+    val eraseParallelism = math.max(1,
+      spark.conf.get("graft.erase.parallelism", "8").toInt)
+    if (affected.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(eraseParallelism, affected.length))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      val futs = affected.toSeq.map { sh => Future {
+        val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
+        val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
+        val old = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_old_$sh")
+        spark.read.parquet(dir.toString)
+          .join(idSet, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(tmp.toString)
+        // rename-aside swap: the live directory is never in a deleted
+        // state - a crash leaves either (old aside + live) or (old
+        // aside, no live), both repaired by the recovery preamble
+        require(fs.rename(dir, old), s"erasure swap failed for shard=$sh (aside)")
+        require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
+        fs.delete(old, true)
+      }}
+      try Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration(30, "min"))
+      finally pool.shutdown()
     }
     spark.read.parquet(landingDir)
       .groupBy(col("shard").cast("long").as("shard"))
