@@ -108,8 +108,12 @@ class Catalog(val spark: SparkSession, val warehouse: String) {
     val typedPath = s"$dir/typed"
     ingested.untyped.write.mode(SaveMode.Overwrite).parquet(untypedPath)
     ingested.typed.write.mode(SaveMode.Overwrite).parquet(typedPath)
+    // count the still-cached parse frame, not a re-read of the file
+    // just written — the write is deterministic, so the counts are
+    // identical, and this drops one read job per ingest (r19 perf;
+    // im22 alone pays 38 of these)
+    val rowCount = ingested.untyped.count()
     ingested.unpersist() // both materializations done; drop the parse cache
-    val rowCount = spark.read.parquet(untypedPath).count()
 
     val jsonType = ingested.colTypes match {
       case Seq(ColumnType.ColJSON(Some(t))) => JsonType.render(t)
