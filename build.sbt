@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON summary from stdout. With a
+// forked run, sbt's default output strategy routes the child's stdout
+// through its logger, prefixing every line with "[info] " — which has
+// broken the driver's parser every round since r16 (BENCH_r*.json:
+// parsed=null). StdoutOutput passes the child's stdout through bare.
+// Unscoped so `runMain` (the driver's entry) inherits it too.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
