@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** JVM-global permit pool for concurrent shard-rewrite jobs across
+    * ALL in-flight eraseFromLanding invocations (r19 verdict #3: the
+    * 8-way engine pass × a per-invocation pool of 8 stacked up to 64
+    * simultaneous Spark jobs on 32 cores). Sized once from
+    * `graft.erase.globalPermits` (default: defaultParallelism / 4,
+    * floor 2 — 8 on a 32-core local run, scale-adaptive on a cluster);
+    * later invocations share the first-sized pool, which is the point:
+    * one cap for the process, not one per caller.
+    */
+  @volatile private var erasePermitPool: java.util.concurrent.Semaphore = _
+  private[graft] def eraseGlobalPermits(
+      spark: org.apache.spark.sql.SparkSession): java.util.concurrent.Semaphore = {
+    if (erasePermitPool == null) synchronized {
+      if (erasePermitPool == null) {
+        val n = math.max(2, spark.conf.get("graft.erase.globalPermits",
+          (spark.sparkContext.defaultParallelism / 4).toString).toInt)
+        erasePermitPool = new java.util.concurrent.Semaphore(n)
+      }
+    }
+    erasePermitPool
+  }
+
   private def registerOn(df: DataFrame): Unit =
     graft.functions.TextFunctions.register(df.sparkSession)
 
@@ -623,28 +645,58 @@ object Curation {
     val eraseParallelism = math.max(1,
       spark.conf.get("graft.erase.parallelism", "8").toInt)
     if (affected.nonEmpty) {
+      // JVM-global cap on concurrent shard-rewrite JOBS (r19 verdict
+      // #3): several erasures can run at once (the engine bench pass
+      // drives pp14/pp22/gd01 under 8-way gate concurrency), and
+      // per-invocation pools of 8 would multiply into dozens of
+      // simultaneous Spark jobs — amplifying straggler exposure
+      // instead of overlapping it. The semaphore bounds the TOTAL
+      // in-flight rewrites across invocations; per-invocation
+      // parallelism stays the conf above.
+      val permits = Curation.eraseGlobalPermits(spark)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(eraseParallelism, affected.length))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       import scala.concurrent.{Await, Future}
       val futs = affected.toSeq.map { sh => Future {
-        val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
-        val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
-        val old = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_old_$sh")
-        spark.read.parquet(dir.toString)
-          .join(idSet, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(tmp.toString)
-        // rename-aside swap: the live directory is never in a deleted
-        // state - a crash leaves either (old aside + live) or (old
-        // aside, no live), both repaired by the recovery preamble
-        require(fs.rename(dir, old), s"erasure swap failed for shard=$sh (aside)")
-        require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
-        fs.delete(old, true)
+        permits.acquire()
+        try {
+          val dir = new org.apache.hadoop.fs.Path(s"$landingDir/shard=$sh")
+          val tmp = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_tmp_$sh")
+          val old = new org.apache.hadoop.fs.Path(s"$landingDir/.erase_old_$sh")
+          spark.read.parquet(dir.toString)
+            .join(idSet, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(tmp.toString)
+          // rename-aside swap: the live directory is never in a deleted
+          // state - a crash leaves either (old aside + live) or (old
+          // aside, no live), both repaired by the recovery preamble
+          require(fs.rename(dir, old), s"erasure swap failed for shard=$sh (aside)")
+          require(fs.rename(tmp, dir), s"erasure swap failed for shard=$sh (install)")
+          fs.delete(old, true)
+        } finally permits.release()
       }}
-      try Await.result(Future.sequence(futs),
-        scala.concurrent.duration.Duration(30, "min"))
-      finally pool.shutdown()
+      // settle EVERY future before propagating the first failure (r19
+      // advice): rethrowing while siblings are still rewriting/renaming
+      // would let a caller's catch-and-retry race its own recovery
+      // preamble against in-flight swaps. Each future is mapped to its
+      // outcome, so Future.sequence only completes once the pool has
+      // drained — then the first failure (if any) is rethrown.
+      val settled = Future.sequence(futs.map(
+        _.map(_ => Option.empty[Throwable]).recover { case e => Some(e) }))
+      try {
+        val errs = Await.result(settled,
+          scala.concurrent.duration.Duration(30, "min")).flatten
+        errs.headOption.foreach(e => throw e)
+      } catch {
+        case te: java.util.concurrent.TimeoutException =>
+          // a wedged shard job: stop feeding the pool and wait for
+          // in-flight work to stop before surfacing the timeout, so
+          // nothing is still renaming when the caller sees the error
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw te
+      } finally pool.shutdown()
     }
     spark.read.parquet(landingDir)
       .groupBy(col("shard").cast("long").as("shard"))
@@ -1210,41 +1262,50 @@ object Curation {
                       landingDir: String): DataFrame = {
     import spark.implicits._
     val landed = spark.read.parquet(landingDir)
+    // ONE aggregate job carries every scalar statistic (r20, guide
+    // §2.6/§1: the previous shape ran SIX sequential driver-synced
+    // jobs — count, pos agg, shard distinct, span sum, token recount
+    // filter, doc_id distinct — each a full pass over a persisted
+    // frame; under the 8-way engine pass those serial round-trips were
+    // most of pp15's 12 s wall). The three count-distincts plan as one
+    // Expand over a narrow projection; the text recount folds into the
+    // same scan as a conditional sum, so the text column is read once.
+    // The per-shard span sum needs a shard-keyed aggregate first, so
+    // it stays a second (metadata-columns-only) job.
     val base = landed.select(col("doc_id"),
       col("shard").cast("long").as("shard"), col("pos"),
       col("n_tokens"),
       size(split(col("text"), " ")).cast("long").as("__recount"))
-      .persist()
-    try {
-      val n = base.count()
-      val posAgg = base.agg(
-        countDistinct(col("pos")).as("d"),
-        min(col("pos")).as("mn"), max(col("pos")).as("mx")).head
-      val posOk = posAgg.getLong(0) == n && posAgg.getLong(1) == 1L &&
-        posAgg.getLong(2) == n
-      val posViol = (n - posAgg.getLong(0)) +
-        (if (posAgg.getLong(1) == 1L && posAgg.getLong(2) == n) 0L else 1L)
-      val shards = base.select(col("shard")).distinct()
-        .agg(count(lit(1)), min(col("shard")), max(col("shard"))).head
-      val shardOk = shards.getLong(1) == 0L &&
-        shards.getLong(0) == shards.getLong(2) + 1
-      val ranges = base.groupBy(col("shard"))
-        .agg((max(col("pos")) - min(col("pos")) + 1).as("span"),
-          count(lit(1)).as("cnt"))
-      val spanSum = ranges.agg(sum(col("span"))).head.getLong(0)
-      val disjointOk = spanSum == n
-      val tokViol = base.filter(col("n_tokens") =!= col("__recount")).count()
-      val dupViol = n - base.select(col("doc_id")).distinct().count()
-      Seq(
-        ("docs_unique", dupViol == 0L, dupViol),
-        ("pos_partition", posOk, posViol),
-        ("shard_contiguous", shardOk,
-          if (shardOk) 0L else math.abs(shards.getLong(0) - (shards.getLong(2) + 1))),
-        ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
-        ("tokens_match", tokViol == 0L, tokViol))
-        .toDF("check", "ok", "violations")
-        .orderBy("check")
-    } finally base.unpersist()
+    val st = base.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("pos")).as("pos_d"),
+      min(col("pos")).as("pos_mn"), max(col("pos")).as("pos_mx"),
+      countDistinct(col("shard")).as("sh_d"),
+      min(col("shard")).as("sh_mn"), max(col("shard")).as("sh_mx"),
+      countDistinct(col("doc_id")).as("doc_d"),
+      sum(when(col("n_tokens") =!= col("__recount"), 1L).otherwise(0L))
+        .as("tok_viol")).head
+    val n = st.getLong(0)
+    val posOk = st.getLong(1) == n && st.getLong(2) == 1L &&
+      st.getLong(3) == n
+    val posViol = (n - st.getLong(1)) +
+      (if (st.getLong(2) == 1L && st.getLong(3) == n) 0L else 1L)
+    val shardOk = st.getLong(5) == 0L && st.getLong(4) == st.getLong(6) + 1
+    val spanSum = base.groupBy(col("shard"))
+      .agg((max(col("pos")) - min(col("pos")) + 1).as("span"))
+      .agg(sum(col("span"))).head.getLong(0)
+    val disjointOk = spanSum == n
+    val tokViol = if (st.isNullAt(8)) 0L else st.getLong(8)
+    val dupViol = n - st.getLong(7)
+    Seq(
+      ("docs_unique", dupViol == 0L, dupViol),
+      ("pos_partition", posOk, posViol),
+      ("shard_contiguous", shardOk,
+        if (shardOk) 0L else math.abs(st.getLong(4) - (st.getLong(6) + 1))),
+      ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
+      ("tokens_match", tokViol == 0L, tokViol))
+      .toDF("check", "ok", "violations")
+      .orderBy("check")
   }
 
   /** Per-shard file fingerprint: md5 over the sorted name:length:mtime
@@ -1348,46 +1409,48 @@ object Curation {
     val removed = (baseline.keySet -- live.keySet).toSeq.sorted
 
     val landed = spark.read.parquet(landingDir)
+    // one aggregate job for every global scalar (the pp15 r20 fold —
+    // see validateLanding); the changed-shard token recount stays its
+    // own partition-pruned job, which is the whole point of the
+    // incremental path.
     val base = landed.select(col("doc_id"),
       col("shard").cast("long").as("shard"), col("pos"), col("n_tokens"))
-      .persist()
-    try {
-      val n = base.count()
-      val posAgg = base.agg(
-        countDistinct(col("pos")).as("d"),
-        min(col("pos")).as("mn"), max(col("pos")).as("mx")).head
-      val posOk = posAgg.getLong(0) == n && posAgg.getLong(1) == 1L &&
-        posAgg.getLong(2) == n
-      val posViol = (n - posAgg.getLong(0)) +
-        (if (posAgg.getLong(1) == 1L && posAgg.getLong(2) == n) 0L else 1L)
-      val shards = base.select(col("shard")).distinct()
-        .agg(count(lit(1)), min(col("shard")), max(col("shard"))).head
-      val shardOk = shards.getLong(1) == 0L &&
-        shards.getLong(0) == shards.getLong(2) + 1
-      val spanSum = base.groupBy(col("shard"))
-        .agg((max(col("pos")) - min(col("pos")) + 1).as("span"))
-        .agg(sum(col("span"))).head.getLong(0)
-      val disjointOk = spanSum == n
-      val dupViol = n - base.select(col("doc_id")).distinct().count()
-      val tokViol =
-        if (changed.isEmpty) 0L
-        else landed
-          .filter(col("shard").cast("long").isin(changed: _*))
-          .filter(col("n_tokens") =!=
-            size(split(col("text"), " ")).cast("long"))
-          .count()
-      Seq(
-        ("docs_unique", dupViol == 0L, dupViol),
-        ("pos_partition", posOk, posViol),
-        ("rescanned_shards", true, changed.length.toLong),
-        ("shard_contiguous", shardOk,
-          if (shardOk) 0L else math.abs(shards.getLong(0) - (shards.getLong(2) + 1))),
-        ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
-        ("shards_removed", removed.isEmpty, removed.length.toLong),
-        ("tokens_match", tokViol == 0L, tokViol))
-        .toDF("check", "ok", "violations")
-        .orderBy("check")
-    } finally base.unpersist()
+    val st = base.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("pos")).as("pos_d"),
+      min(col("pos")).as("pos_mn"), max(col("pos")).as("pos_mx"),
+      countDistinct(col("shard")).as("sh_d"),
+      min(col("shard")).as("sh_mn"), max(col("shard")).as("sh_mx"),
+      countDistinct(col("doc_id")).as("doc_d")).head
+    val n = st.getLong(0)
+    val posOk = st.getLong(1) == n && st.getLong(2) == 1L &&
+      st.getLong(3) == n
+    val posViol = (n - st.getLong(1)) +
+      (if (st.getLong(2) == 1L && st.getLong(3) == n) 0L else 1L)
+    val shardOk = st.getLong(5) == 0L && st.getLong(4) == st.getLong(6) + 1
+    val spanSum = base.groupBy(col("shard"))
+      .agg((max(col("pos")) - min(col("pos")) + 1).as("span"))
+      .agg(sum(col("span"))).head.getLong(0)
+    val disjointOk = spanSum == n
+    val dupViol = n - st.getLong(7)
+    val tokViol =
+      if (changed.isEmpty) 0L
+      else landed
+        .filter(col("shard").cast("long").isin(changed: _*))
+        .filter(col("n_tokens") =!=
+          size(split(col("text"), " ")).cast("long"))
+        .count()
+    Seq(
+      ("docs_unique", dupViol == 0L, dupViol),
+      ("pos_partition", posOk, posViol),
+      ("rescanned_shards", true, changed.length.toLong),
+      ("shard_contiguous", shardOk,
+        if (shardOk) 0L else math.abs(st.getLong(4) - (st.getLong(6) + 1))),
+      ("shard_pos_disjoint", disjointOk, math.abs(spanSum - n)),
+      ("shards_removed", removed.isEmpty, removed.length.toLong),
+      ("tokens_match", tokViol == 0L, tokViol))
+      .toDF("check", "ok", "violations")
+      .orderBy("check")
   }
 
   /** Self-describing landing manifest (mf01): one flat (key, value)

@@ -264,24 +264,34 @@ object Dedup {
                           out: String = "clean_text"): DataFrame = {
     require(!df.columns.contains(out), s"column $out would be clobbered")
     val spans = exactSubstringSpans(df, minSpan, minCount, text)
-    val cov = spans.select(col("doc_id"),
-      explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+    // Reassembly WITHOUT the token-row explode (r20, guide §2.3/§2.4):
+    // the previous shape posexploded EVERY corpus token into a row,
+    // anti-joined covered positions, and rebuilt each doc through a
+    // (doc_id)-keyed collect_list — the entire corpus crossed one
+    // exchange as single-token rows plus a second doc-keyed exchange
+    // to reassemble. Only docs WITH a duplicate span need surgery, and
+    // their maximal spans are a tiny per-doc list — so collect the
+    // spans per doc (span-cardinality, not token-cardinality), join
+    // them doc-keyed onto the tokenized frame (broadcastable), and cut
+    // inside a positional array filter: zero token-level rows, zero
+    // reassembly shuffle, identical output (same tokens, same order,
+    // same whitespace normalization).
+    val spansByDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
     val toks = df.select(col("doc_id"),
       filter(split(text, "\\s+"), t => length(t) > 0).as("__tk"))
-    val tokpos = toks.select(col("doc_id"),
-      posexplode(col("__tk")).as(Seq("__pos", "__tok")))
-    val kept = tokpos.join(cov, Seq("doc_id", "__pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("__kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-            x => x.getField("__tok"))).as(out))
-    toks.select(col("doc_id"), size(col("__tk")).cast("int").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+    toks.join(spansByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__tk")).cast("int").as("n_tokens"),
+        when(col("__spans").isNull, col("__tk"))
+          .otherwise(filter(col("__tk"), (_, i) =>
+            !exists(col("__spans"), s =>
+              i >= s.getField("span_start") && i <= s.getField("span_end"))))
+          .as("__keep"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__kept"), lit(0))).cast("int")
+        (col("n_tokens") - size(col("__keep"))).cast("int")
           .as("n_dup_tokens"),
-        coalesce(col(out), lit("")).as(out))
+        concat_ws(" ", col("__keep")).as(out))
   }
 
   /** Word k-shingles of a text column (k consecutive tokens, space-
@@ -745,14 +755,9 @@ object Dedup {
     // predecessor loop: rounds 17→24 went 0.5 s → 446 s total at
     // sf0.1, main thread pinned in BigInteger.multiplyToomCook3).
     // Rebuilding from the already-materialized RDD[Row] resets stats
-    // to defaults and keeps the lineage truncation.
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
+    // to defaults and keeps the lineage truncation. (Checkpointing
+    // itself now lives in Flat.releasable, which additionally frees a
+    // superseded round's blocks — r20.)
     // emitted (v, m) has v > u ≥ m, so the u > v canonical form is
     // an invariant of both phases — no re-canonicalization needed.
     def largeStar(e: DataFrame): DataFrame = {
@@ -771,25 +776,30 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
         .distinct()
     }
-    var edges = pairs
+    val (edges0, relEdges0) = Flat.releasable(pairs
       .select(greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
               least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .transform(flat)
+      .distinct())
+    var edges = edges0
+    var relPrev = relEdges0
     var edgeCount = edges.count()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       // large-star feeds small-star, which reads it twice (groupBy +
       // join) — checkpoint both so neither subplan recomputes.
-      val next = smallStar(largeStar(edges).transform(flat)).transform(flat)
+      val (ls, relLs) = Flat.releasable(largeStar(edges))
+      val (next, relNext) = Flat.releasable(smallStar(ls))
+      relLs() // next is materialized — the large-star intermediate is dead
       val nextCount = next.count()
       // exact set-equality check: both sides are distinct, so
       // |A Δ B| = 2·|A ∪ B| − |A| − |B|. One distinct-union job per
       // round; the counts are trivial scans of checkpointed RDDs.
       changed = 2L * next.union(edges).distinct().count() - nextCount - edgeCount
+      relPrev() // the symmetric-difference count was the old round's last read
       edges = next
+      relPrev = relNext
       edgeCount = nextCount
       i += 1
     }

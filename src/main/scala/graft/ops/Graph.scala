@@ -34,16 +34,6 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    // createDataFrame rebuild resets LogicalRDD originStats (dd06's
-    // convention — see connectedComponents: carried stats compound
-    // multiplicatively per round and poison join size estimation)
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     val e = edges.select(col("src"), col("dst")).persist()
     // materialize e before fan-out (labelPropagation's r19 note): the
     // dangling-check job otherwise computes deg + both node branches
@@ -59,17 +49,24 @@ object Graph {
     require(dangling == 0,
       s"$dangling dangling node(s) would leak rank mass — symmetrize or prune sinks first")
     val n = nodes.count()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(flat)
+    // Flat.releasable: eager flat checkpoint (resets LogicalRDD
+    // originStats, dd06's convention) + a handle that frees round
+    // N−1's blocks once round N is materialized — without it every
+    // round's checkpoint stays pinned until the driver GCs the RDD
+    // object (r19 verdict: accumulated checkpoint blocks inflated GC)
+    var (ranks, relPrev) =
+      Flat.releasable(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("__outdeg")).as("__s"))
-      ranks = nodes
+      val (next, rel) = Flat.releasable(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), (lit((1 - damping) / n) +
-          lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-        .transform(flat)
+          lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank")))
+      relPrev() // next is materialized — the previous round's blocks are dead
+      ranks = next; relPrev = rel
     }
     e.unpersist(); withDeg.unpersist(); nodes.unpersist()
     ranks
@@ -155,27 +152,21 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
-    var e = normalizedEdges(edges).transform(flat)
+    var (e, relPrev) = Flat.releasable(normalizedEdges(edges))
     var dropped = -1L
     var executed = 0
     for (_ <- 1 to rounds if dropped != 0L) {
       val adj = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       val keep = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("n"))
-      val e2 = e
+      val (e2, rel) = Flat.releasable(e
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).transform(flat)
+        .select(col("a"), col("b")))
       dropped = e.count() - e2.count()
+      relPrev() // counts read both rounds; the old round's blocks are now dead
       executed += 1
-      e = e2
+      e = e2; relPrev = rel
     }
     OpsMetrics.recordConvergence("graft.kcore", executed,
       if (dropped == 0L) 0L else dropped)
@@ -206,18 +197,11 @@ object Graph {
              maxDegree: Int = 10000): DataFrame = {
     require(k >= 3, s"k must be at least 3: $k")
     require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     val hubs = highDegreeNodes(edges, maxDegree).select(col("node"))
-    var e = normalizedEdges(edges)
+    var (e, relPrev) = Flat.releasable(normalizedEdges(edges)
       .join(hubs.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
       .join(hubs.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-      .select(col("a"), col("b")).transform(flat)
+      .select(col("a"), col("b")))
     def support(cur: DataFrame): DataFrame = {
       val wedges = cur.select(col("a").as("x"), col("b").as("y"))
         .join(cur.select(col("a").as("y"), col("b").as("z")), "y")
@@ -235,12 +219,13 @@ object Graph {
     for (_ <- 1 to rounds if dropped != 0L) {
       // inner join: an edge in no triangle has no support row and
       // drops (k − 2 ≥ 1), exactly the truss rule
-      val e2 = e.join(support(e), Seq("a", "b"))
+      val (e2, rel) = Flat.releasable(e.join(support(e), Seq("a", "b"))
         .filter(col("support") >= k - 2)
-        .select(col("a"), col("b")).transform(flat)
+        .select(col("a"), col("b")))
       dropped = e.count() - e2.count()
+      relPrev() // both counts done — the old round's blocks are dead
       executed += 1
-      e = e2
+      e = e2; relPrev = rel
     }
     OpsMetrics.recordConvergence("graft.ktruss", executed,
       if (dropped == 0L) 0L else dropped)
@@ -315,30 +300,29 @@ object Graph {
   def hopDistance(edges: DataFrame, sources: DataFrame,
                   maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops out of range: $maxHops")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     val e = edges.select(col("src"), col("dst")).distinct().persist()
-    var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).transform(flat)
+    var (visited, relVisited) = Flat.releasable(
+      sources.select(col("node")).distinct().withColumn("dist", lit(0)))
     var frontier = visited
+    var relFrontier: () => Unit = () => ()
     var hop = 0
     var executed = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1; executed += 1
-      val next = frontier.join(e.withColumnRenamed("src", "node"), "node")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop))
-        .transform(flat)
-      visited = visited.union(next).transform(flat)
-      frontier = next
+      val (next, relNext) = Flat.releasable(
+        frontier.join(e.withColumnRenamed("src", "node"), "node")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop)))
+      val (v2, relV2) = Flat.releasable(visited.union(next))
+      // the new visited is materialized: the old visited's and the old
+      // frontier's blocks are dead (next stays — it is the new frontier)
+      relVisited(); relFrontier()
+      visited = v2; relVisited = relV2
+      frontier = next; relFrontier = relNext
     }
     OpsMetrics.recordConvergence("graft.bfs", executed, frontier.count())
+    relFrontier() // the convergence count was the frontier's last read
     e.unpersist()
     visited
   }
@@ -461,20 +445,13 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     // materialize e before fan-out (labelPropagation's r19 note)
     e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    var scores = nodes.withColumn("hub", lit(1.0))
-      .withColumn("auth", lit(1.0)).transform(flat)
+    var (scores, relPrev) = Flat.releasable(nodes
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0)))
     for (_ <- 1 to iters) {
       // each norm is a driver-synced scalar, and the score update
       // consumes the SAME frame the norm was computed from — persist
@@ -496,15 +473,17 @@ object Graph {
         .groupBy(col("src")).agg(sum(col("__a")).as("h0")).persist()
       val hNorm = math.sqrt(
         hub0.agg(sum(col("h0") * col("h0"))).head.getDouble(0))
-      scores = nodes
+      val (next, rel) = Flat.releasable(nodes
         .join(hub0.withColumnRenamed("src", "node"), Seq("node"), "left")
         .join(auth.withColumnRenamed("auth", "__auth"), Seq("node"))
         .select(col("node"),
           (coalesce(col("h0"), lit(0.0)) / hNorm).as("hub"),
-          col("__auth").as("auth"))
-        .transform(flat)
-      // flat() has materialized the round's scores — the caches are dead
+          col("__auth").as("auth")))
+      // the round's scores are materialized — the caches and the
+      // previous round's checkpoint blocks are dead
       auth0.unpersist(false); auth.unpersist(false); hub0.unpersist(false)
+      relPrev()
+      scores = next; relPrev = rel
     }
     e.unpersist(); nodes.unpersist()
     scores
@@ -541,13 +520,6 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     // hash-partition on the join key BEFORE distinct: partitioning by
     // src satisfies the (src, dst) clustering distinct needs, so the
     // dedup costs no second exchange, and every round's labels join
@@ -565,6 +537,7 @@ object Graph {
     // no flat() on the seed: it is a projection of the persisted node
     // set, so round 1's lineage is already shallow
     var labels = nodes.withColumn("label", col("node"))
+    var relPrev: () => Unit = () => ()
     for (_ <- 1 to rounds) {
       val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
@@ -574,12 +547,13 @@ object Graph {
       // smaller), replacing the left join-back
       val votes = counts.unionByName(
         labels.select(col("node").as("dst"), col("label"), lit(0L).as("__c")))
-      labels = votes
+      val (next, rel) = Flat.releasable(votes
         .groupBy(col("dst"))
         .agg(min_by(col("label"),
           struct((-col("__c")).as("__nc"), col("label"))).as("label"))
-        .withColumnRenamed("dst", "node")
-        .transform(flat)
+        .withColumnRenamed("dst", "node"))
+      relPrev() // next is materialized — the previous round's blocks are dead
+      labels = next; relPrev = rel
     }
     e.unpersist(); nodes.unpersist()
     labels
@@ -609,7 +583,14 @@ object Graph {
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val lab = labels.select(col("node"), col("label"))
+    // distinct: 2m = Σ degree_sum (below) equals |E| only when `labels`
+    // carries at most one row per node — duplicate (node, label) rows
+    // would silently inflate 2m and every community's contribution
+    // (r19 advice). distinct() makes exact duplicates safe; a node
+    // carrying TWO DIFFERENT labels remains the caller's contract
+    // violation (its edges would be double-counted into both groups,
+    // as in any assignment-join formulation).
+    val lab = labels.select(col("node"), col("label")).distinct()
     // dst label joins LEFT: under partial label coverage a member's
     // degree must count ALL its incident edges (an edge into an
     // unlabeled neighbor still contributes to d_c), or the statistics
@@ -665,7 +646,8 @@ object Graph {
     */
   def communityStructure(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val lab = labels.select(col("node"), col("label"))
+    // distinct for the same duplicate-row guard as modularity's
+    val lab = labels.select(col("node"), col("label")).distinct()
     // ONE edge scan for BOTH statistics: src labels join LEFT so the
     // null-label group carries the unlabeled-src edges — 2m is then
     // Σ degree_sum over ALL groups of this label-cardinality frame

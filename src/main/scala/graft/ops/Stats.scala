@@ -1123,13 +1123,6 @@ object Stats {
     */
   def bradleyTerry(comparisons: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    def flat(df: DataFrame): DataFrame = {
-      val cp =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
     val cmp = comparisons.select(col("winner"), col("loser"))
       .filter(col("winner").isNotNull && col("loser").isNotNull &&
         col("winner") =!= col("loser"))
@@ -1151,7 +1144,10 @@ object Stats {
       .join(wins, Seq("item"), "left").na.fill(0L, Seq("wins"))
       .persist()
     val k = items.count()
-    var w = items.select(col("item"), lit(1.0 / k).as("wt")).transform(flat)
+    val (w0, rel0) =
+      Flat.releasable(items.select(col("item"), lit(1.0 / k).as("wt")))
+    var w = w0
+    var relPrev = rel0
     for (_ <- 1 to iters) {
       val den = dpairs
         .join(w.select(col("item").as("i"), col("wt").as("__wi")), "i")
@@ -1166,10 +1162,13 @@ object Stats {
       // identical weights, el01 oracle-green).
       // w itself then derives from the checkpointed scan + a broadcast
       // scalar, so its lineage is already flat without a second pass.
-      val raw = items.select(col("item"), col("wins"))
+      val (raw, rel) = Flat.releasable(items.select(col("item"), col("wins"))
         .join(den, "item")
-        .select(col("item"), (col("wins") / col("__den")).as("__raw"))
-        .transform(flat)
+        .select(col("item"), (col("wins") / col("__den")).as("__raw")))
+      // raw is materialized and the previous round's w derives only
+      // from the previous raw — those blocks are dead now
+      relPrev()
+      relPrev = rel
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
       w = raw.crossJoin(broadcast(tot))
         .select(col("item"), (col("__raw") / col("__tot")).as("wt"))

@@ -53,6 +53,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r("A") == (3L, 6L, 7L, -0.015625), s"got ${r("A")}")
   }
 
+  test("modularity: duplicate (node, label) rows do not inflate 2m (r19 advice)") {
+    // same two-triangle graph as above, but the labels frame carries
+    // a1's row TWICE (e.g. a caller unioned two label sources). The
+    // derived 2m = Σ degree_sum must still equal |E| = 12 — before the
+    // r20 distinct() guard the duplicated row join-multiplied a1's
+    // edges, inflating 2m to 16 and skewing EVERY community's score.
+    val edges = sym(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val labels = Seq("a1" -> "A", "a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("node", "label")
+    val rows = Graph.modularity(edges, labels).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows("A") == (3L, 6L, 6L, 0.25), s"got ${rows("A")}")
+    assert(rows("B") == (3L, 6L, 6L, 0.25), s"got ${rows("B")}")
+  }
+
   test("kTruss: budget-exhausted survivors with zero support are kept, not dropped") {
     // two triangles sharing edge (b, c), plus pendant edges: with
     // k = 3 every triangle edge has support ≥ 1 and survives; after
