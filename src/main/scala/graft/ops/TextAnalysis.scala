@@ -93,8 +93,13 @@ object TextAnalysis {
 
   /** Quality-scoring heuristics: length, punctuation ratio, stopword
     * ratio, repetition (distinct/total tokens). score in [0,1].
+    * `keep` columns pass through the projection (tokenStats's
+    * convention) so compositions like pp01 chain quality → langid →
+    * tokenStats into ONE collapsed scan projection instead of three
+    * corpus scans re-joined on doc_id.
     */
-  def quality(df: DataFrame, text: Column = col("text")): DataFrame = {
+  def quality(df: DataFrame, text: Column = col("text"),
+              keep: Seq[Column] = Nil): DataFrame = {
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
@@ -104,19 +109,20 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
     val lengthOk = (length(text) >= 50 && length(text) <= 10000).cast("double")
     df.select(
-      col("doc_id"),
+      (col("doc_id") +: keep) ++ Seq(
       round(stopCnt / nTok, 4).as("stopword_ratio"),
       round(punctCnt / length(text).cast("double"), 4).as("punct_ratio"),
       round(distinctRatio, 4).as("distinct_ratio"),
       round((distinctRatio * lit(0.5) + lengthOk * lit(0.3) +
-        least(stopCnt / nTok * 5, lit(1.0)) * lit(0.2)), 4).as("quality_score"))
+        least(stopCnt / nTok * 5, lit(1.0)) * lit(0.2)), 4).as("quality_score")): _*)
   }
 
   /** Character-n-gram language heuristic: deterministic scores from
     * marker n-gram frequencies (the classic stopword/char-class
     * approach). Returns the scores and the argmax label.
     */
-  def langid(df: DataFrame, text: Column = col("text")): DataFrame = {
+  def langid(df: DataFrame, text: Column = col("text"),
+             keep: Seq[Column] = Nil): DataFrame = {
     def ngramCount(t: Column, g: String): Column =
       ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), ""))) /
         g.length).cast("double")
@@ -131,7 +137,7 @@ object TextAnalysis {
     val cjkScore = (length(lowered) -
       length(regexp_replace(lowered, "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") / len
     df.select(
-      col("doc_id"),
+      (col("doc_id") +: keep) ++ Seq(
       round(enScore, 6).as("score_en"),
       round(romScore, 6).as("score_rom"),
       round(deScore, 6).as("score_de"),
@@ -139,7 +145,7 @@ object TextAnalysis {
       when(cjkScore > 0.05, "zh")
         .when(deScore >= enScore && deScore >= romScore, "de")
         .when(romScore > enScore, "rom")
-        .otherwise("en").as("predicted"))
+        .otherwise("en").as("predicted")): _*)
   }
 
   /** Canonical document fingerprint: hash of the sorted distinct token

@@ -1628,17 +1628,24 @@ object CurationOps {
         val dcs = docs(s, d)
           .select(col("doc_id"), col("source"), col("lang"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val t = graft.ops.TextAnalysis.tokenStats(dcs)
-          .select(col("doc_id"), col("n_tokens"))
-        val q = graft.ops.TextAnalysis.quality(dcs)
-          .select(col("doc_id"), col("quality_score"))
+        // tokenStats → quality chained via keep pass-throughs (the
+        // pp01/pp04 shape, r20): both are pure per-doc projections, so
+        // one cache scan replaces two scans + two corpus-sized doc_id
+        // join exchanges; only the dedup flag still needs its
+        // groupBy + join-back (inherent — it compares across docs)
+        val tq = graft.ops.TextAnalysis.quality(
+            graft.ops.TextAnalysis.tokenStats(dcs,
+              keep = Seq(col("text"), col("source"), col("lang"))),
+            keep = Seq(col("source"), col("lang"), col("n_tokens")))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_tokens"), col("quality_score"))
         val h = dcs.select(col("doc_id"),
           md5(lower(trim(col("text")))).as("__ch"))
         val keep = h.groupBy(col("__ch")).agg(min(col("doc_id")).as("__keep"))
         val dup = h.join(keep, "__ch")
           .select(col("doc_id"), (col("doc_id") =!= col("__keep")).as("__dup"))
-        val out = dcs.select(col("doc_id"), col("source"), col("lang"))
-          .join(t, "doc_id").join(q, "doc_id").join(dup, "doc_id")
+        val out = tq
+          .join(dup, "doc_id")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens").cast("long")).as("n_tokens"),

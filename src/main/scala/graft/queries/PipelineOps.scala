@@ -2374,10 +2374,20 @@ object PipelineOps {
         import org.apache.spark.sql.functions._
         val ds = docs(s, d)
         val keep = Dedup.exact(ds).select(col("keep_id").as("doc_id"))
-        val q = TextAnalysis.quality(ds).select(col("doc_id"), col("quality_score"))
-        val lang = TextAnalysis.langid(ds).select(col("doc_id"), col("predicted"))
-        val tok = TextAnalysis.tokenStats(ds).select(col("doc_id"), col("n_tokens"))
-        keep.join(q, "doc_id").join(lang, "doc_id").join(tok, "doc_id")
+        // quality → langid → tokenStats CHAINED via their keep
+        // pass-throughs (r20, guide §2.4): the three ops are pure
+        // per-doc projections, so the chain collapses into ONE corpus
+        // scan — the previous shape scanned ds three times and paid
+        // three corpus-sized doc_id join exchanges to glue the
+        // columns back together. Same expressions, same values.
+        val scored = TextAnalysis.tokenStats(
+          TextAnalysis.langid(
+            TextAnalysis.quality(ds, keep = Seq(col("text"))),
+            keep = Seq(col("text"), col("quality_score"))),
+          keep = Seq(col("quality_score"), col("predicted")))
+          .select(col("doc_id"), col("quality_score"), col("predicted"),
+            col("n_tokens"))
+        keep.join(scored, "doc_id")
           .filter(col("predicted") === "en" && col("quality_score") >= 0.5)
           .agg(count(lit(1)).as("n_docs"),
                sum(col("n_tokens")).cast("long").as("sum_tokens"),
