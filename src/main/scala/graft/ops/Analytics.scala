@@ -203,7 +203,12 @@ object Analytics {
     // materialize the customer-cardinality frame once: it feeds the
     // max-recency broadcast, the assignment scan, AND the percentile
     // cut aggregate — three consumers that each re-ran the full orders
-    // aggregate without the checkpoint (r19 perf)
+    // aggregate without the checkpoint (r19 perf). Cardinality
+    // qualification (r20 probe, BASELINE.md): the frame is the
+    // AGGREGATE — one 32 B row per distinct customer, ~10% of input
+    // rows at every SF — so the one-time checkpoint write stays orders
+    // of magnitude under the two full input re-scans it saves
+    // (MEMORY_AND_DISK spills past memory at 10^9+ customers).
     val per = {
       val p0 = orders.groupBy(customer.as("customer"))
         .agg(max(unix_micros(ts)).as("__last_us"),

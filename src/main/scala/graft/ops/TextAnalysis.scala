@@ -696,7 +696,10 @@ object TextAnalysis {
     // materialize the vocab-cardinality count frame once: it feeds
     // both the rank-bucket chain and the scalar totals, and without
     // the checkpoint each consumer re-runs the corpus-wide token
-    // explode + aggregate (r19 perf)
+    // explode + aggregate (r19 perf). Cardinality qualification (r20
+    // probe, BASELINE.md): one row per distinct token TYPE — Zipf
+    // keeps it sublinear in the corpus (~10^8 types ≈ 3 GB for a web
+    // corpus) vs the corpus-sized explode each consumer would re-run.
     val counts = {
       val c0 = df.select(explode(split(text, "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
