@@ -792,12 +792,23 @@ object Dedup {
       val (ls, relLs) = Flat.releasable(largeStar(edges))
       val (next, relNext) = Flat.releasable(smallStar(ls))
       relLs() // next is materialized — the large-star intermediate is dead
-      val nextCount = next.count()
-      // exact set-equality check: both sides are distinct, so
-      // |A Δ B| = 2·|A ∪ B| − |A| − |B|. One distinct-union job per
-      // round; the counts are trivial scans of checkpointed RDDs.
-      changed = 2L * next.union(edges).distinct().count() - nextCount - edgeCount
-      relPrev() // the symmetric-difference count was the old round's last read
+      // exact set-equality check in ONE action (r20): both sides are
+      // distinct, so tagging each set and aggregating per (u, v) gives
+      // |next| and |next ∩ edges| together, and |A Δ B| = |A| + |B| −
+      // 2·|A ∩ B| — the identical exact statistic the previous
+      // next.count() + union-distinct pair computed in TWO driver-
+      // synced jobs per round. Still a set compare, never a hash (a
+      // collision would silently mis-cluster — the r19 decision).
+      val st = next.select(col("u"), col("v"), lit(1L).as("__a"), lit(0L).as("__b"))
+        .unionAll(edges.select(col("u"), col("v"), lit(0L).as("__a"), lit(1L).as("__b")))
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("__a")).as("__ma"), max(col("__b")).as("__mb"))
+        .agg(sum(col("__ma")).as("__na"), sum(col("__ma") * col("__mb")).as("__ni"))
+        .head
+      val nextCount = if (st.isNullAt(0)) 0L else st.getLong(0)
+      val inter = if (st.isNullAt(1)) 0L else st.getLong(1)
+      changed = nextCount + edgeCount - 2L * inter
+      relPrev() // the set-compare was the old round's last read
       edges = next
       relPrev = relNext
       edgeCount = nextCount
