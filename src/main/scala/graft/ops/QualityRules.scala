@@ -24,21 +24,26 @@ object QualityRules {
   val StopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
+  /** `keep` columns (arbitrary expressions welcome) ride the same
+    * projection — tokenStats' convention, so compositions like pp08
+    * avoid a second corpus scan + doc_id join for one derived column.
+    */
+  def gopherQuality(df: DataFrame, text: Column = col("text"),
+                    keep: Seq[Column] = Nil): DataFrame = {
     val words = split(trim(text), "\\s+")
     // '...' counted by length difference so the oracle needs no
     // regexp_count; non-overlapping semantics match the regex form
     val nEllipsis = (length(text) -
       length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
     val flags = df.select(
-      col("doc_id"),
+      (col("doc_id") +: keep) ++ Seq(
       size(words).cast("long").as("n_words"),
       length(regexp_replace(text, "\\s+", "")).cast("long").as("len_nospace"),
       (length(text) - length(regexp_replace(text, "#", "")) + nEllipsis)
         .cast("long").as("n_symbols"),
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
       StopWords.map(sw => when(array_contains(words, sw), 1L).otherwise(0L))
-        .reduce(_ + _).as("stop_hits"))
+        .reduce(_ + _).as("stop_hits")): _*)
     flags.withColumn("keep",
       col("n_words") >= 50 && col("n_words") <= 100000 &&
         col("len_nospace") >= col("n_words") * 3 &&   // mean word len >= 3

@@ -1886,14 +1886,18 @@ object CurationOps {
         val ds = docs(s, d)
         val scored = Curation.perplexityBuckets(ds)
           .select(col("doc_id"), col("bucket"))
-        val g = graft.ops.QualityRules.gopherQuality(ds)
-          .select(col("doc_id"), col("n_words"), col("len_nospace"),
-            col("stop_hits"))
+        // dist rides gopherQuality's projection (keep=, r20): both are
+        // per-doc expressions over the same scan, so the second corpus
+        // scan + doc_id join the old shape paid for one derived column
+        // collapse away; only the bucket join (cross-doc quantiles)
+        // remains.
         val words = split(trim(col("text")), "\\s+")
-        val dist = ds.select(col("doc_id"),
-          (size(array_distinct(words)).cast("double") /
-            size(words)).as("dist"))
-        val f = g.join(dist, "doc_id").join(scored, "doc_id")
+        val g = graft.ops.QualityRules.gopherQuality(ds, keep = Seq(
+            (size(array_distinct(words)).cast("double") /
+              size(words)).as("dist")))
+          .select(col("doc_id"), col("n_words"), col("len_nospace"),
+            col("stop_hits"), col("dist"))
+        val f = g.join(scored, "doc_id")
         graft.ops.Stats.logisticGD(f,
           (col("bucket") === "head").cast("double"),
           Seq(
