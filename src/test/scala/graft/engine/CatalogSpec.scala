@@ -195,4 +195,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(names("t").version == e2.version)
     assert(names.keySet == Set("t", "t_v1", "t_v2"))
   }
+
+  test("ingest's cached rowCount matches a read-back of the persisted files (r19 advice)") {
+    // r19 switched the recorded rowCount from a file re-read to the
+    // still-cached parse frame (one read job saved per ingest); this
+    // spec keeps the persisted-file integrity check alive somewhere: a
+    // silently truncated/partial untyped or typed write would diverge
+    // from the cached count here.
+    val cat = freshCatalog()
+    val e = cat.ingest("rb", Ingest.csv(spark, res("typeinfer.csv")), "csv")
+    assert(spark.read.parquet(e.untypedPath).count() == e.rowCount,
+      "untyped parquet on disk diverges from the cached ingest count")
+    assert(spark.read.parquet(e.typedPath).count() == e.rowCount,
+      "typed parquet on disk diverges from the cached ingest count")
+  }
 }
